@@ -1,13 +1,36 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.queries.{GraphQueries, TextQueries, VectorQueries, VersionControlQueries}
+
+/**
+ * Driver contract (see SURVEY.md §7 and the builder prompt).
+ *
+ * `queries` — one entry per implemented operator from SURVEY.md §2;
+ * `oracleSql` — the DuckDB-equivalent SQL the driver hash-compares against
+ * (entries without SQL get a weaker rows-only check).
+ */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  /** All query domains, each entry: name -> (fn, optional oracle SQL). */
+  private val all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] =
+    VersionControlQueries.defs ++
+    GraphQueries.defs ++
+    TextQueries.defs ++
+    VectorQueries.defs
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0: a two-way
+    * snapshot diff (the engine's core operator). */
+  def entry(spark: SparkSession): DataFrame = {
+    val d = "/root/testdata/sf0.001"
+    operators.Diff.twoWay(
+      fixtures.Fixtures.keyedBase(spark, d),
+      fixtures.Fixtures.keyedRight(spark, d))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    all.map { case (k, (fn, _)) => k -> fn }
+
+  def oracleSql: Map[String, String] =
+    all.collect { case (k, (_, Some(sql))) => k -> sql }
 }

@@ -1,0 +1,43 @@
+package graft.core
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/**
+ * Content addressing (SURVEY.md §1.4).
+ *
+ * The reference content-addresses commits, entries and ranges with SHA-256
+ * over a typed marshalling (`pkg/ident/ident.go:25-60`,
+ * `pkg/catalog/entry.go:21-38`). We keep the same *property* — equal content
+ * ⇒ equal id, diff/merge compare identities not payloads
+ * (`pkg/graveler/committed/diff.go:178-179`) — with a simpler, Spark-native
+ * recipe: SHA-256 over a '|'-joined field list, as lowercase hex. Byte
+ * compatibility with the reference's ids is explicitly NOT a goal.
+ */
+object Identity {
+
+  /** Identity of a record: sha256 over '|'-joined columns (null-safe: nulls
+    * become the empty string, as concat_ws skips nulls deterministically). */
+  def identity(cols: Column*): Column =
+    sha2(concat_ws("|", cols: _*), 256)
+
+  /** Identity of a whole sorted key/identity set (range or metarange id):
+    * sha256 over the ordered concatenation of key:identity pairs. Used
+    * driver-side on small manifests; for data-scale sets use
+    * [[rangeIdAgg]]-style aggregation instead. */
+  def setIdentity(pairs: Seq[(String, String)]): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    pairs.foreach { case (k, id) =>
+      md.update(k.getBytes("UTF-8")); md.update(0.toByte)
+      md.update(if (id == null) Array.emptyByteArray else id.getBytes("UTF-8"))
+      md.update(1.toByte)
+    }
+    md.digest().map("%02x".format(_)).mkString
+  }
+
+  /** SHA-256 hex of a string, driver-side. */
+  def sha256Hex(s: String): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+}

@@ -1,0 +1,113 @@
+package graft.core
+
+import org.apache.spark.sql.types._
+
+/**
+ * Core data model of the versioned-table engine.
+ *
+ * Mirrors the reference's graveler abstractions (see SURVEY.md §1,
+ * reference `pkg/graveler/graveler.go:404-592`) re-expressed as Spark rows:
+ *
+ *  - ValueRecord: one (key, identity, data) row of a snapshot; a null
+ *    identity marks a tombstone (uncommitted delete,
+ *    `pkg/graveler/graveler.go:455-457`).
+ *  - CommitInfo: a content-addressed commit (`graveler.go:498-527`).
+ *  - BranchInfo / TagInfo / RepoInfo: control rows (`graveler.go:535-575`).
+ *  - RangeInfo: per-file min/max/count manifest row — the Spark analogue of a
+ *    lakeFS "range" SSTable (`pkg/graveler/committed/range.go:10-17`); a full
+ *    manifest (list of RangeInfo) is the analogue of a metarange.
+ */
+object Model {
+
+  /** diff_type values, matching `pkg/graveler/graveler.go:69-76`. */
+  object DiffType {
+    val Added    = "added"
+    val Removed  = "removed"
+    val Changed  = "changed"
+    val Conflict = "conflict"
+  }
+
+  /** Merge strategies, `pkg/graveler/committed/merge.go` strategy plumbing. */
+  sealed trait MergeStrategy
+  case object StrategyNone       extends MergeStrategy
+  case object StrategySourceWins extends MergeStrategy
+  case object StrategyDestWins   extends MergeStrategy
+
+  // --- schemas -------------------------------------------------------------
+
+  /** Snapshot row. Identity is a lowercase-hex SHA-256 string; null value
+    * columns encode a tombstone. Keys sort lexicographically (UTF-8), which
+    * matches the reference's bytes.Compare ordering for ASCII keys. */
+  val valueRecordSchema: StructType = StructType(Seq(
+    StructField("key", StringType, nullable = false),
+    StructField("identity", StringType, nullable = true),
+    StructField("data", BinaryType, nullable = true)
+  ))
+
+  /** Catalog entry payload, `pkg/catalog/catalog.proto:10-26`. */
+  val entrySchema: StructType = StructType(Seq(
+    StructField("address", StringType),
+    StructField("last_modified", TimestampType),
+    StructField("size", LongType),
+    StructField("e_tag", StringType),
+    StructField("metadata", MapType(StringType, StringType)),
+    StructField("address_type", StringType),
+    StructField("content_type", StringType)
+  ))
+
+  val commitSchema: StructType = StructType(Seq(
+    StructField("commit_id", StringType, nullable = false),
+    StructField("version", IntegerType),
+    StructField("committer", StringType),
+    StructField("message", StringType),
+    StructField("meta_range_id", StringType),
+    StructField("creation_date", LongType), // unix seconds, graveler.go:510-515
+    StructField("parents", ArrayType(StringType)),
+    StructField("metadata", MapType(StringType, StringType)),
+    StructField("generation", IntegerType)
+  ))
+
+  val rangeInfoSchema: StructType = StructType(Seq(
+    StructField("range_id", StringType, nullable = false),
+    StructField("min_key", StringType),
+    StructField("max_key", StringType),
+    StructField("estimated_size", LongType),
+    StructField("count", LongType),
+    StructField("path", StringType) // parquet file backing this range
+  ))
+
+  case class CommitInfo(
+      commitId: String,
+      version: Int,
+      committer: String,
+      message: String,
+      metaRangeId: String,
+      creationDate: Long,
+      parents: Seq[String],
+      metadata: Map[String, String],
+      generation: Int)
+
+  case class BranchInfo(
+      branchId: String,
+      commitId: String,
+      stagingEpoch: Long,
+      sealedEpochs: Seq[Long],
+      compactedBaseMetaRangeId: Option[String],
+      hidden: Boolean)
+
+  case class TagInfo(tagId: String, commitId: String)
+
+  case class RepoInfo(
+      repositoryId: String,
+      storageNamespace: String,
+      creationDate: Long,
+      defaultBranchId: String)
+
+  case class RangeInfo(
+      rangeId: String,
+      minKey: String,
+      maxKey: String,
+      estimatedSize: Long,
+      count: Long,
+      path: String)
+}

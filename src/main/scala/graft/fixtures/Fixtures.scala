@@ -1,0 +1,134 @@
+package graft.fixtures
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Adapters from the driver's TPC-H-ish parquet fixtures to the engine's
+ * keyed-snapshot shape (FIXTURES.md §D), plus deterministic perturbations
+ * that simulate commits/branches. Every derivation here has an exact SQL
+ * twin in [[OracleSql]] — both sides must produce identical rows, since the
+ * driver hash-compares Spark output against DuckDB.
+ *
+ * Portability rules (Spark ⇄ DuckDB):
+ *  - only integer-derived values feed identity hashes (price in cents via
+ *    floor(x*100+0.5); quantity cast to bigint — fixture quantities are
+ *    integral);
+ *  - identities are sha2(concat_ws('|', ...), 256) == duckdb
+ *    sha256(concat_ws(...)) — lowercase hex on both sides;
+ *  - keys are lpad(cast(k as string), 12, '0') on both sides.
+ */
+object Fixtures {
+
+  def lineitem(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/lineitem.parquet")
+  def orders(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/orders.parquet")
+  def part(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/part.parquet")
+  def events(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/events.parquet")
+  def documents(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/documents.parquet")
+  def embeddings(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/embeddings.parquet")
+
+  /** Identity over the canonical integer-safe payload. */
+  private def ident = sha2(concat_ws("|",
+    col("key"), col("qty"), col("price_c"), col("rf"), col("ls")), 256)
+
+  /**
+   * Base keyed snapshot from lineitem: k = l_orderkey*10+l_linenumber,
+   * aggregated to one row per k (the fixture repeats (orderkey, linenumber)
+   * pairs, so we take column-wise mins — deterministic on both engines).
+   * Linenumbers are 1..7 so no key ends in 9 or 8 — added keys use the
+   * *10+9 / *10+8 namespaces. Columns: key, k, qty, price_c, rf, ls, identity.
+   */
+  def keyedBase(spark: SparkSession, sfDir: String): DataFrame =
+    lineitem(spark, sfDir)
+      .select(
+        (col("l_orderkey") * 10 + col("l_linenumber")).as("k"),
+        col("l_quantity").cast("long").as("qty"),
+        floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("price_c"),
+        col("l_returnflag").as("rf"),
+        col("l_linestatus").as("ls"))
+      .groupBy("k")
+      .agg(min("qty").as("qty"), min("price_c").as("price_c"),
+        min("rf").as("rf"), min("ls").as("ls"))
+      .withColumn("key", lpad(col("k").cast("string"), 12, "0"))
+      .withColumn("identity", ident)
+
+  /** Snapshot C2 = C1 with k%100==0 price-changed (+777), k%100==1 deleted,
+    * and for k%100==2 a brand-new key k*10+9 added. */
+  def keyedRight(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = keyedBase(spark, sfDir).drop("key", "identity")
+    val kept = base.where(col("k") % 100 =!= 1)
+      .withColumn("price_c",
+        when(col("k") % 100 === 0, col("price_c") + 777).otherwise(col("price_c")))
+    val added = base.where(col("k") % 100 === 2)
+      .withColumn("k", col("k") * 10 + 9)
+    kept.unionByName(added)
+      .withColumn("key", lpad(col("k").cast("string"), 12, "0"))
+      .withColumn("identity", ident)
+  }
+
+  /** Merge fixture sides. src: k%50==3 → +111, k%50==17 → delete,
+    * k%50==11 → +333. dst: k%50==4 → +222, k%50==33 → delete,
+    * k%50==11 → +444 (conflicting with src). */
+  def keyedSource(spark: SparkSession, sfDir: String): DataFrame =
+    perturb(keyedBase(spark, sfDir), edits = Seq(3 -> 111, 11 -> 333), deletes = Seq(17))
+
+  def keyedDest(spark: SparkSession, sfDir: String): DataFrame =
+    perturb(keyedBase(spark, sfDir), edits = Seq(4 -> 222, 11 -> 444), deletes = Seq(33))
+
+  /** Conflict-free variants (drop the k%50==11 overlap). */
+  def keyedSourceClean(spark: SparkSession, sfDir: String): DataFrame =
+    perturb(keyedBase(spark, sfDir), edits = Seq(3 -> 111), deletes = Seq(17))
+  def keyedDestClean(spark: SparkSession, sfDir: String): DataFrame =
+    perturb(keyedBase(spark, sfDir), edits = Seq(4 -> 222), deletes = Seq(33))
+
+  private def perturb(base: DataFrame, edits: Seq[(Int, Int)], deletes: Seq[Int]): DataFrame = {
+    val dropped = deletes.foldLeft(base.drop("key", "identity")) {
+      (df, m) => df.where(col("k") % 50 =!= m)
+    }
+    val edited = edits.foldLeft(dropped) { case (df, (m, delta)) =>
+      df.withColumn("price_c",
+        when(col("k") % 50 === m, col("price_c") + delta).otherwise(col("price_c")))
+    }
+    edited
+      .withColumn("key", lpad(col("k").cast("string"), 12, "0"))
+      .withColumn("identity", ident)
+  }
+
+  /** Path-shaped keys for listing/delimiter tests: rf/ls/key. */
+  def pathKeyed(spark: SparkSession, sfDir: String): DataFrame =
+    keyedBase(spark, sfDir)
+      .withColumn("key", concat_ws("/", col("rf"), col("ls"), col("key")))
+
+  /**
+   * Staging changes log over the base snapshot (uncommitted layer):
+   *  - k%100==5 → staged update (+555), two writes for k%200==5 (the later
+   *    one, epoch 2, wins — exercises latest-write-wins);
+   *  - k%100==6 → staged tombstone;
+   *  - k%100==7 → staged no-op re-write of the same content;
+   *  - new keys k*10+8 for k%100==9.
+   * Columns: key, identity (null = tombstone), qty, price_c, rf, ls, epoch.
+   */
+  def stagingLog(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = keyedBase(spark, sfDir).drop("key", "identity")
+    def keyed(df: DataFrame) = df.withColumn("key", lpad(col("k").cast("string"), 12, "0"))
+    val upd1 = keyed(base.where(col("k") % 100 === 5)
+      .withColumn("price_c", col("price_c") + 500))
+      .withColumn("identity", ident).withColumn("epoch", lit(1L))
+    val upd2 = keyed(base.where(col("k") % 200 === 5)
+      .withColumn("price_c", col("price_c") + 555))
+      .withColumn("identity", ident).withColumn("epoch", lit(2L))
+    val del = keyed(base.where(col("k") % 100 === 6))
+      .withColumn("identity", lit(null).cast("string")).withColumn("epoch", lit(1L))
+    val noop = keyed(base.where(col("k") % 100 === 7))
+      .withColumn("identity", ident).withColumn("epoch", lit(1L))
+    val added = keyed(base.where(col("k") % 100 === 9).withColumn("k", col("k") * 10 + 8))
+      .withColumn("identity", ident).withColumn("epoch", lit(1L))
+    upd1.unionByName(upd2).unionByName(del).unionByName(noop).unionByName(added)
+  }
+}

@@ -1,0 +1,79 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis building blocks for training-data pipelines: whitespace
+ * tokenizer, n-gram shingles, deterministic shingle hashes (SHA-256-derived,
+ * so a DuckDB oracle can reproduce them bit-exactly), stopword counting and
+ * a stopword-profile language-ID heuristic.
+ *
+ * Everything is built from codegen'd `org.apache.spark.sql.functions` —
+ * no UDFs — so whole-stage codegen keeps these inside the scan pipeline.
+ */
+object TextFunctions {
+
+  /** Whitespace tokens. */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** n-word shingles (empty array when fewer than n tokens — note Spark's
+    * sequence() would go descending on a negative span, hence the guard). */
+  def shingles(text: Column, n: Int): Column = {
+    val t = tokens(text)
+    when(size(t) >= n,
+      transform(sequence(lit(1), size(t) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(o => element_at(t, i + o)): _*)))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** 32-bit deterministic hash of a string: first 8 hex chars of SHA-256.
+    * DuckDB twin: ('0x' || substr(sha256(s),1,8))::BIGINT. */
+  def shingleHash64(s: Column): Column =
+    conv(substring(sha2(s, 256), 1, 8), 16, 10).cast("long")
+
+  /** 16-bit variant (first 4 hex chars). */
+  def shingleHash16(s: Column): Column =
+    conv(substring(sha2(s, 256), 1, 4), 16, 10).cast("long")
+
+  /** Total occurrences of the given stopwords (word-boundary via space
+    * padding; non-overlapping counts — replace() semantics match DuckDB). */
+  def stopCount(text: Column, words: Seq[String]): Column = {
+    val padded = concat(lit(" "), lower(text), lit(" "))
+    words.map { w =>
+      val needle = s" $w "
+      ((length(padded) - length(regexp_replace(padded, java.util.regex.Pattern.quote(needle), ""))) / needle.length).cast("long")
+    }.reduce(_ + _)
+  }
+
+  /** DuckDB twin of [[stopCount]] (plain replace — no regex needed). */
+  def stopCountSql(textCol: String, words: Seq[String]): String =
+    words.map { w =>
+      val n = s" $w "
+      s"CAST((length(' ' || lower($textCol) || ' ') - length(replace(' ' || lower($textCol) || ' ', '$n', ''))) / ${n.length} AS BIGINT)"
+    }.mkString(" + ")
+
+  /**
+   * Language-ID heuristic: stopword-profile scores with fixed precedence
+   * (en > de > es > fr, 'und' when no profile hits). Emitted as a SQL
+   * expression string valid in BOTH Spark SQL and DuckDB, so the oracle is
+   * the same text.
+   */
+  def langIdExpr(textCol: String): String = {
+    def occ(w: String): String = {
+      val n = s" $w "
+      s"(length(' ' || lower($textCol) || ' ') - length(replace(' ' || lower($textCol) || ' ', '$n', ''))) / ${n.length}"
+    }
+    def score(ws: Seq[String]): String = ws.map(occ).mkString("(", " + ", ")")
+    val en = score(Seq("the", "and", "of"))
+    val de = score(Seq("der", "und", "die"))
+    val es = score(Seq("el", "los", "y"))
+    val fr = score(Seq("le", "les", "et"))
+    s"""CASE
+      WHEN greatest($en, $de, $es, $fr) = 0 THEN 'und'
+      WHEN $en >= greatest($de, $es, $fr) THEN 'en'
+      WHEN $de >= greatest($es, $fr) THEN 'de'
+      WHEN $es >= $fr THEN 'es'
+      ELSE 'fr' END"""
+  }
+}

@@ -1,0 +1,28 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/**
+ * Vector/similarity building blocks over `array<float>` embedding columns.
+ *
+ * All cosine math runs on integer-quantized components (floor(x*1000)) so
+ * dot products are exact and cross-engine deterministic; see
+ * [[graft.queries.VectorQueries]]. Uses codegen'd higher-order functions
+ * (`transform`/`zip_with`/`aggregate`) — no UDFs.
+ */
+object VectorFunctions {
+
+  /** floor(x*1000) per component, as array<bigint>. */
+  def quantize(vec: Column): Column =
+    transform(vec, x => floor(x.cast("double") * 1000).cast("long"))
+
+  /** Exact integer dot product of two array<bigint> columns. */
+  def intDot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+
+  /** Cosine similarity on quantized vectors (deterministic double math). */
+  def cosine(qa: Column, qb: Column): Column =
+    intDot(qa, qb).cast("double") /
+      (sqrt(intDot(qa, qa).cast("double")) * sqrt(intDot(qb, qb).cast("double")))
+}

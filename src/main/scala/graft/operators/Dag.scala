@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+import scala.collection.mutable
+
+/**
+ * Commit-DAG operators (SURVEY.md §2.12 G1-G5; reference
+ * `pkg/graveler/ref/commit_iterator.go`, `merge_base_finder.go`).
+ *
+ * The commit graph is metadata-scale (thousands of rows even for a 100 TB
+ * repo), so — exactly like the reference, which walks it in-process with a
+ * priority queue — we collect it to the driver once and traverse in memory,
+ * then hand results back as DataFrames. Data-scale work never flows through
+ * here.
+ *
+ * Input commit tables need columns: commit_id (string or long), parents
+ * (array of same), creation_date (long, unix seconds), generation (int).
+ */
+object Dag {
+
+  case class CommitRow(id: String, parents: Seq[String], creationDate: Long, generation: Int)
+
+  def collectGraph(commits: DataFrame): Map[String, CommitRow] = {
+    commits.select("commit_id", "parents", "creation_date", "generation")
+      .collect()
+      .map { r =>
+        val id = r.get(0).toString
+        val parents = r.getSeq[Any](1).map(_.toString)
+        CommitRow(id, parents, r.getLong(2), r.getInt(3))
+      }
+      .map(c => c.id -> c).toMap
+  }
+
+  /**
+   * G1: commit log — all commits reachable from `head`, newest first
+   * (CreationDate desc, tie → larger id; `commit_iterator.go:39-45`).
+   * `firstParent` restricts the walk to each commit's first parent, like
+   * `git log --first-parent`.
+   */
+  def log(spark: SparkSession, commits: DataFrame, head: String,
+      firstParent: Boolean = false, since: Option[Long] = None): DataFrame = {
+    val g = collectGraph(commits)
+    val visited = mutable.Set[String]()
+    val out = mutable.ArrayBuffer[CommitRow]()
+    // Priority queue by (creation_date desc, id desc) — reference ordering.
+    implicit val ord: Ordering[CommitRow] =
+      Ordering.by((c: CommitRow) => (c.creationDate, c.id))
+    val pq = mutable.PriorityQueue[CommitRow]()
+    g.get(head).foreach { c => pq.enqueue(c); visited += c.id }
+    while (pq.nonEmpty) {
+      val c = pq.dequeue()
+      if (since.forall(c.creationDate >= _)) out += c
+      val ps = if (firstParent) c.parents.take(1) else c.parents
+      ps.foreach { p =>
+        if (!visited(p)) g.get(p).foreach { pc => visited += p; pq.enqueue(pc) }
+      }
+    }
+    toDf(spark, out.toSeq)
+  }
+
+  /**
+   * G2: merge base — first commit reachable from both heads, walking by
+   * descending generation (`merge_base_finder.go:23-76`). Generation bounds
+   * the frontier so skewed DAGs don't degrade to full-history scans.
+   */
+  def mergeBase(commits: DataFrame, a: String, b: String): Option[String] = {
+    val g = collectGraph(commits)
+    mergeBaseInMem(g, a, b)
+  }
+
+  private[operators] def mergeBaseInMem(g: Map[String, CommitRow], a: String, b: String): Option[String] = {
+    val FromA = 1; val FromB = 2
+    val color = mutable.Map[String, Int]()
+    implicit val ord: Ordering[CommitRow] =
+      Ordering.by((c: CommitRow) => (c.generation, c.creationDate, c.id))
+    val pq = mutable.PriorityQueue[CommitRow]()
+    def push(id: String, mask: Int): Unit = g.get(id).foreach { c =>
+      val prev = color.getOrElse(id, 0)
+      if ((prev | mask) != prev) { color(id) = prev | mask; pq.enqueue(c) }
+    }
+    push(a, FromA); push(b, FromB)
+    while (pq.nonEmpty) {
+      val c = pq.dequeue()
+      val m = color(c.id)
+      if (m == (FromA | FromB)) return Some(c.id)
+      c.parents.foreach(push(_, m))
+    }
+    None
+  }
+
+  /** G5: generation of a new commit = max(parent generations) + 1
+    * (`graveler.go:2341,3194-3198`). */
+  def nextGeneration(g: Map[String, CommitRow], parents: Seq[String]): Int =
+    if (parents.isEmpty) 1 else parents.flatMap(g.get).map(_.generation).foldLeft(0)(math.max) + 1
+
+  private def toDf(spark: SparkSession, rows: Seq[CommitRow]): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("commit_id", StringType),
+      StructField("parents", ArrayType(StringType)),
+      StructField("creation_date", LongType),
+      StructField("generation", IntegerType)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        rows.map(c => Row(c.id, c.parents, c.creationDate, c.generation)), 1),
+      schema)
+  }
+}

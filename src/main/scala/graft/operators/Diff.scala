@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.core.Model.DiffType
+
+/**
+ * Two- and three-way diff over snapshots (SURVEY.md §2.3 J1/J2).
+ *
+ * Reference semantics: `pkg/graveler/committed/diff.go:73-329` (two-way) and
+ * `pkg/graveler/committed/compare_iterator.go:27-234` (three-way). The
+ * reference streams sort-merge iterators; here each diff is a single
+ * full-outer equi-join on `key` that Catalyst plans as a sort-merge join —
+ * identical O(n log n) shape, but shuffle-parallel. Identity (not payload)
+ * equality decides "changed" (`diff.go:178-179`).
+ *
+ * Scale note: both inputs shuffle-partition by `key`; at 100 TB the join is
+ * the canonical SMJ and benefits from the snapshot store's range-level
+ * pruning ([[graft.store.SnapshotStore.prunedForDiff]]) which drops ranges
+ * with equal content hashes before any row is read — the Spark analogue of
+ * the reference's whole-range skip (`diff.go:238-240`).
+ */
+object Diff {
+
+  /** Input: two snapshots with columns (key, identity, ...payload).
+    * Output: (key, diff_type, left_identity, identity) — identity is the
+    * right side's (null for removed), left_identity the left's (null for
+    * added), matching the reference's Diff record (`graveler.go:69-76`). */
+  def twoWay(left: DataFrame, right: DataFrame): DataFrame = {
+    val l = left.select(col("key"), col("identity").as("left_identity"))
+    val r = right.select(col("key"), col("identity").as("right_identity"))
+    l.join(r, Seq("key"), "full_outer")
+      .withColumn("diff_type", diffTypeCol(col("left_identity"), col("right_identity")))
+      .where(col("diff_type").isNotNull)
+      .select(col("key"), col("diff_type"), col("left_identity"),
+        col("right_identity").as("identity"))
+  }
+
+  /** added / removed / changed / null (null = identical, filtered out). */
+  private def diffTypeCol(leftId: Column, rightId: Column): Column =
+    when(leftId.isNull && rightId.isNotNull, DiffType.Added)
+      .when(leftId.isNotNull && rightId.isNull, DiffType.Removed)
+      .when(leftId =!= rightId, DiffType.Changed)
+      .otherwise(lit(null))
+
+  /**
+   * Three-way compare `left...right` (J2): source-side changes relative to
+   * the merge base, qualified against the destination
+   * (`compare_iterator.go:27-234`):
+   *  - key changed only on source → emit the source diff as-is;
+   *  - key changed on both sides to the *same* identity (including both
+   *    deleted) → no diff;
+   *  - key changed on both sides to different identities → conflict;
+   *  - key changed only on destination → no diff.
+   *
+   * Output: (key, diff_type, base_identity, identity) where identity is the
+   * source side's post-change identity.
+   */
+  def threeWayCompare(base: DataFrame, source: DataFrame, dest: DataFrame): DataFrame = {
+    val srcD = twoWay(base, source).select(
+      col("key"),
+      col("diff_type").as("src_type"),
+      col("left_identity").as("base_identity"),
+      col("identity").as("src_identity"))
+    val dstD = twoWay(base, dest).select(
+      col("key"),
+      col("diff_type").as("dst_type"),
+      col("identity").as("dst_identity"))
+    srcD.join(dstD, Seq("key"), "left_outer")
+      .withColumn("diff_type",
+        when(col("dst_type").isNull, col("src_type"))
+          .when(col("src_identity") <=> col("dst_identity"), lit(null))
+          .otherwise(DiffType.Conflict))
+      .where(col("diff_type").isNotNull)
+      .select(col("key"), col("diff_type"), col("base_identity"),
+        col("src_identity").as("identity"))
+  }
+
+  /** DiffSummary (A1, `pkg/graveler/committed/commit.go:99-114`). */
+  def summary(diff: DataFrame): DataFrame =
+    diff.groupBy("diff_type").agg(count(lit(1)).as("n"))
+}

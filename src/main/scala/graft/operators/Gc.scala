@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Garbage collection dataflow (SURVEY.md §2.3 J9, §2.2 P6/P7, §2.4 A4;
+ * reference Spark job `clients/spark/src/main/scala/io/treeverse/gc/
+ * GarbageCollection.scala:109-251`, address lister
+ * `CommittedAddressLister.scala:15-56`).
+ *
+ * The mark phase is the canonical distributed anti-join:
+ * `all ∖ committed ∖ uncommitted`. At 100 TB the `all` side (the object
+ * store listing) dominates; `left_anti` joins shuffle by address and AQE
+ * converts the committed/uncommitted sides to broadcast when small.
+ */
+object Gc {
+
+  /** P7: resolve relative addresses against the storage namespace; keep full
+    * addresses as-is (`pkg/catalog/catalog.proto:16-24` semantics). */
+  def resolveAddress(df: DataFrame, namespace: String,
+      addrCol: String = "address", typeCol: String = "address_type"): DataFrame =
+    df.withColumn(addrCol,
+      when(col(typeCol) === "RELATIVE", concat(lit(namespace), col(addrCol)))
+        .otherwise(col(addrCol)))
+
+  /** P6: keep only addresses inside `namespace`, stripped to relative form,
+    * deduped (`CommittedAddressLister.scala:15-56`). */
+  def filterAddresses(df: DataFrame, namespace: String,
+      addrCol: String = "address"): DataFrame = {
+    val ns = if (namespace.endsWith("/")) namespace else namespace + "/"
+    df.where(!col(addrCol).contains("://") || col(addrCol).startsWith(ns))
+      .withColumn(addrCol,
+        when(col(addrCol).startsWith(ns), expr(s"substring($addrCol, ${ns.length + 1})"))
+          .otherwise(col(addrCol)))
+      .select(addrCol).distinct()
+  }
+
+  /** J9: the GC mark — addresses present in the store but referenced by no
+    * committed range and no uncommitted entry (`GarbageCollection.scala:205-210`). */
+  def mark(allObjects: DataFrame, committed: DataFrame, uncommitted: DataFrame,
+      addrCol: String = "address"): DataFrame = {
+    val all = allObjects.select(addrCol)
+    all.join(committed.select(addrCol).distinct(), Seq(addrCol), "left_anti")
+      .join(uncommitted.select(addrCol).distinct(), Seq(addrCol), "left_anti")
+  }
+
+  /** A4: GC summary row. */
+  def summary(deleted: DataFrame): DataFrame =
+    deleted.agg(count(lit(1)).as("num_deleted_objects"))
+}

@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Listing pipeline: prefix clamp, after-key pagination, delimiter roll-up
+ * (SURVEY.md §2.2 P1/P2/P4, §2.6 O2, §2.4 A3; reference
+ * `pkg/catalog/entry_listing_iterator.go:17-92`,
+ * `pkg/graveler/prefix.go:1-21`).
+ *
+ * Scale notes: the prefix filter is written as a sargable key-range predicate
+ * so it pushes down to Parquet min/max pruning (the analogue of the
+ * reference's SeekGE + upper-bound stop). The delimiter roll-up is a single
+ * groupBy with map-side partial aggregation — the reference's
+ * skip-to-prefix-end optimization corresponds to aggregate pushdown +
+ * footer pruning here.
+ */
+object Listing {
+
+  /** Smallest string strictly greater than every string with this prefix —
+    * reference `pkg/graveler/prefix.go:1-21` (increment last byte). Empty
+    * result means "no upper bound". */
+  def upperBound(prefix: String): Option[String] = {
+    val b = prefix.toCharArray
+    var i = b.length - 1
+    while (i >= 0) {
+      if (b(i) != 0xFF.toChar) { b(i) = (b(i) + 1).toChar; return Some(new String(b, 0, i + 1)) }
+      i -= 1
+    }
+    None
+  }
+
+  /** P1: keys with `prefix`, as a sargable range predicate. */
+  def prefixFilter(df: DataFrame, prefix: String, keyCol: String = "key"): DataFrame =
+    if (prefix.isEmpty) df
+    else upperBound(prefix) match {
+      case Some(ub) => df.where(col(keyCol) >= prefix && col(keyCol) < ub)
+      case None     => df.where(col(keyCol) >= prefix)
+    }
+
+  /** P2/O2: page of `limit`+1 entries after `after` (exclusive), key order.
+    * The caller inspects row `limit`+1 for has_more, as the reference does. */
+  def page(df: DataFrame, after: String, limit: Int, keyCol: String = "key"): DataFrame = {
+    val filtered = if (after.isEmpty) df else df.where(col(keyCol) > after)
+    filtered.orderBy(col(keyCol)).limit(limit + 1)
+  }
+
+  /**
+   * P4/A3: delimiter roll-up. Keys sharing `prefix + head + delimiter` are
+   * collapsed into one common-prefix row; other keys list as entries.
+   * Output: (path, is_common_prefix, n_entries) with n_entries the number of
+   * collapsed keys (1 for plain entries).
+   */
+  def delimiterRollup(
+      df: DataFrame,
+      prefix: String,
+      delimiter: String,
+      keyCol: String = "key"): DataFrame = {
+    val in = prefixFilter(df, prefix, keyCol)
+    val rest = expr(s"substring($keyCol, ${prefix.length + 1})")
+    val pos = instr(rest, delimiter)
+    val path = when(pos > 0,
+      concat(lit(prefix), substring_index(rest, delimiter, 1), lit(delimiter)))
+      .otherwise(col(keyCol))
+    in.select(path.as("path"), (pos > 0).as("is_common_prefix"))
+      .groupBy("path", "is_common_prefix")
+      .agg(count(lit(1)).as("n_entries"))
+  }
+
+  /** P3: drop tombstones from a staged/combined listing
+    * (`pkg/graveler/combined_iterator.go:136-167`). */
+  def dropTombstones(df: DataFrame, identityCol: String = "identity"): DataFrame =
+    df.where(col(identityCol).isNotNull)
+
+  /** S3: point lookup with a sargable equality (manifest/footer-prunable). */
+  def pointGet(df: DataFrame, key: String, keyCol: String = "key"): DataFrame =
+    df.where(col(keyCol) === key).limit(1)
+}

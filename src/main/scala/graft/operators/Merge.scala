@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.core.Model._
+
+/**
+ * Commit apply and three-way merge (SURVEY.md §2.3 J3/J4/J5).
+ *
+ * Reference: `pkg/graveler/committed/commit.go:139-239` (apply staged changes
+ * onto a base snapshot) and `pkg/graveler/committed/merge.go:224-534`
+ * (three-way merge with whole-range fast paths and a conflict matrix).
+ *
+ * Spark shape: merge = two deltas vs base + one full-outer join of the
+ * deltas + conditional apply. Unchanged data never rewrites — at the store
+ * layer untouched files are carried by manifest reference
+ * ([[graft.store.SnapshotStore]]), so these joins only see changed ranges.
+ */
+object Merge {
+
+  /**
+   * Apply a change set to a base snapshot (J5, `commit.go:139-239`).
+   *
+   * `changes` rows: (key, identity, ...payload) where a null identity is a
+   * tombstone (delete). Per-key rules, matching the reference:
+   *  - tombstone + base present  → drop the key;
+   *  - tombstone + no base       → no-op;
+   *  - change + base present     → replace (identical identity keeps base);
+   *  - change + no base          → add.
+   *
+   * Payload columns of `changes` must be a superset of `base`'s; the winning
+   * side's payload is kept column-wise.
+   */
+  def applyChanges(base: DataFrame, changes: DataFrame): DataFrame = {
+    val payload = base.columns.filterNot(_ == "key").toSeq
+    val b = base.select(col("key") +: payload.map(c => col(c).as(s"__b_$c")): _*)
+    val c0 = changes.select(col("key") +: payload.map(c => col(c).as(s"__c_$c")): _*)
+      .withColumn("__is_change", lit(true))
+    b.join(c0, Seq("key"), "full_outer")
+      // drop tombstoned keys (an actual change row carrying a null identity)
+      .where(col("__is_change").isNull || col("__c_identity").isNotNull)
+      .select(col("key") +: payload.map { p =>
+        when(col("__is_change").isNotNull, col(s"__c_$p"))
+          .otherwise(col(s"__b_$p")).as(p)
+      }: _*)
+  }
+
+  /** Per-side delta vs base: keys the side added, removed (payload becomes
+    * all-null = tombstone) or changed. Columns: key, __in_<tag>,
+    * <tag>_<payload...>. */
+  private def delta(base: DataFrame, side: DataFrame, tag: String): DataFrame = {
+    val payload = base.columns.filterNot(_ == "key").toSeq
+    val b = base.select(col("key"), col("identity").as("__base_id"))
+    val s = side.select(col("key") +: payload.map(c => col(c).as(s"${tag}_$c")): _*)
+      .withColumn(s"__side_present", lit(true))
+    b.join(s, Seq("key"), "full_outer")
+      .where(
+        (col("__base_id").isNull && col("__side_present").isNotNull) ||
+        (col("__base_id").isNotNull && col("__side_present").isNull) ||
+        !(col(s"${tag}_identity") <=> col("__base_id")))
+      .withColumn(s"__in_$tag", lit(true))
+      .drop("__base_id", "__side_present")
+  }
+
+  /**
+   * Three-way merge (J3, `merge.go:432-534`): compute source and dest deltas
+   * vs the merge base, resolve per key, apply the winning delta to the base.
+   *
+   * Conflict matrix (`merge.go:329-371`): a key changed on both sides to
+   * different identities — including delete-vs-change either way — conflicts
+   * unless a strategy picks a side; identical changes merge cleanly.
+   *
+   * @return (merged snapshot, conflicts). With [[StrategyNone]] the caller
+   *         must check `conflicts` is empty before trusting `merged`
+   *         (the engine facade raises, mirroring `ErrConflictFound`).
+   */
+  def threeWay(
+      base: DataFrame,
+      source: DataFrame,
+      dest: DataFrame,
+      strategy: MergeStrategy = StrategyNone): (DataFrame, DataFrame) = {
+    val payload = base.columns.filterNot(_ == "key").toSeq
+    val j = delta(base, source, "s").join(delta(base, dest, "d"), Seq("key"), "full_outer")
+
+    val bothChanged = col("__in_s").isNotNull && col("__in_d").isNotNull
+    val conflictRow = bothChanged && !(col("s_identity") <=> col("d_identity"))
+    val conflicts = j.where(if (strategy == StrategyNone) conflictRow else lit(false))
+      .select(col("key"), col("s_identity").as("source_identity"),
+        col("d_identity").as("dest_identity"))
+
+    val pickSource = strategy match {
+      case StrategyDestWins => col("__in_s").isNotNull && col("__in_d").isNull
+      case _                => col("__in_s").isNotNull // source wins on both-changed
+    }
+    val winning = j.select(col("key") +: payload.map { p =>
+      when(pickSource, col(s"s_$p")).otherwise(col(s"d_$p")).as(p)
+    }: _*)
+    (applyChanges(base, winning), conflicts)
+  }
+}

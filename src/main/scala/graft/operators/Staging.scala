@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Model.DiffType
+
+/**
+ * Staging-layer operators: precedence union, latest-write-wins, uncommitted
+ * diff, combined diff (SURVEY.md §2.3 J6/J7/J8, §2.5 W1/W2, §2.7 U1).
+ *
+ * The reference overlays staging tokens over the committed snapshot with a
+ * "first layer that has the key wins" merge of sorted iterators
+ * (`pkg/graveler/combined_iterator.go:19-133`); within one token the KV
+ * store keeps only the latest write. Both collapse to window-dedup here.
+ * The window shuffles by key — same cost class as the joins it feeds.
+ */
+object Staging {
+
+  /**
+   * W1/U1: union layers with precedence. `layers` are (DataFrame, priority)
+   * with LOWER priority winning (staging=0, sealed tokens 1..n, committed
+   * last — the `SealedTokens` prepend order, `graveler.go:2299`).
+   * All layers must share the schema; tombstones ride along and are dropped
+   * by the caller when listing ([[Listing.dropTombstones]]).
+   */
+  def precedenceUnion(layers: Seq[(DataFrame, Int)]): DataFrame = {
+    require(layers.nonEmpty)
+    val tagged = layers.map { case (df, p) => df.withColumn("__layer", lit(p)) }
+      .reduce(_ unionByName _)
+    val w = Window.partitionBy(col("key")).orderBy(col("__layer"))
+    tagged.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .drop("__rn", "__layer")
+  }
+
+  /** W2: latest-write-wins within an append-only changes log ordered by
+    * `write_ts` (KV overwrite semantics, `pkg/graveler/staging/manager.go`). */
+  def latestWriteWins(changesLog: DataFrame, tsCol: String = "write_ts"): DataFrame = {
+    val w = Window.partitionBy(col("key")).orderBy(col(tsCol).desc)
+    changesLog.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /**
+   * J6: uncommitted diff — staged entries vs the committed snapshot
+   * (`pkg/graveler/uncommitted_diff_iterator.go:17-113`):
+   *  - staged tombstone + committed present → removed;
+   *  - staged tombstone + nothing committed → no-op (skip);
+   *  - staged value + nothing committed     → added;
+   *  - staged value, identity differs       → changed;
+   *  - staged value, identity identical     → no-op (skip).
+   *
+   * The committed side is typically huge and the staging side small: the join
+   * broadcasts staging when it fits (left_outer from staging keeps Catalyst
+   * free to broadcast the committed *lookup* — in practice AQE picks a
+   * broadcast of the small staged side of the join).
+   */
+  def uncommittedDiff(staging: DataFrame, committed: DataFrame): DataFrame = {
+    val s = staging.select(col("key"), col("identity").as("staged_identity"))
+    val c = committed.select(col("key"), col("identity").as("committed_identity"))
+    s.join(c, Seq("key"), "left_outer")
+      .withColumn("diff_type",
+        when(col("staged_identity").isNull && col("committed_identity").isNotNull, DiffType.Removed)
+          .when(col("staged_identity").isNull, lit(null)) // tombstone of absent key
+          .when(col("committed_identity").isNull, DiffType.Added)
+          .when(col("staged_identity") =!= col("committed_identity"), DiffType.Changed)
+          .otherwise(lit(null))) // no-op staged write
+      .where(col("diff_type").isNotNull)
+      .select(col("key"), col("diff_type"),
+        col("committed_identity").as("left_identity"),
+        col("staged_identity").as("identity"))
+  }
+
+  /**
+   * J7/J8: overlay one diff stream over another with precedence (the
+   * combined/joined diff iterators, `pkg/graveler/combined_diff_iterator.go`,
+   * `joined_diff_iterator.go`): on equal keys the high-priority side (the
+   * uncommitted diff) wins.
+   */
+  def overlayDiffs(winner: DataFrame, loser: DataFrame): DataFrame =
+    precedenceUnion(Seq(winner -> 0, loser -> 1))
+}

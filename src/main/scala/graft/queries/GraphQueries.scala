@@ -1,0 +1,107 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.operators.Dag
+
+/**
+ * Commit-DAG queries (SURVEY.md §2.12 G1/G2) over a deterministic synthetic
+ * DAG of 200 commits (FIXTURES.md §D): commit i's first parent is i-2 when
+ * i%3==0 else i-1; every 25th commit is a merge with second parent i-13.
+ * DuckDB oracles walk the same DAG with recursive CTEs.
+ */
+object GraphQueries {
+
+  type QueryFn = (SparkSession, String) => DataFrame
+
+  private val N = 200
+  private def id(i: Int): String = f"$i%04d"
+
+  private def parents(i: Int): Seq[Int] = {
+    if (i <= 1) Seq.empty
+    else {
+      val p1 = if (i % 3 == 0) i - 2 else i - 1
+      val p2 = if (i % 25 == 0 && i - 13 >= 1) Seq(i - 13) else Seq.empty
+      p1 +: p2
+    }
+  }
+
+  /** The synthetic commits table as a DataFrame (metadata-scale). */
+  def commitsDf(spark: SparkSession): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("commit_id", StringType),
+      StructField("parents", ArrayType(StringType)),
+      StructField("creation_date", LongType),
+      StructField("generation", IntegerType)))
+    val rows = (1 to N).map { i =>
+      Row(id(i), parents(i).map(id), 1700000000L + i * 60L, i)
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+  }
+
+  /** DuckDB edge list matching [[parents]]. */
+  private val edgesSql = """
+    edges AS (
+      SELECT i, CASE WHEN i%3=0 THEN i-2 ELSE i-1 END AS p
+      FROM range(2,201) t(i)
+      UNION ALL
+      SELECT i, i-13 FROM range(2,201) t(i) WHERE i%25=0 AND i-13 >= 1
+    )"""
+
+  val defs: Map[String, (QueryFn, Option[String])] = Map(
+
+    // G1: full commit log from head 0200, newest-first (W3 ordering).
+    "vc_log" -> (((s: SparkSession, d: String) => {
+      val w = Window.orderBy(col("creation_date").desc, col("commit_id").desc)
+      Dag.log(s, commitsDf(s), id(N))
+        .select(col("commit_id"), col("creation_date"))
+        .withColumn("ord", row_number().over(w).cast("long"))
+        .orderBy(col("ord"))
+    }),
+      Some(s"""
+        WITH RECURSIVE $edgesSql,
+        anc AS (
+          SELECT 200 AS i
+          UNION
+          SELECT e.p FROM anc a JOIN edges e ON e.i = a.i
+        )
+        SELECT lpad(CAST(i AS VARCHAR),4,'0') AS commit_id,
+               1700000000 + i*60 AS creation_date,
+               row_number() OVER (ORDER BY i DESC) AS ord
+        FROM anc ORDER BY ord""")),
+
+    // G1 first-parent: linear history from head 0200.
+    "vc_log_first_parent" -> (((s: SparkSession, d: String) => {
+      val w = Window.orderBy(col("creation_date").desc, col("commit_id").desc)
+      Dag.log(s, commitsDf(s), id(N), firstParent = true)
+        .withColumn("ord", row_number().over(w).cast("long"))
+        .select(col("commit_id"), col("ord"))
+        .orderBy(col("ord"))
+    }),
+      Some(s"""
+        WITH RECURSIVE anc AS (
+          SELECT 200 AS i
+          UNION ALL
+          SELECT CASE WHEN i%3=0 THEN i-2 ELSE i-1 END FROM anc WHERE i > 1
+        )
+        SELECT lpad(CAST(i AS VARCHAR),4,'0') AS commit_id,
+               row_number() OVER (ORDER BY i DESC) AS ord
+        FROM anc ORDER BY ord""")),
+
+    // G2: merge base of heads 0200 and 0195 = the max-generation common
+    // ancestor (generation-priority walk, merge_base_finder.go:23-76).
+    "vc_merge_base" -> (((s: SparkSession, d: String) => {
+      val base = Dag.mergeBase(commitsDf(s), id(N), id(195)).orNull
+      val schema = StructType(Seq(StructField("merge_base", StringType)))
+      s.createDataFrame(s.sparkContext.parallelize(Seq(Row(base)), 1), schema)
+    }),
+      Some(s"""
+        WITH RECURSIVE $edgesSql,
+        a AS (SELECT 200 AS i UNION SELECT e.p FROM a x JOIN edges e ON e.i = x.i),
+        b AS (SELECT 195 AS i UNION SELECT e.p FROM b x JOIN edges e ON e.i = x.i)
+        SELECT lpad(CAST(max(i) AS VARCHAR),4,'0') AS merge_base
+        FROM (SELECT i FROM a INTERSECT SELECT i FROM b)"""))
+  )
+}

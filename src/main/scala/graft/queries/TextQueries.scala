@@ -1,0 +1,247 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.fixtures.Fixtures
+import graft.functions.TextFunctions._
+
+/**
+ * Training-data text operators over the `documents` table: token stats,
+ * quality scoring, language ID, fingerprinting, exact + near dedup
+ * (n-gram Jaccard, MinHash+LSH, SimHash). Each has a DuckDB oracle built on
+ * the same integer/hash-exact arithmetic, so results hash-match.
+ *
+ * Scale: every query is a scan + groupBy/self-join on derived keys — no
+ * driver-side loops. The near-dup joins key on shingles/band-signatures so
+ * they shuffle by content and parallelize by key at 100 TB; the LSH variant
+ * is the scale path (candidate pairs only), the all-pairs Jaccard is the
+ * correctness baseline.
+ */
+object TextQueries {
+
+  type QueryFn = (SparkSession, String) => DataFrame
+
+  // DuckDB-side shared fragments ------------------------------------------
+
+  private val docsSql = """
+    WITH docs AS (
+      SELECT doc_id, text, regexp_split_to_array(trim(text), '\s+') AS toks
+      FROM documents
+    )"""
+
+  /** DuckDB 3-word shingle list (distinct). */
+  private val shinglesSql = """
+    , sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               generate_series(1, greatest(len(toks)-2, 0)),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS s
+      FROM docs
+    )"""
+
+  val defs: Map[String, (QueryFn, Option[String])] = Map(
+
+    // Token counting (whitespace tokenizer).
+    "td_token_stats" -> (((s: SparkSession, d: String) =>
+      Fixtures.documents(s, d).select(
+        col("doc_id"),
+        tokens(col("text")).as("toks"))
+        .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"),
+          size(array_distinct(col("toks"))).cast("long").as("n_distinct"))
+        .orderBy("doc_id")),
+      Some(s"""$docsSql
+        SELECT doc_id, len(toks) AS n_tokens, len(list_distinct(toks)) AS n_distinct
+        FROM docs ORDER BY doc_id""")),
+
+    // Quality scoring: char/token counts, type-token ratio, stopword ratio.
+    "td_quality" -> (((s: SparkSession, d: String) =>
+      Fixtures.documents(s, d).select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"),
+        size(array_distinct(tokens(col("text")))).cast("long").as("n_distinct"),
+        stopCount(col("text"), Seq("the", "a", "of", "and")).as("n_stop"))
+        .withColumn("ttr", col("n_distinct").cast("double") / col("n_tokens"))
+        .withColumn("stop_ratio", col("n_stop").cast("double") / col("n_tokens"))
+        .orderBy("doc_id")),
+      Some(s"""$docsSql
+        SELECT doc_id, n_chars, n_tokens, n_distinct, n_stop,
+               CAST(n_distinct AS DOUBLE) / n_tokens AS ttr,
+               CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio
+        FROM (
+          SELECT doc_id, length(text) AS n_chars, len(toks) AS n_tokens,
+                 len(list_distinct(toks)) AS n_distinct,
+                 ${stopCountSql("text", Seq("the", "a", "of", "and"))} AS n_stop
+          FROM docs
+        ) ORDER BY doc_id""")),
+
+    // Language ID: stopword-profile heuristic with fixed precedence.
+    "td_langid" -> (((s: SparkSession, d: String) =>
+      Fixtures.documents(s, d).selectExpr("doc_id", s"${langIdExpr("text")} AS lang_pred")
+        .orderBy("doc_id")),
+      Some(s"""
+        SELECT doc_id, ${langIdExpr("text")} AS lang_pred
+        FROM documents ORDER BY doc_id""")),
+
+    // Document fingerprint: sha256 of whitespace-normalized lowercase text;
+    // exact-dedup canonicalization by fingerprint (hash groupBy).
+    "td_fingerprint" -> (((s: SparkSession, d: String) => {
+      val fp = sha2(regexp_replace(lower(col("text")), "\\s+", " "), 256)
+      val docs = Fixtures.documents(s, d).select(col("doc_id"), fp.as("fp"))
+      val groups = docs.groupBy("fp")
+        .agg(min("doc_id").as("canonical_id"), count(lit(1)).as("group_size"))
+      docs.join(groups, "fp").select("doc_id", "fp", "canonical_id", "group_size")
+        .orderBy("doc_id")
+    }),
+      Some("""
+        WITH f AS (
+          SELECT doc_id, sha256(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
+          FROM documents
+        ), g AS (
+          SELECT fp, min(doc_id) AS canonical_id, count(*) AS group_size
+          FROM f GROUP BY fp
+        )
+        SELECT doc_id, f.fp AS fp, canonical_id, group_size
+        FROM f JOIN g ON f.fp = g.fp ORDER BY doc_id""")),
+
+    // Near-dedup by 5-token prefix fingerprint (cheap blocking key).
+    "td_dedup_prefix" -> (((s: SparkSession, d: String) => {
+      val fp5 = sha2(array_join(slice(tokens(col("text")), 1, 5), " "), 256)
+      val docs = Fixtures.documents(s, d).select(col("doc_id"), fp5.as("fp5"))
+      docs.groupBy("fp5")
+        .agg(min("doc_id").as("canonical_id"), count(lit(1)).as("group_size"))
+        .orderBy("fp5")
+    }),
+      Some(s"""$docsSql
+        SELECT fp5, min(doc_id) AS canonical_id, count(*) AS group_size FROM (
+          SELECT doc_id, sha256(array_to_string(toks[1:5], ' ')) AS fp5 FROM docs
+        ) GROUP BY fp5 ORDER BY fp5""")),
+
+    // N-gram Jaccard near-dup pairs (all-pairs baseline over shared shingles).
+    "td_ngram_jaccard" -> (((s: SparkSession, d: String) => {
+      val docs = Fixtures.documents(s, d)
+        .select(col("doc_id"), array_distinct(shingles(col("text"), 3)).as("sh"))
+      val sizes = docs.select(col("doc_id"), size(col("sh")).as("n_sh"))
+      val ex = docs.select(col("doc_id"), explode(col("sh")).as("s"))
+      val pairs = ex.as("a").join(ex.as("b"),
+          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("n_common"))
+      pairs
+        .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+        .withColumn("jaccard",
+          col("n_common").cast("double") / (col("n_a") + col("n_b") - col("n_common")))
+        .where(col("jaccard") >= 0.2)
+        .select("doc_a", "doc_b", "n_common", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    }),
+      Some(s"""$docsSql $shinglesSql,
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        pairs AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b, n_common,
+               CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+        FROM pairs
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.2
+        ORDER BY doc_a, doc_b""")),
+
+    // MinHash signatures (16 perms over 3-shingles) + banded LSH candidate
+    // pairs with estimated similarity. The scale path for near-dedup.
+    "td_minhash_lsh" -> (((s: SparkSession, d: String) => {
+      val spark = s; import spark.implicits._
+      val docs = Fixtures.documents(s, d)
+        .select(col("doc_id"), array_distinct(shingles(col("text"), 3)).as("sh"))
+      val hashed = docs.select(col("doc_id"), explode(col("sh")).as("s"))
+        .withColumn("h", shingleHash64(col("s")))
+      val perms = spark.range(16).select(col("id").cast("int").as("j"))
+      val sigs = hashed.crossJoin(broadcast(perms))
+        .withColumn("hp", (col("h") * (col("j") * 2 + 3) + col("j") * 7919 + 1) % 1000000007L)
+        .groupBy("doc_id", "j").agg(min("hp").as("m"))
+      val bands = sigs.withColumn("band", (col("j") / 4).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(concat_ws("|",
+          transform(array_sort(collect_list(struct(col("j"), col("m")))),
+            x => x.getField("m").cast("string"))).as("sig"))
+      val cands = bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b")).distinct()
+      val est = sigs.as("x").join(sigs.as("y"),
+          col("x.j") === col("y.j") && col("x.doc_id") < col("y.doc_id"))
+        .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .agg(sum(when(col("x.m") === col("y.m"), 1).otherwise(0)).as("n_eq"))
+      cands.join(est, Seq("doc_a", "doc_b"), "left")
+        .withColumn("est_sim", col("n_eq").cast("double") / 16)
+        .orderBy("doc_a", "doc_b")
+    }),
+      Some(s"""$docsSql $shinglesSql,
+        hashed AS (
+          SELECT doc_id, s, ('0x' || substr(sha256(s), 1, 8))::BIGINT AS h FROM sh
+        ),
+        sigs AS (
+          SELECT doc_id, j, min((h * (j*2+3) + j*7919 + 1) % 1000000007) AS m
+          FROM hashed CROSS JOIN (SELECT CAST(i AS INT) AS j FROM range(0,16) t(i))
+          GROUP BY doc_id, j
+        ),
+        bands AS (
+          SELECT doc_id, CAST(j // 4 AS INT) AS band,
+                 string_agg(CAST(m AS VARCHAR), '|' ORDER BY j) AS sig
+          FROM sigs GROUP BY doc_id, 2
+        ),
+        cands AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+        ),
+        est AS (
+          SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+                 sum(CASE WHEN x.m = y.m THEN 1 ELSE 0 END) AS n_eq
+          FROM sigs x JOIN sigs y ON x.j = y.j AND x.doc_id < y.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT c.doc_a AS doc_a, c.doc_b AS doc_b, CAST(n_eq AS BIGINT) AS n_eq,
+               CAST(n_eq AS DOUBLE) / 16 AS est_sim
+        FROM cands c LEFT JOIN est e ON c.doc_a = e.doc_a AND c.doc_b = e.doc_b
+        ORDER BY doc_a, doc_b""")),
+
+    // SimHash (16-bit, over distinct tokens).
+    "td_simhash" -> (((s: SparkSession, d: String) => {
+      val spark = s; import spark.implicits._
+      val toksDf = Fixtures.documents(s, d)
+        .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("tok"))
+        .withColumn("h16", shingleHash16(col("tok")))
+      val bits = spark.range(16).select(col("id").cast("int").as("b"))
+        .withColumn("pw", pow(lit(2), col("b")).cast("long"))
+      toksDf.crossJoin(broadcast(bits))
+        .withColumn("bit", expr("CAST(floor(h16 / pw) AS BIGINT) % 2"))
+        .groupBy("doc_id", "b", "pw")
+        .agg(sum(when(col("bit") === 1, 1).otherwise(-1)).as("score"))
+        .groupBy("doc_id")
+        .agg(sum(when(col("score") > 0, col("pw")).otherwise(0L)).as("simhash"))
+        .orderBy("doc_id")
+    }),
+      Some(s"""$docsSql,
+        t AS (
+          SELECT doc_id, unnest(list_distinct(toks)) AS tok FROM docs
+        ),
+        h AS (
+          SELECT doc_id, ('0x' || substr(sha256(tok), 1, 4))::BIGINT AS h16 FROM t
+        ),
+        scored AS (
+          SELECT doc_id, b, pw,
+                 sum(CASE WHEN CAST(floor(h16 / pw) AS BIGINT) % 2 = 1 THEN 1 ELSE -1 END) AS score
+          FROM h CROSS JOIN (
+            SELECT CAST(i AS INT) AS b, CAST(power(2, i) AS BIGINT) AS pw FROM range(0,16) t(i)
+          )
+          GROUP BY 1, 2, 3
+        )
+        SELECT doc_id, CAST(sum(CASE WHEN score > 0 THEN pw ELSE 0 END) AS BIGINT) AS simhash
+        FROM scored GROUP BY doc_id ORDER BY doc_id"""))
+  )
+}

@@ -1,0 +1,142 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.fixtures.Fixtures
+import graft.functions.VectorFunctions._
+
+/**
+ * Similarity search over the `embeddings` table (64-dim float vectors).
+ *
+ * Determinism strategy for oracle parity: quantize each component to
+ * floor(x*1000) as BIGINT on both sides, compute integer dot products
+ * (exact), then a double sqrt/divide (IEEE-exact and order-free) — so Spark
+ * and DuckDB produce bit-identical cosines.
+ *
+ * Scale: brute-force top-k broadcasts the (small) probe set against the big
+ * side — a map-side crossJoin with no shuffle of the big table; the
+ * LSH-bucketed variant (random-hyperplane signs) is the 100 TB path: it
+ * joins on a bucket key so candidate generation is a shuffle on short keys.
+ */
+object VectorQueries {
+
+  type QueryFn = (SparkSession, String) => DataFrame
+
+  private val qvecSql =
+    "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
+
+  /** DuckDB integer dot product of two BIGINT lists. */
+  private def dotSql(a: String, b: String): String =
+    s"CAST(list_sum(list_transform(generate_series(1, len($a)), i -> $a[i] * $b[i])) AS BIGINT)"
+
+  val defs: Map[String, (QueryFn, Option[String])] = Map(
+
+    // Brute-force cosine top-5 neighbors for probe vectors (vec_id%100==0).
+    "emb_ann_topk" -> (((s: SparkSession, d: String) => {
+      val emb = Fixtures.embeddings(s, d)
+        .select(col("vec_id"), quantize(col("embedding")).as("q"))
+      val probes = emb.where(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("probe_id"), col("q").as("pq"))
+      val sims = emb.crossJoin(broadcast(probes))
+        .where(col("vec_id") =!= col("probe_id"))
+        .withColumn("dot", intDot(col("pq"), col("q")))
+        .withColumn("sim",
+          col("dot").cast("double") /
+            (sqrt(intDot(col("pq"), col("pq")).cast("double")) *
+             sqrt(intDot(col("q"), col("q")).cast("double"))))
+      val w = Window.partitionBy("probe_id").orderBy(col("sim").desc, col("vec_id").asc)
+      sims.withColumn("rank", row_number().over(w).cast("long"))
+        .where(col("rank") <= 5)
+        .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("rank"), col("sim"))
+        .orderBy("probe_id", "rank")
+    }),
+      Some(s"""
+        WITH q AS (SELECT vec_id, $qvecSql AS qv FROM embeddings),
+        probes AS (SELECT vec_id AS probe_id, qv AS pq FROM q WHERE vec_id % 100 = 0),
+        sims AS (
+          SELECT probe_id, vec_id,
+                 CAST(${dotSql("pq", "qv")} AS DOUBLE) /
+                   (sqrt(CAST(${dotSql("pq", "pq")} AS DOUBLE)) *
+                    sqrt(CAST(${dotSql("qv", "qv")} AS DOUBLE))) AS sim
+          FROM q CROSS JOIN probes WHERE vec_id <> probe_id
+        )
+        SELECT probe_id, vec_id AS neighbor_id, rank, sim FROM (
+          SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, vec_id ASC) AS rank
+          FROM sims
+        ) WHERE rank <= 5 ORDER BY probe_id, rank""")),
+
+    // Per-label centroid accumulators (exact integer sums per dimension).
+    "emb_centroid" -> (((s: SparkSession, d: String) => {
+      val emb = Fixtures.embeddings(s, d)
+        .select(col("label"), posexplode(quantize(col("embedding"))).as(Seq("dim0", "v")))
+        .withColumn("dim", col("dim0") + 1).drop("dim0")
+      emb.groupBy("label", "dim")
+        .agg(sum("v").as("sum_v"), count(lit(1)).as("n"))
+        .where(col("dim") <= 8) // first 8 dims keep the output compact
+        .orderBy("label", "dim")
+    }),
+      Some(s"""
+        WITH q AS (SELECT label, $qvecSql AS qv FROM embeddings)
+        SELECT label, CAST(i AS INT) AS dim, CAST(sum(qv[i]) AS BIGINT) AS sum_v,
+               count(*) AS n
+        FROM q CROSS JOIN range(1, 9) t(i)
+        GROUP BY label, i ORDER BY label, dim""")),
+
+    // Embedding near-duplicate pairs: cosine >= 0.99 across all pairs.
+    "emb_neardup" -> (((s: SparkSession, d: String) => {
+      val emb = Fixtures.embeddings(s, d)
+        .select(col("vec_id"), quantize(col("embedding")).as("q"))
+      val a = emb.select(col("vec_id").as("id_a"), col("q").as("qa"))
+      val b = emb.select(col("vec_id").as("id_b"), col("q").as("qb"))
+      a.join(b, col("id_a") < col("id_b"))
+        .withColumn("sim",
+          intDot(col("qa"), col("qb")).cast("double") /
+            (sqrt(intDot(col("qa"), col("qa")).cast("double")) *
+             sqrt(intDot(col("qb"), col("qb")).cast("double"))))
+        .where(col("sim") >= 0.99)
+        .select("id_a", "id_b", "sim")
+        .orderBy("id_a", "id_b")
+    }),
+      Some(s"""
+        WITH q AS (SELECT vec_id, $qvecSql AS qv FROM embeddings)
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               CAST(${dotSql("a.qv", "b.qv")} AS DOUBLE) /
+                 (sqrt(CAST(${dotSql("a.qv", "a.qv")} AS DOUBLE)) *
+                  sqrt(CAST(${dotSql("b.qv", "b.qv")} AS DOUBLE))) AS sim
+        FROM q a JOIN q b ON a.vec_id < b.vec_id
+        WHERE CAST(${dotSql("a.qv", "b.qv")} AS DOUBLE) /
+                 (sqrt(CAST(${dotSql("a.qv", "a.qv")} AS DOUBLE)) *
+                  sqrt(CAST(${dotSql("b.qv", "b.qv")} AS DOUBLE))) >= 0.99
+        ORDER BY id_a, id_b""")),
+
+    // LSH-bucketed ANN candidates: sign-bit signature on 4 pseudo-random
+    // hyperplanes built from fixed dimension subsets (the scale path — joins
+    // on a short bucket key instead of all-pairs).
+    "emb_lsh_buckets" -> (((s: SparkSession, d: String) => {
+      val emb = Fixtures.embeddings(s, d)
+        .select(col("vec_id"), quantize(col("embedding")).as("q"))
+      // plane p (p=0..3): sign of sum of dims [16p+1 .. 16p+16]
+      val sig = (0 until 4).map { p =>
+        val partial = aggregate(slice(col("q"), p * 16 + 1, 16), lit(0L), (acc, x) => acc + x)
+        when(partial >= 0, lit(1)).otherwise(lit(0)).cast("string")
+      }.reduce((a, b) => concat(a, b))
+      emb.withColumn("bucket", sig)
+        .groupBy("bucket").agg(count(lit(1)).as("n_vectors"),
+          min("vec_id").as("min_vec"), max("vec_id").as("max_vec"))
+        .orderBy("bucket")
+    }),
+      Some(s"""
+        WITH q AS (SELECT vec_id, $qvecSql AS qv FROM embeddings),
+        sig AS (
+          SELECT vec_id,
+            (CASE WHEN CAST(list_sum(list_transform(generate_series(1,16), i -> qv[i])) AS BIGINT) >= 0 THEN '1' ELSE '0' END) ||
+            (CASE WHEN CAST(list_sum(list_transform(generate_series(17,32), i -> qv[i])) AS BIGINT) >= 0 THEN '1' ELSE '0' END) ||
+            (CASE WHEN CAST(list_sum(list_transform(generate_series(33,48), i -> qv[i])) AS BIGINT) >= 0 THEN '1' ELSE '0' END) ||
+            (CASE WHEN CAST(list_sum(list_transform(generate_series(49,64), i -> qv[i])) AS BIGINT) >= 0 THEN '1' ELSE '0' END) AS bucket
+          FROM q
+        )
+        SELECT bucket, count(*) AS n_vectors, min(vec_id) AS min_vec, max(vec_id) AS max_vec
+        FROM sig GROUP BY bucket ORDER BY bucket"""))
+  )
+}

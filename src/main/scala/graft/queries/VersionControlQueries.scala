@@ -1,0 +1,383 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Model._
+import graft.fixtures.Fixtures
+import graft.operators._
+
+/**
+ * Version-control operator queries (SURVEY.md §2) over the driver fixtures,
+ * each paired with an exact DuckDB oracle (driver hash-compares results).
+ *
+ * Entry value: (sparkFn, Some(oracleSql)) — None means weak rows-only check.
+ */
+object VersionControlQueries {
+
+  type QueryFn = (SparkSession, String) => DataFrame
+
+  // ---- shared SQL fragments (DuckDB side of graft.fixtures.Fixtures) ------
+
+  private def identSql(key: String, qty: String, price: String, rf: String, ls: String) =
+    s"sha256(concat_ws('|', $key, CAST($qty AS VARCHAR), CAST($price AS VARCHAR), $rf, $ls))"
+
+  private val snapCols =
+    s"lpad(CAST(k AS VARCHAR),12,'0') AS key, k, qty, price_c, rf, ls, " +
+    identSql("lpad(CAST(k AS VARCHAR),12,'0')", "qty", "price_c", "rf", "ls") + " AS identity"
+
+  /** WITH-clause prelude: L (integer-safe lineitem), base, rightv (C2). */
+  private val prelude = s"""
+    WITH L AS (
+      SELECT k, min(qty) AS qty, min(price_c) AS price_c, min(rf) AS rf, min(ls) AS ls
+      FROM (
+        SELECT l_orderkey*10 + l_linenumber AS k,
+               CAST(l_quantity AS BIGINT) AS qty,
+               CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT) AS price_c,
+               l_returnflag AS rf, l_linestatus AS ls
+        FROM lineitem
+      ) GROUP BY k
+    ), base AS (
+      SELECT $snapCols FROM L
+    ), rightv AS (
+      SELECT $snapCols FROM (
+        SELECT k, qty, CASE WHEN k%100=0 THEN price_c+777 ELSE price_c END AS price_c, rf, ls
+        FROM L WHERE k%100<>1
+        UNION ALL
+        SELECT k*10+9 AS k, qty, price_c, rf, ls FROM L WHERE k%100=2
+      )
+    )"""
+
+  /** src/dst merge sides (with the k%50==11 conflict). */
+  private val mergeSides = s""", srcv AS (
+      SELECT $snapCols FROM (
+        SELECT k, qty,
+               CASE WHEN k%50=3 THEN price_c+111 WHEN k%50=11 THEN price_c+333 ELSE price_c END AS price_c,
+               rf, ls
+        FROM L WHERE k%50<>17
+      )
+    ), dstv AS (
+      SELECT $snapCols FROM (
+        SELECT k, qty,
+               CASE WHEN k%50=4 THEN price_c+222 WHEN k%50=11 THEN price_c+444 ELSE price_c END AS price_c,
+               rf, ls
+        FROM L WHERE k%50<>33
+      )
+    )"""
+
+  /** Two-way diff as SQL (full-outer on key, J1). */
+  private def diffSql(left: String, right: String) = s"""
+    SELECT coalesce(l.key, r.key) AS key,
+           CASE WHEN l.key IS NULL THEN 'added'
+                WHEN r.key IS NULL THEN 'removed'
+                WHEN l.identity <> r.identity THEN 'changed' END AS diff_type,
+           l.identity AS left_identity, r.identity AS identity
+    FROM $left l FULL OUTER JOIN $right r ON l.key = r.key
+    WHERE l.key IS NULL OR r.key IS NULL OR l.identity <> r.identity"""
+
+  /** Staging changes log (latest epoch per key wins), Fixtures.stagingLog. */
+  private val stagingSql = s""", staged AS (
+      SELECT * FROM (
+        SELECT lpad(CAST(k AS VARCHAR),12,'0') AS key,
+               ${identSql("lpad(CAST(k AS VARCHAR),12,'0')", "qty", "price_c + 500", "rf", "ls")} AS identity,
+               qty, price_c + 500 AS price_c, rf, ls, CAST(1 AS BIGINT) AS epoch
+        FROM L WHERE k%100=5
+        UNION ALL
+        SELECT lpad(CAST(k AS VARCHAR),12,'0'),
+               ${identSql("lpad(CAST(k AS VARCHAR),12,'0')", "qty", "price_c + 555", "rf", "ls")},
+               qty, price_c + 555, rf, ls, 2
+        FROM L WHERE k%200=5
+        UNION ALL
+        SELECT lpad(CAST(k AS VARCHAR),12,'0'), NULL, qty, price_c, rf, ls, 1
+        FROM L WHERE k%100=6
+        UNION ALL
+        SELECT lpad(CAST(k AS VARCHAR),12,'0'),
+               ${identSql("lpad(CAST(k AS VARCHAR),12,'0')", "qty", "price_c", "rf", "ls")},
+               qty, price_c, rf, ls, 1
+        FROM L WHERE k%100=7
+        UNION ALL
+        SELECT lpad(CAST(k*10+8 AS VARCHAR),12,'0'),
+               ${identSql("lpad(CAST(k*10+8 AS VARCHAR),12,'0')", "qty", "price_c", "rf", "ls")},
+               qty, price_c, rf, ls, 1
+        FROM L WHERE k%100=9
+      )
+    ), staging AS (
+      SELECT key, identity, qty, price_c, rf, ls FROM (
+        SELECT *, row_number() OVER (PARTITION BY key ORDER BY epoch DESC) AS rn FROM staged
+      ) WHERE rn = 1
+    )"""
+
+  // ---- queries ------------------------------------------------------------
+
+  val defs: Map[String, (QueryFn, Option[String])] = Map(
+
+    // S1: full snapshot scan, key order (O1 invariant).
+    "vc_snapshot_scan" -> (((s: SparkSession, d: String) =>
+      Fixtures.keyedBase(s, d).select("key", "identity", "qty", "price_c", "rf", "ls")
+        .orderBy("key")),
+      Some(s"$prelude SELECT key, identity, qty, price_c, rf, ls FROM base ORDER BY key")),
+
+    // S3: point lookup of the max key (manifest/footer-prunable predicate).
+    "vc_point_get" -> (((s: SparkSession, d: String) => {
+      val base = Fixtures.keyedBase(s, d)
+      val maxKey = base.agg(max("key")).head().getString(0)
+      Listing.pointGet(base, maxKey).select("key", "identity", "price_c")
+    }),
+      Some(s"$prelude SELECT key, identity, price_c FROM base WHERE key = (SELECT max(key) FROM base)")),
+
+    // P1: sargable prefix listing over path-shaped keys.
+    "vc_prefix_list" -> (((s: SparkSession, d: String) =>
+      Listing.prefixFilter(Fixtures.pathKeyed(s, d), "R/F/")
+        .select("key", "price_c").orderBy("key")),
+      Some(s"""$prelude
+        SELECT concat_ws('/', rf, ls, key) AS key, price_c FROM base
+        WHERE rf = 'R' AND ls = 'F' ORDER BY key""")),
+
+    // P2/O2: after-key page of 1000 (+1 for has_more).
+    "vc_page_after" -> (((s: SparkSession, d: String) =>
+      Listing.page(Fixtures.keyedBase(s, d), "000000300000", 1000)
+        .select("key", "identity")),
+      Some(s"""$prelude
+        SELECT key, identity FROM base WHERE key > '000000300000'
+        ORDER BY key LIMIT 1001""")),
+
+    // P4/A3: delimiter roll-up at the root.
+    "vc_delim_rollup" -> (((s: SparkSession, d: String) =>
+      Listing.delimiterRollup(Fixtures.pathKeyed(s, d), "", "/")
+        .orderBy("path")),
+      Some(s"""$prelude
+        SELECT rf || '/' AS path, true AS is_common_prefix, count(*) AS n_entries
+        FROM base GROUP BY rf ORDER BY path""")),
+
+    // P4 level 2: roll-up under prefix 'R/'.
+    "vc_delim_rollup2" -> (((s: SparkSession, d: String) =>
+      Listing.delimiterRollup(Fixtures.pathKeyed(s, d), "R/", "/")
+        .orderBy("path")),
+      Some(s"""$prelude
+        SELECT 'R/' || ls || '/' AS path, true AS is_common_prefix, count(*) AS n_entries
+        FROM base WHERE rf = 'R' GROUP BY ls ORDER BY path""")),
+
+    // J1: two-way diff C1..C2.
+    "vc_diff" -> (((s: SparkSession, d: String) =>
+      Diff.twoWay(Fixtures.keyedBase(s, d), Fixtures.keyedRight(s, d)).orderBy("key")),
+      Some(s"$prelude ${diffSql("base", "rightv")} ORDER BY key")),
+
+    // A1: diff summary.
+    "vc_diff_summary" -> (((s: SparkSession, d: String) =>
+      Diff.summary(Diff.twoWay(Fixtures.keyedBase(s, d), Fixtures.keyedRight(s, d)))
+        .orderBy("diff_type")),
+      Some(s"""$prelude, d AS (${diffSql("base", "rightv")})
+        SELECT diff_type, count(*) AS n FROM d GROUP BY diff_type ORDER BY diff_type""")),
+
+    // J2: three-way compare with conflicts (k%50==11 edited on both sides).
+    "vc_compare3" -> (((s: SparkSession, d: String) =>
+      Diff.threeWayCompare(Fixtures.keyedBase(s, d),
+        Fixtures.keyedSource(s, d), Fixtures.keyedDest(s, d)).orderBy("key")),
+      Some(s"""$prelude $mergeSides,
+        sd AS (${diffSql("base", "srcv")}),
+        dd AS (${diffSql("base", "dstv")})
+        SELECT * FROM (
+          SELECT sd.key AS key,
+                 CASE WHEN dd.key IS NULL THEN sd.diff_type
+                      WHEN sd.identity IS NOT DISTINCT FROM dd.identity THEN NULL
+                      ELSE 'conflict' END AS diff_type,
+                 sd.left_identity AS base_identity, sd.identity AS identity
+          FROM sd LEFT JOIN dd ON sd.key = dd.key
+        ) WHERE diff_type IS NOT NULL ORDER BY key""")),
+
+    // J3: three-way merge, source-wins (conflicts resolved to source).
+    "vc_merge3" -> (((s: SparkSession, d: String) =>
+      Merge.threeWay(Fixtures.keyedBase(s, d), Fixtures.keyedSource(s, d),
+        Fixtures.keyedDest(s, d), StrategySourceWins)._1
+        .select("key", "identity", "qty", "price_c").orderBy("key")),
+      // source-wins merged result = base minus both sides' deletes, with
+      // source edits (incl. the k%50==11 conflict) and dest-only edits.
+      Some(s"""$prelude
+        SELECT lpad(CAST(k AS VARCHAR),12,'0') AS key,
+               ${identSql("lpad(CAST(k AS VARCHAR),12,'0')", "qty", "price_c", "rf", "ls")} AS identity,
+               qty, price_c
+        FROM (
+          SELECT k, qty,
+                 CASE WHEN k%50=3 THEN price_c+111
+                      WHEN k%50=11 THEN price_c+333
+                      WHEN k%50=4 THEN price_c+222
+                      ELSE price_c END AS price_c,
+                 rf, ls
+          FROM L WHERE k%50<>17 AND k%50<>33
+        ) ORDER BY key""")),
+
+    // J3/J4: conflict set surfaced under StrategyNone.
+    "vc_merge_conflicts" -> (((s: SparkSession, d: String) =>
+      Merge.threeWay(Fixtures.keyedBase(s, d), Fixtures.keyedSource(s, d),
+        Fixtures.keyedDest(s, d), StrategyNone)._2.orderBy("key")),
+      Some(s"""$prelude
+        SELECT lpad(CAST(k AS VARCHAR),12,'0') AS key,
+               ${identSql("lpad(CAST(k AS VARCHAR),12,'0')", "qty", "price_c+333", "rf", "ls")} AS source_identity,
+               ${identSql("lpad(CAST(k AS VARCHAR),12,'0')", "qty", "price_c+444", "rf", "ls")} AS dest_identity
+        FROM L WHERE k%50=11 ORDER BY key""")),
+
+    // W2: latest-write-wins on the staging changes log.
+    "vc_staging_lww" -> (((s: SparkSession, d: String) =>
+      Staging.latestWriteWins(Fixtures.stagingLog(s, d), "epoch")
+        .select("key", "identity", "price_c", "epoch").orderBy("key")),
+      Some(s"$prelude $stagingSql SELECT key, identity, price_c, epoch FROM (SELECT *, row_number() OVER (PARTITION BY key ORDER BY epoch DESC) AS rn FROM staged) WHERE rn=1 ORDER BY key")),
+
+    // J5: commit apply — staged changes (after LWW) onto base.
+    "vc_commit_apply" -> (((s: SparkSession, d: String) => {
+      val changes = Staging.latestWriteWins(Fixtures.stagingLog(s, d), "epoch").drop("epoch")
+      Merge.applyChanges(Fixtures.keyedBase(s, d), changes)
+        .select("key", "identity", "qty", "price_c").orderBy("key")
+    }),
+      Some(s"""$prelude $stagingSql
+        SELECT coalesce(s.key, b.key) AS key,
+               coalesce(s.identity, CASE WHEN s.key IS NULL THEN b.identity END) AS identity,
+               CASE WHEN s.key IS NOT NULL THEN s.qty ELSE b.qty END AS qty,
+               CASE WHEN s.key IS NOT NULL THEN s.price_c ELSE b.price_c END AS price_c
+        FROM base b FULL OUTER JOIN staging s ON b.key = s.key
+        WHERE s.key IS NULL OR s.identity IS NOT NULL
+        ORDER BY key""")),
+
+    // J6: uncommitted diff (staging vs committed; no-ops and dangling
+    // tombstones dropped).
+    "vc_uncommitted_diff" -> (((s: SparkSession, d: String) =>
+      Staging.uncommittedDiff(
+        Staging.latestWriteWins(Fixtures.stagingLog(s, d), "epoch"),
+        Fixtures.keyedBase(s, d)).orderBy("key")),
+      Some(s"""$prelude $stagingSql
+        SELECT s.key AS key,
+               CASE WHEN s.identity IS NULL AND b.identity IS NOT NULL THEN 'removed'
+                    WHEN s.identity IS NULL THEN NULL
+                    WHEN b.identity IS NULL THEN 'added'
+                    WHEN s.identity <> b.identity THEN 'changed' END AS diff_type,
+               b.identity AS left_identity, s.identity AS identity
+        FROM staging s LEFT JOIN base b ON s.key = b.key
+        WHERE diff_type IS NOT NULL ORDER BY key""")),
+
+    // J7: combined diff — uncommitted diff overlaid on committed diff C1..C2.
+    "vc_combined_diff" -> (((s: SparkSession, d: String) => {
+      val committedDiff = Diff.twoWay(Fixtures.keyedBase(s, d), Fixtures.keyedRight(s, d))
+      val uncommitted = Staging.uncommittedDiff(
+        Staging.latestWriteWins(Fixtures.stagingLog(s, d), "epoch"),
+        Fixtures.keyedBase(s, d))
+      Staging.overlayDiffs(uncommitted, committedDiff).orderBy("key")
+    }),
+      Some(s"""$prelude $stagingSql,
+        cd AS (${diffSql("base", "rightv")}),
+        ud AS (
+          SELECT s.key AS key,
+                 CASE WHEN s.identity IS NULL AND b.identity IS NOT NULL THEN 'removed'
+                      WHEN s.identity IS NULL THEN NULL
+                      WHEN b.identity IS NULL THEN 'added'
+                      WHEN s.identity <> b.identity THEN 'changed' END AS diff_type,
+                 b.identity AS left_identity, s.identity AS identity
+          FROM staging s LEFT JOIN base b ON s.key = b.key
+          WHERE diff_type IS NOT NULL
+        )
+        SELECT key, diff_type, left_identity, identity FROM (
+          SELECT *, row_number() OVER (PARTITION BY key ORDER BY pri) AS rn FROM (
+            SELECT key, diff_type, left_identity, identity, 0 AS pri FROM ud
+            UNION ALL
+            SELECT key, diff_type, left_identity, identity, 1 AS pri FROM cd
+          )
+        ) WHERE rn = 1 ORDER BY key""")),
+
+    // P3/U1: workspace listing = staging over base, tombstones dropped.
+    "vc_workspace_list" -> (((s: SparkSession, d: String) => {
+      val staging = Staging.latestWriteWins(Fixtures.stagingLog(s, d), "epoch").drop("epoch")
+      val base = Fixtures.keyedBase(s, d).drop("k")
+      val combined = Staging.precedenceUnion(Seq(
+        staging.select("key", "identity", "qty", "price_c", "rf", "ls") -> 0,
+        base.select("key", "identity", "qty", "price_c", "rf", "ls") -> 1))
+      Listing.dropTombstones(combined).select("key", "identity", "price_c").orderBy("key")
+    }),
+      Some(s"""$prelude $stagingSql
+        SELECT key, identity, price_c FROM (
+          SELECT *, row_number() OVER (PARTITION BY key ORDER BY pri) AS rn FROM (
+            SELECT key, identity, price_c, 0 AS pri FROM staging
+            UNION ALL
+            SELECT key, identity, price_c, 1 AS pri FROM base
+          )
+        ) WHERE rn = 1 AND identity IS NOT NULL ORDER BY key""")),
+
+    // A2: per-range stats (range = fixed key-space bucket here; the store
+    // derives real ranges from content-defined chunking).
+    "vc_range_stats" -> (((s: SparkSession, d: String) =>
+      Fixtures.keyedBase(s, d)
+        .groupBy(substring(col("key"), 1, 8).as("range_id"))
+        .agg(count(lit(1)).as("cnt"), min("key").as("min_key"),
+          max("key").as("max_key"), sum("price_c").as("est_size"))
+        .orderBy("range_id")),
+      Some(s"""$prelude
+        SELECT substr(key,1,8) AS range_id, count(*) AS cnt, min(key) AS min_key,
+               max(key) AS max_key, CAST(sum(price_c) AS BIGINT) AS est_size
+        FROM base GROUP BY 1 ORDER BY range_id""")),
+
+    // J9/U3: GC mark via double anti-join.
+    "vc_gc_mark" -> (((s: SparkSession, d: String) => {
+      val all = Fixtures.orders(s, d)
+        .select(concat(lit("data/"), lpad(col("o_orderkey").cast("string"), 10, "0")).as("address"))
+      val committed = all.where(expr("CAST(substring(address, 6) AS BIGINT) % 3 <> 0"))
+      val uncommitted = all.where(expr("CAST(substring(address, 6) AS BIGINT) % 7 = 0"))
+      Gc.mark(all, committed, uncommitted).orderBy("address")
+    }),
+      Some(s"""
+        WITH allobj AS (
+          SELECT 'data/' || lpad(CAST(o_orderkey AS VARCHAR),10,'0') AS address, o_orderkey AS k
+          FROM orders
+        )
+        SELECT address FROM allobj WHERE k % 3 = 0 AND k % 7 <> 0 ORDER BY address""")),
+
+    // A4: GC summary count.
+    "vc_gc_summary" -> (((s: SparkSession, d: String) => {
+      val all = Fixtures.orders(s, d)
+        .select(concat(lit("data/"), lpad(col("o_orderkey").cast("string"), 10, "0")).as("address"))
+      val committed = all.where(expr("CAST(substring(address, 6) AS BIGINT) % 3 <> 0"))
+      val uncommitted = all.where(expr("CAST(substring(address, 6) AS BIGINT) % 7 = 0"))
+      Gc.summary(Gc.mark(all, committed, uncommitted))
+    }),
+      Some("SELECT count(*) AS num_deleted_objects FROM orders WHERE o_orderkey % 3 = 0 AND o_orderkey % 7 <> 0")),
+
+    // P6/P7: address filter + namespace resolution.
+    "vc_addr_resolve" -> (((s: SparkSession, d: String) => {
+      val ns = "s3://repo-bucket/prefix"
+      val entries = Fixtures.orders(s, d).select(
+        lpad(col("o_orderkey").cast("string"), 10, "0").as("address"),
+        when(col("o_orderkey") % 5 === 0, "FULL").otherwise("RELATIVE").as("address_type"))
+        .withColumn("address",
+          when(col("address_type") === "FULL",
+            concat(lit(ns + "/"), col("address"))).otherwise(col("address")))
+      Gc.filterAddresses(Gc.resolveAddress(entries, ns + "/"), ns).orderBy("address")
+    }),
+      Some("""
+        SELECT DISTINCT lpad(CAST(o_orderkey AS VARCHAR),10,'0') AS address
+        FROM orders ORDER BY address""")),
+
+    // A5: usage report — events per day per type. The fixture stores ts as
+    // parquet TIMESTAMP(NANOS), which Spark only reads as long via the
+    // legacy flag; day boundaries only need second precision.
+    "vc_usage_report" -> (((s: SparkSession, d: String) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      Fixtures.events(s, d)
+        .withColumn("day",
+          date_format(timestamp_seconds(expr("ts div 1000000000")), "yyyy-MM-dd"))
+        .groupBy("day", "event_type")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("day", "event_type")
+    }),
+      Some("""
+        SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, count(*) AS n
+        FROM events GROUP BY 1, 2 ORDER BY day, event_type""")),
+
+    // A6: delete sensor — staged tombstones per epoch.
+    "vc_delete_sensor" -> (((s: SparkSession, d: String) =>
+      Fixtures.stagingLog(s, d).where(col("identity").isNull)
+        .groupBy("epoch").agg(count(lit(1)).as("n_tombstones"))
+        .orderBy("epoch")),
+      Some(s"""$prelude
+        SELECT CAST(1 AS BIGINT) AS epoch, count(*) AS n_tombstones FROM L WHERE k%100=6 ORDER BY epoch""")),
+
+    // §1.4: identity-hash parity spot check (sha2 ⇄ sha256).
+    "vc_ident_hash" -> (((s: SparkSession, d: String) =>
+      Fixtures.keyedBase(s, d).select("key", "identity").orderBy("key").limit(100)),
+      Some(s"$prelude SELECT key, identity FROM base ORDER BY key LIMIT 100"))
+  )
+}
