@@ -1,24 +1,96 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Model.StrategySourceWins
+import graft.fixtures.Fixtures
+import graft.operators.{Gc, Listing, Merge}
+import graft.store.SnapshotStore
+
+/**
+ * Benchmark main (BASELINE.md §D): the five headline versioned-snapshot
+ * operations at the given scale factor, through the real snapshot store —
+ * snapshot_write, commit (1% change set, O(changed ranges)), range-pruned
+ * diff, three-way merge, GC mark, delimiter listing page.
+ *
+ * Prints exactly one JSON line:
+ * {"metric":"total","value":N,"unit":"sec","queries":{...},"sf":"..."}
+ */
 object Bench {
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      .appName("graft-bench")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val repoDir = s"target/bench_repo_${java.util.UUID.randomUUID()}"
+    val store = new SnapshotStore(spark, repoDir, raggedness = 50000L)
+    val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+    def timed[T](name: String)(f: => T): T = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val r = f
+      results(name) = (System.nanoTime() - t0) / 1e9
+      r
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // Inputs (materialized up front so build cost isn't measured).
+    val base = Fixtures.keyedBase(spark, sfDir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    base.count()
+
+    // 1. snapshot_write: commit C1 from sorted records (J5/O1).
+    val m1 = timed("snapshot_write") { store.writeSnapshot(base)._1 }
+
+    // 2. commit: apply a ~1% change set, rewriting only touched ranges.
+    val changes = base.where(col("k") % 100 === 0)
+      .withColumn("price_c", col("price_c") + 777)
+      .withColumn("identity", sha2(concat_ws("|",
+        col("key"), col("qty"), col("price_c"), col("rf"), col("ls")), 256))
+    val m2 = timed("commit") { store.commitChanges(m1, changes)._1 }
+
+    // 3. diff: C1..C2 with range-level pruning (J1).
+    timed("diff") { store.diff(m1, m2).count() }
+
+    // 4. merge3: conflict-free three-way merge (J3).
+    timed("merge3") {
+      val (merged, _) = Merge.threeWay(
+        base,
+        Fixtures.keyedSourceClean(spark, sfDir),
+        Fixtures.keyedDestClean(spark, sfDir), StrategySourceWins)
+      merged.count()
+    }
+
+    // 5. gc_mark: all ∖ committed ∖ uncommitted (J9).
+    timed("gc_mark") {
+      val all = Fixtures.orders(spark, sfDir)
+        .select(concat(lit("data/"), lpad(col("o_orderkey").cast("string"), 10, "0")).as("address"))
+      val committed = all.where(expr("CAST(substring(address, 6) AS BIGINT) % 3 <> 0"))
+      val uncommitted = all.where(expr("CAST(substring(address, 6) AS BIGINT) % 7 = 0"))
+      Gc.mark(all, committed, uncommitted).count()
+    }
+
+    // 6. list_delim: prefix+delimiter roll-up page of 1000 (P4/O2).
+    timed("list_delim") {
+      Listing.delimiterRollup(Fixtures.pathKeyed(spark, sfDir), "R/F/", "/")
+        .orderBy("path").limit(1000).count()
+    }
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${results.values.sum},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // clean up the throwaway repo
+    try org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(repoDir), spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(repoDir), true)
+    catch { case _: Throwable => }
     spark.stop()
   }
 }

@@ -69,7 +69,7 @@ object Dag {
     mergeBaseInMem(g, a, b)
   }
 
-  private[operators] def mergeBaseInMem(g: Map[String, CommitRow], a: String, b: String): Option[String] = {
+  def mergeBaseInMem(g: Map[String, CommitRow], a: String, b: String): Option[String] = {
     val FromA = 1; val FromB = 2
     val color = mutable.Map[String, Int]()
     implicit val ord: Ordering[CommitRow] =

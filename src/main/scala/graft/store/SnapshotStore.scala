@@ -1,0 +1,229 @@
+package graft.store
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import graft.core.Model.RangeInfo
+
+/**
+ * Columnar snapshot store: the Spark-native replacement for lakeFS's
+ * metarange/range SSTable layer (SURVEY.md §1, §4; reference
+ * `pkg/graveler/committed/meta_range.go:13-25`, `sstable/writer.go:169-183`).
+ *
+ * Layout under a repo directory:
+ * {{{
+ *   ranges/<range_id>/          one sorted Parquet file per range (≈ SSTable)
+ *   manifests/<meta_range_id>/  manifest parquet of RangeInfo (≈ metarange)
+ * }}}
+ *
+ * Scale design:
+ *  - '''Content-defined chunking''': a key starts a new range iff
+ *    xxhash64(key) % raggedness == 0 (the FNV-boundary idea of
+ *    `sstable/writer.go:169-183`). Boundaries depend only on keys — never on
+ *    Spark's sampled range partitioning — so an unchanged key interval always
+ *    yields the same range with the same content id. That stability is what
+ *    makes cross-commit file reuse and range-level diff pruning work.
+ *  - '''Content-addressed range ids''': order-independent 128-bit content
+ *    hash (sums of two independent xxhash64 streams over key|identity),
+ *    mergeable map-side — no global pass to identify a range.
+ *  - '''O(changed ranges) commit''' ([[commitChanges]]): only ranges whose
+ *    interval intersects the change set are rewritten; the rest are carried
+ *    into the new manifest by reference (`commit.go:116-137`).
+ *  - '''Range-pruned diff''' ([[prunedForDiff]]): manifests are compared on
+ *    range_id first, so identical ranges are never opened (`diff.go:238-240`).
+ *
+ * Rows carry (key: string, identity: string, ...payload). Writes are
+ * idempotent: a range whose content-addressed directory already exists is
+ * not rewritten.
+ */
+class SnapshotStore(val spark: SparkSession, val repoDir: String,
+    raggedness: Long = 50000L) {
+
+  import SnapshotStore._
+
+  private def rangesDir = s"$repoDir/ranges"
+  private def manifestDir(metaRangeId: String) = s"$repoDir/manifests/$metaRangeId"
+  private def fs: FileSystem =
+    FileSystem.get(new java.net.URI(repoDir), spark.sparkContext.hadoopConfiguration)
+
+  /** Write a full snapshot; returns (metaRangeId, manifest). */
+  def writeSnapshot(df: DataFrame): (String, Seq[RangeInfo]) = {
+    val infos = chunkAndWrite(df)
+    val metaRangeId = metaRangeIdOf(infos)
+    writeManifest(metaRangeId, infos)
+    (metaRangeId, infos)
+  }
+
+  /**
+   * Apply a change set (key, identity-or-null = tombstone, payload) to a
+   * base snapshot, rewriting only touched ranges.
+   */
+  def commitChanges(baseMeta: String, changes: DataFrame): (String, Seq[RangeInfo]) = {
+    val base = readManifest(baseMeta)
+    val ivDf = spark.createDataFrame(base.map(ri => (ri.rangeId, ri.minKey, ri.maxKey)))
+      .toDF("range_id", "min_key", "max_key")
+    val touched = changes.select("key").distinct()
+      .join(broadcast(ivDf),
+        col("key") >= col("min_key") && col("key") <= col("max_key"), "inner")
+      .select("range_id").distinct().collect().map(_.getString(0)).toSet
+
+    val untouched = base.filterNot(ri => touched.contains(ri.rangeId))
+    val touchedInfos = base.filter(ri => touched.contains(ri.rangeId))
+    val touchedDf =
+      if (touchedInfos.isEmpty) changes.limit(0)
+      else spark.read.parquet(touchedInfos.map(_.path): _*)
+
+    val rewritten = graft.operators.Merge.applyChanges(
+      touchedDf, changes.select(touchedDf.columns.map(col).toSeq: _*))
+    val newInfos = chunkAndWrite(rewritten)
+    val all = (untouched ++ newInfos).sortBy(_.minKey)
+    val metaRangeId = metaRangeIdOf(all)
+    writeManifest(metaRangeId, all)
+    (metaRangeId, all)
+  }
+
+  def readManifest(metaRangeId: String): Seq[RangeInfo] = {
+    import spark.implicits._
+    spark.read.parquet(manifestDir(metaRangeId)).as[RangeInfo].collect()
+      .sortBy(_.minKey).toSeq
+  }
+
+  /** Full snapshot scan (S1): union of range files; Catalyst prunes files
+    * on key predicates via parquet footer min/max. */
+  def scan(metaRangeId: String): DataFrame =
+    readRanges(readManifest(metaRangeId))
+
+  /** Manifest-level key-interval pruning (S3/P1 fast path): scan only ranges
+    * intersecting [lo, hi). Conservative — callers re-apply the predicate. */
+  def scanInterval(metaRangeId: String, lo: Option[String], hi: Option[String]): DataFrame =
+    readRanges(readManifest(metaRangeId).filter { ri =>
+      lo.forall(l => ri.maxKey >= l) && hi.forall(h => ri.minKey < h)
+    })
+
+  /** The two diff sides restricted to ranges NOT shared by content id —
+    * the reference's whole-range skip. Shared ranges contribute no diff. */
+  def prunedForDiff(leftMeta: String, rightMeta: String): (DataFrame, DataFrame) = {
+    val l = readManifest(leftMeta)
+    val r = readManifest(rightMeta)
+    val shared = l.map(_.rangeId).toSet.intersect(r.map(_.rangeId).toSet)
+    (readRanges(l.filterNot(i => shared.contains(i.rangeId))),
+     readRanges(r.filterNot(i => shared.contains(i.rangeId))))
+  }
+
+  /** Range-pruned two-way diff between two snapshots (J1 at store level). */
+  def diff(leftMeta: String, rightMeta: String): DataFrame = {
+    val (l, r) = prunedForDiff(leftMeta, rightMeta)
+    graft.operators.Diff.twoWay(l, r)
+  }
+
+  // ---- internals ----------------------------------------------------------
+
+  private def readRanges(infos: Seq[RangeInfo]): DataFrame =
+    if (infos.isEmpty) {
+      import spark.implicits._
+      Seq.empty[(String, String)].toDF("key", "identity")
+    } else spark.read.parquet(infos.map(_.path): _*)
+
+  /** Sort by key, assign content-defined ranges, write missing range files,
+    * return the manifest rows. */
+  private def chunkAndWrite(df: DataFrame): Seq[RangeInfo] = {
+    if (df.isEmpty) return Seq.empty
+    val sorted = df
+      .repartitionByRange(col("key"))
+      .sortWithinPartitions("key")
+      .withColumn("__cut", ((abs(xxhash64(col("key"))) % raggedness) === 0).cast("long"))
+    val chunked = withGlobalPrefixSum(sorted, "__cut", "__chunk").drop("__cut")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // per-row hash contributions bounded by pmod so the order-independent
+      // sums never overflow ANSI longs (≤ 2^30 per row ⇒ safe to ~2^33 rows
+      // per range — far beyond any real range size)
+      val manifest = chunked
+        .withColumn("__h1", pmod(xxhash64(concat_ws("|", col("key"), col("identity"))), lit(1000000007L)))
+        .withColumn("__h2", pmod(xxhash64(concat_ws("#", col("identity"), col("key"), lit("s2"))), lit(998244353L)))
+        .groupBy("__chunk")
+        .agg(
+          sum("__h1").as("h1"), sum("__h2").as("h2"),
+          min("key").as("min_key"), max("key").as("max_key"),
+          count(lit(1)).as("cnt"),
+          sum(length(col("key")) + coalesce(length(col("identity")), lit(0L))).as("est"))
+        .collect()
+        .map { r =>
+          val rid = f"${r.getAs[Long]("h1")}%016x${r.getAs[Long]("h2")}%016x"
+          (RangeInfo(rid, r.getAs[String]("min_key"), r.getAs[String]("max_key"),
+            r.getAs[Long]("est"), r.getAs[Long]("cnt"), s"$rangesDir/$rid"),
+           r.getAs[Long]("__chunk"))
+        }
+
+      val missing = manifest.filterNot { case (ri, _) => fs.exists(new Path(ri.path)) }
+      if (missing.nonEmpty) {
+        val chunkToRid = missing.map { case (ri, c) => c -> ri.rangeId }.toMap
+        val bc = spark.sparkContext.broadcast(chunkToRid)
+        val mapRid = udf((c: Long) => bc.value.getOrElse(c, null))
+        val stagingPath = s"$rangesDir/__staging_${java.util.UUID.randomUUID()}"
+        chunked
+          .withColumn("__rid", mapRid(col("__chunk")))
+          .where(col("__rid").isNotNull)
+          .drop("__chunk")
+          .repartition(math.max(1, missing.length), col("__rid"))
+          .sortWithinPartitions("__rid", "key")
+          .write.mode(SaveMode.Overwrite)
+          .partitionBy("__rid")
+          .parquet(stagingPath)
+        // move each __rid=<id> partition dir to its content-addressed home
+        val st = new Path(stagingPath)
+        fs.listStatus(st).foreach { sub =>
+          val name = sub.getPath.getName
+          if (name.startsWith("__rid=")) {
+            val dest = new Path(s"$rangesDir/${name.substring("__rid=".length)}")
+            if (!fs.exists(dest)) fs.rename(sub.getPath, dest)
+          }
+        }
+        fs.delete(st, true)
+      }
+      manifest.map(_._1).sortBy(_.minKey).toSeq
+    } finally chunked.unpersist()
+  }
+
+  private def writeManifest(metaRangeId: String, infos: Seq[RangeInfo]): Unit = {
+    import spark.implicits._
+    val dir = manifestDir(metaRangeId)
+    if (!fs.exists(new Path(dir)))
+      infos.toDF().coalesce(1).write.mode(SaveMode.Overwrite).parquet(dir)
+  }
+
+  private def metaRangeIdOf(infos: Seq[RangeInfo]): String =
+    graft.core.Identity.sha256Hex(infos.map(_.rangeId).mkString(","))
+}
+
+object SnapshotStore {
+
+  /**
+   * Global running sum of a long column over an already range-partitioned,
+   * partition-sorted DataFrame. Two passes: per-partition totals (tiny
+   * collect) then a mapPartitions adding each partition's offset — no extra
+   * shuffle, works at any partition count.
+   */
+  private[store] def withGlobalPrefixSum(df: DataFrame, inCol: String, outCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counts = cached.select(col(inCol)).rdd
+      .mapPartitionsWithIndex { (i, it) =>
+        Iterator.single(i -> it.map(_.getLong(0)).sum)
+      }.collect().toMap
+    val nParts = math.max(cached.rdd.getNumPartitions, 1)
+    val offsets = (0 until nParts).scanLeft(0L)((acc, i) => acc + counts.getOrElse(i, 0L)).toArray
+    val bc = spark.sparkContext.broadcast(offsets)
+    val idx = df.schema.fieldIndex(inCol)
+    val schema = StructType(df.schema.fields :+ StructField(outCol, LongType, nullable = false))
+    val rdd = cached.rdd.mapPartitionsWithIndex { (i, it) =>
+      var running = bc.value(i)
+      it.map { row =>
+        running += row.getLong(idx)
+        org.apache.spark.sql.Row.fromSeq(row.toSeq :+ running)
+      }
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+}

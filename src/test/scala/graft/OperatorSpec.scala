@@ -1,0 +1,164 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.core.Model._
+import graft.operators._
+
+/**
+ * Table-driven operator specs mirroring the reference's unit vectors
+ * (`pkg/graveler/committed/{merge,diff,compare_iterator}_test.go` shapes):
+ * tiny snapshots, exact (key, diff_type) expectations, the delete-vs-change
+ * conflict matrix, and staging precedence layering.
+ */
+class OperatorSpec extends SparkSpec {
+
+  private def snap(rows: (String, String)*): DataFrame = {
+    import spark.implicits._
+    rows.toSeq.toDF("key", "identity")
+  }
+
+  private def diffSet(df: DataFrame): Set[(String, String)] =
+    df.select("key", "diff_type").collect().map(r => (r.getString(0), r.getString(1))).toSet
+
+  test("J1 two-way diff: added/removed/changed, identical skipped") {
+    val left = snap("a" -> "1", "b" -> "2", "c" -> "3")
+    val right = snap("b" -> "2", "c" -> "9", "d" -> "4")
+    assert(diffSet(Diff.twoWay(left, right)) ===
+      Set(("a", "removed"), ("c", "changed"), ("d", "added")))
+  }
+
+  test("J1 diff of identical snapshots is empty") {
+    val s = snap("a" -> "1", "b" -> "2")
+    assert(Diff.twoWay(s, s).count() === 0)
+  }
+
+  test("J2 compare: source-only, both-same, conflict, dest-only") {
+    val base = snap("a" -> "1", "b" -> "2", "c" -> "3", "d" -> "4", "e" -> "5")
+    val src  = snap("a" -> "9", "b" -> "7", "c" -> "3", "d" -> "4", "f" -> "6") // a,b changed; e deleted; f added
+    val dst  = snap("a" -> "9", "b" -> "8", "c" -> "3", "d" -> "44", "e" -> "5") // a same-change, b conflict, d dest-only
+    val out = diffSet(Diff.threeWayCompare(base, src, dst))
+    assert(out === Set(
+      ("b", "conflict"),  // both changed, differently
+      ("e", "removed"),   // source deleted, dest untouched
+      ("f", "added")))    // source added
+    // a: both changed identically -> no diff; d: dest-only -> no diff
+  }
+
+  test("J2 compare: delete-vs-change both directions conflict") {
+    val base = snap("x" -> "1", "y" -> "2")
+    val src  = snap("y" -> "9")            // x deleted, y changed
+    val dst  = snap("x" -> "7", "y" -> "2") // x changed, y kept
+    val out = diffSet(Diff.threeWayCompare(base, src, dst))
+    assert(out === Set(("x", "conflict"), ("y", "changed")))
+    // both delete the same key -> identical change -> no diff
+    val both = Diff.threeWayCompare(base, snap("y" -> "2"), snap("y" -> "2"))
+    assert(both.count() === 0)
+  }
+
+  test("J3 merge conflict matrix and strategies") {
+    val base = snap("a" -> "1", "b" -> "2", "c" -> "3")
+    val src  = snap("a" -> "9", "b" -> "2", "c" -> "3") // a changed
+    val dst  = snap("a" -> "8", "b" -> "2")             // a changed differently, c deleted
+    val (_, conflicts) = Merge.threeWay(base, src, dst, StrategyNone)
+    assert(conflicts.select("key").collect().map(_.getString(0)).toSet === Set("a"))
+
+    val (mSrc, c1) = Merge.threeWay(base, src, dst, StrategySourceWins)
+    assert(c1.count() === 0)
+    val srcWins = mSrc.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(srcWins === Map("a" -> "9", "b" -> "2")) // c deleted by dest survives as delete
+
+    val (mDst, _) = Merge.threeWay(base, src, dst, StrategyDestWins)
+    val dstWins = mDst.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(dstWins === Map("a" -> "8", "b" -> "2"))
+  }
+
+  test("J3 merge: delete-vs-change conflict under StrategyNone") {
+    val base = snap("k" -> "1")
+    val src  = snap()            // delete k
+    val dst  = snap("k" -> "2")  // change k
+    val (_, conflicts) = Merge.threeWay(base, src, dst, StrategyNone)
+    assert(conflicts.count() === 1)
+    val (merged, _) = Merge.threeWay(base, src, dst, StrategySourceWins)
+    assert(merged.count() === 0) // source's delete wins
+  }
+
+  test("J5 applyChanges: tombstone, add, replace, no-op keep") {
+    val base = snap("a" -> "1", "b" -> "2", "c" -> "3")
+    import spark.implicits._
+    val changes = Seq(
+      ("a", null.asInstanceOf[String]), // tombstone
+      ("b", "9"),                       // replace
+      ("d", "4"),                       // add
+      ("zz", null.asInstanceOf[String]) // dangling tombstone -> no-op
+    ).toDF("key", "identity")
+    val out = Merge.applyChanges(base, changes)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out === Map("b" -> "9", "c" -> "3", "d" -> "4"))
+  }
+
+  test("J6 uncommitted diff skips no-ops and dangling tombstones") {
+    val committed = snap("a" -> "1", "b" -> "2")
+    import spark.implicits._
+    val staged = Seq(
+      ("a", null.asInstanceOf[String]), // removed
+      ("b", "2"),                       // no-op rewrite
+      ("c", "3"),                       // added
+      ("zz", null.asInstanceOf[String]) // tombstone of absent key
+    ).toDF("key", "identity")
+    assert(diffSet(Staging.uncommittedDiff(staged, committed)) ===
+      Set(("a", "removed"), ("c", "added")))
+  }
+
+  test("W1 precedence union: staging wins; tombstone layering across epochs") {
+    import spark.implicits._
+    // epoch order: staging(0) > sealed1(1) > committed(2); key removed in
+    // sealed then re-added in staging must list with the staged value
+    // (the KV multi-layer subtlety, uncommitted_diff_iterator.go:50-58).
+    val committed = Seq(("k", "old"), ("q", "5")).toDF("key", "identity")
+    val sealed1 = Seq(("k", null.asInstanceOf[String])).toDF("key", "identity")
+    val staging = Seq(("k", "new")).toDF("key", "identity")
+    val merged = Staging.precedenceUnion(Seq(staging -> 0, sealed1 -> 1, committed -> 2))
+    val visible = Listing.dropTombstones(merged)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(visible === Map("k" -> "new", "q" -> "5"))
+    // without the staged re-add the tombstone must win over committed
+    val merged2 = Staging.precedenceUnion(Seq(sealed1 -> 1, committed -> 2))
+    val visible2 = Listing.dropTombstones(merged2)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(visible2 === Map("q" -> "5"))
+  }
+
+  test("W2 latest-write-wins per key") {
+    import spark.implicits._
+    val log = Seq(("k", "v1", 1L), ("k", "v2", 2L), ("m", "x", 1L))
+      .toDF("key", "identity", "write_ts")
+    val out = Staging.latestWriteWins(log)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out === Map("k" -> "v2", "m" -> "x"))
+  }
+
+  test("P4 delimiter rollup: mixed entries and prefixes, seek-skip prefix") {
+    import spark.implicits._
+    val keys = Seq("a/x/1", "a/x/2", "a/y", "b", "c/z").toDF("key")
+    val out = Listing.delimiterRollup(keys, "", "/")
+      .collect().map(r => (r.getString(0), r.getBoolean(1), r.getLong(2))).toSet
+    assert(out === Set(("a/", true, 3L), ("b", false, 1L), ("c/", true, 1L)))
+    val nested = Listing.delimiterRollup(keys, "a/", "/")
+      .collect().map(r => (r.getString(0), r.getBoolean(1), r.getLong(2))).toSet
+    assert(nested === Set(("a/x/", true, 2L), ("a/y", false, 1L)))
+  }
+
+  test("P1 prefix upper bound handles 0xFF rollover") {
+    assert(Listing.upperBound("ab") === Some("ac"))
+    assert(Listing.upperBound("aÿ") === Some("b"))
+    assert(Listing.upperBound("ÿ") === None)
+  }
+
+  test("O2 pagination returns limit+1 for has_more detection") {
+    import spark.implicits._
+    val df = (1 to 10).map(i => f"k$i%02d").toDF("key")
+    val page = Listing.page(df, "k02", 3).collect().map(_.getString(0))
+    assert(page.toSeq === Seq("k03", "k04", "k05", "k06"))
+  }
+}

@@ -1,0 +1,180 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core.Model._
+import graft.store.{Engine, SnapshotStore}
+
+/**
+ * Snapshot-store + engine specs: content-addressed idempotence, O(changed
+ * ranges) reuse, range-pruned diff equivalence, and the end-to-end
+ * version-control flow of SURVEY.md §7.2.
+ */
+class StoreSpec extends SparkSpec {
+
+  private def rows(n: Int, salt: String = "") = {
+    import spark.implicits._
+    (1 to n).map(i => (f"k$i%06d", s"id$i$salt")).toDF("key", "identity")
+  }
+
+  test("snapshot write is deterministic and idempotent") {
+    val dir = tmpDir("snap")
+    val store = new SnapshotStore(spark, dir, raggedness = 100)
+    val (m1, infos1) = store.writeSnapshot(rows(1000))
+    val (m2, infos2) = store.writeSnapshot(rows(1000))
+    assert(m1 === m2)
+    assert(infos1.map(_.rangeId) === infos2.map(_.rangeId))
+    assert(infos1.map(_.count).sum === 1000)
+    // round trip
+    val back = store.scan(m1).collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(back.size === 1000 && back("k000042") === "id42")
+  }
+
+  test("commitChanges rewrites only touched ranges and reuses the rest") {
+    import spark.implicits._
+    val dir = tmpDir("reuse")
+    val store = new SnapshotStore(spark, dir, raggedness = 100)
+    val (m1, infos1) = store.writeSnapshot(rows(2000))
+    assert(infos1.size > 3, s"want multiple ranges, got ${infos1.size}")
+    // change one existing key
+    val changes = Seq(("k000500", "NEW")).toDF("key", "identity")
+    val (m2, infos2) = store.commitChanges(m1, changes)
+    val reused = infos1.map(_.rangeId).toSet.intersect(infos2.map(_.rangeId).toSet)
+    assert(reused.size >= infos1.size - 2,
+      s"expected near-total reuse: ${reused.size}/${infos1.size}")
+    // content correct
+    val back = store.scan(m2).collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(back("k000500") === "NEW" && back.size === 2000)
+    // pruned diff sees exactly the change
+    val d = store.diff(m1, m2).collect()
+    assert(d.length === 1 && d.head.getAs[String]("diff_type") === "changed")
+  }
+
+  test("pruned diff equals unpruned diff with deletes and adds") {
+    import spark.implicits._
+    val dir = tmpDir("prune")
+    val store = new SnapshotStore(spark, dir, raggedness = 50)
+    val (m1, _) = store.writeSnapshot(rows(500))
+    val changes = Seq(
+      ("k000100", null.asInstanceOf[String]),
+      ("k000200", "CHANGED"),
+      ("zzz-new", "ADDED")).toDF("key", "identity")
+    val (m2, _) = store.commitChanges(m1, changes)
+    val pruned = store.diff(m1, m2)
+      .select("key", "diff_type").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val full = operators.Diff.twoWay(store.scan(m1), store.scan(m2))
+      .select("key", "diff_type").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(pruned === full)
+    assert(pruned === Set(("k000100", "removed"), ("k000200", "changed"), ("zzz-new", "added")))
+  }
+
+  test("engine end-to-end: init, stage, commit, diff, branch, merge, log") {
+    import spark.implicits._
+    val dir = tmpDir("engine")
+    val eng = new Engine(spark, dir, raggedness = 100)
+    val c1 = eng.init("main", Some(rows(300)))
+
+    // stage a change + a delete + an add, then commit
+    eng.stage("main", Seq(
+      ("k000010", "V2"),
+      ("k000020", null.asInstanceOf[String]),
+      ("k000999x", "NEWKEY")).toDF("key", "identity"))
+    val c2 = eng.commit("main", "tester", "edit batch")
+
+    val d = eng.diff(c1.commitId, c2.commitId)
+      .select("key", "diff_type").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(d === Set(("k000010", "changed"), ("k000020", "removed"), ("k000999x", "added")))
+
+    // branch from c1, disjoint edit, merge back cleanly
+    eng.createBranch("feature", c1.commitId)
+    eng.stage("feature", Seq(("k000030", "F1")).toDF("key", "identity"))
+    val c3 = eng.commit("feature", "tester", "feature edit")
+    val m = eng.merge("feature", "main", "tester", "merge feature")
+    val merged = eng.list("main").collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(merged("k000030") === "F1" && merged("k000010") === "V2")
+    assert(!merged.contains("k000020") && merged("k000999x") === "NEWKEY")
+
+    // log: merge commit has two parents; order newest-first
+    val lg = eng.log("main")
+    assert(lg.head.commitId === m.commitId)
+    assert(lg.head.parents.toSet === Set(c2.commitId, c3.commitId))
+    assert(eng.mergeBase(c2.commitId, c3.commitId).commitId === c1.commitId)
+
+    // ref expressions
+    assert(eng.resolveCommit("main").commitId === m.commitId)
+    assert(eng.resolveCommit("main~1").commitId === c2.commitId)
+    assert(eng.resolveCommit("main^2").commitId === c3.commitId)
+  }
+
+  test("engine merge conflict raises unless a strategy resolves") {
+    import spark.implicits._
+    val dir = tmpDir("conflict")
+    val eng = new Engine(spark, dir, raggedness = 100)
+    val c1 = eng.init("main", Some(rows(50)))
+    eng.createBranch("other", "main")
+    eng.stage("main", Seq(("k000005", "A")).toDF("key", "identity"))
+    eng.commit("main", "t", "main edit")
+    eng.stage("other", Seq(("k000005", "B")).toDF("key", "identity"))
+    eng.commit("other", "t", "other edit")
+    intercept[RuntimeException] { eng.merge("other", "main", "t", "boom") }
+    val m = eng.merge("other", "main", "t", "resolved", StrategySourceWins)
+    val v = eng.list("main").where(col("key") === "k000005").collect()
+    assert(v.head.getString(1) === "B") // source (other) wins
+  }
+
+  test("engine staging overlay and uncommitted diff") {
+    import spark.implicits._
+    val dir = tmpDir("staged")
+    val eng = new Engine(spark, dir, raggedness = 100)
+    eng.init("main", Some(rows(20)))
+    eng.stage("main", Seq(
+      ("k000001", "STAGED"),
+      ("k000002", null.asInstanceOf[String])).toDF("key", "identity"))
+    // second epoch overrides the first for the same key
+    eng.stage("main", Seq(("k000001", "STAGED2")).toDF("key", "identity"))
+    val listed = eng.list("main").collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(listed("k000001") === "STAGED2" && !listed.contains("k000002"))
+    val ud = eng.diffUncommitted("main")
+      .select("key", "diff_type").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(ud === Set(("k000001", "changed"), ("k000002", "removed")))
+  }
+
+  test("engine revert and cherry-pick") {
+    import spark.implicits._
+    val dir = tmpDir("revert")
+    val eng = new Engine(spark, dir, raggedness = 100)
+    val c1 = eng.init("main", Some(rows(30)))
+    eng.stage("main", Seq(("k000003", "EDITED"), ("knew", "ADDED")).toDF("key", "identity"))
+    val c2 = eng.commit("main", "t", "edit")
+    eng.revert("main", c2.commitId, "t")
+    val after = eng.list("main").collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(after("k000003") === "id3" && !after.contains("knew"))
+
+    // cherry-pick c2's patch onto a branch cut from c1
+    eng.createBranch("pick", c1.commitId)
+    eng.cherryPick("pick", c2.commitId, "t")
+    val picked = eng.list("pick").collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(picked("k000003") === "EDITED" && picked("knew") === "ADDED")
+  }
+
+  test("engine point get uses interval pruning") {
+    import spark.implicits._
+    val dir = tmpDir("get")
+    val eng = new Engine(spark, dir, raggedness = 50)
+    eng.init("main", Some(rows(500)))
+    assert(eng.get("main", "k000123").map(_.getString(1)) === Some("id123"))
+    assert(eng.get("main", "nope") === None)
+  }
+
+  test("gc mark finds unreferenced ranges") {
+    import spark.implicits._
+    val dir = tmpDir("gc")
+    val eng = new Engine(spark, dir, raggedness = 100)
+    eng.init("main", Some(rows(200)))
+    eng.stage("main", Seq(("k000001", "X")).toDF("key", "identity"))
+    eng.commit("main", "t", "c2")
+    assert(eng.gcMark().count() === 0) // every range still reachable
+    // orphan a range by writing a snapshot nobody references
+    new SnapshotStore(spark, dir, 100).writeSnapshot(rows(10, salt = "junk"))
+    assert(eng.gcMark().count() > 0)
+  }
+}
