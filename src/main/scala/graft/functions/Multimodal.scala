@@ -1,0 +1,68 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Multimodal column plumbing: image/audio/video as opaque `binary` payloads
+ * with typed metadata, plus decode / feature-extraction / frame-sampling
+ * stages.
+ *
+ * The Spark-side contract (schema, partitioning, batch shape) is real; the
+ * codec itself is STUBBED — this container ships no image/audio libraries —
+ * as a deterministic transform of the bytes (documented below), so the
+ * pipeline is testable end-to-end and a real decoder drops in by replacing
+ * [[stubDecode]] only.
+ *
+ * At scale the binary column rides normal Parquet pages; decode runs inside
+ * whole-stage codegen (pure expressions) or, for a real codec, a
+ * `mapPartitions` stage over batches of rows — either way partitioned by the
+ * storage layout with no shuffle.
+ */
+object Multimodal {
+
+  /** Media row schema: (media_id, payload binary, media_type, metadata). */
+  def asMedia(df: DataFrame, idCol: Column, payload: Column, mediaType: String): DataFrame =
+    df.select(
+      idCol.as("media_id"),
+      payload.cast("binary").as("payload"),
+      lit(mediaType).as("media_type"),
+      struct(
+        length(payload.cast("binary")).cast("long").as("n_bytes"),
+        sha2(payload.cast("binary"), 256).as("checksum")).as("metadata"))
+
+  /**
+   * STUB decoder: stands in for an image/audio decode. Deterministic fake:
+   * "dimensions" derive from the payload checksum, "features" are the code
+   * points of the first 8 decoded characters. Replace with a real codec via
+   * `mapPartitions` in production — the schema contract stays identical.
+   */
+  def stubDecode(media: DataFrame): DataFrame = {
+    val decoded = col("payload").cast("string")
+    media
+      .withColumn("width", conv(substring(col("metadata.checksum"), 1, 4), 16, 10)
+        .cast("long") % 1920 + 1)
+      .withColumn("height", conv(substring(col("metadata.checksum"), 5, 4), 16, 10)
+        .cast("long") % 1080 + 1)
+      .withColumn("features",
+        transform(sequence(lit(1), greatest(least(lit(8), length(decoded)), lit(1))),
+          i => ascii(substring(decoded, i, lit(1)))))
+  }
+
+  /** Frame/window sampling: every `stride`-th byte-block as a "frame". */
+  def sampleFrames(media: DataFrame, blockSize: Int, stride: Int): DataFrame =
+    media.withColumn("frames",
+      transform(
+        sequence(lit(0),
+          greatest((length(col("payload")) / (blockSize * stride)).cast("int") - 1, lit(0))),
+        i => substring(col("payload"), (i * blockSize * stride + 1).cast("int"), lit(blockSize))))
+
+  /** Feature summary per media type (the "embed then aggregate" shape). */
+  def featureStats(decoded: DataFrame): DataFrame =
+    decoded.groupBy("media_type")
+      .agg(
+        count(lit(1)).as("n_media"),
+        sum(col("metadata.n_bytes")).as("total_bytes"),
+        avg(col("width")).as("avg_width"),
+        avg(col("height")).as("avg_height"))
+}

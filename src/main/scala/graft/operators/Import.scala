@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Import overlay (SURVEY.md §2.3 J10; reference `Graveler.Import`
+ * `pkg/graveler/graveler.go:3286-3409`, `SkipPrefixIterator`
+ * `pkg/graveler/committed/skip_prefix_iterator.go:15-153`).
+ *
+ * Importing an external key set under a list of prefixes completely replaces
+ * the destination's content under those prefixes: destination keys under any
+ * imported prefix are masked out, then the imported rows union in.
+ *
+ * Scale: the mask is a disjunction of sargable range predicates (one per
+ * prefix — prefixes are few), so Catalyst pushes it to the scan; no join, no
+ * shuffle beyond the subsequent snapshot write.
+ */
+object Import {
+
+  private def underAnyPrefix(keyCol: Column, prefixes: Seq[String]): Column =
+    prefixes.map { p =>
+      Listing.upperBound(p) match {
+        case Some(ub) => keyCol >= p && keyCol < ub
+        case None     => keyCol >= p
+      }
+    }.reduce(_ || _)
+
+  /** dest with everything under `prefixes` replaced by `imported` (whose
+    * keys must all live under those prefixes — enforced). */
+  def overlay(dest: DataFrame, imported: DataFrame, prefixes: Seq[String]): DataFrame = {
+    require(prefixes.nonEmpty, "import requires at least one prefix")
+    val masked = dest.where(!underAnyPrefix(col("key"), prefixes))
+    masked.unionByName(
+      imported.where(underAnyPrefix(col("key"), prefixes)),
+      allowMissingColumns = false)
+  }
+
+  /**
+   * Import-source adapter (S5): turn an object-store-style listing
+   * (full_key, etag, mtime, size) into engine rows — identity from
+   * (etag, size), the entry-identity recipe of `pkg/catalog/entry.go:21-38`.
+   */
+  def fromListing(listing: DataFrame, keyCol: String = "full_key"): DataFrame =
+    listing.select(
+      col(keyCol).as("key"),
+      sha2(concat_ws("|", col("etag"), col("size")), 256).as("identity"))
+}

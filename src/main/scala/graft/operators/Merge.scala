@@ -97,4 +97,30 @@ object Merge {
     }: _*)
     (applyChanges(base, winning), conflicts)
   }
+
+  /**
+   * J4 variant: three-way merge with a per-row conflict resolver — the
+   * Spark shape of the reference's `ConflictResolver` chain
+   * (`graveler.go:142-145`, `merge.go:304-326`). `pickSource` is a boolean
+   * Column evaluated on each conflicting key over columns `key`,
+   * `s_identity`/`d_identity` and `s_<payload>`/`d_<payload>`; true takes
+   * the source side. Non-conflicting keys merge as usual.
+   */
+  def threeWayResolve(
+      base: DataFrame,
+      source: DataFrame,
+      dest: DataFrame,
+      pickSourceOnConflict: org.apache.spark.sql.Column): DataFrame = {
+    val payload = base.columns.filterNot(_ == "key").toSeq
+    val j = delta(base, source, "s").join(delta(base, dest, "d"), Seq("key"), "full_outer")
+    val bothChanged = col("__in_s").isNotNull && col("__in_d").isNotNull
+    val conflictRow = bothChanged && !(col("s_identity") <=> col("d_identity"))
+    val pickSource =
+      when(conflictRow, pickSourceOnConflict)
+        .otherwise(col("__in_s").isNotNull)
+    val winning = j.select(col("key") +: payload.map { p =>
+      when(pickSource, col(s"s_$p")).otherwise(col(s"d_$p")).as(p)
+    }: _*)
+    applyChanges(base, winning)
+  }
 }

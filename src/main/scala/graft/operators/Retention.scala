@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+import scala.collection.mutable
+
+/**
+ * GC retention: the active-commit set (SURVEY.md §2.12 G3; reference
+ * `GetGarbageCollectionCommits` `pkg/graveler/retention/active_commits.go:133-277`).
+ *
+ * From every branch head, walk the first-parent chain; a commit is ACTIVE if
+ * it is newer than the branch's retention cutoff, or is the first commit at
+ * or beyond the cutoff (the "last fully retained" snapshot the branch can
+ * still revert to). Everything older is EXPIRED. A commit reached by several
+ * branches is active if ANY branch retains it.
+ *
+ * Commit graphs are metadata-scale, so the walk is driver-side — like the
+ * reference — and the result feeds the S7 commits CSV sink.
+ */
+object Retention {
+
+  /**
+   * @param commits   (commit_id, parents, creation_date) rows
+   * @param branches  branch head commit id -> retention cutoff (unix secs;
+   *                  commits with creation_date >= cutoff are retained)
+   * @return (commit_id, expired) rows covering every commit reached from any
+   *         head via first-parent chains
+   */
+  def activeCommits(
+      spark: SparkSession,
+      commits: DataFrame,
+      branches: Map[String, Long]): DataFrame = {
+    val byId = commits.select("commit_id", "parents", "creation_date").collect()
+      .map { r =>
+        val id = r.get(0).toString
+        (id, (r.getSeq[Any](1).map(_.toString), r.getLong(2)))
+      }.toMap
+
+    // commit -> expired? A commit is expired only if EVERY branch expires it.
+    val expired = mutable.Map[String, Boolean]()
+    branches.foreach { case (head, cutoff) =>
+      var cur: Option[String] = Some(head)
+      var sawBeyond = false
+      while (cur.isDefined && byId.contains(cur.get)) {
+        val id = cur.get
+        val (parents, created) = byId(id)
+        val retained = created >= cutoff || !sawBeyond
+        if (created < cutoff) sawBeyond = true
+        val thisExpired = !retained
+        expired(id) = expired.getOrElse(id, true) && thisExpired
+        cur = parents.headOption
+      }
+    }
+    val schema = StructType(Seq(
+      StructField("commit_id", StringType),
+      StructField("expired", BooleanType)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        expired.toSeq.sortBy(_._1).map { case (id, e) => Row(id, e) }, 1),
+      schema)
+  }
+}

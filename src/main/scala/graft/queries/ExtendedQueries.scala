@@ -1,0 +1,125 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.fixtures.Fixtures
+import graft.functions.Multimodal
+import graft.operators.{Import, Retention}
+
+/**
+ * Extended operator queries: import overlay (J10), GC retention (G3), and
+ * the multimodal column pipeline — each with an exact DuckDB oracle.
+ */
+object ExtendedQueries {
+
+  type QueryFn = (SparkSession, String) => DataFrame
+
+  /** DuckDB twin of Fixtures.pathKeyed (dedup'd lineitem with path keys). */
+  private val pathPrelude = """
+    WITH L AS (
+      SELECT k, min(qty) AS qty, min(price_c) AS price_c, min(rf) AS rf, min(ls) AS ls
+      FROM (
+        SELECT l_orderkey*10 + l_linenumber AS k,
+               CAST(l_quantity AS BIGINT) AS qty,
+               CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT) AS price_c,
+               l_returnflag AS rf, l_linestatus AS ls
+        FROM lineitem
+      ) GROUP BY k
+    ), pathed AS (
+      SELECT concat_ws('/', rf, ls, lpad(CAST(k AS VARCHAR),12,'0')) AS key,
+             sha256(concat_ws('|', lpad(CAST(k AS VARCHAR),12,'0'),
+               CAST(qty AS VARCHAR), CAST(price_c AS VARCHAR), rf, ls)) AS identity
+      FROM L
+    )"""
+
+  val defs: Map[String, (QueryFn, Option[String])] = Map(
+
+    // J10: imported listing replaces all destination content under 'R/F/'.
+    "vc_import_overlay" -> (((s: SparkSession, d: String) => {
+      val dest = Fixtures.pathKeyed(s, d).select("key", "identity")
+      val listing = Fixtures.orders(s, d).select(
+        concat(lit("R/F/"), lpad(col("o_orderkey").cast("string"), 10, "0")).as("full_key"),
+        concat(lit("etag-"), col("o_orderkey")).as("etag"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("size"))
+      val imported = Import.fromListing(listing)
+      Import.overlay(dest, imported, Seq("R/F/")).orderBy("key")
+    }),
+      Some(s"""$pathPrelude
+        SELECT key, identity FROM pathed WHERE key NOT LIKE 'R/F/%'
+        UNION ALL
+        SELECT 'R/F/' || lpad(CAST(o_orderkey AS VARCHAR),10,'0') AS key,
+               sha256(concat_ws('|', 'etag-' || CAST(o_orderkey AS VARCHAR),
+                 CAST(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS VARCHAR))) AS identity
+        FROM orders
+        ORDER BY key""")),
+
+    // G3: active/expired commit set over the synthetic DAG, two branches
+    // with different retention cutoffs; expired only if expired on ALL
+    // branches that reach it (first-parent chains).
+    "vc_gc_active_commits" -> (((s: SparkSession, d: String) => {
+      val commits = GraphQueries.commitsDf(s)
+      Retention.activeCommits(s, commits,
+        Map(f"${200}%04d" -> (1700000000L + 150 * 60),
+            f"${195}%04d" -> (1700000000L + 120 * 60)))
+        .orderBy("commit_id")
+    }),
+      Some("""
+        WITH RECURSIVE chain AS (
+          SELECT branch, head AS i, cutoff FROM (VALUES
+            ('a', 200, 1700000000 + 150*60),
+            ('b', 195, 1700000000 + 120*60)) t(branch, head, cutoff)
+          UNION ALL
+          SELECT branch, CASE WHEN i%3=0 THEN i-2 ELSE i-1 END, cutoff
+          FROM chain WHERE i > 1
+        ),
+        c AS (SELECT branch, i, 1700000000 + i*60 AS created, cutoff FROM chain),
+        flags AS (
+          SELECT branch, i,
+                 created < cutoff AND created <> (
+                   SELECT max(created) FROM c c2
+                   WHERE c2.branch = c.branch AND c2.created < c2.cutoff) AS exp
+          FROM c
+        )
+        SELECT lpad(CAST(i AS VARCHAR),4,'0') AS commit_id, bool_and(exp) AS expired
+        FROM flags GROUP BY i ORDER BY commit_id""")),
+
+    // Multimodal plumbing: binary payload + metadata + stub decode.
+    "mm_media_decode" -> (((s: SparkSession, d: String) => {
+      val media = Multimodal.asMedia(
+        Fixtures.documents(s, d), col("doc_id"), encode(col("text"), "UTF-8"), "image")
+      Multimodal.stubDecode(media)
+        .select(col("media_id"), col("metadata.n_bytes").as("n_bytes"),
+          col("metadata.checksum").as("checksum"),
+          col("width"), col("height"), col("features"))
+        .orderBy("media_id")
+    }),
+      Some("""
+        SELECT doc_id AS media_id,
+               CAST(length(text) AS BIGINT) AS n_bytes,
+               sha256(text) AS checksum,
+               ('0x' || substr(sha256(text),1,4))::BIGINT % 1920 + 1 AS width,
+               ('0x' || substr(sha256(text),5,4))::BIGINT % 1080 + 1 AS height,
+               list_transform(generate_series(1, greatest(least(8, length(text)), 1)),
+                 i -> ascii(substr(text, CAST(i AS INT), 1))) AS features
+        FROM documents ORDER BY media_id""")),
+
+    // Multimodal aggregation: per-type feature stats.
+    "mm_feature_stats" -> (((s: SparkSession, d: String) => {
+      val media = Multimodal.asMedia(
+        Fixtures.documents(s, d), col("doc_id"), encode(col("text"), "UTF-8"), "image")
+      Multimodal.featureStats(Multimodal.stubDecode(media))
+    }),
+      Some("""
+        WITH m AS (
+          SELECT CAST(length(text) AS BIGINT) AS n_bytes,
+                 ('0x' || substr(sha256(text),1,4))::BIGINT % 1920 + 1 AS width,
+                 ('0x' || substr(sha256(text),5,4))::BIGINT % 1080 + 1 AS height
+          FROM documents
+        )
+        SELECT 'image' AS media_type, count(*) AS n_media,
+               CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+               CAST(sum(width) AS DOUBLE) / count(*) AS avg_width,
+               CAST(sum(height) AS DOUBLE) / count(*) AS avg_height
+        FROM m"""))
+  )
+}

@@ -1,0 +1,53 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+
+/**
+ * GC interchange sinks (SURVEY.md §2.1 S7/S8/S9; shapes from FIXTURES.md
+ * §A.7, reference `pkg/graveler/retention/garbage_collection_manager.go:176-233`,
+ * `pkg/catalog/gc_write_uncommitted.go:14-110`,
+ * `clients/spark/.../GarbageCollection.scala:278-367`).
+ */
+object GcSinks {
+
+  /** S7: commits CSV — header `commit_id,expired,metarange_id`, written under
+    * `_lakefs`-style run layout `<root>/retention/gc/commits/run_id=<id>/`. */
+  def writeCommitsCsv(commits: DataFrame, root: String, runId: String): String = {
+    val path = s"$root/retention/gc/commits/run_id=$runId"
+    commits.select("commit_id", "expired", "metarange_id")
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
+    path
+  }
+
+  /** S8: uncommitted physical addresses as gzip parquet
+    * (physical_address string, creation_date long). */
+  def writeUncommitted(uncommitted: DataFrame, root: String, runId: String): String = {
+    val path = s"$root/retention/gc/uncommitted/run_id=$runId"
+    uncommitted.select(
+        col("physical_address").cast("string"),
+        col("creation_date").cast("long"))
+      .write.mode(SaveMode.Overwrite).option("compression", "gzip").parquet(path)
+    path
+  }
+
+  /** S9: GC report — deleted addresses parquet + text + JSON summary. */
+  def writeReports(deleted: DataFrame, root: String, runId: String,
+      startTimeSecs: Long, cutoffSecs: Long): String = {
+    val base = s"$root/retention/gc/reports/run_id=$runId"
+    deleted.select("address")
+      .write.mode(SaveMode.Overwrite).parquet(s"$base/deleted")
+    deleted.select("address")
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite).text(s"$base/deleted.text")
+    val n = deleted.count()
+    val summary =
+      s"""{"run_id":"$runId","success":true,"first_slice":"","start_time":$startTimeSecs,"cutoff_time":$cutoffSecs,"num_deleted_objects":$n}"""
+    val conf = deleted.sparkSession.sparkContext.hadoopConfiguration
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(base), conf)
+    val out = fs.create(new org.apache.hadoop.fs.Path(s"$base/summary.json"), true)
+    out.write(summary.getBytes("UTF-8")); out.close()
+    base
+  }
+}

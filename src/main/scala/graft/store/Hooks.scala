@@ -1,0 +1,56 @@
+package graft.store
+
+import scala.collection.mutable
+
+/**
+ * Hook/action surface (SURVEY.md §2.9 T5, §2.10; reference
+ * `pkg/graveler/hooks_handler.go:16-32`, runner package `pkg/actions`).
+ *
+ * Pre-hooks run before the branch pointer moves and abort the operation by
+ * throwing (the reference's pre-commit/pre-merge semantics); post-hooks run
+ * after and are best-effort. Executors are plain Scala functions — the
+ * engine-side analogue of the reference's webhook/Lua executors.
+ */
+object Hooks {
+
+  sealed trait EventType
+  case object PreCommit extends EventType
+  case object PostCommit extends EventType
+  case object PreMerge extends EventType
+  case object PostMerge extends EventType
+  case object PreCreateBranch extends EventType
+  case object PostCreateBranch extends EventType
+
+  /** What a hook sees: repo, branch, source ref (merges), commit metadata. */
+  case class HookEvent(
+      eventType: EventType,
+      repoDir: String,
+      branch: String,
+      sourceRef: Option[String],
+      committer: String,
+      message: String)
+
+  type Hook = HookEvent => Unit
+}
+
+/** Per-engine hook registry. */
+class HookRegistry {
+  import Hooks._
+  private val hooks = mutable.Map[EventType, mutable.ArrayBuffer[Hook]]()
+
+  def register(on: EventType)(h: Hook): Unit =
+    hooks.getOrElseUpdate(on, mutable.ArrayBuffer.empty) += h
+
+  /** Runs every hook for the event; pre-hooks propagate exceptions (abort),
+    * post-hooks must not fail the operation. */
+  def fire(event: HookEvent): Unit = {
+    val isPre = event.eventType match {
+      case PreCommit | PreMerge | PreCreateBranch => true
+      case _ => false
+    }
+    hooks.getOrElse(event.eventType, Nil).foreach { h =>
+      if (isPre) h(event)
+      else try h(event) catch { case _: Throwable => () }
+    }
+  }
+}

@@ -207,17 +207,21 @@ object SnapshotStore {
    */
   private[store] def withGlobalPrefixSum(df: DataFrame, inCol: String, outCol: String): DataFrame = {
     val spark = df.sparkSession
-    val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val counts = cached.select(col(inCol)).rdd
+    // One materialization reused by both passes (per-partition totals, then
+    // the offset-adding map). Released by Spark's ContextCleaner once the
+    // caller drops the returned DataFrame (the caller persists the result
+    // and unpersists it when done).
+    val rddCached = df.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val idx = df.schema.fieldIndex(inCol)
+    val counts = rddCached
       .mapPartitionsWithIndex { (i, it) =>
-        Iterator.single(i -> it.map(_.getLong(0)).sum)
+        Iterator.single(i -> it.map(_.getLong(idx)).sum)
       }.collect().toMap
-    val nParts = math.max(cached.rdd.getNumPartitions, 1)
+    val nParts = math.max(rddCached.getNumPartitions, 1)
     val offsets = (0 until nParts).scanLeft(0L)((acc, i) => acc + counts.getOrElse(i, 0L)).toArray
     val bc = spark.sparkContext.broadcast(offsets)
-    val idx = df.schema.fieldIndex(inCol)
     val schema = StructType(df.schema.fields :+ StructField(outCol, LongType, nullable = false))
-    val rdd = cached.rdd.mapPartitionsWithIndex { (i, it) =>
+    val rdd = rddCached.mapPartitionsWithIndex { (i, it) =>
       var running = bc.value(i)
       it.map { row =>
         running += row.getLong(idx)

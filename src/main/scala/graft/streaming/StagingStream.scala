@@ -1,0 +1,69 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.store.Engine
+
+/**
+ * Structured-Streaming staging ingest (SURVEY.md §2.9 T1/T2/T6/A6).
+ *
+ * The reference's staging write path is a KV stream of Set/Delete ops into
+ * the current staging token (`graveler.go:1866-2070`); commits seal the
+ * token and drain it (T2). Here each micro-batch appends one staging epoch
+ * — the epoch column IS the seal barrier, so a concurrent commit simply
+ * snapshots the epochs that exist; in-flight batches land in later epochs
+ * and are never half-read (same guarantee the token swap gives).
+ *
+ * The delete sensor (T6, `pkg/graveler/delete_sensor.go:14-136`) counts
+ * tombstones per batch and triggers the compaction callback past a
+ * threshold, like the reference's per-branch counter.
+ */
+object StagingStream {
+
+  /**
+   * Ingest a stream of change rows (key, identity-or-null, payload...) into
+   * a branch's staging area, one epoch per micro-batch.
+   *
+   * @param onDeleteThreshold (branch, tombstonesSeen) callback fired when
+   *        accumulated tombstones exceed `deleteThreshold` (then the counter
+   *        resets — the reference's delete-sensor contract)
+   */
+  def ingest(
+      engine: Engine,
+      branch: String,
+      changes: DataFrame,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow(),
+      deleteThreshold: Long = Long.MaxValue,
+      onDeleteThreshold: (String, Long) => Unit = (_, _) => ()): StreamingQuery = {
+    val tombstonesSeen = new java.util.concurrent.atomic.AtomicLong(0L)
+    changes.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          engine.stage(branch, batch)
+          val dels = batch.where(col("identity").isNull).count()
+          val total = tombstonesSeen.addAndGet(dels)
+          if (total >= deleteThreshold) {
+            tombstonesSeen.set(0L)
+            onDeleteThreshold(branch, total)
+          }
+        }
+        ()
+      }
+      .start()
+  }
+
+  /**
+   * A5 as a stream: per-day/per-type event counts with watermarked event
+   * time — the usage-report aggregation in incremental form.
+   */
+  def usageCounts(events: DataFrame, tsCol: String = "ts"): DataFrame =
+    events
+      .withWatermark(tsCol, "1 day")
+      .groupBy(window(col(tsCol), "1 day").as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+}

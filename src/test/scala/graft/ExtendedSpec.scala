@@ -1,0 +1,135 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.operators.{Import, Merge, Retention}
+import graft.store.{Engine, Hooks}
+import graft.streaming.StagingStream
+
+/** Specs for import overlay, retention, hooks, conflict resolver, GC sinks,
+  * log-with-path, and the streaming staging ingest. */
+class ExtendedSpec extends SparkSpec {
+
+  import graft.core.Model._
+
+  test("J10 import overlay masks dest under prefixes only") {
+    import spark.implicits._
+    val dest = Seq(("a/1", "d1"), ("a/2", "d2"), ("b/1", "d3")).toDF("key", "identity")
+    val imp = Seq(("a/9", "i1"), ("c/0", "i2")).toDF("key", "identity")
+    val out = Import.overlay(dest, imp, Seq("a/"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    // everything under a/ replaced; import rows outside the prefixes dropped
+    assert(out === Map("a/9" -> "i1", "b/1" -> "d3"))
+  }
+
+  test("G3 retention: newest-first chain with first-beyond retained") {
+    import spark.implicits._
+    // chain 5 <- 4 <- 3 <- 2 <- 1, creation dates 50,40,30,20,10; cutoff 35:
+    // 5,4 active (>=35), 3 is the first beyond (retained), 2,1 expired.
+    val commits = Seq(
+      ("c5", Seq("c4"), 50L), ("c4", Seq("c3"), 40L), ("c3", Seq("c2"), 30L),
+      ("c2", Seq("c1"), 20L), ("c1", Seq.empty[String], 10L)
+    ).toDF("commit_id", "parents", "creation_date")
+    val out = Retention.activeCommits(spark, commits, Map("c5" -> 35L))
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(out === Map("c5" -> false, "c4" -> false, "c3" -> false,
+      "c2" -> true, "c1" -> true))
+    // a second branch with a looser cutoff rescues c2
+    val out2 = Retention.activeCommits(spark, commits, Map("c5" -> 35L, "c2" -> 15L))
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(out2("c2") === false && out2("c1") === false) // c1 = first beyond for branch 2
+  }
+
+  test("J4 conflict resolver picks per-row") {
+    import spark.implicits._
+    val base = Seq(("a", "1"), ("b", "2")).toDF("key", "identity")
+    val src  = Seq(("a", "s9"), ("b", "s8")).toDF("key", "identity")
+    val dst  = Seq(("a", "d7"), ("b", "d6")).toDF("key", "identity")
+    // resolver: source wins only for key 'a'
+    val out = Merge.threeWayResolve(base, src, dst, col("key") === "a")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out === Map("a" -> "s9", "b" -> "d6"))
+  }
+
+  test("T5 hooks: pre-commit aborts, post fires after success") {
+    import spark.implicits._
+    val eng = new Engine(spark, tmpDir("hooks"), raggedness = 100)
+    eng.init("main", Some(Seq(("k1", "v1")).toDF("key", "identity")))
+    var post = 0
+    eng.hooks.register(Hooks.PostCommit)(_ => post += 1)
+    eng.hooks.register(Hooks.PreCommit) { e =>
+      if (e.message.contains("forbidden")) sys.error("blocked by hook")
+    }
+    eng.stage("main", Seq(("k2", "v2")).toDF("key", "identity"))
+    intercept[RuntimeException] { eng.commit("main", "t", "forbidden change") }
+    assert(post === 0)
+    eng.commit("main", "t", "fine")
+    assert(post === 1)
+  }
+
+  test("J11 log-with-path finds only commits touching the key") {
+    import spark.implicits._
+    val eng = new Engine(spark, tmpDir("logpath"), raggedness = 100)
+    eng.init("main", Some((1 to 50).map(i => (f"k$i%03d", s"v$i")).toDF("key", "identity")))
+    eng.stage("main", Seq(("k010", "CHANGED")).toDF("key", "identity"))
+    val c2 = eng.commit("main", "t", "touch k010")
+    eng.stage("main", Seq(("k020", "OTHER")).toDF("key", "identity"))
+    eng.commit("main", "t", "touch k020")
+    val touching = eng.logWithPath("main", "k010").map(_.commitId)
+    assert(touching.contains(c2.commitId))
+    assert(!touching.exists(id => refs(eng, id).message.contains("k020")))
+    // root commit introduced the key
+    assert(eng.logWithPath("main", "k010").size === 2) // init + c2
+  }
+
+  private def refs(eng: Engine, id: String) = eng.refs.getCommit(id).get
+
+  test("S7-S9 GC sinks write the interchange shapes") {
+    import spark.implicits._
+    val root = tmpDir("sinks")
+    val commits = Seq(("c1", false, "m1"), ("c2", true, "m2"))
+      .toDF("commit_id", "expired", "metarange_id")
+    val csvPath = graft.sources.GcSinks.writeCommitsCsv(commits, root, "run1")
+    val back = spark.read.option("header", "true").csv(csvPath)
+    assert(back.columns.toSeq === Seq("commit_id", "expired", "metarange_id"))
+    assert(back.count() === 2)
+
+    val unc = Seq(("s3://b/obj1", 1700000000L)).toDF("physical_address", "creation_date")
+    val uncPath = graft.sources.GcSinks.writeUncommitted(unc, root, "run1")
+    assert(spark.read.parquet(uncPath).count() === 1)
+
+    val deleted = Seq("addr1", "addr2", "addr3").toDF("address")
+    val repPath = graft.sources.GcSinks.writeReports(deleted, root, "run1", 100L, 90L)
+    assert(spark.read.parquet(s"$repPath/deleted").count() === 3)
+    val summary = scala.io.Source.fromFile(
+      new java.io.File(s"$repPath/summary.json".replace("file:", ""))).mkString
+    assert(summary.contains("\"num_deleted_objects\":3"))
+  }
+
+  test("T1/T6 streaming staging ingest with delete sensor") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val eng = new Engine(spark, tmpDir("stream"), raggedness = 100)
+    eng.init("main", Some(Seq(("k1", "v1"), ("k2", "v2")).toDF("key", "identity")))
+
+    var sensorFired = Seq.empty[(String, Long)]
+    val mem = MemoryStream[(String, String)]
+    val q = StagingStream.ingest(
+      eng, "main",
+      mem.toDF().toDF("key", "identity"),
+      checkpointDir = tmpDir("ckpt"),
+      trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+      deleteThreshold = 2,
+      onDeleteThreshold = (b, n) => sensorFired :+= (b, n))
+    mem.addData(("k1", "v1b"), ("k2", null.asInstanceOf[String]),
+      ("k3", null.asInstanceOf[String]), ("k4", "v4"))
+    q.awaitTermination(60000)
+
+    // staged rows visible through the branch listing
+    val listed = eng.list("main").collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(listed === Map("k1" -> "v1b", "k4" -> "v4"))
+    assert(sensorFired.nonEmpty && sensorFired.head._2 >= 2)
+    val c = eng.commit("main", "t", "from stream")
+    assert(eng.list("main").count() === 2)
+  }
+}
