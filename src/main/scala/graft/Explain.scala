@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.fixtures.Fixtures
+import graft.operators._
+
+/**
+ * Plan-inspection utility: prints formatted physical plans for the hot
+ * operators plus timings of bare-Spark equivalents (the BASELINE.md 2×
+ * comparison). Not part of the driver contract — a development tool.
+ */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def time[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[time] $name%-28s ${(System.nanoTime() - t0) / 1e9}%.3f s"); r
+    }
+
+    val what = if (args.isEmpty) "all" else args(0)
+
+    if (what == "all" || what == "prefix") {
+      println("=== P1 prefix filter (expect PushedFilters on key) ===")
+      Listing.prefixFilter(Fixtures.pathKeyed(spark, sfDir), "R/F/")
+        .select("key", "price_c").explain("formatted")
+    }
+    if (what == "all" || what == "diff") {
+      println("=== J1 diff (expect SortMergeJoin FullOuter, WholeStageCodegen) ===")
+      Diff.twoWay(Fixtures.keyedBase(spark, sfDir), Fixtures.keyedRight(spark, sfDir))
+        .explain("formatted")
+    }
+    if (what == "all" || what == "uncommitted") {
+      println("=== J6 uncommitted diff (expect staging side broadcast) ===")
+      val staged = Staging.latestWriteWins(Fixtures.stagingLog(spark, sfDir), "epoch")
+      Staging.uncommittedDiff(staged, Fixtures.keyedBase(spark, sfDir)).explain("formatted")
+    }
+    if (what == "all" || what == "rollup") {
+      println("=== P4 delimiter rollup (expect partial HashAggregate before shuffle) ===")
+      Listing.delimiterRollup(Fixtures.pathKeyed(spark, sfDir), "", "/").explain("formatted")
+    }
+    if (what == "all" || what == "scan") {
+      println("=== S1 raw scan w/ projection (expect 2-col ReadSchema) ===")
+      spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .where(col("l_orderkey") > 100000)
+        .select("l_orderkey", "l_extendedprice").explain("formatted")
+    }
+
+    if (what == "all" || what == "baseline") {
+      println("=== bare-Spark baselines (compare BENCH queries) ===")
+      val base = Fixtures.keyedBase(spark, sfDir).persist()
+      base.count()
+      // bare snapshot write: sorted parquet, no chunking/manifest
+      val out = s"target/baseline_${java.util.UUID.randomUUID()}"
+      time("bare_sorted_write") {
+        base.repartitionByRange(col("key")).sortWithinPartitions("key")
+          .write.parquet(s"$out/snap")
+      }
+      time("bare_diff_fullouter") {
+        Diff.twoWay(base, Fixtures.keyedRight(spark, sfDir)).count()
+      }
+      time("bare_merge3") {
+        val (m, _) = Merge.threeWay(base, Fixtures.keyedSourceClean(spark, sfDir),
+          Fixtures.keyedDestClean(spark, sfDir), graft.core.Model.StrategySourceWins)
+        m.count()
+      }
+      org.apache.hadoop.fs.FileSystem.get(new java.net.URI(out),
+        spark.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(out), true)
+    }
+    spark.stop()
+  }
+}

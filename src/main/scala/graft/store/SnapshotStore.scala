@@ -3,7 +3,6 @@ package graft.store
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, StructField, StructType}
 import graft.core.Model.RangeInfo
 
 /**
@@ -39,8 +38,6 @@ import graft.core.Model.RangeInfo
  */
 class SnapshotStore(val spark: SparkSession, val repoDir: String,
     raggedness: Long = 50000L) {
-
-  import SnapshotStore._
 
   private def rangesDir = s"$repoDir/ranges"
   private def manifestDir(metaRangeId: String) = s"$repoDir/manifests/$metaRangeId"
@@ -125,65 +122,80 @@ class SnapshotStore(val spark: SparkSession, val repoDir: String,
       Seq.empty[(String, String)].toDF("key", "identity")
     } else spark.read.parquet(infos.map(_.path): _*)
 
-  /** Sort by key, assign content-defined ranges, write missing range files,
-    * return the manifest rows. */
+  /**
+   * Assign content-defined ranges and write the missing range files; return
+   * the manifest rows.
+   *
+   * Range boundaries are the "cut keys" — keys hashing to 0 mod raggedness.
+   * The cut set is |df|/raggedness rows (a few hundred per TB at the
+   * reference's 50k raggedness), collected and broadcast; each row finds its
+   * range with a binary search for the greatest cut ≤ key. One columnar
+   * pass for stats, one shuffle (by range id) for the write — no global
+   * sort. (If the cut set ever outgrows broadcast at extreme scale, the
+   * same assignment is expressible as a range join against cut intervals.)
+   */
   private def chunkAndWrite(df: DataFrame): Seq[RangeInfo] = {
-    if (df.isEmpty) return Seq.empty
-    val sorted = df
-      .repartitionByRange(col("key"))
-      .sortWithinPartitions("key")
-      .withColumn("__cut", ((abs(xxhash64(col("key"))) % raggedness) === 0).cast("long"))
-    val chunked = withGlobalPrefixSum(sorted, "__cut", "__chunk").drop("__cut")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      // per-row hash contributions bounded by pmod so the order-independent
-      // sums never overflow ANSI longs (≤ 2^30 per row ⇒ safe to ~2^33 rows
-      // per range — far beyond any real range size)
-      val manifest = chunked
-        .withColumn("__h1", pmod(xxhash64(concat_ws("|", col("key"), col("identity"))), lit(1000000007L)))
-        .withColumn("__h2", pmod(xxhash64(concat_ws("#", col("identity"), col("key"), lit("s2"))), lit(998244353L)))
-        .groupBy("__chunk")
-        .agg(
-          sum("__h1").as("h1"), sum("__h2").as("h2"),
-          min("key").as("min_key"), max("key").as("max_key"),
-          count(lit(1)).as("cnt"),
-          sum(length(col("key")) + coalesce(length(col("identity")), lit(0L))).as("est"))
-        .collect()
-        .map { r =>
-          val rid = f"${r.getAs[Long]("h1")}%016x${r.getAs[Long]("h2")}%016x"
-          (RangeInfo(rid, r.getAs[String]("min_key"), r.getAs[String]("max_key"),
-            r.getAs[Long]("est"), r.getAs[Long]("cnt"), s"$rangesDir/$rid"),
-           r.getAs[Long]("__chunk"))
-        }
-
-      val missing = manifest.filterNot { case (ri, _) => fs.exists(new Path(ri.path)) }
-      if (missing.nonEmpty) {
-        val chunkToRid = missing.map { case (ri, c) => c -> ri.rangeId }.toMap
-        val bc = spark.sparkContext.broadcast(chunkToRid)
-        val mapRid = udf((c: Long) => bc.value.getOrElse(c, null))
-        val stagingPath = s"$rangesDir/__staging_${java.util.UUID.randomUUID()}"
-        chunked
-          .withColumn("__rid", mapRid(col("__chunk")))
-          .where(col("__rid").isNotNull)
-          .drop("__chunk")
-          .repartition(math.max(1, missing.length), col("__rid"))
-          .sortWithinPartitions("__rid", "key")
-          .write.mode(SaveMode.Overwrite)
-          .partitionBy("__rid")
-          .parquet(stagingPath)
-        // move each __rid=<id> partition dir to its content-addressed home
-        val st = new Path(stagingPath)
-        fs.listStatus(st).foreach { sub =>
-          val name = sub.getPath.getName
-          if (name.startsWith("__rid=")) {
-            val dest = new Path(s"$rangesDir/${name.substring("__rid=".length)}")
-            if (!fs.exists(dest)) fs.rename(sub.getPath, dest)
-          }
-        }
-        fs.delete(st, true)
+    val cuts: Array[String] = df.select("key")
+      .where((abs(xxhash64(col("key"))) % raggedness) === 0)
+      .distinct().collect().map(_.getString(0)).sorted
+    val bcCuts = spark.sparkContext.broadcast(cuts)
+    // range index of a key = 1 + (index of greatest cut ≤ key), 0 = head
+    val chunkOf = udf((k: String) => {
+      val a = bcCuts.value
+      var lo = 0; var hi = a.length - 1; var res = 0
+      while (lo <= hi) {
+        val mid = (lo + hi) >>> 1
+        if (a(mid) <= k) { res = mid + 1; lo = mid + 1 } else hi = mid - 1
       }
-      manifest.map(_._1).sortBy(_.minKey).toSeq
-    } finally chunked.unpersist()
+      res
+    })
+
+    // Single pass over the input: shuffle by range index, write one sorted
+    // parquet dir per range under a staging path. Stats and content ids are
+    // then computed from the (compact, columnar) staged files and the dirs
+    // renamed to their content addresses — so the source is scanned once.
+    val stagingPath = s"$rangesDir/__staging_${java.util.UUID.randomUUID()}"
+    df.withColumn("__chunk", chunkOf(col("key")))
+      .repartition(math.max(1, cuts.length + 1), col("__chunk"))
+      .sortWithinPartitions("__chunk", "key")
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("__chunk")
+      .parquet(stagingPath)
+
+    val stagedDirs = fs.listStatus(new Path(stagingPath))
+      .filter(_.getPath.getName.startsWith("__chunk="))
+    if (stagedDirs.isEmpty) { fs.delete(new Path(stagingPath), true); return Seq.empty }
+
+    val staged = spark.read.parquet(stagingPath)
+    // per-row hash contributions bounded by pmod so the order-independent
+    // sums never overflow ANSI longs (≤ 2^30 per row ⇒ safe to ~2^33 rows
+    // per range — far beyond any real range size)
+    val manifest = staged
+      .withColumn("__h1", pmod(xxhash64(concat_ws("|", col("key"), col("identity"))), lit(1000000007L)))
+      .withColumn("__h2", pmod(xxhash64(concat_ws("#", col("identity"), col("key"), lit("s2"))), lit(998244353L)))
+      .groupBy("__chunk")
+      .agg(
+        sum("__h1").as("h1"), sum("__h2").as("h2"),
+        min("key").as("min_key"), max("key").as("max_key"),
+        count(lit(1)).as("cnt"),
+        sum(length(col("key")) + coalesce(length(col("identity")), lit(0L))).as("est"))
+      .collect()
+      .map { r =>
+        val rid = f"${r.getAs[Long]("h1")}%016x${r.getAs[Long]("h2")}%016x"
+        (RangeInfo(rid, r.getAs[String]("min_key"), r.getAs[String]("max_key"),
+          r.getAs[Long]("est"), r.getAs[Long]("cnt"), s"$rangesDir/$rid"),
+         r.getAs[Int]("__chunk"))
+      }
+
+    // move staged dirs to their content addresses (drop already-present ones
+    // — content addressing makes rewrites idempotent)
+    manifest.foreach { case (ri, chunkIdx) =>
+      val src = new Path(s"$stagingPath/__chunk=$chunkIdx")
+      val dest = new Path(ri.path)
+      if (!fs.exists(dest)) fs.rename(src, dest)
+    }
+    fs.delete(new Path(stagingPath), true)
+    manifest.map(_._1).sortBy(_.minKey).toSeq
   }
 
   private def writeManifest(metaRangeId: String, infos: Seq[RangeInfo]): Unit = {
@@ -195,39 +207,4 @@ class SnapshotStore(val spark: SparkSession, val repoDir: String,
 
   private def metaRangeIdOf(infos: Seq[RangeInfo]): String =
     graft.core.Identity.sha256Hex(infos.map(_.rangeId).mkString(","))
-}
-
-object SnapshotStore {
-
-  /**
-   * Global running sum of a long column over an already range-partitioned,
-   * partition-sorted DataFrame. Two passes: per-partition totals (tiny
-   * collect) then a mapPartitions adding each partition's offset — no extra
-   * shuffle, works at any partition count.
-   */
-  private[store] def withGlobalPrefixSum(df: DataFrame, inCol: String, outCol: String): DataFrame = {
-    val spark = df.sparkSession
-    // One materialization reused by both passes (per-partition totals, then
-    // the offset-adding map). Released by Spark's ContextCleaner once the
-    // caller drops the returned DataFrame (the caller persists the result
-    // and unpersists it when done).
-    val rddCached = df.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val idx = df.schema.fieldIndex(inCol)
-    val counts = rddCached
-      .mapPartitionsWithIndex { (i, it) =>
-        Iterator.single(i -> it.map(_.getLong(idx)).sum)
-      }.collect().toMap
-    val nParts = math.max(rddCached.getNumPartitions, 1)
-    val offsets = (0 until nParts).scanLeft(0L)((acc, i) => acc + counts.getOrElse(i, 0L)).toArray
-    val bc = spark.sparkContext.broadcast(offsets)
-    val schema = StructType(df.schema.fields :+ StructField(outCol, LongType, nullable = false))
-    val rdd = rddCached.mapPartitionsWithIndex { (i, it) =>
-      var running = bc.value(i)
-      it.map { row =>
-        running += row.getLong(idx)
-        org.apache.spark.sql.Row.fromSeq(row.toSeq :+ running)
-      }
-    }
-    spark.createDataFrame(rdd, schema)
-  }
 }
