@@ -53,6 +53,23 @@ object TextQueries {
         SELECT doc_id, len(toks) AS n_tokens, len(list_distinct(toks)) AS n_distinct
         FROM docs ORDER BY doc_id""")),
 
+    // BPE-ish subword counting: letter runs, digit runs, and single
+    // punctuation as separate tokens (the regex-pretokenizer shape GPT-style
+    // BPEs use before merges).
+    "td_regex_tokens" -> (((s: SparkSession, d: String) =>
+      Fixtures.documents(s, d).selectExpr(
+        "doc_id",
+        "CAST(size(regexp_extract_all(text, '[A-Za-z]+', 0)) AS BIGINT) AS n_word",
+        "CAST(size(regexp_extract_all(text, '[0-9]+', 0)) AS BIGINT) AS n_num",
+        "CAST(size(regexp_extract_all(text, '[^A-Za-z0-9 ]', 0)) AS BIGINT) AS n_punct")
+        .orderBy("doc_id")),
+      Some("""
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT) AS n_word,
+               CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_num,
+               CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS BIGINT) AS n_punct
+        FROM documents ORDER BY doc_id""")),
+
     // Quality scoring: char/token counts, type-token ratio, stopword ratio.
     "td_quality" -> (((s: SparkSession, d: String) =>
       Fixtures.documents(s, d).select(

@@ -1,0 +1,48 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/**
+ * Object-store walker (SURVEY.md §2.1 S5; reference `Walker.Walk`
+ * `pkg/block/walker.go:10-44`, parallel lister
+ * `clients/spark/.../DataLister.scala`): stream a storage listing
+ * `{full_key, etag, mtime, size}` after a marker, as a DataFrame.
+ *
+ * Driver lists directories (metadata operation); entries become a
+ * distributed DataFrame for the import/GC joins. Works on any Hadoop
+ * FileSystem scheme (file://, s3a://, abfss://, gs://) — at cloud scale
+ * the recursive `listFiles` call is the same bulk-listing API the
+ * reference's parallel lister uses.
+ */
+object Walker {
+
+  val schema: StructType = StructType(Seq(
+    StructField("full_key", StringType, nullable = false),
+    StructField("etag", StringType),
+    StructField("mtime", LongType),
+    StructField("size", LongType)))
+
+  /** List all files under `root` (recursive), keys relative to `root`,
+    * filtered to keys strictly after `marker` (exclusive, P2 pagination). */
+  def walk(spark: SparkSession, root: String, marker: String = ""): DataFrame = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
+    val rootPath = fs.makeQualified(new Path(root))
+    val prefix = rootPath.toString.stripSuffix("/") + "/"
+    val out = scala.collection.mutable.ArrayBuffer[Row]()
+    val it = fs.listFiles(rootPath, true)
+    while (it.hasNext) {
+      val st = it.next()
+      val rel = st.getPath.toString.stripPrefix(prefix)
+      if (rel > marker)
+        // etag stands in for the store's content hash: (len, mtime) derived —
+        // deterministic and cheap, like S3's multipart etags are in practice
+        out += Row(rel, f"${st.getLen}%x-${st.getModificationTime}%x",
+          st.getModificationTime, st.getLen)
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(out.toSeq.sortBy(_.getString(0)), 1), schema)
+  }
+}

@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.core.Model._
+import graft.operators.{Diff, Merge, Staging}
+
+/**
+ * Property-based operator laws (SURVEY.md §5: "merge associativity/
+ * idempotence properties (commit∘diff round-trip, merge(base,x,x)=x,
+ * diff(a,a)=∅)"), over small random snapshots.
+ *
+ * Uses ScalaCheck generators with fixed seeds (no scalatestplus bridge in
+ * the offline cache): deterministic, replayable cases.
+ */
+class PropertySpec extends SparkSpec {
+
+  private val keyGen = Gen.chooseNum(0, 40).map(i => f"k$i%03d")
+  private val snapGen: Gen[Map[String, String]] =
+    Gen.mapOf(Gen.zip(keyGen, Gen.alphaNumStr.map(s => "v" + s.take(5))))
+
+  /** n deterministic samples of a generator. */
+  private def samples[T](g: Gen[T], n: Int): Seq[T] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  private def df(m: Map[String, String]): DataFrame = {
+    import spark.implicits._
+    m.toSeq.toDF("key", "identity")
+  }
+
+  private def asMap(d: DataFrame): Map[String, String] =
+    d.select("key", "identity").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+
+  private val N = 8
+
+  test("diff(a, a) is empty") {
+    samples(snapGen, N).foreach { a =>
+      assert(Diff.twoWay(df(a), df(a)).count() === 0, s"case: $a")
+    }
+  }
+
+  test("merge(base, x, x) = x without conflicts") {
+    samples(Gen.zip(snapGen, snapGen), N).foreach { case (base, x) =>
+      val (merged, conflicts) = Merge.threeWay(df(base), df(x), df(x), StrategyNone)
+      assert(conflicts.count() === 0, s"case: $base / $x")
+      assert(asMap(merged) === x, s"case: $base / $x")
+    }
+  }
+
+  test("merge with an unchanged side yields the other side") {
+    samples(Gen.zip(snapGen, snapGen), N).foreach { case (base, y) =>
+      val (m1, c1) = Merge.threeWay(df(base), df(base), df(y), StrategyNone)
+      assert(c1.count() === 0 && asMap(m1) === y, s"case: $base / $y")
+      val (m2, c2) = Merge.threeWay(df(base), df(y), df(base), StrategyNone)
+      assert(c2.count() === 0 && asMap(m2) === y, s"case: $base / $y")
+    }
+  }
+
+  test("applying diff(a,b) as changes onto a yields b (diff/apply round-trip)") {
+    samples(Gen.zip(snapGen, snapGen), N).foreach { case (a, b) =>
+      val changes = Diff.twoWay(df(a), df(b)).select("key", "identity")
+      assert(asMap(Merge.applyChanges(df(a), changes)) === b, s"case: $a / $b")
+    }
+  }
+
+  test("diff is anti-symmetric: added/removed swap under reversal") {
+    samples(Gen.zip(snapGen, snapGen), N).foreach { case (a, b) =>
+      def sets(d: DataFrame) = d.select("key", "diff_type").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+      val fwd = sets(Diff.twoWay(df(a), df(b)))
+      val flipped = sets(Diff.twoWay(df(b), df(a))).map {
+        case (k, "added") => (k, "removed")
+        case (k, "removed") => (k, "added")
+        case kv => kv
+      }
+      assert(fwd === flipped, s"case: $a / $b")
+    }
+  }
+
+  test("source-wins merge equals applying the source delta over dest") {
+    samples(Gen.zip(snapGen, snapGen, snapGen), N).foreach { case (base, src, dst) =>
+      val (merged, _) = Merge.threeWay(df(base), df(src), df(dst), StrategySourceWins)
+      val srcDelta = Diff.twoWay(df(base), df(src)).select("key", "identity")
+      val expect = asMap(Merge.applyChanges(df(dst), srcDelta))
+      assert(asMap(merged) === expect, s"case: $base / $src / $dst")
+    }
+  }
+
+  test("precedence union overlays high priority over low") {
+    samples(Gen.zip(snapGen, snapGen), N).foreach { case (hi, lo) =>
+      val u = asMap(Staging.precedenceUnion(Seq(df(hi) -> 0, df(lo) -> 1)))
+      assert(u === lo ++ hi, s"case: $hi / $lo")
+    }
+  }
+}
