@@ -1,0 +1,89 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{BinaryType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * FNV-1a 64-bit hash as a native Catalyst expression with whole-stage
+ * codegen (SURVEY.md §2.8: the reference breaks ranges at keys whose FNV-64a
+ * hash hits a boundary, `pkg/graveler/sstable/writer.go:178-182`; byte
+ * compatibility with that boundary rule needs FNV, which Spark lacks).
+ *
+ * Standard FNV-1a: h = 0xcbf29ce484222325; per byte: h ^= b; h *= 0x100000001b3.
+ * Arithmetic wraps mod 2^64 (Java long overflow semantics — unaffected by
+ * ANSI mode, which only guards SQL-level arithmetic).
+ */
+case class FnvHash64(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType | BinaryType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"fnv64 requires string or binary input, got ${other.simpleString(10)}")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = child.dataType match {
+      case StringType => input.asInstanceOf[UTF8String].getBytes
+      case BinaryType => input.asInstanceOf[Array[Byte]]
+    }
+    java.lang.Long.valueOf(FnvHash64.hash(bytes))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val toBytes = child.dataType match {
+      case StringType => (c: String) => s"$c.getBytes()"
+      case BinaryType => (c: String) => c
+    }
+    nullSafeCodeGen(ctx, ev, c => {
+      val bytes = ctx.freshName("fnvBytes")
+      val i = ctx.freshName("fnvI")
+      s"""
+         |byte[] $bytes = ${toBytes(c)};
+         |long ${ev.value}Acc = 0xcbf29ce484222325L;
+         |for (int $i = 0; $i < $bytes.length; $i++) {
+         |  ${ev.value}Acc ^= ($bytes[$i] & 0xffL);
+         |  ${ev.value}Acc *= 0x100000001b3L;
+         |}
+         |${ev.value} = ${ev.value}Acc;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): FnvHash64 =
+    copy(child = newChild)
+  override def prettyName: String = "fnv64"
+}
+
+object FnvHash64 {
+
+  /** Reference FNV-1a 64 over raw bytes (also used by the interpreted path). */
+  def hash(bytes: Array[Byte]): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < bytes.length) {
+      h ^= (bytes(i) & 0xffL)
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
+  /** Register as SQL function `fnv64` on a session (temp function backed by
+    * the codegen'd expression). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry.createOrReplaceTempFunction(
+        "fnv64", exprs => FnvHash64(exprs.head), "built-in")
+
+  /** Column API: fnv64(col) — requires [[register]] on the session first. */
+  def fnv64(c: Column): Column =
+    org.apache.spark.sql.functions.call_function("fnv64", c)
+}

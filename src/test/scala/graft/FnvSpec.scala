@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.FnvHash64
+
+/** FNV-1a 64 native expression: public test vectors, codegen + interpreted
+  * parity, SQL registration. */
+class FnvSpec extends SparkSpec {
+
+  // Public FNV-1a 64 test vectors (draft-eastlake-fnv)
+  private val vectors = Seq(
+    "" -> 0xcbf29ce484222325L,
+    "a" -> 0xaf63dc4c8601ec8cL,
+    "foobar" -> 0x85944171f73967e8L)
+
+  test("matches public FNV-1a 64 vectors (driver-side)") {
+    vectors.foreach { case (s, want) =>
+      assert(FnvHash64.hash(s.getBytes("UTF-8")) === want, s"input '$s'")
+    }
+  }
+
+  test("expression evaluates in a plan (codegen path) and via SQL") {
+    import spark.implicits._
+    FnvHash64.register(spark)
+    val df = vectors.map(_._1).toDF("s")
+    val got = df.select(col("s"), FnvHash64.fnv64(col("s")).as("h"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    vectors.foreach { case (s, want) => assert(got(s) === want, s"input '$s'") }
+
+    val sqlGot = spark.sql("SELECT fnv64('foobar')").head().getLong(0)
+    assert(sqlGot === 0x85944171f73967e8L)
+  }
+
+  test("works on binary input and large rows") {
+    import spark.implicits._
+    FnvHash64.register(spark)
+    val df = (1 to 1000).map(i => s"key$i").toDF("s")
+      .withColumn("b", encode(col("s"), "UTF-8"))
+    val viaString = df.select(FnvHash64.fnv64(col("s"))).collect().map(_.getLong(0))
+    val viaBinary = df.select(FnvHash64.fnv64(col("b"))).collect().map(_.getLong(0))
+    assert(viaString.toSeq === viaBinary.toSeq)
+    assert(viaString.distinct.length === 1000) // no collisions on this set
+  }
+}

@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.store.Engine
+
+/** Compaction (T6), branch protection, hidden branches (P5), pull requests. */
+class GovernanceSpec extends SparkSpec {
+
+  private def rows(n: Int) = {
+    import spark.implicits._
+    (1 to n).map(i => (f"k$i%04d", s"v$i")).toDF("key", "identity")
+  }
+
+  test("T6 compaction absorbs staging; listings and commits use the base") {
+    import spark.implicits._
+    val eng = new Engine(spark, tmpDir("compact"), raggedness = 100)
+    eng.init("main", Some(rows(100)))
+    eng.stage("main", Seq(("k0005", "COMPACTED"), ("k0006", null.asInstanceOf[String]))
+      .toDF("key", "identity"))
+    val meta = eng.compact("main")
+    assert(eng.refs.getBranchRecord("main").get.compactedBase === Some(meta))
+    // staging gone, but the workspace view reflects the compacted changes
+    assert(eng.stagedChanges("main").isEmpty || !eng.diffUncommitted("main").collect().nonEmpty)
+    val listed = eng.list("main").collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(listed("k0005") === "COMPACTED" && !listed.contains("k0006"))
+
+    // stage more on top of the compacted base, then commit: both land
+    eng.stage("main", Seq(("k0007", "AFTER")).toDF("key", "identity"))
+    val c = eng.commit("main", "t", "commit after compaction")
+    assert(eng.refs.getBranchRecord("main").get.compactedBase === None) // cleared by CAS
+    val fin = eng.list("main").collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(fin("k0005") === "COMPACTED" && fin("k0007") === "AFTER" && !fin.contains("k0006"))
+  }
+
+  test("branch protection blocks direct commits but allows merges") {
+    import spark.implicits._
+    val eng = new Engine(spark, tmpDir("protect"), raggedness = 100)
+    eng.init("main", Some(rows(20)))
+    eng.refs.protectBranch("main")
+    // staging writes AND direct commits are blocked on protected branches
+    intercept[IllegalArgumentException] {
+      eng.stage("main", Seq(("k0001", "X")).toDF("key", "identity"))
+    }
+    intercept[IllegalArgumentException] { eng.commit("main", "t", "direct") }
+    eng.createBranch("feat", "main")
+    eng.stage("feat", Seq(("k0002", "Y")).toDF("key", "identity"))
+    eng.commit("feat", "t", "feat work")
+    val m = eng.merge("feat", "main", "t", "merge into protected")
+    assert(eng.list("main").where(col("key") === "k0002").count() === 1)
+    // wildcard patterns
+    eng.refs.protectBranch("release/*")
+    assert(eng.refs.isProtected("release/1.0"))
+    assert(!eng.refs.isProtected("feature/1.0"))
+  }
+
+  test("P5 hidden branches excluded from listing unless requested") {
+    import spark.implicits._
+    val eng = new Engine(spark, tmpDir("hidden"), raggedness = 100)
+    val c = eng.init("main", Some(rows(5)))
+    eng.refs.setBranch("internal", c.commitId, hidden = true)
+    assert(eng.refs.listBranches().keySet === Set("main"))
+    assert(eng.refs.listBranches(showHidden = true).keySet === Set("main", "internal"))
+  }
+
+  test("pull request lifecycle: open, merge, status") {
+    import spark.implicits._
+    val eng = new Engine(spark, tmpDir("pr"), raggedness = 100)
+    eng.init("main", Some(rows(10)))
+    eng.createBranch("topic", "main")
+    eng.stage("topic", Seq(("k0001", "PRCHANGE")).toDF("key", "identity"))
+    eng.commit("topic", "t", "topic work")
+    val pr = eng.createPullRequest("topic", "main", "my change")
+    assert(eng.refs.pullRequests.head.status === "open")
+    val mc = eng.mergePullRequest(pr.id, "t")
+    assert(eng.refs.pullRequests.head.status === "merged")
+    assert(mc.parents.size === 2)
+    assert(eng.list("main").where(col("key") === "k0001").head().getString(1) === "PRCHANGE")
+    intercept[IllegalArgumentException] { eng.mergePullRequest(pr.id, "t") } // already merged
+  }
+}
