@@ -83,6 +83,37 @@ object ExtendedQueries {
         SELECT lpad(CAST(i AS VARCHAR),4,'0') AS commit_id, bool_and(exp) AS expired
         FROM flags GROUP BY i ORDER BY commit_id""")),
 
+    // §2.8 JSON + map access: entry user-metadata handling (the reference
+    // filters/updates the free-form metadata map, catalog.go:1112-1200) —
+    // parse the JSON props column, project a field, aggregate by it.
+    "vc_entry_meta" -> (((s: SparkSession, d: String) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      Fixtures.events(s, d)
+        .withColumn("k_meta", get_json_object(col("props"), "$.k").cast("long"))
+        .where(col("k_meta").isNotNull)
+        .groupBy((col("k_meta") % 10).as("bucket"))
+        .agg(count(lit(1)).as("n"), max("k_meta").as("max_k"))
+        .orderBy("bucket")
+    }),
+      Some("""
+        SELECT CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS bucket,
+               count(*) AS n, max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+        FROM events
+        WHERE json_extract(props, '$.k') IS NOT NULL
+        GROUP BY 1 ORDER BY bucket""")),
+
+    // A-layer approximate ops (north-star): HLL distinct counts. No oracle —
+    // approximate results differ across engines by design, so the driver
+    // applies its weaker rows-only check; the exact twin is vc_range_stats.
+    "vc_approx_distinct" -> (((s: SparkSession, d: String) => {
+      val base = graft.fixtures.Fixtures.keyedBase(s, d)
+      base.groupBy("rf")
+        .agg(approx_count_distinct(col("key")).as("approx_keys"),
+          approx_count_distinct(col("price_c"), 0.02).as("approx_prices"))
+        .orderBy("rf")
+    }),
+      None),
+
     // Multimodal plumbing: binary payload + metadata + stub decode.
     "mm_media_decode" -> (((s: SparkSession, d: String) => {
       val media = Multimodal.asMedia(

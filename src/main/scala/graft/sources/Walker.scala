@@ -45,4 +45,38 @@ object Walker {
     spark.createDataFrame(
       spark.sparkContext.parallelize(out.toSeq.sortBy(_.getString(0)), 1), schema)
   }
+
+  /**
+   * Parallel variant (the reference Spark client's `ParallelDataLister`,
+   * `DataLister.scala:1-101`): fan the listing out across executors, one
+   * task per top-level prefix — the 100 TB path, where a single sequential
+   * listing of billions of objects would bottleneck the driver.
+   */
+  def walkParallel(spark: SparkSession, root: String, prefixes: Seq[String]): DataFrame = {
+    val confSer = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val rootStr = root
+    val rdd = spark.sparkContext.parallelize(prefixes, math.max(1, prefixes.size))
+      .flatMap { prefix =>
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          new java.net.URI(rootStr), confSer.value)
+        val rootPath = fs.makeQualified(new Path(rootStr))
+        val qualifiedPrefix = rootPath.toString.stripSuffix("/") + "/"
+        val p = new Path(rootPath, prefix)
+        if (!fs.exists(p)) Iterator.empty
+        else {
+          val it = fs.listFiles(p, true)
+          new Iterator[Row] {
+            def hasNext: Boolean = it.hasNext
+            def next(): Row = {
+              val st = it.next()
+              val rel = st.getPath.toString.stripPrefix(qualifiedPrefix)
+              Row(rel, f"${st.getLen}%x-${st.getModificationTime}%x",
+                st.getModificationTime, st.getLen)
+            }
+          }
+        }
+      }
+    spark.createDataFrame(rdd, schema)
+  }
 }

@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.Walker
+import graft.store.Engine
+
+/** Resets (§2.11) and the parallel walker. */
+class ResetSpec extends SparkSpec {
+
+  test("reset / resetKey / resetPrefix / resetHard") {
+    import spark.implicits._
+    val eng = new Engine(spark, tmpDir("reset"), raggedness = 100)
+    val c1 = eng.init("main", Some(Seq(("a/1", "v1"), ("b/1", "v2")).toDF("key", "identity")))
+
+    eng.stage("main", Seq(("a/1", "E1"), ("a/2", "E2"), ("b/1", "E3")).toDF("key", "identity"))
+    eng.resetKey("main", "a/2")
+    val d1 = eng.diffUncommitted("main").select("key").collect().map(_.getString(0)).toSet
+    assert(d1 === Set("a/1", "b/1"))
+
+    eng.resetPrefix("main", "a/")
+    val d2 = eng.diffUncommitted("main").select("key").collect().map(_.getString(0)).toSet
+    assert(d2 === Set("b/1"))
+
+    eng.reset("main")
+    assert(eng.diffUncommitted("main").count() === 0)
+
+    // resetHard moves the head back
+    eng.stage("main", Seq(("c/1", "X")).toDF("key", "identity"))
+    val c2 = eng.commit("main", "t", "c2")
+    eng.resetHard("main", c1.commitId)
+    assert(eng.refs.getBranch("main") === Some(c1.commitId))
+    assert(eng.list("main").count() === 2)
+  }
+
+  test("parallel walker matches the sequential walker") {
+    val root = tmpDir("pwalk")
+    def put(rel: String): Unit = {
+      val f = java.nio.file.Paths.get(root, rel)
+      java.nio.file.Files.createDirectories(f.getParent)
+      java.nio.file.Files.writeString(f, rel)
+    }
+    Seq("p0/a", "p0/b", "p1/c", "p2/d/e").foreach(put)
+    val seqKeys = Walker.walk(spark, root)
+      .select("full_key").collect().map(_.getString(0)).toSet
+    val parKeys = Walker.walkParallel(spark, root, Seq("p0", "p1", "p2", "missing"))
+      .select("full_key").collect().map(_.getString(0)).toSet
+    assert(parKeys === seqKeys)
+    assert(parKeys === Set("p0/a", "p0/b", "p1/c", "p2/d/e"))
+  }
+}
