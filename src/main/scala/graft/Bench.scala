@@ -50,22 +50,59 @@ object Bench {
     val m1 = timed("snapshot_write") { store.writeSnapshot(base)._1 }
 
     // 2. commit: apply a ~1% change set, rewriting only touched ranges.
-    val changes = base.where(col("k") % 100 === 0)
+    val changes = base.where(col("k") % 100 === 21)
       .withColumn("price_c", col("price_c") + 777)
       .withColumn("identity", sha2(concat_ws("|",
         col("key"), col("qty"), col("price_c"), col("rf"), col("ls")), 256))
     val m2 = timed("commit") { store.commitChanges(m1, changes)._1 }
 
-    // 3. diff: C1..C2 with range-level pruning (J1).
-    timed("diff") { store.diff(m1, m2).count() }
+    // 2b. commit_clustered: same change volume but clustered in one key
+    // interval — only the touched ranges rewrite (the O(changed ranges)
+    // contract; uniform edits above are pruning's worst case).
+    val maxK = base.agg(max("k")).head().getLong(0)
+    val clustered = base.where(col("k") <= maxK / 100)
+      .withColumn("price_c", col("price_c") + 999)
+      .withColumn("identity", sha2(concat_ws("|",
+        col("key"), col("qty"), col("price_c"), col("rf"), col("ls")), 256))
+    val m3 = timed("commit_clustered") { store.commitChanges(m1, clustered)._1 }
 
-    // 4. merge3: conflict-free three-way merge (J3).
+    // 3. diff: C1..C2 with range-level pruning (J1), plus the clustered
+    // variant where pruning skips almost every range.
+    timed("diff") { store.diff(m1, m2).count() }
+    timed("diff_clustered") { store.diff(m1, m3).count() }
+
+    // 4a. merge3: conflict-free three-way merge as a relational plan (J3) —
+    // the BASELINE-comparable measurement (bare Spark runs the same plan).
     timed("merge3") {
       val (merged, _) = Merge.threeWay(
         base,
         Fixtures.keyedSourceClean(spark, sfDir),
         Fixtures.keyedDestClean(spark, sfDir), StrategySourceWins)
       merged.count()
+    }
+
+    // 4b. merge3_store: the engine end-to-end — pruned deltas + O(changed
+    // ranges) apply + snapshot write/manifest. Source/dest snapshots are
+    // built from direct change sets as setup (untimed). Note the fixture's
+    // edits are spread uniformly over the key space, which touches every
+    // range — the worst case for pruning; clustered edits skip whole ranges.
+    val identExpr = sha2(concat_ws("|",
+      col("key"), col("qty"), col("price_c"), col("rf"), col("ls")), 256)
+    val srcChanges = base.where(col("k") % 50 === 3)
+      .withColumn("price_c", col("price_c") + 111)
+      .withColumn("identity", identExpr)
+      .unionByName(base.where(col("k") % 50 === 17)
+        .withColumn("identity", lit(null).cast("string")))
+    val dstChanges = base.where(col("k") % 50 === 4)
+      .withColumn("price_c", col("price_c") + 222)
+      .withColumn("identity", identExpr)
+      .unionByName(base.where(col("k") % 50 === 33)
+        .withColumn("identity", lit(null).cast("string")))
+    val mSrc = store.commitChanges(m1, srcChanges)._1
+    val mDst = store.commitChanges(m1, dstChanges)._1
+    timed("merge3_store") {
+      val (merged, _) = store.merge3(m1, mSrc, mDst, StrategySourceWins)
+      store.readManifest(merged).map(_.count).sum
     }
 
     // 5. gc_mark: all ∖ committed ∖ uncommitted (J9).

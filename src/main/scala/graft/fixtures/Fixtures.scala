@@ -58,13 +58,14 @@ object Fixtures {
       .withColumn("key", lpad(col("k").cast("string"), 12, "0"))
       .withColumn("identity", ident)
 
-  /** Snapshot C2 = C1 with k%100==0 price-changed (+777), k%100==1 deleted,
-    * and for k%100==2 a brand-new key k*10+9 added. */
+  /** Snapshot C2 = C1 with k%100==21 price-changed (+777), k%100==1 deleted,
+    * and for k%100==2 a brand-new key k*10+9 added. (Valid residues only:
+    * units digits are linenumbers 1..7, so k%100 can never be 0/8/9/…) */
   def keyedRight(spark: SparkSession, sfDir: String): DataFrame = {
     val base = keyedBase(spark, sfDir).drop("key", "identity")
     val kept = base.where(col("k") % 100 =!= 1)
       .withColumn("price_c",
-        when(col("k") % 100 === 0, col("price_c") + 777).otherwise(col("price_c")))
+        when(col("k") % 100 === 21, col("price_c") + 777).otherwise(col("price_c")))
     val added = base.where(col("k") % 100 === 2)
       .withColumn("k", col("k") * 10 + 9)
     kept.unionByName(added)
@@ -111,7 +112,7 @@ object Fixtures {
    *    one, epoch 2, wins — exercises latest-write-wins);
    *  - k%100==6 → staged tombstone;
    *  - k%100==7 → staged no-op re-write of the same content;
-   *  - new keys k*10+8 for k%100==9.
+   *  - new keys k*10+8 for k%100==13.
    * Columns: key, identity (null = tombstone), qty, price_c, rf, ls, epoch.
    */
   def stagingLog(spark: SparkSession, sfDir: String): DataFrame = {
@@ -127,7 +128,7 @@ object Fixtures {
       .withColumn("identity", lit(null).cast("string")).withColumn("epoch", lit(1L))
     val noop = keyed(base.where(col("k") % 100 === 7))
       .withColumn("identity", ident).withColumn("epoch", lit(1L))
-    val added = keyed(base.where(col("k") % 100 === 9).withColumn("k", col("k") * 10 + 8))
+    val added = keyed(base.where(col("k") % 100 === 13).withColumn("k", col("k") * 10 + 8))
       .withColumn("identity", ident).withColumn("epoch", lit(1L))
     upd1.unionByName(upd2).unionByName(del).unionByName(noop).unionByName(added)
   }

@@ -79,4 +79,27 @@ object Diff {
   /** DiffSummary (A1, `pkg/graveler/committed/commit.go:99-114`). */
   def summary(diff: DataFrame): DataFrame =
     diff.groupBy("diff_type").agg(count(lit(1)).as("n"))
+
+  /**
+   * Payload-carrying two-way diff: like [[twoWay]] but keeps the right
+   * side's full row (null payload for removed keys) so the output is
+   * directly usable as a change set for [[Merge.applyChanges]] /
+   * [[Merge.threeWayFromDeltas]]. Input sides must share the (key,
+   * identity, payload...) schema.
+   */
+  def twoWayFull(left: DataFrame, right: DataFrame): DataFrame = {
+    val payload = right.columns.filterNot(c => c == "key" || c == "identity").toSeq
+    val l = left.select(col("key"), col("identity").as("left_identity"))
+    val r = right.select(col("key") +: col("identity").as("right_identity") +:
+      payload.map(col): _*).withColumn("__in_r", lit(true))
+    l.join(r, Seq("key"), "full_outer")
+      .withColumn("diff_type",
+        when(col("left_identity").isNull && col("__in_r").isNotNull, DiffType.Added)
+          .when(col("left_identity").isNotNull && col("__in_r").isNull, DiffType.Removed)
+          .when(!(col("left_identity") <=> col("right_identity")), DiffType.Changed)
+          .otherwise(lit(null)))
+      .where(col("diff_type").isNotNull)
+      .select(col("key") +: col("diff_type") +: col("left_identity") +:
+        col("right_identity").as("identity") +: payload.map(col): _*)
+  }
 }

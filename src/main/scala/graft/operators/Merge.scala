@@ -99,6 +99,39 @@ object Merge {
   }
 
   /**
+   * Delta-based three-way merge: resolve two payload-carrying deltas
+   * ([[Diff.twoWayFull]] outputs — a removed key carries a null identity,
+   * i.e. a tombstone) into one winning change set plus conflicts. The scale
+   * path: with range-pruned deltas everything here is O(changed keys); the
+   * caller applies the change set via [[applyChanges]] or
+   * [[graft.store.SnapshotStore.commitChanges]].
+   */
+  def threeWayFromDeltas(
+      srcDelta: DataFrame,
+      dstDelta: DataFrame,
+      strategy: MergeStrategy = StrategyNone): (DataFrame, DataFrame) = {
+    val payload = srcDelta.columns
+      .filterNot(c => c == "key" || c == "diff_type" || c == "left_identity").toSeq
+    def side(d: DataFrame, tag: String) =
+      d.select(col("key") +: payload.map(c => col(c).as(s"${tag}_$c")): _*)
+        .withColumn(s"__in_$tag", lit(true))
+    val j = side(srcDelta, "s").join(side(dstDelta, "d"), Seq("key"), "full_outer")
+    val bothChanged = col("__in_s").isNotNull && col("__in_d").isNotNull
+    val conflictRow = bothChanged && !(col("s_identity") <=> col("d_identity"))
+    val conflicts = j.where(if (strategy == StrategyNone) conflictRow else lit(false))
+      .select(col("key"), col("s_identity").as("source_identity"),
+        col("d_identity").as("dest_identity"))
+    val pickSource = strategy match {
+      case StrategyDestWins => col("__in_s").isNotNull && col("__in_d").isNull
+      case _                => col("__in_s").isNotNull
+    }
+    val changes = j.select(col("key") +: payload.map { p =>
+      when(pickSource, col(s"s_$p")).otherwise(col(s"d_$p")).as(p)
+    }: _*)
+    (changes, conflicts)
+  }
+
+  /**
    * J4 variant: three-way merge with a per-row conflict resolver — the
    * Spark shape of the reference's `ConflictResolver` chain
    * (`graveler.go:142-145`, `merge.go:304-326`). `pickSource` is a boolean

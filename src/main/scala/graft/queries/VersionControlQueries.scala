@@ -40,7 +40,7 @@ object VersionControlQueries {
       SELECT $snapCols FROM L
     ), rightv AS (
       SELECT $snapCols FROM (
-        SELECT k, qty, CASE WHEN k%100=0 THEN price_c+777 ELSE price_c END AS price_c, rf, ls
+        SELECT k, qty, CASE WHEN k%100=21 THEN price_c+777 ELSE price_c END AS price_c, rf, ls
         FROM L WHERE k%100<>1
         UNION ALL
         SELECT k*10+9 AS k, qty, price_c, rf, ls FROM L WHERE k%100=2
@@ -98,7 +98,7 @@ object VersionControlQueries {
         SELECT lpad(CAST(k*10+8 AS VARCHAR),12,'0'),
                ${identSql("lpad(CAST(k*10+8 AS VARCHAR),12,'0')", "qty", "price_c", "rf", "ls")},
                qty, price_c, rf, ls, 1
-        FROM L WHERE k%100=9
+        FROM L WHERE k%100=13
       )
     ), staging AS (
       SELECT key, identity, qty, price_c, rf, ls FROM (

@@ -71,13 +71,18 @@ class SnapshotStore(val spark: SparkSession, val repoDir: String,
       if (touchedInfos.isEmpty) changes.limit(0)
       else spark.read.parquet(touchedInfos.map(_.path): _*)
 
+    // materialize the applied slice once — the chunked write's cut-key
+    // collect and the data write would otherwise both recompute the join
     val rewritten = graft.operators.Merge.applyChanges(
       touchedDf, changes.select(touchedDf.columns.map(col).toSeq: _*))
-    val newInfos = chunkAndWrite(rewritten)
-    val all = (untouched ++ newInfos).sortBy(_.minKey)
-    val metaRangeId = metaRangeIdOf(all)
-    writeManifest(metaRangeId, all)
-    (metaRangeId, all)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val newInfos = chunkAndWrite(rewritten)
+      val all = (untouched ++ newInfos).sortBy(_.minKey)
+      val metaRangeId = metaRangeIdOf(all)
+      writeManifest(metaRangeId, all)
+      (metaRangeId, all)
+    } finally rewritten.unpersist()
   }
 
   def readManifest(metaRangeId: String): Seq[RangeInfo] = {
@@ -112,6 +117,43 @@ class SnapshotStore(val spark: SparkSession, val repoDir: String,
   def diff(leftMeta: String, rightMeta: String): DataFrame = {
     val (l, r) = prunedForDiff(leftMeta, rightMeta)
     graft.operators.Diff.twoWay(l, r)
+  }
+
+  /**
+   * Range-pruned three-way merge (J3 at store level): both deltas come from
+   * pruned scans, the winning change set applies through [[commitChanges]] —
+   * every stage is O(changed ranges), the reference's merge complexity
+   * envelope (`merge.go:224-302`).
+   *
+   * @return (merged metaRangeId, conflicts df). With StrategyNone the caller
+   *         must check conflicts before using the result.
+   */
+  def merge3(baseMeta: String, srcMeta: String, dstMeta: String,
+      strategy: graft.core.Model.MergeStrategy = graft.core.Model.StrategyNone)
+      : (String, DataFrame) = {
+    val (bs, ss) = prunedForDiff(baseMeta, srcMeta)
+    val (bd, ds) = prunedForDiff(baseMeta, dstMeta)
+    // deltas are bounded by changed data — materialize once, they feed the
+    // conflict check, the winning-set join, and the commit apply
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val srcDelta = graft.operators.Diff.twoWayFull(bs, ss).persist(lvl)
+    val dstDelta = graft.operators.Diff.twoWayFull(bd, ds).persist(lvl)
+    try {
+      val (changes, conflicts) =
+        graft.operators.Merge.threeWayFromDeltas(srcDelta, dstDelta, strategy)
+      if (strategy == graft.core.Model.StrategyNone && conflicts.limit(1).count() > 0)
+        return ("", conflicts)
+      // merge result = dest + source-side changes (overlaps already resolved
+      // per strategy); dest-only changes are in dest already, so restrict the
+      // applied delta to source-changed keys
+      val applied = changes.join(srcDelta.select("key"), Seq("key"), "left_semi")
+        .persist(lvl)
+      applied.count()
+      try {
+        val (meta, _) = commitChanges(dstMeta, applied)
+        (meta, conflicts)
+      } finally applied.unpersist()
+    } finally { srcDelta.unpersist(); dstDelta.unpersist() }
   }
 
   // ---- internals ----------------------------------------------------------
