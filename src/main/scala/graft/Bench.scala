@@ -34,11 +34,20 @@ object Bench {
     val repoDir = s"target/bench_repo_${java.util.UUID.randomUUID()}"
     val store = new SnapshotStore(spark, repoDir, raggedness = 50000L)
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
-    def timed[T](name: String)(f: => T): T = {
+    // a failing metric records -1 and the bench continues (the driver
+    // consumes whatever completed)
+    def timed[T](name: String)(f: => T): Option[T] = {
       val t0 = System.nanoTime()
-      val r = f
-      results(name) = (System.nanoTime() - t0) / 1e9
-      r
+      try {
+        val r = f
+        results(name) = (System.nanoTime() - t0) / 1e9
+        Some(r)
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          results(name) = -1.0
+          None
+      }
     }
 
     // Inputs (materialized up front so build cost isn't measured).
@@ -46,14 +55,19 @@ object Bench {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     base.count()
 
-    // 1. snapshot_write: commit C1 from sorted records (J5/O1).
+    val identExpr0 = sha2(concat_ws("|",
+      col("key"), col("qty"), col("price_c"), col("rf"), col("ls")), 256)
+
+    // 1. snapshot_write: commit C1 from sorted records (J5/O1). Everything
+    // downstream needs C1, so a failure here ends the run (with the JSON
+    // line still emitted).
     val m1 = timed("snapshot_write") { store.writeSnapshot(base)._1 }
+      .getOrElse { emit(results, sfDir); spark.stop(); return }
 
     // 2. commit: apply a ~1% change set, rewriting only touched ranges.
     val changes = base.where(col("k") % 100 === 21)
       .withColumn("price_c", col("price_c") + 777)
-      .withColumn("identity", sha2(concat_ws("|",
-        col("key"), col("qty"), col("price_c"), col("rf"), col("ls")), 256))
+      .withColumn("identity", identExpr0)
     val m2 = timed("commit") { store.commitChanges(m1, changes)._1 }
 
     // 2b. commit_clustered: same change volume but clustered in one key
@@ -62,14 +76,13 @@ object Bench {
     val maxK = base.agg(max("k")).head().getLong(0)
     val clustered = base.where(col("k") <= maxK / 100)
       .withColumn("price_c", col("price_c") + 999)
-      .withColumn("identity", sha2(concat_ws("|",
-        col("key"), col("qty"), col("price_c"), col("rf"), col("ls")), 256))
+      .withColumn("identity", identExpr0)
     val m3 = timed("commit_clustered") { store.commitChanges(m1, clustered)._1 }
 
     // 3. diff: C1..C2 with range-level pruning (J1), plus the clustered
     // variant where pruning skips almost every range.
-    timed("diff") { store.diff(m1, m2).count() }
-    timed("diff_clustered") { store.diff(m1, m3).count() }
+    m2.foreach(m => timed("diff") { store.diff(m1, m).count() })
+    m3.foreach(m => timed("diff_clustered") { store.diff(m1, m).count() })
 
     // 4a. merge3: conflict-free three-way merge as a relational plan (J3) —
     // the BASELINE-comparable measurement (bare Spark runs the same plan).
@@ -98,11 +111,15 @@ object Bench {
       .withColumn("identity", identExpr)
       .unionByName(base.where(col("k") % 50 === 33)
         .withColumn("identity", lit(null).cast("string")))
-    val mSrc = store.commitChanges(m1, srcChanges)._1
-    val mDst = store.commitChanges(m1, dstChanges)._1
-    timed("merge3_store") {
-      val (merged, _) = store.merge3(m1, mSrc, mDst, StrategySourceWins)
-      store.readManifest(merged).map(_.count).sum
+    try {
+      val mSrc = store.commitChanges(m1, srcChanges)._1
+      val mDst = store.commitChanges(m1, dstChanges)._1
+      timed("merge3_store") {
+        val (merged, _) = store.merge3(m1, mSrc, mDst, StrategySourceWins)
+        store.readManifest(merged).map(_.count).sum
+      }
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] merge3_store setup failed: ${e.getMessage}")
     }
 
     // 5. gc_mark: all ∖ committed ∖ uncommitted (J9).
@@ -120,8 +137,7 @@ object Bench {
         .orderBy("path").limit(1000).count()
     }
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${results.values.sum},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    emit(results, sfDir)
 
     // clean up the throwaway repo
     try org.apache.hadoop.fs.FileSystem.get(
@@ -129,5 +145,12 @@ object Bench {
       .delete(new org.apache.hadoop.fs.Path(repoDir), true)
     catch { case _: Throwable => }
     spark.stop()
+  }
+
+  private def emit(results: scala.collection.mutable.LinkedHashMap[String, Double],
+      sfDir: String): Unit = {
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val total = results.values.filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
   }
 }

@@ -1,0 +1,22 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions.FnvHash64
+
+/**
+ * SparkSessionExtensions entry point: registers the engine's custom
+ * expressions so any session built with
+ * `.withExtensions(new GraftExtensions)` (or
+ * `spark.sql.extensions=graft.GraftExtensions`) gets them natively —
+ * the idiomatic injection path for custom Catalyst functions.
+ */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("fnv64"),
+      new ExpressionInfo(classOf[FnvHash64].getName, "fnv64"),
+      (exprs: Seq[Expression]) => FnvHash64(exprs.head)))
+  }
+}

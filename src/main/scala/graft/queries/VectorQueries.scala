@@ -110,6 +110,46 @@ object VectorQueries {
                   sqrt(CAST(${dotSql("b.qv", "b.qv")} AS DOUBLE))) >= 0.99
         ORDER BY id_a, id_b""")),
 
+    // LSH-bucketed ANN end-to-end: candidates from shared sign-signature
+    // buckets, refined with exact quantized cosine ≥ 0.9 — the complete
+    // scale path (bucket join instead of all-pairs).
+    "emb_lsh_ann" -> (((s: SparkSession, d: String) => {
+      val emb = Fixtures.embeddings(s, d)
+        .select(col("vec_id"), quantize(col("embedding")).as("q"))
+      val sig = (0 until 4).map { p =>
+        val partial = aggregate(slice(col("q"), p * 16 + 1, 16), lit(0L), (acc, x) => acc + x)
+        when(partial >= 0, lit(1)).otherwise(lit(0)).cast("string")
+      }.reduce((a, b) => concat(a, b))
+      val bucketed = emb.withColumn("bucket", sig)
+      val a = bucketed.select(col("bucket"), col("vec_id").as("id_a"), col("q").as("qa"))
+      val b = bucketed.select(col("bucket"), col("vec_id").as("id_b"), col("q").as("qb"))
+      a.join(b, Seq("bucket")).where(col("id_a") < col("id_b"))
+        .withColumn("sim",
+          intDot(col("qa"), col("qb")).cast("double") /
+            (sqrt(intDot(col("qa"), col("qa")).cast("double")) *
+             sqrt(intDot(col("qb"), col("qb")).cast("double"))))
+        .where(col("sim") >= 0.9)
+        .select("id_a", "id_b", "sim")
+        .orderBy("id_a", "id_b")
+    }),
+      Some(s"""
+        WITH q AS (SELECT vec_id, $qvecSql AS qv FROM embeddings),
+        sig AS (
+          SELECT vec_id, qv,
+            (CASE WHEN CAST(list_sum(list_transform(generate_series(1,16), i -> qv[i])) AS BIGINT) >= 0 THEN '1' ELSE '0' END) ||
+            (CASE WHEN CAST(list_sum(list_transform(generate_series(17,32), i -> qv[i])) AS BIGINT) >= 0 THEN '1' ELSE '0' END) ||
+            (CASE WHEN CAST(list_sum(list_transform(generate_series(33,48), i -> qv[i])) AS BIGINT) >= 0 THEN '1' ELSE '0' END) ||
+            (CASE WHEN CAST(list_sum(list_transform(generate_series(49,64), i -> qv[i])) AS BIGINT) >= 0 THEN '1' ELSE '0' END) AS bucket
+          FROM q
+        )
+        SELECT * FROM (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                 CAST(${dotSql("a.qv", "b.qv")} AS DOUBLE) /
+                   (sqrt(CAST(${dotSql("a.qv", "a.qv")} AS DOUBLE)) *
+                    sqrt(CAST(${dotSql("b.qv", "b.qv")} AS DOUBLE))) AS sim
+          FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        ) WHERE sim >= 0.9 ORDER BY id_a, id_b""")),
+
     // LSH-bucketed ANN candidates: sign-bit signature on 4 pseudo-random
     // hyperplanes built from fixed dimension subsets (the scale path — joins
     // on a short bucket key instead of all-pairs).

@@ -106,6 +106,42 @@ class ExtendedSpec extends SparkSpec {
     assert(summary.contains("\"num_deleted_objects\":3"))
   }
 
+  test("GC sweep deletes orphans and writes the report") {
+    import spark.implicits._
+    val dir = tmpDir("sweep")
+    val eng = new Engine(spark, dir, raggedness = 100)
+    eng.init("main", Some((1 to 100).map(i => (f"k$i%04d", s"v$i")).toDF("key", "identity")))
+    // orphan some ranges
+    new graft.store.SnapshotStore(spark, dir, 100)
+      .writeSnapshot(Seq(("zz1", "junk1"), ("zz2", "junk2")).toDF("key", "identity"))
+    val before = eng.gcMark().count()
+    assert(before > 0)
+    val (n, report) = eng.gcSweep("run42")
+    assert(n === before)
+    assert(eng.gcMark().count() === 0)
+    assert(spark.read.parquet(s"$report/deleted").count() === n)
+    // live data survives the sweep
+    assert(eng.list("main").count() === 100)
+  }
+
+  test("A5 streaming usage counts over watermarked event time") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(java.sql.Timestamp, String)]
+    val counts = StagingStream.usageCounts(
+      mem.toDF().toDF("ts", "event_type"))
+    val q = counts.writeStream.outputMode("complete")
+      .format("memory").queryName("usage_counts").start()
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    mem.addData((ts("2026-01-01 10:00:00"), "click"), (ts("2026-01-01 11:00:00"), "click"),
+      (ts("2026-01-02 09:00:00"), "view"))
+    q.processAllAvailable()
+    val out = spark.sql("SELECT event_type, n FROM usage_counts")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out === Map("click" -> 2L, "view" -> 1L))
+    q.stop()
+  }
+
   test("T1/T6 streaming staging ingest with delete sensor") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SparkSessionExtensions wiring: a session built with GraftExtensions gets
+  * fnv64 as a native SQL function. */
+class ExtensionsSpec extends AnyFunSuite {
+
+  test("withExtensions(GraftExtensions) provides fnv64") {
+    val shared = SparkSpec.session // ensure the shared context exists
+    // getOrCreate returns the default session (ignoring extensions) when one
+    // is set — clear it so a fresh session with the extension builds over
+    // the same SparkContext, then restore the shared default.
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s = SparkSession.builder()
+        .master("local[2]")
+        .config("spark.ui.enabled", "false")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      val h = s.sql("SELECT fnv64('foobar')").head().getLong(0)
+      assert(h === 0x85944171f73967e8L)
+    } finally {
+      SparkSession.setDefaultSession(shared)
+      SparkSession.setActiveSession(shared)
+    }
+  }
+}
