@@ -71,10 +71,15 @@ class SnapshotStore(val spark: SparkSession, val repoDir: String,
       if (touchedInfos.isEmpty) changes.limit(0)
       else spark.read.parquet(touchedInfos.map(_.path): _*)
 
+    // align the change set to the snapshot's payload columns (narrow change
+    // sets — e.g. single-key Set/Delete — carry null payloads)
+    val aligned = touchedDf.columns.foldLeft(changes) { (df, c) =>
+      if (df.columns.contains(c)) df
+      else df.withColumn(c, lit(null).cast(touchedDf.schema(c).dataType))
+    }.select(touchedDf.columns.map(col).toSeq: _*)
     // materialize the applied slice once — the chunked write's cut-key
     // collect and the data write would otherwise both recompute the join
-    val rewritten = graft.operators.Merge.applyChanges(
-      touchedDf, changes.select(touchedDf.columns.map(col).toSeq: _*))
+    val rewritten = graft.operators.Merge.applyChanges(touchedDf, aligned)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val newInfos = chunkAndWrite(rewritten)

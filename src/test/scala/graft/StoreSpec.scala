@@ -156,6 +156,27 @@ class StoreSpec extends SparkSpec {
     assert(picked("k000003") === "EDITED" && picked("knew") === "ADDED")
   }
 
+  test("single-key set/delete/deleteBatch over a payload-carrying snapshot") {
+    import spark.implicits._
+    val dir = tmpDir("kv")
+    val eng = new Engine(spark, dir, raggedness = 100)
+    // snapshot with an extra payload column
+    eng.init("main", Some(
+      (1 to 20).map(i => (f"k$i%03d", s"v$i", i.toLong)).toDF("key", "identity", "size")))
+    eng.set("main", "k001", "NEW")
+    eng.delete("main", "k002")
+    eng.deleteBatch("main", Seq("k003", "k004"))
+    eng.commit("main", "t", "kv ops")
+    val out = eng.list("main").collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.get(2))).toMap
+    assert(out("k001")._1 === "NEW" && out("k001")._2 === null) // narrow set: payload null
+    assert(!out.contains("k002") && !out.contains("k003") && !out.contains("k004"))
+    assert(out("k005") === ("v5", 5L))
+    intercept[IllegalArgumentException] {
+      eng.deleteBatch("main", (1 to 1001).map(i => s"x$i"))
+    }
+  }
+
   test("engine point get uses interval pruning") {
     import spark.implicits._
     val dir = tmpDir("get")
