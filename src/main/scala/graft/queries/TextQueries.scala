@@ -39,6 +39,21 @@ object TextQueries {
       FROM docs
     )"""
 
+  /** 16-bit SimHash per doc over distinct whitespace tokens. */
+  private def simhashDf(s: SparkSession, d: String): DataFrame = {
+    val toksDf = Fixtures.documents(s, d)
+      .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("tok"))
+      .withColumn("h16", shingleHash16(col("tok")))
+    val bits = s.range(16).select(col("id").cast("int").as("b"))
+      .withColumn("pw", pow(lit(2), col("b")).cast("long"))
+    toksDf.crossJoin(broadcast(bits))
+      .withColumn("bit", expr("CAST(floor(h16 / pw) AS BIGINT) % 2"))
+      .groupBy("doc_id", "b", "pw")
+      .agg(sum(when(col("bit") === 1, 1).otherwise(-1)).as("score"))
+      .groupBy("doc_id")
+      .agg(sum(when(col("score") > 0, col("pw")).otherwise(0L)).as("simhash"))
+  }
+
   val defs: Map[String, (QueryFn, Option[String])] = Map(
 
     // Token counting (whitespace tokenizer).
@@ -227,22 +242,43 @@ object TextQueries {
         FROM cands c LEFT JOIN est e ON c.doc_a = e.doc_a AND c.doc_b = e.doc_b
         ORDER BY doc_a, doc_b""")),
 
-    // SimHash (16-bit, over distinct tokens).
-    "td_simhash" -> (((s: SparkSession, d: String) => {
-      val spark = s; import spark.implicits._
-      val toksDf = Fixtures.documents(s, d)
-        .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("tok"))
-        .withColumn("h16", shingleHash16(col("tok")))
-      val bits = spark.range(16).select(col("id").cast("int").as("b"))
-        .withColumn("pw", pow(lit(2), col("b")).cast("long"))
-      toksDf.crossJoin(broadcast(bits))
-        .withColumn("bit", expr("CAST(floor(h16 / pw) AS BIGINT) % 2"))
-        .groupBy("doc_id", "b", "pw")
-        .agg(sum(when(col("bit") === 1, 1).otherwise(-1)).as("score"))
-        .groupBy("doc_id")
-        .agg(sum(when(col("score") > 0, col("pw")).otherwise(0L)).as("simhash"))
-        .orderBy("doc_id")
+    // SimHash near-dup pairs: hamming distance ≤ 2 over the 16-bit
+    // signatures (bit_count(xor) on both engines). Self-join on a cheap
+    // blocking key (top byte) keeps it off all-pairs.
+    "td_simhash_pairs" -> (((s: SparkSession, d: String) => {
+      val sigs = simhashDf(s, d).withColumn("blk", (col("simhash") / 256).cast("long"))
+      val a = sigs.select(col("blk"), col("doc_id").as("doc_a"), col("simhash").as("sig_a"))
+      val b = sigs.select(col("blk"), col("doc_id").as("doc_b"), col("simhash").as("sig_b"))
+      a.join(b, Seq("blk")).where(col("doc_a") < col("doc_b"))
+        .withColumn("hamming", expr("bit_count(sig_a ^ sig_b)").cast("long"))
+        .where(col("hamming") <= 2)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")
     }),
+      Some(s"""$docsSql,
+        t AS (SELECT doc_id, unnest(list_distinct(toks)) AS tok FROM docs),
+        h AS (SELECT doc_id, ('0x' || substr(sha256(tok), 1, 4))::BIGINT AS h16 FROM t),
+        scored AS (
+          SELECT doc_id, b, pw,
+                 sum(CASE WHEN CAST(floor(h16 / pw) AS BIGINT) % 2 = 1 THEN 1 ELSE -1 END) AS score
+          FROM h CROSS JOIN (
+            SELECT CAST(i AS INT) AS b, CAST(power(2, i) AS BIGINT) AS pw FROM range(0,16) t(i)
+          ) GROUP BY 1, 2, 3
+        ),
+        sigs AS (
+          SELECT doc_id, CAST(sum(CASE WHEN score > 0 THEN pw ELSE 0 END) AS BIGINT) AS simhash
+          FROM scored GROUP BY doc_id
+        ),
+        blocked AS (SELECT doc_id, simhash, simhash // 256 AS blk FROM sigs)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+        FROM blocked a JOIN blocked b ON a.blk = b.blk AND a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+        ORDER BY doc_a, doc_b""")),
+
+    // SimHash (16-bit, over distinct tokens).
+    "td_simhash" -> (((s: SparkSession, d: String) =>
+      simhashDf(s, d).orderBy("doc_id")),
       Some(s"""$docsSql,
         t AS (
           SELECT doc_id, unnest(list_distinct(toks)) AS tok FROM docs
