@@ -39,6 +39,24 @@ object TextQueries {
       FROM docs
     )"""
 
+  /** DuckDB twin of [[simhashDf]]: CTEs ending in `sigs(doc_id, simhash)`.
+    * Shared by the td_simhash and td_simhash_pairs oracles so the signature
+    * definition cannot drift between them. */
+  private val simhashSql = """
+    , t AS (SELECT doc_id, unnest(list_distinct(toks)) AS tok FROM docs),
+    h AS (SELECT doc_id, ('0x' || substr(sha256(tok), 1, 4))::BIGINT AS h16 FROM t),
+    scored AS (
+      SELECT doc_id, b, pw,
+             sum(CASE WHEN CAST(floor(h16 / pw) AS BIGINT) % 2 = 1 THEN 1 ELSE -1 END) AS score
+      FROM h CROSS JOIN (
+        SELECT CAST(i AS INT) AS b, CAST(power(2, i) AS BIGINT) AS pw FROM range(0,16) t(i)
+      ) GROUP BY 1, 2, 3
+    ),
+    sigs AS (
+      SELECT doc_id, CAST(sum(CASE WHEN score > 0 THEN pw ELSE 0 END) AS BIGINT) AS simhash
+      FROM scored GROUP BY doc_id
+    )"""
+
   /** 16-bit SimHash per doc over distinct whitespace tokens. */
   private def simhashDf(s: SparkSession, d: String): DataFrame = {
     val toksDf = Fixtures.documents(s, d)
@@ -243,58 +261,50 @@ object TextQueries {
         ORDER BY doc_a, doc_b""")),
 
     // SimHash near-dup pairs: hamming distance ≤ 2 over the 16-bit
-    // signatures (bit_count(xor) on both engines). Self-join on a cheap
-    // blocking key (top byte) keeps it off all-pairs.
+    // signatures (bit_count(xor) on both engines). Pigeonhole blocking:
+    // the signature splits into 3 chunks (6/5/5 bits); a pair with ≤ 2
+    // differing bits must agree EXACTLY on at least one chunk, so joining
+    // per chunk and unioning has full recall — unlike single-key blocking.
     "td_simhash_pairs" -> (((s: SparkSession, d: String) => {
-      val sigs = simhashDf(s, d).withColumn("blk", (col("simhash") / 256).cast("long"))
-      val a = sigs.select(col("blk"), col("doc_id").as("doc_a"), col("simhash").as("sig_a"))
-      val b = sigs.select(col("blk"), col("doc_id").as("doc_b"), col("simhash").as("sig_b"))
-      a.join(b, Seq("blk")).where(col("doc_a") < col("doc_b"))
+      val sigs = simhashDf(s, d).select(
+        col("doc_id"), col("simhash"),
+        expr("CAST(simhash / 1024 AS BIGINT)").as("c0"),        // top 6 bits
+        expr("CAST(simhash / 32 AS BIGINT) % 32").as("c1"),     // middle 5
+        expr("simhash % 32").as("c2"))                          // low 5
+      val exploded = sigs.select(col("doc_id"), col("simhash"),
+        explode(array(
+          concat(lit("0:"), col("c0")), concat(lit("1:"), col("c1")),
+          concat(lit("2:"), col("c2")))).as("chunk"))
+      val a = exploded.select(col("chunk"), col("doc_id").as("doc_a"), col("simhash").as("sig_a"))
+      val b = exploded.select(col("chunk"), col("doc_id").as("doc_b"), col("simhash").as("sig_b"))
+      a.join(b, Seq("chunk")).where(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b", "sig_a", "sig_b").distinct()
         .withColumn("hamming", expr("bit_count(sig_a ^ sig_b)").cast("long"))
         .where(col("hamming") <= 2)
         .select("doc_a", "doc_b", "hamming")
         .orderBy("doc_a", "doc_b")
     }),
-      Some(s"""$docsSql,
-        t AS (SELECT doc_id, unnest(list_distinct(toks)) AS tok FROM docs),
-        h AS (SELECT doc_id, ('0x' || substr(sha256(tok), 1, 4))::BIGINT AS h16 FROM t),
-        scored AS (
-          SELECT doc_id, b, pw,
-                 sum(CASE WHEN CAST(floor(h16 / pw) AS BIGINT) % 2 = 1 THEN 1 ELSE -1 END) AS score
-          FROM h CROSS JOIN (
-            SELECT CAST(i AS INT) AS b, CAST(power(2, i) AS BIGINT) AS pw FROM range(0,16) t(i)
-          ) GROUP BY 1, 2, 3
+      Some(s"""$docsSql $simhashSql,
+        chunked AS (
+          SELECT doc_id, simhash,
+                 unnest(['0:' || CAST(simhash // 1024 AS VARCHAR),
+                         '1:' || CAST((simhash // 32) % 32 AS VARCHAR),
+                         '2:' || CAST(simhash % 32 AS VARCHAR)]) AS chunk
+          FROM sigs
         ),
-        sigs AS (
-          SELECT doc_id, CAST(sum(CASE WHEN score > 0 THEN pw ELSE 0 END) AS BIGINT) AS simhash
-          FROM scored GROUP BY doc_id
-        ),
-        blocked AS (SELECT doc_id, simhash, simhash // 256 AS blk FROM sigs)
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-               CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
-        FROM blocked a JOIN blocked b ON a.blk = b.blk AND a.doc_id < b.doc_id
-        WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 a.simhash AS sig_a, b.simhash AS sig_b
+          FROM chunked a JOIN chunked b ON a.chunk = b.chunk AND a.doc_id < b.doc_id
+        )
+        SELECT doc_a, doc_b, CAST(bit_count(xor(sig_a, sig_b)) AS BIGINT) AS hamming
+        FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 2
         ORDER BY doc_a, doc_b""")),
 
     // SimHash (16-bit, over distinct tokens).
     "td_simhash" -> (((s: SparkSession, d: String) =>
       simhashDf(s, d).orderBy("doc_id")),
-      Some(s"""$docsSql,
-        t AS (
-          SELECT doc_id, unnest(list_distinct(toks)) AS tok FROM docs
-        ),
-        h AS (
-          SELECT doc_id, ('0x' || substr(sha256(tok), 1, 4))::BIGINT AS h16 FROM t
-        ),
-        scored AS (
-          SELECT doc_id, b, pw,
-                 sum(CASE WHEN CAST(floor(h16 / pw) AS BIGINT) % 2 = 1 THEN 1 ELSE -1 END) AS score
-          FROM h CROSS JOIN (
-            SELECT CAST(i AS INT) AS b, CAST(power(2, i) AS BIGINT) AS pw FROM range(0,16) t(i)
-          )
-          GROUP BY 1, 2, 3
-        )
-        SELECT doc_id, CAST(sum(CASE WHEN score > 0 THEN pw ELSE 0 END) AS BIGINT) AS simhash
-        FROM scored GROUP BY doc_id ORDER BY doc_id"""))
+      Some(s"""$docsSql $simhashSql
+        SELECT doc_id, simhash FROM sigs ORDER BY doc_id"""))
   )
 }
