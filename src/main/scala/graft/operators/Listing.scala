@@ -43,7 +43,9 @@ object Listing {
     * The caller inspects row `limit`+1 for has_more, as the reference does. */
   def page(df: DataFrame, after: String, limit: Int, keyCol: String = "key"): DataFrame = {
     val filtered = if (after.isEmpty) df else df.where(col(keyCol) > after)
-    filtered.orderBy(col(keyCol)).limit(limit + 1)
+    // guard the +1 against Int.MaxValue ("no limit") overflowing negative
+    if (limit >= Int.MaxValue) filtered.orderBy(col(keyCol))
+    else filtered.orderBy(col(keyCol)).limit(limit + 1)
   }
 
   /**

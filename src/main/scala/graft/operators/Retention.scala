@@ -21,15 +21,17 @@ object Retention {
 
   /**
    * @param commits   (commit_id, parents, creation_date) rows
-   * @param branches  branch head commit id -> retention cutoff (unix secs;
-   *                  commits with creation_date >= cutoff are retained)
+   * @param branches  (branch head commit id, retention cutoff) pairs — a
+   *                  Seq, not a Map, so two branches at the same head keep
+   *                  their separate cutoffs (unix secs; commits with
+   *                  creation_date >= cutoff are retained)
    * @return (commit_id, expired) rows covering every commit reached from any
    *         head via first-parent chains
    */
   def activeCommits(
       spark: SparkSession,
       commits: DataFrame,
-      branches: Map[String, Long]): DataFrame = {
+      branches: Seq[(String, Long)]): DataFrame = {
     val byId = commits.select("commit_id", "parents", "creation_date").collect()
       .map { r =>
         val id = r.get(0).toString

@@ -59,7 +59,7 @@ object ExtendedQueries {
     "vc_gc_active_commits" -> (((s: SparkSession, d: String) => {
       val commits = GraphQueries.commitsDf(s)
       Retention.activeCommits(s, commits,
-        Map(f"${200}%04d" -> (1700000000L + 150 * 60),
+        Seq(f"${200}%04d" -> (1700000000L + 150 * 60),
             f"${195}%04d" -> (1700000000L + 120 * 60)))
         .orderBy("commit_id")
     }),

@@ -138,17 +138,12 @@ class Engine(val spark: SparkSession, val repoDir: String,
     val headId = refs.getBranch(branch).getOrElse(sys.error(s"no branch $branch"))
     val head = refs.getCommit(headId).get
     val base = effectiveBase(branch, head)
-    val changes = stagedChanges(branch) match {
-      case Some(c) => c
+    val meta = stagedChanges(branch) match {
+      case Some(c) => snapshots.commitChanges(base, c)._1
       case None if base != head.metaRangeId =>
-        // everything staged was already compacted: commit the compacted base
-        spark.emptyDataFrame.withColumn("key", lit(null).cast("string"))
-          .withColumn("identity", lit(null).cast("string")).limit(0)
+        base // everything staged was already compacted: commit its metarange
       case None => sys.error(s"nothing to commit on $branch")
     }
-    val (meta, _) =
-      if (changes.isEmpty && base != head.metaRangeId) (base, Seq.empty)
-      else snapshots.commitChanges(base, changes)
     val c = refs.addCommit(committer, message, meta, Seq(headId))
     if (!refs.casBranch(branch, Some(headId), c.commitId))
       sys.error(s"branch $branch moved concurrently")
@@ -181,10 +176,27 @@ class Engine(val spark: SparkSession, val repoDir: String,
     else Listing.page(prefixed, after, limit)
   }
 
-  /** Point lookup (S3) with manifest interval pruning. */
+  /** Point lookup (S3) with manifest interval pruning. On a branch the
+    * staged overlay resolves first (tombstone => None), then the effective
+    * base — the same resolution order as [[list]] and the reference's Get. */
   def get(ref: String, key: String): Option[Row] = {
     val commit = resolveCommit(ref)
-    val pruned = snapshots.scanInterval(commit.metaRangeId, Some(key), Some(key + " "))
+    val isBranch = refs.getBranch(ref).isDefined
+    if (isBranch) {
+      stagedChanges(ref) match {
+        case Some(st) =>
+          val hit = st.where(col("key") === key).limit(1).collect().headOption
+          hit match {
+            case Some(row) =>
+              return if (row.isNullAt(row.fieldIndex("identity"))) None else Some(row)
+            case None => ()
+          }
+        case None => ()
+      }
+    }
+    val meta = if (isBranch) effectiveBase(ref, commit) else commit.metaRangeId
+    // upper bound key+"\u0000" = the smallest string strictly above key
+    val pruned = snapshots.scanInterval(meta, Some(key), Some(key + "\u0000"))
     Listing.pointGet(pruned, key).collect().headOption
   }
 
@@ -258,10 +270,20 @@ class Engine(val spark: SparkSession, val repoDir: String,
     c
   }
 
+  /** Fails when the branch holds uncommitted state (staged epochs or a
+    * compacted base) that the operation would silently lose. */
+  private def requireClean(branch: String, op: String): Unit = {
+    require(!exists(stagingRoot(branch)),
+      s"$branch has uncommitted changes; commit or reset before $op")
+    require(refs.getBranchRecord(branch).forall(_.compactedBase.isEmpty),
+      s"$branch has uncommitted compacted changes; commit or reset before $op")
+  }
+
   /** J10: import an external key set under prefixes — imported content fully
     * replaces destination content under those prefixes (`Graveler.Import`). */
   def importUnder(branch: String, imported: DataFrame, prefixes: Seq[String],
       committer: String, message: String): CommitInfo = {
+    requireClean(branch, "import")
     val headId = refs.getBranch(branch).getOrElse(sys.error(s"no branch $branch"))
     val head = refs.getCommit(headId).get
     val overlaid = Import.overlay(
@@ -278,6 +300,7 @@ class Engine(val spark: SparkSession, val repoDir: String,
     * range-id point compare against the parent before any file is read
     * (`checkPathListInCommit`, `catalog.go:1734-1827`). */
   def logWithPath(ref: String, key: String): Seq[CommitInfo] = {
+    val byId = refs.commits.map(c => c.commitId -> c).toMap
     def rangeOf(meta: String): Option[RangeInfo] =
       snapshots.readManifest(meta).find(ri => ri.minKey <= key && key <= ri.maxKey)
     def valueAt(meta: String): Option[String] =
@@ -288,7 +311,7 @@ class Engine(val spark: SparkSession, val repoDir: String,
             .select("identity").collect().headOption.map(_.getString(0))
       }
     log(ref, firstParent = true).filter { c =>
-      c.parents.headOption.flatMap(refs.getCommit) match {
+      c.parents.headOption.flatMap(byId.get) match {
         case None => valueAt(c.metaRangeId).isDefined // root: present = introduced
         case Some(p) =>
           val cr = rangeOf(c.metaRangeId); val pr = rangeOf(p.metaRangeId)
@@ -306,7 +329,7 @@ class Engine(val spark: SparkSession, val repoDir: String,
     val commitsDf = refs.commits
       .map(c => (c.commitId, c.parents, c.creationDate, c.metaRangeId))
       .toDF("commit_id", "parents", "creation_date", "meta_range_id")
-    val heads = cutoffs.flatMap { case (b, cut) => refs.getBranch(b).map(_ -> cut) }
+    val heads = cutoffs.toSeq.flatMap { case (b, cut) => refs.getBranch(b).map(_ -> cut) }
     val active = Retention.activeCommits(spark, commitsDf, heads)
     val metaById = refs.commits.map(c => c.commitId -> c.metaRangeId).toMap
     val bc = spark.sparkContext.broadcast(metaById)
@@ -319,6 +342,7 @@ class Engine(val spark: SparkSession, val repoDir: String,
   /** Revert: apply the reverse patch of `commitRef` (parent..commit inverted)
     * as a new commit on `branch` (`graveler.go:2829`). */
   def revert(branch: String, commitRef: String, committer: String): CommitInfo = {
+    requireClean(branch, "revert")
     val target = resolveCommit(commitRef)
     val parent = target.parents.headOption.flatMap(refs.getCommit)
       .getOrElse(sys.error("cannot revert a root commit"))
@@ -339,6 +363,7 @@ class Engine(val spark: SparkSession, val repoDir: String,
   /** Cherry-pick: apply commitRef's own patch (parent..commit) onto branch
     * (`graveler.go:2961`). */
   def cherryPick(branch: String, commitRef: String, committer: String): CommitInfo = {
+    requireClean(branch, "cherry-pick")
     val target = resolveCommit(commitRef)
     val parent = target.parents.headOption.flatMap(refs.getCommit)
       .getOrElse(sys.error("cannot cherry-pick a root commit"))
@@ -388,9 +413,13 @@ class Engine(val spark: SparkSession, val repoDir: String,
     * directory name — so path qualification differences don't matter). */
   def gcMark(): DataFrame = {
     import spark.implicits._
-    val live = refs.branches.values.flatMap { head =>
-      log(head).map(_.metaRangeId)
-    }.toSet.flatMap((m: String) => snapshots.readManifest(m).map(_.rangeId))
+    // live metaranges: every commit reachable from any branch head OR tag,
+    // plus uncommitted compacted bases — all of them hold user data
+    val heads = refs.branches.values ++ refs.tags.values
+    val commitMetas = heads.toSet.flatMap((h: String) => log(h).map(_.metaRangeId))
+    val compactedMetas = refs.branchRecords.values.flatMap(_.compactedBase)
+    val live = (commitMetas ++ compactedMetas)
+      .flatMap((m: String) => snapshots.readManifest(m).map(_.rangeId)).toSet
     val all =
       if (!exists(s"$repoDir/ranges")) Seq.empty[String]
       else fs.listStatus(new org.apache.hadoop.fs.Path(s"$repoDir/ranges"))
@@ -433,11 +462,14 @@ class Engine(val spark: SparkSession, val repoDir: String,
 
   private def resetWhere(branch: String, cond: org.apache.spark.sql.Column): Unit = {
     stagedChanges(branch).foreach { st =>
-      val kept = st.where(!cond).persist()
-      kept.count()
+      // write the kept rows durably BEFORE deleting the staging dir — a
+      // cache-only copy could be recomputed from the deleted files
+      val tmp = s"$repoDir/staging_tmp_$branch"
+      st.where(!cond).write.mode("overwrite").parquet(tmp)
+      val kept = spark.read.parquet(tmp)
       reset(branch)
       if (!kept.isEmpty) stage(branch, kept)
-      kept.unpersist()
+      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
     }
   }
 

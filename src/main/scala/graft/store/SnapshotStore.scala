@@ -67,9 +67,14 @@ class SnapshotStore(val spark: SparkSession, val repoDir: String,
 
     val untouched = base.filterNot(ri => touched.contains(ri.rangeId))
     val touchedInfos = base.filter(ri => touched.contains(ri.rangeId))
+    // when no range interval covers the change keys, keep the SNAPSHOT's
+    // schema as the template (an empty slice of any base range) — deriving
+    // it from a narrow change set would write payload-less ranges that
+    // poison later scans
     val touchedDf =
-      if (touchedInfos.isEmpty) changes.limit(0)
-      else spark.read.parquet(touchedInfos.map(_.path): _*)
+      if (touchedInfos.nonEmpty) spark.read.parquet(touchedInfos.map(_.path): _*)
+      else if (base.nonEmpty) spark.read.parquet(base.head.path).limit(0)
+      else changes.limit(0)
 
     // align the change set to the snapshot's payload columns (narrow change
     // sets — e.g. single-key Set/Delete — carry null payloads)
@@ -167,7 +172,7 @@ class SnapshotStore(val spark: SparkSession, val repoDir: String,
     if (infos.isEmpty) {
       import spark.implicits._
       Seq.empty[(String, String)].toDF("key", "identity")
-    } else spark.read.parquet(infos.map(_.path): _*)
+    } else spark.read.option("mergeSchema", "true").parquet(infos.map(_.path): _*)
 
   /**
    * Assign content-defined ranges and write the missing range files; return

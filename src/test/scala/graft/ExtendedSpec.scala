@@ -30,12 +30,12 @@ class ExtendedSpec extends SparkSpec {
       ("c5", Seq("c4"), 50L), ("c4", Seq("c3"), 40L), ("c3", Seq("c2"), 30L),
       ("c2", Seq("c1"), 20L), ("c1", Seq.empty[String], 10L)
     ).toDF("commit_id", "parents", "creation_date")
-    val out = Retention.activeCommits(spark, commits, Map("c5" -> 35L))
+    val out = Retention.activeCommits(spark, commits, Seq("c5" -> 35L))
       .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
     assert(out === Map("c5" -> false, "c4" -> false, "c3" -> false,
       "c2" -> true, "c1" -> true))
     // a second branch with a looser cutoff rescues c2
-    val out2 = Retention.activeCommits(spark, commits, Map("c5" -> 35L, "c2" -> 15L))
+    val out2 = Retention.activeCommits(spark, commits, Seq("c5" -> 35L, "c2" -> 15L))
       .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
     assert(out2("c2") === false && out2("c1") === false) // c1 = first beyond for branch 2
   }

@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.store.Engine
+
+/** Regressions for review findings: GC live-set completeness, ref-store
+  * escaping, pagination overflow, dirty guards, staged point-gets. */
+class ReviewRegressionSpec extends SparkSpec {
+
+  private def rows(n: Int) = {
+    import spark.implicits._
+    (1 to n).map(i => (f"k$i%04d", s"v$i")).toDF("key", "identity")
+  }
+
+  test("gcMark keeps ranges reachable only via tags or compacted bases") {
+    import spark.implicits._
+    val eng = new Engine(spark, tmpDir("gclive"), raggedness = 100)
+    val c1 = eng.init("main", Some(rows(50)))
+    // tag-only commit: move the branch away, keep a tag on the old commit
+    eng.stage("main", Seq(("k0001", "X")).toDF("key", "identity"))
+    val c2 = eng.commit("main", "t", "c2")
+    eng.refs.createTag("v1", c1.commitId)
+    eng.resetHard("main", c2.commitId)
+    // compacted-only ranges: stage + compact (no commit)
+    eng.stage("main", Seq(("zzz-new", "COMPACTED-ONLY")).toDF("key", "identity"))
+    eng.compact("main")
+    assert(eng.gcMark().count() === 0) // nothing live may be marked
+    val (n, _) = eng.gcSweep("r1")
+    assert(n === 0)
+    // both the tagged snapshot and the compacted changes still readable
+    assert(eng.list("v1").count() === 50)
+    assert(eng.list("main").where(col("key") === "zzz-new").count() === 1)
+  }
+
+  test("commit messages with delimiters round-trip through the ref store") {
+    import spark.implicits._
+    val eng = new Engine(spark, tmpDir("escape"), raggedness = 100)
+    eng.init("main", Some(rows(5)))
+    val msg = "fix A\nfix B | with pipe, comma=and equals"
+    eng.stage("main", Seq(("k0001", "X")).toDF("key", "identity"))
+    val c = eng.commit("main", "alice \n o'malley", msg)
+    val back = eng.refs.getCommit(c.commitId).get
+    assert(back.message === msg)
+    assert(back.committer === "alice \n o'malley")
+    // the whole log still parses and resolves
+    assert(eng.log("main").size === 2)
+    assert(eng.resolveCommit("main").commitId === c.commitId)
+    // import metadata with multi-prefix commas survives
+    val imp = eng.importUnder("main",
+      Seq(("a/x", "i1")).toDF("key", "identity"), Seq("a/", "b/"), "t", "imp")
+    assert(eng.refs.getCommit(imp.commitId).get.metadata("import") === "a/,b/")
+  }
+
+  test("paged listing with a cursor and default limit does not overflow") {
+    val eng = new Engine(spark, tmpDir("page"), raggedness = 100)
+    eng.init("main", Some(rows(30)))
+    val page = eng.list("main", after = "k0010").collect().map(_.getString(0))
+    assert(page.head === "k0011" && page.length === 20)
+  }
+
+  test("revert/cherry-pick/import refuse a dirty branch") {
+    import spark.implicits._
+    val eng = new Engine(spark, tmpDir("dirty"), raggedness = 100)
+    val c1 = eng.init("main", Some(rows(20)))
+    eng.stage("main", Seq(("k0001", "E")).toDF("key", "identity"))
+    val c2 = eng.commit("main", "t", "edit")
+    eng.stage("main", Seq(("k0002", "PENDING")).toDF("key", "identity"))
+    intercept[IllegalArgumentException] { eng.revert("main", c2.commitId, "t") }
+    intercept[IllegalArgumentException] { eng.cherryPick("main", c2.commitId, "t") }
+    intercept[IllegalArgumentException] {
+      eng.importUnder("main", rows(1), Seq("k"), "t", "imp")
+    }
+    // compacted state is dirty too
+    eng.compact("main")
+    intercept[IllegalArgumentException] { eng.revert("main", c2.commitId, "t") }
+    eng.commit("main", "t", "land")
+    eng.revert("main", c2.commitId, "t") // clean now: allowed
+    assert(eng.list("main").where(col("key") === "k0001").head().getString(1) === "v1")
+  }
+
+  test("get resolves staged writes, tombstones, and compacted bases") {
+    import spark.implicits._
+    val eng = new Engine(spark, tmpDir("getstage"), raggedness = 100)
+    eng.init("main", Some(rows(10)))
+    eng.set("main", "k0001", "STAGED")
+    eng.delete("main", "k0002")
+    assert(eng.get("main", "k0001").map(_.getString(1)) === Some("STAGED"))
+    assert(eng.get("main", "k0002") === None) // staged tombstone hides it
+    assert(eng.get("main", "k0003").map(_.getString(1)) === Some("v3"))
+    eng.compact("main")
+    assert(eng.get("main", "k0001").map(_.getString(1)) === Some("STAGED"))
+    assert(eng.get("main", "k0002") === None)
+  }
+
+  test("narrow set beyond all ranges keeps the snapshot schema") {
+    import spark.implicits._
+    val eng = new Engine(spark, tmpDir("narrow"), raggedness = 100)
+    eng.init("main", Some(
+      (1 to 20).map(i => (f"k$i%03d", s"v$i", i.toLong)).toDF("key", "identity", "size")))
+    eng.set("main", "zzz-beyond-max", "NEW") // outside every range interval
+    eng.commit("main", "t", "add beyond")
+    val listed = eng.list("main")
+    assert(listed.columns.contains("size")) // payload schema survives
+    val m = listed.collect().map(r => r.getString(0) -> r.get(2)).toMap
+    assert(m("k005") === 5L && m.contains("zzz-beyond-max"))
+  }
+}
