@@ -208,9 +208,17 @@ class Engine(val spark: SparkSession, val repoDir: String,
   /** Uncommitted diff of a branch (J6). */
   def diffUncommitted(branch: String): DataFrame = {
     val head = resolveCommit(branch)
-    stagedChanges(branch) match {
-      case Some(st) => Staging.uncommittedDiff(st, snapshots.scan(effectiveBase(branch, head)))
-      case None     => Diff.twoWay(emptySnapshot(), emptySnapshot())
+    val compactedDiff = refs.getBranchRecord(branch).flatMap(_.compactedBase) match {
+      // the compacted base IS uncommitted state: surface it as a diff vs head
+      case Some(cb) => Some(snapshots.diff(head.metaRangeId, cb))
+      case None     => None
+    }
+    (stagedChanges(branch), compactedDiff) match {
+      case (Some(st), cd) =>
+        val stagedDiff = Staging.uncommittedDiff(st, snapshots.scan(effectiveBase(branch, head)))
+        cd.map(c => Staging.overlayDiffs(stagedDiff, c)).getOrElse(stagedDiff)
+      case (None, Some(cd)) => cd
+      case (None, None)     => Diff.twoWay(emptySnapshot(), emptySnapshot())
     }
   }
 

@@ -19,8 +19,11 @@ class GovernanceSpec extends SparkSpec {
       .toDF("key", "identity"))
     val meta = eng.compact("main")
     assert(eng.refs.getBranchRecord("main").get.compactedBase === Some(meta))
-    // staging gone, but the workspace view reflects the compacted changes
-    assert(eng.stagedChanges("main").isEmpty || !eng.diffUncommitted("main").collect().nonEmpty)
+    // staging gone, but the compacted changes still read as uncommitted (J8)
+    assert(eng.stagedChanges("main").isEmpty)
+    val ud = eng.diffUncommitted("main")
+      .select("key", "diff_type").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(ud === Set(("k0005", "changed"), ("k0006", "removed")))
     val listed = eng.list("main").collect().map(r => r.getString(0) -> r.getString(1)).toMap
     assert(listed("k0005") === "COMPACTED" && !listed.contains("k0006"))
 
