@@ -36,39 +36,45 @@ object TextFunctions {
   def shingleHash16(s: Column): Column =
     conv(substring(sha2(s, 256), 1, 4), 16, 10).cast("long")
 
-  /** Total occurrences of the given stopwords (word-boundary via space
-    * padding; non-overlapping counts — replace() semantics match DuckDB). */
+  /** Total occurrences of the given stopwords, counted over whitespace
+    * tokens — boundary-correct for punctuation-adjacent, consecutive, and
+    * newline-separated words (the padded-replace trick was not). */
   def stopCount(text: Column, words: Seq[String]): Column = {
-    val padded = concat(lit(" "), lower(text), lit(" "))
+    val toks = tokens(text)
     words.map { w =>
-      val needle = s" $w "
-      ((length(padded) - length(regexp_replace(padded, java.util.regex.Pattern.quote(needle), ""))) / needle.length).cast("long")
+      size(filter(toks, t => lower(t) === w)).cast("long")
     }.reduce(_ + _)
   }
 
-  /** DuckDB twin of [[stopCount]] (plain replace — no regex needed). */
+  /** DuckDB twin of [[stopCount]] (token-based, same semantics). */
   def stopCountSql(textCol: String, words: Seq[String]): String =
     words.map { w =>
-      val n = s" $w "
-      s"CAST((length(' ' || lower($textCol) || ' ') - length(replace(' ' || lower($textCol) || ' ', '$n', ''))) / ${n.length} AS BIGINT)"
+      s"CAST(len(list_filter(regexp_split_to_array(trim($textCol), '\\s+'), t -> lower(t) = '$w')) AS BIGINT)"
     }.mkString(" + ")
 
+  /** Language-word profiles for the stopword language-ID heuristic. */
+  private val langProfiles = Seq(
+    "en" -> Seq("the", "and", "of"),
+    "de" -> Seq("der", "und", "die"),
+    "es" -> Seq("el", "los", "y"),
+    "fr" -> Seq("le", "les", "et"))
+
   /**
-   * Language-ID heuristic: stopword-profile scores with fixed precedence
-   * (en > de > es > fr, 'und' when no profile hits). Emitted as a SQL
-   * expression string valid in BOTH Spark SQL and DuckDB, so the oracle is
-   * the same text.
+   * Language-ID heuristic: token-based stopword-profile scores with fixed
+   * precedence (en > de > es > fr, 'und' when no profile hits). Emitted per
+   * dialect — the tokenizer function names differ between Spark SQL
+   * (`filter`/`size`/`split`) and DuckDB (`list_filter`/`len`/
+   * `regexp_split_to_array`), but the semantics are identical.
    */
-  def langIdExpr(textCol: String): String = {
-    def occ(w: String): String = {
-      val n = s" $w "
-      s"(length(' ' || lower($textCol) || ' ') - length(replace(' ' || lower($textCol) || ' ', '$n', ''))) / ${n.length}"
+  def langIdExpr(textCol: String, dialect: String = "spark"): String = {
+    def occ(w: String): String = dialect match {
+      case "duckdb" =>
+        s"len(list_filter(regexp_split_to_array(trim($textCol), '\\s+'), t -> lower(t) = '$w'))"
+      case _ =>
+        s"size(filter(split(trim($textCol), '\\\\s+'), t -> lower(t) = '$w'))"
     }
     def score(ws: Seq[String]): String = ws.map(occ).mkString("(", " + ", ")")
-    val en = score(Seq("the", "and", "of"))
-    val de = score(Seq("der", "und", "die"))
-    val es = score(Seq("el", "los", "y"))
-    val fr = score(Seq("le", "les", "et"))
+    val Seq(en, de, es, fr) = langProfiles.map { case (_, ws) => score(ws) }
     s"""CASE
       WHEN greatest($en, $de, $es, $fr) = 0 THEN 'und'
       WHEN $en >= greatest($de, $es, $fr) THEN 'en'

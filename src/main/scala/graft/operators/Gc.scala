@@ -19,10 +19,12 @@ object Gc {
   /** P7: resolve relative addresses against the storage namespace; keep full
     * addresses as-is (`pkg/catalog/catalog.proto:16-24` semantics). */
   def resolveAddress(df: DataFrame, namespace: String,
-      addrCol: String = "address", typeCol: String = "address_type"): DataFrame =
+      addrCol: String = "address", typeCol: String = "address_type"): DataFrame = {
+    val ns = if (namespace.endsWith("/")) namespace else namespace + "/"
     df.withColumn(addrCol,
-      when(col(typeCol) === "RELATIVE", concat(lit(namespace), col(addrCol)))
+      when(col(typeCol) === "RELATIVE", concat(lit(ns), col(addrCol)))
         .otherwise(col(addrCol)))
+  }
 
   /** P6: keep only addresses inside `namespace`, stripped to relative form,
     * deduped (`CommittedAddressLister.scala:15-56`). */

@@ -26,8 +26,10 @@ object Import {
       }
     }.reduce(_ || _)
 
-  /** dest with everything under `prefixes` replaced by `imported` (whose
-    * keys must all live under those prefixes — enforced). */
+  /** dest with everything under `prefixes` replaced by `imported`.
+    * Imported rows whose keys fall OUTSIDE the prefixes are filtered out —
+    * callers wanting to detect mis-prefixed sources should validate the
+    * listing first (an anti-join against the prefix ranges). */
   def overlay(dest: DataFrame, imported: DataFrame, prefixes: Seq[String]): DataFrame = {
     require(prefixes.nonEmpty, "import requires at least one prefix")
     val masked = dest.where(!underAnyPrefix(col("key"), prefixes))

@@ -25,7 +25,9 @@ object Listing {
     val b = prefix.toCharArray
     var i = b.length - 1
     while (i >= 0) {
-      if (b(i) != 0xFF.toChar) { b(i) = (b(i) + 1).toChar; return Some(new String(b, 0, i + 1)) }
+      // increment the last incrementable UTF-16 unit (Char.MaxValue, not the
+      // byte-algorithm's 0xFF — keys here are Strings, not raw bytes)
+      if (b(i) != Char.MaxValue) { b(i) = (b(i) + 1).toChar; return Some(new String(b, 0, i + 1)) }
       i -= 1
     }
     None

@@ -54,10 +54,9 @@ object Merge {
     val s = side.select(col("key") +: payload.map(c => col(c).as(s"${tag}_$c")): _*)
       .withColumn(s"__side_present", lit(true))
     b.join(s, Seq("key"), "full_outer")
-      .where(
-        (col("__base_id").isNull && col("__side_present").isNotNull) ||
-        (col("__base_id").isNotNull && col("__side_present").isNull) ||
-        !(col(s"${tag}_identity") <=> col("__base_id")))
+      // one null-safe inequality covers added (null vs x), removed (x vs
+      // null) and changed (x vs y) alike; identical rows are x <=> x
+      .where(!(col(s"${tag}_identity") <=> col("__base_id")))
       .withColumn(s"__in_$tag", lit(true))
       .drop("__base_id", "__side_present")
   }

@@ -126,7 +126,7 @@ object ExtendedQueries {
     }),
       Some("""
         SELECT doc_id AS media_id,
-               CAST(length(text) AS BIGINT) AS n_bytes,
+               CAST(strlen(text) AS BIGINT) AS n_bytes, -- byte length: twin of Spark length(binary)
                sha256(text) AS checksum,
                ('0x' || substr(sha256(text),1,4))::BIGINT % 1920 + 1 AS width,
                ('0x' || substr(sha256(text),5,4))::BIGINT % 1080 + 1 AS height,
@@ -142,7 +142,7 @@ object ExtendedQueries {
     }),
       Some("""
         WITH m AS (
-          SELECT CAST(length(text) AS BIGINT) AS n_bytes,
+          SELECT CAST(strlen(text) AS BIGINT) AS n_bytes,
                  ('0x' || substr(sha256(text),1,4))::BIGINT % 1920 + 1 AS width,
                  ('0x' || substr(sha256(text),5,4))::BIGINT % 1080 + 1 AS height
           FROM documents

@@ -127,10 +127,11 @@ object TextQueries {
 
     // Language ID: stopword-profile heuristic with fixed precedence.
     "td_langid" -> (((s: SparkSession, d: String) =>
-      Fixtures.documents(s, d).selectExpr("doc_id", s"${langIdExpr("text")} AS lang_pred")
+      Fixtures.documents(s, d)
+        .selectExpr("doc_id", s"${langIdExpr("text", "spark")} AS lang_pred")
         .orderBy("doc_id")),
       Some(s"""
-        SELECT doc_id, ${langIdExpr("text")} AS lang_pred
+        SELECT doc_id, ${langIdExpr("text", "duckdb")} AS lang_pred
         FROM documents ORDER BY doc_id""")),
 
     // Document fingerprint: sha256 of whitespace-normalized lowercase text;

@@ -30,6 +30,21 @@ object VectorQueries {
   private def dotSql(a: String, b: String): String =
     s"CAST(list_sum(list_transform(generate_series(1, len($a)), i -> $a[i] * $b[i])) AS BIGINT)"
 
+  /** 4-plane sign signature over a quantized vector column (shared by the
+    * LSH bucket report and the LSH-ANN candidate join — must stay one
+    * definition or candidates and stats silently desynchronize). */
+  private def signSig(q: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (0 until 4).map { p =>
+      val partial = aggregate(slice(q, p * 16 + 1, 16), lit(0L), (acc, x) => acc + x)
+      when(partial >= 0, lit(1)).otherwise(lit(0)).cast("string")
+    }.reduce((a, b) => concat(a, b))
+
+  /** DuckDB twin of [[signSig]] over a list column named `qv`. */
+  private val signSigSql: String = (0 until 4).map { p =>
+    val lo = p * 16 + 1; val hi = p * 16 + 16
+    s"(CASE WHEN CAST(list_sum(list_transform(generate_series($lo,$hi), i -> qv[i])) AS BIGINT) >= 0 THEN '1' ELSE '0' END)"
+  }.mkString(" || ")
+
   val defs: Map[String, (QueryFn, Option[String])] = Map(
 
     // Brute-force cosine top-5 neighbors for probe vectors (vec_id%100==0).
@@ -68,12 +83,12 @@ object VectorQueries {
 
     // Per-label centroid accumulators (exact integer sums per dimension).
     "emb_centroid" -> (((s: SparkSession, d: String) => {
+      // slice to the reported dims BEFORE exploding — 8x less shuffle
       val emb = Fixtures.embeddings(s, d)
-        .select(col("label"), posexplode(quantize(col("embedding"))).as(Seq("dim0", "v")))
+        .select(col("label"), posexplode(slice(quantize(col("embedding")), 1, 8)).as(Seq("dim0", "v")))
         .withColumn("dim", col("dim0") + 1).drop("dim0")
       emb.groupBy("label", "dim")
         .agg(sum("v").as("sum_v"), count(lit(1)).as("n"))
-        .where(col("dim") <= 8) // first 8 dims keep the output compact
         .orderBy("label", "dim")
     }),
       Some(s"""
@@ -116,11 +131,7 @@ object VectorQueries {
     "emb_lsh_ann" -> (((s: SparkSession, d: String) => {
       val emb = Fixtures.embeddings(s, d)
         .select(col("vec_id"), quantize(col("embedding")).as("q"))
-      val sig = (0 until 4).map { p =>
-        val partial = aggregate(slice(col("q"), p * 16 + 1, 16), lit(0L), (acc, x) => acc + x)
-        when(partial >= 0, lit(1)).otherwise(lit(0)).cast("string")
-      }.reduce((a, b) => concat(a, b))
-      val bucketed = emb.withColumn("bucket", sig)
+      val bucketed = emb.withColumn("bucket", signSig(col("q")))
       val a = bucketed.select(col("bucket"), col("vec_id").as("id_a"), col("q").as("qa"))
       val b = bucketed.select(col("bucket"), col("vec_id").as("id_b"), col("q").as("qb"))
       a.join(b, Seq("bucket")).where(col("id_a") < col("id_b"))
@@ -134,14 +145,7 @@ object VectorQueries {
     }),
       Some(s"""
         WITH q AS (SELECT vec_id, $qvecSql AS qv FROM embeddings),
-        sig AS (
-          SELECT vec_id, qv,
-            (CASE WHEN CAST(list_sum(list_transform(generate_series(1,16), i -> qv[i])) AS BIGINT) >= 0 THEN '1' ELSE '0' END) ||
-            (CASE WHEN CAST(list_sum(list_transform(generate_series(17,32), i -> qv[i])) AS BIGINT) >= 0 THEN '1' ELSE '0' END) ||
-            (CASE WHEN CAST(list_sum(list_transform(generate_series(33,48), i -> qv[i])) AS BIGINT) >= 0 THEN '1' ELSE '0' END) ||
-            (CASE WHEN CAST(list_sum(list_transform(generate_series(49,64), i -> qv[i])) AS BIGINT) >= 0 THEN '1' ELSE '0' END) AS bucket
-          FROM q
-        )
+        sig AS (SELECT vec_id, qv, $signSigSql AS bucket FROM q)
         SELECT * FROM (
           SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                  CAST(${dotSql("a.qv", "b.qv")} AS DOUBLE) /
@@ -157,25 +161,14 @@ object VectorQueries {
       val emb = Fixtures.embeddings(s, d)
         .select(col("vec_id"), quantize(col("embedding")).as("q"))
       // plane p (p=0..3): sign of sum of dims [16p+1 .. 16p+16]
-      val sig = (0 until 4).map { p =>
-        val partial = aggregate(slice(col("q"), p * 16 + 1, 16), lit(0L), (acc, x) => acc + x)
-        when(partial >= 0, lit(1)).otherwise(lit(0)).cast("string")
-      }.reduce((a, b) => concat(a, b))
-      emb.withColumn("bucket", sig)
+      emb.withColumn("bucket", signSig(col("q")))
         .groupBy("bucket").agg(count(lit(1)).as("n_vectors"),
           min("vec_id").as("min_vec"), max("vec_id").as("max_vec"))
         .orderBy("bucket")
     }),
       Some(s"""
         WITH q AS (SELECT vec_id, $qvecSql AS qv FROM embeddings),
-        sig AS (
-          SELECT vec_id,
-            (CASE WHEN CAST(list_sum(list_transform(generate_series(1,16), i -> qv[i])) AS BIGINT) >= 0 THEN '1' ELSE '0' END) ||
-            (CASE WHEN CAST(list_sum(list_transform(generate_series(17,32), i -> qv[i])) AS BIGINT) >= 0 THEN '1' ELSE '0' END) ||
-            (CASE WHEN CAST(list_sum(list_transform(generate_series(33,48), i -> qv[i])) AS BIGINT) >= 0 THEN '1' ELSE '0' END) ||
-            (CASE WHEN CAST(list_sum(list_transform(generate_series(49,64), i -> qv[i])) AS BIGINT) >= 0 THEN '1' ELSE '0' END) AS bucket
-          FROM q
-        )
+        sig AS (SELECT vec_id, $signSigSql AS bucket FROM q)
         SELECT bucket, count(*) AS n_vectors, min(vec_id) AS min_vec, max(vec_id) AS max_vec
         FROM sig GROUP BY bucket ORDER BY bucket"""))
   )

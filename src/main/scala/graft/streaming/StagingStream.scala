@@ -43,15 +43,20 @@ object StagingStream {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) {
-          engine.stage(branch, batch)
-          val dels = batch.where(col("identity").isNull).count()
-          val total = tombstonesSeen.addAndGet(dels)
-          if (total >= deleteThreshold) {
-            tombstonesSeen.set(0L)
-            onDeleteThreshold(branch, total)
+        // one materialization serves the emptiness check, the stage write
+        // and the tombstone count (otherwise the upstream plan runs thrice)
+        val b = batch.persist()
+        try {
+          if (!b.isEmpty) {
+            engine.stage(branch, b)
+            val dels = b.where(col("identity").isNull).count()
+            val total = tombstonesSeen.addAndGet(dels)
+            if (total >= deleteThreshold) {
+              tombstonesSeen.set(0L)
+              onDeleteThreshold(branch, total)
+            }
           }
-        }
+        } finally b.unpersist()
         ()
       }
       .start()

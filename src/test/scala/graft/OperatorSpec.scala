@@ -149,10 +149,14 @@ class OperatorSpec extends SparkSpec {
     assert(nested === Set(("a/x/", true, 2L), ("a/y", false, 1L)))
   }
 
-  test("P1 prefix upper bound handles 0xFF rollover") {
+  test("P1 prefix upper bound increments UTF-16 units, rolls over at \\uffff") {
     assert(Listing.upperBound("ab") === Some("ac"))
-    assert(Listing.upperBound("aÿ") === Some("b"))
-    assert(Listing.upperBound("ÿ") === None)
+    assert(Listing.upperBound("aÿ") === Some("aĀ")) // NOT "b" — ÿ is incrementable
+    assert(Listing.upperBound("a￿") === Some("b"))
+    assert(Listing.upperBound("￿") === None)
+    // the bound actually covers prefixed keys and excludes the next sibling
+    assert("aÿz" >= "aÿ" && "aÿz" < "aĀ")
+    assert(!("aĀx" < "aĀ"))
   }
 
   test("O2 pagination returns limit+1 for has_more detection") {
