@@ -1,0 +1,58 @@
+package graft.functions
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+
+/**
+ * Typed MinHash-signature aggregator (SURVEY.md §2.10: the custom-aggregate
+ * surface reserved for the training-data ops): folds a stream of shingle
+ * hashes into a k-permutation MinHash signature.
+ *
+ * Buffer = the running component-wise minimum of (a_j * h + b_j) mod P —
+ * associative and commutative, so partial aggregation (map-side combine)
+ * works like any built-in aggregate. Permutation parameters match
+ * [[graft.queries.TextQueries]]'s minhash query (a_j = 2j+3, b_j = 7919j+1,
+ * P = 1e9+7), so signatures are interchangeable with the SQL formulation.
+ *
+ * Usage:
+ * {{{
+ *   val sig = udaf(new MinHashAggregator(16))
+ *   shingleHashes.groupBy("doc_id").agg(sig(col("h")).as("signature"))
+ * }}}
+ */
+class MinHashAggregator(k: Int) extends Aggregator[Long, Array[Long], Array[Long]] {
+
+  private val P = 1000000007L
+
+  override def zero: Array[Long] = Array.fill(k)(Long.MaxValue)
+
+  override def reduce(buf: Array[Long], h: Long): Array[Long] = {
+    var j = 0
+    while (j < k) {
+      val v = (h * (2L * j + 3) + 7919L * j + 1) % P
+      if (v < buf(j)) buf(j) = v
+      j += 1
+    }
+    buf
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var j = 0
+    while (j < k) { if (b(j) < a(j)) a(j) = b(j); j += 1 }
+    a
+  }
+
+  override def finish(buf: Array[Long]): Array[Long] = buf
+
+  override def bufferEncoder: Encoder[Array[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  override def outputEncoder: Encoder[Array[Long]] = bufferEncoder
+}
+
+object MinHashAggregator {
+  /** Estimated Jaccard similarity of two equal-length signatures. */
+  def estimatedJaccard(a: Array[Long], b: Array[Long]): Double = {
+    require(a.length == b.length)
+    a.zip(b).count { case (x, y) => x == y }.toDouble / a.length
+  }
+}

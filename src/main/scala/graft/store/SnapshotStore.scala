@@ -114,13 +114,20 @@ class SnapshotStore(val spark: SparkSession, val repoDir: String,
     })
 
   /** The two diff sides restricted to ranges NOT shared by content id —
-    * the reference's whole-range skip. Shared ranges contribute no diff. */
+    * the reference's whole-range skip. Shared ranges contribute no diff.
+    * A fully-pruned side keeps the snapshot's schema (empty slice of one of
+    * its ranges) so downstream joins still see the payload columns. */
   def prunedForDiff(leftMeta: String, rightMeta: String): (DataFrame, DataFrame) = {
     val l = readManifest(leftMeta)
     val r = readManifest(rightMeta)
     val shared = l.map(_.rangeId).toSet.intersect(r.map(_.rangeId).toSet)
-    (readRanges(l.filterNot(i => shared.contains(i.rangeId))),
-     readRanges(r.filterNot(i => shared.contains(i.rangeId))))
+    def side(all: Seq[RangeInfo]) = {
+      val keep = all.filterNot(i => shared.contains(i.rangeId))
+      if (keep.nonEmpty) readRanges(keep)
+      else if (all.nonEmpty) spark.read.parquet(all.head.path).limit(0)
+      else readRanges(keep)
+    }
+    (side(l), side(r))
   }
 
   /** Range-pruned two-way diff between two snapshots (J1 at store level). */

@@ -63,6 +63,23 @@ object StagingStream {
   }
 
   /**
+   * The full T6 loop: streaming ingest whose delete sensor triggers branch
+   * compaction automatically — the reference's sensor→compaction callback
+   * (`delete_sensor.go` → `CompactedBaseMetaRangeID`). Safe inside
+   * foreachBatch: batches run sequentially, so compaction never races a
+   * concurrent stage() of the same stream.
+   */
+  def ingestWithCompaction(
+      engine: Engine,
+      branch: String,
+      changes: DataFrame,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow(),
+      deleteThreshold: Long = 1000L): StreamingQuery =
+    ingest(engine, branch, changes, checkpointDir, trigger, deleteThreshold,
+      onDeleteThreshold = (b, _) => engine.compact(b))
+
+  /**
    * A5 as a stream: per-day/per-type event counts with watermarked event
    * time — the usage-report aggregation in incremental form.
    */

@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{MinHashAggregator, TextFunctions}
+import graft.store.Engine
+import graft.streaming.StagingStream
+
+/**
+ * End-to-end training-data curation pipeline over the versioned engine:
+ * ingest documents as a commit, run dedup + quality filtering, commit the
+ * curated set, and audit the curation as a versioned diff — the composition
+ * story (versioned tables × data-quality operators) in one flow.
+ */
+class PipelineSpec extends SparkSpec {
+
+  test("curate a document corpus under version control") {
+    import spark.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+    // v1: raw corpus keyed by doc id, identity = content fingerprint
+    val keyed = docs.select(
+      lpad(col("doc_id").cast("string"), 8, "0").as("key"),
+      sha2(regexp_replace(lower(col("text")), "\\s+", " "), 256).as("identity"),
+      col("text"), col("lang"))
+    val eng = new Engine(spark, tmpDir("curate"), raggedness = 200)
+    eng.init("main", Some(keyed))
+    val v1 = eng.refs.getBranch("main").get
+
+    // curation on a branch: drop low-quality docs (short or low type-token
+    // ratio) and near-duplicates (prefix-fingerprint blocking, keep min id)
+    eng.createBranch("curation", "main")
+    val quality = keyed
+      .withColumn("n_tokens", size(TextFunctions.tokens(col("text"))))
+      .withColumn("ttr",
+        size(array_distinct(TextFunctions.tokens(col("text")))).cast("double") / col("n_tokens"))
+    val lowQuality = quality.where(col("n_tokens") < 12 || col("ttr") < 0.3).select("key")
+    val fp5 = sha2(array_join(slice(TextFunctions.tokens(col("text")), 1, 5), " "), 256)
+    val dupes = keyed.withColumn("fp5", fp5)
+      .withColumn("canon", min("key").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("fp5")))
+      .where(col("key") =!= col("canon")).select("key")
+    val toDrop = lowQuality.union(dupes).distinct()
+    val nDrop = toDrop.count()
+    assert(nDrop > 0, "fixture should contain curatable docs")
+
+    eng.stage("curation", toDrop.withColumn("identity", lit(null).cast("string")))
+    val c2 = eng.commit("curation", "curator", s"drop $nDrop low-quality/dup docs")
+
+    // audit: the curation is a reviewable versioned diff
+    val audit = eng.diff(v1, c2.commitId)
+    val byType = audit.groupBy("diff_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType === Map("removed" -> nDrop))
+    assert(eng.list("curation").count() === keyed.count() - nDrop)
+    // raw corpus untouched on main
+    assert(eng.list("main").count() === keyed.count())
+
+    // promote the curated set via a PR merge
+    val pr = eng.createPullRequest("curation", "main", "curated corpus v2")
+    eng.mergePullRequest(pr.id, "curator")
+    assert(eng.list("main").count() === keyed.count() - nDrop)
+  }
+
+  test("MinHash aggregator matches the SQL min-per-permutation formulation") {
+    import spark.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(50)
+    val hashed = docs
+      .select(col("doc_id"), explode(array_distinct(
+        TextFunctions.shingles(col("text"), 3))).as("s"))
+      .withColumn("h", TextFunctions.shingleHash64(col("s")))
+    // SQL formulation: explicit per-permutation min
+    val perms = spark.range(16).select(col("id").cast("int").as("j"))
+    val sqlSigs = hashed.crossJoin(broadcast(perms))
+      .withColumn("hp", (col("h") * (col("j") * 2 + 3) + col("j") * 7919 + 1) % 1000000007L)
+      .groupBy("doc_id", "j").agg(min("hp").as("m"))
+      .groupBy("doc_id")
+      .agg(transform(array_sort(collect_list(struct(col("j"), col("m")))),
+        x => x.getField("m")).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    // typed Aggregator formulation
+    val agg = udaf(new MinHashAggregator(16))
+    val aggSigs = hashed.groupBy("doc_id").agg(agg(col("h")).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    assert(aggSigs.keySet === sqlSigs.keySet)
+    aggSigs.foreach { case (id, sig) => assert(sig.toSeq === sqlSigs(id).toSeq, s"doc $id") }
+    // estimator sanity: identical docs have similarity 1
+    val any = aggSigs.values.head
+    assert(MinHashAggregator.estimatedJaccard(any, any) === 1.0)
+  }
+
+  test("streaming ingest auto-compacts past the tombstone threshold") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val eng = new Engine(spark, tmpDir("autocompact"), raggedness = 100)
+    eng.init("main", Some((1 to 30).map(i => (f"k$i%03d", s"v$i")).toDF("key", "identity")))
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, String)]
+    val q = StagingStream.ingestWithCompaction(
+      eng, "main", mem.toDF().toDF("key", "identity"),
+      checkpointDir = tmpDir("ac-ckpt"), deleteThreshold = 2)
+    mem.addData(("k001", null.asInstanceOf[String]), ("k002", null.asInstanceOf[String]),
+      ("k003", "UPDATED"))
+    q.processAllAvailable(); q.stop()
+    // the sensor fired and compacted: staging folded into a compacted base
+    assert(eng.refs.getBranchRecord("main").get.compactedBase.isDefined)
+    val listed = eng.list("main").collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(!listed.contains("k001") && !listed.contains("k002"))
+    assert(listed("k003") === "UPDATED" && listed.size === 28)
+  }
+}
