@@ -121,7 +121,10 @@ object ExtendedQueries {
       Multimodal.stubDecode(media)
         .select(col("media_id"), col("metadata.n_bytes").as("n_bytes"),
           col("metadata.checksum").as("checksum"),
-          col("width"), col("height"), col("features"))
+          col("width"), col("height"),
+          // canonical string form: the driver's pandas compare can't hash
+          // array cells, so both sides emit a comma-joined string.
+          concat_ws(",", transform(col("features"), x => x.cast("string"))).as("features"))
         .orderBy("media_id")
     }),
       Some("""
@@ -130,8 +133,8 @@ object ExtendedQueries {
                sha256(text) AS checksum,
                ('0x' || substr(sha256(text),1,4))::BIGINT % 1920 + 1 AS width,
                ('0x' || substr(sha256(text),5,4))::BIGINT % 1080 + 1 AS height,
-               list_transform(generate_series(1, greatest(least(8, length(text)), 1)),
-                 i -> ascii(substr(text, CAST(i AS INT), 1))) AS features
+               array_to_string(list_transform(generate_series(1, greatest(least(8, length(text)), 1)),
+                 i -> ascii(substr(text, CAST(i AS INT), 1))), ',') AS features
         FROM documents ORDER BY media_id""")),
 
     // Multimodal aggregation: per-type feature stats.
