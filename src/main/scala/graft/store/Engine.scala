@@ -339,10 +339,11 @@ class Engine(val spark: SparkSession, val repoDir: String,
       .toDF("commit_id", "parents", "creation_date", "meta_range_id")
     val heads = cutoffs.toSeq.flatMap { case (b, cut) => refs.getBranch(b).map(_ -> cut) }
     val active = Retention.activeCommits(spark, commitsDf, heads)
-    val metaById = refs.commits.map(c => c.commitId -> c.metaRangeId).toMap
-    val bc = spark.sparkContext.broadcast(metaById)
-    val withMeta = active.withColumn("metarange_id",
-      udf((id: String) => bc.value.getOrElse(id, "")).apply(col("commit_id")))
+    // commit -> metarange via a broadcast equi-join (codegen-friendly; the
+    // commit table is metadata-scale so the broadcast is tiny)
+    val metaDf = commitsDf.select(col("commit_id"), col("meta_range_id").as("metarange_id"))
+    val withMeta = active.join(broadcast(metaDf), Seq("commit_id"), "left")
+      .withColumn("metarange_id", coalesce(col("metarange_id"), lit("")))
     val path = graft.sources.GcSinks.writeCommitsCsv(withMeta, repoDir, runId)
     (path, withMeta)
   }
@@ -438,18 +439,88 @@ class Engine(val spark: SparkSession, val repoDir: String,
   }
 
   /** GC sweep: delete every unreferenced range and write the S9 report
-    * (mark via [[gcMark]]; bulk delete mirrors the reference's chunked
-    * remover, `GarbageCollection.scala:253-276`). */
-  def gcSweep(runId: String): (Long, String) = {
-    val marked = gcMark().persist()
-    val addrs = marked.collect().map(_.getString(0))
-    addrs.foreach { rid =>
-      fs.delete(new org.apache.hadoop.fs.Path(s"$repoDir/ranges/$rid"), true)
+    * (mark via [[gcMark]]; the delete is distributed — mirrors the
+    * reference's executor-side bulk remover, `GarbageCollection.scala:253-276`). */
+  def gcSweep(runId: String): (Long, String) = distributedSweep(gcMark(), runId)
+
+  /** Executor-side bulk delete of marked addresses + S9 report. The dead set
+    * never reaches the driver (millions of paths at 100 TB): each partition
+    * opens its own FileSystem and deletes its slice. */
+  private def distributedSweep(marked0: DataFrame, runId: String,
+      cutoffSecs: Option[Long] = None): (Long, String) = {
+    val marked = marked0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = marked.count()
+    val rangesRoot = s"$repoDir/ranges" // local val: the closure must not capture `this`
+    marked.select("address").foreachPartition { (rows: Iterator[Row]) =>
+      // executor-side FS from the environment's default Hadoop conf (the
+      // driver conf isn't serializable into user closures)
+      val conf = new org.apache.hadoop.conf.Configuration()
+      val pfs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(rangesRoot), conf)
+      rows.foreach { r =>
+        pfs.delete(new org.apache.hadoop.fs.Path(s"$rangesRoot/${r.getString(0)}"), true)
+      }
     }
     val now = System.currentTimeMillis() / 1000
-    val report = graft.sources.GcSinks.writeReports(marked, repoDir, runId, now, now)
+    val report = graft.sources.GcSinks.writeReports(
+      marked, repoDir, runId, now, cutoffSecs.getOrElse(now))
     marked.unpersist()
-    (addrs.length.toLong, report)
+    (n, report)
+  }
+
+  /**
+   * End-to-end retention GC run (G3+S7+S8+S9+J9; reference
+   * `pkg/graveler/retention/garbage_collection_manager.go:25-215` +
+   * `pkg/catalog/gc_write_uncommitted.go:14-110`):
+   *  1. resolve the persisted retention rules to per-branch cutoffs;
+   *  2. write the commits CSV (S7) with active/expired flags;
+   *  3. write the uncommitted inventory (S8) — staging epoch files, the
+   *     engine's uncommitted storage — so a sweep consumer can prove staged
+   *     data was protected;
+   *  4. live set = ranges of ACTIVE commits + tagged commits + uncommitted
+   *     compacted bases; everything else under ranges/ is swept with the
+   *     distributed bulk delete and reported (S9).
+   * Commits reachable only through second parents age out with the cutoffs,
+   * matching the reference's first-parent retention walk.
+   */
+  def gcRun(runId: String,
+      nowSecs: Long = System.currentTimeMillis() / 1000): (Long, String) = {
+    import spark.implicits._
+    val rules = refs.gcRules.getOrElse(sys.error("no GC retention rules configured"))
+    val cutoffs = refs.branches.keys.map { b =>
+      b -> (nowSecs - 86400L * rules.perBranch.getOrElse(b, rules.defaultRetentionDays))
+    }.toMap
+    val (_, commitsDf) = gcPrepareCommits(cutoffs, runId)
+    val activeMetas = commitsDf.where(!col("expired")).select("metarange_id")
+      .collect().map(_.getString(0)).filter(_.nonEmpty)
+    val tagMetas = refs.tags.values.flatMap(refs.getCommit).map(_.metaRangeId)
+    val compactedMetas = refs.branchRecords.values.flatMap(_.compactedBase)
+    val live = (activeMetas ++ tagMetas ++ compactedMetas).toSet
+      .flatMap((m: String) => snapshots.readManifest(m).map(_.rangeId))
+
+    // S8: uncommitted inventory — staging epoch files with their mtimes
+    // (status-only listing, metadata-scale even when staged data is big)
+    val stagingFiles: Seq[(String, Long)] =
+      if (!exists(s"$repoDir/staging")) Seq.empty
+      else {
+        val it = fs.listFiles(new org.apache.hadoop.fs.Path(s"$repoDir/staging"), true)
+        val buf = scala.collection.mutable.ArrayBuffer[(String, Long)]()
+        while (it.hasNext) {
+          val st = it.next()
+          buf += ((st.getPath.toString, st.getModificationTime / 1000))
+        }
+        buf.toSeq
+      }
+    graft.sources.GcSinks.writeUncommitted(
+      stagingFiles.toDF("physical_address", "creation_date"), repoDir, runId)
+
+    val all =
+      if (!exists(s"$repoDir/ranges")) Seq.empty[String]
+      else fs.listStatus(new org.apache.hadoop.fs.Path(s"$repoDir/ranges"))
+        .map(_.getPath.getName).toSeq
+    val dead = graft.operators.Gc.mark(
+      all.toDF("address"), live.toSeq.toDF("address"),
+      spark.emptyDataset[String].toDF("address"))
+    distributedSweep(dead, runId, cutoffSecs = Some(cutoffs.values.minOption.getOrElse(nowSecs)))
   }
 
   /** Reset: drop ALL staged changes of a branch (`graveler.go:2637`). */

@@ -24,8 +24,9 @@ import graft.core.Model.RangeInfo
  *    yields the same range with the same content id. That stability is what
  *    makes cross-commit file reuse and range-level diff pruning work.
  *  - '''Content-addressed range ids''': order-independent 128-bit content
- *    hash (sums of two independent xxhash64 streams over key|identity),
- *    mergeable map-side — no global pass to identify a range.
+ *    hash — two independent ''unreduced'' xxhash64 streams over key|identity,
+ *    each summed mod 2^64 (full 64-bit entropy per stream), mergeable
+ *    map-side — no global pass to identify a range.
  *  - '''O(changed ranges) commit''' ([[commitChanges]]): only ranges whose
  *    interval intersects the change set are rewritten; the rest are carried
  *    into the new manifest by reference (`commit.go:116-137`).
@@ -185,53 +186,79 @@ class SnapshotStore(val spark: SparkSession, val repoDir: String,
    * Assign content-defined ranges and write the missing range files; return
    * the manifest rows.
    *
-   * Range boundaries are the "cut keys" — keys hashing to 0 mod raggedness.
-   * The cut set is |df|/raggedness rows (a few hundred per TB at the
-   * reference's 50k raggedness), collected and broadcast; each row finds its
-   * range with a binary search for the greatest cut ≤ key. One columnar
-   * pass for stats, one shuffle (by range id) for the write — no global
-   * sort. (If the cut set ever outgrows broadcast at extreme scale, the
-   * same assignment is expressible as a range join against cut intervals.)
+   * Range boundaries are the "cut keys" — keys hashing to 0 mod raggedness;
+   * a row's range index is the number of cut keys ≤ its key. The assignment
+   * is fully distributed (nothing data-sized ever reaches the driver):
+   * range-partition by key, take a per-partition running count of cuts
+   * (window over the partition id), and add each partition's global cut
+   * offset from a tiny per-partition aggregate (≤ one row per shuffle
+   * partition). No Scala UDF anywhere in the plan — every stage is
+   * codegen-friendly window/join/agg.
+   *
+   * Snapshot keys are unique (invariant O1 — [[commitChanges]] applies
+   * changes per key); the running count assumes it.
+   *
+   * Range ids are order-independent 128-bit: two independent unreduced
+   * xxhash64 streams over (key, identity), each summed as DECIMAL(38,0)
+   * (never overflows below ~10^18 rows per range) and reduced mod 2^64 —
+   * full 64-bit entropy per stream, so range-id equality is a sound pruning
+   * test for diff/merge (the identity discipline of `pkg/ident/ident.go`).
    */
   private def chunkAndWrite(df: DataFrame): Seq[RangeInfo] = {
-    val cuts: Array[String] = df.select("key")
-      .where((abs(xxhash64(col("key"))) % raggedness) === 0)
-      .distinct().collect().map(_.getString(0)).sorted
-    val bcCuts = spark.sparkContext.broadcast(cuts)
-    // range index of a key = 1 + (index of greatest cut ≤ key), 0 = head
-    val chunkOf = udf((k: String) => {
-      val a = bcCuts.value
-      var lo = 0; var hi = a.length - 1; var res = 0
-      while (lo <= hi) {
-        val mid = (lo + hi) >>> 1
-        if (a(mid) <= k) { res = mid + 1; lo = mid + 1 } else hi = mid - 1
-      }
-      res
-    })
+    import org.apache.spark.sql.expressions.Window
+    val parts = math.max(1, spark.sessionState.conf.numShufflePartitions)
+    val marked = df
+      .withColumn("__is_cut",
+        ((abs(xxhash64(col("key"))) % raggedness) === 0).cast("long"))
+      .repartitionByRange(parts, col("key"))
+      .withColumn("__pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // per-partition cut totals -> cumulative offsets (≤ `parts` rows)
+      val perPid = marked.groupBy("__pid").agg(sum("__is_cut").as("c"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+      if (perPid.isEmpty) return Seq.empty
+      var running = 0L
+      val offsets = perPid.map { case (pid, c) =>
+        val o = (pid, running); running += c; o
+      }.toSeq
+      val nChunks = (running + 1).toInt
+      import spark.implicits._
+      val offDf = offsets.toDF("__pid", "__off")
+      val w = Window.partitionBy("__pid").orderBy("key")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    // Single pass over the input: shuffle by range index, write one sorted
-    // parquet dir per range under a staging path. Stats and content ids are
-    // then computed from the (compact, columnar) staged files and the dirs
-    // renamed to their content addresses — so the source is scanned once.
-    val stagingPath = s"$rangesDir/__staging_${java.util.UUID.randomUUID()}"
-    df.withColumn("__chunk", chunkOf(col("key")))
-      .repartition(math.max(1, cuts.length + 1), col("__chunk"))
-      .sortWithinPartitions("__chunk", "key")
-      .write.mode(SaveMode.Overwrite)
-      .partitionBy("__chunk")
-      .parquet(stagingPath)
+      // Shuffle by range index, write one sorted parquet dir per range under
+      // a staging path. Stats and content ids are then computed from the
+      // (compact, columnar) staged files and the dirs renamed to their
+      // content addresses.
+      val stagingPath = s"$rangesDir/__staging_${java.util.UUID.randomUUID()}"
+      marked
+        .join(broadcast(offDf), Seq("__pid"))
+        .withColumn("__chunk", (sum("__is_cut").over(w) + col("__off")).cast("int"))
+        .drop("__is_cut", "__pid", "__off")
+        .repartition(math.max(1, math.min(nChunks, parts * 4)), col("__chunk"))
+        .sortWithinPartitions("__chunk", "key")
+        .write.mode(SaveMode.Overwrite)
+        .partitionBy("__chunk")
+        .parquet(stagingPath)
+      finalizeStaged(stagingPath)
+    } finally marked.unpersist()
+  }
 
+  /** Content-address the staged chunk dirs: compute per-chunk stats + the
+    * 128-bit order-independent content id, rename dirs, return the manifest. */
+  private def finalizeStaged(stagingPath: String): Seq[RangeInfo] = {
     val stagedDirs = fs.listStatus(new Path(stagingPath))
       .filter(_.getPath.getName.startsWith("__chunk="))
     if (stagedDirs.isEmpty) { fs.delete(new Path(stagingPath), true); return Seq.empty }
 
+    val two64 = java.math.BigInteger.ONE.shiftLeft(64)
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
     val staged = spark.read.parquet(stagingPath)
-    // per-row hash contributions bounded by pmod so the order-independent
-    // sums never overflow ANSI longs (≤ 2^30 per row ⇒ safe to ~2^33 rows
-    // per range — far beyond any real range size)
     val manifest = staged
-      .withColumn("__h1", pmod(xxhash64(concat_ws("|", col("key"), col("identity"))), lit(1000000007L)))
-      .withColumn("__h2", pmod(xxhash64(concat_ws("#", col("identity"), col("key"), lit("s2"))), lit(998244353L)))
+      .withColumn("__h1", xxhash64(concat_ws("|", col("key"), col("identity"))).cast(dec38))
+      .withColumn("__h2", xxhash64(concat_ws("#", col("identity"), col("key"), lit("s2"))).cast(dec38))
       .groupBy("__chunk")
       .agg(
         sum("__h1").as("h1"), sum("__h2").as("h2"),
@@ -240,7 +267,9 @@ class SnapshotStore(val spark: SparkSession, val repoDir: String,
         sum(length(col("key")) + coalesce(length(col("identity")), lit(0L))).as("est"))
       .collect()
       .map { r =>
-        val rid = f"${r.getAs[Long]("h1")}%016x${r.getAs[Long]("h2")}%016x"
+        def hex64(name: String): String = String.format("%016x",
+          r.getAs[java.math.BigDecimal](name).toBigInteger.mod(two64))
+        val rid = hex64("h1") + hex64("h2")
         (RangeInfo(rid, r.getAs[String]("min_key"), r.getAs[String]("max_key"),
           r.getAs[Long]("est"), r.getAs[Long]("cnt"), s"$rangesDir/$rid"),
          r.getAs[Int]("__chunk"))

@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.store.{Engine, SnapshotStore}
+
+/**
+ * End-to-end retention GC (SURVEY.md §2 G3/J9/S7/S8/S9): rules store,
+ * active-commit cutoffs, uncommitted protection (compacted base + staged
+ * epochs), distributed sweep, and the three sink outputs.
+ */
+class GcSpec extends SparkSpec {
+
+  private def rows(n: Int, salt: String = "") = {
+    import spark.implicits._
+    (1 to n).map(i => (f"k$i%06d", s"id$i$salt")).toDF("key", "identity")
+  }
+
+  test("gcRun expires old commits, protects heads/tags/uncommitted, writes sinks") {
+    import spark.implicits._
+    val dir = tmpDir("gcrun")
+    val eng = new Engine(spark, dir, raggedness = 50)
+
+    // history: c1 (big) -> c2 (full rewrite with different content) so c1
+    // holds ranges no longer referenced by the head
+    val c1 = eng.init("main", Some(rows(500)))
+    eng.stage("main", rows(500, salt = "v2"))
+    val c2 = eng.commit("main", "t", "rewrite")
+    val c1Ranges = eng.snapshots.readManifest(c1.metaRangeId).map(_.rangeId).toSet
+    val c2Ranges = eng.snapshots.readManifest(c2.metaRangeId).map(_.rangeId).toSet
+    val onlyC1 = c1Ranges.diff(c2Ranges)
+    assert(onlyC1.nonEmpty)
+
+    // a tagged commit keeps its data whatever the cutoff says
+    val storeB = new SnapshotStore(spark, dir, 50)
+    val (tagMeta, tagInfos) = storeB.writeSnapshot(rows(120, salt = "tagged"))
+    val tagCommit = eng.refs.addCommit("t", "tagged snap", tagMeta, Seq.empty)
+    eng.refs.createTag("keep", tagCommit.commitId)
+
+    // uncommitted state on a branch: staged epochs + a compacted base
+    eng.createBranch("wip", c2.commitId)
+    eng.stage("wip", Seq(("k000001", "WIP")).toDF("key", "identity"))
+    val compactedMeta = eng.compact("wip")
+    eng.stage("wip", Seq(("k000002", "WIP2")).toDF("key", "identity"))
+    val compactedRanges = eng.snapshots.readManifest(compactedMeta).map(_.rangeId).toSet
+
+    // an orphan snapshot nobody references — must be swept
+    val (_, orphanInfos) = storeB.writeSnapshot(rows(80, salt = "orphan"))
+    val orphanOnly = orphanInfos.map(_.rangeId).toSet
+      .diff(c1Ranges ++ c2Ranges ++ compactedRanges ++ tagInfos.map(_.rangeId))
+    assert(orphanOnly.nonEmpty)
+
+    // retention: 0 days, "now" far in the future => every commit is older
+    // than the cutoff; only each branch's last-fully-retained head survives
+    eng.refs.setGcRules(defaultRetentionDays = 0)
+    val future = System.currentTimeMillis() / 1000 + 1000000
+    val runId = "testrun"
+    val (nDeleted, reportPath) = eng.gcRun(runId, nowSecs = future)
+    assert(nDeleted > 0)
+
+    val left = new org.apache.hadoop.fs.Path(s"$dir/ranges")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    val remaining = fs.listStatus(left).map(_.getPath.getName).toSet
+
+    // expired c1-only ranges and the orphan are gone
+    assert(onlyC1.intersect(remaining).isEmpty, "expired ranges must be swept")
+    assert(orphanOnly.intersect(remaining).isEmpty, "orphan ranges must be swept")
+    // head, tag, and uncommitted compacted base survive
+    assert(c2Ranges.subsetOf(remaining), "head ranges must survive")
+    assert(tagInfos.map(_.rangeId).toSet.subsetOf(remaining), "tagged ranges must survive")
+    assert(compactedRanges.subsetOf(remaining), "compacted-base ranges must survive")
+
+    // the head still scans fully, and the wip listing still overlays staging
+    assert(eng.list("main").count() === 500)
+    val wip = eng.list("wip").collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(wip("k000001") === "WIP" && wip("k000002") === "WIP2")
+
+    // S7 commits CSV: head active, c1 expired
+    val csv = spark.read.option("header", "true")
+      .csv(s"$dir/retention/gc/commits/run_id=$runId")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(csv(c2.commitId) === "false" && csv(c1.commitId) === "true")
+
+    // S8 uncommitted inventory: lists the wip staging files
+    val unc = spark.read.parquet(s"$dir/retention/gc/uncommitted/run_id=$runId")
+    assert(unc.where(col("physical_address").contains("staging/wip")).count() > 0)
+
+    // S9 report: deleted parquet row count matches, summary json exists
+    val rep = spark.read.parquet(s"$reportPath/deleted")
+    assert(rep.count() === nDeleted)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$reportPath/summary.json")))
+  }
+
+  test("gc rules round-trip with per-branch overrides") {
+    val dir = tmpDir("gcrules")
+    val eng = new Engine(spark, dir, raggedness = 50)
+    assert(eng.refs.gcRules.isEmpty)
+    eng.refs.setGcRules(28, Map("main" -> 7, "archive" -> 365))
+    val r = eng.refs.gcRules.get
+    assert(r.defaultRetentionDays === 28)
+    assert(r.perBranch === Map("main" -> 7, "archive" -> 365))
+    intercept[RuntimeException] {
+      new Engine(spark, tmpDir("gcnone"), 50).gcRun("x")
+    }
+  }
+}

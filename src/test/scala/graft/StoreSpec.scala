@@ -29,6 +29,59 @@ class StoreSpec extends SparkSpec {
     assert(back.size === 1000 && back("k000042") === "id42")
   }
 
+  test("range ids: 128-bit, order-independent, permutation/flip-sensitive; UDF-free write plan") {
+    import spark.implicits._
+    val dir = tmpDir("rid")
+    val store = new SnapshotStore(spark, dir, raggedness = 100)
+
+    // capture every plan executed by a snapshot write: none may contain a
+    // Scala UDF (the write path must stay whole-stage-codegen friendly)
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+        plans.add(qe.executedPlan.toString)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    val (m1, infos1) =
+      try {
+        val r = store.writeSnapshot(rows(1000))
+        var waited = 0 // listener delivery is async
+        while (plans.isEmpty && waited < 10000) { Thread.sleep(100); waited += 100 }
+        Thread.sleep(500)
+        r
+      } finally spark.listenerManager.unregister(listener)
+    val captured = scala.jdk.CollectionConverters.CollectionHasAsScala(plans).asScala.toSeq
+    assert(captured.nonEmpty)
+    assert(!captured.exists(p => p.contains("ScalaUDF") || p.contains("BatchEvalPython")),
+      "snapshot write must not evaluate Scala/Python UDFs")
+
+    // full-width 128-bit ids
+    assert(infos1.forall(_.rangeId.matches("[0-9a-f]{32}")))
+
+    // order independence: same content in shuffled row order => same ids
+    val (m2, infos2) = store.writeSnapshot(rows(1000).orderBy(rand(42)))
+    assert(m2 === m1 && infos2.map(_.rangeId) === infos1.map(_.rangeId))
+
+    // single-row identity flip => exactly the covering range id changes
+    val flipped = rows(1000).withColumn("identity",
+      when(col("key") === "k000500", lit("FLIPPED")).otherwise(col("identity")))
+    val (m3, infos3) = store.writeSnapshot(flipped)
+    assert(m3 !== m1)
+    assert(infos3.map(_.rangeId).toSet.diff(infos1.map(_.rangeId).toSet).size === 1)
+
+    // permuted identities (same multiset of keys AND identities, different
+    // pairing) => no range id survives
+    val pairs = (1 to 200).map(i => (f"p$i%06d", s"id$i"))
+    val perm = pairs.indices.map(i => (pairs(i)._1, pairs((i + 1) % pairs.size)._2))
+    val (mA, iA) = store.writeSnapshot(pairs.toDF("key", "identity"))
+    val (mB, iB) = store.writeSnapshot(perm.toDF("key", "identity"))
+    assert(mA !== mB)
+    assert(iA.map(_.rangeId).toSet.intersect(iB.map(_.rangeId).toSet).isEmpty)
+  }
+
   test("commitChanges rewrites only touched ranges and reuses the rest") {
     import spark.implicits._
     val dir = tmpDir("reuse")
