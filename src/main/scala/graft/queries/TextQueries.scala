@@ -39,38 +39,72 @@ object TextQueries {
       FROM docs
     )"""
 
-  /** DuckDB twin of [[simhashDf]]: CTEs ending in `sigs(doc_id, simhash)`.
-    * Shared by the td_simhash and td_simhash_pairs oracles so the signature
-    * definition cannot drift between them. */
-  private val simhashSql = """
-    , t AS (SELECT doc_id, unnest(list_distinct(toks)) AS tok FROM docs),
-    h AS (SELECT doc_id, ('0x' || substr(sha256(tok), 1, 4))::BIGINT AS h16 FROM t),
+  /** DuckDB twin of [[simhashDf]]: CTEs ending in
+    * `sigs(doc_id, sim_c0..sim_c3)` — a 64-bit SimHash as four 16-bit
+    * chunks. Shared by the td_simhash and td_simhash_pairs oracles so the
+    * signature definition cannot drift between them. `src` names the doc
+    * CTE (raw `docs` or the planted variant). */
+  private def simhashSql(src: String) = s"""
+    , t AS (SELECT doc_id, unnest(list_distinct(toks)) AS tok FROM $src),
+    h AS (
+      SELECT doc_id, c, ('0x' || substr(hex, c*4+1, 4))::BIGINT AS h16
+      FROM (SELECT doc_id, sha256(tok) AS hex FROM t)
+      CROSS JOIN (SELECT unnest([0,1,2,3]) AS c)
+    ),
     scored AS (
-      SELECT doc_id, b, pw,
+      SELECT doc_id, c, b, pw,
              sum(CASE WHEN CAST(floor(h16 / pw) AS BIGINT) % 2 = 1 THEN 1 ELSE -1 END) AS score
       FROM h CROSS JOIN (
         SELECT CAST(i AS INT) AS b, CAST(power(2, i) AS BIGINT) AS pw FROM range(0,16) t(i)
-      ) GROUP BY 1, 2, 3
+      ) GROUP BY 1, 2, 3, 4
     ),
     sigs AS (
-      SELECT doc_id, CAST(sum(CASE WHEN score > 0 THEN pw ELSE 0 END) AS BIGINT) AS simhash
+      SELECT doc_id,
+             CAST(sum(CASE WHEN c = 0 AND score > 0 THEN pw ELSE 0 END) AS BIGINT) AS sim_c0,
+             CAST(sum(CASE WHEN c = 1 AND score > 0 THEN pw ELSE 0 END) AS BIGINT) AS sim_c1,
+             CAST(sum(CASE WHEN c = 2 AND score > 0 THEN pw ELSE 0 END) AS BIGINT) AS sim_c2,
+             CAST(sum(CASE WHEN c = 3 AND score > 0 THEN pw ELSE 0 END) AS BIGINT) AS sim_c3
       FROM scored GROUP BY doc_id
     )"""
 
-  /** 16-bit SimHash per doc over distinct whitespace tokens. */
-  private def simhashDf(s: SparkSession, d: String): DataFrame = {
-    val toksDf = Fixtures.documents(s, d)
+  /** Planted near-duplicates for the SimHash pair queries: an exact copy of
+    * every doc_id % 50 == 0 at doc_id+10000 (hamming 0 — guaranteed pairs,
+    * so the pair query verifies real rows, not a vacuous empty match). */
+  private val plantedDocsSql = """
+    , docsp AS (
+      SELECT doc_id, toks FROM docs
+      UNION ALL
+      SELECT doc_id + 10000, toks FROM docs WHERE doc_id % 50 = 0
+    )"""
+
+  private def plantedDocs(s: SparkSession, d: String): DataFrame = {
+    val docs = Fixtures.documents(s, d).select(col("doc_id"), col("text"))
+    docs.unionByName(docs.where(col("doc_id") % 50 === 0)
+      .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+  }
+
+  /** 64-bit SimHash per doc as four 16-bit chunks (sim_c0..sim_c3), over
+    * distinct whitespace tokens; chunk c hashes sha256 hex chars
+    * [4c+1..4c+4]. The bit/chunk expansion is explode(sequence(..)) — pure
+    * generators, no joins in the plan. */
+  private def simhashDf(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("tok"))
-      .withColumn("h16", shingleHash16(col("tok")))
-    val bits = s.range(16).select(col("id").cast("int").as("b"))
+      .withColumn("hex", sha2(col("tok"), 256))
+      .select(col("doc_id"), col("hex"), explode(sequence(lit(0), lit(3))).as("c"))
+      .withColumn("h16", conv(expr("substring(hex, c*4+1, 4)"), 16, 10).cast("long"))
+      .select(col("doc_id"), col("c"), col("h16"),
+        explode(sequence(lit(0), lit(15))).as("b"))
       .withColumn("pw", pow(lit(2), col("b")).cast("long"))
-    toksDf.crossJoin(broadcast(bits))
       .withColumn("bit", expr("CAST(floor(h16 / pw) AS BIGINT) % 2"))
-      .groupBy("doc_id", "b", "pw")
+      .groupBy("doc_id", "c", "b", "pw")
       .agg(sum(when(col("bit") === 1, 1).otherwise(-1)).as("score"))
       .groupBy("doc_id")
-      .agg(sum(when(col("score") > 0, col("pw")).otherwise(0L)).as("simhash"))
-  }
+      .agg(
+        sum(when(col("c") === 0 && col("score") > 0, col("pw")).otherwise(0L)).as("sim_c0"),
+        sum(when(col("c") === 1 && col("score") > 0, col("pw")).otherwise(0L)).as("sim_c1"),
+        sum(when(col("c") === 2 && col("score") > 0, col("pw")).otherwise(0L)).as("sim_c2"),
+        sum(when(col("c") === 3 && col("score") > 0, col("pw")).otherwise(0L)).as("sim_c3"))
 
   val defs: Map[String, (QueryFn, Option[String])] = Map(
 
@@ -203,15 +237,16 @@ object TextQueries {
         ORDER BY doc_a, doc_b""")),
 
     // MinHash signatures (16 perms over 3-shingles) + banded LSH candidate
-    // pairs with estimated similarity. The scale path for near-dedup.
+    // pairs with estimated similarity. The scale path for near-dedup: the
+    // estimation stage joins signatures to CANDIDATE pairs only (never
+    // sigs x sigs), so the whole pipeline is O(candidates), not O(N^2).
     "td_minhash_lsh" -> (((s: SparkSession, d: String) => {
-      val spark = s; import spark.implicits._
       val docs = Fixtures.documents(s, d)
         .select(col("doc_id"), array_distinct(shingles(col("text"), 3)).as("sh"))
       val hashed = docs.select(col("doc_id"), explode(col("sh")).as("s"))
         .withColumn("h", shingleHash64(col("s")))
-      val perms = spark.range(16).select(col("id").cast("int").as("j"))
-      val sigs = hashed.crossJoin(broadcast(perms))
+      val sigs = hashed
+        .select(col("doc_id"), col("h"), explode(sequence(lit(0), lit(15))).as("j"))
         .withColumn("hp", (col("h") * (col("j") * 2 + 3) + col("j") * 7919 + 1) % 1000000007L)
         .groupBy("doc_id", "j").agg(min("hp").as("m"))
       val bands = sigs.withColumn("band", (col("j") / 4).cast("int"))
@@ -223,11 +258,11 @@ object TextQueries {
           col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
           col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b")).distinct()
-      val est = sigs.as("x").join(sigs.as("y"),
-          col("x.j") === col("y.j") && col("x.doc_id") < col("y.doc_id"))
-        .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-        .agg(sum(when(col("x.m") === col("y.m"), 1).otherwise(0)).as("n_eq"))
-      cands.join(est, Seq("doc_a", "doc_b"), "left")
+      cands
+        .join(sigs.select(col("doc_id").as("doc_a"), col("j"), col("m").as("ma")), Seq("doc_a"))
+        .join(sigs.select(col("doc_id").as("doc_b"), col("j"), col("m").as("mb")), Seq("doc_b", "j"))
+        .groupBy("doc_a", "doc_b")
+        .agg(sum(when(col("ma") === col("mb"), 1).otherwise(0)).as("n_eq"))
         .withColumn("est_sim", col("n_eq").cast("double") / 16)
         .orderBy("doc_a", "doc_b")
     }),
@@ -251,61 +286,67 @@ object TextQueries {
             ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
         ),
         est AS (
-          SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+          SELECT c.doc_a, c.doc_b,
                  sum(CASE WHEN x.m = y.m THEN 1 ELSE 0 END) AS n_eq
-          FROM sigs x JOIN sigs y ON x.j = y.j AND x.doc_id < y.doc_id
+          FROM cands c
+          JOIN sigs x ON x.doc_id = c.doc_a
+          JOIN sigs y ON y.doc_id = c.doc_b AND y.j = x.j
           GROUP BY 1, 2
         )
-        SELECT c.doc_a AS doc_a, c.doc_b AS doc_b, CAST(n_eq AS BIGINT) AS n_eq,
+        SELECT doc_a, doc_b, CAST(n_eq AS BIGINT) AS n_eq,
                CAST(n_eq AS DOUBLE) / 16 AS est_sim
-        FROM cands c LEFT JOIN est e ON c.doc_a = e.doc_a AND c.doc_b = e.doc_b
-        ORDER BY doc_a, doc_b""")),
+        FROM est ORDER BY doc_a, doc_b""")),
 
-    // SimHash near-dup pairs: hamming distance ≤ 2 over the 16-bit
-    // signatures (bit_count(xor) on both engines). Pigeonhole blocking:
-    // the signature splits into 3 chunks (6/5/5 bits); a pair with ≤ 2
-    // differing bits must agree EXACTLY on at least one chunk, so joining
-    // per chunk and unioning has full recall — unlike single-key blocking.
+    // SimHash near-dup pairs: hamming distance <= 3 over the 64-bit
+    // signatures (sum of bit_count(xor) per 16-bit chunk on both engines),
+    // over the planted-duplicates table. Pigeonhole blocking: a pair with
+    // <= 3 differing bits across 4 chunks must agree EXACTLY on at least
+    // one chunk, so joining per chunk and unioning has full recall — and
+    // 16-bit chunk keys keep bucket occupancy low at scale (the old 16-bit
+    // signature put N/65536 docs per bucket; 64 bits make collisions rare).
     "td_simhash_pairs" -> (((s: SparkSession, d: String) => {
-      val sigs = simhashDf(s, d).select(
-        col("doc_id"), col("simhash"),
-        expr("CAST(simhash / 1024 AS BIGINT)").as("c0"),        // top 6 bits
-        expr("CAST(simhash / 32 AS BIGINT) % 32").as("c1"),     // middle 5
-        expr("simhash % 32").as("c2"))                          // low 5
-      val exploded = sigs.select(col("doc_id"), col("simhash"),
-        explode(array(
-          concat(lit("0:"), col("c0")), concat(lit("1:"), col("c1")),
-          concat(lit("2:"), col("c2")))).as("chunk"))
-      val a = exploded.select(col("chunk"), col("doc_id").as("doc_a"), col("simhash").as("sig_a"))
-      val b = exploded.select(col("chunk"), col("doc_id").as("doc_b"), col("simhash").as("sig_b"))
-      a.join(b, Seq("chunk")).where(col("doc_a") < col("doc_b"))
-        .select("doc_a", "doc_b", "sig_a", "sig_b").distinct()
-        .withColumn("hamming", expr("bit_count(sig_a ^ sig_b)").cast("long"))
-        .where(col("hamming") <= 2)
+      val sigs = simhashDf(plantedDocs(s, d))
+      val sigCols = (0 until 4).map(c => col(s"sim_c$c"))
+      val exploded = sigs.select(col("doc_id") +: sigCols :+
+        explode(array((0 until 4).map(c =>
+          concat(lit(s"$c:"), col(s"sim_c$c"))): _*)).as("chunk"): _*)
+      def side(tag: String) = exploded.select(
+        col("chunk") +: (col("doc_id").as(s"doc_$tag") +:
+          (0 until 4).map(c => col(s"sim_c$c").as(s"$tag$c"))): _*)
+      side("a").join(side("b"), Seq("chunk")).where(col("doc_a") < col("doc_b"))
+        .select((Seq("doc_a", "doc_b") ++
+          (0 until 4).flatMap(c => Seq(s"a$c", s"b$c"))).map(col): _*).distinct()
+        .withColumn("hamming", expr(
+          "CAST(bit_count(a0 ^ b0) + bit_count(a1 ^ b1) + bit_count(a2 ^ b2) + bit_count(a3 ^ b3) AS BIGINT)"))
+        .where(col("hamming") <= 3)
         .select("doc_a", "doc_b", "hamming")
         .orderBy("doc_a", "doc_b")
     }),
-      Some(s"""$docsSql $simhashSql,
+      Some(s"""$docsSql $plantedDocsSql ${simhashSql("docsp")},
         chunked AS (
-          SELECT doc_id, simhash,
-                 unnest(['0:' || CAST(simhash // 1024 AS VARCHAR),
-                         '1:' || CAST((simhash // 32) % 32 AS VARCHAR),
-                         '2:' || CAST(simhash % 32 AS VARCHAR)]) AS chunk
+          SELECT doc_id, sim_c0, sim_c1, sim_c2, sim_c3,
+                 unnest(['0:' || CAST(sim_c0 AS VARCHAR), '1:' || CAST(sim_c1 AS VARCHAR),
+                         '2:' || CAST(sim_c2 AS VARCHAR), '3:' || CAST(sim_c3 AS VARCHAR)]) AS chunk
           FROM sigs
         ),
         cand AS (
           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                 a.simhash AS sig_a, b.simhash AS sig_b
+                 a.sim_c0 AS a0, a.sim_c1 AS a1, a.sim_c2 AS a2, a.sim_c3 AS a3,
+                 b.sim_c0 AS b0, b.sim_c1 AS b1, b.sim_c2 AS b2, b.sim_c3 AS b3
           FROM chunked a JOIN chunked b ON a.chunk = b.chunk AND a.doc_id < b.doc_id
         )
-        SELECT doc_a, doc_b, CAST(bit_count(xor(sig_a, sig_b)) AS BIGINT) AS hamming
-        FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 2
+        SELECT doc_a, doc_b,
+               CAST(bit_count(xor(a0,b0)) + bit_count(xor(a1,b1)) +
+                    bit_count(xor(a2,b2)) + bit_count(xor(a3,b3)) AS BIGINT) AS hamming
+        FROM cand
+        WHERE bit_count(xor(a0,b0)) + bit_count(xor(a1,b1)) +
+              bit_count(xor(a2,b2)) + bit_count(xor(a3,b3)) <= 3
         ORDER BY doc_a, doc_b""")),
 
-    // SimHash (16-bit, over distinct tokens).
+    // SimHash (64-bit as four 16-bit chunks, over distinct tokens).
     "td_simhash" -> (((s: SparkSession, d: String) =>
-      simhashDf(s, d).orderBy("doc_id")),
-      Some(s"""$docsSql $simhashSql
-        SELECT doc_id, simhash FROM sigs ORDER BY doc_id"""))
+      simhashDf(Fixtures.documents(s, d)).orderBy("doc_id")),
+      Some(s"""$docsSql ${simhashSql("docs")}
+        SELECT doc_id, sim_c0, sim_c1, sim_c2, sim_c3 FROM sigs ORDER BY doc_id"""))
   )
 }

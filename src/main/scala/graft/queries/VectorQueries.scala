@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.fixtures.Fixtures
@@ -14,10 +14,24 @@ import graft.functions.VectorFunctions._
  * (exact), then a double sqrt/divide (IEEE-exact and order-free) — so Spark
  * and DuckDB produce bit-identical cosines.
  *
- * Scale: brute-force top-k broadcasts the (small) probe set against the big
- * side — a map-side crossJoin with no shuffle of the big table; the
- * LSH-bucketed variant (random-hyperplane signs) is the 100 TB path: it
- * joins on a bucket key so candidate generation is a shuffle on short keys.
+ * Near-duplicate ground truth: the raw fixture has no near-dup pairs, so the
+ * near-dup queries union in PLANTED duplicates — for every vec_id % 40 == 0,
+ * a copy at vec_id+10000 whose first quantized component is nudged by +1
+ * (integer op, exact on both engines; cosine vs the original ≈ 1-1e-6).
+ * Both the Spark side and the DuckDB oracle plant identically, so the
+ * expected pairs are real rows, not a vacuous 0=0 match.
+ *
+ * Scale:
+ *  - brute-force top-k broadcasts the (small) probe set against the big
+ *    side — a map-side crossJoin, no shuffle of the big table;
+ *  - `emb_neardup` is the declared all-pairs correctness BASELINE (like
+ *    td_ngram_jaccard) — the scale path is `emb_lsh_ann`;
+ *  - `emb_lsh_ann` uses 16 pseudo-random ±1 hyperplanes in a 4-table ×
+ *    4-bit OR-construction (candidate = same 4-bit band in ANY table):
+ *    candidate generation is equi-joins on short band keys only — no
+ *    all-pairs join anywhere in the plan — and refinement joins candidates
+ *    back to vectors by id. More tables/bits trade recall vs candidate
+ *    volume exactly as in banded MinHash-LSH.
  */
 object VectorQueries {
 
@@ -30,20 +44,68 @@ object VectorQueries {
   private def dotSql(a: String, b: String): String =
     s"CAST(list_sum(list_transform(generate_series(1, len($a)), i -> $a[i] * $b[i])) AS BIGINT)"
 
-  /** 4-plane sign signature over a quantized vector column (shared by the
-    * LSH bucket report and the LSH-ANN candidate join — must stay one
-    * definition or candidates and stats silently desynchronize). */
-  private def signSig(q: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    (0 until 4).map { p =>
-      val partial = aggregate(slice(q, p * 16 + 1, 16), lit(0L), (acc, x) => acc + x)
-      when(partial >= 0, lit(1)).otherwise(lit(0)).cast("string")
-    }.reduce((a, b) => concat(a, b))
+  private def cosSql(a: String, b: String): String =
+    s"""CAST(${dotSql(a, b)} AS DOUBLE) /
+        (sqrt(CAST(${dotSql(a, a)} AS DOUBLE)) * sqrt(CAST(${dotSql(b, b)} AS DOUBLE)))"""
 
-  /** DuckDB twin of [[signSig]] over a list column named `qv`. */
-  private val signSigSql: String = (0 until 4).map { p =>
-    val lo = p * 16 + 1; val hi = p * 16 + 16
-    s"(CASE WHEN CAST(list_sum(list_transform(generate_series($lo,$hi), i -> qv[i])) AS BIGINT) >= 0 THEN '1' ELSE '0' END)"
-  }.mkString(" || ")
+  // --- planted near-duplicates (shared by emb_neardup / emb_lsh_ann) -------
+
+  /** Union in the planted near-duplicates: (vec_id+10000, qv with qv[1]+1)
+    * for vec_id % 40 == 0. `emb` columns: (vec_id, q). */
+  private def withPlanted(emb: DataFrame): DataFrame = {
+    val planted = emb.where(col("vec_id") % 40 === 0)
+      .select((col("vec_id") + 10000).as("vec_id"),
+        transform(sequence(lit(1), size(col("q"))), i =>
+          when(i === 1, element_at(col("q"), i) + 1)
+            .otherwise(element_at(col("q"), i))).as("q"))
+    emb.unionByName(planted)
+  }
+
+  /** DuckDB twin: CTE `qp(vec_id, qv)` = q plus planted rows. */
+  private val plantedSql = s"""
+    qp AS (
+      SELECT vec_id, qv FROM q
+      UNION ALL
+      SELECT vec_id + 10000,
+             list_transform(generate_series(1, len(qv)),
+               i -> CASE WHEN i = 1 THEN qv[i] + 1 ELSE qv[i] END)
+      FROM q WHERE vec_id % 40 = 0
+    )"""
+
+  // --- 16-hyperplane signature ---------------------------------------------
+
+  /** Pseudo-random ±1 weight of plane p at dimension i (1-based):
+    * +1 iff ((p*37 + i*101 + p*i*13) % 97) % 2 == 0 — pure integer
+    * arithmetic, identical on both engines; period 97 > 64 dims so every
+    * plane sees a distinct pattern. */
+  private def planeSum(q: Column, p: Int): Column =
+    aggregate(
+      transform(sequence(lit(1), lit(64)), i =>
+        when((((lit(p * 37) + i * 101 + i * lit(p * 13)) % 97) % 2) === 0, lit(1L))
+          .otherwise(lit(-1L)) * element_at(q, i)),
+      lit(0L), (acc, x) => acc + x)
+
+  /** 16-bit sign signature string over a quantized vector column (shared by
+    * the LSH bucket report and the LSH-ANN candidate join — one definition,
+    * or candidates and stats silently desynchronize). */
+  private def sig16(q: Column): Column =
+    concat((0 until 16).map(p =>
+      when(planeSum(q, p) >= 0, lit("1")).otherwise(lit("0"))): _*)
+
+  private def planeSumSql(p: Int): String =
+    s"CAST(list_sum(list_transform(generate_series(1,64), i -> " +
+      s"(CASE WHEN ((${p * 37} + i*101 + i*${p * 13}) % 97) % 2 = 0 THEN 1 ELSE -1 END) * qv[i])) AS BIGINT)"
+
+  /** DuckDB twin of [[sig16]] over a list column named `qv`. */
+  private val sig16Sql: String = (0 until 16).map(p =>
+    s"(CASE WHEN ${planeSumSql(p)} >= 0 THEN '1' ELSE '0' END)").mkString(" || ")
+
+  /** Explode a (vec_id, sig) frame into 4 band keys "t:bbbb" (tables of 4
+    * bits each — the OR-construction). */
+  private def bandKeys(sigd: DataFrame): DataFrame =
+    sigd.select(col("vec_id"),
+      explode(array((0 until 4).map(t =>
+        concat(lit(s"$t:"), substring(col("sig"), 4 * t + 1, 4))): _*)).as("bk"))
 
   val defs: Map[String, (QueryFn, Option[String])] = Map(
 
@@ -98,78 +160,82 @@ object VectorQueries {
         FROM q CROSS JOIN range(1, 9) t(i)
         GROUP BY label, i ORDER BY label, dim""")),
 
-    // Embedding near-duplicate pairs: cosine >= 0.99 across all pairs.
+    // Embedding near-duplicate pairs: cosine >= 0.99 over all pairs of the
+    // planted table — the all-pairs CORRECTNESS BASELINE (emb_lsh_ann is the
+    // scale path); returns the planted (id, id+10000) pairs.
     "emb_neardup" -> (((s: SparkSession, d: String) => {
-      val emb = Fixtures.embeddings(s, d)
-        .select(col("vec_id"), quantize(col("embedding")).as("q"))
+      val emb = withPlanted(Fixtures.embeddings(s, d)
+        .select(col("vec_id"), quantize(col("embedding")).as("q")))
       val a = emb.select(col("vec_id").as("id_a"), col("q").as("qa"))
       val b = emb.select(col("vec_id").as("id_b"), col("q").as("qb"))
       a.join(b, col("id_a") < col("id_b"))
-        .withColumn("sim",
-          intDot(col("qa"), col("qb")).cast("double") /
-            (sqrt(intDot(col("qa"), col("qa")).cast("double")) *
-             sqrt(intDot(col("qb"), col("qb")).cast("double"))))
+        .withColumn("sim", cosine(col("qa"), col("qb")))
         .where(col("sim") >= 0.99)
         .select("id_a", "id_b", "sim")
         .orderBy("id_a", "id_b")
     }),
       Some(s"""
-        WITH q AS (SELECT vec_id, $qvecSql AS qv FROM embeddings)
-        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-               CAST(${dotSql("a.qv", "b.qv")} AS DOUBLE) /
-                 (sqrt(CAST(${dotSql("a.qv", "a.qv")} AS DOUBLE)) *
-                  sqrt(CAST(${dotSql("b.qv", "b.qv")} AS DOUBLE))) AS sim
-        FROM q a JOIN q b ON a.vec_id < b.vec_id
-        WHERE CAST(${dotSql("a.qv", "b.qv")} AS DOUBLE) /
-                 (sqrt(CAST(${dotSql("a.qv", "a.qv")} AS DOUBLE)) *
-                  sqrt(CAST(${dotSql("b.qv", "b.qv")} AS DOUBLE))) >= 0.99
+        WITH q AS (SELECT vec_id, $qvecSql AS qv FROM embeddings),
+        $plantedSql
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b, ${cosSql("a.qv", "b.qv")} AS sim
+        FROM qp a JOIN qp b ON a.vec_id < b.vec_id
+        WHERE ${cosSql("a.qv", "b.qv")} >= 0.99
         ORDER BY id_a, id_b""")),
 
-    // LSH-bucketed ANN end-to-end: candidates from shared sign-signature
-    // buckets, refined with exact quantized cosine ≥ 0.9 — the complete
-    // scale path (bucket join instead of all-pairs).
+    // LSH-bucketed ANN end-to-end over the planted table: candidates from
+    // shared 4-bit bands in any of 4 tables (equi-join on band keys only),
+    // refined with exact quantized cosine >= 0.9 — the complete scale path.
     "emb_lsh_ann" -> (((s: SparkSession, d: String) => {
-      val emb = Fixtures.embeddings(s, d)
-        .select(col("vec_id"), quantize(col("embedding")).as("q"))
-      val bucketed = emb.withColumn("bucket", signSig(col("q")))
-      val a = bucketed.select(col("bucket"), col("vec_id").as("id_a"), col("q").as("qa"))
-      val b = bucketed.select(col("bucket"), col("vec_id").as("id_b"), col("q").as("qb"))
-      a.join(b, Seq("bucket")).where(col("id_a") < col("id_b"))
-        .withColumn("sim",
-          intDot(col("qa"), col("qb")).cast("double") /
-            (sqrt(intDot(col("qa"), col("qa")).cast("double")) *
-             sqrt(intDot(col("qb"), col("qb")).cast("double"))))
+      val emb = withPlanted(Fixtures.embeddings(s, d)
+        .select(col("vec_id"), quantize(col("embedding")).as("q")))
+      val banded = bandKeys(emb.select(col("vec_id"), sig16(col("q")).as("sig")))
+      val a = banded.select(col("bk"), col("vec_id").as("id_a"))
+      val b = banded.select(col("bk"), col("vec_id").as("id_b"))
+      val cands = a.join(b, Seq("bk")).where(col("id_a") < col("id_b"))
+        .select("id_a", "id_b").distinct()
+      cands
+        .join(emb.select(col("vec_id").as("id_a"), col("q").as("qa")), Seq("id_a"))
+        .join(emb.select(col("vec_id").as("id_b"), col("q").as("qb")), Seq("id_b"))
+        .withColumn("sim", cosine(col("qa"), col("qb")))
         .where(col("sim") >= 0.9)
         .select("id_a", "id_b", "sim")
         .orderBy("id_a", "id_b")
     }),
       Some(s"""
         WITH q AS (SELECT vec_id, $qvecSql AS qv FROM embeddings),
-        sig AS (SELECT vec_id, qv, $signSigSql AS bucket FROM q)
-        SELECT * FROM (
-          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                 CAST(${dotSql("a.qv", "b.qv")} AS DOUBLE) /
-                   (sqrt(CAST(${dotSql("a.qv", "a.qv")} AS DOUBLE)) *
-                    sqrt(CAST(${dotSql("b.qv", "b.qv")} AS DOUBLE))) AS sim
-          FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        $plantedSql,
+        sig AS (SELECT vec_id, $sig16Sql AS sig FROM qp),
+        banded AS (
+          SELECT vec_id, CAST(t AS VARCHAR) || ':' || substr(sig, t*4+1, 4) AS bk
+          FROM sig CROSS JOIN (SELECT unnest([0,1,2,3]) AS t)
+        ),
+        cands AS (
+          SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM banded a JOIN banded b ON a.bk = b.bk AND a.vec_id < b.vec_id
+        )
+        SELECT id_a, id_b, sim FROM (
+          SELECT id_a, id_b, ${cosSql("x.qv", "y.qv")} AS sim
+          FROM cands JOIN qp x ON x.vec_id = id_a JOIN qp y ON y.vec_id = id_b
         ) WHERE sim >= 0.9 ORDER BY id_a, id_b""")),
 
-    // LSH-bucketed ANN candidates: sign-bit signature on 4 pseudo-random
-    // hyperplanes built from fixed dimension subsets (the scale path — joins
-    // on a short bucket key instead of all-pairs).
+    // LSH table/band occupancy report over the raw table (bucket stats for
+    // tuning tables x bits; same signature definition as emb_lsh_ann).
     "emb_lsh_buckets" -> (((s: SparkSession, d: String) => {
       val emb = Fixtures.embeddings(s, d)
         .select(col("vec_id"), quantize(col("embedding")).as("q"))
-      // plane p (p=0..3): sign of sum of dims [16p+1 .. 16p+16]
-      emb.withColumn("bucket", signSig(col("q")))
-        .groupBy("bucket").agg(count(lit(1)).as("n_vectors"),
+      bandKeys(emb.select(col("vec_id"), sig16(col("q")).as("sig")))
+        .groupBy("bk").agg(count(lit(1)).as("n_vectors"),
           min("vec_id").as("min_vec"), max("vec_id").as("max_vec"))
-        .orderBy("bucket")
+        .orderBy("bk")
     }),
       Some(s"""
         WITH q AS (SELECT vec_id, $qvecSql AS qv FROM embeddings),
-        sig AS (SELECT vec_id, $signSigSql AS bucket FROM q)
-        SELECT bucket, count(*) AS n_vectors, min(vec_id) AS min_vec, max(vec_id) AS max_vec
-        FROM sig GROUP BY bucket ORDER BY bucket"""))
+        sig AS (SELECT vec_id, $sig16Sql AS sig FROM q),
+        banded AS (
+          SELECT vec_id, CAST(t AS VARCHAR) || ':' || substr(sig, t*4+1, 4) AS bk
+          FROM sig CROSS JOIN (SELECT unnest([0,1,2,3]) AS t)
+        )
+        SELECT bk, count(*) AS n_vectors, min(vec_id) AS min_vec, max(vec_id) AS max_vec
+        FROM banded GROUP BY bk ORDER BY bk"""))
   )
 }

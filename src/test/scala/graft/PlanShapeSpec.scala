@@ -1,0 +1,38 @@
+package graft
+
+/**
+ * Plan-shape guards for the scale-path queries: the LSH/near-dup pipelines
+ * must generate candidates through equi-joins on short keys only — an
+ * all-pairs join (CartesianProduct / BroadcastNestedLoopJoin) anywhere in
+ * those plans is a 100 TB scale bug, whatever the sf0.01 numbers say.
+ * (`emb_neardup` and `td_ngram_jaccard` are the DECLARED all-pairs
+ * correctness baselines and are deliberately not listed here; emb_ann_topk's
+ * broadcast crossJoin against a tiny probe set is likewise intentional.)
+ */
+class PlanShapeSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private val scalePaths = Seq(
+    "td_minhash_lsh", "td_simhash_pairs", "td_simhash",
+    "emb_lsh_ann", "emb_lsh_buckets", "td_fingerprint", "td_dedup_prefix")
+
+  test("LSH scale paths contain no all-pairs join") {
+    scalePaths.foreach { name =>
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"$name plan contains CartesianProduct")
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"$name plan contains BroadcastNestedLoopJoin")
+    }
+  }
+
+  test("LSH scale paths contain no Scala UDF") {
+    scalePaths.foreach { name =>
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("ScalaUDF"), s"$name plan evaluates a Scala UDF")
+    }
+  }
+}
