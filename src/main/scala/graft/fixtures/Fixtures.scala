@@ -73,6 +73,24 @@ object Fixtures {
       .withColumn("identity", ident)
   }
 
+  /** The change set that turns keyedBase into [[keyedRight]] (tombstones
+    * carry a null identity): k%100==21 price+777, k%100==1 deleted,
+    * k%100==2 spawns the new key k*10+9. */
+  def keyedRightChanges(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = keyedBase(spark, sfDir).drop("key", "identity")
+    val edited = base.where(col("k") % 100 === 21)
+      .withColumn("price_c", col("price_c") + 777)
+    val added = base.where(col("k") % 100 === 2)
+      .withColumn("k", col("k") * 10 + 9)
+    val upserts = edited.unionByName(added)
+      .withColumn("key", lpad(col("k").cast("string"), 12, "0"))
+      .withColumn("identity", ident)
+    val dels = base.where(col("k") % 100 === 1)
+      .withColumn("key", lpad(col("k").cast("string"), 12, "0"))
+      .withColumn("identity", lit(null).cast("string"))
+    upserts.unionByName(dels)
+  }
+
   /** Merge fixture sides. src: k%50==3 → +111, k%50==17 → delete,
     * k%50==11 → +333. dst: k%50==4 → +222, k%50==33 → delete,
     * k%50==11 → +444 (conflicting with src). */

@@ -104,11 +104,18 @@ object Merge {
    * path: with range-pruned deltas everything here is O(changed keys); the
    * caller applies the change set via [[applyChanges]] or
    * [[graft.store.SnapshotStore.commitChanges]].
+   *
+   * @param resolver J4 hook (the reference's `ConflictResolver` chain,
+   *        `graveler.go:142-145`): a boolean Column over `key`,
+   *        `s_identity`/`d_identity` and `s_`/`d_`-prefixed payload columns;
+   *        evaluated on conflicting keys only, true takes the source side.
+   *        When set, no conflicts are reported — every row resolves.
    */
   def threeWayFromDeltas(
       srcDelta: DataFrame,
       dstDelta: DataFrame,
-      strategy: MergeStrategy = StrategyNone): (DataFrame, DataFrame) = {
+      strategy: MergeStrategy = StrategyNone,
+      resolver: Option[org.apache.spark.sql.Column] = None): (DataFrame, DataFrame) = {
     val payload = srcDelta.columns
       .filterNot(c => c == "key" || c == "diff_type" || c == "left_identity").toSeq
     def side(d: DataFrame, tag: String) =
@@ -117,12 +124,17 @@ object Merge {
     val j = side(srcDelta, "s").join(side(dstDelta, "d"), Seq("key"), "full_outer")
     val bothChanged = col("__in_s").isNotNull && col("__in_d").isNotNull
     val conflictRow = bothChanged && !(col("s_identity") <=> col("d_identity"))
-    val conflicts = j.where(if (strategy == StrategyNone) conflictRow else lit(false))
+    val reportConflicts = strategy == StrategyNone && resolver.isEmpty
+    val conflicts = j.where(if (reportConflicts) conflictRow else lit(false))
       .select(col("key"), col("s_identity").as("source_identity"),
         col("d_identity").as("dest_identity"))
-    val pickSource = strategy match {
+    val defaultPick = strategy match {
       case StrategyDestWins => col("__in_s").isNotNull && col("__in_d").isNull
       case _                => col("__in_s").isNotNull
+    }
+    val pickSource = resolver match {
+      case Some(r) => when(conflictRow, r).otherwise(defaultPick)
+      case None    => defaultPick
     }
     val changes = j.select(col("key") +: payload.map { p =>
       when(pickSource, col(s"s_$p")).otherwise(col(s"d_$p")).as(p)

@@ -280,6 +280,47 @@ object VersionControlQueries {
           )
         ) WHERE rn = 1 ORDER BY key""")),
 
+    // J1+J7+G4: staged-overlay diff ACROSS REFS through the engine — builds
+    // a real repo (C1 = base snapshot, C2 = committed right delta, then the
+    // staging log staged in two epochs) and diffs `main~1..main$` via the
+    // ref grammar. Same oracle as vc_combined_diff: the engine's
+    // ref-resolution + range-pruned + staged-overlay path must reproduce
+    // the operator-level J7 result exactly.
+    "vc_diff_staged" -> (((s: SparkSession, d: String) => {
+      val dir = s"target/vc_staged_repo_${math.abs(d.hashCode)}"
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(dir), s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+      val eng = new graft.store.Engine(s, dir, raggedness = 5000)
+      eng.init("main", Some(Fixtures.keyedBase(s, d)))
+      eng.stage("main", Fixtures.keyedRightChanges(s, d))
+      eng.commit("main", "driver", "C2")
+      val log = Fixtures.stagingLog(s, d)
+      eng.stage("main", log.where(col("epoch") === 1).drop("epoch"))
+      eng.stage("main", log.where(col("epoch") === 2).drop("epoch"))
+      eng.diff("main~1", "main$")
+        .select("key", "diff_type", "left_identity", "identity").orderBy("key")
+    }),
+      Some(s"""$prelude $stagingSql,
+        cd AS (${diffSql("base", "rightv")}),
+        ud AS (
+          SELECT s.key AS key,
+                 CASE WHEN s.identity IS NULL AND b.identity IS NOT NULL THEN 'removed'
+                      WHEN s.identity IS NULL THEN NULL
+                      WHEN b.identity IS NULL THEN 'added'
+                      WHEN s.identity <> b.identity THEN 'changed' END AS diff_type,
+                 b.identity AS left_identity, s.identity AS identity
+          FROM staging s LEFT JOIN base b ON s.key = b.key
+          WHERE diff_type IS NOT NULL
+        )
+        SELECT key, diff_type, left_identity, identity FROM (
+          SELECT *, row_number() OVER (PARTITION BY key ORDER BY pri) AS rn FROM (
+            SELECT key, diff_type, left_identity, identity, 0 AS pri FROM ud
+            UNION ALL
+            SELECT key, diff_type, left_identity, identity, 1 AS pri FROM cd
+          )
+        ) WHERE rn = 1 ORDER BY key""")),
+
     // P3/U1: workspace listing = staging over base, tombstones dropped.
     "vc_workspace_list" -> (((s: SparkSession, d: String) => {
       val staging = Staging.latestWriteWins(Fixtures.stagingLog(s, d), "epoch").drop("epoch")

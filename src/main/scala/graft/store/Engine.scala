@@ -200,10 +200,31 @@ class Engine(val spark: SparkSession, val repoDir: String,
     Listing.pointGet(pruned, key).collect().headOption
   }
 
-  /** Two-way diff between refs (J1 + range pruning). */
-  def diff(leftRef: String, rightRef: String): DataFrame =
-    snapshots.diff(resolveCommit(leftRef).metaRangeId,
-      resolveCommit(rightRef).metaRangeId)
+  /** Two-way diff between refs (J1 + range pruning). A right side of
+    * `branch$` diffs against the branch's UNCOMMITTED state: the committed
+    * diff left..head (or left..compactedBase) overlaid with the staged
+    * entries compared to the LEFT side — the reference's
+    * CombinedDiffIterator shape (`graveler.go:3471-3515`). The left side
+    * must dereference to a commit (`dereferenceCommit`, `:3450-3469`). */
+  def diff(leftRef: String, rightRef: String): DataFrame = {
+    val left = refs.resolveFull(leftRef).getOrElse(sys.error(s"unresolvable ref: $leftRef"))
+    require(!left.staging, s"left ref $leftRef names a staging area, not a commit")
+    val right = refs.resolveFull(rightRef).getOrElse(sys.error(s"unresolvable ref: $rightRef"))
+    val leftMeta = left.commit.metaRangeId
+    if (!right.staging) snapshots.diff(leftMeta, right.commit.metaRangeId)
+    else {
+      val branch = right.branch.get // staging implies a branch base
+      val baseMeta = refs.getBranchRecord(branch).flatMap(_.compactedBase)
+        .getOrElse(right.commit.metaRangeId)
+      val committedDiff = snapshots.diff(leftMeta, baseMeta)
+      stagedChanges(branch) match {
+        case Some(st) =>
+          val stagedDiff = Staging.uncommittedDiff(st, snapshots.scan(leftMeta))
+          Staging.overlayDiffs(stagedDiff, committedDiff)
+        case None => committedDiff
+      }
+    }
+  }
 
   /** Uncommitted diff of a branch (J6). */
   def diffUncommitted(branch: String): DataFrame = {
@@ -249,9 +270,21 @@ class Engine(val spark: SparkSession, val repoDir: String,
   }
 
   /** Three-way merge sourceRef into destBranch (J3); conflict-free unless a
-    * strategy resolves, mirroring Graveler.Merge (`graveler.go:3115-3257`). */
+    * strategy or resolver resolves, mirroring Graveler.Merge
+    * (`graveler.go:3115-3257`).
+    *
+    * @param squash   one-parent merge commit: the source lineage is dropped
+    *                 from the graph but still counts toward the generation
+    *                 (`SquashMerge`, `graveler.go:229-231,3189-3198`)
+    * @param resolver J4 per-row conflict resolver — a boolean Column over
+    *                 `key`, `s_`/`d_`-prefixed identity+payload; true takes
+    *                 the source side on conflicting keys (the reference's
+    *                 `ConflictResolver` chain, `graveler.go:142-145`,
+    *                 `committed/merge.go:304-326`) */
   def merge(sourceRef: String, destBranch: String, committer: String,
-      message: String, strategy: MergeStrategy = StrategyNone): CommitInfo = {
+      message: String, strategy: MergeStrategy = StrategyNone,
+      squash: Boolean = false,
+      resolver: Option[org.apache.spark.sql.Column] = None): CommitInfo = {
     hooks.fire(Hooks.HookEvent(Hooks.PreMerge, repoDir, destBranch, Some(sourceRef), committer, message))
     // dirty-dest guard (:3149-3155): staged epochs AND an uncommitted
     // compacted base both count as dirty — merging over either would
@@ -267,11 +300,14 @@ class Engine(val spark: SparkSession, val repoDir: String,
     // range-pruned delta merge: O(changed ranges), untouched dest files
     // carried by reference (merge.go:224-302 complexity envelope)
     val (meta, conflicts) = snapshots.merge3(
-      base.metaRangeId, src.metaRangeId, dest.metaRangeId, strategy)
+      base.metaRangeId, src.metaRangeId, dest.metaRangeId, strategy, resolver)
     if (meta.isEmpty)
       sys.error(s"merge conflict between $sourceRef and $destBranch")
-    val c = refs.addCommit(committer, message, meta, Seq(destId, src.commitId),
-      Map("strategy" -> strategy.toString))
+    val parents = if (squash) Seq(destId) else Seq(destId, src.commitId)
+    val meta0 = Map("strategy" -> strategy.toString) ++
+      (if (squash) Map("squash" -> "true") else Map.empty)
+    val c = refs.addCommit(committer, message, meta, parents, meta0,
+      generation = Some(math.max(dest.generation, src.generation) + 1))
     if (!refs.casBranch(destBranch, Some(destId), c.commitId))
       sys.error(s"branch $destBranch moved concurrently")
     hooks.fire(Hooks.HookEvent(Hooks.PostMerge, repoDir, destBranch, Some(sourceRef), committer, message))

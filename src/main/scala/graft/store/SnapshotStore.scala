@@ -147,7 +147,8 @@ class SnapshotStore(val spark: SparkSession, val repoDir: String,
    *         must check conflicts before using the result.
    */
   def merge3(baseMeta: String, srcMeta: String, dstMeta: String,
-      strategy: graft.core.Model.MergeStrategy = graft.core.Model.StrategyNone)
+      strategy: graft.core.Model.MergeStrategy = graft.core.Model.StrategyNone,
+      resolver: Option[org.apache.spark.sql.Column] = None)
       : (String, DataFrame) = {
     val (bs, ss) = prunedForDiff(baseMeta, srcMeta)
     val (bd, ds) = prunedForDiff(baseMeta, dstMeta)
@@ -158,8 +159,9 @@ class SnapshotStore(val spark: SparkSession, val repoDir: String,
     val dstDelta = graft.operators.Diff.twoWayFull(bd, ds).persist(lvl)
     try {
       val (changes, conflicts) =
-        graft.operators.Merge.threeWayFromDeltas(srcDelta, dstDelta, strategy)
-      if (strategy == graft.core.Model.StrategyNone && conflicts.limit(1).count() > 0)
+        graft.operators.Merge.threeWayFromDeltas(srcDelta, dstDelta, strategy, resolver)
+      if (strategy == graft.core.Model.StrategyNone && resolver.isEmpty &&
+          conflicts.limit(1).count() > 0)
         return ("", conflicts)
       // merge result = dest + source-side changes (overlaps already resolved
       // per strategy); dest-only changes are in dest already, so restrict the

@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core.Model._
+import graft.store.Engine
+
+/**
+ * Merge conflict matrix through the Engine facade (reference
+ * `pkg/graveler/committed/merge_test.go` delete-vs-change scenarios,
+ * `graveler.go:3115-3257`): change-vs-change, delete-vs-change both ways,
+ * identical-change, disjoint edits; strategies, per-row resolver (J4) and
+ * squash merges (one-parent commits).
+ */
+class MergeMatrixSpec extends SparkSpec {
+
+  private def rows(n: Int) = {
+    import spark.implicits._
+    (1 to n).map(i => (f"k$i%06d", s"id$i")).toDF("key", "identity")
+  }
+
+  /** Repo with src/dst branches holding the full edit matrix:
+    * src: k3->S3, del k4, k7->SAME, k8->S8, del k9, k10->S10
+    * dst: k5->D5, del k6, k7->SAME, k8->D8, k9->D9, del k10
+    * conflicts: k8 (change/change), k9 (src del vs dst change),
+    * k10 (src change vs dst del). */
+  private def matrixRepo(): (Engine, String) = {
+    import spark.implicits._
+    val dir = tmpDir("mmx")
+    val eng = new Engine(spark, dir, raggedness = 100)
+    val c0 = eng.init("dst", Some(rows(12)))
+    eng.createBranch("src", c0.commitId)
+    eng.stage("src", Seq(
+      ("k000003", "S3"), ("k000004", null), ("k000007", "SAME"),
+      ("k000008", "S8"), ("k000009", null), ("k000010", "S10"))
+      .toDF("key", "identity"))
+    eng.commit("src", "t", "src edits")
+    eng.stage("dst", Seq(
+      ("k000005", "D5"), ("k000006", null), ("k000007", "SAME"),
+      ("k000008", "D8"), ("k000009", "D9"), ("k000010", null))
+      .toDF("key", "identity"))
+    eng.commit("dst", "t", "dst edits")
+    (eng, dir)
+  }
+
+  private def listing(eng: Engine, ref: String): Map[String, String] =
+    eng.list(ref).collect().map(r => r.getString(0) -> r.getString(1)).toMap
+
+  test("conflict matrix: exactly change/change and delete-vs-change conflict") {
+    val (eng, _) = matrixRepo()
+    intercept[RuntimeException] { eng.merge("src", "dst", "t", "boom") }
+    val base = eng.mergeBase(
+      eng.resolveCommit("src").commitId, eng.resolveCommit("dst").commitId)
+    val (_, conflicts) = eng.snapshots.merge3(
+      base.metaRangeId,
+      eng.resolveCommit("src").metaRangeId,
+      eng.resolveCommit("dst").metaRangeId)
+    assert(conflicts.select("key").collect().map(_.getString(0)).toSet ===
+      Set("k000008", "k000009", "k000010"))
+  }
+
+  test("StrategySourceWins resolves every conflict to the source side") {
+    val (eng, _) = matrixRepo()
+    eng.createBranch("d1", "dst")
+    eng.merge("src", "d1", "t", "m", StrategySourceWins)
+    val l = listing(eng, "d1")
+    assert(l("k000003") === "S3" && !l.contains("k000004"))        // src-only
+    assert(l("k000005") === "D5" && !l.contains("k000006"))        // dst-only
+    assert(l("k000007") === "SAME")                                // identical
+    assert(l("k000008") === "S8")                                  // change/change
+    assert(!l.contains("k000009"))                                 // src delete wins
+    assert(l("k000010") === "S10")                                 // src change wins
+  }
+
+  test("StrategyDestWins keeps the dest side on conflicts, src elsewhere") {
+    val (eng, _) = matrixRepo()
+    eng.createBranch("d2", "dst")
+    eng.merge("src", "d2", "t", "m", StrategyDestWins)
+    val l = listing(eng, "d2")
+    assert(l("k000003") === "S3" && !l.contains("k000004"))        // src-only applies
+    assert(l("k000008") === "D8")                                  // dest wins
+    assert(l("k000009") === "D9")                                  // dest change kept
+    assert(!l.contains("k000010"))                                 // dest delete kept
+  }
+
+  test("per-row resolver routes conflicts individually (J4)") {
+    val (eng, _) = matrixRepo()
+    eng.createBranch("d3", "dst")
+    // source wins on k8/k9, dest wins on k10
+    val resolver = col("key").isin("k000008", "k000009")
+    eng.merge("src", "d3", "t", "m", resolver = Some(resolver))
+    val l = listing(eng, "d3")
+    assert(l("k000008") === "S8")
+    assert(!l.contains("k000009"))  // src tombstone taken
+    assert(!l.contains("k000010"))  // dest tombstone taken
+    assert(l("k000003") === "S3" && l("k000005") === "D5") // non-conflicts as usual
+  }
+
+  test("squash merge: one-parent commit, same content, generation preserved") {
+    val (eng, _) = matrixRepo()
+    eng.createBranch("d4", "dst")
+    eng.createBranch("d5", "dst")
+    val destHead = eng.resolveCommit("d4").commitId
+    val srcHead = eng.resolveCommit("src")
+    val sq = eng.merge("src", "d4", "t", "squashed", StrategySourceWins, squash = true)
+    val full = eng.merge("src", "d5", "t", "full", StrategySourceWins)
+    assert(sq.parents === Seq(destHead))
+    assert(full.parents.size === 2)
+    assert(sq.metadata.get("squash") === Some("true"))
+    // lost parent still counts toward generation (graveler.go:3194-3198)
+    assert(sq.generation === math.max(
+      eng.refs.getCommit(destHead).get.generation, srcHead.generation) + 1)
+    assert(listing(eng, "d4") === listing(eng, "d5"))
+    // the squash commit's log never reaches the source lineage
+    assert(!eng.log("d4").map(_.commitId).contains(srcHead.commitId))
+    assert(eng.log("d5").map(_.commitId).contains(srcHead.commitId))
+  }
+}

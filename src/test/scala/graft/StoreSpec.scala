@@ -239,6 +239,38 @@ class StoreSpec extends SparkSpec {
     assert(eng.get("main", "nope") === None)
   }
 
+  test("@/$ ref grammar and staged-overlay diff across refs") {
+    import spark.implicits._
+    val dir = tmpDir("refgram")
+    val eng = new Engine(spark, dir, raggedness = 100)
+    val c1 = eng.init("main", Some(rows(100)))
+    eng.stage("main", Seq(("k000001", "V2")).toDF("key", "identity"))
+    val c2 = eng.commit("main", "t", "edit")
+    eng.stage("main", Seq(
+      ("k999999", "S"), ("k000003", null.asInstanceOf[String])).toDF("key", "identity"))
+
+    // grammar: @ pins committed head, $ names staging; both branch-only,
+    // both reject combination with ~/^ (parse_ref.go:22-31)
+    assert(eng.refs.resolveFull("main@").get.commit.commitId === c2.commitId)
+    assert(eng.refs.resolveFull("main@").get.committedOnly)
+    assert(eng.refs.resolveFull("main$").get.staging)
+    assert(eng.refs.resolveFull("main~1").get.commit.commitId === c1.commitId)
+    assert(eng.refs.resolveFull("main~1$") === None)
+    eng.refs.createTag("t1", c1.commitId)
+    assert(eng.refs.resolveFull("t1$") === None)
+
+    // right side `$`: committed diff c1..c2 overlaid with staged-vs-left
+    val d = eng.diff(c1.commitId, "main$")
+      .select("key", "diff_type").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(d === Set(("k000001", "changed"), ("k999999", "added"), ("k000003", "removed")))
+    // right side `@`: committed only
+    val d2 = eng.diff(c1.commitId, "main@")
+      .select("key", "diff_type").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(d2 === Set(("k000001", "changed")))
+    // a staging ref cannot be the left side (dereferenceCommit semantics)
+    intercept[Exception] { eng.diff("main$", "main") }
+  }
+
   test("gc mark finds unreferenced ranges") {
     import spark.implicits._
     val dir = tmpDir("gc")
