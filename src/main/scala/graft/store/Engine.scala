@@ -53,6 +53,32 @@ class Engine(val spark: SparkSession, val repoDir: String,
     hooks.fire(Hooks.HookEvent(Hooks.PostCreateBranch, repoDir, name, Some(fromRef), "", ""))
   }
 
+  /** Delete a branch (staging dropped with it), with pre/post hooks. */
+  def deleteBranch(name: String): Unit = {
+    require(refs.getBranch(name).isDefined, s"no branch $name")
+    hooks.fire(Hooks.HookEvent(Hooks.PreDeleteBranch, repoDir, name, None, "", ""))
+    reset(name)
+    refs.deleteBranch(name)
+    hooks.fire(Hooks.HookEvent(Hooks.PostDeleteBranch, repoDir, name, None, "", ""))
+  }
+
+  /** Create an immutable tag at a ref, with pre/post hooks
+    * (`graveler.go:571-575`). */
+  def createTag(name: String, fromRef: String): Unit = {
+    val target = resolveCommit(fromRef)
+    hooks.fire(Hooks.HookEvent(Hooks.PreCreateTag, repoDir, "", Some(fromRef), "", "", Some(name)))
+    require(refs.createTag(name, target.commitId), s"tag $name already exists")
+    hooks.fire(Hooks.HookEvent(Hooks.PostCreateTag, repoDir, "", Some(fromRef), "", "", Some(name)))
+  }
+
+  /** Delete a tag, with pre/post hooks. */
+  def deleteTag(name: String): Unit = {
+    require(refs.tags.contains(name), s"no tag $name")
+    hooks.fire(Hooks.HookEvent(Hooks.PreDeleteTag, repoDir, "", None, "", "", Some(name)))
+    refs.deleteTag(name)
+    hooks.fire(Hooks.HookEvent(Hooks.PostDeleteTag, repoDir, "", None, "", "", Some(name)))
+  }
+
   def resolveCommit(ref: String): CommitInfo =
     refs.resolve(ref).getOrElse(sys.error(s"unresolvable ref: $ref"))
 
@@ -134,6 +160,8 @@ class Engine(val spark: SparkSession, val repoDir: String,
   /** Commit staged changes (J5 + manifest reuse + branch CAS + T5 hooks). */
   def commit(branch: String, committer: String, message: String): CommitInfo = {
     require(!refs.isProtected(branch), s"branch $branch is protected against direct commits")
+    // prepare-commit then pre-commit, both abortable (hooks_handler.go:16-17)
+    hooks.fire(Hooks.HookEvent(Hooks.PrepareCommit, repoDir, branch, None, committer, message))
     hooks.fire(Hooks.HookEvent(Hooks.PreCommit, repoDir, branch, None, committer, message))
     val headId = refs.getBranch(branch).getOrElse(sys.error(s"no branch $branch"))
     val head = refs.getCommit(headId).get
@@ -340,28 +368,104 @@ class Engine(val spark: SparkSession, val repoDir: String,
     c
   }
 
-  /** J11: commits (first-parent walk) where the value at `key` changed —
-    * range-id point compare against the parent before any file is read
-    * (`checkPathListInCommit`, `catalog.go:1734-1827`). */
-  def logWithPath(ref: String, key: String): Seq[CommitInfo] = {
-    val byId = refs.commits.map(c => c.commitId -> c).toMap
-    def rangeOf(meta: String): Option[RangeInfo] =
-      snapshots.readManifest(meta).find(ri => ri.minKey <= key && key <= ri.maxKey)
-    def valueAt(meta: String): Option[String] =
-      rangeOf(meta) match {
-        case None => None
-        case Some(ri) =>
-          spark.read.parquet(ri.path).where(col("key") === key)
-            .select("identity").collect().headOption.map(_.getString(0))
+  /** J11 single-key form: see [[logWithPaths]]. */
+  def logWithPath(ref: String, key: String): Seq[CommitInfo] =
+    logWithPaths(ref, Seq(key))
+
+  /**
+   * J11: commits (first-parent walk from `ref`) where content under any of
+   * `paths` changed. A path ending in "/" is a PREFIX; any other path is an
+   * exact key (`checkPathListInCommit`, `pkg/catalog/catalog.go:1734-1827`).
+   *
+   * Scale shape — a CONSTANT number of Spark jobs however long the history:
+   *  1. every involved manifest read in one job (metarange id recovered
+   *     from the file path);
+   *  2. covering ranges per (metarange, path) resolved with one broadcast
+   *     interval join (the collected result is metadata-scale:
+   *     ≤ commits × paths × covering ranges);
+   *  3. one aggregate over the union of covering range FILES of commits
+   *     whose covering range-id set differs from their parent's — range-id
+   *     equality (content addressing) prunes identical ranges before any
+   *     data file is read, and each distinct range file is read once.
+   * Per (commit, path) the compare is an order-independent (count,
+   * hash-sum) summary over covering rows, so a boundary shift with
+   * unchanged content correctly reports unchanged.
+   */
+  def logWithPaths(ref: String, paths: Seq[String]): Seq[CommitInfo] = {
+    import spark.implicits._
+    require(paths.nonEmpty, "logWithPaths requires at least one path")
+    val chain = log(ref, firstParent = true)
+    if (chain.isEmpty) return Seq.empty
+    val parentMetaOf: Map[String, Option[String]] = chain.map { c =>
+      c.commitId -> c.parents.headOption.flatMap(refs.getCommit).map(_.metaRangeId)
+    }.toMap
+    val metas = (chain.map(_.metaRangeId) ++ parentMetaOf.values.flatten).distinct
+
+    // per-path scan interval: exact key -> [k, k+\0); prefix -> [p, ub(p))
+    val intervals: Seq[(String, String, String)] = paths.map { p =>
+      if (p.endsWith("/"))
+        (p, p, graft.operators.Listing.upperBound(p).orNull)
+      else (p, p, p + "\u0000") // [k, k+\0) contains exactly the key k
+    }
+    val pathsDf = intervals.toDF("qpath", "lo", "hi")
+    val coverCond = col("maxKey") >= col("lo") &&
+      (col("hi").isNull || col("minKey") < col("hi"))
+
+    val manifests = spark.read.parquet(metas.map(m => s"$repoDir/manifests/$m"): _*)
+      .withColumn("meta", regexp_extract(input_file_name(), "manifests/([^/]+)/", 1))
+    val cover = manifests.join(broadcast(pathsDf), coverCond)
+      .select("meta", "qpath", "rangeId", "path").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3)))
+
+    val coverSets: Map[(String, String), Set[String]] = cover
+      .groupBy(c => (c._1, c._2)).map { case (k, v) => k -> v.map(_._3).toSet }
+      .withDefaultValue(Set.empty)
+    val fileOf: Map[String, String] = cover.map(c => c._3 -> c._4).toMap
+
+    // ranges worth reading: where a commit's covering set differs from its
+    // parent's for some path (roots compare against nothing)
+    val needed: Set[String] = chain.flatMap { c =>
+      paths.flatMap { p =>
+        val rc = coverSets((c.metaRangeId, p))
+        val rp = parentMetaOf(c.commitId).map(m => coverSets((m, p))).getOrElse(Set.empty)
+        if (rc == rp && parentMetaOf(c.commitId).isDefined) Set.empty[String]
+        else rc ++ rp
       }
-    log(ref, firstParent = true).filter { c =>
-      c.parents.headOption.flatMap(byId.get) match {
-        case None => valueAt(c.metaRangeId).isDefined // root: present = introduced
-        case Some(p) =>
-          val cr = rangeOf(c.metaRangeId); val pr = rangeOf(p.metaRangeId)
-          // identical covering range id ⇒ identical value, skip file reads
-          if (cr.map(_.rangeId) == pr.map(_.rangeId)) false
-          else valueAt(c.metaRangeId) != valueAt(p.metaRangeId)
+    }.toSet
+
+    val summaries: Map[(String, String), (Long, java.math.BigDecimal)] =
+      if (needed.isEmpty) Map.empty
+      else {
+        val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+        spark.read.parquet(needed.toSeq.map(fileOf): _*)
+          .withColumn("rid", regexp_extract(input_file_name(), "ranges/([^/]+)/", 1))
+          .join(broadcast(pathsDf),
+            col("key") >= col("lo") && (col("hi").isNull || col("key") < col("hi")))
+          .groupBy("rid", "qpath")
+          .agg(count(lit(1)).as("cnt"),
+            sum(xxhash64(concat_ws("|", col("key"), col("identity"))).cast(dec38)).as("hs"))
+          .collect()
+          .map(r => (r.getString(0), r.getString(1)) ->
+            (r.getLong(2), r.getAs[java.math.BigDecimal]("hs")))
+          .toMap
+      }
+    def summary(meta: String, p: String): (Long, java.math.BigDecimal) =
+      coverSets((meta, p)).foldLeft((0L, java.math.BigDecimal.ZERO)) { case ((n, h), rid) =>
+        summaries.get((rid, p)) match {
+          case Some((n2, h2)) => (n + n2, h.add(h2))
+          case None           => (n, h)
+        }
+      }
+
+    chain.filter { c =>
+      paths.exists { p =>
+        parentMetaOf(c.commitId) match {
+          case None => summary(c.metaRangeId, p)._1 > 0 // root: present = introduced
+          case Some(pm) =>
+            val rc = coverSets((c.metaRangeId, p))
+            val rp = coverSets((pm, p))
+            rc != rp && summary(c.metaRangeId, p) != summary(pm, p)
+        }
       }
     }
   }
@@ -388,6 +492,7 @@ class Engine(val spark: SparkSession, val repoDir: String,
     * as a new commit on `branch` (`graveler.go:2829`). */
   def revert(branch: String, commitRef: String, committer: String): CommitInfo = {
     requireClean(branch, "revert")
+    hooks.fire(Hooks.HookEvent(Hooks.PreRevert, repoDir, branch, Some(commitRef), committer, ""))
     val target = resolveCommit(commitRef)
     val parent = target.parents.headOption.flatMap(refs.getCommit)
       .getOrElse(sys.error("cannot revert a root commit"))
@@ -402,6 +507,7 @@ class Engine(val spark: SparkSession, val repoDir: String,
       alignTo(snapshots.scan(head.metaRangeId), undo))
     val c = refs.addCommit(committer, s"revert ${target.commitId.take(8)}", meta, Seq(headId))
     require(refs.casBranch(branch, Some(headId), c.commitId))
+    hooks.fire(Hooks.HookEvent(Hooks.PostRevert, repoDir, branch, Some(commitRef), committer, ""))
     c
   }
 
@@ -409,6 +515,7 @@ class Engine(val spark: SparkSession, val repoDir: String,
     * (`graveler.go:2961`). */
   def cherryPick(branch: String, commitRef: String, committer: String): CommitInfo = {
     requireClean(branch, "cherry-pick")
+    hooks.fire(Hooks.HookEvent(Hooks.PreCherryPick, repoDir, branch, Some(commitRef), committer, ""))
     val target = resolveCommit(commitRef)
     val parent = target.parents.headOption.flatMap(refs.getCommit)
       .getOrElse(sys.error("cannot cherry-pick a root commit"))
@@ -420,6 +527,7 @@ class Engine(val spark: SparkSession, val repoDir: String,
       alignTo(snapshots.scan(refs.getCommit(headId).get.metaRangeId), patch))
     val c = refs.addCommit(committer, s"cherry-pick ${target.commitId.take(8)}", meta, Seq(headId))
     require(refs.casBranch(branch, Some(headId), c.commitId))
+    hooks.fire(Hooks.HookEvent(Hooks.PostCherryPick, repoDir, branch, Some(commitRef), committer, ""))
     c
   }
 

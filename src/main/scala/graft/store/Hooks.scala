@@ -6,29 +6,62 @@ import scala.collection.mutable
  * Hook/action surface (SURVEY.md §2.9 T5, §2.10; reference
  * `pkg/graveler/hooks_handler.go:16-32`, runner package `pkg/actions`).
  *
- * Pre-hooks run before the branch pointer moves and abort the operation by
- * throwing (the reference's pre-commit/pre-merge semantics); post-hooks run
- * after and are best-effort. Executors are plain Scala functions — the
- * engine-side analogue of the reference's webhook/Lua executors.
+ * All 17 reference event types: prepare/pre/post commit, pre/post merge,
+ * pre/post create-tag, pre/post delete-tag, pre/post create-branch,
+ * pre/post delete-branch, pre/post revert, pre/post cherry-pick.
+ *
+ * Prepare- and pre-hooks run before the operation mutates any state and
+ * abort it by throwing (the reference's pre-commit/pre-merge semantics);
+ * post-hooks run after and are best-effort. Executors are plain Scala
+ * functions — the engine-side analogue of the reference's webhook/Lua
+ * executors.
  */
 object Hooks {
 
   sealed trait EventType
+  case object PrepareCommit extends EventType
   case object PreCommit extends EventType
   case object PostCommit extends EventType
   case object PreMerge extends EventType
   case object PostMerge extends EventType
+  case object PreCreateTag extends EventType
+  case object PostCreateTag extends EventType
+  case object PreDeleteTag extends EventType
+  case object PostDeleteTag extends EventType
   case object PreCreateBranch extends EventType
   case object PostCreateBranch extends EventType
+  case object PreDeleteBranch extends EventType
+  case object PostDeleteBranch extends EventType
+  case object PreRevert extends EventType
+  case object PostRevert extends EventType
+  case object PreCherryPick extends EventType
+  case object PostCherryPick extends EventType
 
-  /** What a hook sees: repo, branch, source ref (merges), commit metadata. */
+  val allEventTypes: Seq[EventType] = Seq(
+    PrepareCommit, PreCommit, PostCommit, PreMerge, PostMerge,
+    PreCreateTag, PostCreateTag, PreDeleteTag, PostDeleteTag,
+    PreCreateBranch, PostCreateBranch, PreDeleteBranch, PostDeleteBranch,
+    PreRevert, PostRevert, PreCherryPick, PostCherryPick)
+
+  /** Abortable events: failures propagate and roll the operation back
+    * (nothing has mutated yet when they fire). */
+  def isAbortable(t: EventType): Boolean = t match {
+    case PrepareCommit | PreCommit | PreMerge | PreCreateTag | PreDeleteTag |
+         PreCreateBranch | PreDeleteBranch | PreRevert | PreCherryPick => true
+    case _ => false
+  }
+
+  /** What a hook sees: repo, branch, source ref (merges/reverts/picks), tag
+    * (tag events), commit metadata (the `HookRecord` shape,
+    * `hooks_handler.go:39-59`). */
   case class HookEvent(
       eventType: EventType,
       repoDir: String,
       branch: String,
       sourceRef: Option[String],
       committer: String,
-      message: String)
+      message: String,
+      tag: Option[String] = None)
 
   type Hook = HookEvent => Unit
 }
@@ -41,15 +74,12 @@ class HookRegistry {
   def register(on: EventType)(h: Hook): Unit =
     hooks.getOrElseUpdate(on, mutable.ArrayBuffer.empty) += h
 
-  /** Runs every hook for the event; pre-hooks propagate exceptions (abort),
-    * post-hooks must not fail the operation. */
+  /** Runs every hook for the event; prepare-/pre-hooks propagate exceptions
+    * (abort), post-hooks must not fail the operation. */
   def fire(event: HookEvent): Unit = {
-    val isPre = event.eventType match {
-      case PreCommit | PreMerge | PreCreateBranch => true
-      case _ => false
-    }
+    val abortable = isAbortable(event.eventType)
     hooks.getOrElse(event.eventType, Nil).foreach { h =>
-      if (isPre) h(event)
+      if (abortable) h(event)
       else try h(event) catch { case _: Throwable => () }
     }
   }

@@ -84,6 +84,48 @@ class ExtendedSpec extends SparkSpec {
 
   private def refs(eng: Engine, id: String) = eng.refs.getCommit(id).get
 
+  test("J11 logWithPaths: multi-path + prefix over a long history in O(1) Spark jobs") {
+    import spark.implicits._
+    val eng = new Engine(spark, tmpDir("logpaths"), raggedness = 25)
+    eng.init("main", Some(
+      (1 to 60).map(i => (f"a/k$i%03d", s"v$i")).toDF("key", "identity")))
+    // 30 commits; only every 10th touches a watched key, then two touch b/
+    val watchedCommits = scala.collection.mutable.ArrayBuffer[String]()
+    (1 to 30).foreach { i =>
+      val key = if (i % 10 == 0) f"a/k${i / 10}%03d" else f"a/k${40 + (i % 7)}%03d"
+      eng.stage("main", Seq((key, s"e$i")).toDF("key", "identity"))
+      val c = eng.commit("main", "t", s"edit $i")
+      if (i % 10 == 0) watchedCommits += c.commitId
+    }
+    eng.stage("main", Seq(("b/new1", "B1")).toDF("key", "identity"))
+    val cb1 = eng.commit("main", "t", "add b/new1")
+    eng.stage("main", Seq(("b/new1", "B2")).toDF("key", "identity"))
+    val cb2 = eng.commit("main", "t", "change b/new1")
+
+    // count Spark jobs during the call (events deliver async - sleep after)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val hits =
+      try eng.logWithPaths("main", Seq("a/k001", "a/k002", "a/k003", "b/"))
+      finally {
+        Thread.sleep(2000)
+        spark.sparkContext.removeSparkListener(listener)
+      }
+    // exact keys: the three watched edit commits + root introduction;
+    // prefix b/: both b-commits
+    val ids = hits.map(_.commitId).toSet
+    assert(watchedCommits.forall(ids.contains), "watched edits found")
+    assert(ids.contains(cb1.commitId) && ids.contains(cb2.commitId), "prefix commits found")
+    // exactly: 3 watched + root + 2 b-commits
+    assert(hits.size === 6, s"got ${hits.map(_.message)}")
+    assert(jobs.get() <= 8,
+      s"logWithPaths must run O(1) jobs over a 33-commit history, ran ${jobs.get()}")
+  }
+
   test("S7-S9 GC sinks write the interchange shapes") {
     import spark.implicits._
     val root = tmpDir("sinks")

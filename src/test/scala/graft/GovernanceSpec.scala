@@ -65,6 +65,72 @@ class GovernanceSpec extends SparkSpec {
     assert(eng.refs.listBranches(showHidden = true).keySet === Set("main", "internal"))
   }
 
+  test("T5 hook matrix: all 17 event types fire in pre/post order") {
+    import spark.implicits._
+    import graft.store.Hooks
+    val eng = new Engine(spark, tmpDir("hookmx"), raggedness = 100)
+    val fired = scala.collection.mutable.ArrayBuffer[Hooks.EventType]()
+    Hooks.allEventTypes.foreach(t => eng.hooks.register(t)(e => fired += e.eventType))
+
+    val c1 = eng.init("main", Some(rows(30)))
+    eng.stage("main", Seq(("k0001", "X")).toDF("key", "identity"))
+    val c2 = eng.commit("main", "t", "edit")
+    eng.createBranch("b1", "main")
+    eng.stage("b1", Seq(("k0002", "Y")).toDF("key", "identity"))
+    eng.commit("b1", "t", "b1 edit")
+    eng.merge("b1", "main", "t", "merge b1")
+    eng.createTag("t1", c1.commitId)
+    eng.deleteTag("t1")
+    eng.revert("main", c2.commitId, "t")
+    eng.cherryPick("b1", c2.commitId, "t")
+    eng.deleteBranch("b1")
+
+    assert(fired.toSet === Hooks.allEventTypes.toSet, "every event type fired")
+    // each pre strictly precedes its post
+    def before(a: Hooks.EventType, b: Hooks.EventType) =
+      assert(fired.indexOf(a) >= 0 && fired.indexOf(a) < fired.indexOf(b), s"$a before $b")
+    before(Hooks.PrepareCommit, Hooks.PreCommit)
+    before(Hooks.PreCommit, Hooks.PostCommit)
+    before(Hooks.PreMerge, Hooks.PostMerge)
+    before(Hooks.PreCreateTag, Hooks.PostCreateTag)
+    before(Hooks.PreDeleteTag, Hooks.PostDeleteTag)
+    before(Hooks.PreCreateBranch, Hooks.PostCreateBranch)
+    before(Hooks.PreDeleteBranch, Hooks.PostDeleteBranch)
+    before(Hooks.PreRevert, Hooks.PostRevert)
+    before(Hooks.PreCherryPick, Hooks.PostCherryPick)
+  }
+
+  test("T5 pre-hooks abort and roll the operation back") {
+    import spark.implicits._
+    import graft.store.Hooks
+    val eng = new Engine(spark, tmpDir("hookabort"), raggedness = 100)
+    val c1 = eng.init("main", Some(rows(10)))
+    eng.createTag("keepme", c1.commitId)
+
+    Seq[Hooks.EventType](
+      Hooks.PrepareCommit, Hooks.PreCreateTag, Hooks.PreDeleteTag,
+      Hooks.PreDeleteBranch, Hooks.PreRevert, Hooks.PreCherryPick)
+      .foreach(t => eng.hooks.register(t)(_ => sys.error("denied")))
+
+    // prepare-commit abort: staging survives, head unmoved
+    eng.stage("main", Seq(("k0001", "X")).toDF("key", "identity"))
+    intercept[RuntimeException] { eng.commit("main", "t", "nope") }
+    assert(eng.refs.getBranch("main") === Some(c1.commitId))
+    assert(eng.stagedChanges("main").isDefined)
+    eng.reset("main")
+
+    intercept[RuntimeException] { eng.createTag("t2", c1.commitId) }
+    assert(!eng.refs.tags.contains("t2"))
+    intercept[RuntimeException] { eng.deleteTag("keepme") }
+    assert(eng.refs.tags.contains("keepme"))
+    eng.createBranch("doomed", "main")
+    intercept[RuntimeException] { eng.deleteBranch("doomed") }
+    assert(eng.refs.getBranch("doomed").isDefined)
+    intercept[RuntimeException] { eng.revert("main", c1.commitId, "t") }
+    intercept[RuntimeException] { eng.cherryPick("main", c1.commitId, "t") }
+    assert(eng.refs.getBranch("main") === Some(c1.commitId))
+  }
+
   test("pull request lifecycle: open, merge, status") {
     import spark.implicits._
     val eng = new Engine(spark, tmpDir("pr"), raggedness = 100)
