@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Model.StrategySourceWins
 import graft.fixtures.Fixtures
-import graft.operators.{Gc, Listing, Merge}
+import graft.operators.{Diff, Gc, Listing, Merge}
 import graft.store.SnapshotStore
 
 /**
@@ -141,20 +141,54 @@ object Bench {
         .orderBy("path").limit(1000).count()
     }
 
+    // --- bare-Spark twins (the BASELINE.md 2x comparison, self-contained:
+    // the same operations with no manifests, no range reuse, no pruning —
+    // full sorted rewrite / full-outer plans straight from parquet). These
+    // are EXCLUDED from the headline total; the engine-vs-bare ratio is
+    // readable directly from the queries map.
+    val bareOut = s"target/bench_bare_${java.util.UUID.randomUUID()}"
+    timed("bare_snapshot_write") {
+      base.repartitionByRange(col("key")).sortWithinPartitions("key")
+        .write.parquet(s"$bareOut/snap")
+    }
+    val bareSnap = spark.read.parquet(s"$bareOut/snap")
+    m2.foreach { _ =>
+      timed("bare_commit") { // full rewrite: apply + re-sort + rewrite all
+        Merge.applyChanges(bareSnap, changes)
+          .repartitionByRange(col("key")).sortWithinPartitions("key")
+          .write.parquet(s"$bareOut/snap2")
+      }
+      timed("bare_diff") { // full-outer over complete snapshots, no pruning
+        Diff.twoWay(bareSnap, spark.read.parquet(s"$bareOut/snap2")).count()
+      }
+    }
+    timed("bare_merge3") { // both deltas + resolve + apply, all unpruned
+      val (m, _) = Merge.threeWay(
+        bareSnap,
+        Merge.applyChanges(bareSnap, srcChanges),
+        Merge.applyChanges(bareSnap, dstChanges), StrategySourceWins)
+      m.count()
+    }
+
     emit(results, sfDir)
 
-    // clean up the throwaway repo
-    try org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(repoDir), spark.sparkContext.hadoopConfiguration)
-      .delete(new org.apache.hadoop.fs.Path(repoDir), true)
-    catch { case _: Throwable => }
+    // clean up the throwaway repo + bare twins
+    try {
+      val ffs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(repoDir), spark.sparkContext.hadoopConfiguration)
+      ffs.delete(new org.apache.hadoop.fs.Path(repoDir), true)
+      ffs.delete(new org.apache.hadoop.fs.Path(bareOut), true)
+    } catch { case _: Throwable => }
     spark.stop()
   }
 
   private def emit(results: scala.collection.mutable.LinkedHashMap[String, Double],
       sfDir: String): Unit = {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val total = results.values.filter(_ >= 0).sum
+    // headline total = engine metrics only; bare_* twins are the comparison
+    val total = results.collect {
+      case (k, v) if v >= 0 && !k.startsWith("bare_") => v
+    }.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
   }
 }

@@ -1,0 +1,62 @@
+package graft.functions
+
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, IntegerType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Content-defined range index as a native Catalyst expression: for a key,
+ * 1 + the index of the greatest cut key ≤ key in a broadcast sorted array
+ * (0 = before every cut). Whole-stage-codegen'd binary search — the
+ * snapshot write's hot path stays UDF-free (SURVEY.md §4; the boundary rule
+ * itself follows `pkg/graveler/sstable/writer.go:169-183`).
+ *
+ * Comparisons use UTF8String's binary order — identical to Spark's string
+ * ordering, so the cut intervals agree with min/max stats and sorts.
+ */
+case class CutIndex(child: Expression, cuts: Broadcast[Array[UTF8String]])
+    extends UnaryExpression {
+
+  override def dataType: DataType = IntegerType
+
+  override def nullSafeEval(input: Any): Any =
+    CutIndex.indexOf(cuts.value, input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bcRef = ctx.addReferenceObj("cutsBc", cuts,
+      classOf[Broadcast[Array[UTF8String]]].getName)
+    val arr = ctx.addMutableState("org.apache.spark.unsafe.types.UTF8String[]",
+      "cutsArr",
+      v => s"$v = (org.apache.spark.unsafe.types.UTF8String[]) " +
+        s"((org.apache.spark.broadcast.Broadcast) $bcRef).value();")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.CutIndex.indexOf($arr, $c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CutIndex =
+    copy(child = newChild)
+  override def prettyName: String = "cut_index"
+}
+
+object CutIndex {
+
+  /** 1 + index of the greatest cut ≤ k (binary search); 0 below every cut.
+    * Also the interpreted-mode fallback for the expression. */
+  def indexOf(cuts: Array[UTF8String], k: UTF8String): Int = {
+    var lo = 0; var hi = cuts.length - 1; var res = 0
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      if (cuts(mid).compareTo(k) <= 0) { res = mid + 1; lo = mid + 1 }
+      else hi = mid - 1
+    }
+    res
+  }
+
+  /** Column API over a broadcast of BINARY-sorted cut keys. */
+  def chunkOf(key: Column, bc: Broadcast[Array[UTF8String]]): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      CutIndex(org.apache.spark.sql.GraftBridge.expression(key), bc))
+}

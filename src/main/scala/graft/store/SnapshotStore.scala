@@ -38,7 +38,7 @@ import graft.core.Model.RangeInfo
  * not rewritten.
  */
 class SnapshotStore(val spark: SparkSession, val repoDir: String,
-    raggedness: Long = 50000L) {
+    raggedness: Long = 50000L, maxBroadcastCuts: Int = 1 << 20) {
 
   private def rangesDir = s"$repoDir/ranges"
   private def manifestDir(metaRangeId: String) = s"$repoDir/manifests/$metaRangeId"
@@ -184,21 +184,29 @@ class SnapshotStore(val spark: SparkSession, val repoDir: String,
       Seq.empty[(String, String)].toDF("key", "identity")
     } else spark.read.option("mergeSchema", "true").parquet(infos.map(_.path): _*)
 
+  // `maxBroadcastCuts`: cut sets up to this size take the broadcast fast
+  // path (default 2^20 keys ≈ tens of MB — bounded driver/executor memory
+  // by construction); larger sets fall back to the fully distributed
+  // windowed assignment. Tests force the windowed path with 0.
+
   /**
    * Assign content-defined ranges and write the missing range files; return
    * the manifest rows.
    *
    * Range boundaries are the "cut keys" — keys hashing to 0 mod raggedness;
-   * a row's range index is the number of cut keys ≤ its key. The assignment
-   * is fully distributed (nothing data-sized ever reaches the driver):
-   * range-partition by key, take a per-partition running count of cuts
-   * (window over the partition id), and add each partition's global cut
-   * offset from a tiny per-partition aggregate (≤ one row per shuffle
-   * partition). No Scala UDF anywhere in the plan — every stage is
-   * codegen-friendly window/join/agg.
+   * a row's range index is the number of cut keys ≤ its key. Two UDF-free
+   * paths compute it:
+   *  - '''broadcast''' (≤ [[maxBroadcastCuts]], the common case — cuts are
+   *    |rows|/raggedness): binary search per row via the codegen'd
+   *    [[graft.functions.CutIndex]] expression over the broadcast sorted
+   *    cut array; one shuffle (by range index) on top of the scan;
+   *  - '''windowed''' (beyond the bound — nothing data-sized on the driver
+   *    at all): range-partition by key, per-partition running cut count
+   *    (window over the partition id), plus each partition's global offset
+   *    from a tiny per-partition aggregate.
    *
    * Snapshot keys are unique (invariant O1 — [[commitChanges]] applies
-   * changes per key); the running count assumes it.
+   * changes per key); both assignments assume it.
    *
    * Range ids are order-independent 128-bit: two independent unreduced
    * xxhash64 streams over (key, identity), each summed as DECIMAL(38,0)
@@ -207,8 +215,35 @@ class SnapshotStore(val spark: SparkSession, val repoDir: String,
    * test for diff/merge (the identity discipline of `pkg/ident/ident.go`).
    */
   private def chunkAndWrite(df: DataFrame): Seq[RangeInfo] = {
+    val cutRows = df.select("key")
+      .where((abs(xxhash64(col("key"))) % raggedness) === 0)
+      .distinct().limit(maxBroadcastCuts + 1).collect()
+    if (cutRows.length <= maxBroadcastCuts)
+      chunkAndWriteBroadcast(df, cutRows.map(_.getString(0)))
+    else chunkAndWriteWindowed(df)
+  }
+
+  private def parts: Int = math.max(1, spark.sessionState.conf.numShufflePartitions)
+
+  /** Fast path: codegen'd binary search against the broadcast sorted cuts. */
+  private def chunkAndWriteBroadcast(df: DataFrame, cutKeys: Array[String]): Seq[RangeInfo] = {
+    import org.apache.spark.unsafe.types.UTF8String
+    val arr = cutKeys.map(UTF8String.fromString)
+    java.util.Arrays.sort(arr, java.util.Comparator.naturalOrder[UTF8String]())
+    val bc = spark.sparkContext.broadcast(arr)
+    val stagingPath = s"$rangesDir/__staging_${java.util.UUID.randomUUID()}"
+    df.withColumn("__chunk", graft.functions.CutIndex.chunkOf(col("key"), bc))
+      .repartition(math.max(1, math.min(arr.length + 1, parts * 4)), col("__chunk"))
+      .sortWithinPartitions("__chunk", "key")
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("__chunk")
+      .parquet(stagingPath)
+    finalizeStaged(stagingPath)
+  }
+
+  /** Distributed fallback for cut sets too large to broadcast. */
+  private def chunkAndWriteWindowed(df: DataFrame): Seq[RangeInfo] = {
     import org.apache.spark.sql.expressions.Window
-    val parts = math.max(1, spark.sessionState.conf.numShufflePartitions)
     val marked = df
       .withColumn("__is_cut",
         ((abs(xxhash64(col("key"))) % raggedness) === 0).cast("long"))

@@ -1,0 +1,15 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/**
+ * Bridge into `private[sql]` Column<->Expression conversion for graft's
+ * native expressions (Spark 4 removed the public `Column(expr)`
+ * constructor; `classic.ExpressionUtils` is the supported internal path).
+ * Lives in the org.apache.spark.sql package solely to satisfy the access
+ * qualifier — the standard pattern for Catalyst extension libraries.
+ */
+object GraftBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}

@@ -82,6 +82,17 @@ class StoreSpec extends SparkSpec {
     assert(iA.map(_.rangeId).toSet.intersect(iB.map(_.rangeId).toSet).isEmpty)
   }
 
+  test("broadcast and windowed chunking produce identical snapshots") {
+    val dir = tmpDir("paths")
+    val fast = new SnapshotStore(spark, dir, raggedness = 100)
+    val dist = new SnapshotStore(spark, dir, raggedness = 100, maxBroadcastCuts = 0)
+    val (mF, iF) = fast.writeSnapshot(rows(1500))
+    val (mW, iW) = dist.writeSnapshot(rows(1500))
+    assert(mF === mW, "both assignment paths must cut identically")
+    assert(iF.map(i => (i.rangeId, i.minKey, i.maxKey, i.count)) ===
+      iW.map(i => (i.rangeId, i.minKey, i.maxKey, i.count)))
+  }
+
   test("commitChanges rewrites only touched ranges and reuses the rest") {
     import spark.implicits._
     val dir = tmpDir("reuse")
