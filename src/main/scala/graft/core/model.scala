@@ -103,6 +103,18 @@ object Model {
       creationDate: Long,
       defaultBranchId: String)
 
+  /** T4: async import run status (`pkg/graveler/graveler.go` ImportStatus +
+    * `pkg/catalog/import.go:25-140`). `error == Some("Canceled")` marks a
+    * canceled run, matching the reference's ImportCanceled sentinel. */
+  case class ImportStatus(
+      id: String,
+      completed: Boolean,
+      progress: Long,
+      metaRangeId: Option[String],
+      commitId: Option[String],
+      error: Option[String],
+      updatedAt: Long)
+
   case class RangeInfo(
       rangeId: String,
       minKey: String,

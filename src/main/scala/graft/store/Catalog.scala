@@ -1,0 +1,93 @@
+package graft.store
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.core.Model.RepoInfo
+
+/**
+ * Repository catalog: the multi-repo layer above the engine (SURVEY.md
+ * §2.11; reference `pkg/graveler/graveler.go:404-468`
+ * CreateRepository/GetRepository/ListRepositories/DeleteRepository +
+ * `pkg/catalog/catalog.go` repository surface).
+ *
+ * Each repository maps an id to a storage namespace (a directory holding
+ * that repo's ranges/manifests/refs/staging) and a default branch. The
+ * control table is a tiny swap-file under the catalog root — the same
+ * single-writer discipline as [[RefStore]]. Engines are cached per repo id.
+ */
+class Catalog(val spark: SparkSession, val rootDir: String,
+    raggedness: Long = 50000L) {
+
+  private def dir: Path = Paths.get(rootDir)
+  private def reposFile = dir.resolve("repositories.tsv")
+  Files.createDirectories(dir)
+
+  private val engines = scala.collection.concurrent.TrieMap[String, Engine]()
+
+  private def readKv(): Map[String, String] =
+    if (!Files.exists(reposFile)) Map.empty
+    else scala.jdk.CollectionConverters.ListHasAsScala(Files.readAllLines(reposFile))
+      .asScala.filter(_.nonEmpty).map { l =>
+        val i = l.indexOf('\t'); l.take(i) -> l.drop(i + 1)
+      }.toMap
+
+  private def writeKv(m: Map[String, String]): Unit = {
+    val tmp = reposFile.resolveSibling(reposFile.getFileName.toString + ".tmp")
+    Files.write(tmp, m.toSeq.sorted.map { case (k, v) => s"$k\t$v" }
+      .mkString("\n").getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, reposFile, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private def dec(id: String, v: String): RepoInfo = {
+    val f = v.split('|').padTo(3, "")
+    RepoInfo(id, f(0), f(2).toLong, f(1))
+  }
+
+  /** Create a repository: namespace defaults to `<root>/<id>`; the engine
+    * is initialized with an initial commit on the default branch
+    * (`graveler.go:404-420`). Namespaces must not collide. */
+  def createRepository(id: String, namespace: String = "",
+      defaultBranch: String = "main",
+      initial: Option[DataFrame] = None): RepoInfo = this.synchronized {
+    require(id.matches("[a-z0-9][a-z0-9-]*"), s"invalid repository id: $id")
+    val repos = readKv()
+    require(!repos.contains(id), s"repository $id already exists")
+    val ns = if (namespace.nonEmpty) namespace else s"$rootDir/$id"
+    require(!repos.values.map(_.split('|')(0)).toSet.contains(ns),
+      s"namespace $ns already in use")
+    val now = System.currentTimeMillis() / 1000
+    val eng = new Engine(spark, ns, raggedness)
+    eng.init(defaultBranch, initial)
+    engines(id) = eng
+    writeKv(repos + (id -> s"$ns|$defaultBranch|$now"))
+    RepoInfo(id, ns, now, defaultBranch)
+  }
+
+  def getRepository(id: String): RepoInfo =
+    readKv().get(id).map(dec(id, _)).getOrElse(sys.error(s"no repository $id"))
+
+  def listRepositories(): Seq[RepoInfo] =
+    readKv().toSeq.sortBy(_._1).map { case (id, v) => dec(id, v) }
+
+  /** The engine for a repository (cached). */
+  def repo(id: String): Engine = {
+    val info = getRepository(id)
+    engines.getOrElseUpdate(id, new Engine(spark, info.storageNamespace, raggedness))
+  }
+
+  /** Delete a repository record; `wipe` also removes the namespace data
+    * (the reference deletes async via the repo-state machinery —
+    * `graveler.go:439-468`). */
+  def deleteRepository(id: String, wipe: Boolean = false): Unit = this.synchronized {
+    val info = getRepository(id)
+    writeKv(readKv() - id)
+    engines.remove(id)
+    if (wipe) {
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(info.storageNamespace), spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(info.storageNamespace), true)
+    }
+  }
+}

@@ -368,6 +368,73 @@ class Engine(val spark: SparkSession, val repoDir: String,
     c
   }
 
+  // --- T4: import progress/cancel (pkg/catalog/import.go:25-140) ----------
+
+  private val importThreads = scala.collection.concurrent.TrieMap[String, Thread]()
+
+  /**
+   * Start an asynchronous import (T4): [[importUnder]] running in its own
+   * thread under a Spark job group, with persisted [[ImportStatus]].
+   * Progress = ingested entry count (one counting job before the overlay,
+   * like the reference's per-entry Progress counter); completion records
+   * the new commit + metarange. Returns the import id immediately.
+   */
+  def importAsync(branch: String, imported: DataFrame, prefixes: Seq[String],
+      committer: String, message: String): String = {
+    val id = java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+    val now = System.currentTimeMillis() / 1000
+    refs.setImportStatus(ImportStatus(id, completed = false, 0, None, None, None, now))
+    val t = new Thread(() => {
+      val group = s"graft-import-$id"
+      spark.sparkContext.setJobGroup(group, s"import $id into $branch",
+        interruptOnCancel = true)
+      try {
+        val n = imported.count()
+        // a cancel can land between Spark jobs (nothing to interrupt) -
+        // honor the stamped sentinel at each checkpoint
+        if (refs.getImportStatus(id).exists(_.error.isDefined))
+          throw new InterruptedException("import canceled")
+        refs.setImportStatus(ImportStatus(id, completed = false, n, None, None, None,
+          System.currentTimeMillis() / 1000))
+        val c = importUnder(branch, imported, prefixes, committer, message)
+        refs.setImportStatus(ImportStatus(id, completed = true, n,
+          Some(c.metaRangeId), Some(c.commitId), None, System.currentTimeMillis() / 1000))
+      } catch {
+        case e: Throwable =>
+          // a cancel already stamped the Canceled sentinel - keep it
+          refs.getImportStatus(id).filter(_.error.isEmpty).foreach { prev =>
+            refs.setImportStatus(prev.copy(
+              error = Some(Option(e.getMessage).getOrElse(e.getClass.getName)),
+              updatedAt = System.currentTimeMillis() / 1000))
+          }
+      } finally spark.sparkContext.clearJobGroup()
+    }, s"graft-import-$id")
+    importThreads(id) = t
+    t.start()
+    id
+  }
+
+  def importStatus(id: String): ImportStatus =
+    refs.getImportStatus(id).getOrElse(sys.error(s"no import $id"))
+
+  /** Cancel a running import: stamps the reference's `Canceled` sentinel and
+    * interrupts the run's Spark job group (`ImportCanceled`,
+    * `pkg/catalog/import.go:18`). */
+  def cancelImport(id: String): Unit = {
+    val cur = importStatus(id)
+    if (!cur.completed) {
+      refs.setImportStatus(cur.copy(error = Some("Canceled"),
+        updatedAt = System.currentTimeMillis() / 1000))
+      spark.sparkContext.cancelJobGroup(s"graft-import-$id")
+    }
+  }
+
+  /** Block until the import thread exits; returns the final status. */
+  def awaitImport(id: String, timeoutMs: Long = 120000): ImportStatus = {
+    importThreads.get(id).foreach(_.join(timeoutMs))
+    importStatus(id)
+  }
+
   /** J11 single-key form: see [[logWithPaths]]. */
   def logWithPath(ref: String, key: String): Seq[CommitInfo] =
     logWithPaths(ref, Seq(key))

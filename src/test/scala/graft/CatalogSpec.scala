@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.store.{Catalog, Engine}
+
+/** Repository catalog (multi-repo) + T4 async import progress/cancel. */
+class CatalogSpec extends SparkSpec {
+
+  private def rows(n: Int, salt: String = "") = {
+    import spark.implicits._
+    (1 to n).map(i => (f"k$i%04d", s"v$i$salt")).toDF("key", "identity")
+  }
+
+  test("catalog: create/get/list/delete with isolated namespaces") {
+    val root = tmpDir("catalog")
+    val cat = new Catalog(spark, root, raggedness = 100)
+    val r1 = cat.createRepository("alpha", initial = Some(rows(20, "a")))
+    val r2 = cat.createRepository("beta", defaultBranch = "trunk",
+      initial = Some(rows(10, "b")))
+    assert(r1.storageNamespace === s"$root/alpha")
+    assert(r2.defaultBranchId === "trunk")
+    assert(cat.listRepositories().map(_.repositoryId) === Seq("alpha", "beta"))
+
+    // repos are isolated: commits in one never appear in the other
+    cat.repo("alpha").set("main", "k0001", "EDITED")
+    cat.repo("alpha").commit("main", "t", "alpha edit")
+    assert(cat.repo("alpha").log("main").size === 2)
+    assert(cat.repo("beta").log("trunk").size === 1)
+    val beta = cat.repo("beta").list("trunk").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(beta("k0001") === "v1b")
+
+    // duplicate ids and colliding namespaces rejected
+    intercept[IllegalArgumentException] { cat.createRepository("alpha") }
+    intercept[IllegalArgumentException] {
+      cat.createRepository("gamma", namespace = s"$root/alpha")
+    }
+    intercept[IllegalArgumentException] { cat.createRepository("Bad_Id") }
+
+    // a fresh catalog instance sees the persisted table
+    val cat2 = new Catalog(spark, root, raggedness = 100)
+    assert(cat2.listRepositories().size === 2)
+    assert(cat2.repo("alpha").list("main").count() === 20)
+
+    cat.deleteRepository("beta", wipe = true)
+    assert(cat.listRepositories().map(_.repositoryId) === Seq("alpha"))
+    intercept[RuntimeException] { cat.getRepository("beta") }
+  }
+
+  test("T4 import completes asynchronously with progress and commit") {
+    import spark.implicits._
+    val eng = new Engine(spark, tmpDir("impok"), raggedness = 100)
+    eng.init("main", Some(rows(50)))
+    val imported = (1 to 30).map(i => (f"imp/k$i%04d", s"i$i")).toDF("key", "identity")
+    val id = eng.importAsync("main", imported, Seq("imp/"), "t", "bulk import")
+    val st = eng.awaitImport(id)
+    assert(st.completed && st.error.isEmpty)
+    assert(st.progress === 30)
+    assert(st.commitId.isDefined)
+    assert(eng.resolveCommit("main").commitId === st.commitId.get)
+    assert(eng.list("main", prefix = "imp/").count() === 30)
+  }
+
+  test("T4 cancel stamps Canceled and leaves the branch unmoved") {
+    import spark.implicits._
+    val eng = new Engine(spark, tmpDir("impcancel"), raggedness = 100)
+    val c1 = eng.init("main", Some(rows(10)))
+    // a deliberately slow source: per-row sleep via a test-only UDF
+    val slow = org.apache.spark.sql.functions.udf((s: String) => { Thread.sleep(50); s })
+    val imported = (1 to 2000).map(i => (f"imp/k$i%05d", s"i$i")).toDF("key", "identity")
+      .withColumn("key", slow(col("key"))).repartition(2)
+    val id = eng.importAsync("main", imported, Seq("imp/"), "t", "slow import")
+    Thread.sleep(500) // let the counting job start
+    eng.cancelImport(id)
+    val st = eng.awaitImport(id, timeoutMs = 60000)
+    assert(!st.completed)
+    assert(st.error === Some("Canceled"))
+    assert(eng.resolveCommit("main").commitId === c1.commitId)
+    // canceling a finished import is a no-op
+    val id2 = eng.importAsync("main", rows(5, "x").withColumn("key",
+      concat(lit("imp/"), col("key"))), Seq("imp/"), "t", "ok")
+    val done = eng.awaitImport(id2)
+    eng.cancelImport(id2)
+    assert(eng.importStatus(id2).completed && eng.importStatus(id2).error.isEmpty)
+  }
+}
