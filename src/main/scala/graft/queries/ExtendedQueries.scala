@@ -133,8 +133,10 @@ object ExtendedQueries {
                sha256(text) AS checksum,
                ('0x' || substr(sha256(text),1,4))::BIGINT % 1920 + 1 AS width,
                ('0x' || substr(sha256(text),5,4))::BIGINT % 1080 + 1 AS height,
-               array_to_string(list_transform(generate_series(1, greatest(least(8, length(text)), 1)),
-                 i -> ascii(substr(text, CAST(i AS INT), 1))), ',') AS features
+               -- coalesce: for NULL text Spark's null-skipping concat_ws
+               -- yields '' while generate_series(1, NULL) would yield NULL
+               coalesce(array_to_string(list_transform(generate_series(1, greatest(least(8, length(text)), 1)),
+                 i -> ascii(substr(text, CAST(i AS INT), 1))), ','), '') AS features
         FROM documents ORDER BY media_id""")),
 
     // Multimodal aggregation: per-type feature stats.

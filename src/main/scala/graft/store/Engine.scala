@@ -84,13 +84,19 @@ class Engine(val spark: SparkSession, val repoDir: String,
 
   // --- staging (T1/T2: epoch-tagged changes log) --------------------------
 
-  /** Current staging epoch of a branch (epochs < current are sealed). */
+  /** Current staging epoch of a branch (epochs < current are sealed).
+    * Counts epochs still awaiting async deletion too — a reset+restage must
+    * never reuse a number a queued cleanup could still delete. */
   private def currentEpoch(branch: String): Long = {
-    if (!exists(stagingRoot(branch))) 1L
-    else fs.listStatus(new org.apache.hadoop.fs.Path(stagingRoot(branch)))
-      .map(_.getPath.getName).filter(_.startsWith("epoch="))
-      .map(_.substring("epoch=".length).toLong)
-      .foldLeft(0L)(math.max) + 1L
+    val onDisk =
+      if (!exists(stagingRoot(branch))) Seq.empty[Long]
+      else fs.listStatus(new org.apache.hadoop.fs.Path(stagingRoot(branch)))
+        .map(_.getPath.getName).filter(_.startsWith("epoch="))
+        .map(_.substring("epoch=".length).toLong).toSeq
+    val prefix = stagingRoot(branch) + "/epoch="
+    val pending = scala.jdk.CollectionConverters.SetHasAsScala(pendingDrop).asScala
+      .filter(_.startsWith(prefix)).map(_.substring(prefix.length).toLong)
+    (onDisk ++ pending).foldLeft(0L)(math.max) + 1L
   }
 
   /** Stage writes/deletes: rows (key, identity-or-null, payload...).
@@ -122,13 +128,48 @@ class Engine(val spark: SparkSession, val repoDir: String,
     stage(branch, keys.map(k => (k, null.asInstanceOf[String])).toDF("key", "identity"))
   }
 
-  /** All staged rows of a branch resolved latest-epoch-wins (W1/W2). */
+  // T3: sealed epochs committed are dropped ASYNCHRONOUSLY (the reference's
+  // async staging-token cleanup, `graveler.go:2289-2305`). Dirs awaiting
+  // deletion are masked from reads so a commit is visible immediately while
+  // the file removal happens off the serving path.
+  private val pendingDrop = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private lazy val cleanupExec = java.util.concurrent.Executors.newSingleThreadExecutor(
+    (r: Runnable) => { val t = new Thread(r, "graft-staging-cleanup"); t.setDaemon(true); t })
+
+  /** Epoch dirs currently readable (on disk and not sealed-and-dropped). */
+  private def liveEpochDirs(branch: String): Seq[String] =
+    if (!exists(stagingRoot(branch))) Seq.empty
+    else fs.listStatus(new org.apache.hadoop.fs.Path(stagingRoot(branch)))
+      .map(_.getPath.toString)
+      .filter(p => p.substring(p.lastIndexOf('/') + 1).startsWith("epoch="))
+      .filterNot(pendingDrop.contains).toSeq.sorted
+
+  /** Drop the given epoch dirs off-thread; reads mask them immediately. */
+  private def dropEpochsAsync(dirs: Seq[String]): Unit = {
+    dirs.foreach(pendingDrop.add)
+    cleanupExec.submit(new Runnable {
+      override def run(): Unit = dirs.foreach { d =>
+        try fs.delete(new org.apache.hadoop.fs.Path(d), true)
+        finally pendingDrop.remove(d)
+      }
+    })
+  }
+
+  /** Block until pending async staging deletions complete (test aid). */
+  def awaitStagingCleanup(): Unit =
+    cleanupExec.submit(new Runnable { override def run(): Unit = () }).get()
+
+  /** All staged rows of a branch resolved latest-epoch-wins (W1/W2), read
+    * from the captured epoch dirs (pending-drop epochs masked). */
   def stagedChanges(branch: String): Option[DataFrame] =
-    if (!exists(stagingRoot(branch))) None
+    stagedChangesFrom(liveEpochDirs(branch))
+
+  private def stagedChangesFrom(dirs: Seq[String]): Option[DataFrame] =
+    if (dirs.isEmpty) None
     else {
       // epochs may differ in payload columns (full rows vs narrow Set/Delete)
       val df = spark.read.option("mergeSchema", "true")
-        .parquet(stagingRoot(branch) + "/epoch=*")
+        .parquet(dirs: _*)
         .withColumn("__epoch",
           regexp_extract(input_file_name(), "epoch=(\\d+)", 1).cast("long"))
       Some(Staging.latestWriteWins(df, "__epoch").drop("__epoch"))
@@ -166,7 +207,11 @@ class Engine(val spark: SparkSession, val repoDir: String,
     val headId = refs.getBranch(branch).getOrElse(sys.error(s"no branch $branch"))
     val head = refs.getCommit(headId).get
     val base = effectiveBase(branch, head)
-    val meta = stagedChanges(branch) match {
+    // capture the epoch set NOW: exactly these dirs feed the commit and
+    // exactly these are dropped after - a writer staging a new epoch
+    // mid-commit loses nothing (the seal-and-swap contract)
+    val sealedEpochs = liveEpochDirs(branch)
+    val meta = stagedChangesFrom(sealedEpochs) match {
       case Some(c) => snapshots.commitChanges(base, c)._1
       case None if base != head.metaRangeId =>
         base // everything staged was already compacted: commit its metarange
@@ -175,8 +220,7 @@ class Engine(val spark: SparkSession, val repoDir: String,
     val c = refs.addCommit(committer, message, meta, Seq(headId))
     if (!refs.casBranch(branch, Some(headId), c.commitId))
       sys.error(s"branch $branch moved concurrently")
-    // sealed epochs served their purpose (T3 async drop — here immediate)
-    fs.delete(new org.apache.hadoop.fs.Path(stagingRoot(branch)), true)
+    dropEpochsAsync(sealedEpochs) // T3: sealed epochs dropped off the serving path
     hooks.fire(Hooks.HookEvent(Hooks.PostCommit, repoDir, branch, None, committer, message))
     c
   }
@@ -317,7 +361,7 @@ class Engine(val spark: SparkSession, val repoDir: String,
     // dirty-dest guard (:3149-3155): staged epochs AND an uncommitted
     // compacted base both count as dirty — merging over either would
     // silently drop the uncommitted changes.
-    require(!exists(stagingRoot(destBranch)),
+    require(liveEpochDirs(destBranch).isEmpty,
       s"$destBranch has uncommitted changes")
     require(refs.getBranchRecord(destBranch).forall(_.compactedBase.isEmpty),
       s"$destBranch has uncommitted compacted changes")
@@ -345,7 +389,7 @@ class Engine(val spark: SparkSession, val repoDir: String,
   /** Fails when the branch holds uncommitted state (staged epochs or a
     * compacted base) that the operation would silently lose. */
   private def requireClean(branch: String, op: String): Unit = {
-    require(!exists(stagingRoot(branch)),
+    require(liveEpochDirs(branch).isEmpty,
       s"$branch has uncommitted changes; commit or reset before $op")
     require(refs.getBranchRecord(branch).forall(_.compactedBase.isEmpty),
       s"$branch has uncommitted compacted changes; commit or reset before $op")

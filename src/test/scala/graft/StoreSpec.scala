@@ -250,6 +250,28 @@ class StoreSpec extends SparkSpec {
     assert(eng.get("main", "nope") === None)
   }
 
+  test("T3 sealed epochs drop asynchronously; later stages survive cleanup") {
+    import spark.implicits._
+    val dir = tmpDir("t3async")
+    val eng = new Engine(spark, dir, raggedness = 100)
+    eng.init("main", Some(rows(20)))
+    eng.stage("main", Seq(("k000001", "A")).toDF("key", "identity")) // epoch 1
+    eng.commit("main", "t", "commit A") // seals epoch 1, drops async
+    // committed view immediately clean, whatever the filesystem still holds
+    assert(eng.stagedChanges("main").isEmpty)
+    // a new stage gets a FRESH epoch (never one a queued cleanup may delete)
+    eng.stage("main", Seq(("k000002", "B")).toDF("key", "identity"))
+    val staged = eng.stagedChanges("main").get.collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(staged === Map("k000002" -> "B"))
+    eng.awaitStagingCleanup()
+    // after the async drop the new epoch is intact and commits correctly
+    assert(eng.stagedChanges("main").get.count() === 1)
+    eng.commit("main", "t", "commit B")
+    val listed = eng.list("main").collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(listed("k000001") === "A" && listed("k000002") === "B")
+  }
+
   test("@/$ ref grammar and staged-overlay diff across refs") {
     import spark.implicits._
     val dir = tmpDir("refgram")
