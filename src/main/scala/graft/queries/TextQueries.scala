@@ -343,6 +343,43 @@ object TextQueries {
               bit_count(xor(a2,b2)) + bit_count(xor(a3,b3)) <= 3
         ORDER BY doc_a, doc_b""")),
 
+    // End-to-end curation pipeline (the training-data story in one plan):
+    // exact-dedup by normalized fingerprint (min doc_id kept), quality
+    // filter (>=10 tokens), then per-language corpus stats. Scan ->
+    // window-dedup -> filter -> partial-agg groupBy: every stage shuffles
+    // on content keys and map-side combines at 100 TB.
+    "td_curation" -> (((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val fp = sha2(regexp_replace(lower(col("text")), "\\s+", " "), 256)
+      val docs = Fixtures.documents(s, d).select(
+        col("doc_id"), col("text"), fp.as("fp"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"),
+        length(col("text")).cast("long").as("n_chars"))
+        .selectExpr("*", s"${langIdExpr("text", "spark")} AS lang")
+      val w = Window.partitionBy("fp").orderBy("doc_id")
+      docs.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+        .where(col("n_tokens") >= 10)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("sum_tokens"),
+          sum("n_chars").as("sum_chars"))
+        .orderBy("lang")
+    }),
+      Some(s"""$docsSql
+        , f AS (
+          SELECT doc_id, len(toks) AS n_tokens, length(text) AS n_chars,
+                 sha256(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp,
+                 ${langIdExpr("text", "duckdb")} AS lang
+          FROM docs
+        ),
+        dedup AS (
+          SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM f
+          ) WHERE rn = 1
+        )
+        SELECT lang, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+               CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        FROM dedup WHERE n_tokens >= 10 GROUP BY lang ORDER BY lang""")),
+
     // SimHash (64-bit as four 16-bit chunks, over distinct tokens).
     "td_simhash" -> (((s: SparkSession, d: String) =>
       simhashDf(Fixtures.documents(s, d)).orderBy("doc_id")),

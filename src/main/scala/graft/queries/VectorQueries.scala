@@ -218,6 +218,62 @@ object VectorQueries {
           FROM cands JOIN qp x ON x.vec_id = id_a JOIN qp y ON y.vec_id = id_b
         ) WHERE sim >= 0.9 ORDER BY id_a, id_b""")),
 
+    // IVF-bucketed ANN (the other classic scale path besides LSH): vectors
+    // are assigned to their nearest of 4 fixed centroids (deterministic
+    // integer L2 on quantized components; centroid = the vec_id%125==0
+    // vectors), probes search ONLY their own cell — candidate generation is
+    // an equi-join on the centroid id. At 100 TB: k centroids ~ sqrt(N),
+    // cells shuffle-partition by centroid id, multiprobe = join on the p
+    // nearest cells instead of 1.
+    "emb_ivf_ann" -> (((s: SparkSession, d: String) => {
+      val emb = Fixtures.embeddings(s, d)
+        .select(col("vec_id"), quantize(col("embedding")).as("q"))
+      val cent = emb.where(col("vec_id") % 125 === 0)
+        .select(col("vec_id").as("cid"), col("q").as("cq"))
+      val dist = emb.crossJoin(broadcast(cent))
+        .withColumn("dist",
+          aggregate(zip_with(col("q"), col("cq"), (x, y) => (x - y) * (x - y)),
+            lit(0L), (acc, v) => acc + v))
+      val w = Window.partitionBy("vec_id").orderBy(col("dist").asc, col("cid").asc)
+      val assigned = dist.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+        .select(col("vec_id"), col("cid"), col("q"))
+      val probes = assigned.where(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("probe_id"), col("cid"), col("q").as("pq"))
+      val sims = assigned.join(broadcast(probes), Seq("cid"))
+        .where(col("vec_id") =!= col("probe_id"))
+        .withColumn("sim", cosine(col("pq"), col("q")))
+      val wr = Window.partitionBy("probe_id").orderBy(col("sim").desc, col("vec_id").asc)
+      sims.withColumn("rank", row_number().over(wr).cast("long"))
+        .where(col("rank") <= 3)
+        .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("rank"), col("sim"))
+        .orderBy("probe_id", "rank")
+    }),
+      Some(s"""
+        WITH q AS (SELECT vec_id, $qvecSql AS qv FROM embeddings),
+        cent AS (SELECT vec_id AS cid, qv AS cq FROM q WHERE vec_id % 125 = 0),
+        d AS (
+          SELECT q.vec_id, cid,
+                 CAST(list_sum(list_transform(generate_series(1, len(qv)),
+                   i -> (qv[i]-cq[i])*(qv[i]-cq[i]))) AS BIGINT) AS dist
+          FROM q CROSS JOIN cent
+        ),
+        assign AS (
+          SELECT vec_id, cid FROM (
+            SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+            FROM d
+          ) WHERE rn = 1
+        ),
+        m AS (SELECT a.vec_id, a.cid, q.qv FROM assign a JOIN q USING (vec_id)),
+        probes AS (SELECT vec_id AS probe_id, cid, qv AS pq FROM m WHERE vec_id % 100 = 0),
+        sims AS (
+          SELECT probe_id, m.vec_id, ${cosSql("pq", "m.qv")} AS sim
+          FROM probes JOIN m ON m.cid = probes.cid AND m.vec_id <> probe_id
+        )
+        SELECT probe_id, vec_id AS neighbor_id, rank, sim FROM (
+          SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, vec_id ASC) AS rank
+          FROM sims
+        ) WHERE rank <= 3 ORDER BY probe_id, rank""")),
+
     // LSH table/band occupancy report over the raw table (bucket stats for
     // tuning tables x bits; same signature definition as emb_lsh_ann).
     "emb_lsh_buckets" -> (((s: SparkSession, d: String) => {

@@ -14,7 +14,7 @@ class PlanShapeSpec extends SparkSpec {
   private val sfDir = "/root/testdata/sf0.001"
 
   private val scalePaths = Seq(
-    "td_minhash_lsh", "td_simhash_pairs", "td_simhash",
+    "td_minhash_lsh", "td_simhash_pairs", "td_simhash", "td_curation",
     "emb_lsh_ann", "emb_lsh_buckets", "td_fingerprint", "td_dedup_prefix")
 
   test("LSH scale paths contain no all-pairs join") {
