@@ -88,4 +88,37 @@ object StagingStream {
       .withWatermark(tsCol, "1 day")
       .groupBy(window(col(tsCol), "1 day").as("day"), col("event_type"))
       .agg(count(lit(1)).as("n"))
+
+  /**
+   * W2 as a CUSTOM-STATE stream: per-key latest-write-wins live view via
+   * `flatMapGroupsWithState`. State = highest sequence applied per key;
+   * out-of-order or duplicate updates (seq ≤ state) are suppressed, in-batch
+   * ties resolve to the max seq, and a tombstone (null identity) flows
+   * through so sinks can delete — the KV-stream shape of the staging LWW
+   * resolution (`graveler.go:1866-2070` under continuous writes).
+   *
+   * Input columns: (key string, identity string-or-null, seq long).
+   * Run with `outputMode("update")`.
+   */
+  def lwwLiveView(updates: DataFrame): DataFrame = {
+    val s = updates.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    updates.select(col("key"), col("identity"), col("seq").cast("long"))
+      .as[(String, String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Long, (String, String, Long)](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (_: String, rows: Iterator[(String, String, Long)], state: GroupState[Long]) =>
+          val last = if (state.exists) state.get else Long.MinValue
+          val fresh = rows.filter(_._3 > last)
+          if (fresh.isEmpty) Iterator.empty
+          else {
+            val win = fresh.maxBy(_._3)
+            state.update(win._3)
+            Iterator.single(win)
+          }
+      }
+      .toDF("key", "identity", "seq")
+  }
 }

@@ -184,6 +184,34 @@ class ExtendedSpec extends SparkSpec {
     q.stop()
   }
 
+  test("W2 stateful LWW live view via flatMapGroupsWithState") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, String, Long)]
+    val live = StagingStream.lwwLiveView(mem.toDF().toDF("key", "identity", "seq"))
+    val q = live.writeStream.outputMode("update")
+      .format("memory").queryName("lww_view")
+      .option("checkpointLocation", tmpDir("lwwckpt"))
+      .start()
+    try {
+      mem.addData(("k1", "a", 2L), ("k2", "b", 1L), ("k2", "b0", 0L))
+      q.processAllAvailable()
+      // in-batch tie resolution: k2 emitted once at its max seq
+      val r1 = spark.table("lww_view").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      assert(r1 === Set(("k1", "a", 2L), ("k2", "b", 1L)))
+
+      // stale cross-batch update suppressed; fresh ones emitted; tombstone flows
+      mem.addData(("k1", "STALE", 1L), ("k2", "c", 5L), ("k3", null, 3L))
+      q.processAllAvailable()
+      val r2 = spark.table("lww_view").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      assert(!r2.exists(_._2 == "STALE"), "stale seq must be suppressed")
+      assert(r2.count(_._1 == "k2") === 2 && r2.contains(("k2", "c", 5L)))
+      assert(r2.contains(("k3", null, 3L)), "tombstone emitted with null identity")
+    } finally q.stop()
+  }
+
   test("T1/T6 streaming staging ingest with delete sensor") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
