@@ -147,27 +147,31 @@ object Bench {
     // are EXCLUDED from the headline total; the engine-vs-bare ratio is
     // readable directly from the queries map.
     val bareOut = s"target/bench_bare_${java.util.UUID.randomUUID()}"
-    timed("bare_snapshot_write") {
+    val wroteBare = timed("bare_snapshot_write") {
       base.repartitionByRange(col("key")).sortWithinPartitions("key")
         .write.parquet(s"$bareOut/snap")
     }
-    val bareSnap = spark.read.parquet(s"$bareOut/snap")
-    m2.foreach { _ =>
-      timed("bare_commit") { // full rewrite: apply + re-sort + rewrite all
-        Merge.applyChanges(bareSnap, changes)
-          .repartitionByRange(col("key")).sortWithinPartitions("key")
-          .write.parquet(s"$bareOut/snap2")
+    // guard the dependent twins: a failed bare write must not abort the run
+    // before emit() (the engine metrics are already recorded)
+    wroteBare.foreach { _ =>
+      val bareSnap = spark.read.parquet(s"$bareOut/snap")
+      m2.foreach { _ =>
+        timed("bare_commit") { // full rewrite: apply + re-sort + rewrite all
+          Merge.applyChanges(bareSnap, changes)
+            .repartitionByRange(col("key")).sortWithinPartitions("key")
+            .write.parquet(s"$bareOut/snap2")
+        }
+        timed("bare_diff") { // full-outer over complete snapshots, no pruning
+          Diff.twoWay(bareSnap, spark.read.parquet(s"$bareOut/snap2")).count()
+        }
       }
-      timed("bare_diff") { // full-outer over complete snapshots, no pruning
-        Diff.twoWay(bareSnap, spark.read.parquet(s"$bareOut/snap2")).count()
+      timed("bare_merge3") { // both deltas + resolve + apply, all unpruned
+        val (m, _) = Merge.threeWay(
+          bareSnap,
+          Merge.applyChanges(bareSnap, srcChanges),
+          Merge.applyChanges(bareSnap, dstChanges), StrategySourceWins)
+        m.count()
       }
-    }
-    timed("bare_merge3") { // both deltas + resolve + apply, all unpruned
-      val (m, _) = Merge.threeWay(
-        bareSnap,
-        Merge.applyChanges(bareSnap, srcChanges),
-        Merge.applyChanges(bareSnap, dstChanges), StrategySourceWins)
-      m.count()
     }
 
     emit(results, sfDir)

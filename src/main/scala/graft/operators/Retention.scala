@@ -38,19 +38,31 @@ object Retention {
         (id, (r.getSeq[Any](1).map(_.toString), r.getLong(2)))
       }.toMap
 
-    // commit -> expired? A commit is expired only if EVERY branch expires it.
+    // commit -> expired? A commit is expired only if NO walk retains it.
+    // Walks start from each branch head AND
+    // from every non-first parent encountered (the reference's "dangling
+    // starting points", `starting_point_iterator.go:1-78`) — otherwise
+    // merged-in lineages would never be visited and their data would sweep
+    // immediately regardless of the cutoff.
     val expired = mutable.Map[String, Boolean]()
     branches.foreach { case (head, cutoff) =>
-      var cur: Option[String] = Some(head)
-      var sawBeyond = false
-      while (cur.isDefined && byId.contains(cur.get)) {
-        val id = cur.get
-        val (parents, created) = byId(id)
-        val retained = created >= cutoff || !sawBeyond
-        if (created < cutoff) sawBeyond = true
-        val thisExpired = !retained
-        expired(id) = expired.getOrElse(id, true) && thisExpired
-        cur = parents.headOption
+      val startsSeen = mutable.Set[String](head)
+      val queue = mutable.Queue[String](head)
+      while (queue.nonEmpty) {
+        var cur: Option[String] = Some(queue.dequeue())
+        var sawBeyond = false
+        while (cur.isDefined && byId.contains(cur.get)) {
+          val id = cur.get
+          val (parents, created) = byId(id)
+          parents.drop(1).foreach { p =>
+            if (startsSeen.add(p)) queue.enqueue(p)
+          }
+          val retained = created >= cutoff || !sawBeyond
+          if (created < cutoff) sawBeyond = true
+          val thisExpired = !retained
+          expired(id) = expired.getOrElse(id, true) && thisExpired
+          cur = parents.headOption
+        }
       }
     }
     val schema = StructType(Seq(

@@ -54,8 +54,10 @@ object ExtendedQueries {
         ORDER BY key""")),
 
     // G3: active/expired commit set over the synthetic DAG, two branches
-    // with different retention cutoffs; expired only if expired on ALL
-    // branches that reach it (first-parent chains).
+    // with different retention cutoffs. Walks follow first-parent chains
+    // from each branch head AND from every merge's second parent (dangling
+    // starting points, each with its own first-beyond-cutoff retention);
+    // a commit is expired only if EVERY walk that reaches it expires it.
     "vc_gc_active_commits" -> (((s: SparkSession, d: String) => {
       val commits = GraphQueries.commitsDf(s)
       Retention.activeCommits(s, commits,
@@ -64,20 +66,30 @@ object ExtendedQueries {
         .orderBy("commit_id")
     }),
       Some("""
-        WITH RECURSIVE chain AS (
-          SELECT branch, head AS i, cutoff FROM (VALUES
+        WITH RECURSIVE walk AS (
+          SELECT branch, head AS start, head AS i, cutoff FROM (VALUES
             ('a', 200, 1700000000 + 150*60),
             ('b', 195, 1700000000 + 120*60)) t(branch, head, cutoff)
           UNION ALL
-          SELECT branch, CASE WHEN i%3=0 THEN i-2 ELSE i-1 END, cutoff
-          FROM chain WHERE i > 1
+          -- kind 1 = continue the first-parent chain; kind 2 = spawn a new
+          -- walk at a merge's second parent (i%25=0 -> i-13)
+          SELECT branch,
+                 CASE WHEN kind = 2 THEN i-13 ELSE start END AS start,
+                 CASE WHEN kind = 2 THEN i-13
+                      WHEN i%3=0 THEN i-2 ELSE i-1 END AS i,
+                 cutoff
+          FROM walk, unnest(
+            CASE WHEN i%25=0 AND i-13 >= 1 THEN [1, 2]
+                 WHEN i > 1 THEN [1]
+                 ELSE CAST([] AS INT[]) END) AS t(kind)
         ),
-        c AS (SELECT branch, i, 1700000000 + i*60 AS created, cutoff FROM chain),
+        c AS (SELECT DISTINCT branch, start, i, 1700000000 + i*60 AS created, cutoff FROM walk),
         flags AS (
-          SELECT branch, i,
+          SELECT branch, start, i,
                  created < cutoff AND created <> (
                    SELECT max(created) FROM c c2
-                   WHERE c2.branch = c.branch AND c2.created < c2.cutoff) AS exp
+                   WHERE c2.branch = c.branch AND c2.start = c.start
+                     AND c2.created < c2.cutoff) AS exp
           FROM c
         )
         SELECT lpad(CAST(i AS VARCHAR),4,'0') AS commit_id, bool_and(exp) AS expired

@@ -313,13 +313,13 @@ object VersionControlQueries {
           FROM staging s LEFT JOIN base b ON s.key = b.key
           WHERE diff_type IS NOT NULL
         )
-        SELECT key, diff_type, left_identity, identity FROM (
-          SELECT *, row_number() OVER (PARTITION BY key ORDER BY pri) AS rn FROM (
-            SELECT key, diff_type, left_identity, identity, 0 AS pri FROM ud
-            UNION ALL
-            SELECT key, diff_type, left_identity, identity, 1 AS pri FROM cd
-          )
-        ) WHERE rn = 1 ORDER BY key""")),
+        -- CombinedDiffIterator semantics: ANY staged key (including no-ops
+        -- and dangling tombstones) masks the committed-diff row
+        SELECT key, diff_type, left_identity, identity FROM ud
+        UNION ALL
+        SELECT key, diff_type, left_identity, identity FROM cd
+        WHERE key NOT IN (SELECT key FROM staging)
+        ORDER BY key""")),
 
     // P3/U1: workspace listing = staging over base, tombstones dropped.
     "vc_workspace_list" -> (((s: SparkSession, d: String) => {

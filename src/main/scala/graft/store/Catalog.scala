@@ -1,7 +1,6 @@
 package graft.store
 
-import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.nio.file.{Files, Path, Paths}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.core.Model.RepoInfo
 
@@ -25,20 +24,8 @@ class Catalog(val spark: SparkSession, val rootDir: String,
 
   private val engines = scala.collection.concurrent.TrieMap[String, Engine]()
 
-  private def readKv(): Map[String, String] =
-    if (!Files.exists(reposFile)) Map.empty
-    else scala.jdk.CollectionConverters.ListHasAsScala(Files.readAllLines(reposFile))
-      .asScala.filter(_.nonEmpty).map { l =>
-        val i = l.indexOf('\t'); l.take(i) -> l.drop(i + 1)
-      }.toMap
-
-  private def writeKv(m: Map[String, String]): Unit = {
-    val tmp = reposFile.resolveSibling(reposFile.getFileName.toString + ".tmp")
-    Files.write(tmp, m.toSeq.sorted.map { case (k, v) => s"$k\t$v" }
-      .mkString("\n").getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, reposFile, StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
-  }
+  private def readKv(): Map[String, String] = KvFile.read(reposFile)
+  private def writeKv(m: Map[String, String]): Unit = KvFile.write(reposFile, m)
 
   private def dec(id: String, v: String): RepoInfo = {
     val f = v.split('|').padTo(3, "")
@@ -55,6 +42,8 @@ class Catalog(val spark: SparkSession, val rootDir: String,
     val repos = readKv()
     require(!repos.contains(id), s"repository $id already exists")
     val ns = if (namespace.nonEmpty) namespace else s"$rootDir/$id"
+    require(!ns.exists(c => c == '|' || c == '\t' || c == '\n'),
+      s"namespace must not contain '|', tab or newline: $ns")
     require(!repos.values.map(_.split('|')(0)).toSet.contains(ns),
       s"namespace $ns already in use")
     val now = System.currentTimeMillis() / 1000

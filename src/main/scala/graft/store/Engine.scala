@@ -93,7 +93,10 @@ class Engine(val spark: SparkSession, val repoDir: String,
       else fs.listStatus(new org.apache.hadoop.fs.Path(stagingRoot(branch)))
         .map(_.getPath.getName).filter(_.startsWith("epoch="))
         .map(_.substring("epoch=".length).toLong).toSeq
-    val prefix = stagingRoot(branch) + "/epoch="
+    // pendingDrop holds FS-qualified URIs (from listStatus) - qualify the
+    // prefix the same way or the guard never matches
+    val prefix = fs.makeQualified(
+      new org.apache.hadoop.fs.Path(stagingRoot(branch))).toString + "/epoch="
     val pending = scala.jdk.CollectionConverters.SetHasAsScala(pendingDrop).asScala
       .filter(_.startsWith(prefix)).map(_.substring(prefix.length).toLong)
     (onDisk ++ pending).foldLeft(0L)(math.max) + 1L
@@ -149,8 +152,10 @@ class Engine(val spark: SparkSession, val repoDir: String,
     dirs.foreach(pendingDrop.add)
     cleanupExec.submit(new Runnable {
       override def run(): Unit = dirs.foreach { d =>
-        try fs.delete(new org.apache.hadoop.fs.Path(d), true)
-        finally pendingDrop.remove(d)
+        // a failed delete stays MASKED (and keeps its epoch number reserved)
+        // - an orphaned mask is safer than resurrecting committed epochs
+        try { fs.delete(new org.apache.hadoop.fs.Path(d), true); pendingDrop.remove(d) }
+        catch { case _: Throwable => () }
       }
     })
   }
@@ -292,7 +297,15 @@ class Engine(val spark: SparkSession, val repoDir: String,
       stagedChanges(branch) match {
         case Some(st) =>
           val stagedDiff = Staging.uncommittedDiff(st, snapshots.scan(leftMeta))
-          Staging.overlayDiffs(stagedDiff, committedDiff)
+          // CombinedDiffIterator semantics (combined_diff_iterator.go:44-80):
+          // ANY staged key masks the committed row — a staged no-op or a
+          // staged tombstone of a key absent on the left emits NOTHING, it
+          // does not fall back to the committed diff. Staged keys therefore
+          // anti-join out of the committed side; stagedDiff (real staged
+          // differences vs left) unions in disjointly.
+          val unmasked = committedDiff.join(st.select("key"), Seq("key"), "left_anti")
+          stagedDiff.select("key", "diff_type", "left_identity", "identity")
+            .unionByName(unmasked.select("key", "diff_type", "left_identity", "identity"))
         case None => committedDiff
       }
     }
@@ -441,8 +454,12 @@ class Engine(val spark: SparkSession, val repoDir: String,
         refs.setImportStatus(ImportStatus(id, completed = false, n, None, None, None,
           System.currentTimeMillis() / 1000))
         val c = importUnder(branch, imported, prefixes, committer, message)
-        refs.setImportStatus(ImportStatus(id, completed = true, n,
-          Some(c.metaRangeId), Some(c.commitId), None, System.currentTimeMillis() / 1000))
+        // a cancel that landed while importUnder ran (possibly between its
+        // jobs, with nothing to interrupt) keeps the Canceled stamp - the
+        // success status must not overwrite it
+        if (!refs.getImportStatus(id).exists(_.error.isDefined))
+          refs.setImportStatus(ImportStatus(id, completed = true, n,
+            Some(c.metaRangeId), Some(c.commitId), None, System.currentTimeMillis() / 1000))
       } catch {
         case e: Throwable =>
           // a cancel already stamped the Canceled sentinel - keep it
@@ -705,11 +722,19 @@ class Engine(val spark: SparkSession, val repoDir: String,
       cutoffSecs: Option[Long] = None): (Long, String) = {
     val marked = marked0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = marked.count()
-    val rangesRoot = s"$repoDir/ranges" // local val: the closure must not capture `this`
+    val rangesRoot = s"$repoDir/ranges" // local vals: the closure must not capture `this`
+    // ship the driver's effective Hadoop conf as plain entries (Configuration
+    // itself isn't closure-serializable) - executors must see the same
+    // credentials/endpoints/fs.* settings the driver resolved
+    val confEntries: Array[(String, String)] = {
+      val it = spark.sparkContext.hadoopConfiguration.iterator()
+      val buf = scala.collection.mutable.ArrayBuffer[(String, String)]()
+      while (it.hasNext) { val e = it.next(); buf += ((e.getKey, e.getValue)) }
+      buf.toArray
+    }
     marked.select("address").foreachPartition { (rows: Iterator[Row]) =>
-      // executor-side FS from the environment's default Hadoop conf (the
-      // driver conf isn't serializable into user closures)
       val conf = new org.apache.hadoop.conf.Configuration()
+      confEntries.foreach { case (k, v) => conf.set(k, v) }
       val pfs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(rangesRoot), conf)
       rows.foreach { r =>
         pfs.delete(new org.apache.hadoop.fs.Path(s"$rangesRoot/${r.getString(0)}"), true)

@@ -1,0 +1,29 @@
+package graft.store
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, StandardCopyOption}
+
+/**
+ * Shared tab-separated swap-file persistence for tiny control tables
+ * (branches/tags/rules/repositories): write-to-temp + atomic rename — the
+ * single-writer analogue of the reference's KV `SetMsgIf` CAS
+ * (`ref/manager.go:194`). Keys must not contain tab/newline; values must
+ * not contain newline (callers escape or validate).
+ */
+object KvFile {
+
+  def read(p: Path): Map[String, String] =
+    if (!Files.exists(p)) Map.empty
+    else scala.jdk.CollectionConverters.ListHasAsScala(Files.readAllLines(p))
+      .asScala.filter(_.nonEmpty).map { l =>
+        val i = l.indexOf('\t'); l.take(i) -> l.drop(i + 1)
+      }.toMap
+
+  def write(p: Path, m: Map[String, String]): Unit = {
+    val tmp = p.resolveSibling(p.getFileName.toString + ".tmp")
+    Files.write(tmp, m.toSeq.sorted.map { case (k, v) => s"$k\t$v" }
+      .mkString("\n").getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+}

@@ -91,6 +91,33 @@ class GcSpec extends SparkSpec {
     assert(fs.exists(new org.apache.hadoop.fs.Path(s"$reportPath/summary.json")))
   }
 
+  test("gcRun retains merged-in lineages inside the cutoff (dangling starting points)") {
+    import spark.implicits._
+    val dir = tmpDir("gcdangle")
+    val eng = new Engine(spark, dir, raggedness = 50)
+    val c1 = eng.init("main", Some(rows(200)))
+    eng.createBranch("feat", c1.commitId)
+    // two feature commits: the INTERMEDIATE one holds ranges that exist
+    // nowhere else once the final state merges into main
+    eng.stage("feat", rows(200, salt = "fa"))
+    val cf1 = eng.commit("feat", "t", "feat step 1")
+    eng.stage("feat", rows(200, salt = "fb"))
+    eng.commit("feat", "t", "feat step 2")
+    eng.merge("feat", "main", "t", "merge feat", graft.core.Model.StrategySourceWins)
+    eng.deleteBranch("feat") // cf1 now reachable only via the merge's 2nd parent
+    val cf1Ranges = eng.snapshots.readManifest(cf1.metaRangeId).map(_.rangeId).toSet
+
+    // cutoff in the past: EVERYTHING is inside retention - nothing may sweep
+    eng.refs.setGcRules(0)
+    eng.gcRun("dangles", nowSecs = System.currentTimeMillis() / 1000 - 1000)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    val remaining = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/ranges"))
+      .map(_.getPath.getName).toSet
+    assert(cf1Ranges.subsetOf(remaining),
+      "within-retention second-parent lineage must survive the sweep")
+  }
+
   test("gc rules round-trip with per-branch overrides") {
     val dir = tmpDir("gcrules")
     val eng = new Engine(spark, dir, raggedness = 50)

@@ -302,6 +302,14 @@ class StoreSpec extends SparkSpec {
     assert(d2 === Set(("k000001", "changed")))
     // a staging ref cannot be the left side (dereferenceCommit semantics)
     intercept[Exception] { eng.diff("main$", "main") }
+
+    // CombinedDiffIterator masking: staging k000001 back to the LEFT's value
+    // is a staged no-op vs left — it must SUPPRESS the committed 'changed'
+    // row, not fall through to it (combined_diff_iterator.go:44-80)
+    eng.stage("main", Seq(("k000001", "id1")).toDF("key", "identity"))
+    val d3 = eng.diff(c1.commitId, "main$")
+      .select("key", "diff_type").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(d3 === Set(("k999999", "added"), ("k000003", "removed")))
   }
 
   test("gc mark finds unreferenced ranges") {
