@@ -32,6 +32,18 @@ object ExtendedQueries {
       FROM L
     )"""
 
+  /** DuckDB twin of Fixtures.keyedBase restricted to (key, rf). */
+  private val extPrelude = """
+    WITH L AS (
+      SELECT k, min(rf) AS rf
+      FROM (
+        SELECT l_orderkey*10 + l_linenumber AS k, l_returnflag AS rf
+        FROM lineitem
+      ) GROUP BY k
+    ), base AS (
+      SELECT lpad(CAST(k AS VARCHAR),12,'0') AS key, rf FROM L
+    )"""
+
   val defs: Map[String, (QueryFn, Option[String])] = Map(
 
     // J10: imported listing replaces all destination content under 'R/F/'.
@@ -125,6 +137,35 @@ object ExtendedQueries {
         .orderBy("rf")
     }),
       None),
+
+    // KMV (k-minimum-values) distinct sketch with an EXACT oracle: the
+    // estimator is approximate, but its computation — k-th smallest 60-bit
+    // key hash per group, estimate = (k-1)*2^60/h_k — is pure integer+IEEE
+    // arithmetic, identical on both engines. The mergeable form at 100 TB
+    // keeps the k smallest hashes per partition and merges (map-side
+    // combinable, like the reference's spark-side HLL usage).
+    "vc_kmv_distinct" -> (((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val k = 64
+      val base = graft.fixtures.Fixtures.keyedBase(s, d)
+        .withColumn("h", conv(substring(sha2(col("key"), 256), 1, 15), 16, 10).cast("long"))
+      val w = Window.partitionBy("rf").orderBy("h")
+      base.withColumn("rn", row_number().over(w)).where(col("rn") === k)
+        .select(col("rf"),
+          col("h").as("kth_hash"),
+          (lit((k - 1).toDouble) * lit(math.pow(2, 60)) / col("h").cast("double"))
+            .as("kmv_estimate"))
+        .orderBy("rf")
+    }),
+      Some(s"""$extPrelude
+        SELECT rf, h AS kth_hash,
+               63.0 * power(2, 60) / CAST(h AS DOUBLE) AS kmv_estimate
+        FROM (
+          SELECT rf, ('0x' || substr(sha256(key), 1, 15))::BIGINT AS h,
+                 row_number() OVER (PARTITION BY rf
+                   ORDER BY ('0x' || substr(sha256(key), 1, 15))::BIGINT) AS rn
+          FROM base
+        ) WHERE rn = 64 ORDER BY rf""")),
 
     // Multimodal plumbing: binary payload + metadata + stub decode.
     "mm_media_decode" -> (((s: SparkSession, d: String) => {
