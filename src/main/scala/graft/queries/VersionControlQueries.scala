@@ -280,12 +280,14 @@ object VersionControlQueries {
           )
         ) WHERE rn = 1 ORDER BY key""")),
 
-    // J1+J7+G4: staged-overlay diff ACROSS REFS through the engine — builds
+    // J1+G4: staged-overlay diff ACROSS REFS through the engine — builds
     // a real repo (C1 = base snapshot, C2 = committed right delta, then the
     // staging log staged in two epochs) and diffs `main~1..main$` via the
-    // ref grammar. Same oracle as vc_combined_diff: the engine's
-    // ref-resolution + range-pruned + staged-overlay path must reproduce
-    // the operator-level J7 result exactly.
+    // ref grammar. The oracle encodes CombinedDiffIterator MASKING (any
+    // staged key suppresses the committed row) — deliberately different
+    // from vc_combined_diff, whose JoinedDiffIterator semantics let
+    // committed rows fall through for staged no-ops; the reference's two
+    // iterators genuinely differ this way.
     "vc_diff_staged" -> (((s: SparkSession, d: String) => {
       val dir = s"target/vc_staged_repo_${math.abs(d.hashCode)}"
       val fs = org.apache.hadoop.fs.FileSystem.get(

@@ -44,8 +44,15 @@ class Catalog(val spark: SparkSession, val rootDir: String,
     val ns = if (namespace.nonEmpty) namespace else s"$rootDir/$id"
     require(!ns.exists(c => c == '|' || c == '\t' || c == '\n'),
       s"namespace must not contain '|', tab or newline: $ns")
-    require(!repos.values.map(_.split('|')(0)).toSet.contains(ns),
-      s"namespace $ns already in use")
+    require(!defaultBranch.exists(c => c == '|' || c == '\t' || c == '\n'),
+      s"default branch must not contain '|', tab or newline: $defaultBranch")
+    // reject equal AND nested namespaces either way: wipe-deleting a parent
+    // must never be able to destroy another repository's data
+    val existing = repos.values.map(_.split('|')(0))
+    existing.foreach { other =>
+      require(other != ns && !ns.startsWith(other + "/") && !other.startsWith(ns + "/"),
+        s"namespace $ns overlaps existing namespace $other")
+    }
     val now = System.currentTimeMillis() / 1000
     val eng = new Engine(spark, ns, raggedness)
     eng.init(defaultBranch, initial)

@@ -139,13 +139,19 @@ class Engine(val spark: SparkSession, val repoDir: String,
   private lazy val cleanupExec = java.util.concurrent.Executors.newSingleThreadExecutor(
     (r: Runnable) => { val t = new Thread(r, "graft-staging-cleanup"); t.setDaemon(true); t })
 
-  /** Epoch dirs currently readable (on disk and not sealed-and-dropped). */
-  private def liveEpochDirs(branch: String): Seq[String] =
+  /** Epoch dirs currently readable (on disk and not sealed-and-dropped).
+    * The mask is snapshotted BEFORE listing: a dir that leaves pendingDrop
+    * mid-call has been deleted first (cleanup deletes, then unmasks), so it
+    * is either still masked by the snapshot or already absent from the
+    * listing — never returned and then read after deletion. */
+  private def liveEpochDirs(branch: String): Seq[String] = {
+    val masked = new java.util.HashSet[String](pendingDrop)
     if (!exists(stagingRoot(branch))) Seq.empty
     else fs.listStatus(new org.apache.hadoop.fs.Path(stagingRoot(branch)))
       .map(_.getPath.toString)
       .filter(p => p.substring(p.lastIndexOf('/') + 1).startsWith("epoch="))
-      .filterNot(pendingDrop.contains).toSeq.sorted
+      .filterNot(masked.contains).toSeq.sorted
+  }
 
   /** Drop the given epoch dirs off-thread; reads mask them immediately. */
   private def dropEpochsAsync(dirs: Seq[String]): Unit = {
@@ -196,10 +202,14 @@ class Engine(val spark: SparkSession, val repoDir: String,
   def compact(branch: String): String = {
     val headId = refs.getBranch(branch).getOrElse(sys.error(s"no branch $branch"))
     val head = refs.getCommit(headId).get
-    val changes = stagedChanges(branch).getOrElse(sys.error(s"nothing to compact on $branch"))
+    // seal-and-swap like commit(): read exactly the epochs captured now and
+    // drop exactly those - an epoch staged mid-compaction is never lost
+    val sealedEpochs = liveEpochDirs(branch)
+    val changes = stagedChangesFrom(sealedEpochs)
+      .getOrElse(sys.error(s"nothing to compact on $branch"))
     val (meta, _) = snapshots.commitChanges(effectiveBase(branch, head), changes)
-    fs.delete(new org.apache.hadoop.fs.Path(stagingRoot(branch)), true)
     refs.setCompactedBase(branch, Some(meta))
+    dropEpochsAsync(sealedEpochs)
     meta
   }
 
@@ -428,6 +438,9 @@ class Engine(val spark: SparkSession, val repoDir: String,
   // --- T4: import progress/cancel (pkg/catalog/import.go:25-140) ----------
 
   private val importThreads = scala.collection.concurrent.TrieMap[String, Thread]()
+  // serializes cancel vs the import thread's status transitions: both are
+  // read-modify-write over the persisted status
+  private val importLock = new Object
 
   /**
    * Start an asynchronous import (T4): [[importUnder]] running in its own
@@ -435,6 +448,12 @@ class Engine(val spark: SparkSession, val repoDir: String,
    * Progress = ingested entry count (one counting job before the overlay,
    * like the reference's per-entry Progress counter); completion records
    * the new commit + metarange. Returns the import id immediately.
+   *
+   * Cancellation windows: a cancel interrupts running Spark jobs and is
+   * honored at the checkpoint before the overlay; a cancel that lands after
+   * the overlay's last job cannot stop the commit — the final status then
+   * keeps `error=Canceled` but still records the landed commit id, so the
+   * caller never mistakes it for a no-op (no blind re-import).
    */
   def importAsync(branch: String, imported: DataFrame, prefixes: Seq[String],
       committer: String, message: String): String = {
@@ -445,30 +464,39 @@ class Engine(val spark: SparkSession, val repoDir: String,
       val group = s"graft-import-$id"
       spark.sparkContext.setJobGroup(group, s"import $id into $branch",
         interruptOnCancel = true)
+      // the count and the overlay both consume `imported` - materialize once
+      val cached = imported.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
-        val n = imported.count()
+        val n = cached.count()
         // a cancel can land between Spark jobs (nothing to interrupt) -
-        // honor the stamped sentinel at each checkpoint
+        // honor the stamped sentinel at the pre-overlay checkpoint
         if (refs.getImportStatus(id).exists(_.error.isDefined))
           throw new InterruptedException("import canceled")
         refs.setImportStatus(ImportStatus(id, completed = false, n, None, None, None,
           System.currentTimeMillis() / 1000))
-        val c = importUnder(branch, imported, prefixes, committer, message)
-        // a cancel that landed while importUnder ran (possibly between its
-        // jobs, with nothing to interrupt) keeps the Canceled stamp - the
-        // success status must not overwrite it
-        if (!refs.getImportStatus(id).exists(_.error.isDefined))
-          refs.setImportStatus(ImportStatus(id, completed = true, n,
-            Some(c.metaRangeId), Some(c.commitId), None, System.currentTimeMillis() / 1000))
+        val c = importUnder(branch, cached, prefixes, committer, message)
+        importLock.synchronized {
+          val canceled = refs.getImportStatus(id).exists(_.error.isDefined)
+          refs.setImportStatus(ImportStatus(id, completed = !canceled, n,
+            Some(c.metaRangeId), Some(c.commitId),
+            if (canceled) Some("Canceled") else None,
+            System.currentTimeMillis() / 1000))
+        }
       } catch {
         case e: Throwable =>
           // a cancel already stamped the Canceled sentinel - keep it
-          refs.getImportStatus(id).filter(_.error.isEmpty).foreach { prev =>
-            refs.setImportStatus(prev.copy(
-              error = Some(Option(e.getMessage).getOrElse(e.getClass.getName)),
-              updatedAt = System.currentTimeMillis() / 1000))
+          importLock.synchronized {
+            refs.getImportStatus(id).filter(_.error.isEmpty).foreach { prev =>
+              refs.setImportStatus(prev.copy(
+                error = Some(Option(e.getMessage).getOrElse(e.getClass.getName)),
+                updatedAt = System.currentTimeMillis() / 1000))
+            }
           }
-      } finally spark.sparkContext.clearJobGroup()
+      } finally {
+        cached.unpersist()
+        spark.sparkContext.clearJobGroup()
+        importThreads.remove(id)
+      }
     }, s"graft-import-$id")
     importThreads(id) = t
     t.start()
@@ -480,10 +508,11 @@ class Engine(val spark: SparkSession, val repoDir: String,
 
   /** Cancel a running import: stamps the reference's `Canceled` sentinel and
     * interrupts the run's Spark job group (`ImportCanceled`,
-    * `pkg/catalog/import.go:18`). */
-  def cancelImport(id: String): Unit = {
+    * `pkg/catalog/import.go:18`). Atomic vs the import thread's own status
+    * writes — a cancel racing a completed import is a no-op. */
+  def cancelImport(id: String): Unit = importLock.synchronized {
     val cur = importStatus(id)
-    if (!cur.completed) {
+    if (!cur.completed && cur.error.isEmpty) {
       refs.setImportStatus(cur.copy(error = Some("Canceled"),
         updatedAt = System.currentTimeMillis() / 1000))
       spark.sparkContext.cancelJobGroup(s"graft-import-$id")

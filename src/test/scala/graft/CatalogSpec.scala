@@ -36,6 +36,13 @@ class CatalogSpec extends SparkSpec {
       cat.createRepository("gamma", namespace = s"$root/alpha")
     }
     intercept[IllegalArgumentException] { cat.createRepository("Bad_Id") }
+    // nested namespaces rejected both ways (wipe safety), control chars too
+    intercept[IllegalArgumentException] {
+      cat.createRepository("gamma", namespace = s"$root/alpha/nested")
+    }
+    intercept[IllegalArgumentException] {
+      cat.createRepository("gamma", defaultBranch = "a|b")
+    }
 
     // a fresh catalog instance sees the persisted table
     val cat2 = new Catalog(spark, root, raggedness = 100)
