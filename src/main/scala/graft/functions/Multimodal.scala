@@ -57,6 +57,17 @@ object Multimodal {
           greatest((length(col("payload")) / (blockSize * stride)).cast("int") - 1, lit(0))),
         i => substring(col("payload"), (i * blockSize * stride + 1).cast("int"), lit(blockSize))))
 
+  /** [[sampleFrames]] over the DECODED payload with character semantics —
+    * the cross-engine-exact variant (byte slicing has no DuckDB twin; char
+    * slicing matches on any unicode content). */
+  def sampleFramesText(media: DataFrame, blockSize: Int, stride: Int): DataFrame = {
+    val step = blockSize * stride
+    media.withColumn("frames", expr(
+      s"""transform(
+            sequence(0, greatest(CAST(length(CAST(payload AS STRING)) / $step AS INT) - 1, 0)),
+            i -> substring(CAST(payload AS STRING), i * $step + 1, $blockSize))"""))
+  }
+
   /** Feature summary per media type (the "embed then aggregate" shape). */
   def featureStats(decoded: DataFrame): DataFrame =
     decoded.groupBy("media_type")

@@ -192,6 +192,29 @@ object ExtendedQueries {
                  i -> ascii(substr(text, CAST(i AS INT), 1))), ','), '') AS features
         FROM documents ORDER BY media_id""")),
 
+    // Multimodal frame sampling: every stride-th 16-char block of the
+    // decoded payload as a "frame" (the video/audio frame-sample shape) —
+    // character semantics so both engines slice identically on any content.
+    "mm_frame_sample" -> (((s: SparkSession, d: String) => {
+      val media = Multimodal.asMedia(
+        Fixtures.documents(s, d), col("doc_id"), encode(col("text"), "UTF-8"), "video")
+      Multimodal.sampleFramesText(media, blockSize = 16, stride = 4)
+        .select(col("media_id"),
+          size(col("frames")).cast("long").as("n_frames"),
+          sha2(element_at(col("frames"), 1), 256).as("first_frame_checksum"),
+          aggregate(col("frames"), lit(0L), (acc, f) => acc + length(f))
+            .as("frame_chars"))
+        .orderBy("media_id")
+    }),
+      Some("""
+        SELECT doc_id AS media_id,
+               CAST(CAST(greatest(floor(length(text)/64.0) - 1, 0) AS INT) + 1 AS BIGINT) AS n_frames,
+               sha256(substr(text, 1, 16)) AS first_frame_checksum,
+               CAST(list_sum(list_transform(
+                 generate_series(0, CAST(greatest(floor(length(text)/64.0) - 1, 0) AS INT)),
+                 i -> length(substr(text, i*64 + 1, 16)))) AS BIGINT) AS frame_chars
+        FROM documents ORDER BY media_id""")),
+
     // Multimodal aggregation: per-type feature stats.
     "mm_feature_stats" -> (((s: SparkSession, d: String) => {
       val media = Multimodal.asMedia(
