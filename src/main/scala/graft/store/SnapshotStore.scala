@@ -166,9 +166,11 @@ class SnapshotStore(val spark: SparkSession, val repoDir: String,
       // merge result = dest + source-side changes (overlaps already resolved
       // per strategy); dest-only changes are in dest already, so restrict the
       // applied delta to source-changed keys
+      // persisted lazily: commitChanges' first action (touched-range
+      // detection) materializes it into cache for the apply join - an
+      // eager count here would just be one extra job over the delta
       val applied = changes.join(srcDelta.select("key"), Seq("key"), "left_semi")
         .persist(lvl)
-      applied.count()
       try {
         val (meta, _) = commitChanges(dstMeta, applied)
         (meta, conflicts)
