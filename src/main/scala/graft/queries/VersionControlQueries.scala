@@ -132,12 +132,14 @@ object VersionControlQueries {
         SELECT concat_ws('/', rf, ls, key) AS key, price_c FROM base
         WHERE rf = 'R' AND ls = 'F' ORDER BY key""")),
 
-    // P2/O2: after-key page of 1000 (+1 for has_more).
+    // P2/O2: after-key page of 1000 (+1 for has_more). The cursor sits
+    // INSIDE the keyspace at every sf (max key at sf0.001 is ~14996), so
+    // the page is non-empty and the +1 has_more row is exercised.
     "vc_page_after" -> (((s: SparkSession, d: String) =>
-      Listing.page(Fixtures.keyedBase(s, d), "000000300000", 1000)
+      Listing.page(Fixtures.keyedBase(s, d), "000000010000", 1000)
         .select("key", "identity")),
       Some(s"""$prelude
-        SELECT key, identity FROM base WHERE key > '000000300000'
+        SELECT key, identity FROM base WHERE key > '000000010000'
         ORDER BY key LIMIT 1001""")),
 
     // P4/A3: delimiter roll-up at the root.
