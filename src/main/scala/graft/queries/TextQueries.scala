@@ -343,6 +343,28 @@ object TextQueries {
               bit_count(xor(a2,b2)) + bit_count(xor(a3,b3)) <= 3
         ORDER BY doc_a, doc_b""")),
 
+    // Corpus n-gram frequency table: top-20 3-gram shingles by document
+    // frequency (ties broken by shingle) - the "most common phrases" report
+    // every corpus audit starts with. Shuffle keys are shingles: partial
+    // aggregation map-side combines, the final top-k is a single tiny sort.
+    "td_top_ngrams" -> (((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val ex = Fixtures.documents(s, d)
+        .select(col("doc_id"), explode(array_distinct(shingles(col("text"), 3))).as("s"))
+      val counts = ex.groupBy("s").agg(count(lit(1)).as("n_docs"))
+      val w = Window.orderBy(col("n_docs").desc, col("s").asc)
+      counts.withColumn("rank", row_number().over(w).cast("long"))
+        .where(col("rank") <= 20)
+        .select("rank", "s", "n_docs")
+        .orderBy("rank")
+    }),
+      Some(s"""$docsSql $shinglesSql
+        SELECT rank, s, n_docs FROM (
+          SELECT s, n_docs,
+                 row_number() OVER (ORDER BY n_docs DESC, s ASC) AS rank
+          FROM (SELECT s, count(*) AS n_docs FROM sh GROUP BY s)
+        ) WHERE rank <= 20 ORDER BY rank""")),
+
     // End-to-end curation pipeline (the training-data story in one plan):
     // exact-dedup by normalized fingerprint (min doc_id kept), quality
     // filter (>=10 tokens), then per-language corpus stats. Scan ->

@@ -94,4 +94,24 @@ class PropertySpec extends SparkSpec {
       assert(u === lo ++ hi, s"case: $hi / $lo")
     }
   }
+
+  test("CutIndex binary search equals the naive linear count") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val keyGen = Gen.listOfN(12, Gen.alphaNumChar).map(_.mkString)
+    val caseGen = Gen.zip(Gen.listOf(keyGen), Gen.listOfN(20, keyGen))
+    samples(caseGen, 200).foreach { case (cutsRaw, probes) =>
+      val cuts = cutsRaw.distinct.map(UTF8String.fromString).toArray
+      java.util.Arrays.sort(cuts, java.util.Comparator.naturalOrder[UTF8String]())
+      probes.foreach { p =>
+        val k = UTF8String.fromString(p)
+        val naive = cuts.count(_.compareTo(k) <= 0)
+        assert(graft.functions.CutIndex.indexOf(cuts, k) === naive,
+          s"cuts=${cuts.mkString(",")} key=$p")
+      }
+      // every cut key maps to its own index + 1 (boundary inclusivity)
+      cuts.zipWithIndex.foreach { case (c, i) =>
+        assert(graft.functions.CutIndex.indexOf(cuts, c) === i + 1)
+      }
+    }
+  }
 }
