@@ -263,6 +263,12 @@ class Engine(val spark: SparkSession, val repoDir: String,
     else Listing.page(prefixed, after, limit)
   }
 
+  /** Register `name` as a temp view of a ref's visible listing (committed
+    * state + staged overlay for branches), so any ref is queryable through
+    * `spark.sql` — the library's SQL surface. */
+  def createOrReplaceRefView(name: String, ref: String): Unit =
+    list(ref).createOrReplaceTempView(name)
+
   /** Point lookup (S3) with manifest interval pruning. On a branch the
     * staged overlay resolves first (tombstone => None), then the effective
     * base — the same resolution order as [[list]] and the reference's Get. */

@@ -250,6 +250,20 @@ class StoreSpec extends SparkSpec {
     assert(eng.get("main", "nope") === None)
   }
 
+  test("refs are queryable through spark.sql via temp views") {
+    import spark.implicits._
+    val eng = new Engine(spark, tmpDir("sqlview"), raggedness = 100)
+    val c1 = eng.init("main", Some(rows(50)))
+    eng.stage("main", Seq(("k000001", "STAGED"), ("knew", "NEW")).toDF("key", "identity"))
+    eng.createOrReplaceRefView("snap_main", "main")       // staged overlay
+    eng.createOrReplaceRefView("snap_c1", c1.commitId)    // committed only
+    assert(spark.sql("SELECT count(*) FROM snap_main").head().getLong(0) === 51)
+    assert(spark.sql("SELECT identity FROM snap_main WHERE key = 'k000001'")
+      .head().getString(0) === "STAGED")
+    assert(spark.sql("SELECT identity FROM snap_c1 WHERE key = 'k000001'")
+      .head().getString(0) === "id1")
+  }
+
   test("T3 sealed epochs drop asynchronously; later stages survive cleanup") {
     import spark.implicits._
     val dir = tmpDir("t3async")
