@@ -143,6 +143,33 @@ object VectorQueries {
           FROM sims
         ) WHERE rank <= 5 ORDER BY probe_id, rank""")),
 
+    // Embedding hygiene report: per-label norm statistics. All aggregation
+    // happens on EXACT integer squared-norms (order-independent), the
+    // doubles (sqrt/divide) are derived once per output row - so the result
+    // is bit-identical however Spark orders the partial aggregates.
+    "emb_norm_stats" -> (((s: SparkSession, d: String) => {
+      val emb = Fixtures.embeddings(s, d)
+        .select(col("label"), quantize(col("embedding")).as("q"))
+        .withColumn("sumsq", intDot(col("q"), col("q")))
+      emb.groupBy("label")
+        .agg(count(lit(1)).as("n"),
+          min("sumsq").as("min_sumsq"), max("sumsq").as("max_sumsq"),
+          sum("sumsq").as("total_sumsq"))
+        .withColumn("min_norm", sqrt(col("min_sumsq").cast("double")))
+        .withColumn("max_norm", sqrt(col("max_sumsq").cast("double")))
+        .withColumn("avg_sumsq", col("total_sumsq").cast("double") / col("n"))
+        .select("label", "n", "min_norm", "max_norm", "avg_sumsq")
+        .orderBy("label")
+    }),
+      Some(s"""
+        WITH q AS (SELECT label, $qvecSql AS qv FROM embeddings),
+        s AS (SELECT label, ${dotSql("qv", "qv")} AS sumsq FROM q)
+        SELECT label, count(*) AS n,
+               sqrt(CAST(min(sumsq) AS DOUBLE)) AS min_norm,
+               sqrt(CAST(max(sumsq) AS DOUBLE)) AS max_norm,
+               CAST(sum(sumsq) AS DOUBLE) / count(*) AS avg_sumsq
+        FROM s GROUP BY label ORDER BY label""")),
+
     // Per-label centroid accumulators (exact integer sums per dimension).
     "emb_centroid" -> (((s: SparkSession, d: String) => {
       // slice to the reported dims BEFORE exploding — 8x less shuffle
