@@ -241,15 +241,21 @@ class Engine(val spark: SparkSession, val repoDir: String,
   }
 
   /** List a ref's snapshot, with optional uncommitted overlay when the ref
-    * is a branch with staged changes (§3.1 pipeline). */
+    * is a branch with staged changes (§3.1 pipeline). Honors the `@`/`$`
+    * ref modifiers (`resolve_ref.go:60-92`): `branch@` pins to the
+    * committed head (no compacted base, no staging); `branch$` forces the
+    * staged view even when `includeStaged` is false. */
   def list(ref: String, prefix: String = "", after: String = "",
       limit: Int = Int.MaxValue, includeStaged: Boolean = true): DataFrame = {
-    val commit = resolveCommit(ref)
-    val isBranch = refs.getBranch(ref).isDefined
+    val r = refs.resolveFull(ref).getOrElse(sys.error(s"unresolvable ref: $ref"))
+    val commit = r.commit
+    val isBranch = r.branch.isDefined
+    val branch = r.branch.getOrElse("")
+    val useUncommitted = isBranch && !r.committedOnly
     val committed = snapshots.scan(
-      if (isBranch) effectiveBase(ref, commit) else commit.metaRangeId)
-    val overlaid = if (includeStaged && isBranch) {
-      stagedChanges(ref) match {
+      if (useUncommitted) effectiveBase(branch, commit) else commit.metaRangeId)
+    val overlaid = if ((includeStaged || r.staging) && useUncommitted) {
+      stagedChanges(branch) match {
         case Some(st) =>
           Staging.precedenceUnion(Seq(
             alignTo(committed, st) -> 0,
@@ -273,10 +279,12 @@ class Engine(val spark: SparkSession, val repoDir: String,
     * staged overlay resolves first (tombstone => None), then the effective
     * base — the same resolution order as [[list]] and the reference's Get. */
   def get(ref: String, key: String): Option[Row] = {
-    val commit = resolveCommit(ref)
-    val isBranch = refs.getBranch(ref).isDefined
-    if (isBranch) {
-      stagedChanges(ref) match {
+    val r = refs.resolveFull(ref).getOrElse(sys.error(s"unresolvable ref: $ref"))
+    val commit = r.commit
+    val isBranch = r.branch.isDefined
+    val useUncommitted = isBranch && !r.committedOnly
+    if (useUncommitted) {
+      stagedChanges(r.branch.get) match {
         case Some(st) =>
           val hit = st.where(col("key") === key).limit(1).collect().headOption
           hit match {
@@ -287,7 +295,7 @@ class Engine(val spark: SparkSession, val repoDir: String,
         case None => ()
       }
     }
-    val meta = if (isBranch) effectiveBase(ref, commit) else commit.metaRangeId
+    val meta = if (useUncommitted) effectiveBase(r.branch.get, commit) else commit.metaRangeId
     // upper bound key+"\u0000" = the smallest string strictly above key
     val pruned = snapshots.scanInterval(meta, Some(key), Some(key + "\u0000"))
     Listing.pointGet(pruned, key).collect().headOption
@@ -475,11 +483,15 @@ class Engine(val spark: SparkSession, val repoDir: String,
       try {
         val n = cached.count()
         // a cancel can land between Spark jobs (nothing to interrupt) -
-        // honor the stamped sentinel at the pre-overlay checkpoint
-        if (refs.getImportStatus(id).exists(_.error.isDefined))
-          throw new InterruptedException("import canceled")
-        refs.setImportStatus(ImportStatus(id, completed = false, n, None, None, None,
-          System.currentTimeMillis() / 1000))
+        // honor the stamped sentinel at the pre-overlay checkpoint. The
+        // check and the progress write are one critical section: a cancel
+        // landing between them must not have its sentinel overwritten.
+        importLock.synchronized {
+          if (refs.getImportStatus(id).exists(_.error.isDefined))
+            throw new InterruptedException("import canceled")
+          refs.setImportStatus(ImportStatus(id, completed = false, n, None, None, None,
+            System.currentTimeMillis() / 1000))
+        }
         val c = importUnder(branch, cached, prefixes, committer, message)
         importLock.synchronized {
           val canceled = refs.getImportStatus(id).exists(_.error.isDefined)
@@ -736,28 +748,42 @@ class Engine(val spark: SparkSession, val repoDir: String,
     val compactedMetas = refs.branchRecords.values.flatMap(_.compactedBase)
     val live = (commitMetas ++ compactedMetas)
       .flatMap((m: String) => snapshots.readManifest(m).map(_.rangeId)).toSet
-    val all =
-      if (!exists(s"$repoDir/ranges")) Seq.empty[String]
-      else fs.listStatus(new org.apache.hadoop.fs.Path(s"$repoDir/ranges"))
-        .map(_.getPath.getName).toSeq
-    val allDf = all.toDF("address")
+    val allDf = rangeDirCandidates().toDF("address")
     val liveDf = live.toSeq.toDF("address")
     graft.operators.Gc.mark(allDf, liveDf, liveDf.limit(0))
   }
 
+  /** Sweep candidates under ranges/: finished range directories only.
+    * In-flight `__staging_*` write dirs (SnapshotStore's pre-rename staging)
+    * are NEVER candidates — a concurrent write must not race the sweep. */
+  private def rangeDirCandidates(): Seq[String] =
+    if (!exists(s"$repoDir/ranges")) Seq.empty[String]
+    else fs.listStatus(new org.apache.hadoop.fs.Path(s"$repoDir/ranges"))
+      .map(_.getPath.getName).toSeq
+      .filterNot(_.startsWith("__staging_"))
+
   /** GC sweep: delete every unreferenced range and write the S9 report
     * (mark via [[gcMark]]; the delete is distributed — mirrors the
-    * reference's executor-side bulk remover, `GarbageCollection.scala:253-276`). */
-  def gcSweep(runId: String): (Long, String) = distributedSweep(gcMark(), runId)
+    * reference's executor-side bulk remover, `GarbageCollection.scala:253-276`).
+    * The delete guard is the mark time: a range dir that lands after this
+    * instant (a commit racing the sweep) has a newer mtime and is skipped. */
+  def gcSweep(runId: String): (Long, String) =
+    distributedSweep(gcMark(), runId, Some(System.currentTimeMillis()))
 
   /** Executor-side bulk delete of marked addresses + S9 report. The dead set
     * never reaches the driver (millions of paths at 100 TB): each partition
-    * opens its own FileSystem and deletes its slice. */
+    * opens its own FileSystem and deletes its slice. `cutoffMs` is the
+    * delete guard (reference GC only removes objects older than the
+    * cutoff): an address whose mtime is newer than the cutoff — a commit or
+    * import landing between mark and sweep — is skipped, and the S9 report
+    * lists only what was actually removed. */
   private def distributedSweep(marked0: DataFrame, runId: String,
-      cutoffSecs: Option[Long] = None): (Long, String) = {
+      cutoffMs: Option[Long] = None): (Long, String) = {
+    import spark.implicits._
     val marked = marked0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val n = marked.count()
+    marked.count() // materialize the mark before any delete mutates the listing
     val rangesRoot = s"$repoDir/ranges" // local vals: the closure must not capture `this`
+    val guardMs = cutoffMs.getOrElse(Long.MaxValue)
     // ship the driver's effective Hadoop conf as plain entries (Configuration
     // itself isn't closure-serializable) - executors must see the same
     // credentials/endpoints/fs.* settings the driver resolved
@@ -767,17 +793,23 @@ class Engine(val spark: SparkSession, val repoDir: String,
       while (it.hasNext) { val e = it.next(); buf += ((e.getKey, e.getValue)) }
       buf.toArray
     }
-    marked.select("address").foreachPartition { (rows: Iterator[Row]) =>
+    val deleted = marked.select("address").as[String].mapPartitions { addrs =>
       val conf = new org.apache.hadoop.conf.Configuration()
       confEntries.foreach { case (k, v) => conf.set(k, v) }
       val pfs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(rangesRoot), conf)
-      rows.foreach { r =>
-        pfs.delete(new org.apache.hadoop.fs.Path(s"$rangesRoot/${r.getString(0)}"), true)
+      addrs.filter { a =>
+        val p = new org.apache.hadoop.fs.Path(s"$rangesRoot/$a")
+        val st =
+          try Some(pfs.getFileStatus(p))
+          catch { case _: java.io.FileNotFoundException => None }
+        st.exists(s => s.getModificationTime <= guardMs && pfs.delete(p, true))
       }
-    }
+    }.toDF("address").persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = deleted.count() // runs the distributed delete exactly once
     val now = System.currentTimeMillis() / 1000
     val report = graft.sources.GcSinks.writeReports(
-      marked, repoDir, runId, now, cutoffSecs.getOrElse(now))
+      deleted, repoDir, runId, now, cutoffMs.map(_ / 1000).getOrElse(now))
+    deleted.unpersist()
     marked.unpersist()
     (n, report)
   }
@@ -828,14 +860,14 @@ class Engine(val spark: SparkSession, val repoDir: String,
     graft.sources.GcSinks.writeUncommitted(
       stagingFiles.toDF("physical_address", "creation_date"), repoDir, runId)
 
-    val all =
-      if (!exists(s"$repoDir/ranges")) Seq.empty[String]
-      else fs.listStatus(new org.apache.hadoop.fs.Path(s"$repoDir/ranges"))
-        .map(_.getPath.getName).toSeq
     val dead = graft.operators.Gc.mark(
-      all.toDF("address"), live.toSeq.toDF("address"),
+      rangeDirCandidates().toDF("address"), live.toSeq.toDF("address"),
       spark.emptyDataset[String].toDF("address"))
-    distributedSweep(dead, runId, cutoffSecs = Some(cutoffs.values.minOption.getOrElse(nowSecs)))
+    // delete guard = the most conservative (oldest) retention cutoff: a
+    // range inside ANY branch's retention window, or written after the
+    // cutoff (incl. commits racing this run), is never removed
+    distributedSweep(dead, runId,
+      cutoffMs = Some(cutoffs.values.minOption.getOrElse(nowSecs) * 1000L))
   }
 
   /** Reset: drop ALL staged changes of a branch (`graveler.go:2637`). */

@@ -104,4 +104,53 @@ class ReviewRegressionSpec extends SparkSpec {
     val m = listed.collect().map(r => r.getString(0) -> r.get(2)).toMap
     assert(m("k005") === 5L && m.contains("zzz-beyond-max"))
   }
+
+  test("list/get honor the @ and $ ref modifiers") {
+    import spark.implicits._
+    val eng = new Engine(spark, tmpDir("refmod"), raggedness = 100)
+    eng.init("main", Some(rows(20)))
+    eng.stage("main", Seq(("k0001", "STAGED"), ("zzz", "NEW")).toDF("key", "identity"))
+    // $: the staged view, even when the caller asked for committed listings
+    val staged = eng.list("main$", includeStaged = false).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(staged("k0001") === "STAGED" && staged.contains("zzz"))
+    // @: committed head only, despite live staging
+    val pinned = eng.list("main@").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(pinned("k0001") === "v1" && !pinned.contains("zzz"))
+    assert(eng.get("main@", "zzz").isEmpty)
+    assert(eng.get("main$", "zzz").exists(_.getString(1) === "NEW"))
+    // a compacted base is still uncommitted state: @ must not see it either
+    eng.compact("main")
+    val afterCompact = eng.list("main@").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(afterCompact("k0001") === "v1" && !afterCompact.contains("zzz"))
+    assert(eng.get("main@", "k0001").map(_.getString(1)) === Some("v1"))
+    assert(eng.list("main").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap.apply("k0001") === "STAGED")
+  }
+
+  test("gc sweep skips in-flight staging dirs and ranges newer than the cutoff") {
+    val dir = tmpDir("gcguard")
+    val eng = new Engine(spark, dir, raggedness = 100)
+    eng.init("main", Some(rows(50)))
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    // a concurrent writer's in-flight dir: never a sweep candidate
+    val inflight = new org.apache.hadoop.fs.Path(s"$dir/ranges/__staging_test")
+    fs.mkdirs(inflight)
+    // a dead range landing AFTER the mark: mtime newer than the cutoff
+    val fresh = new org.apache.hadoop.fs.Path(s"$dir/ranges/deadbeef-fresh")
+    fs.mkdirs(fresh)
+    fs.setTimes(fresh, System.currentTimeMillis() + 3600 * 1000, -1)
+    val (n, _) = eng.gcSweep("guard")
+    assert(n === 0)
+    assert(fs.exists(inflight), "in-flight staging dir must survive the sweep")
+    assert(fs.exists(fresh), "range newer than the cutoff must survive the sweep")
+    // once old enough (and still unreferenced) it sweeps; staging never does
+    fs.setTimes(fresh, System.currentTimeMillis() - 3600 * 1000, -1)
+    val (n2, _) = eng.gcSweep("guard2")
+    assert(n2 === 1)
+    assert(!fs.exists(fresh) && fs.exists(inflight))
+  }
 }
