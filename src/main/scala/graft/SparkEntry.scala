@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{ExtendedQueries, GraphQueries, TextQueries, VectorQueries, VersionControlQueries}
+import graft.queries.{EventQueries, ExtendedQueries, GraphQueries, TextQueries, VectorQueries, VersionControlQueries}
 
 /**
  * Driver contract (see SURVEY.md §7 and the builder prompt).
@@ -18,7 +18,8 @@ object SparkEntry {
     GraphQueries.defs ++
     TextQueries.defs ++
     VectorQueries.defs ++
-    ExtendedQueries.defs
+    ExtendedQueries.defs ++
+    EventQueries.defs
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0: a two-way
     * snapshot diff (the engine's core operator). */

@@ -1,0 +1,74 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.fixtures.Fixtures
+
+/**
+ * Event-stream analytics over the `events` fixture (SURVEY.md §2.9
+ * north-star extensions): batch sessionization as gaps-and-islands. The
+ * split rule — a new session when the gap is > 1800 s (a gap of exactly
+ * 1800 s MERGES) — matches Structured Streaming's `session_window`, whose
+ * windows merge when they touch (start2 <= end1), so the same definition
+ * runs incrementally over a stream ([[graft.streaming.Sessionize]],
+ * asserted equal in SessionStreamSpec).
+ *
+ * Scale: both window functions partition by user_id — one shuffle on the
+ * session key, no global sort, no driver loop. Values aggregate in integer
+ * cents so the DuckDB oracle hash-matches bit-exactly.
+ */
+object EventQueries {
+
+  type QueryFn = (SparkSession, String) => DataFrame
+
+  val defs: Map[String, (QueryFn, Option[String])] = Map(
+
+    // Sessionization: per-user sessions split at > 30 min gaps; one row
+    // per session with start/end epoch-seconds, event count, value cents.
+    "ev_sessionize" -> (((s: SparkSession, d: String) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = Fixtures.events(s, d).select(
+        col("user_id"), col("event_id"),
+        expr("ts div 1000000000").as("tsec"),
+        floor(col("value") * 100 + 0.5).cast("long").as("value_c"))
+      val w = Window.partitionBy("user_id").orderBy("tsec", "event_id")
+      val flagged = ev
+        .withColumn("prev", lag("tsec", 1).over(w))
+        .withColumn("is_new",
+          when(col("prev").isNull || col("tsec") - col("prev") > 1800, 1L).otherwise(0L))
+      flagged
+        .withColumn("sess_idx", sum("is_new").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "sess_idx")
+        .agg(
+          min("tsec").as("session_start"),
+          max("tsec").as("session_end"),
+          count(lit(1)).cast("long").as("n_events"),
+          sum("value_c").cast("long").as("value_c"))
+        .orderBy("user_id", "sess_idx")
+    }),
+      Some("""
+        WITH ev AS (
+          SELECT user_id, event_id, epoch_ns(ts) // 1000000000 AS tsec,
+                 CAST(floor(value*100 + 0.5) AS BIGINT) AS value_c
+          FROM events
+        ), flagged AS (
+          SELECT *,
+                 CASE WHEN lag(tsec) OVER w IS NULL
+                           OR tsec - lag(tsec) OVER w > 1800
+                      THEN 1 ELSE 0 END AS is_new
+          FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY tsec, event_id)
+        ), sess AS (
+          SELECT *, CAST(sum(is_new) OVER (
+                   PARTITION BY user_id ORDER BY tsec, event_id
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess_idx
+          FROM flagged
+        )
+        SELECT user_id, sess_idx,
+               min(tsec) AS session_start, max(tsec) AS session_end,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(value_c) AS BIGINT) AS value_c
+        FROM sess GROUP BY 1, 2 ORDER BY user_id, sess_idx"""))
+  )
+}

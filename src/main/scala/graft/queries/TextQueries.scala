@@ -29,15 +29,79 @@ object TextQueries {
       FROM documents
     )"""
 
-  /** DuckDB 3-word shingle list (distinct). */
-  private val shinglesSql = """
+  /** DuckDB 3-word shingle list (distinct) over a doc CTE with `toks`. */
+  private def shinglesSqlFrom(src: String) = s"""
     , sh AS (
       SELECT doc_id,
              unnest(list_distinct(list_transform(
                generate_series(1, greatest(len(toks)-2, 0)),
                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS s
-      FROM docs
+      FROM $src
     )"""
+
+  private val shinglesSql = shinglesSqlFrom("docs")
+
+  /** DuckDB twin of [[minhashEst]]: CTEs `hashed → sigs → bands → cands →
+    * est(doc_a, doc_b, n_eq)` after a shingle CTE `sh`. Shared by
+    * td_minhash_lsh and td_dedup_groups so the signature definition cannot
+    * drift between them. */
+  private val minhashCtesSql = """,
+        hashed AS (
+          SELECT doc_id, s, ('0x' || substr(sha256(s), 1, 8))::BIGINT AS h FROM sh
+        ),
+        sigs AS (
+          SELECT doc_id, j, min((h * (j*2+3) + j*7919 + 1) % 1000000007) AS m
+          FROM hashed CROSS JOIN (SELECT CAST(i AS INT) AS j FROM range(0,16) t(i))
+          GROUP BY doc_id, j
+        ),
+        bands AS (
+          SELECT doc_id, CAST(j // 4 AS INT) AS band,
+                 string_agg(CAST(m AS VARCHAR), '|' ORDER BY j) AS sig
+          FROM sigs GROUP BY doc_id, 2
+        ),
+        cands AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+        ),
+        est AS (
+          SELECT c.doc_a, c.doc_b,
+                 sum(CASE WHEN x.m = y.m THEN 1 ELSE 0 END) AS n_eq
+          FROM cands c
+          JOIN sigs x ON x.doc_id = c.doc_a
+          JOIN sigs y ON y.doc_id = c.doc_b AND y.j = x.j
+          GROUP BY 1, 2
+        )"""
+
+  /** MinHash pipeline (16 perms over 3-shingles, 4 bands of 4): banded-LSH
+    * candidate pairs with estimated similarity `(doc_a, doc_b, n_eq,
+    * est_sim)`. The estimation stage joins signatures to CANDIDATE pairs
+    * only (never sigs × sigs), so the whole pipeline is O(candidates). */
+  private def minhashEst(docs0: DataFrame): DataFrame = {
+    val docs = docs0
+      .select(col("doc_id"), array_distinct(shingles(col("text"), 3)).as("sh"))
+    val hashed = docs.select(col("doc_id"), explode(col("sh")).as("s"))
+      .withColumn("h", shingleHash64(col("s")))
+    val sigs = hashed
+      .select(col("doc_id"), col("h"), explode(sequence(lit(0), lit(15))).as("j"))
+      .withColumn("hp", (col("h") * (col("j") * 2 + 3) + col("j") * 7919 + 1) % 1000000007L)
+      .groupBy("doc_id", "j").agg(min("hp").as("m"))
+    val bands = sigs.withColumn("band", (col("j") / 4).cast("int"))
+      .groupBy("doc_id", "band")
+      .agg(concat_ws("|",
+        transform(array_sort(collect_list(struct(col("j"), col("m")))),
+          x => x.getField("m").cast("string"))).as("sig"))
+    val cands = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b")).distinct()
+    cands
+      .join(sigs.select(col("doc_id").as("doc_a"), col("j"), col("m").as("ma")), Seq("doc_a"))
+      .join(sigs.select(col("doc_id").as("doc_b"), col("j"), col("m").as("mb")), Seq("doc_b", "j"))
+      .groupBy("doc_a", "doc_b")
+      .agg(sum(when(col("ma") === col("mb"), 1).otherwise(0)).as("n_eq"))
+      .withColumn("est_sim", col("n_eq").cast("double") / 16)
+  }
 
   /** DuckDB twin of [[simhashDf]]: CTEs ending in
     * `sigs(doc_id, sim_c0..sim_c3)` — a 64-bit SimHash as four 16-bit
@@ -240,62 +304,124 @@ object TextQueries {
     // pairs with estimated similarity. The scale path for near-dedup: the
     // estimation stage joins signatures to CANDIDATE pairs only (never
     // sigs x sigs), so the whole pipeline is O(candidates), not O(N^2).
-    "td_minhash_lsh" -> (((s: SparkSession, d: String) => {
-      val docs = Fixtures.documents(s, d)
-        .select(col("doc_id"), array_distinct(shingles(col("text"), 3)).as("sh"))
-      val hashed = docs.select(col("doc_id"), explode(col("sh")).as("s"))
-        .withColumn("h", shingleHash64(col("s")))
-      val sigs = hashed
-        .select(col("doc_id"), col("h"), explode(sequence(lit(0), lit(15))).as("j"))
-        .withColumn("hp", (col("h") * (col("j") * 2 + 3) + col("j") * 7919 + 1) % 1000000007L)
-        .groupBy("doc_id", "j").agg(min("hp").as("m"))
-      val bands = sigs.withColumn("band", (col("j") / 4).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(concat_ws("|",
-          transform(array_sort(collect_list(struct(col("j"), col("m")))),
-            x => x.getField("m").cast("string"))).as("sig"))
-      val cands = bands.as("a").join(bands.as("b"),
-          col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
-          col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b")).distinct()
-      cands
-        .join(sigs.select(col("doc_id").as("doc_a"), col("j"), col("m").as("ma")), Seq("doc_a"))
-        .join(sigs.select(col("doc_id").as("doc_b"), col("j"), col("m").as("mb")), Seq("doc_b", "j"))
-        .groupBy("doc_a", "doc_b")
-        .agg(sum(when(col("ma") === col("mb"), 1).otherwise(0)).as("n_eq"))
-        .withColumn("est_sim", col("n_eq").cast("double") / 16)
-        .orderBy("doc_a", "doc_b")
-    }),
-      Some(s"""$docsSql $shinglesSql,
-        hashed AS (
-          SELECT doc_id, s, ('0x' || substr(sha256(s), 1, 8))::BIGINT AS h FROM sh
-        ),
-        sigs AS (
-          SELECT doc_id, j, min((h * (j*2+3) + j*7919 + 1) % 1000000007) AS m
-          FROM hashed CROSS JOIN (SELECT CAST(i AS INT) AS j FROM range(0,16) t(i))
-          GROUP BY doc_id, j
-        ),
-        bands AS (
-          SELECT doc_id, CAST(j // 4 AS INT) AS band,
-                 string_agg(CAST(m AS VARCHAR), '|' ORDER BY j) AS sig
-          FROM sigs GROUP BY doc_id, 2
-        ),
-        cands AS (
-          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-          FROM bands a JOIN bands b
-            ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
-        ),
-        est AS (
-          SELECT c.doc_a, c.doc_b,
-                 sum(CASE WHEN x.m = y.m THEN 1 ELSE 0 END) AS n_eq
-          FROM cands c
-          JOIN sigs x ON x.doc_id = c.doc_a
-          JOIN sigs y ON y.doc_id = c.doc_b AND y.j = x.j
-          GROUP BY 1, 2
-        )
+    "td_minhash_lsh" -> (((s: SparkSession, d: String) =>
+      minhashEst(Fixtures.documents(s, d)).orderBy("doc_a", "doc_b")),
+      Some(s"""$docsSql $shinglesSql $minhashCtesSql
         SELECT doc_a, doc_b, CAST(n_eq AS BIGINT) AS n_eq,
                CAST(n_eq AS DOUBLE) / 16 AS est_sim
         FROM est ORDER BY doc_a, doc_b""")),
+
+    // Duplicate GROUPS: connected components over the MinHash-LSH candidate
+    // graph (edges = candidate pairs with est_sim >= 0.5, over the planted
+    // duplicates so components are non-vacuous). The Spark side is
+    // distributed min-label propagation — each round one shuffle join on
+    // doc ids, converging in O(component diameter) rounds; dup clusters are
+    // shallow so this stays a handful of rounds at any scale (the same
+    // round structure as large-scale CC over LSH graphs). Canonical doc per
+    // group = min doc_id, the keep-one dedup decision.
+    "td_dedup_groups" -> (((s: SparkSession, d: String) => {
+      val edges1 = minhashEst(plantedDocs(s, d)).where(col("n_eq") >= 8)
+        .select(col("doc_a"), col("doc_b"))
+      val edges = edges1
+        .unionByName(edges1.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+        .withColumnRenamed("doc_a", "src").withColumnRenamed("doc_b", "dst")
+        .persist()
+      var labels = edges.select(col("src").as("id")).distinct()
+        .withColumn("comp", col("id")).localCheckpoint()
+      // min-label propagation: comp <- min(comp, neighbours' comp); the sum
+      // of labels strictly decreases until the fixpoint, so one cheap agg
+      // per round detects convergence without a second join
+      var lastSum = labels.agg(sum("comp")).head().getLong(0)
+      var converged = false
+      var rounds = 0
+      while (!converged && rounds < 20) {
+        val nbrMin = edges.join(labels.withColumnRenamed("id", "dst"), "dst")
+          .groupBy(col("src").as("id")).agg(min("comp").as("nbr"))
+        labels = labels.join(nbrMin, Seq("id"), "left")
+          .select(col("id"), least(col("comp"), coalesce(col("nbr"), col("comp"))).as("comp"))
+          .localCheckpoint() // truncate the iterative lineage each round
+        val s2 = labels.agg(sum("comp")).head().getLong(0)
+        converged = s2 == lastSum
+        lastSum = s2
+        rounds += 1
+      }
+      edges.unpersist()
+      val sizes = labels.groupBy(col("comp").as("canonical_id"))
+        .agg(count(lit(1)).cast("long").as("group_size"))
+      labels.select(col("id").as("doc_id"), col("comp").as("canonical_id"))
+        .join(sizes, "canonical_id")
+        .select("doc_id", "canonical_id", "group_size")
+        .orderBy("doc_id")
+    }),
+      Some((s"""$docsSql $plantedDocsSql ${shinglesSqlFrom("docsp")} $minhashCtesSql,
+        edges AS (
+          SELECT doc_a AS a, doc_b AS b FROM est WHERE n_eq >= 8
+          UNION ALL
+          SELECT doc_b, doc_a FROM est WHERE n_eq >= 8
+        ),
+        nodes AS (SELECT DISTINCT a AS id FROM edges),
+        reach AS (
+          SELECT id, id AS r FROM nodes
+          UNION
+          SELECT reach.id, e.b FROM reach JOIN edges e ON reach.r = e.a
+        ),
+        comp AS (SELECT id, min(r) AS canonical_id FROM reach GROUP BY id),
+        sizes AS (
+          SELECT canonical_id, CAST(count(*) AS BIGINT) AS group_size
+          FROM comp GROUP BY 1
+        )
+        SELECT id AS doc_id, comp.canonical_id, group_size
+        FROM comp JOIN sizes USING (canonical_id) ORDER BY doc_id""")
+        .replaceFirst("WITH ", "WITH RECURSIVE "))),
+
+    // Training-window chunking: 50-token sliding windows with stride 40
+    // (10-token overlap) — the doc → training-sample explosion step of a
+    // pretraining pipeline. Pure generator + slice per row (no joins), so
+    // it rides the document scan at any scale.
+    "td_chunk" -> (((s: SparkSession, d: String) =>
+      Fixtures.documents(s, d)
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .withColumn("n", size(col("toks")).cast("long"))
+        .where(col("n") > 0)
+        .select(col("doc_id"), col("toks"),
+          explode(sequence(lit(0L), expr("(n - 1) div 40"))).as("chunk_idx"))
+        .withColumn("c", slice(col("toks"), (col("chunk_idx") * 40 + 1).cast("int"), lit(50)))
+        .select(col("doc_id"), col("chunk_idx"),
+          size(col("c")).cast("long").as("n_tokens"),
+          sha2(concat_ws(" ", col("c")), 256).as("chunk_hash"))
+        .orderBy("doc_id", "chunk_idx")),
+      Some(s"""$docsSql,
+        lens AS (SELECT doc_id, toks, len(toks) AS n FROM docs WHERE len(toks) > 0),
+        idx AS (
+          SELECT doc_id, toks, unnest(generate_series(0, (n-1)//40)) AS i FROM lens
+        )
+        SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+               CAST(len(list_slice(toks, i*40+1, i*40+50)) AS BIGINT) AS n_tokens,
+               sha256(array_to_string(list_slice(toks, i*40+1, i*40+50), ' ')) AS chunk_hash
+        FROM idx ORDER BY doc_id, chunk_idx""")),
+
+    // Deterministic stratified train/val split: Knuth-hash bucket on doc_id
+    // (90/10), reported per predicted language — the split is a pure
+    // function of the id, so it is stable across runs, engines, and
+    // repartitions (the property a reproducible data pipeline needs).
+    "td_split" -> (((s: SparkSession, d: String) =>
+      Fixtures.documents(s, d)
+        .selectExpr("doc_id", "text", s"${langIdExpr("text", "spark")} AS lang")
+        .withColumn("split",
+          when(expr("(doc_id * 2654435761) % 100") < 90, "train").otherwise("val"))
+        .groupBy("lang", "split")
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(size(tokens(col("text")))).cast("long").as("n_tokens"))
+        .orderBy("lang", "split")),
+      Some(s"""$docsSql
+        SELECT lang, split, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(len(toks)) AS BIGINT) AS n_tokens
+        FROM (
+          SELECT doc_id, toks, ${langIdExpr("text", "duckdb")} AS lang,
+                 CASE WHEN (doc_id * 2654435761) % 100 < 90
+                      THEN 'train' ELSE 'val' END AS split
+          FROM docs
+        ) GROUP BY 1, 2 ORDER BY lang, split""")),
 
     // SimHash near-dup pairs: hamming distance <= 3 over the 64-bit
     // signatures (sum of bit_count(xor) per 16-bit chunk on both engines),

@@ -1,0 +1,36 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Streaming sessionization (SURVEY.md §2.9 north-star): gap-based session
+ * windows per user over an event stream, the incremental form of
+ * `EventQueries.ev_sessionize`.
+ *
+ * Semantics alignment (asserted in SessionStreamSpec): `session_window`s
+ * merge whenever they TOUCH (`start2 <= end1`), so an event landing exactly
+ * `gap` seconds after the previous one still MERGES; only a strictly larger
+ * gap starts a new session — identical to the batch gaps-and-islands rule
+ * `gap_to_prev > gapSecs ⇒ new session`. Late data within the watermark
+ * merges into (or bridges) existing sessions; sessions emit on `append`
+ * once the watermark passes their end.
+ *
+ * Scale: state is per-(user, open-session) and bounded by the watermark —
+ * the state store shards by user_id across executors like any keyed agg.
+ */
+object Sessionize {
+
+  /** Input columns: (user_id, ts timestamp, value_c long). Output one row
+    * per closed session: user_id, start, end (= last event + gap),
+    * n_events, value_c. */
+  def sessions(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("w"))
+      .agg(count(lit(1)).cast("long").as("n_events"),
+        sum("value_c").cast("long").as("value_c"))
+      .select(col("user_id"), col("w.start").as("start"), col("w.end").as("end"),
+        col("n_events"), col("value_c"))
+}

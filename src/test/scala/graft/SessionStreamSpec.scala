@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.streaming.Sessionize
+
+/** The streaming session_window pipeline must produce exactly the sessions
+  * the batch gaps-and-islands definition (EventQueries.ev_sessionize)
+  * computes — including the boundary case of a gap of exactly 30 minutes,
+  * which must MERGE on both sides (session_windows merge when they touch:
+  * start2 <= end1), while a gap of 1801 s splits. */
+class SessionStreamSpec extends SparkSpec {
+
+  test("streaming session_window matches batch gaps-and-islands sessions") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val base = 1704067200L // 2024-01-01T00:00:00Z
+    // (user, tsec offset, value_c): user 1 has a 1799 s gap (merges), an
+    // exactly-1800 s gap (still merges — touching windows), then a 1801 s
+    // gap (splits); user 2 a clear split; user 3 a singleton
+    val ev = Seq(
+      (1L, 0L, 10L), (1L, 600L, 20L), (1L, 2399L, 30L),
+      (1L, 4199L, 40L), (1L, 6000L, 50L),
+      (2L, 100L, 5L), (2L, 5100L, 6L), (2L, 5110L, 7L),
+      (3L, 50L, 1L))
+
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, Long)]
+    val in = mem.toDF().toDF("user_id", "tsec", "value_c")
+      .select(col("user_id"), timestamp_seconds(col("tsec") + base).as("ts"), col("value_c"))
+    val q = Sessionize.sessions(in).writeStream
+      .outputMode("append").format("memory").queryName("sess_out").start()
+    try {
+      mem.addData(ev)
+      q.processAllAvailable()
+      // two sentinel batches: the first advances the watermark past every
+      // real session, the second triggers the batch that emits them
+      mem.addData(Seq((999L, 10000000L, 0L)))
+      q.processAllAvailable()
+      mem.addData(Seq((999L, 10000001L, 0L)))
+      q.processAllAvailable()
+
+      val got = spark.table("sess_out").where(col("user_id") =!= 999)
+        .select(col("user_id"), col("start").cast("long").as("start_s"),
+          col("end").cast("long").as("end_s"), col("n_events"), col("value_c"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toSet
+
+      // batch twin: the ev_sessionize gaps-and-islands rule on the same rows
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("tsec")
+      val batch = ev.toDF("user_id", "tsec", "value_c")
+        .withColumn("tsec", col("tsec") + base)
+        .withColumn("prev", lag("tsec", 1).over(w))
+        .withColumn("is_new",
+          when(col("prev").isNull || col("tsec") - col("prev") > 1800, 1L).otherwise(0L))
+        .withColumn("sess_idx", sum("is_new").over(
+          w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+        .groupBy("user_id", "sess_idx")
+        .agg(min("tsec").as("start_s"), (max("tsec") + 1800).as("end_s"),
+          count(lit(1)).cast("long").as("n_events"),
+          sum("value_c").cast("long").as("value_c"))
+        .select("user_id", "start_s", "end_s", "n_events", "value_c")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toSet
+
+      assert(got === batch)
+      assert(got.size === 5) // user1: 2, user2: 2, user3: 1 — all closed by the watermark
+    } finally q.stop()
+  }
+}
