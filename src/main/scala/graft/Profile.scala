@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.fixtures.Fixtures
+import graft.store.SnapshotStore
+
+/** Ad-hoc stage-level profiler for the snapshot write/commit hot path.
+  * Not part of the driver contract; used to attribute bench time. */
+object Profile {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .appName("graft-profile")
+      .config("spark.sql.shuffle.partitions", 16)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def t[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[profile] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.3f s")
+      r
+    }
+
+    val base = Fixtures.keyedBase(spark, sfDir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    println(s"[profile] base rows = ${base.count()}")
+
+    val repoDir = s"target/profile_repo_${java.util.UUID.randomUUID()}"
+    val store = new SnapshotStore(spark, repoDir, raggedness = 50000L)
+
+    // stage 1: cut-key collect (what chunkAndWrite does first)
+    val cuts = t("cut_collect") {
+      base.select("key").where((abs(xxhash64(col("key"))) % 50000L) === 0)
+        .distinct().collect()
+    }
+    println(s"[profile] cuts = ${cuts.length}")
+
+    // stage 2: the full writeSnapshot for comparison
+    val m1 = t("writeSnapshot_total") { store.writeSnapshot(base)._1 }
+
+    // bare twin
+    val bareOut = s"target/profile_bare_${java.util.UUID.randomUUID()}"
+    t("bare_write") {
+      base.repartitionByRange(col("key")).sortWithinPartitions("key")
+        .write.parquet(s"$bareOut/snap")
+    }
+
+    // commit profile
+    val identExpr = sha2(concat_ws("|",
+      col("key"), col("qty"), col("price_c"), col("rf"), col("ls")), 256)
+    val changes = base.where(col("k") % 100 === 21)
+      .withColumn("price_c", col("price_c") + 777)
+      .withColumn("identity", identExpr)
+    t("commitChanges_total") { store.commitChanges(m1, changes) }
+
+    // second snapshot write (range files already content-addressed on disk:
+    // measures the idempotent-path cost)
+    t("writeSnapshot_again") { store.writeSnapshot(base) }
+
+    // warm repetitions into FRESH repos: true write cost after JIT warmup
+    for (i <- 1 to 2) {
+      val s2 = new SnapshotStore(spark, s"target/profile_repo2_$i", raggedness = 50000L)
+      t(s"writeSnapshot_fresh_$i") { s2.writeSnapshot(base) }
+      t(s"bare_write_$i") {
+        base.repartitionByRange(col("key")).sortWithinPartitions("key")
+          .write.mode("overwrite").parquet(s"$bareOut/snap_$i")
+      }
+    }
+    // warm commit into fresh repo
+    val s3 = new SnapshotStore(spark, "target/profile_repo3", raggedness = 50000L)
+    val m3 = t("writeSnapshot_pre_commit") { s3.writeSnapshot(base)._1 }
+    t("commitChanges_warm") { s3.commitChanges(m3, changes) }
+
+    // manual stage breakdown of a fresh write (mirrors chunkAndWriteBroadcast)
+    {
+      import org.apache.spark.unsafe.types.UTF8String
+      val cutKeys = t("m_cut_collect") {
+        base.select("key").where((abs(xxhash64(col("key"))) % 50000L) === 0)
+          .distinct().collect().map(_.getString(0))
+      }
+      val arr = cutKeys.map(UTF8String.fromString)
+      java.util.Arrays.sort(arr, java.util.Comparator.naturalOrder[UTF8String]())
+      val bc = spark.sparkContext.broadcast(arr)
+      val stagingPath = s"target/profile_manual/__staging"
+      t("m_staged_write") {
+        base.withColumn("__chunk", graft.functions.CutIndex.chunkOf(col("key"), bc))
+          .repartition(math.max(1, math.min(arr.length + 1, 64)), col("__chunk"))
+          .sortWithinPartitions("__chunk", "key")
+          .write.mode("overwrite").partitionBy("__chunk").parquet(stagingPath)
+      }
+      val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+      t("m_stats_pass") {
+        spark.read.parquet(stagingPath)
+          .withColumn("__h1", xxhash64(concat_ws("|", col("key"), col("identity"))).cast(dec38))
+          .withColumn("__h2", xxhash64(concat_ws("#", col("identity"), col("key"), lit("s2"))).cast(dec38))
+          .groupBy("__chunk")
+          .agg(sum("__h1"), sum("__h2"), min("key"), max("key"), count(lit(1)),
+            sum(length(col("key")) + coalesce(length(col("identity")), lit(0L))))
+          .collect()
+      }
+    }
+
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(repoDir), spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(repoDir), true)
+    fs.delete(new org.apache.hadoop.fs.Path(bareOut), true)
+    spark.stop()
+  }
+}

@@ -553,12 +553,10 @@ class Engine(val spark: SparkSession, val repoDir: String,
    * exact key (`checkPathListInCommit`, `pkg/catalog/catalog.go:1734-1827`).
    *
    * Scale shape — a CONSTANT number of Spark jobs however long the history:
-   *  1. every involved manifest read in one job (metarange id recovered
-   *     from the file path);
-   *  2. covering ranges per (metarange, path) resolved with one broadcast
-   *     interval join (the collected result is metadata-scale:
-   *     ≤ commits × paths × covering ranges);
-   *  3. one aggregate over the union of covering range FILES of commits
+   *  1. covering ranges per (metarange, path) resolved driver-side from the
+   *     cached manifests (metadata-scale: ≤ commits × paths × covering
+   *     ranges; manifests are sorted by minKey);
+   *  2. one aggregate over the union of covering range FILES of commits
    *     whose covering range-id set differs from their parent's — range-id
    *     equality (content addressing) prunes identical ranges before any
    *     data file is read, and each distinct range file is read once.
@@ -583,14 +581,16 @@ class Engine(val spark: SparkSession, val repoDir: String,
       else (p, p, p + "\u0000") // [k, k+\0) contains exactly the key k
     }
     val pathsDf = intervals.toDF("qpath", "lo", "hi")
-    val coverCond = col("maxKey") >= col("lo") &&
-      (col("hi").isNull || col("minKey") < col("hi"))
 
-    val manifests = spark.read.parquet(metas.map(m => s"$repoDir/manifests/$m"): _*)
-      .withColumn("meta", regexp_extract(input_file_name(), "manifests/([^/]+)/", 1))
-    val cover = manifests.join(broadcast(pathsDf), coverCond)
-      .select("meta", "qpath", "rangeId", "path").collect()
-      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3)))
+    // covering ranges per (metarange, path) — driver-side over the cached
+    // manifests (metadata-scale; manifests are sorted by minKey so each
+    // interval resolves to a contiguous slice, no Spark job needed)
+    val cover: Seq[(String, String, String, String)] = for {
+      m <- metas
+      ri <- snapshots.readManifest(m)
+      (qpath, lo, hi) <- intervals
+      if ri.maxKey >= lo && (hi == null || ri.minKey < hi)
+    } yield (m, qpath, ri.rangeId, ri.path)
 
     val coverSets: Map[(String, String), Set[String]] = cover
       .groupBy(c => (c._1, c._2)).map { case (k, v) => k -> v.map(_._3).toSet }

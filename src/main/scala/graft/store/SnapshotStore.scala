@@ -13,8 +13,12 @@ import graft.core.Model.RangeInfo
  * Layout under a repo directory:
  * {{{
  *   ranges/<range_id>/          one sorted Parquet file per range (≈ SSTable)
- *   manifests/<meta_range_id>/  manifest parquet of RangeInfo (≈ metarange)
+ *   manifests/<meta_range_id>   JSONL of RangeInfo rows (≈ metarange)
  * }}}
+ *
+ * Manifests are metadata-scale (one line per range) and every consumer
+ * collects them to the driver, so they are plain driver I/O — no Spark job
+ * per manifest read/write.
  *
  * Scale design:
  *  - '''Content-defined chunking''': a key starts a new range iff
@@ -56,15 +60,28 @@ class SnapshotStore(val spark: SparkSession, val repoDir: String,
   /**
    * Apply a change set (key, identity-or-null = tombstone, payload) to a
    * base snapshot, rewriting only touched ranges.
+   *
+   * Touched-range detection is a codegen'd binary search of each change key
+   * against the broadcast sorted range start-keys ([[graft.functions.CutIndex]])
+   * — O(log ranges) per key, no nested-loop interval join, so it holds at
+   * millions of ranges. Keys falling in the gap after a range conservatively
+   * touch it (the rewrite re-cuts and content addressing dedups unchanged
+   * output), and keys before the first range touch nothing — they enter via
+   * the applied change set either way.
    */
   def commitChanges(baseMeta: String, changes: DataFrame): (String, Seq[RangeInfo]) = {
-    val base = readManifest(baseMeta)
-    val ivDf = spark.createDataFrame(base.map(ri => (ri.rangeId, ri.minKey, ri.maxKey)))
-      .toDF("range_id", "min_key", "max_key")
-    val touched = changes.select("key").distinct()
-      .join(broadcast(ivDf),
-        col("key") >= col("min_key") && col("key") <= col("max_key"), "inner")
-      .select("range_id").distinct().collect().map(_.getString(0)).toSet
+    import org.apache.spark.unsafe.types.UTF8String
+    val base = readManifest(baseMeta) // sorted by minKey; ranges are disjoint
+    val touched: Set[String] = if (base.isEmpty) Set.empty else {
+      val minArr = base.map(ri => UTF8String.fromString(ri.minKey)).toArray
+      val bcMin = spark.sparkContext.broadcast(minArr)
+      try {
+        changes.select(graft.functions.CutIndex.chunkOf(col("key"), bcMin).as("__idx"))
+          .distinct().collect()
+          .collect { case r if r.getInt(0) >= 1 => base(r.getInt(0) - 1).rangeId }
+          .toSet
+      } finally bcMin.destroy()
+    }
 
     val untouched = base.filterNot(ri => touched.contains(ri.rangeId))
     val touchedInfos = base.filter(ri => touched.contains(ri.rangeId))
@@ -96,10 +113,24 @@ class SnapshotStore(val spark: SparkSession, val repoDir: String,
     } finally rewritten.unpersist()
   }
 
+  // Manifests are content-addressed and therefore immutable — cache them on
+  // the driver so repeated diff/merge/commit calls don't re-run a Spark job
+  // per manifest read. Bounded: a manifest is ~100 B/range; entries are
+  // evicted FIFO past a small cap.
+  private val manifestCache =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[String, Seq[RangeInfo]](64, 0.75f, false) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, Seq[RangeInfo]]): Boolean = size() > 256
+      })
+
   def readManifest(metaRangeId: String): Seq[RangeInfo] = {
-    import spark.implicits._
-    spark.read.parquet(manifestDir(metaRangeId)).as[RangeInfo].collect()
-      .sortBy(_.minKey).toSeq
+    val cached = manifestCache.get(metaRangeId)
+    if (cached != null) return cached
+    val m = SnapshotStore.readManifestFile(fs, new Path(manifestDir(metaRangeId)))
+      .sortBy(_.minKey)
+    manifestCache.put(metaRangeId, m)
+    m
   }
 
   /** Full snapshot scan (S1): union of range files; Catalyst prunes files
@@ -207,6 +238,10 @@ class SnapshotStore(val spark: SparkSession, val repoDir: String,
    *    (window over the partition id), plus each partition's global offset
    *    from a tiny per-partition aggregate.
    *
+   * Either path then runs [[writeChunks]]: manifest stats/content ids come
+   * from one map-side aggregation over the source, and only chunks not
+   * already present on disk are shuffled, sorted, and written.
+   *
    * Snapshot keys are unique (invariant O1 — [[commitChanges]] applies
    * changes per key); both assignments assume it.
    *
@@ -216,13 +251,20 @@ class SnapshotStore(val spark: SparkSession, val repoDir: String,
    * full 64-bit entropy per stream, so range-id equality is a sound pruning
    * test for diff/merge (the identity discipline of `pkg/ident/ident.go`).
    */
-  private def chunkAndWrite(df: DataFrame): Seq[RangeInfo] = {
-    val cutRows = df.select("key")
-      .where((abs(xxhash64(col("key"))) % raggedness) === 0)
-      .distinct().limit(maxBroadcastCuts + 1).collect()
-    if (cutRows.length <= maxBroadcastCuts)
-      chunkAndWriteBroadcast(df, cutRows.map(_.getString(0)))
-    else chunkAndWriteWindowed(df)
+  private def chunkAndWrite(df0: DataFrame): Seq[RangeInfo] = {
+    // Stats and data are two jobs over the same rows — cache the source for
+    // the duration unless the caller already did (commitChanges persists the
+    // applied slice; Bench persists its base).
+    val weCache = df0.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+    if (weCache) df0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val cutRows = df0.select("key")
+        .where((abs(xxhash64(col("key"))) % raggedness) === 0)
+        .distinct().limit(maxBroadcastCuts + 1).collect()
+      if (cutRows.length <= maxBroadcastCuts)
+        chunkAndWriteBroadcast(df0, cutRows.map(_.getString(0)))
+      else chunkAndWriteWindowed(df0)
+    } finally if (weCache) df0.unpersist()
   }
 
   private def parts: Int = math.max(1, spark.sessionState.conf.numShufflePartitions)
@@ -233,14 +275,11 @@ class SnapshotStore(val spark: SparkSession, val repoDir: String,
     val arr = cutKeys.map(UTF8String.fromString)
     java.util.Arrays.sort(arr, java.util.Comparator.naturalOrder[UTF8String]())
     val bc = spark.sparkContext.broadcast(arr)
-    val stagingPath = s"$rangesDir/__staging_${java.util.UUID.randomUUID()}"
-    df.withColumn("__chunk", graft.functions.CutIndex.chunkOf(col("key"), bc))
-      .repartition(math.max(1, math.min(arr.length + 1, parts * 4)), col("__chunk"))
-      .sortWithinPartitions("__chunk", "key")
-      .write.mode(SaveMode.Overwrite)
-      .partitionBy("__chunk")
-      .parquet(stagingPath)
-    finalizeStaged(stagingPath)
+    try {
+      val withChunk = df.withColumn("__chunk",
+        graft.functions.CutIndex.chunkOf(col("key"), bc))
+      writeChunks(withChunk)
+    } finally bc.destroy()
   }
 
   /** Distributed fallback for cut sets too large to broadcast. */
@@ -261,46 +300,42 @@ class SnapshotStore(val spark: SparkSession, val repoDir: String,
       val offsets = perPid.map { case (pid, c) =>
         val o = (pid, running); running += c; o
       }.toSeq
-      val nChunks = (running + 1).toInt
       import spark.implicits._
       val offDf = offsets.toDF("__pid", "__off")
       val w = Window.partitionBy("__pid").orderBy("key")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-      // Shuffle by range index, write one sorted parquet dir per range under
-      // a staging path. Stats and content ids are then computed from the
-      // (compact, columnar) staged files and the dirs renamed to their
-      // content addresses.
-      val stagingPath = s"$rangesDir/__staging_${java.util.UUID.randomUUID()}"
-      marked
+      // the window runs once into cache; stats and data write read from it
+      val withChunk = marked
         .join(broadcast(offDf), Seq("__pid"))
         .withColumn("__chunk", (sum("__is_cut").over(w) + col("__off")).cast("int"))
         .drop("__is_cut", "__pid", "__off")
-        .repartition(math.max(1, math.min(nChunks, parts * 4)), col("__chunk"))
-        .sortWithinPartitions("__chunk", "key")
-        .write.mode(SaveMode.Overwrite)
-        .partitionBy("__chunk")
-        .parquet(stagingPath)
-      finalizeStaged(stagingPath)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try writeChunks(withChunk)
+      finally withChunk.unpersist()
     } finally marked.unpersist()
   }
 
-  /** Content-address the staged chunk dirs: compute per-chunk stats + the
-    * 128-bit order-independent content id, rename dirs, return the manifest. */
-  private def finalizeStaged(stagingPath: String): Seq[RangeInfo] = {
-    val stagedDirs = fs.listStatus(new Path(stagingPath))
-      .filter(_.getPath.getName.startsWith("__chunk="))
-    if (stagedDirs.isEmpty) { fs.delete(new Path(stagingPath), true); return Seq.empty }
-
+  /**
+   * Stats first, data second: one map-side partial aggregation computes each
+   * chunk's 128-bit content id + manifest stats straight from the source (no
+   * staged-file re-read), then ONLY chunks whose content-addressed directory
+   * doesn't already exist are shuffled and written. An unchanged chunk —
+   * same keys, same identities — costs a hash-agg and nothing else, the
+   * whole-range reuse discipline of the reference's content-addressed
+   * uploads (`pkg/graveler/sstable/writer.go`, `committed/commit.go:116-137`).
+   */
+  private def writeChunks(withChunk: DataFrame): Seq[RangeInfo] = {
     val two64 = java.math.BigInteger.ONE.shiftLeft(64)
     val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
-    val staged = spark.read.parquet(stagingPath)
-    val manifest = staged
-      .withColumn("__h1", xxhash64(concat_ws("|", col("key"), col("identity"))).cast(dec38))
-      .withColumn("__h2", xxhash64(concat_ws("#", col("identity"), col("key"), lit("s2"))).cast(dec38))
+    val manifest = withChunk
       .groupBy("__chunk")
       .agg(
-        sum("__h1").as("h1"), sum("__h2").as("h2"),
+        // two independent unreduced 64-bit streams per row — chained
+        // multi-arg xxhash64 (no row-level string concat); stream 2 swaps
+        // the argument order and adds a salt
+        sum(xxhash64(col("key"), col("identity")).cast(dec38)).as("h1"),
+        sum(xxhash64(col("identity"), col("key"), lit("s2")).cast(dec38)).as("h2"),
         min("key").as("min_key"), max("key").as("max_key"),
         count(lit(1)).as("cnt"),
         sum(length(col("key")) + coalesce(length(col("identity")), lit(0L))).as("est"))
@@ -313,25 +348,84 @@ class SnapshotStore(val spark: SparkSession, val repoDir: String,
           r.getAs[Long]("est"), r.getAs[Long]("cnt"), s"$rangesDir/$rid"),
          r.getAs[Int]("__chunk"))
       }
+    if (manifest.isEmpty) return Seq.empty
 
-    // move staged dirs to their content addresses (drop already-present ones
-    // — content addressing makes rewrites idempotent)
-    manifest.foreach { case (ri, chunkIdx) =>
-      val src = new Path(s"$stagingPath/__chunk=$chunkIdx")
-      val dest = new Path(ri.path)
-      if (!fs.exists(dest)) fs.rename(src, dest)
+    val missing = manifest.filter { case (ri, _) => !fs.exists(new Path(ri.path)) }
+    if (missing.nonEmpty) {
+      val stagingPath = s"$rangesDir/__staging_${java.util.UUID.randomUUID()}"
+      // write only the missing chunks; when the filter wouldn't prune
+      // anything (fresh snapshot) skip it so the scan stays predicate-free
+      val missingIdx = missing.map(_._2)
+      val toWrite =
+        if (missing.length == manifest.length) withChunk
+        else withChunk.where(col("__chunk").isInCollection(missingIdx))
+      toWrite
+        .repartition(math.max(1, math.min(missing.length, parts * 4)), col("__chunk"))
+        .sortWithinPartitions("__chunk", "key")
+        .write.mode(SaveMode.Overwrite)
+        .partitionBy("__chunk")
+        .parquet(stagingPath)
+      missing.foreach { case (ri, chunkIdx) =>
+        val src = new Path(s"$stagingPath/__chunk=$chunkIdx")
+        val dest = new Path(ri.path)
+        if (!fs.exists(dest)) fs.rename(src, dest)
+      }
+      fs.delete(new Path(stagingPath), true)
     }
-    fs.delete(new Path(stagingPath), true)
     manifest.map(_._1).sortBy(_.minKey).toSeq
   }
 
   private def writeManifest(metaRangeId: String, infos: Seq[RangeInfo]): Unit = {
-    import spark.implicits._
-    val dir = manifestDir(metaRangeId)
-    if (!fs.exists(new Path(dir)))
-      infos.toDF().coalesce(1).write.mode(SaveMode.Overwrite).parquet(dir)
+    val p = new Path(manifestDir(metaRangeId))
+    if (!fs.exists(p)) SnapshotStore.writeManifestFile(fs, p, infos)
+    manifestCache.put(metaRangeId, infos.sortBy(_.minKey))
   }
 
   private def metaRangeIdOf(infos: Seq[RangeInfo]): String =
     graft.core.Identity.sha256Hex(infos.map(_.rangeId).mkString(","))
+}
+
+object SnapshotStore {
+  import com.fasterxml.jackson.databind.ObjectMapper
+
+  // jackson (on the Spark classpath) handles key escaping; keys are
+  // arbitrary user paths so hand-rolled formats would be fragile
+  private val mapper = new ObjectMapper()
+
+  /** One JSON object per line; write-to-temp + rename for atomicity. */
+  private[store] def writeManifestFile(fs: FileSystem, p: Path,
+      infos: Seq[RangeInfo]): Unit = {
+    val tmp = new Path(p.getParent, p.getName + s".tmp_${java.util.UUID.randomUUID()}")
+    fs.mkdirs(p.getParent)
+    val out = fs.create(tmp, true)
+    try {
+      val w = new java.io.BufferedWriter(
+        new java.io.OutputStreamWriter(out, java.nio.charset.StandardCharsets.UTF_8))
+      infos.foreach { ri =>
+        val n = mapper.createObjectNode()
+        n.put("rangeId", ri.rangeId); n.put("minKey", ri.minKey)
+        n.put("maxKey", ri.maxKey); n.put("estimatedSize", ri.estimatedSize)
+        n.put("count", ri.count); n.put("path", ri.path)
+        w.write(mapper.writeValueAsString(n)); w.write('\n')
+      }
+      w.flush()
+    } finally out.close()
+    if (!fs.rename(tmp, p) && !fs.exists(p))
+      sys.error(s"manifest rename failed: $p")
+  }
+
+  private[store] def readManifestFile(fs: FileSystem, p: Path): Seq[RangeInfo] = {
+    val in = fs.open(p)
+    try {
+      val r = new java.io.BufferedReader(
+        new java.io.InputStreamReader(in, java.nio.charset.StandardCharsets.UTF_8))
+      Iterator.continually(r.readLine()).takeWhile(_ != null)
+        .filter(_.nonEmpty).map { line =>
+          val n = mapper.readTree(line)
+          RangeInfo(n.get("rangeId").asText(), n.get("minKey").asText(),
+            n.get("maxKey").asText(), n.get("estimatedSize").asLong(),
+            n.get("count").asLong(), n.get("path").asText())
+        }.toVector
+    } finally in.close()
+  }
 }
