@@ -22,6 +22,31 @@ object EventQueries {
 
   type QueryFn = (SparkSession, String) => DataFrame
 
+  /**
+   * Conversion funnel view→click→purchase over (user_id, tsec, event_type):
+   * per user the first view, then the first click within `window` seconds
+   * of it, then the first purchase within `window` of that. Returns
+   * (user_id, first_view, stage ∈ 1..3) for every user with a view. Each
+   * step is a per-user min aggregation + equi-join on user_id.
+   */
+  def funnel(ev: DataFrame, window: Long = 86400L): DataFrame = {
+    val v = ev.where(col("event_type") === "view")
+      .groupBy("user_id").agg(min("tsec").as("tv"))
+    val c = ev.where(col("event_type") === "click").as("e")
+      .join(v.as("v"), "user_id")
+      .where(col("e.tsec") > col("tv") && col("e.tsec") <= col("tv") + window)
+      .groupBy("user_id").agg(min("tsec").as("tc"))
+    val p = ev.where(col("event_type") === "purchase").as("e")
+      .join(c.as("c"), "user_id")
+      .where(col("e.tsec") > col("tc") && col("e.tsec") <= col("tc") + window)
+      .groupBy("user_id").agg(min("tsec").as("tp"))
+    v.join(c.select(col("user_id"), lit(1).as("has_c")), Seq("user_id"), "left")
+      .join(p.select(col("user_id"), lit(1).as("has_p")), Seq("user_id"), "left")
+      .select(col("user_id"), col("tv").as("first_view"),
+        (lit(1) + coalesce(col("has_c"), lit(0)) + coalesce(col("has_p"), lit(0)))
+          .cast("int").as("stage"))
+  }
+
   val defs: Map[String, (QueryFn, Option[String])] = Map(
 
     // Sessionization: per-user sessions split at > 30 min gaps; one row
@@ -69,6 +94,84 @@ object EventQueries {
                min(tsec) AS session_start, max(tsec) AS session_end,
                CAST(count(*) AS BIGINT) AS n_events,
                CAST(sum(value_c) AS BIGINT) AS value_c
-        FROM sess GROUP BY 1, 2 ORDER BY user_id, sess_idx"""))
+        FROM sess GROUP BY 1, 2 ORDER BY user_id, sess_idx""")),
+
+    // Tumbling 1-hour windows per event type (the batch twin of a
+    // Structured Streaming `window($"ts", "1 hour")` aggregation — integer
+    // epoch arithmetic so the oracle hash-matches). One shuffle on the
+    // (window, type) grouping key; partial aggregation map-side.
+    "ev_window_agg" -> (((s: SparkSession, d: String) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      Fixtures.events(s, d)
+        .select(expr("ts div 1000000000").as("tsec"), col("event_type"),
+          floor(col("value") * 100 + 0.5).cast("long").as("value_c"))
+        .withColumn("hour_start", col("tsec") - (col("tsec") % 3600))
+        .groupBy("hour_start", "event_type")
+        .agg(count(lit(1)).cast("long").as("n_events"),
+          sum("value_c").cast("long").as("sum_value_c"))
+        .orderBy("hour_start", "event_type")
+    }),
+      Some("""
+        WITH ev AS (
+          SELECT epoch_ns(ts) // 1000000000 AS tsec, event_type,
+                 CAST(floor(value*100 + 0.5) AS BIGINT) AS value_c
+          FROM events
+        )
+        SELECT tsec - (tsec % 3600) AS hour_start, event_type,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(value_c) AS BIGINT) AS sum_value_c
+        FROM ev GROUP BY 1, 2 ORDER BY hour_start, event_type""")),
+
+    // Conversion funnel view -> click -> purchase with a 1-day conversion
+    // window per step: per user, the first view, then the first click
+    // within a day of it, then the first purchase within a day of that.
+    // Stage = how far the user got (1..3). Each step is a per-user min
+    // aggregation + broadcastable equi-join on user_id — no windows over
+    // the full event stream, shuffles only on user_id.
+    "ev_funnel" -> (((s: SparkSession, d: String) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      funnel(Fixtures.events(s, d)
+        .select(col("user_id"), expr("ts div 1000000000").as("tsec"), col("event_type")))
+        .orderBy("user_id")
+    }),
+      Some("""
+        WITH ev AS (
+          SELECT user_id, epoch_ns(ts) // 1000000000 AS tsec, event_type FROM events
+        ),
+        v AS (SELECT user_id, min(tsec) AS tv FROM ev
+              WHERE event_type = 'view' GROUP BY 1),
+        c AS (SELECT e.user_id, min(e.tsec) AS tc FROM ev e
+              JOIN v ON e.user_id = v.user_id
+              WHERE e.event_type = 'click' AND e.tsec > v.tv
+                AND e.tsec <= v.tv + 86400 GROUP BY 1),
+        p AS (SELECT e.user_id, min(e.tsec) AS tp FROM ev e
+              JOIN c ON e.user_id = c.user_id
+              WHERE e.event_type = 'purchase' AND e.tsec > c.tc
+                AND e.tsec <= c.tc + 86400 GROUP BY 1)
+        SELECT v.user_id, v.tv AS first_view,
+               CAST(1 + (CASE WHEN c.user_id IS NULL THEN 0 ELSE 1 END)
+                      + (CASE WHEN p.user_id IS NULL THEN 0 ELSE 1 END) AS INT) AS stage
+        FROM v LEFT JOIN c ON v.user_id = c.user_id
+               LEFT JOIN p ON v.user_id = p.user_id
+        ORDER BY v.user_id""")),
+
+    // JSON property extraction (§2.8 json surface): pull props.$.k with
+    // codegen'd get_json_object, aggregate per event type.
+    "ev_props_json" -> (((s: SparkSession, d: String) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      Fixtures.events(s, d)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(count(col("k")).cast("long").as("n_with_k"),
+          sum("k").cast("long").as("sum_k"), max("k").cast("long").as("max_k"))
+        .orderBy("event_type")
+    }),
+      Some("""
+        SELECT event_type,
+               CAST(count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS n_with_k,
+               CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+               CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+        FROM events GROUP BY 1 ORDER BY event_type"""))
   )
 }

@@ -73,6 +73,21 @@ object TextQueries {
           GROUP BY 1, 2
         )"""
 
+  /** Repetition quality signal over (doc_id, text): total / distinct /
+    * most-frequent word-bigram counts and the duplicate-bigram ratio.
+    * Docs with < 2 tokens have no bigrams and drop out. */
+  def repetition(docs: DataFrame): DataFrame = {
+    val grams = docs
+      .select(col("doc_id"), explode(shingles(col("text"), 2)).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("n"))
+    grams.groupBy("doc_id")
+      .agg(sum("n").cast("long").as("n_2g"),
+        count(lit(1)).cast("long").as("n_uniq_2g"),
+        max("n").cast("long").as("top_2g_n"))
+      .withColumn("rep_ratio",
+        (col("n_2g") - col("n_uniq_2g")).cast("double") / col("n_2g"))
+  }
+
   /** MinHash pipeline (16 perms over 3-shingles, 4 bands of 4): banded-LSH
     * candidate pairs with estimated similarity `(doc_a, doc_b, n_eq,
     * est_sim)`. The estimation stage joins signatures to CANDIDATE pairs
@@ -532,6 +547,48 @@ object TextQueries {
     "td_simhash" -> (((s: SparkSession, d: String) =>
       simhashDf(Fixtures.documents(s, d)).orderBy("doc_id")),
       Some(s"""$docsSql ${simhashSql("docs")}
-        SELECT doc_id, sim_c0, sim_c1, sim_c2, sim_c3 FROM sigs ORDER BY doc_id"""))
+        SELECT doc_id, sim_c0, sim_c1, sim_c2, sim_c3 FROM sigs ORDER BY doc_id""")),
+
+    // Repetition quality signal (the "repeated n-gram fraction" family of
+    // quality filters): per document, total / distinct / most-frequent
+    // word-bigram counts and the duplicate-bigram ratio. One explode +
+    // two-level groupBy keyed by (doc_id[, gram]) — shuffles by content,
+    // no driver loop. Docs with < 2 tokens have no bigrams and drop out on
+    // both engines.
+    "td_repetition" -> (((s: SparkSession, d: String) =>
+      repetition(Fixtures.documents(s, d)).orderBy("doc_id")),
+      Some(s"""$docsSql
+        , g AS (
+          SELECT doc_id, unnest(list_transform(
+            generate_series(1, greatest(len(toks)-1, 0)),
+            i -> toks[i] || ' ' || toks[i+1])) AS g
+          FROM docs
+        ), cnt AS (
+          SELECT doc_id, g, count(*) AS n FROM g GROUP BY 1, 2
+        )
+        SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_2g,
+               CAST(count(*) AS BIGINT) AS n_uniq_2g,
+               CAST(max(n) AS BIGINT) AS top_2g_n,
+               CAST(sum(n) - count(*) AS DOUBLE) / sum(n) AS rep_ratio
+        FROM cnt GROUP BY doc_id ORDER BY doc_id""")),
+
+    // Deterministic stratified sampling: keep a doc iff a multiplicative
+    // hash of doc_id falls under its stratum's rate (25% for even-numbered
+    // sources, 10% for odd) — reproducible downsampling with no RNG state,
+    // a pure filter that pushes down to the scan and needs no shuffle.
+    "td_sample_strat" -> (((s: SparkSession, d: String) => {
+      val h = (col("doc_id") * lit(2654435761L)) % lit(4294967296L)
+      val thr = when(substring(col("source"), 4, 10).cast("int") % 2 === 0,
+        lit(1073741824L)).otherwise(lit(429496729L))
+      Fixtures.documents(s, d).where(h < thr)
+        .select(col("doc_id"), col("source"), col("lang"))
+        .orderBy("doc_id")
+    }),
+      Some("""
+        SELECT doc_id, source, lang FROM documents
+        WHERE (doc_id * 2654435761) % 4294967296 <
+              CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0
+                   THEN 1073741824 ELSE 429496729 END
+        ORDER BY doc_id"""))
   )
 }

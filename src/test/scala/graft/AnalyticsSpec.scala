@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.{EventQueries, TextQueries}
+
+/** Specs for the event-analytics and text-quality operators added alongside
+  * the driver entries (ev_funnel, ev_window_agg, td_repetition,
+  * td_sample_strat): edge semantics the fixture data can't isolate. */
+class AnalyticsSpec extends SparkSpec {
+
+  test("funnel stages honor order and conversion window per step") {
+    import spark.implicits._
+    val w = 100L
+    val ev = Seq(
+      // u1: full funnel inside windows
+      (1L, 10L, "view"), (1L, 50L, "click"), (1L, 120L, "purchase"),
+      // u2: click too late (> first_view + w)
+      (2L, 10L, "view"), (2L, 200L, "click"), (2L, 210L, "purchase"),
+      // u3: click ok, purchase too late (> first_click + w)
+      (3L, 10L, "view"), (3L, 60L, "click"), (3L, 300L, "purchase"),
+      // u4: purchase BEFORE click never counts; no later purchase
+      (4L, 10L, "view"), (4L, 20L, "purchase"), (4L, 30L, "click"),
+      // u5: no view at all -> absent from output
+      (5L, 10L, "click"), (5L, 20L, "purchase"),
+      // u6: click at exactly first_view + w (inclusive bound) counts
+      (6L, 10L, "view"), (6L, 110L, "click")
+    ).toDF("user_id", "tsec", "event_type")
+    val out = EventQueries.funnel(ev, w).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2))).toMap
+    assert(out === Map(
+      1L -> (10L, 3), 2L -> (10L, 1), 3L -> (10L, 2),
+      4L -> (10L, 2), 6L -> (10L, 2)))
+  }
+
+  test("funnel uses FIRST view as the anchor, not any view") {
+    import spark.implicits._
+    // the second view at t=100 would admit the click at 150, but the funnel
+    // anchors at the first view (t=10) whose window ends at 60
+    val ev = Seq(
+      (1L, 10L, "view"), (1L, 100L, "view"), (1L, 150L, "click")
+    ).toDF("user_id", "tsec", "event_type")
+    val out = EventQueries.funnel(ev, 50L).collect()
+    assert(out.length === 1 && out.head.getInt(2) === 1)
+  }
+
+  test("repetition counts duplicate bigrams; short docs drop out") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a a a a"),        // bigrams: "a a" x3 -> 3 total, 1 uniq, ratio 2/3
+      (2L, "x y x y"),        // "x y","y x","x y" -> 3 total, 2 uniq, top 2
+      (3L, "hello"),          // < 2 tokens -> absent
+      (4L, "p q r")           // all distinct -> ratio 0
+    ).toDF("doc_id", "text")
+    val out = TextQueries.repetition(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(out.keySet === Set(1L, 2L, 4L))
+    assert(out(1L) === ((3L, 1L, 3L, 2.0 / 3)))
+    assert(out(2L) === ((3L, 2L, 2L, 1.0 / 3)))
+    assert(out(4L) === ((2L, 2L, 1L, 0.0)))
+  }
+
+  test("stratified sample is deterministic and matches the hash predicate") {
+    val d = "/root/testdata/sf0.001"
+    val q = SparkEntry.queries("td_sample_strat")
+    val first = q(spark, d).collect().map(_.getLong(0))
+    val second = q(spark, d).collect().map(_.getLong(0))
+    assert(first.sameElements(second) && first.nonEmpty)
+    // re-derive membership in plain Scala
+    val all = graft.fixtures.Fixtures.documents(spark, d)
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val expect = all.collect { case (id, src)
+      if (id * 2654435761L) % 4294967296L <
+        (if (src.drop(3).toInt % 2 == 0) 1073741824L else 429496729L) => id }
+    assert(first.sorted.sameElements(expect.sorted))
+  }
+
+  test("window agg buckets are hour-aligned and cover every event") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val d = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("ev_window_agg")(spark, d)
+    val events = graft.fixtures.Fixtures.events(spark, d)
+    assert(out.agg(sum("n_events")).head().getLong(0) === events.count())
+    assert(out.where(col("hour_start") % 3600 =!= 0).count() === 0)
+  }
+}
