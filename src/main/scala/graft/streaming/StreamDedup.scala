@@ -1,0 +1,32 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Streaming exact deduplication for a document ingest pipeline
+ * (SURVEY.md §2.9 north-star): keep the FIRST document per content
+ * fingerprint, dropping later duplicates that arrive within the watermark
+ * horizon — the incremental form of the batch td_fingerprint/td_curation
+ * keep-first rule.
+ *
+ * Uses `dropDuplicatesWithinWatermark` so state for a fingerprint is
+ * retained only while a duplicate could still arrive (bounded state);
+ * duplicates separated by more than the watermark horizon pass through —
+ * at 100 TB the horizon is the deliberate cost/recall knob, with the batch
+ * dedup as the periodic exact pass.
+ *
+ * Scale: state shards by fingerprint across executors; the fingerprint is
+ * computed with codegen'd sha2 over whitespace-normalized lowercased text,
+ * identical to the batch fingerprint so the two passes agree.
+ */
+object StreamDedup {
+
+  /** Input columns: (doc_id long, ts timestamp, text string). Output:
+    * first-seen docs only, with their fingerprint. */
+  def firstSeen(docs: DataFrame, watermark: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("fp", sha2(regexp_replace(lower(col("text")), "\\s+", " "), 256))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("fp")
+}

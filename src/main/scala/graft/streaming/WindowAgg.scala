@@ -1,0 +1,32 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Streaming tumbling-window aggregation (SURVEY.md §2.9 north-star): the
+ * incremental form of `EventQueries.ev_window_agg` — per (1-hour window,
+ * event_type) event counts and value sums over a watermarked event stream.
+ *
+ * Windows emit on `append` once the watermark passes their end, so each
+ * (window, type) row is final — equal to what the batch tumbling-window
+ * query computes over the same data (asserted in StreamAggSpec).
+ *
+ * Scale: state is one row per open (window, type) bucket, bounded by the
+ * watermark horizon; the state store shards by grouping key across
+ * executors like any keyed streaming agg.
+ */
+object WindowAgg {
+
+  /** Input columns: (ts timestamp, event_type string, value_c long).
+    * Output per closed window: window_start, event_type, n_events,
+    * sum_value_c. */
+  def hourly(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).cast("long").as("n_events"),
+        sum("value_c").cast("long").as("sum_value_c"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value_c"))
+}

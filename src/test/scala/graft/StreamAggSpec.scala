@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.streaming.{StreamDedup, WindowAgg}
+
+/** Streaming window agg and streaming dedup must agree with their batch
+  * twins on the same rows once the watermark closes every window. */
+class StreamAggSpec extends SparkSpec {
+
+  private val base = 1704067200L // 2024-01-01T00:00:00Z
+
+  test("streaming hourly window agg matches the batch tumbling-window query") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    // events across three hour buckets, two types; one event exactly on an
+    // hour boundary (belongs to the LATER window: [start, end))
+    val ev = Seq(
+      (0L, "view", 10L), (100L, "view", 20L), (3599L, "click", 5L),
+      (3600L, "view", 7L), (5400L, "click", 8L),
+      (7300L, "view", 9L))
+
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, Long)]
+    val in = mem.toDF().toDF("tsec", "event_type", "value_c")
+      .select(timestamp_seconds(col("tsec") + base).as("ts"),
+        col("event_type"), col("value_c"))
+    val q = WindowAgg.hourly(in).writeStream
+      .outputMode("append").format("memory").queryName("win_out").start()
+    try {
+      mem.addData(ev)
+      q.processAllAvailable()
+      // advance the watermark past every real window, then flush
+      mem.addData(Seq((10000000L, "x", 0L)))
+      q.processAllAvailable()
+      mem.addData(Seq((10000001L, "x", 0L)))
+      q.processAllAvailable()
+
+      val got = spark.table("win_out").where(col("event_type") =!= "x")
+        .select(col("window_start").cast("long").as("ws"), col("event_type"),
+          col("n_events"), col("sum_value_c"))
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .toSet
+
+      val batch = ev.toDF("tsec", "event_type", "value_c")
+        .withColumn("tsec", col("tsec") + base)
+        .withColumn("ws", col("tsec") - (col("tsec") % 3600))
+        .groupBy("ws", "event_type")
+        .agg(count(lit(1)).cast("long").as("n"), sum("value_c").cast("long").as("v"))
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .toSet
+
+      assert(got === batch)
+      assert(got.size === 5) // (h0:view, h0:click, h1:view, h1:click, h2:view)
+    } finally q.stop()
+  }
+
+  test("streaming dedup keeps first per fingerprint within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, String)]
+    val in = mem.toDF().toDF("doc_id", "tsec", "text")
+      .select(col("doc_id"), timestamp_seconds(col("tsec") + base).as("ts"), col("text"))
+    val q = StreamDedup.firstSeen(in, watermark = "1 hour").writeStream
+      .outputMode("append").format("memory").queryName("dedup_out").start()
+    try {
+      // batch 1: two distinct docs + a same-batch duplicate (whitespace/case
+      // variant — the normalized fingerprint matches)
+      mem.addData(Seq(
+        (1L, 0L, "the quick brown fox"),
+        (2L, 10L, "entirely different text"),
+        (3L, 20L, "The  quick   BROWN fox")))
+      q.processAllAvailable()
+      // batch 2: a cross-batch duplicate within the horizon + a fresh doc
+      mem.addData(Seq(
+        (4L, 600L, "the quick brown fox"),
+        (5L, 700L, "a third unique document")))
+      q.processAllAvailable()
+
+      val got = spark.table("dedup_out").select("doc_id").collect()
+        .map(_.getLong(0)).toSet
+      assert(got === Set(1L, 2L, 5L))
+    } finally q.stop()
+  }
+}
