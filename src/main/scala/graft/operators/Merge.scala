@@ -32,17 +32,17 @@ object Merge {
    * side's payload is kept column-wise.
    */
   def applyChanges(base: DataFrame, changes: DataFrame): DataFrame = {
-    val payload = base.columns.filterNot(_ == "key").toSeq
-    val b = base.select(col("key") +: payload.map(c => col(c).as(s"__b_$c")): _*)
-    val c0 = changes.select(col("key") +: payload.map(c => col(c).as(s"__c_$c")): _*)
-      .withColumn("__is_change", lit(true))
-    b.join(c0, Seq("key"), "full_outer")
-      // drop tombstoned keys (an actual change row carrying a null identity)
-      .where(col("__is_change").isNull || col("__c_identity").isNotNull)
-      .select(col("key") +: payload.map { p =>
-        when(col("__is_change").isNotNull, col(s"__c_$p"))
-          .otherwise(col(s"__b_$p")).as(p)
-      }: _*)
+    // With per-key change sets (LWW applied upstream) the full-outer
+    // merge-join form is equivalent to: base rows whose key is untouched,
+    // plus the non-tombstone change rows. The anti-join keys on the (small)
+    // change set, so Catalyst/AQE broadcast it and the base side never
+    // shuffles or sorts — the full-outer form forced a sort-merge of the
+    // whole snapshot per commit.
+    val cols = base.columns.toSeq
+    val kept = base.join(changes.select("key"), Seq("key"), "left_anti")
+    val added = changes.where(col("identity").isNotNull)
+      .select(cols.map(col): _*)
+    kept.unionByName(added)
   }
 
   /** Per-side delta vs base: keys the side added, removed (payload becomes
