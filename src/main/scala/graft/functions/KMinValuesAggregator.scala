@@ -1,0 +1,94 @@
+package graft.functions
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+
+/**
+ * Typed k-minimum-values (KMV) sketch aggregator (SURVEY.md §2.10): keeps the
+ * k smallest distinct hash values seen per group. The k-th smallest hash h_k
+ * yields the classic distinct-count estimate (k-1) * 2^60 / h_k for 60-bit
+ * hashes (Bar-Yossef et al., "Counting distinct elements in a data stream").
+ *
+ * The buffer is a bounded array held in DESCENDING order, so the current
+ * threshold (the largest kept value) sits at index 0: a streamed value is
+ * rejected with one comparison once the sketch is full, which is the common
+ * case at scale. The sketch is associative and commutative — `merge` is a
+ * k-bounded merge of two sorted runs — so Spark plans it with partial
+ * aggregation (map-side combine): each task ships at most k longs upstream,
+ * unlike a `row_number() OVER (ORDER BY h)` window, which totally sorts every
+ * row of the group on a single partition.
+ *
+ * Distinctness: duplicate hashes are dropped on insert (KMV needs the k
+ * smallest DISTINCT values; the estimator is biased otherwise).
+ *
+ * Usage:
+ * {{{
+ *   val kth = udaf(new KMinValuesAggregator(64))
+ *   hashes.groupBy("g").agg(kth(col("h")).as("kth_hash"))  // -1 if < k values
+ * }}}
+ */
+class KMinValuesAggregator(k: Int) extends Aggregator[Long, Array[Long], Long] {
+  require(k >= 1, s"k must be >= 1, got $k")
+
+  // Descending-sorted array of the smallest distinct values so far
+  // (length <= k); buf(0) is the rejection threshold once full.
+  override def zero: Array[Long] = Array.emptyLongArray
+
+  override def reduce(buf: Array[Long], h: Long): Array[Long] = {
+    if (buf.length == k && h >= buf(0)) return buf
+    // find insertion point in the descending run; drop duplicates
+    var lo = 0; var hi = buf.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (buf(mid) > h) lo = mid + 1 else hi = mid
+    }
+    if (lo < buf.length && buf(lo) == h) return buf
+    if (buf.length < k) {
+      val out = new Array[Long](buf.length + 1)
+      System.arraycopy(buf, 0, out, 0, lo)
+      out(lo) = h
+      System.arraycopy(buf, lo, out, lo + 1, buf.length - lo)
+      out
+    } else {
+      // full: evict the current maximum at index 0, shift the prefix left
+      System.arraycopy(buf, 1, buf, 0, lo - 1)
+      buf(lo - 1) = h
+      buf
+    }
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    if (a.isEmpty) return b
+    if (b.isEmpty) return a
+    // merge two descending runs, keeping the k smallest distinct values:
+    // walk both from the SMALL end (the back) and fill the result backwards.
+    val n = math.min(k, a.length + b.length)
+    val out = new Array[Long](n)
+    var ia = a.length - 1; var ib = b.length - 1; var o = n - 1; var kept = 0
+    var last = Long.MinValue; var first = true
+    while (o >= 0 && (ia >= 0 || ib >= 0)) {
+      val v =
+        if (ib < 0 || (ia >= 0 && a(ia) <= b(ib))) { val x = a(ia); ia -= 1; x }
+        else { val x = b(ib); ib -= 1; x }
+      if (first || v != last) {
+        out(o) = v; o -= 1; kept += 1; last = v; first = false
+      }
+    }
+    if (kept == n) out else java.util.Arrays.copyOfRange(out, o + 1, n)
+  }
+
+  /** The k-th smallest distinct hash, or -1 when the group held fewer than
+    * k distinct values (the estimator is undefined there — callers filter). */
+  override def finish(buf: Array[Long]): Long =
+    if (buf.length == k) buf(0) else -1L
+
+  override def bufferEncoder: Encoder[Array[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  override def outputEncoder: Encoder[Long] = Encoders.scalaLong
+}
+
+object KMinValuesAggregator {
+  /** Distinct-count estimate from the k-th smallest `bits`-bit hash. */
+  def estimate(k: Int, kthHash: Long, bits: Int = 60): Double =
+    (k - 1).toDouble * math.pow(2, bits) / kthHash.toDouble
+}

@@ -141,19 +141,22 @@ object ExtendedQueries {
     // KMV (k-minimum-values) distinct sketch with an EXACT oracle: the
     // estimator is approximate, but its computation — k-th smallest 60-bit
     // key hash per group, estimate = (k-1)*2^60/h_k — is pure integer+IEEE
-    // arithmetic, identical on both engines. The mergeable form at 100 TB
-    // keeps the k smallest hashes per partition and merges (map-side
-    // combinable, like the reference's spark-side HLL usage).
+    // arithmetic, identical on both engines. The 100 TB shape: a typed
+    // [[graft.functions.KMinValuesAggregator]] keeps a bounded k-array per
+    // group and merges partial states, so Spark plans it with map-side
+    // partial aggregation — each task ships at most k longs per group,
+    // versus a `row_number() OVER (ORDER BY h)` window's total per-group
+    // sort. Keys are unique per group here, so the sketch's k-th smallest
+    // DISTINCT hash equals the oracle window's k-th row.
     "vc_kmv_distinct" -> (((s: SparkSession, d: String) => {
-      import org.apache.spark.sql.expressions.Window
       val k = 64
-      val base = graft.fixtures.Fixtures.keyedBase(s, d)
+      val kth = udaf(new graft.functions.KMinValuesAggregator(k))
+      graft.fixtures.Fixtures.keyedBase(s, d)
         .withColumn("h", conv(substring(sha2(col("key"), 256), 1, 15), 16, 10).cast("long"))
-      val w = Window.partitionBy("rf").orderBy("h")
-      base.withColumn("rn", row_number().over(w)).where(col("rn") === k)
-        .select(col("rf"),
-          col("h").as("kth_hash"),
-          (lit((k - 1).toDouble) * lit(math.pow(2, 60)) / col("h").cast("double"))
+        .groupBy("rf").agg(kth(col("h")).as("kth_hash"))
+        .where(col("kth_hash") >= 0)
+        .select(col("rf"), col("kth_hash"),
+          (lit((k - 1).toDouble) * lit(math.pow(2, 60)) / col("kth_hash").cast("double"))
             .as("kmv_estimate"))
         .orderBy("rf")
     }),

@@ -487,15 +487,18 @@ object TextQueries {
     // Corpus n-gram frequency table: top-20 3-gram shingles by document
     // frequency (ties broken by shingle) - the "most common phrases" report
     // every corpus audit starts with. Shuffle keys are shingles: partial
-    // aggregation map-side combines, the final top-k is a single tiny sort.
+    // aggregation map-side combines; the final top-k is orderBy+limit, which
+    // Spark plans as TakeOrderedAndProject (per-partition bounded heaps, a
+    // 20-row merge at the driver) — never a global single-partition sort.
+    // Rank is then derived over just the 20 surviving rows.
     "td_top_ngrams" -> (((s: SparkSession, d: String) => {
       import org.apache.spark.sql.expressions.Window
       val ex = Fixtures.documents(s, d)
         .select(col("doc_id"), explode(array_distinct(shingles(col("text"), 3))).as("s"))
       val counts = ex.groupBy("s").agg(count(lit(1)).as("n_docs"))
+      val top = counts.orderBy(col("n_docs").desc, col("s").asc).limit(20)
       val w = Window.orderBy(col("n_docs").desc, col("s").asc)
-      counts.withColumn("rank", row_number().over(w).cast("long"))
-        .where(col("rank") <= 20)
+      top.withColumn("rank", row_number().over(w).cast("long"))
         .select("rank", "s", "n_docs")
         .orderBy("rank")
     }),

@@ -27,4 +27,48 @@ class ExtensionsSpec extends AnyFunSuite {
       SparkSession.setActiveSession(shared)
     }
   }
+
+  test("KMinValuesAggregator merges partial states to the exact k-th smallest") {
+    val agg = new graft.functions.KMinValuesAggregator(8)
+    val rnd = new scala.util.Random(42)
+    // duplicate-heavy stream split across 4 "partitions"
+    val data = Array.fill(400)(rnd.nextInt(100).toLong)
+    val partials = data.grouped(100)
+      .map(_.foldLeft(agg.zero)(agg.reduce))
+      .toSeq
+    partials.foreach { p =>
+      assert(p.length <= 8)
+      assert(p.sameElements(p.sorted(Ordering[Long].reverse)), "descending invariant")
+      assert(p.distinct.length === p.length, "distinct invariant")
+    }
+    val merged = partials.reduce(agg.merge)
+    val expected = data.distinct.sorted.apply(7) // 8th smallest distinct
+    assert(agg.finish(merged) === expected)
+    // merge order must not matter (commutative + associative)
+    val merged2 = partials.reverse.reduce(agg.merge)
+    assert(agg.finish(merged2) === expected)
+    // under-filled group: fewer than k distinct values -> sentinel
+    val small = Array(5L, 3L, 5L, 3L).foldLeft(agg.zero)(agg.reduce)
+    assert(agg.finish(small) === -1L)
+  }
+
+  test("KMinValuesAggregator matches a window row_number over a DataFrame") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val spark = SparkSpec.session
+    import spark.implicits._
+    val k = 16
+    val df = (1 to 500).map(i => (i % 3, s"key$i")).toDF("g", "key")
+      .withColumn("h", conv(substring(sha2(col("key"), 256), 1, 15), 16, 10).cast("long"))
+      .persist()
+    try {
+      val kth = udaf(new graft.functions.KMinValuesAggregator(k))
+      val got = df.groupBy("g").agg(kth(col("h")).as("kth"))
+        .orderBy("g").collect().map(r => (r.getInt(0), r.getLong(1)))
+      val w = Window.partitionBy("g").orderBy("h")
+      val want = df.withColumn("rn", row_number().over(w)).where(col("rn") === k)
+        .orderBy("g").collect().map(r => (r.getInt(0), r.getAs[Long]("h")))
+      assert(got.toSeq === want.toSeq)
+    } finally df.unpersist()
+  }
 }

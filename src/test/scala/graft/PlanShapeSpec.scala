@@ -52,10 +52,38 @@ class PlanShapeSpec extends SparkSpec {
       plan.contains("GreaterThanOrEqual(key,a/k01") && plan.contains("LessThan(key,a/k02"),
       s"prefix must push to the scan as a range, got:\n${plan.take(2000)}")
     assert(listed.count() === 100)
-    // point-get interval scan: equality pushes down
+    // point-get interval scan: equality pushes down. The upper bound only
+    // needs to be > the key and <= its successor; "!" (0x21, the smallest
+    // printable char) keeps the bound ASCII-clean.
     val got = graft.operators.Listing.pointGet(
-      store.scanInterval(meta, Some("a/k0250"), Some("a/k0250\u0000")), "a/k0250")
+      store.scanInterval(meta, Some("a/k0250"), Some("a/k0250!")), "a/k0250")
     assert(got.queryExecution.executedPlan.toString.contains("EqualTo(key,a/k0250"))
     assert(got.count() === 1)
+  }
+
+  test("td_top_ngrams plans a bounded top-k, not a global-window sort") {
+    val df = SparkEntry.queries("td_top_ngrams")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    // orderBy+limit over the counts -> TakeOrderedAndProject (per-partition
+    // bounded heaps + a 20-row driver merge). The rank window must consume
+    // ONLY the 20 surviving rows, i.e. sit above the TakeOrderedAndProject.
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must plan as TakeOrderedAndProject, got:\n${plan.take(2000)}")
+    val windowAt = plan.indexOf("Window")
+    val topKAt = plan.indexOf("TakeOrderedAndProject")
+    assert(windowAt >= 0 && windowAt < topKAt,
+      "rank Window must be above (consume) the TakeOrderedAndProject output")
+  }
+
+  test("vc_kmv_distinct plans a partial aggregation, not a per-group sort window") {
+    val df = SparkEntry.queries("vc_kmv_distinct")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"KMV must not sort groups through a window, got:\n${plan.take(2000)}")
+    // typed Aggregator -> ObjectHashAggregate with a map-side partial pass
+    assert(plan.contains("ObjectHashAggregate"),
+      s"KMV must aggregate via ObjectHashAggregate, got:\n${plan.take(2000)}")
+    assert(plan.contains("partial_kminvaluesaggregator"),
+      s"KMV aggregation must include a map-side partial pass, got:\n${plan.take(2000)}")
   }
 }
