@@ -15,16 +15,20 @@ import graft.store.SnapshotStore
  * twins (the same relational plans on plain Spark with no manifests, no
  * range reuse, no pruning) so the engine-vs-bare ratio is self-contained.
  *
- * Methodology: an untimed warmup JIT-compiles every code path, then TWO full
- * passes run over fresh repositories and each metric reports its minimum —
- * identical work each pass, so the min strips single-run I/O noise (this
- * host shows ±70% run-to-run variance on cold parquet I/O) without ever
- * measuring a cheaper path.
+ * Methodology: an untimed warmup JIT-compiles every code path, then FIVE full
+ * passes run over fresh repositories and each metric reports its MEDIAN —
+ * identical work each pass, so the median is robust to this host's ±70%
+ * run-to-run I/O variance in both directions (a min can flatter a real
+ * regression on a lucky pass; a single slow pass can triple a best-of-two).
+ * Per-metric minima ride along in `queries_min` for floor comparison.
  *
  * Prints exactly one JSON line:
- * {"metric":"total","value":N,"unit":"sec","queries":{...},"sf":"..."}
+ * {"metric":"total","value":N,"unit":"sec","queries":{median...},
+ *  "queries_min":{...},"passes":5,"sf":"..."}
  */
 object Bench {
+
+  val passes = 5
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -43,22 +47,21 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    val results = scala.collection.mutable.LinkedHashMap[String, Double]()
-    // best-of-passes; a failing metric records -1 unless a pass succeeded
+    // all successful samples per metric, in pass order; a metric with no
+    // successful pass reports -1
+    val samples =
+      scala.collection.mutable.LinkedHashMap[String, Vector[Double]]()
     def timed[T](name: String)(f: => T): Option[T] = {
       val t0 = System.nanoTime()
       try {
         val r = f
         val sec = (System.nanoTime() - t0) / 1e9
-        results(name) = results.get(name) match {
-          case Some(prev) if prev >= 0 => math.min(prev, sec)
-          case _                       => sec
-        }
+        samples(name) = samples.getOrElse(name, Vector.empty) :+ sec
         Some(r)
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          if (!results.get(name).exists(_ >= 0)) results(name) = -1.0
+          samples.getOrElseUpdate(name, Vector.empty)
           None
       }
     }
@@ -213,19 +216,27 @@ object Bench {
       } finally deleteDir(repoDir)
     }
 
-    runPass(1)
-    runPass(2)
-    emit(results, sfDir)
+    (1 to passes).foreach(runPass)
+    emit(samples, sfDir)
     spark.stop()
   }
 
-  private def emit(results: scala.collection.mutable.LinkedHashMap[String, Double],
+  private def median(v: Vector[Double]): Double =
+    if (v.isEmpty) -1.0
+    else { val s = v.sorted; (s((s.size - 1) / 2) + s(s.size / 2)) / 2 }
+
+  private def emit(
+      samples: scala.collection.mutable.LinkedHashMap[String, Vector[Double]],
       sfDir: String): Unit = {
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    def json(f: Vector[Double] => Double) = samples
+      .map { case (k, v) => "\"" + k + "\":" + f(v) }.mkString("{", ",", "}")
+    val qs = json(median)
+    val qsMin = json(v => if (v.isEmpty) -1.0 else v.min)
     // headline total = engine metrics only; bare_* twins are the comparison
-    val total = results.collect {
-      case (k, v) if v >= 0 && !k.startsWith("bare_") => v
+    val total = samples.collect {
+      case (k, v) if v.nonEmpty && !k.startsWith("bare_") => median(v)
     }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""queries_min":$qsMin,"passes":$passes,"sf":"$sfDir"}""")
   }
 }

@@ -62,9 +62,13 @@ object Profile {
     // measures the idempotent-path cost)
     t("writeSnapshot_again") { store.writeSnapshot(base) }
 
-    // warm repetitions into FRESH repos: true write cost after JIT warmup
-    for (i <- 1 to 2) {
-      val s2 = new SnapshotStore(spark, s"target/profile_repo2_$i", raggedness = 50000L)
+    // warm repetitions into FRESH repos (unique dirs — a reused dir would
+    // silently measure the idempotent path): true write cost after JIT warmup
+    val tmpDirs = scala.collection.mutable.Buffer[String]()
+    for (i <- 1 to 3) {
+      val d = s"target/profile_repo2_${java.util.UUID.randomUUID()}"
+      tmpDirs += d
+      val s2 = new SnapshotStore(spark, d, raggedness = 50000L)
       t(s"writeSnapshot_fresh_$i") { s2.writeSnapshot(base) }
       t(s"bare_write_$i") {
         base.repartitionByRange(col("key")).sortWithinPartitions("key")
@@ -72,7 +76,9 @@ object Profile {
       }
     }
     // warm commit into fresh repo
-    val s3 = new SnapshotStore(spark, "target/profile_repo3", raggedness = 50000L)
+    val repo3 = s"target/profile_repo3_${java.util.UUID.randomUUID()}"
+    tmpDirs += repo3
+    val s3 = new SnapshotStore(spark, repo3, raggedness = 50000L)
     val m3 = t("writeSnapshot_pre_commit") { s3.writeSnapshot(base)._1 }
     t("commitChanges_warm") { s3.commitChanges(m3, changes) }
 
@@ -109,6 +115,8 @@ object Profile {
       new java.net.URI(repoDir), spark.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(repoDir), true)
     fs.delete(new org.apache.hadoop.fs.Path(bareOut), true)
+    fs.delete(new org.apache.hadoop.fs.Path("target/profile_manual"), true)
+    tmpDirs.foreach(d => fs.delete(new org.apache.hadoop.fs.Path(d), true))
     spark.stop()
   }
 }

@@ -36,7 +36,9 @@ object Dag {
    * G1: commit log — all commits reachable from `head`, newest first
    * (CreationDate desc, tie → larger id; `commit_iterator.go:39-45`).
    * `firstParent` restricts the walk to each commit's first parent, like
-   * `git log --first-parent`.
+   * `git log --first-parent`. `since` prunes the WALK, not just the output:
+   * a commit older than the cutoff is never enqueued, so its ancestors are
+   * unreachable through it (`commit_iterator.go:113-114,146-149`).
    */
   def log(spark: SparkSession, commits: DataFrame, head: String,
       firstParent: Boolean = false, since: Option[Long] = None): DataFrame = {
@@ -47,13 +49,19 @@ object Dag {
     implicit val ord: Ordering[CommitRow] =
       Ordering.by((c: CommitRow) => (c.creationDate, c.id))
     val pq = mutable.PriorityQueue[CommitRow]()
-    g.get(head).foreach { c => pq.enqueue(c); visited += c.id }
+    g.get(head).foreach { c =>
+      visited += c.id
+      if (since.forall(c.creationDate >= _)) pq.enqueue(c)
+    }
     while (pq.nonEmpty) {
       val c = pq.dequeue()
-      if (since.forall(c.creationDate >= _)) out += c
+      out += c
       val ps = if (firstParent) c.parents.take(1) else c.parents
       ps.foreach { p =>
-        if (!visited(p)) g.get(p).foreach { pc => visited += p; pq.enqueue(pc) }
+        if (!visited(p)) g.get(p).foreach { pc =>
+          visited += p
+          if (since.forall(pc.creationDate >= _)) pq.enqueue(pc)
+        }
       }
     }
     toDf(spark, out.toSeq)

@@ -24,12 +24,26 @@ object Walker {
     StructField("mtime", LongType),
     StructField("size", LongType)))
 
-  /** List all files under `root` (recursive), keys relative to `root`,
-    * filtered to keys strictly after `marker` (exclusive, P2 pagination). */
-  def walk(spark: SparkSession, root: String, marker: String = ""): DataFrame = {
+  /**
+   * List all files under `root` (recursive), keys relative to `root`,
+   * filtered to keys strictly after `marker` (exclusive, P2 pagination).
+   *
+   * The top level is listed with one driver metadata call; when it fans out
+   * into at least `parallelThreshold` entries the walk delegates to
+   * [[walkParallel]] — one executor task per top-level prefix — so the
+   * default S5 path IS the 100 TB shape, not a driver loop over billions of
+   * objects. Small/flat roots (below the threshold) stay on the serial
+   * listing, where a fan-out job costs more than the listing itself.
+   */
+  def walk(spark: SparkSession, root: String, marker: String = "",
+      parallelThreshold: Int = 8): DataFrame = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
     val rootPath = fs.makeQualified(new Path(root))
+    val top = fs.listStatus(rootPath)
+    if (top.length >= parallelThreshold)
+      return walkParallel(spark, root, top.map(_.getPath.getName).toSeq, marker)
+        .orderBy("full_key")
     val prefix = rootPath.toString.stripSuffix("/") + "/"
     val out = scala.collection.mutable.ArrayBuffer[Row]()
     val it = fs.listFiles(rootPath, true)
@@ -50,9 +64,12 @@ object Walker {
    * Parallel variant (the reference Spark client's `ParallelDataLister`,
    * `DataLister.scala:1-101`): fan the listing out across executors, one
    * task per top-level prefix — the 100 TB path, where a single sequential
-   * listing of billions of objects would bottleneck the driver.
+   * listing of billions of objects would bottleneck the driver. A prefix
+   * may name a file or a directory; keys ≤ `marker` are dropped in the
+   * listing task.
    */
-  def walkParallel(spark: SparkSession, root: String, prefixes: Seq[String]): DataFrame = {
+  def walkParallel(spark: SparkSession, root: String, prefixes: Seq[String],
+      marker: String = ""): DataFrame = {
     val confSer = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
     val rootStr = root
@@ -74,7 +91,7 @@ object Walker {
               Row(rel, f"${st.getLen}%x-${st.getModificationTime}%x",
                 st.getModificationTime, st.getLen)
             }
-          }
+          }.filter(_.getString(0) > marker)
         }
       }
     spark.createDataFrame(rdd, schema)

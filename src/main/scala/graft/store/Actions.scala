@@ -1,0 +1,123 @@
+package graft.store
+
+import org.apache.spark.sql.SparkSession
+import scala.collection.mutable
+
+/**
+ * Config-driven action layer over [[HookRegistry]] (SURVEY.md §2.9) — the
+ * thin Spark-side analogue of the reference's declarative actions: an action
+ * is configuration, not code — a name, the event types + branch patterns it
+ * fires on, and a list of typed hooks (`pkg/actions/action.go:16-58`,
+ * `pkg/actions/hook.go:18-21`).
+ *
+ * Executor types (`hook.go:60-63` maps type → runner):
+ *  - `sql_check` — property `expr` is a Spark SQL boolean over the event
+ *    row (columns `event_type, repo, branch, source_ref, committer,
+ *    message, tag`); on an abortable event a false result aborts the
+ *    operation. This is the guard role the reference gives Lua scripts
+ *    (`pkg/actions/lua.go`), expressed in the engine's native expression
+ *    language — evaluated driver-side (Catalyst folds a filter over a
+ *    one-row local relation at optimization time; no cluster job).
+ *  - `webhook` — property `url` (+ optional `timeout`); this build runs
+ *    with zero egress, so the delivery is appended to
+ *    [[Actions.deliveries]] instead of POSTed. The payload mirrors the
+ *    reference's `EventInfo` JSON (`pkg/actions/webhook.go:83-141`).
+ *
+ * Branch patterns use the reference's glob matching (`*`/`?`,
+ * `pkg/actions/action.go:141-159` via `path.Match`); an empty list matches
+ * every branch. Validation mirrors `action.go:71-106`: action name and hook
+ * id shapes, at least one event, unique hook ids, known types, required
+ * properties per type.
+ */
+object Actions {
+
+  case class HookConf(id: String, hookType: String,
+      properties: Map[String, String] = Map.empty)
+
+  case class ActionConf(
+      name: String,
+      on: Map[Hooks.EventType, Seq[String]], // event -> branch globs ([] = all)
+      hooks: Seq[HookConf])
+
+  /** Recorded would-be webhook POSTs: (action, hook id, url, JSON payload). */
+  private val deliveryLog =
+    new java.util.concurrent.CopyOnWriteArrayList[(String, String, String, String)]()
+  def deliveries: Seq[(String, String, String, String)] = {
+    import scala.jdk.CollectionConverters._
+    deliveryLog.asScala.toSeq
+  }
+  def clearDeliveries(): Unit = deliveryLog.clear()
+
+  private val reName = "^\\w[\\w\\-. ]+$".r
+  private val reHookId = "^[_a-zA-Z][\\-_a-zA-Z0-9]{1,255}$".r
+  private val knownTypes = Map(
+    "sql_check" -> Seq("expr"),
+    "webhook"   -> Seq("url"))
+
+  /** `action.go:71-106` checks, minus YAML plumbing. */
+  def validate(conf: ActionConf): Unit = {
+    require(reName.matches(conf.name), s"invalid action name '${conf.name}'")
+    require(conf.on.nonEmpty, s"action '${conf.name}': 'on' is required")
+    val ids = mutable.Set[String]()
+    conf.hooks.foreach { h =>
+      require(reHookId.matches(h.id), s"invalid hook id '${h.id}'")
+      require(ids.add(h.id), s"duplicate hook id '${h.id}'")
+      val required = knownTypes.getOrElse(h.hookType,
+        sys.error(s"unknown hook type '${h.hookType}'"))
+      required.foreach(k => require(
+        h.properties.get(k).exists(_.nonEmpty),
+        s"hook '${h.id}': property '$k' is required for ${h.hookType}"))
+    }
+  }
+
+  /** Glob match with `*` (any run) and `?` (one char), anchored — the
+    * subset of `path.Match` the reference uses for branch filters. */
+  private[store] def globMatches(pattern: String, s: String): Boolean =
+    java.util.regex.Pattern.matches(
+      pattern.flatMap {
+        case '*' => ".*"
+        case '?' => "."
+        case c if "\\.[]{}()+-^$|".contains(c) => "\\" + c
+        case c => c.toString
+      }, s)
+
+  /** Validate and install `conf` on `registry`: one registered hook per
+    * (event type, action hook) pair, firing only when the event's branch
+    * matches the action's globs for that event. */
+  def register(registry: HookRegistry, spark: SparkSession, conf: ActionConf): Unit = {
+    validate(conf)
+    conf.on.foreach { case (event, globs) =>
+      registry.register(event) { ev =>
+        if (globs.isEmpty || globs.exists(globMatches(_, ev.branch)))
+          conf.hooks.foreach(h => runHook(spark, conf, h, ev))
+      }
+    }
+  }
+
+  private def runHook(spark: SparkSession, conf: ActionConf, h: HookConf,
+      ev: Hooks.HookEvent): Unit = h.hookType match {
+    case "sql_check" =>
+      import spark.implicits._
+      val row = Seq((ev.eventType.toString, ev.repoDir, ev.branch,
+        ev.sourceRef.getOrElse(""), ev.committer, ev.message,
+        ev.tag.getOrElse("")))
+        .toDF("event_type", "repo", "branch", "source_ref", "committer",
+          "message", "tag")
+      val pass = row.filter(org.apache.spark.sql.functions.expr(
+        h.properties("expr"))).collect().nonEmpty
+      if (!pass) sys.error(
+        s"action '${conf.name}' hook '${h.id}': expression rejected " +
+          s"${ev.eventType} on ${ev.branch}")
+    case "webhook" =>
+      val payload = Seq(
+        "event_type" -> ev.eventType.toString, "action_name" -> conf.name,
+        "hook_id" -> h.id, "repository_id" -> ev.repoDir,
+        "branch_id" -> ev.branch, "source_ref" -> ev.sourceRef.getOrElse(""),
+        "committer" -> ev.committer, "commit_message" -> ev.message,
+        "tag_id" -> ev.tag.getOrElse(""))
+        .map { case (k, v) => "\"" + k + "\":\"" + v.replace("\"", "\\\"") + "\"" }
+        .mkString("{", ",", "}")
+      deliveryLog.add((conf.name, h.id, h.properties("url"), payload))
+    case other => sys.error(s"unknown hook type '$other'")
+  }
+}

@@ -67,6 +67,15 @@ class Catalog(val spark: SparkSession, val rootDir: String,
   def listRepositories(): Seq[RepoInfo] =
     readKv().toSeq.sortBy(_._1).map { case (id, v) => dec(id, v) }
 
+  /** Id-ordered repository page strictly after `after`, plus a has-more
+    * flag (`pkg/catalog/catalog.go:246-283` ListRepositories paging). */
+  def listRepositoriesPage(after: Option[String] = None, limit: Int = 1000)
+      : (Seq[RepoInfo], Boolean) = {
+    require(limit > 0, s"limit must be positive: $limit")
+    val rest = listRepositories().filter(r => after.forall(r.repositoryId > _))
+    (rest.take(limit), rest.lengthCompare(limit) > 0)
+  }
+
   /** The engine for a repository (cached). */
   def repo(id: String): Engine = {
     val info = getRepository(id)

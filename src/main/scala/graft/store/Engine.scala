@@ -663,14 +663,31 @@ class Engine(val spark: SparkSession, val repoDir: String,
     (path, withMeta)
   }
 
+  /** Pick the parent a revert/cherry-pick diffs against (`graveler.go:
+    * 2839-2849,2973-2984`): `parentNumber` is 1-based; a merge commit (>1
+    * parents) requires it explicitly, and out-of-range is rejected. */
+  private def pickParent(target: CommitInfo, parentNumber: Int, op: String): CommitInfo = {
+    if (target.parents.isEmpty) sys.error(s"cannot $op a root commit")
+    if (parentNumber <= 0 && target.parents.length > 1)
+      sys.error(s"$op of a merge commit requires an explicit parent number " +
+        s"(1..${target.parents.length})")
+    if (parentNumber > target.parents.length)
+      sys.error(s"parent number $parentNumber out of range " +
+        s"(commit has ${target.parents.length} parent(s))")
+    val idx = math.max(parentNumber, 1) - 1
+    refs.getCommit(target.parents(idx))
+      .getOrElse(sys.error(s"missing parent commit ${target.parents(idx)}"))
+  }
+
   /** Revert: apply the reverse patch of `commitRef` (parent..commit inverted)
-    * as a new commit on `branch` (`graveler.go:2829`). */
-  def revert(branch: String, commitRef: String, committer: String): CommitInfo = {
+    * as a new commit on `branch` (`graveler.go:2829`). For a merge commit,
+    * `parentNumber` (1-based) selects which parent's side to return to. */
+  def revert(branch: String, commitRef: String, committer: String,
+      parentNumber: Int = 0): CommitInfo = {
     requireClean(branch, "revert")
     hooks.fire(Hooks.HookEvent(Hooks.PreRevert, repoDir, branch, Some(commitRef), committer, ""))
     val target = resolveCommit(commitRef)
-    val parent = target.parents.headOption.flatMap(refs.getCommit)
-      .getOrElse(sys.error("cannot revert a root commit"))
+    val parent = pickParent(target, parentNumber, "revert")
     val headId = refs.getBranch(branch).getOrElse(sys.error(s"no branch $branch"))
     val head = refs.getCommit(headId).get
     // changes that undo the commit: the payload-carrying reverse diff
@@ -687,13 +704,14 @@ class Engine(val spark: SparkSession, val repoDir: String,
   }
 
   /** Cherry-pick: apply commitRef's own patch (parent..commit) onto branch
-    * (`graveler.go:2961`). */
-  def cherryPick(branch: String, commitRef: String, committer: String): CommitInfo = {
+    * (`graveler.go:2961`). For a merge commit, `parentNumber` (1-based)
+    * selects the parent the patch is taken relative to. */
+  def cherryPick(branch: String, commitRef: String, committer: String,
+      parentNumber: Int = 0): CommitInfo = {
     requireClean(branch, "cherry-pick")
     hooks.fire(Hooks.HookEvent(Hooks.PreCherryPick, repoDir, branch, Some(commitRef), committer, ""))
     val target = resolveCommit(commitRef)
-    val parent = target.parents.headOption.flatMap(refs.getCommit)
-      .getOrElse(sys.error("cannot cherry-pick a root commit"))
+    val parent = pickParent(target, parentNumber, "cherry-pick")
     val headId = refs.getBranch(branch).getOrElse(sys.error(s"no branch $branch"))
     val (l, r) = snapshots.prunedForDiff(parent.metaRangeId, target.metaRangeId)
     val patch = Diff.twoWayFull(l, r).drop("diff_type", "left_identity")
@@ -706,25 +724,48 @@ class Engine(val spark: SparkSession, val repoDir: String,
     c
   }
 
-  /** Commit log from a ref (G1). */
-  def log(ref: String, firstParent: Boolean = false): Seq[CommitInfo] = {
+  /** Commit log from a ref (G1), with the reference's log options
+    * (`pkg/catalog/catalog.go:189-196`): `firstParent` restricts the walk,
+    * `since` (epoch seconds) prunes the walk at enqueue time — a commit
+    * older than the cutoff is never visited, so its ancestors are
+    * unreachable through it (`commit_iterator.go:113-114,146-149`) — and
+    * `stopAt` (any ref) makes its commit the inclusive last entry
+    * (`catalog.go:1666-1667`). */
+  def log(ref: String, firstParent: Boolean = false, since: Option[Long] = None,
+      stopAt: Option[String] = None): Seq[CommitInfo] = {
     val head = resolveCommit(ref)
+    val stopId = stopAt.map(s => resolveCommit(s).commitId)
     val byId = refs.commits.map(c => c.commitId -> c).toMap
     val visited = scala.collection.mutable.Set[String]()
     val out = scala.collection.mutable.ArrayBuffer[CommitInfo]()
     implicit val ord: Ordering[CommitInfo] =
       Ordering.by((c: CommitInfo) => (c.creationDate, c.commitId))
-    val pq = scala.collection.mutable.PriorityQueue[CommitInfo](head)
+    val pq = scala.collection.mutable.PriorityQueue[CommitInfo]()
     visited += head.commitId
-    while (pq.nonEmpty) {
+    if (since.forall(head.creationDate >= _)) pq.enqueue(head)
+    while (pq.nonEmpty && !out.lastOption.map(_.commitId).exists(stopId.contains)) {
       val c = pq.dequeue()
       out += c
       val ps = if (firstParent) c.parents.take(1) else c.parents
       ps.foreach { p =>
-        if (!visited(p)) byId.get(p).foreach { pc => visited += p; pq.enqueue(pc) }
+        if (!visited(p)) byId.get(p).foreach { pc =>
+          visited += p
+          if (since.forall(pc.creationDate >= _)) pq.enqueue(pc)
+        }
       }
     }
     out.toSeq
+  }
+
+  /** Paged log: the first `amount` entries of [[log]] plus a has-more flag
+    * (`catalog.go:1664-1667` reads amount+1 to decide). The walk itself is
+    * driver-side over the metadata-scale commit graph. */
+  def logPage(ref: String, amount: Int, firstParent: Boolean = false,
+      since: Option[Long] = None, stopAt: Option[String] = None)
+      : (Seq[CommitInfo], Boolean) = {
+    require(amount > 0, s"amount must be positive: $amount")
+    val all = log(ref, firstParent, since, stopAt)
+    (all.take(amount), all.lengthCompare(amount) > 0)
   }
 
   /** Merge base of two commits (G2, generation-priority walk). */

@@ -138,6 +138,25 @@ class RefStore(rootDir: String) {
   def listBranches(showHidden: Boolean = false): Map[String, BranchRecord] =
     branchRecords.filter { case (_, r) => showHidden || !r.hidden }
 
+  /** Name-ordered page of entries strictly after `after`, plus a has-more
+    * flag — the reference paginates every ref listing
+    * (`pkg/catalog/catalog.go:676-739,827-886`). */
+  private def page[V](m: Map[String, V], after: Option[String], limit: Int)
+      : (Seq[(String, V)], Boolean) = {
+    require(limit > 0, s"limit must be positive: $limit")
+    val rest = m.toSeq.sortBy(_._1).filter { case (k, _) => after.forall(k > _) }
+    (rest.take(limit), rest.lengthCompare(limit) > 0)
+  }
+
+  /** Paged branch listing (hidden filtered per P5). */
+  def listBranchesPage(after: Option[String] = None, limit: Int = 1000,
+      showHidden: Boolean = false): (Seq[(String, BranchRecord)], Boolean) =
+    page(listBranches(showHidden), after, limit)
+
+  /** Paged tag listing. */
+  def tagsPage(after: Option[String] = None, limit: Int = 1000)
+      : (Seq[(String, String)], Boolean) = page(tags, after, limit)
+
   def branches: Map[String, String] =
     branchRecords.map { case (k, r) => k -> r.commitId }
   def getBranch(name: String): Option[String] = branchRecords.get(name).map(_.commitId)

@@ -246,8 +246,10 @@ class SnapshotStore(val spark: SparkSession, val repoDir: String,
    * changes per key); both assignments assume it.
    *
    * Range ids are order-independent 128-bit: two independent unreduced
-   * xxhash64 streams over (key, identity), each summed as DECIMAL(38,0)
-   * (never overflows below ~10^18 rows per range) and reduced mod 2^64 —
+   * xxhash64 streams over (key, identity), each summed mod 2^64 as hi/lo
+   * 32-bit halves in plain long sums (codegen'd primitives, overflow-free
+   * below 2^31 rows per range — cuts land every ~`raggedness` keys, so a
+   * range that large has probability ≈ (1-1/raggedness)^(2^31) ≈ 0) —
    * full 64-bit entropy per stream, so range-id equality is a sound pruning
    * test for diff/merge (the identity discipline of `pkg/ident/ident.go`).
    */
@@ -258,11 +260,14 @@ class SnapshotStore(val spark: SparkSession, val repoDir: String,
     val weCache = df0.storageLevel == org.apache.spark.storage.StorageLevel.NONE
     if (weCache) df0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      // no distinct(): snapshot keys are unique (O1), so the exchange a
+      // distinct would add buys nothing — any dup from a violated contract
+      // is collapsed on the driver below
       val cutRows = df0.select("key")
         .where((abs(xxhash64(col("key"))) % raggedness) === 0)
-        .distinct().limit(maxBroadcastCuts + 1).collect()
+        .limit(maxBroadcastCuts + 1).collect()
       if (cutRows.length <= maxBroadcastCuts)
-        chunkAndWriteBroadcast(df0, cutRows.map(_.getString(0)))
+        chunkAndWriteBroadcast(df0, cutRows.map(_.getString(0)).distinct)
       else chunkAndWriteWindowed(df0)
     } finally if (weCache) df0.unpersist()
   }
@@ -278,7 +283,7 @@ class SnapshotStore(val spark: SparkSession, val repoDir: String,
     try {
       val withChunk = df.withColumn("__chunk",
         graft.functions.CutIndex.chunkOf(col("key"), bc))
-      writeChunks(withChunk)
+      writeChunks(withChunk, approxChunks = arr.length + 1)
     } finally bc.destroy()
   }
 
@@ -311,67 +316,128 @@ class SnapshotStore(val spark: SparkSession, val repoDir: String,
         .withColumn("__chunk", (sum("__is_cut").over(w) + col("__off")).cast("int"))
         .drop("__is_cut", "__pid", "__off")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      try writeChunks(withChunk)
+      // beyond-broadcast cut counts always dwarf the core count — no salting
+      try writeChunks(withChunk, approxChunks = Int.MaxValue)
       finally withChunk.unpersist()
     } finally marked.unpersist()
   }
 
   /**
-   * Stats first, data second: one map-side partial aggregation computes each
+   * Manifest stats + range-file write for an already-chunk-assigned source.
+   *
+   * Two jobs touch the data: one map-side partial aggregation computes each
    * chunk's 128-bit content id + manifest stats straight from the source (no
-   * staged-file re-read), then ONLY chunks whose content-addressed directory
-   * doesn't already exist are shuffled and written. An unchanged chunk —
-   * same keys, same identities — costs a hash-agg and nothing else, the
-   * whole-range reuse discipline of the reference's content-addressed
-   * uploads (`pkg/graveler/sstable/writer.go`, `committed/commit.go:116-137`).
+   * staged-file re-read), and one shuffle-and-sort writes chunk files to a
+   * staging dir before a metadata-only rename to their content address.
+   *
+   * '''Fresh store''' (ranges dir absent — a first snapshot / initial
+   * import): no chunk can already exist, so the stats job and the full
+   * staged write run '''concurrently''' from two driver threads — Spark
+   * schedules both over the same (cached) source and wall-clock is
+   * max(stats, write), not the sum.
+   *
+   * '''Existing store''' (incremental commit): stats run first, then ONLY
+   * chunks whose content-addressed directory doesn't already exist are
+   * written. An unchanged chunk — same keys, same identities — costs a
+   * hash-agg and nothing else, the whole-range reuse discipline of the
+   * reference's content-addressed uploads (`pkg/graveler/sstable/writer.go`,
+   * `committed/commit.go:116-137`).
+   *
+   * All per-chunk remote-metadata calls (exists probes, staging→final
+   * renames) go through a bounded pool of [[SnapshotStore.ioParallelism]]
+   * driver threads rather than a serial loop — at import scale the manifest
+   * has millions of entries and a serial tail would dominate the commit
+   * (the reference uploads ranges through 10 concurrent workers,
+   * `pkg/config/defaults.go:91`).
    */
-  private def writeChunks(withChunk: DataFrame): Seq[RangeInfo] = {
+  private def writeChunks(withChunk: DataFrame, approxChunks: Int): Seq[RangeInfo] = {
     val two64 = java.math.BigInteger.ONE.shiftLeft(64)
-    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
-    val manifest = withChunk
-      .groupBy("__chunk")
-      .agg(
-        // two independent unreduced 64-bit streams per row — chained
-        // multi-arg xxhash64 (no row-level string concat); stream 2 swaps
-        // the argument order and adds a salt
-        sum(xxhash64(col("key"), col("identity")).cast(dec38)).as("h1"),
-        sum(xxhash64(col("identity"), col("key"), lit("s2")).cast(dec38)).as("h2"),
-        min("key").as("min_key"), max("key").as("max_key"),
-        count(lit(1)).as("cnt"),
-        sum(length(col("key")) + coalesce(length(col("identity")), lit(0L))).as("est"))
-      .collect()
-      .map { r =>
-        def hex64(name: String): String = String.format("%016x",
-          r.getAs[java.math.BigDecimal](name).toBigInteger.mod(two64))
-        val rid = hex64("h1") + hex64("h2")
-        (RangeInfo(rid, r.getAs[String]("min_key"), r.getAs[String]("max_key"),
-          r.getAs[Long]("est"), r.getAs[Long]("cnt"), s"$rangesDir/$rid"),
-         r.getAs[Int]("__chunk"))
-      }
-    if (manifest.isEmpty) return Seq.empty
+    val freshStore = !fs.exists(new Path(rangesDir))
 
-    val missing = manifest.filter { case (ri, _) => !fs.exists(new Path(ri.path)) }
+    val stagingPath = s"$rangesDir/__staging_${java.util.UUID.randomUUID()}"
+
+    // When a small snapshot yields fewer chunks than cores, hash-by-chunk
+    // write parallelism is the chunk count; a key-hash salt restores it
+    // (multiple sorted files per range dir — readers take dirs). At scale
+    // chunks >> cores, the salt degenerates to 1 and ranges stay one file.
+    val salt = math.min(16, math.max(1, parts * 2 / math.max(1, approxChunks)))
+    def stageAll(df: DataFrame, nChunks: Int): Unit = df
+      .repartition(math.max(1, math.min(nChunks * salt, parts * 4)),
+        col("__chunk"), pmod(xxhash64(col("key")), lit(salt)))
+      .sortWithinPartitions("__chunk", "key")
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("__chunk")
+      .parquet(stagingPath)
+
+    // fresh store: every chunk is missing by construction — start the full
+    // staged write on a second driver thread while the stats agg runs
+    val eagerWrite: Option[java.util.concurrent.Future[_]] =
+      if (freshStore) Some(SnapshotStore.ioPool.submit(new Runnable {
+        // upper bound on chunk count is fine for partition sizing
+        def run(): Unit = stageAll(withChunk, parts * 4)
+      })) else None
+
+    // Two independent unreduced 64-bit streams per row — chained multi-arg
+    // xxhash64 (no row-level string concat); stream 2 swaps the argument
+    // order and adds a salt. Each stream sums mod 2^64, carried as separate
+    // hi/lo 32-bit halves in plain long sums: pure codegen'd primitive ops
+    // (a Decimal(38) sum costs a per-row BigDecimal), overflow-free below
+    // 2^31 rows per chunk, recombined exactly on the driver.
+    val h1e = xxhash64(col("key"), col("identity"))
+    val h2e = xxhash64(col("identity"), col("key"), lit("s2"))
+    def hiLo(e: org.apache.spark.sql.Column, n: String) = Seq(
+      sum(shiftright(e, 32)).as(n + "_hi"),
+      sum(e.bitwiseAND(lit(0xFFFFFFFFL))).as(n + "_lo"))
+    val aggs = hiLo(h1e, "h1") ++ hiLo(h2e, "h2") ++ Seq(
+      min("key").as("min_key"), max("key").as("max_key"),
+      count(lit(1)).as("cnt"),
+      sum(length(col("key")) + coalesce(length(col("identity")), lit(0L))).as("est"))
+    val manifest =
+      try withChunk
+        .groupBy("__chunk")
+        .agg(aggs.head, aggs.tail: _*)
+        .collect()
+        .map { r =>
+          def hex64(n: String): String = String.format("%016x",
+            java.math.BigInteger.valueOf(r.getAs[Long](n + "_hi")).shiftLeft(32)
+              .add(java.math.BigInteger.valueOf(r.getAs[Long](n + "_lo"))).mod(two64))
+          val rid = hex64("h1") + hex64("h2")
+          (RangeInfo(rid, r.getAs[String]("min_key"), r.getAs[String]("max_key"),
+            r.getAs[Long]("est"), r.getAs[Long]("cnt"), s"$rangesDir/$rid"),
+           r.getAs[Int]("__chunk"))
+        }
+      catch { case e: Throwable => eagerWrite.foreach(_.cancel(true)); throw e }
+    if (manifest.isEmpty) {
+      eagerWrite.foreach(_.get())
+      fs.delete(new Path(stagingPath), true)
+      return Seq.empty
+    }
+
+    val missing =
+      if (freshStore) manifest.toSeq
+      else SnapshotStore.inParallel(manifest.toSeq) { p =>
+        (p, fs.exists(new Path(p._1.path)))
+      }.collect { case (p, exists) if !exists => p }
     if (missing.nonEmpty) {
-      val stagingPath = s"$rangesDir/__staging_${java.util.UUID.randomUUID()}"
-      // write only the missing chunks; when the filter wouldn't prune
-      // anything (fresh snapshot) skip it so the scan stays predicate-free
-      val missingIdx = missing.map(_._2)
-      val toWrite =
-        if (missing.length == manifest.length) withChunk
-        else withChunk.where(col("__chunk").isInCollection(missingIdx))
-      toWrite
-        .repartition(math.max(1, math.min(missing.length, parts * 4)), col("__chunk"))
-        .sortWithinPartitions("__chunk", "key")
-        .write.mode(SaveMode.Overwrite)
-        .partitionBy("__chunk")
-        .parquet(stagingPath)
-      missing.foreach { case (ri, chunkIdx) =>
+      eagerWrite match {
+        case Some(f) => f.get() // staged concurrently with the stats agg
+        case None =>
+          // write only the missing chunks; when the filter wouldn't prune
+          // anything (full rewrite) skip it so the scan stays predicate-free
+          val missingIdx = missing.map(_._2)
+          val toWrite =
+            if (missing.length == manifest.length) withChunk
+            else withChunk.where(col("__chunk").isInCollection(missingIdx))
+          stageAll(toWrite, missing.length)
+      }
+      SnapshotStore.inParallel(missing) { case (ri, chunkIdx) =>
         val src = new Path(s"$stagingPath/__chunk=$chunkIdx")
         val dest = new Path(ri.path)
-        if (!fs.exists(dest)) fs.rename(src, dest)
+        if (!fs.exists(dest) && !fs.rename(src, dest) && !fs.exists(dest))
+          sys.error(s"range rename failed: $dest")
       }
-      fs.delete(new Path(stagingPath), true)
-    }
+    } else eagerWrite.foreach(_.get())
+    fs.delete(new Path(stagingPath), true)
     manifest.map(_._1).sortBy(_.minKey).toSeq
   }
 
@@ -387,6 +453,34 @@ class SnapshotStore(val spark: SparkSession, val repoDir: String,
 
 object SnapshotStore {
   import com.fasterxml.jackson.databind.ObjectMapper
+
+  /** Concurrent range-upload width, the reference's default of 10 parallel
+    * committed-writer uploaders (`pkg/config/defaults.go:91`). */
+  val ioParallelism = 10
+
+  /** Shared bounded pool for per-chunk metadata I/O (exists probes, renames)
+    * and the fresh-store eager staged write. Daemon threads — never blocks
+    * JVM exit. */
+  private[store] lazy val ioPool: java.util.concurrent.ExecutorService =
+    java.util.concurrent.Executors.newFixedThreadPool(ioParallelism,
+      new java.util.concurrent.ThreadFactory {
+        private val n = new java.util.concurrent.atomic.AtomicInteger()
+        def newThread(r: Runnable): Thread = {
+          val t = new Thread(r, s"graft-snapshot-io-${n.incrementAndGet()}")
+          t.setDaemon(true); t
+        }
+      })
+
+  /** Run `f` over `items` on [[ioPool]], preserving order. Fails fast on the
+    * first exception (remaining tasks may still run to completion). */
+  private[store] def inParallel[A, B](items: Seq[A])(f: A => B): Seq[B] = {
+    if (items.isEmpty) return Seq.empty
+    if (items.lengthCompare(2) < 0) return items.map(f)
+    import scala.jdk.CollectionConverters._
+    val tasks: java.util.List[java.util.concurrent.Callable[B]] =
+      items.map(a => new java.util.concurrent.Callable[B] { def call(): B = f(a) }).asJava
+    ioPool.invokeAll(tasks).asScala.map(_.get()).toSeq
+  }
 
   // jackson (on the Spark classpath) handles key escaping; keys are
   // arbitrary user paths so hand-rolled formats would be fragile

@@ -11,6 +11,19 @@ class CatalogSpec extends SparkSpec {
     (1 to n).map(i => (f"k$i%04d", s"v$i$salt")).toDF("key", "identity")
   }
 
+  test("catalog: repository listing paginates with after + has_more") {
+    val root = tmpDir("catpage")
+    val cat = new Catalog(spark, root, raggedness = 100)
+    Seq("r1", "r2", "r3", "r4", "r5").foreach(id => cat.createRepository(id))
+    val (p1, m1) = cat.listRepositoriesPage(limit = 2)
+    assert(p1.map(_.repositoryId) === Seq("r1", "r2") && m1)
+    val (p2, m2) = cat.listRepositoriesPage(after = Some("r2"), limit = 2)
+    assert(p2.map(_.repositoryId) === Seq("r3", "r4") && m2)
+    val (p3, m3) = cat.listRepositoriesPage(after = Some("r4"), limit = 2)
+    assert(p3.map(_.repositoryId) === Seq("r5") && !m3)
+    intercept[IllegalArgumentException] { cat.listRepositoriesPage(limit = 0) }
+  }
+
   test("catalog: create/get/list/delete with isolated namespaces") {
     val root = tmpDir("catalog")
     val cat = new Catalog(spark, root, raggedness = 100)

@@ -56,6 +56,63 @@ class GovernanceSpec extends SparkSpec {
     assert(!eng.refs.isProtected("feature/1.0"))
   }
 
+  test("config-driven actions: sql_check aborts a commit, webhook records delivery") {
+    import spark.implicits._
+    import graft.store.{Actions, Hooks}
+    val eng = new Engine(spark, tmpDir("actions"), raggedness = 100)
+    eng.init("main", Some(rows(10)))
+    eng.createBranch("scratch", "main")
+    Actions.clearDeliveries()
+
+    // the action, as pure configuration (action.go:16-58): block WIP commit
+    // messages on main, notify a webhook after any commit
+    Actions.register(eng.hooks, spark, Actions.ActionConf(
+      name = "commit policy",
+      on = Map(
+        Hooks.PreCommit -> Seq("main", "release/*"),
+        Hooks.PostCommit -> Seq.empty),
+      hooks = Seq(
+        Actions.HookConf("no_wip", "sql_check",
+          Map("expr" -> "NOT message LIKE '%WIP%'")),
+        Actions.HookConf("notify", "webhook",
+          Map("url" -> "https://example.invalid/hook")))))
+
+    // rejected on a matching branch: commit aborts, head unmoved
+    eng.stage("main", Seq(("k0001", "X")).toDF("key", "identity"))
+    val before = eng.resolveCommit("main").commitId
+    val ex = intercept[RuntimeException] { eng.commit("main", "t", "WIP: later") }
+    assert(ex.getMessage.contains("no_wip"))
+    assert(eng.resolveCommit("main").commitId === before)
+
+    // non-matching branch: the branch-glob filter skips the check
+    eng.stage("scratch", Seq(("k0002", "Y")).toDF("key", "identity"))
+    eng.commit("scratch", "t", "WIP: fine here")
+
+    // passing commit on main: sql_check passes, post-commit webhook recorded
+    val n0 = Actions.deliveries.size
+    eng.commit("main", "t", "ready")
+    val hits = Actions.deliveries.drop(n0).filter(_._2 === "notify")
+    assert(hits.exists { case (a, _, url, payload) =>
+      a === "commit policy" && url === "https://example.invalid/hook" &&
+        payload.contains("\"branch_id\":\"main\"") &&
+        payload.contains("\"commit_message\":\"ready\"")
+    })
+
+    // validation mirrors action.go:71-106
+    intercept[IllegalArgumentException] { Actions.validate(Actions.ActionConf(
+      "bad", Map.empty, Seq.empty)) } // no events
+    intercept[RuntimeException] { Actions.validate(Actions.ActionConf(
+      "ok name", Map(Hooks.PreCommit -> Seq.empty),
+      Seq(Actions.HookConf("h1", "lua", Map())))) } // unknown type
+    intercept[IllegalArgumentException] { Actions.validate(Actions.ActionConf(
+      "ok name", Map(Hooks.PreCommit -> Seq.empty),
+      Seq(Actions.HookConf("h1", "sql_check", Map())))) } // missing expr
+    intercept[IllegalArgumentException] { Actions.validate(Actions.ActionConf(
+      "ok name", Map(Hooks.PreCommit -> Seq.empty),
+      Seq(Actions.HookConf("h1", "webhook", Map("url" -> "u")),
+          Actions.HookConf("h1", "webhook", Map("url" -> "u"))))) } // dup id
+  }
+
   test("P5 hidden branches excluded from listing unless requested") {
     import spark.implicits._
     val eng = new Engine(spark, tmpDir("hidden"), raggedness = 100)

@@ -95,6 +95,38 @@ class MergeMatrixSpec extends SparkSpec {
     assert(l("k000003") === "S3" && l("k000005") === "D5") // non-conflicts as usual
   }
 
+  test("revert of a merge commit honors parentNumber (graveler.go:2839-2849)") {
+    val (eng, _) = matrixRepo()
+    // merge src into dst -> two-parent commit M (parent 1 = dst head,
+    // parent 2 = src head)
+    val m = eng.merge("src", "dst", "t", "m", StrategySourceWins)
+    assert(m.parents.size === 2)
+    // reverse-patch semantics: reverting against parent N returns the
+    // branch to parent N's side of the merge
+    eng.createBranch("r1", "dst")
+    eng.revert("r1", m.commitId, "t", parentNumber = 1)
+    val l1 = listing(eng, "r1")
+    eng.createBranch("r2", "dst")
+    eng.revert("r2", m.commitId, "t", parentNumber = 2)
+    val l2 = listing(eng, "r2")
+    assert(l1 !== l2)
+    // parent 1 (pre-merge dst): merge undone -> src-side edits gone
+    assert(l1("k000003") === "id3" && l1("k000008") === "D8" && l1("k000009") === "D9")
+    // parent 2 (src head): diff M..src re-adds what dst had contributed
+    assert(l2("k000003") === "S3")
+    // a merge commit with no parentNumber, and out-of-range, are rejected
+    eng.createBranch("r3", "dst")
+    intercept[RuntimeException] { eng.revert("r3", m.commitId, "t") }
+    intercept[RuntimeException] { eng.revert("r3", m.commitId, "t", parentNumber = 3) }
+    // cherry-pick of the merge against parent 1 onto a pre-merge branch
+    // replays the src-side changes
+    eng.createBranch("cp", m.parents.head)
+    eng.cherryPick("cp", m.commitId, "t", parentNumber = 1)
+    val lcp = listing(eng, "cp")
+    assert(lcp("k000003") === "S3" && !lcp.contains("k000004"))
+    intercept[RuntimeException] { eng.cherryPick("cp", m.commitId, "t") }
+  }
+
   test("squash merge: one-parent commit, same content, generation preserved") {
     val (eng, _) = matrixRepo()
     eng.createBranch("d4", "dst")

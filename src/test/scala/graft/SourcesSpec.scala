@@ -26,6 +26,36 @@ class SourcesSpec extends SparkSpec {
     assert(after === Seq("a/2.dat", "b/3.dat"))
   }
 
+  test("S5 walk delegates to the parallel lister past the fan-out threshold") {
+    val root = tmpDir("walkpar")
+    def put(rel: String, content: String): Unit = {
+      val f = java.nio.file.Paths.get(root, rel)
+      java.nio.file.Files.createDirectories(f.getParent)
+      java.nio.file.Files.writeString(f, content)
+    }
+    (0 until 10).foreach(i => put(s"p$i/f$i.dat", "x" * (i + 1)))
+    put("toplevel.dat", "t") // a top-level FILE is a valid prefix too
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getString(1), r.getLong(3))).toSet
+
+    // 11 top-level entries: threshold 8 routes through walkParallel;
+    // a high threshold keeps the serial path — results identical
+    val par = Walker.walk(spark, root)
+    val ser = Walker.walk(spark, root, parallelThreshold = 1000)
+    assert(rows(par) === rows(ser))
+    // the delegated result keeps walk's sorted contract
+    assert(par.collect().map(_.getString(0)).toSeq ===
+      rows(par).map(_._1).toSeq.sorted)
+    assert(rows(par).map(_._1).contains("toplevel.dat"))
+
+    // marker pagination matches across paths (exclusive)
+    val parAfter = Walker.walk(spark, root, marker = "p3/f3.dat")
+    val serAfter = Walker.walk(spark, root, marker = "p3/f3.dat",
+      parallelThreshold = 1000)
+    assert(rows(parAfter) === rows(serAfter))
+    assert(!rows(parAfter).map(_._1).exists(_ <= "p3/f3.dat"))
+  }
+
   test("S5+J10 import a walked listing into a branch") {
     import spark.implicits._
     val root = tmpDir("walkimp")

@@ -220,6 +220,71 @@ class StoreSpec extends SparkSpec {
     assert(picked("k000003") === "EDITED" && picked("knew") === "ADDED")
   }
 
+  test("log options: since prunes the walk, stopAt is inclusive, pages have has_more") {
+    import spark.implicits._
+    val dir = tmpDir("logopts")
+    val eng = new Engine(spark, dir, raggedness = 100)
+    eng.init("main", Some(rows(10)))
+    val cs = (1 to 4).map { i =>
+      eng.stage("main", Seq((f"k$i%06d", s"v$i")).toDF("key", "identity"))
+      eng.commit("main", "t", s"c$i")
+    }
+    val all = eng.log("main")
+    assert(all.size === 5) // init + 4
+
+    // stopAt: that commit is the last entry (catalog.go:1666-1667)
+    val stopped = eng.log("main", stopAt = Some(cs(1).commitId))
+    assert(stopped.last.commitId === cs(1).commitId)
+    assert(stopped.map(_.commitId) === all.map(_.commitId).take(all.size - 2))
+
+    // since prunes the WALK (commit_iterator.go:113-114,146-149): with
+    // explicit dates 100,200,300, a 250 cutoff keeps only the 300 commit —
+    // and the 100 ancestor is unreachable even though it parents 300's chain
+    val meta = cs.head.metaRangeId
+    val d1 = eng.refs.addCommit("t", "old", meta, Seq.empty, creationDate = 100)
+    val d2 = eng.refs.addCommit("t", "mid", meta, Seq(d1.commitId), creationDate = 200)
+    val d3 = eng.refs.addCommit("t", "new", meta, Seq(d2.commitId), creationDate = 300)
+    val sinced = eng.log(d3.commitId, since = Some(250))
+    assert(sinced.map(_.commitId) === Seq(d3.commitId))
+
+    // paging: amount + has_more; the last page reports no more
+    val (p1, more1) = eng.logPage("main", amount = 2)
+    assert(p1.size === 2 && more1)
+    assert(p1.map(_.commitId) === all.map(_.commitId).take(2))
+    val (p2, more2) = eng.logPage("main", amount = 10)
+    assert(p2.size === 5 && !more2)
+    // stopAt inside the page bound: no more
+    val (p3, more3) = eng.logPage("main", amount = 10, stopAt = Some(cs(2).commitId))
+    assert(p3.last.commitId === cs(2).commitId && !more3)
+  }
+
+  test("branch/tag listings paginate with after + has_more") {
+    import spark.implicits._
+    val dir = tmpDir("refpage")
+    val eng = new Engine(spark, dir, raggedness = 100)
+    eng.init("main", Some(rows(5)))
+    Seq("dev", "qa", "prod", "alpha").foreach(b => eng.createBranch(b, "main"))
+    ('a' to 'e').foreach(c => eng.refs.createTag(s"tag-$c", eng.resolveCommit("main").commitId))
+
+    // branches: name-ordered pages, exclusive after, has_more until drained
+    val (b1, more1) = eng.refs.listBranchesPage(limit = 2)
+    assert(b1.map(_._1) === Seq("alpha", "dev") && more1)
+    val (b2, more2) = eng.refs.listBranchesPage(after = Some(b1.last._1), limit = 2)
+    assert(b2.map(_._1) === Seq("main", "prod") && more2)
+    val (b3, more3) = eng.refs.listBranchesPage(after = Some(b2.last._1), limit = 2)
+    assert(b3.map(_._1) === Seq("qa") && !more3)
+    // paging respects the hidden filter (P5)
+    eng.refs.setBranch("qa", eng.resolveCommit("main").commitId, hidden = true)
+    val (bh, _) = eng.refs.listBranchesPage(after = Some("prod"), limit = 2)
+    assert(bh.isEmpty)
+
+    // tags
+    val (t1, tm1) = eng.refs.tagsPage(limit = 3)
+    assert(t1.map(_._1) === Seq("tag-a", "tag-b", "tag-c") && tm1)
+    val (t2, tm2) = eng.refs.tagsPage(after = Some("tag-c"), limit = 3)
+    assert(t2.map(_._1) === Seq("tag-d", "tag-e") && !tm2)
+  }
+
   test("single-key set/delete/deleteBatch over a payload-carrying snapshot") {
     import spark.implicits._
     val dir = tmpDir("kv")
