@@ -90,6 +90,29 @@ object GraphQueries {
                row_number() OVER (ORDER BY i DESC) AS ord
         FROM anc ORDER BY ord""")),
 
+    // G1 since: the cutoff prunes the WALK at enqueue time
+    // (commit_iterator.go:113-114,146-149) — with this DAG's monotone dates
+    // that equals the ancestor set intersected with i >= 150, which the
+    // oracle expresses by pruning edge traversal at the same bound.
+    "vc_log_since" -> (((s: SparkSession, d: String) => {
+      val w = Window.orderBy(col("creation_date").desc, col("commit_id").desc)
+      Dag.log(s, commitsDf(s), id(N), since = Some(1700000000L + 150L * 60L))
+        .select(col("commit_id"), col("creation_date"))
+        .withColumn("ord", row_number().over(w).cast("long"))
+        .orderBy(col("ord"))
+    }),
+      Some(s"""
+        WITH RECURSIVE $edgesSql,
+        anc AS (
+          SELECT 200 AS i
+          UNION
+          SELECT e.p FROM anc a JOIN edges e ON e.i = a.i WHERE e.p >= 150
+        )
+        SELECT lpad(CAST(i AS VARCHAR),4,'0') AS commit_id,
+               1700000000 + i*60 AS creation_date,
+               row_number() OVER (ORDER BY i DESC) AS ord
+        FROM anc ORDER BY ord""")),
+
     // G2: merge base of heads 0200 and 0195 = the max-generation common
     // ancestor (generation-priority walk, merge_base_finder.go:23-76).
     "vc_merge_base" -> (((s: SparkSession, d: String) => {

@@ -319,6 +319,90 @@ object VectorQueries {
           FROM sig CROSS JOIN (SELECT unnest([0,1,2,3]) AS t)
         )
         SELECT bk, count(*) AS n_vectors, min(vec_id) AS min_vec, max(vec_id) AS max_vec
-        FROM banded GROUP BY bk ORDER BY bk"""))
+        FROM banded GROUP BY bk ORDER BY bk""")),
+
+    // K-means over embeddings (two deterministic Lloyd iterations): the
+    // IVF-training / semantic-clustering operator. Init = the vec_id%125
+    // sample (like emb_ivf_ann's fixed centroids); all arithmetic exact —
+    // vectors scaled x256, distances integer, new centroids floor(sum/n)
+    // through an exact double (sums << 2^53) — so both engines converge to
+    // bit-identical centroids. Assignment is min_by under a plain groupBy:
+    // map-side partial aggregation, no per-vector window sort, broadcast
+    // centroids only — the plan scales as O(N*k) map work per iteration.
+    // Output: cluster sizes + the first 4 centroid dims after iteration 2.
+    "emb_kmeans" -> (((s: SparkSession, d: String) => {
+      val emb = Fixtures.embeddings(s, d)
+        .select(col("vec_id"),
+          transform(quantize(col("embedding")), x => x * 256).as("sv"))
+      var cent = emb.where(col("vec_id") % 125 === 0)
+        .select(col("vec_id").as("cid"), col("sv").as("cv"))
+      var sizes: DataFrame = null
+      for (_ <- 1 to 2) {
+        val dist = emb.crossJoin(broadcast(cent))
+          .withColumn("dist",
+            aggregate(zip_with(col("sv"), col("cv"), (x, y) => (x - y) * (x - y)),
+              lit(0L), (acc, v) => acc + v))
+        val assigned = dist.groupBy("vec_id")
+          .agg(min_by(struct(col("cid"), col("sv")),
+            struct(col("dist"), col("cid"))).as("a"))
+          .select(col("a.cid").as("cid"), col("a.sv").as("sv"))
+        val perDim = assigned
+          .select(col("cid"), posexplode(col("sv")).as(Seq("dim0", "v")))
+          .groupBy("cid", "dim0")
+          .agg(sum("v").as("sv_sum"), count(lit(1)).as("n"))
+          .withColumn("c", floor(col("sv_sum").cast("double") / col("n")))
+        cent = perDim.groupBy("cid")
+          .agg(transform(
+            array_sort(collect_list(struct(col("dim0"), col("c")))),
+            x => x.getField("c")).as("cv"))
+        sizes = perDim.where(col("dim0") === 0).select(col("cid"), col("n"))
+      }
+      cent
+        .select(col("cid"), posexplode(slice(col("cv"), 1, 4)).as(Seq("dim0", "c")))
+        .withColumn("dim", (col("dim0") + 1).cast("int")).drop("dim0")
+        .join(sizes, Seq("cid"))
+        .select(col("cid"), col("n"), col("dim"), col("c"))
+        .orderBy("cid", "dim")
+    }),
+      Some(s"""
+        WITH q AS (
+          SELECT vec_id,
+                 list_transform($qvecSql, x -> x * 256) AS sv
+          FROM embeddings),
+        init AS (SELECT vec_id AS cid, sv AS cv FROM q WHERE vec_id % 125 = 0),
+        d1 AS (
+          SELECT q.vec_id, cid,
+                 CAST(list_sum(list_transform(generate_series(1, len(sv)),
+                   i -> (sv[i]-cv[i])*(sv[i]-cv[i]))) AS BIGINT) AS dist
+          FROM q CROSS JOIN init),
+        a1 AS (
+          SELECT vec_id, cid FROM (
+            SELECT vec_id, cid,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+            FROM d1) WHERE rn = 1),
+        c1e AS (
+          SELECT cid, i AS dim,
+                 CAST(floor(CAST(sum(sv[i]) AS DOUBLE) / count(*)) AS BIGINT) AS c
+          FROM a1 JOIN q USING (vec_id) CROSS JOIN range(1, 65) t(i)
+          GROUP BY cid, i),
+        c1 AS (SELECT cid, list(c ORDER BY dim) AS cv FROM c1e GROUP BY cid),
+        d2 AS (
+          SELECT q.vec_id, cid,
+                 CAST(list_sum(list_transform(generate_series(1, len(sv)),
+                   i -> (sv[i]-cv[i])*(sv[i]-cv[i]))) AS BIGINT) AS dist
+          FROM q CROSS JOIN c1),
+        a2 AS (
+          SELECT vec_id, cid FROM (
+            SELECT vec_id, cid,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+            FROM d2) WHERE rn = 1),
+        c2e AS (
+          SELECT cid, i AS dim,
+                 CAST(floor(CAST(sum(sv[i]) AS DOUBLE) / count(*)) AS BIGINT) AS c,
+                 count(*) AS n
+          FROM a2 JOIN q USING (vec_id) CROSS JOIN range(1, 65) t(i)
+          GROUP BY cid, i)
+        SELECT cid, n, CAST(dim AS INT) AS dim, c
+        FROM c2e WHERE dim <= 4 ORDER BY cid, dim"""))
   )
 }

@@ -153,4 +153,41 @@ class ReviewRegressionSpec extends SparkSpec {
     assert(n2 === 1)
     assert(!fs.exists(fresh) && fs.exists(inflight))
   }
+
+  test("racing writers of the same snapshot both land on one content address") {
+    import spark.implicits._
+    // two threads write identical content to one FRESH store: both take the
+    // eager staged-write path, the content-addressed renames race on the
+    // same target dirs, and the exists-recheck makes the loser a no-op
+    val dir = tmpDir("race")
+    val store = new graft.store.SnapshotStore(spark, dir, raggedness = 100)
+    val df = (1 to 2000).map(i => (f"k$i%06d", s"v$i")).toDF("key", "identity")
+      .persist()
+    df.count()
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val tasks = (1 to 2).map { _ =>
+        pool.submit(new java.util.concurrent.Callable[(String, Int)] {
+          def call(): (String, Int) = {
+            val (meta, infos) = store.writeSnapshot(df)
+            (meta, infos.size)
+          }
+        })
+      }
+      val results = tasks.map(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+      assert(results.map(_._1).distinct.size === 1, "same content, same metarange id")
+      // the store is intact: scan returns every row, no staging leftovers
+      val meta = results.head._1
+      assert(store.scan(meta).count() === 2000)
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+      val leftovers = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/ranges"))
+        .map(_.getPath.getName).filter(_.startsWith("__staging_"))
+      assert(leftovers.isEmpty, s"staging dirs must be cleaned: ${leftovers.toSeq}")
+      // every manifest row's range dir exists and rereads to its row count
+      store.readManifest(meta).foreach { ri =>
+        assert(fs.exists(new org.apache.hadoop.fs.Path(ri.path)))
+      }
+    } finally { pool.shutdownNow(); df.unpersist() }
+  }
 }
