@@ -119,6 +119,11 @@ object Bench {
     def runPass(pass: Int): Unit = {
       val repoDir = s"target/bench_repo_${java.util.UUID.randomUUID()}"
       val store = new SnapshotStore(spark, repoDir, raggedness = 50000L)
+      // re-materialize the input cache (earlier passes' persists evict
+      // blocks): snapshot_write runs FIRST in a pass and would otherwise
+      // pay the re-read that the late-pass bare twin never sees — the
+      // metric is the write, not the cache state it happens to find
+      base.count()
       try {
         // 1. snapshot_write: commit C1 from sorted records (J5/O1).
         // Everything downstream needs C1, so a failure ends the pass.

@@ -92,22 +92,34 @@ object Profile {
       val arr = cutKeys.map(UTF8String.fromString)
       java.util.Arrays.sort(arr, java.util.Comparator.naturalOrder[UTF8String]())
       val bc = spark.sparkContext.broadcast(arr)
-      val stagingPath = s"target/profile_manual/__staging"
-      t("m_staged_write") {
-        base.withColumn("__chunk", graft.functions.CutIndex.chunkOf(col("key"), bc))
-          .repartition(math.max(1, math.min(arr.length + 1, 64)), col("__chunk"))
-          .sortWithinPartitions("__chunk", "key")
-          .write.mode("overwrite").partitionBy("__chunk").parquet(stagingPath)
-      }
-      val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
-      t("m_stats_pass") {
-        spark.read.parquet(stagingPath)
-          .withColumn("__h1", xxhash64(concat_ws("|", col("key"), col("identity"))).cast(dec38))
-          .withColumn("__h2", xxhash64(concat_ws("#", col("identity"), col("key"), lit("s2"))).cast(dec38))
-          .groupBy("__chunk")
-          .agg(sum("__h1"), sum("__h2"), min("key"), max("key"), count(lit(1)),
-            sum(length(col("key")) + coalesce(length(col("identity")), lit(0L))))
-          .collect()
+      val withChunk = base.withColumn("__chunk",
+        graft.functions.CutIndex.chunkOf(col("key"), bc))
+      val salted = withChunk
+        .repartition(24, col("__chunk"), pmod(xxhash64(col("key")), lit(2)))
+        .sortWithinPartitions("__chunk", "key")
+      for (i <- 1 to 2) {
+        t(s"m_write_plain_$i") { // floor: same shuffle+sort, no partitionBy
+          salted.write.mode("overwrite").parquet("target/profile_manual/plain")
+        }
+        t(s"m_write_dynpart_$i") { // the engine's shape
+          salted.write.mode("overwrite")
+            .option("mapreduce.fileoutputcommitter.algorithm.version", "2")
+            .partitionBy("__chunk").parquet("target/profile_manual/dyn")
+        }
+        t(s"m_write_bare_$i") {
+          base.repartitionByRange(col("key")).sortWithinPartitions("key")
+            .write.mode("overwrite").parquet("target/profile_manual/bare")
+        }
+        t(s"m_stats_$i") {
+          val h1e = xxhash64(col("key"), col("identity"))
+          val h2e = xxhash64(col("identity"), col("key"), lit("s2"))
+          withChunk.groupBy("__chunk")
+            .agg(sum(shiftright(h1e, 32)), sum(h1e.bitwiseAND(lit(0xFFFFFFFFL))),
+              sum(shiftright(h2e, 32)), sum(h2e.bitwiseAND(lit(0xFFFFFFFFL))),
+              min("key"), max("key"), count(lit(1)),
+              sum(length(col("key")) + coalesce(length(col("identity")), lit(0L))))
+            .collect()
+        }
       }
     }
 

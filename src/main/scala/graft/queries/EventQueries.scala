@@ -172,6 +172,60 @@ object EventQueries {
                CAST(count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS n_with_k,
                CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
                CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
-        FROM events GROUP BY 1 ORDER BY event_type"""))
+        FROM events GROUP BY 1 ORDER BY event_type""")),
+
+    // As-of join — the point-in-time feature-lookup operator training-data
+    // pipelines need (label row joins the latest feature row at-or-before
+    // its timestamp). Spark has no ASOF JOIN; a naive theta-join is a range
+    // join (nested loop). The scale plan is the union-sort trick: tag both
+    // sides, one shuffle on user_id, and a running last_value(ignoreNulls)
+    // carries the most recent view forward into each purchase row — no
+    // range join anywhere. Views are pre-deduped per (user, second) so the
+    // at-or-before match is unique on both engines; DuckDB's native
+    // ASOF LEFT JOIN is the oracle.
+    "ev_asof" -> (((s: SparkSession, d: String) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = Fixtures.events(s, d).select(col("user_id"), col("event_id"),
+        expr("ts div 1000000000").as("tsec"), col("event_type"))
+      val views = ev.where(col("event_type") === "view")
+        .groupBy("user_id", "tsec").agg(max("event_id").as("v_event_id"))
+      val probes = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("probe_id"), col("tsec"))
+      // side 0 = view, side 1 = probe: at equal seconds the view sorts
+      // first, so "at-or-before" is inclusive, matching ASOF's >= bound
+      val tagged = views.select(col("user_id"), col("tsec"),
+          lit(0).as("side"), lit(null).cast("long").as("probe_id"),
+          col("v_event_id"))
+        .unionByName(probes.select(col("user_id"), col("tsec"),
+          lit(1).as("side"), col("probe_id"),
+          lit(null).cast("long").as("v_event_id")))
+      val w = Window.partitionBy("user_id").orderBy("tsec", "side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      tagged
+        .withColumn("view_event_id",
+          last(col("v_event_id"), ignoreNulls = true).over(w))
+        .withColumn("view_tsec",
+          last(when(col("side") === 0, col("tsec")), ignoreNulls = true).over(w))
+        .where(col("side") === 1)
+        .select(col("probe_id"), col("user_id"), col("tsec").as("probe_tsec"),
+          col("view_event_id"), col("view_tsec"))
+        .orderBy("probe_id")
+    }),
+      Some("""
+        WITH e AS (
+          SELECT user_id, event_id, epoch_ns(ts) // 1000000000 AS tsec,
+                 event_type
+          FROM events),
+        v AS (
+          SELECT user_id, tsec, max(event_id) AS v_event_id
+          FROM e WHERE event_type = 'view' GROUP BY user_id, tsec),
+        p AS (
+          SELECT user_id, event_id AS probe_id, tsec
+          FROM e WHERE event_type = 'purchase')
+        SELECT p.probe_id, p.user_id, p.tsec AS probe_tsec,
+               v.v_event_id AS view_event_id, v.tsec AS view_tsec
+        FROM p ASOF LEFT JOIN v
+          ON p.user_id = v.user_id AND p.tsec >= v.tsec
+        ORDER BY probe_id"""))
   )
 }

@@ -260,14 +260,29 @@ class SnapshotStore(val spark: SparkSession, val repoDir: String,
     val weCache = df0.storageLevel == org.apache.spark.storage.StorageLevel.NONE
     if (weCache) df0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      // no distinct(): snapshot keys are unique (O1), so the exchange a
-      // distinct would add buys nothing — any dup from a violated contract
-      // is collapsed on the driver below
-      val cutRows = df0.select("key")
+      // The cut scan is ONE parallel job returning, per partition, the
+      // exact cut count plus the cut keys when that partition holds at
+      // most the broadcast bound (task memory stays bounded). The totals
+      // decide the path exactly: total <= bound implies every partition
+      // shipped all its keys (n_i <= total <= bound), so the broadcast set
+      // is complete; past the bound the windowed path runs and nothing
+      // data-sized reaches the driver. Alternatives lose: limit() plans
+      // CollectLimitExec, whose serial incremental partition rounds
+      // (1, 4, ...) never fill a quota this selective (~1/raggedness), and
+      // a separate count+collect pays two scheduler round-trips for the
+      // one scan. No distinct() exchange either — snapshot keys are
+      // unique (O1); stray dups collapse on the driver below.
+      val bound = maxBroadcastCuts
+      val perPart: Array[(Long, Array[String])] = tr("cut_scan")(df0.select("key")
         .where((abs(xxhash64(col("key"))) % raggedness) === 0)
-        .limit(maxBroadcastCuts + 1).collect()
-      if (cutRows.length <= maxBroadcastCuts)
-        chunkAndWriteBroadcast(df0, cutRows.map(_.getString(0)).distinct)
+        .rdd.mapPartitions { it =>
+          val buf = scala.collection.mutable.ArrayBuffer[String]()
+          var n = 0L
+          it.foreach { r => n += 1; if (n <= bound) buf += r.getString(0) }
+          Iterator.single((n, if (n <= bound) buf.toArray else Array.empty[String]))
+        }.collect())
+      if (perPart.map(_._1).sum <= bound)
+        chunkAndWriteBroadcast(df0, perPart.flatMap(_._2).distinct)
       else chunkAndWriteWindowed(df0)
     } finally if (weCache) df0.unpersist()
   }
@@ -350,6 +365,15 @@ class SnapshotStore(val spark: SparkSession, val repoDir: String,
    * (the reference uploads ranges through 10 concurrent workers,
    * `pkg/config/defaults.go:91`).
    */
+  // stage timing to stderr when SPARK_GRAFT_TRACE is set (bench diagnosis)
+  private val trace = sys.env.contains("SPARK_GRAFT_TRACE")
+  private def tr[T](name: String)(f: => T): T =
+    if (!trace) f else {
+      val t0 = System.nanoTime(); val r = f
+      System.err.println(f"[trace] $name%-14s ${(System.nanoTime() - t0) / 1e9}%7.3f s")
+      r
+    }
+
   private def writeChunks(withChunk: DataFrame, approxChunks: Int): Seq[RangeInfo] = {
     val two64 = java.math.BigInteger.ONE.shiftLeft(64)
     val freshStore = !fs.exists(new Path(rangesDir))
@@ -362,10 +386,19 @@ class SnapshotStore(val spark: SparkSession, val repoDir: String,
     // chunks >> cores, the salt degenerates to 1 and ranges stay one file.
     val salt = math.min(16, math.max(1, parts * 2 / math.max(1, approxChunks)))
     def stageAll(df: DataFrame, nChunks: Int): Unit = df
-      .repartition(math.max(1, math.min(nChunks * salt, parts * 4)),
+      .repartition(
+        // salted (few chunks): exactly one task wave at `parts`; unsalted
+        // (chunks >= cores): one task per missing chunk, capped
+        if (salt > 1) parts else math.max(1, math.min(nChunks, parts * 4)),
         col("__chunk"), pmod(xxhash64(col("key")), lit(salt)))
       .sortWithinPartitions("__chunk", "key")
       .write.mode(SaveMode.Overwrite)
+      // commit algorithm v2: output files move into place at TASK commit
+      // (parallel, on the executors) instead of a serial driver rename loop
+      // at job commit — the staging dir is private to this write and
+      // renamed/deleted atomically afterwards, so v1's job-level atomicity
+      // buys nothing here
+      .option("mapreduce.fileoutputcommitter.algorithm.version", "2")
       .partitionBy("__chunk")
       .parquet(stagingPath)
 
@@ -373,8 +406,7 @@ class SnapshotStore(val spark: SparkSession, val repoDir: String,
     // staged write on a second driver thread while the stats agg runs
     val eagerWrite: Option[java.util.concurrent.Future[_]] =
       if (freshStore) Some(SnapshotStore.ioPool.submit(new Runnable {
-        // upper bound on chunk count is fine for partition sizing
-        def run(): Unit = stageAll(withChunk, parts * 4)
+        def run(): Unit = tr("eager_write")(stageAll(withChunk, approxChunks))
       })) else None
 
     // Two independent unreduced 64-bit streams per row — chained multi-arg
@@ -393,10 +425,10 @@ class SnapshotStore(val spark: SparkSession, val repoDir: String,
       count(lit(1)).as("cnt"),
       sum(length(col("key")) + coalesce(length(col("identity")), lit(0L))).as("est"))
     val manifest =
-      try withChunk
+      try tr("stats_agg")(withChunk
         .groupBy("__chunk")
         .agg(aggs.head, aggs.tail: _*)
-        .collect()
+        .collect())
         .map { r =>
           def hex64(n: String): String = String.format("%016x",
             java.math.BigInteger.valueOf(r.getAs[Long](n + "_hi")).shiftLeft(32)
@@ -420,7 +452,7 @@ class SnapshotStore(val spark: SparkSession, val repoDir: String,
       }.collect { case (p, exists) if !exists => p }
     if (missing.nonEmpty) {
       eagerWrite match {
-        case Some(f) => f.get() // staged concurrently with the stats agg
+        case Some(f) => tr("eager_join")(f.get()) // staged concurrently with the stats agg
         case None =>
           // write only the missing chunks; when the filter wouldn't prune
           // anything (full rewrite) skip it so the scan stays predicate-free
@@ -430,14 +462,14 @@ class SnapshotStore(val spark: SparkSession, val repoDir: String,
             else withChunk.where(col("__chunk").isInCollection(missingIdx))
           stageAll(toWrite, missing.length)
       }
-      SnapshotStore.inParallel(missing) { case (ri, chunkIdx) =>
+      tr("renames")(SnapshotStore.inParallel(missing) { case (ri, chunkIdx) =>
         val src = new Path(s"$stagingPath/__chunk=$chunkIdx")
         val dest = new Path(ri.path)
         if (!fs.exists(dest) && !fs.rename(src, dest) && !fs.exists(dest))
           sys.error(s"range rename failed: $dest")
-      }
+      })
     } else eagerWrite.foreach(_.get())
-    fs.delete(new Path(stagingPath), true)
+    tr("staging_del")(fs.delete(new Path(stagingPath), true))
     manifest.map(_._1).sortBy(_.minKey).toSeq
   }
 
