@@ -226,6 +226,51 @@ object EventQueries {
                v.v_event_id AS view_event_id, v.tsec AS view_tsec
         FROM p ASOF LEFT JOIN v
           ON p.user_id = v.user_id AND p.tsec >= v.tsec
-        ORDER BY probe_id"""))
+        ORDER BY probe_id""")),
+
+    // Range (interval) join — purchases inside each error's 600 s incident
+    // window, with NO shared equi key. A raw theta join is a nested loop
+    // (quadratic at scale); the scale plan buckets time at the window
+    // length, so a window overlaps at most 2 buckets (exploded rows) and an
+    // event exactly 1 — candidates come from an EQUI-join on the bucket,
+    // refined by the range predicate, and no (window, event) pair can
+    // double-match. Left semantics keep zero-match windows. The oracle is
+    // the plain range join DuckDB optimizes natively (IEJoin).
+    "ev_range_join" -> (((s: SparkSession, d: String) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val W = 600L
+      val ev = Fixtures.events(s, d).select(col("event_id"),
+        expr("ts div 1000000000").as("tsec"), col("event_type"),
+        floor(col("value") * 100 + 0.5).cast("long").as("value_c"))
+      val windows = ev.where(col("event_type") === "error")
+        .select(col("event_id").as("w_id"), col("tsec").as("w_start"),
+          (col("tsec") + W).as("w_end"))
+        .withColumn("bucket", explode(array_distinct(array(
+          floor(col("w_start") / W), floor((col("w_end") - 1) / W)))))
+      val probes = ev.where(col("event_type") === "purchase")
+        .select(col("event_id").as("e_id"), col("tsec"), col("value_c"))
+        .withColumn("bucket", floor(col("tsec") / W))
+      windows.join(probes,
+          windows("bucket") === probes("bucket") &&
+            probes("tsec") >= windows("w_start") &&
+            probes("tsec") < windows("w_end"), "left")
+        .groupBy("w_id")
+        .agg(count(col("e_id")).as("n_events"),
+          coalesce(sum("value_c"), lit(0L)).as("sum_value_c"))
+        .orderBy("w_id")
+    }),
+      Some("""
+        WITH e AS (
+          SELECT event_id, epoch_ns(ts) // 1000000000 AS tsec, event_type,
+                 CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_c
+          FROM events),
+        w AS (SELECT event_id AS w_id, tsec AS w_start, tsec + 600 AS w_end
+              FROM e WHERE event_type = 'error'),
+        p AS (SELECT event_id AS e_id, tsec, value_c
+              FROM e WHERE event_type = 'purchase')
+        SELECT w_id, CAST(count(e_id) AS BIGINT) AS n_events,
+               CAST(coalesce(sum(value_c), 0) AS BIGINT) AS sum_value_c
+        FROM w LEFT JOIN p ON p.tsec >= w_start AND p.tsec < w_end
+        GROUP BY w_id ORDER BY w_id"""))
   )
 }

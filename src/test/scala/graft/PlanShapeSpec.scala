@@ -7,7 +7,8 @@ package graft
  * those plans is a 100 TB scale bug, whatever the sf0.01 numbers say.
  * (`emb_neardup` and `td_ngram_jaccard` are the DECLARED all-pairs
  * correctness baselines and are deliberately not listed here; emb_ann_topk's
- * broadcast crossJoin against a tiny probe set is likewise intentional.)
+ * and emb_kmeans' broadcast crossJoins against a tiny probe/centroid set are
+ * likewise intentional.)
  */
 class PlanShapeSpec extends SparkSpec {
 
@@ -15,7 +16,10 @@ class PlanShapeSpec extends SparkSpec {
 
   private val scalePaths = Seq(
     "td_minhash_lsh", "td_simhash_pairs", "td_simhash", "td_curation",
-    "emb_lsh_ann", "emb_lsh_buckets", "td_fingerprint", "td_dedup_prefix")
+    "emb_lsh_ann", "emb_lsh_buckets", "td_fingerprint", "td_dedup_prefix",
+    // as-of = union-sort (no join operator at all); range join = bucketed
+    // equi-join + refine — a theta-only formulation would plan a nested loop
+    "ev_asof", "ev_range_join")
 
   test("LSH scale paths contain no all-pairs join") {
     scalePaths.foreach { name =>
