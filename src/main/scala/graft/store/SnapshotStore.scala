@@ -105,7 +105,10 @@ class SnapshotStore(val spark: SparkSession, val repoDir: String,
     val rewritten = graft.operators.Merge.applyChanges(touchedDf, aligned)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val newInfos = chunkAndWrite(rewritten)
+      // eagerStage: a touched range was touched BECAUSE a change key lands
+      // in it, so its rewritten chunks carry new content ids — staging them
+      // concurrently with the stats agg is almost never wasted work
+      val newInfos = chunkAndWrite(rewritten, eagerStage = true)
       val all = (untouched ++ newInfos).sortBy(_.minKey)
       val metaRangeId = metaRangeIdOf(all)
       writeManifest(metaRangeId, all)
@@ -253,7 +256,7 @@ class SnapshotStore(val spark: SparkSession, val repoDir: String,
    * full 64-bit entropy per stream, so range-id equality is a sound pruning
    * test for diff/merge (the identity discipline of `pkg/ident/ident.go`).
    */
-  private def chunkAndWrite(df0: DataFrame): Seq[RangeInfo] = {
+  private def chunkAndWrite(df0: DataFrame, eagerStage: Boolean = false): Seq[RangeInfo] = {
     // Stats and data are two jobs over the same rows — cache the source for
     // the duration unless the caller already did (commitChanges persists the
     // applied slice; Bench persists its base).
@@ -282,15 +285,16 @@ class SnapshotStore(val spark: SparkSession, val repoDir: String,
           Iterator.single((n, if (n <= bound) buf.toArray else Array.empty[String]))
         }.collect())
       if (perPart.map(_._1).sum <= bound)
-        chunkAndWriteBroadcast(df0, perPart.flatMap(_._2).distinct)
-      else chunkAndWriteWindowed(df0)
+        chunkAndWriteBroadcast(df0, perPart.flatMap(_._2).distinct, eagerStage)
+      else chunkAndWriteWindowed(df0, eagerStage)
     } finally if (weCache) df0.unpersist()
   }
 
   private def parts: Int = math.max(1, spark.sessionState.conf.numShufflePartitions)
 
   /** Fast path: codegen'd binary search against the broadcast sorted cuts. */
-  private def chunkAndWriteBroadcast(df: DataFrame, cutKeys: Array[String]): Seq[RangeInfo] = {
+  private def chunkAndWriteBroadcast(df: DataFrame, cutKeys: Array[String],
+      eagerStage: Boolean): Seq[RangeInfo] = {
     import org.apache.spark.unsafe.types.UTF8String
     val arr = cutKeys.map(UTF8String.fromString)
     java.util.Arrays.sort(arr, java.util.Comparator.naturalOrder[UTF8String]())
@@ -298,12 +302,12 @@ class SnapshotStore(val spark: SparkSession, val repoDir: String,
     try {
       val withChunk = df.withColumn("__chunk",
         graft.functions.CutIndex.chunkOf(col("key"), bc))
-      writeChunks(withChunk, approxChunks = arr.length + 1)
+      writeChunks(withChunk, approxChunks = arr.length + 1, eagerStage)
     } finally bc.destroy()
   }
 
   /** Distributed fallback for cut sets too large to broadcast. */
-  private def chunkAndWriteWindowed(df: DataFrame): Seq[RangeInfo] = {
+  private def chunkAndWriteWindowed(df: DataFrame, eagerStage: Boolean): Seq[RangeInfo] = {
     import org.apache.spark.sql.expressions.Window
     val marked = df
       .withColumn("__is_cut",
@@ -332,7 +336,7 @@ class SnapshotStore(val spark: SparkSession, val repoDir: String,
         .drop("__is_cut", "__pid", "__off")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // beyond-broadcast cut counts always dwarf the core count — no salting
-      try writeChunks(withChunk, approxChunks = Int.MaxValue)
+      try writeChunks(withChunk, approxChunks = Int.MaxValue, eagerStage)
       finally withChunk.unpersist()
     } finally marked.unpersist()
   }
@@ -374,7 +378,8 @@ class SnapshotStore(val spark: SparkSession, val repoDir: String,
       r
     }
 
-  private def writeChunks(withChunk: DataFrame, approxChunks: Int): Seq[RangeInfo] = {
+  private def writeChunks(withChunk: DataFrame, approxChunks: Int,
+      eagerStage: Boolean = false): Seq[RangeInfo] = {
     val two64 = java.math.BigInteger.ONE.shiftLeft(64)
     val freshStore = !fs.exists(new Path(rangesDir))
 
