@@ -1,0 +1,68 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/**
+ * Streaming as-of join (SURVEY.md §2.9 north-star): the incremental form of
+ * the batch `ev_asof` query — every purchase is matched to the latest view
+ * at-or-before it for the same user, as events arrive.
+ *
+ * State per user is ONE tuple (the latest view seen), kept in
+ * `flatMapGroupsWithState` — the custom-state operator the prompt reserves
+ * for semantics Structured Streaming's built-ins can't express: a
+ * stream-stream as-of is neither an equi-join (no bounded time condition
+ * both ways) nor a windowed aggregation.
+ *
+ * Semantics match the batch twin exactly when each user's events arrive in
+ * event-time order across micro-batches (the shape of log-structured
+ * ingest): within a batch the group iterator is sorted (views before
+ * purchases at the same second, larger event_id wins a same-second view
+ * tie — the batch side's dedup rule), and across batches the state carries
+ * the latest view forward. A view arriving LATER than a purchase it should
+ * have matched is the classic late-data tradeoff: the batch `ev_asof` pass
+ * is the periodic exact reconciliation, as with [[StreamDedup]].
+ *
+ * Scale: state shards by user_id across executors and is O(1) per user;
+ * no join state, no range join, no buffering of the event stream.
+ */
+object StreamAsof {
+
+  case class Ev(user_id: Long, event_id: Long, tsec: Long, event_type: String)
+  case class LatestView(v_event_id: Long, v_tsec: Long)
+  case class AsofMatch(probe_id: Long, user_id: Long, probe_tsec: Long,
+      view_event_id: Option[Long], view_tsec: Option[Long])
+
+  /** Input columns: (user_id, event_id, tsec, event_type). Emits one row
+    * per purchase with the latest view at-or-before it (None = no view
+    * yet), matching the batch `ev_asof` output on in-order streams. */
+  def matches(events: DataFrame): Dataset[AsofMatch] = {
+    import events.sparkSession.implicits._
+    events.select(col("user_id").cast("long"), col("event_id").cast("long"),
+        col("tsec").cast("long"), col("event_type"))
+      .as[Ev]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (uid: Long, it: Iterator[Ev], state: GroupState[LatestView]) => {
+          // views sort before purchases at the same second: at-or-before is
+          // inclusive, like the batch side's (tsec, side) ordering
+          val evs = it.toSeq.sortBy(e =>
+            (e.tsec, if (e.event_type == "view") 0 else 1, e.event_id))
+          var cur = state.getOption
+          val out = scala.collection.mutable.ArrayBuffer[AsofMatch]()
+          evs.foreach { e =>
+            if (e.event_type == "view") {
+              if (cur.forall(c => e.tsec > c.v_tsec ||
+                  (e.tsec == c.v_tsec && e.event_id > c.v_event_id)))
+                cur = Some(LatestView(e.event_id, e.tsec))
+            } else if (e.event_type == "purchase") {
+              out += AsofMatch(e.event_id, uid, e.tsec,
+                cur.map(_.v_event_id), cur.map(_.v_tsec))
+            }
+          }
+          cur.foreach(state.update)
+          out.iterator
+        })
+  }
+}

@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.streaming.StreamAsof
+
+/** The streaming as-of join must agree with the batch union-sort plan
+  * (`ev_asof`) on the same rows when events arrive in order. */
+class StreamAsofSpec extends SparkSpec {
+
+  // (user_id, event_id, tsec, event_type) — two users; same-second
+  // view+purchase (inclusive match), a same-second view tie (max event_id
+  // wins), a purchase before any view (null match), state carried across
+  // micro-batches
+  private val batch1 = Seq(
+    (1L, 10L, 100L, "view"), (1L, 11L, 100L, "view"),   // tie: 11 wins
+    (1L, 12L, 150L, "purchase"),                        // -> view 11 @100
+    (2L, 20L, 50L, "purchase"),                         // -> no view yet
+    (2L, 21L, 60L, "view"),
+    (1L, 13L, 200L, "view"), (1L, 14L, 200L, "purchase")) // same-second -> 13
+  private val batch2 = Seq(
+    (2L, 22L, 300L, "purchase"),                        // state from batch1 -> 21
+    (1L, 15L, 400L, "purchase"))                        // -> 13 @200
+
+  private def batchAsof(rows: Seq[(Long, Long, Long, String)]) = {
+    import spark.implicits._
+    val ev = rows.toDF("user_id", "event_id", "tsec", "event_type")
+    val views = ev.where(col("event_type") === "view")
+      .groupBy("user_id", "tsec").agg(max("event_id").as("v_event_id"))
+    val probes = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("probe_id"), col("tsec"))
+    val tagged = views.select(col("user_id"), col("tsec"), lit(0).as("side"),
+        lit(null).cast("long").as("probe_id"), col("v_event_id"))
+      .unionByName(probes.select(col("user_id"), col("tsec"),
+        lit(1).as("side"), col("probe_id"),
+        lit(null).cast("long").as("v_event_id")))
+    val w = Window.partitionBy("user_id").orderBy("tsec", "side")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("view_event_id", last(col("v_event_id"), ignoreNulls = true).over(w))
+      .withColumn("view_tsec",
+        last(when(col("side") === 0, col("tsec")), ignoreNulls = true).over(w))
+      .where(col("side") === 1)
+      .select("probe_id", "user_id", "tsec", "view_event_id", "view_tsec")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long]),
+        Option(r.get(4)).map(_.asInstanceOf[Long])))
+      .toSet
+  }
+
+  test("streaming as-of matches the batch union-sort plan across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, Long, String)]
+    val in = mem.toDF().toDF("user_id", "event_id", "tsec", "event_type")
+    val q = StreamAsof.matches(in).writeStream
+      .outputMode("append").format("memory").queryName("asof_out").start()
+    try {
+      mem.addData(batch1)
+      q.processAllAvailable()
+      mem.addData(batch2)
+      q.processAllAvailable()
+      val got = spark.table("asof_out")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          Option(r.get(3)).map(_.asInstanceOf[Long]),
+          Option(r.get(4)).map(_.asInstanceOf[Long])))
+        .toSet
+      val expected = batchAsof(batch1 ++ batch2)
+      assert(got === expected)
+      // spot-check the semantics the fixture encodes
+      assert(got.contains((12L, 1L, 150L, Some(11L), Some(100L)))) // tie -> max id
+      assert(got.contains((20L, 2L, 50L, None, None)))             // no view yet
+      assert(got.contains((14L, 1L, 200L, Some(13L), Some(200L)))) // inclusive
+      assert(got.contains((22L, 2L, 300L, Some(21L), Some(60L))))  // cross-batch state
+    } finally q.stop()
+  }
+}
