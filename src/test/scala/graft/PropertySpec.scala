@@ -114,4 +114,25 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("snapshot identity is invariant to input partitioning and row order") {
+    // content-defined chunking contract: the SAME rows must produce the
+    // SAME metarange and range ids no matter how the input is partitioned
+    // or ordered — the cut scan collects per-partition, so any partition
+    // dependence would silently break cross-commit reuse and diff pruning
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = tmpDir("chunkinv")
+    val store = new graft.store.SnapshotStore(spark, dir, raggedness = 50)
+    val rows = (1 to 800).map(i => (f"k$i%06d", s"id$i"))
+    val variants = Seq(
+      rows.toDF("key", "identity").repartition(1),
+      rows.reverse.toDF("key", "identity").repartition(7),
+      new scala.util.Random(7).shuffle(rows).toDF("key", "identity")
+        .repartition(13, col("identity")))
+    val metas = variants.map(v => store.writeSnapshot(v))
+    assert(metas.map(_._1).distinct.size === 1,
+      "metarange id must not depend on input partitioning")
+    assert(metas.map(_._2.map(_.rangeId)).distinct.size === 1)
+  }
 }
