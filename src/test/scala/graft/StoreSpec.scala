@@ -93,6 +93,27 @@ class StoreSpec extends SparkSpec {
       iW.map(i => (i.rangeId, i.minKey, i.maxKey, i.count)))
   }
 
+  test("windowed-path commit: eager staging + distributed assignment agree") {
+    import spark.implicits._
+    // maxBroadcastCuts = 0 forces the windowed (beyond-broadcast) chunker;
+    // commitChanges then runs it with eager staging — the combination of
+    // the distributed assignment and the concurrent staged write
+    val dir = tmpDir("wincommit")
+    val store = new SnapshotStore(spark, dir, raggedness = 100, maxBroadcastCuts = 0)
+    val (m1, _) = store.writeSnapshot(rows(1500))
+    val changes = Seq(("k000300", "WNEW"), ("k000301", null)).toDF("key", "identity")
+    val (m2, _) = store.commitChanges(m1, changes)
+    val back = store.scan(m2).collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(back("k000300") === "WNEW" && !back.contains("k000301"))
+    assert(back.size === 1499)
+    // identical to what the broadcast path commits
+    val dir2 = tmpDir("wincommit2")
+    val bstore = new SnapshotStore(spark, dir2, raggedness = 100)
+    val (b1, _) = bstore.writeSnapshot(rows(1500))
+    val (b2, _) = bstore.commitChanges(b1, changes)
+    assert(b2 === m2, "windowed and broadcast commits must be content-identical")
+  }
+
   test("commitChanges rewrites only touched ranges and reuses the rest") {
     import spark.implicits._
     val dir = tmpDir("reuse")
