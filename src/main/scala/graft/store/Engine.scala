@@ -123,6 +123,48 @@ class Engine(val spark: SparkSession, val repoDir: String,
   /** Single-key Delete: stages a tombstone. */
   def delete(branch: String, key: String): Unit = deleteBatch(branch, Seq(key))
 
+  /** Read-modify-stage a single entry — the reference's `ValueUpdateFunc`
+    * surface (`graveler.go:567-569,644`, applied via `handleUpdate`
+    * `:1902`): the entry's current row resolves through the branch's
+    * effective view (staged overlay first, like Get), the column updates
+    * apply on top — they may reference current values — and the result is
+    * staged. A missing or deleted key errors (ErrNotFound parity). */
+  def updateEntry(branch: String, key: String,
+      updates: Map[String, org.apache.spark.sql.Column]): Unit = {
+    val cur = get(branch, key).getOrElse(sys.error(s"update of missing key: $key"))
+    val one = spark.createDataFrame(
+      java.util.Collections.singletonList(cur), cur.schema)
+    val updated = updates.foldLeft(one) { case (d, (c, e)) => d.withColumn(c, e) }
+    stage(branch, updated)
+  }
+
+  /** UpdateEntryUserMetadata (`pkg/catalog/catalog.go:1112-1200`): merge or
+    * replace the entry's `meta` map column. The entry identity is
+    * re-derived from the old identity + the new map, because user metadata
+    * participates in entry identity (`pkg/catalog/entry.go:21-38`) — a
+    * metadata-only change must still read as "changed" in diffs. Requires
+    * the snapshot schema to carry `meta: map<string,string>`. */
+  def updateEntryMetadata(branch: String, key: String,
+      newMeta: Map[String, String], replace: Boolean = false): Unit = {
+    val metaLit = if (newMeta.isEmpty) typedLit(Map.empty[String, String])
+      else map(newMeta.toSeq.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+    // merge = old entries whose key isn't overwritten + the new map; the
+    // map_filter keeps map_concat free of duplicate keys (whose handling
+    // is mapKeyDedupPolicy-dependent), and a null map reads as empty
+    val old = coalesce(col("meta"), typedLit(Map.empty[String, String]))
+    val merged =
+      if (replace) metaLit
+      else map_concat(
+        map_filter(old, (k, _) => !k.isInCollection(newMeta.keys.toSeq)), metaLit)
+    updateEntry(branch, key, Map(
+      "meta" -> merged,
+      // key-sorted entries make the identity a function of map CONTENT,
+      // not insertion order; the unit-separator escape keeps the preimage
+      // collision-free and the source ASCII-clean (no raw control bytes)
+      "identity" -> sha2(concat_ws("\u001f", col("identity"),
+        to_json(array_sort(map_entries(merged)))), 256)))
+  }
+
   /** DeleteBatch (≤1000 keys per call in the reference,
     * `DeleteKeysMaxSize` graveler.go:56): stages tombstones for the keys. */
   def deleteBatch(branch: String, keys: Seq[String]): Unit = {

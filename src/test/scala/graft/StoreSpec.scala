@@ -306,6 +306,52 @@ class StoreSpec extends SparkSpec {
     assert(t2.map(_._1) === Seq("tag-d", "tag-e") && !tm2)
   }
 
+  test("updateEntry / updateEntryMetadata: read-modify-stage with identity change") {
+    import spark.implicits._
+    val dir = tmpDir("updent")
+    val eng = new Engine(spark, dir, raggedness = 100)
+    val base = (1 to 20).map(i => (f"k$i%04d", s"id$i", Map("owner" -> "a", "tier" -> "1")))
+      .toDF("key", "identity", "meta")
+    val c1 = eng.init("main", Some(base))
+
+    // merge: overwritten key replaced, new key added, untouched key kept
+    eng.updateEntryMetadata("main", "k0003", Map("tier" -> "2", "pii" -> "yes"))
+    val row = eng.get("main", "k0003").get
+    val meta = row.getAs[Map[String, String]]("meta")
+    assert(meta === Map("owner" -> "a", "tier" -> "2", "pii" -> "yes"))
+    // identity changed: a metadata-only edit must read as "changed" in diffs
+    assert(row.getAs[String]("identity") !== "id3")
+    val c2 = eng.commit("main", "t", "meta edit")
+    val d = eng.diff(c1.commitId, c2.commitId).select("key", "diff_type").collect()
+    assert(d.map(r => (r.getString(0), r.getString(1))).toSeq === Seq(("k0003", "changed")))
+
+    // replace drops unmentioned keys
+    eng.updateEntryMetadata("main", "k0003", Map("owner" -> "b"), replace = true)
+    assert(eng.get("main", "k0003").get.getAs[Map[String, String]]("meta") ===
+      Map("owner" -> "b"))
+
+    // determinism: same base identity + same meta CONTENT -> same derived
+    // identity, regardless of the maps' insertion order
+    eng.stage("main", Seq(("ka", "same", Map.empty[String, String]),
+      ("kb", "same", Map.empty[String, String])).toDF("key", "identity", "meta"))
+    eng.updateEntryMetadata("main", "ka", Map("x" -> "1", "y" -> "2"))
+    eng.updateEntryMetadata("main", "kb", Map("y" -> "2", "x" -> "1"))
+    assert(eng.get("main", "ka").get.getAs[String]("identity") ===
+      eng.get("main", "kb").get.getAs[String]("identity"))
+
+    // generic updateEntry can rewrite any column from current values
+    eng.updateEntry("main", "k0007", Map(
+      "identity" -> concat(col("identity"), lit("+v2"))))
+    assert(eng.get("main", "k0007").get.getAs[String]("identity") === "id7+v2")
+
+    // missing key errors (ErrNotFound parity), as does a deleted key
+    intercept[RuntimeException] { eng.updateEntry("main", "nope", Map.empty) }
+    eng.delete("main", "k0009")
+    intercept[RuntimeException] {
+      eng.updateEntryMetadata("main", "k0009", Map("a" -> "b"))
+    }
+  }
+
   test("single-key set/delete/deleteBatch over a payload-carrying snapshot") {
     import spark.implicits._
     val dir = tmpDir("kv")
