@@ -271,6 +271,32 @@ object EventQueries {
         SELECT w_id, CAST(count(e_id) AS BIGINT) AS n_events,
                CAST(coalesce(sum(value_c), 0) AS BIGINT) AS sum_value_c
         FROM w LEFT JOIN p ON p.tsec >= w_start AND p.tsec < w_end
-        GROUP BY w_id ORDER BY w_id"""))
+        GROUP BY w_id ORDER BY w_id""")),
+
+    // Weekly retention cohorts: users grouped by first-seen week, counted
+    // per later activity week — the standard cohort-retention report. All
+    // stages are equi-shuffles: distinct (user, week) pairs, a per-user min
+    // for the cohort, a co-partitioned self-join on user_id, and a
+    // count-distinct that Spark plans as two-stage partial aggregation.
+    "ev_retention" -> (((s: SparkSession, d: String) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val weeks = Fixtures.events(s, d)
+        .select(col("user_id"), expr("ts div 1000000000 div 604800").as("week"))
+        .distinct()
+      val cohorts = weeks.groupBy("user_id").agg(min("week").as("cohort_week"))
+      weeks.join(cohorts, "user_id")
+        .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
+        .agg(countDistinct("user_id").as("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    }),
+      Some("""
+        WITH w AS (
+          SELECT DISTINCT user_id, epoch_ns(ts) // 1000000000 // 604800 AS week
+          FROM events),
+        c AS (SELECT user_id, min(week) AS cohort_week FROM w GROUP BY user_id)
+        SELECT cohort_week, week - cohort_week AS week_offset,
+               CAST(count(DISTINCT w.user_id) AS BIGINT) AS n_users
+        FROM w JOIN c USING (user_id)
+        GROUP BY 1, 2 ORDER BY cohort_week, week_offset"""))
   )
 }
