@@ -138,6 +138,17 @@ class Engine(val spark: SparkSession, val repoDir: String,
     stage(branch, updated)
   }
 
+  private def metaLitOf(m: Map[String, String]): org.apache.spark.sql.Column =
+    if (m.isEmpty) typedLit(Map.empty[String, String])
+    else map(m.toSeq.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+
+  /** Identity re-derived from the current identity + a metadata map:
+    * key-sorted entries make it a function of map CONTENT, not insertion
+    * order; the unit-separator escape keeps the preimage collision-free. */
+  private def identityWithMeta(metaCol: org.apache.spark.sql.Column) =
+    sha2(concat_ws("\u001f", col("identity"),
+      to_json(array_sort(map_entries(metaCol)))), 256)
+
   /** UpdateEntryUserMetadata (`pkg/catalog/catalog.go:1112-1200`): merge or
     * replace the entry's `meta` map column. The entry identity is
     * re-derived from the old identity + the new map, because user metadata
@@ -146,8 +157,7 @@ class Engine(val spark: SparkSession, val repoDir: String,
     * the snapshot schema to carry `meta: map<string,string>`. */
   def updateEntryMetadata(branch: String, key: String,
       newMeta: Map[String, String], replace: Boolean = false): Unit = {
-    val metaLit = if (newMeta.isEmpty) typedLit(Map.empty[String, String])
-      else map(newMeta.toSeq.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+    val metaLit = metaLitOf(newMeta)
     // merge = old entries whose key isn't overwritten + the new map; the
     // map_filter keeps map_concat free of duplicate keys (whose handling
     // is mapKeyDedupPolicy-dependent), and a null map reads as empty
@@ -157,13 +167,40 @@ class Engine(val spark: SparkSession, val repoDir: String,
       else map_concat(
         map_filter(old, (k, _) => !k.isInCollection(newMeta.keys.toSeq)), metaLit)
     updateEntry(branch, key, Map(
-      "meta" -> merged,
-      // key-sorted entries make the identity a function of map CONTENT,
-      // not insertion order; the unit-separator escape keeps the preimage
-      // collision-free and the source ASCII-clean (no raw control bytes)
-      "identity" -> sha2(concat_ws("\u001f", col("identity"),
-        to_json(array_sort(map_entries(merged)))), 256)))
+      "meta" -> merged, "identity" -> identityWithMeta(merged)))
   }
+
+  /** CopyEntry, clone path (`pkg/catalog/catalog.go:3100-3170`): restage
+    * the source entry's row — resolved through any ref, like Get — under a
+    * new key on `destBranch`. The payload (identity included) carries over
+    * unchanged, the reference's same-physical-address clone; with
+    * `replaceMeta` (`replaceSrcMetadata=true`) the metadata map is replaced
+    * and the identity re-derived. */
+  def copyEntry(srcRef: String, srcKey: String, destBranch: String,
+      destKey: String, replaceMeta: Option[Map[String, String]] = None): Unit = {
+    val cur = get(srcRef, srcKey)
+      .getOrElse(sys.error(s"copy of missing key: $srcKey"))
+    val one = spark.createDataFrame(
+      java.util.Collections.singletonList(cur), cur.schema)
+      .withColumn("key", lit(destKey))
+    val out = replaceMeta match {
+      case None => one
+      case Some(m) =>
+        val ml = metaLitOf(m)
+        one.withColumn("identity", identityWithMeta(ml)).withColumn("meta", ml)
+    }
+    stage(destBranch, out)
+  }
+
+  /** GetMetaRange (`catalog.go:2481-2487`): a metarange's manifest — every
+    * range id, key interval, stats, and address. */
+  def getMetaRange(metaRangeId: String): Seq[graft.core.Model.RangeInfo] =
+    snapshots.readManifest(metaRangeId)
+
+  /** GetRange (`catalog.go:2489-2495`): one range's info by id, resolved
+    * through a ref's manifest. */
+  def getRange(ref: String, rangeId: String): Option[graft.core.Model.RangeInfo] =
+    getMetaRange(resolveCommit(ref).metaRangeId).find(_.rangeId == rangeId)
 
   /** DeleteBatch (≤1000 keys per call in the reference,
     * `DeleteKeysMaxSize` graveler.go:56): stages tombstones for the keys. */

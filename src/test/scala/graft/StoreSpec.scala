@@ -350,6 +350,23 @@ class StoreSpec extends SparkSpec {
     intercept[RuntimeException] {
       eng.updateEntryMetadata("main", "k0009", Map("a" -> "b"))
     }
+
+    // copyEntry clone: payload + identity carry over; replaceMeta re-derives
+    eng.copyEntry("main", "k0010", "main", "copied/k0010")
+    val cp = eng.get("main", "copied/k0010").get
+    assert(cp.getAs[String]("identity") === "id10" &&
+      cp.getAs[Map[String, String]]("meta") === Map("owner" -> "a", "tier" -> "1"))
+    eng.copyEntry("main", "k0010", "main", "copied/k0010m",
+      replaceMeta = Some(Map("src" -> "k0010")))
+    val cpm = eng.get("main", "copied/k0010m").get
+    assert(cpm.getAs[Map[String, String]]("meta") === Map("src" -> "k0010"))
+    assert(cpm.getAs[String]("identity") !== "id10")
+
+    // metarange/range accessors (GetMetaRange/GetRange parity)
+    val mr = eng.getMetaRange(eng.resolveCommit("main").metaRangeId)
+    assert(mr.nonEmpty)
+    assert(eng.getRange("main", mr.head.rangeId) === Some(mr.head))
+    assert(eng.getRange("main", "no-such-range") === None)
   }
 
   test("single-key set/delete/deleteBatch over a payload-carrying snapshot") {
