@@ -1,0 +1,30 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Source hygiene: no raw control bytes in any Scala source. A single NUL
+  * or 0x1f byte (e.g. a unicode escape accidentally materialized by
+  * tooling) flips the file to git-binary, making every diff unreviewable —
+  * this bit PlanShapeSpec for three rounds and an identity separator once.
+  * Control characters belong in source as escapes ("\\u001f"), never raw. */
+class HygieneSpec extends AnyFunSuite {
+
+  test("no Scala source file contains raw control bytes") {
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Paths.get("src")
+    val offending = java.nio.file.Files.walk(root).iterator().asScala
+      .filter(p => p.toString.endsWith(".scala"))
+      .flatMap { p =>
+        val bytes = java.nio.file.Files.readAllBytes(p)
+        val bad = bytes.zipWithIndex.collect {
+          case (b, i) if (b >= 0 && b < 0x20) && b != '\n' && b != '\t' && b != '\r' =>
+            (i, b)
+        }
+        if (bad.isEmpty) None
+        else Some(s"$p: ${bad.take(3).map { case (i, b) => f"0x$b%02x@$i" }.mkString(", ")}" +
+          s" (${bad.length} total)")
+      }.toList
+    assert(offending.isEmpty,
+      s"raw control bytes in source:\n${offending.mkString("\n")}")
+  }
+}
