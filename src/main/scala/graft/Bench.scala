@@ -124,14 +124,36 @@ object Bench {
       // pay the re-read that the late-pass bare twin never sees — the
       // metric is the write, not the cache state it happens to find
       base.count()
+      // Bare-Spark twins (the BASELINE.md 2x comparison) run PAIRED —
+      // each immediately after its engine counterpart — so both sides of
+      // every ratio see the same cache/page-cache/GC state. Unpaired runs
+      // (engine ops first, bare ops at pass end) made the RATIO wobble
+      // ±0.2x across runs purely from pass-position environment drift,
+      // while each side's absolute time was stable. Twins stay EXCLUDED
+      // from the headline total.
+      val bareOut = s"target/bench_bare_${java.util.UUID.randomUUID()}"
       try {
-        // 1. snapshot_write: commit C1 from sorted records (J5/O1).
+        // 1. snapshot_write: commit C1 from sorted records (J5/O1), then
+        // the bare twin: full sorted rewrite, no manifests/content ids.
         // Everything downstream needs C1, so a failure ends the pass.
         val m1 = timed("snapshot_write") { store.writeSnapshot(base)._1 }
           .getOrElse(return)
+        val wroteBare = timed("bare_snapshot_write") {
+          base.repartitionByRange(col("key")).sortWithinPartitions("key")
+            .write.parquet(s"$bareOut/snap")
+        }
+        def bareSnap = spark.read.parquet(s"$bareOut/snap")
 
-        // 2. commit: apply a ~1% change set, rewriting only touched ranges.
+        // 2. commit: apply a ~1% change set, rewriting only touched
+        // ranges; bare twin = full rewrite (apply + re-sort + rewrite).
         val m2 = timed("commit") { store.commitChanges(m1, changes)._1 }
+        if (wroteBare.isDefined && m2.isDefined) {
+          timed("bare_commit") {
+            Merge.applyChanges(bareSnap, changes)
+              .repartitionByRange(col("key")).sortWithinPartitions("key")
+              .write.parquet(s"$bareOut/snap2")
+          }
+        }
 
         // 2b. commit_clustered: same change volume but clustered in one key
         // interval — only the touched ranges rewrite (the O(changed ranges)
@@ -142,19 +164,34 @@ object Bench {
           .withColumn("identity", identExpr)
         val m3 = timed("commit_clustered") { store.commitChanges(m1, clustered)._1 }
 
-        // 3. diff: C1..C2 with range-level pruning (J1), plus the clustered
-        // variant where pruning skips almost every range.
+        // 3. diff: C1..C2 with range-level pruning (J1) vs the bare
+        // full-outer over complete snapshots, plus the clustered variant
+        // where pruning skips almost every range.
         m2.foreach(m => timed("diff") { store.diff(m1, m).count() })
+        if (wroteBare.isDefined && m2.isDefined) {
+          timed("bare_diff") {
+            Diff.twoWay(bareSnap, spark.read.parquet(s"$bareOut/snap2")).count()
+          }
+        }
         m3.foreach(m => timed("diff_clustered") { store.diff(m1, m).count() })
 
-        // 4a. merge3: conflict-free three-way merge as a relational plan (J3)
-        // — the BASELINE-comparable measurement.
+        // 4a. merge3: conflict-free three-way merge as a relational plan
+        // (J3) vs the unpruned bare deltas+resolve+apply.
         timed("merge3") {
           val (merged, _) = Merge.threeWay(
             base,
             Fixtures.keyedSourceClean(spark, sfDir),
             Fixtures.keyedDestClean(spark, sfDir), StrategySourceWins)
           merged.count()
+        }
+        wroteBare.foreach { _ =>
+          timed("bare_merge3") {
+            val (m, _) = Merge.threeWay(
+              bareSnap,
+              Merge.applyChanges(bareSnap, srcChanges),
+              Merge.applyChanges(bareSnap, dstChanges), StrategySourceWins)
+            m.count()
+          }
         }
 
         // 4b. merge3_store: the engine end-to-end — pruned deltas +
@@ -186,39 +223,7 @@ object Bench {
           Listing.delimiterRollup(Fixtures.pathKeyed(spark, sfDir), "R/F/", "/")
             .orderBy("path").limit(1000).count()
         }
-
-        // --- bare-Spark twins (the BASELINE.md 2x comparison): the same
-        // operations with no manifests, no range reuse, no pruning — full
-        // sorted rewrite / full-outer plans straight from parquet. EXCLUDED
-        // from the headline total.
-        val bareOut = s"target/bench_bare_${java.util.UUID.randomUUID()}"
-        try {
-          val wroteBare = timed("bare_snapshot_write") {
-            base.repartitionByRange(col("key")).sortWithinPartitions("key")
-              .write.parquet(s"$bareOut/snap")
-          }
-          wroteBare.foreach { _ =>
-            val bareSnap = spark.read.parquet(s"$bareOut/snap")
-            m2.foreach { _ =>
-              timed("bare_commit") { // full rewrite: apply + re-sort + rewrite
-                Merge.applyChanges(bareSnap, changes)
-                  .repartitionByRange(col("key")).sortWithinPartitions("key")
-                  .write.parquet(s"$bareOut/snap2")
-              }
-              timed("bare_diff") { // full-outer over complete snapshots
-                Diff.twoWay(bareSnap, spark.read.parquet(s"$bareOut/snap2")).count()
-              }
-            }
-            timed("bare_merge3") { // both deltas + resolve + apply, unpruned
-              val (m, _) = Merge.threeWay(
-                bareSnap,
-                Merge.applyChanges(bareSnap, srcChanges),
-                Merge.applyChanges(bareSnap, dstChanges), StrategySourceWins)
-              m.count()
-            }
-          }
-        } finally deleteDir(bareOut)
-      } finally deleteDir(repoDir)
+      } finally { deleteDir(bareOut); deleteDir(repoDir) }
     }
 
     (1 to passes).foreach(runPass)

