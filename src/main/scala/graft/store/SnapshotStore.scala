@@ -100,15 +100,32 @@ class SnapshotStore(val spark: SparkSession, val repoDir: String,
       if (df.columns.contains(c)) df
       else df.withColumn(c, lit(null).cast(touchedDf.schema(c).dataType))
     }.select(touchedDf.columns.map(col).toSeq: _*)
-    // materialize the applied slice once — the chunked write's cut-key
-    // collect and the data write would otherwise both recompute the join
+    // materialize the applied slice once — the stats agg and the data
+    // write would otherwise both recompute the join (Spark's block-level
+    // cache loading locks make the concurrent consumers compute it once)
     val rewritten = graft.operators.Merge.applyChanges(touchedDf, aligned)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      // The slice's cut keys WITHOUT scanning it: a range interior never
+      // hashes to a cut (a cut always starts a new range), so the cuts of
+      // (touched rows − deletes) ∪ upserts are exactly the touched ranges'
+      // cut-hashing min keys − deleted cut keys + upserted cut keys —
+      // driver arithmetic over the manifest plus one pass over the SMALL
+      // change set, saving a full pass over the rewritten slice per commit.
+      val changeCutRows = changes
+        .where((abs(xxhash64(col("key"))) % raggedness) === 0)
+        .select(col("key"), col("identity").isNull.as("del")).collect()
+      val delCuts = changeCutRows.filter(_.getBoolean(1)).map(_.getString(0)).toSet
+      val insCuts = changeCutRows.filterNot(_.getBoolean(1)).map(_.getString(0))
+      val minCuts = touchedInfos.map(_.minKey).filter(isCutKey)
+      val cuts = ((minCuts.toSet -- delCuts) ++ insCuts).toArray
       // eagerStage: a touched range was touched BECAUSE a change key lands
       // in it, so its rewritten chunks carry new content ids — staging them
       // concurrently with the stats agg is almost never wasted work
-      val newInfos = chunkAndWrite(rewritten, eagerStage = true)
+      val newInfos =
+        if (cuts.length <= maxBroadcastCuts)
+          chunkAndWriteBroadcast(rewritten, cuts, eagerStage = true)
+        else chunkAndWriteWindowed(rewritten, eagerStage = true)
       val all = (untouched ++ newInfos).sortBy(_.minKey)
       val metaRangeId = metaRangeIdOf(all)
       writeManifest(metaRangeId, all)
@@ -297,6 +314,18 @@ class SnapshotStore(val spark: SparkSession, val repoDir: String,
   }
 
   private def parts: Int = math.max(1, spark.sessionState.conf.numShufflePartitions)
+
+  /** Driver-side twin of the chunker's cut predicate — evaluates the SAME
+    * Catalyst expression (`abs(xxhash64(key)) % raggedness == 0`, seed and
+    * byte semantics included) so manifest min-keys can be classified
+    * without a Spark job. */
+  private def isCutKey(key: String): Boolean = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    import org.apache.spark.unsafe.types.UTF8String
+    val h = XxHash64(Seq(Literal(UTF8String.fromString(key),
+      org.apache.spark.sql.types.StringType)), 42L).eval(null).asInstanceOf[Long]
+    math.abs(h) % raggedness == 0
+  }
 
   /** Fast path: codegen'd binary search against the broadcast sorted cuts. */
   private def chunkAndWriteBroadcast(df: DataFrame, cutKeys: Array[String],
