@@ -100,11 +100,13 @@ class SnapshotStore(val spark: SparkSession, val repoDir: String,
       if (df.columns.contains(c)) df
       else df.withColumn(c, lit(null).cast(touchedDf.schema(c).dataType))
     }.select(touchedDf.columns.map(col).toSeq: _*)
-    // materialize the applied slice once — the stats agg and the data
-    // write would otherwise both recompute the join (Spark's block-level
-    // cache loading locks make the concurrent consumers compute it once)
+    // materialize the applied slice once, eagerly: the stats agg and the
+    // staged write then read warm cache concurrently — launched against a
+    // cold cache they'd race per-partition on the block loading locks,
+    // write tasks idling in executor slots while stats tasks compute
     val rewritten = graft.operators.Merge.applyChanges(touchedDf, aligned)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    rewritten.count()
     try {
       // The slice's cut keys WITHOUT scanning it: a range interior never
       // hashes to a cut (a cut always starts a new range), so the cuts of
