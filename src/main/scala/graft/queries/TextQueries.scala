@@ -592,6 +592,48 @@ object TextQueries {
         WHERE (doc_id * 2654435761) % 4294967296 <
               CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0
                    THEN 1073741824 ELSE 429496729 END
-        ORDER BY doc_id"""))
+        ORDER BY doc_id""")),
+
+    // Train/eval contamination check — the decontamination pass every
+    // training pipeline runs before eval: which training docs share 3-word
+    // shingles with the held-out set (doc_id % 10 = 0 here)? Ubiquitous
+    // shingles (document frequency > 100) are dropped first: boilerplate
+    // n-grams carry no contamination signal and are exactly the join's
+    // skew risk at corpus scale. Candidates then come from an equi-join on
+    // the rare shingle, grouped per (train, eval) pair, with coverage =
+    // shared / eval's rare-shingle count.
+    "td_contamination" -> (((s: SparkSession, d: String) => {
+      val ex = Fixtures.documents(s, d)
+        .select(col("doc_id"), explode(array_distinct(shingles(col("text"), 3))).as("s"))
+      val rare = ex.groupBy("s").agg(count(lit(1)).as("df"))
+        .where(col("df") <= 100).select("s")
+      val exr = ex.join(rare, "s")
+      val evalSh = exr.where(col("doc_id") % 10 === 0)
+        .select(col("doc_id").as("eval_doc"), col("s"))
+      val trainSh = exr.where(col("doc_id") % 10 =!= 0)
+        .select(col("doc_id").as("train_doc"), col("s"))
+      val evalSizes = evalSh.groupBy("eval_doc").agg(count(lit(1)).as("n_eval"))
+      trainSh.join(evalSh, "s")
+        .groupBy("train_doc", "eval_doc")
+        .agg(count(lit(1)).as("n_shared"))
+        .where(col("n_shared") >= 3)
+        .join(evalSizes, "eval_doc")
+        .withColumn("coverage", col("n_shared").cast("double") / col("n_eval"))
+        .select("train_doc", "eval_doc", "n_shared", "coverage")
+        .orderBy("train_doc", "eval_doc")
+    }),
+      Some(s"""$docsSql $shinglesSql,
+        rare AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 100),
+        shr AS (SELECT doc_id, s FROM sh JOIN rare USING (s)),
+        ev AS (SELECT doc_id AS eval_doc, s FROM shr WHERE doc_id % 10 = 0),
+        tr AS (SELECT doc_id AS train_doc, s FROM shr WHERE doc_id % 10 <> 0),
+        sz AS (SELECT eval_doc, count(*) AS n_eval FROM ev GROUP BY 1),
+        ov AS (SELECT train_doc, eval_doc, count(*) AS n_shared
+               FROM tr JOIN ev USING (s) GROUP BY 1, 2)
+        SELECT train_doc, eval_doc, n_shared,
+               CAST(n_shared AS DOUBLE) / n_eval AS coverage
+        FROM ov JOIN sz USING (eval_doc)
+        WHERE n_shared >= 3
+        ORDER BY train_doc, eval_doc"""))
   )
 }
