@@ -19,7 +19,9 @@ class PlanShapeSpec extends SparkSpec {
     "emb_lsh_ann", "emb_lsh_buckets", "td_fingerprint", "td_dedup_prefix",
     // as-of = union-sort (no join operator at all); range join = bucketed
     // equi-join + refine — a theta-only formulation would plan a nested loop
-    "ev_asof", "ev_range_join")
+    "ev_asof", "ev_range_join",
+    // contamination = df-capped shingle equi-join, never all-pairs
+    "td_contamination")
 
   test("LSH scale paths contain no all-pairs join") {
     scalePaths.foreach { name =>
