@@ -317,6 +317,15 @@ class SnapshotStore(val spark: SparkSession, val repoDir: String,
 
   private def parts: Int = math.max(1, spark.sessionState.conf.numShufflePartitions)
 
+  // stage timing to stderr when SPARK_GRAFT_TRACE is set (bench diagnosis)
+  private val trace = sys.env.contains("SPARK_GRAFT_TRACE")
+  private def tr[T](name: String)(f: => T): T =
+    if (!trace) f else {
+      val t0 = System.nanoTime(); val r = f
+      System.err.println(f"[trace] $name%-14s ${(System.nanoTime() - t0) / 1e9}%7.3f s")
+      r
+    }
+
   /** Driver-side twin of the chunker's cut predicate — evaluates the SAME
     * Catalyst expression (`abs(xxhash64(key)) % raggedness == 0`, seed and
     * byte semantics included) so manifest min-keys can be classified
@@ -392,11 +401,18 @@ class SnapshotStore(val spark: SparkSession, val repoDir: String,
    * schedules both over the same (cached) source and wall-clock is
    * max(stats, write), not the sum.
    *
-   * '''Existing store''' (incremental commit): stats run first, then ONLY
-   * chunks whose content-addressed directory doesn't already exist are
-   * written. An unchanged chunk — same keys, same identities — costs a
-   * hash-agg and nothing else, the whole-range reuse discipline of the
-   * reference's content-addressed uploads (`pkg/graveler/sstable/writer.go`,
+   * `eagerStage` opts an EXISTING store into the same concurrency when the
+   * caller knows the chunks are almost certainly new (commitChanges: a
+   * touched range was touched because a change key lands in it) — the
+   * staged write runs during the stats agg, existing chunks are still
+   * skipped at rename time, and a stale staged chunk costs one discarded
+   * staging dir.
+   *
+   * Otherwise (existing store, no hint): stats run first, then ONLY chunks
+   * whose content-addressed directory doesn't already exist are written.
+   * An unchanged chunk — same keys, same identities — costs a hash-agg and
+   * nothing else, the whole-range reuse discipline of the reference's
+   * content-addressed uploads (`pkg/graveler/sstable/writer.go`,
    * `committed/commit.go:116-137`).
    *
    * All per-chunk remote-metadata calls (exists probes, staging→final
@@ -406,15 +422,6 @@ class SnapshotStore(val spark: SparkSession, val repoDir: String,
    * (the reference uploads ranges through 10 concurrent workers,
    * `pkg/config/defaults.go:91`).
    */
-  // stage timing to stderr when SPARK_GRAFT_TRACE is set (bench diagnosis)
-  private val trace = sys.env.contains("SPARK_GRAFT_TRACE")
-  private def tr[T](name: String)(f: => T): T =
-    if (!trace) f else {
-      val t0 = System.nanoTime(); val r = f
-      System.err.println(f"[trace] $name%-14s ${(System.nanoTime() - t0) / 1e9}%7.3f s")
-      r
-    }
-
   private def writeChunks(withChunk: DataFrame, approxChunks: Int,
       eagerStage: Boolean = false): Seq[RangeInfo] = {
     val two64 = java.math.BigInteger.ONE.shiftLeft(64)
@@ -444,10 +451,11 @@ class SnapshotStore(val spark: SparkSession, val repoDir: String,
       .partitionBy("__chunk")
       .parquet(stagingPath)
 
-    // fresh store: every chunk is missing by construction — start the full
-    // staged write on a second driver thread while the stats agg runs
+    // fresh store (every chunk missing by construction) or an eagerStage
+    // hint: start the full staged write on a second driver thread while
+    // the stats agg runs
     val eagerWrite: Option[java.util.concurrent.Future[_]] =
-      if (freshStore) Some(SnapshotStore.ioPool.submit(new Runnable {
+      if (freshStore || eagerStage) Some(SnapshotStore.ioPool.submit(new Runnable {
         def run(): Unit = tr("eager_write")(stageAll(withChunk, approxChunks))
       })) else None
 
