@@ -48,6 +48,8 @@ object Actions {
   }
   def clearDeliveries(): Unit = deliveryLog.clear()
 
+  private val payloadMapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
   private val reName = "^\\w[\\w\\-. ]+$".r
   private val reHookId = "^[_a-zA-Z][\\-_a-zA-Z0-9]{1,255}$".r
   private val knownTypes = Map(
@@ -109,15 +111,18 @@ object Actions {
         s"action '${conf.name}' hook '${h.id}': expression rejected " +
           s"${ev.eventType} on ${ev.branch}")
     case "webhook" =>
-      val payload = Seq(
+      // jackson handles full JSON escaping — commit messages and branch
+      // names may carry backslashes, newlines, control characters
+      val node = payloadMapper.createObjectNode()
+      Seq(
         "event_type" -> ev.eventType.toString, "action_name" -> conf.name,
         "hook_id" -> h.id, "repository_id" -> ev.repoDir,
         "branch_id" -> ev.branch, "source_ref" -> ev.sourceRef.getOrElse(""),
         "committer" -> ev.committer, "commit_message" -> ev.message,
         "tag_id" -> ev.tag.getOrElse(""))
-        .map { case (k, v) => "\"" + k + "\":\"" + v.replace("\"", "\\\"") + "\"" }
-        .mkString("{", ",", "}")
-      deliveryLog.add((conf.name, h.id, h.properties("url"), payload))
+        .foreach { case (k, v) => node.put(k, v) }
+      deliveryLog.add((conf.name, h.id, h.properties("url"),
+        payloadMapper.writeValueAsString(node)))
     case other => sys.error(s"unknown hook type '$other'")
   }
 }

@@ -142,12 +142,25 @@ class Engine(val spark: SparkSession, val repoDir: String,
     if (m.isEmpty) typedLit(Map.empty[String, String])
     else map(m.toSeq.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
 
-  /** Identity re-derived from the current identity + a metadata map:
-    * key-sorted entries make it a function of map CONTENT, not insertion
-    * order; the unit-separator escape keeps the preimage collision-free. */
-  private def identityWithMeta(metaCol: org.apache.spark.sql.Column) =
-    sha2(concat_ws("\u001f", col("identity"),
-      to_json(array_sort(map_entries(metaCol)))), 256)
+  /** Identity re-derived from a metadata map, as `base:metaHash` where
+    * `base` is the identity BEFORE any metadata contribution (the raw
+    * ingest identity, hashed once) and `metaHash` covers the key-sorted
+    * entries (map CONTENT, not insertion order). Deriving from the stable
+    * base — recovered from an already-derived identity by its shape —
+    * rather than chaining off the current identity makes the derivation a
+    * pure function of (content, metadata), matching the reference where
+    * entry identity is content-determined (`pkg/catalog/entry.go:21-38`):
+    * applying the identical metadata twice is a no-op in diffs, and
+    * meta A -> B -> A returns to A's identity. (A raw ingest identity that
+    * happens to match the 64hex:64hex shape would be misread as derived —
+    * vanishingly unlikely and harmless: derivation stays deterministic.) */
+  private val metaIdentityShape = "^[0-9a-f]{64}:[0-9a-f]{64}$"
+  private def identityWithMeta(metaCol: org.apache.spark.sql.Column) = {
+    val base = when(col("identity").rlike(metaIdentityShape),
+      substring(col("identity"), 1, 64)).otherwise(sha2(col("identity"), 256))
+    concat(base, lit(":"),
+      sha2(to_json(array_sort(map_entries(metaCol))), 256))
+  }
 
   /** UpdateEntryUserMetadata (`pkg/catalog/catalog.go:1112-1200`): merge or
     * replace the entry's `meta` map column. The entry identity is

@@ -49,12 +49,38 @@ class SnapshotStore(val spark: SparkSession, val repoDir: String,
   private def fs: FileSystem =
     FileSystem.get(new java.net.URI(repoDir), spark.sparkContext.hadoopConfiguration)
 
-  /** Write a full snapshot; returns (metaRangeId, manifest). */
+  /** Write a full snapshot; returns (metaRangeId, manifest).
+    *
+    * '''Single-schema invariant''': every range a manifest references
+    * carries the snapshot's schema — writeSnapshot cuts one source and
+    * [[commitChanges]] aligns changes to the base schema, so the invariant
+    * holds along any commit lineage. Range reuse is by content address
+    * (key+identity only, payload excluded), so a repo whose WRITERS ingest
+    * differing payload schemas could in principle share a range across
+    * schemas; [[validateSnapshot]] checks the invariant explicitly, and
+    * scans take the first file's schema (no mergeSchema — see
+    * [[readRanges]]). */
   def writeSnapshot(df: DataFrame): (String, Seq[RangeInfo]) = {
     val infos = chunkAndWrite(df)
     val metaRangeId = metaRangeIdOf(infos)
     writeManifest(metaRangeId, infos)
     (metaRangeId, infos)
+  }
+
+  /** Debug/fsck path for the single-schema invariant: asserts every range
+    * file in `metaRangeId`'s manifest carries the identical Parquet schema
+    * (driver-side footer reads — metadata-scale, one per range). Returns
+    * the common schema. */
+  def validateSnapshot(metaRangeId: String): org.apache.spark.sql.types.StructType = {
+    val infos = readManifest(metaRangeId)
+    require(infos.nonEmpty, s"empty manifest: $metaRangeId")
+    val schemas = infos.map(ri => ri.path -> spark.read.parquet(ri.path).schema)
+    val (p0, s0) = schemas.head
+    schemas.foreach { case (p, s) =>
+      require(s == s0,
+        s"schema mismatch within manifest $metaRangeId:\n  $p0 -> $s0\n  $p -> $s")
+    }
+    s0
   }
 
   /**
@@ -123,7 +149,13 @@ class SnapshotStore(val spark: SparkSession, val repoDir: String,
       val cuts = ((minCuts.toSet -- delCuts) ++ insCuts).toArray
       // eagerStage: a touched range was touched BECAUSE a change key lands
       // in it, so its rewritten chunks carry new content ids — staging them
-      // concurrently with the stats agg is almost never wasted work
+      // concurrently with the stats agg is almost never wasted work. The
+      // accepted tradeoff: a NO-OP change set (upserts whose identities
+      // equal the base's) stages a full rewrite of the touched slice and
+      // discards it at rename time, where a lazy write would have skipped
+      // it after the stats pass — detecting that upfront costs a join
+      // against the base on every commit to optimize a case that writes
+      // nothing, so the eager path keeps the common case concurrent
       val newInfos =
         if (cuts.length <= maxBroadcastCuts)
           chunkAndWriteBroadcast(rewritten, cuts, eagerStage = true)
@@ -474,53 +506,56 @@ class SnapshotStore(val spark: SparkSession, val repoDir: String,
       min("key").as("min_key"), max("key").as("max_key"),
       count(lit(1)).as("cnt"),
       sum(length(col("key")) + coalesce(length(col("identity")), lit(0L))).as("est"))
-    val manifest =
-      try tr("stats_agg")(withChunk
-        .groupBy("__chunk")
-        .agg(aggs.head, aggs.tail: _*)
-        .collect())
-        .map { r =>
-          def hex64(n: String): String = String.format("%016x",
-            java.math.BigInteger.valueOf(r.getAs[Long](n + "_hi")).shiftLeft(32)
-              .add(java.math.BigInteger.valueOf(r.getAs[Long](n + "_lo"))).mod(two64))
-          val rid = hex64("h1") + hex64("h2")
-          (RangeInfo(rid, r.getAs[String]("min_key"), r.getAs[String]("max_key"),
-            r.getAs[Long]("est"), r.getAs[Long]("cnt"), s"$rangesDir/$rid"),
-           r.getAs[Int]("__chunk"))
-        }
-      catch { case e: Throwable => eagerWrite.foreach(_.cancel(true)); throw e }
-    if (manifest.isEmpty) {
-      eagerWrite.foreach(_.get())
-      fs.delete(new Path(stagingPath), true)
-      return Seq.empty
-    }
-
-    val missing =
-      if (freshStore) manifest.toSeq
-      else SnapshotStore.inParallel(manifest.toSeq) { p =>
-        (p, fs.exists(new Path(p._1.path)))
-      }.collect { case (p, exists) if !exists => p }
-    if (missing.nonEmpty) {
-      eagerWrite match {
-        case Some(f) => tr("eager_join")(f.get()) // staged concurrently with the stats agg
-        case None =>
-          // write only the missing chunks; when the filter wouldn't prune
-          // anything (full rewrite) skip it so the scan stays predicate-free
-          val missingIdx = missing.map(_._2)
-          val toWrite =
-            if (missing.length == manifest.length) withChunk
-            else withChunk.where(col("__chunk").isInCollection(missingIdx))
-          stageAll(toWrite, missing.length)
+    // everything past this point runs under a finally that deletes the
+    // staging dir — stats-agg failures, eager-write failures, and rename
+    // errors must not leak __staging_* dirs under ranges/
+    try {
+      val manifest =
+        try tr("stats_agg")(withChunk
+          .groupBy("__chunk")
+          .agg(aggs.head, aggs.tail: _*)
+          .collect())
+          .map { r =>
+            def hex64(n: String): String = String.format("%016x",
+              java.math.BigInteger.valueOf(r.getAs[Long](n + "_hi")).shiftLeft(32)
+                .add(java.math.BigInteger.valueOf(r.getAs[Long](n + "_lo"))).mod(two64))
+            val rid = hex64("h1") + hex64("h2")
+            (RangeInfo(rid, r.getAs[String]("min_key"), r.getAs[String]("max_key"),
+              r.getAs[Long]("est"), r.getAs[Long]("cnt"), s"$rangesDir/$rid"),
+             r.getAs[Int]("__chunk"))
+          }
+        catch { case e: Throwable => eagerWrite.foreach(_.cancel(true)); throw e }
+      if (manifest.isEmpty) {
+        eagerWrite.foreach(_.get())
+        return Seq.empty
       }
-      tr("renames")(SnapshotStore.inParallel(missing) { case (ri, chunkIdx) =>
-        val src = new Path(s"$stagingPath/__chunk=$chunkIdx")
-        val dest = new Path(ri.path)
-        if (!fs.exists(dest) && !fs.rename(src, dest) && !fs.exists(dest))
-          sys.error(s"range rename failed: $dest")
-      })
-    } else eagerWrite.foreach(_.get())
-    tr("staging_del")(fs.delete(new Path(stagingPath), true))
-    manifest.map(_._1).sortBy(_.minKey).toSeq
+
+      val missing =
+        if (freshStore) manifest.toSeq
+        else SnapshotStore.inParallel(manifest.toSeq) { p =>
+          (p, fs.exists(new Path(p._1.path)))
+        }.collect { case (p, exists) if !exists => p }
+      if (missing.nonEmpty) {
+        eagerWrite match {
+          case Some(f) => tr("eager_join")(f.get()) // staged concurrently with the stats agg
+          case None =>
+            // write only the missing chunks; when the filter wouldn't prune
+            // anything (full rewrite) skip it so the scan stays predicate-free
+            val missingIdx = missing.map(_._2)
+            val toWrite =
+              if (missing.length == manifest.length) withChunk
+              else withChunk.where(col("__chunk").isInCollection(missingIdx))
+            stageAll(toWrite, missing.length)
+        }
+        tr("renames")(SnapshotStore.inParallel(missing) { case (ri, chunkIdx) =>
+          val src = new Path(s"$stagingPath/__chunk=$chunkIdx")
+          val dest = new Path(ri.path)
+          if (!fs.exists(dest) && !fs.rename(src, dest) && !fs.exists(dest))
+            sys.error(s"range rename failed: $dest")
+        })
+      } else eagerWrite.foreach(_.get())
+      manifest.map(_._1).sortBy(_.minKey).toSeq
+    } finally tr("staging_del")(fs.delete(new Path(stagingPath), true))
   }
 
   private def writeManifest(metaRangeId: String, infos: Seq[RangeInfo]): Unit = {

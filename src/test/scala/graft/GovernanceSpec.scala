@@ -98,6 +98,16 @@ class GovernanceSpec extends SparkSpec {
         payload.contains("\"commit_message\":\"ready\"")
     })
 
+    // payloads are real JSON: control chars / backslashes / quotes in the
+    // commit message survive a strict parse with the original value intact
+    eng.stage("main", Seq(("k0003", "Z")).toDF("key", "identity"))
+    val nasty = "line1\nline2\t\"quoted\" back\\slash "
+    val n1 = Actions.deliveries.size
+    eng.commit("main", "t", nasty)
+    val rec = Actions.deliveries.drop(n1).find(_._2 === "notify").get._4
+    val parsed = new com.fasterxml.jackson.databind.ObjectMapper().readTree(rec)
+    assert(parsed.get("commit_message").asText() === nasty)
+
     // validation mirrors action.go:71-106
     intercept[IllegalArgumentException] { Actions.validate(Actions.ActionConf(
       "bad", Map.empty, Seq.empty)) } // no events

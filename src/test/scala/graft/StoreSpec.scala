@@ -29,6 +29,25 @@ class StoreSpec extends SparkSpec {
     assert(back.size === 1000 && back("k000042") === "id42")
   }
 
+  test("validateSnapshot: passes a consistent manifest, rejects mixed schemas") {
+    import spark.implicits._
+    val dir = tmpDir("fsck")
+    val store = new SnapshotStore(spark, dir, raggedness = 100)
+    val (m1, _) = store.writeSnapshot(rows(500))
+    assert(store.validateSnapshot(m1).fieldNames.toSeq === Seq("key", "identity"))
+    // second snapshot with a wider payload schema in the same store
+    val (m2, _) = store.writeSnapshot(
+      (1 to 500).map(i => (f"w$i%06d", s"id$i", i.toLong)).toDF("key", "identity", "size"))
+    assert(store.validateSnapshot(m2).fieldNames.toSeq === Seq("key", "identity", "size"))
+    // a manifest stitched from both snapshots breaks the invariant
+    val mdir = java.nio.file.Paths.get(dir, "manifests")
+    val mixed = new String(java.nio.file.Files.readAllBytes(mdir.resolve(m1))) +
+      new String(java.nio.file.Files.readAllBytes(mdir.resolve(m2)))
+    java.nio.file.Files.write(mdir.resolve("mixed"), mixed.getBytes)
+    val ex = intercept[IllegalArgumentException] { store.validateSnapshot("mixed") }
+    assert(ex.getMessage.contains("schema mismatch"))
+  }
+
   test("range ids: 128-bit, order-independent, permutation/flip-sensitive; UDF-free write plan") {
     import spark.implicits._
     val dir = tmpDir("rid")
@@ -338,6 +357,17 @@ class StoreSpec extends SparkSpec {
     eng.updateEntryMetadata("main", "kb", Map("y" -> "2", "x" -> "1"))
     assert(eng.get("main", "ka").get.getAs[String]("identity") ===
       eng.get("main", "kb").get.getAs[String]("identity"))
+
+    // identity is a pure function of (content, metadata), not of update
+    // history: re-applying the identical map is a no-op, and A -> B -> A
+    // returns to A's identity (entry.go:21-38 content-determined identity)
+    val idA = eng.get("main", "ka").get.getAs[String]("identity")
+    eng.updateEntryMetadata("main", "ka", Map("x" -> "1", "y" -> "2"))
+    assert(eng.get("main", "ka").get.getAs[String]("identity") === idA)
+    eng.updateEntryMetadata("main", "ka", Map("z" -> "9"), replace = true)
+    assert(eng.get("main", "ka").get.getAs[String]("identity") !== idA)
+    eng.updateEntryMetadata("main", "ka", Map("x" -> "1", "y" -> "2"), replace = true)
+    assert(eng.get("main", "ka").get.getAs[String]("identity") === idA)
 
     // generic updateEntry can rewrite any column from current values
     eng.updateEntry("main", "k0007", Map(
