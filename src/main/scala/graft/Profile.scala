@@ -26,6 +26,13 @@ object Profile {
       r
     }
 
+    def deleteDir(d: String): Unit =
+      try {
+        val ffs = org.apache.hadoop.fs.FileSystem.get(
+          new java.net.URI(d), spark.sparkContext.hadoopConfiguration)
+        ffs.delete(new org.apache.hadoop.fs.Path(d), true)
+      } catch { case _: Throwable => }
+
     val base = Fixtures.keyedBase(spark, sfDir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     println(s"[profile] base rows = ${base.count()}")
@@ -56,7 +63,7 @@ object Profile {
     val changes = base.where(col("k") % 100 === 21)
       .withColumn("price_c", col("price_c") + 777)
       .withColumn("identity", identExpr)
-    t("commitChanges_total") { store.commitChanges(m1, changes) }
+    val m2 = t("commitChanges_total") { store.commitChanges(m1, changes)._1 }
 
     // second snapshot write (range files already content-addressed on disk:
     // measures the idempotent-path cost)
@@ -120,6 +127,96 @@ object Profile {
               sum(length(col("key")) + coalesce(length(col("identity")), lit(0L))))
             .collect()
         }
+      }
+    }
+
+    // ---- diff breakdown: engine (pruned ranges) vs bare twin ------------
+    {
+      import graft.operators.{Diff, Merge}
+      def bareSnap = spark.read.parquet(s"$bareOut/snap")
+      t("bare_write_snap2") {
+        Merge.applyChanges(bareSnap, changes)
+          .repartitionByRange(col("key")).sortWithinPartitions("key")
+          .write.mode("overwrite").parquet(s"$bareOut/snap2")
+      }
+      val lm = store.readManifest(m1); val rm = store.readManifest(m2)
+      val shared = lm.map(_.rangeId).toSet.intersect(rm.map(_.rangeId).toSet)
+      println(s"[profile] diff ranges: left=${lm.size} right=${rm.size} shared=${shared.size}")
+      def nFiles(d: String) = {
+        val p = java.nio.file.Paths.get(d)
+        if (!java.nio.file.Files.exists(p)) -1
+        else { val s = java.nio.file.Files.walk(p)
+          try s.filter(f => f.toString.endsWith(".parquet")).count().toInt
+          finally s.close() }
+      }
+      println(s"[profile] files: engine_ranges=${nFiles(s"$repoDir/ranges")} " +
+        s"bare_snap=${nFiles(s"$bareOut/snap")} bare_snap2=${nFiles(s"$bareOut/snap2")}")
+      for (i <- 1 to 3) {
+        t(s"d_engine_diff_$i") { store.diff(m1, m2).count() }
+        t(s"d_bare_diff_$i") {
+          Diff.twoWay(bareSnap, spark.read.parquet(s"$bareOut/snap2")).count()
+        }
+        val (pl, pr) = store.prunedForDiff(m1, m2)
+        t(s"d_scan_pruned_l_$i") { pl.select("key", "identity").count() }
+        t(s"d_scan_bare_l_$i") { bareSnap.select("key", "identity").count() }
+      }
+    }
+
+    // ---- cold-repo diff: what does the first diff on a fresh repo pay? --
+    {
+      import graft.operators.Diff
+      for (i <- 1 to 3) {
+        val freshDir = s"target/profile_fresh_${java.util.UUID.randomUUID()}"
+        // byte-identical repo under a new path: FileStatusCache + any
+        // path-keyed state in Spark is cold, page cache stays warm
+        t(s"c_copy_$i") {
+          org.apache.hadoop.fs.FileUtil.copy(
+            org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration),
+            new org.apache.hadoop.fs.Path(repoDir),
+            org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration),
+            new org.apache.hadoop.fs.Path(freshDir), false, spark.sparkContext.hadoopConfiguration)
+        }
+        val fStore = new SnapshotStore(spark, freshDir, raggedness = 50000L)
+        val (fl, fr) = t(s"c_build_dfs_$i") { fStore.prunedForDiff(m1, m2) }
+        t(s"c_first_count_l_$i") { fl.select("key").count() }
+        t(s"c_join_count_$i") { Diff.twoWay(fl, fr).count() }
+        t(s"c_second_diff_$i") { fStore.diff(m1, m2).count() }
+        deleteDir(freshDir)
+      }
+    }
+
+    // ---- exact bench-pass replica: find what inflates diff in context ---
+    {
+      import graft.operators.{Diff, Merge}
+      val identExpr2 = sha2(concat_ws("|",
+        col("key"), col("qty"), col("price_c"), col("rf"), col("ls")), 256)
+      val pChanges = base.where(col("k") % 100 === 21)
+        .withColumn("price_c", col("price_c") + 777)
+        .withColumn("identity", identExpr2)
+      for (i <- 1 to 3) {
+        val rDir = s"target/profile_pass_${java.util.UUID.randomUUID()}"
+        val bOut = s"target/profile_pbare_${java.util.UUID.randomUUID()}"
+        val st = new SnapshotStore(spark, rDir, raggedness = 50000L)
+        base.count()
+        val pm1 = st.writeSnapshot(base)._1
+        base.repartitionByRange(col("key")).sortWithinPartitions("key")
+          .write.parquet(s"$bOut/snap")
+        def bSnap = spark.read.parquet(s"$bOut/snap")
+        val pm2 = st.commitChanges(pm1, pChanges)._1
+        Merge.applyChanges(bSnap, pChanges)
+          .repartitionByRange(col("key")).sortWithinPartitions("key")
+          .write.parquet(s"$bOut/snap2")
+        val maxK = base.agg(max("k")).head().getLong(0)
+        val clustered = base.where(col("k") <= maxK / 100)
+          .withColumn("price_c", col("price_c") + 999)
+          .withColumn("identity", identExpr2)
+        st.commitChanges(pm1, clustered)
+        t(s"p_diff_$i") { st.diff(pm1, pm2).count() }
+        t(s"p_diff_again_$i") { st.diff(pm1, pm2).count() }
+        t(s"p_bare_diff_$i") {
+          Diff.twoWay(bSnap, spark.read.parquet(s"$bOut/snap2")).count()
+        }
+        deleteDir(rDir); deleteDir(bOut)
       }
     }
 

@@ -1,7 +1,7 @@
 package graft.store
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Model.RangeInfo
 
@@ -98,16 +98,34 @@ class SnapshotStore(val spark: SparkSession, val repoDir: String,
   def commitChanges(baseMeta: String, changes: DataFrame): (String, Seq[RangeInfo]) = {
     import org.apache.spark.unsafe.types.UTF8String
     val base = readManifest(baseMeta) // sorted by minKey; ranges are disjoint
-    val touched: Set[String] = if (base.isEmpty) Set.empty else {
-      val minArr = base.map(ri => UTF8String.fromString(ri.minKey)).toArray
-      val bcMin = spark.sparkContext.broadcast(minArr)
-      try {
-        changes.select(graft.functions.CutIndex.chunkOf(col("key"), bcMin).as("__idx"))
-          .distinct().collect()
-          .collect { case r if r.getInt(0) >= 1 => base(r.getInt(0) - 1).rangeId }
-          .toSet
-      } finally bcMin.destroy()
-    }
+    // ONE job over the change set collects both driver-side inputs: the
+    // touched range index per change key AND the (rare, ~1/raggedness) cut
+    // keys with their tombstone flag — separate jobs here were two
+    // scheduler round-trips over the same tiny scan
+    val cutPred = (abs(xxhash64(col("key"))) % raggedness) === 0
+    val cutStruct = when(cutPred,
+      struct(col("key"), col("identity").isNull.as("del")))
+    val (touched: Set[String], changeCutRows: Array[(String, Boolean)]) =
+      if (base.isEmpty) {
+        val rows = changes.where(cutPred)
+          .select(col("key"), col("identity").isNull.as("del")).collect()
+        (Set.empty[String], rows.map(r => (r.getString(0), r.getBoolean(1))))
+      } else {
+        val minArr = base.map(ri => UTF8String.fromString(ri.minKey)).toArray
+        val bcMin = spark.sparkContext.broadcast(minArr)
+        try {
+          val rows = changes
+            .select(graft.functions.CutIndex.chunkOf(col("key"), bcMin).as("__idx"),
+              cutStruct.as("__cut"))
+            .groupBy("__idx").agg(collect_set("__cut").as("cuts")).collect()
+          val t = rows.collect {
+            case r if r.getInt(0) >= 1 => base(r.getInt(0) - 1).rangeId
+          }.toSet
+          val cr = rows.flatMap(_.getSeq[Row](1).map(s =>
+            (s.getString(0), s.getBoolean(1))))
+          (t, cr)
+        } finally bcMin.destroy()
+      }
 
     val untouched = base.filterNot(ri => touched.contains(ri.rangeId))
     val touchedInfos = base.filter(ri => touched.contains(ri.rangeId))
@@ -126,45 +144,39 @@ class SnapshotStore(val spark: SparkSession, val repoDir: String,
       if (df.columns.contains(c)) df
       else df.withColumn(c, lit(null).cast(touchedDf.schema(c).dataType))
     }.select(touchedDf.columns.map(col).toSeq: _*)
-    // materialize the applied slice once, eagerly: the stats agg and the
-    // staged write then read warm cache concurrently — launched against a
-    // cold cache they'd race per-partition on the block loading locks,
-    // write tasks idling in executor slots while stats tasks compute
+    // The applied slice is NOT materialized: with eagerStage the staged
+    // write is its only consumer (manifest stats come from the staged
+    // files), so the read-ranges + anti-join + union pipeline streams
+    // straight into the shuffle-sort-write — one pass over the slice,
+    // no cache round-trip
     val rewritten = graft.operators.Merge.applyChanges(touchedDf, aligned)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    rewritten.count()
-    try {
-      // The slice's cut keys WITHOUT scanning it: a range interior never
-      // hashes to a cut (a cut always starts a new range), so the cuts of
-      // (touched rows − deletes) ∪ upserts are exactly the touched ranges'
-      // cut-hashing min keys − deleted cut keys + upserted cut keys —
-      // driver arithmetic over the manifest plus one pass over the SMALL
-      // change set, saving a full pass over the rewritten slice per commit.
-      val changeCutRows = changes
-        .where((abs(xxhash64(col("key"))) % raggedness) === 0)
-        .select(col("key"), col("identity").isNull.as("del")).collect()
-      val delCuts = changeCutRows.filter(_.getBoolean(1)).map(_.getString(0)).toSet
-      val insCuts = changeCutRows.filterNot(_.getBoolean(1)).map(_.getString(0))
-      val minCuts = touchedInfos.map(_.minKey).filter(isCutKey)
-      val cuts = ((minCuts.toSet -- delCuts) ++ insCuts).toArray
-      // eagerStage: a touched range was touched BECAUSE a change key lands
-      // in it, so its rewritten chunks carry new content ids — staging them
-      // concurrently with the stats agg is almost never wasted work. The
-      // accepted tradeoff: a NO-OP change set (upserts whose identities
-      // equal the base's) stages a full rewrite of the touched slice and
-      // discards it at rename time, where a lazy write would have skipped
-      // it after the stats pass — detecting that upfront costs a join
-      // against the base on every commit to optimize a case that writes
-      // nothing, so the eager path keeps the common case concurrent
-      val newInfos =
-        if (cuts.length <= maxBroadcastCuts)
-          chunkAndWriteBroadcast(rewritten, cuts, eagerStage = true)
-        else chunkAndWriteWindowed(rewritten, eagerStage = true)
-      val all = (untouched ++ newInfos).sortBy(_.minKey)
-      val metaRangeId = metaRangeIdOf(all)
-      writeManifest(metaRangeId, all)
-      (metaRangeId, all)
-    } finally rewritten.unpersist()
+    // The slice's cut keys WITHOUT scanning it: a range interior never
+    // hashes to a cut (a cut always starts a new range), so the cuts of
+    // (touched rows − deletes) ∪ upserts are exactly the touched ranges'
+    // cut-hashing min keys − deleted cut keys + upserted cut keys —
+    // driver arithmetic over the manifest plus the single pass over the
+    // SMALL change set above, saving a full pass over the rewritten slice.
+    val delCuts = changeCutRows.filter(_._2).map(_._1).toSet
+    val insCuts = changeCutRows.filterNot(_._2).map(_._1)
+    val minCuts = touchedInfos.map(_.minKey).filter(isCutKey)
+    val cuts = ((minCuts.toSet -- delCuts) ++ insCuts).toArray
+    // eagerStage: a touched range was touched BECAUSE a change key lands
+    // in it, so its rewritten chunks carry new content ids — staging them
+    // before knowing which already exist is almost never wasted work. The
+    // accepted tradeoff: a NO-OP change set (upserts whose identities
+    // equal the base's) stages a full rewrite of the touched slice and
+    // discards it at rename time, where a lazy write would have skipped
+    // it after the stats pass — detecting that upfront costs a join
+    // against the base on every commit to optimize a case that writes
+    // nothing, so the eager path keeps the common case single-pass
+    val newInfos =
+      if (cuts.length <= maxBroadcastCuts)
+        chunkAndWriteBroadcast(rewritten, cuts, eagerStage = true)
+      else chunkAndWriteWindowed(rewritten, eagerStage = true)
+    val all = (untouched ++ newInfos).sortBy(_.minKey)
+    val metaRangeId = metaRangeIdOf(all)
+    writeManifest(metaRangeId, all)
+    (metaRangeId, all)
   }
 
   // Manifests are content-addressed and therefore immutable — cache them on
@@ -420,31 +432,33 @@ class SnapshotStore(val spark: SparkSession, val repoDir: String,
   }
 
   /**
-   * Manifest stats + range-file write for an already-chunk-assigned source.
-   *
-   * Two jobs touch the data: one map-side partial aggregation computes each
-   * chunk's 128-bit content id + manifest stats straight from the source (no
-   * staged-file re-read), and one shuffle-and-sort writes chunk files to a
-   * staging dir before a metadata-only rename to their content address.
+   * Manifest stats + range-file write for an already-chunk-assigned source,
+   * in one of three shapes chosen by store state and the caller's hint:
    *
    * '''Fresh store''' (ranges dir absent — a first snapshot / initial
-   * import): no chunk can already exist, so the stats job and the full
+   * import): no chunk can already exist, so the stats agg (map-side partial
+   * aggregation of the 128-bit content ids + manifest stats) and the full
    * staged write run '''concurrently''' from two driver threads — Spark
    * schedules both over the same (cached) source and wall-clock is
    * max(stats, write), not the sum.
    *
-   * `eagerStage` opts an EXISTING store into the same concurrency when the
-   * caller knows the chunks are almost certainly new (commitChanges: a
-   * touched range was touched because a change key lands in it) — the
-   * staged write runs during the stats agg, existing chunks are still
-   * skipped at rename time, and a stale staged chunk costs one discarded
-   * staging dir.
+   * '''`eagerStage` on an existing store''' (commitChanges: a touched range
+   * was touched because a change key lands in it, so its rewritten chunks
+   * almost certainly carry new content ids): the staged write runs FIRST —
+   * the caller's apply pipeline streams through the single
+   * shuffle-sort-write pass with no cache materialization — and the
+   * manifest stats then come from the '''staged files''', a column-pruned
+   * (key, identity) read of page-cache-warm parquet. One pass over the
+   * slice total, instead of materialize + stats + write. Chunks whose
+   * content address already exists are still skipped at rename time; a
+   * no-op change set costs one discarded staging dir (tradeoff documented
+   * at the call site).
    *
-   * Otherwise (existing store, no hint): stats run first, then ONLY chunks
-   * whose content-addressed directory doesn't already exist are written.
-   * An unchanged chunk — same keys, same identities — costs a hash-agg and
-   * nothing else, the whole-range reuse discipline of the reference's
-   * content-addressed uploads (`pkg/graveler/sstable/writer.go`,
+   * '''Otherwise''' (existing store, no hint): stats run first, then ONLY
+   * chunks whose content-addressed directory doesn't already exist are
+   * written. An unchanged chunk — same keys, same identities — costs a
+   * hash-agg and nothing else, the whole-range reuse discipline of the
+   * reference's content-addressed uploads (`pkg/graveler/sstable/writer.go`,
    * `committed/commit.go:116-137`).
    *
    * All per-chunk remote-metadata calls (exists probes, staging→final
@@ -483,47 +497,76 @@ class SnapshotStore(val spark: SparkSession, val repoDir: String,
       .partitionBy("__chunk")
       .parquet(stagingPath)
 
-    // fresh store (every chunk missing by construction) or an eagerStage
-    // hint: start the full staged write on a second driver thread while
-    // the stats agg runs
-    val eagerWrite: Option[java.util.concurrent.Future[_]] =
-      if (freshStore || eagerStage) Some(SnapshotStore.ioPool.submit(new Runnable {
-        def run(): Unit = tr("eager_write")(stageAll(withChunk, approxChunks))
-      })) else None
-
     // Two independent unreduced 64-bit streams per row — chained multi-arg
     // xxhash64 (no row-level string concat); stream 2 swaps the argument
     // order and adds a salt. Each stream sums mod 2^64, carried as separate
     // hi/lo 32-bit halves in plain long sums: pure codegen'd primitive ops
     // (a Decimal(38) sum costs a per-row BigDecimal), overflow-free below
     // 2^31 rows per chunk, recombined exactly on the driver.
-    val h1e = xxhash64(col("key"), col("identity"))
-    val h2e = xxhash64(col("identity"), col("key"), lit("s2"))
-    def hiLo(e: org.apache.spark.sql.Column, n: String) = Seq(
-      sum(shiftright(e, 32)).as(n + "_hi"),
-      sum(e.bitwiseAND(lit(0xFFFFFFFFL))).as(n + "_lo"))
-    val aggs = hiLo(h1e, "h1") ++ hiLo(h2e, "h2") ++ Seq(
-      min("key").as("min_key"), max("key").as("max_key"),
-      count(lit(1)).as("cnt"),
-      sum(length(col("key")) + coalesce(length(col("identity")), lit(0L))).as("est"))
+    def statsOf(df: DataFrame): Array[(RangeInfo, Int)] = {
+      val h1e = xxhash64(col("key"), col("identity"))
+      val h2e = xxhash64(col("identity"), col("key"), lit("s2"))
+      def hiLo(e: org.apache.spark.sql.Column, n: String) = Seq(
+        sum(shiftright(e, 32)).as(n + "_hi"),
+        sum(e.bitwiseAND(lit(0xFFFFFFFFL))).as(n + "_lo"))
+      val aggs = hiLo(h1e, "h1") ++ hiLo(h2e, "h2") ++ Seq(
+        min("key").as("min_key"), max("key").as("max_key"),
+        count(lit(1)).as("cnt"),
+        sum(length(col("key")) + coalesce(length(col("identity")), lit(0L))).as("est"))
+      df.groupBy("__chunk").agg(aggs.head, aggs.tail: _*).collect()
+        .map { r =>
+          def hex64(n: String): String = String.format("%016x",
+            java.math.BigInteger.valueOf(r.getAs[Long](n + "_hi")).shiftLeft(32)
+              .add(java.math.BigInteger.valueOf(r.getAs[Long](n + "_lo"))).mod(two64))
+          val rid = hex64("h1") + hex64("h2")
+          (RangeInfo(rid, r.getAs[String]("min_key"), r.getAs[String]("max_key"),
+            r.getAs[Long]("est"), r.getAs[Long]("cnt"), s"$rangesDir/$rid"),
+           r.getAs[Int]("__chunk"))
+        }
+    }
+    def renameMissing(missing: Seq[(RangeInfo, Int)]): Unit =
+      tr("renames")(SnapshotStore.inParallel(missing) { case (ri, chunkIdx) =>
+        val src = new Path(s"$stagingPath/__chunk=$chunkIdx")
+        val dest = new Path(ri.path)
+        if (!fs.exists(dest) && !fs.rename(src, dest) && !fs.exists(dest))
+          sys.error(s"range rename failed: $dest")
+      })
+
     // everything past this point runs under a finally that deletes the
-    // staging dir — stats-agg failures, eager-write failures, and rename
+    // staging dir — stats-agg failures, staged-write failures, and rename
     // errors must not leak __staging_* dirs under ranges/
     try {
+      if (eagerStage && !freshStore) {
+        // Commit path (caller hints the chunks are almost certainly new):
+        // stage the write FIRST — the apply pipeline streams through one
+        // shuffle-sort-write pass with no cache materialization — then the
+        // manifest stats come from the STAGED files, a column-pruned read
+        // of (key, identity) over page-cache-warm parquet, instead of a
+        // second full pass over the source. Existing chunks are still
+        // skipped at rename time.
+        tr("stage_write")(stageAll(withChunk, approxChunks))
+        val anyChunk = fs.exists(new Path(stagingPath)) &&
+          fs.listStatus(new Path(stagingPath))
+            .exists(_.getPath.getName.startsWith("__chunk="))
+        if (!anyChunk) return Seq.empty
+        val manifest = tr("stats_agg")(statsOf(spark.read.parquet(stagingPath)))
+        val missing = SnapshotStore.inParallel(manifest.toSeq) { p =>
+          (p, fs.exists(new Path(p._1.path)))
+        }.collect { case (p, exists) if !exists => p }
+        renameMissing(missing)
+        return manifest.map(_._1).sortBy(_.minKey).toSeq
+      }
+
+      // fresh store: every chunk is missing by construction, so the full
+      // staged write runs on a second driver thread while the stats agg
+      // runs over the (cached) source — wall-clock is max(stats, write)
+      val eagerWrite: Option[java.util.concurrent.Future[_]] =
+        if (freshStore) Some(SnapshotStore.ioPool.submit(new Runnable {
+          def run(): Unit = tr("eager_write")(stageAll(withChunk, approxChunks))
+        })) else None
+
       val manifest =
-        try tr("stats_agg")(withChunk
-          .groupBy("__chunk")
-          .agg(aggs.head, aggs.tail: _*)
-          .collect())
-          .map { r =>
-            def hex64(n: String): String = String.format("%016x",
-              java.math.BigInteger.valueOf(r.getAs[Long](n + "_hi")).shiftLeft(32)
-                .add(java.math.BigInteger.valueOf(r.getAs[Long](n + "_lo"))).mod(two64))
-            val rid = hex64("h1") + hex64("h2")
-            (RangeInfo(rid, r.getAs[String]("min_key"), r.getAs[String]("max_key"),
-              r.getAs[Long]("est"), r.getAs[Long]("cnt"), s"$rangesDir/$rid"),
-             r.getAs[Int]("__chunk"))
-          }
+        try tr("stats_agg")(statsOf(withChunk))
         catch { case e: Throwable => eagerWrite.foreach(_.cancel(true)); throw e }
       if (manifest.isEmpty) {
         eagerWrite.foreach(_.get())
@@ -547,12 +590,7 @@ class SnapshotStore(val spark: SparkSession, val repoDir: String,
               else withChunk.where(col("__chunk").isInCollection(missingIdx))
             stageAll(toWrite, missing.length)
         }
-        tr("renames")(SnapshotStore.inParallel(missing) { case (ri, chunkIdx) =>
-          val src = new Path(s"$stagingPath/__chunk=$chunkIdx")
-          val dest = new Path(ri.path)
-          if (!fs.exists(dest) && !fs.rename(src, dest) && !fs.exists(dest))
-            sys.error(s"range rename failed: $dest")
-        })
+        renameMissing(missing)
       } else eagerWrite.foreach(_.get())
       manifest.map(_._1).sortBy(_.minKey).toSeq
     } finally tr("staging_del")(fs.delete(new Path(stagingPath), true))

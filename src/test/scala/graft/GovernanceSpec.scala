@@ -101,7 +101,7 @@ class GovernanceSpec extends SparkSpec {
     // payloads are real JSON: control chars / backslashes / quotes in the
     // commit message survive a strict parse with the original value intact
     eng.stage("main", Seq(("k0003", "Z")).toDF("key", "identity"))
-    val nasty = "line1\nline2\t\"quoted\" back\\slash "
+    val nasty = "line1\nline2\t\"quoted\" back\\slash \u0007"
     val n1 = Actions.deliveries.size
     eng.commit("main", "t", nasty)
     val rec = Actions.deliveries.drop(n1).find(_._2 === "notify").get._4
