@@ -28,7 +28,17 @@ import graft.store.SnapshotStore
  */
 object Bench {
 
-  val passes = 5
+  // SPARK_GRAFT_PASSES overrides for local iteration; the driver default is 5
+  val passes = sys.env.get("SPARK_GRAFT_PASSES").map(_.toInt).getOrElse(5)
+
+  // sub-step timings to stderr when SPARK_GRAFT_TRACE is set (no JSON change)
+  private val trace = sys.env.contains("SPARK_GRAFT_TRACE")
+  private def tr[T](name: String)(f: => T): T =
+    if (!trace) f else {
+      val t0 = System.nanoTime(); val r = f
+      System.err.println(f"[trace] $name%-14s ${(System.nanoTime() - t0) / 1e9}%7.3f s")
+      r
+    }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -167,7 +177,10 @@ object Bench {
         // 3. diff: C1..C2 with range-level pruning (J1) vs the bare
         // full-outer over complete snapshots, plus the clustered variant
         // where pruning skips almost every range.
-        m2.foreach(m => timed("diff") { store.diff(m1, m).count() })
+        m2.foreach(m => timed("diff") {
+          val (dl, dr) = tr("diff_build")(store.prunedForDiff(m1, m))
+          tr("diff_exec")(Diff.twoWay(dl, dr).count())
+        })
         if (wroteBare.isDefined && m2.isDefined) {
           timed("bare_diff") {
             Diff.twoWay(bareSnap, spark.read.parquet(s"$bareOut/snap2")).count()

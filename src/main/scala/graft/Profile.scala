@@ -216,6 +216,22 @@ object Profile {
         t(s"p_bare_diff_$i") {
           Diff.twoWay(bSnap, spark.read.parquet(s"$bOut/snap2")).count()
         }
+        if (i == 1) {
+          def du(d: String): Long = {
+            val p = java.nio.file.Paths.get(d)
+            val s = java.nio.file.Files.walk(p)
+            try s.filter(java.nio.file.Files.isRegularFile(_))
+              .mapToLong(java.nio.file.Files.size(_)).sum
+            finally s.close()
+          }
+          println(s"[profile] bytes: engine_ranges=${du(s"$rDir/ranges")} " +
+            s"bare=${du(s"$bOut/snap")}+${du(s"$bOut/snap2")}")
+          println("[profile] === engine diff plan ===")
+          println(st.diff(pm1, pm2).queryExecution.executedPlan.toString.take(3000))
+          println("[profile] === bare diff plan ===")
+          println(Diff.twoWay(bSnap, spark.read.parquet(s"$bOut/snap2"))
+            .queryExecution.executedPlan.toString.take(3000))
+        }
         deleteDir(rDir); deleteDir(bOut)
       }
     }

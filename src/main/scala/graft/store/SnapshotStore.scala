@@ -61,6 +61,7 @@ class SnapshotStore(val spark: SparkSession, val repoDir: String,
     * scans take the first file's schema (no mergeSchema — see
     * [[readRanges]]). */
   def writeSnapshot(df: DataFrame): (String, Seq[RangeInfo]) = {
+    if (cachedSchema.isEmpty) cachedSchema = Some(allNullable(df.schema))
     val infos = chunkAndWrite(df)
     val metaRangeId = metaRangeIdOf(infos)
     writeManifest(metaRangeId, infos)
@@ -134,8 +135,8 @@ class SnapshotStore(val spark: SparkSession, val repoDir: String,
     // it from a narrow change set would write payload-less ranges that
     // poison later scans
     val touchedDf =
-      if (touchedInfos.nonEmpty) spark.read.parquet(touchedInfos.map(_.path): _*)
-      else if (base.nonEmpty) spark.read.parquet(base.head.path).limit(0)
+      if (touchedInfos.nonEmpty) readRanges(touchedInfos)
+      else if (base.nonEmpty) readRanges(Seq(base.head)).limit(0)
       else changes.limit(0)
 
     // align the change set to the snapshot's payload columns (narrow change
@@ -222,7 +223,7 @@ class SnapshotStore(val spark: SparkSession, val repoDir: String,
     def side(all: Seq[RangeInfo]) = {
       val keep = all.filterNot(i => shared.contains(i.rangeId))
       if (keep.nonEmpty) readRanges(keep)
-      else if (all.nonEmpty) spark.read.parquet(all.head.path).limit(0)
+      else if (all.nonEmpty) readRanges(Seq(all.head)).limit(0)
       else readRanges(keep)
     }
     (side(l), side(r))
@@ -283,11 +284,27 @@ class SnapshotStore(val spark: SparkSession, val repoDir: String,
   // and rewritten ranges agree. mergeSchema would read every range's footer
   // on every scan: measurably 2x on a 12-range diff, and a million footer
   // reads per scan at import scale.
+  //
+  // The same invariant lets the store cache the snapshot schema once and
+  // pass it to every later read: schema inference otherwise opens a range
+  // file and reads its footer on EVERY scan/diff/merge call — pure
+  // per-operation latency, and a remote round-trip per call on an object
+  // store. asNullable semantics: parquet inference returns nullable fields,
+  // so the cached schema is normalized the same way.
+  @volatile private var cachedSchema: Option[org.apache.spark.sql.types.StructType] = None
+  private def allNullable(s: org.apache.spark.sql.types.StructType) =
+    org.apache.spark.sql.types.StructType(s.fields.map(_.copy(nullable = true)))
   private def readRanges(infos: Seq[RangeInfo]): DataFrame =
     if (infos.isEmpty) {
       import spark.implicits._
       Seq.empty[(String, String)].toDF("key", "identity")
-    } else spark.read.parquet(infos.map(_.path): _*)
+    } else cachedSchema match {
+      case Some(s) => spark.read.schema(s).parquet(infos.map(_.path): _*)
+      case None =>
+        val df = spark.read.parquet(infos.map(_.path): _*)
+        cachedSchema = Some(allNullable(df.schema))
+        df
+    }
 
   // `maxBroadcastCuts`: cut sets up to this size take the broadcast fast
   // path (default 2^20 keys ≈ tens of MB — bounded driver/executor memory
