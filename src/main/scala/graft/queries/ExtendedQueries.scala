@@ -218,6 +218,106 @@ object ExtendedQueries {
                  i -> length(substr(text, i*64 + 1, 16)))) AS BIGINT) AS frame_chars
         FROM documents ORDER BY media_id""")),
 
+    // Multimodal near-duplicate detection: a 64-bit frame-level perceptual
+    // hash per media object (SimHash over its DISTINCT sampled frames — two
+    // videos sharing most frames land within a few bits), then pairs within
+    // hamming <= 3. Same scale discipline as td_simhash_pairs: the 4x16-bit
+    // pigeonhole blocking join has FULL recall at <= 3 differing bits (some
+    // chunk must match exactly), and chunk keys keep buckets sparse.
+    // Planted duplicates (every doc_id % 50 == 0 copied at +10000) make the
+    // pair set provably non-empty. A real image phash (DCT) drops into the
+    // same pipeline by replacing the frame hash, exactly like stubDecode.
+    "mm_phash_pairs" -> (((s: SparkSession, d: String) => {
+      val docs = Fixtures.documents(s, d).select(col("doc_id"), col("text"))
+      val planted = docs.unionByName(docs.where(col("doc_id") % 50 === 0)
+        .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+      val media = Multimodal.asMedia(
+        planted, col("doc_id"), encode(col("text"), "UTF-8"), "video")
+      val framed = Multimodal.sampleFramesText(media, blockSize = 16, stride = 4)
+        .select(col("media_id"), explode(array_distinct(col("frames"))).as("frame"))
+      val aggCols = (0 until 4).map(cc =>
+        sum(when(col("c") === cc && col("score") > 0, col("pw")).otherwise(0L))
+          .as(s"ph_c$cc"))
+      val sigs = framed
+        .withColumn("hex", sha2(col("frame"), 256))
+        .select(col("media_id"), col("hex"), explode(sequence(lit(0), lit(3))).as("c"))
+        .withColumn("h16", conv(expr("substring(hex, c*4+1, 4)"), 16, 10).cast("long"))
+        .select(col("media_id"), col("c"), col("h16"),
+          explode(sequence(lit(0), lit(15))).as("b"))
+        .withColumn("pw", pow(lit(2), col("b")).cast("long"))
+        .withColumn("bit", expr("CAST(floor(h16 / pw) AS BIGINT) % 2"))
+        .groupBy("media_id", "c", "b", "pw")
+        .agg(sum(when(col("bit") === 1, 1).otherwise(-1)).as("score"))
+        .groupBy("media_id")
+        .agg(aggCols.head, aggCols.tail: _*)
+      val exploded = sigs.select(col("media_id") +:
+        (0 until 4).map(cc => col(s"ph_c$cc")) :+
+        explode(array((0 until 4).map(cc =>
+          concat(lit(s"$cc:"), col(s"ph_c$cc"))): _*)).as("chunk"): _*)
+      def side(tag: String) = exploded.select(
+        col("chunk") +: (col("media_id").as(s"media_$tag") +:
+          (0 until 4).map(cc => col(s"ph_c$cc").as(s"$tag$cc"))): _*)
+      side("a").join(side("b"), Seq("chunk")).where(col("media_a") < col("media_b"))
+        .select((Seq("media_a", "media_b") ++
+          (0 until 4).flatMap(cc => Seq(s"a$cc", s"b$cc"))).map(col): _*).distinct()
+        .withColumn("hamming", expr(
+          "CAST(bit_count(a0 ^ b0) + bit_count(a1 ^ b1) + bit_count(a2 ^ b2) + bit_count(a3 ^ b3) AS BIGINT)"))
+        .where(col("hamming") <= 3)
+        .select("media_a", "media_b", "hamming")
+        .orderBy("media_a", "media_b")
+    }),
+      Some("""
+        WITH media AS (
+          SELECT doc_id AS media_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 10000, text FROM documents WHERE doc_id % 50 = 0
+        ),
+        frames AS (
+          SELECT media_id, unnest(list_distinct(list_transform(
+            generate_series(0, CAST(greatest(floor(length(text)/64.0) - 1, 0) AS INT)),
+            i -> substr(text, i*64 + 1, 16)))) AS frame
+          FROM media
+        ),
+        h AS (
+          SELECT media_id, c, ('0x' || substr(hex, c*4+1, 4))::BIGINT AS h16
+          FROM (SELECT media_id, sha256(frame) AS hex FROM frames)
+          CROSS JOIN (SELECT unnest([0,1,2,3]) AS c)
+        ),
+        scored AS (
+          SELECT media_id, c, b, pw,
+                 sum(CASE WHEN CAST(floor(h16 / pw) AS BIGINT) % 2 = 1 THEN 1 ELSE -1 END) AS score
+          FROM h CROSS JOIN (
+            SELECT CAST(i AS INT) AS b, CAST(power(2, i) AS BIGINT) AS pw FROM range(0,16) t(i)
+          ) GROUP BY 1, 2, 3, 4
+        ),
+        sigs AS (
+          SELECT media_id,
+                 CAST(sum(CASE WHEN c = 0 AND score > 0 THEN pw ELSE 0 END) AS BIGINT) AS ph_c0,
+                 CAST(sum(CASE WHEN c = 1 AND score > 0 THEN pw ELSE 0 END) AS BIGINT) AS ph_c1,
+                 CAST(sum(CASE WHEN c = 2 AND score > 0 THEN pw ELSE 0 END) AS BIGINT) AS ph_c2,
+                 CAST(sum(CASE WHEN c = 3 AND score > 0 THEN pw ELSE 0 END) AS BIGINT) AS ph_c3
+          FROM scored GROUP BY media_id
+        ),
+        chunked AS (
+          SELECT media_id, ph_c0, ph_c1, ph_c2, ph_c3,
+                 unnest(['0:' || CAST(ph_c0 AS VARCHAR), '1:' || CAST(ph_c1 AS VARCHAR),
+                         '2:' || CAST(ph_c2 AS VARCHAR), '3:' || CAST(ph_c3 AS VARCHAR)]) AS chunk
+          FROM sigs
+        ),
+        cand AS (
+          SELECT DISTINCT a.media_id AS media_a, b.media_id AS media_b,
+                 a.ph_c0 AS a0, a.ph_c1 AS a1, a.ph_c2 AS a2, a.ph_c3 AS a3,
+                 b.ph_c0 AS b0, b.ph_c1 AS b1, b.ph_c2 AS b2, b.ph_c3 AS b3
+          FROM chunked a JOIN chunked b ON a.chunk = b.chunk AND a.media_id < b.media_id
+        )
+        SELECT media_a, media_b,
+               CAST(bit_count(xor(a0,b0)) + bit_count(xor(a1,b1)) +
+                    bit_count(xor(a2,b2)) + bit_count(xor(a3,b3)) AS BIGINT) AS hamming
+        FROM cand
+        WHERE bit_count(xor(a0,b0)) + bit_count(xor(a1,b1)) +
+              bit_count(xor(a2,b2)) + bit_count(xor(a3,b3)) <= 3
+        ORDER BY media_a, media_b""")),
+
     // Multimodal aggregation: per-type feature stats.
     "mm_feature_stats" -> (((s: SparkSession, d: String) => {
       val media = Multimodal.asMedia(

@@ -415,6 +415,56 @@ object TextQueries {
                sha256(array_to_string(list_slice(toks, i*40+1, i*40+50), ' ')) AS chunk_hash
         FROM idx ORDER BY doc_id, chunk_idx""")),
 
+    // Cross-document sequence packing: concatenate the corpus in doc_id
+    // order and split at fixed 256-token boundaries — the
+    // concat-then-chunk shape LLM pretraining uses to fill context
+    // windows, assigning each document its starting window and how many
+    // windows it spans. The global running offset comes from a TWO-LEVEL
+    // prefix sum (per-partition window keyed by partition id + driver-side
+    // cumulative offsets over <= numPartitions rows, broadcast back), the
+    // same pattern as the windowed chunker — NEVER a partition-less global
+    // window, which would move the corpus through one task. The result is
+    // partitioning-invariant because prefix sums are associative over any
+    // contiguous split of the doc_id order.
+    "td_pack" -> (((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = 256
+      val lens = Fixtures.documents(s, d)
+        .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n"))
+        .where(col("n") > 0)
+      val parted = lens.repartitionByRange(col("doc_id"))
+        .withColumn("__pid", spark_partition_id())
+      val win = Window.partitionBy("__pid").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val totals = parted.groupBy("__pid").agg(sum("n").as("t")).collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+      var run = 0L
+      val offs = totals.map { case (pid, t) => val o = (pid, run); run += t; o }.toSeq
+      import s.implicits._
+      val offDf = offs.toDF("__pid", "__off")
+      parted
+        .withColumn("__pre", coalesce(sum("n").over(win), lit(0L)))
+        .join(broadcast(offDf), Seq("__pid"))
+        .withColumn("start_offset", col("__pre") + col("__off"))
+        .select(col("doc_id"), col("n").as("n_tokens"), col("start_offset"),
+          expr(s"start_offset DIV $w").as("window_id"),
+          expr(s"((start_offset + n - 1) DIV $w) - (start_offset DIV $w) + 1")
+            .as("n_windows"))
+        .orderBy("doc_id")
+    }),
+      Some(s"""$docsSql,
+        lens AS (SELECT doc_id, len(toks) AS n FROM docs WHERE len(toks) > 0),
+        c AS (
+          SELECT doc_id, n,
+                 COALESCE(sum(n) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS so
+          FROM lens
+        )
+        SELECT doc_id, CAST(n AS BIGINT) AS n_tokens, CAST(so AS BIGINT) AS start_offset,
+               CAST(so // 256 AS BIGINT) AS window_id,
+               CAST(((so + n - 1) // 256) - (so // 256) + 1 AS BIGINT) AS n_windows
+        FROM c ORDER BY doc_id""")),
+
     // Deterministic stratified train/val split: Knuth-hash bucket on doc_id
     // (90/10), reported per predicted language — the split is a pure
     // function of the id, so it is stable across runs, engines, and

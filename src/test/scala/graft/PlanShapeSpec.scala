@@ -21,7 +21,9 @@ class PlanShapeSpec extends SparkSpec {
     // equi-join + refine — a theta-only formulation would plan a nested loop
     "ev_asof", "ev_range_join",
     // contamination = df-capped shingle equi-join, never all-pairs
-    "td_contamination")
+    "td_contamination",
+    // phash near-dup = 16-bit chunk equi-join (pigeonhole), never all-pairs
+    "mm_phash_pairs")
 
   test("LSH scale paths contain no all-pairs join") {
     scalePaths.foreach { name =>
@@ -79,6 +81,18 @@ class PlanShapeSpec extends SparkSpec {
     val topKAt = plan.indexOf("TakeOrderedAndProject")
     assert(windowAt >= 0 && windowAt < topKAt,
       "rank Window must be above (consume) the TakeOrderedAndProject output")
+  }
+
+  test("td_pack's prefix sum never globally windows: every Window is partitioned") {
+    val df = SparkEntry.queries("td_pack")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    // the two-level prefix sum windows WITHIN partitions (keyed by __pid);
+    // a partition-less Window here would move the whole corpus through one
+    // task. Every Window node must carry the __pid partition spec.
+    val windows = plan.split("\n").filter(_.contains("Window ["))
+    assert(windows.nonEmpty, s"td_pack must window within partitions:\n${plan.take(2000)}")
+    windows.foreach(w => assert(w.contains("partitionBy") || w.contains("__pid"),
+      s"td_pack contains a global (partition-less) Window:\n$w"))
   }
 
   test("vc_kmv_distinct plans a partial aggregation, not a per-group sort window") {
