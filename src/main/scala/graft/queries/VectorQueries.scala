@@ -321,6 +321,99 @@ object VectorQueries {
         SELECT bk, count(*) AS n_vectors, min(vec_id) AS min_vec, max(vec_id) AS max_vec
         FROM banded GROUP BY bk ORDER BY bk""")),
 
+    // Product-quantization ANN (the third classic scale path beside LSH and
+    // IVF): vectors compress to M=4 one-byte codes — per 16-dim subspace,
+    // the id of the nearest of 16 fixed codebook centroids (the vec_id%125
+    // sample, like emb_ivf_ann) — and probes scan the CODES, not the
+    // vectors, via asymmetric distance: a per-probe lookup table of
+    // (subspace, centroid) -> partial L2, summed over each vector's codes.
+    // Plan shape at 100 TB: codebook and per-probe tables are tiny
+    // broadcasts; encoding is O(N*M*K) map-side work; the ADC scan reads
+    // only the M-long code arrays (a 64x storage compression) with map
+    // lookups, no join against the raw vectors. All arithmetic integer on
+    // quantized components — bit-exact across engines.
+    "emb_pq_ann" -> (((s: SparkSession, d: String) => {
+      val emb = Fixtures.embeddings(s, d)
+        .select(col("vec_id"), quantize(col("embedding")).as("q"))
+      def subspaces(df: DataFrame, vcol: String) = df
+        .select(col("*"), explode(sequence(lit(0), lit(3))).as("m"))
+        .withColumn("sub", expr(s"slice($vcol, m*16+1, 16)"))
+      val l2 = (a: Column, b: Column) =>
+        aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (acc, v) => acc + v)
+      val cb = subspaces(emb.where(col("vec_id") % 125 === 0), "q")
+        .select(col("vec_id").as("cid"), col("m"), col("sub").as("csub"))
+      val enc = subspaces(emb, "q").join(broadcast(cb), Seq("m"))
+        .withColumn("d", l2(col("sub"), col("csub")))
+        .groupBy("vec_id", "m")
+        .agg(min_by(col("cid"), struct(col("d"), col("cid"))).as("code"))
+      val encWide = enc.groupBy("vec_id")
+        .agg(transform(array_sort(collect_list(struct(col("m"), col("code")))),
+          x => x.getField("code")).as("codes"))
+      val probes = emb.where(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("probe_id"), col("q"))
+      val lut = subspaces(probes, "q").join(broadcast(cb), Seq("m"))
+        .withColumn("d", l2(col("sub"), col("csub")))
+        .groupBy("probe_id")
+        .agg(map_from_entries(collect_list(
+          struct(concat_ws(":", col("m"), col("cid")), col("d")))).as("dtab"))
+      val scored = encWide.crossJoin(broadcast(lut))
+        .where(col("vec_id") =!= col("probe_id"))
+        .withColumn("adist", expr(
+          "aggregate(transform(sequence(0,3), m -> element_at(dtab, " +
+            "concat(cast(m AS string), ':', cast(codes[m] AS string)))), " +
+            "0L, (a, x) -> a + x)"))
+      val w = Window.partitionBy("probe_id").orderBy(col("adist").asc, col("vec_id").asc)
+      scored.withColumn("rank", row_number().over(w).cast("long"))
+        .where(col("rank") <= 3)
+        .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("rank"), col("adist"))
+        .orderBy("probe_id", "rank")
+    }),
+      Some(s"""
+        WITH q AS (SELECT vec_id, $qvecSql AS qv FROM embeddings),
+        ms AS (SELECT unnest([0,1,2,3]) AS m),
+        cb AS (
+          SELECT vec_id AS cid, m, list_slice(qv, m*16+1, m*16+16) AS csub
+          FROM q CROSS JOIN ms WHERE vec_id % 125 = 0
+        ),
+        sub AS (
+          SELECT vec_id, m, list_slice(qv, m*16+1, m*16+16) AS s
+          FROM q CROSS JOIN ms
+        ),
+        encd AS (
+          SELECT sub.vec_id, sub.m, cb.cid,
+                 CAST(list_sum(list_transform(generate_series(1,16),
+                   i -> (s[i]-csub[i])*(s[i]-csub[i]))) AS BIGINT) AS d
+          FROM sub JOIN cb ON cb.m = sub.m
+        ),
+        enc AS (
+          SELECT vec_id, m, cid AS code FROM (
+            SELECT vec_id, m, cid,
+                   row_number() OVER (PARTITION BY vec_id, m ORDER BY d, cid) AS rn
+            FROM encd
+          ) WHERE rn = 1
+        ),
+        probes AS (SELECT vec_id AS probe_id, qv FROM q WHERE vec_id % 100 = 0),
+        psub AS (
+          SELECT probe_id, m, list_slice(qv, m*16+1, m*16+16) AS p
+          FROM probes CROSS JOIN ms
+        ),
+        pd AS (
+          SELECT probe_id, psub.m, cb.cid,
+                 CAST(list_sum(list_transform(generate_series(1,16),
+                   i -> (p[i]-csub[i])*(p[i]-csub[i]))) AS BIGINT) AS d
+          FROM psub JOIN cb ON cb.m = psub.m
+        ),
+        ad AS (
+          SELECT probe_id, vec_id, CAST(sum(d) AS BIGINT) AS adist
+          FROM enc JOIN pd ON pd.m = enc.m AND pd.cid = enc.code
+          WHERE vec_id <> probe_id
+          GROUP BY 1, 2
+        )
+        SELECT probe_id, vec_id AS neighbor_id, rank, adist FROM (
+          SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY adist, vec_id) AS rank
+          FROM ad
+        ) WHERE rank <= 3 ORDER BY probe_id, rank""")),
+
     // K-means over embeddings (two deterministic Lloyd iterations): the
     // IVF-training / semantic-clustering operator. Init = the vec_id%125
     // sample (like emb_ivf_ann's fixed centroids); all arithmetic exact —
