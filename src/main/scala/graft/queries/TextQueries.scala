@@ -415,6 +415,62 @@ object TextQueries {
                sha256(array_to_string(list_slice(toks, i*40+1, i*40+50), ' ')) AS chunk_hash
         FROM idx ORDER BY doc_id, chunk_idx""")),
 
+    // Corpus release diff: the version-control and training-data halves of
+    // the engine composed — two corpus releases (old = doc_id%7<>0; new =
+    // doc_id%5<>0 with every %11 doc revised) become keyed snapshots
+    // (key = padded doc_id, identity = sha256(text)), the engine's two-way
+    // diff classifies added/removed/changed, and the report aggregates doc
+    // and token deltas per class — the audit a dataset release ships with.
+    // At snapshot-store level the same diff runs range-pruned (vc_diff);
+    // here the operator composes with token stats over raw corpus tables.
+    "td_release_diff" -> (((s: SparkSession, d: String) => {
+      val docs = Fixtures.documents(s, d).select(col("doc_id"), col("text"))
+        .where(col("text").isNotNull)
+      val relA = docs.where(col("doc_id") % 7 =!= 0)
+      val relB = docs.where(col("doc_id") % 5 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 11 === 0, concat(col("text"), lit(" [rev2]")))
+            .otherwise(col("text")).as("text"))
+      def snap(df: DataFrame) = df.select(
+        lpad(col("doc_id").cast("string"), 10, "0").as("key"),
+        sha2(col("text"), 256).as("identity"),
+        size(tokens(col("text"))).cast("long").as("tok"))
+      val a = snap(relA); val b = snap(relB)
+      graft.operators.Diff.twoWay(a, b)
+        .join(a.select(col("key"), col("tok").as("tok_a")), Seq("key"), "left_outer")
+        .join(b.select(col("key"), col("tok").as("tok_b")), Seq("key"), "left_outer")
+        .groupBy("diff_type")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(coalesce(col("tok_b"), lit(0L)) - coalesce(col("tok_a"), lit(0L)))
+            .as("token_delta"))
+        .orderBy("diff_type")
+    }),
+      Some(s"""$docsSql,
+        docs0 AS (SELECT doc_id, text, len(toks) AS tok FROM docs WHERE text IS NOT NULL),
+        a AS (
+          SELECT lpad(CAST(doc_id AS VARCHAR),10,'0') AS key, sha256(text) AS identity, tok
+          FROM docs0 WHERE doc_id % 7 <> 0
+        ),
+        b0 AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 11 = 0 THEN text || ' [rev2]' ELSE text END AS text
+          FROM docs0 WHERE doc_id % 5 <> 0
+        ),
+        b AS (
+          SELECT lpad(CAST(doc_id AS VARCHAR),10,'0') AS key, sha256(text) AS identity,
+                 len(regexp_split_to_array(trim(text), '\\s+')) AS tok
+          FROM b0
+        ),
+        dd AS (
+          SELECT CASE WHEN a.identity IS NULL THEN 'added'
+                      WHEN b.identity IS NULL THEN 'removed'
+                      WHEN a.identity <> b.identity THEN 'changed' END AS diff_type,
+                 COALESCE(b.tok, 0) - COALESCE(a.tok, 0) AS delta
+          FROM a FULL OUTER JOIN b ON a.key = b.key
+        )
+        SELECT diff_type, count(*) AS n_docs, CAST(sum(delta) AS BIGINT) AS token_delta
+        FROM dd WHERE diff_type IS NOT NULL GROUP BY 1 ORDER BY 1""")),
+
     // Cross-document sequence packing: concatenate the corpus in doc_id
     // order and split at fixed 256-token boundaries — the
     // concat-then-chunk shape LLM pretraining uses to fill context
