@@ -566,7 +566,10 @@ class SnapshotStore(val spark: SparkSession, val repoDir: String,
           fs.listStatus(new Path(stagingPath))
             .exists(_.getPath.getName.startsWith("__chunk="))
         if (!anyChunk) return Seq.empty
-        val manifest = tr("stats_agg")(statsOf(spark.read.parquet(stagingPath)))
+        // explicit cast: __chunk comes back as a partition column whose
+        // type depends on session-level inference settings
+        val manifest = tr("stats_agg")(statsOf(spark.read.parquet(stagingPath)
+          .withColumn("__chunk", col("__chunk").cast("int"))))
         val missing = SnapshotStore.inParallel(manifest.toSeq) { p =>
           (p, fs.exists(new Path(p._1.path)))
         }.collect { case (p, exists) if !exists => p }
