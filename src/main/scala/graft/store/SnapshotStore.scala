@@ -61,8 +61,9 @@ class SnapshotStore(val spark: SparkSession, val repoDir: String,
     * scans take the first file's schema (no mergeSchema — see
     * [[readRanges]]). */
   def writeSnapshot(df: DataFrame): (String, Seq[RangeInfo]) = {
-    if (cachedSchema.isEmpty) cachedSchema = Some(allNullable(df.schema))
     val infos = chunkAndWrite(df)
+    val sch = allNullable(df.schema)
+    infos.foreach(ri => schemaCache.put(ri.rangeId, sch))
     val metaRangeId = metaRangeIdOf(infos)
     writeManifest(metaRangeId, infos)
     (metaRangeId, infos)
@@ -174,6 +175,8 @@ class SnapshotStore(val spark: SparkSession, val repoDir: String,
       if (cuts.length <= maxBroadcastCuts)
         chunkAndWriteBroadcast(rewritten, cuts, eagerStage = true)
       else chunkAndWriteWindowed(rewritten, eagerStage = true)
+    val newSch = allNullable(rewritten.schema)
+    newInfos.foreach(ri => schemaCache.put(ri.rangeId, newSch))
     val all = (untouched ++ newInfos).sortBy(_.minKey)
     val metaRangeId = metaRangeIdOf(all)
     writeManifest(metaRangeId, all)
@@ -285,25 +288,38 @@ class SnapshotStore(val spark: SparkSession, val repoDir: String,
   // on every scan: measurably 2x on a 12-range diff, and a million footer
   // reads per scan at import scale.
   //
-  // The same invariant lets the store cache the snapshot schema once and
+  // The same invariant lets the store cache the schema per snapshot and
   // pass it to every later read: schema inference otherwise opens a range
   // file and reads its footer on EVERY scan/diff/merge call — pure
   // per-operation latency, and a remote round-trip per call on an object
-  // store. asNullable semantics: parquet inference returns nullable fields,
-  // so the cached schema is normalized the same way.
-  @volatile private var cachedSchema: Option[org.apache.spark.sql.types.StructType] = None
+  // store. The cache is keyed by the read set's LEADING range id — a range
+  // file's schema is immutable and every range in a manifest carries the
+  // snapshot's schema, so the key is exact even for a store that (against
+  // the documented single-repo convention) holds snapshots of differing
+  // schemas; a store-global cache would silently misread those. asNullable
+  // semantics: parquet inference returns nullable fields, so seeded
+  // schemas are normalized the same way.
+  private val schemaCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String, org.apache.spark.sql.types.StructType](64, 0.75f, false) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, org.apache.spark.sql.types.StructType]): Boolean =
+        size() > 256
+    })
   private def allNullable(s: org.apache.spark.sql.types.StructType) =
     org.apache.spark.sql.types.StructType(s.fields.map(_.copy(nullable = true)))
   private def readRanges(infos: Seq[RangeInfo]): DataFrame =
     if (infos.isEmpty) {
       import spark.implicits._
       Seq.empty[(String, String)].toDF("key", "identity")
-    } else cachedSchema match {
-      case Some(s) => spark.read.schema(s).parquet(infos.map(_.path): _*)
-      case None =>
+    } else {
+      val cached = schemaCache.get(infos.head.rangeId)
+      if (cached != null) spark.read.schema(cached).parquet(infos.map(_.path): _*)
+      else {
         val df = spark.read.parquet(infos.map(_.path): _*)
-        cachedSchema = Some(allNullable(df.schema))
+        val sch = allNullable(df.schema)
+        infos.foreach(ri => schemaCache.put(ri.rangeId, sch))
         df
+      }
     }
 
   // `maxBroadcastCuts`: cut sets up to this size take the broadcast fast

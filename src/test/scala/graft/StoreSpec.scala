@@ -39,6 +39,12 @@ class StoreSpec extends SparkSpec {
     val (m2, _) = store.writeSnapshot(
       (1 to 500).map(i => (f"w$i%06d", s"id$i", i.toLong)).toDF("key", "identity", "size"))
     assert(store.validateSnapshot(m2).fieldNames.toSeq === Seq("key", "identity", "size"))
+    // scans resolve each snapshot's OWN schema (the schema cache keys by
+    // leading range id, not store-globally — a global cache would read m2
+    // through m1's narrower schema and silently drop `size`)
+    assert(store.scan(m1).columns.toSeq === Seq("key", "identity"))
+    assert(store.scan(m2).columns.toSeq === Seq("key", "identity", "size"))
+    assert(store.scan(m2).where(col("size").isNull).count() === 0)
     // a manifest stitched from both snapshots breaks the invariant
     val mdir = java.nio.file.Paths.get(dir, "manifests")
     val mixed = new String(java.nio.file.Files.readAllBytes(mdir.resolve(m1))) +
