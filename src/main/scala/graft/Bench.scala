@@ -29,7 +29,14 @@ import graft.store.SnapshotStore
 object Bench {
 
   // SPARK_GRAFT_PASSES overrides for local iteration; the driver default is 5
-  val passes = sys.env.get("SPARK_GRAFT_PASSES").map(_.toInt).getOrElse(5)
+  val passes: Int = sys.env.get("SPARK_GRAFT_PASSES") match {
+    case None => 5
+    case Some(v) =>
+      val n = scala.util.Try(v.trim.toInt).getOrElse(
+        sys.error(s"SPARK_GRAFT_PASSES must be an integer, got '$v'"))
+      require(n > 0, s"SPARK_GRAFT_PASSES must be positive, got $n")
+      n
+  }
 
   // sub-step timings to stderr when SPARK_GRAFT_TRACE is set (no JSON change)
   private val trace = sys.env.contains("SPARK_GRAFT_TRACE")

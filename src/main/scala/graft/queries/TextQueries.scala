@@ -431,14 +431,20 @@ object TextQueries {
         .select(col("doc_id"),
           when(col("doc_id") % 11 === 0, concat(col("text"), lit(" [rev2]")))
             .otherwise(col("text")).as("text"))
-      def snap(df: DataFrame) = df.select(
+      def snap(df: DataFrame, tag: String) = df.select(
         lpad(col("doc_id").cast("string"), 10, "0").as("key"),
-        sha2(col("text"), 256).as("identity"),
-        size(tokens(col("text"))).cast("long").as("tok"))
-      val a = snap(relA); val b = snap(relB)
-      graft.operators.Diff.twoWay(a, b)
-        .join(a.select(col("key"), col("tok").as("tok_a")), Seq("key"), "left_outer")
-        .join(b.select(col("key"), col("tok").as("tok_b")), Seq("key"), "left_outer")
+        sha2(col("text"), 256).as(s"id_$tag"),
+        size(tokens(col("text"))).cast("long").as(s"tok_$tag"))
+      // one full-outer pass carrying both sides' token counts — the diff
+      // classification is Diff.twoWay's (identity null-ness / inequality),
+      // inlined so the corpus is scanned and hashed once per side instead
+      // of once for the diff plus once per token join
+      snap(relA, "a").join(snap(relB, "b"), Seq("key"), "full_outer")
+        .withColumn("diff_type",
+          when(col("id_a").isNull, graft.core.Model.DiffType.Added)
+            .when(col("id_b").isNull, graft.core.Model.DiffType.Removed)
+            .when(col("id_a") =!= col("id_b"), graft.core.Model.DiffType.Changed))
+        .where(col("diff_type").isNotNull)
         .groupBy("diff_type")
         .agg(count(lit(1)).as("n_docs"),
           sum(coalesce(col("tok_b"), lit(0L)) - coalesce(col("tok_a"), lit(0L)))
@@ -476,31 +482,46 @@ object TextQueries {
     // concat-then-chunk shape LLM pretraining uses to fill context
     // windows, assigning each document its starting window and how many
     // windows it spans. The global running offset comes from a TWO-LEVEL
-    // prefix sum (per-partition window keyed by partition id + driver-side
-    // cumulative offsets over <= numPartitions rows, broadcast back), the
-    // same pattern as the windowed chunker — NEVER a partition-less global
-    // window, which would move the corpus through one task. The result is
+    // prefix sum (per-bucket window over data-derived ordered doc_id
+    // buckets + driver-side cumulative offsets over <= numShufflePartitions
+    // rows, broadcast back) — NEVER a partition-less global window, which
+    // would move the corpus through one task. The result is
     // partitioning-invariant because prefix sums are associative over any
-    // contiguous split of the doc_id order.
+    // contiguous split of the doc_id order and the buckets are a pure
+    // function of the data.
     "td_pack" -> (((s: SparkSession, d: String) => {
       import org.apache.spark.sql.expressions.Window
       val w = 256
       val lens = Fixtures.documents(s, d)
         .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n"))
         .where(col("n") > 0)
-      val parted = lens.repartitionByRange(col("doc_id"))
-        .withColumn("__pid", spark_partition_id())
-      val win = Window.partitionBy("__pid").orderBy("doc_id")
+      // The ordered bucket id is derived FROM THE DATA (uniform doc_id
+      // intervals between the observed min/max), never from
+      // repartitionByRange + spark_partition_id: the range partitioner
+      // samples with a per-job seed, so an unpersisted plan evaluated by
+      // two jobs (the totals collect and the final query) could assign a
+      // boundary row to different pids — data-derived buckets are stable
+      // by construction across any number of evaluations.
+      val nb = math.max(1, s.sessionState.conf.numShufflePartitions)
+      val (mn, mx) = {
+        val r = lens.agg(min("doc_id"), max("doc_id")).head()
+        if (r.isNullAt(0)) (0L, 0L) else (r.getLong(0), r.getLong(1))
+      }
+      val span = math.max(1L, mx - mn + 1)
+      val bucket = least(lit(nb - 1),
+        ((col("doc_id") - mn) * nb / span).cast("int")).as("__b")
+      val parted = lens.select(col("doc_id"), col("n"), bucket)
+      val win = Window.partitionBy("__b").orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, -1)
-      val totals = parted.groupBy("__pid").agg(sum("n").as("t")).collect()
+      val totals = parted.groupBy("__b").agg(sum("n").as("t")).collect()
         .map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
       var run = 0L
-      val offs = totals.map { case (pid, t) => val o = (pid, run); run += t; o }.toSeq
+      val offs = totals.map { case (b, t) => val o = (b, run); run += t; o }.toSeq
       import s.implicits._
-      val offDf = offs.toDF("__pid", "__off")
+      val offDf = offs.toDF("__b", "__off")
       parted
         .withColumn("__pre", coalesce(sum("n").over(win), lit(0L)))
-        .join(broadcast(offDf), Seq("__pid"))
+        .join(broadcast(offDf), Seq("__b"))
         .withColumn("start_offset", col("__pre") + col("__off"))
         .select(col("doc_id"), col("n").as("n_tokens"), col("start_offset"),
           expr(s"start_offset DIV $w").as("window_id"),

@@ -62,8 +62,12 @@ class SnapshotStore(val spark: SparkSession, val repoDir: String,
     * [[readRanges]]). */
   def writeSnapshot(df: DataFrame): (String, Seq[RangeInfo]) = {
     val infos = chunkAndWrite(df)
+    // putIfAbsent: a content-address-REUSED range (ids hash key+identity,
+    // payload excluded) keeps its on-disk file, so its first writer's
+    // schema must win — overwriting here would make later cached reads of
+    // the earlier snapshot invent or drop payload columns
     val sch = allNullable(df.schema)
-    infos.foreach(ri => schemaCache.put(ri.rangeId, sch))
+    infos.foreach(ri => schemaCache.putIfAbsent(ri.rangeId, sch))
     val metaRangeId = metaRangeIdOf(infos)
     writeManifest(metaRangeId, infos)
     (metaRangeId, infos)
@@ -76,7 +80,8 @@ class SnapshotStore(val spark: SparkSession, val repoDir: String,
   def validateSnapshot(metaRangeId: String): org.apache.spark.sql.types.StructType = {
     val infos = readManifest(metaRangeId)
     require(infos.nonEmpty, s"empty manifest: $metaRangeId")
-    val schemas = infos.map(ri => ri.path -> spark.read.parquet(ri.path).schema)
+    val schemas = SnapshotStore.inParallel(infos)(ri =>
+      ri.path -> spark.read.parquet(ri.path).schema)
     val (p0, s0) = schemas.head
     schemas.foreach { case (p, s) =>
       require(s == s0,
@@ -176,7 +181,7 @@ class SnapshotStore(val spark: SparkSession, val repoDir: String,
         chunkAndWriteBroadcast(rewritten, cuts, eagerStage = true)
       else chunkAndWriteWindowed(rewritten, eagerStage = true)
     val newSch = allNullable(rewritten.schema)
-    newInfos.foreach(ri => schemaCache.put(ri.rangeId, newSch))
+    newInfos.foreach(ri => schemaCache.putIfAbsent(ri.rangeId, newSch))
     val all = (untouched ++ newInfos).sortBy(_.minKey)
     val metaRangeId = metaRangeIdOf(all)
     writeManifest(metaRangeId, all)
@@ -317,7 +322,7 @@ class SnapshotStore(val spark: SparkSession, val repoDir: String,
       else {
         val df = spark.read.parquet(infos.map(_.path): _*)
         val sch = allNullable(df.schema)
-        infos.foreach(ri => schemaCache.put(ri.rangeId, sch))
+        infos.foreach(ri => schemaCache.putIfAbsent(ri.rangeId, sch))
         df
       }
     }

@@ -86,12 +86,12 @@ class PlanShapeSpec extends SparkSpec {
   test("td_pack's prefix sum never globally windows: every Window is partitioned") {
     val df = SparkEntry.queries("td_pack")(spark, sfDir)
     val plan = df.queryExecution.executedPlan.toString
-    // the two-level prefix sum windows WITHIN partitions (keyed by __pid);
+    // the two-level prefix sum windows WITHIN data-derived buckets (__b);
     // a partition-less Window here would move the whole corpus through one
-    // task. Every Window node must carry the __pid partition spec.
+    // task. Every Window node must carry the __b partition spec.
     val windows = plan.split("\n").filter(_.contains("Window ["))
     assert(windows.nonEmpty, s"td_pack must window within partitions:\n${plan.take(2000)}")
-    windows.foreach(w => assert(w.contains("partitionBy") || w.contains("__pid"),
+    windows.foreach(w => assert(w.contains("partitionBy") || w.contains("__b"),
       s"td_pack contains a global (partition-less) Window:\n$w"))
   }
 
