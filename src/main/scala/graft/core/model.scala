@@ -101,7 +101,8 @@ object Model {
       repositoryId: String,
       storageNamespace: String,
       creationDate: Long,
-      defaultBranchId: String)
+      defaultBranchId: String,
+      readOnly: Boolean = false)
 
   /** T4: async import run status (`pkg/graveler/graveler.go` ImportStatus +
     * `pkg/catalog/import.go:25-140`). `error == Some("Canceled")` marks a

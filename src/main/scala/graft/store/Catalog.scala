@@ -28,8 +28,8 @@ class Catalog(val spark: SparkSession, val rootDir: String,
   private def writeKv(m: Map[String, String]): Unit = KvFile.write(reposFile, m)
 
   private def dec(id: String, v: String): RepoInfo = {
-    val f = v.split('|').padTo(3, "")
-    RepoInfo(id, f(0), f(2).toLong, f(1))
+    val f = v.split('|').padTo(4, "")
+    RepoInfo(id, f(0), f(2).toLong, f(1), readOnly = f(3) == "ro")
   }
 
   /** Create a repository: namespace defaults to `<root>/<id>`; the engine
@@ -37,7 +37,8 @@ class Catalog(val spark: SparkSession, val rootDir: String,
     * (`graveler.go:404-420`). Namespaces must not collide. */
   def createRepository(id: String, namespace: String = "",
       defaultBranch: String = "main",
-      initial: Option[DataFrame] = None): RepoInfo = this.synchronized {
+      initial: Option[DataFrame] = None,
+      readOnly: Boolean = false): RepoInfo = this.synchronized {
     require(id.matches("[a-z0-9][a-z0-9-]*"), s"invalid repository id: $id")
     val repos = readKv()
     require(!repos.contains(id), s"repository $id already exists")
@@ -55,10 +56,12 @@ class Catalog(val spark: SparkSession, val rootDir: String,
     }
     val now = System.currentTimeMillis() / 1000
     val eng = new Engine(spark, ns, raggedness)
-    eng.init(defaultBranch, initial)
+    eng.init(defaultBranch, initial) // seeding commit precedes the read-only latch
+    eng.readOnly = readOnly
     engines(id) = eng
-    writeKv(repos + (id -> s"$ns|$defaultBranch|$now"))
-    RepoInfo(id, ns, now, defaultBranch)
+    val ro = if (readOnly) "ro" else ""
+    writeKv(repos + (id -> s"$ns|$defaultBranch|$now|$ro"))
+    RepoInfo(id, ns, now, defaultBranch, readOnly)
   }
 
   def getRepository(id: String): RepoInfo =
@@ -76,10 +79,34 @@ class Catalog(val spark: SparkSession, val rootDir: String,
     (rest.take(limit), rest.lengthCompare(limit) > 0)
   }
 
-  /** The engine for a repository (cached). */
+  /** The engine for a repository (cached); carries the repo's read-only
+    * latch (`graveler.go:417-419` — every write through the engine throws
+    * ErrReadOnlyRepository parity while reads are untouched). */
   def repo(id: String): Engine = {
     val info = getRepository(id)
-    engines.getOrElseUpdate(id, new Engine(spark, info.storageNamespace, raggedness))
+    val eng = engines.getOrElseUpdate(id,
+      new Engine(spark, info.storageNamespace, raggedness))
+    eng.readOnly = info.readOnly
+    eng
+  }
+
+  /** GetRepositoryMetadata (`pkg/catalog/catalog.go:626-634`): free-form
+    * admin key-value metadata per repository, separate from repo identity. */
+  def getRepositoryMetadata(id: String): Map[String, String] = {
+    getRepository(id) // existence check
+    KvFile.read(dir.resolve(s"repo_meta_$id.tsv"))
+  }
+
+  /** UpdateRepositoryMetadata (`catalog.go:637-645`): merge `updates` into
+    * the repository metadata (last write wins per key); `remove` deletes
+    * keys (DeleteRepositoryMetadata parity). */
+  def updateRepositoryMetadata(id: String, updates: Map[String, String],
+      remove: Seq[String] = Seq.empty): Map[String, String] = this.synchronized {
+    getRepository(id)
+    val f = dir.resolve(s"repo_meta_$id.tsv")
+    val merged = (KvFile.read(f) ++ updates) -- remove
+    KvFile.write(f, merged)
+    merged
   }
 
   /** Delete a repository record; `wipe` also removes the namespace data
@@ -88,6 +115,7 @@ class Catalog(val spark: SparkSession, val rootDir: String,
   def deleteRepository(id: String, wipe: Boolean = false): Unit = this.synchronized {
     val info = getRepository(id)
     writeKv(readKv() - id)
+    Files.deleteIfExists(dir.resolve(s"repo_meta_$id.tsv"))
     engines.remove(id)
     if (wipe) {
       val fs = org.apache.hadoop.fs.FileSystem.get(

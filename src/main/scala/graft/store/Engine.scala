@@ -37,6 +37,16 @@ class Engine(val spark: SparkSession, val repoDir: String,
   // --- repo / branch lifecycle --------------------------------------------
 
   /** Create the repo with an initial empty-or-given snapshot on `branch`. */
+  /** Read-only flag (`graveler.go:417-419`): when set, every mutating
+    * entry point throws (ErrReadOnlyRepository parity) while reads work
+    * untouched. The reference's `options.Force` admin bypass maps to
+    * clearing the flag for the duration of the admin operation. Retention
+    * (gcRun) stays callable: it is storage administration, not repository
+    * content mutation. */
+  @volatile var readOnly: Boolean = false
+  private def requireWritable(op: String): Unit =
+    require(!readOnly, s"read-only repository: cannot $op")
+
   def init(branch: String = "main", initial: Option[DataFrame] = None): CommitInfo = {
     val (meta, _) = initial match {
       case Some(df) => snapshots.writeSnapshot(df)
@@ -48,6 +58,7 @@ class Engine(val spark: SparkSession, val repoDir: String,
   }
 
   def createBranch(name: String, fromRef: String): Unit = {
+    requireWritable("createBranch")
     hooks.fire(Hooks.HookEvent(Hooks.PreCreateBranch, repoDir, name, Some(fromRef), "", ""))
     refs.setBranch(name, resolveCommit(fromRef).commitId)
     hooks.fire(Hooks.HookEvent(Hooks.PostCreateBranch, repoDir, name, Some(fromRef), "", ""))
@@ -55,6 +66,7 @@ class Engine(val spark: SparkSession, val repoDir: String,
 
   /** Delete a branch (staging dropped with it), with pre/post hooks. */
   def deleteBranch(name: String): Unit = {
+    requireWritable("deleteBranch")
     require(refs.getBranch(name).isDefined, s"no branch $name")
     hooks.fire(Hooks.HookEvent(Hooks.PreDeleteBranch, repoDir, name, None, "", ""))
     reset(name)
@@ -65,6 +77,7 @@ class Engine(val spark: SparkSession, val repoDir: String,
   /** Create an immutable tag at a ref, with pre/post hooks
     * (`graveler.go:571-575`). */
   def createTag(name: String, fromRef: String): Unit = {
+    requireWritable("createTag")
     val target = resolveCommit(fromRef)
     hooks.fire(Hooks.HookEvent(Hooks.PreCreateTag, repoDir, "", Some(fromRef), "", "", Some(name)))
     require(refs.createTag(name, target.commitId), s"tag $name already exists")
@@ -73,6 +86,7 @@ class Engine(val spark: SparkSession, val repoDir: String,
 
   /** Delete a tag, with pre/post hooks. */
   def deleteTag(name: String): Unit = {
+    requireWritable("deleteTag")
     require(refs.tags.contains(name), s"no tag $name")
     hooks.fire(Hooks.HookEvent(Hooks.PreDeleteTag, repoDir, "", None, "", "", Some(name)))
     refs.deleteTag(name)
@@ -106,6 +120,7 @@ class Engine(val spark: SparkSession, val repoDir: String,
     * Appends an epoch partition — writers never block committers (the
     * seal-and-swap trick of `graveler.go:2289-2305`). */
   def stage(branch: String, changes: DataFrame): Long = {
+    requireWritable("stage")
     require(!refs.isProtected(branch), s"branch $branch is protected against staging writes")
     val e = currentEpoch(branch)
     changes.withColumn("__epoch", lit(e))
@@ -292,6 +307,7 @@ class Engine(val spark: SparkSession, val repoDir: String,
    * from the compacted base; the staging epochs are absorbed and dropped.
    */
   def compact(branch: String): String = {
+    requireWritable("compact")
     val headId = refs.getBranch(branch).getOrElse(sys.error(s"no branch $branch"))
     val head = refs.getCommit(headId).get
     // seal-and-swap like commit(): read exactly the epochs captured now and
@@ -307,6 +323,7 @@ class Engine(val spark: SparkSession, val repoDir: String,
 
   /** Commit staged changes (J5 + manifest reuse + branch CAS + T5 hooks). */
   def commit(branch: String, committer: String, message: String): CommitInfo = {
+    requireWritable("commit")
     require(!refs.isProtected(branch), s"branch $branch is protected against direct commits")
     // prepare-commit then pre-commit, both abortable (hooks_handler.go:16-17)
     hooks.fire(Hooks.HookEvent(Hooks.PrepareCommit, repoDir, branch, None, committer, message))
@@ -486,6 +503,7 @@ class Engine(val spark: SparkSession, val repoDir: String,
       message: String, strategy: MergeStrategy = StrategyNone,
       squash: Boolean = false,
       resolver: Option[org.apache.spark.sql.Column] = None): CommitInfo = {
+    requireWritable("merge")
     hooks.fire(Hooks.HookEvent(Hooks.PreMerge, repoDir, destBranch, Some(sourceRef), committer, message))
     // dirty-dest guard (:3149-3155): staged epochs AND an uncommitted
     // compacted base both count as dirty — merging over either would
@@ -528,6 +546,7 @@ class Engine(val spark: SparkSession, val repoDir: String,
     * replaces destination content under those prefixes (`Graveler.Import`). */
   def importUnder(branch: String, imported: DataFrame, prefixes: Seq[String],
       committer: String, message: String): CommitInfo = {
+    requireWritable("import")
     requireClean(branch, "import")
     val headId = refs.getBranch(branch).getOrElse(sys.error(s"no branch $branch"))
     val head = refs.getCommit(headId).get
@@ -563,6 +582,7 @@ class Engine(val spark: SparkSession, val repoDir: String,
    */
   def importAsync(branch: String, imported: DataFrame, prefixes: Seq[String],
       committer: String, message: String): String = {
+    requireWritable("import")
     val id = java.util.UUID.randomUUID().toString.replace("-", "").take(12)
     val now = System.currentTimeMillis() / 1000
     refs.setImportStatus(ImportStatus(id, completed = false, 0, None, None, None, now))
@@ -776,6 +796,7 @@ class Engine(val spark: SparkSession, val repoDir: String,
     * `parentNumber` (1-based) selects which parent's side to return to. */
   def revert(branch: String, commitRef: String, committer: String,
       parentNumber: Int = 0): CommitInfo = {
+    requireWritable("revert")
     requireClean(branch, "revert")
     hooks.fire(Hooks.HookEvent(Hooks.PreRevert, repoDir, branch, Some(commitRef), committer, ""))
     val target = resolveCommit(commitRef)
@@ -800,6 +821,7 @@ class Engine(val spark: SparkSession, val repoDir: String,
     * selects the parent the patch is taken relative to. */
   def cherryPick(branch: String, commitRef: String, committer: String,
       parentNumber: Int = 0): CommitInfo = {
+    requireWritable("cherry-pick")
     requireClean(branch, "cherry-pick")
     hooks.fire(Hooks.HookEvent(Hooks.PreCherryPick, repoDir, branch, Some(commitRef), committer, ""))
     val target = resolveCommit(commitRef)
@@ -1004,8 +1026,10 @@ class Engine(val spark: SparkSession, val repoDir: String,
   }
 
   /** Reset: drop ALL staged changes of a branch (`graveler.go:2637`). */
-  def reset(branch: String): Unit =
+  def reset(branch: String): Unit = {
+    requireWritable("reset")
     fs.delete(new org.apache.hadoop.fs.Path(stagingRoot(branch)), true)
+  }
 
   /** ResetKey (`graveler.go:2709`): un-stage one key. Implemented as a new
     * epoch masking nothing — staged epochs are immutable, so the un-stage is
@@ -1020,6 +1044,7 @@ class Engine(val spark: SparkSession, val repoDir: String,
     })
 
   private def resetWhere(branch: String, cond: org.apache.spark.sql.Column): Unit = {
+    requireWritable("reset")
     stagedChanges(branch).foreach { st =>
       // write the kept rows durably BEFORE deleting the staging dir — a
       // cache-only copy could be recomputed from the deleted files
@@ -1035,6 +1060,7 @@ class Engine(val spark: SparkSession, val repoDir: String,
   /** ResetHard (`graveler.go:2576`): move the branch head to a commit,
     * dropping staging and any compacted base. */
   def resetHard(branch: String, ref: String): Unit = {
+    requireWritable("reset")
     val target = resolveCommit(ref)
     reset(branch)
     refs.setBranch(branch, target.commitId)
@@ -1059,6 +1085,7 @@ class Engine(val spark: SparkSession, val repoDir: String,
   /** S11 load: re-create branches/tags from a dump (commits must share the
     * same snapshot store; commit rows are appended if unknown). */
   def loadRefs(inDir: String): Unit = {
+    requireWritable("load refs")
     val commits = spark.read.parquet(s"$inDir/commits").collect()
     val known = refs.commits.map(_.commitId).toSet
     commits.sortBy(_.getAs[Long]("creation_date")).foreach { r =>

@@ -67,6 +67,52 @@ class CatalogSpec extends SparkSpec {
     intercept[RuntimeException] { cat.getRepository("beta") }
   }
 
+  test("read-only repositories block every write surface; metadata round-trips") {
+    import spark.implicits._
+    import graft.store.Catalog
+    val cat = new Catalog(spark, tmpDir("catro"), raggedness = 100)
+    cat.createRepository("frozen", initial = Some(rows(20)), readOnly = true)
+    assert(cat.getRepository("frozen").readOnly)
+    val eng = cat.repo("frozen")
+    // reads work
+    assert(eng.list("main").count() === 20)
+    assert(eng.log("main").nonEmpty)
+    // every mutating entry point throws (ErrReadOnlyRepository parity)
+    def ro(f: => Any): Unit = {
+      val e = intercept[IllegalArgumentException](f)
+      assert(e.getMessage.contains("read-only"), e.getMessage)
+    }
+    ro(eng.stage("main", Seq(("k1", "X")).toDF("key", "identity")))
+    ro(eng.set("main", "k1", "X"))
+    ro(eng.commit("main", "t", "nope"))
+    ro(eng.createBranch("b", "main"))
+    ro(eng.deleteBranch("main"))
+    ro(eng.createTag("t1", eng.resolveCommit("main").commitId))
+    ro(eng.merge("main", "main", "t", "m"))
+    ro(eng.revert("main", eng.resolveCommit("main").commitId, "t"))
+    ro(eng.cherryPick("main", eng.resolveCommit("main").commitId, "t"))
+    ro(eng.reset("main"))
+    ro(eng.resetHard("main", "main"))
+    ro(eng.importUnder("main", rows(3), Seq("imp/"), "t", "i"))
+    ro(eng.importAsync("main", rows(3), Seq("imp/"), "t", "i"))
+    ro(eng.compact("main"))
+    // the reference's options.Force admin bypass = clearing the latch
+    eng.readOnly = false
+    eng.stage("main", Seq(("k1", "X")).toDF("key", "identity"))
+    eng.commit("main", "t", "forced")
+    // repo(id) re-latches from the control table
+    assert(cat.repo("frozen").readOnly)
+
+    // repository metadata: merge, overwrite, remove, delete cleanup
+    assert(cat.getRepositoryMetadata("frozen") === Map.empty)
+    cat.updateRepositoryMetadata("frozen", Map("team" -> "ml", "tier" -> "1"))
+    cat.updateRepositoryMetadata("frozen", Map("tier" -> "2"))
+    assert(cat.getRepositoryMetadata("frozen") === Map("team" -> "ml", "tier" -> "2"))
+    val after = cat.updateRepositoryMetadata("frozen", Map.empty, remove = Seq("team"))
+    assert(after === Map("tier" -> "2"))
+    intercept[RuntimeException](cat.getRepositoryMetadata("nope"))
+  }
+
   test("T4 import completes asynchronously with progress and commit") {
     import spark.implicits._
     val eng = new Engine(spark, tmpDir("impok"), raggedness = 100)
