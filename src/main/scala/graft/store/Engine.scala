@@ -322,7 +322,9 @@ class Engine(val spark: SparkSession, val repoDir: String,
   }
 
   /** Commit staged changes (J5 + manifest reuse + branch CAS + T5 hooks). */
-  def commit(branch: String, committer: String, message: String): CommitInfo = {
+  def commit(branch: String, committer: String, message: String,
+      metadata: Map[String, String] = Map.empty,
+      allowEmpty: Boolean = false): CommitInfo = {
     requireWritable("commit")
     require(!refs.isProtected(branch), s"branch $branch is protected against direct commits")
     // prepare-commit then pre-commit, both abortable (hooks_handler.go:16-17)
@@ -339,9 +341,12 @@ class Engine(val spark: SparkSession, val repoDir: String,
       case Some(c) => snapshots.commitChanges(base, c)._1
       case None if base != head.metaRangeId =>
         base // everything staged was already compacted: commit its metarange
+      case None if allowEmpty =>
+        base // WithAllowEmpty (`graveler.go:225-226,2355`): record head's
+             // metarange as a new commit with no content change
       case None => sys.error(s"nothing to commit on $branch")
     }
-    val c = refs.addCommit(committer, message, meta, Seq(headId))
+    val c = refs.addCommit(committer, message, meta, Seq(headId), metadata)
     if (!refs.casBranch(branch, Some(headId), c.commitId))
       sys.error(s"branch $branch moved concurrently")
     dropEpochsAsync(sealedEpochs) // T3: sealed epochs dropped off the serving path

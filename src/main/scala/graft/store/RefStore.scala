@@ -55,6 +55,18 @@ class RefStore(rootDir: String) {
       f(8).toInt)
   }
 
+  /** Git-style short-hash resolution (`graveler.go:1030-1032`
+    * GetCommitByPrefix): the UNIQUE commit whose id starts with `prefix`
+    * (>= 4 hex chars); None when absent or ambiguous — an ambiguous short
+    * hash must fail loudly, not silently pick the first match. */
+  def getCommitByPrefix(prefix: String): Option[CommitInfo] = {
+    if (!prefix.matches("[0-9a-f]{4,63}")) return None
+    commits.filter(_.commitId.startsWith(prefix)) match {
+      case Seq(one) => Some(one)
+      case _        => None
+    }
+  }
+
   /** Content-address and append a commit; returns its id
     * (`pkg/ident/ident.go:25-60` recipe, simplified marshalling). */
   def addCommit(
@@ -86,8 +98,7 @@ class RefStore(rootDir: String) {
 
   def getCommit(id: String): Option[CommitInfo] = {
     val (_, byId) = loaded
-    byId.get(id)
-      .orElse(commits.find(_.commitId.startsWith(id))) // hash-prefix lookup (G4)
+    byId.get(id).orElse(getCommitByPrefix(id)) // hash-prefix lookup (G4)
   }
 
   /** (commit seq, by-id index) cache keyed on the file's (mtime, size) so an

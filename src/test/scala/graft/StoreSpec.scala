@@ -331,6 +331,33 @@ class StoreSpec extends SparkSpec {
     assert(t2.map(_._1) === Seq("tag-d", "tag-e") && !tm2)
   }
 
+  test("commit metadata + allowEmpty; short-hash ref resolution") {
+    import spark.implicits._
+    val eng = new Engine(spark, tmpDir("cmeta"), raggedness = 100)
+    val c1 = eng.init("main", Some(rows(10)))
+
+    // commit metadata lands on the commit record and participates in identity
+    eng.stage("main", Seq(("k1", "X")).toDF("key", "identity"))
+    val c2 = eng.commit("main", "t", "tagged", metadata = Map("ci" -> "run-42"))
+    assert(eng.resolveCommit("main").metadata === Map("ci" -> "run-42"))
+
+    // empty commit: rejected by default (ErrNoChanges), allowed with the flag,
+    // and reuses head's metarange
+    val ex = intercept[RuntimeException] { eng.commit("main", "t", "empty") }
+    assert(ex.getMessage.contains("nothing to commit"))
+    val c3 = eng.commit("main", "t", "checkpoint", allowEmpty = true)
+    assert(c3.metaRangeId === c2.metaRangeId && c3.parents === Seq(c2.commitId))
+
+    // short-hash resolution: unique prefix resolves, ambiguous/absent do not
+    val full = c3.commitId
+    assert(eng.resolveCommit(full.take(8)).commitId === full)
+    // 3 chars is below the minimum
+    intercept[RuntimeException] { eng.resolveCommit(full.take(3)) }
+    // a branch whose name looks like a hex prefix shadows the commit
+    eng.createBranch(full.take(8), "main~2")
+    assert(eng.resolveCommit(full.take(8)).commitId === c1.commitId)
+  }
+
   test("updateEntry / updateEntryMetadata: read-modify-stage with identity change") {
     import spark.implicits._
     val dir = tmpDir("updent")
