@@ -230,6 +230,39 @@ class Engine(val spark: SparkSession, val repoDir: String,
   def getRange(ref: String, rangeId: String): Option[graft.core.Model.RangeInfo] =
     getMetaRange(resolveCommit(ref).metaRangeId).find(_.rangeId == rangeId)
 
+  /** WriteRange (`catalog.go:2711-2765`): produce content-addressed range
+    * files from `df` (same shape as [[stage]]: key, identity, payload...)
+    * without touching any branch or manifest — the distributed half of
+    * zero-copy import. Executors write the ranges; the driver seals them
+    * with [[writeMetaRange]] and records a commit with
+    * [[createCommitRecord]]. */
+  def writeRange(df: DataFrame): Seq[graft.core.Model.RangeInfo] = {
+    requireWritable("writeRange")
+    snapshots.writeRanges(df)
+  }
+
+  /** WriteMetaRange (`catalog.go:2767-2774`): seal ranges from
+    * [[writeRange]] into a manifest; validates key-disjointness (O1) and
+    * returns the content-addressed metarange id. */
+  def writeMetaRange(ranges: Seq[graft.core.Model.RangeInfo]): String = {
+    requireWritable("writeMetaRange")
+    snapshots.writeMetaRange(ranges)
+  }
+
+  /** CreateCommitRecord (`catalog.go:1411-1433`): record a commit that
+    * references an EXISTING metarange without moving any branch — a
+    * dangling commit a later branch create / reset / merge can adopt.
+    * Every parent must resolve; the metarange's manifest must exist. */
+  def createCommitRecord(committer: String, message: String,
+      metaRangeId: String, parents: Seq[String] = Seq.empty,
+      metadata: Map[String, String] = Map.empty): CommitInfo = {
+    requireWritable("createCommitRecord")
+    require(snapshots.manifestExists(metaRangeId), s"no metarange $metaRangeId")
+    parents.foreach(p =>
+      require(refs.getCommit(p).isDefined, s"unknown parent commit: $p"))
+    refs.addCommit(committer, message, metaRangeId, parents, metadata)
+  }
+
   /** DeleteBatch (≤1000 keys per call in the reference,
     * `DeleteKeysMaxSize` graveler.go:56): stages tombstones for the keys. */
   def deleteBatch(branch: String, keys: Seq[String]): Unit = {
@@ -466,9 +499,37 @@ class Engine(val spark: SparkSession, val repoDir: String,
     }
   }
 
-  /** Open a pull request from `source` into `dest`. */
-  def createPullRequest(source: String, dest: String, title: String): RefStore#PullRequest =
-    refs.createPullRequest(source, dest, title)
+  /** Open a pull request from `source` into `dest`
+    * (`catalog.go:3362-3422`). */
+  def createPullRequest(source: String, dest: String, title: String,
+      description: String = ""): RefStore#PullRequest =
+    refs.createPullRequest(source, dest, title, description)
+
+  /** GetPullRequest (`catalog.go:3340-3360`). */
+  def getPullRequest(id: String): RefStore#PullRequest =
+    refs.getPullRequest(id).getOrElse(sys.error(s"no pull request $id"))
+
+  /** UpdatePullRequest (`catalog.go:3491-3520`): patch title / description /
+    * status; merged and closed are terminal. */
+  def updatePullRequest(id: String, title: Option[String] = None,
+      description: Option[String] = None, status: Option[String] = None)
+      : RefStore#PullRequest =
+    refs.updatePullRequest(id, title, description, status)
+      .getOrElse(sys.error(s"no pull request $id"))
+
+  /** ListPullRequest (`catalog.go:3424-3489`): id-ordered page +
+    * has_more, optionally open-only. */
+  def listPullRequests(after: Option[String] = None, limit: Int = 1000,
+      openOnly: Boolean = false): (Seq[RefStore#PullRequest], Boolean) =
+    refs.pullRequestsPage(after, limit, openOnly)
+
+  /** DeleteExpiredImports (`catalog.go:3177-3190`): janitor for finished
+    * import records older than `ttlSeconds`; running imports survive. */
+  def deleteExpiredImports(ttlSeconds: Long,
+      nowEpochSec: Long = System.currentTimeMillis() / 1000): Seq[String] = {
+    requireWritable("deleteExpiredImports")
+    refs.deleteExpiredImports(nowEpochSec - ttlSeconds)
+  }
 
   /** Merge an open pull request (merge commit on the dest branch; PR marked
     * merged). Branch protection permits merges, only direct commits are

@@ -243,6 +243,20 @@ class RefStore(rootDir: String) {
         if (f(4).isEmpty) None else Some(unesc(f(4))), f(5).toLong)
     }
 
+  def importStatuses: Seq[ImportStatus] =
+    readKv(importsFile).keys.toSeq.sorted.flatMap(getImportStatus)
+
+  /** DeleteExpiredImports (`catalog.go:3177-3190`): drop FINISHED import
+    * records (completed or errored) older than the cutoff; in-flight
+    * imports are never dropped regardless of age. Returns ids removed. */
+  def deleteExpiredImports(cutoffEpochSec: Long): Seq[String] = this.synchronized {
+    val expired = importStatuses.filter(s =>
+      (s.completed || s.error.isDefined) && s.updatedAt < cutoffEpochSec)
+    if (expired.nonEmpty)
+      writeKv(importsFile, readKv(importsFile) -- expired.map(_.id))
+    expired.map(_.id)
+  }
+
   // --- GC retention rules (garbage_collection_manager.go:59-87) -----------
 
   private def gcRulesFile = dir.resolve("gc_rules.tsv")
@@ -270,28 +284,68 @@ class RefStore(rootDir: String) {
   private def prsFile = dir.resolve("prs.tsv")
 
   case class PullRequest(id: String, source: String, dest: String,
-      title: String, status: String)
+      title: String, status: String, description: String = "")
 
-  def createPullRequest(source: String, dest: String, title: String): PullRequest =
+  private def encPr(pr: PullRequest): String = {
+    // description is free text: URL-encode so '|'/tabs/newlines survive the
+    // kv line format (title shares the discipline for the same reason)
+    def e(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+    s"${pr.source}|${pr.dest}|${e(pr.title)}|${pr.status}|${e(pr.description)}"
+  }
+  private def decPr(id: String, v: String): PullRequest = {
+    def d(s: String) = java.net.URLDecoder.decode(s, "UTF-8")
+    val f = v.split('|').padTo(5, "")
+    PullRequest(id, f(0), f(1), d(f(2)), f(3), d(f(4)))
+  }
+
+  def createPullRequest(source: String, dest: String, title: String,
+      description: String = ""): PullRequest =
     this.synchronized {
       val id = Identity.sha256Hex(s"pr|$source|$dest|$title|${readKv(prsFile).size}").take(12)
-      val pr = PullRequest(id, source, dest, title, "open")
-      writeKv(prsFile, readKv(prsFile) + (id -> s"$source|$dest|$title|open"))
+      val pr = PullRequest(id, source, dest, title, "open", description)
+      writeKv(prsFile, readKv(prsFile) + (id -> encPr(pr)))
       pr
     }
 
   def pullRequests: Seq[PullRequest] =
-    readKv(prsFile).toSeq.sortBy(_._1).map { case (id, v) =>
-      val f = v.split('|').padTo(4, "")
-      PullRequest(id, f(0), f(1), f(2), f(3))
-    }
+    readKv(prsFile).toSeq.sortBy(_._1).map { case (id, v) => decPr(id, v) }
 
-  def setPullRequestStatus(id: String, status: String): Unit = this.synchronized {
-    readKv(prsFile).get(id).foreach { v =>
-      val f = v.split('|').padTo(4, "")
-      writeKv(prsFile, readKv(prsFile) + (id -> s"${f(0)}|${f(1)}|${f(2)}|$status"))
+  def getPullRequest(id: String): Option[PullRequest] =
+    readKv(prsFile).get(id).map(v => decPr(id, v))
+
+  /** UpdatePullRequest (`catalog.go:3491-3520`): patch title / description /
+    * status. Terminal statuses are sticky — a merged or closed PR cannot
+    * reopen (`pullRequestToGraveler` status mapping, catalog.go:3340-3360).
+    * Returns the updated record; None when the id is unknown. */
+  def updatePullRequest(id: String, title: Option[String] = None,
+      description: Option[String] = None, status: Option[String] = None)
+      : Option[PullRequest] = this.synchronized {
+    getPullRequest(id).map { pr =>
+      status.foreach { s =>
+        require(Set("open", "closed", "merged")(s), s"invalid PR status: $s")
+        require(pr.status == "open" || s == pr.status,
+          s"pull request $id is ${pr.status}; terminal statuses cannot change")
+      }
+      val upd = pr.copy(title = title.getOrElse(pr.title),
+        description = description.getOrElse(pr.description),
+        status = status.getOrElse(pr.status))
+      writeKv(prsFile, readKv(prsFile) + (id -> encPr(upd)))
+      upd
     }
   }
+
+  /** ListPullRequest (`catalog.go:3424-3489`): id-ordered page with
+    * has_more, optionally restricted to open PRs. */
+  def pullRequestsPage(after: Option[String] = None, limit: Int = 1000,
+      openOnly: Boolean = false): (Seq[PullRequest], Boolean) = {
+    val all = pullRequests
+      .filter(pr => !openOnly || pr.status == "open")
+      .filter(pr => after.forall(pr.id > _))
+    (all.take(limit), all.size > limit)
+  }
+
+  def setPullRequestStatus(id: String, status: String): Unit =
+    updatePullRequest(id, status = Some(status))
 
   def tags: Map[String, String] = readKv(tagsFile)
 

@@ -73,6 +73,44 @@ class SnapshotStore(val spark: SparkSession, val repoDir: String,
     (metaRangeId, infos)
   }
 
+  /** WriteRange (`pkg/catalog/catalog.go:2711-2765`): chunk `df` into
+    * content-addressed range files WITHOUT touching any manifest or branch —
+    * the distributed half of zero-copy import, where writers (the
+    * reference's Spark client writes ranges straight from executors)
+    * produce ranges that [[writeMetaRange]] later seals. Range reuse by
+    * content address dedups against existing files exactly as in
+    * [[writeSnapshot]]. */
+  def writeRanges(df: DataFrame): Seq[RangeInfo] = {
+    val infos = chunkAndWrite(df)
+    val sch = allNullable(df.schema)
+    infos.foreach(ri => schemaCache.putIfAbsent(ri.rangeId, sch))
+    infos
+  }
+
+  /** WriteMetaRange (`catalog.go:2767-2774`): seal externally produced
+    * ranges into a manifest. Validates the global key-order invariant (O1):
+    * ranges sorted by minKey must be pairwise disjoint. Returns the
+    * content-addressed metarange id (idempotent — same ranges, same id,
+    * and the manifest write skips when present). */
+  def writeMetaRange(infos: Seq[RangeInfo]): String = {
+    require(infos.nonEmpty, "writeMetaRange: empty range list")
+    val sorted = infos.sortBy(_.minKey)
+    sorted.sliding(2).foreach {
+      case scala.collection.Seq(a, b) =>
+        require(a.maxKey < b.minKey, "writeMetaRange: overlapping ranges " +
+          s"[${a.minKey},${a.maxKey}] and [${b.minKey},${b.maxKey}]")
+      case _ => ()
+    }
+    val id = metaRangeIdOf(sorted)
+    writeManifest(id, sorted)
+    id
+  }
+
+  /** True iff `metaRangeId`'s manifest exists (cache or disk). */
+  def manifestExists(metaRangeId: String): Boolean =
+    manifestCache.get(metaRangeId) != null ||
+      fs.exists(new Path(manifestDir(metaRangeId)))
+
   /** Debug/fsck path for the single-schema invariant: asserts every range
     * file in `metaRangeId`'s manifest carries the identical Parquet schema
     * (driver-side footer reads — metadata-scale, one per range). Returns

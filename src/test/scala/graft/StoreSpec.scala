@@ -358,6 +358,66 @@ class StoreSpec extends SparkSpec {
     assert(eng.resolveCommit(full.take(8)).commitId === c1.commitId)
   }
 
+  test("writeRange/writeMetaRange/createCommitRecord: zero-copy distributed ingest") {
+    import spark.implicits._
+    val eng = new Engine(spark, tmpDir("wrange"), raggedness = 100)
+    eng.init("main", Some(rows(300)))
+
+    // two disjoint slices written independently (as two executors would),
+    // sealed into one metarange
+    val lo = (1 to 200).map(i => (f"a$i%06d", s"v$i")).toDF("key", "identity")
+    val hi = (1 to 200).map(i => (f"b$i%06d", s"v$i")).toDF("key", "identity")
+    val ranges = eng.writeRange(lo) ++ eng.writeRange(hi)
+    val meta = eng.writeMetaRange(ranges)
+    // idempotent: same ranges, same content-addressed id
+    assert(eng.writeMetaRange(scala.util.Random.shuffle(ranges)) === meta)
+    // overlap rejected (O1)
+    val ex = intercept[IllegalArgumentException] { eng.writeMetaRange(ranges ++ eng.writeRange(lo)) }
+    assert(ex.getMessage.contains("overlapping"))
+
+    // a dangling commit adopts the metarange; a branch can be born on it
+    val head = eng.resolveCommit("main")
+    val c = eng.createCommitRecord("ingest", "bulk load", meta,
+      parents = Seq(head.commitId), metadata = Map("src" -> "ext"))
+    assert(eng.resolveCommit(c.commitId).metaRangeId === meta)
+    intercept[IllegalArgumentException] {
+      eng.createCommitRecord("x", "bad", "nope", Seq.empty)
+    }
+    eng.createBranch("ingested", c.commitId)
+    assert(eng.list("ingested").count() === 400)
+    assert(eng.get("ingested", "b000007").map(_.getString(1)) === Some("v7"))
+  }
+
+  test("pull requests: get/update/paging; import-record expiry") {
+    import spark.implicits._
+    val eng = new Engine(spark, tmpDir("prs"), raggedness = 100)
+    eng.init("main", Some(rows(10)))
+    eng.createBranch("feat", "main")
+    eng.stage("feat", Seq(("k1", "X")).toDF("key", "identity"))
+    eng.commit("feat", "t", "change")
+
+    val pr = eng.createPullRequest("feat", "main", "t|itle", "desc\nwith|pipes")
+    assert(eng.getPullRequest(pr.id).description === "desc\nwith|pipes")
+    val upd = eng.updatePullRequest(pr.id, description = Some("v2"))
+    assert(upd.description === "v2" && upd.title === "t|itle")
+    val (page, more) = eng.listPullRequests(openOnly = true)
+    assert(page.map(_.id) === Seq(pr.id) && !more)
+    eng.mergePullRequest(pr.id, "t")
+    // terminal status is sticky; open-only listing is now empty
+    intercept[IllegalArgumentException] {
+      eng.updatePullRequest(pr.id, status = Some("open"))
+    }
+    assert(eng.listPullRequests(openOnly = true)._1.isEmpty)
+
+    // finished imports expire past the TTL, running ones never do
+    val imp = eng.importAsync("main", rows(20, "i"), Seq("k"), "t", "imp")
+    assert(eng.awaitImport(imp).completed)
+    val now = System.currentTimeMillis() / 1000
+    assert(eng.deleteExpiredImports(3600, now).isEmpty) // too young
+    assert(eng.deleteExpiredImports(0, now + 10) === Seq(imp))
+    intercept[RuntimeException] { eng.importStatus(imp) }
+  }
+
   test("updateEntry / updateEntryMetadata: read-modify-stage with identity change") {
     import spark.implicits._
     val dir = tmpDir("updent")
