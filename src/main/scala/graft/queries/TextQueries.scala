@@ -611,6 +611,86 @@ object TextQueries {
               bit_count(xor(a2,b2)) + bit_count(xor(a3,b3)) <= 3
         ORDER BY doc_a, doc_b""")),
 
+    // Inverted phrase index (word-bigram terms): per-term document
+    // frequency, collection frequency, and — for NON-stop terms only — the
+    // sorted posting list. The df cut (<= 20) runs BEFORE any list state
+    // builds: a stop-term's posting list is O(corpus) long at 100 TB, so
+    // the semi join prunes those terms and collect_list only ever holds
+    // df-bounded lists. Everything shuffles on the term key and map-side
+    // combines.
+    "td_postings" -> (((s: SparkSession, d: String) => {
+      val tf = Fixtures.documents(s, d)
+        .select(col("doc_id"), explode(shingles(col("text"), 2)).as("term"))
+        .groupBy("term", "doc_id").agg(count(lit(1)).cast("long").as("tf"))
+      val stats = tf.groupBy("term").agg(
+        count(lit(1)).cast("long").as("df"),
+        sum("tf").cast("long").as("cf"))
+      val postings = tf
+        .join(stats.where(col("df") <= 20).select("term"), Seq("term"), "left_semi")
+        .groupBy("term")
+        .agg(concat_ws(",",
+          transform(sort_array(collect_list(col("doc_id"))),
+            x => x.cast("string"))).as("postings"))
+      stats.join(postings, Seq("term"), "left")
+        .select("term", "df", "cf", "postings")
+        .orderBy("term")
+    }),
+      Some(s"""$docsSql,
+        g AS (
+          SELECT doc_id, unnest(list_transform(
+            generate_series(1, greatest(len(toks)-1, 0)),
+            i -> toks[i] || ' ' || toks[i+1])) AS term
+          FROM docs),
+        tf AS (SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+               FROM g GROUP BY 1, 2),
+        stats AS (SELECT term, CAST(count(*) AS BIGINT) AS df,
+                         CAST(sum(tf) AS BIGINT) AS cf
+                  FROM tf GROUP BY 1),
+        p AS (SELECT term,
+                     string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+              FROM tf WHERE term IN (SELECT term FROM stats WHERE df <= 20)
+              GROUP BY 1)
+        SELECT s.term, s.df, s.cf, p.postings
+        FROM stats s LEFT JOIN p USING (term) ORDER BY term""")),
+
+    // Ranked retrieval for a fixed phrase query: integer-exact tf-idf
+    // surrogate (idf = (N-df)*1e6 div N — division-free of floats, so both
+    // engines agree bit-exactly), summed per doc, top-10 by score. The term
+    // filter lands before the first aggregation (only query terms survive
+    // the scan), df/N join sides are broadcast scalars, and the final top-k
+    // is orderBy+limit = TakeOrderedAndProject.
+    "td_tfidf_topk" -> (((s: SparkSession, d: String) => {
+      val qterms = Seq("table scan", "merge batch", "sort window")
+      val docs = Fixtures.documents(s, d)
+      val nDf = docs.agg(count(lit(1)).cast("long").as("n_docs"))
+      val tf = docs
+        .select(col("doc_id"), explode(shingles(col("text"), 2)).as("term"))
+        .where(col("term").isin(qterms: _*))
+        .groupBy("doc_id", "term").agg(count(lit(1)).cast("long").as("tf"))
+      val dft = tf.groupBy("term").agg(count(lit(1)).cast("long").as("df"))
+      tf.join(broadcast(dft), Seq("term"))
+        .crossJoin(broadcast(nDf))
+        .withColumn("w", expr("tf * (((n_docs - df) * 1000000) div n_docs)"))
+        .groupBy("doc_id").agg(sum("w").cast("long").as("score"))
+        .orderBy(col("score").desc, col("doc_id").asc).limit(10)
+        .select("doc_id", "score")
+    }),
+      Some(s"""$docsSql,
+        g AS (
+          SELECT doc_id, unnest(list_transform(
+            generate_series(1, greatest(len(toks)-1, 0)),
+            i -> toks[i] || ' ' || toks[i+1])) AS term
+          FROM docs),
+        tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+               FROM g WHERE term IN ('table scan', 'merge batch', 'sort window')
+               GROUP BY 1, 2),
+        dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents)
+        SELECT doc_id,
+               CAST(sum(tf * (((n_docs - df) * 1000000) // n_docs)) AS BIGINT) AS score
+        FROM tf JOIN dft USING (term) CROSS JOIN n
+        GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10""")),
+
     // Corpus n-gram frequency table: top-20 3-gram shingles by document
     // frequency (ties broken by shingle) - the "most common phrases" report
     // every corpus audit starts with. Shuffle keys are shingles: partial

@@ -209,6 +209,54 @@ object VectorQueries {
         WHERE ${cosSql("a.qv", "b.qv")} >= 0.99
         ORDER BY id_a, id_b""")),
 
+    // SemDeDup (semantic dedup, Abbas et al. 2023): assign every vector to
+    // its nearest centroid (broadcast k-means assignment, min_by — no
+    // window sort), then search near-duplicate pairs ONLY within a cluster.
+    // The pair space shrinks from O(n²) to Σ cluster² — at 100 TB the
+    // centroid count grows with n, per-cluster work stays bounded, and the
+    // pair join is an equi-join on the cluster id.
+    "emb_semdedup" -> (((s: SparkSession, d: String) => {
+      val raw = Fixtures.embeddings(s, d)
+        .select(col("vec_id"), quantize(col("embedding")).as("q"))
+      val emb = withPlanted(raw)
+      val cent = raw.where(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("cid"), col("q").as("cv"))
+      val assigned = emb.crossJoin(broadcast(cent))
+        .withColumn("dist",
+          aggregate(zip_with(col("q"), col("cv"), (x, y) => (x - y) * (x - y)),
+            lit(0L), (acc, v) => acc + v))
+        .groupBy("vec_id")
+        .agg(min_by(struct(col("cid"), col("q")),
+          struct(col("dist"), col("cid"))).as("a"))
+        .select(col("vec_id"), col("a.cid").as("cid"), col("a.q").as("q"))
+      val a = assigned.select(col("cid"), col("vec_id").as("id_a"), col("q").as("qa"))
+      val b = assigned.select(col("cid"), col("vec_id").as("id_b"), col("q").as("qb"))
+      a.join(b, Seq("cid")).where(col("id_a") < col("id_b"))
+        .withColumn("sim", cosine(col("qa"), col("qb")))
+        .where(col("sim") >= 0.99)
+        .select("cid", "id_a", "id_b", "sim")
+        .orderBy("cid", "id_a", "id_b")
+    }),
+      Some(s"""
+        WITH q AS (SELECT vec_id, $qvecSql AS qv FROM embeddings),
+        $plantedSql,
+        cent AS (SELECT vec_id AS cid, qv AS cv FROM q WHERE vec_id % 50 = 0),
+        dist AS (
+          SELECT qp.vec_id, cid, qv,
+                 CAST(list_sum(list_transform(generate_series(1, len(qv)),
+                   i -> (qv[i]-cv[i])*(qv[i]-cv[i]))) AS BIGINT) AS dist
+          FROM qp CROSS JOIN cent),
+        assigned AS (
+          SELECT vec_id, cid, qv FROM (
+            SELECT vec_id, cid, qv,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+            FROM dist) WHERE rn = 1)
+        SELECT a.cid AS cid, a.vec_id AS id_a, b.vec_id AS id_b,
+               ${cosSql("a.qv", "b.qv")} AS sim
+        FROM assigned a JOIN assigned b ON a.cid = b.cid AND a.vec_id < b.vec_id
+        WHERE ${cosSql("a.qv", "b.qv")} >= 0.99
+        ORDER BY cid, id_a, id_b""")),
+
     // LSH-bucketed ANN end-to-end over the planted table: candidates from
     // shared 4-bit bands in any of 4 tables (equi-join on band keys only),
     // refined with exact quantized cosine >= 0.9 — the complete scale path.

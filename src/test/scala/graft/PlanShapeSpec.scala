@@ -23,7 +23,9 @@ class PlanShapeSpec extends SparkSpec {
     // contamination = df-capped shingle equi-join, never all-pairs
     "td_contamination",
     // phash near-dup = 16-bit chunk equi-join (pigeonhole), never all-pairs
-    "mm_phash_pairs")
+    "mm_phash_pairs",
+    // inverted index: term-key aggregations + semi join, no pair join at all
+    "td_postings")
 
   test("LSH scale paths contain no all-pairs join") {
     scalePaths.foreach { name =>
@@ -93,6 +95,28 @@ class PlanShapeSpec extends SparkSpec {
     assert(windows.nonEmpty, s"td_pack must window within partitions:\n${plan.take(2000)}")
     windows.foreach(w => assert(w.contains("partitionBy") || w.contains("__b"),
       s"td_pack contains a global (partition-less) Window:\n$w"))
+  }
+
+  test("emb_semdedup: pair join is cluster-keyed; only the centroid assignment broadcasts") {
+    val df = SparkEntry.queries("emb_semdedup")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    // the near-dup pair join must be a shuffled equi-join keyed on the
+    // cluster id — the only nested loops allowed are the tiny-centroid
+    // broadcast in the assignment subtree (duplicated once per join side).
+    assert(plan.contains("SortMergeJoin [cid") || plan.contains("ShuffledHashJoin [cid"),
+      s"semdedup pair join must shuffle on the cluster id, got:\n${plan.take(2000)}")
+    assert(!plan.contains("CartesianProduct"), "semdedup plans a CartesianProduct")
+    val bnlj = plan.split("\n").count(_.contains("BroadcastNestedLoopJoin"))
+    assert(bnlj <= 2, // one centroid broadcast per pair-join side
+      s"semdedup has a nested loop beyond the centroid assignment:\n${plan.take(2000)}")
+  }
+
+  test("td_tfidf_topk plans a bounded top-k with broadcast df/N sides") {
+    val df = SparkEntry.queries("td_tfidf_topk")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"retrieval top-k must plan as TakeOrderedAndProject, got:\n${plan.take(2000)}")
+    assert(!plan.contains("CartesianProduct"), "tfidf plans a CartesianProduct")
   }
 
   test("vc_kmv_distinct plans a partial aggregation, not a per-group sort window") {
