@@ -611,6 +611,41 @@ object TextQueries {
               bit_count(xor(a2,b2)) + bit_count(xor(a3,b3)) <= 3
         ORDER BY doc_a, doc_b""")),
 
+    // Corpus-level duplicate 4-gram fraction (the Gopher/MassiveText
+    // repetition filter, corpus flavor): per doc, the fraction of 4-gram
+    // OCCURRENCES whose shingle appears more than once across the whole
+    // corpus. Two shingle-keyed aggregations plus one shingle equi-join —
+    // shuffles by content, map-side combines, no pair joins.
+    "td_dupngram_frac" -> (((s: SparkSession, d: String) => {
+      val perDoc = Fixtures.documents(s, d)
+        .select(col("doc_id"), explode(shingles(col("text"), 4)).as("g"))
+        .groupBy("doc_id", "g").agg(count(lit(1)).cast("long").as("n"))
+      val corpus = perDoc.groupBy("g").agg(sum("n").cast("long").as("tot"))
+      perDoc.join(corpus, Seq("g"))
+        .groupBy("doc_id")
+        .agg(sum("n").cast("long").as("n_4g"),
+          sum(when(col("tot") > 1, col("n")).otherwise(lit(0L)))
+            .cast("long").as("n_dup_4g"))
+        .withColumn("dup_frac",
+          col("n_dup_4g").cast("double") / col("n_4g").cast("double"))
+        .orderBy("doc_id")
+    }),
+      Some(s"""$docsSql,
+        g4 AS (
+          SELECT doc_id, unnest(list_transform(
+            generate_series(1, greatest(len(toks)-3, 0)),
+            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS g
+          FROM docs),
+        pd AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS n
+               FROM g4 GROUP BY 1, 2),
+        corp AS (SELECT g, CAST(sum(n) AS BIGINT) AS tot FROM pd GROUP BY 1)
+        SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_4g,
+               CAST(sum(CASE WHEN tot > 1 THEN n ELSE 0 END) AS BIGINT) AS n_dup_4g,
+               CAST(sum(CASE WHEN tot > 1 THEN n ELSE 0 END) AS DOUBLE) /
+                 CAST(sum(n) AS DOUBLE) AS dup_frac
+        FROM pd JOIN corp USING (g)
+        GROUP BY doc_id ORDER BY doc_id""")),
+
     // Inverted phrase index (word-bigram terms): per-term document
     // frequency, collection frequency, and — for NON-stop terms only — the
     // sorted posting list. The df cut (<= 20) runs BEFORE any list state

@@ -230,6 +230,62 @@ class Engine(val spark: SparkSession, val repoDir: String,
   def getRange(ref: String, rangeId: String): Option[graft.core.Model.RangeInfo] =
     getMetaRange(resolveCommit(ref).metaRangeId).find(_.rangeId == rangeId)
 
+  // --- direct-upload address linking (catalog.go:3234-3292) ---------------
+
+  /** Per-repo signing secret for upload-address tokens, created lazily and
+    * persisted so tokens survive engine restarts (the reference signs
+    * addresses with the installation secret). */
+  private lazy val addrSecret: String = {
+    val p = new org.apache.hadoop.fs.Path(s"$repoDir/refs/addr_secret")
+    if (!fs.exists(p)) {
+      val out = fs.create(p, false)
+      try out.write(java.util.UUID.randomUUID().toString.getBytes("UTF-8"))
+      finally out.close()
+    }
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+  }
+
+  private def addrSig(branch: String, key: String, address: String, ts: Long) =
+    graft.core.Identity.sha256Hex(s"addr|$addrSecret|$branch|$key|$address|$ts")
+
+  /** GetAddressWithSignature (`catalog.go:3285-3292`): allocate a fresh
+    * physical address under the repo namespace for a DIRECT client upload,
+    * plus a stateless signed token (`ts.sig`) that [[linkPhysicalAddress]]
+    * later verifies — nothing is staged yet. */
+  def getPhysicalAddress(branch: String, key: String,
+      nowEpochSec: Long = System.currentTimeMillis() / 1000): (String, String) = {
+    requireWritable("getPhysicalAddress")
+    require(refs.getBranch(branch).isDefined, s"no branch $branch")
+    val address = s"$repoDir/ext/${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    (address, s"$nowEpochSec.${addrSig(branch, key, address, nowEpochSec)}")
+  }
+
+  /** VerifyLinkAddress + LinkPhysicalAddress (`catalog.go:3234-3283`):
+    * stage an entry whose payload points at an externally uploaded object.
+    * The token must be the unexpired signature [[getPhysicalAddress]]
+    * issued for this (branch, key, address) — a forged, replayed-elsewhere,
+    * or expired token is rejected before anything is staged.
+    *
+    * The staged payload is (address, size_bytes); per the single-schema
+    * invariant these survive commit when the repo's snapshot schema carries
+    * those columns ([[commitChanges]] aligns changes to the base schema). */
+  def linkPhysicalAddress(branch: String, key: String, address: String,
+      token: String, checksum: String, sizeBytes: Long,
+      ttlSeconds: Long = 6 * 3600,
+      nowEpochSec: Long = System.currentTimeMillis() / 1000): Unit = {
+    requireWritable("linkPhysicalAddress")
+    val (tsStr, sig) = token.span(_ != '.')
+    val ts = scala.util.Try(tsStr.toLong).getOrElse(
+      sys.error("malformed upload token"))
+    require(sig.drop(1) == addrSig(branch, key, address, ts),
+      s"invalid upload token for $key")
+    require(nowEpochSec - ts <= ttlSeconds, s"expired upload token for $key")
+    import spark.implicits._
+    stage(branch, Seq((key, checksum, address, sizeBytes))
+      .toDF("key", "identity", "address", "size_bytes"))
+  }
+
   /** WriteRange (`catalog.go:2711-2765`): produce content-addressed range
     * files from `df` (same shape as [[stage]]: key, identity, payload...)
     * without touching any branch or manifest — the distributed half of

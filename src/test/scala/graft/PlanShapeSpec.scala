@@ -25,7 +25,9 @@ class PlanShapeSpec extends SparkSpec {
     // phash near-dup = 16-bit chunk equi-join (pigeonhole), never all-pairs
     "mm_phash_pairs",
     // inverted index: term-key aggregations + semi join, no pair join at all
-    "td_postings")
+    "td_postings",
+    // dup-ngram fraction: shingle-keyed aggs + one shingle equi-join
+    "td_dupngram_frac")
 
   test("LSH scale paths contain no all-pairs join") {
     scalePaths.foreach { name =>

@@ -418,6 +418,44 @@ class StoreSpec extends SparkSpec {
     intercept[RuntimeException] { eng.importStatus(imp) }
   }
 
+  test("physical-address linking: signed token round-trip, forgery/expiry rejected") {
+    import spark.implicits._
+    val eng = new Engine(spark, tmpDir("linkaddr"), raggedness = 100)
+    // repo schema carries the direct-upload payload columns so links
+    // survive commit (single-schema invariant)
+    eng.init("main", Some(
+      (1 to 50).map(i => (f"k$i%04d", s"id$i", s"addr$i", i.toLong))
+        .toDF("key", "identity", "address", "size_bytes")))
+
+    val now = 1700000000L
+    val (addr, token) = eng.getPhysicalAddress("main", "k9999", now)
+    assert(addr.contains("/ext/"))
+    // token bound to (branch, key, address): any substitution fails
+    intercept[IllegalArgumentException] {
+      eng.linkPhysicalAddress("main", "other", addr, token, "c", 1, nowEpochSec = now)
+    }
+    intercept[IllegalArgumentException] {
+      eng.linkPhysicalAddress("main", "k9999", addr + "x", token, "c", 1, nowEpochSec = now)
+    }
+    // expiry honored
+    intercept[IllegalArgumentException] {
+      eng.linkPhysicalAddress("main", "k9999", addr, token, "c", 1,
+        ttlSeconds = 10, nowEpochSec = now + 11)
+    }
+    // valid link stages, then commits with the external address as payload
+    eng.linkPhysicalAddress("main", "k9999", addr, token, "sha-abc", 4096,
+      nowEpochSec = now + 5)
+    eng.commit("main", "t", "link external object")
+    val got = eng.get("main", "k9999").get
+    assert(got.getAs[String]("address") === addr &&
+      got.getAs[Long]("size_bytes") === 4096L &&
+      got.getAs[String]("identity") === "sha-abc")
+    // tokens survive an engine restart (secret is persisted)
+    val eng2 = new Engine(spark, eng.repoDir, raggedness = 100)
+    val (addr2, token2) = eng2.getPhysicalAddress("main", "knew", now)
+    eng2.linkPhysicalAddress("main", "knew", addr2, token2, "c2", 1, nowEpochSec = now)
+  }
+
   test("updateEntry / updateEntryMetadata: read-modify-stage with identity change") {
     import spark.implicits._
     val dir = tmpDir("updent")
