@@ -220,6 +220,13 @@ class Engine(val spark: SparkSession, val repoDir: String,
     stage(destBranch, out)
   }
 
+  /** Repository integrity audit at a ref (the `lakectl doctor` shape):
+    * distributed fsck of the ref's snapshot — every manifest range checked
+    * for existence, row count, and key bounds. See
+    * [[SnapshotStore.fsck]]. */
+  def fsck(ref: String): DataFrame =
+    snapshots.fsck(resolveCommit(ref).metaRangeId)
+
   /** GetMetaRange (`catalog.go:2481-2487`): a metarange's manifest — every
     * range id, key interval, stats, and address. */
   def getMetaRange(metaRangeId: String): Seq[graft.core.Model.RangeInfo] =

@@ -106,6 +106,48 @@ class SnapshotStore(val spark: SparkSession, val repoDir: String,
     id
   }
 
+  /** Distributed integrity audit of one snapshot (the doctor/fsck shape —
+    * the reference ships `lakectl doctor` / repository integrity checks):
+    * verifies each manifest range's file exists, its row count matches the
+    * manifest stats, and every key lies inside the declared
+    * [minKey, maxKey]. Existence probes are pooled driver metadata calls
+    * (one per range); the count/bounds verification is ONE distributed scan
+    * grouped by range id — nothing data-sized reaches the driver, so the
+    * audit holds at millions of ranges.
+    *
+    * Returns (range_id, path, status, exp_count, act_count) with status in
+    * {ok, missing, empty, count_mismatch, key_out_of_bounds}. */
+  def fsck(metaRangeId: String): DataFrame = {
+    import spark.implicits._
+    val infos = readManifest(metaRangeId)
+    val probes = SnapshotStore.inParallel(infos)(ri =>
+      ri -> fs.exists(new Path(ri.path)))
+    val missing = probes.collect { case (ri, false) =>
+      (ri.rangeId, ri.path, "missing", ri.count, 0L) }
+    val present = probes.collect { case (ri, true) => ri }
+    val missingDf = missing
+      .toDF("range_id", "path", "status", "exp_count", "act_count")
+    if (present.isEmpty) return missingDf
+    val exp = present.map(ri => (ri.rangeId, ri.path, ri.count, ri.minKey, ri.maxKey))
+      .toDF("range_id", "path", "exp_count", "min_key", "max_key")
+    val act = readRanges(present)
+      .withColumn("range_id",
+        regexp_extract(input_file_name(), "/ranges/([^/]+)/", 1))
+      .groupBy("range_id")
+      .agg(count(lit(1)).as("act_count"),
+        min("key").as("act_min"), max("key").as("act_max"))
+    val checked = exp.join(act, Seq("range_id"), "left")
+      .withColumn("status",
+        when(col("act_count").isNull, lit("empty"))
+          .when(col("act_count") =!= col("exp_count"), lit("count_mismatch"))
+          .when(col("act_min") < col("min_key") || col("act_max") > col("max_key"),
+            lit("key_out_of_bounds"))
+          .otherwise(lit("ok")))
+      .select(col("range_id"), col("path"), col("status"),
+        col("exp_count"), coalesce(col("act_count"), lit(0L)).as("act_count"))
+    missingDf.unionByName(checked)
+  }
+
   /** True iff `metaRangeId`'s manifest exists (cache or disk). */
   def manifestExists(metaRangeId: String): Boolean =
     manifestCache.get(metaRangeId) != null ||

@@ -418,6 +418,33 @@ class StoreSpec extends SparkSpec {
     intercept[RuntimeException] { eng.importStatus(imp) }
   }
 
+  test("fsck: clean snapshot all ok; missing / corrupted ranges diagnosed") {
+    val eng = new Engine(spark, tmpDir("fsck2"), raggedness = 100)
+    eng.init("main", Some(rows(1000)))
+    val all = eng.fsck("main").collect()
+    assert(all.nonEmpty && all.forall(_.getAs[String]("status") == "ok"))
+
+    val manifest = eng.getMetaRange(eng.resolveCommit("main").metaRangeId)
+    // delete one range dir -> missing
+    val victim = manifest.head
+    val vPath = new org.apache.hadoop.fs.Path(victim.path)
+    val hfs = vPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    hfs.delete(vPath, true)
+    // copy a foreign part file into another range dir -> count mismatch
+    val donor = manifest(1); val target = manifest(2)
+    val part = hfs.listStatus(new org.apache.hadoop.fs.Path(donor.path))
+      .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+    org.apache.hadoop.fs.FileUtil.copy(hfs, part, hfs,
+      new org.apache.hadoop.fs.Path(target.path, "zz-" + part.getName),
+      false, spark.sparkContext.hadoopConfiguration)
+
+    val report = eng.fsck("main").collect()
+      .map(r => r.getAs[String]("range_id") -> r.getAs[String]("status")).toMap
+    assert(report(victim.rangeId) === "missing")
+    assert(report(donor.rangeId) === "ok")
+    assert(report(target.rangeId) === "count_mismatch")
+  }
+
   test("physical-address linking: signed token round-trip, forgery/expiry rejected") {
     import spark.implicits._
     val eng = new Engine(spark, tmpDir("linkaddr"), raggedness = 100)
