@@ -247,6 +247,21 @@ object TextQueries {
         SELECT doc_id, ${langIdExpr("text", "duckdb")} AS lang_pred
         FROM documents ORDER BY doc_id""")),
 
+    // Language-ID quality evaluation: confusion matrix of the declared
+    // `lang` label vs the stopword-profile prediction — the eval report
+    // that turns the langid heuristic into a measurable component. Pure
+    // two-key aggregation; map-side combines at any scale.
+    "td_langid_confusion" -> (((s: SparkSession, d: String) =>
+      Fixtures.documents(s, d)
+        .selectExpr("lang", s"${langIdExpr("text", "spark")} AS lang_pred")
+        .groupBy("lang", "lang_pred")
+        .agg(count(lit(1)).cast("long").as("n_docs"))
+        .orderBy("lang", "lang_pred")),
+      Some(s"""
+        SELECT lang, ${langIdExpr("text", "duckdb")} AS lang_pred,
+               CAST(count(*) AS BIGINT) AS n_docs
+        FROM documents GROUP BY 1, 2 ORDER BY 1, 2""")),
+
     // Document fingerprint: sha256 of whitespace-normalized lowercase text;
     // exact-dedup canonicalization by fingerprint (hash groupBy).
     "td_fingerprint" -> (((s: SparkSession, d: String) => {
