@@ -341,6 +341,51 @@ object TextQueries {
                CAST(n_eq AS DOUBLE) / 16 AS est_sim
         FROM est ORDER BY doc_a, doc_b""")),
 
+    // Index-quality evaluation for the text near-dup path: recall of the
+    // banded MinHash-LSH candidate set against the exact shingle-Jaccard
+    // ground truth at the same 0.2 threshold. The truth side inherits
+    // td_ngram_jaccard's baseline status (sampled-slice shape in
+    // production); the measurement bounds what 4-bands-of-4 misses.
+    "td_minhash_recall" -> (((s: SparkSession, d: String) => {
+      val docs = Fixtures.documents(s, d)
+        .select(col("doc_id"), array_distinct(shingles(col("text"), 3)).as("sh"))
+      val sizes = docs.select(col("doc_id"), size(col("sh")).as("n_sh"))
+      val ex = docs.select(col("doc_id"), explode(col("sh")).as("s"))
+      val truth = ex.as("a").join(ex.as("b"),
+          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("n_common"))
+        .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+        .where(col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")) >= 0.2)
+        .select("doc_a", "doc_b")
+      val cands = minhashEst(Fixtures.documents(s, d)).select("doc_a", "doc_b")
+      val nTrue = truth.agg(count(lit(1)).cast("long").as("n_true"))
+      val nFound = truth.join(cands, Seq("doc_a", "doc_b"), "left_semi")
+        .agg(count(lit(1)).cast("long").as("n_found"))
+      nTrue.crossJoin(nFound)
+        .withColumn("recall",
+          col("n_found").cast("double") / col("n_true").cast("double"))
+    }),
+      Some(s"""$docsSql $shinglesSql $minhashCtesSql,
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        truth AS (
+          SELECT doc_a, doc_b FROM (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+            FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2) p
+          JOIN sizes sa ON sa.doc_id = doc_a
+          JOIN sizes sb ON sb.doc_id = doc_b
+          WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.2),
+        m AS (SELECT CAST(count(*) AS BIGINT) AS n_true FROM truth),
+        f AS (SELECT CAST(count(*) AS BIGINT) AS n_found FROM
+                (SELECT doc_a, doc_b FROM truth
+                 INTERSECT SELECT doc_a, doc_b FROM cands))
+        SELECT n_true, n_found,
+               CAST(n_found AS DOUBLE) / CAST(n_true AS DOUBLE) AS recall
+        FROM m CROSS JOIN f""")),
+
     // Duplicate GROUPS: connected components over the MinHash-LSH candidate
     // graph (edges = candidate pairs with est_sim >= 0.5, over the planted
     // duplicates so components are non-vacuous). The Spark side is
