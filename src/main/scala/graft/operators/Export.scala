@@ -1,0 +1,40 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.core.Model.DiffType
+
+/**
+ * Export-action planning: the Spark-native rebuild of the reference Spark
+ * client's Exporter (`clients/spark/src/main/scala/io/treeverse/clients/
+ * Exporter.scala`).
+ *
+ * A full export copies every entry of a commit (`exportAllFromCommit`,
+ * Exporter.scala:37-54). An incremental export compares the new commit with
+ * the previously exported one via a full-outer join where the content tags
+ * differ (`exportFrom`, Exporter.scala:99-137) and classifies each key as
+ * 'copy' (new or changed) or 'delete' (gone). Here the comparison rides the
+ * engine's own range-pruned [[Diff]], so unchanged RANGES are skipped before
+ * any row is read — at 100 TB the incremental export touches only the
+ * differing slices, never the whole mirror.
+ */
+object Export {
+
+  /** Actions (action, key, identity) to bring a mirror of `prev` up to
+    * `cur`: 'copy' for added/changed keys, 'delete' for removed keys; no
+    * previous snapshot means everything copies. */
+  def actions(prev: Option[DataFrame], cur: DataFrame): DataFrame = prev match {
+    case None =>
+      cur.select(lit("copy").as("action"), col("key"), col("identity"))
+    case Some(p) => actionsFromDiff(Diff.twoWay(p, cur))
+  }
+
+  /** Same classification over an already-computed two-way diff — lets the
+    * engine feed the RANGE-PRUNED store diff so an incremental export never
+    * reads unchanged ranges. */
+  def actionsFromDiff(diff: DataFrame): DataFrame =
+    diff.select(
+      when(col("diff_type") === DiffType.Removed, lit("delete"))
+        .otherwise(lit("copy")).as("action"),
+      col("key"), col("identity"))
+}

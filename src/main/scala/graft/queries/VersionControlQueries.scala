@@ -163,6 +163,19 @@ object VersionControlQueries {
       Diff.twoWay(Fixtures.keyedBase(s, d), Fixtures.keyedRight(s, d)).orderBy("key")),
       Some(s"$prelude ${diffSql("base", "rightv")} ORDER BY key")),
 
+    // Export-action plan (the Spark client Exporter's incremental
+    // classification, Exporter.scala:99-137): copy for added/changed keys,
+    // delete for removed — the same full-outer identity comparison as the
+    // diff, so the engine path inherits its range pruning.
+    "vc_export_actions" -> (((s: SparkSession, d: String) =>
+      graft.operators.Export.actions(
+        Some(Fixtures.keyedBase(s, d)), Fixtures.keyedRight(s, d))
+        .orderBy("key")),
+      Some(s"""$prelude, dd AS (${diffSql("base", "rightv")})
+        SELECT CASE WHEN diff_type = 'removed' THEN 'delete' ELSE 'copy' END AS action,
+               key, identity
+        FROM dd ORDER BY key""")),
+
     // A1: diff summary.
     "vc_diff_summary" -> (((s: SparkSession, d: String) =>
       Diff.summary(Diff.twoWay(Fixtures.keyedBase(s, d), Fixtures.keyedRight(s, d)))

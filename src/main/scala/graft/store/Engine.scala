@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.core.Model._
-import graft.operators.{Dag, Diff, Import, Listing, Merge, Retention, Staging}
+import graft.operators.{Dag, Diff, Export, Import, Listing, Merge, Retention, Staging}
 
 /**
  * Engine facade: the user-visible version-control surface (SURVEY.md §2.11,
@@ -1193,6 +1193,56 @@ class Engine(val spark: SparkSession, val repoDir: String,
     val target = resolveCommit(ref)
     reset(branch)
     refs.setBranch(branch, target.commitId)
+  }
+
+  /** Export-action plan for `ref` (reference Spark client Exporter,
+    * `clients/spark/.../Exporter.scala:37-137`): every key 'copy' on a full
+    * export; vs `prevRef` the classification rides the RANGE-PRUNED store
+    * diff, so an incremental export reads only differing ranges. */
+  def exportActions(ref: String, prevRef: Option[String] = None): DataFrame =
+    prevRef match {
+      case None =>
+        Export.actions(None, snapshots.scan(resolveCommit(ref).metaRangeId))
+      case Some(pr) => Export.actionsFromDiff(
+        snapshots.diff(resolveCommit(pr).metaRangeId, resolveCommit(ref).metaRangeId))
+    }
+
+  /** Run an export of `ref` into `dest`: copy rows (full payload) land
+    * under `dest/<commitId>/data`, deleted keys (incremental only) under
+    * `dest/<commitId>/deleted`, and `status.json` records lineage + counts
+    * (the ExportStatus marker, `clients/spark/.../Exporter.scala:139-170`,
+    * `ExportStatus.scala`). A mirror reconstructs by folding the delta
+    * chain through `prev_commit_id`. Returns (copied, deleted). */
+  def exportRun(ref: String, dest: String,
+      prevRef: Option[String] = None): (Long, Long) = {
+    val cur = resolveCommit(ref)
+    val actions = exportActions(ref, prevRef)
+    val dir = s"$dest/${cur.commitId}"
+    val copies = snapshots.scan(cur.metaRangeId)
+      .join(actions.where(col("action") === "copy").select("key"),
+        Seq("key"), "left_semi")
+    copies.write.mode("overwrite").parquet(s"$dir/data")
+    val nCopied = spark.read.parquet(s"$dir/data").count()
+    val nDeleted = prevRef match {
+      case None => 0L
+      case Some(_) =>
+        actions.where(col("action") === "delete").select("key")
+          .write.mode("overwrite").parquet(s"$dir/deleted")
+        spark.read.parquet(s"$dir/deleted").count()
+    }
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    val st = m.createObjectNode()
+    st.put("commit_id", cur.commitId)
+    st.put("prev_commit_id",
+      prevRef.map(r => resolveCommit(r).commitId).getOrElse(""))
+    st.put("copied", nCopied)
+    st.put("deleted", nDeleted)
+    st.put("success", true)
+    st.put("completed_at", System.currentTimeMillis() / 1000)
+    val p = new org.apache.hadoop.fs.Path(s"$dir/status.json")
+    val out = fs.create(p, true)
+    try out.write(m.writeValueAsBytes(st)) finally out.close()
+    (nCopied, nDeleted)
   }
 
   /** S11 dump: export the control tables (commits/branches/tags) as parquet

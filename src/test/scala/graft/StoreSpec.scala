@@ -418,6 +418,48 @@ class StoreSpec extends SparkSpec {
     intercept[RuntimeException] { eng.importStatus(imp) }
   }
 
+  test("export: full then incremental; mirror reconstructs from the delta chain") {
+    import spark.implicits._
+    val eng = new Engine(spark, tmpDir("export"), raggedness = 100)
+    val c1 = eng.init("main", Some(rows(500)))
+    val dest = tmpDir("exportdst")
+
+    val (cop1, del1) = eng.exportRun("main", dest)
+    assert(cop1 === 500 && del1 === 0)
+
+    // change 3, delete 2, add 2 — then commit and export incrementally
+    eng.stage("main", Seq(
+      ("k000010", "CHANGED10"), ("k000020", "CHANGED20"), ("k000030", "CHANGED30"),
+      ("k000040", null), ("k000050", null),
+      ("zz0001", "NEW1"), ("zz0002", "NEW2")).toDF("key", "identity"))
+    val c2 = eng.commit("main", "t", "perturb")
+    val (cop2, del2) = eng.exportRun("main", dest, prevRef = Some(c1.commitId))
+    assert(cop2 === 5 && del2 === 2)
+
+    // incremental action plan is range-pruned: only differing keys appear
+    val acts = eng.exportActions("main", Some(c1.commitId))
+      .collect().map(r => r.getString(1) -> r.getString(0)).toMap
+    assert(acts.size === 7 && acts("k000040") === "delete" && acts("zz0001") === "copy")
+
+    // reconstruct the mirror: full export + delta (delta wins), minus deletes
+    val full = spark.read.parquet(s"$dest/${c1.commitId}/data")
+    val delta = spark.read.parquet(s"$dest/${c2.commitId}/data")
+    val deleted = spark.read.parquet(s"$dest/${c2.commitId}/deleted")
+    val mirror = full.join(delta.select("key"), Seq("key"), "left_anti")
+      .unionByName(delta)
+      .join(deleted, Seq("key"), "left_anti")
+    val want = eng.list("main").select("key", "identity")
+    assert(mirror.select("key", "identity").except(want).count() === 0)
+    assert(want.except(mirror.select("key", "identity")).count() === 0)
+
+    // status marker records lineage + counts
+    val st = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(new java.io.File(s"$dest/${c2.commitId}/status.json"))
+    assert(st.get("prev_commit_id").asText() === c1.commitId)
+    assert(st.get("copied").asLong() === 5 && st.get("deleted").asLong() === 2)
+    assert(st.get("success").asBoolean())
+  }
+
   test("fsck: clean snapshot all ok; missing / corrupted ranges diagnosed") {
     val eng = new Engine(spark, tmpDir("fsck2"), raggedness = 100)
     eng.init("main", Some(rows(1000)))
