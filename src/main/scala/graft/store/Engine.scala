@@ -426,28 +426,58 @@ class Engine(val spark: SparkSession, val repoDir: String,
     // prepare-commit then pre-commit, both abortable (hooks_handler.go:16-17)
     hooks.fire(Hooks.HookEvent(Hooks.PrepareCommit, repoDir, branch, None, committer, message))
     hooks.fire(Hooks.HookEvent(Hooks.PreCommit, repoDir, branch, None, committer, message))
-    val headId = refs.getBranch(branch).getOrElse(sys.error(s"no branch $branch"))
-    val head = refs.getCommit(headId).get
-    val base = effectiveBase(branch, head)
-    // capture the epoch set NOW: exactly these dirs feed the commit and
-    // exactly these are dropped after - a writer staging a new epoch
-    // mid-commit loses nothing (the seal-and-swap contract)
-    val sealedEpochs = liveEpochDirs(branch)
-    val meta = stagedChangesFrom(sealedEpochs) match {
-      case Some(c) => snapshots.commitChanges(base, c)._1
-      case None if base != head.metaRangeId =>
-        base // everything staged was already compacted: commit its metarange
-      case None if allowEmpty =>
-        base // WithAllowEmpty (`graveler.go:225-226,2355`): record head's
-             // metarange as a new commit with no content change
-      case None => sys.error(s"nothing to commit on $branch")
+    // lost-CAS retry (`retryBranchUpdate` + BranchUpdateMaxTries,
+    // graveler.go:54,2422-2446): each try re-resolves the head and
+    // recomputes against it; a failed try's commit record stays dangling,
+    // exactly as the reference's written-then-unreferenced commits do
+    val c = retryingCas(branch, "commit") { (headId, head) =>
+      val base = effectiveBase(branch, head)
+      // capture the epoch set NOW: exactly these dirs feed the commit and
+      // exactly these are dropped after - a writer staging a new epoch
+      // mid-commit loses nothing (the seal-and-swap contract)
+      val sealedEpochs = liveEpochDirs(branch)
+      val meta = stagedChangesFrom(sealedEpochs) match {
+        case Some(ch) => snapshots.commitChanges(base, ch)._1
+        case None if base != head.metaRangeId =>
+          base // everything staged was already compacted: commit its metarange
+        case None if allowEmpty =>
+          base // WithAllowEmpty (`graveler.go:225-226,2355`): record head's
+               // metarange as a new commit with no content change
+        case None => sys.error(s"nothing to commit on $branch")
+      }
+      (refs.addCommit(committer, message, meta, Seq(headId), metadata),
+        () => dropEpochsAsync(sealedEpochs)) // T3: sealed epochs off the serving path
     }
-    val c = refs.addCommit(committer, message, meta, Seq(headId), metadata)
-    if (!refs.casBranch(branch, Some(headId), c.commitId))
-      sys.error(s"branch $branch moved concurrently")
-    dropEpochsAsync(sealedEpochs) // T3: sealed epochs dropped off the serving path
     hooks.fire(Hooks.HookEvent(Hooks.PostCommit, repoDir, branch, None, committer, message))
     c
+  }
+
+  /** The reference's branch-update retry budget
+    * (`BranchUpdateMaxTries = 10`, graveler.go:54). */
+  val branchUpdateMaxTries = 10
+
+  /** Test/crash-injection seam: runs between computing a branch update and
+    * its CAS — lets specs interleave a concurrent head move. */
+  private[graft] var beforeCas: () => Unit = () => ()
+
+  /** Optimistic branch update (`retryBranchUpdate`, graveler.go:2422-2446):
+    * run `attempt` against the current head; if the CAS loses, re-resolve
+    * and recompute, up to [[branchUpdateMaxTries]] tries. `attempt` returns
+    * the commit to install plus an on-success action. */
+  private def retryingCas(branch: String, op: String)(
+      attempt: (String, CommitInfo) => (CommitInfo, () => Unit)): CommitInfo = {
+    var tries = 0
+    while (true) {
+      tries += 1
+      val headId = refs.getBranch(branch).getOrElse(sys.error(s"no branch $branch"))
+      val head = refs.getCommit(headId).get
+      val (c, onSuccess) = attempt(headId, head)
+      beforeCas()
+      if (refs.casBranch(branch, Some(headId), c.commitId)) { onSuccess(); return c }
+      if (tries >= branchUpdateMaxTries)
+        sys.error(s"$op: branch $branch moved concurrently ($tries tries)")
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** List a ref's snapshot, with optional uncommitted overlay when the ref
@@ -642,22 +672,23 @@ class Engine(val spark: SparkSession, val repoDir: String,
     require(refs.getBranchRecord(destBranch).forall(_.compactedBase.isEmpty),
       s"$destBranch has uncommitted compacted changes")
     val src = resolveCommit(sourceRef)
-    val destId = refs.getBranch(destBranch).getOrElse(sys.error(s"no branch $destBranch"))
-    val dest = refs.getCommit(destId).get
-    val base = mergeBase(src.commitId, dest.commitId)
-    // range-pruned delta merge: O(changed ranges), untouched dest files
-    // carried by reference (merge.go:224-302 complexity envelope)
-    val (meta, conflicts) = snapshots.merge3(
-      base.metaRangeId, src.metaRangeId, dest.metaRangeId, strategy, resolver)
-    if (meta.isEmpty)
-      sys.error(s"merge conflict between $sourceRef and $destBranch")
-    val parents = if (squash) Seq(destId) else Seq(destId, src.commitId)
-    val meta0 = Map("strategy" -> strategy.toString) ++
-      (if (squash) Map("squash" -> "true") else Map.empty)
-    val c = refs.addCommit(committer, message, meta, parents, meta0,
-      generation = Some(math.max(dest.generation, src.generation) + 1))
-    if (!refs.casBranch(destBranch, Some(destId), c.commitId))
-      sys.error(s"branch $destBranch moved concurrently")
+    // lost-CAS retry (graveler.go:2422-2446, used by Merge at :3149ff):
+    // each try re-resolves dest and re-merges against it
+    val c = retryingCas(destBranch, "merge") { (destId, dest) =>
+      val base = mergeBase(src.commitId, dest.commitId)
+      // range-pruned delta merge: O(changed ranges), untouched dest files
+      // carried by reference (merge.go:224-302 complexity envelope)
+      val (meta, conflicts) = snapshots.merge3(
+        base.metaRangeId, src.metaRangeId, dest.metaRangeId, strategy, resolver)
+      if (meta.isEmpty)
+        sys.error(s"merge conflict between $sourceRef and $destBranch")
+      val parents = if (squash) Seq(destId) else Seq(destId, src.commitId)
+      val meta0 = Map("strategy" -> strategy.toString) ++
+        (if (squash) Map("squash" -> "true") else Map.empty)
+      (refs.addCommit(committer, message, meta, parents, meta0,
+        generation = Some(math.max(dest.generation, src.generation) + 1)),
+        () => ())
+    }
     hooks.fire(Hooks.HookEvent(Hooks.PostMerge, repoDir, destBranch, Some(sourceRef), committer, message))
     c
   }

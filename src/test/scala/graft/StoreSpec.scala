@@ -418,6 +418,39 @@ class StoreSpec extends SparkSpec {
     intercept[RuntimeException] { eng.importStatus(imp) }
   }
 
+  test("commit retries a lost branch CAS against the moved head") {
+    import spark.implicits._
+    val eng = new Engine(spark, tmpDir("casretry"), raggedness = 100)
+    val c1 = eng.init("main", Some(rows(100)))
+
+    // a concurrent writer's commit, installed between our compute and CAS
+    val cX = eng.createCommitRecord("rival", "concurrent", c1.metaRangeId,
+      parents = Seq(c1.commitId))
+    eng.stage("main", Seq(("k000001", "MINE")).toDF("key", "identity"))
+    var fired = false
+    eng.beforeCas = () => if (!fired) { fired = true; eng.refs.setBranch("main", cX.commitId) }
+    val c = eng.commit("main", "t", "retried")
+    eng.beforeCas = () => ()
+    // the retry recomputed against the moved head: cX is the parent
+    assert(fired && c.parents === Seq(cX.commitId))
+    assert(eng.resolveCommit("main").commitId === c.commitId)
+    assert(eng.get("main", "k000001").map(_.getString(1)) === Some("MINE"))
+
+    // a head that NEVER stops moving exhausts the retry budget
+    eng.stage("main", Seq(("k000002", "X2")).toDF("key", "identity"))
+    var n = 0
+    eng.beforeCas = () => {
+      n += 1
+      val d = eng.createCommitRecord("rival", s"concurrent $n", c1.metaRangeId,
+        parents = Seq(c1.commitId))
+      eng.refs.setBranch("main", d.commitId)
+    }
+    val ex = intercept[RuntimeException] { eng.commit("main", "t", "starved") }
+    eng.beforeCas = () => ()
+    assert(ex.getMessage.contains("moved concurrently") &&
+      n === eng.branchUpdateMaxTries)
+  }
+
   test("export: full then incremental; mirror reconstructs from the delta chain") {
     import spark.implicits._
     val eng = new Engine(spark, tmpDir("export"), raggedness = 100)
