@@ -122,6 +122,82 @@ object EventQueries {
                CAST(sum(value_c) AS BIGINT) AS sum_value_c
         FROM ev GROUP BY 1, 2 ORDER BY hour_start, event_type""")),
 
+    // Volume-anomaly detection over the event stream: hours whose event
+    // count deviates more than 2 sigma from the global hourly mean. The
+    // z-score test is kept ENTIRELY in integers — z² > 4 rewritten as
+    // (n·x − Σx)² > 4·(n·Σx² − (Σx)²) — so both engines agree bit-exactly
+    // with no float mean/stddev. One agg + a broadcast scalar join; at
+    // petabyte scale the sums outgrow int64 — promote to DECIMAL(38) or a
+    // two-level (hi/lo) split, same algebra.
+    "ev_anomaly" -> (((s: SparkSession, d: String) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val hours = Fixtures.events(s, d)
+        .select(expr("ts div 1000000000").as("tsec"))
+        .withColumn("hour_start", col("tsec") - (col("tsec") % 3600))
+        .groupBy("hour_start").agg(count(lit(1)).cast("long").as("n_events"))
+      val stats = hours.agg(
+        count(lit(1)).cast("long").as("n_h"),
+        sum("n_events").cast("long").as("s1"),
+        sum(col("n_events") * col("n_events")).cast("long").as("s2"))
+      val dev = col("n_h") * col("n_events") - col("s1")
+      hours.crossJoin(broadcast(stats))
+        .withColumn("anomaly",
+          (dev * dev > lit(4L) * (col("n_h") * col("s2") - col("s1") * col("s1")))
+            .cast("long"))
+        .select("hour_start", "n_events", "anomaly")
+        .orderBy("hour_start")
+    }),
+      Some("""
+        WITH ev AS (
+          SELECT epoch_ns(ts) // 1000000000 AS tsec FROM events),
+        h AS (
+          SELECT tsec - (tsec % 3600) AS hour_start,
+                 CAST(count(*) AS BIGINT) AS n_events
+          FROM ev GROUP BY 1),
+        st AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_h,
+                 CAST(sum(n_events) AS BIGINT) AS s1,
+                 CAST(sum(n_events * n_events) AS BIGINT) AS s2
+          FROM h)
+        SELECT hour_start, n_events,
+               CAST((n_h*n_events - s1)*(n_h*n_events - s1)
+                      > 4*(n_h*s2 - s1*s1) AS BIGINT) AS anomaly
+        FROM h CROSS JOIN st ORDER BY hour_start""")),
+
+    // Engagement stickiness: daily actives vs the containing (epoch-based)
+    // week's actives, ratio as the single defining float division. Two
+    // distinct-aggs shuffling on (period, user) and a broadcast join of the
+    // tiny week table — countDistinct partial-aggregates map-side.
+    "ev_dau_wau" -> (((s: SparkSession, d: String) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = Fixtures.events(s, d)
+        .select(expr("ts div 1000000000").as("tsec"), col("user_id"))
+        .withColumn("day", expr("tsec div 86400"))
+      val dau = ev.groupBy("day")
+        .agg(countDistinct("user_id").cast("long").as("dau"))
+      val wau = ev.withColumn("week", expr("day div 7")).groupBy("week")
+        .agg(countDistinct("user_id").cast("long").as("wau"))
+      dau.withColumn("week", expr("day div 7"))
+        .join(broadcast(wau), Seq("week"))
+        .withColumn("stickiness",
+          col("dau").cast("double") / col("wau").cast("double"))
+        .select("day", "dau", "wau", "stickiness")
+        .orderBy("day")
+    }),
+      Some("""
+        WITH ev AS (
+          SELECT epoch_ns(ts) // 1000000000 // 86400 AS day, user_id
+          FROM events),
+        dau AS (
+          SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+          FROM ev GROUP BY 1),
+        wau AS (
+          SELECT day // 7 AS week, CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+          FROM ev GROUP BY 1)
+        SELECT day, dau, wau,
+               CAST(dau AS DOUBLE) / CAST(wau AS DOUBLE) AS stickiness
+        FROM dau JOIN wau ON day // 7 = week ORDER BY day""")),
+
     // Conversion funnel view -> click -> purchase with a 1-day conversion
     // window per step: per user, the first view, then the first click
     // within a day of it, then the first purchase within a day of that.
