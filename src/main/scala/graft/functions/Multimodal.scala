@@ -49,6 +49,22 @@ object Multimodal {
           i => ascii(substring(decoded, i, lit(1)))))
   }
 
+  /** Aspect-preserving resize planning (the image-pipeline resize step,
+    * integer-exact): fit (width, height) into a `box`² target, downscale
+    * only. A real resize kernel slots in exactly like [[stubDecode]]'s
+    * decoder — this computes the target geometry every batch resize job
+    * needs, with `(dim · box) div max(w, h)` arithmetic both engines
+    * reproduce bit-exactly. */
+  def planResize(decoded: DataFrame, box: Int): DataFrame = {
+    val longest = greatest(col("width"), col("height"))
+    val scaled = (d: org.apache.spark.sql.Column) =>
+      when(longest <= box, d)
+        .otherwise(greatest((d * box) / longest, lit(1L)).cast("long"))
+    decoded
+      .withColumn("out_width", scaled(col("width")))
+      .withColumn("out_height", scaled(col("height")))
+  }
+
   /** Frame/window sampling: every `stride`-th byte-block as a "frame". */
   def sampleFrames(media: DataFrame, blockSize: Int, stride: Int): DataFrame =
     media.withColumn("frames",

@@ -218,6 +218,32 @@ object ExtendedQueries {
                  i -> length(substr(text, i*64 + 1, 16)))) AS BIGINT) AS frame_chars
         FROM documents ORDER BY media_id""")),
 
+    // Multimodal batch-resize planning: aspect-preserving fit of every
+    // decoded image into a 224x224 training box (downscale only), geometry
+    // in integer-exact `(dim*box) div max(w,h)` arithmetic. The pure
+    // projection rides the scan — at 100 TB the real resize kernel runs in
+    // the same per-batch shape with the plan columns precomputed.
+    "mm_resize" -> (((s: SparkSession, d: String) => {
+      val media = Multimodal.asMedia(
+        Fixtures.documents(s, d), col("doc_id"), encode(col("text"), "UTF-8"), "image")
+      Multimodal.planResize(Multimodal.stubDecode(media), box = 224)
+        .select(col("media_id"), col("width"), col("height"),
+          col("out_width"), col("out_height"))
+        .orderBy("media_id")
+    }),
+      Some("""
+        WITH dec AS (
+          SELECT doc_id AS media_id,
+                 ('0x' || substr(sha256(text),1,4))::BIGINT % 1920 + 1 AS width,
+                 ('0x' || substr(sha256(text),5,4))::BIGINT % 1080 + 1 AS height
+          FROM documents)
+        SELECT media_id, width, height,
+               CASE WHEN greatest(width, height) <= 224 THEN width
+                    ELSE greatest((width*224) // greatest(width, height), 1) END AS out_width,
+               CASE WHEN greatest(width, height) <= 224 THEN height
+                    ELSE greatest((height*224) // greatest(width, height), 1) END AS out_height
+        FROM dec ORDER BY media_id""")),
+
     // Multimodal near-duplicate detection: a 64-bit frame-level perceptual
     // hash per media object (SimHash over its DISTINCT sampled frames — two
     // videos sharing most frames land within a few bits), then pairs within

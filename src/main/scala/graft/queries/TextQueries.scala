@@ -671,6 +671,45 @@ object TextQueries {
               bit_count(xor(a2,b2)) + bit_count(xor(a3,b3)) <= 3
         ORDER BY doc_a, doc_b""")),
 
+    // Rolling-hash document fingerprinting (winnowing, Schleimer et al.
+    // 2003): hash every char 5-gram, take the min of each 4-hash window,
+    // dedup — the fingerprint set robust to insertions that shift gram
+    // positions. Entirely codegen'd array expressions riding the scan; the
+    // fingerprint summary (count/min/max) keeps rows narrow at corpus
+    // scale, and matching on fingerprints is a plain equi-join downstream.
+    "td_winnow" -> (((s: SparkSession, d: String) =>
+      Fixtures.documents(s, d)
+        .withColumn("h", expr(
+          """CASE WHEN length(text) >= 5 THEN
+               transform(sequence(1, length(text)-4),
+                 i -> cast(conv(substring(sha2(substring(text, i, 5), 256), 1, 8), 16, 10) AS bigint))
+             ELSE cast(array() AS array<bigint>) END"""))
+        .withColumn("f", expr(
+          """CASE WHEN size(h) >= 4 THEN
+               array_distinct(transform(sequence(1, size(h)-3),
+                 j -> array_min(slice(h, j, 4))))
+             ELSE cast(array() AS array<bigint>) END"""))
+        .select(col("doc_id"),
+          size(col("f")).cast("long").as("n_fp"),
+          expr("array_min(f)").cast("long").as("min_fp"),
+          expr("array_max(f)").cast("long").as("max_fp"))
+        .orderBy("doc_id")),
+      Some("""
+        WITH hs AS (
+          SELECT doc_id,
+                 list_transform(generate_series(1, greatest(length(text)-4, 0)),
+                   i -> ('0x' || substr(sha256(substr(text, CAST(i AS INT), 5)), 1, 8))::BIGINT) AS h
+          FROM documents),
+        fp AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(generate_series(1, greatest(len(h)-3, 0)),
+                   j -> list_min(h[j:j+3]))) AS f
+          FROM hs)
+        SELECT doc_id, CAST(len(f) AS BIGINT) AS n_fp,
+               CAST(list_min(f) AS BIGINT) AS min_fp,
+               CAST(list_max(f) AS BIGINT) AS max_fp
+        FROM fp ORDER BY doc_id""")),
+
     // Corpus-level duplicate 4-gram fraction (the Gopher/MassiveText
     // repetition filter, corpus flavor): per doc, the fraction of 4-gram
     // OCCURRENCES whose shingle appears more than once across the whole
