@@ -54,7 +54,11 @@ object Actions {
   private val reHookId = "^[_a-zA-Z][\\-_a-zA-Z0-9]{1,255}$".r
   private val knownTypes = Map(
     "sql_check" -> Seq("expr"),
-    "webhook"   -> Seq("url"))
+    "webhook"   -> Seq("url"),
+    // continuous mirror export: property `dest`; incremental vs the
+    // destination's own _latest marker (Engine.exportRunAuto) — the
+    // data-side CD loop a post-commit/post-merge action drives
+    "export"    -> Seq("dest"))
 
   /** `action.go:71-106` checks, minus YAML plumbing. */
   def validate(conf: ActionConf): Unit = {
@@ -123,6 +127,9 @@ object Actions {
         .foreach { case (k, v) => node.put(k, v) }
       deliveryLog.add((conf.name, h.id, h.properties("url"),
         payloadMapper.writeValueAsString(node)))
+    case "export" =>
+      new Engine(spark, ev.repoDir)
+        .exportRunAuto(ev.branch, h.properties("dest"))
     case other => sys.error(s"unknown hook type '$other'")
   }
 }

@@ -220,6 +220,18 @@ class Engine(val spark: SparkSession, val repoDir: String,
     stage(destBranch, out)
   }
 
+  /** Timestamp ref resolution (time travel): the most recent commit on the
+    * ref's FIRST-PARENT chain created at or before `epochSec` — the
+    * `timestampAsOf` affordance data-lake readers expect, expressed over
+    * the commit DAG; errors when no commit is that old. */
+  def commitAtTime(ref: String, epochSec: Long): CommitInfo = {
+    var c = resolveCommit(ref)
+    while (c.creationDate > epochSec)
+      c = c.parents.headOption.flatMap(refs.getCommit).getOrElse(
+        sys.error(s"no commit on $ref at or before $epochSec"))
+    c
+  }
+
   /** Repository integrity audit at a ref (the `lakectl doctor` shape):
     * distributed fsck of the ref's snapshot — every manifest range checked
     * for existence, row count, and key bounds. See
@@ -1273,7 +1285,28 @@ class Engine(val spark: SparkSession, val repoDir: String,
     val p = new org.apache.hadoop.fs.Path(s"$dir/status.json")
     val out = fs.create(p, true)
     try out.write(m.writeValueAsBytes(st)) finally out.close()
+    // advance the destination's head marker — the anchor exportRunAuto and
+    // mirror readers use to find the chain tip
+    val lp = new org.apache.hadoop.fs.Path(s"$dest/_latest")
+    val lout = fs.create(lp, true)
+    try lout.write(cur.commitId.getBytes("UTF-8")) finally lout.close()
     (nCopied, nDeleted)
+  }
+
+  /** Continuous-export entry point: incremental vs the destination's own
+    * `_latest` marker (full on first run), no-op when the marker already
+    * points at `ref`'s head. This is what the config-driven `export`
+    * action runs on post-commit/post-merge — the data-side CD loop. */
+  def exportRunAuto(ref: String, dest: String): (Long, Long) = {
+    val cur = resolveCommit(ref)
+    val lp = new org.apache.hadoop.fs.Path(s"$dest/_latest")
+    val prev = if (!fs.exists(lp)) None else {
+      val in = fs.open(lp)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim)
+      finally in.close()
+    }
+    if (prev.contains(cur.commitId)) (0L, 0L)
+    else exportRun(ref, dest, prev)
   }
 
   /** S11 dump: export the control tables (commits/branches/tags) as parquet

@@ -123,6 +123,35 @@ class GovernanceSpec extends SparkSpec {
           Actions.HookConf("h1", "webhook", Map("url" -> "u"))))) } // dup id
   }
 
+  test("export action: every commit advances a continuous mirror") {
+    import spark.implicits._
+    import graft.store.{Actions, Hooks}
+    val eng = new Engine(spark, tmpDir("actexport"), raggedness = 100)
+    val c1 = eng.init("main", Some(rows(50)))
+    val dest = tmpDir("actexportdst")
+    Actions.register(eng.hooks, spark, Actions.ActionConf(
+      name = "continuous export",
+      on = Map(Hooks.PostCommit -> Seq("main")),
+      hooks = Seq(Actions.HookConf("mirror", "export", Map("dest" -> dest)))))
+
+    eng.stage("main", Seq(("k01", "A")).toDF("key", "identity"))
+    val c2 = eng.commit("main", "t", "first")
+    // first firing: full export of the new head
+    assert(new java.io.File(s"$dest/${c2.commitId}/data").exists())
+    assert(new java.io.File(s"$dest/_latest").exists())
+
+    eng.stage("main", Seq(("k02", "B")).toDF("key", "identity"))
+    val c3 = eng.commit("main", "t", "second")
+    // second firing: incremental delta vs the marker
+    val st = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(new java.io.File(s"$dest/${c3.commitId}/status.json"))
+    assert(st.get("prev_commit_id").asText() === c2.commitId)
+    assert(st.get("copied").asLong() === 1)
+    val latest = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dest/_latest")), "UTF-8").trim
+    assert(latest === c3.commitId)
+  }
+
   test("P5 hidden branches excluded from listing unless requested") {
     import spark.implicits._
     val eng = new Engine(spark, tmpDir("hidden"), raggedness = 100)

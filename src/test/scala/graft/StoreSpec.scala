@@ -418,6 +418,24 @@ class StoreSpec extends SparkSpec {
     intercept[RuntimeException] { eng.importStatus(imp) }
   }
 
+  test("commitAtTime resolves the first-parent commit at or before a timestamp") {
+    val eng = new Engine(spark, tmpDir("asof"), raggedness = 100)
+    val c1 = eng.init("main", Some(rows(10)))
+    val t0 = c1.creationDate
+    // two later commits with explicit creation dates on the same metarange
+    val c2 = eng.refs.addCommit("t", "at t0+100", c1.metaRangeId,
+      Seq(c1.commitId), creationDate = t0 + 100)
+    val c3 = eng.refs.addCommit("t", "at t0+200", c1.metaRangeId,
+      Seq(c2.commitId), creationDate = t0 + 200)
+    eng.refs.setBranch("main", c3.commitId)
+
+    assert(eng.commitAtTime("main", t0 + 500).commitId === c3.commitId)
+    assert(eng.commitAtTime("main", t0 + 150).commitId === c2.commitId)
+    assert(eng.commitAtTime("main", t0).commitId === c1.commitId)
+    val ex = intercept[RuntimeException] { eng.commitAtTime("main", t0 - 1) }
+    assert(ex.getMessage.contains("no commit"))
+  }
+
   test("commit retries a lost branch CAS against the moved head") {
     import spark.implicits._
     val eng = new Engine(spark, tmpDir("casretry"), raggedness = 100)
