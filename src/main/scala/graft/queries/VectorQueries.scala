@@ -487,6 +487,94 @@ object VectorQueries {
                CAST(n_found AS DOUBLE) / CAST(n_true AS DOUBLE) AS recall
         FROM a CROSS JOIN b""")),
 
+    // IVF multiprobe recall@3 (nprobe=2): each probe searches its TWO
+    // nearest cells instead of one — the standard tuning lever for the
+    // cells-not-probed loss emb_ivf_recall measures (0.53 at nprobe=1 on
+    // this fixture). Probe→cell fan-out is an explode of a tiny broadcast
+    // ranking; the candidate join stays an equi-join on the cell id.
+    "emb_ivf_multiprobe" -> (((s: SparkSession, d: String) => {
+      val emb = Fixtures.embeddings(s, d)
+        .select(col("vec_id"), quantize(col("embedding")).as("q"))
+      val probesT = emb.where(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("probe_id"), col("q").as("pq"))
+      val wT = Window.partitionBy("probe_id").orderBy(col("sim").desc, col("vec_id").asc)
+      val truth = emb.crossJoin(broadcast(probesT))
+        .where(col("vec_id") =!= col("probe_id"))
+        .withColumn("sim", cosine(col("pq"), col("q")))
+        .withColumn("rank", row_number().over(wT)).where(col("rank") <= 3)
+        .select("probe_id", "vec_id")
+      val cent = emb.where(col("vec_id") % 125 === 0)
+        .select(col("vec_id").as("cid"), col("q").as("cq"))
+      val l2 = (a: Column, b: Column) =>
+        aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (acc, v) => acc + v)
+      val wA = Window.partitionBy("vec_id").orderBy(col("dist").asc, col("cid").asc)
+      val assigned = emb.crossJoin(broadcast(cent))
+        .withColumn("dist", l2(col("q"), col("cq")))
+        .withColumn("rn", row_number().over(wA)).where(col("rn") === 1)
+        .select(col("vec_id"), col("cid"), col("q"))
+      // nprobe=2: the probe's two nearest cells by centroid distance
+      val wP = Window.partitionBy("probe_id").orderBy(col("dist").asc, col("cid").asc)
+      val probeCells = probesT.crossJoin(broadcast(cent))
+        .withColumn("dist", l2(col("pq"), col("cq")))
+        .withColumn("rn", row_number().over(wP)).where(col("rn") <= 2)
+        .select(col("probe_id"), col("cid"), col("pq"))
+      val wI = Window.partitionBy("probe_id").orderBy(col("sim").desc, col("vec_id").asc)
+      val found = assigned.join(broadcast(probeCells), Seq("cid"))
+        .where(col("vec_id") =!= col("probe_id"))
+        .withColumn("sim", cosine(col("pq"), col("q")))
+        .withColumn("rank", row_number().over(wI)).where(col("rank") <= 3)
+        .select("probe_id", "vec_id")
+      val nT = truth.agg(count(lit(1)).cast("long").as("n_true"))
+      val nF = truth.join(found, Seq("probe_id", "vec_id"), "left_semi")
+        .agg(count(lit(1)).cast("long").as("n_found"))
+      nT.crossJoin(nF)
+        .withColumn("recall",
+          col("n_found").cast("double") / col("n_true").cast("double"))
+    }),
+      Some(s"""
+        WITH q AS (SELECT vec_id, $qvecSql AS qv FROM embeddings),
+        tp AS (SELECT vec_id AS probe_id, qv AS pq FROM q WHERE vec_id % 100 = 0),
+        ts AS (
+          SELECT probe_id, q.vec_id, ${cosSql("pq", "q.qv")} AS sim
+          FROM tp JOIN q ON q.vec_id <> probe_id),
+        truth AS (
+          SELECT probe_id, vec_id FROM (
+            SELECT probe_id, vec_id,
+                   row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, vec_id ASC) AS r
+            FROM ts) WHERE r <= 3),
+        cent AS (SELECT vec_id AS cid, qv AS cq FROM q WHERE vec_id % 125 = 0),
+        d AS (
+          SELECT q.vec_id, cid,
+                 CAST(list_sum(list_transform(generate_series(1, len(qv)),
+                   i -> (qv[i]-cq[i])*(qv[i]-cq[i]))) AS BIGINT) AS dist
+          FROM q CROSS JOIN cent),
+        assign AS (
+          SELECT vec_id, cid FROM (
+            SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+            FROM d) WHERE rn = 1),
+        m AS (SELECT a.vec_id, a.cid, q.qv FROM assign a JOIN q USING (vec_id)),
+        pc AS (
+          SELECT probe_id, cid, pq FROM (
+            SELECT probe_id, cid, pq,
+                   row_number() OVER (PARTITION BY probe_id ORDER BY
+                     CAST(list_sum(list_transform(generate_series(1, len(pq)),
+                       i -> (pq[i]-cq[i])*(pq[i]-cq[i]))) AS BIGINT) ASC, cid ASC) AS rn
+            FROM tp CROSS JOIN cent) WHERE rn <= 2),
+        isims AS (
+          SELECT probe_id, m.vec_id, ${cosSql("pq", "m.qv")} AS sim
+          FROM pc JOIN m ON m.cid = pc.cid AND m.vec_id <> probe_id),
+        found AS (
+          SELECT probe_id, vec_id FROM (
+            SELECT probe_id, vec_id,
+                   row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, vec_id ASC) AS r
+            FROM isims) WHERE r <= 3),
+        a AS (SELECT CAST(count(*) AS BIGINT) AS n_true FROM truth),
+        b AS (SELECT CAST(count(*) AS BIGINT) AS n_found FROM
+                (SELECT * FROM truth INTERSECT SELECT * FROM found))
+        SELECT n_true, n_found,
+               CAST(n_found AS DOUBLE) / CAST(n_true AS DOUBLE) AS recall
+        FROM a CROSS JOIN b""")),
+
     // LSH table/band occupancy report over the raw table (bucket stats for
     // tuning tables x bits; same signature definition as emb_lsh_ann).
     "emb_lsh_buckets" -> (((s: SparkSession, d: String) => {
