@@ -49,6 +49,23 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("export actions applied to the previous snapshot reproduce the current") {
+    samples(Gen.zip(snapGen, snapGen), N).foreach { case (prev, cur) =>
+      val acts = graft.operators.Export.actions(Some(df(prev)), df(cur))
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), Option(r.getString(2))))
+      val mirror = acts.foldLeft(prev) { case (m, (action, key, id)) =>
+        if (action == "delete") m - key else m + (key -> id.get)
+      }
+      assert(mirror === cur, s"case: $prev / $cur")
+      // and the plan is minimal: every action touches a genuinely differing key
+      acts.foreach { case (action, key, id) =>
+        assert(prev.get(key) != (if (action == "delete") None else id),
+          s"no-op action on $key: $prev / $cur")
+      }
+    }
+  }
+
   test("merge with an unchanged side yields the other side") {
     samples(Gen.zip(snapGen, snapGen), N).foreach { case (base, y) =>
       val (m1, c1) = Merge.threeWay(df(base), df(base), df(y), StrategyNone)
