@@ -32,6 +32,20 @@ object Dag {
       .map(c => c.id -> c).toMap
   }
 
+  /** All commit ids reachable from `start` (inclusive) — BFS over the
+    * in-memory graph; metadata-scale like every walk here. */
+  def reachable(g: Map[String, CommitRow], start: String): Set[String] = {
+    val seen = scala.collection.mutable.Set(start)
+    var frontier: List[String] = List(start)
+    while (frontier.nonEmpty) {
+      frontier = frontier
+        .flatMap(id => g.get(id).map(_.parents).getOrElse(Seq.empty))
+        .distinct.filterNot(seen.contains)
+      frontier.foreach(seen += _)
+    }
+    seen.toSet
+  }
+
   /**
    * G1: commit log — all commits reachable from `head`, newest first
    * (CreationDate desc, tie → larger id; `commit_iterator.go:39-45`).

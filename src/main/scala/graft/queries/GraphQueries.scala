@@ -125,6 +125,29 @@ object GraphQueries {
         a AS (SELECT 200 AS i UNION SELECT e.p FROM a x JOIN edges e ON e.i = x.i),
         b AS (SELECT 195 AS i UNION SELECT e.p FROM b x JOIN edges e ON e.i = x.i)
         SELECT lpad(CAST(max(i) AS VARCHAR),4,'0') AS merge_base
-        FROM (SELECT i FROM a INTERSECT SELECT i FROM b)"""))
+        FROM (SELECT i FROM a INTERSECT SELECT i FROM b)""")),
+
+    // Ahead/behind divergence between two heads (the `branch show`
+    // numbers): |reach(a) \\ reach(b)|, the reverse, and the common count.
+    // Same in-memory walk discipline as G1/G2; the oracle replays it with
+    // recursive CTEs.
+    "vc_divergence" -> (((s: SparkSession, d: String) => {
+      val g = Dag.collectGraph(commitsDf(s))
+      val ra = Dag.reachable(g, id(N))
+      val rb = Dag.reachable(g, id(197))
+      val schema = StructType(Seq(
+        StructField("ahead", LongType), StructField("behind", LongType),
+        StructField("common", LongType)))
+      s.createDataFrame(s.sparkContext.parallelize(Seq(Row(
+        (ra -- rb).size.toLong, (rb -- ra).size.toLong,
+        (ra & rb).size.toLong)), 1), schema)
+    }),
+      Some(s"""
+        WITH RECURSIVE $edgesSql,
+        a AS (SELECT 200 AS i UNION SELECT e.p FROM a x JOIN edges e ON e.i = x.i),
+        b AS (SELECT 197 AS i UNION SELECT e.p FROM b x JOIN edges e ON e.i = x.i)
+        SELECT CAST((SELECT count(*) FROM a WHERE i NOT IN (SELECT i FROM b)) AS BIGINT) AS ahead,
+               CAST((SELECT count(*) FROM b WHERE i NOT IN (SELECT i FROM a)) AS BIGINT) AS behind,
+               CAST((SELECT count(*) FROM (SELECT i FROM a INTERSECT SELECT i FROM b)) AS BIGINT) AS common"""))
   )
 }

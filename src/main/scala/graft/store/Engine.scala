@@ -1063,6 +1063,17 @@ class Engine(val spark: SparkSession, val repoDir: String,
     refs.getCommit(baseId).get
   }
 
+  /** Ahead/behind divergence between two refs (the `branch show` numbers):
+    * commits reachable from `a` but not `b`, and vice versa. Metadata-scale
+    * in-memory walks, like every commit-DAG operation. */
+  def divergence(a: String, b: String): (Long, Long) = {
+    val g = refs.commits.map(c => Dag.CommitRow(
+      c.commitId, c.parents, c.creationDate, c.generation)).map(c => c.id -> c).toMap
+    val ra = Dag.reachable(g, resolveCommit(a).commitId)
+    val rb = Dag.reachable(g, resolveCommit(b).commitId)
+    ((ra -- rb).size.toLong, (rb -- ra).size.toLong)
+  }
+
   /** GC mark (J9): all range ids on disk not referenced by any manifest
     * reachable from a branch head (addresses compared by content id — the
     * directory name — so path qualification differences don't matter). */

@@ -418,6 +418,22 @@ class StoreSpec extends SparkSpec {
     intercept[RuntimeException] { eng.importStatus(imp) }
   }
 
+  test("divergence counts ahead/behind between branches") {
+    import spark.implicits._
+    val eng = new Engine(spark, tmpDir("diverge"), raggedness = 100)
+    eng.init("main", Some(rows(20)))
+    eng.createBranch("feat", "main")
+    eng.stage("feat", Seq(("a1", "X")).toDF("key", "identity"))
+    eng.commit("feat", "t", "f1")
+    eng.stage("feat", Seq(("a2", "Y")).toDF("key", "identity"))
+    eng.commit("feat", "t", "f2")
+    eng.stage("main", Seq(("b1", "Z")).toDF("key", "identity"))
+    eng.commit("main", "t", "m1")
+    assert(eng.divergence("feat", "main") === (2L, 1L))
+    assert(eng.divergence("main", "feat") === (1L, 2L))
+    assert(eng.divergence("main", "main") === (0L, 0L))
+  }
+
   test("commitAtTime resolves the first-parent commit at or before a timestamp") {
     val eng = new Engine(spark, tmpDir("asof"), raggedness = 100)
     val c1 = eng.init("main", Some(rows(10)))
