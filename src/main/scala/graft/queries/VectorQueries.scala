@@ -688,6 +688,116 @@ object VectorQueries {
           FROM ad
         ) WHERE rank <= 3 ORDER BY probe_id, rank""")),
 
+    // PQ recall@3 vs exact L2 truth — the fourth leg of the index-eval
+    // suite (LSH, MinHash, IVF, PQ). Truth ranks by the exact quantized L2
+    // distance PQ approximates; found recomputes emb_pq_ann's ADC scan.
+    // The measured loss is pure quantization error, and on this fixture it
+    // is SEVERE (recall 0.07): the codebook is the tiny vec_id%125 sample —
+    // 4 entries per subspace — which is exactly what the eval exists to
+    // expose. The dial is codebook size (production PQ trains 256 entries
+    // per subspace and reranks an ADC shortlist exactly); the harness
+    // measures where any configuration sits before it ships.
+    "emb_pq_recall" -> (((s: SparkSession, d: String) => {
+      val emb = Fixtures.embeddings(s, d)
+        .select(col("vec_id"), quantize(col("embedding")).as("q"))
+      val l2 = (a: Column, b: Column) =>
+        aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (acc, v) => acc + v)
+      val probes = emb.where(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("probe_id"), col("q").as("pq"))
+      val wT = Window.partitionBy("probe_id").orderBy(col("dist").asc, col("vec_id").asc)
+      val truth = emb.crossJoin(broadcast(probes))
+        .where(col("vec_id") =!= col("probe_id"))
+        .withColumn("dist", l2(col("pq"), col("q")))
+        .withColumn("rank", row_number().over(wT)).where(col("rank") <= 3)
+        .select("probe_id", "vec_id")
+      def subspaces(df: DataFrame, vcol: String) = df
+        .select(col("*"), explode(sequence(lit(0), lit(3))).as("m"))
+        .withColumn("sub", expr(s"slice($vcol, m*16+1, 16)"))
+      val cb = subspaces(emb.where(col("vec_id") % 125 === 0), "q")
+        .select(col("vec_id").as("cid"), col("m"), col("sub").as("csub"))
+      val enc = subspaces(emb, "q").join(broadcast(cb), Seq("m"))
+        .withColumn("d", l2(col("sub"), col("csub")))
+        .groupBy("vec_id", "m")
+        .agg(min_by(col("cid"), struct(col("d"), col("cid"))).as("code"))
+      val encWide = enc.groupBy("vec_id")
+        .agg(transform(array_sort(collect_list(struct(col("m"), col("code")))),
+          x => x.getField("code")).as("codes"))
+      val lut = subspaces(probes.withColumnRenamed("pq", "q"), "q")
+        .join(broadcast(cb), Seq("m"))
+        .withColumn("d", l2(col("sub"), col("csub")))
+        .groupBy("probe_id")
+        .agg(map_from_entries(collect_list(
+          struct(concat_ws(":", col("m"), col("cid")), col("d")))).as("dtab"))
+      val wF = Window.partitionBy("probe_id").orderBy(col("adist").asc, col("vec_id").asc)
+      val found = encWide.crossJoin(broadcast(lut))
+        .where(col("vec_id") =!= col("probe_id"))
+        .withColumn("adist", expr(
+          "aggregate(transform(sequence(0,3), m -> element_at(dtab, " +
+            "concat(cast(m AS string), ':', cast(codes[m] AS string)))), " +
+            "0L, (a, x) -> a + x)"))
+        .withColumn("rank", row_number().over(wF)).where(col("rank") <= 3)
+        .select("probe_id", "vec_id")
+      val nT = truth.agg(count(lit(1)).cast("long").as("n_true"))
+      val nF = truth.join(found, Seq("probe_id", "vec_id"), "left_semi")
+        .agg(count(lit(1)).cast("long").as("n_found"))
+      nT.crossJoin(nF)
+        .withColumn("recall",
+          col("n_found").cast("double") / col("n_true").cast("double"))
+    }),
+      Some(s"""
+        WITH q AS (SELECT vec_id, $qvecSql AS qv FROM embeddings),
+        probes AS (SELECT vec_id AS probe_id, qv AS pqv FROM q WHERE vec_id % 100 = 0),
+        tsims AS (
+          SELECT probe_id, q.vec_id,
+                 CAST(list_sum(list_transform(generate_series(1, len(qv)),
+                   i -> (pqv[i]-qv[i])*(pqv[i]-qv[i]))) AS BIGINT) AS dist
+          FROM probes JOIN q ON q.vec_id <> probe_id),
+        truth AS (
+          SELECT probe_id, vec_id FROM (
+            SELECT probe_id, vec_id,
+                   row_number() OVER (PARTITION BY probe_id ORDER BY dist, vec_id) AS r
+            FROM tsims) WHERE r <= 3),
+        ms AS (SELECT unnest([0,1,2,3]) AS m),
+        cb AS (
+          SELECT vec_id AS cid, m, list_slice(qv, m*16+1, m*16+16) AS csub
+          FROM q CROSS JOIN ms WHERE vec_id % 125 = 0),
+        sub AS (
+          SELECT vec_id, m, list_slice(qv, m*16+1, m*16+16) AS s
+          FROM q CROSS JOIN ms),
+        encd AS (
+          SELECT sub.vec_id, sub.m, cb.cid,
+                 CAST(list_sum(list_transform(generate_series(1,16),
+                   i -> (s[i]-csub[i])*(s[i]-csub[i]))) AS BIGINT) AS d
+          FROM sub JOIN cb ON cb.m = sub.m),
+        enc AS (
+          SELECT vec_id, m, cid AS code FROM (
+            SELECT vec_id, m, cid,
+                   row_number() OVER (PARTITION BY vec_id, m ORDER BY d, cid) AS rn
+            FROM encd) WHERE rn = 1),
+        psub AS (
+          SELECT probe_id, m, list_slice(pqv, m*16+1, m*16+16) AS p
+          FROM probes CROSS JOIN ms),
+        pd AS (
+          SELECT probe_id, psub.m, cb.cid,
+                 CAST(list_sum(list_transform(generate_series(1,16),
+                   i -> (p[i]-csub[i])*(p[i]-csub[i]))) AS BIGINT) AS d
+          FROM psub JOIN cb ON cb.m = psub.m),
+        ad AS (
+          SELECT probe_id, vec_id, CAST(sum(d) AS BIGINT) AS adist
+          FROM enc JOIN pd ON pd.m = enc.m AND pd.cid = enc.code
+          WHERE vec_id <> probe_id GROUP BY 1, 2),
+        found AS (
+          SELECT probe_id, vec_id FROM (
+            SELECT probe_id, vec_id,
+                   row_number() OVER (PARTITION BY probe_id ORDER BY adist, vec_id) AS r
+            FROM ad) WHERE r <= 3),
+        a AS (SELECT CAST(count(*) AS BIGINT) AS n_true FROM truth),
+        b AS (SELECT CAST(count(*) AS BIGINT) AS n_found FROM
+                (SELECT * FROM truth INTERSECT SELECT * FROM found))
+        SELECT n_true, n_found,
+               CAST(n_found AS DOUBLE) / CAST(n_true AS DOUBLE) AS recall
+        FROM a CROSS JOIN b""")),
+
     // K-means over embeddings (two deterministic Lloyd iterations): the
     // IVF-training / semantic-clustering operator. Init = the vec_id%125
     // sample (like emb_ivf_ann's fixed centroids); all arithmetic exact —
