@@ -96,6 +96,13 @@ class CatalogSpec extends SparkSpec {
     ro(eng.importUnder("main", rows(3), Seq("imp/"), "t", "i"))
     ro(eng.importAsync("main", rows(3), Seq("imp/"), "t", "i"))
     ro(eng.compact("main"))
+    // round-8 surfaces latch too
+    ro(eng.writeRange(rows(3)))
+    ro(eng.writeMetaRange(Seq.empty))
+    ro(eng.createCommitRecord("t", "m", "meta", Seq.empty))
+    ro(eng.getPhysicalAddress("main", "k"))
+    ro(eng.linkPhysicalAddress("main", "k", "a", "0.sig", "c", 1))
+    ro(eng.deleteExpiredImports(0))
     // the reference's options.Force admin bypass = clearing the latch
     eng.readOnly = false
     eng.stage("main", Seq(("k1", "X")).toDF("key", "identity"))

@@ -452,6 +452,23 @@ class StoreSpec extends SparkSpec {
     assert(ex.getMessage.contains("no commit"))
   }
 
+  test("a crash between the commit record and the CAS leaves the branch consistent") {
+    import spark.implicits._
+    val eng = new Engine(spark, tmpDir("crash"), raggedness = 100)
+    val c1 = eng.init("main", Some(rows(50)))
+    eng.stage("main", Seq(("k000001", "MINE")).toDF("key", "identity"))
+    eng.beforeCas = () => sys.error("simulated crash before CAS")
+    intercept[RuntimeException] { eng.commit("main", "t", "crashed") }
+    eng.beforeCas = () => ()
+    // the branch never moved, the staged epoch survived (dropEpochs runs
+    // only on CAS success — the seal-and-swap contract), and retrying
+    // commits the same change; the crashed attempt's record stays dangling
+    assert(eng.resolveCommit("main").commitId === c1.commitId)
+    val c2 = eng.commit("main", "t", "retried after crash")
+    assert(c2.parents === Seq(c1.commitId))
+    assert(eng.get("main", "k000001").map(_.getString(1)) === Some("MINE"))
+  }
+
   test("commit retries a lost branch CAS against the moved head") {
     import spark.implicits._
     val eng = new Engine(spark, tmpDir("casretry"), raggedness = 100)
