@@ -373,6 +373,49 @@ object EventQueries {
         SELECT cohort_week, week - cohort_week AS week_offset,
                CAST(count(DISTINCT w.user_id) AS BIGINT) AS n_users
         FROM w JOIN c USING (user_id)
-        GROUP BY 1, 2 ORDER BY cohort_week, week_offset"""))
+        GROUP BY 1, 2 ORDER BY cohort_week, week_offset""")),
+
+    // Exact top-K per group (top-3 spenders per event type, integer cents):
+    // partial aggregation first (map-side combine collapses events to one
+    // row per (type, user)), then the rank in TWO salted phases — top-3 per
+    // (type, salt-of-user) and top-3 per type over the <= 32*3 survivors.
+    // A single per-type window would sort every user of a type in one task
+    // (event types are few, so those partitions are the whole table); the
+    // salted composition is exact because a global top-K element is a
+    // top-K element of its salt group. Ties break on user_id ASC so both
+    // engines pick the same rows.
+    "ev_topk_per_group" -> (((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.expressions.Window
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val agg = Fixtures.events(s, d)
+        .select(col("event_type"), col("user_id"),
+          floor(col("value") * 100 + 0.5).cast("long").as("value_c"))
+        .groupBy("event_type", "user_id")
+        .agg(sum("value_c").as("sum_value_c"))
+      val w1 = Window.partitionBy(col("event_type"), pmod(col("user_id"), lit(32)))
+        .orderBy(desc("sum_value_c"), asc("user_id"))
+      val w2 = Window.partitionBy("event_type")
+        .orderBy(desc("sum_value_c"), asc("user_id"))
+      agg
+        .withColumn("__rk1", row_number().over(w1)).where(col("__rk1") <= 3)
+        .withColumn("rank", row_number().over(w2).cast("long"))
+        .where(col("rank") <= 3)
+        .select("event_type", "rank", "user_id", "sum_value_c")
+        .orderBy("event_type", "rank")
+    }),
+      Some("""
+        WITH a AS (
+          SELECT event_type, user_id,
+                 CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS sum_value_c
+          FROM events GROUP BY 1, 2),
+        r AS (
+          SELECT event_type, user_id, sum_value_c,
+                 row_number() OVER (PARTITION BY event_type
+                   ORDER BY sum_value_c DESC, user_id) AS rank
+          FROM a)
+        SELECT event_type, CAST(rank AS BIGINT) AS rank, user_id, sum_value_c
+        FROM r WHERE rank <= 3
+        ORDER BY event_type, rank"""))
   )
 }

@@ -21,6 +21,49 @@ object TextQueries {
 
   type QueryFn = (SparkSession, String) => DataFrame
 
+  /** Per-document global token start offsets in doc_id order, via a
+    * TWO-LEVEL prefix sum: a per-bucket window over data-derived ordered
+    * doc_id buckets plus driver-side cumulative offsets over
+    * <= numShufflePartitions rows, broadcast back — NEVER a partition-less
+    * global window, which would move the corpus through one task. The
+    * ordered bucket id is derived FROM THE DATA (uniform doc_id intervals
+    * between the observed min/max), never from repartitionByRange +
+    * spark_partition_id: the range partitioner samples with a per-job seed,
+    * so an unpersisted plan evaluated by two jobs (the totals collect and
+    * the final query) could assign a boundary row to different pids —
+    * data-derived buckets are stable by construction across any number of
+    * evaluations. The result is partitioning-invariant because prefix sums
+    * are associative over any contiguous split of the doc_id order.
+    *
+    * Input columns (doc_id, n); output (doc_id, n, start_offset). Shared by
+    * td_pack (context-window packing) and td_shard_plan (shard manifests)
+    * so the offset definition cannot drift between them. */
+  private def tokenStartOffsets(s: SparkSession, lens: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nb = math.max(1, s.sessionState.conf.numShufflePartitions)
+    val (mn, mx) = {
+      val r = lens.agg(min("doc_id"), max("doc_id")).head()
+      if (r.isNullAt(0)) (0L, 0L) else (r.getLong(0), r.getLong(1))
+    }
+    val span = math.max(1L, mx - mn + 1)
+    val bucket = least(lit(nb - 1),
+      ((col("doc_id") - mn) * nb / span).cast("int")).as("__b")
+    val parted = lens.select(col("doc_id"), col("n"), bucket)
+    val win = Window.partitionBy("__b").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val totals = parted.groupBy("__b").agg(sum("n").as("t")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    var run = 0L
+    val offs = totals.map { case (b, t) => val o = (b, run); run += t; o }.toSeq
+    import s.implicits._
+    val offDf = offs.toDF("__b", "__off")
+    parted
+      .withColumn("__pre", coalesce(sum("n").over(win), lit(0L)))
+      .join(broadcast(offDf), Seq("__b"))
+      .withColumn("start_offset", col("__pre") + col("__off"))
+      .drop("__b", "__pre", "__off")
+  }
+
   // DuckDB-side shared fragments ------------------------------------------
 
   private val docsSql = """
@@ -550,39 +593,11 @@ object TextQueries {
     // contiguous split of the doc_id order and the buckets are a pure
     // function of the data.
     "td_pack" -> (((s: SparkSession, d: String) => {
-      import org.apache.spark.sql.expressions.Window
       val w = 256
       val lens = Fixtures.documents(s, d)
         .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n"))
         .where(col("n") > 0)
-      // The ordered bucket id is derived FROM THE DATA (uniform doc_id
-      // intervals between the observed min/max), never from
-      // repartitionByRange + spark_partition_id: the range partitioner
-      // samples with a per-job seed, so an unpersisted plan evaluated by
-      // two jobs (the totals collect and the final query) could assign a
-      // boundary row to different pids — data-derived buckets are stable
-      // by construction across any number of evaluations.
-      val nb = math.max(1, s.sessionState.conf.numShufflePartitions)
-      val (mn, mx) = {
-        val r = lens.agg(min("doc_id"), max("doc_id")).head()
-        if (r.isNullAt(0)) (0L, 0L) else (r.getLong(0), r.getLong(1))
-      }
-      val span = math.max(1L, mx - mn + 1)
-      val bucket = least(lit(nb - 1),
-        ((col("doc_id") - mn) * nb / span).cast("int")).as("__b")
-      val parted = lens.select(col("doc_id"), col("n"), bucket)
-      val win = Window.partitionBy("__b").orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val totals = parted.groupBy("__b").agg(sum("n").as("t")).collect()
-        .map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
-      var run = 0L
-      val offs = totals.map { case (b, t) => val o = (b, run); run += t; o }.toSeq
-      import s.implicits._
-      val offDf = offs.toDF("__b", "__off")
-      parted
-        .withColumn("__pre", coalesce(sum("n").over(win), lit(0L)))
-        .join(broadcast(offDf), Seq("__b"))
-        .withColumn("start_offset", col("__pre") + col("__off"))
+      tokenStartOffsets(s, lens)
         .select(col("doc_id"), col("n").as("n_tokens"), col("start_offset"),
           expr(s"start_offset DIV $w").as("window_id"),
           expr(s"((start_offset + n - 1) DIV $w) - (start_offset DIV $w) + 1")
@@ -975,6 +990,76 @@ object TextQueries {
                CAST(n_shared AS DOUBLE) / n_eval AS coverage
         FROM ov JOIN sz USING (eval_doc)
         WHERE n_shared >= 3
-        ORDER BY train_doc, eval_doc"""))
+        ORDER BY train_doc, eval_doc""")),
+
+    // Per-domain cap (the RefinedWeb/C4 mixing control): keep at most K
+    // docs per source, preferring longer docs (n_chars DESC, doc_id ASC as
+    // the deterministic tiebreak), and report per source how much survives.
+    // The rank is computed in TWO salted phases — top-K per (source, salt)
+    // first, then top-K per source over the <= 32*K survivors — because a
+    // single per-source window sorts a whole domain in one task, and web
+    // corpora have mega-domains (a top-K element globally is a top-K
+    // element of its salt group, so the composition is exact). Both Window
+    // nodes are partitioned; PlanShapeSpec asserts it.
+    "td_domain_cap" -> (((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val K = 15
+      val docs = Fixtures.documents(s, d).select("source", "doc_id", "n_chars")
+      val w1 = Window.partitionBy(col("source"), pmod(col("doc_id"), lit(32)))
+        .orderBy(desc("n_chars"), asc("doc_id"))
+      val w2 = Window.partitionBy("source")
+        .orderBy(desc("n_chars"), asc("doc_id"))
+      val kept = docs
+        .withColumn("__rk1", row_number().over(w1)).where(col("__rk1") <= K)
+        .withColumn("__rk", row_number().over(w2)).where(col("__rk") <= K)
+      val totals = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+      totals.join(
+          kept.groupBy("source").agg(count(lit(1)).as("n_kept"),
+            sum("n_chars").as("kept_chars")),
+          Seq("source"))
+        .orderBy("source")
+    }),
+      Some("""
+        WITH r AS (
+          SELECT source, n_chars,
+                 row_number() OVER (PARTITION BY source
+                   ORDER BY n_chars DESC, doc_id) AS rk
+          FROM documents)
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN rk <= 15 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               CAST(sum(CASE WHEN rk <= 15 THEN n_chars END) AS BIGINT) AS kept_chars
+        FROM r GROUP BY source ORDER BY source""")),
+
+    // Balanced shard planning (the WebDataset/Megatron output-sharding
+    // step): split the doc_id-ordered corpus into shards of ~4096 tokens —
+    // a doc belongs to shard floor(tokens_before_it / 4096) — and emit the
+    // shard manifest (doc count, token sum, doc_id bounds) a distributed
+    // writer would consume. The global running offset is the SAME two-level
+    // prefix sum as td_pack ([[tokenStartOffsets]]): per-bucket partitioned
+    // windows + tiny driver offsets, never a global single-task window.
+    "td_shard_plan" -> (((s: SparkSession, d: String) => {
+      val B = 4096L
+      val lens = Fixtures.documents(s, d)
+        .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n"))
+        .where(col("n") > 0)
+      tokenStartOffsets(s, lens)
+        .withColumn("shard", expr(s"start_offset DIV $B"))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"), sum("n").as("tok_sum"),
+          min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+        .orderBy("shard")
+    }),
+      Some(s"""$docsSql,
+        lens AS (SELECT doc_id, len(toks) AS n FROM docs WHERE len(toks) > 0),
+        c AS (
+          SELECT doc_id, n,
+                 COALESCE(sum(n) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS so
+          FROM lens)
+        SELECT CAST(so // 4096 AS BIGINT) AS shard,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n) AS BIGINT) AS tok_sum,
+               min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        FROM c GROUP BY 1 ORDER BY 1"""))
   )
 }

@@ -99,6 +99,25 @@ class PlanShapeSpec extends SparkSpec {
       s"td_pack contains a global (partition-less) Window:\n$w"))
   }
 
+  test("salted top-k and shard-plan queries never globally window") {
+    // td_domain_cap / ev_topk_per_group rank through two SALTED phases;
+    // td_shard_plan reuses td_pack's two-level prefix sum. A partition-less
+    // Window in any of them would move a whole domain / event type / the
+    // corpus through one task.
+    Seq("td_domain_cap" -> "source", "ev_topk_per_group" -> "event_type",
+        "td_shard_plan" -> "__b").foreach { case (name, partCol) =>
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      val plan = df.queryExecution.executedPlan.toString
+      val windows = plan.split("\n").filter(_.contains("Window ["))
+      assert(windows.nonEmpty, s"$name must window within partitions:\n${plan.take(2000)}")
+      // the partition column appears in the Window node's partition spec;
+      // none of these columns is in the respective orderBy, so a global
+      // window over the same order would not carry it
+      windows.foreach(w => assert(w.contains(partCol),
+        s"$name contains a Window not partitioned by $partCol:\n$w"))
+    }
+  }
+
   test("emb_semdedup: pair join is cluster-keyed; only the centroid assignment broadcasts") {
     val df = SparkEntry.queries("emb_semdedup")(spark, sfDir)
     val plan = df.queryExecution.executedPlan.toString
