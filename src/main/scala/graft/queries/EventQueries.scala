@@ -416,6 +416,112 @@ object EventQueries {
           FROM a)
         SELECT event_type, CAST(rank AS BIGINT) AS rank, user_id, sum_value_c
         FROM r WHERE rank <= 3
-        ORDER BY event_type, rank"""))
+        ORDER BY event_type, rank""")),
+
+    // Event-type transition matrix (first-order Markov over each user's
+    // event sequence): prev -> next counts plus the row-normalized
+    // probability. The lag window partitions by user_id — one shuffle on
+    // the user key, never a global sort — and the normalizing totals join
+    // broadcasts (#event_type² rows). The final probability is ONE float
+    // division of two exact BIGINTs, IEEE-stable across engines.
+    "ev_transitions" -> (((s: SparkSession, d: String) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = Fixtures.events(s, d).select(
+        col("user_id"), col("event_id"), col("event_type"),
+        expr("ts div 1000000000").as("tsec"))
+      val w = Window.partitionBy("user_id").orderBy("tsec", "event_id")
+      val pairs = ev
+        .withColumn("prev_type", lag("event_type", 1).over(w))
+        .where(col("prev_type").isNotNull)
+        .groupBy("prev_type", "event_type")
+        .agg(count(lit(1)).as("n"))
+      val totals = pairs.groupBy("prev_type").agg(sum("n").as("t"))
+      pairs.join(broadcast(totals), Seq("prev_type"))
+        .select(col("prev_type"), col("event_type"), col("n"),
+          (col("n").cast("double") / col("t").cast("double")).as("p"))
+        .orderBy("prev_type", "event_type")
+    }),
+      Some("""
+        WITH ev AS (
+          SELECT user_id, event_id, event_type,
+                 epoch_ns(ts) // 1000000000 AS tsec
+          FROM events),
+        t AS (
+          SELECT event_type,
+                 lag(event_type) OVER (PARTITION BY user_id
+                   ORDER BY tsec, event_id) AS prev_type
+          FROM ev),
+        pairs AS (
+          SELECT prev_type, event_type, CAST(count(*) AS BIGINT) AS n
+          FROM t WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+        tot AS (SELECT prev_type, CAST(sum(n) AS BIGINT) AS t
+                FROM pairs GROUP BY 1)
+        SELECT prev_type, event_type, n,
+               CAST(n AS DOUBLE) / CAST(t AS DOUBLE) AS p
+        FROM pairs JOIN tot USING (prev_type)
+        ORDER BY prev_type, event_type""")),
+
+    // Watermark lateness audit (the batch twin of Structured Streaming's
+    // `withWatermark` drop rule): treating event_id as the ARRIVAL order,
+    // an event is late iff its ts lies more than 600 s behind the max ts
+    // seen strictly before it. The global running max is a TWO-LEVEL
+    // prefix scan — per-bucket partitioned windows over data-derived
+    // event_id intervals plus a driver-side cumulative max over
+    // <= numShufflePartitions bucket summaries, broadcast back — never a
+    // partition-less window, which would move every event through one
+    // task. Exact because max is associative over any contiguous split of
+    // the arrival order, and the buckets are a pure function of the data.
+    "ev_late_data" -> (((s: SparkSession, d: String) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val delay = 600L
+      val ev = Fixtures.events(s, d).select(
+        col("event_id"), col("event_type"),
+        expr("ts div 1000000000").as("tsec"))
+      val nb = math.max(1, s.sessionState.conf.numShufflePartitions)
+      val (mn, mx) = {
+        val r = ev.agg(min("event_id"), max("event_id")).head()
+        if (r.isNullAt(0)) (0L, 0L) else (r.getLong(0), r.getLong(1))
+      }
+      val span = math.max(1L, mx - mn + 1)
+      val bucket = least(lit(nb - 1),
+        ((col("event_id") - mn) * nb / span).cast("int")).as("__b")
+      val parted = ev.select(col("event_id"), col("event_type"), col("tsec"), bucket)
+      val win = Window.partitionBy("__b").orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      // Long.MinValue = "no watermark yet" sentinel (tsec is positive epoch
+      // seconds, so the sentinel can never collide with a real running max)
+      val none = Long.MinValue
+      val bmax = parted.groupBy("__b").agg(max("tsec").as("m")).collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+      var run = none
+      val incoming = bmax.map { case (b, m) =>
+        val o = (b, run); run = math.max(run, m); o }.toSeq
+      import s.implicits._
+      val incDf = incoming.toDF("__b", "__inc")
+      parted
+        .withColumn("__pre", max("tsec").over(win))
+        .join(broadcast(incDf), Seq("__b"))
+        .withColumn("__eff", greatest(coalesce(col("__pre"), lit(none)), col("__inc")))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("__eff") =!= none &&
+              col("tsec") < col("__eff") - delay, 1L)
+            .otherwise(0L)).as("n_late"))
+        .orderBy("event_type")
+    }),
+      Some("""
+        WITH ev AS (
+          SELECT event_id, event_type,
+                 epoch_ns(ts) // 1000000000 AS tsec
+          FROM events),
+        c AS (
+          SELECT event_type, tsec,
+                 max(tsec) OVER (ORDER BY event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS rm
+          FROM ev)
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(CASE WHEN rm IS NOT NULL AND tsec < rm - 600
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_late
+        FROM c GROUP BY 1 ORDER BY 1"""))
   )
 }

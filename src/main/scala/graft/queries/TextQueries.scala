@@ -1060,6 +1060,43 @@ object TextQueries {
                CAST(count(*) AS BIGINT) AS n_docs,
                CAST(sum(n) AS BIGINT) AS tok_sum,
                min(doc_id) AS min_doc, max(doc_id) AS max_doc
-        FROM c GROUP BY 1 ORDER BY 1"""))
+        FROM c GROUP BY 1 ORDER BY 1""")),
+
+    // Deterministic training-order shuffle (the reproducible global shuffle
+    // every epoch loader needs): each doc's position is its rank in
+    // sha256("shuf42|" || doc_id) order — seed in the preimage, so changing
+    // the seed is a fresh permutation and re-running is bit-identical. The
+    // scale path is the SHARD assignment (first hex nibble of the hash —
+    // pure map, no shuffle at all; a writer sorts WITHIN shards only); the
+    // global head is orderBy+limit, which Spark plans as
+    // TakeOrderedAndProject — per-partition top-50 then a 50-row driver
+    // merge, never a full sort. Hash uniqueness (doc_id unique) makes the
+    // order total, so both engines pick identical rows and ranks.
+    "td_shuffle" -> (((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val h = sha2(concat_ws("|", lit("shuf42"), col("doc_id").cast("string")), 256)
+      val top = Fixtures.documents(s, d)
+        .select(col("doc_id"), h.as("hkey"))
+        .withColumn("shard", ascii(substring(col("hkey"), 1, 1)).cast("long"))
+        .orderBy("hkey").limit(50)
+      // rank over the 50 surviving rows only — a tiny bounded window
+      top.withColumn("rank",
+          row_number().over(Window.orderBy("hkey")).cast("long"))
+        .select("rank", "doc_id", "hkey", "shard")
+        .orderBy("rank")
+    }),
+      Some("""
+        WITH h AS (
+          SELECT doc_id,
+                 sha256(concat_ws('|', 'shuf42', CAST(doc_id AS VARCHAR))) AS hkey
+          FROM documents),
+        r AS (
+          SELECT doc_id, hkey,
+                 ascii(substr(hkey, 1, 1)) AS shard,
+                 row_number() OVER (ORDER BY hkey) AS rank
+          FROM h)
+        SELECT CAST(rank AS BIGINT) AS rank, doc_id, hkey,
+               CAST(shard AS BIGINT) AS shard
+        FROM r WHERE rank <= 50 ORDER BY rank"""))
   )
 }

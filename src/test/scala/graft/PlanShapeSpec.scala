@@ -118,6 +118,32 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("ev_transitions and ev_late_data window within partitions only") {
+    // ev_transitions lags per user; ev_late_data's running max is the
+    // two-level prefix scan over event_id buckets. A partition-less Window
+    // in either would push the whole event stream through one task.
+    Seq("ev_transitions" -> "user_id", "ev_late_data" -> "__b")
+      .foreach { case (name, partCol) =>
+        val df = SparkEntry.queries(name)(spark, sfDir)
+        val plan = df.queryExecution.executedPlan.toString
+        val windows = plan.split("\n").filter(_.contains("Window ["))
+        assert(windows.nonEmpty, s"$name must window within partitions:\n${plan.take(2000)}")
+        windows.foreach(w => assert(w.contains(partCol),
+          s"$name contains a Window not partitioned by $partCol:\n$w"))
+      }
+  }
+
+  test("td_shuffle: global head is TakeOrderedAndProject; rank windows the 50 survivors") {
+    val df = SparkEntry.queries("td_shuffle")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"td_shuffle head must plan as TakeOrderedAndProject, got:\n${plan.take(2000)}")
+    val windowAt = plan.indexOf("Window")
+    val topKAt = plan.indexOf("TakeOrderedAndProject")
+    assert(windowAt >= 0 && windowAt < topKAt,
+      "rank Window must sit above (consume) the TakeOrderedAndProject output")
+  }
+
   test("emb_semdedup: pair join is cluster-keyed; only the centroid assignment broadcasts") {
     val df = SparkEntry.queries("emb_semdedup")(spark, sfDir)
     val plan = df.queryExecution.executedPlan.toString
