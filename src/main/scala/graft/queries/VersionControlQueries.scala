@@ -436,6 +436,59 @@ object VersionControlQueries {
     // §1.4: identity-hash parity spot check (sha2 ⇄ sha256).
     "vc_ident_hash" -> (((s: SparkSession, d: String) =>
       Fixtures.keyedBase(s, d).select("key", "identity").orderBy("key").limit(100)),
-      Some(s"$prelude SELECT key, identity FROM base ORDER BY key LIMIT 100"))
+      Some(s"$prelude SELECT key, identity FROM base ORDER BY key LIMIT 100")),
+
+    // J11: log-with-path through the engine (`checkPathListInCommit`,
+    // pkg/catalog/catalog.go:1734-1827). Builds a real repo over the
+    // path-shaped fixture, then commits: C2 edits under R/F/ only, C3 edits
+    // under N/O/ only, C4 restages identical content under R/F/ (content
+    // addressing makes it a no-op: same range ids -> same metarange), C5
+    // deletes under R/F/. `logWithPath("main", "R/F/")` must surface exactly
+    // {C5, C2, root} newest-first — C3 touches a different prefix and C4's
+    // covering ranges are identical to its parent's, so both are pruned
+    // before any data file is read.
+    "vc_log_path" -> (((s: SparkSession, d: String) => {
+      val dir = s"target/vc_logpath_repo_${math.abs(d.hashCode)}"
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(dir), s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+      val eng = new graft.store.Engine(s, dir, raggedness = 5000)
+      val base = Fixtures.pathKeyed(s, d)
+      val ident = sha2(concat_ws("|",
+        col("key"), col("qty"), col("price_c"), col("rf"), col("ls")), 256)
+      eng.init("main", Some(base))
+      eng.stage("main", base
+        .where(col("rf") === "R" && col("ls") === "F" && col("k") % 7 === 3)
+        .withColumn("price_c", col("price_c") + 100).withColumn("identity", ident))
+      eng.commit("main", "driver", "C2")
+      eng.stage("main", base
+        .where(col("rf") === "N" && col("ls") === "O" && col("k") % 7 === 2)
+        .withColumn("price_c", col("price_c") + 200).withColumn("identity", ident))
+      eng.commit("main", "driver", "C3")
+      eng.stage("main", base
+        .where(col("rf") === "R" && col("ls") === "F" && col("k") % 7 === 5))
+      eng.commit("main", "driver", "C4")
+      eng.stage("main", base
+        .where(col("rf") === "R" && col("ls") === "F" && col("k") % 7 === 1)
+        .withColumn("identity", lit(null).cast("string")))
+      eng.commit("main", "driver", "C5")
+      val hits = eng.logWithPath("main", "R/F/")
+      import s.implicits._
+      hits.zipWithIndex.map { case (c, i) => (c.message, (i + 1).toLong) }
+        .toDF("msg", "ord")
+    }),
+      // The oracle recomputes, per commit, whether the fixture holds rows
+      // under R/F/ matching that commit's change predicate; C3 (other
+      // prefix) and C4 (identical content) are excluded by construction.
+      Some(s"""$prelude
+        SELECT msg, row_number() OVER (ORDER BY seq DESC) AS ord FROM (VALUES
+            (1, 'repository created',
+             (SELECT count(*) FROM base WHERE rf='R' AND ls='F') > 0),
+            (2, 'C2',
+             (SELECT count(*) FROM base WHERE rf='R' AND ls='F' AND k%7=3) > 0),
+            (5, 'C5',
+             (SELECT count(*) FROM base WHERE rf='R' AND ls='F' AND k%7=1) > 0)
+          ) t(seq, msg, touched)
+        WHERE touched ORDER BY ord"""))
   )
 }
