@@ -489,6 +489,79 @@ object VersionControlQueries {
             (5, 'C5',
              (SELECT count(*) FROM base WHERE rf='R' AND ls='F' AND k%7=1) > 0)
           ) t(seq, msg, touched)
-        WHERE touched ORDER BY ord"""))
+        WHERE touched ORDER BY ord""")),
+
+    // §2.11 revert: C1 = base, C2 = the right-side change set, C3 = an
+    // independent k%100==37 edit; reverting C2 (main~1) must restore C1's
+    // content for every key C2 touched (deletes the *10+9 adds, resurrects
+    // the k%100==1 deletes, resets the k%100==21 price) while keeping C3's
+    // edit — reverse-patch semantics (`graveler.go:2829`, applied via the
+    // payload-carrying reverse diff of commit..parent).
+    "vc_revert" -> (((s: SparkSession, d: String) => {
+      val dir = s"target/vc_revert_repo_${math.abs(d.hashCode)}"
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(dir), s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+      val eng = new graft.store.Engine(s, dir, raggedness = 5000)
+      val base = Fixtures.keyedBase(s, d)
+      val ident = sha2(concat_ws("|",
+        col("key"), col("qty"), col("price_c"), col("rf"), col("ls")), 256)
+      eng.init("main", Some(base))
+      eng.stage("main", Fixtures.keyedRightChanges(s, d))
+      eng.commit("main", "driver", "C2")
+      eng.stage("main", base.where(col("k") % 100 === 37)
+        .withColumn("price_c", col("price_c") + 55).withColumn("identity", ident))
+      eng.commit("main", "driver", "C3")
+      eng.revert("main", "main~1", "driver")
+      eng.list("main").select("key", "identity", "qty", "price_c").orderBy("key")
+    }),
+      Some(s"""$prelude
+        SELECT lpad(CAST(k AS VARCHAR),12,'0') AS key,
+               ${identSql("lpad(CAST(k AS VARCHAR),12,'0')", "qty", "price_c", "rf", "ls")} AS identity,
+               qty, price_c
+        FROM (
+          SELECT k, qty,
+                 CASE WHEN k%100=37 THEN price_c+55 ELSE price_c END AS price_c,
+                 rf, ls
+          FROM L
+        ) ORDER BY key""")),
+
+    // §2.11 cherry-pick: dev branches off C1 and gets an independent edit;
+    // cherry-picking main's C2 onto dev applies C2's own patch
+    // (parent..commit, `graveler.go:2961`) — dev ends at base + C2's
+    // adds/deletes/edits + dev's k%100==37 edit.
+    "vc_cherry_pick" -> (((s: SparkSession, d: String) => {
+      val dir = s"target/vc_cherry_repo_${math.abs(d.hashCode)}"
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(dir), s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+      val eng = new graft.store.Engine(s, dir, raggedness = 5000)
+      val base = Fixtures.keyedBase(s, d)
+      val ident = sha2(concat_ws("|",
+        col("key"), col("qty"), col("price_c"), col("rf"), col("ls")), 256)
+      eng.init("main", Some(base))
+      eng.createBranch("dev", "main")
+      eng.stage("main", Fixtures.keyedRightChanges(s, d))
+      eng.commit("main", "driver", "C2")
+      eng.stage("dev", base.where(col("k") % 100 === 37)
+        .withColumn("price_c", col("price_c") + 55).withColumn("identity", ident))
+      eng.commit("dev", "driver", "D2")
+      eng.cherryPick("dev", "main", "driver")
+      eng.list("dev").select("key", "identity", "qty", "price_c").orderBy("key")
+    }),
+      Some(s"""$prelude
+        SELECT lpad(CAST(k AS VARCHAR),12,'0') AS key,
+               ${identSql("lpad(CAST(k AS VARCHAR),12,'0')", "qty", "price_c", "rf", "ls")} AS identity,
+               qty, price_c
+        FROM (
+          SELECT k, qty,
+                 CASE WHEN k%100=21 THEN price_c+777
+                      WHEN k%100=37 THEN price_c+55
+                      ELSE price_c END AS price_c,
+                 rf, ls
+          FROM L WHERE k%100<>1
+          UNION ALL
+          SELECT k*10+9 AS k, qty, price_c, rf, ls FROM L WHERE k%100=2
+        ) ORDER BY key"""))
   )
 }
