@@ -55,7 +55,8 @@ object Dag {
    * unreachable through it (`commit_iterator.go:113-114,146-149`).
    */
   def log(spark: SparkSession, commits: DataFrame, head: String,
-      firstParent: Boolean = false, since: Option[Long] = None): DataFrame = {
+      firstParent: Boolean = false, since: Option[Long] = None,
+      stopAt: Option[String] = None): DataFrame = {
     val g = collectGraph(commits)
     val visited = mutable.Set[String]()
     val out = mutable.ArrayBuffer[CommitRow]()
@@ -67,7 +68,8 @@ object Dag {
       visited += c.id
       if (since.forall(c.creationDate >= _)) pq.enqueue(c)
     }
-    while (pq.nonEmpty) {
+    // stopAt's commit is the INCLUSIVE last entry (catalog.go:1666-1667)
+    while (pq.nonEmpty && !out.lastOption.map(_.id).exists(stopAt.contains)) {
       val c = pq.dequeue()
       out += c
       val ps = if (firstParent) c.parents.take(1) else c.parents

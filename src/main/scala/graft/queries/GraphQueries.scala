@@ -113,6 +113,29 @@ object GraphQueries {
                row_number() OVER (ORDER BY i DESC) AS ord
         FROM anc ORDER BY ord""")),
 
+    // G1 stopAt: walk from 0200 halts after emitting 0100 (inclusive last
+    // entry, catalog.go:1666-1667). With this DAG's monotone dates the walk
+    // emits ancestors in strictly descending order, so the result is the
+    // ancestor set intersected with i >= 100.
+    "vc_log_stop" -> (((s: SparkSession, d: String) => {
+      val w = Window.orderBy(col("creation_date").desc, col("commit_id").desc)
+      Dag.log(s, commitsDf(s), id(N), stopAt = Some(id(100)))
+        .select(col("commit_id"), col("creation_date"))
+        .withColumn("ord", row_number().over(w).cast("long"))
+        .orderBy(col("ord"))
+    }),
+      Some(s"""
+        WITH RECURSIVE $edgesSql,
+        anc AS (
+          SELECT 200 AS i
+          UNION
+          SELECT e.p FROM anc a JOIN edges e ON e.i = a.i
+        )
+        SELECT lpad(CAST(i AS VARCHAR),4,'0') AS commit_id,
+               1700000000 + i*60 AS creation_date,
+               row_number() OVER (ORDER BY i DESC) AS ord
+        FROM anc WHERE i >= 100 ORDER BY ord""")),
+
     // G2: merge base of heads 0200 and 0195 = the max-generation common
     // ancestor (generation-priority walk, merge_base_finder.go:23-76).
     "vc_merge_base" -> (((s: SparkSession, d: String) => {

@@ -562,6 +562,61 @@ object VersionControlQueries {
           FROM L WHERE k%100<>1
           UNION ALL
           SELECT k*10+9 AS k, qty, price_c, rf, ls FROM L WHERE k%100=2
+        ) ORDER BY key""")),
+
+    // §2.11 squash merge through the facade (`SquashMerge`,
+    // graveler.go:229-231,3189-3198): src gets the source perturbation,
+    // main the dest perturbation, then `merge(src, main, squash=true,
+    // StrategySourceWins)`. The merged listing must equal the operator-level
+    // vc_merge3 result, and the merge commit must carry exactly ONE parent
+    // (the source lineage drops from the graph).
+    "vc_merge_squash" -> (((s: SparkSession, d: String) => {
+      val dir = s"target/vc_squash_repo_${math.abs(d.hashCode)}"
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(dir), s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+      val eng = new graft.store.Engine(s, dir, raggedness = 5000)
+      val base = Fixtures.keyedBase(s, d)
+      val ident = sha2(concat_ws("|",
+        col("key"), col("qty"), col("price_c"), col("rf"), col("ls")), 256)
+      eng.init("main", Some(base))
+      eng.createBranch("src", "main")
+      val srcChanges = base
+        .where(col("k") % 50 === 3 || col("k") % 50 === 11)
+        .withColumn("price_c", when(col("k") % 50 === 3, col("price_c") + 111)
+          .otherwise(col("price_c") + 333))
+        .withColumn("identity", ident)
+        .unionByName(base.where(col("k") % 50 === 17)
+          .withColumn("identity", lit(null).cast("string")))
+      eng.stage("src", srcChanges)
+      eng.commit("src", "driver", "S")
+      val dstChanges = base
+        .where(col("k") % 50 === 4 || col("k") % 50 === 11)
+        .withColumn("price_c", when(col("k") % 50 === 4, col("price_c") + 222)
+          .otherwise(col("price_c") + 444))
+        .withColumn("identity", ident)
+        .unionByName(base.where(col("k") % 50 === 33)
+          .withColumn("identity", lit(null).cast("string")))
+      eng.stage("main", dstChanges)
+      eng.commit("main", "driver", "D")
+      val mc = eng.merge("src", "main", "driver", "M",
+        strategy = StrategySourceWins, squash = true)
+      eng.list("main").select("key", "identity", "qty", "price_c")
+        .withColumn("n_parents", lit(mc.parents.size.toLong))
+        .orderBy("key")
+    }),
+      Some(s"""$prelude
+        SELECT lpad(CAST(k AS VARCHAR),12,'0') AS key,
+               ${identSql("lpad(CAST(k AS VARCHAR),12,'0')", "qty", "price_c", "rf", "ls")} AS identity,
+               qty, price_c, CAST(1 AS BIGINT) AS n_parents
+        FROM (
+          SELECT k, qty,
+                 CASE WHEN k%50=3 THEN price_c+111
+                      WHEN k%50=11 THEN price_c+333
+                      WHEN k%50=4 THEN price_c+222
+                      ELSE price_c END AS price_c,
+                 rf, ls
+          FROM L WHERE k%50<>17 AND k%50<>33
         ) ORDER BY key"""))
   )
 }
