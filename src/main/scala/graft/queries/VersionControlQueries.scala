@@ -617,6 +617,43 @@ object VersionControlQueries {
                       ELSE price_c END AS price_c,
                  rf, ls
           FROM L WHERE k%50<>17 AND k%50<>33
-        ) ORDER BY key"""))
+        ) ORDER BY key""")),
+
+    // §2.11 ResetPrefix (`graveler.go:2759`): edits staged under R/F/ and
+    // N/O/ (epoch 1) plus tombstones under R/F/ (epoch 2), then the R/F/
+    // prefix is un-staged — staged epochs are immutable, so the reset
+    // rewrites the resolved changes without the prefix into a fresh epoch.
+    // The staged view must keep ONLY the N/O/ edits; every R/F/ key reads
+    // back at its committed value (edits and tombstones both dropped).
+    "vc_reset_prefix" -> (((s: SparkSession, d: String) => {
+      val dir = s"target/vc_reset_repo_${math.abs(d.hashCode)}"
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(dir), s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+      val eng = new graft.store.Engine(s, dir, raggedness = 5000)
+      val base = Fixtures.pathKeyed(s, d)
+      val ident = sha2(concat_ws("|",
+        col("key"), col("qty"), col("price_c"), col("rf"), col("ls")), 256)
+      eng.init("main", Some(base))
+      eng.stage("main", base
+        .where(col("rf") === "R" && col("ls") === "F" && col("k") % 7 === 3)
+        .withColumn("price_c", col("price_c") + 100).withColumn("identity", ident)
+        .unionByName(base
+          .where(col("rf") === "N" && col("ls") === "O" && col("k") % 7 === 2)
+          .withColumn("price_c", col("price_c") + 200).withColumn("identity", ident)))
+      eng.stage("main", base
+        .where(col("rf") === "R" && col("ls") === "F" && col("k") % 7 === 1)
+        .withColumn("identity", lit(null).cast("string")))
+      eng.resetPrefix("main", "R/F/")
+      eng.list("main").select("key", "identity", "price_c").orderBy("key")
+    }),
+      Some(s"""$prelude
+        SELECT concat_ws('/', rf, ls, key) AS key,
+               CASE WHEN rf='N' AND ls='O' AND k%7=2
+                    THEN ${identSql("concat_ws('/', rf, ls, key)", "qty", "price_c+200", "rf", "ls")}
+                    ELSE identity END AS identity,
+               CASE WHEN rf='N' AND ls='O' AND k%7=2 THEN price_c+200
+                    ELSE price_c END AS price_c
+        FROM base ORDER BY key"""))
   )
 }
