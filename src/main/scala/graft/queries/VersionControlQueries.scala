@@ -654,6 +654,33 @@ object VersionControlQueries {
                     ELSE identity END AS identity,
                CASE WHEN rf='N' AND ls='O' AND k%7=2 THEN price_c+200
                     ELSE price_c END AS price_c
-        FROM base ORDER BY key"""))
+        FROM base ORDER BY key""")),
+
+    // Timestamp ref resolution (time travel): C2 commits the right-side
+    // change set, then — after a >1s gap, so the two commits' epoch-second
+    // creation dates provably differ — C3 commits a further edit.
+    // `commitAtTime(main, C2.creationDate)` must resolve to C2 (most recent
+    // first-parent commit at or before the cutoff), so scanning it yields
+    // exactly the C2 snapshot with no trace of C3.
+    "vc_at_time" -> (((s: SparkSession, d: String) => {
+      val dir = s"target/vc_attime_repo_${math.abs(d.hashCode)}"
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(dir), s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+      val eng = new graft.store.Engine(s, dir, raggedness = 5000)
+      val base = Fixtures.keyedBase(s, d)
+      val ident = sha2(concat_ws("|",
+        col("key"), col("qty"), col("price_c"), col("rf"), col("ls")), 256)
+      eng.init("main", Some(base))
+      eng.stage("main", Fixtures.keyedRightChanges(s, d))
+      val c2 = eng.commit("main", "driver", "C2")
+      Thread.sleep(1100) // floor(epoch-seconds) provably advances
+      eng.stage("main", base.where(col("k") % 100 === 37)
+        .withColumn("price_c", col("price_c") + 55).withColumn("identity", ident))
+      eng.commit("main", "driver", "C3")
+      val at = eng.commitAtTime("main", c2.creationDate)
+      eng.list(at.commitId).select("key", "identity", "price_c").orderBy("key")
+    }),
+      Some(s"$prelude SELECT key, identity, price_c FROM rightv ORDER BY key"))
   )
 }
