@@ -681,6 +681,45 @@ object VersionControlQueries {
       val at = eng.commitAtTime("main", c2.creationDate)
       eng.list(at.commitId).select("key", "identity", "price_c").orderBy("key")
     }),
-      Some(s"$prelude SELECT key, identity, price_c FROM rightv ORDER BY key"))
+      Some(s"$prelude SELECT key, identity, price_c FROM rightv ORDER BY key")),
+
+    // J8 joined diff across a COMPACTED base (T6 + CombinedDiffIterator):
+    // k%100==5 edits are staged then compacted into the branch's compacted
+    // base (head unmoved); post-compaction staging adds tombstones for
+    // k%200==5 (a SUBSET of the compacted edits — exercises masking) and a
+    // no-op restage of k%100==7 (must emit nothing, not fall back to the
+    // committed row). diff(main, main$) = committed diff head..compactedBase
+    // minus any staged key, plus the staged entries' diff vs the left.
+    "vc_compacted_diff" -> (((s: SparkSession, d: String) => {
+      val dir = s"target/vc_compact_repo_${math.abs(d.hashCode)}"
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(dir), s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+      val eng = new graft.store.Engine(s, dir, raggedness = 5000)
+      val base = Fixtures.keyedBase(s, d)
+      val ident = sha2(concat_ws("|",
+        col("key"), col("qty"), col("price_c"), col("rf"), col("ls")), 256)
+      eng.init("main", Some(base))
+      eng.stage("main", base.where(col("k") % 100 === 5)
+        .withColumn("price_c", col("price_c") + 500).withColumn("identity", ident))
+      eng.compact("main")
+      eng.stage("main", base.where(col("k") % 200 === 5)
+        .withColumn("identity", lit(null).cast("string"))
+        .unionByName(base.where(col("k") % 100 === 7)))
+      eng.diff("main", "main$")
+        .select("key", "diff_type", "left_identity", "identity").orderBy("key")
+    }),
+      Some(s"""$prelude
+        SELECT key, diff_type, left_identity, identity FROM (
+          SELECT lpad(CAST(k AS VARCHAR),12,'0') AS key, 'changed' AS diff_type,
+                 ${identSql("lpad(CAST(k AS VARCHAR),12,'0')", "qty", "price_c", "rf", "ls")} AS left_identity,
+                 ${identSql("lpad(CAST(k AS VARCHAR),12,'0')", "qty", "price_c+500", "rf", "ls")} AS identity
+          FROM L WHERE k%100=5 AND k%200<>5
+          UNION ALL
+          SELECT lpad(CAST(k AS VARCHAR),12,'0'), 'removed',
+                 ${identSql("lpad(CAST(k AS VARCHAR),12,'0')", "qty", "price_c", "rf", "ls")},
+                 NULL
+          FROM L WHERE k%200=5
+        ) ORDER BY key"""))
   )
 }
