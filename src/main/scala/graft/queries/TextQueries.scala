@@ -205,6 +205,39 @@ object TextQueries {
       .select((col("doc_id") + 10000).as("doc_id"), col("text")))
   }
 
+  /** Duplicate components over the planted-docs LSH graph: min-label
+    * propagation to a fixpoint; returns (id, comp). comp <- min(comp,
+    * neighbours' comp) each round; the label sum strictly decreases until
+    * convergence, so one cheap agg per round detects the fixpoint without
+    * a second join. Shared by td_dedup_groups / td_dedup_keep so the group
+    * definition cannot drift between them. */
+  private def dedupLabels(s: SparkSession, d: String): DataFrame = {
+    val edges1 = minhashEst(plantedDocs(s, d)).where(col("n_eq") >= 8)
+      .select(col("doc_a"), col("doc_b"))
+    val edges = edges1
+      .unionByName(edges1.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .withColumnRenamed("doc_a", "src").withColumnRenamed("doc_b", "dst")
+      .persist()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id")).localCheckpoint()
+    var lastSum = labels.agg(sum("comp")).head().getLong(0)
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 20) {
+      val nbrMin = edges.join(labels.withColumnRenamed("id", "dst"), "dst")
+        .groupBy(col("src").as("id")).agg(min("comp").as("nbr"))
+      labels = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"), least(col("comp"), coalesce(col("nbr"), col("comp"))).as("comp"))
+        .localCheckpoint() // truncate the iterative lineage each round
+      val s2 = labels.agg(sum("comp")).head().getLong(0)
+      converged = s2 == lastSum
+      lastSum = s2
+      rounds += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   /** 64-bit SimHash per doc as four 16-bit chunks (sim_c0..sim_c3), over
     * distinct whitespace tokens; chunk c hashes sha256 hex chars
     * [4c+1..4c+4]. The bit/chunk expansion is explode(sequence(..)) — pure
@@ -438,32 +471,7 @@ object TextQueries {
     // round structure as large-scale CC over LSH graphs). Canonical doc per
     // group = min doc_id, the keep-one dedup decision.
     "td_dedup_groups" -> (((s: SparkSession, d: String) => {
-      val edges1 = minhashEst(plantedDocs(s, d)).where(col("n_eq") >= 8)
-        .select(col("doc_a"), col("doc_b"))
-      val edges = edges1
-        .unionByName(edges1.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-        .withColumnRenamed("doc_a", "src").withColumnRenamed("doc_b", "dst")
-        .persist()
-      var labels = edges.select(col("src").as("id")).distinct()
-        .withColumn("comp", col("id")).localCheckpoint()
-      // min-label propagation: comp <- min(comp, neighbours' comp); the sum
-      // of labels strictly decreases until the fixpoint, so one cheap agg
-      // per round detects convergence without a second join
-      var lastSum = labels.agg(sum("comp")).head().getLong(0)
-      var converged = false
-      var rounds = 0
-      while (!converged && rounds < 20) {
-        val nbrMin = edges.join(labels.withColumnRenamed("id", "dst"), "dst")
-          .groupBy(col("src").as("id")).agg(min("comp").as("nbr"))
-        labels = labels.join(nbrMin, Seq("id"), "left")
-          .select(col("id"), least(col("comp"), coalesce(col("nbr"), col("comp"))).as("comp"))
-          .localCheckpoint() // truncate the iterative lineage each round
-        val s2 = labels.agg(sum("comp")).head().getLong(0)
-        converged = s2 == lastSum
-        lastSum = s2
-        rounds += 1
-      }
-      edges.unpersist()
+      val labels = dedupLabels(s, d)
       val sizes = labels.groupBy(col("comp").as("canonical_id"))
         .agg(count(lit(1)).cast("long").as("group_size"))
       labels.select(col("id").as("doc_id"), col("comp").as("canonical_id"))
@@ -490,6 +498,45 @@ object TextQueries {
         )
         SELECT id AS doc_id, comp.canonical_id, group_size
         FROM comp JOIN sizes USING (canonical_id) ORDER BY doc_id""")
+        .replaceFirst("WITH ", "WITH RECURSIVE "))),
+
+    // Survivorship dedup — the purge step after grouping: per duplicate
+    // component keep the best doc (most tokens, tie -> lowest doc_id) and
+    // mark the rest purged. The rank window partitions by component
+    // (groups are small), never globally; everything else rides the
+    // shared [[dedupLabels]] pipeline.
+    "td_dedup_keep" -> (((s: SparkSession, d: String) => {
+      val labels = dedupLabels(s, d)
+      val toks = plantedDocs(s, d)
+        .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_toks"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("canonical_id").orderBy(col("n_toks").desc, col("doc_id").asc)
+      labels.select(col("id").as("doc_id"), col("comp").as("canonical_id"))
+        .join(toks, "doc_id")
+        .withColumn("kept", row_number().over(w) === 1)
+        .select("doc_id", "canonical_id", "n_toks", "kept")
+        .orderBy("doc_id")
+    }),
+      Some((s"""$docsSql $plantedDocsSql ${shinglesSqlFrom("docsp")} $minhashCtesSql,
+        edges AS (
+          SELECT doc_a AS a, doc_b AS b FROM est WHERE n_eq >= 8
+          UNION ALL
+          SELECT doc_b, doc_a FROM est WHERE n_eq >= 8
+        ),
+        nodes AS (SELECT DISTINCT a AS id FROM edges),
+        reach AS (
+          SELECT id, id AS r FROM nodes
+          UNION
+          SELECT reach.id, e.b FROM reach JOIN edges e ON reach.r = e.a
+        ),
+        comp AS (SELECT id, min(r) AS canonical_id FROM reach GROUP BY id),
+        tk AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_toks FROM docsp)
+        SELECT doc_id, canonical_id, n_toks, rn = 1 AS kept FROM (
+          SELECT comp.id AS doc_id, comp.canonical_id, tk.n_toks,
+                 row_number() OVER (PARTITION BY canonical_id
+                                    ORDER BY tk.n_toks DESC, comp.id) AS rn
+          FROM comp JOIN tk ON tk.doc_id = comp.id
+        ) ORDER BY doc_id""")
         .replaceFirst("WITH ", "WITH RECURSIVE "))),
 
     // Training-window chunking: 50-token sliding windows with stride 40
