@@ -720,6 +720,106 @@ object VersionControlQueries {
                  ${identSql("lpad(CAST(k AS VARCHAR),12,'0')", "qty", "price_c", "rf", "ls")},
                  NULL
           FROM L WHERE k%200=5
-        ) ORDER BY key"""))
+        ) ORDER BY key""")),
+
+    // O4 + pagination parity (`pkg/catalog/catalog.go:676-739`): one branch
+    // per nation key over a tiny nation-derived snapshot, then one page of
+    // the name-ordered listing strictly after `br_007`, limit 10. The
+    // has-more flag rides as a literal column: beyond the page there are
+    // br_018..br_024 plus main, so it must be 1.
+    "vc_branch_page" -> (((s: SparkSession, d: String) => {
+      val dir = s"target/vc_brpage_repo_${math.abs(d.hashCode)}"
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(dir), s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+      val eng = new graft.store.Engine(s, dir, raggedness = 5000)
+      val tiny = s.read.parquet(s"$d/nation.parquet")
+        .select(concat(lit("n/"), col("n_name")).as("key"),
+          sha2(col("n_name"), 256).as("identity"))
+      eng.init("main", Some(tiny))
+      s.read.parquet(s"$d/nation.parquet").select("n_nationkey").collect()
+        .map(_.getInt(0)).sorted
+        .foreach(k => eng.createBranch(f"br_$k%03d", "main"))
+      val (page, more) = eng.refs.listBranchesPage(after = Some("br_007"), limit = 10)
+      import s.implicits._
+      page.map(_._1).toDF("branch")
+        .withColumn("has_more", lit(if (more) 1L else 0L)).orderBy("branch")
+    }),
+      Some("""
+        SELECT 'br_' || lpad(CAST(n_nationkey AS VARCHAR), 3, '0') AS branch,
+               CAST(1 AS BIGINT) AS has_more
+        FROM nation WHERE n_nationkey > 7
+        ORDER BY branch LIMIT 10""")),
+
+    // S5 object-store walker + P2 marker (`pkg/block/walker.go:10-44`,
+    // parallel lister `clients/spark/.../DataLister.scala`): one file per
+    // nation under its own top-level prefix — 25 prefixes, above the
+    // fan-out threshold, so this exercises the executor-parallel listing —
+    // sized n_nationkey+1 bytes, listed after marker 'NATION_2' (keys
+    // strictly greater, the seek-GE page contract — drops NATION_0/1/1x,
+    // 12 of the 25 keys, so the marker provably filters).
+    "vc_walk" -> (((s: SparkSession, d: String) => {
+      val dir = s"target/vc_walk_src_${math.abs(d.hashCode)}"
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(dir), s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+      s.read.parquet(s"$d/nation.parquet").select("n_name", "n_nationkey")
+        .collect().foreach { r =>
+          val out = fs.create(
+            new org.apache.hadoop.fs.Path(s"$dir/${r.getString(0)}/part.bin"), true)
+          try out.write(Array.fill[Byte](r.getInt(1) + 1)('x'))
+          finally out.close()
+        }
+      graft.sources.Walker.walk(s, dir, marker = "NATION_2")
+        .select("full_key", "size").orderBy("full_key")
+    }),
+      Some("""
+        SELECT n_name || '/part.bin' AS full_key,
+               CAST(n_nationkey + 1 AS BIGINT) AS size
+        FROM nation WHERE n_name || '/part.bin' > 'NATION_2'
+        ORDER BY full_key""")),
+
+    // S11 dump/load as disaster recovery (`graveler.go:3668-3727`): refs
+    // are dumped at C2 (tag v1 + branch dev both at C2), then wrecked —
+    // main advances to C3, the tag and branch are deleted — and restored
+    // from the dump over the SAME snapshot store. The restore must move
+    // main back to C2 (scan = rightv exactly, no trace of C3) and
+    // re-create dev + v1; invariants ride as literal columns.
+    "vc_dump_load" -> (((s: SparkSession, d: String) => {
+      val dir = s"target/vc_dumpload_repo_${math.abs(d.hashCode)}"
+      val dump = s"target/vc_dumpload_dump_${math.abs(d.hashCode)}"
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(dir), s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+      fs.delete(new org.apache.hadoop.fs.Path(dump), true)
+      val eng = new graft.store.Engine(s, dir, raggedness = 5000)
+      val base = Fixtures.keyedBase(s, d)
+      eng.init("main", Some(base))
+      eng.stage("main", Fixtures.keyedRightChanges(s, d))
+      eng.commit("main", "driver", "C2")
+      eng.createTag("v1", "main")
+      eng.createBranch("dev", "main")
+      eng.dumpRefs(dump)
+      val ident = sha2(concat_ws("|",
+        col("key"), col("qty"), col("price_c"), col("rf"), col("ls")), 256)
+      eng.stage("main", base.where(col("k") % 100 === 37)
+        .withColumn("price_c", col("price_c") + 55).withColumn("identity", ident))
+      eng.commit("main", "driver", "C3")
+      eng.deleteTag("v1")
+      eng.deleteBranch("dev")
+      eng.loadRefs(dump)
+      val nBranches = eng.refs.branches.size.toLong
+      val tagAtDevHead =
+        if (eng.refs.tags.get("v1") == eng.refs.getBranch("dev")) 1L else 0L
+      eng.list("main").select("key", "identity", "price_c")
+        .withColumn("n_branches", lit(nBranches))
+        .withColumn("tag_at_dev_head", lit(tagAtDevHead))
+        .orderBy("key")
+    }),
+      Some(s"""$prelude
+        SELECT key, identity, price_c,
+               CAST(2 AS BIGINT) AS n_branches,
+               CAST(1 AS BIGINT) AS tag_at_dev_head
+        FROM rightv ORDER BY key"""))
   )
 }
