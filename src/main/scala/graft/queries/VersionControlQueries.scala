@@ -820,6 +820,127 @@ object VersionControlQueries {
         SELECT key, identity, price_c,
                CAST(2 AS BIGINT) AS n_branches,
                CAST(1 AS BIGINT) AS tag_at_dev_head
-        FROM rightv ORDER BY key"""))
+        FROM rightv ORDER BY key""")),
+
+    // §2.11 + J4: merge with a per-row conflict resolver through the facade
+    // (`Graveler.Merge` with a ConflictResolver chain, `graveler.go:142-145`,
+    // `committed/merge.go:304-326`). Both sides edit k%50==11 differently
+    // (src +333, dst +444); the resolver takes the SOURCE side exactly when
+    // the source's new price is even, so conflicting keys route row-by-row —
+    // neither strategy constant could produce this result. Non-conflicting
+    // edits (k%50==3 src, k%50==4 dst) and one-sided deletes (k%50==17 src,
+    // k%50==33 dst) merge as usual, and the merge commit keeps TWO parents.
+    "vc_merge_resolve" -> (((s: SparkSession, d: String) => {
+      val dir = s"target/vc_resolve_repo_${math.abs(d.hashCode)}"
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(dir), s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+      val eng = new graft.store.Engine(s, dir, raggedness = 5000)
+      val base = Fixtures.keyedBase(s, d)
+      val ident = sha2(concat_ws("|",
+        col("key"), col("qty"), col("price_c"), col("rf"), col("ls")), 256)
+      eng.init("main", Some(base))
+      eng.createBranch("src", "main")
+      eng.stage("src", base
+        .where(col("k") % 50 === 3 || col("k") % 50 === 11)
+        .withColumn("price_c", when(col("k") % 50 === 3, col("price_c") + 111)
+          .otherwise(col("price_c") + 333))
+        .withColumn("identity", ident)
+        .unionByName(base.where(col("k") % 50 === 17)
+          .withColumn("identity", lit(null).cast("string"))))
+      eng.commit("src", "driver", "S")
+      eng.stage("main", base
+        .where(col("k") % 50 === 4 || col("k") % 50 === 11)
+        .withColumn("price_c", when(col("k") % 50 === 4, col("price_c") + 222)
+          .otherwise(col("price_c") + 444))
+        .withColumn("identity", ident)
+        .unionByName(base.where(col("k") % 50 === 33)
+          .withColumn("identity", lit(null).cast("string"))))
+      eng.commit("main", "driver", "D")
+      val mc = eng.merge("src", "main", "driver", "M",
+        resolver = Some(pmod(col("s_price_c"), lit(2)) === 0))
+      eng.list("main").select("key", "identity", "qty", "price_c")
+        .withColumn("n_parents", lit(mc.parents.size.toLong))
+        .orderBy("key")
+    }),
+      Some(s"""$prelude
+        SELECT lpad(CAST(k AS VARCHAR),12,'0') AS key,
+               ${identSql("lpad(CAST(k AS VARCHAR),12,'0')", "qty", "price_c", "rf", "ls")} AS identity,
+               qty, price_c, CAST(2 AS BIGINT) AS n_parents
+        FROM (
+          SELECT k, qty,
+                 CASE WHEN k%50=3 THEN price_c+111
+                      WHEN k%50=4 THEN price_c+222
+                      WHEN k%50=11 THEN
+                        CASE WHEN (price_c+333)%2=0 THEN price_c+333
+                             ELSE price_c+444 END
+                      ELSE price_c END AS price_c,
+                 rf, ls
+          FROM L WHERE k%50<>17 AND k%50<>33
+        ) ORDER BY key""")),
+
+    // §2.9 config-driven actions through the facade (`pkg/actions/action.go`,
+    // `hook.go:18-21`): a PreCommit action on branch glob ["main"] chains a
+    // sql_check guard (abortable, the reference's Lua-guard role) and a
+    // webhook. The WIP-message commit is BLOCKED (and, hooks being ordered,
+    // its webhook never fires); the staged epoch survives the abort and
+    // lands under a clean message; the same WIP message on a non-matching
+    // branch passes the glob filter untouched. Deliveries are counted for
+    // this action only and every payload is checked to carry branch "main".
+    "vc_actions_guard" -> (((s: SparkSession, d: String) => {
+      val dir = s"target/vc_actions_repo_${math.abs(d.hashCode)}"
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(dir), s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+      val eng = new graft.store.Engine(s, dir, raggedness = 5000)
+      val base = Fixtures.keyedBase(s, d)
+      val ident = sha2(concat_ws("|",
+        col("key"), col("qty"), col("price_c"), col("rf"), col("ls")), 256)
+      eng.init("main", Some(base))
+      graft.store.Actions.clearDeliveries()
+      graft.store.Actions.register(eng.hooks, s, graft.store.Actions.ActionConf(
+        "oracle guard",
+        Map(graft.store.Hooks.PreCommit -> Seq("main")),
+        Seq(
+          graft.store.Actions.HookConf("no_wip", "sql_check",
+            Map("expr" -> "NOT message LIKE 'WIP%'")),
+          graft.store.Actions.HookConf("notify", "webhook",
+            Map("url" -> "http://example.invalid/hook")))))
+      eng.stage("main", base.where(col("k") % 100 === 5)
+        .withColumn("price_c", col("price_c") + 10).withColumn("identity", ident))
+      eng.commit("main", "driver", "add five")
+      eng.stage("main", base.where(col("k") % 100 === 9)
+        .withColumn("price_c", col("price_c") + 20).withColumn("identity", ident))
+      val blocked =
+        try { eng.commit("main", "driver", "WIP: nine"); 0L }
+        catch { case _: Exception => 1L }
+      eng.commit("main", "driver", "nine done") // epoch survived the abort
+      eng.createBranch("scratch", "main")
+      eng.stage("scratch", base.where(col("k") % 100 === 13)
+        .withColumn("price_c", col("price_c") + 30).withColumn("identity", ident))
+      eng.commit("scratch", "driver", "WIP: off-main passes the glob")
+      val dels = graft.store.Actions.deliveries.filter(_._1 == "oracle guard")
+      val mainOnly = dels.forall(_._4.contains("\"branch_id\":\"main\""))
+      eng.list("main").select("key", "identity", "qty", "price_c")
+        .withColumn("n_blocked", lit(blocked))
+        .withColumn("n_deliveries", lit(dels.size.toLong))
+        .withColumn("payloads_main_only", lit(if (mainOnly) 1L else 0L))
+        .orderBy("key")
+    }),
+      Some(s"""$prelude
+        SELECT lpad(CAST(k AS VARCHAR),12,'0') AS key,
+               ${identSql("lpad(CAST(k AS VARCHAR),12,'0')", "qty", "price_c", "rf", "ls")} AS identity,
+               qty, price_c,
+               CAST(1 AS BIGINT) AS n_blocked,
+               CAST(2 AS BIGINT) AS n_deliveries,
+               CAST(1 AS BIGINT) AS payloads_main_only
+        FROM (
+          SELECT k, qty,
+                 CASE WHEN k%100=5 THEN price_c+10
+                      WHEN k%100=9 THEN price_c+20
+                      ELSE price_c END AS price_c,
+                 rf, ls
+          FROM L
+        ) ORDER BY key"""))
   )
 }
