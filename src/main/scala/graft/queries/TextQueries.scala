@@ -1144,6 +1144,42 @@ object TextQueries {
           FROM h)
         SELECT CAST(rank AS BIGINT) AS rank, doc_id, hkey,
                CAST(shard AS BIGINT) AS shard
-        FROM r WHERE rank <= 50 ORDER BY rank"""))
+        FROM r WHERE rank <= 50 ORDER BY rank""")),
+
+    // PII scrub (the redaction pass every public-corpus pipeline runs before
+    // training): regex-mask emails and NANP phone numbers, report per-doc
+    // match counts. The fixture text carries no '@' or digit runs (verified),
+    // so deterministic PII is INJECTED per doc — an email always, a phone
+    // for doc_id%3!=0 — and the oracle builds the expected masked string by
+    // pure concatenation, no regex: Spark's scrub must reproduce it byte-for-
+    // byte, so over- and under-matching both fail the hash. One codegen'd
+    // projection per doc — embarrassingly parallel, no shuffle at any scale.
+    "td_pii_scrub" -> (((s: SparkSession, d: String) => {
+      val emailRe = "[A-Za-z0-9._%+\\-]+@[A-Za-z0-9.\\-]+\\.[A-Za-z]{2,}"
+      val phoneRe = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+      val injected = concat(
+        col("text"), lit(" contact user"), col("doc_id").cast("string"),
+        lit("@ex-ample.org"),
+        when(col("doc_id") % 3 === 0, lit("")).otherwise(concat(
+          lit(" call 555-867-"),
+          lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"))),
+        lit(" end"))
+      Fixtures.documents(s, d)
+        .select(col("doc_id"), injected.as("t"))
+        .select(col("doc_id"),
+          regexp_replace(regexp_replace(col("t"), emailRe, "[EMAIL]"),
+            phoneRe, "[PHONE]").as("text_scrubbed"),
+          regexp_count(col("t"), lit(emailRe)).cast("long").as("n_emails"),
+          regexp_count(col("t"), lit(phoneRe)).cast("long").as("n_phones"))
+        .orderBy("doc_id")
+    }),
+      Some("""
+        SELECT doc_id,
+               text || ' contact [EMAIL]' ||
+                 CASE WHEN doc_id%3=0 THEN '' ELSE ' call [PHONE]' END ||
+                 ' end' AS text_scrubbed,
+               CAST(1 AS BIGINT) AS n_emails,
+               CAST(CASE WHEN doc_id%3=0 THEN 0 ELSE 1 END AS BIGINT) AS n_phones
+        FROM documents ORDER BY doc_id"""))
   )
 }
