@@ -941,6 +941,67 @@ object VersionControlQueries {
                       ELSE price_c END AS price_c,
                  rf, ls
           FROM L
-        ) ORDER BY key"""))
+        ) ORDER BY key""")),
+
+    // §2.1 S7+S8+S9 GC sinks oracle-checked by READING THEM BACK: a live
+    // repo (root=C1, head=C2, one staged-but-uncommitted epoch), retention 1
+    // day, gcRun driven with a clock 30 days ahead. The commits CSV must
+    // flag C1 expired and keep C2 (first-beyond-cutoff on the head walk)
+    // active; the uncommitted inventory must list the staged epoch's files;
+    // the report's summary must agree with the sweep count; C1's unique
+    // ranges must actually be gone (its scan throws); and — the gold check —
+    // the head listing after the sweep still hash-matches the oracle, i.e.
+    // GC deleted dead ranges and nothing else.
+    "vc_gc_sinks" -> (((s: SparkSession, d: String) => {
+      val dir = s"target/vc_gcsinks_repo_${math.abs(d.hashCode)}"
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(dir), s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+      val eng = new graft.store.Engine(s, dir, raggedness = 5000)
+      val base = Fixtures.keyedBase(s, d)
+      val ident = sha2(concat_ws("|",
+        col("key"), col("qty"), col("price_c"), col("rf"), col("ls")), 256)
+      eng.init("main", Some(base))
+      eng.stage("main", Fixtures.keyedRightChanges(s, d))
+      eng.commit("main", "driver", "C2")
+      // uncommitted epoch: present in S8, invisible to the committed listing
+      eng.stage("main", base.where(col("k") % 100 === 11)
+        .withColumn("price_c", col("price_c") + 9).withColumn("identity", ident))
+      eng.refs.setGcRules(1)
+      val (nDeleted, reportBase) =
+        eng.gcRun("r1", nowSecs = System.currentTimeMillis() / 1000 + 30 * 86400L)
+      val headC = eng.refs.getCommit(eng.refs.getBranch("main").get).get
+      val rootId = headC.parents.head
+      val flags = s.read.option("header", "true")
+        .csv(s"$dir/retention/gc/commits/run_id=r1")
+        .collect().map(r => r.getString(0) -> (r.getString(1) == "true")).toMap
+      val c1Expired = if (flags(rootId)) 1L else 0L
+      val c2Active = if (!flags(headC.commitId)) 1L else 0L
+      val hasUncommitted =
+        if (s.read.parquet(s"$dir/retention/gc/uncommitted/run_id=r1").count() > 0) 1L else 0L
+      val summary = {
+        val in = fs.open(new org.apache.hadoop.fs.Path(s"$reportBase/summary.json"))
+        val b = new String(in.readAllBytes(), "UTF-8"); in.close(); b
+      }
+      val reportOk =
+        if (nDeleted > 0 && summary.contains(s""""num_deleted_objects":$nDeleted""")) 1L else 0L
+      val deadUnreadable =
+        try { eng.list("main~1").count(); 0L } catch { case _: Exception => 1L }
+      eng.list("main@").select("key", "identity", "qty", "price_c")
+        .withColumn("c1_expired", lit(c1Expired))
+        .withColumn("c2_active", lit(c2Active))
+        .withColumn("has_uncommitted", lit(hasUncommitted))
+        .withColumn("report_ok", lit(reportOk))
+        .withColumn("dead_unreadable", lit(deadUnreadable))
+        .orderBy("key")
+    }),
+      Some(s"""$prelude
+        SELECT key, identity, qty, price_c,
+               CAST(1 AS BIGINT) AS c1_expired,
+               CAST(1 AS BIGINT) AS c2_active,
+               CAST(1 AS BIGINT) AS has_uncommitted,
+               CAST(1 AS BIGINT) AS report_ok,
+               CAST(1 AS BIGINT) AS dead_unreadable
+        FROM rightv ORDER BY key"""))
   )
 }
