@@ -880,6 +880,30 @@ object VectorQueries {
           FROM a2 JOIN q USING (vec_id) CROSS JOIN range(1, 65) t(i)
           GROUP BY cid, i)
         SELECT cid, n, CAST(dim AS INT) AS dim, c
-        FROM c2e WHERE dim <= 4 ORDER BY cid, dim"""))
+        FROM c2e WHERE dim <= 4 ORDER BY cid, dim""")),
+
+    // Random projection (Johnson–Lindenstrauss): reduce 64-dim vectors to 16
+    // dims with the same deterministic ±1 hyperplanes the LSH path signs —
+    // here the PROJECTED VALUES themselves, the dimensionality-reduction
+    // step a pipeline runs before clustering/ANN when 64 dims is too wide.
+    // Integer-exact on quantized components (each y is a ±1-weighted BIGINT
+    // sum), so both engines agree bit-for-bit. One narrow map-side
+    // projection per row — no shuffle, codegen'd, trivially 100 TB-safe.
+    "emb_rand_proj" -> (((s: SparkSession, d: String) => {
+      val emb = Fixtures.embeddings(s, d)
+        .select(col("vec_id"), quantize(col("embedding")).as("q"))
+      emb.select(col("vec_id"),
+          posexplode(array((0 until 16).map(p => planeSum(col("q"), p)): _*))
+            .as(Seq("dim", "y")))
+        .orderBy("vec_id", "dim")
+    }),
+      Some(s"""
+        WITH q AS (SELECT vec_id, $qvecSql AS qv FROM embeddings),
+        proj AS (
+          SELECT vec_id, [${(0 until 16).map(planeSumSql).mkString(", ")}] AS ys
+          FROM q)
+        SELECT vec_id, CAST(i AS INT) AS dim, ys[i+1] AS y
+        FROM proj, range(0, 16) t(i)
+        ORDER BY vec_id, dim"""))
   )
 }
