@@ -64,6 +64,36 @@ class Catalog(val spark: SparkSession, val rootDir: String,
     RepoInfo(id, ns, now, defaultBranch, readOnly)
   }
 
+  /** CreateBareRepository (`pkg/catalog/catalog.go` CreateBareRepository,
+    * `graveler.go:421-437`): record a repository WITHOUT seeding an initial
+    * commit or branch head — the disaster-recovery entry point: point a bare
+    * record at a namespace whose range/manifest data survived a lost refs
+    * store, then [[Engine.loadRefs]] a dump to rebuild heads/tags/commits. */
+  def createBareRepository(id: String, namespace: String = "",
+      defaultBranch: String = "main",
+      readOnly: Boolean = false): RepoInfo = this.synchronized {
+    require(id.matches("[a-z0-9][a-z0-9-]*"), s"invalid repository id: $id")
+    val repos = readKv()
+    require(!repos.contains(id), s"repository $id already exists")
+    val ns = if (namespace.nonEmpty) namespace else s"$rootDir/$id"
+    require(!ns.exists(c => c == '|' || c == '\t' || c == '\n'),
+      s"namespace must not contain '|', tab or newline: $ns")
+    require(!defaultBranch.exists(c => c == '|' || c == '\t' || c == '\n'),
+      s"default branch must not contain '|', tab or newline: $defaultBranch")
+    val existing = repos.values.map(_.split('|')(0))
+    existing.foreach { other =>
+      require(other != ns && !ns.startsWith(other + "/") && !other.startsWith(ns + "/"),
+        s"namespace $ns overlaps existing namespace $other")
+    }
+    val now = System.currentTimeMillis() / 1000
+    val eng = new Engine(spark, ns, raggedness)
+    eng.readOnly = readOnly
+    engines(id) = eng
+    val ro = if (readOnly) "ro" else ""
+    writeKv(repos + (id -> s"$ns|$defaultBranch|$now|$ro"))
+    RepoInfo(id, ns, now, defaultBranch, readOnly)
+  }
+
   def getRepository(id: String): RepoInfo =
     readKv().get(id).map(dec(id, _)).getOrElse(sys.error(s"no repository $id"))
 

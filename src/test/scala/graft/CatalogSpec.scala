@@ -24,6 +24,34 @@ class CatalogSpec extends SparkSpec {
     intercept[IllegalArgumentException] { cat.listRepositoriesPage(limit = 0) }
   }
 
+  test("catalog: bare repository restores a lost refs store from a dump") {
+    val root = tmpDir("catbare")
+    val cat = new Catalog(spark, root, raggedness = 100)
+    cat.createRepository("src", initial = Some(rows(20, "s")))
+    val src = cat.repo("src")
+    src.set("main", "k0001", "EDITED")
+    src.commit("main", "t", "C2")
+    src.createTag("v1", "main")
+    val dump = tmpDir("catbare_dump")
+    src.dumpRefs(dump)
+    val ns = cat.getRepository("src").storageNamespace
+    // catalog record lost, refs store wrecked — range/manifest data survives
+    cat.deleteRepository("src", wipe = false)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(ns), spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$ns/refs"), true)
+    // bare repo: a record over the surviving namespace, NO seeded commit
+    cat.createBareRepository("restored", namespace = ns)
+    val eng = cat.repo("restored")
+    intercept[RuntimeException] { eng.list("main") } // no heads before restore
+    eng.loadRefs(dump)
+    val got = eng.list("main").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got("k0001") === "EDITED" && got.size === 20)
+    assert(eng.refs.tags.get("v1") === eng.refs.getBranch("main"))
+    assert(eng.log("main").size === 2)
+  }
+
   test("catalog: create/get/list/delete with isolated namespaces") {
     val root = tmpDir("catalog")
     val cat = new Catalog(spark, root, raggedness = 100)
