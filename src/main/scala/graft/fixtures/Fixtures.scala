@@ -26,8 +26,20 @@ object Fixtures {
     spark.read.parquet(s"$sfDir/orders.parquet")
   def part(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(s"$sfDir/part.parquet")
-  def events(spark: SparkSession, sfDir: String): DataFrame =
-    spark.read.parquet(s"$sfDir/events.parquet")
+  /** The events stream table, with `ts` normalized to BIGINT epoch
+    * nanoseconds. The generator has shipped `ts` both as int64 nanoseconds
+    * (which Spark reads as plain LongType) and as `timestamp[us]` (which
+    * Spark reads as TIMESTAMP_NTZ); every event query and its DuckDB oracle
+    * computes over `epoch_ns`-style integers, so the representation is
+    * pinned here — sessions run in UTC, making the NTZ→epoch cast exact. */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    val df = spark.read.parquet(s"$sfDir/events.parquet")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => df
+      case _ =>
+        df.withColumn("ts", expr("unix_micros(cast(ts as timestamp)) * 1000L"))
+    }
+  }
   def documents(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(s"$sfDir/documents.parquet")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame =

@@ -642,6 +642,23 @@ class SnapshotStore(val spark: SparkSession, val repoDir: String,
            r.getAs[Int]("__chunk"))
         }
     }
+    // Observed-metrics twin of statsOf: same RangeInfo rows, read from the
+    // CollectMetrics result of the staged write instead of a second job.
+    // Long wrap-around sums ARE the mod-2^64 stream sums, so `%016x` of the
+    // raw Long (Java formats negatives as unsigned two's complement hex)
+    // equals statsOf's BigInteger hi/lo recombination bit-for-bit.
+    def manifestFromObserved(
+        obs: org.apache.spark.sql.Observation): Array[(RangeInfo, Int)] = {
+      val raw = obs.get("stats")
+      raw.asInstanceOf[scala.collection.Seq[Row]].iterator.map { r =>
+        val chunk = r.getInt(0)
+        val rid = String.format("%016x", r.getLong(1)) +
+          String.format("%016x", r.getLong(2))
+        (RangeInfo(rid, r.getString(3), r.getString(4), r.getLong(6),
+          r.getLong(5), s"$rangesDir/$rid"), chunk)
+      }.toArray
+    }
+
     def renameMissing(missing: Seq[(RangeInfo, Int)]): Unit =
       tr("renames")(SnapshotStore.inParallel(missing) { case (ri, chunkIdx) =>
         val src = new Path(s"$stagingPath/__chunk=$chunkIdx")
@@ -654,65 +671,57 @@ class SnapshotStore(val spark: SparkSession, val repoDir: String,
     // staging dir — stats-agg failures, staged-write failures, and rename
     // errors must not leak __staging_* dirs under ranges/
     try {
-      if (eagerStage && !freshStore) {
-        // Commit path (caller hints the chunks are almost certainly new):
-        // stage the write FIRST — the apply pipeline streams through one
-        // shuffle-sort-write pass with no cache materialization — then the
-        // manifest stats come from the STAGED files, a column-pruned read
-        // of (key, identity) over page-cache-warm parquet, instead of a
-        // second full pass over the source. Existing chunks are still
-        // skipped at rename time.
-        tr("stage_write")(stageAll(withChunk, approxChunks))
-        val anyChunk = fs.exists(new Path(stagingPath)) &&
-          fs.listStatus(new Path(stagingPath))
-            .exists(_.getPath.getName.startsWith("__chunk="))
-        if (!anyChunk) return Seq.empty
-        // explicit cast: __chunk comes back as a partition column whose
-        // type depends on session-level inference settings
-        val manifest = tr("stats_agg")(statsOf(spark.read.parquet(stagingPath)
-          .withColumn("__chunk", col("__chunk").cast("int"))))
-        val missing = SnapshotStore.inParallel(manifest.toSeq) { p =>
-          (p, fs.exists(new Path(p._1.path)))
-        }.collect { case (p, exists) if !exists => p }
+      if (eagerStage || freshStore) {
+        // One-pass shapes — a `CollectMetrics` (df.observe) of the typed
+        // per-chunk stats aggregate rides the staged write's scan stage, so
+        // content ids and manifest stats land with the write itself:
+        //  - commit path (caller hints the chunks are almost certainly
+        //    new): the apply pipeline streams through the single
+        //    shuffle-sort-write pass, no cache materialization, no staged
+        //    readback; chunks whose content address already exists are
+        //    still skipped at rename time;
+        //  - fresh store: every chunk is missing by construction — the
+        //    previous shape ran stats and write as two concurrent jobs
+        //    over the same cached source (wall = max of the two); the
+        //    observed write is ONE job over one scan.
+        val obs = org.apache.spark.sql.Observation(
+          "chunk_stats_" + java.util.UUID.randomUUID())
+        tr("stage_write")(stageAll(
+          withChunk.observe(obs, graft.functions.ChunkStatsAggregator.statsCol
+            .as("stats")), approxChunks))
+        val manifest = tr("stats_obs")(manifestFromObserved(obs))
+        if (manifest.isEmpty) return Seq.empty
+        val missing =
+          if (freshStore) manifest.toSeq
+          else SnapshotStore.inParallel(manifest.toSeq) { p =>
+            (p, fs.exists(new Path(p._1.path)))
+          }.collect { case (p, exists) if !exists => p }
         renameMissing(missing)
         return manifest.map(_._1).sortBy(_.minKey).toSeq
       }
 
-      // fresh store: every chunk is missing by construction, so the full
-      // staged write runs on a second driver thread while the stats agg
-      // runs over the (cached) source — wall-clock is max(stats, write)
-      val eagerWrite: Option[java.util.concurrent.Future[_]] =
-        if (freshStore) Some(SnapshotStore.ioPool.submit(new Runnable {
-          def run(): Unit = tr("eager_write")(stageAll(withChunk, approxChunks))
-        })) else None
+      // Existing store, no new-content hint (idempotent re-write of a
+      // snapshot that is mostly already on disk): stats first, then ONLY
+      // chunks whose content-addressed directory doesn't exist are written.
+      // An unchanged chunk costs a hash-agg and nothing else — the
+      // whole-range reuse discipline of the reference's content-addressed
+      // uploads (`pkg/graveler/sstable/writer.go`, `committed/commit.go`).
+      val manifest = tr("stats_agg")(statsOf(withChunk))
+      if (manifest.isEmpty) return Seq.empty
 
-      val manifest =
-        try tr("stats_agg")(statsOf(withChunk))
-        catch { case e: Throwable => eagerWrite.foreach(_.cancel(true)); throw e }
-      if (manifest.isEmpty) {
-        eagerWrite.foreach(_.get())
-        return Seq.empty
-      }
-
-      val missing =
-        if (freshStore) manifest.toSeq
-        else SnapshotStore.inParallel(manifest.toSeq) { p =>
-          (p, fs.exists(new Path(p._1.path)))
-        }.collect { case (p, exists) if !exists => p }
+      val missing = SnapshotStore.inParallel(manifest.toSeq) { p =>
+        (p, fs.exists(new Path(p._1.path)))
+      }.collect { case (p, exists) if !exists => p }
       if (missing.nonEmpty) {
-        eagerWrite match {
-          case Some(f) => tr("eager_join")(f.get()) // staged concurrently with the stats agg
-          case None =>
-            // write only the missing chunks; when the filter wouldn't prune
-            // anything (full rewrite) skip it so the scan stays predicate-free
-            val missingIdx = missing.map(_._2)
-            val toWrite =
-              if (missing.length == manifest.length) withChunk
-              else withChunk.where(col("__chunk").isInCollection(missingIdx))
-            stageAll(toWrite, missing.length)
-        }
+        // write only the missing chunks; when the filter wouldn't prune
+        // anything (full rewrite) skip it so the scan stays predicate-free
+        val missingIdx = missing.map(_._2)
+        val toWrite =
+          if (missing.length == manifest.length) withChunk
+          else withChunk.where(col("__chunk").isInCollection(missingIdx))
+        stageAll(toWrite, missing.length)
         renameMissing(missing)
-      } else eagerWrite.foreach(_.get())
+      }
       manifest.map(_._1).sortBy(_.minKey).toSeq
     } finally tr("staging_del")(fs.delete(new Path(stagingPath), true))
   }
