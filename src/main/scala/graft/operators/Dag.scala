@@ -46,6 +46,33 @@ object Dag {
     seen.toSet
   }
 
+  /** G4 modifier-chain resolution (`pkg/graveler/ref/parse_ref.go:11-47`,
+    * `resolve_ref.go:94-118`) against an in-memory commit graph: `~N` walks
+    * N first parents, `^N` selects the Nth parent (1-based), `^0` is the
+    * commit itself. Returns None when a walk falls off the graph or the
+    * parent ordinal is out of range — the reference's ErrNotFound /
+    * ErrInvalidRef cases. Pointer-chases the metadata-scale graph like every
+    * walk here. */
+  def resolveModifiers(g: Map[String, CommitRow], base: String,
+      mods: String): Option[String] = {
+    if (!mods.matches("(?:[~^][0-9]*)*")) return None
+    var cur: Option[String] = if (g.contains(base)) Some(base) else None
+    "([~^])([0-9]*)".r.findAllMatchIn(mods).foreach { m =>
+      val n = if (m.group(2).isEmpty) 1 else m.group(2).toInt
+      m.group(1) match {
+        case "~" =>
+          var i = 0
+          while (i < n && cur.isDefined) {
+            cur = cur.flatMap(g.get).flatMap(_.parents.headOption); i += 1
+          }
+        case "^" if n == 0 => // ^0 names the commit itself
+        case "^" =>
+          cur = cur.flatMap(g.get).flatMap(_.parents.lift(n - 1))
+      }
+    }
+    cur
+  }
+
   /**
    * G1: commit log — all commits reachable from `head`, newest first
    * (CreationDate desc, tie → larger id; `commit_iterator.go:39-45`).

@@ -522,6 +522,36 @@ object EventQueries {
         SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
                CAST(sum(CASE WHEN rm IS NOT NULL AND tsec < rm - 600
                              THEN 1 ELSE 0 END) AS BIGINT) AS n_late
-        FROM c GROUP BY 1 ORDER BY 1"""))
+        FROM c GROUP BY 1 ORDER BY 1""")),
+
+    // Multi-level aggregation in one pass: event counts and value sums by
+    // (event_type, day) with ROLLUP — detail rows, per-type subtotals, and
+    // the grand total from a single shuffle (Spark expands grouping sets
+    // map-side; no second scan per level, which is why ROLLUP beats three
+    // separate groupBys at 100 TB). grouping_id disambiguates levels; both
+    // engines emit the standard bitmask (leftmost column = high bit).
+    "ev_rollup" -> (((s: SparkSession, d: String) => {
+      val ev = Fixtures.events(s, d).select(
+        col("event_type"),
+        expr("(ts div 1000000000) div 86400").as("day"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("value_c"))
+      ev.rollup(col("event_type"), col("day"))
+        .agg(grouping_id().cast("long").as("gid"),
+          count(lit(1)).cast("long").as("n_events"),
+          sum("value_c").cast("long").as("sum_value_c"))
+        .orderBy("gid", "event_type", "day")
+    }),
+      Some("""
+        WITH ev AS (
+          SELECT event_type,
+                 epoch_ns(ts) // 1000000000 // 86400 AS day,
+                 CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_c
+          FROM events)
+        SELECT event_type, day,
+               CAST(GROUPING(event_type, day) AS BIGINT) AS gid,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(value_c) AS BIGINT) AS sum_value_c
+        FROM ev GROUP BY ROLLUP(event_type, day)
+        ORDER BY gid, event_type, day"""))
   )
 }

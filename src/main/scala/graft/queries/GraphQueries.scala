@@ -171,6 +171,36 @@ object GraphQueries {
         b AS (SELECT 197 AS i UNION SELECT e.p FROM b x JOIN edges e ON e.i = x.i)
         SELECT CAST((SELECT count(*) FROM a WHERE i NOT IN (SELECT i FROM b)) AS BIGINT) AS ahead,
                CAST((SELECT count(*) FROM b WHERE i NOT IN (SELECT i FROM a)) AS BIGINT) AS behind,
-               CAST((SELECT count(*) FROM (SELECT i FROM a INTERSECT SELECT i FROM b)) AS BIGINT) AS common"""))
+               CAST((SELECT count(*) FROM (SELECT i FROM a INTERSECT SELECT i FROM b)) AS BIGINT) AS common""")),
+
+    // G4 ref-expression modifiers as data: every `~N`/`^N`/`^0` chain below
+    // reduces to "N first-parent hops from a start commit" (200^2 jumps to
+    // merge-parent 187; caret-1 IS a first-parent hop), which the oracle
+    // replays with one recursive first-parent CTE over {200, 187}.
+    "vc_ref_expr" -> (((s: SparkSession, d: String) => {
+      val g = Dag.collectGraph(commitsDf(s))
+      val exprs = Seq("~1", "~2", "~5", "~13", "~40", "^1", "^0", "^2",
+        "^2~3", "~1^1")
+      val schema = StructType(Seq(
+        StructField("expr", StringType), StructField("commit_id", StringType)))
+      val rows = exprs.map(e =>
+        Row(e, Dag.resolveModifiers(g, id(N), e).orNull))
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1), schema)
+        .orderBy("expr")
+    }),
+      Some(s"""
+        WITH RECURSIVE fp AS (
+          SELECT s AS start, 0 AS d, s AS i FROM (VALUES (200),(187)) t(s)
+          UNION ALL
+          SELECT start, d+1, CASE WHEN i%3=0 THEN i-2 ELSE i-1 END
+          FROM fp WHERE d < 40 AND i > 1
+        ),
+        ex(expr, start, d) AS (VALUES
+          ('~1',200,1), ('~2',200,2), ('~5',200,5), ('~13',200,13),
+          ('~40',200,40), ('^1',200,1), ('^0',200,0), ('^2',187,0),
+          ('^2~3',187,3), ('~1^1',200,2))
+        SELECT e.expr AS expr, lpad(CAST(f.i AS VARCHAR),4,'0') AS commit_id
+        FROM ex e JOIN fp f ON f.start = e.start AND f.d = e.d
+        ORDER BY expr"""))
   )
 }

@@ -1181,5 +1181,74 @@ object TextQueries {
                CAST(1 AS BIGINT) AS n_emails,
                CAST(CASE WHEN doc_id%3=0 THEN 0 ELSE 1 END AS BIGINT) AS n_phones
         FROM documents ORDER BY doc_id"""))
+  ,
+
+    // Unigram language-model scoring (the classic cheap LM-quality filter —
+    // KenLM-shaped but integer-exact): corpus unigram frequencies scaled to
+    // parts-per-million, each document scored by the MEAN scaled frequency
+    // of its tokens (ppm, floor division). Low scores = rare-token-heavy
+    // documents, the usual perplexity-proxy cut. The freq table is a
+    // groupBy on token (map-side combined) broadcast back onto the token
+    // stream — two shuffles on short keys, no driver loop, scales by token
+    // cardinality not corpus size.
+    "td_unigram_lm" -> (((s: SparkSession, d: String) => {
+      val toksDf = Fixtures.documents(s, d)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      val total = toksDf.count()
+      val freq = toksDf.groupBy("tok")
+        .agg(count(lit(1)).as("c"))
+        .select(col("tok"), expr(s"(c * 1000000L) div ${total}L").as("ppm"))
+      toksDf.join(broadcast(freq), Seq("tok"))
+        .groupBy("doc_id")
+        .agg(expr("sum(ppm) div count(1)").cast("long").as("lm_score"),
+          count(lit(1)).cast("long").as("n_tokens"))
+        .orderBy("doc_id")
+    }),
+      Some(s"""$docsSql,
+        tok AS (SELECT doc_id, unnest(toks) AS tok FROM docs),
+        n AS (SELECT CAST(count(*) AS BIGINT) AS total FROM tok),
+        freq AS (SELECT tok, CAST(count(*) AS BIGINT) * 1000000 // (SELECT total FROM n) AS ppm
+                 FROM tok GROUP BY tok)
+        SELECT t.doc_id,
+               CAST(sum(f.ppm) // count(*) AS BIGINT) AS lm_score,
+               CAST(count(*) AS BIGINT) AS n_tokens
+        FROM tok t JOIN freq f USING (tok)
+        GROUP BY t.doc_id ORDER BY t.doc_id""")),
+
+    // CCNet-style quality bucketing: rank documents by a deterministic
+    // quality proxy (distinct-token ratio in ppm, doc_id tiebreak) and
+    // split the corpus into head/middle/tail thirds with ntile. Bucket
+    // sizes and score bounds per bucket — the report that drives "keep
+    // head+middle, drop tail" curation. ntile is a single rank exchange on
+    // an integer score; at 100 TB the same plan holds (a total order on
+    // (score, doc_id) — computed here exactly as the reference report
+    // would, since bucketing is a one-off curation step).
+    "td_quality_buckets" -> (((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val scored = Fixtures.documents(s, d)
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .select(col("doc_id"),
+          expr("(CAST(size(array_distinct(toks)) AS BIGINT) * 1000000L)" +
+            " div CAST(size(toks) AS BIGINT)").as("ratio_ppm"))
+      val w = Window.orderBy(col("ratio_ppm").desc, col("doc_id").asc)
+      scored.withColumn("bucket", ntile(3).over(w).cast("long"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          min("ratio_ppm").as("min_ratio"), max("ratio_ppm").as("max_ratio"))
+        .orderBy("bucket")
+    }),
+      Some(s"""$docsSql,
+        scored AS (
+          SELECT doc_id,
+                 CAST(len(list_distinct(toks)) AS BIGINT) * 1000000
+                   // CAST(len(toks) AS BIGINT) AS ratio_ppm
+          FROM docs),
+        b AS (SELECT ratio_ppm,
+                     ntile(3) OVER (ORDER BY ratio_ppm DESC, doc_id ASC) AS bucket
+              FROM scored)
+        SELECT CAST(bucket AS BIGINT) AS bucket,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               min(ratio_ppm) AS min_ratio, max(ratio_ppm) AS max_ratio
+        FROM b GROUP BY bucket ORDER BY bucket"""))
   )
 }

@@ -383,7 +383,12 @@ class RefStore(rootDir: String) {
       case m(base, mods, tail) =>
         val isBranch = getBranch(base).isDefined
         if (tail.nonEmpty && (!isBranch || mods.nonEmpty)) return None
-        val start = getBranch(base).flatMap(getCommit)
+        // precedence (`resolve_ref.go:34`): a FULL commit hash wins over a
+        // same-named branch or tag; then branch, tag, and lastly hash-prefix
+        val fullHash =
+          if (base.matches("[0-9a-f]{64}")) loaded._2.get(base) else None
+        val start = fullHash
+          .orElse(getBranch(base).flatMap(getCommit))
           .orElse(tags.get(base).flatMap(getCommit))
           .orElse(getCommit(base))
         var cur = start
@@ -396,6 +401,7 @@ class RefStore(rootDir: String) {
               while (i < n && cur.isDefined) {
                 cur = cur.flatMap(_.parents.headOption).flatMap(getCommit); i += 1
               }
+            case "^" if n == 0 => // `^0` names the commit itself (resolve_ref.go:105-107)
             case "^" =>
               cur = cur.flatMap(c => c.parents.lift(n - 1)).flatMap(getCommit)
           }

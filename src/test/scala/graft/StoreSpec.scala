@@ -769,6 +769,14 @@ class StoreSpec extends SparkSpec {
     eng.refs.createTag("t1", c1.commitId)
     assert(eng.refs.resolveFull("t1$") === None)
 
+    // ^0 names the commit itself (resolve_ref.go:105-107); a FULL commit
+    // hash outranks a branch or tag of the same name (resolve_ref.go:34)
+    assert(eng.refs.resolveFull("main^0").get.commit.commitId === c2.commitId)
+    assert(eng.refs.resolveFull("main~1^0").get.commit.commitId === c1.commitId)
+    eng.refs.setBranch(c1.commitId, c2.commitId) // branch NAMED like c1's hash
+    assert(eng.refs.resolveFull(c1.commitId).get.commit.commitId === c1.commitId)
+    eng.refs.deleteBranch(c1.commitId)
+
     // right side `$`: committed diff c1..c2 overlaid with staged-vs-left
     val d = eng.diff(c1.commitId, "main$")
       .select("key", "diff_type").collect().map(r => (r.getString(0), r.getString(1))).toSet
