@@ -1003,5 +1003,98 @@ object VersionControlQueries {
                CAST(1 AS BIGINT) AS report_ok,
                CAST(1 AS BIGINT) AS dead_unreadable
         FROM rightv ORDER BY key"""))
+  ,
+
+    // T5 oracle-checked: every one of the 17 hook event types fires in
+    // facade order across a scripted branch/commit/merge/tag/revert/
+    // cherry-pick/delete session, pre-hooks abort (the final commit's
+    // PreCommit throws, so its PostCommit never fires), and post-hooks
+    // never re-enter (revert/cherry-pick/merge fire ONLY their own pair —
+    // no nested commit events). The recorder appends (seq, event); the
+    // oracle is the exact expected firing sequence.
+    "vc_hooks_fired" -> (((s: SparkSession, d: String) => {
+      val dir = s"target/vc_hooks_repo_${math.abs(d.hashCode)}"
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(dir), s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+      val eng = new graft.store.Engine(s, dir, raggedness = 5000)
+      val ident = sha2(concat_ws("|",
+        col("key"), col("qty"), col("price_c"), col("rf"), col("ls")), 256)
+      val base = Fixtures.keyedBase(s, d).where(col("k") < 3000)
+      eng.init("main", Some(base))
+      val fired = scala.collection.mutable.ArrayBuffer[String]()
+      graft.store.Hooks.allEventTypes.foreach { t =>
+        eng.hooks.register(t)(e => fired += e.eventType.toString)
+      }
+      def delta(m: Int) = base.where(col("k") % 100 === m)
+        .withColumn("price_c", col("price_c") + 7).withColumn("identity", ident)
+      eng.createBranch("dev", "main")
+      eng.stage("dev", delta(11)); eng.commit("dev", "t", "dev one")
+      eng.merge("dev", "main", "t", "merge dev")
+      eng.createTag("v1", "main")
+      eng.stage("dev", delta(31)); eng.commit("dev", "t", "dev two")
+      eng.revert("main", "main", "t", parentNumber = 1)
+      eng.cherryPick("main", "dev", "t")
+      eng.deleteTag("v1")
+      eng.deleteBranch("dev")
+      eng.hooks.register(graft.store.Hooks.PreCommit)(_ => sys.error("no"))
+      eng.stage("main", delta(51))
+      try eng.commit("main", "t", "aborted") catch { case _: Exception => () }
+      import s.implicits._
+      fired.toSeq.zipWithIndex
+        .map { case (e, i) => ((i + 1).toLong, e) }
+        .toDF("seq", "event").orderBy("seq")
+    }),
+      Some("""
+        SELECT CAST(seq AS BIGINT) AS seq, event FROM (VALUES
+          (1,'PreCreateBranch'), (2,'PostCreateBranch'),
+          (3,'PrepareCommit'), (4,'PreCommit'), (5,'PostCommit'),
+          (6,'PreMerge'), (7,'PostMerge'),
+          (8,'PreCreateTag'), (9,'PostCreateTag'),
+          (10,'PrepareCommit'), (11,'PreCommit'), (12,'PostCommit'),
+          (13,'PreRevert'), (14,'PostRevert'),
+          (15,'PreCherryPick'), (16,'PostCherryPick'),
+          (17,'PreDeleteTag'), (18,'PostDeleteTag'),
+          (19,'PreDeleteBranch'), (20,'PostDeleteBranch'),
+          (21,'PrepareCommit'), (22,'PreCommit')) t(seq, event)
+        ORDER BY seq""")),
+
+    // P5 oracle-checked: hidden branches (import/compaction internals,
+    // graveler.go:556) are invisible to default listings and pagination but
+    // resolvable by name and present under showHidden. Heads are compared
+    // by EQUALITY against main (content hashes aren't oracle-expressible).
+    "vc_hidden_branches" -> (((s: SparkSession, d: String) => {
+      val dir = s"target/vc_hidden_repo_${math.abs(d.hashCode)}"
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(dir), s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+      val eng = new graft.store.Engine(s, dir, raggedness = 5000)
+      val base = Fixtures.keyedBase(s, d).where(col("k") < 3000)
+      val head = eng.init("main", Some(base)).commitId
+      eng.createBranch("dev", "main")
+      eng.refs.setBranch("_import_tmp", head, None, hidden = true)
+      val visible = eng.refs.listBranches().keySet
+      val all = eng.refs.listBranches(showHidden = true)
+      val (pageRows, _) = eng.refs.listBranchesPage(limit = 10)
+      import s.implicits._
+      all.toSeq.sortBy(_._1).map { case (name, rec) =>
+        (name,
+          if (visible.contains(name)) 1L else 0L,
+          if (pageRows.exists(_._1 == name)) 1L else 0L,
+          if (rec.commitId == head) 1L else 0L,
+          if (eng.refs.resolve(name).isDefined) 1L else 0L)
+      }.toDF("branch", "visible", "paged", "head_is_main", "resolvable")
+        .orderBy("branch")
+    }),
+      Some("""
+        SELECT branch, CAST(visible AS BIGINT) AS visible,
+               CAST(paged AS BIGINT) AS paged,
+               CAST(head_is_main AS BIGINT) AS head_is_main,
+               CAST(resolvable AS BIGINT) AS resolvable
+        FROM (VALUES
+          ('_import_tmp', 0, 0, 1, 1),
+          ('dev', 1, 1, 1, 1),
+          ('main', 1, 1, 1, 1)) t(branch, visible, paged, head_is_main, resolvable)
+        ORDER BY branch"""))
   )
 }
