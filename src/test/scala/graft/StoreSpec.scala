@@ -29,6 +29,23 @@ class StoreSpec extends SparkSpec {
     assert(back.size === 1000 && back("k000042") === "id42")
   }
 
+  test("observed-stats write agrees with the stats-job path on non-ASCII keys") {
+    import spark.implicits._
+    // the observed (one-pass) write compares min/max keys as UTF-8 bytes;
+    // the lazy stats job uses SQL min/max (UTF8String binary order) — the
+    // two must produce identical manifests for multi-byte and astral keys
+    val dir = tmpDir("uni")
+    val store = new SnapshotStore(spark, dir, raggedness = 7)
+    val keys = Seq("a/é", "z~1", "日本/k1", "🚀/astral", "Z. upper", "a/e",
+      "mixed/é日🚀", "0digit") ++ (1 to 300).map(i => f"p$i%04d/é$i")
+    val df = keys.map(k => (k, s"id-$k")).toDF("key", "identity")
+    val (m1, infos1) = store.writeSnapshot(df)   // fresh: observed path
+    val (m2, infos2) = store.writeSnapshot(df)   // existing: stats-job path
+    assert(m1 === m2)
+    assert(infos1 === infos2)
+    assert(infos1.map(_.count).sum === keys.size)
+  }
+
   test("validateSnapshot: passes a consistent manifest, rejects mixed schemas") {
     import spark.implicits._
     val dir = tmpDir("fsck")
