@@ -33,6 +33,9 @@ object Fixtures {
     * computes over `epoch_ns`-style integers, so the representation is
     * pinned here — sessions run in UTC, making the NTZ→epoch cast exact. */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
+    // the NANOS variant fails schema resolution outright without this —
+    // set it HERE so no caller can read the table first without it
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$sfDir/events.parquet")
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType => df

@@ -46,32 +46,40 @@ object Dag {
     seen.toSet
   }
 
-  /** G4 modifier-chain resolution (`pkg/graveler/ref/parse_ref.go:11-47`,
-    * `resolve_ref.go:94-118`) against an in-memory commit graph: `~N` walks
-    * N first parents, `^N` selects the Nth parent (1-based), `^0` is the
-    * commit itself. Returns None when a walk falls off the graph or the
-    * parent ordinal is out of range — the reference's ErrNotFound /
-    * ErrInvalidRef cases. Pointer-chases the metadata-scale graph like every
-    * walk here. */
-  def resolveModifiers(g: Map[String, CommitRow], base: String,
+  /** G4 modifier-chain walk (`pkg/graveler/ref/parse_ref.go:11-47`,
+    * `resolve_ref.go:94-118`), shared by the in-memory graph twin below and
+    * [[graft.store.RefStore]].resolveFull so the grammar cannot drift: `~N`
+    * walks N first parents, `^N` selects the Nth parent (1-based), `^0` is
+    * the commit itself. `parentsOf` returns None for an unknown commit —
+    * every hop INCLUDING the last is validated through it, so the result is
+    * always a resolvable id. Returns None on walk-off-graph, out-of-range
+    * parent ordinal, or a malformed/absurd modifier string (digit runs are
+    * capped at 9 — the reference's Atoi would reject past Int anyway). */
+  def walkModifiers(parentsOf: String => Option[Seq[String]], base: String,
       mods: String): Option[String] = {
-    if (!mods.matches("(?:[~^][0-9]*)*")) return None
-    var cur: Option[String] = if (g.contains(base)) Some(base) else None
+    if (!mods.matches("(?:[~^][0-9]{0,9})*")) return None
+    var cur: Option[String] =
+      if (parentsOf(base).isDefined) Some(base) else None
     "([~^])([0-9]*)".r.findAllMatchIn(mods).foreach { m =>
       val n = if (m.group(2).isEmpty) 1 else m.group(2).toInt
+      def hop(pick: Seq[String] => Option[String]): Unit =
+        cur = cur.flatMap(parentsOf).flatMap(pick)
+          .filter(id => parentsOf(id).isDefined)
       m.group(1) match {
         case "~" =>
           var i = 0
-          while (i < n && cur.isDefined) {
-            cur = cur.flatMap(g.get).flatMap(_.parents.headOption); i += 1
-          }
+          while (i < n && cur.isDefined) { hop(_.headOption); i += 1 }
         case "^" if n == 0 => // ^0 names the commit itself
-        case "^" =>
-          cur = cur.flatMap(g.get).flatMap(_.parents.lift(n - 1))
+        case "^" => hop(_.lift(n - 1))
       }
     }
     cur
   }
+
+  /** [[walkModifiers]] over a collected commit graph. */
+  def resolveModifiers(g: Map[String, CommitRow], base: String,
+      mods: String): Option[String] =
+    walkModifiers(id => g.get(id).map(_.parents), base, mods)
 
   /**
    * G1: commit log — all commits reachable from `head`, newest first

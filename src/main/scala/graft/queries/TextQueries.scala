@@ -1187,18 +1187,20 @@ object TextQueries {
     // KenLM-shaped but integer-exact): corpus unigram frequencies scaled to
     // parts-per-million, each document scored by the MEAN scaled frequency
     // of its tokens (ppm, floor division). Low scores = rare-token-heavy
-    // documents, the usual perplexity-proxy cut. The freq table is a
-    // groupBy on token (map-side combined) broadcast back onto the token
-    // stream — two shuffles on short keys, no driver loop, scales by token
-    // cardinality not corpus size.
+    // documents, the usual perplexity-proxy cut. TWO corpus passes total:
+    // one builds the (persisted, vocabulary-sized) count table — the corpus
+    // total is summed from it, never from a third scan — one joins it back
+    // onto the token stream; the join strategy is left to Catalyst/AQE
+    // because a 100 TB corpus's vocabulary can outgrow a broadcast.
     "td_unigram_lm" -> (((s: SparkSession, d: String) => {
       val toksDf = Fixtures.documents(s, d)
         .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-      val total = toksDf.count()
-      val freq = toksDf.groupBy("tok")
-        .agg(count(lit(1)).as("c"))
-        .select(col("tok"), expr(s"(c * 1000000L) div ${total}L").as("ppm"))
-      toksDf.join(broadcast(freq), Seq("tok"))
+      val counts = toksDf.groupBy("tok").agg(count(lit(1)).as("c"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val total = counts.agg(sum("c")).head().getLong(0)
+      val freq = counts.select(col("tok"),
+        expr(s"(c * 1000000L) div ${total}L").as("ppm"))
+      toksDf.join(freq, Seq("tok"))
         .groupBy("doc_id")
         .agg(expr("sum(ppm) div count(1)").cast("long").as("lm_score"),
           count(lit(1)).cast("long").as("n_tokens"))

@@ -381,32 +381,27 @@ class RefStore(rootDir: String) {
     val m = "^([^~^@$]+)((?:[~^][0-9]*)*)([@$]?)$".r
     ref match {
       case m(base, mods, tail) =>
-        val isBranch = getBranch(base).isDefined
-        if (tail.nonEmpty && (!isBranch || mods.nonEmpty)) return None
         // precedence (`resolve_ref.go:34`): a FULL commit hash wins over a
-        // same-named branch or tag; then branch, tag, and lastly hash-prefix
+        // same-named branch or tag — and then resolves as a PLAIN COMMIT
+        // ref: it never binds the branch (no staging overlay, no `@`/`$`);
+        // then branch, tag, and lastly hash-prefix
         val fullHash =
           if (base.matches("[0-9a-f]{64}")) loaded._2.get(base) else None
+        val isBranch = fullHash.isEmpty && getBranch(base).isDefined
+        if (tail.nonEmpty && (!isBranch || mods.nonEmpty)) return None
         val start = fullHash
           .orElse(getBranch(base).flatMap(getCommit))
           .orElse(tags.get(base).flatMap(getCommit))
           .orElse(getCommit(base))
-        var cur = start
-        val modRe = "([~^])([0-9]*)".r
-        modRe.findAllMatchIn(mods).foreach { mm =>
-          val n = if (mm.group(2).isEmpty) 1 else mm.group(2).toInt
-          mm.group(1) match {
-            case "~" =>
-              var i = 0
-              while (i < n && cur.isDefined) {
-                cur = cur.flatMap(_.parents.headOption).flatMap(getCommit); i += 1
-              }
-            case "^" if n == 0 => // `^0` names the commit itself (resolve_ref.go:105-107)
-            case "^" =>
-              cur = cur.flatMap(c => c.parents.lift(n - 1)).flatMap(getCommit)
-          }
+        // the modifier walk is the SHARED G4 grammar (`~N`/`^N`/`^0`,
+        // every hop validated, absurd digit runs rejected) — one
+        // implementation for the store and the DataFrame-graph twin
+        val resolved = start.flatMap { c =>
+          graft.operators.Dag.walkModifiers(
+            id => getCommit(id).map(_.parents), c.commitId, mods)
+            .flatMap(getCommit)
         }
-        cur.map(c => ResolvedRef(c,
+        resolved.map(c => ResolvedRef(c,
           if (isBranch && mods.isEmpty) Some(base) else None,
           staging = tail == "$", committedOnly = tail == "@"))
       case _ => None

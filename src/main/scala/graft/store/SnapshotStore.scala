@@ -537,15 +537,21 @@ class SnapshotStore(val spark: SparkSession, val repoDir: String,
       val w = Window.partitionBy("__pid").orderBy("key")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-      // the window runs once into cache; stats and data write read from it
-      val withChunk = marked
+      // One-pass shapes (fresh store / eager commit) read the chunk-assigned
+      // frame exactly once — caching it would materialize the whole slice
+      // for a single reader. Only the lazy existing-store shape (stats job
+      // first, then a write of the missing chunks) reads it twice.
+      val onePass = eagerStage || !fs.exists(new Path(rangesDir))
+      val withChunk0 = marked
         .join(broadcast(offDf), Seq("__pid"))
         .withColumn("__chunk", (sum("__is_cut").over(w) + col("__off")).cast("int"))
         .drop("__is_cut", "__pid", "__off")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val withChunk =
+        if (onePass) withChunk0
+        else withChunk0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // beyond-broadcast cut counts always dwarf the core count — no salting
       try writeChunks(withChunk, approxChunks = Int.MaxValue, eagerStage)
-      finally withChunk.unpersist()
+      finally if (!onePass) withChunk.unpersist()
     } finally marked.unpersist()
   }
 
@@ -553,24 +559,21 @@ class SnapshotStore(val spark: SparkSession, val repoDir: String,
    * Manifest stats + range-file write for an already-chunk-assigned source,
    * in one of three shapes chosen by store state and the caller's hint:
    *
-   * '''Fresh store''' (ranges dir absent — a first snapshot / initial
-   * import): no chunk can already exist, so the stats agg (map-side partial
-   * aggregation of the 128-bit content ids + manifest stats) and the full
-   * staged write run '''concurrently''' from two driver threads — Spark
-   * schedules both over the same (cached) source and wall-clock is
-   * max(stats, write), not the sum.
-   *
-   * '''`eagerStage` on an existing store''' (commitChanges: a touched range
-   * was touched because a change key lands in it, so its rewritten chunks
-   * almost certainly carry new content ids): the staged write runs FIRST —
-   * the caller's apply pipeline streams through the single
-   * shuffle-sort-write pass with no cache materialization — and the
-   * manifest stats then come from the '''staged files''', a column-pruned
-   * (key, identity) read of page-cache-warm parquet. One pass over the
-   * slice total, instead of materialize + stats + write. Chunks whose
-   * content address already exists are still skipped at rename time; a
-   * no-op change set costs one discarded staging dir (tradeoff documented
-   * at the call site).
+   * '''One-pass shapes''' — fresh store (ranges dir absent: no chunk can
+   * already exist) and `eagerStage` on an existing store (commitChanges: a
+   * touched range was touched because a change key lands in it, so its
+   * rewritten chunks almost certainly carry new content ids): the per-chunk
+   * stats aggregate ([[graft.functions.ChunkStatsAggregator]]) rides the
+   * staged write itself as a `CollectMetrics` (df.observe) placed AFTER the
+   * shuffle, inside the write job's result stage — content ids and manifest
+   * stats land with the write, no second job, no staged-file readback.
+   * Post-shuffle placement is correctness, not taste: Spark applies
+   * result-stage accumulator updates exactly once, while a map-stage
+   * aggregate would be re-merged when a fetch failure resubmits the map
+   * stage or speculation duplicates a task, silently corrupting the wrap-sum
+   * content ids. Chunks whose content address already exists are still
+   * skipped at rename time; a no-op change set costs one discarded staging
+   * dir (tradeoff documented at the commit call site).
    *
    * '''Otherwise''' (existing store, no hint): stats run first, then ONLY
    * chunks whose content-addressed directory doesn't already exist are
@@ -598,13 +601,20 @@ class SnapshotStore(val spark: SparkSession, val repoDir: String,
     // (multiple sorted files per range dir — readers take dirs). At scale
     // chunks >> cores, the salt degenerates to 1 and ranges stay one file.
     val salt = math.min(16, math.max(1, parts * 2 / math.max(1, approxChunks)))
-    def stageAll(df: DataFrame, nChunks: Int): Unit = df
-      .repartition(
-        // salted (few chunks): exactly one task wave at `parts`; unsalted
-        // (chunks >= cores): one task per missing chunk, capped
-        if (salt > 1) parts else math.max(1, math.min(nChunks, parts * 4)),
-        col("__chunk"), pmod(xxhash64(col("key")), lit(salt)))
-      .sortWithinPartitions("__chunk", "key")
+    def stageAll(df: DataFrame, nChunks: Int,
+        obs: Option[org.apache.spark.sql.Observation] = None): Unit = {
+      val shuffled = df
+        .repartition(
+          // salted (few chunks): exactly one task wave at `parts`; unsalted
+          // (chunks >= cores): one task per missing chunk, capped
+          if (salt > 1) parts else math.max(1, math.min(nChunks, parts * 4)),
+          col("__chunk"), pmod(xxhash64(col("key")), lit(salt)))
+        .sortWithinPartitions("__chunk", "key")
+      // the observed stats aggregate sits ABOVE the exchange — result-stage
+      // accumulators are exactly-once; a pre-shuffle placement would
+      // double-count on map-stage resubmission (fetch failure, speculation)
+      obs.fold(shuffled)(o => shuffled.observe(o,
+        graft.functions.ChunkStatsAggregator.statsCol.as("stats")))
       .write.mode(SaveMode.Overwrite)
       // commit algorithm v2: output files move into place at TASK commit
       // (parallel, on the executors) instead of a serial driver rename loop
@@ -614,6 +624,7 @@ class SnapshotStore(val spark: SparkSession, val repoDir: String,
       .option("mapreduce.fileoutputcommitter.algorithm.version", "2")
       .partitionBy("__chunk")
       .parquet(stagingPath)
+    }
 
     // Two independent unreduced 64-bit streams per row — chained multi-arg
     // xxhash64 (no row-level string concat); stream 2 swaps the argument
@@ -673,8 +684,9 @@ class SnapshotStore(val spark: SparkSession, val repoDir: String,
     try {
       if (eagerStage || freshStore) {
         // One-pass shapes — a `CollectMetrics` (df.observe) of the typed
-        // per-chunk stats aggregate rides the staged write's scan stage, so
-        // content ids and manifest stats land with the write itself:
+        // per-chunk stats aggregate rides the staged write's RESULT stage
+        // (post-shuffle, exactly-once — see stageAll), so content ids and
+        // manifest stats land with the write itself:
         //  - commit path (caller hints the chunks are almost certainly
         //    new): the apply pipeline streams through the single
         //    shuffle-sort-write pass, no cache materialization, no staged
@@ -686,9 +698,7 @@ class SnapshotStore(val spark: SparkSession, val repoDir: String,
         //    observed write is ONE job over one scan.
         val obs = org.apache.spark.sql.Observation(
           "chunk_stats_" + java.util.UUID.randomUUID())
-        tr("stage_write")(stageAll(
-          withChunk.observe(obs, graft.functions.ChunkStatsAggregator.statsCol
-            .as("stats")), approxChunks))
+        tr("stage_write")(stageAll(withChunk, approxChunks, Some(obs)))
         val manifest = tr("stats_obs")(manifestFromObserved(obs))
         if (manifest.isEmpty) return Seq.empty
         val missing =

@@ -791,8 +791,16 @@ class StoreSpec extends SparkSpec {
     assert(eng.refs.resolveFull("main^0").get.commit.commitId === c2.commitId)
     assert(eng.refs.resolveFull("main~1^0").get.commit.commitId === c1.commitId)
     eng.refs.setBranch(c1.commitId, c2.commitId) // branch NAMED like c1's hash
-    assert(eng.refs.resolveFull(c1.commitId).get.commit.commitId === c1.commitId)
+    val byHash = eng.refs.resolveFull(c1.commitId).get
+    assert(byHash.commit.commitId === c1.commitId)
+    // ...and resolves as a PLAIN COMMIT: no branch binding (no staging
+    // overlay through Engine.list/get), and @/$ tails are invalid on it
+    assert(byHash.branch === None)
+    assert(eng.refs.resolveFull(c1.commitId + "$") === None)
+    assert(eng.refs.resolveFull(c1.commitId + "@") === None)
     eng.refs.deleteBranch(c1.commitId)
+    // absurd digit runs resolve to None, never throw
+    assert(eng.refs.resolveFull("main~9999999999") === None)
 
     // right side `$`: committed diff c1..c2 overlaid with staged-vs-left
     val d = eng.diff(c1.commitId, "main$")
