@@ -1059,6 +1059,41 @@ object VersionControlQueries {
           (21,'PrepareCommit'), (22,'PreCommit')) t(seq, event)
         ORDER BY seq""")),
 
+    // T4 housekeeping oracle-checked: DeleteExpiredImports
+    // (`catalog.go:3177-3190`) drops FINISHED import records (completed or
+    // errored) older than the cutoff and never touches in-flight ones
+    // regardless of age. Four forged statuses cover the matrix; the output
+    // lists every id with kept/removed state.
+    "vc_import_expiry" -> (((s: SparkSession, d: String) => {
+      val dir = s"target/vc_impexp_repo_${math.abs(d.hashCode)}"
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(dir), s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+      val eng = new graft.store.Engine(s, dir, raggedness = 5000)
+      import graft.core.Model.ImportStatus
+      eng.refs.setImportStatus(ImportStatus("imp1", true, 10, None, None, None, 1000L))
+      eng.refs.setImportStatus(ImportStatus("imp2", false, 3, None, None, Some("boom"), 1500L))
+      eng.refs.setImportStatus(ImportStatus("imp3", false, 7, None, None, None, 1200L))
+      eng.refs.setImportStatus(ImportStatus("imp4", true, 20, None, None, None, 2010L))
+      val removed = eng.refs.deleteExpiredImports(2000L).toSet
+      val kept = eng.refs.importStatuses.map(_.id).toSet
+      import s.implicits._
+      Seq("imp1", "imp2", "imp3", "imp4").map { id =>
+        (id,
+          if (removed.contains(id)) "removed"
+          else if (kept.contains(id)) "kept" else "lost",
+          if (kept.contains(id)) 1L else 0L)
+      }.toDF("id", "state", "still_listed").orderBy("id")
+    }),
+      Some("""
+        SELECT id, state, CAST(still_listed AS BIGINT) AS still_listed
+        FROM (VALUES
+          ('imp1', 'removed', 0),
+          ('imp2', 'removed', 0),
+          ('imp3', 'kept', 1),
+          ('imp4', 'kept', 1)) t(id, state, still_listed)
+        ORDER BY id""")),
+
     // P5 oracle-checked: hidden branches (import/compaction internals,
     // graveler.go:556) are invisible to default listings and pagination but
     // resolvable by name and present under showHidden. Heads are compared
