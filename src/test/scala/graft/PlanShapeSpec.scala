@@ -27,7 +27,9 @@ class PlanShapeSpec extends SparkSpec {
     // inverted index: term-key aggregations + semi join, no pair join at all
     "td_postings",
     // dup-ngram fraction: shingle-keyed aggs + one shingle equi-join
-    "td_dupngram_frac")
+    "td_dupngram_frac",
+    // unigram LM: vocab-keyed agg + token equi-join, strategy left to AQE
+    "td_unigram_lm")
 
   test("LSH scale paths contain no all-pairs join") {
     scalePaths.foreach { name =>
@@ -131,6 +133,17 @@ class PlanShapeSpec extends SparkSpec {
         windows.foreach(w => assert(w.contains(partCol),
           s"$name contains a Window not partitioned by $partCol:\n$w"))
       }
+  }
+
+  test("ev_rollup plans ONE grouping-set aggregation, not one scan per level") {
+    val df = SparkEntry.queries("ev_rollup")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    // Spark lowers ROLLUP to Expand + a single hash aggregate pair; a
+    // union-of-groupBys shape would re-scan the events table per level
+    assert(plan.contains("Expand"), s"ev_rollup must expand grouping sets:\n${plan.take(1500)}")
+    val scans = plan.split("\n").count(l =>
+      l.contains("Scan parquet") && l.contains("events"))
+    assert(scans <= 1, s"ev_rollup scans events $scans times — one Expand pass expected")
   }
 
   test("td_shuffle: global head is TakeOrderedAndProject; rank windows the 50 survivors") {
