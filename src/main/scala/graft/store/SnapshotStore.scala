@@ -600,7 +600,11 @@ class SnapshotStore(val spark: SparkSession, val repoDir: String,
     // write parallelism is the chunk count; a key-hash salt restores it
     // (multiple sorted files per range dir — readers take dirs). At scale
     // chunks >> cores, the salt degenerates to 1 and ranges stay one file.
-    val salt = math.min(16, math.max(1, parts * 2 / math.max(1, approxChunks)))
+    // SPARK_GRAFT_SALT overrides for bench diagnosis only — measured at
+    // sf0.1/local[32]: salt 1 (fewer, larger files) loses ~35% write wall,
+    // salt 4 loses ~15%; the 2x-cores formula is the sweet spot
+    val salt = sys.env.get("SPARK_GRAFT_SALT").map(_.toInt).getOrElse(
+      math.min(16, math.max(1, parts * 2 / math.max(1, approxChunks))))
     def stageAll(df: DataFrame, nChunks: Int,
         obs: Option[org.apache.spark.sql.Observation] = None): Unit = {
       val shuffled = df
