@@ -72,6 +72,50 @@ object Listing {
       .agg(count(lit(1)).as("n_entries"))
   }
 
+  /**
+   * The S3 gateway's ListObjectsV2 page (P1+P2+P4+O2 composed;
+   * `pkg/gateway/operations/listobjects.go` — `ListObjectMaxKeys` = 1000):
+   * ONE lexicographic page interleaving rolled-up common prefixes and plain
+   * keys, strictly after `startAfter`, truncated at `maxKeys` with the
+   * continuation flag. Output (rn, name, entry_type, is_truncated), rn the
+   * 1-based page position.
+   *
+   * Scale shape: the roll-up is a map-side-combined distinct on derived
+   * names; the page is orderBy+limit(maxKeys+1) — TakeOrderedAndProject
+   * (per-partition bounded heaps), never a global sort. The final
+   * rank/truncation pass windows over the ALREADY-LIMITED ≤ maxKeys+1 rows
+   * (single tiny partition by construction, like the reference's in-memory
+   * response assembly).
+   */
+  def s3ListPage(
+      df: DataFrame,
+      prefix: String,
+      delimiter: String,
+      startAfter: Option[String],
+      maxKeys: Int,
+      keyCol: String = "key"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(maxKeys > 0 && maxKeys < Int.MaxValue, s"bad maxKeys: $maxKeys")
+    val in = prefixFilter(df, prefix, keyCol)
+    val rest = expr(s"substring($keyCol, ${prefix.length + 1})")
+    val pos = instr(rest, delimiter)
+    val name = when(pos > 0,
+      concat(lit(prefix), substring_index(rest, delimiter, 1), lit(delimiter)))
+      .otherwise(col(keyCol))
+    val typ = when(pos > 0, lit("common_prefix")).otherwise(lit("key"))
+    val entries = in.select(name.as("name"), typ.as("entry_type")).distinct()
+      .where(startAfter.map(a => col("name") > a).getOrElse(lit(true)))
+    val page = entries.orderBy("name").limit(maxKeys + 1)
+    val w = Window.orderBy("name")
+    val numbered = page.withColumn("rn", row_number().over(w).cast("long"))
+    val trunc = numbered.agg(
+      (max("rn") > maxKeys).cast("long").as("is_truncated"))
+    numbered.where(col("rn") <= maxKeys)
+      .crossJoin(broadcast(trunc))
+      .select("rn", "name", "entry_type", "is_truncated")
+      .orderBy("rn")
+  }
+
   /** P3: drop tombstones from a staged/combined listing
     * (`pkg/graveler/combined_iterator.go:136-167`). */
   def dropTombstones(df: DataFrame, identityCol: String = "identity"): DataFrame =

@@ -1059,6 +1059,42 @@ object VersionControlQueries {
           (21,'PrepareCommit'), (22,'PreCommit')) t(seq, event)
         ORDER BY seq""")),
 
+    // The S3 gateway's ListObjectsV2 page (listobjects.go, max-keys
+    // protocol): rolled-up common prefixes and PLAIN KEYS interleaved in
+    // one lexicographic page, strictly after the marker, truncated at
+    // maxKeys with the continuation flag. Flat keys "R/f<key>" are unioned
+    // under the "R/" prefix so the page genuinely interleaves both entry
+    // types (the fixture's 3-level paths alone are homogeneous per level).
+    "vc_s3_list_page" -> (((s: SparkSession, d: String) => {
+      val flat = Fixtures.keyedBase(s, d).where(col("k") % 97 === 3)
+        .select(concat(lit("R/f"), col("key")).as("key"))
+      val paths = Fixtures.pathKeyed(s, d).select("key").unionByName(flat)
+      Listing.s3ListPage(paths, "R/", "/", Some("R/F/"), 100)
+    }),
+      Some(s"""$prelude,
+        paths AS (
+          SELECT rf || '/' || ls || '/' || key AS key FROM base
+          UNION ALL
+          SELECT 'R/f' || key AS key FROM base WHERE k%97=3
+        ),
+        ent AS (
+          SELECT DISTINCT
+            CASE WHEN strpos(substr(key, 3), '/') > 0
+                 THEN 'R/' || split_part(substr(key, 3), '/', 1) || '/'
+                 ELSE key END AS name,
+            CASE WHEN strpos(substr(key, 3), '/') > 0
+                 THEN 'common_prefix' ELSE 'key' END AS entry_type
+          FROM paths WHERE key LIKE 'R/%'
+        ),
+        num AS (
+          SELECT name, entry_type, row_number() OVER (ORDER BY name) AS rn
+          FROM ent WHERE name > 'R/F/'
+        )
+        SELECT CAST(rn AS BIGINT) AS rn, name, entry_type,
+               CAST((SELECT CASE WHEN count(*) > 100 THEN 1 ELSE 0 END FROM num)
+                 AS BIGINT) AS is_truncated
+        FROM num WHERE rn <= 100 ORDER BY rn""")),
+
     // T4 housekeeping oracle-checked: DeleteExpiredImports
     // (`catalog.go:3177-3190`) drops FINISHED import records (completed or
     // errored) older than the cutoff and never touches in-flight ones
