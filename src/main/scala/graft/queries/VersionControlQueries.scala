@@ -1059,6 +1059,60 @@ object VersionControlQueries {
           (21,'PrepareCommit'), (22,'PreCommit')) t(seq, event)
         ORDER BY seq""")),
 
+    // Branch protection oracle-checked through the facade
+    // (`pkg/graveler/branch_protection.go` semantics): a protected branch
+    // (exact name AND glob rule) rejects staging writes and direct commits
+    // but ACCEPTS merges; unprotecting restores writes; an unprotected
+    // sibling is never affected. The merged content is listed so the
+    // "merge lands despite protection" path is data-checked, not just
+    // flag-checked.
+    "vc_protection" -> (((s: SparkSession, d: String) => {
+      val dir = s"target/vc_protect_repo_${math.abs(d.hashCode)}"
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(dir), s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+      val eng = new graft.store.Engine(s, dir, raggedness = 5000)
+      val ident = sha2(concat_ws("|",
+        col("key"), col("qty"), col("price_c"), col("rf"), col("ls")), 256)
+      val base = Fixtures.keyedBase(s, d)
+      eng.init("main", Some(base))
+      eng.createBranch("feat", "main")
+      eng.createBranch("release/1.0", "main")
+      eng.createBranch("scratch", "main")
+      eng.refs.protectBranch("main")
+      eng.refs.protectBranch("release/*")
+      def delta(m: Int) = base.where(col("k") % 100 === m)
+        .withColumn("price_c", col("price_c") + 500).withColumn("identity", ident)
+      def blocked(f: => Any): Long = try { f; 0L } catch { case _: Exception => 1L }
+      val stageBlocked = blocked(eng.stage("main", delta(5)))
+      val globBlocked = blocked(eng.stage("release/1.0", delta(5)))
+      val scratchOk = 1L - blocked(eng.stage("scratch", delta(7)))
+      // merge INTO the protected branch still lands
+      eng.stage("feat", delta(5)); eng.commit("feat", "t", "feat edit")
+      eng.merge("feat", "main", "t", "merge into protected")
+      // unprotect restores direct writes
+      eng.refs.unprotectBranch("main")
+      val unprotOk = 1L - blocked(eng.stage("main", delta(9)))
+      // `main@` pins the COMMITTED head: the just-staged (post-unprotect)
+      // epoch must not leak into the listing
+      eng.list("main@").select("key", "identity", "qty", "price_c")
+        .withColumn("stage_blocked", lit(stageBlocked))
+        .withColumn("glob_blocked", lit(globBlocked))
+        .withColumn("scratch_ok", lit(scratchOk))
+        .withColumn("unprotected_ok", lit(unprotOk))
+        .orderBy("key")
+    }),
+      Some(s"""$prelude
+        SELECT lpad(CAST(k AS VARCHAR),12,'0') AS key,
+               ${identSql("lpad(CAST(k AS VARCHAR),12,'0')", "qty", "CASE WHEN k%100=5 THEN price_c+500 ELSE price_c END", "rf", "ls")} AS identity,
+               qty,
+               CASE WHEN k%100=5 THEN price_c+500 ELSE price_c END AS price_c,
+               CAST(1 AS BIGINT) AS stage_blocked,
+               CAST(1 AS BIGINT) AS glob_blocked,
+               CAST(1 AS BIGINT) AS scratch_ok,
+               CAST(1 AS BIGINT) AS unprotected_ok
+        FROM L ORDER BY key""")),
+
     // The S3 gateway's ListObjectsV2 page (listobjects.go, max-keys
     // protocol): rolled-up common prefixes and PLAIN KEYS interleaved in
     // one lexicographic page, strictly after the marker, truncated at
