@@ -1217,6 +1217,46 @@ object TextQueries {
         FROM tok t JOIN freq f USING (tok)
         GROUP BY t.doc_id ORDER BY t.doc_id""")),
 
+    // Training-mixture planning with per-source epoch factors (the
+    // oversampling step every pretraining data recipe runs — e.g. 2.5
+    // epochs of a high-quality source, 0.4 of a noisy one): factors in
+    // TENTHS of an epoch; a doc contributes `f div 10` full copies plus one
+    // more iff `doc_id % 10 < f % 10` — deterministic fractional epochs
+    // with no RNG, so the plan is reproducible AND oracle-exact. Reports
+    // per-source doc counts, planned copies, and the achieved factor in
+    // tenths. One groupBy on source; the copy expansion itself would be a
+    // posexplode(sequence(...)) over the same arithmetic at write time.
+    "td_mixture" -> (((s: SparkSession, d: String) => {
+      val f = coalesce(element_at(
+        map(lit("src0"), lit(25L), lit("src1"), lit(10L), lit("src2"), lit(4L)),
+        col("source")), lit(10L))
+      Fixtures.documents(s, d)
+        .select(col("source"),
+          (floor(f / 10).cast("long") +
+            when(pmod(col("doc_id"), lit(10)) < f % 10, 1L).otherwise(0L))
+            .as("copies"))
+        .groupBy("source")
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum("copies").cast("long").as("n_copies"))
+        .withColumn("achieved_tenths",
+          expr("(n_copies * 10) div n_docs").cast("long"))
+        .orderBy("source")
+    }),
+      Some("""
+        WITH f AS (
+          SELECT source, doc_id,
+                 CASE source WHEN 'src0' THEN 25 WHEN 'src1' THEN 10
+                             WHEN 'src2' THEN 4 ELSE 10 END AS fac
+          FROM documents),
+        c AS (
+          SELECT source,
+                 fac // 10 + CASE WHEN doc_id % 10 < fac % 10 THEN 1 ELSE 0 END AS copies
+          FROM f)
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(copies) AS BIGINT) AS n_copies,
+               CAST((sum(copies) * 10) // count(*) AS BIGINT) AS achieved_tenths
+        FROM c GROUP BY source ORDER BY source""")),
+
     // CCNet-style quality bucketing: rank documents by a deterministic
     // quality proxy (distinct-token ratio in ppm, doc_id tiebreak) and
     // split the corpus into head/middle/tail thirds with ntile. Bucket
