@@ -97,7 +97,11 @@ object Listing {
     import org.apache.spark.sql.expressions.Window
     require(maxKeys > 0 && maxKeys < Int.MaxValue, s"bad maxKeys: $maxKeys")
     val in = prefixFilter(df, prefix, keyCol)
-    val rest = expr(s"substring($keyCol, ${prefix.length + 1})")
+    // Spark's substring counts CODE POINTS; String#length counts UTF-16
+    // units — align them or a supplementary-plane char in the prefix would
+    // shift the split by one
+    val rest = expr(
+      s"substring($keyCol, ${prefix.codePointCount(0, prefix.length) + 1})")
     val pos = instr(rest, delimiter)
     val name = when(pos > 0,
       concat(lit(prefix), substring_index(rest, delimiter, 1), lit(delimiter)))
@@ -106,12 +110,15 @@ object Listing {
     val entries = in.select(name.as("name"), typ.as("entry_type")).distinct()
       .where(startAfter.map(a => col("name") > a).getOrElse(lit(true)))
     val page = entries.orderBy("name").limit(maxKeys + 1)
+    // rank AND truncation from one pass over the <= maxKeys+1 page rows —
+    // a separate agg subtree cross-joined back would re-execute the
+    // roll-up and top-K a second time
     val w = Window.orderBy("name")
-    val numbered = page.withColumn("rn", row_number().over(w).cast("long"))
-    val trunc = numbered.agg(
-      (max("rn") > maxKeys).cast("long").as("is_truncated"))
-    numbered.where(col("rn") <= maxKeys)
-      .crossJoin(broadcast(trunc))
+    val whole = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    page.withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("is_truncated",
+        (max("rn").over(whole) > maxKeys).cast("long"))
+      .where(col("rn") <= maxKeys)
       .select("rn", "name", "entry_type", "is_truncated")
       .orderBy("rn")
   }

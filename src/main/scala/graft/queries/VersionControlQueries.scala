@@ -1092,7 +1092,10 @@ object VersionControlQueries {
       eng.merge("feat", "main", "t", "merge into protected")
       // unprotect restores direct writes
       eng.refs.unprotectBranch("main")
-      val unprotOk = 1L - blocked(eng.stage("main", delta(9)))
+      // residue 3 EXISTS in the fixture (k's last digit is a linenumber
+      // 1..7) — a non-existent residue would stage an empty epoch and make
+      // the main@ leak check below vacuous
+      val unprotOk = 1L - blocked(eng.stage("main", delta(3)))
       // `main@` pins the COMMITTED head: the just-staged (post-unprotect)
       // epoch must not leak into the listing
       eng.list("main@").select("key", "identity", "qty", "price_c")

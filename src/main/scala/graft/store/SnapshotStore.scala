@@ -602,9 +602,17 @@ class SnapshotStore(val spark: SparkSession, val repoDir: String,
     // chunks >> cores, the salt degenerates to 1 and ranges stay one file.
     // SPARK_GRAFT_SALT overrides for bench diagnosis only — measured at
     // sf0.1/local[32]: salt 1 (fewer, larger files) loses ~35% write wall,
-    // salt 4 loses ~15%; the 2x-cores formula is the sweet spot
-    val salt = sys.env.get("SPARK_GRAFT_SALT").map(_.toInt).getOrElse(
-      math.min(16, math.max(1, parts * 2 / math.max(1, approxChunks))))
+    // salt 4 loses ~15%; the 2x-cores formula is the sweet spot. The
+    // override is clamped to the formula's [1,16] bound (salt 0 would make
+    // pmod's divisor 0 → NULL salt keys) and fails fast on a non-integer.
+    val salt = sys.env.get("SPARK_GRAFT_SALT") match {
+      case Some(v) =>
+        val n = scala.util.Try(v.trim.toInt).getOrElse(
+          sys.error(s"SPARK_GRAFT_SALT must be an integer, got '$v'"))
+        math.min(16, math.max(1, n))
+      case None =>
+        math.min(16, math.max(1, parts * 2 / math.max(1, approxChunks)))
+    }
     def stageAll(df: DataFrame, nChunks: Int,
         obs: Option[org.apache.spark.sql.Observation] = None): Unit = {
       val shuffled = df

@@ -143,6 +143,9 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("Expand"), s"ev_rollup must expand grouping sets:\n${plan.take(1500)}")
     val scans = plan.split("\n").count(l =>
       l.contains("Scan parquet") && l.contains("events"))
+    // >= 1 keeps the matcher honest: if plan rendering stops naming the
+    // events path, the guard must fail loudly instead of passing on 0
+    assert(scans >= 1, s"scan matcher matched nothing:\n${plan.take(1500)}")
     assert(scans <= 1, s"ev_rollup scans events $scans times — one Expand pass expected")
   }
 
