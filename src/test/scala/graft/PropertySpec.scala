@@ -112,6 +112,38 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("s3ListPage = rolled-up names, sorted, after marker, capped — with an honest truncation flag") {
+    import graft.operators.Listing
+    // random path sets over a 2-level namespace: the page must equal the
+    // reference model (distinct rolled-up names in lex order after the
+    // marker, first maxKeys, truncated iff more remained)
+    val pathGen = Gen.listOf(Gen.zip(
+      Gen.oneOf("a", "b", "c"), Gen.chooseNum(0, 25), Gen.oneOf(true, false)))
+      .map(_.map { case (d, i, deep) =>
+        if (deep) f"p/$d/k$i%02d" else f"p/f$i%02d" }.distinct)
+    samples(pathGen, N).filter(_.nonEmpty).foreach { paths =>
+      import spark.implicits._
+      val dfp = paths.toDF("key")
+      val maxKeys = 4
+      val marker = Some("p/a/")
+      val model = paths
+        .map { p =>
+          val rest = p.drop(2)
+          if (rest.contains("/")) ("p/" + rest.takeWhile(_ != '/') + "/", "common_prefix")
+          else (p, "key")
+        }.distinct
+        .filter(_._1 > marker.get)
+        .sortBy(_._1)
+      val expectTrunc = if (model.size > maxKeys) 1L else 0L
+      val got = Listing.s3ListPage(dfp, "p/", "/", marker, maxKeys)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      assert(got.map(g => (g._2, g._3)).toSeq === model.take(maxKeys),
+        s"page mismatch for $paths")
+      assert(got.map(_._1).toSeq === (1L to got.length.toLong), s"rank gap for $paths")
+      assert(got.forall(_._4 == expectTrunc), s"truncation flag for $paths")
+    }
+  }
+
   test("CutIndex binary search equals the naive linear count") {
     import org.apache.spark.unsafe.types.UTF8String
     val keyGen = Gen.listOfN(12, Gen.alphaNumChar).map(_.mkString)
