@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * `lakectl local` sync planning (reference `pkg/local/diff.go`,
+ * `cmd/lakectl/cmd/local_status.go:70`): diff a local directory index
+ * against the remote state it was checked out from, merge with the remote
+ * base..head diff, and classify overlapping paths as conflicts.
+ *
+ * The reference streams a sorted S3-style walk against a paged remote
+ * listing (`DiffLocalWithHead`, `diff.go:268-334`) and merge-sorts the two
+ * change lists (`Changes.MergeWith`, `diff.go:106-148`). Here each step is
+ * a full-outer equi-join on `path` — the same O(n log n) sort-merge shape,
+ * shuffle-parallel, so a 10⁸-file checkout plans as an ordinary SMJ
+ * instead of a driver-side iterator zip.
+ *
+ * Change semantics (diff.go):
+ *  - local diff: added (local only), removed (remote only), modified
+ *    (size or mtime differ, `hasLocalChange` diff.go:424-437); every row's
+ *    source is `local`.
+ *  - remote diff: the server's base..head diff with `changed` mapped to
+ *    `modified` (`ChangeTypeFromString`, diff.go:48-60), source `remote`.
+ *  - merge: same path in both lists → `conflict`, keeping the RECEIVER's
+ *    (local) source, matching `MergeStrategyNone` (diff.go:122-129).
+ *    `MergeStrategyThis`/`Other` pick a side instead.
+ *  - undo (diff.go:162-191): added→removed, modified→modified,
+ *    removed→modified (re-download), source flipped; conflicts have no
+ *    undo.
+ */
+object LocalSync {
+
+  /** Local-vs-head diff. Inputs: (path, size_bytes, mtime) for the remote
+    * listing at the index's base ref and for the local directory walk.
+    * Output: (path, source='local', change_type) sorted-by-path plan rows. */
+  def diffLocalWithHead(remoteAtBase: DataFrame, localIndex: DataFrame): DataFrame = {
+    val l = remoteAtBase.select(col("path"),
+      col("size_bytes").as("r_size"), col("mtime").as("r_mtime"))
+    val r = localIndex.select(col("path"),
+      col("size_bytes").as("l_size"), col("mtime").as("l_mtime"))
+    l.join(r, Seq("path"), "full_outer")
+      .withColumn("change_type",
+        when(col("r_size").isNull, lit("added"))
+          .when(col("l_size").isNull, lit("removed"))
+          .when(col("r_size") =!= col("l_size") ||
+            col("r_mtime") =!= col("l_mtime"), lit("modified")))
+      .where(col("change_type").isNotNull)
+      .select(col("path"), lit("local").as("source"), col("change_type"))
+  }
+
+  /** Remote base..head changes as sync-plan rows: `changed` → `modified`
+    * (diff.go:48-60). Input: [[Diff.twoWay]] output. */
+  def remoteChanges(diff: DataFrame): DataFrame =
+    diff.select(col("key").as("path"), lit("remote").as("source"),
+      when(col("diff_type") === "changed", "modified")
+        .otherwise(col("diff_type")).as("change_type"))
+
+  /** `Changes.MergeWith` (diff.go:106-148): same path on both sides →
+    * strategy: "none" = conflict with the receiver's (`a`'s) source,
+    * "this" = a's row, "other" = b's row. */
+  def mergeChanges(a: DataFrame, b: DataFrame, strategy: String = "none"): DataFrame = {
+    val l = a.select(col("path"), col("source").as("a_source"),
+      col("change_type").as("a_type"))
+    val r = b.select(col("path"), col("source").as("b_source"),
+      col("change_type").as("b_type"))
+    val joined = l.join(r, Seq("path"), "full_outer")
+    val (src, typ): (Column, Column) = strategy match {
+      case "this" =>
+        (coalesce(col("a_source"), col("b_source")),
+          coalesce(col("a_type"), col("b_type")))
+      case "other" =>
+        (coalesce(col("b_source"), col("a_source")),
+          coalesce(col("b_type"), col("a_type")))
+      case _ =>
+        (coalesce(col("a_source"), col("b_source")),
+          when(col("a_type").isNotNull && col("b_type").isNotNull, "conflict")
+            .otherwise(coalesce(col("a_type"), col("b_type"))))
+    }
+    joined.select(col("path"), src.as("source"), typ.as("change_type"))
+  }
+
+  /** Undo columns for a change row (diff.go:162-191): the reverse
+    * operation with the source flipped; conflicts get none. */
+  def withUndo(changes: DataFrame): DataFrame =
+    changes
+      .withColumn("undo_source",
+        when(col("change_type") === "conflict", lit(null).cast("string"))
+          .when(col("source") === "local", "remote").otherwise("local"))
+      .withColumn("undo_type",
+        when(col("change_type") === "conflict", lit(null).cast("string"))
+          .when(col("change_type") === "added", "removed")
+          .otherwise(lit("modified")))
+}

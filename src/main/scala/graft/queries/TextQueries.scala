@@ -1291,6 +1291,86 @@ object TextQueries {
         SELECT CAST(bucket AS BIGINT) AS bucket,
                CAST(count(*) AS BIGINT) AS n_docs,
                min(ratio_ppm) AS min_ratio, max(ratio_ppm) AS max_ratio
-        FROM b GROUP BY bucket ORDER BY bucket"""))
+        FROM b GROUP BY bucket ORDER BY bucket""")),
+
+    // Gopher/C4-style quality-rule battery (Rae et al. 2021 §A1.1, the
+    // MassiveText document filters): per-document boolean flags for word
+    // count, mean word length, symbol-to-word ratio, bullet/ellipsis line
+    // fractions, alphabetic-word fraction and stopword presence, plus the
+    // conjunction `keep`. All thresholds are evaluated as cross-multiplied
+    // integer comparisons (3*n <= sum <= 10*n etc.) — no floating point, so
+    // the DuckDB twin is bit-exact. One scan, all flags map-side; at corpus
+    // scale this is the pre-dedup gate that removes most of the volume
+    // before any shuffle-heavy stage runs.
+    "td_gopher_filters" -> (((s: SparkSession, d: String) => {
+      val docs = Fixtures.documents(s, d)
+      val toks = tokens(col("text"))
+      val lines = split(col("text"), "\n")
+      def occ(lit3: String) =
+        ((length(col("text")) - length(regexp_replace(col("text"),
+          java.util.regex.Pattern.quote(lit3), ""))) / lit3.length).cast("long")
+      val m = docs.select(
+        col("doc_id"),
+        size(toks).cast("long").as("n_words"),
+        aggregate(toks, lit(0L), (acc, t) => acc + length(t)).as("sum_len"),
+        (occ("#") + occ("...")).as("n_sym"),
+        size(lines).cast("long").as("n_lines"),
+        size(filter(lines, l =>
+          l.startsWith("-") || l.startsWith("*") || l.startsWith("•")))
+          .cast("long").as("n_bullet"),
+        size(filter(lines, l => l.endsWith("..."))).cast("long").as("n_ell"),
+        size(filter(toks, t => t.rlike("[A-Za-z]"))).cast("long").as("n_alpha"),
+        stopCount(col("text"),
+          Seq("the", "be", "to", "of", "and", "that", "have", "with")).as("n_stop"))
+      val flags = m
+        .withColumn("f_wc", (col("n_words") >= 50 && col("n_words") <= 100000).cast("long"))
+        .withColumn("f_mwl", (lit(3) * col("n_words") <= col("sum_len") &&
+          col("sum_len") <= lit(10) * col("n_words")).cast("long"))
+        .withColumn("f_sym", (lit(10) * col("n_sym") <= col("n_words")).cast("long"))
+        .withColumn("f_bullet", (lit(10) * col("n_bullet") <= lit(9) * col("n_lines")).cast("long"))
+        .withColumn("f_ell", (lit(10) * col("n_ell") <= lit(3) * col("n_lines")).cast("long"))
+        .withColumn("f_alpha", (lit(10) * col("n_alpha") >= lit(8) * col("n_words")).cast("long"))
+        .withColumn("f_stop", (col("n_stop") >= 2).cast("long"))
+      flags.withColumn("keep",
+          (col("f_wc") * col("f_mwl") * col("f_sym") * col("f_bullet") *
+            col("f_ell") * col("f_alpha") * col("f_stop")).cast("long"))
+        .select("doc_id", "n_words", "sum_len", "n_sym", "n_lines", "n_bullet",
+          "n_ell", "n_alpha", "n_stop", "f_wc", "f_mwl", "f_sym", "f_bullet",
+          "f_ell", "f_alpha", "f_stop", "keep")
+        .orderBy("doc_id")
+    }),
+      Some(s"""$docsSql,
+        m AS (
+          SELECT doc_id,
+                 CAST(len(toks) AS BIGINT) AS n_words,
+                 CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT) AS sum_len,
+                 CAST((length(text) - length(replace(text, '#', '')))
+                   + (length(text) - length(replace(text, '...', ''))) // 3 AS BIGINT) AS n_sym,
+                 CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+                 CAST(len(list_filter(string_split(text, chr(10)), l ->
+                   starts_with(l, '-') OR starts_with(l, '*') OR starts_with(l, chr(8226))))
+                   AS BIGINT) AS n_bullet,
+                 CAST(len(list_filter(string_split(text, chr(10)), l ->
+                   ends_with(l, '...'))) AS BIGINT) AS n_ell,
+                 CAST(len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]')))
+                   AS BIGINT) AS n_alpha,
+                 ${stopCountSql("text",
+                   Seq("the", "be", "to", "of", "and", "that", "have", "with"))} AS n_stop
+          FROM docs),
+        f AS (
+          SELECT *,
+                 CAST(n_words >= 50 AND n_words <= 100000 AS BIGINT) AS f_wc,
+                 CAST(3*n_words <= sum_len AND sum_len <= 10*n_words AS BIGINT) AS f_mwl,
+                 CAST(10*n_sym <= n_words AS BIGINT) AS f_sym,
+                 CAST(10*n_bullet <= 9*n_lines AS BIGINT) AS f_bullet,
+                 CAST(10*n_ell <= 3*n_lines AS BIGINT) AS f_ell,
+                 CAST(10*n_alpha >= 8*n_words AS BIGINT) AS f_alpha,
+                 CAST(n_stop >= 2 AS BIGINT) AS f_stop
+          FROM m)
+        SELECT doc_id, n_words, sum_len, n_sym, n_lines, n_bullet, n_ell,
+               n_alpha, n_stop, f_wc, f_mwl, f_sym, f_bullet, f_ell, f_alpha,
+               f_stop,
+               CAST(f_wc*f_mwl*f_sym*f_bullet*f_ell*f_alpha*f_stop AS BIGINT) AS keep
+        FROM f ORDER BY doc_id"""))
   )
 }

@@ -1223,6 +1223,71 @@ object VersionControlQueries {
           ('_import_tmp', 0, 0, 1, 1),
           ('dev', 1, 1, 1, 1),
           ('main', 1, 1, 1, 1)) t(branch, visible, paged, head_is_main, resolvable)
-        ORDER BY branch"""))
+        ORDER BY branch""")),
+
+    // `lakectl local` sync plan (pkg/local/diff.go + local_status.go:70):
+    // the local-directory-vs-base diff merged with the remote base..head
+    // diff, overlapping paths classified as conflicts, plus the Undo
+    // (reverse-operation) columns. Local edits: k%20==1 size-modified
+    // (overlaps remote-modified k%100==21 AND remote-removed k%100==1 →
+    // conflicts of both shapes), k%90==13 locally deleted, k%100==3 new
+    // local-only files. Both diffs and the merge are full-outer joins on
+    // path — the reference's sorted-walk zip, shuffle-parallel.
+    "vc_local_sync" -> (((s: SparkSession, d: String) => {
+      val base = Fixtures.keyedBase(s, d)
+      val remoteBase = base.select(col("key").as("path"),
+        col("price_c").as("size_bytes"), col("qty").as("mtime"))
+      val localIdx = base.where(!(col("k") % 90 === 13))
+        .select(col("key").as("path"),
+          when(col("k") % 20 === 1, col("price_c") + 1)
+            .otherwise(col("price_c")).as("size_bytes"),
+          col("qty").as("mtime"))
+        .unionByName(base.where(col("k") % 100 === 3)
+          .select(concat(col("key"), lit("_l")).as("path"),
+            col("price_c").as("size_bytes"), col("qty").as("mtime")))
+      val ldiff = LocalSync.diffLocalWithHead(remoteBase, localIdx)
+      val rdiff = LocalSync.remoteChanges(
+        Diff.twoWay(base, Fixtures.keyedRight(s, d)))
+      LocalSync.withUndo(LocalSync.mergeChanges(ldiff, rdiff))
+        .orderBy("path")
+    }),
+      Some(s"""$prelude,
+        rb AS (SELECT key AS path, price_c AS size_bytes, qty AS mtime FROM base),
+        li AS (
+          SELECT key AS path,
+                 CASE WHEN k%20=1 THEN price_c+1 ELSE price_c END AS size_bytes,
+                 qty AS mtime
+          FROM base WHERE k%90<>13
+          UNION ALL
+          SELECT key || '_l' AS path, price_c AS size_bytes, qty AS mtime
+          FROM base WHERE k%100=3),
+        ld AS (
+          SELECT path, 'local' AS source, change_type FROM (
+            SELECT coalesce(l.path, r.path) AS path,
+                   CASE WHEN l.path IS NULL THEN 'added'
+                        WHEN r.path IS NULL THEN 'removed'
+                        WHEN l.size_bytes <> r.size_bytes
+                          OR l.mtime <> r.mtime THEN 'modified' END AS change_type
+            FROM rb l FULL OUTER JOIN li r ON l.path = r.path)
+          WHERE change_type IS NOT NULL),
+        rd AS (
+          SELECT key AS path, 'remote' AS source,
+                 CASE WHEN diff_type = 'changed' THEN 'modified'
+                      ELSE diff_type END AS change_type
+          FROM (${diffSql("base", "rightv")}) dd),
+        mg AS (
+          SELECT coalesce(a.path, b.path) AS path,
+                 coalesce(a.source, b.source) AS source,
+                 CASE WHEN a.change_type IS NOT NULL AND b.change_type IS NOT NULL
+                      THEN 'conflict'
+                      ELSE coalesce(a.change_type, b.change_type) END AS change_type
+          FROM ld a FULL OUTER JOIN rd b ON a.path = b.path)
+        SELECT path, source, change_type,
+               CASE WHEN change_type = 'conflict' THEN NULL
+                    WHEN source = 'local' THEN 'remote' ELSE 'local' END AS undo_source,
+               CASE WHEN change_type = 'conflict' THEN NULL
+                    WHEN change_type = 'added' THEN 'removed'
+                    ELSE 'modified' END AS undo_type
+        FROM mg ORDER BY path"""))
   )
 }
