@@ -1288,6 +1288,158 @@ object VersionControlQueries {
                CASE WHEN change_type = 'conflict' THEN NULL
                     WHEN change_type = 'added' THEN 'removed'
                     ELSE 'modified' END AS undo_type
-        FROM mg ORDER BY path"""))
+        FROM mg ORDER BY path""")),
+
+    // S3-gateway multipart upload lifecycle (postobject.go:33-216,
+    // multipart/tracker.go): create → upload parts (re-upload replaces) →
+    // complete with ascending-order + etag validation → the logical entry
+    // stages with checksum = combined-etag-before-the-dash
+    // (postobject.go:174) and size = Σ part sizes; abort drops the record.
+    // Part sizes/etags derive from fixture aggregates so the DuckDB twin
+    // recomputes the combined SHA-256 etag bit-exactly.
+    "vc_multipart" -> (((s: SparkSession, d: String) => {
+      val dir = s"target/vc_mpu_repo_${math.abs(d.hashCode)}"
+      val hfs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(dir), s.sparkContext.hadoopConfiguration)
+      hfs.delete(new org.apache.hadoop.fs.Path(dir), true)
+      val eng = new graft.store.Engine(s, dir, raggedness = 5000)
+      val base = Fixtures.keyedBase(s, d).where(col("k") < 3000)
+        .select(col("key"), col("identity"),
+          concat(lit("addr-"), col("key")).as("address"),
+          col("price_c").as("size_bytes"))
+      eng.init("main", Some(base))
+      val gw = new graft.store.Gateway(eng)
+
+      def sha(v: String): String = java.security.MessageDigest
+        .getInstance("SHA-256").digest(v.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      // part sizes from the fixture: Σ price_c per k%5 bucket (parts 1..5)
+      val szs = Fixtures.keyedBase(s, d).where(col("k") < 3000)
+        .groupBy(((col("k") % 5) + 1).as("p")).agg(sum("price_c").as("sz"))
+        .collect().map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
+      def etag(p: Int, suffix: String = ""): String = sha(s"$p:${szs(p)}$suffix")
+
+      val id = gw.createMultipartUpload("main", "big/object", Some("mpu1"), 1700000000L)
+      (1 to 5).foreach(p => gw.uploadPart(id, p, szs(p), etag(p)))
+      gw.uploadPart(id, 3, szs(3), etag(3, ":v2")) // re-upload replaces
+      def rejected(f: => Any): Long =
+        try { f; 0L } catch { case _: Throwable => 1L }
+      val badOrder = rejected(gw.completeMultipartUpload(id,
+        Seq((2, etag(2)), (1, etag(1)))))
+      val badEtag = rejected(gw.completeMultipartUpload(id,
+        Seq((3, etag(3))))) // stale etag after re-upload
+      val unknown = rejected(gw.completeMultipartUpload("nope", Seq((1, "x"))))
+      val completion = (1 to 5).map(p =>
+        p -> (if (p == 3) etag(3, ":v2") else etag(p)))
+      val (fullEtag, total) = gw.completeMultipartUpload(id, completion)
+      val entry = eng.get("main", "big/object").get
+      val entryOk =
+        if (entry.getAs[String]("identity") == fullEtag.takeWhile(_ != '-') &&
+          entry.getAs[Long]("size_bytes") == total) 1L else 0L
+      val id2 = gw.createMultipartUpload("main", "tmp/obj", Some("mpu2"), 1700000100L)
+      gw.uploadPart(id2, 1, 1L, "x")
+      gw.abortMultipartUpload(id2)
+      val abortGone =
+        if (gw.listMultipartUploads().count() == 0 &&
+          gw.listParts(id2).count() == 0) 1L else 0L
+
+      import s.implicits._
+      val summary = completion.map { case (p, e) =>
+        (p.toLong, szs(p), e, total, fullEtag, entryOk,
+          badOrder, badEtag, unknown, abortGone)
+      }
+      summary.toDF("part_number", "size_bytes", "etag", "total_size",
+        "etag_full", "entry_ok", "bad_order_rejected", "bad_etag_rejected",
+        "unknown_rejected", "abort_gone").orderBy("part_number")
+    }),
+      Some(s"""$prelude,
+        sel AS (SELECT k, price_c FROM base WHERE k < 3000),
+        p AS (SELECT (k % 5) + 1 AS p, CAST(sum(price_c) AS BIGINT) AS sz
+              FROM sel GROUP BY 1),
+        e AS (SELECT p, sz,
+                     CASE WHEN p = 3
+                          THEN sha256(CAST(p AS VARCHAR) || ':' || CAST(sz AS VARCHAR) || ':v2')
+                          ELSE sha256(CAST(p AS VARCHAR) || ':' || CAST(sz AS VARCHAR))
+                     END AS etag
+              FROM p),
+        agg AS (SELECT CAST(sum(sz) AS BIGINT) AS total,
+                       sha256(string_agg(etag, '' ORDER BY p)) AS cks
+                FROM e)
+        SELECT CAST(p AS BIGINT) AS part_number, sz AS size_bytes, etag,
+               total AS total_size, cks || '-5' AS etag_full,
+               CAST(1 AS BIGINT) AS entry_ok,
+               CAST(1 AS BIGINT) AS bad_order_rejected,
+               CAST(1 AS BIGINT) AS bad_etag_rejected,
+               CAST(1 AS BIGINT) AS unknown_rejected,
+               CAST(1 AS BIGINT) AS abort_gone
+        FROM e CROSS JOIN agg ORDER BY part_number""")),
+
+    // S3-gateway DeleteObjects (deleteobjects.go:31-196): per-key outcomes
+    // across the whole error matrix — existing keys delete, missing keys
+    // succeed (S3 idempotent delete), empty path is a success no-op
+    // (issue #1706), malformed / unknown-branch keys error, protected
+    // branches and read-only repos error per checkForDeleteError, and
+    // Quiet mode suppresses success rows. still_listed re-reads the
+    // target branch's workspace listing to prove deletions (and only
+    // deletions) took effect.
+    "vc_s3_multidelete" -> (((s: SparkSession, d: String) => {
+      val dir = s"target/vc_mdel_repo_${math.abs(d.hashCode)}"
+      val hfs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(dir), s.sparkContext.hadoopConfiguration)
+      hfs.delete(new org.apache.hadoop.fs.Path(dir), true)
+      val eng = new graft.store.Engine(s, dir, raggedness = 5000)
+      eng.init("main", Some(Fixtures.keyedBase(s, d).where(col("k") < 3000)))
+      eng.createBranch("dev", "main")
+      eng.refs.protectBranch("main")
+      val gw = new graft.store.Gateway(eng)
+
+      val sel = Fixtures.keyedBase(s, d).where(col("k") < 3000)
+      val delKeys = sel.where(col("k") % 7 === 1)
+        .select("key").collect().map(_.getString(0)).sorted.toSeq
+      val mkey = delKeys.head
+      val m2key = sel.where(col("k") % 7 === 2)
+        .agg(min("key")).head().getString(0)
+
+      val phase1 = gw.deleteObjects(
+        delKeys.map("dev/" + _) ++ Seq("dev/zz-missing-1", "dev/zz-missing-2",
+          "dev/", "nobranch", "ghost/k1", s"main/$mkey"))
+        .withColumn("phase", lit(1L))
+      eng.readOnly = true
+      val phase2 = gw.deleteObjects(Seq(s"dev/$m2key")).withColumn("phase", lit(2L))
+      eng.readOnly = false
+      val phase3 = gw.deleteObjects(Seq("dev/zz-q1", s"main/$mkey"), quiet = true)
+        .withColumn("phase", lit(3L))
+
+      val listed = eng.list("dev").select(lit("dev").as("b"), col("key").as("p"))
+        .unionByName(eng.list("main").select(lit("main").as("b"), col("key").as("p")))
+      phase1.unionByName(phase2).unionByName(phase3)
+        .withColumn("b", substring_index(col("key"), "/", 1))
+        .withColumn("p", expr("substring(key, length(b) + 2)"))
+        .join(listed.withColumn("hit", lit(1L)), Seq("b", "p"), "left")
+        .select(col("phase"), col("key"), col("status"), col("code"),
+          coalesce(col("hit"), lit(0L)).as("still_listed"))
+        .orderBy("phase", "key")
+    }),
+      Some(s"""$prelude,
+        sel AS (SELECT key, k FROM base WHERE k < 3000),
+        del AS (SELECT key FROM sel WHERE k%7 = 1),
+        mn AS (SELECT min(key) AS mkey FROM del),
+        m2 AS (SELECT min(key) AS m2key FROM sel WHERE k%7 = 2)
+        SELECT * FROM (
+          SELECT CAST(1 AS BIGINT) AS phase, 'dev/' || key AS key,
+                 'deleted' AS status, CAST(NULL AS VARCHAR) AS code,
+                 CAST(0 AS BIGINT) AS still_listed FROM del
+          UNION ALL SELECT 1, 'dev/zz-missing-1', 'deleted', NULL, 0
+          UNION ALL SELECT 1, 'dev/zz-missing-2', 'deleted', NULL, 0
+          UNION ALL SELECT 1, 'dev/', 'deleted', NULL, 0
+          UNION ALL SELECT 1, 'nobranch', 'error', 'ErrDeletingKey', 0
+          UNION ALL SELECT 1, 'ghost/k1', 'error', 'ErrDeletingKey', 0
+          UNION ALL SELECT 1, 'main/' || (SELECT mkey FROM mn), 'error',
+                    'ErrWriteToProtectedBranch', 1
+          UNION ALL SELECT 2, 'dev/' || (SELECT m2key FROM m2), 'error',
+                    'ErrReadOnlyRepository', 1
+          UNION ALL SELECT 3, 'main/' || (SELECT mkey FROM mn), 'error',
+                    'ErrWriteToProtectedBranch', 1
+        ) ORDER BY phase, key"""))
   )
 }

@@ -1,0 +1,185 @@
+package graft.store
+
+import java.nio.file.Paths
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * S3-gateway object operations over the engine: multipart uploads and
+ * batch DeleteObjects (reference `pkg/gateway/operations/postobject.go`,
+ * `deleteobjects.go`, `pkg/gateway/multipart/tracker.go`).
+ *
+ * The multipart tracker is repo metadata (thousands of in-flight uploads,
+ * not data-scale), so records live in the refs store's swap-file KV next to
+ * branches/tags — the analogue of the reference's KV-store tracker
+ * (`tracker.go:38-44`). Parts carry (size, etag) only: object BYTES always
+ * live in the object store under the upload's physical address; the engine
+ * stages the logical entry exactly like a direct-upload link
+ * (`Engine.linkPhysicalAddress`), so completing a multipart upload is a
+ * metadata operation — no data moves through the driver.
+ */
+class Gateway(val engine: Engine) {
+
+  private val spark = engine.spark
+
+  private def uploadsFile = Paths.get(s"${engine.repoDir}/refs/multiparts.tsv")
+  private def partsFile = Paths.get(s"${engine.repoDir}/refs/multipart_parts.tsv")
+
+  /** CreateMultipartUpload (postobject.go:33-100): allocate a physical
+    * address for the final object, record the upload. `uploadId` may be
+    * supplied for deterministic flows; defaults to a fresh UUID. */
+  def createMultipartUpload(branch: String, path: String,
+      uploadId: Option[String] = None,
+      nowEpochSec: Long = System.currentTimeMillis() / 1000): String =
+    this.synchronized {
+      require(engine.refs.getBranch(branch).isDefined, s"no branch $branch")
+      val id = uploadId.getOrElse(
+        java.util.UUID.randomUUID().toString.replace("-", ""))
+      val cur = KvFile.read(uploadsFile)
+      require(!cur.contains(id), s"multipart upload $id already exists")
+      val address = s"${engine.repoDir}/ext/mpu_$id"
+      KvFile.write(uploadsFile,
+        cur + (id -> Seq(branch, path, address, nowEpochSec.toString).mkString("|")))
+      id
+    }
+
+  private def uploadRecord(uploadId: String): (String, String, String) = {
+    val v = KvFile.read(uploadsFile).getOrElse(uploadId,
+      sys.error(s"multipart upload not found: $uploadId"))
+    val f = v.split('|')
+    (f(0), f(1), f(2))
+  }
+
+  /** UploadPart: record (size, etag) for a part number. Re-uploading a part
+    * number replaces it (S3 last-write-wins). */
+  def uploadPart(uploadId: String, partNumber: Int, sizeBytes: Long,
+      etag: String): Unit = this.synchronized {
+    require(partNumber >= 1 && partNumber <= 10000, s"part number $partNumber out of range")
+    uploadRecord(uploadId) // must exist
+    KvFile.write(partsFile, KvFile.read(partsFile) +
+      (s"$uploadId#$partNumber" -> s"$sizeBytes|$etag"))
+  }
+
+  /** ListParts: the recorded parts of an upload, part-number order. */
+  def listParts(uploadId: String): DataFrame = {
+    import spark.implicits._
+    partsOf(uploadId).map { case (p, sz, e) => (uploadId, p.toLong, sz, e) }
+      .toDF("upload_id", "part_number", "size_bytes", "etag")
+  }
+
+  /** ListMultipartUploads: in-flight uploads, id order. */
+  def listMultipartUploads(): DataFrame = {
+    import spark.implicits._
+    KvFile.read(uploadsFile).toSeq.sortBy(_._1).map { case (id, v) =>
+      val f = v.split('|'); (id, f(0), f(1))
+    }.toDF("upload_id", "branch", "path")
+  }
+
+  private def partsOf(uploadId: String): Seq[(Int, Long, String)] =
+    KvFile.read(partsFile).toSeq
+      .filter(_._1.startsWith(uploadId + "#"))
+      .map { case (k, v) =>
+        val (sz, e) = v.span(_ != '|')
+        (k.drop(uploadId.length + 1).toInt, sz.toLong, e.drop(1))
+      }.sortBy(_._1)
+
+  /**
+   * CompleteMultipartUpload (postobject.go:102-216): validate the
+   * completion list — strictly ascending part numbers, every (number, etag)
+   * matching an uploaded part — compute the combined ETag
+   * `hex(sha256(etag_1 ‖ … ‖ etag_n))-n` (the MD5-of-MD5s shape S3
+   * adapters produce), and stage the logical entry with
+   * `checksum = etag before the '-'` exactly as the reference does
+   * (`postobject.go:174`). Parts left out of the completion list are
+   * discarded (S3 semantics). Returns (etag, totalSize).
+   */
+  def completeMultipartUpload(uploadId: String,
+      parts: Seq[(Int, String)]): (String, Long) = this.synchronized {
+    val (branch, path, address) = uploadRecord(uploadId)
+    require(parts.nonEmpty, "empty completion list")
+    require(parts.map(_._1).sliding(2).forall(w => w.length < 2 || w(0) < w(1)),
+      "InvalidPartOrder: completion parts must be ascending")
+    val have = partsOf(uploadId).map(p => p._1 -> p).toMap
+    val chosen = parts.map { case (n, e) =>
+      val p = have.getOrElse(n, sys.error(s"InvalidPart: no part $n"))
+      require(p._3 == e, s"InvalidPart: etag mismatch on part $n")
+      p
+    }
+    val checksum = {
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      chosen.foreach(p => md.update(p._3.getBytes("UTF-8")))
+      md.digest().map("%02x".format(_)).mkString
+    }
+    val totalSize = chosen.map(_._2).sum
+    import spark.implicits._
+    engine.stage(branch, Seq((path, checksum, address, totalSize))
+      .toDF("key", "identity", "address", "size_bytes"))
+    dropUpload(uploadId)
+    (s"$checksum-${chosen.length}", totalSize)
+  }
+
+  /** AbortMultipartUpload: drop the tracker record and its parts. */
+  def abortMultipartUpload(uploadId: String): Unit = this.synchronized {
+    uploadRecord(uploadId) // must exist
+    dropUpload(uploadId)
+  }
+
+  private def dropUpload(uploadId: String): Unit = {
+    KvFile.write(uploadsFile, KvFile.read(uploadsFile) - uploadId)
+    KvFile.write(partsFile, KvFile.read(partsFile)
+      .filterNot(_._1.startsWith(uploadId + "#")))
+  }
+
+  /**
+   * DeleteObjects (deleteobjects.go:31-163): batch delete of up to 1000
+   * `branch/path` keys with per-key outcomes. Keys grouped by branch and
+   * deleted through one DeleteBatch per branch (the reference's batched
+   * path when all refs agree; grouping generalizes it). Outcome mapping per
+   * `checkForDeleteError` (deleteobjects.go:166-196):
+   *  - missing object → success (S3 idempotent delete),
+   *  - empty path → success no-op (issue #1706 parity),
+   *  - malformed key (no '/') → ErrDeletingKey,
+   *  - protected branch → ErrWriteToProtectedBranch,
+   *  - read-only repo → ErrReadOnlyRepository,
+   *  - unknown branch → ErrDeletingKey.
+   * `quiet` suppresses success rows (errors only), like the S3 Quiet flag.
+   * Output: (key, status, code) in input order.
+   */
+  def deleteObjects(keys: Seq[String], quiet: Boolean = false): DataFrame = {
+    require(keys.nonEmpty && keys.size <= 1000,
+      "DeleteObjects takes 1..1000 keys")
+    final case class R(key: String, status: String, code: Option[String])
+    val parsed = keys.map { k =>
+      val i = k.indexOf('/')
+      if (i <= 0) Left(R(k, "error", Some("ErrDeletingKey")))
+      else {
+        val (branch, path) = (k.take(i), k.drop(i + 1))
+        if (path.isEmpty) Left(R(k, "deleted", None)) // issue #1706: no-op OK
+        else Right((k, branch, path))
+      }
+    }
+    val byBranch = parsed.collect { case Right(t) => t }.groupBy(_._2)
+    val results: Map[String, R] = byBranch.flatMap { case (branch, ks) =>
+      val outcome: String => R =
+        if (engine.readOnly)
+          k => R(k, "error", Some("ErrReadOnlyRepository"))
+        else if (engine.refs.getBranch(branch).isEmpty)
+          k => R(k, "error", Some("ErrDeletingKey"))
+        else if (engine.refs.isProtected(branch))
+          k => R(k, "error", Some("ErrWriteToProtectedBranch"))
+        else {
+          engine.deleteBatch(branch, ks.map(_._3))
+          k => R(k, "deleted", None)
+        }
+      ks.map(t => t._1 -> outcome(t._1))
+    }
+    val rows = parsed.map {
+      case Left(r)           => r
+      case Right((k, _, _))  => results(k)
+    }.filter(r => !quiet || r.status == "error")
+    import spark.implicits._
+    rows.map(r => (r.key, r.status, r.code.orNull))
+      .toDF("key", "status", "code")
+  }
+}

@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.store.{Engine, Gateway}
+
+/** S3-gateway object operations: multipart lifecycle edge cases and
+  * DeleteObjects outcome mapping not expressible through the hash oracle
+  * (subset completion, duplicate ids, restarts, input caps). */
+class GatewaySpec extends SparkSpec {
+
+  private def freshEngine(name: String) = {
+    import spark.implicits._
+    val eng = new Engine(spark, tmpDir(name), raggedness = 100)
+    eng.init("main", Some(
+      (1 to 30).map(i => (f"k$i%04d", s"id$i", s"a$i", i.toLong))
+        .toDF("key", "identity", "address", "size_bytes")))
+    eng
+  }
+
+  test("multipart: subset completion keeps listed parts only; tracker survives restart") {
+    val eng = freshEngine("gwmpu")
+    val gw = new Gateway(eng)
+    val id = gw.createMultipartUpload("main", "obj/a", Some("u1"), 1000L)
+    (1 to 4).foreach(p => gw.uploadPart(id, p, p * 10L, s"e$p"))
+
+    // tracker is repo metadata: a fresh Gateway over the same repo sees it
+    val gw2 = new Gateway(new Engine(spark, eng.repoDir, raggedness = 100))
+    assert(gw2.listParts(id).count() === 4)
+    assert(gw2.listMultipartUploads().collect().map(_.getString(0)).toSeq === Seq("u1"))
+
+    // S3 semantics: parts missing from the completion list are discarded
+    val (etag, total) = gw2.completeMultipartUpload(id, Seq((1, "e1"), (3, "e3")))
+    assert(etag.endsWith("-2") && total === 40L)
+    val row = eng.get("main", "obj/a").get
+    assert(row.getAs[Long]("size_bytes") === 40L)
+    assert(row.getAs[String]("identity") === etag.takeWhile(_ != '-'))
+    // record consumed: second complete fails, parts gone
+    intercept[RuntimeException] { gw2.completeMultipartUpload(id, Seq((1, "e1"))) }
+    assert(gw2.listParts(id).count() === 0)
+  }
+
+  test("multipart: duplicate upload id, bad part numbers, unknown branch rejected") {
+    val eng = freshEngine("gwmpu2")
+    val gw = new Gateway(eng)
+    gw.createMultipartUpload("main", "x", Some("dup"), 1000L)
+    intercept[IllegalArgumentException] {
+      gw.createMultipartUpload("main", "y", Some("dup"), 1000L)
+    }
+    intercept[IllegalArgumentException] {
+      gw.createMultipartUpload("ghost", "z", Some("g"), 1000L)
+    }
+    intercept[IllegalArgumentException] { gw.uploadPart("dup", 0, 1L, "e") }
+    intercept[IllegalArgumentException] { gw.uploadPart("dup", 10001, 1L, "e") }
+    intercept[RuntimeException] { gw.uploadPart("nope", 1, 1L, "e") }
+    intercept[RuntimeException] { gw.abortMultipartUpload("nope") }
+  }
+
+  test("multipart: complete on a protected branch is rejected, parts survive") {
+    val eng = freshEngine("gwmpu3")
+    val gw = new Gateway(eng)
+    val id = gw.createMultipartUpload("main", "p/obj", Some("u3"), 1000L)
+    gw.uploadPart(id, 1, 5L, "e1")
+    eng.refs.protectBranch("main")
+    intercept[IllegalArgumentException] {
+      gw.completeMultipartUpload(id, Seq((1, "e1")))
+    }
+    // the failed completion must not consume the upload record
+    assert(gw.listMultipartUploads().count() === 1)
+    assert(gw.listParts(id).count() === 1)
+    eng.refs.unprotectBranch("main")
+    val (etag, _) = gw.completeMultipartUpload(id, Seq((1, "e1")))
+    assert(etag.endsWith("-1"))
+  }
+
+  test("deleteObjects: input caps and ordering") {
+    val eng = freshEngine("gwdel")
+    val gw = new Gateway(eng)
+    intercept[IllegalArgumentException] { gw.deleteObjects(Seq.empty) }
+    intercept[IllegalArgumentException] {
+      gw.deleteObjects((1 to 1001).map(i => s"main/k$i"))
+    }
+    // outcomes come back in input order
+    val out = gw.deleteObjects(Seq("main/k0002", "bad", "main/k0001"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(out.toSeq === Seq(
+      ("main/k0002", "deleted"), ("bad", "error"), ("main/k0001", "deleted")))
+    assert(eng.get("main", "k0001").isEmpty && eng.get("main", "k0002").isEmpty)
+    assert(eng.get("main", "k0003").isDefined)
+  }
+}
