@@ -1371,6 +1371,43 @@ object TextQueries {
                n_alpha, n_stop, f_wc, f_mwl, f_sym, f_bullet, f_ell, f_alpha,
                f_stop,
                CAST(f_wc*f_mwl*f_sym*f_bullet*f_ell*f_alpha*f_stop AS BIGINT) AS keep
-        FROM f ORDER BY doc_id"""))
+        FROM f ORDER BY doc_id""")),
+
+    // One BPE merge iteration (tokenizer training, Sennrich et al. 2016):
+    // corpus-wide counts of adjacent character pairs inside whitespace
+    // words, every occurrence weighted, top-20 candidate merges. Pairs
+    // explode map-side off the scan, the count is a partial-agg groupBy on
+    // the pair, and the final top-k is orderBy+limit — the
+    // TakeOrderedAndProject shape (bounded per-partition heaps), never a
+    // global single-partition sort. Rank derives over the 20 survivors.
+    "td_bpe_pairs" -> (((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val pairsOf = expr(
+        """CASE WHEN char_length(tok) >= 2
+           THEN transform(sequence(1, char_length(tok) - 1), i -> substr(tok, i, 2))
+           ELSE array() END""")
+      val pairs = Fixtures.documents(s, d)
+        .select(explode(tokens(col("text"))).as("tok"))
+        .select(explode(pairsOf).as("pair"))
+      val counts = pairs.groupBy("pair").agg(count(lit(1)).as("n"))
+      val top = counts.orderBy(col("n").desc, col("pair").asc).limit(20)
+      val w = Window.orderBy(col("n").desc, col("pair").asc)
+      top.withColumn("rank", row_number().over(w).cast("long"))
+        .select("rank", "pair", "n").orderBy("rank")
+    }),
+      Some(s"""$docsSql,
+        toks AS (SELECT unnest(toks) AS tok FROM docs),
+        pairs AS (
+          SELECT unnest(list_transform(
+            generate_series(1, greatest(length(tok) - 1, 0)),
+            i -> substr(tok, i, 2))) AS pair
+          FROM toks),
+        counts AS (SELECT pair, CAST(count(*) AS BIGINT) AS n
+                   FROM pairs GROUP BY pair),
+        num AS (SELECT pair, n,
+                       row_number() OVER (ORDER BY n DESC, pair ASC) AS rank
+                FROM counts)
+        SELECT CAST(rank AS BIGINT) AS rank, pair, n
+        FROM num WHERE rank <= 20 ORDER BY rank"""))
   )
 }

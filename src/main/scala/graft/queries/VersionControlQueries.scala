@@ -1440,6 +1440,50 @@ object VersionControlQueries {
                     'ErrReadOnlyRepository', 1
           UNION ALL SELECT 3, 'main/' || (SELECT mkey FROM mn), 'error',
                     'ErrWriteToProtectedBranch', 1
-        ) ORDER BY phase, key"""))
+        ) ORDER BY phase, key""")),
+
+    // `lakectl annotate` (annotate.go:26-90, per-object blame): every live
+    // object's most recent changing commit. History: init (all keys) →
+    // "c2" modifies k%10==3 → "c3" deletes k%10==7 and adds n-prefixed
+    // clones of k%100==13; one staged-never-committed key annotates with
+    // null commit fields (the reference's empty-log case). The engine
+    // computes the whole report as ONE plan over per-commit pruned deltas
+    // — not the reference's per-object log walk.
+    "vc_annotate" -> (((s: SparkSession, d: String) => {
+      val dir = s"target/vc_annot_repo_${math.abs(d.hashCode)}"
+      val hfs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(dir), s.sparkContext.hadoopConfiguration)
+      hfs.delete(new org.apache.hadoop.fs.Path(dir), true)
+      val eng = new graft.store.Engine(s, dir, raggedness = 5000)
+      val ident = sha2(concat_ws("|",
+        col("key"), col("qty"), col("price_c"), col("rf"), col("ls")), 256)
+      val base = Fixtures.keyedBase(s, d).where(col("k") < 3000)
+      eng.init("main", Some(base))
+      eng.stage("main", base.where(col("k") % 10 === 3)
+        .withColumn("price_c", col("price_c") + 1).withColumn("identity", ident))
+      eng.commit("main", "tester", "c2")
+      val dels = base.where(col("k") % 10 === 7)
+        .select(col("key"), lit(null).cast("string").as("identity"))
+      val adds = base.where(col("k") % 100 === 13)
+        .withColumn("key", concat(lit("n"), col("key")))
+      eng.stage("main", dels.unionByName(adds, allowMissingColumns = true))
+      eng.commit("main", "tester", "c3")
+      import s.implicits._
+      eng.stage("main", Seq(("zz-staged", "x")).toDF("key", "identity"))
+      eng.annotate("main").select("key", "committer", "message")
+    }),
+      Some(s"""$prelude
+        SELECT key, committer, message FROM (
+          SELECT lpad(CAST(k AS VARCHAR),12,'0') AS key,
+                 CASE WHEN k%10=3 THEN 'tester' ELSE 'engine' END AS committer,
+                 CASE WHEN k%10=3 THEN 'c2'
+                      ELSE 'repository created' END AS message
+          FROM L WHERE k < 3000 AND k%10 <> 7
+          UNION ALL
+          SELECT 'n' || lpad(CAST(k AS VARCHAR),12,'0'), 'tester', 'c3'
+          FROM L WHERE k < 3000 AND k%100 = 13
+          UNION ALL
+          SELECT 'zz-staged', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+        ) ORDER BY key"""))
   )
 }

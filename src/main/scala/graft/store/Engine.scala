@@ -239,6 +239,52 @@ class Engine(val spark: SparkSession, val repoDir: String,
   def fsck(ref: String): DataFrame =
     snapshots.fsck(resolveCommit(ref).metaRangeId)
 
+  /** `lakectl annotate` (cmd/lakectl/cmd/annotate.go:26-90, per-object
+    * blame): for every object under `prefix` at `ref`, the most recent
+    * commit on the log chain that changed it. The reference issues one
+    * `LogCommits(objects=[path], amount=1)` call PER LISTED OBJECT — an
+    * O(objects × history) server walk; here the whole report is one Spark
+    * plan: each commit's delta against its first parent (range-level
+    * pruning drops unchanged ranges before any file is read), unioned with
+    * the commit's chain position, `min(position)` per key, joined back to
+    * the live listing. Objects staged but never committed annotate with
+    * null commit fields, like the reference's empty-log case.
+    * `limitCommits` bounds the walk for monumental histories (annotating
+    * older changes as the oldest walked commit would be wrong, so keys
+    * changed before the horizon are reported with null commit fields). */
+  def annotate(ref: String, prefix: String = "",
+      limitCommits: Int = 10000): DataFrame = {
+    val chain = log(ref, firstParent = true).take(limitCommits)
+    val deltas = chain.zipWithIndex.map { case (c, i) =>
+      val parentMeta = c.parents.headOption.flatMap(refs.getCommit).map(_.metaRangeId)
+      val d = parentMeta match {
+        case Some(pm) =>
+          val (dl, dr) = snapshots.prunedForDiff(pm, c.metaRangeId)
+          graft.operators.Diff.twoWay(dl, dr).select(col("key"))
+        case None => snapshots.scan(c.metaRangeId).select(col("key"))
+      }
+      graft.operators.Listing.prefixFilter(d, prefix).withColumn("__i", lit(i))
+    }
+    val commitsDf = {
+      import spark.implicits._
+      chain.zipWithIndex.map { case (c, i) =>
+        (i, c.commitId, c.committer, c.message, c.creationDate)
+      }.toDF("__i", "commit_id", "committer", "message", "creation_date")
+    }
+    val listing = list(ref, prefix).select("key")
+    val annotated = deltas match {
+      case Nil => listing.withColumn("__i", lit(null).cast("int"))
+      case ds  =>
+        val last = ds.reduce(_ unionByName _)
+          .groupBy("key").agg(min("__i").as("__i"))
+        listing.join(last, Seq("key"), "left")
+    }
+    annotated.join(broadcast(commitsDf), Seq("__i"), "left")
+      .select(col("key"), col("commit_id"), col("committer"), col("message"),
+        col("creation_date"))
+      .orderBy("key")
+  }
+
   /** GetMetaRange (`catalog.go:2481-2487`): a metarange's manifest — every
     * range id, key interval, stats, and address. */
   def getMetaRange(metaRangeId: String): Seq[graft.core.Model.RangeInfo] =

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import graft.operators.LocalSync
+
+/** `lakectl local` sync planning: merge strategies and undo semantics
+  * beyond the driver oracle (which pins MergeStrategyNone + conflicts). */
+class LocalSyncSpec extends SparkSpec {
+
+  private def idx(rows: (String, Long, Long)*): DataFrame = {
+    import spark.implicits._
+    rows.toDF("path", "size_bytes", "mtime")
+  }
+
+  private def changes(rows: (String, String, String)*): DataFrame = {
+    import spark.implicits._
+    rows.toDF("path", "source", "change_type")
+  }
+
+  private def asSet(df: DataFrame): Set[(String, String, String)] =
+    df.collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+
+  test("diffLocalWithHead: added/removed/modified on size OR mtime") {
+    val remote = idx(("a", 1L, 10L), ("b", 2L, 20L), ("c", 3L, 30L), ("d", 4L, 40L))
+    val local = idx(("a", 1L, 10L), ("b", 9L, 20L), ("c", 3L, 31L), ("e", 5L, 50L))
+    assert(asSet(LocalSync.diffLocalWithHead(remote, local)) === Set(
+      ("b", "local", "modified"), // size changed
+      ("c", "local", "modified"), // mtime changed
+      ("d", "local", "removed"),
+      ("e", "local", "added")))
+  }
+
+  test("mergeChanges strategies: none→conflict keeps receiver source, this/other pick a side") {
+    val l = changes(("a", "local", "modified"), ("b", "local", "added"))
+    val r = changes(("a", "remote", "removed"), ("c", "remote", "modified"))
+    assert(asSet(LocalSync.mergeChanges(l, r, "none")) === Set(
+      ("a", "local", "conflict"),
+      ("b", "local", "added"), ("c", "remote", "modified")))
+    assert(asSet(LocalSync.mergeChanges(l, r, "this")) === Set(
+      ("a", "local", "modified"),
+      ("b", "local", "added"), ("c", "remote", "modified")))
+    assert(asSet(LocalSync.mergeChanges(l, r, "other")) === Set(
+      ("a", "remote", "removed"),
+      ("b", "local", "added"), ("c", "remote", "modified")))
+  }
+
+  test("undo: reverse ops with flipped source; removed re-downloads; conflicts none") {
+    val out = LocalSync.withUndo(changes(
+      ("a", "local", "added"), ("b", "local", "modified"),
+      ("c", "local", "removed"), ("d", "remote", "added"),
+      ("e", "local", "conflict")))
+      .collect().map(r => r.getString(0) ->
+        (Option(r.getAs[String]("undo_source")), Option(r.getAs[String]("undo_type"))))
+      .toMap
+    assert(out("a") === (Some("remote"), Some("removed")))
+    assert(out("b") === (Some("remote"), Some("modified")))
+    assert(out("c") === (Some("remote"), Some("modified"))) // re-download
+    assert(out("d") === (Some("local"), Some("removed")))
+    assert(out("e") === (None, None))
+  }
+}
