@@ -617,9 +617,12 @@ class SnapshotStore(val spark: SparkSession, val repoDir: String,
         obs: Option[org.apache.spark.sql.Observation] = None): Unit = {
       val shuffled = df
         .repartition(
-          // salted (few chunks): exactly one task wave at `parts`; unsalted
-          // (chunks >= cores): one task per missing chunk, capped
-          if (salt > 1) parts else math.max(1, math.min(nChunks, parts * 4)),
+          // salted (few chunks): one partition PER (chunk, salt) group —
+          // packing ~2 groups into `parts` partitions made the slowest task
+          // a multi-group straggler (measured ~10-15% slower at sf0.1);
+          // unsalted (chunks >= cores): one task per missing chunk, capped
+          if (salt > 1) math.min(parts * 4, nChunks * salt)
+          else math.max(1, math.min(nChunks, parts * 4)),
           col("__chunk"), pmod(xxhash64(col("key")), lit(salt)))
         .sortWithinPartitions("__chunk", "key")
       // the observed stats aggregate sits ABOVE the exchange — result-stage
