@@ -29,7 +29,11 @@ class PlanShapeSpec extends SparkSpec {
     // dup-ngram fraction: shingle-keyed aggs + one shingle equi-join
     "td_dupngram_frac",
     // unigram LM: vocab-keyed agg + token equi-join, strategy left to AQE
-    "td_unigram_lm")
+    "td_unigram_lm",
+    // gopher battery: single scan, all flags map-side, no join at all
+    "td_gopher_filters",
+    // local sync: three full-outer equi-joins on path (SMJ), never a loop
+    "vc_local_sync")
 
   test("LSH scale paths contain no all-pairs join") {
     scalePaths.foreach { name =>
@@ -75,18 +79,21 @@ class PlanShapeSpec extends SparkSpec {
     assert(got.count() === 1)
   }
 
-  test("td_top_ngrams plans a bounded top-k, not a global-window sort") {
-    val df = SparkEntry.queries("td_top_ngrams")(spark, sfDir)
-    val plan = df.queryExecution.executedPlan.toString
-    // orderBy+limit over the counts -> TakeOrderedAndProject (per-partition
-    // bounded heaps + a 20-row driver merge). The rank window must consume
-    // ONLY the 20 surviving rows, i.e. sit above the TakeOrderedAndProject.
-    assert(plan.contains("TakeOrderedAndProject"),
-      s"top-k must plan as TakeOrderedAndProject, got:\n${plan.take(2000)}")
-    val windowAt = plan.indexOf("Window")
-    val topKAt = plan.indexOf("TakeOrderedAndProject")
-    assert(windowAt >= 0 && windowAt < topKAt,
-      "rank Window must be above (consume) the TakeOrderedAndProject output")
+  test("top-k report queries plan a bounded top-k, not a global-window sort") {
+    Seq("td_top_ngrams", "td_bpe_pairs").foreach { name =>
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      val plan = df.queryExecution.executedPlan.toString
+      // orderBy+limit over the counts -> TakeOrderedAndProject
+      // (per-partition bounded heaps + a 20-row driver merge). The rank
+      // window must consume ONLY the 20 surviving rows, i.e. sit above
+      // the TakeOrderedAndProject.
+      assert(plan.contains("TakeOrderedAndProject"),
+        s"$name top-k must plan as TakeOrderedAndProject, got:\n${plan.take(2000)}")
+      val windowAt = plan.indexOf("Window")
+      val topKAt = plan.indexOf("TakeOrderedAndProject")
+      assert(windowAt >= 0 && windowAt < topKAt,
+        s"$name rank Window must be above (consume) the TakeOrderedAndProject output")
+    }
   }
 
   test("td_pack's prefix sum never globally windows: every Window is partitioned") {
