@@ -1484,6 +1484,43 @@ object VersionControlQueries {
           FROM L WHERE k < 3000 AND k%100 = 13
           UNION ALL
           SELECT 'zz-staged', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
-        ) ORDER BY key"""))
+        ) ORDER BY key""")),
+
+    // CopyEntry / gateway CopyObject (`catalog.go:3100-3170`,
+    // putobject.go x-amz-copy-source): the clone restages the SOURCE row —
+    // identity included, the same-physical-address zero-copy — under the
+    // new key on the destination branch, resolved through any ref like
+    // Get. The oracle can verify the zero-copy directly: each copy's
+    // identity must equal the identity derived from the ORIGINAL key's
+    // payload, and the source rows stay untouched on main.
+    "vc_copy_entry" -> (((s: SparkSession, d: String) => {
+      val dir = s"target/vc_copy_repo_${math.abs(d.hashCode)}"
+      val hfs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(dir), s.sparkContext.hadoopConfiguration)
+      hfs.delete(new org.apache.hadoop.fs.Path(dir), true)
+      val eng = new graft.store.Engine(s, dir, raggedness = 5000)
+      val base = Fixtures.keyedBase(s, d).where(col("k") < 3000)
+      eng.init("main", Some(base))
+      eng.createBranch("dev", "main")
+      val srcKeys = base.where(col("k") % 100 === 4)
+        .select("key").collect().map(_.getString(0)).sorted
+      srcKeys.foreach(k => eng.copyEntry("main", k, "dev", s"copy/$k"))
+      val copies = eng.list("dev", prefix = "copy/")
+        .select(col("key"), col("identity"), col("qty"), col("price_c"))
+        .withColumn("side", lit("copy"))
+      val sources = eng.list("main").where(col("k") % 100 === 4)
+        .select(col("key"), col("identity"), col("qty"), col("price_c"))
+        .withColumn("side", lit("source"))
+      copies.unionByName(sources).orderBy("side", "key")
+    }),
+      Some(s"""$prelude
+        SELECT key, identity, qty, price_c, side FROM (
+          SELECT 'copy/' || key AS key, identity, qty, price_c,
+                 'copy' AS side
+          FROM base WHERE k < 3000 AND k%100 = 4
+          UNION ALL
+          SELECT key, identity, qty, price_c, 'source' AS side
+          FROM base WHERE k < 3000 AND k%100 = 4
+        ) ORDER BY side, key"""))
   )
 }

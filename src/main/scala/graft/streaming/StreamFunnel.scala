@@ -1,0 +1,74 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/**
+ * Streaming conversion funnel (SURVEY.md §2.9): the incremental form of the
+ * batch `ev_funnel` query — view → click-within-24h-of-first-view →
+ * purchase-within-24h-of-first-click, per user, emitting a row every time a
+ * user advances a stage.
+ *
+ * State per user is one bounded triple (first view, first qualifying click,
+ * first qualifying purchase) in `flatMapGroupsWithState`: the stage windows
+ * anchor on the FIRST view/click, which no built-in windowed aggregation
+ * expresses (the window start is data-dependent per key, not aligned).
+ *
+ * Semantics match the batch twin exactly when each user's events arrive in
+ * event-time order across micro-batches; within a micro-batch the group
+ * iterator is sorted by (tsec, view < click < purchase). Qualification is
+ * strict (`tsec > tv`), so same-second view+click does not advance — the
+ * batch rule. Late events are the usual streaming tradeoff: the batch
+ * funnel is the periodic exact reconciliation, as with [[StreamDedup]].
+ *
+ * Scale: state shards by user_id and is O(1) per user; no join state and
+ * no event buffering.
+ */
+object StreamFunnel {
+
+  case class Ev(user_id: Long, tsec: Long, event_type: String)
+  case class FunnelState(tv: Long, tc: Option[Long], tp: Option[Long]) {
+    def stage: Int = 1 + tc.size + tp.size
+  }
+  case class StageRow(user_id: Long, first_view: Long, stage: Int)
+
+  private def order(t: String): Int = t match {
+    case "view" => 0; case "click" => 1; case _ => 2
+  }
+
+  /** Input columns: (user_id, tsec, event_type). Emits one row per stage
+    * ADVANCE — the latest row per user equals the batch funnel's row. */
+  def stages(events: DataFrame, window: Long = 86400L): Dataset[StageRow] = {
+    import events.sparkSession.implicits._
+    events.select(col("user_id").cast("long"), col("tsec").cast("long"),
+        col("event_type"))
+      .as[Ev]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (uid: Long, it: Iterator[Ev], state: GroupState[FunnelState]) => {
+          val evs = it.toSeq.sortBy(e => (e.tsec, order(e.event_type)))
+          var st = state.getOption
+          val out = scala.collection.mutable.ArrayBuffer[StageRow]()
+          evs.foreach { e =>
+            (e.event_type, st) match {
+              case ("view", None) =>
+                st = Some(FunnelState(e.tsec, None, None))
+                out += StageRow(uid, e.tsec, 1)
+              case ("click", Some(s))
+                  if s.tc.isEmpty && e.tsec > s.tv && e.tsec <= s.tv + window =>
+                st = Some(s.copy(tc = Some(e.tsec)))
+                out += StageRow(uid, s.tv, 2)
+              case ("purchase", Some(s))
+                  if s.tc.isDefined && s.tp.isEmpty &&
+                    e.tsec > s.tc.get && e.tsec <= s.tc.get + window =>
+                st = Some(s.copy(tp = Some(e.tsec)))
+                out += StageRow(uid, s.tv, 3)
+              case _ => // no stage change
+            }
+          }
+          st.filter(s => !state.getOption.contains(s)).foreach(state.update)
+          out.iterator
+        })
+  }
+}

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.EventQueries
+import graft.streaming.StreamFunnel
+
+/** The streaming funnel's final per-user stage must agree with the batch
+  * `funnel` plan on the same rows when events arrive in order. */
+class StreamFunnelSpec extends SparkSpec {
+
+  // (user_id, tsec, event_type) covering: full conversion (u1), view-only
+  // (u2), click outside the 24h window (u3), click BEFORE any view ignored
+  // then later conversion to stage 2 (u4), same-second view+click does not
+  // advance (u5), purchase without a qualifying click (u6), second view
+  // does not move the anchor (u1's 2nd view), cross-batch state carry
+  // (u1's purchase and u4's click arrive in batch 2)
+  private val batch1 = Seq(
+    (1L, 100L, "view"), (1L, 500L, "view"), (1L, 200L, "click"),
+    (2L, 100L, "view"),
+    (3L, 100L, "view"), (3L, 100000L, "click"),
+    (4L, 50L, "click"), (4L, 100L, "view"),
+    (5L, 100L, "view"), (5L, 100L, "click"),
+    (6L, 100L, "view"), (6L, 200L, "purchase"))
+  private val batch2 = Seq(
+    (1L, 300L, "purchase"),
+    (4L, 90000L - 3600L, "click")) // within (100, 100+86400]
+
+  test("streaming funnel matches the batch plan across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, String)]
+    val in = mem.toDF().toDF("user_id", "tsec", "event_type")
+    val q = StreamFunnel.stages(in).writeStream
+      .outputMode("append").format("memory").queryName("funnel_out").start()
+    try {
+      mem.addData(batch1)
+      q.processAllAvailable()
+      mem.addData(batch2)
+      q.processAllAvailable()
+      // stages only advance: the max emitted stage per user is the final one
+      val got = spark.table("funnel_out")
+        .groupBy("user_id").agg(
+          first("first_view").as("first_view"), max("stage").as("stage"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+
+      val batch = EventQueries.funnel(
+        (batch1 ++ batch2).toDF("user_id", "tsec", "event_type"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+
+      assert(got === batch)
+      // pin the expectations so both sides failing identically can't pass
+      assert(batch === Set(
+        (1L, 100L, 3), (2L, 100L, 1), (3L, 100L, 1),
+        (4L, 100L, 2), (5L, 100L, 1), (6L, 100L, 1)))
+    } finally q.stop()
+  }
+}
