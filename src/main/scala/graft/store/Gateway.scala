@@ -23,6 +23,11 @@ class Gateway(val engine: Engine) {
 
   private val spark = engine.spark
 
+  // the gateway's write surfaces honor the repo's read-only latch exactly
+  // like the REST surfaces (ErrReadOnlyRepository, deleteobjects.go:177)
+  private def requireWritable(op: String): Unit =
+    require(!engine.readOnly, s"read-only repository: cannot $op")
+
   private def uploadsFile = Paths.get(s"${engine.repoDir}/refs/multiparts.tsv")
   private def partsFile = Paths.get(s"${engine.repoDir}/refs/multipart_parts.tsv")
 
@@ -33,6 +38,7 @@ class Gateway(val engine: Engine) {
       uploadId: Option[String] = None,
       nowEpochSec: Long = System.currentTimeMillis() / 1000): String =
     this.synchronized {
+      requireWritable("createMultipartUpload")
       require(engine.refs.getBranch(branch).isDefined, s"no branch $branch")
       val id = uploadId.getOrElse(
         java.util.UUID.randomUUID().toString.replace("-", ""))
@@ -55,6 +61,7 @@ class Gateway(val engine: Engine) {
     * number replaces it (S3 last-write-wins). */
   def uploadPart(uploadId: String, partNumber: Int, sizeBytes: Long,
       etag: String): Unit = this.synchronized {
+    requireWritable("uploadPart")
     require(partNumber >= 1 && partNumber <= 10000, s"part number $partNumber out of range")
     uploadRecord(uploadId) // must exist
     KvFile.write(partsFile, KvFile.read(partsFile) +
@@ -96,6 +103,7 @@ class Gateway(val engine: Engine) {
    */
   def completeMultipartUpload(uploadId: String,
       parts: Seq[(Int, String)]): (String, Long) = this.synchronized {
+    requireWritable("completeMultipartUpload")
     val (branch, path, address) = uploadRecord(uploadId)
     require(parts.nonEmpty, "empty completion list")
     require(parts.map(_._1).sliding(2).forall(w => w.length < 2 || w(0) < w(1)),
@@ -121,6 +129,7 @@ class Gateway(val engine: Engine) {
 
   /** AbortMultipartUpload: drop the tracker record and its parts. */
   def abortMultipartUpload(uploadId: String): Unit = this.synchronized {
+    requireWritable("abortMultipartUpload")
     uploadRecord(uploadId) // must exist
     dropUpload(uploadId)
   }

@@ -72,6 +72,24 @@ class GatewaySpec extends SparkSpec {
     assert(etag.endsWith("-1"))
   }
 
+  test("read-only latch covers every gateway write surface") {
+    val eng = freshEngine("gwro")
+    val gw = new Gateway(eng)
+    val id = gw.createMultipartUpload("main", "ro/obj", Some("u4"), 1000L)
+    gw.uploadPart(id, 1, 5L, "e1")
+    eng.readOnly = true
+    def ro(f: => Any): Unit = intercept[IllegalArgumentException](f)
+    ro(gw.createMultipartUpload("main", "x", Some("u5"), 1000L))
+    ro(gw.uploadPart(id, 2, 5L, "e2"))
+    ro(gw.completeMultipartUpload(id, Seq((1, "e1"))))
+    ro(gw.abortMultipartUpload(id))
+    // reads still work; clearing the latch restores writes
+    assert(gw.listParts(id).count() === 1)
+    eng.readOnly = false
+    val (etag, _) = gw.completeMultipartUpload(id, Seq((1, "e1")))
+    assert(etag.endsWith("-1"))
+  }
+
   test("deleteObjects: input caps and ordering") {
     val eng = freshEngine("gwdel")
     val gw = new Gateway(eng)
