@@ -1408,6 +1408,50 @@ object TextQueries {
                        row_number() OVER (ORDER BY n DESC, pair ASC) AS rank
                 FROM counts)
         SELECT CAST(rank AS BIGINT) AS rank, pair, n
-        FROM num WHERE rank <= 20 ORDER BY rank"""))
+        FROM num WHERE rank <= 20 ORDER BY rank""")),
+
+    // C4-style corpus line dedup (Raffel et al. 2020 §2.2 dedups repeated
+    // lines corpus-wide): every non-empty trimmed line keeps exactly ONE
+    // occurrence — the lexicographically first (doc_id, line_no) — and all
+    // other occurrences drop. Per-doc report of survival counts. The
+    // winner election is a groupBy(min) on the line content and one
+    // line-keyed equi-join: shuffles by content, map-side combines, no
+    // pair joins — the boilerplate-removal gate at corpus scale.
+    "td_line_dedup" -> (((s: SparkSession, d: String) => {
+      val lines = Fixtures.documents(s, d)
+        .select(col("doc_id"),
+          posexplode(split(col("text"), "\n")).as(Seq("pos", "line0")))
+        .select(col("doc_id"), (col("pos") + 1).cast("long").as("line_no"),
+          trim(col("line0")).as("line"))
+        .where(col("line") =!= "")
+      val slot = col("doc_id") * 1000000L + col("line_no")
+      val winners = lines.groupBy("line").agg(min(slot).as("w"))
+      lines.join(winners, Seq("line"))
+        .withColumn("kept", (slot === col("w")).cast("long"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).cast("long").as("n_lines"),
+          sum("kept").cast("long").as("n_kept"),
+          (count(lit(1)) - sum("kept")).cast("long").as("n_dropped"))
+        .orderBy("doc_id")
+    }),
+      Some("""
+        WITH d AS (
+          SELECT doc_id, string_split(text, chr(10)) AS lines FROM documents),
+        ln0 AS (
+          SELECT doc_id, unnest(list_transform(generate_series(1, len(lines)),
+            i -> CAST(i AS VARCHAR) || '|' || trim(lines[i]))) AS e
+          FROM d),
+        ln AS (
+          SELECT doc_id,
+                 CAST(e[1:strpos(e,'|')-1] AS BIGINT) AS line_no,
+                 substr(e, strpos(e,'|')+1) AS line
+          FROM ln0 WHERE substr(e, strpos(e,'|')+1) <> ''),
+        win AS (
+          SELECT line, min(doc_id*1000000 + line_no) AS w FROM ln GROUP BY line)
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+               CAST(sum(CASE WHEN doc_id*1000000 + line_no = w THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               CAST(count(*) - sum(CASE WHEN doc_id*1000000 + line_no = w THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+        FROM ln JOIN win USING (line)
+        GROUP BY doc_id ORDER BY doc_id"""))
   )
 }
