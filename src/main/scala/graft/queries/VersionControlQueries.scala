@@ -1521,6 +1521,47 @@ object VersionControlQueries {
           UNION ALL
           SELECT key, identity, qty, price_c, 'source' AS side
           FROM base WHERE k < 3000 AND k%100 = 4
-        ) ORDER BY side, key"""))
+        ) ORDER BY side, key""")),
+
+    // T4 oracle-checked end-to-end: the ASYNC import path — importAsync
+    // runs in a background thread under a cancellable job group, stamps
+    // progress (= imported row count, data-derived here), and lands the
+    // overlay commit; awaitImport joins the thread and returns the final
+    // status. The listing proves the overlay (imp/ prefix replaced, rest
+    // untouched) and the status fields ride along as columns the oracle
+    // recomputes from the same fixture.
+    "vc_import_async" -> (((s: SparkSession, d: String) => {
+      val dir = s"target/vc_impasync_repo_${math.abs(d.hashCode)}"
+      val hfs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(dir), s.sparkContext.hadoopConfiguration)
+      hfs.delete(new org.apache.hadoop.fs.Path(dir), true)
+      val eng = new graft.store.Engine(s, dir, raggedness = 5000)
+      val base = Fixtures.keyedBase(s, d).where(col("k") < 3000)
+      eng.init("main", Some(base))
+      val imported = base.where(col("k") % 50 === 9)
+        .withColumn("key", concat(lit("imp/"), col("key")))
+        .withColumn("identity", concat(lit("i"), col("identity")))
+      val id = eng.importAsync("main", imported, Seq("imp/"), "t", "bulk import")
+      val st = eng.awaitImport(id)
+      val headIsImport =
+        if (eng.log("main").headOption.exists(_.commitId == st.commitId.orNull)) 1L else 0L
+      eng.list("main").select(col("key"), col("identity"), col("qty"), col("price_c"))
+        .withColumn("completed", lit(if (st.completed) 1L else 0L))
+        .withColumn("import_progress", lit(st.progress))
+        .withColumn("head_is_import_commit", lit(headIsImport))
+        .orderBy("key")
+    }),
+      Some(s"""$prelude
+        SELECT key, identity, qty, price_c,
+               CAST(1 AS BIGINT) AS completed,
+               (SELECT CAST(count(*) AS BIGINT) FROM base
+                WHERE k < 3000 AND k%50 = 9) AS import_progress,
+               CAST(1 AS BIGINT) AS head_is_import_commit
+        FROM (
+          SELECT key, identity, qty, price_c FROM base WHERE k < 3000
+          UNION ALL
+          SELECT 'imp/' || key, 'i' || identity, qty, price_c
+          FROM base WHERE k < 3000 AND k%50 = 9
+        ) ORDER BY key"""))
   )
 }
