@@ -1562,6 +1562,48 @@ object VersionControlQueries {
           UNION ALL
           SELECT 'imp/' || key, 'i' || identity, qty, price_c
           FROM base WHERE k < 3000 AND k%50 = 9
-        ) ORDER BY key"""))
+        ) ORDER BY key""")),
+
+    // Distributed snapshot fsck oracle-checked: on a healthy repo every
+    // range audits 'ok' and the audited row total equals the snapshot's
+    // row count (data-derived); after deleting one range file from under
+    // the store, fsck flags exactly that range as 'missing' and nothing
+    // else. Range ids/paths are content hashes (not SQL-expressible), so
+    // the oracle pins the aggregate invariants.
+    "vc_fsck" -> (((s: SparkSession, d: String) => {
+      val dir = s"target/vc_fsck_repo_${math.abs(d.hashCode)}"
+      val hfs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(dir), s.sparkContext.hadoopConfiguration)
+      hfs.delete(new org.apache.hadoop.fs.Path(dir), true)
+      val eng = new graft.store.Engine(s, dir, raggedness = 5000)
+      val base = Fixtures.keyedBase(s, d).where(col("k") < 3000)
+      eng.init("main", Some(base))
+      val before = eng.fsck("main")
+        .groupBy("status").agg(count(lit(1)).as("n"),
+          sum("exp_count").as("exp"), sum("act_count").as("act"))
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toMap
+      // corrupt: remove ONE range file out from under the store
+      val victim = eng.fsck("main").select("path").head().getString(0)
+      hfs.delete(new org.apache.hadoop.fs.Path(victim), true)
+      val after = eng.fsck("main")
+        .groupBy("status").agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      import s.implicits._
+      Seq((
+        before.get("ok").map(_._2).getOrElse(0L),          // audited rows
+        before.get("ok").map(_._3).getOrElse(0L),          // actual rows
+        if (before.keySet == Set("ok")) 1L else 0L,        // healthy: only ok
+        after.getOrElse("missing", 0L),                    // exactly 1 missing
+        if ((after - "missing").keySet.subsetOf(Set("ok"))) 1L else 0L))
+        .toDF("exp_rows", "act_rows", "healthy_all_ok",
+          "missing_after_corruption", "rest_still_ok")
+    }),
+      Some(s"""$prelude
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM base WHERE k < 3000) AS exp_rows,
+               (SELECT CAST(count(*) AS BIGINT) FROM base WHERE k < 3000) AS act_rows,
+               CAST(1 AS BIGINT) AS healthy_all_ok,
+               CAST(1 AS BIGINT) AS missing_after_corruption,
+               CAST(1 AS BIGINT) AS rest_still_ok"""))
   )
 }
