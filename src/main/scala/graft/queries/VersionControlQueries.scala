@@ -1604,6 +1604,60 @@ object VersionControlQueries {
                (SELECT CAST(count(*) AS BIGINT) FROM base WHERE k < 3000) AS act_rows,
                CAST(1 AS BIGINT) AS healthy_all_ok,
                CAST(1 AS BIGINT) AS missing_after_corruption,
-               CAST(1 AS BIGINT) AS rest_still_ok"""))
+               CAST(1 AS BIGINT) AS rest_still_ok""")),
+
+    // Persisted action runs (pkg/actions service + run store behind
+    // ListRunResults/GetRun): one run per matched event shared across
+    // actions, failed pre-hook runs recorded BEFORE the abort rolls the
+    // commit back (audit survives), glob-filtered actions skip non-matching
+    // branches, listing newest-first. The rejected commit must leave the
+    // branch head pinned.
+    "vc_action_runs" -> (((s: SparkSession, d: String) => {
+      val dir = s"target/vc_aruns_repo_${math.abs(d.hashCode)}"
+      val hfs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(dir), s.sparkContext.hadoopConfiguration)
+      hfs.delete(new org.apache.hadoop.fs.Path(dir), true)
+      val eng = new graft.store.Engine(s, dir, raggedness = 5000)
+      val ident = sha2(concat_ws("|",
+        col("key"), col("qty"), col("price_c"), col("rf"), col("ls")), 256)
+      val base = Fixtures.keyedBase(s, d).where(col("k") < 3000)
+      eng.init("main", Some(base))
+      eng.createBranch("dev", "main")
+      val svc = new graft.store.ActionService(eng)
+      svc.add(graft.store.Actions.ActionConf("guard",
+        Map(graft.store.Hooks.PreCommit -> Seq.empty),
+        Seq(graft.store.Actions.HookConf("no-bots", "sql_check",
+          Map("expr" -> "committer <> 'bot'")))))
+      svc.add(graft.store.Actions.ActionConf("notify",
+        Map(graft.store.Hooks.PostCommit -> Seq("main")),
+        Seq(graft.store.Actions.HookConf("hook-web", "webhook",
+          Map("url" -> "http://x/")))))
+      def delta(m: Int) = base.where(col("k") % 100 === m)
+        .withColumn("price_c", col("price_c") + 5).withColumn("identity", ident)
+      eng.stage("main", delta(5)); eng.commit("main", "alice", "m1")
+      eng.stage("dev", delta(6)); eng.commit("dev", "alice", "d1")
+      val devHead = eng.refs.getBranch("dev").get
+      eng.stage("dev", delta(7))
+      val rejected = try { eng.commit("dev", "bot", "evil"); 0L }
+        catch { case _: Exception => 1L }
+      val headPinned =
+        if (eng.refs.getBranch("dev").contains(devHead)) 1L else 0L
+      import s.implicits._
+      svc.runs.listRuns()._1.map { r =>
+        val hr = svc.runs.listHookRuns(r.runId)
+        (r.runId, r.eventType, r.branch, if (r.passed) 1L else 0L,
+          hr.size.toLong, hr.count(_.passed).toLong, rejected, headPinned)
+      }.toDF("run_id", "event_type", "branch", "passed", "n_hooks",
+        "n_hooks_passed", "bot_rejected", "dev_head_pinned")
+        .orderBy(col("run_id").desc)
+    }),
+      Some("""
+        SELECT * FROM (VALUES
+          ('run-00000004', 'PreCommit', 'dev', 0, 1, 0, 1, 1),
+          ('run-00000003', 'PreCommit', 'dev', 1, 1, 1, 1, 1),
+          ('run-00000002', 'PostCommit', 'main', 1, 1, 1, 1, 1),
+          ('run-00000001', 'PreCommit', 'main', 1, 1, 1, 1, 1))
+        t(run_id, event_type, branch, passed, n_hooks, n_hooks_passed,
+          bot_rejected, dev_head_pinned) ORDER BY run_id DESC"""))
   )
 }

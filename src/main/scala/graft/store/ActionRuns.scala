@@ -1,0 +1,79 @@
+package graft.store
+
+import java.nio.file.Paths
+
+import scala.collection.mutable
+
+/**
+ * Persisted action-run results (reference `pkg/actions`: run manifests +
+ * hook run results behind `ListRunResults`/`GetRun`, the surface the UI's
+ * Actions tab reads). One run per TRIGGERING EVENT that matched at least
+ * one action — all matching actions share the run id, each hook execution
+ * records its own pass/fail, and the run's `passed` is their conjunction,
+ * mirroring `pkg/actions/service.go` (runManifest + hookRun records).
+ *
+ * Run ids are zero-padded per-repo sequence numbers — time-sortable like
+ * the reference's ULIDs but deterministic, so runs list newest-first by
+ * plain key order. Metadata-scale: swap-file KV next to branches/tags.
+ */
+class ActionRunStore(rootDir: String) {
+
+  private def dir = Paths.get(rootDir)
+  private def runsFile = dir.resolve("action_runs.tsv")
+  private def hooksFile = dir.resolve("action_run_hooks.tsv")
+
+  java.nio.file.Files.createDirectories(dir)
+
+  case class RunResult(runId: String, eventType: String, branch: String,
+      commitId: String, passed: Boolean)
+  case class HookRunResult(runId: String, hookRunId: String, action: String,
+      hookId: String, passed: Boolean, error: String)
+
+  private def esc(v: String) = java.net.URLEncoder.encode(v, "UTF-8")
+  private def unesc(v: String) = java.net.URLDecoder.decode(v, "UTF-8")
+
+  def nextRunId(): String = this.synchronized {
+    f"run-${KvFile.read(runsFile).size + 1}%08d"
+  }
+
+  def record(run: RunResult, hookRuns: Seq[HookRunResult]): Unit =
+    this.synchronized {
+      KvFile.write(runsFile, KvFile.read(runsFile) + (run.runId ->
+        Seq(run.eventType, run.branch, run.commitId,
+          if (run.passed) "1" else "0").map(esc).mkString("|")))
+      val hr = hookRuns.zipWithIndex.map { case (h, i) =>
+        f"${run.runId}#$i%04d" ->
+          Seq(h.hookRunId, h.action, h.hookId,
+            if (h.passed) "1" else "0", h.error).map(esc).mkString("|")
+      }
+      KvFile.write(hooksFile, KvFile.read(hooksFile) ++ hr)
+    }
+
+  private def decode(id: String, v: String): RunResult = {
+    val f = v.split('|').padTo(4, "").map(unesc)
+    RunResult(id, f(0), f(1), f(2), f(3) == "1")
+  }
+
+  def getRun(runId: String): Option[RunResult] =
+    KvFile.read(runsFile).get(runId).map(decode(runId, _))
+
+  /** Newest-first run listing with optional branch filter and seek-paging
+    * (`after` = last run id of the previous page). Returns (page, hasMore). */
+  def listRuns(branch: Option[String] = None, after: Option[String] = None,
+      limit: Int = 100): (Seq[RunResult], Boolean) = {
+    require(limit > 0, "limit must be positive")
+    val all = KvFile.read(runsFile).toSeq.sortBy(_._1)(Ordering[String].reverse)
+      .map { case (id, v) => decode(id, v) }
+      .filter(r => branch.forall(_ == r.branch))
+      .dropWhile(r => after.exists(r.runId >= _))
+    (all.take(limit), all.size > limit)
+  }
+
+  /** The hook executions of one run, execution order. */
+  def listHookRuns(runId: String): Seq[HookRunResult] =
+    KvFile.read(hooksFile).toSeq.filter(_._1.startsWith(runId + "#"))
+      .sortBy(_._1).map { case (_, v) =>
+        val f = v.split('|').padTo(5, "").map(unesc)
+        HookRunResult(runId, f(0), f(1), f(2), f(3) == "1", f(4))
+      }
+}

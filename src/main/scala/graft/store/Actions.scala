@@ -100,7 +100,7 @@ object Actions {
     }
   }
 
-  private def runHook(spark: SparkSession, conf: ActionConf, h: HookConf,
+  private[store] def runHook(spark: SparkSession, conf: ActionConf, h: HookConf,
       ev: Hooks.HookEvent): Unit = h.hookType match {
     case "sql_check" =>
       import spark.implicits._
@@ -131,5 +131,64 @@ object Actions {
       new Engine(spark, ev.repoDir)
         .exportRunAuto(ev.branch, h.properties("dest"))
     case other => sys.error(s"unknown hook type '$other'")
+  }
+}
+
+/**
+ * The reference's `pkg/actions/service.go` shape over [[Actions]]: a
+ * per-repo service holding the configured actions, executing every action
+ * matching a fired event under ONE shared run id, and persisting the run +
+ * per-hook results to [[ActionRunStore]] — the store behind the
+ * `ListRunResults`/`GetRun` API surface. Within an action, hooks run in
+ * order and stop at the first failure; other actions still run (the
+ * reference's per-action task chains). A failed hook on an abortable event
+ * aborts the operation AFTER the failed run is recorded, so the audit
+ * trail survives the rollback, exactly like the reference's failed-run
+ * manifests.
+ */
+class ActionService(val engine: Engine) {
+  import Actions._
+
+  val runs = new ActionRunStore(s"${engine.repoDir}/refs")
+  private val confs = mutable.ArrayBuffer[ActionConf]()
+  private val wired = mutable.Set[Hooks.EventType]()
+
+  def add(conf: ActionConf): Unit = this.synchronized {
+    validate(conf)
+    confs += conf
+    conf.on.keys.foreach { ev =>
+      if (wired.add(ev)) engine.hooks.register(ev)(handle)
+    }
+  }
+
+  private def handle(ev: Hooks.HookEvent): Unit = this.synchronized {
+    val matching = confs.filter(c => c.on.get(ev.eventType).exists(globs =>
+      globs.isEmpty || globs.exists(globMatches(_, ev.branch))))
+    if (matching.isEmpty) return
+    val runId = runs.nextRunId()
+    val hookRuns = mutable.ArrayBuffer.empty[runs.HookRunResult]
+    var failure: Option[Throwable] = None
+    matching.foreach { c =>
+      var stopped = false
+      c.hooks.foreach { h =>
+        if (!stopped) {
+          val err = try { runHook(engine.spark, c, h, ev); None }
+            catch { case e: Throwable => Some(e) }
+          hookRuns += runs.HookRunResult(runId,
+            f"hrun-${hookRuns.size}%04d", c.name, h.id,
+            err.isEmpty, err.map(e => Option(e.getMessage).getOrElse("")).getOrElse(""))
+          err.foreach { e =>
+            stopped = true
+            if (failure.isEmpty) failure = Some(e)
+          }
+        }
+      }
+    }
+    // post events fire after the head moved, so the branch head IS the
+    // event's commit (the reference stamps the manifest post-commit)
+    val commitId = engine.refs.getBranch(ev.branch).getOrElse("")
+    runs.record(runs.RunResult(runId, ev.eventType.toString, ev.branch,
+      commitId, failure.isEmpty), hookRuns.toSeq)
+    failure.foreach(e => throw e)
   }
 }

@@ -1,0 +1,72 @@
+package graft
+
+import graft.store.{ActionService, Actions, Engine, Hooks}
+
+/** Persisted action runs (pkg/actions service/run-store shape): one run
+  * per matched event, shared across actions, failed runs recorded before
+  * the abort propagates, newest-first paged listing. */
+class ActionRunsSpec extends SparkSpec {
+
+  private def engine(name: String) = {
+    import spark.implicits._
+    val eng = new Engine(spark, tmpDir(name), raggedness = 100)
+    eng.init("main", Some(
+      (1 to 20).map(i => (f"k$i%04d", s"v$i")).toDF("key", "identity")))
+    eng
+  }
+
+  test("runs record per event with per-hook results; failed pre-hook aborts after recording") {
+    import spark.implicits._
+    val eng = engine("aruns")
+    val svc = new ActionService(eng)
+    svc.add(Actions.ActionConf("guard",
+      Map(Hooks.PreCommit -> Seq.empty),
+      Seq(Actions.HookConf("no-bots", "sql_check",
+        Map("expr" -> "committer <> 'bot'")),
+        Actions.HookConf("never-runs-after-fail", "sql_check",
+          Map("expr" -> "true")))))
+    svc.add(Actions.ActionConf("notify",
+      Map(Hooks.PostCommit -> Seq("main")),
+      Seq(Actions.HookConf("hook-web", "webhook", Map("url" -> "http://x/")))))
+
+    eng.stage("main", Seq(("k0001", "v1b")).toDF("key", "identity"))
+    eng.commit("main", "alice", "ok commit")
+    val headAfterAlice = eng.refs.getBranch("main").get
+
+    eng.stage("main", Seq(("k0002", "v2b")).toDF("key", "identity"))
+    intercept[RuntimeException] { eng.commit("main", "bot", "evil commit") }
+    // the failed run recorded, the operation rolled back
+    assert(eng.refs.getBranch("main").get === headAfterAlice)
+
+    val (runs, more) = svc.runs.listRuns()
+    assert(!more)
+    // newest first: bot's failed PreCommit, then alice's PostCommit, PreCommit
+    assert(runs.map(r => (r.eventType, r.passed)) === Seq(
+      ("PreCommit", false), ("PostCommit", true), ("PreCommit", true)))
+    // the failed run: first hook failed, second hook never ran
+    val failed = svc.runs.listHookRuns(runs.head.runId)
+    assert(failed.map(h => (h.hookId, h.passed)) === Seq(("no-bots", false)))
+    assert(failed.head.error.contains("rejected"))
+    // alice's PostCommit run stamped the NEW head as its commit id
+    assert(runs(1).commitId === headAfterAlice)
+    // branch filter + paging
+    val (page1, m1) = svc.runs.listRuns(branch = Some("main"), limit = 2)
+    assert(page1.size === 2 && m1)
+    val (page2, m2) = svc.runs.listRuns(after = Some(page1.last.runId), limit = 2)
+    assert(page2.size === 1 && !m2)
+    assert(svc.runs.getRun(runs.head.runId).isDefined)
+    assert(svc.runs.getRun("run-99999999").isEmpty)
+  }
+
+  test("events with no matching action record no run") {
+    import spark.implicits._
+    val eng = engine("aruns2")
+    val svc = new ActionService(eng)
+    svc.add(Actions.ActionConf("guard",
+      Map(Hooks.PreCommit -> Seq("release/*")),
+      Seq(Actions.HookConf("glob-guard", "sql_check", Map("expr" -> "true")))))
+    eng.stage("main", Seq(("k0001", "x")).toDF("key", "identity"))
+    eng.commit("main", "alice", "no glob match")
+    assert(svc.runs.listRuns()._1.isEmpty)
+  }
+}
