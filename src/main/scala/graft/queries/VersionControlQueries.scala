@@ -1658,6 +1658,38 @@ object VersionControlQueries {
           ('run-00000002', 'PostCommit', 'main', 1, 1, 1, 1, 1),
           ('run-00000001', 'PreCommit', 'main', 1, 1, 1, 1, 1))
         t(run_id, event_type, branch, passed, n_hooks, n_hooks_passed,
-          bot_rejected, dev_head_pinned) ORDER BY run_id DESC"""))
+          bot_rejected, dev_head_pinned) ORDER BY run_id DESC""")),
+
+    // `lakectl bisect` run (bisect.go, bisect_run.go): find the commit
+    // that introduced "bug/flag" by binary search over badRef..goodRef —
+    // the predicate is a pruned point lookup against each probed commit's
+    // snapshot. 8 commits on top of init, the bug lands in c6; the search
+    // must finish in exactly 2 boundary checks + ceil(log2(7)) = 3 probes.
+    "vc_bisect" -> (((s: SparkSession, d: String) => {
+      val dir = s"target/vc_bisect_repo_${math.abs(d.hashCode)}"
+      val hfs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(dir), s.sparkContext.hadoopConfiguration)
+      hfs.delete(new org.apache.hadoop.fs.Path(dir), true)
+      val eng = new graft.store.Engine(s, dir, raggedness = 5000)
+      import s.implicits._
+      eng.init("main", Some(Seq(("a/base", "v0")).toDF("key", "identity")))
+      val cs = (2 to 9).map { i =>
+        val rows = Seq(s"k/$i" -> s"v$i") ++
+          (if (i == 6) Seq("bug/flag" -> "boom") else Nil)
+        eng.stage("main", rows.toDF("key", "identity"))
+        eng.commit("main", "t", s"c$i")
+      }
+      val good = cs.head.commitId // c2, pre-bug
+      def isBad(c: graft.core.Model.CommitInfo): Boolean =
+        eng.snapshots.scanInterval(c.metaRangeId,
+          Some("bug/flag"), Some("bug/flag "))
+          .where(col("key") === "bug/flag").limit(1).count() > 0
+      val (firstBad, evals) = eng.bisect("main", good)(isBad)
+      Seq((firstBad.message, evals.toLong, 1L))
+        .toDF("first_bad", "n_evals", "found")
+    }),
+      Some("""
+        SELECT 'c6' AS first_bad, CAST(5 AS BIGINT) AS n_evals,
+               CAST(1 AS BIGINT) AS found"""))
   )
 }

@@ -285,6 +285,41 @@ class Engine(val spark: SparkSession, val repoDir: String,
       .orderBy("key")
   }
 
+  /** `lakectl bisect` run (cmd/lakectl/cmd/bisect.go:36-60, bisect_run.go):
+    * binary search over the first-parent chain `badRef..goodRef` for the
+    * OLDEST commit where `isBad` holds — O(log n) predicate evaluations,
+    * each typically a snapshot query, exactly `git bisect run` against
+    * content instead of a build. Requires `goodRef` to be a first-parent
+    * ancestor of `badRef`, `isBad(bad)` and `!isBad(good)` (checked), and
+    * monotone `isBad` along the chain (the bisect contract). Returns
+    * (first bad commit, predicate evaluations spent). */
+  def bisect(badRef: String, goodRef: String)(
+      isBad: CommitInfo => Boolean): (CommitInfo, Int) = {
+    val bad = resolveCommit(badRef)
+    val good = resolveCommit(goodRef)
+    val chain = scala.collection.mutable.ArrayBuffer[CommitInfo]()
+    var cur: Option[CommitInfo] = Some(bad)
+    while (cur.exists(_.commitId != good.commitId)) {
+      chain += cur.get
+      cur = cur.get.parents.headOption.flatMap(refs.getCommit)
+    }
+    require(cur.isDefined,
+      s"$goodRef is not a first-parent ancestor of $badRef")
+    var evals = 0
+    def test(c: CommitInfo): Boolean = { evals += 1; isBad(c) }
+    require(test(bad), s"bad commit $badRef does not reproduce")
+    require(!test(good), s"good commit $goodRef reproduces the failure")
+    // chain(0)=bad … chain(n-1)=child of good; find the LARGEST index
+    // still bad (= the oldest bad commit, the one that introduced it)
+    var lo = 0
+    var hi = chain.length - 1
+    while (lo < hi) {
+      val mid = (lo + hi + 1) / 2
+      if (test(chain(mid))) lo = mid else hi = mid - 1
+    }
+    (chain(lo), evals)
+  }
+
   /** GetMetaRange (`catalog.go:2481-2487`): a metarange's manifest — every
     * range id, key interval, stats, and address. */
   def getMetaRange(metaRangeId: String): Seq[graft.core.Model.RangeInfo] =
