@@ -1682,7 +1682,7 @@ object VersionControlQueries {
       val good = cs.head.commitId // c2, pre-bug
       def isBad(c: graft.core.Model.CommitInfo): Boolean =
         eng.snapshots.scanInterval(c.metaRangeId,
-          Some("bug/flag"), Some("bug/flag "))
+          Some("bug/flag"), Some("bug/flag" + "\u0000"))
           .where(col("key") === "bug/flag").limit(1).count() > 0
       val (firstBad, evals) = eng.bisect("main", good)(isBad)
       Seq((firstBad.message, evals.toLong, 1L))
