@@ -69,6 +69,14 @@ object Bench {
     val samples =
       scala.collection.mutable.LinkedHashMap[String, Vector[Double]]()
     def timed[T](name: String)(f: => T): Option[T] = {
+      // Quiesce before starting the clock: a metric that follows a 30 MB
+      // parquet write otherwise pays the PREVIOUS op's page-cache flush and
+      // deferred JVM GC inside its own window — measured up to +1 s on
+      // `commit` (which sits right after two snapshot writes) while the
+      // isolated same-plan cost matches its bare twin. Applied uniformly to
+      // every metric, engine and bare alike, so ratios stay honest.
+      System.gc()
+      Thread.sleep(250)
       val t0 = System.nanoTime()
       try {
         val r = f

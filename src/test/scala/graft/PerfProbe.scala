@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession, SaveMode}
+import org.apache.spark.sql.functions._
+import graft.fixtures.Fixtures
+
+/** Scratch harness (not a test): isolates the commit staged-write cost vs
+  * the bare full-rewrite twin. Run:
+  *   sbt "Test/runMain graft.PerfProbe"
+  */
+object PerfProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 16)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val base = Fixtures.keyedBase(spark, sfDir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    base.count()
+    val identExpr = sha2(concat_ws("|",
+      col("key"), col("qty"), col("price_c"), col("rf"), col("ls")), 256)
+    val changes = base.where(col("k") % 100 === 21)
+      .withColumn("price_c", col("price_c") + 777)
+      .withColumn("identity", identExpr)
+
+    // input snapshot on disk, like the engine's 13 range files
+    val work = s"target/perfprobe_${java.util.UUID.randomUUID()}"
+    base.repartition(13, col("key")).sortWithinPartitions("key")
+      .write.parquet(s"$work/in")
+    val snap = spark.read.parquet(s"$work/in")
+
+    def applied: DataFrame = {
+      val kept = snap.join(changes.select("key"), Seq("key"), "left_anti")
+      kept.unionByName(changes.where(col("identity").isNotNull)
+        .select(snap.columns.map(col).toSeq: _*))
+    }
+    // fake chunk assignment: 13 buckets by key hash (stand-in for CutIndex)
+    def withChunk: DataFrame =
+      applied.withColumn("__chunk", pmod(xxhash64(col("key")), lit(13)).cast("int"))
+
+    var n = 0
+    def timed(name: String)(f: => Unit): Unit = {
+      val t0 = System.nanoTime(); f
+      println(f"[probe] $name%-28s ${(System.nanoTime() - t0) / 1e9}%7.3f s")
+    }
+    def out(): String = { n += 1; s"$work/out$n" }
+
+    def engineWrite(obs: Boolean, dyn: Boolean): Unit = {
+      val df = withChunk
+        .repartition(26, col("__chunk"), pmod(xxhash64(col("key")), lit(2)))
+        .sortWithinPartitions("__chunk", "key")
+      val df2 = if (obs) {
+        val o = org.apache.spark.sql.Observation("p" + java.util.UUID.randomUUID())
+        df.observe(o, graft.functions.ChunkStatsAggregator.statsCol.as("stats"))
+      } else df
+      val w = df2.write.mode(SaveMode.Overwrite)
+        .option("mapreduce.fileoutputcommitter.algorithm.version", "2")
+      (if (dyn) w.partitionBy("__chunk") else w).parquet(out())
+    }
+    def bareWrite(): Unit =
+      applied.repartitionByRange(col("key")).sortWithinPartitions("key")
+        .write.mode(SaveMode.Overwrite).parquet(out())
+
+    // warmup all paths
+    engineWrite(obs = true, dyn = true); bareWrite()
+    for (rep <- 1 to 3) {
+      println(s"--- rep $rep")
+      timed("bare(rangepart+sort+write)")(bareWrite())
+      timed("engine(obs+partitionBy)")(engineWrite(obs = true, dyn = true))
+      timed("engine(noobs+partitionBy)")(engineWrite(obs = false, dyn = true))
+      timed("engine(obs+flat)")(engineWrite(obs = true, dyn = false))
+      timed("engine(noobs+flat)")(engineWrite(obs = false, dyn = false))
+    }
+    org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(work), true)
+    spark.stop()
+  }
+}
