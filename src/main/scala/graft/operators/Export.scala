@@ -37,4 +37,41 @@ object Export {
       when(col("diff_type") === DiffType.Removed, lit("delete"))
         .otherwise(lit("copy")).as("action"),
       col("key"), col("identity"))
+
+  /**
+   * Athena/Hive symlink manifest plan (`CreateSymlinkFile`,
+   * `pkg/api/controller.go:4610-4698`): entries grouped by parent directory
+   * (the path up to the last '/', empty when none — `controller.go:4653-4657`),
+   * each directory yielding one `symlink.txt` whose lines are the entries'
+   * RESOLVED physical addresses in key order (the reference walks the sorted
+   * listing and appends in path order). Address resolution mirrors P7:
+   * FULL addresses pass through, RELATIVE ones prefix the namespace.
+   *
+   * Scale shape: one shuffle on the directory key; `collect_list` per
+   * directory is bounded by that directory's file count (directories are the
+   * parallel unit, same as the reference's one-file-per-dir output). Returns
+   * (dir, symlink_path, content, n_objects); the engine facade writes each
+   * row as a text object.
+   */
+  def symlinks(entries: DataFrame, ns: String, repo: String,
+      branch: String): DataFrame = {
+    val nsSlash = if (ns.endsWith("/")) ns else ns + "/"
+    val resolved = when(col("address_type") === "FULL", col("address"))
+      .otherwise(concat(lit(nsSlash), col("address")))
+    val dir = when(col("key").contains("/"),
+      regexp_replace(col("key"), "/[^/]*$", "")).otherwise(lit(""))
+    entries
+      .select(dir.as("dir"), col("key"), resolved.as("addr"))
+      .groupBy("dir")
+      .agg(
+        array_join(
+          transform(array_sort(collect_list(struct(col("key"), col("addr")))),
+            kv => kv.getField("addr")), "\n").as("content"),
+        count(lit(1)).cast("long").as("n_objects"))
+      // reference layout: symlinks/{repo}/{branch}/{dir}/symlink.txt
+      // (an empty dir keeps the double slash, as fmt.Sprintf does)
+      .withColumn("symlink_path",
+        concat(lit(s"symlinks/$repo/$branch/"), col("dir"), lit("/symlink.txt")))
+      .select("dir", "symlink_path", "content", "n_objects")
+  }
 }

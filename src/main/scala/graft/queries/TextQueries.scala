@@ -664,6 +664,89 @@ object TextQueries {
                CAST(((so + n - 1) // 256) - (so // 256) + 1 AS BIGINT) AS n_windows
         FROM c ORDER BY doc_id""")),
 
+    // Sequence-length bucketing for batch planning: each doc lands in the
+    // smallest power-of-two cap >= its token count (16..256; longer docs
+    // truncate to the top cap), and per bucket the report bills the padded
+    // tokens at that cap vs the actual tokens — the padding-efficiency
+    // numbers a training dataloader's bucketing is tuned against. Pure
+    // integer CASE thresholds (exact on both engines); one shuffle.
+    "td_length_buckets" -> (((s: SparkSession, d: String) => {
+      val n = size(tokens(col("text"))).cast("long")
+      val bucket = when(n <= 16, 16L).when(n <= 32, 32L).when(n <= 64, 64L)
+        .when(n <= 128, 128L).otherwise(256L)
+      Fixtures.documents(s, d)
+        .select(bucket.as("bucket"), least(n, lit(256L)).as("kept"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum("kept").cast("long").as("sum_tokens"))
+        .withColumn("padded_tokens", col("n_docs") * col("bucket"))
+        .withColumn("waste_tokens", col("padded_tokens") - col("sum_tokens"))
+        .orderBy("bucket")
+    }),
+      Some(s"""$docsSql, b AS (
+        SELECT CASE WHEN len(toks) <= 16 THEN 16 WHEN len(toks) <= 32 THEN 32
+                    WHEN len(toks) <= 64 THEN 64 WHEN len(toks) <= 128 THEN 128
+                    ELSE 256 END AS bucket,
+               least(len(toks), 256) AS kept
+        FROM docs)
+        SELECT CAST(bucket AS BIGINT) AS bucket,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(kept) AS BIGINT) AS sum_tokens,
+               CAST(count(*) * bucket AS BIGINT) AS padded_tokens,
+               CAST(count(*) * bucket - sum(kept) AS BIGINT) AS waste_tokens
+        FROM b GROUP BY bucket ORDER BY bucket""")),
+
+    // DSIR-style hashed n-gram importance weights (Xie et al. 2023, "Data
+    // Selection for Language Models via Importance Resampling"): word
+    // bigrams hash into 256 buckets; bucket counts over the TARGET corpus
+    // (lang='en') and the RAW corpus (everything) give each doc the score
+    // sum_g (t_b(g)*R - r_b(g)*T) — the cross-multiplied integer-exact
+    // surrogate of the log-likelihood ratio (positive <=> the doc's hashed
+    // feature profile is more target-like than raw-like). Top-20 docs by
+    // score. Scale shape: the 256-row bucket table broadcasts onto the
+    // exploded bigram stream (no shuffle of the corpus), one
+    // groupBy(doc_id), top-k via TakeOrderedAndProject.
+    "td_dsir" -> (((s: SparkSession, d: String) => {
+      val docs = Fixtures.documents(s, d)
+      val grams = docs
+        .select(col("doc_id"), col("lang"),
+          explode(shingles(col("text"), 2)).as("g"))
+        .withColumn("b", pmod(shingleHash16(col("g")), lit(256)))
+      val buckets = grams.groupBy("b").agg(
+        count(lit(1)).cast("long").as("r_cnt"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("t_cnt"))
+      val totals = buckets.agg(
+        sum("r_cnt").as("r_tot"), sum("t_cnt").as("t_tot")).head()
+      val (rTot, tTot) = (totals.getLong(0), totals.getLong(1))
+      grams.join(broadcast(buckets), "b")
+        .groupBy("doc_id")
+        .agg(sum(col("t_cnt") * rTot - col("r_cnt") * tTot).as("score"),
+          count(lit(1)).cast("long").as("n_grams"))
+        .orderBy(desc("score"), asc("doc_id")).limit(20)
+    }),
+      Some(s"""$docsSql, grams AS (
+        SELECT doc_id, lang,
+               ('0x' || substr(sha256(g), 1, 4))::BIGINT % 256 AS b
+        FROM (
+          SELECT doc_id, lang,
+                 unnest(list_transform(generate_series(1, greatest(len(toks)-1, 0)),
+                   i -> toks[i] || ' ' || toks[i+1])) AS g
+          FROM docs JOIN documents USING (doc_id)
+        )
+      ), buckets AS (
+        SELECT b, CAST(count(*) AS BIGINT) AS r_cnt,
+               CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS t_cnt
+        FROM grams GROUP BY b
+      ), tot AS (
+        SELECT CAST(sum(r_cnt) AS BIGINT) AS r_tot,
+               CAST(sum(t_cnt) AS BIGINT) AS t_tot FROM buckets
+      )
+      SELECT doc_id,
+             CAST(sum(t_cnt * r_tot - r_cnt * t_tot) AS BIGINT) AS score,
+             CAST(count(*) AS BIGINT) AS n_grams
+      FROM grams JOIN buckets USING (b) CROSS JOIN tot
+      GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20""")),
+
     // Deterministic stratified train/val split: Knuth-hash bucket on doc_id
     // (90/10), reported per predicted language — the split is a pure
     // function of the id, so it is stable across runs, engines, and

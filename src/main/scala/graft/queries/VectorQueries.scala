@@ -260,6 +260,54 @@ object VectorQueries {
     // LSH-bucketed ANN end-to-end over the planted table: candidates from
     // shared 4-bit bands in any of 4 tables (equi-join on band keys only),
     // refined with exact quantized cosine >= 0.9 — the complete scale path.
+    // k-NN graph over LSH candidates: each vector's top-3 cosine neighbors
+    // among vectors sharing any of its 4 LSH band buckets — the adjacency
+    // build behind graph-based semantic clustering (SemDeDup-style
+    // connected components, label propagation). DIRECTED edges: ranks are
+    // per-src, so (a→b) existing doesn't imply (b→a). Scale shape: same
+    // bucket-equi-join candidate generation as emb_lsh_ann (no all-pairs
+    // anywhere), then a rank window PARTITIONED by src — each vector's
+    // candidate list is bucket-bounded, so the per-partition sort is tiny.
+    "emb_knn_graph" -> (((s: SparkSession, d: String) => {
+      val emb = Fixtures.embeddings(s, d)
+        .select(col("vec_id"), quantize(col("embedding")).as("q"))
+      val banded = bandKeys(emb.select(col("vec_id"), sig16(col("q")).as("sig")))
+      val a = banded.select(col("bk"), col("vec_id").as("src"))
+      val b = banded.select(col("bk"), col("vec_id").as("dst"))
+      val cands = a.join(b, Seq("bk")).where(col("src") =!= col("dst"))
+        .select("src", "dst").distinct()
+      val scored = cands
+        .join(emb.select(col("vec_id").as("src"), col("q").as("qa")), Seq("src"))
+        .join(emb.select(col("vec_id").as("dst"), col("q").as("qb")), Seq("dst"))
+        .withColumn("sim", cosine(col("qa"), col("qb")))
+      scored
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy("src").orderBy(desc("sim"), asc("dst"))))
+        .where(col("rnk") <= 3)
+        .select(col("src"), col("dst"), col("sim"), col("rnk").cast("long").as("rnk"))
+        .orderBy("src", "rnk")
+    }),
+      Some(s"""
+        WITH q AS (SELECT vec_id, $qvecSql AS qv FROM embeddings),
+        sig AS (SELECT vec_id, $sig16Sql AS sig FROM q),
+        banded AS (
+          SELECT vec_id, CAST(t AS VARCHAR) || ':' || substr(sig, t*4+1, 4) AS bk
+          FROM sig CROSS JOIN (SELECT unnest([0,1,2,3]) AS t)
+        ),
+        cands AS (
+          SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+          FROM banded a JOIN banded b ON a.bk = b.bk AND a.vec_id <> b.vec_id
+        ),
+        scored AS (
+          SELECT src, dst, ${cosSql("x.qv", "y.qv")} AS sim
+          FROM cands JOIN q x ON x.vec_id = src JOIN q y ON y.vec_id = dst
+        )
+        SELECT src, dst, sim, CAST(rnk AS BIGINT) AS rnk FROM (
+          SELECT src, dst, sim,
+                 row_number() OVER (PARTITION BY src ORDER BY sim DESC, dst) AS rnk
+          FROM scored
+        ) WHERE rnk <= 3 ORDER BY src, rnk""")),
+
     "emb_lsh_ann" -> (((s: SparkSession, d: String) => {
       val emb = withPlanted(Fixtures.embeddings(s, d)
         .select(col("vec_id"), quantize(col("embedding")).as("q")))

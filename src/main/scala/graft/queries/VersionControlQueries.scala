@@ -176,6 +176,33 @@ object VersionControlQueries {
                key, identity
         FROM dd ORDER BY key""")),
 
+    // Athena/Hive symlink manifest plan (CreateSymlinkFile,
+    // pkg/api/controller.go:4610-4698): one row per directory, content =
+    // resolved physical addresses newline-joined in key order. Mixes FULL
+    // and RELATIVE address types so resolution (P7) is exercised inside the
+    // export, not just in vc_addr_resolve.
+    "vc_symlink_export" -> (((s: SparkSession, d: String) => {
+      val ns = "s3://repo-bucket/prefix"
+      val entries = Fixtures.pathKeyed(s, d).select(
+        col("key"),
+        when(col("k") % 5 === 0, "FULL").otherwise("RELATIVE").as("address_type"),
+        when(col("k") % 5 === 0, concat(lit(ns + "/ext/"), col("identity")))
+          .otherwise(concat(lit("data/"), col("identity"))).as("address"))
+      graft.operators.Export.symlinks(entries, ns, "repo1", "main").orderBy("dir")
+    }),
+      Some(s"""$prelude, e AS (
+        SELECT rf || '/' || ls AS dir,
+               concat_ws('/', rf, ls, key) AS pkey,
+               CASE WHEN k%5=0 THEN 's3://repo-bucket/prefix/ext/' || identity
+                    ELSE 's3://repo-bucket/prefix/data/' || identity END AS addr
+        FROM base
+      )
+      SELECT dir,
+             'symlinks/repo1/main/' || dir || '/symlink.txt' AS symlink_path,
+             string_agg(addr, chr(10) ORDER BY pkey) AS content,
+             CAST(count(*) AS BIGINT) AS n_objects
+      FROM e GROUP BY dir ORDER BY dir""")),
+
     // A1: diff summary.
     "vc_diff_summary" -> (((s: SparkSession, d: String) =>
       Diff.summary(Diff.twoWay(Fixtures.keyedBase(s, d), Fixtures.keyedRight(s, d)))

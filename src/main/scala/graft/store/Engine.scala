@@ -1401,6 +1401,58 @@ class Engine(val spark: SparkSession, val repoDir: String,
     else exportRun(ref, dest, prev)
   }
 
+  /**
+   * Athena/Hive symlink manifest export (`CreateSymlinkFile`,
+   * `pkg/api/controller.go:4610-4698`): for every directory of `ref`'s
+   * listing under `location`, write
+   * `{dest}/symlinks/{repo}/{branch}/{dir}/symlink.txt` holding the
+   * entries' resolved physical addresses, one per line in key order.
+   *
+   * Entries must carry `address`/`address_type` payload columns (the
+   * catalog Entry shape, `catalog.proto:16-24`); `ns` is the storage
+   * namespace RELATIVE addresses resolve against. Files are written
+   * executor-side via `foreachPartition` — one task writes the dirs it
+   * owns after the group-by-dir shuffle, matching the reference's
+   * one-object-per-directory output without a driver loop.
+   *
+   * @return number of symlink files written
+   */
+  def symlinkExport(ref: String, dest: String, ns: String,
+      location: String = ""): Long = {
+    val r = refs.resolveFull(ref).getOrElse(sys.error(s"unresolvable ref: $ref"))
+    val branch = r.branch.getOrElse(ref)
+    val entries = list(ref, prefix = location)
+    val plan = graft.operators.Export.symlinks(
+      entries, ns, repo = new org.apache.hadoop.fs.Path(repoDir).getName,
+      branch = branch)
+    val destRoot = dest
+    val written = spark.sparkContext.longAccumulator("symlinks_written")
+    // ship the driver's effective Hadoop conf as plain entries, same idiom
+    // as distributedSweep (Configuration isn't closure-serializable)
+    val confEntries: Array[(String, String)] = {
+      val it = spark.sparkContext.hadoopConfiguration.iterator()
+      val buf = scala.collection.mutable.ArrayBuffer[(String, String)]()
+      while (it.hasNext) { val e = it.next(); buf += ((e.getKey, e.getValue)) }
+      buf.toArray
+    }
+    plan.select("symlink_path", "content").foreachPartition {
+      (it: Iterator[Row]) =>
+        val conf = new org.apache.hadoop.conf.Configuration()
+        confEntries.foreach { case (k, v) => conf.set(k, v) }
+        val ffs = org.apache.hadoop.fs.FileSystem.get(
+          new java.net.URI(destRoot), conf)
+        it.foreach { row =>
+          val p = new org.apache.hadoop.fs.Path(
+            s"$destRoot/${row.getString(0)}")
+          val out = ffs.create(p, true)
+          try out.write(row.getString(1).getBytes("UTF-8"))
+          finally out.close()
+          written.add(1L)
+        }
+    }
+    written.value
+  }
+
   /** S11 dump: export the control tables (commits/branches/tags) as parquet
     * under `outDir` (`Graveler.Dump*`, `graveler.go:3668-3727`). */
   def dumpRefs(outDir: String): Unit = {

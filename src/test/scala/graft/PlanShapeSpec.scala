@@ -33,7 +33,13 @@ class PlanShapeSpec extends SparkSpec {
     // gopher battery: single scan, all flags map-side, no join at all
     "td_gopher_filters",
     // local sync: three full-outer equi-joins on path (SMJ), never a loop
-    "vc_local_sync")
+    "vc_local_sync",
+    // knn graph: LSH bucket equi-join candidates + per-src rank window
+    "emb_knn_graph",
+    // DSIR: tiny bucket table broadcast onto the bigram stream, no pair join
+    "td_dsir",
+    // symlink manifests: one group-by-dir shuffle, no join at all
+    "vc_symlink_export")
 
   test("LSH scale paths contain no all-pairs join") {
     scalePaths.foreach { name =>
@@ -114,7 +120,8 @@ class PlanShapeSpec extends SparkSpec {
     // Window in any of them would move a whole domain / event type / the
     // corpus through one task.
     Seq("td_domain_cap" -> "source", "ev_topk_per_group" -> "event_type",
-        "td_shard_plan" -> "__b").foreach { case (name, partCol) =>
+        "td_shard_plan" -> "__b", "emb_knn_graph" -> "src")
+      .foreach { case (name, partCol) =>
       val df = SparkEntry.queries(name)(spark, sfDir)
       val plan = df.queryExecution.executedPlan.toString
       val windows = plan.split("\n").filter(_.contains("Window ["))

@@ -561,6 +561,35 @@ class StoreSpec extends SparkSpec {
     assert(st.get("success").asBoolean())
   }
 
+  test("symlink export: one manifest per directory, addresses resolved in key order") {
+    import spark.implicits._
+    val repoDir = tmpDir("symrepo")
+    val eng = new Engine(spark, repoDir, raggedness = 100)
+    val ns = "s3://bucket/ns"
+    // two dirs + a root-level key; one FULL address passes through unresolved
+    val entries = Seq(
+      ("tab/a/p2.parquet", "i2", "data/x2", "RELATIVE"),
+      ("tab/a/p1.parquet", "i1", "data/x1", "RELATIVE"),
+      ("tab/b/p3.parquet", "i3", s"$ns/raw/x3", "FULL"),
+      ("rootfile", "i4", "data/x4", "RELATIVE"))
+      .toDF("key", "identity", "address", "address_type")
+    eng.init("main", Some(entries))
+    val dest = tmpDir("symdst")
+    val n = eng.symlinkExport("main", dest, ns)
+    assert(n === 3) // tab/a, tab/b, and the empty root dir
+    val repo = new org.apache.hadoop.fs.Path(repoDir).getName
+    def readFile(p: String): String = {
+      val src = scala.io.Source.fromFile(s"$dest/$p", "UTF-8")
+      try src.mkString finally src.close()
+    }
+    // key order within the dir (p1 before p2), RELATIVE resolved against ns
+    assert(readFile(s"symlinks/$repo/main/tab/a/symlink.txt") ===
+      s"$ns/data/x1\n$ns/data/x2")
+    assert(readFile(s"symlinks/$repo/main/tab/b/symlink.txt") === s"$ns/raw/x3")
+    // empty dir keeps the reference's double slash (fmt.Sprintf parity)
+    assert(readFile(s"symlinks/$repo/main//symlink.txt") === s"$ns/data/x4")
+  }
+
   test("fsck: clean snapshot all ok; missing / corrupted ranges diagnosed") {
     val eng = new Engine(spark, tmpDir("fsck2"), raggedness = 100)
     eng.init("main", Some(rows(1000)))
