@@ -84,6 +84,27 @@ object Multimodal {
             i -> substring(CAST(payload AS STRING), i * $step + 1, $blockSize))"""))
   }
 
+  /**
+   * Audio window framing plan (the STFT / feature-extraction grid — e.g.
+   * 25 ms windows at 10 ms hop over 16 kHz PCM): per media row the window
+   * GEOMETRY every audio feature job needs — `n_windows = (n − win) div
+   * hop + 1` for `n ≥ win` (else 0) and the covered-sample span. Decoded
+   * length stands in for the sample count (character semantics, same
+   * cross-engine-exact contract as [[sampleFramesText]]); a real PCM
+   * decoder slots in exactly like [[stubDecode]]. All arithmetic integer
+   * DIV — bit-exact on any engine, shuffle-free map-side work.
+   */
+  def planAudioWindows(media: DataFrame, win: Int, hop: Int): DataFrame =
+    media
+      .withColumn("n_samples",
+        length(col("payload").cast("string")).cast("long"))
+      .withColumn("n_windows",
+        when(col("n_samples") >= win,
+          expr(s"(n_samples - $win) div $hop") + 1L).otherwise(0L))
+      .withColumn("covered_samples",
+        when(col("n_windows") > 0,
+          (col("n_windows") - 1) * hop + win).otherwise(0L))
+
   /** Feature summary per media type (the "embed then aggregate" shape). */
   def featureStats(decoded: DataFrame): DataFrame =
     decoded.groupBy("media_type")

@@ -244,6 +244,32 @@ object ExtendedQueries {
                     ELSE greatest((height*224) // greatest(width, height), 1) END AS out_height
         FROM dec ORDER BY media_id""")),
 
+    // Audio-modality framing plan: the STFT window grid (win=40, hop=16 —
+    // the 25ms/10ms shape scaled to the fixture's payload sizes) every
+    // audio feature-extraction job schedules against. Decoded length
+    // stands in for the PCM sample count (stub-decode contract); the
+    // geometry arithmetic is integer DIV, exact on both engines, and the
+    // whole plan is shuffle-free map-side work over the binary column.
+    "mm_audio_windows" -> (((s: SparkSession, d: String) => {
+      val media = Multimodal.asMedia(
+        Fixtures.documents(s, d), col("doc_id"), encode(col("text"), "UTF-8"), "audio")
+      Multimodal.planAudioWindows(media, win = 40, hop = 16)
+        .select(col("media_id"), col("n_samples"), col("n_windows"),
+          col("covered_samples"))
+        .orderBy("media_id")
+    }),
+      Some("""
+        WITH a AS (SELECT doc_id AS media_id, CAST(length(text) AS BIGINT) AS n
+                   FROM documents),
+        w AS (
+          SELECT media_id, n,
+                 CASE WHEN n >= 40 THEN (n - 40) // 16 + 1 ELSE 0 END AS nw
+          FROM a)
+        SELECT media_id, n AS n_samples, CAST(nw AS BIGINT) AS n_windows,
+               CAST(CASE WHEN nw > 0 THEN (nw - 1) * 16 + 40 ELSE 0 END AS BIGINT)
+                 AS covered_samples
+        FROM w ORDER BY media_id""")),
+
     // Multimodal near-duplicate detection: a 64-bit frame-level perceptual
     // hash per media object (SimHash over its DISTINCT sampled frames — two
     // videos sharing most frames land within a few bits), then pairs within

@@ -1300,6 +1300,52 @@ object TextQueries {
         FROM tok t JOIN freq f USING (tok)
         GROUP BY t.doc_id ORDER BY t.doc_id""")),
 
+    // Bigram conditional LM score — the order-2 upgrade of td_unigram_lm
+    // (the KenLM-shaped fluency filter): corpus conditional
+    // p(w2|w1) ≈ (c(w1 w2) · 1e6) div c(w1·) in ppm, where c(w1·) counts
+    // w1 as a bigram HEAD (so the conditionals out of every head sum to
+    // ~1e6 by construction — a proper conditional distribution, no
+    // end-of-doc leakage), per doc the integer mean over its bigrams.
+    // Every doc bigram exists in the corpus counts, so no smoothing term
+    // is needed inside one corpus. Scale shape: two vocabulary-sized
+    // count aggs joined back onto the bigram stream (AQE picks
+    // broadcast/SMJ by vocab size); all arithmetic integer DIV, exact on
+    // both engines.
+    "td_bigram_lm" -> (((s: SparkSession, d: String) => {
+      val big = Fixtures.documents(s, d)
+        .select(col("doc_id"), explode(shingles(col("text"), 2)).as("g"))
+        .withColumn("w1", substring_index(col("g"), " ", 1))
+      val c2 = big.groupBy("g").agg(count(lit(1)).as("c2"))
+      val c1 = big.groupBy("w1").agg(count(lit(1)).as("c1"))
+      val ppm = c2.withColumn("w1", substring_index(col("g"), " ", 1))
+        .join(c1, "w1")
+        .select(col("g"), expr("(c2 * 1000000L) div c1").as("ppm"))
+      big.join(ppm, Seq("g"))
+        .groupBy("doc_id")
+        .agg(expr("sum(ppm) div count(1)").cast("long").as("lm_score"),
+          count(lit(1)).cast("long").as("n_bigrams"))
+        .orderBy("doc_id")
+    }),
+      Some(s"""$docsSql,
+        big AS (
+          SELECT doc_id, g, split_part(g, ' ', 1) AS w1 FROM (
+            SELECT doc_id,
+                   unnest(list_transform(generate_series(1, greatest(len(toks)-1, 0)),
+                     i -> toks[i] || ' ' || toks[i+1])) AS g
+            FROM docs)
+        ),
+        c2 AS (SELECT g, CAST(count(*) AS BIGINT) AS c2 FROM big GROUP BY g),
+        c1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM big GROUP BY w1),
+        ppm AS (
+          SELECT c2.g, (c2.c2 * 1000000) // c1.c1 AS ppm
+          FROM c2 JOIN c1 ON split_part(c2.g, ' ', 1) = c1.w1
+        )
+        SELECT b.doc_id,
+               CAST(sum(p.ppm) // count(*) AS BIGINT) AS lm_score,
+               CAST(count(*) AS BIGINT) AS n_bigrams
+        FROM big b JOIN ppm p USING (g)
+        GROUP BY b.doc_id ORDER BY b.doc_id""")),
+
     // Training-mixture planning with per-source epoch factors (the
     // oversampling step every pretraining data recipe runs — e.g. 2.5
     // epochs of a high-quality source, 0.4 of a noisy one): factors in
