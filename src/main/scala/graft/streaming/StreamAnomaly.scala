@@ -1,0 +1,67 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, GroupState}
+
+/**
+ * Streaming volume-anomaly detection — the incremental sibling of the batch
+ * `ev_anomaly` query (`queries/EventQueries.scala`): hourly event counts
+ * flagged by the same z²>4 pure-BIGINT algebra, but against the RUNNING
+ * baseline of all hours seen so far (prefix statistics) — the flag an
+ * on-call monitor actually wants, since future hours don't exist yet.
+ *
+ * Two stages:
+ *  1. hourly counts — the DATA-scale work — as a normal watermarked keyed
+ *     streaming aggregation ([[hourlyCounts]]), distributed like
+ *     [[WindowAgg]];
+ *  2. a singleton-key `flatMapGroupsWithState` ([[flagged]]) folding the
+ *     one-row-per-hour count stream through running (n_h, Σ, Σ²). State is
+ *     three longs and only per-hour AGGREGATES flow through it, so the
+ *     single key is a driver-scale reduction, not a data-scale bottleneck
+ *     (one row per hour, whatever the event volume).
+ *
+ * Within a micro-batch hours fold in `hour_start` order; across batches the
+ * sums carry forward. Prefix semantics are asserted equal to a batch
+ * running-window twin in StreamAnomalySpec.
+ */
+object StreamAnomaly {
+
+  case class HourCount(hour_start: Long, n_events: Long)
+  case class RunStats(n_h: Long, s1: Long, s2: Long)
+  case class Flagged(hour_start: Long, n_events: Long, n_h: Long, anomaly: Long)
+
+  /** Stage 1: hourly counts from a raw event stream with a `ts` timestamp
+    * column — watermarked tumbling count, append mode (each hour emits once
+    * final). */
+  def hourlyCounts(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(count(lit(1)).cast("long").as("n_events"))
+      .select(unix_timestamp(col("w.start")).as("hour_start"), col("n_events"))
+
+  /** Stage 2: fold hour counts through running (n_h, Σ, Σ²); emit each hour
+    * with its as-of-now anomaly flag — `(n·x−Σ)² > 4(n·Σ²−Σ²)` in exact
+    * BIGINT, the batch query's algebra with prefix stats. */
+  def flagged(hourCounts: Dataset[HourCount]): Dataset[Flagged] = {
+    import hourCounts.sparkSession.implicits._
+    hourCounts
+      .groupByKey(_ => 0)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (_: Int, it: Iterator[HourCount], state: GroupState[RunStats]) => {
+          var st = state.getOption.getOrElse(RunStats(0L, 0L, 0L))
+          val out = scala.collection.mutable.ArrayBuffer[Flagged]()
+          it.toSeq.sortBy(_.hour_start).foreach { h =>
+            st = RunStats(st.n_h + 1, st.s1 + h.n_events,
+              st.s2 + h.n_events * h.n_events)
+            val dev = st.n_h * h.n_events - st.s1
+            val anomaly =
+              if (dev * dev > 4L * (st.n_h * st.s2 - st.s1 * st.s1)) 1L else 0L
+            out += Flagged(h.hour_start, h.n_events, st.n_h, anomaly)
+          }
+          state.update(st)
+          out.iterator
+        })
+  }
+}

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.streaming.StreamAnomaly
+
+/** The streaming anomaly fold must agree with a batch prefix-stats twin
+  * (running sums ordered by hour_start) on the same hour counts, across
+  * micro-batches. */
+class StreamAnomalySpec extends SparkSpec {
+
+  // (hour_start, n_events): six flat baseline hours then a spike — enough
+  // samples that the spike's own contribution to the prefix variance
+  // (self-inclusion) doesn't mask it; batch 2 continues the flat line
+  private val batch1 = Seq((0L, 10L), (3600L, 11L), (7200L, 10L),
+    (10800L, 9L), (14400L, 10L), (18000L, 11L), (21600L, 30L))
+  private val batch2 = Seq((25200L, 10L), (28800L, 11L), (32400L, 10L))
+
+  /** Batch twin: same z²>4 BIGINT algebra over RUNNING (prefix) stats. */
+  private def batchPrefix(rows: Seq[(Long, Long)]) = {
+    import spark.implicits._
+    val w = Window.orderBy("hour_start")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rows.toDF("hour_start", "n_events")
+      .withColumn("n_h", count(lit(1)).over(w))
+      .withColumn("s1", sum("n_events").over(w))
+      .withColumn("s2", sum(col("n_events") * col("n_events")).over(w))
+      .withColumn("dev", col("n_h") * col("n_events") - col("s1"))
+      .withColumn("anomaly",
+        (col("dev") * col("dev") >
+          lit(4L) * (col("n_h") * col("s2") - col("s1") * col("s1"))).cast("long"))
+      .select("hour_start", "n_events", "n_h", "anomaly")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+  }
+
+  test("streaming anomaly fold equals the batch prefix-stats twin across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long)]
+    val in = mem.toDS().map { case (h, n) => StreamAnomaly.HourCount(h, n) }
+    val q = StreamAnomaly.flagged(in).writeStream
+      .outputMode("append").format("memory").queryName("anomaly_out").start()
+    try {
+      mem.addData(batch1)
+      q.processAllAvailable()
+      mem.addData(batch2)
+      q.processAllAvailable()
+      val got = spark.table("anomaly_out")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(got === batchPrefix(batch1 ++ batch2))
+      // the spike flags against its flat prefix; the first hour never can
+      // (n_h=1 zeroes both sides of the inequality); cross-batch state:
+      // the last hour's running count covers all ten hours
+      assert(got.exists(r => r._1 == 21600L && r._4 == 1L))
+      assert(got.exists(r => r._1 == 0L && r._4 == 0L))
+      assert(got.exists(r => r._1 == 32400L && r._3 == 10L && r._4 == 0L))
+    } finally q.stop()
+  }
+}
