@@ -341,6 +341,94 @@ object VectorQueries {
           FROM cands JOIN qp x ON x.vec_id = id_a JOIN qp y ON y.vec_id = id_b
         ) WHERE sim >= 0.9 ORDER BY id_a, id_b""")),
 
+    // Vector-side dedup GROUPS — SemDeDup's grouping step, the embedding
+    // twin of td_dedup_groups: connected components over the LSH near-dup
+    // pair graph (emb_lsh_ann's pairs at sim >= 0.9), via min-label
+    // propagation. The driver loop iterates over component LABELS only
+    // (edges stay distributed, lineage truncated per round via
+    // localCheckpoint); the oracle walks the same graph with a recursive
+    // CTE. Output: every grouped vector with its canonical id and group
+    // size (singletons — vectors with no near-dup — are not duplicate
+    // candidates and stay out, as in the text path).
+    "emb_dedup_groups" -> (((s: SparkSession, d: String) => {
+      val emb = withPlanted(Fixtures.embeddings(s, d)
+        .select(col("vec_id"), quantize(col("embedding")).as("q")))
+      val banded = bandKeys(emb.select(col("vec_id"), sig16(col("q")).as("sig")))
+      val a = banded.select(col("bk"), col("vec_id").as("id_a"))
+      val b = banded.select(col("bk"), col("vec_id").as("id_b"))
+      val cands = a.join(b, Seq("bk")).where(col("id_a") < col("id_b"))
+        .select("id_a", "id_b").distinct()
+      val pairs = cands
+        .join(emb.select(col("vec_id").as("id_a"), col("q").as("qa")), Seq("id_a"))
+        .join(emb.select(col("vec_id").as("id_b"), col("q").as("qb")), Seq("id_b"))
+        .where(cosine(col("qa"), col("qb")) >= 0.9)
+        .select("id_a", "id_b")
+      val edges = pairs
+        .unionByName(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+        .withColumnRenamed("id_a", "src").withColumnRenamed("id_b", "dst")
+        .persist()
+      var labels = edges.select(col("src").as("id")).distinct()
+        .withColumn("comp", col("id")).localCheckpoint()
+      var lastSum = labels.agg(sum("comp")).head().getLong(0)
+      var converged = false
+      var rounds = 0
+      while (!converged && rounds < 20) {
+        val nbrMin = edges.join(labels.withColumnRenamed("id", "dst"), "dst")
+          .groupBy(col("src").as("id")).agg(min("comp").as("nbr"))
+        labels = labels.join(nbrMin, Seq("id"), "left")
+          .select(col("id"),
+            least(col("comp"), coalesce(col("nbr"), col("comp"))).as("comp"))
+          .localCheckpoint()
+        val s2 = labels.agg(sum("comp")).head().getLong(0)
+        converged = s2 == lastSum
+        lastSum = s2
+        rounds += 1
+      }
+      edges.unpersist()
+      val sizes = labels.groupBy(col("comp").as("canonical_id"))
+        .agg(count(lit(1)).cast("long").as("group_size"))
+      labels.select(col("id").as("vec_id"), col("comp").as("canonical_id"))
+        .join(sizes, "canonical_id")
+        .select("vec_id", "canonical_id", "group_size")
+        .orderBy("vec_id")
+    }),
+      Some(s"""
+        WITH q AS (SELECT vec_id, $qvecSql AS qv FROM embeddings),
+        $plantedSql,
+        sig AS (SELECT vec_id, $sig16Sql AS sig FROM qp),
+        banded AS (
+          SELECT vec_id, CAST(t AS VARCHAR) || ':' || substr(sig, t*4+1, 4) AS bk
+          FROM sig CROSS JOIN (SELECT unnest([0,1,2,3]) AS t)
+        ),
+        cands AS (
+          SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM banded a JOIN banded b ON a.bk = b.bk AND a.vec_id < b.vec_id
+        ),
+        pairs AS (
+          SELECT id_a, id_b FROM (
+            SELECT id_a, id_b, ${cosSql("x.qv", "y.qv")} AS sim
+            FROM cands JOIN qp x ON x.vec_id = id_a JOIN qp y ON y.vec_id = id_b
+          ) WHERE sim >= 0.9
+        ),
+        edges AS (
+          SELECT id_a AS a, id_b AS b FROM pairs
+          UNION ALL SELECT id_b, id_a FROM pairs
+        ),
+        nodes AS (SELECT DISTINCT a AS id FROM edges),
+        reach AS (
+          SELECT id, id AS r FROM nodes
+          UNION
+          SELECT reach.id, e.b FROM reach JOIN edges e ON reach.r = e.a
+        ),
+        comp AS (SELECT id, min(r) AS canonical_id FROM reach GROUP BY id),
+        sizes AS (
+          SELECT canonical_id, CAST(count(*) AS BIGINT) AS group_size
+          FROM comp GROUP BY 1
+        )
+        SELECT id AS vec_id, comp.canonical_id, group_size
+        FROM comp JOIN sizes USING (canonical_id) ORDER BY vec_id"""
+        .replaceFirst("WITH ", "WITH RECURSIVE "))),
+
     // Index-quality evaluation: recall of the LSH scale path against the
     // exact all-pairs ground truth at the SAME near-dup threshold (0.99).
     // The truth side makes this a DECLARED all-pairs eval baseline (like
