@@ -1104,15 +1104,15 @@ object VersionControlQueries {
       val base = Fixtures.keyedBase(s, d)
       eng.init("main", Some(base))
       eng.createBranch("feat", "main")
-      eng.createBranch("release/1.0", "main")
+      eng.createBranch("release-1-0", "main")
       eng.createBranch("scratch", "main")
       eng.refs.protectBranch("main")
-      eng.refs.protectBranch("release/*")
+      eng.refs.protectBranch("release-*")
       def delta(m: Int) = base.where(col("k") % 100 === m)
         .withColumn("price_c", col("price_c") + 500).withColumn("identity", ident)
       def blocked(f: => Any): Long = try { f; 0L } catch { case _: Exception => 1L }
       val stageBlocked = blocked(eng.stage("main", delta(5)))
-      val globBlocked = blocked(eng.stage("release/1.0", delta(5)))
+      val globBlocked = blocked(eng.stage("release-1-0", delta(5)))
       val scratchOk = 1L - blocked(eng.stage("scratch", delta(7)))
       // merge INTO the protected branch still lands
       eng.stage("feat", delta(5)); eng.commit("feat", "t", "feat edit")

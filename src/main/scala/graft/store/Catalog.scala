@@ -39,7 +39,9 @@ class Catalog(val spark: SparkSession, val rootDir: String,
       defaultBranch: String = "main",
       initial: Option[DataFrame] = None,
       readOnly: Boolean = false): RepoInfo = this.synchronized {
-    require(id.matches("[a-z0-9][a-z0-9-]*"), s"invalid repository id: $id")
+    // ReValidRepositoryID (pkg/validator/validate.go:12): DNS-label
+    // shape, 3..63 chars
+    Validate.requireRepositoryId(id)
     val repos = readKv()
     require(!repos.contains(id), s"repository $id already exists")
     val ns = if (namespace.nonEmpty) namespace else s"$rootDir/$id"
@@ -72,7 +74,9 @@ class Catalog(val spark: SparkSession, val rootDir: String,
   def createBareRepository(id: String, namespace: String = "",
       defaultBranch: String = "main",
       readOnly: Boolean = false): RepoInfo = this.synchronized {
-    require(id.matches("[a-z0-9][a-z0-9-]*"), s"invalid repository id: $id")
+    // ReValidRepositoryID (pkg/validator/validate.go:12): DNS-label
+    // shape, 3..63 chars
+    Validate.requireRepositoryId(id)
     val repos = readKv()
     require(!repos.contains(id), s"repository $id already exists")
     val ns = if (namespace.nonEmpty) namespace else s"$rootDir/$id"

@@ -59,6 +59,7 @@ class Engine(val spark: SparkSession, val repoDir: String,
 
   def createBranch(name: String, fromRef: String): Unit = {
     requireWritable("createBranch")
+    Validate.requireBranchId(name) // pkg/graveler/validate.go ValidateBranchID
     hooks.fire(Hooks.HookEvent(Hooks.PreCreateBranch, repoDir, name, Some(fromRef), "", ""))
     refs.setBranch(name, resolveCommit(fromRef).commitId)
     hooks.fire(Hooks.HookEvent(Hooks.PostCreateBranch, repoDir, name, Some(fromRef), "", ""))
@@ -78,6 +79,7 @@ class Engine(val spark: SparkSession, val repoDir: String,
     * (`graveler.go:571-575`). */
   def createTag(name: String, fromRef: String): Unit = {
     requireWritable("createTag")
+    Validate.requireTagId(name) // pkg/graveler/validate.go ValidateTagID
     val target = resolveCommit(fromRef)
     hooks.fire(Hooks.HookEvent(Hooks.PreCreateTag, repoDir, "", Some(fromRef), "", "", Some(name)))
     require(refs.createTag(name, target.commitId), s"tag $name already exists")

@@ -1,0 +1,43 @@
+package graft.store
+
+/**
+ * Identifier validation parity with `pkg/graveler/validate.go` +
+ * `pkg/validator/validate.go`:
+ *
+ *  - branch ids: `^\w[-\w]*$` (`ReValidBranchID`) — word char first, then
+ *    word chars and dashes;
+ *  - repository ids: `^[a-z0-9][a-z0-9-]{2,62}$` (`ReValidRepositoryID`) —
+ *    lowercase DNS-label shape, 3..63 chars;
+ *  - tag ids: the git-check-ref-format subset the reference enforces
+ *    (`ValidateTagID`): not `@`, no trailing `.`/`.lock`, no `..`, `/`,
+ *    `@{`, none of `^:?*[\`, no control chars or spaces. Unlike git, `~`
+ *    IS allowed (legacy ref-format migration, see the reference comment).
+ */
+object Validate {
+
+  private val branchRe = "^\\w[-\\w]*$".r
+  private val repoRe = "^[a-z0-9][a-z0-9-]{2,62}$".r
+
+  def isValidBranchId(name: String): Boolean =
+    branchRe.matches(name)
+
+  def isValidRepositoryId(id: String): Boolean =
+    repoRe.matches(id)
+
+  def isValidTagId(tag: String): Boolean =
+    tag.nonEmpty &&
+      tag != "@" &&
+      !tag.endsWith(".") && !tag.endsWith(".lock") &&
+      !tag.contains("..") && !tag.contains("/") && !tag.contains("@{") &&
+      !tag.exists("^:?*[\\".contains(_)) &&
+      !tag.exists(_ <= ' ')
+
+  def requireBranchId(name: String): Unit =
+    require(isValidBranchId(name), s"invalid branch id: $name")
+
+  def requireTagId(tag: String): Unit =
+    require(isValidTagId(tag), s"invalid tag id: $tag")
+
+  def requireRepositoryId(id: String): Unit =
+    require(isValidRepositoryId(id), s"invalid repository id: $id")
+}

@@ -14,13 +14,13 @@ class CatalogSpec extends SparkSpec {
   test("catalog: repository listing paginates with after + has_more") {
     val root = tmpDir("catpage")
     val cat = new Catalog(spark, root, raggedness = 100)
-    Seq("r1", "r2", "r3", "r4", "r5").foreach(id => cat.createRepository(id))
+    Seq("rp1", "rp2", "rp3", "rp4", "rp5").foreach(id => cat.createRepository(id))
     val (p1, m1) = cat.listRepositoriesPage(limit = 2)
-    assert(p1.map(_.repositoryId) === Seq("r1", "r2") && m1)
-    val (p2, m2) = cat.listRepositoriesPage(after = Some("r2"), limit = 2)
-    assert(p2.map(_.repositoryId) === Seq("r3", "r4") && m2)
-    val (p3, m3) = cat.listRepositoriesPage(after = Some("r4"), limit = 2)
-    assert(p3.map(_.repositoryId) === Seq("r5") && !m3)
+    assert(p1.map(_.repositoryId) === Seq("rp1", "rp2") && m1)
+    val (p2, m2) = cat.listRepositoriesPage(after = Some("rp2"), limit = 2)
+    assert(p2.map(_.repositoryId) === Seq("rp3", "rp4") && m2)
+    val (p3, m3) = cat.listRepositoriesPage(after = Some("rp4"), limit = 2)
+    assert(p3.map(_.repositoryId) === Seq("rp5") && !m3)
     intercept[IllegalArgumentException] { cat.listRepositoriesPage(limit = 0) }
   }
 
@@ -77,6 +77,9 @@ class CatalogSpec extends SparkSpec {
       cat.createRepository("gamma", namespace = s"$root/alpha")
     }
     intercept[IllegalArgumentException] { cat.createRepository("Bad_Id") }
+    // ReValidRepositoryID length bounds: 3..63 chars (validate.go parity)
+    intercept[IllegalArgumentException] { cat.createRepository("ab") }
+    intercept[IllegalArgumentException] { cat.createRepository("a" * 64) }
     // nested namespaces rejected both ways (wipe safety), control chars too
     intercept[IllegalArgumentException] {
       cat.createRepository("gamma", namespace = s"$root/alpha/nested")

@@ -161,6 +161,27 @@ class GovernanceSpec extends SparkSpec {
     assert(eng.refs.listBranches(showHidden = true).keySet === Set("main", "internal"))
   }
 
+  test("branch/tag id validation mirrors the reference's validate rules") {
+    // table from pkg/graveler/validate_test.go + ValidateTagID
+    val eng = new Engine(spark, tmpDir("validate"), raggedness = 100)
+    eng.init("main", Some(rows(3)))
+    Seq("valid-branch", "valid_branch", "b1", "_lead").foreach { b =>
+      eng.createBranch(b, "main"); eng.deleteBranch(b)
+    }
+    Seq("invalid..branch", "invalid/branch", "invalid//branch",
+      "invalid?branch", "invalid@branch", "invalid:branch",
+      "invalid\\branch", "-leading-dash", "has space", "").foreach { b =>
+      intercept[IllegalArgumentException] { eng.createBranch(b, "main") }
+    }
+    Seq("v1.0", "release~1", "tag_ok").foreach { t =>
+      eng.createTag(t, "main"); eng.deleteTag(t)
+    }
+    Seq("@", "ends.", "ends.lock", "a..b", "a/b", "a@{b", "a^b", "a:b",
+      "a?b", "a*b", "a[b", "a\\b", "a b", "ab", "").foreach { t =>
+      intercept[IllegalArgumentException] { eng.createTag(t, "main") }
+    }
+  }
+
   test("T5 hook matrix: all 17 event types fire in pre/post order") {
     import spark.implicits._
     import graft.store.Hooks
