@@ -177,7 +177,7 @@ class GovernanceSpec extends SparkSpec {
       eng.createTag(t, "main"); eng.deleteTag(t)
     }
     Seq("@", "ends.", "ends.lock", "a..b", "a/b", "a@{b", "a^b", "a:b",
-      "a?b", "a*b", "a[b", "a\\b", "a b", "ab", "").foreach { t =>
+      "a?b", "a*b", "a[b", "a\\b", "a b", "a\u0001b", "").foreach { t =>
       intercept[IllegalArgumentException] { eng.createTag(t, "main") }
     }
   }

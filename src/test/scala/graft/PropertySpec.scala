@@ -35,6 +35,26 @@ class PropertySpec extends SparkSpec {
 
   private val N = 8
 
+  test("revert of the head commit restores the parent snapshot; revert∘revert = identity") {
+    import spark.implicits._
+    samples(Gen.zip(snapGen.suchThat(_.nonEmpty), snapGen), 4).foreach {
+      case (a, edits) =>
+        val eng = new graft.store.Engine(spark, tmpDir("prevert"), raggedness = 7)
+        eng.init("main", Some(df(a)))
+        // perturb: upsert `edits`, delete one existing key
+        val del = a.keys.min
+        val changes = (edits - del).toSeq.toDF("key", "identity")
+          .unionByName(Seq((del, null.asInstanceOf[String])).toDF("key", "identity"))
+        eng.stage("main", changes)
+        val c2 = eng.commit("main", "t", "perturb")
+        val r1 = eng.revert("main", c2.commitId, "t")
+        assert(asMap(eng.list("main")) === a, s"case: $a / $edits")
+        eng.revert("main", r1.commitId, "t")
+        assert(asMap(eng.list("main")) ===
+          asMap(eng.snapshots.scan(c2.metaRangeId)), s"case: $a / $edits")
+    }
+  }
+
   test("diff(a, a) is empty") {
     samples(snapGen, N).foreach { a =>
       assert(Diff.twoWay(df(a), df(a)).count() === 0, s"case: $a")
