@@ -550,6 +550,60 @@ object VectorQueries {
     // top-k (the declared baseline shape); the found side recomputes
     // emb_ivf_ann's own-cell search, so the measured loss is exactly the
     // cells-not-probed effect multiprobe would buy back.
+    // Matryoshka-style dimension-truncation eval: recall@3 of top-k search
+    // over the FIRST 16 of 64 dims vs the full-dimension truth — the
+    // measurement behind "can we search the cheap prefix and re-rank with
+    // the full vector" (MRL, Kusupati et al. 2022). Same broadcast-probe
+    // brute-force shape as the other recall evals (declared eval
+    // baselines); the prefix side reads 4x fewer components — at scale
+    // that is the scan-width saving the truncation buys.
+    "emb_prefix_recall" -> (((s: SparkSession, d: String) => {
+      val emb = Fixtures.embeddings(s, d)
+        .select(col("vec_id"), quantize(col("embedding")).as("q"))
+      val probes = emb.where(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("probe_id"), col("q").as("pq"))
+      def top3(simCol: Column) = {
+        val w = Window.partitionBy("probe_id")
+          .orderBy(col("sim").desc, col("vec_id").asc)
+        emb.crossJoin(broadcast(probes))
+          .where(col("vec_id") =!= col("probe_id"))
+          .withColumn("sim", simCol)
+          .withColumn("rank", row_number().over(w)).where(col("rank") <= 3)
+          .select("probe_id", "vec_id")
+      }
+      val truth = top3(cosine(col("pq"), col("q")))
+      val found = top3(cosine(slice(col("pq"), 1, 16), slice(col("q"), 1, 16)))
+      val nT = truth.agg(count(lit(1)).cast("long").as("n_true"))
+      val nF = truth.join(found, Seq("probe_id", "vec_id"), "left_semi")
+        .agg(count(lit(1)).cast("long").as("n_found"))
+      nT.crossJoin(nF)
+        .withColumn("recall",
+          col("n_found").cast("double") / col("n_true").cast("double"))
+    }),
+      Some(s"""
+        WITH q AS (SELECT vec_id, $qvecSql AS qv FROM embeddings),
+        p AS (SELECT vec_id AS probe_id, qv AS pq FROM q WHERE vec_id % 100 = 0),
+        truth AS (
+          SELECT probe_id, vec_id FROM (
+            SELECT probe_id, q.vec_id,
+                   row_number() OVER (PARTITION BY probe_id
+                     ORDER BY ${cosSql("pq", "q.qv")} DESC, q.vec_id) AS rank
+            FROM p JOIN q ON q.vec_id <> probe_id
+          ) WHERE rank <= 3),
+        found AS (
+          SELECT probe_id, vec_id FROM (
+            SELECT probe_id, q.vec_id,
+                   row_number() OVER (PARTITION BY probe_id
+                     ORDER BY ${cosSql("pq[1:16]", "q.qv[1:16]")} DESC, q.vec_id) AS rank
+            FROM p JOIN q ON q.vec_id <> probe_id
+          ) WHERE rank <= 3),
+        nt AS (SELECT CAST(count(*) AS BIGINT) AS n_true FROM truth),
+        nf AS (SELECT CAST(count(*) AS BIGINT) AS n_found
+               FROM truth SEMI JOIN found USING (probe_id, vec_id))
+        SELECT n_true, n_found,
+               CAST(n_found AS DOUBLE) / CAST(n_true AS DOUBLE) AS recall
+        FROM nt CROSS JOIN nf""")),
+
     "emb_ivf_recall" -> (((s: SparkSession, d: String) => {
       val emb = Fixtures.embeddings(s, d)
         .select(col("vec_id"), quantize(col("embedding")).as("q"))
