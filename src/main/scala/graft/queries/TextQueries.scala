@@ -135,30 +135,43 @@ object TextQueries {
     * candidate pairs with estimated similarity `(doc_a, doc_b, n_eq,
     * est_sim)`. The estimation stage joins signatures to CANDIDATE pairs
     * only (never sigs × sigs), so the whole pipeline is O(candidates). */
-  private def minhashEst(docs0: DataFrame): DataFrame = {
+  /** MinHash signatures (doc_id, j, m): 16 permutations over 3-shingles. */
+  private def minhashSigs(docs0: DataFrame): DataFrame = {
     val docs = docs0
       .select(col("doc_id"), array_distinct(shingles(col("text"), 3)).as("sh"))
-    val hashed = docs.select(col("doc_id"), explode(col("sh")).as("s"))
+    docs.select(col("doc_id"), explode(col("sh")).as("s"))
       .withColumn("h", shingleHash64(col("s")))
-    val sigs = hashed
       .select(col("doc_id"), col("h"), explode(sequence(lit(0), lit(15))).as("j"))
       .withColumn("hp", (col("h") * (col("j") * 2 + 3) + col("j") * 7919 + 1) % 1000000007L)
       .groupBy("doc_id", "j").agg(min("hp").as("m"))
-    val bands = sigs.withColumn("band", (col("j") / 4).cast("int"))
+  }
+
+  /** Band keys (doc_id, band, sig): 4 bands of 4 signature slots. */
+  private def minhashBands(sigs: DataFrame): DataFrame =
+    sigs.withColumn("band", (col("j") / 4).cast("int"))
       .groupBy("doc_id", "band")
       .agg(concat_ws("|",
         transform(array_sort(collect_list(struct(col("j"), col("m")))),
           x => x.getField("m").cast("string"))).as("sig"))
-    val cands = bands.as("a").join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b")).distinct()
+
+  /** Candidate-restricted similarity estimate (doc_a, doc_b, n_eq, est_sim)
+    * from matching signature slots. */
+  private def estFromCands(cands: DataFrame, sigs: DataFrame): DataFrame =
     cands
       .join(sigs.select(col("doc_id").as("doc_a"), col("j"), col("m").as("ma")), Seq("doc_a"))
       .join(sigs.select(col("doc_id").as("doc_b"), col("j"), col("m").as("mb")), Seq("doc_b", "j"))
       .groupBy("doc_a", "doc_b")
       .agg(sum(when(col("ma") === col("mb"), 1).otherwise(0)).as("n_eq"))
       .withColumn("est_sim", col("n_eq").cast("double") / 16)
+
+  private def minhashEst(docs0: DataFrame): DataFrame = {
+    val sigs = minhashSigs(docs0)
+    val bands = minhashBands(sigs)
+    val cands = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b")).distinct()
+    estFromCands(cands, sigs)
   }
 
   /** DuckDB twin of [[simhashDf]]: CTEs ending in
@@ -416,6 +429,38 @@ object TextQueries {
         SELECT doc_a, doc_b, CAST(n_eq AS BIGINT) AS n_eq,
                CAST(n_eq AS DOUBLE) / 16 AS est_sim
         FROM est ORDER BY doc_a, doc_b""")),
+
+    // Incremental dedup — the PRODUCTION shape of MinHash dedup: a new
+    // batch (the planted docs, id >= 10000) probes the HISTORY's band
+    // index (id < 10000) instead of re-deduping the whole corpus. The
+    // candidate join is new-bands x old-bands only — at 100 TB the daily
+    // increment joins against the persisted index, never history x
+    // history — and each colliding incoming doc reports its best
+    // historical match. Oracle: the unrestricted candidate set filtered
+    // to cross-era pairs gives the same rows.
+    "td_incremental_dedup" -> (((s: SparkSession, d: String) => {
+      val sigs = minhashSigs(plantedDocs(s, d))
+      val bands = minhashBands(sigs)
+      val hist = bands.where(col("doc_id") < 10000)
+      val incoming = bands.where(col("doc_id") >= 10000)
+      val cands = incoming.as("n").join(hist.as("o"),
+          col("n.band") === col("o.band") && col("n.sig") === col("o.sig"))
+        .select(col("o.doc_id").as("doc_a"), col("n.doc_id").as("doc_b"))
+        .distinct()
+      estFromCands(cands, sigs).where(col("n_eq") >= 8)
+        .groupBy(col("doc_b").as("doc_id"))
+        .agg(min("doc_a").as("matched_doc"),
+          max("n_eq").cast("long").as("best_n_eq"),
+          countDistinct("doc_a").cast("long").as("n_matches"))
+        .orderBy("doc_id")
+    }),
+      Some(s"""$docsSql $plantedDocsSql ${shinglesSqlFrom("docsp")} $minhashCtesSql
+        SELECT doc_b AS doc_id, min(doc_a) AS matched_doc,
+               CAST(max(n_eq) AS BIGINT) AS best_n_eq,
+               CAST(count(DISTINCT doc_a) AS BIGINT) AS n_matches
+        FROM est
+        WHERE n_eq >= 8 AND doc_a < 10000 AND doc_b >= 10000
+        GROUP BY doc_b ORDER BY doc_id""")),
 
     // Index-quality evaluation for the text near-dup path: recall of the
     // banded MinHash-LSH candidate set against the exact shingle-Jaccard

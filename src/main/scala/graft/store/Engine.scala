@@ -1455,6 +1455,30 @@ class Engine(val spark: SparkSession, val repoDir: String,
     written.value
   }
 
+  /**
+   * Cross-commit storage accounting: how much of two refs' snapshots is the
+   * SAME stored bytes (content-addressed range reuse) vs unique to each
+   * side — the dedup-savings report content addressing buys (§4
+   * "cross-commit storage" contract, `pkg/graveler/sstable/writer.go:
+   * 169-183`: stable chunk boundaries → shared range ids across commits).
+   * Manifest-scale — no data file is opened.
+   */
+  def storageReport(refA: String, refB: String): DataFrame = {
+    import spark.implicits._
+    val a = snapshots.readManifest(resolveCommit(refA).metaRangeId)
+    val b = snapshots.readManifest(resolveCommit(refB).metaRangeId)
+    val bIds = b.map(_.rangeId).toSet
+    val aIds = a.map(_.rangeId).toSet
+    def row(cat: String, infos: Seq[graft.core.Model.RangeInfo]) =
+      (cat, infos.size.toLong, infos.map(_.estimatedSize).sum,
+        infos.map(_.count).sum)
+    Seq(
+      row("shared", a.filter(ri => bIds(ri.rangeId))),
+      row("only_left", a.filterNot(ri => bIds(ri.rangeId))),
+      row("only_right", b.filterNot(ri => aIds(ri.rangeId))))
+      .toDF("category", "n_ranges", "est_bytes", "n_rows")
+  }
+
   /** S11 dump: export the control tables (commits/branches/tags) as parquet
     * under `outDir` (`Graveler.Dump*`, `graveler.go:3668-3727`). */
   def dumpRefs(outDir: String): Unit = {

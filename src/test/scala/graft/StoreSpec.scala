@@ -590,6 +590,35 @@ class StoreSpec extends SparkSpec {
     assert(readFile(s"symlinks/$repo/main//symlink.txt") === s"$ns/data/x4")
   }
 
+  test("storage report: clustered edit shares most ranges; disjoint snapshots share none") {
+    import spark.implicits._
+    val eng = new Engine(spark, tmpDir("storrep"), raggedness = 50)
+    val c1 = eng.init("main", Some(rows(2000)))
+    // clustered edit: one key interval → most ranges reused by content id
+    eng.createBranch("edit", "main")
+    eng.stage("edit", Seq(("k0001", "EDITED")).toDF("key", "identity"))
+    eng.commit("edit", "t", "one-key edit")
+    val rep = eng.storageReport("main", "edit").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(3)))).toMap
+    val (sharedN, sharedRows) = rep("shared")
+    val (onlyLN, _) = rep("only_left")
+    val (onlyRN, _) = rep("only_right")
+    assert(sharedN > 0 && sharedN >= onlyLN * 5, s"rep: $rep") // most ranges reused
+    assert(onlyLN === onlyRN) // same touched slice rewritten on each side
+    assert(sharedRows + rep("only_left")._2 === 2000L)
+    // disjoint keyspaces share nothing
+    val eng2 = new Engine(spark, tmpDir("storrep2"), raggedness = 50)
+    eng2.init("main", Some(rows(300)))
+    eng2.createBranch("other", "main")
+    eng2.resetHard("other",
+      eng2.createCommitRecord("t", "disjoint", eng2.snapshots.writeSnapshot(
+        rows(300).withColumn("key", concat(lit("z"), col("key"))))._1,
+        Seq.empty).commitId)
+    val rep2 = eng2.storageReport("main", "other").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rep2("shared") === 0L && rep2("only_left") > 0 && rep2("only_right") > 0)
+  }
+
   test("fsck: clean snapshot all ok; missing / corrupted ranges diagnosed") {
     val eng = new Engine(spark, tmpDir("fsck2"), raggedness = 100)
     eng.init("main", Some(rows(1000)))
