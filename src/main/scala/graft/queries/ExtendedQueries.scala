@@ -371,6 +371,72 @@ object ExtendedQueries {
         ORDER BY media_a, media_b""")),
 
     // Multimodal aggregation: per-type feature stats.
+    // Semantic-cluster topic inspection — the "cluster the corpus by
+    // embedding, then eyeball each cluster's vocabulary" loop of corpus
+    // curation (doc_id and vec_id align by construction in the fixtures,
+    // as they would via a join key in production). One Lloyd assignment
+    // against the deterministic vec_id%125 centroid sample (broadcast,
+    // integer-exact L2 — emb_kmeans's discipline), then per-cluster top-5
+    // tokens by frequency: a (cluster, token) count agg and a rank window
+    // PARTITIONED by cluster — vocabulary-bounded per partition, never
+    // global.
+    "td_cluster_topics" -> (((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.expressions.Window
+      import graft.functions.VectorFunctions.quantize
+      val emb = Fixtures.embeddings(s, d)
+        .select(col("vec_id"), quantize(col("embedding")).as("q"))
+      val cent = emb.where(col("vec_id") % 125 === 0)
+        .select(col("vec_id").as("cid"), col("q").as("cq"))
+      val dist = emb.crossJoin(broadcast(cent))
+        .withColumn("dist",
+          aggregate(zip_with(col("q"), col("cq"), (x, y) => (x - y) * (x - y)),
+            lit(0L), (acc, v) => acc + v))
+      val wa = Window.partitionBy("vec_id").orderBy(col("dist").asc, col("cid").asc)
+      val assigned = dist.withColumn("rn", row_number().over(wa))
+        .where(col("rn") === 1).select("vec_id", "cid")
+      val toks = Fixtures.documents(s, d)
+        .select(col("doc_id").as("vec_id"),
+          explode(split(trim(col("text")), "\\s+")).as("tok"))
+      val counts = toks.join(assigned, "vec_id")
+        .groupBy("cid", "tok").agg(count(lit(1)).cast("long").as("n"))
+      val wr = Window.partitionBy("cid").orderBy(col("n").desc, col("tok").asc)
+      counts.withColumn("rank", row_number().over(wr).cast("long"))
+        .where(col("rank") <= 5)
+        .select("cid", "rank", "tok", "n")
+        .orderBy("cid", "rank")
+    }),
+      Some("""
+        WITH q AS (SELECT vec_id,
+          list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+          FROM embeddings),
+        cent AS (SELECT vec_id AS cid, qv AS cq FROM q WHERE vec_id % 125 = 0),
+        d AS (
+          SELECT q.vec_id, cid,
+                 CAST(list_sum(list_transform(generate_series(1, len(qv)),
+                   i -> (qv[i]-cq[i])*(qv[i]-cq[i]))) AS BIGINT) AS dist
+          FROM q CROSS JOIN cent
+        ),
+        assign AS (
+          SELECT vec_id, cid FROM (
+            SELECT vec_id, cid,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+            FROM d
+          ) WHERE rn = 1
+        ),
+        toks AS (
+          SELECT doc_id AS vec_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+          FROM documents
+        ),
+        counts AS (
+          SELECT cid, tok, CAST(count(*) AS BIGINT) AS n
+          FROM toks JOIN assign USING (vec_id) GROUP BY cid, tok
+        )
+        SELECT cid, CAST(rank AS BIGINT) AS rank, tok, n FROM (
+          SELECT cid, tok, n,
+                 row_number() OVER (PARTITION BY cid ORDER BY n DESC, tok ASC) AS rank
+          FROM counts
+        ) WHERE rank <= 5 ORDER BY cid, rank""")),
+
     "mm_feature_stats" -> (((s: SparkSession, d: String) => {
       val media = Multimodal.asMedia(
         Fixtures.documents(s, d), col("doc_id"), encode(col("text"), "UTF-8"), "image")

@@ -39,7 +39,9 @@ class PlanShapeSpec extends SparkSpec {
     // DSIR: tiny bucket table broadcast onto the bigram stream, no pair join
     "td_dsir",
     // symlink manifests: one group-by-dir shuffle, no join at all
-    "vc_symlink_export")
+    "vc_symlink_export",
+    // incremental dedup: new-bands x old-bands equi-join only
+    "td_incremental_dedup")
 
   test("LSH scale paths contain no all-pairs join") {
     scalePaths.foreach { name =>
@@ -120,7 +122,8 @@ class PlanShapeSpec extends SparkSpec {
     // Window in any of them would move a whole domain / event type / the
     // corpus through one task.
     Seq("td_domain_cap" -> "source", "ev_topk_per_group" -> "event_type",
-        "td_shard_plan" -> "__b", "emb_knn_graph" -> "src")
+        "td_shard_plan" -> "__b", "emb_knn_graph" -> "src",
+        "td_cluster_topics" -> "cid")
       .foreach { case (name, partCol) =>
       val df = SparkEntry.queries(name)(spark, sfDir)
       val plan = df.queryExecution.executedPlan.toString
