@@ -182,9 +182,26 @@ class SnapshotStore(val spark: SparkSession, val repoDir: String,
    * output), and keys before the first range touch nothing — they enter via
    * the applied change set either way.
    */
-  def commitChanges(baseMeta: String, changes: DataFrame): (String, Seq[RangeInfo]) = {
+  def commitChanges(baseMeta: String, changes0: DataFrame): (String, Seq[RangeInfo]) = {
     import org.apache.spark.unsafe.types.UTF8String
     val base = readManifest(baseMeta) // sorted by minKey; ranges are disjoint
+    // The change set is read TWICE — touched-range detection, then the
+    // apply/write pass — and is bounded by changed data, not repo size, so
+    // cache it for the duration unless the caller already did: a derived
+    // change set (filter + hash over a source scan) would otherwise
+    // recompute its whole lineage in the write pass.
+    val weCache =
+      changes0.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+    val changes = if (weCache)
+      changes0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else changes0
+    try commitChangesCached(base, changes)
+    finally if (weCache) changes.unpersist()
+  }
+
+  private def commitChangesCached(base: Seq[RangeInfo], changes: DataFrame)
+      : (String, Seq[RangeInfo]) = {
+    import org.apache.spark.unsafe.types.UTF8String
     // ONE job over the change set collects both driver-side inputs: the
     // touched range index per change key AND the (rare, ~1/raggedness) cut
     // keys with their tombstone flag — separate jobs here were two
@@ -192,7 +209,7 @@ class SnapshotStore(val spark: SparkSession, val repoDir: String,
     val cutPred = (abs(xxhash64(col("key"))) % raggedness) === 0
     val cutStruct = when(cutPred,
       struct(col("key"), col("identity").isNull.as("del")))
-    val (touched: Set[String], changeCutRows: Array[(String, Boolean)]) =
+    val (touched: Set[String], changeCutRows: Array[(String, Boolean)]) = tr("detect")(
       if (base.isEmpty) {
         val rows = changes.where(cutPred)
           .select(col("key"), col("identity").isNull.as("del")).collect()
@@ -212,7 +229,7 @@ class SnapshotStore(val spark: SparkSession, val repoDir: String,
             (s.getString(0), s.getBoolean(1))))
           (t, cr)
         } finally bcMin.destroy()
-      }
+      })
 
     val untouched = base.filterNot(ri => touched.contains(ri.rangeId))
     val touchedInfos = base.filter(ri => touched.contains(ri.rangeId))

@@ -1,0 +1,94 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.fixtures.Fixtures
+import graft.operators.Merge
+import graft.store.SnapshotStore
+
+/** Local-iteration micro-bench for the `commit` headline metric only —
+  * NOT part of the driver contract (Bench.scala is). Runs the engine
+  * commit and its bare twin back-to-back, several passes, printing each
+  * sample so the stage split (SPARK_GRAFT_TRACE) lines up with totals. */
+object CommitBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .appName("graft-commit-bench")
+      .config("spark.sql.shuffle.partitions", 16)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val base = Fixtures.keyedBase(spark, sfDir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    base.count()
+    val identExpr = sha2(concat_ws("|",
+      col("key"), col("qty"), col("price_c"), col("rf"), col("ls")), 256)
+    val changes = base.where(col("k") % 100 === 21)
+      .withColumn("price_c", col("price_c") + 777)
+      .withColumn("identity", identExpr)
+
+    def deleteDir(d: String): Unit =
+      try {
+        val ffs = org.apache.hadoop.fs.FileSystem.get(
+          new java.net.URI(d), spark.sparkContext.hadoopConfiguration)
+        ffs.delete(new org.apache.hadoop.fs.Path(d), true)
+      } catch { case _: Throwable => }
+
+    def t(name: String)(f: => Unit): Double = {
+      System.gc(); Thread.sleep(200)
+      val t0 = System.nanoTime(); f
+      val s = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"  $name%-16s $s%7.3f s"); s
+    }
+
+    (1 to args.headOption.map(_.toInt).getOrElse(3)).foreach { pass =>
+      System.err.println(s"pass $pass")
+      val repoDir = s"target/cb_repo_${java.util.UUID.randomUUID()}"
+      val bareOut = s"target/cb_bare_${java.util.UUID.randomUUID()}"
+      try {
+        val store = new SnapshotStore(spark, repoDir, raggedness = 50000L)
+        base.count()
+        val m1 = store.writeSnapshot(base)._1
+        base.repartitionByRange(col("key")).sortWithinPartitions("key")
+          .write.parquet(s"$bareOut/snap")
+        def bareSnap = spark.read.parquet(s"$bareOut/snap")
+        t("commit") { store.commitChanges(m1, changes) }
+        t("bare_commit") {
+          Merge.applyChanges(bareSnap, changes)
+            .repartitionByRange(col("key")).sortWithinPartitions("key")
+            .write.parquet(s"$bareOut/snap2")
+        }
+        // shape experiments: same applied volume, varying write machinery
+        val applied = Merge.applyChanges(bareSnap, changes)
+          .withColumn("__chunk", pmod(xxhash64(col("key")), lit(12)).cast("int"))
+        t("shape_hashpart") {           // hash repartition + sort, plain write
+          applied.repartition(24, col("__chunk"), pmod(xxhash64(col("key")), lit(2)))
+            .sortWithinPartitions("__chunk", "key").drop("__chunk")
+            .write.parquet(s"$bareOut/sA")
+        }
+        t("shape_partby") {             // + partitionBy dynamic write
+          applied.repartition(24, col("__chunk"), pmod(xxhash64(col("key")), lit(2)))
+            .sortWithinPartitions("__chunk", "key")
+            .write.option("mapreduce.fileoutputcommitter.algorithm.version", "2")
+            .partitionBy("__chunk").parquet(s"$bareOut/sB")
+        }
+        t("shape_partby_obs") {         // + observed stats aggregate
+          val obs = org.apache.spark.sql.Observation(
+            "cb_" + java.util.UUID.randomUUID())
+          applied.repartition(24, col("__chunk"), pmod(xxhash64(col("key")), lit(2)))
+            .sortWithinPartitions("__chunk", "key")
+            .observe(obs, graft.functions.ChunkStatsAggregator.statsCol.as("stats"))
+            .write.option("mapreduce.fileoutputcommitter.algorithm.version", "2")
+            .partitionBy("__chunk").parquet(s"$bareOut/sC")
+          obs.get("stats")
+        }
+      } finally { deleteDir(repoDir); deleteDir(bareOut) }
+    }
+    spark.stop()
+  }
+}
