@@ -104,6 +104,23 @@ object Model {
       defaultBranchId: String,
       readOnly: Boolean = false)
 
+  /** Background-task status (`pkg/catalog/task.go`, `catalog.go:2242-2330`):
+    * one record per submitted task (dump-refs `DR…`, restore-refs `RR…`),
+    * updated after every named step. `info` carries the task's result
+    * payload (the reference's RepositoryDumpInfo metarange ids; here the
+    * dump's artifact paths). Finished = `done`; an error leaves `done=true`
+    * with `error` set, like the reference's Task.ErrorMsg. */
+  case class TaskStatus(
+      id: String,
+      operation: String,
+      step: String,
+      stepsDone: Int,
+      totalSteps: Int,
+      done: Boolean,
+      error: Option[String],
+      info: Map[String, String],
+      updatedAt: Long)
+
   /** T4: async import run status (`pkg/graveler/graveler.go` ImportStatus +
     * `pkg/catalog/import.go:25-140`). `error == Some("Canceled")` marks a
     * canceled run, matching the reference's ImportCanceled sentinel. */

@@ -143,6 +143,15 @@ class Catalog(val spark: SparkSession, val rootDir: String,
     merged
   }
 
+  /** DeleteExpiredTasks (`pkg/catalog/catalog.go:3192-3215`): the
+    * cross-repository janitor — walks every repository and drops finished
+    * background-task records older than the cutoff; in-flight tasks are
+    * immune regardless of age. Returns (repo, taskId) pairs removed. */
+  def deleteExpiredTasks(cutoffEpochSec: Long): Seq[(String, String)] =
+    listRepositories().flatMap(info =>
+      repo(info.repositoryId).refs.deleteExpiredTasks(cutoffEpochSec)
+        .map(info.repositoryId -> _))
+
   /** Delete a repository record; `wipe` also removes the namespace data
     * (the reference deletes async via the repo-state machinery —
     * `graveler.go:439-468`). */

@@ -1482,6 +1482,10 @@ class Engine(val spark: SparkSession, val repoDir: String,
   /** S11 dump: export the control tables (commits/branches/tags) as parquet
     * under `outDir` (`Graveler.Dump*`, `graveler.go:3668-3727`). */
   def dumpRefs(outDir: String): Unit = {
+    dumpCommits(outDir); dumpBranches(outDir); dumpTags(outDir)
+  }
+
+  private def dumpCommits(outDir: String): String = {
     import spark.implicits._
     refs.commits
       .map(c => (c.commitId, c.committer, c.message, c.metaRangeId,
@@ -1489,16 +1493,108 @@ class Engine(val spark: SparkSession, val repoDir: String,
       .toDF("commit_id", "committer", "message", "meta_range_id",
         "creation_date", "parents", "metadata", "generation")
       .coalesce(1).write.mode("overwrite").parquet(s"$outDir/commits")
+    s"$outDir/commits"
+  }
+
+  private def dumpBranches(outDir: String): String = {
+    import spark.implicits._
     refs.branches.toSeq.toDF("branch_id", "commit_id")
       .coalesce(1).write.mode("overwrite").parquet(s"$outDir/branches")
+    s"$outDir/branches"
+  }
+
+  private def dumpTags(outDir: String): String = {
+    import spark.implicits._
     refs.tags.toSeq.toDF("tag_id", "commit_id")
       .coalesce(1).write.mode("overwrite").parquet(s"$outDir/tags")
+    s"$outDir/tags"
   }
+
+  // --- background tasks (pkg/catalog/task.go, catalog.go:2123-2330) -------
+
+  /** DR/RR prefixes + 20-char id body, the reference's
+    * `NewTaskID`/`IsTaskID` shape (`task.go:33-38`). */
+  private def newTaskId(prefix: String): String =
+    prefix + java.util.UUID.randomUUID().toString.replace("-", "").take(20)
+  private def isTaskId(prefix: String, id: String): Boolean =
+    id.length == prefix.length + 20 && id.startsWith(prefix)
+
+  /** RunBackgroundTaskSteps (`catalog.go:2242-2271`): persist an initial
+    * status, then run the named steps on a background thread, updating the
+    * status after each; a step failure records the error and stops. Each
+    * step returns info entries merged into the task's result payload. */
+  private def runTaskSteps(operation: String, taskId: String,
+      steps: Seq[(String, () => Map[String, String])]): Unit = {
+    val now = () => System.currentTimeMillis() / 1000
+    refs.setTaskStatus(TaskStatus(taskId, operation, "", 0, steps.size,
+      done = false, None, Map.empty, now()))
+    val t = new Thread(() => {
+      var info = Map.empty[String, String]
+      var failed = false
+      steps.zipWithIndex.foreach { case ((name, f), i) =>
+        if (!failed) {
+          try {
+            info = info ++ f()
+            refs.setTaskStatus(TaskStatus(taskId, operation, name, i + 1,
+              steps.size, done = i + 1 == steps.size, None, info, now()))
+          } catch {
+            case e: Throwable =>
+              failed = true
+              refs.setTaskStatus(TaskStatus(taskId, operation, name, i,
+                steps.size, done = true, Some(e.getMessage), info, now()))
+          }
+        }
+      }
+    }, s"graft-task-$taskId")
+    t.setDaemon(true)
+    t.start()
+  }
+
+  /** DumpRepositorySubmit (`catalog.go:2123-2176`): async refs dump as a
+    * three-step background task (commits, branches, tags); the task's info
+    * carries the dump artifact paths (the reference stores metarange ids).
+    * Returns the `DR…` task id for [[dumpRefsStatus]] polling. */
+  def dumpRefsSubmit(outDir: String): String = {
+    val id = newTaskId("DR")
+    runTaskSteps("dump-refs", id, Seq(
+      ("dump commits", () => Map("commits" -> dumpCommits(outDir))),
+      ("dump branches", () => Map("branches" -> dumpBranches(outDir))),
+      ("dump tags", () => Map("tags" -> dumpTags(outDir)))))
+    id
+  }
+
+  /** DumpRepositoryStatus (`catalog.go:2177-2184`): validated lookup — a
+    * malformed or wrong-prefix id reads as not-found, like
+    * `GetValidatedTaskStatus` (`catalog.go:2871-2886`). */
+  def dumpRefsStatus(taskId: String): Option[TaskStatus] =
+    if (!isTaskId("DR", taskId)) None else refs.getTaskStatus(taskId)
+
+  /** RestoreRepositorySubmit (`catalog.go:2186-2230`): async refs restore
+    * into a BARE repository — any existing commit fails the submit with the
+    * reference's ErrNonEmptyRepository before a task is created. */
+  def restoreRefsSubmit(inDir: String): String = {
+    requireWritable("restore refs")
+    if (refs.commits.nonEmpty) sys.error("non empty repository")
+    val id = newTaskId("RR")
+    runTaskSteps("restore-refs", id, Seq(
+      ("load commits", () => { loadCommitsFrom(inDir); Map.empty }),
+      ("load branches", () => { loadBranchesFrom(inDir); Map.empty }),
+      ("load tags", () => { loadTagsFrom(inDir); Map.empty })))
+    id
+  }
+
+  /** RestoreRepositoryStatus (`catalog.go:2232-2239`). */
+  def restoreRefsStatus(taskId: String): Option[TaskStatus] =
+    if (!isTaskId("RR", taskId)) None else refs.getTaskStatus(taskId)
 
   /** S11 load: re-create branches/tags from a dump (commits must share the
     * same snapshot store; commit rows are appended if unknown). */
   def loadRefs(inDir: String): Unit = {
     requireWritable("load refs")
+    loadCommitsFrom(inDir); loadBranchesFrom(inDir); loadTagsFrom(inDir)
+  }
+
+  private def loadCommitsFrom(inDir: String): Unit = {
     val commits = spark.read.parquet(s"$inDir/commits").collect()
     val known = refs.commits.map(_.commitId).toSet
     commits.sortBy(_.getAs[Long]("creation_date")).foreach { r =>
@@ -1509,11 +1605,15 @@ class Engine(val spark: SparkSession, val repoDir: String,
           creationDate = r.getAs[Long]("creation_date"))
       }
     }
+  }
+
+  private def loadBranchesFrom(inDir: String): Unit =
     spark.read.parquet(s"$inDir/branches").collect()
       .foreach(r => refs.setBranch(r.getString(0), r.getString(1)))
+
+  private def loadTagsFrom(inDir: String): Unit =
     spark.read.parquet(s"$inDir/tags").collect()
       .foreach(r => refs.createTag(r.getString(0), r.getString(1)))
-  }
 
   // --- helpers -------------------------------------------------------------
 

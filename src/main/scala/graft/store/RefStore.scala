@@ -257,6 +257,44 @@ class RefStore(rootDir: String) {
     expired.map(_.id)
   }
 
+  // --- background tasks (pkg/catalog/task.go, catalog.go:2242-2330) -------
+
+  private def tasksFile = dir.resolve("tasks.tsv")
+
+  def setTaskStatus(s: TaskStatus): Unit = this.synchronized {
+    val info = s.info.toSeq.sorted
+      .map { case (k, v) => esc(k) + "=" + esc(v) }.mkString(",")
+    val v = Seq(esc(s.operation), esc(s.step), s.stepsDone.toString,
+      s.totalSteps.toString, if (s.done) "1" else "0",
+      s.error.map(esc).getOrElse(""), info, s.updatedAt.toString).mkString("|")
+    writeKv(tasksFile, readKv(tasksFile) + (s.id -> v))
+  }
+
+  def getTaskStatus(id: String): Option[TaskStatus] =
+    readKv(tasksFile).get(id).map { v =>
+      val f = v.split('|').padTo(8, "")
+      val info = f(6).split(',').filter(_.nonEmpty).map { kv =>
+        val i = kv.indexOf('=')
+        unesc(kv.take(i)) -> unesc(kv.drop(i + 1))
+      }.toMap
+      TaskStatus(id, unesc(f(0)), unesc(f(1)), f(2).toInt, f(3).toInt,
+        f(4) == "1", if (f(5).isEmpty) None else Some(unesc(f(5))), info,
+        f(7).toLong)
+    }
+
+  def taskStatuses: Seq[TaskStatus] =
+    readKv(tasksFile).keys.toSeq.sorted.flatMap(getTaskStatus)
+
+  /** DeleteExpiredTasks (`catalog.go:3192-3215`): drop FINISHED task
+    * records older than the cutoff; a task still running is never dropped
+    * regardless of age (same janitor discipline as import expiry). */
+  def deleteExpiredTasks(cutoffEpochSec: Long): Seq[String] = this.synchronized {
+    val expired = taskStatuses.filter(s => s.done && s.updatedAt < cutoffEpochSec)
+    if (expired.nonEmpty)
+      writeKv(tasksFile, readKv(tasksFile) -- expired.map(_.id))
+    expired.map(_.id)
+  }
+
   // --- GC retention rules (garbage_collection_manager.go:59-87) -----------
 
   private def gcRulesFile = dir.resolve("gc_rules.tsv")

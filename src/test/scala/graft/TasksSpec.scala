@@ -1,0 +1,113 @@
+package graft
+
+import graft.core.Model.TaskStatus
+import graft.store.{Catalog, Engine}
+
+/** Background-task framework (`pkg/catalog/task.go`, async dump/restore
+  * `catalog.go:2123-2239`, janitor `catalog.go:3192-3215`). */
+class TasksSpec extends SparkSpec {
+
+  private def rows(n: Int) = {
+    import spark.implicits._
+    (1 to n).map(i => (f"k$i%04d", s"v$i")).toDF("key", "identity")
+  }
+
+  private def await(poll: => Option[TaskStatus], timeoutMs: Long = 30000)
+      : TaskStatus = {
+    val deadline = System.currentTimeMillis() + timeoutMs
+    var s = poll
+    while (!s.exists(_.done) && System.currentTimeMillis() < deadline) {
+      Thread.sleep(50); s = poll
+    }
+    s.getOrElse(sys.error("task status never appeared"))
+  }
+
+  test("tasks: async dump runs its three steps and records artifact paths") {
+    val dir = tmpDir("taskdump")
+    val eng = new Engine(spark, s"$dir/repo", raggedness = 100)
+    eng.init("main", Some(rows(30)))
+    eng.createTag("v1", "main")
+    val out = s"$dir/dump"
+    val id = eng.dumpRefsSubmit(out)
+    assert(id.startsWith("DR") && id.length === 22)
+    val st = await(eng.dumpRefsStatus(id))
+    assert(st.done && st.error.isEmpty)
+    assert(st.stepsDone === 3 && st.totalSteps === 3)
+    assert(st.step === "dump tags")
+    assert(st.info === Map("commits" -> s"$out/commits",
+      "branches" -> s"$out/branches", "tags" -> s"$out/tags"))
+    // the dump is a real S11 dump: a fresh engine can load it
+    assert(spark.read.parquet(s"$out/commits").count() === 1)
+  }
+
+  test("tasks: validated status lookup rejects malformed and wrong-prefix ids") {
+    val dir = tmpDir("taskval")
+    val eng = new Engine(spark, s"$dir/repo", raggedness = 100)
+    eng.init("main", Some(rows(5)))
+    val id = eng.dumpRefsSubmit(s"$dir/dump")
+    await(eng.dumpRefsStatus(id))
+    assert(eng.restoreRefsStatus(id).isEmpty)         // DR id via RR accessor
+    assert(eng.dumpRefsStatus("DRshort").isEmpty)     // malformed length
+    assert(eng.dumpRefsStatus(id + "x").isEmpty)
+    assert(eng.dumpRefsStatus(id).nonEmpty)
+  }
+
+  test("tasks: restore submit requires a bare repository, then restores") {
+    val root = tmpDir("taskrestore")
+    val cat = new Catalog(spark, root, raggedness = 100)
+    cat.createRepository("src", initial = Some(rows(25)))
+    val src = cat.repo("src")
+    src.set("main", "k0001", "EDITED")
+    src.commit("main", "t", "C2")
+    val dump = s"$root/dump"
+    src.dumpRefs(dump)
+    // a NON-bare repo refuses the submit (ErrNonEmptyRepository)
+    val e = intercept[RuntimeException] { src.restoreRefsSubmit(dump) }
+    assert(e.getMessage.contains("non empty repository"))
+    // bare repo over the surviving namespace accepts and restores
+    val ns = cat.getRepository("src").storageNamespace
+    cat.deleteRepository("src", wipe = false)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(ns), spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$ns/refs"), true)
+    cat.createBareRepository("restored", namespace = ns)
+    val eng = cat.repo("restored")
+    val id = eng.restoreRefsSubmit(dump)
+    assert(id.startsWith("RR"))
+    val st = await(eng.restoreRefsStatus(id))
+    assert(st.done && st.error.isEmpty && st.stepsDone === 3)
+    val got = eng.list("main").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got("k0001") === "EDITED" && got.size === 25)
+  }
+
+  test("tasks: a failing step records the error and stops the chain") {
+    val dir = tmpDir("taskfail")
+    val eng = new Engine(spark, s"$dir/repo", raggedness = 100)
+    eng.init("main", Some(rows(5)))
+    // restore over a directory with no dump files: step 1 fails
+    val bare = new Engine(spark, s"$dir/bare", raggedness = 100)
+    val id = bare.restoreRefsSubmit(s"$dir/nonexistent_dump")
+    val st = await(bare.restoreRefsStatus(id))
+    assert(st.done && st.error.nonEmpty)
+    assert(st.step === "load commits" && st.stepsDone === 0)
+  }
+
+  test("tasks: janitor drops finished tasks past the cutoff, never in-flight") {
+    val root = tmpDir("taskjanitor")
+    val cat = new Catalog(spark, root, raggedness = 100)
+    cat.createRepository("repo1", initial = Some(rows(5)))
+    val eng = cat.repo("repo1")
+    val id = eng.dumpRefsSubmit(s"$root/dump")
+    await(eng.dumpRefsStatus(id))
+    // a fake in-flight record, older than any cutoff
+    eng.refs.setTaskStatus(TaskStatus("DRinflight000000000000", "dump-refs",
+      "dump commits", 1, 3, done = false, None, Map.empty, 0L))
+    val now = System.currentTimeMillis() / 1000
+    assert(cat.deleteExpiredTasks(now - 3600) === Seq.empty) // too young
+    val removed = cat.deleteExpiredTasks(now + 3600)
+    assert(removed === Seq("repo1" -> id)) // finished dropped, in-flight immune
+    assert(eng.refs.getTaskStatus(id).isEmpty)
+    assert(eng.refs.getTaskStatus("DRinflight000000000000").nonEmpty)
+  }
+}
