@@ -552,6 +552,64 @@ object EventQueries {
                CAST(count(*) AS BIGINT) AS n_events,
                CAST(sum(value_c) AS BIGINT) AS sum_value_c
         FROM ev GROUP BY ROLLUP(event_type, day)
-        ORDER BY gid, event_type, day"""))
+        ORDER BY gid, event_type, day""")),
+
+    // A/B experiment readout: users split by user_id parity, per event type
+    // the reached-user counts and rates for each arm plus a two-proportion
+    // z-test flag (z^2 > 3.84 ~ p < 0.05). The algebra is cross-multiplied
+    // into one integer inequality — 100*(c1*n2 - c2*n1)^2*N >
+    // 384*n1*n2*C*(N-C) — so both engines decide significance exactly.
+    // Shuffle keys are (event_type, variant): partial-agg distinct-user
+    // counts map-side combine; arm totals broadcast back. At petabyte event
+    // volumes the BIGINT cross-products want DECIMAL(38) headroom — counts
+    // beyond ~1e9 users per arm would overflow the squared term.
+    "ev_ab_test" -> (((s: SparkSession, d: String) => {
+      val ev = Fixtures.events(s, d).select(
+        col("user_id"), col("event_type"), (col("user_id") % 2).as("variant"))
+      val arms = ev.select("user_id", "variant").distinct()
+        .groupBy("variant").agg(countDistinct("user_id").as("n_users"))
+      val reach = ev.groupBy("event_type", "variant")
+        .agg(countDistinct("user_id").as("c"))
+        .join(broadcast(arms), Seq("variant"))
+      def arm(v: Int, tag: String) = reach.where(col("variant") === v)
+        .select(col("event_type"), col("c").as(s"c_$tag"),
+          col("n_users").as(s"n_$tag"))
+      arm(0, "a").join(arm(1, "b"), Seq("event_type"))
+        .withColumn("rate_a_ppm", expr("c_a * 1000000 DIV n_a"))
+        .withColumn("rate_b_ppm", expr("c_b * 1000000 DIV n_b"))
+        .withColumn("significant", expr(
+          """CAST(CASE WHEN 100 * (c_a*n_b - c_b*n_a) * (c_a*n_b - c_b*n_a) * (n_a+n_b)
+                     > 384 * n_a * n_b * (c_a+c_b) * ((n_a+n_b) - (c_a+c_b))
+               THEN 1 ELSE 0 END AS BIGINT)"""))
+        .select("event_type", "n_a", "c_a", "n_b", "c_b",
+          "rate_a_ppm", "rate_b_ppm", "significant")
+        .orderBy("event_type")
+    }),
+      Some("""
+        WITH ev AS (
+          SELECT user_id, event_type, user_id % 2 AS variant FROM events
+        ), arms AS (
+          SELECT variant, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+          FROM ev GROUP BY 1
+        ), reach AS (
+          SELECT event_type, variant, CAST(count(DISTINCT user_id) AS BIGINT) AS c
+          FROM ev GROUP BY 1, 2
+        ), j AS (
+          SELECT r.event_type, r.variant, r.c, a.n_users
+          FROM reach r JOIN arms a USING (variant)
+        )
+        SELECT a.event_type,
+               a.n_users AS n_a, a.c AS c_a, b.n_users AS n_b, b.c AS c_b,
+               a.c * 1000000 // a.n_users AS rate_a_ppm,
+               b.c * 1000000 // b.n_users AS rate_b_ppm,
+               CAST(CASE WHEN 100 * (a.c*b.n_users - b.c*a.n_users)
+                              * (a.c*b.n_users - b.c*a.n_users)
+                              * (a.n_users + b.n_users)
+                          > 384 * a.n_users * b.n_users * (a.c + b.c)
+                              * ((a.n_users + b.n_users) - (a.c + b.c))
+                    THEN 1 ELSE 0 END AS BIGINT) AS significant
+        FROM (SELECT * FROM j WHERE variant = 0) a
+        JOIN (SELECT * FROM j WHERE variant = 1) b USING (event_type)
+        ORDER BY event_type"""))
   )
 }

@@ -270,6 +270,76 @@ object ExtendedQueries {
                  AS covered_samples
         FROM w ORDER BY media_id""")),
 
+    // Video scene-cut detection plan: per-frame 64-bit hash, hamming
+    // distance to the PREVIOUS frame (lag window partitioned by media, so
+    // state never crosses a video boundary and the shuffle key is
+    // media_id), cut where the jump clears the threshold. The frame hash
+    // is the stub-decode stand-in — a real pipeline swaps in a DCT phash
+    // per decoded frame and keeps this exact plan. Windows per media are
+    // frame-count-bounded (seconds x fps), so per-partition sort stays
+    // small however many videos stream through.
+    "mm_scene_cuts" -> (((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val media = Multimodal.asMedia(
+        Fixtures.documents(s, d).where(col("doc_id") % 10 === 0),
+        col("doc_id"), encode(col("text"), "UTF-8"), "video")
+      val framed = Multimodal.sampleFramesText(media, blockSize = 16, stride = 4)
+        .select(col("media_id"), posexplode(col("frames")).as(Seq("frame_idx", "frame")))
+      val hashed = framed.withColumn("hex", sha2(col("frame"), 256))
+      val sig = (0 until 4).foldLeft(hashed) { (df, c) =>
+        df.withColumn(s"h$c",
+          conv(expr(s"substring(hex, ${c * 4 + 1}, 4)"), 16, 10).cast("long"))
+      }
+      val w = Window.partitionBy("media_id").orderBy("frame_idx")
+      val withPrev = (0 until 4).foldLeft(sig) { (df, c) =>
+        df.withColumn(s"p$c", lag(s"h$c", 1).over(w))
+      }
+      withPrev.where(col("p0").isNotNull)
+        .withColumn("hamming", expr(
+          "CAST(bit_count(h0 ^ p0) + bit_count(h1 ^ p1) + bit_count(h2 ^ p2) + bit_count(h3 ^ p3) AS BIGINT)"))
+        .where(col("hamming") >= 30)
+        .select(col("media_id"), col("frame_idx").cast("long").as("frame_idx"),
+          col("hamming"))
+        .orderBy("media_id", "frame_idx")
+    }),
+      Some("""
+        WITH media AS (
+          SELECT doc_id AS media_id, text FROM documents WHERE doc_id % 10 = 0
+        ),
+        idx AS (
+          SELECT media_id, text,
+                 unnest(generate_series(0,
+                   CAST(greatest(floor(length(text)/64.0) - 1, 0) AS INT))) AS frame_idx
+          FROM media
+        ),
+        frames AS (
+          SELECT media_id, frame_idx,
+                 substr(text, frame_idx*64 + 1, 16) AS frame
+          FROM idx
+        ),
+        sig AS (
+          SELECT media_id, frame_idx,
+                 ('0x' || substr(hex, 1, 4))::BIGINT AS h0,
+                 ('0x' || substr(hex, 5, 4))::BIGINT AS h1,
+                 ('0x' || substr(hex, 9, 4))::BIGINT AS h2,
+                 ('0x' || substr(hex, 13, 4))::BIGINT AS h3
+          FROM (SELECT media_id, frame_idx, sha256(frame) AS hex FROM frames)
+        ),
+        lagged AS (
+          SELECT media_id, frame_idx, h0, h1, h2, h3,
+                 lag(h0) OVER w AS p0, lag(h1) OVER w AS p1,
+                 lag(h2) OVER w AS p2, lag(h3) OVER w AS p3
+          FROM sig WINDOW w AS (PARTITION BY media_id ORDER BY frame_idx)
+        )
+        SELECT media_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+               CAST(bit_count(xor(h0,p0)) + bit_count(xor(h1,p1)) +
+                    bit_count(xor(h2,p2)) + bit_count(xor(h3,p3)) AS BIGINT) AS hamming
+        FROM lagged
+        WHERE p0 IS NOT NULL
+          AND bit_count(xor(h0,p0)) + bit_count(xor(h1,p1)) +
+              bit_count(xor(h2,p2)) + bit_count(xor(h3,p3)) >= 30
+        ORDER BY media_id, frame_idx""")),
+
     // Multimodal near-duplicate detection: a 64-bit frame-level perceptual
     // hash per media object (SimHash over its DISTINCT sampled frames — two
     // videos sharing most frames land within a few bits), then pairs within

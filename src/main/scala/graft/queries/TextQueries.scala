@@ -741,6 +741,44 @@ object TextQueries {
                CAST(count(*) * bucket - sum(kept) AS BIGINT) AS waste_tokens
         FROM b GROUP BY bucket ORDER BY bucket""")),
 
+    // Exact per-source token-length percentiles (p25/p50/p75/p90) — the
+    // distribution sheet behind sequence-length and truncation decisions.
+    // percentile_disc expressed as explicit rank arithmetic (value at
+    // row_number == ceil(q*n/100) in (n_tokens, doc_id) order) so both
+    // engines pick the identical element — no interpolation doubles. The
+    // sort is per-source (partitioned window, map-side combinable agg
+    // after); at 100 TB the same sheet drops to approx_percentile in one
+    // pass — this exact form is the audit baseline.
+    "td_length_percentiles" -> (((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val t = Fixtures.documents(s, d).select(
+        col("source"), col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"))
+      val r = t
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("source").orderBy("n_tokens", "doc_id")).cast("long"))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("source")))
+      val aggs = Seq(25, 50, 75, 90).map(q =>
+        max(when(col("rn") === expr(s"(n*$q + 99) DIV 100"), col("n_tokens")))
+          .as(s"p$q"))
+      r.groupBy("source").agg(aggs.head, aggs.tail: _*).orderBy("source")
+    }),
+      Some(s"""$docsSql, t AS (
+        SELECT d2.source, docs.doc_id,
+               CAST(len(docs.toks) AS BIGINT) AS n_tokens
+        FROM docs JOIN documents d2 USING (doc_id)
+      ), r AS (
+        SELECT source, n_tokens,
+               row_number() OVER (PARTITION BY source ORDER BY n_tokens, doc_id) AS rn,
+               count(*) OVER (PARTITION BY source) AS n
+        FROM t)
+        SELECT source,
+               CAST(max(CASE WHEN rn = (n*25 + 99) // 100 THEN n_tokens END) AS BIGINT) AS p25,
+               CAST(max(CASE WHEN rn = (n*50 + 99) // 100 THEN n_tokens END) AS BIGINT) AS p50,
+               CAST(max(CASE WHEN rn = (n*75 + 99) // 100 THEN n_tokens END) AS BIGINT) AS p75,
+               CAST(max(CASE WHEN rn = (n*90 + 99) // 100 THEN n_tokens END) AS BIGINT) AS p90
+        FROM r GROUP BY source ORDER BY source""")),
+
     // DSIR-style hashed n-gram importance weights (Xie et al. 2023, "Data
     // Selection for Language Models via Importance Resampling"): word
     // bigrams hash into 256 buckets; bucket counts over the TARGET corpus

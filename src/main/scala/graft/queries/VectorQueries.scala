@@ -143,6 +143,110 @@ object VectorQueries {
           FROM sims
         ) WHERE rank <= 5 ORDER BY probe_id, rank""")),
 
+    // MMR-diversified retrieval (Carbonell & Goldstein 1998): top-8
+    // candidates by cosine to the probe (vec_id 0), then greedy maximal
+    // marginal relevance with lambda=1/2 — each next pick maximizes
+    // rel(c) - max_{s in selected} sim(c, s) — returning 5 results that
+    // are relevant AND mutually diverse (the search-result/RAG-context
+    // de-redundancy step). Scale shape: relevance scan + TakeOrdered top-k
+    // are the distributed work; the greedy rerank runs on the collected
+    // candidate list, whose size is the CONSTANT k (8), independent of
+    // corpus size — candidate cosines reuse the same quantized integer
+    // dots, so driver and oracle arithmetic agree bit-for-bit.
+    "emb_mmr_rerank" -> (((s: SparkSession, d: String) => {
+      val emb = Fixtures.embeddings(s, d)
+        .select(col("vec_id"), quantize(col("embedding")).as("q"))
+      val probe = emb.where(col("vec_id") === 0)
+        .select(col("q").as("pq"))
+      val cand = emb.crossJoin(broadcast(probe))
+        .where(col("vec_id") =!= 0)
+        .withColumn("rel",
+          intDot(col("pq"), col("q")).cast("double") /
+            (sqrt(intDot(col("pq"), col("pq")).cast("double")) *
+             sqrt(intDot(col("q"), col("q")).cast("double"))))
+        .orderBy(col("rel").desc, col("vec_id").asc).limit(8)
+        .select("vec_id", "rel", "q").collect()
+      val ids = cand.map(_.getLong(0))
+      val rels = cand.map(_.getDouble(1))
+      val vecs = cand.map(_.getSeq[Long](2).toArray)
+      def dot(a: Array[Long], b: Array[Long]): Long =
+        a.indices.map(i => a(i) * b(i)).sum
+      def cos(i: Int, j: Int): Double =
+        dot(vecs(i), vecs(j)).toDouble /
+          (math.sqrt(dot(vecs(i), vecs(i)).toDouble) *
+           math.sqrt(dot(vecs(j), vecs(j)).toDouble))
+      val picked = scala.collection.mutable.ArrayBuffer[Int]()
+      (1 to math.min(5, cand.length)).foreach { _ =>
+        val best = ids.indices.filterNot(picked.contains).minBy { i =>
+          val pen = if (picked.isEmpty) 0.0 else picked.map(cos(i, _)).max
+          (-(rels(i) - pen), ids(i)) // max score, ties by vec_id asc
+        }
+        picked += best
+      }
+      import s.implicits._
+      picked.zipWithIndex
+        .map { case (i, r) => (r + 1L, ids(i), rels(i)) }.toSeq
+        .toDF("rank", "vec_id", "rel")
+    }),
+      Some(s"""
+        WITH q AS (SELECT vec_id, $qvecSql AS qv FROM embeddings),
+        pv AS (SELECT qv AS pq FROM q WHERE vec_id = 0),
+        rel AS (
+          SELECT vec_id, qv, ${cosSql("pq", "qv")} AS rel
+          FROM q CROSS JOIN pv WHERE vec_id <> 0
+        ),
+        cand AS (SELECT vec_id, qv, rel FROM rel ORDER BY rel DESC, vec_id LIMIT 8),
+        sims AS (
+          SELECT a.vec_id AS va, b.vec_id AS vb,
+                 ${cosSql("a.qv", "b.qv")} AS sim
+          FROM cand a CROSS JOIN cand b WHERE a.vec_id <> b.vec_id
+        ),
+        s1 AS (SELECT vec_id, rel FROM cand ORDER BY rel DESC, vec_id LIMIT 1),
+        p2 AS (
+          SELECT c.vec_id, c.rel, c.rel - max(s.sim) AS score
+          FROM cand c JOIN sims s ON s.vb = c.vec_id
+          JOIN s1 t ON s.va = t.vec_id
+          WHERE c.vec_id NOT IN (SELECT vec_id FROM s1)
+          GROUP BY c.vec_id, c.rel
+        ),
+        s2 AS (SELECT vec_id, rel FROM p2 ORDER BY score DESC, vec_id LIMIT 1),
+        sel2 AS (SELECT vec_id, rel FROM s1 UNION ALL SELECT vec_id, rel FROM s2),
+        p3 AS (
+          SELECT c.vec_id, c.rel, c.rel - max(s.sim) AS score
+          FROM cand c JOIN sims s ON s.vb = c.vec_id
+          JOIN sel2 t ON s.va = t.vec_id
+          WHERE c.vec_id NOT IN (SELECT vec_id FROM sel2)
+          GROUP BY c.vec_id, c.rel
+        ),
+        s3 AS (SELECT vec_id, rel FROM p3 ORDER BY score DESC, vec_id LIMIT 1),
+        sel3 AS (SELECT vec_id, rel FROM sel2 UNION ALL SELECT vec_id, rel FROM s3),
+        p4 AS (
+          SELECT c.vec_id, c.rel, c.rel - max(s.sim) AS score
+          FROM cand c JOIN sims s ON s.vb = c.vec_id
+          JOIN sel3 t ON s.va = t.vec_id
+          WHERE c.vec_id NOT IN (SELECT vec_id FROM sel3)
+          GROUP BY c.vec_id, c.rel
+        ),
+        s4 AS (SELECT vec_id, rel FROM p4 ORDER BY score DESC, vec_id LIMIT 1),
+        sel4 AS (SELECT vec_id, rel FROM sel3 UNION ALL SELECT vec_id, rel FROM s4),
+        p5 AS (
+          SELECT c.vec_id, c.rel, c.rel - max(s.sim) AS score
+          FROM cand c JOIN sims s ON s.vb = c.vec_id
+          JOIN sel4 t ON s.va = t.vec_id
+          WHERE c.vec_id NOT IN (SELECT vec_id FROM sel4)
+          GROUP BY c.vec_id, c.rel
+        ),
+        s5 AS (SELECT vec_id, rel FROM p5 ORDER BY score DESC, vec_id LIMIT 1),
+        ranked AS (
+          SELECT 1 AS rank, vec_id, rel FROM s1
+          UNION ALL SELECT 2, vec_id, rel FROM s2
+          UNION ALL SELECT 3, vec_id, rel FROM s3
+          UNION ALL SELECT 4, vec_id, rel FROM s4
+          UNION ALL SELECT 5, vec_id, rel FROM s5
+        )
+        SELECT CAST(rank AS BIGINT) AS rank, vec_id, rel
+        FROM ranked ORDER BY rank""")),
+
     // Embedding hygiene report: per-label norm statistics. All aggregation
     // happens on EXACT integer squared-norms (order-independent), the
     // doubles (sqrt/divide) are derived once per output row - so the result

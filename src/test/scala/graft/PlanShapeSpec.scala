@@ -199,6 +199,30 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), "tfidf plans a CartesianProduct")
   }
 
+  test("scene cuts and length percentiles window within partitions only") {
+    // mm_scene_cuts lags frame hashes per media; td_length_percentiles
+    // ranks token counts per source. A partition-less Window in either
+    // would funnel the whole corpus through one task.
+    Seq("mm_scene_cuts" -> "media_id", "td_length_percentiles" -> "source")
+      .foreach { case (name, partCol) =>
+        val df = SparkEntry.queries(name)(spark, sfDir)
+        val plan = df.queryExecution.executedPlan.toString
+        val windows = plan.split("\n").filter(_.contains("Window ["))
+        assert(windows.nonEmpty, s"$name must window within partitions:\n${plan.take(2000)}")
+        windows.foreach(w => assert(w.contains(partCol),
+          s"$name contains a Window not partitioned by $partCol:\n$w"))
+      }
+  }
+
+  test("ev_ab_test broadcasts the per-arm totals, never shuffling them back") {
+    val df = SparkEntry.queries("ev_ab_test")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"ev_ab_test must broadcast the 2-row arm table, got:\n${plan.take(2000)}")
+    assert(!plan.contains("CartesianProduct"),
+      "ev_ab_test plans a CartesianProduct")
+  }
+
   test("vc_kmv_distinct plans a partial aggregation, not a per-group sort window") {
     val df = SparkEntry.queries("vc_kmv_distinct")(spark, sfDir)
     val plan = df.queryExecution.executedPlan.toString
