@@ -462,6 +462,150 @@ object TextQueries {
         WHERE n_eq >= 8 AND doc_a < 10000 AND doc_b >= 10000
         GROUP BY doc_b ORDER BY doc_id""")),
 
+    // Count-min sketch over the corpus bigram stream: d=4 hash rows (the
+    // four 16-bit slices of sha256, mutually independent enough) x w=512
+    // buckets. The sketch is built relationally — one scan explodes each
+    // occurrence into its 4 (row, bucket) cells, one map-side-combinable
+    // groupBy yields the <=2048-row counter table — so the state is
+    // CONSTANT-size however large the corpus, the whole point of a CMS at
+    // 100 TB. Probed with present and absent phrases; est = min over rows
+    // of the probe's counters, always >= the true count (one-sided error),
+    // both reported with the overestimate. The same deterministic slices
+    // mean DuckDB rebuilds the identical sketch.
+    "td_cms_counts" -> (((s: SparkSession, d: String) => {
+      import s.implicits._
+      val grams = Fixtures.documents(s, d)
+        .select(explode(shingles(col("text"), 2)).as("g"))
+      val withHex = grams.withColumn("hex", sha2(col("g"), 256))
+      val jb = withHex.select(explode(array((0 until 4).map(j =>
+        struct(lit(j).as("j"),
+          (conv(expr(s"substring(hex, ${j * 4 + 1}, 4)"), 16, 10)
+            .cast("long") % 512).as("b"))): _*)).as("x"))
+        .select(col("x.j"), col("x.b"))
+      val sketch = jb.groupBy("j", "b").agg(count(lit(1)).as("n"))
+      val probes = Seq("table scan", "merge batch", "sort window",
+        "hash join", "zz absent", "qq missing").toDF("probe")
+        .withColumn("hex", sha2(col("probe"), 256))
+      val pj = probes.select(col("probe") +: (0 until 4).map(j =>
+        (conv(expr(s"substring(hex, ${j * 4 + 1}, 4)"), 16, 10)
+          .cast("long") % 512).as(s"b$j")): _*)
+        .select(col("probe"), explode(array((0 until 4).map(j =>
+          struct(lit(j).as("j"), col(s"b$j").as("b"))): _*)).as("x"))
+        .select(col("probe"), col("x.j"), col("x.b"))
+      val est = pj.join(broadcast(sketch), Seq("j", "b"), "left")
+        .groupBy("probe")
+        .agg(min(coalesce(col("n"), lit(0L))).cast("long").as("cms_est"))
+      val truth = probes.select(col("probe"))
+        .join(grams, col("g") === col("probe"), "left")
+        .groupBy("probe")
+        .agg(sum(when(col("g").isNotNull, 1L).otherwise(0L)).as("true_n"))
+      est.join(truth, Seq("probe"))
+        .withColumn("overestimate", col("cms_est") - col("true_n"))
+        .orderBy("probe")
+    }),
+      Some(s"""$docsSql, g AS (
+        SELECT unnest(list_transform(
+          generate_series(1, greatest(len(toks)-1, 0)),
+          i -> toks[i] || ' ' || toks[i+1])) AS g
+        FROM docs
+      ), jb AS (
+        SELECT j, ('0x' || substr(sha256(g), j*4+1, 4))::BIGINT % 512 AS b
+        FROM g CROSS JOIN (SELECT unnest([0,1,2,3]) AS j)
+      ), sketch AS (
+        SELECT j, b, CAST(count(*) AS BIGINT) AS n FROM jb GROUP BY 1, 2
+      ), probes AS (
+        SELECT unnest(['table scan','merge batch','sort window',
+                       'hash join','zz absent','qq missing']) AS probe
+      ), pj AS (
+        SELECT probe, j,
+               ('0x' || substr(sha256(probe), j*4+1, 4))::BIGINT % 512 AS b
+        FROM probes CROSS JOIN (SELECT unnest([0,1,2,3]) AS j)
+      ), est AS (
+        SELECT probe, CAST(min(coalesce(n, 0)) AS BIGINT) AS cms_est
+        FROM pj LEFT JOIN sketch USING (j, b) GROUP BY probe
+      ), truth AS (
+        SELECT probe,
+               CAST(coalesce(sum(CASE WHEN g.g IS NOT NULL THEN 1 END), 0) AS BIGINT) AS true_n
+        FROM probes LEFT JOIN g ON g.g = probe GROUP BY probe
+      )
+      SELECT probe, cms_est, true_n, cms_est - true_n AS overestimate
+      FROM est JOIN truth USING (probe) ORDER BY probe""")),
+
+    // Bloom-filter dedup pre-filter (the BFF shape): the history corpus'
+    // fingerprints set k=4 bit positions (12-bit slices of sha256 mod
+    // m=4096); the bitmap is the DISTINCT (row, position) table — bounded
+    // by 4*m rows whatever the history size — and broadcasts onto the new
+    // batch, which flags a doc "maybe duplicate" only when all 4 positions
+    // hit. Exact membership rides along, so the row also reports the false
+    // positives the filter would send to the exact pass. New batch =
+    // planted copies (doc_id >= 10000) + their unseen siblings.
+    "td_bloom_prefilter" -> (((s: SparkSession, d: String) => {
+      val docs = Fixtures.documents(s, d)
+        .withColumn("fp", sha2(regexp_replace(lower(col("text")), "\\s+", " "), 256))
+      // history = the base corpus; new batch = planted exact copies of
+      // doc_id % 50 == 0 (dup fps) plus fresh salted variants (novel fps)
+      val hist = docs.select("fp")
+      val newBatch = docs.where(col("doc_id") % 50 === 0)
+        .select((col("doc_id") + 10000).as("doc_id"), col("fp"))
+        .unionByName(docs.where(col("doc_id") % 50 === 7)
+          .select((col("doc_id") + 20000).as("doc_id"),
+            sha2(concat(col("fp"), lit("salt")), 256).as("fp")))
+      def positions(src: DataFrame) = src
+        .withColumn("x", explode(array((0 until 4).map(j =>
+          struct(lit(j).as("j"),
+            (conv(expr(s"substring(fp, ${j * 3 + 1}, 3)"), 16, 10)
+              .cast("long")).as("p"))): _*)))
+        .select(col("*"), col("x.j"), col("x.p")).drop("x")
+      val bits = positions(hist).select("j", "p").distinct()
+      val hits = positions(newBatch)
+        .join(broadcast(bits), Seq("j", "p"), "left_semi")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+      val exact = newBatch.join(hist.distinct(), Seq("fp"), "left_semi")
+        .select(col("doc_id"), lit(1L).as("exact_dup"))
+      newBatch.join(hits, Seq("doc_id"), "left")
+        .join(exact, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(coalesce(col("n_hits"), lit(0L)) === 4, 1L).otherwise(0L)
+            .as("bloom_maybe"),
+          coalesce(col("exact_dup"), lit(0L)).as("exact_dup"))
+        .withColumn("false_positive",
+          when(col("bloom_maybe") === 1 && col("exact_dup") === 0, 1L)
+            .otherwise(0L))
+        .orderBy("doc_id")
+    }),
+      Some("""
+        WITH docs AS (
+          SELECT doc_id, sha256(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
+          FROM documents
+        ), newb AS (
+          SELECT doc_id + 10000 AS doc_id, fp FROM docs WHERE doc_id % 50 = 0
+          UNION ALL
+          SELECT doc_id + 20000, sha256(fp || 'salt') FROM docs WHERE doc_id % 50 = 7
+        ), bits AS (
+          SELECT DISTINCT j, ('0x' || substr(fp, j*3+1, 3))::BIGINT AS p
+          FROM docs CROSS JOIN (SELECT unnest([0,1,2,3]) AS j)
+        ), hits AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
+          FROM (
+            SELECT n.doc_id, x.j,
+                   ('0x' || substr(n.fp, x.j*3+1, 3))::BIGINT AS p
+            FROM newb n CROSS JOIN (SELECT unnest([0,1,2,3]) AS j) x
+          ) np
+          WHERE EXISTS (SELECT 1 FROM bits b WHERE b.j = np.j AND b.p = np.p)
+          GROUP BY doc_id
+        ), exact AS (
+          SELECT DISTINCT n.doc_id FROM newb n JOIN docs h ON h.fp = n.fp
+        )
+        SELECT n.doc_id,
+               CAST(CASE WHEN coalesce(hits.n_hits, 0) = 4 THEN 1 ELSE 0 END AS BIGINT) AS bloom_maybe,
+               CAST(CASE WHEN exact.doc_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS exact_dup,
+               CAST(CASE WHEN coalesce(hits.n_hits, 0) = 4 AND exact.doc_id IS NULL
+                    THEN 1 ELSE 0 END AS BIGINT) AS false_positive
+        FROM newb n
+        LEFT JOIN hits ON hits.doc_id = n.doc_id
+        LEFT JOIN exact ON exact.doc_id = n.doc_id
+        ORDER BY n.doc_id""")),
+
     // Index-quality evaluation for the text near-dup path: recall of the
     // banded MinHash-LSH candidate set against the exact shingle-Jaccard
     // ground truth at the same 0.2 threshold. The truth side inherits

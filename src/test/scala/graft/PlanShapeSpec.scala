@@ -223,6 +223,20 @@ class PlanShapeSpec extends SparkSpec {
       "ev_ab_test plans a CartesianProduct")
   }
 
+  test("sketch queries: bounded state broadcasts, corpus never pair-joins") {
+    // td_cms_counts' counter table and td_bloom_prefilter's bit table are
+    // constant-size — they must reach the probe/new-batch side as
+    // broadcasts; a shuffle of the corpus against them (or any pair join)
+    // is a scale bug.
+    Seq("td_cms_counts", "td_bloom_prefilter").foreach { name =>
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"),
+        s"$name must broadcast its bounded sketch state:\n${plan.take(2000)}")
+      assert(!plan.contains("CartesianProduct"), s"$name plans a CartesianProduct")
+    }
+  }
+
   test("vc_kmv_distinct plans a partial aggregation, not a per-group sort window") {
     val df = SparkEntry.queries("vc_kmv_distinct")(spark, sfDir)
     val plan = df.queryExecution.executedPlan.toString
