@@ -1401,6 +1401,90 @@ object VersionControlQueries {
                CAST(1 AS BIGINT) AS abort_gone
         FROM e CROSS JOIN agg ORDER BY part_number""")),
 
+    // S3-gateway GetObject/HeadObject geometry (getobject.go:96-130,
+    // httputil/range.go): entries sized by the fixture's qty, probed with
+    // a deterministic Range spec per key class — full read, open range,
+    // suffix range, bounded range — returning exactly the reference's
+    // response shape: 200 full extent, 206 clamped slice, 416 when the
+    // start sits past the object, bad specs served as full content. The
+    // oracle recomputes the RFC 7233 arithmetic in SQL over the same
+    // sizes, so every clamp and error branch is hash-checked.
+    "vc_s3_object_ops" -> (((s: SparkSession, d: String) => {
+      val dir = s"target/vc_s3obj_repo_${math.abs(d.hashCode)}"
+      val hfs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(dir), s.sparkContext.hadoopConfiguration)
+      hfs.delete(new org.apache.hadoop.fs.Path(dir), true)
+      val eng = new graft.store.Engine(s, dir, raggedness = 5000)
+      // size = qty normally, forced to 1 on alternating probe blocks so
+      // the unsatisfiable (416) branch is exercised, not just clamping
+      val sizeExpr = when(expr("(k DIV 5000) % 8") >= 4, lit(1L))
+        .otherwise(col("qty"))
+      val base = Fixtures.keyedBase(s, d)
+        .select(col("key"), col("identity"), col("k"),
+          concat(lit("addr-"), col("key")).as("address"),
+          sizeExpr.as("size_bytes"))
+      eng.init("main", Some(base.drop("k")))
+      val gw = new graft.store.Gateway(eng)
+      val probes = base.where(col("k") % 5000 === 3)
+        .select("key", "k").collect()
+        .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+      val rows = probes.map { case (key, k) =>
+        val spec = ((k / 5000) % 4) match {
+          case 0 => None
+          case 1 => Some("bytes=2-")
+          case 2 => Some("bytes=-3")
+          case _ => Some("bytes=1-2")
+        }
+        try {
+          val r = gw.getObject("main", key, spec)
+          (key, r.status.toLong, r.etag, r.contentLength, r.start, r.end)
+        } catch {
+          case e: RuntimeException if e.getMessage.startsWith("InvalidRange") =>
+            (key, 416L, "", -1L, -1L, -1L)
+        }
+      }
+      import s.implicits._
+      rows.toSeq
+        .toDF("key", "status", "etag", "content_length", "start_off", "end_off")
+        .orderBy("key")
+    }),
+      Some(s"""$prelude,
+        probes AS (
+          SELECT key, k, identity,
+                 CASE WHEN (k // 5000) % 8 >= 4 THEN 1 ELSE qty END AS size,
+                 (k // 5000) % 4 AS cls
+          FROM base WHERE k % 5000 = 3
+        ),
+        geo AS (
+          SELECT key, identity, size, cls,
+                 CASE cls
+                   WHEN 0 THEN 200
+                   WHEN 1 THEN CASE WHEN 2 > size - 1 THEN 416 ELSE 206 END
+                   WHEN 2 THEN 206
+                   ELSE CASE WHEN 1 > size - 1 THEN 416 ELSE 206 END
+                 END AS status,
+                 CASE cls
+                   WHEN 0 THEN 0
+                   WHEN 1 THEN 2
+                   WHEN 2 THEN greatest(size - 3, 0)
+                   ELSE 1
+                 END AS s_off,
+                 CASE cls
+                   WHEN 0 THEN size - 1
+                   WHEN 1 THEN size - 1
+                   WHEN 2 THEN size - 1
+                   ELSE least(2, size - 1)
+                 END AS e_off
+          FROM probes
+        )
+        SELECT key, CAST(status AS BIGINT) AS status,
+               CASE WHEN status = 416 THEN '' ELSE identity END AS etag,
+               CAST(CASE WHEN status = 416 THEN -1
+                         ELSE e_off - s_off + 1 END AS BIGINT) AS content_length,
+               CAST(CASE WHEN status = 416 THEN -1 ELSE s_off END AS BIGINT) AS start_off,
+               CAST(CASE WHEN status = 416 THEN -1 ELSE e_off END AS BIGINT) AS end_off
+        FROM geo ORDER BY key""")),
+
     // S3-gateway DeleteObjects (deleteobjects.go:31-196): per-key outcomes
     // across the whole error matrix — existing keys delete, missing keys
     // succeed (S3 idempotent delete), empty path is a success no-op

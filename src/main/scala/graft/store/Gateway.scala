@@ -19,6 +19,54 @@ import org.apache.spark.sql.functions._
  * (`Engine.linkPhysicalAddress`), so completing a multipart upload is a
  * metadata operation — no data moves through the driver.
  */
+/** RFC 2616 single-range parsing, a faithful twin of the reference's
+  * `pkg/httputil/range.go` (its own test table is mirrored in
+  * GatewaySpec): suffix (`bytes=-N`), open (`bytes=N-`), and bounded
+  * (`bytes=A-B`) forms; multiple ranges rejected like S3; end clamped to
+  * length-1; start past the end (or a zero suffix) is UNSATISFIABLE (416),
+  * any other malformation is BAD (served as full content by GetObject). */
+object HttpRange {
+  sealed trait RangeError
+  case object BadRange extends RangeError
+  case object UnsatisfiableRange extends RangeError
+
+  /** Returns Right((startOffset, endOffset)) inclusive, or the error kind. */
+  def parse(spec: String, length: Long): Either[RangeError, (Long, Long)] = {
+    if (!spec.startsWith("bytes=")) return Left(BadRange)
+    val body = spec.stripPrefix("bytes=")
+    if (body.contains(",")) return Left(BadRange) // S3: no multi-range GETs
+    val parts = body.split("-", 2)
+    if (parts.length != 2) return Left(BadRange)
+    val from = parts(0).trim
+    val to = parts(1).trim
+    def num(s: String): Option[Long] =
+      try { val v = s.toLong; if (v < 0) None else Some(v) }
+      catch { case _: NumberFormatException => None }
+    (from.isEmpty, to.isEmpty) match {
+      case (true, true) => Left(BadRange)
+      case (true, false) => // suffix: bytes=-N
+        num(to) match {
+          case None => Left(BadRange)
+          case Some(0) => Left(UnsatisfiableRange)
+          case Some(n) => Right((math.max(0L, length - n), length - 1))
+        }
+      case (false, true) => // open: bytes=N-
+        num(from) match {
+          case None => Left(BadRange)
+          case Some(s) if s > length - 1 => Left(UnsatisfiableRange)
+          case Some(s) => Right((s, length - 1))
+        }
+      case (false, false) =>
+        (num(from), num(to)) match {
+          case (Some(s), Some(e)) if s <= e =>
+            if (s > length - 1) Left(UnsatisfiableRange)
+            else Right((s, math.min(e, length - 1)))
+          case _ => Left(BadRange)
+        }
+    }
+  }
+}
+
 class Gateway(val engine: Engine) {
 
   private val spark = engine.spark
@@ -190,5 +238,94 @@ class Gateway(val engine: Engine) {
     import spark.implicits._
     rows.map(r => (r.key, r.status, r.code.orNull))
       .toDF("key", "status", "code")
+  }
+
+  // --- single-object operations (getobject.go / headobject.go /
+  //     deleteobject.go / putobject.go) ------------------------------------
+
+  /** Object metadata as the gateway reports it: ETag = the entry identity
+    * (the reference serves `entry.Checksum`), size from the `size_bytes`
+    * payload column when the repo schema carries one (gateway-staged
+    * entries always do), 0 otherwise. */
+  final case class ObjectStat(path: String, etag: String, sizeBytes: Long,
+      address: String)
+
+  private def statOf(ref: String, path: String): Option[ObjectStat] =
+    engine.get(ref, path).map { row =>
+      def strCol(c: String): String = {
+        val i = row.schema.fieldNames.indexOf(c)
+        if (i < 0 || row.isNullAt(i)) "" else row.get(i).toString
+      }
+      def longCol(c: String): Long = {
+        val i = row.schema.fieldNames.indexOf(c)
+        if (i < 0 || row.isNullAt(i)) 0L
+        else row.get(i) match {
+          case n: Number => n.longValue()
+          case other     => other.toString.toLong
+        }
+      }
+      ObjectStat(path, strCol("identity"), longCol("size_bytes"),
+        strCol("address"))
+    }
+
+  /** HeadObject (headobject.go): metadata through the full ref grammar;
+    * a missing key is the S3 NoSuchKey error. */
+  def headObject(ref: String, path: String): ObjectStat =
+    statOf(ref, path).getOrElse(sys.error(s"NoSuchKey: $path"))
+
+  /** GetObject response geometry (no bytes move through the driver — the
+    * caller reads [start, end] of the physical address): 200 with the full
+    * extent, or 206 with the requested slice. */
+  final case class GetObjectResult(status: Int, etag: String,
+      contentLength: Long, start: Long, end: Long, address: String)
+
+  /** GetObject (getobject.go:96-130): resolves the entry, then applies the
+    * Range header exactly like the reference — a BAD range spec is ignored
+    * (full content, 200), an UNSATISFIABLE one errors (416/InvalidRange),
+    * a valid one yields 206 with the clamped [start, end]. */
+  def getObject(ref: String, path: String,
+      rangeSpec: Option[String] = None): GetObjectResult = {
+    val st = headObject(ref, path)
+    rangeSpec.map(HttpRange.parse(_, st.sizeBytes)) match {
+      case Some(Right((s, e))) =>
+        GetObjectResult(206, st.etag, e - s + 1, s, e, st.address)
+      case Some(Left(HttpRange.UnsatisfiableRange)) =>
+        sys.error(s"InvalidRange: $path")
+      case _ => // no header, or a bad spec served as full content
+        GetObjectResult(200, st.etag, st.sizeBytes, 0,
+          math.max(0L, st.sizeBytes - 1), st.address)
+    }
+  }
+
+  /** DeleteObject (deleteobject.go): single-key delete — idempotent like
+    * S3 (a missing key still succeeds), honoring the read-only latch. */
+  def deleteObject(branch: String, path: String): Unit = {
+    requireWritable("deleteObject")
+    engine.delete(branch, path)
+  }
+
+  /** PutObject, direct form (putobject.go:88-136): stage the logical entry
+    * for bytes already written to the physical address — identical shape to
+    * completeMultipartUpload's final stage. Returns the ETag. */
+  def putObject(branch: String, path: String, sizeBytes: Long,
+      checksum: String, address: String = ""): String = {
+    requireWritable("putObject")
+    val addr = if (address.nonEmpty) address
+      else s"data/gw-${java.util.UUID.randomUUID()}"
+    import spark.implicits._
+    engine.stage(branch, Seq((path, checksum, addr, sizeBytes))
+      .toDF("key", "identity", "address", "size_bytes"))
+    checksum
+  }
+
+  /** PutObject with `x-amz-copy-source` (putobject.go:41-86 → CopyObject):
+    * same-physical-address copy through the catalog's CopyEntry — the ETag
+    * (identity) carries over unchanged. Source resolves through any ref;
+    * destination must be a branch. */
+  def putObjectCopy(destBranch: String, destPath: String,
+      srcRef: String, srcPath: String): String = {
+    requireWritable("putObjectCopy")
+    engine.copyEntry(srcRef, srcPath, destBranch, destPath)
+    headObject(destBranch + "$", destPath).etag
   }
 }

@@ -105,4 +105,72 @@ class GatewaySpec extends SparkSpec {
     assert(eng.get("main", "k0001").isEmpty && eng.get("main", "k0002").isEmpty)
     assert(eng.get("main", "k0003").isDefined)
   }
+
+  test("range parsing matches the reference's own test table (range.go)") {
+    import graft.store.HttpRange
+    import graft.store.HttpRange.{BadRange, UnsatisfiableRange}
+    // (spec, length, expected) straight from pkg/httputil/range_test.go
+    val cases: Seq[(String, Long, Either[HttpRange.RangeError, (Long, Long)])] = Seq(
+      ("bytes=0-20", 50L, Right((0L, 20L))),
+      ("bytes=0-20", 10L, Right((0L, 9L))),
+      ("bytes=-20", 50L, Right((30L, 49L))),
+      ("bytes=20-", 50L, Right((20L, 49L))),
+      ("bytes=-20", 10L, Right((0L, 9L))),
+      ("bytes=0-20", 20L, Right((0L, 19L))),
+      ("bytes=0-19", 20L, Right((0L, 19L))),
+      ("bytes=1-300", 20L, Right((1L, 19L))),
+      ("bytes=19-", 20L, Right((19L, 19L))),
+      ("bytes=-0-19", 20L, Left(BadRange)),
+      ("0-19", 20L, Left(BadRange)),
+      ("bytes=-", 20L, Left(BadRange)),
+      ("bytes=0-foo", 20L, Left(BadRange)),
+      ("bytes=foo-19", 20L, Left(BadRange)),
+      ("bytes=20-", 20L, Left(UnsatisfiableRange)),
+      ("bytes=21-", 20L, Left(UnsatisfiableRange)),
+      ("bytes=-0", 20L, Left(UnsatisfiableRange)))
+    cases.foreach { case (spec, len, want) =>
+      assert(HttpRange.parse(spec, len) === want, s"spec=$spec len=$len")
+    }
+  }
+
+  test("get/head/put/copy/delete object through the gateway") {
+    val eng = freshEngine("gwobj")
+    val gw = new Gateway(eng)
+    // head: committed entry, etag = identity, size from payload
+    val st = gw.headObject("main", "k0005")
+    assert(st.etag === "id5" && st.sizeBytes === 5L && st.address === "a5")
+    intercept[RuntimeException] { gw.headObject("main", "nope") }
+
+    // get: full (200), valid range (206, clamped), bad range served full,
+    // unsatisfiable range errors like the 416 path
+    val full = gw.getObject("main", "k0005")
+    assert(full.status === 200 && full.contentLength === 5L && full.end === 4L)
+    val part = gw.getObject("main", "k0005", Some("bytes=2-100"))
+    assert(part.status === 206 && part.start === 2L && part.end === 4L &&
+      part.contentLength === 3L)
+    val bad = gw.getObject("main", "k0005", Some("bytes=nope"))
+    assert(bad.status === 200 && bad.contentLength === 5L)
+    intercept[RuntimeException] {
+      gw.getObject("main", "k0005", Some("bytes=9-"))
+    }
+
+    // put: staged entry readable through the staging ref, etag returned
+    assert(gw.putObject("main", "obj/new", 77L, "csNew") === "csNew")
+    val put = gw.headObject("main$", "obj/new")
+    assert(put.sizeBytes === 77L && put.etag === "csNew")
+
+    // copy: same identity under the new key (same-physical-address clone)
+    assert(gw.putObjectCopy("main", "obj/copy", "main", "k0007") === "id7")
+    assert(gw.headObject("main$", "obj/copy").address === "a7")
+
+    // delete: idempotent, honors the read-only latch
+    gw.deleteObject("main", "k0005")
+    eng.commit("main", "t", "rm")
+    assert(eng.get("main", "k0005").isEmpty)
+    gw.deleteObject("main", "k0005") // already gone: still succeeds
+    eng.readOnly = true
+    intercept[IllegalArgumentException] { gw.deleteObject("main", "k0006") }
+    intercept[IllegalArgumentException] { gw.putObject("main", "x", 1L, "c") }
+    eng.readOnly = false
+  }
 }
