@@ -1,0 +1,70 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Unicode NFC normalization as a native Catalyst expression (SURVEY.md
+ * §2.8/§2.10 extension surface). A multilingual corpus carries the same
+ * grapheme in composed (U+00E9) and decomposed (U+0065 U+0301) forms;
+ * exact-dedup fingerprints, shingle hashes and equality joins all treat
+ * those as different documents unless keys are normalized first, so the
+ * canonicalization step belongs in the engine next to the fingerprinting
+ * ops it feeds (the same reason the reference canonicalizes user-facing
+ * paths before hashing entry identities, `pkg/graveler/graveler.go` key
+ * discipline — byte-identical keys are the dedup/diff contract).
+ *
+ * Implemented over `java.text.Normalizer` (Unicode-standard NFC, matching
+ * any conformant implementation — DuckDB's `nfc_normalize`, Python
+ * `unicodedata.normalize("NFC", ...)`) with a codegen path so it stays
+ * inside whole-stage codegen; the common all-ASCII row short-circuits via
+ * `Normalizer.isNormalized`, which fast-paths Latin-1, so the scan cost at
+ * corpus scale is a branch per row, not a copy.
+ */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"nfc_normalize requires string input, got ${other.simpleString(10)}")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(
+      NfcNormalize.nfc(input.asInstanceOf[UTF8String].toString))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = UTF8String.fromString(" +
+        s"graft.functions.NfcNormalize.nfc($c.toString()));")
+
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
+    copy(child = newChild)
+  override def prettyName: String = "nfc_normalize"
+}
+
+object NfcNormalize {
+
+  /** NFC with an isNormalized fast path (no allocation for the common
+    * already-composed/ASCII row). */
+  def nfc(s: String): String =
+    if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)) s
+    else java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)
+
+  /** Register as SQL function `nfc_normalize` on a session. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry.createOrReplaceTempFunction(
+        "nfc_normalize", exprs => NfcNormalize(exprs.head), "built-in")
+
+  /** Column API: nfcNormalize(col) — requires [[register]] first. */
+  def nfcNormalize(c: Column): Column =
+    org.apache.spark.sql.functions.call_function("nfc_normalize", c)
+}

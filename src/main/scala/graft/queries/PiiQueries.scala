@@ -1,0 +1,185 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.fixtures.Fixtures
+import graft.functions.NfcNormalize
+
+/**
+ * PII governance over the `documents` table: detection (regex battery),
+ * redaction with consistent pseudonymization, a per-source compliance
+ * report, and Unicode canonicalization ([[graft.functions.NfcNormalize]]) —
+ * the pre-training scrub a corpus pipeline runs before any text ships to a
+ * tokenizer, and the engine-side twin of the reference's governance posture
+ * (audit-visible data removal; cf. GC's address-scrub discipline,
+ * `pkg/graveler/retention`).
+ *
+ * The synthetic corpus carries no organic PII, so each query FIRST
+ * constructs a deterministic PII-bearing column from fixture fields (same
+ * arithmetic on both engines — the construction is part of the oracle), then
+ * runs the detector/redactor over it. The regex battery is restricted to
+ * syntax shared verbatim by Java regex and RE2 (character classes, bounded
+ * repetition — no lookaround, no backreferences) so Spark and DuckDB agree
+ * byte-for-byte.
+ *
+ * Scale: every query is a single projection-only scan (narrow, no shuffle
+ * except the report's groupBy on `source`) — embarrassingly parallel at
+ * 100 TB, and the regexes compile once per task, not per row.
+ */
+object PiiQueries {
+
+  type QueryFn = (SparkSession, String) => DataFrame
+
+  // Shared regex battery (Java regex and RE2 agree on these exactly).
+  private val emailRe = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+  private val phoneRe = """555-[0-9]{3}-[0-9]{4}"""
+  private val ipRe = """[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"""
+
+  /** Deterministic PII-bearing text: every doc gains an email derived from
+    * (source, doc_id); docs with doc_id%3=0 a phone; doc_id%4=1 an IPv4. */
+  private def piiText: Column = concat(
+    col("text"), lit(" contact "), col("source"), lit("_user"),
+    col("doc_id").cast("string"), lit("@example.com"),
+    when(col("doc_id") % 3 === 0, concat(
+      lit(" call 555-"), lpad((col("doc_id") % 1000).cast("string"), 3, "0"),
+      lit("-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+      .otherwise(lit("")),
+    when(col("doc_id") % 4 === 1, concat(
+      lit(" host 10."), (col("doc_id") % 256).cast("string"), lit(".0."),
+      (col("doc_id") % 100).cast("string")))
+      .otherwise(lit("")))
+
+  /** The identical construction in DuckDB SQL (the oracle re-derives the
+    * PII column rather than trusting the engine's). */
+  private val piiTextSql =
+    """text || ' contact ' || source || '_user' || CAST(doc_id AS VARCHAR)
+      || '@example.com'
+      || CASE WHEN doc_id % 3 = 0 THEN ' call 555-'
+           || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+           || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+      || CASE WHEN doc_id % 4 = 1 THEN ' host 10.'
+           || CAST(doc_id % 256 AS VARCHAR) || '.0.'
+           || CAST(doc_id % 100 AS VARCHAR) ELSE '' END"""
+
+  private def countMatches(c: Column, re: String): Column =
+    size(regexp_extract_all(c, lit(re), lit(0))).cast("bigint")
+
+  val defs: Map[String, (QueryFn, Option[String])] = Map(
+
+    // Detection: per-document counts per PII class. One narrow scan; the
+    // three regexes run over the same materialized column.
+    "td_pii_scan" -> (((s: SparkSession, d: String) => {
+      Fixtures.documents(s, d)
+        .withColumn("t", piiText)
+        .select(col("doc_id"),
+          countMatches(col("t"), emailRe).as("n_email"),
+          countMatches(col("t"), phoneRe).as("n_phone"),
+          countMatches(col("t"), ipRe).as("n_ip"))
+        .withColumn("n_pii", col("n_email") + col("n_phone") + col("n_ip"))
+    }), Some(s"""
+      WITH pii AS (SELECT doc_id, $piiTextSql AS t FROM documents)
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(t, '$emailRe')) AS BIGINT) AS n_email,
+             CAST(len(regexp_extract_all(t, '$phoneRe')) AS BIGINT) AS n_phone,
+             CAST(len(regexp_extract_all(t, '$ipRe')) AS BIGINT) AS n_ip,
+             CAST(len(regexp_extract_all(t, '$emailRe'))
+                + len(regexp_extract_all(t, '$phoneRe'))
+                + len(regexp_extract_all(t, '$ipRe')) AS BIGINT) AS n_pii
+      FROM pii""")),
+
+    // Redaction + consistent pseudonymization: every PII span is replaced
+    // by its class tag; the email additionally maps to a STABLE pseudonym
+    // (hash prefix of the matched span) so cross-document joinability
+    // survives the scrub — the anonymize-don't-destroy discipline.
+    // Redaction order matters and is pinned: email → phone → ip.
+    "td_pii_redact" -> (((s: SparkSession, d: String) => {
+      Fixtures.documents(s, d)
+        .withColumn("t", piiText)
+        .withColumn("email_pseudo",
+          substring(sha2(regexp_extract(col("t"), emailRe, 0), 256), 1, 16))
+        .withColumn("red",
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(col("t"), emailRe, "<EMAIL>"),
+              phoneRe, "<PHONE>"),
+            ipRe, "<IP>"))
+        .select(col("doc_id"), col("email_pseudo"),
+          sha2(col("red"), 256).as("redacted_hash"),
+          length(col("red")).cast("bigint").as("redacted_len"))
+    }), Some(s"""
+      WITH pii AS (SELECT doc_id, $piiTextSql AS t FROM documents),
+      red AS (
+        SELECT doc_id, t,
+               regexp_replace(regexp_replace(regexp_replace(t,
+                 '$emailRe', '<EMAIL>', 'g'),
+                 '$phoneRe', '<PHONE>', 'g'),
+                 '$ipRe', '<IP>', 'g') AS r
+        FROM pii)
+      SELECT doc_id,
+             substr(sha256(regexp_extract(t, '$emailRe', 0)), 1, 16) AS email_pseudo,
+             sha256(r) AS redacted_hash,
+             CAST(length(r) AS BIGINT) AS redacted_len
+      FROM red""")),
+
+    // Compliance report: per-source PII density — the partition-level
+    // rollup a governance dashboard reads (which shards need re-scrubbing).
+    "td_pii_report" -> (((s: SparkSession, d: String) => {
+      Fixtures.documents(s, d)
+        .withColumn("t", piiText)
+        .select(col("source"),
+          countMatches(col("t"), emailRe).as("e"),
+          countMatches(col("t"), phoneRe).as("p"),
+          countMatches(col("t"), ipRe).as("i"))
+        .groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("e")).as("n_emails"),
+          sum(when(col("p") > 0, 1L).otherwise(0L)).as("n_phone_docs"),
+          sum(when(col("i") > 0, 1L).otherwise(0L)).as("n_ip_docs"),
+          sum(col("e") + col("p") + col("i")).as("total_pii"))
+    }), Some(s"""
+      WITH pii AS (SELECT source, $piiTextSql AS t FROM documents),
+      c AS (
+        SELECT source,
+               len(regexp_extract_all(t, '$emailRe')) AS e,
+               len(regexp_extract_all(t, '$phoneRe')) AS p,
+               len(regexp_extract_all(t, '$ipRe')) AS i
+        FROM pii)
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(e) AS BIGINT) AS n_emails,
+             CAST(sum(CASE WHEN p > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_phone_docs,
+             CAST(sum(CASE WHEN i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ip_docs,
+             CAST(sum(e + p + i) AS BIGINT) AS total_pii
+      FROM c GROUP BY source""")),
+
+    // Unicode canonicalization through the codegen'd NfcNormalize
+    // expression: even docs carry the composed form (U+00E9), odd docs the
+    // decomposed one (U+0065 U+0301); NFC collapses both to identical
+    // bytes, so the normalized hashes pair up across the parity split while
+    // the raw lengths differ — exactly the property exact-dedup needs.
+    "td_nfc_norm" -> (((s: SparkSession, d: String) => {
+      NfcNormalize.register(s)
+      val raw = concat(
+        substring(col("text"), 1, 16), lit(" caf"),
+        when(col("doc_id") % 2 === 0, lit("\u00e9")) // composed
+          .otherwise(lit("e\u0301")))           // e + combining acute
+      Fixtures.documents(s, d)
+        .withColumn("raw", raw)
+        .withColumn("norm", NfcNormalize.nfcNormalize(col("raw")))
+        .select(col("doc_id"),
+          length(col("raw")).cast("bigint").as("len_raw"),
+          length(col("norm")).cast("bigint").as("len_norm"),
+          sha2(col("norm"), 256).as("norm_hash"))
+    }), Some("""
+      WITH r AS (
+        SELECT doc_id,
+               substr(text, 1, 16) || ' caf' ||
+               CASE WHEN doc_id % 2 = 0 THEN chr(233)
+                    ELSE 'e' || chr(769) END AS raw
+        FROM documents)
+      SELECT doc_id,
+             CAST(length(raw) AS BIGINT) AS len_raw,
+             CAST(length(nfc_normalize(raw)) AS BIGINT) AS len_norm,
+             sha256(nfc_normalize(raw)) AS norm_hash
+      FROM r"""))
+  )
+}
