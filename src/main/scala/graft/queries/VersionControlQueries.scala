@@ -163,6 +163,31 @@ object VersionControlQueries {
       Diff.twoWay(Fixtures.keyedBase(s, d), Fixtures.keyedRight(s, d)).orderBy("key")),
       Some(s"$prelude ${diffSql("base", "rightv")} ORDER BY key")),
 
+    // Prefix-scoped paged diff through the ENGINE — the API's
+    // DiffRefs(prefix, after, amount) page (`pkg/diff/diff.go:19-52`).
+    // Builds a real two-commit repo so the manifest is interval-pruned to
+    // the prefix window before the shared-content skip; returns limit+1
+    // key-ordered rows (has_more convention).
+    "vc_diff_prefix" -> (((s: SparkSession, d: String) => {
+      val dir = s"target/vc_diffpfx_repo_${math.abs(d.hashCode)}"
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(dir), s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+      val eng = new graft.store.Engine(s, dir, raggedness = 5000)
+      eng.init("main", Some(Fixtures.keyedBase(s, d)))
+      eng.stage("main", Fixtures.keyedRightChanges(s, d))
+      eng.commit("main", "driver", "C2")
+      eng.diffPrefix("main~1", "main",
+        prefix = "00000000", after = "000000000100", limit = 150)
+        .orderBy("key")
+    }),
+      Some(s"""$prelude, dd AS (${diffSql("base", "rightv")})
+        SELECT * FROM (
+          SELECT key, diff_type, left_identity, identity FROM dd
+          WHERE starts_with(key, '00000000') AND key > '000000000100'
+          ORDER BY key LIMIT 151
+        ) ORDER BY key""")),
+
     // Export-action plan (the Spark client Exporter's incremental
     // classification, Exporter.scala:99-137): copy for added/changed keys,
     // delete for removed — the same full-outer identity comparison as the

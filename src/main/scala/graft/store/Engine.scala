@@ -670,6 +670,34 @@ class Engine(val spark: SparkSession, val repoDir: String,
     }
   }
 
+  /** Prefix-scoped paged diff — the API's `DiffRefs(prefix, after, amount)`
+    * surface the CLI streams pages through (`pkg/diff/diff.go:19-52`,
+    * `pkg/catalog/catalog.go:1902-1925` with `DiffParams.Limit/Prefix`).
+    * Committed-to-committed refs prune the manifest to ranges intersecting
+    * the prefix window BEFORE the shared-content skip, so a subtree diff
+    * scans O(differing ranges in the window), not the repo; a staging right
+    * side delegates to [[diff]] (the staged overlay is bounded by staged
+    * data) and filters. Returns `limit`+1 key-ordered rows — the caller
+    * inspects the extra row for has_more, like every paged listing here. */
+  def diffPrefix(leftRef: String, rightRef: String, prefix: String = "",
+      after: String = "", limit: Int = Int.MaxValue): DataFrame = {
+    val left = refs.resolveFull(leftRef).getOrElse(sys.error(s"unresolvable ref: $leftRef"))
+    require(!left.staging, s"left ref $leftRef names a staging area, not a commit")
+    val right = refs.resolveFull(rightRef).getOrElse(sys.error(s"unresolvable ref: $rightRef"))
+    val dd =
+      if (right.staging) diff(leftRef, rightRef)
+      else {
+        val lo = Seq(Some(prefix).filter(_.nonEmpty), Some(after).filter(_.nonEmpty))
+          .flatten.maxOption
+        val hi = graft.operators.Listing.upperBound(prefix)
+        val (l, r) = snapshots.prunedForDiffInterval(
+          left.commit.metaRangeId, right.commit.metaRangeId, lo, hi)
+        graft.operators.Diff.twoWay(l, r)
+      }
+    graft.operators.Listing.page(
+      graft.operators.Listing.prefixFilter(dd, prefix), after, limit)
+  }
+
   /** Uncommitted diff of a branch (J6). */
   def diffUncommitted(branch: String): DataFrame = {
     val head = resolveCommit(branch)

@@ -379,6 +379,31 @@ class SnapshotStore(val spark: SparkSession, val repoDir: String,
     graft.operators.Diff.twoWay(l, r)
   }
 
+  /** [[prunedForDiff]] further restricted to manifest ranges intersecting
+    * [lo, hi) — the prefix-scoped diff of the reference's `DiffRefs`
+    * (prefix + after pagination, `pkg/diff/diff.go:19-52`): a diff of one
+    * subtree must not scan ranges outside its key window, on top of the
+    * shared-content skip. Conservative (whole intersecting ranges);
+    * callers re-apply the exact predicate. */
+  def prunedForDiffInterval(leftMeta: String, rightMeta: String,
+      lo: Option[String], hi: Option[String]): (DataFrame, DataFrame) = {
+    def win(all: Seq[RangeInfo]) = all.filter { ri =>
+      lo.forall(l => ri.maxKey >= l) && hi.forall(h => ri.minKey < h)
+    }
+    val l = readManifest(leftMeta)
+    val r = readManifest(rightMeta)
+    val lw = win(l)
+    val rw = win(r)
+    val shared = lw.map(_.rangeId).toSet.intersect(rw.map(_.rangeId).toSet)
+    def side(windowed: Seq[RangeInfo], all: Seq[RangeInfo]) = {
+      val keep = windowed.filterNot(i => shared.contains(i.rangeId))
+      if (keep.nonEmpty) readRanges(keep)
+      else if (all.nonEmpty) readRanges(Seq(all.head)).limit(0)
+      else readRanges(keep)
+    }
+    (side(lw, l), side(rw, r))
+  }
+
   /**
    * Range-pruned three-way merge (J3 at store level): both deltas come from
    * pruned scans, the winning change set applies through [[commitChanges]] —

@@ -194,6 +194,52 @@ class StoreSpec extends SparkSpec {
     assert(pruned === Set(("k000100", "removed"), ("k000200", "changed"), ("zzz-new", "added")))
   }
 
+  test("prefix-scoped diff: interval pruning shrinks the scan, result exact") {
+    import spark.implicits._
+    val dir = tmpDir("pfxdiff")
+    val store = new SnapshotStore(spark, dir, raggedness = 50)
+    val (m1, _) = store.writeSnapshot(rows(500))
+    val changes = Seq(
+      ("k000100", null.asInstanceOf[String]), // removed, inside window
+      ("k000200", "CHANGED"),                 // changed, inside window
+      ("k000400", "CHANGED4"),                // changed, outside window
+      ("zzz-new", "ADDED")).toDF("key", "identity")
+    val (m2, _) = store.commitChanges(m1, changes)
+    // window [k0001, k0003): must see exactly the two in-window diffs
+    val (l, r) = store.prunedForDiffInterval(m1, m2, Some("k0001"), Some("k0003"))
+    val dd = operators.Diff.twoWay(l, r)
+      .where(col("key") >= "k0001" && col("key") < "k0003")
+      .select("key", "diff_type").collect()
+      .map(x => (x.getString(0), x.getString(1))).toSet
+    assert(dd === Set(("k000100", "removed"), ("k000200", "changed")))
+    // the windowed prune reads strictly fewer ranges than the full prune
+    def nRanges(df: org.apache.spark.sql.DataFrame) =
+      df.inputFiles.length
+    val (fl, fr) = store.prunedForDiff(m1, m2)
+    assert(nRanges(l) < nRanges(fl) || nRanges(r) < nRanges(fr),
+      "interval pruning should drop out-of-window differing ranges")
+  }
+
+  test("engine diffPrefix pages with has_more and matches filtered diff") {
+    import spark.implicits._
+    val dir = tmpDir("pfxeng")
+    val eng = new Engine(spark, dir, raggedness = 50)
+    eng.init("main", Some(rows(300)))
+    eng.stage("main", Seq(
+      ("k000050", "C50"), ("k000150", "C150"), ("k000250", "C250"))
+      .toDF("key", "identity"))
+    eng.commit("main", "t", "edit")
+    // full prefix page: limit+1 rows, key order, after-exclusive
+    val page = eng.diffPrefix("main~1", "main", prefix = "k", after = "k000050",
+      limit = 1).collect()
+    assert(page.map(_.getString(0)).toSeq === Seq("k000150", "k000250"))
+    // equivalently the unpaged diff filtered by the same window
+    val full = eng.diff("main~1", "main")
+      .where(col("key") > "k000050").orderBy("key").limit(2)
+      .collect().map(_.getString(0)).toSeq
+    assert(full === Seq("k000150", "k000250"))
+  }
+
   test("engine end-to-end: init, stage, commit, diff, branch, merge, log") {
     import spark.implicits._
     val dir = tmpDir("engine")
