@@ -41,7 +41,10 @@ class PlanShapeSpec extends SparkSpec {
     // symlink manifests: one group-by-dir shuffle, no join at all
     "vc_symlink_export",
     // incremental dedup: new-bands x old-bands equi-join only
-    "td_incremental_dedup")
+    "td_incremental_dedup",
+    // PII battery: projection-only scans (report adds one groupBy); the
+    // NFC normalizer is a codegen'd native expression, never a ScalaUDF
+    "td_pii_scan", "td_pii_redact", "td_pii_report", "td_nfc_norm")
 
   test("LSH scale paths contain no all-pairs join") {
     scalePaths.foreach { name =>
@@ -247,5 +250,27 @@ class PlanShapeSpec extends SparkSpec {
       s"KMV must aggregate via ObjectHashAggregate, got:\n${plan.take(2000)}")
     assert(plan.contains("partial_kminvaluesaggregator"),
       s"KMV aggregation must include a map-side partial pass, got:\n${plan.take(2000)}")
+  }
+
+  test("PII scan/redact are single-scan, shuffle-free; NFC stays in codegen") {
+    Seq("td_pii_scan", "td_pii_redact", "td_nfc_norm").foreach { name =>
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"$name is a projection-only scan and must not shuffle:\n${plan.take(1500)}")
+    }
+    // the custom expression participates in whole-stage codegen (the `*(n)`
+    // stage markers in toString; the node itself is WholeStageCodegenExec)
+    val norm = SparkEntry.queries("td_nfc_norm")(spark, sfDir)
+    assert(norm.queryExecution.executedPlan.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.WholeStageCodegenExec]),
+      "td_nfc_norm must stay inside whole-stage codegen")
+  }
+
+  test("vc_diff_prefix pages via bounded top-k, never a global sort") {
+    val df = SparkEntry.queries("vc_diff_prefix")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"paged diff must plan TakeOrderedAndProject:\n${plan.take(2000)}")
   }
 }
