@@ -1808,6 +1808,66 @@ object TextQueries {
                CAST(sum(CASE WHEN doc_id*1000000 + line_no = w THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
                CAST(count(*) - sum(CASE WHEN doc_id*1000000 + line_no = w THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
         FROM ln JOIN win USING (line)
-        GROUP BY doc_id ORDER BY doc_id"""))
+        GROUP BY doc_id ORDER BY doc_id""")),
+
+    // Per-source distribution divergence — the domain-shift report a data
+    // mixer reads before weighting sources (cf. DoReMi/DSIR setup): for
+    // each source, the total-variation distance between its unigram
+    // distribution and the corpus's, kept INTEGER-EXACT by cross-
+    // multiplication: tv_scaled = Σ_t |c_st·N − c_t·n_s| = N·n_s·Σ|p−q|,
+    // reported with a permille normalization via floor division (identical
+    // on both engines). Plan: explode → (source,token) counts → token
+    // counts re-aggregated FROM those partials (map-side combinable both
+    // times) → token equi-join → per-source sum; the (n_s, N) totals ride
+    // a broadcast of ≤ #sources rows. At corpus scale every shuffle keys
+    // on tokens or sources — never on rows.
+    "td_source_divergence" -> (((s: SparkSession, d: String) => {
+      val toks = Fixtures.documents(s, d)
+        .select(col("source"), explode(tokens(col("text"))).as("t"))
+        .where(col("t") =!= "")
+      val st = toks.groupBy("source", "t").agg(count(lit(1)).as("c_st"))
+        .persist()
+      val tTot = st.groupBy("t").agg(sum("c_st").as("c_t"))
+      val sTot = st.groupBy("source").agg(sum("c_st").as("n_s"))
+      val nAll = sTot.agg(sum("n_s")).head().getLong(0)
+      val joined = st
+        .join(tTot, "t")
+        .join(broadcast(sTot), "source")
+      // Σ_t |c_st·N − c_t·n_s| over tokens PRESENT in the source, plus the
+      // mass of corpus tokens ABSENT from it: for those c_st=0 so the term
+      // is c_t·n_s — add (N − Σ_present c_t)·n_s in one driver-free pass
+      val present = joined.groupBy("source").agg(
+        first("n_s").as("n_s"),
+        sum(abs(col("c_st") * nAll - col("c_t") * col("n_s"))).as("tv_present"),
+        sum("c_t").as("c_t_present"))
+      present.select(col("source"), col("n_s"),
+        (col("tv_present") + (lit(nAll) - col("c_t_present")) * col("n_s"))
+          .as("tv_scaled"))
+        .withColumn("tv_permille",
+          expr(s"(tv_scaled * 1000) div (2 * n_s * ${nAll}L)"))
+        .orderBy("source")
+    }),
+      Some(s"""$docsSql,
+        tok AS (
+          SELECT source, unnest(toks) AS t
+          FROM (SELECT d.source, x.toks
+                FROM docs x JOIN documents d ON x.doc_id = d.doc_id)
+          ),
+        tok2 AS (SELECT source, t FROM tok WHERE t <> ''),
+        st AS (SELECT source, t, count(*) AS c_st FROM tok2 GROUP BY source, t),
+        tt AS (SELECT t, sum(c_st) AS c_t FROM st GROUP BY t),
+        stot AS (SELECT source, sum(c_st) AS n_s FROM st GROUP BY source),
+        nall AS (SELECT sum(n_s) AS n FROM stot),
+        pres AS (
+          SELECT st.source, any_value(stot.n_s) AS n_s,
+                 sum(abs(st.c_st * nall.n - tt.c_t * stot.n_s)) AS tv_present,
+                 sum(tt.c_t) AS c_t_present
+          FROM st JOIN tt USING (t) JOIN stot USING (source) CROSS JOIN nall
+          GROUP BY st.source)
+        SELECT source, CAST(n_s AS BIGINT) AS n_s,
+               CAST(tv_present + (nall.n - c_t_present) * n_s AS BIGINT) AS tv_scaled,
+               CAST((tv_present + (nall.n - c_t_present) * n_s) * 1000
+                    // (2 * n_s * nall.n) AS BIGINT) AS tv_permille
+        FROM pres CROSS JOIN nall ORDER BY source"""))
   )
 }

@@ -44,7 +44,10 @@ class PlanShapeSpec extends SparkSpec {
     "td_incremental_dedup",
     // PII battery: projection-only scans (report adds one groupBy); the
     // NFC normalizer is a codegen'd native expression, never a ScalaUDF
-    "td_pii_scan", "td_pii_redact", "td_pii_report", "td_nfc_norm")
+    "td_pii_scan", "td_pii_redact", "td_pii_report", "td_nfc_norm",
+    // source divergence: token/source-keyed aggs, token equi-join, tiny
+    // per-source totals broadcast — never a row-keyed shuffle
+    "td_source_divergence")
 
   test("LSH scale paths contain no all-pairs join") {
     scalePaths.foreach { name =>
