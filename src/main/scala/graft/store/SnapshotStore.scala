@@ -708,9 +708,21 @@ class SnapshotStore(val spark: SparkSession, val repoDir: String,
         .sortWithinPartitions("__chunk", "key")
       // the observed stats aggregate sits ABOVE the exchange — result-stage
       // accumulators are exactly-once; a pre-shuffle placement would
-      // double-count on map-stage resubmission (fetch failure, speculation)
-      obs.fold(shuffled)(o => shuffled.observe(o,
-        graft.functions.ChunkStatsAggregator.statsCol.as("stats")))
+      // double-count on map-stage resubmission (fetch failure, speculation).
+      // The hash/length inputs are precomputed in a codegen'd projection
+      // (post-sort, so nothing widens the shuffle) and dropped before the
+      // writer: CollectMetrics evaluates its aggregate children INTERPRETED
+      // per row, so feeding it plain column refs instead of xxhash64 trees
+      // keeps the hashing inside whole-stage codegen.
+      obs.fold(shuffled) { o =>
+        shuffled
+          .withColumn("__h1", xxhash64(col("key"), col("identity")))
+          .withColumn("__h2", xxhash64(col("identity"), col("key"), lit("s2")))
+          .withColumn("__vl", (length(col("key")) +
+            coalesce(length(col("identity")), lit(0L))).cast("long"))
+          .observe(o, graft.functions.ChunkStatsAggregator.statsColPre.as("stats"))
+          .drop("__h1", "__h2", "__vl")
+      }
       .write.mode(SaveMode.Overwrite)
       // commit algorithm v2: output files move into place at TASK commit
       // (parallel, on the executors) instead of a serial driver rename loop
