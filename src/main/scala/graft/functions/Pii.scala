@@ -1,0 +1,34 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Shared PII detection/redaction column builders — ONE definition feeding
+  * the batch battery ([[graft.queries.PiiQueries]]) and the streaming scrub
+  * ([[graft.streaming.StreamPii]]), so the two passes cannot drift. The
+  * regexes stay inside the Java-regex/RE2 common subset (character classes,
+  * bounded repetition — no lookaround, no backreferences) so the DuckDB
+  * oracle matches byte-for-byte. */
+object Pii {
+
+  val emailRe = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+  val phoneRe = """555-[0-9]{3}-[0-9]{4}"""
+  val ipRe = """[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"""
+
+  def countMatches(c: Column, re: String): Column =
+    size(regexp_extract_all(c, lit(re), lit(0))).cast("bigint")
+
+  /** Class-tag redaction, order pinned email → phone → ip (an email's
+    * digits must not be half-eaten by the ip pass). */
+  def redact(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, emailRe, "<EMAIL>"),
+        phoneRe, "<PHONE>"),
+      ipRe, "<IP>")
+
+  /** Stable pseudonym for the first email in `c` (hash prefix): the
+    * anonymize-don't-destroy key that keeps cross-document joins alive. */
+  def emailPseudo(c: Column): Column =
+    substring(sha2(regexp_extract(c, emailRe, 0), 256), 1, 16)
+}

@@ -30,10 +30,12 @@ object PiiQueries {
 
   type QueryFn = (SparkSession, String) => DataFrame
 
-  // Shared regex battery (Java regex and RE2 agree on these exactly).
-  private val emailRe = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
-  private val phoneRe = """555-[0-9]{3}-[0-9]{4}"""
-  private val ipRe = """[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"""
+  // Shared regex battery and column builders live in
+  // [[graft.functions.Pii]], also feeding the streaming scrub
+  // ([[graft.streaming.StreamPii]]) so batch and stream cannot drift.
+  private val emailRe = graft.functions.Pii.emailRe
+  private val phoneRe = graft.functions.Pii.phoneRe
+  private val ipRe = graft.functions.Pii.ipRe
 
   /** Deterministic PII-bearing text: every doc gains an email derived from
     * (source, doc_id); docs with doc_id%3=0 a phone; doc_id%4=1 an IPv4. */
@@ -62,7 +64,7 @@ object PiiQueries {
            || CAST(doc_id % 100 AS VARCHAR) ELSE '' END"""
 
   private def countMatches(c: Column, re: String): Column =
-    size(regexp_extract_all(c, lit(re), lit(0))).cast("bigint")
+    graft.functions.Pii.countMatches(c, re)
 
   val defs: Map[String, (QueryFn, Option[String])] = Map(
 
@@ -95,14 +97,8 @@ object PiiQueries {
     "td_pii_redact" -> (((s: SparkSession, d: String) => {
       Fixtures.documents(s, d)
         .withColumn("t", piiText)
-        .withColumn("email_pseudo",
-          substring(sha2(regexp_extract(col("t"), emailRe, 0), 256), 1, 16))
-        .withColumn("red",
-          regexp_replace(
-            regexp_replace(
-              regexp_replace(col("t"), emailRe, "<EMAIL>"),
-              phoneRe, "<PHONE>"),
-            ipRe, "<IP>"))
+        .withColumn("email_pseudo", graft.functions.Pii.emailPseudo(col("t")))
+        .withColumn("red", graft.functions.Pii.redact(col("t")))
         .select(col("doc_id"), col("email_pseudo"),
           sha2(col("red"), 256).as("redacted_hash"),
           length(col("red")).cast("bigint").as("redacted_len"))

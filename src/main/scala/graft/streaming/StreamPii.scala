@@ -1,0 +1,43 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.Pii
+
+/**
+ * Streaming PII scrub for a document ingest pipeline (SURVEY.md §2.9): the
+ * incremental form of the batch battery in
+ * [[graft.queries.PiiQueries]] — every arriving document is scanned and
+ * redacted in-flight (stateless, shared column builders so batch and
+ * stream cannot disagree), and a per-source running counter feeds the live
+ * compliance dashboard the batch `td_pii_report` snapshots.
+ *
+ * Scale: the scrub is a stateless projection — it rides the ingest stream
+ * with zero state and no shuffle. The totals aggregate keeps one small row
+ * of state per source (bounded by the source catalog, not the corpus) and
+ * shards across executors by source key.
+ */
+object StreamPii {
+
+  /** Input columns: (doc_id long, source string, text string) + any
+    * passthrough. Output adds n_email/n_phone/n_ip counts, the redacted
+    * text, and the stable email pseudonym. */
+  def scrub(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("n_email", Pii.countMatches(col("text"), Pii.emailRe))
+      .withColumn("n_phone", Pii.countMatches(col("text"), Pii.phoneRe))
+      .withColumn("n_ip", Pii.countMatches(col("text"), Pii.ipRe))
+      .withColumn("email_pseudo", Pii.emailPseudo(col("text")))
+      .withColumn("redacted", Pii.redact(col("text")))
+
+  /** Live per-source totals (update/complete mode): documents seen, PII
+    * spans found per class — the streaming view of `td_pii_report`. */
+  def sourceTotals(docs: DataFrame): DataFrame =
+    scrub(docs)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_email").as("n_emails"),
+        sum(when(col("n_phone") > 0, 1L).otherwise(0L)).as("n_phone_docs"),
+        sum(when(col("n_ip") > 0, 1L).otherwise(0L)).as("n_ip_docs"),
+        sum(col("n_email") + col("n_phone") + col("n_ip")).as("total_pii"))
+}

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.streaming.StreamPii
+
+/** Streaming PII scrub: in-flight redaction equals the batch builders, and
+  * the live per-source totals equal the batch report over the same rows. */
+class StreamPiiSpec extends SparkSpec {
+
+  private val docs = Seq(
+    (1L, "srcA", "mail me at bob_1@example.com please"),
+    (2L, "srcA", "call 555-123-4567 or 555-999-0000"),
+    (3L, "srcB", "host 10.0.0.7 and bob_1@example.com"),
+    (4L, "srcB", "nothing sensitive here"))
+
+  test("streaming scrub matches the shared batch builders row-for-row") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, String)]
+    val in = mem.toDF().toDF("doc_id", "source", "text")
+    val q = StreamPii.scrub(in).writeStream
+      .outputMode("append").format("memory").queryName("pii_scrub").start()
+    try {
+      mem.addData(docs)
+      q.processAllAvailable()
+      val got = spark.table("pii_scrub")
+        .select("doc_id", "n_email", "n_phone", "n_ip", "redacted")
+        .collect().map(r => (r.getLong(0),
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+      val batch = StreamPii.scrub(docs.toDF("doc_id", "source", "text"))
+        .select("doc_id", "n_email", "n_phone", "n_ip", "redacted")
+        .collect().map(r => (r.getLong(0),
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+      assert(got === batch)
+      assert(got(1L)._1 === 1L && got(1L)._4.contains("<EMAIL>"))
+      assert(got(2L)._2 === 2L && !got(2L)._4.contains("555-"))
+      assert(got(3L)._3 === 1L && got(3L)._4.contains("<IP>"))
+      assert(got(4L) === ((0L, 0L, 0L, "nothing sensitive here")))
+      // consistent pseudonymization across documents: docs 1 and 3 share
+      // the email, so the stream assigns them the same pseudonym
+      val ps = spark.table("pii_scrub").select("doc_id", "email_pseudo")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(ps(1L) === ps(3L))
+      assert(ps(1L) !== ps(4L)) // no-email doc hashes the empty extract
+    } finally q.stop()
+  }
+
+  test("live per-source totals equal the batch report") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, String)]
+    val in = mem.toDF().toDF("doc_id", "source", "text")
+    val q = StreamPii.sourceTotals(in).writeStream
+      .outputMode("complete").format("memory").queryName("pii_totals").start()
+    try {
+      mem.addData(docs.take(2))
+      q.processAllAvailable()
+      mem.addData(docs.drop(2))
+      q.processAllAvailable()
+      val got = spark.table("pii_totals").collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5))).toMap
+      val batch = StreamPii.sourceTotals(docs.toDF("doc_id", "source", "text"))
+        .collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5))).toMap
+      assert(got === batch)
+      assert(got("srcA") === ((2L, 1L, 1L, 0L, 3L)))
+      assert(got("srcB") === ((2L, 1L, 0L, 1L, 2L)))
+    } finally q.stop()
+  }
+}
