@@ -610,6 +610,42 @@ object EventQueries {
                     THEN 1 ELSE 0 END AS BIGINT) AS significant
         FROM (SELECT * FROM j WHERE variant = 0) a
         JOIN (SELECT * FROM j WHERE variant = 1) b USING (event_type)
-        ORDER BY event_type"""))
+        ORDER BY event_type""")),
+
+    // Hourly OHLC downsampling per event type — the time-series compaction
+    // a metrics pipeline runs before charting/retention (candle per hour).
+    // Open/close pick the value at the min/max of a single composite
+    // ordering key (tsec·10^8 + event_id — strictly monotone, ties
+    // impossible since event_id is unique) via min_by/max_by — ONE
+    // hash-aggregate with map-side partials, no sort, no window. Prices in
+    // integer cents end-to-end.
+    "ev_ohlc" -> (((s: SparkSession, d: String) => {
+      Fixtures.events(s, d)
+        .select(expr("ts div 1000000000").as("tsec"), col("event_type"),
+          col("event_id"),
+          floor(col("value") * 100 + 0.5).cast("long").as("value_c"))
+        .withColumn("hour_start", col("tsec") - (col("tsec") % 3600))
+        .withColumn("okey", col("tsec") * 100000000L + col("event_id"))
+        .groupBy("hour_start", "event_type")
+        .agg(
+          min_by(col("value_c"), col("okey")).as("open_c"),
+          max("value_c").as("high_c"),
+          min("value_c").as("low_c"),
+          max_by(col("value_c"), col("okey")).as("close_c"),
+          count(lit(1)).cast("long").as("n"))
+        .orderBy("hour_start", "event_type")
+    }),
+      Some("""
+        WITH ev AS (
+          SELECT epoch_ns(ts) // 1000000000 AS tsec, event_type, event_id,
+                 CAST(floor(value*100 + 0.5) AS BIGINT) AS value_c
+          FROM events
+        )
+        SELECT tsec - (tsec % 3600) AS hour_start, event_type,
+               arg_min(value_c, tsec * 100000000 + event_id) AS open_c,
+               max(value_c) AS high_c, min(value_c) AS low_c,
+               arg_max(value_c, tsec * 100000000 + event_id) AS close_c,
+               CAST(count(*) AS BIGINT) AS n
+        FROM ev GROUP BY 1, 2 ORDER BY hour_start, event_type"""))
   )
 }
