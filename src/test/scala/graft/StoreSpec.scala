@@ -194,6 +194,27 @@ class StoreSpec extends SparkSpec {
     assert(pruned === Set(("k000100", "removed"), ("k000200", "changed"), ("zzz-new", "added")))
   }
 
+  test("bitset and shuffle touched-range detects commit identical snapshots") {
+    import spark.implicits._
+    val changes = Seq(
+      ("k000100", null.asInstanceOf[String]),
+      ("k000200", "CHANGED"),
+      ("zzz-new", "ADDED")).toDF("key", "identity")
+    // bitset path (few partitions) vs the groupBy fallback, forced by a
+    // change-set partition count above the 256-task driver-state bound
+    val metas = Seq(changes, changes.repartition(300)).map { ch =>
+      val dir = tmpDir("detect")
+      val store = new SnapshotStore(spark, dir, raggedness = 50)
+      val (m1, _) = store.writeSnapshot(rows(500))
+      val (m2, infos) = store.commitChanges(m1, ch)
+      (m2, infos.map(_.rangeId).toSet,
+        store.scan(m2).orderBy("key").collect().map(_.toString).toSeq)
+    }
+    assert(metas(0)._1 === metas(1)._1, "meta-range ids must agree")
+    assert(metas(0)._2 === metas(1)._2, "range sets must agree")
+    assert(metas(0)._3 === metas(1)._3, "snapshot contents must agree")
+  }
+
   test("prefix-scoped diff: interval pruning shrinks the scan, result exact") {
     import spark.implicits._
     val dir = tmpDir("pfxdiff")
