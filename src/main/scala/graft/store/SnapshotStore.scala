@@ -681,18 +681,20 @@ class SnapshotStore(val spark: SparkSession, val repoDir: String,
     // write parallelism is the chunk count; a key-hash salt restores it
     // (multiple sorted files per range dir — readers take dirs). At scale
     // chunks >> cores, the salt degenerates to 1 and ranges stay one file.
-    // SPARK_GRAFT_SALT overrides for bench diagnosis only — measured at
-    // sf0.1/local[32]: salt 1 (fewer, larger files) loses ~35% write wall,
-    // salt 4 loses ~15%; the 2x-cores formula is the sweet spot. The
-    // override is clamped to the formula's [1,16] bound (salt 0 would make
-    // pmod's divisor 0 → NULL salt keys) and fails fast on a non-integer.
+    // SPARK_GRAFT_SALT overrides for bench diagnosis only — re-measured at
+    // sf0.1/local[32] (median-of-3 within-run ratios): salt 1 (13 tasks,
+    // large files) 2.31x bare, salt 2 ~2.0x, salt 4 (≈ one wave of
+    // parts*3-4 small tasks) 1.87x, salt 8 2.57x — so the formula targets
+    // parts*4 total write tasks. The override is clamped to the formula's
+    // [1,16] bound (salt 0 would make pmod's divisor 0 → NULL salt keys)
+    // and fails fast on a non-integer.
     val salt = sys.env.get("SPARK_GRAFT_SALT") match {
       case Some(v) =>
         val n = scala.util.Try(v.trim.toInt).getOrElse(
           sys.error(s"SPARK_GRAFT_SALT must be an integer, got '$v'"))
         math.min(16, math.max(1, n))
       case None =>
-        math.min(16, math.max(1, parts * 2 / math.max(1, approxChunks)))
+        math.min(16, math.max(1, parts * 4 / math.max(1, approxChunks)))
     }
     def stageAll(df: DataFrame, nChunks: Int,
         obs: Option[org.apache.spark.sql.Observation] = None): Unit = {
