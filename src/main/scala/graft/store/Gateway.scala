@@ -175,6 +175,36 @@ class Gateway(val engine: Engine) {
     (s"$checksum-${chosen.length}", totalSize)
   }
 
+  /** UploadPartCopy (`x-amz-copy-source` [+ `x-amz-copy-source-range`] on
+    * the part path — reference putobject.go:41-86 routed through the
+    * multipart handler): the part's bytes are the source object's
+    * [start, end] slice, source resolving through the full ref grammar.
+    * Metadata-plane twin of the byte copy: the recorded part carries the
+    * slice length and an etag derived deterministically from
+    * (source identity, slice) — the same no-bytes-through-the-driver
+    * discipline as [[getObject]]. Unlike GetObject's lenient fallback, a
+    * malformed or unsatisfiable copy range is an S3 InvalidArgument error
+    * (a copy must name real bytes). Returns (sizeBytes, etag). */
+  def uploadPartCopy(uploadId: String, partNumber: Int, srcRef: String,
+      srcPath: String, rangeSpec: Option[String] = None): (Long, String) =
+    this.synchronized {
+      requireWritable("uploadPartCopy")
+      val st = headObject(srcRef, srcPath)
+      val (s0, e0) = rangeSpec match {
+        case None => (0L, math.max(0L, st.sizeBytes - 1))
+        case Some(spec) => HttpRange.parse(spec, st.sizeBytes) match {
+          case Right(se) => se
+          case Left(_)   => sys.error(s"InvalidArgument: bad copy range '$spec'")
+        }
+      }
+      val len = if (st.sizeBytes == 0) 0L else e0 - s0 + 1
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      md.update(s"${st.etag}|$s0|$e0".getBytes("UTF-8"))
+      val etag = md.digest().map("%02x".format(_)).mkString
+      uploadPart(uploadId, partNumber, len, etag)
+      (len, etag)
+    }
+
   /** AbortMultipartUpload: drop the tracker record and its parts. */
   def abortMultipartUpload(uploadId: String): Unit = this.synchronized {
     requireWritable("abortMultipartUpload")

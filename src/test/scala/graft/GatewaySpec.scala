@@ -39,6 +39,30 @@ class GatewaySpec extends SparkSpec {
     assert(gw2.listParts(id).count() === 0)
   }
 
+  test("uploadPartCopy: ranged source slice becomes a part; bad ranges error") {
+    val eng = freshEngine("gwpcopy")
+    val gw = new Gateway(eng)
+    val id = gw.createMultipartUpload("main", "obj/combined", Some("uc"), 1000L)
+    // source k0010 has size_bytes = 10; copy bytes 2-5 as part 1
+    val (len1, e1) = gw.uploadPartCopy(id, 1, "main", "k0010", Some("bytes=2-5"))
+    assert(len1 === 4L)
+    // full-object copy as part 2
+    val (len2, e2) = gw.uploadPartCopy(id, 2, "main", "k0010")
+    assert(len2 === 10L)
+    assert(e1 !== e2) // etag derives from (identity, slice)
+    // deterministic: same source + same range => same etag
+    assert(gw.uploadPartCopy(id, 3, "main", "k0010", Some("bytes=2-5"))._2 === e1)
+    // unsatisfiable and malformed ranges are InvalidArgument, not full-copy
+    intercept[RuntimeException] {
+      gw.uploadPartCopy(id, 4, "main", "k0010", Some("bytes=50-60"))
+    }
+    intercept[RuntimeException] {
+      gw.uploadPartCopy(id, 4, "main", "k0010", Some("bytes=nope"))
+    }
+    val (etag, total) = gw.completeMultipartUpload(id, Seq((1, e1), (2, e2)))
+    assert(total === 14L && etag.endsWith("-2"))
+  }
+
   test("multipart: duplicate upload id, bad part numbers, unknown branch rejected") {
     val eng = freshEngine("gwmpu2")
     val gw = new Gateway(eng)
