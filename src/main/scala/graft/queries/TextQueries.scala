@@ -1810,6 +1810,30 @@ object TextQueries {
         FROM ln JOIN win USING (line)
         GROUP BY doc_id ORDER BY doc_id""")),
 
+    // Token frequency spectrum (count-of-counts): for each occurrence
+    // count f ≤ 10 the number of distinct tokens seen exactly f times,
+    // with an 11+ tail bucket — the Good-Turing/Heaps-law profile that
+    // tells a corpus builder whether vocabulary growth has saturated
+    // (singleton mass ≫ tail ⇒ keep crawling; the smoothing denominators
+    // for the LM-score filters read straight off this table). Two
+    // map-side-combinable aggs keyed on token then count — no joins.
+    "td_freq_spectrum" -> (((s: SparkSession, d: String) => {
+      val toks = Fixtures.documents(s, d)
+        .select(explode(tokens(col("text"))).as("t"))
+        .where(col("t") =!= "")
+      toks.groupBy("t").agg(count(lit(1)).as("f"))
+        .select(least(col("f"), lit(11L)).as("f_bucket"))
+        .groupBy("f_bucket")
+        .agg(count(lit(1)).as("n_tokens"))
+        .orderBy("f_bucket")
+    }),
+      Some(s"""$docsSql,
+        tok AS (SELECT unnest(toks) AS t FROM docs),
+        tf AS (SELECT t, count(*) AS f FROM tok WHERE t <> '' GROUP BY t)
+        SELECT least(f, 11) AS f_bucket,
+               CAST(count(*) AS BIGINT) AS n_tokens
+        FROM tf GROUP BY 1 ORDER BY f_bucket""")),
+
     // Per-source distribution divergence — the domain-shift report a data
     // mixer reads before weighting sources (cf. DoReMi/DSIR setup): for
     // each source, the total-variation distance between its unigram

@@ -327,6 +327,30 @@ class Gateway(val engine: Engine) {
     }
   }
 
+  /** GetUnderlyingProperties (`controller.go` GetUnderlyingProperties →
+    * block adapter `GetProperties`): the PHYSICAL storage facts behind an
+    * entry — resolved address plus what the object store reports for it
+    * (exists / length / mtime through the Hadoop FS abstraction, the S6
+    * block-adapter seam). The logical size can legitimately disagree with
+    * the physical length (zero-copy imports record logical sizes before
+    * bytes land); this surface is how an operator notices. */
+  final case class UnderlyingProps(path: String, address: String,
+      exists: Boolean, physicalLength: Long, physicalMtime: Long)
+
+  def underlyingProperties(ref: String, path: String): UnderlyingProps = {
+    val st = headObject(ref, path)
+    val addr = new org.apache.hadoop.fs.Path(
+      if (st.address.contains("://") || st.address.startsWith("/")) st.address
+      else s"${engine.repoDir}/${st.address}")
+    val fs = addr.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(addr)) UnderlyingProps(path, st.address, exists = false, 0L, 0L)
+    else {
+      val fst = fs.getFileStatus(addr)
+      UnderlyingProps(path, st.address, exists = true, fst.getLen,
+        fst.getModificationTime)
+    }
+  }
+
   /** DeleteObject (deleteobject.go): single-key delete — idempotent like
     * S3 (a missing key still succeeds), honoring the read-only latch. */
   def deleteObject(branch: String, path: String): Unit = {

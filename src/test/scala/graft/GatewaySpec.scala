@@ -39,6 +39,22 @@ class GatewaySpec extends SparkSpec {
     assert(gw2.listParts(id).count() === 0)
   }
 
+  test("underlyingProperties reports physical facts behind an entry") {
+    val eng = freshEngine("gwprops")
+    val gw = new Gateway(eng)
+    // fixture addresses (a1..a30) point nowhere — the operator's signal
+    val missing = gw.underlyingProperties("main", "k0005")
+    assert(!missing.exists && missing.address === "a5")
+    // write real bytes at an address inside the repo and link an entry
+    val addr = "ext/props-blob"
+    val p = new org.apache.hadoop.fs.Path(s"${eng.repoDir}/$addr")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p); out.write(Array.fill[Byte](17)(7)); out.close()
+    gw.putObject("main", "obj/real", 17L, "sum17", addr)
+    val got = gw.underlyingProperties("main$", "obj/real")
+    assert(got.exists && got.physicalLength === 17L && got.physicalMtime > 0L)
+  }
+
   test("uploadPartCopy: ranged source slice becomes a part; bad ranges error") {
     val eng = freshEngine("gwpcopy")
     val gw = new Gateway(eng)
