@@ -1,110 +1,30 @@
 package graft.functions
 
-import org.apache.spark.sql.{Column, Encoder, Encoders}
-import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
-import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 import scala.collection.mutable
 
-/** One row of the chunker's per-row stats stream: the (already codegen'd)
-  * hash pair, the key as UTF-8 bytes (so min/max use exact binary order,
-  * matching SQL `min(key)`/`max(key)` over `StringType`), and the value's
-  * estimated size in characters. */
-case class ChunkStatIn(chunk: Int, h1: Long, h2: Long, key: Array[Byte], vlen: Long)
-
-/** Finished per-chunk manifest stats. `h1`/`h2` are the two unreduced
-  * xxhash64 streams summed mod 2^64: plain Long wrap-around addition IS the
-  * mod-2^64 sum, bit-identical to the hi/lo 32-bit split recombined through
-  * BigInteger that the two-job stats path computes — so content ids from
-  * this one-pass aggregate equal the ids already on disk. */
-case class ChunkStatOut(chunk: Int, h1: Long, h2: Long, minKey: String,
-    maxKey: String, cnt: Long, est: Long)
-
-/** Mutable per-chunk accumulator (kryo-serialized only at task boundaries). */
+/** Mutable per-chunk accumulator ([[ChunkStatsExpr]]'s buffer value;
+  * hand-serialized compactly only at task boundaries). */
 final class ChunkAcc(
     var h1: Long, var h2: Long, var cnt: Long, var est: Long,
-    var minK: Array[Byte], var maxK: Array[Byte]) extends Serializable {
-  def this() = this(0L, 0L, 0L, 0L, null, null) // kryo no-arg
-}
-
-/** Per-chunk manifest stats as a single typed aggregate, so a staged range
-  * write can compute its content ids and stats IN the write pass via
-  * `df.observe` (CollectMetrics) instead of a second job over the source or
-  * a readback of the staged files — the one-pass commit discipline the
-  * reference gets from hashing SSTables as it streams them out
-  * (`pkg/graveler/sstable/writer.go:169-183`).
-  *
-  * The buffer is a plain mutable map chunk→accumulator, partial-aggregated
-  * per task and merged on the driver: a task sees only the chunks its rows
-  * land in, so partial maps stay small even when the manifest is millions
-  * of ranges.
-  */
-class ChunkStatsAggregator
-    extends Aggregator[ChunkStatIn, mutable.HashMap[Int, ChunkAcc], Seq[ChunkStatOut]] {
-  type Buf = mutable.HashMap[Int, ChunkAcc]
-
-  private def cmp(a: Array[Byte], b: Array[Byte]): Int = {
-    val n = math.min(a.length, b.length)
-    var i = 0
-    while (i < n) {
-      val d = (a(i) & 0xff) - (b(i) & 0xff)
-      if (d != 0) return d
-      i += 1
-    }
-    a.length - b.length
-  }
-
-  def zero: Buf = new mutable.HashMap[Int, ChunkAcc]()
-
-  def reduce(b: Buf, in: ChunkStatIn): Buf = {
-    b.get(in.chunk) match {
-      case Some(acc) =>
-        acc.h1 += in.h1; acc.h2 += in.h2; acc.cnt += 1L; acc.est += in.vlen
-        if (cmp(in.key, acc.minK) < 0) acc.minK = in.key
-        if (cmp(in.key, acc.maxK) > 0) acc.maxK = in.key
-      case None =>
-        b.put(in.chunk, new ChunkAcc(in.h1, in.h2, 1L, in.vlen, in.key, in.key))
-    }
-    b
-  }
-
-  def merge(b1: Buf, b2: Buf): Buf = {
-    b2.foreach { case (chunk, acc) =>
-      b1.get(chunk) match {
-        case Some(a) =>
-          a.h1 += acc.h1; a.h2 += acc.h2; a.cnt += acc.cnt; a.est += acc.est
-          if (cmp(acc.minK, a.minK) < 0) a.minK = acc.minK
-          if (cmp(acc.maxK, a.maxK) > 0) a.maxK = acc.maxK
-        case None => b1.put(chunk, acc)
-      }
-    }
-    b1
-  }
-
-  def finish(b: Buf): Seq[ChunkStatOut] = b.iterator.map { case (chunk, a) =>
-    ChunkStatOut(chunk, a.h1, a.h2,
-      new String(a.minK, java.nio.charset.StandardCharsets.UTF_8),
-      new String(a.maxK, java.nio.charset.StandardCharsets.UTF_8), a.cnt, a.est)
-  }.toSeq.sortBy(_.chunk)
-
-  def bufferEncoder: Encoder[Buf] = Encoders.kryo[Buf]
-  def outputEncoder: Encoder[Seq[ChunkStatOut]] = ExpressionEncoder[Seq[ChunkStatOut]]()
-}
+    var minK: Array[Byte], var maxK: Array[Byte]) extends Serializable
 
 object ChunkStatsAggregator {
   /** The aggregate as a column over a chunk-assigned frame: feeds the SAME
     * hash/length expressions the two-job stats path aggregates
     * (`SnapshotStore.statsOf`), so ids and estimates are bit-identical.
     *
-    * Backed by the NATIVE [[ChunkStatsExpr]] rather than `udaf(...)` over
-    * the typed [[ChunkStatsAggregator]]: inside `CollectMetrics` a udaf
-    * evaluates per row through an encoder round-trip (serialize the five
-    * inputs to an internal row, deserialize into a fresh [[ChunkStatIn]]
-    * with a copied key byte-array) — measured ~0.1-0.2 s of the staged
-    * write's wall at sf0.1. The native aggregate evaluates its child
-    * expressions directly and only copies key bytes when a chunk's min/max
-    * actually changes (O(log) times per chunk, not per row). */
+    * Backed by the NATIVE [[ChunkStatsExpr]] rather than a `udaf(...)`
+    * typed Aggregator: inside `CollectMetrics` a udaf evaluates per row
+    * through an encoder round-trip (serialize the five inputs to an
+    * internal row, deserialize into a fresh case class with a copied key
+    * byte-array) — measured ~0.1-0.2 s of the staged write's wall at
+    * sf0.1 before the earlier udaf form was replaced. The native aggregate
+    * evaluates its child expressions directly and only copies key bytes
+    * when a chunk's min/max actually changes (O(log) times per chunk, not
+    * per row). */
   def statsCol: Column = {
     import org.apache.spark.sql.GraftBridge.{column, expression}
     column(ChunkStatsExpr(
@@ -131,11 +51,18 @@ object ChunkStatsAggregator {
   }
 }
 
-/** Native imperative twin of [[ChunkStatsAggregator]] (same buffer, same
-  * merge algebra — Long wrap-around sums ARE the mod-2^64 stream sums, and
-  * byte-wise min/max equals SQL string min/max). Children: (chunk int,
-  * h1 long, h2 long, key string, vlen long), the exact expressions
-  * `SnapshotStore.statsOf` aggregates. */
+/** Per-chunk manifest stats as ONE native aggregate, so a staged range
+  * write computes its content ids and stats IN the write pass via
+  * `df.observe` (CollectMetrics) instead of a second job or a staged-file
+  * readback — the one-pass commit discipline the reference gets from
+  * hashing SSTables as it streams them out
+  * (`pkg/graveler/sstable/writer.go:169-183`). Long wrap-around sums ARE
+  * the mod-2^64 stream sums (bit-identical to `SnapshotStore.statsOf`'s
+  * hi/lo BigInteger recombination), and byte-wise min/max equals SQL
+  * string min/max. The buffer is a map chunk→accumulator: a task only
+  * holds the chunks its rows land in, so partial maps stay small even at
+  * million-range manifests. Children: (chunk int, h1 long, h2 long,
+  * key string, vlen long), the exact expressions statsOf aggregates. */
 case class ChunkStatsExpr(
     chunk: org.apache.spark.sql.catalyst.expressions.Expression,
     h1: org.apache.spark.sql.catalyst.expressions.Expression,

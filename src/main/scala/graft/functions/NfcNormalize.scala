@@ -37,13 +37,11 @@ case class NfcNormalize(child: Expression) extends UnaryExpression {
     }
 
   override def nullSafeEval(input: Any): Any =
-    UTF8String.fromString(
-      NfcNormalize.nfc(input.asInstanceOf[UTF8String].toString))
+    NfcNormalize.nfcUtf8(input.asInstanceOf[UTF8String])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = UTF8String.fromString(" +
-        s"graft.functions.NfcNormalize.nfc($c.toString()));")
+      s"${ev.value} = graft.functions.NfcNormalize.nfcUtf8($c);")
 
   override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
     copy(child = newChild)
@@ -52,19 +50,35 @@ case class NfcNormalize(child: Expression) extends UnaryExpression {
 
 object NfcNormalize {
 
-  /** NFC with an isNormalized fast path (no allocation for the common
-    * already-composed/ASCII row). */
+  /** NFC over the raw UTF8String — the hot-path entry both eval modes call.
+    * Two allocation-free fast paths cover the common row: pure ASCII
+    * (numBytes == numChars ⇒ every byte < 0x80 ⇒ NFC-normalized by
+    * definition) returns the INPUT UNCHANGED, and an already-normalized
+    * non-ASCII string returns the input after the isNormalized check (the
+    * one decode it costs is unavoidable — Normalizer works on char
+    * sequences). Only genuinely decomposed rows pay the re-encode. */
+  def nfcUtf8(u: UTF8String): UTF8String = {
+    if (u.numBytes() == u.numChars()) return u // pure ASCII, already NFC
+    val s = u.toString
+    if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)) u
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+  }
+
+  /** String-level twin (driver-side/test use). */
   def nfc(s: String): String =
     if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)) s
     else java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)
 
-  /** Register as SQL function `nfc_normalize` on a session. */
+  /** Column API — direct expression wrap, no session registration needed
+    * (the GraftBridge pattern CutIndex and ChunkStatsExpr use). */
+  def nfcNormalize(c: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      NfcNormalize(org.apache.spark.sql.GraftBridge.expression(c)))
+
+  /** Optional SQL surface: register `nfc_normalize` for spark.sql use. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry.createOrReplaceTempFunction(
         "nfc_normalize", exprs => NfcNormalize(exprs.head), "built-in")
-
-  /** Column API: nfcNormalize(col) — requires [[register]] first. */
-  def nfcNormalize(c: Column): Column =
-    org.apache.spark.sql.functions.call_function("nfc_normalize", c)
 }

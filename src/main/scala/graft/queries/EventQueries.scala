@@ -615,8 +615,10 @@ object EventQueries {
     // Hourly OHLC downsampling per event type — the time-series compaction
     // a metrics pipeline runs before charting/retention (candle per hour).
     // Open/close pick the value at the min/max of a single composite
-    // ordering key (tsec·10^8 + event_id — strictly monotone, ties
-    // impossible since event_id is unique) via min_by/max_by — ONE
+    // ordering key (tsec·10^8 + event_id — collision-free while
+    // event_id < 10^8, which the generator's ~sf·10^6 ids satisfy with
+    // two orders of margin; past that widen the multiplier or order by a
+    // struct) via min_by/max_by — ONE
     // hash-aggregate with map-side partials, no sort, no window. Prices in
     // integer cents end-to-end.
     "ev_ohlc" -> (((s: SparkSession, d: String) => {

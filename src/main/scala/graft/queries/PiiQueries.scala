@@ -153,7 +153,6 @@ object PiiQueries {
     // bytes, so the normalized hashes pair up across the parity split while
     // the raw lengths differ — exactly the property exact-dedup needs.
     "td_nfc_norm" -> (((s: SparkSession, d: String) => {
-      NfcNormalize.register(s)
       val raw = concat(
         substring(col("text"), 1, 16), lit(" caf"),
         when(col("doc_id") % 2 === 0, lit("\u00e9")) // composed

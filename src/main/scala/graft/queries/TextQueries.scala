@@ -1840,17 +1840,24 @@ object TextQueries {
     // distribution and the corpus's, kept INTEGER-EXACT by cross-
     // multiplication: tv_scaled = Σ_t |c_st·N − c_t·n_s| = N·n_s·Σ|p−q|,
     // reported with a permille normalization via floor division (identical
-    // on both engines). Plan: explode → (source,token) counts → token
-    // counts re-aggregated FROM those partials (map-side combinable both
-    // times) → token equi-join → per-source sum; the (n_s, N) totals ride
-    // a broadcast of ≤ #sources rows. At corpus scale every shuffle keys
-    // on tokens or sources — never on rows.
+    // on both engines). The sum is bounded by 2·n_s·N, so BIGINT holds up
+    // to ~2.1e9 total tokens; past that (a 100 TB corpus is ~1e13) promote
+    // the products and sums to DECIMAL(38) or a hi/lo split — the same
+    // algebra, like ev_anomaly documents. Plan: explode → (source,token)
+    // counts → token counts re-aggregated FROM those partials (map-side
+    // combinable both times) → token equi-join → per-source sum; the
+    // (n_s, N) totals ride a broadcast of ≤ #sources rows. At corpus scale
+    // every shuffle keys on tokens or sources — never on rows.
     "td_source_divergence" -> (((s: SparkSession, d: String) => {
       val toks = Fixtures.documents(s, d)
         .select(col("source"), explode(tokens(col("text"))).as("t"))
         .where(col("t") =!= "")
+      // st appears three times in the final plan — tTot, sTot and the join
+      // all re-aggregate it, but they share ONE shuffle (AQE plans
+      // ReusedExchange for the identical subplan), so no persist: a cached
+      // copy would outlive the query (the fn returns a lazy frame, so
+      // there is no safe unpersist point) for no saved work
       val st = toks.groupBy("source", "t").agg(count(lit(1)).as("c_st"))
-        .persist()
       val tTot = st.groupBy("t").agg(sum("c_st").as("c_t"))
       val sTot = st.groupBy("source").agg(sum("c_st").as("n_s"))
       val nAll = sTot.agg(sum("n_s")).head().getLong(0)

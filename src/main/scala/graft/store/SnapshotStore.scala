@@ -644,7 +644,7 @@ class SnapshotStore(val spark: SparkSession, val repoDir: String,
    * already exist) and `eagerStage` on an existing store (commitChanges: a
    * touched range was touched because a change key lands in it, so its
    * rewritten chunks almost certainly carry new content ids): the per-chunk
-   * stats aggregate ([[graft.functions.ChunkStatsAggregator]]) rides the
+   * stats aggregate ([[graft.functions.ChunkStatsExpr]]) rides the
    * staged write itself as a `CollectMetrics` (df.observe) placed AFTER the
    * shuffle, inside the write job's result stage — content ids and manifest
    * stats land with the write, no second job, no staged-file readback.

@@ -9,7 +9,9 @@ class PiiSpec extends SparkSpec {
 
   test("NfcNormalize collapses decomposed forms, codegen == interpreted") {
     import spark.implicits._
-    NfcNormalize.register(spark)
+    NfcNormalize.register(spark) // SQL surface stays exercised
+    assert(spark.sql("SELECT nfc_normalize('cafe\u0301')").head().getString(0)
+      === "caf\u00e9")
     val df = Seq(
       ("a", "caf\u00e9"),   // composed stays
       ("b", "cafe\u0301"),  // decomposed composes
@@ -45,22 +47,37 @@ class PiiSpec extends SparkSpec {
   }
 
   test("redaction removes every detected span and is idempotent") {
+    import graft.functions.Pii
+    import spark.implicits._
+    val texts = Seq(
+      (1L, "mail bob_1@example.com then call 555-123-4567 from 10.0.0.7"),
+      (2L, "two mails a@b.co c@d.org and 555-000-1111 555-222-3333"),
+      (3L, "ip only 192.168.001.250 trailing"),
+      (4L, "clean text, no spans at all")).toDF("id", "t")
+    val red = texts.withColumn("r", Pii.redact(col("t")))
+    // no regex matches survive a direct re-scan of the redacted text
+    val survivors = red.select(
+      (Pii.countMatches(col("r"), Pii.emailRe) +
+       Pii.countMatches(col("r"), Pii.phoneRe) +
+       Pii.countMatches(col("r"), Pii.ipRe)).as("left"))
+      .agg(org.apache.spark.sql.functions.sum("left")).head().getLong(0)
+    assert(survivors === 0L)
+    // idempotent: redacting the redacted text is the identity
+    val changed = red.where(Pii.redact(col("r")) =!= col("r")).count()
+    assert(changed === 0L)
+    // pseudonym is STABLE across derivations and equals the span's own hash
+    val ps = texts.select(col("id"), Pii.emailPseudo(col("t")).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val direct = texts.limit(1).select(Pii.emailPseudo(
+      org.apache.spark.sql.functions.lit("bob_1@example.com")).as("p"))
+      .head().getString(0)
+    assert(ps(1L).length === 16 && ps(1L) === direct)
+    // the query-level battery agrees with the shared builders on fixtures
     val d = "/root/testdata/sf0.001"
-    import graft.fixtures.Fixtures
-    // reconstruct the same pii text the query uses, redact via the query,
-    // then assert no regex matches survive in a direct re-scan
-    val red = SparkEntry.queries("td_pii_redact")(spark, d)
-    val joined = red.join(
-      SparkEntry.queries("td_pii_scan")(spark, d), "doc_id")
-    assert(joined.count() === Fixtures.documents(spark, d).count())
-    // redacted_hash must differ from the raw text hash (something changed)
-    // and every doc with pii carries the <EMAIL> tag exactly once per email
-    val sample = red.limit(5).collect()
-    assert(sample.forall(_.getString(1).length === 16)) // email_pseudo
-    // pseudonym is STABLE: same derivation twice yields identical column
     val again = SparkEntry.queries("td_pii_redact")(spark, d)
       .select("doc_id", "email_pseudo")
-    assert(red.select("doc_id", "email_pseudo").except(again).count() === 0)
+    assert(SparkEntry.queries("td_pii_redact")(spark, d)
+      .select("doc_id", "email_pseudo").except(again).count() === 0)
   }
 
   test("nfc query pairs up composed/decomposed hashes across parity") {
