@@ -1,0 +1,331 @@
+package graft.sources
+
+import java.io.{FileNotFoundException, IOException}
+import java.net.URI
+import java.security.MessageDigest
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs._
+import org.apache.hadoop.fs.permission.FsPermission
+import org.apache.hadoop.util.Progressable
+import org.apache.spark.sql.functions._
+
+import graft.store.{Engine, EntryIO}
+
+/**
+ * `graft://repo/ref/path` — a Hadoop FileSystem over the versioned engine:
+ * the Spark-native twin of the reference's lakeFS Hadoop client
+ * (`clients/hadoopfs/src/main/java/io/lakefs/LakeFSFileSystem.java`), which
+ * lets any Hadoop/Spark tool read and write versioned objects through
+ * ordinary filesystem calls (`hadoop fs -ls lakefs://repo/main/...`,
+ * `spark.read.parquet("lakefs://repo/main/tbl")`).
+ *
+ * Semantics mirrored from the reference:
+ *  - paths are `scheme://repository/ref/key...` (`pathToObjectLocation`,
+ *    `LakeFSFileSystem.java:1059-1080`); the ref segment accepts the full
+ *    ref grammar (`main`, `main~2`, tags, commit hashes);
+ *  - object-store directory model: directories are implicit (any key under
+ *    `dir/` makes it exist) plus explicit `dir/` marker objects created by
+ *    `mkdirs` (`LakeFSFileSystem.java:816-864` createDirectoryMarker);
+ *  - `create` uploads the physical object and then links the staged entry
+ *    (the reference's LakeFSLinker two-step: upload, then stage the
+ *    address); `open` resolves the entry and reads the physical object
+ *    directly — data NEVER moves through a metadata server, exactly the
+ *    reference's pre-signed/direct-access mode;
+ *  - `rename` is metadata-only: the physical address is re-linked under the
+ *    new key and the old key tombstoned (`LakeFSFileSystem.java:334-547`,
+ *    which stage-copies and deletes, never copying object bytes);
+ *  - `delete(recursive)` batches tombstones like the reference's
+ *    BulkDeleter (1000-key DeleteObjects pages);
+ *  - `append` is unsupported, as in the reference (`:315-320`).
+ *
+ * Scale/execution shape: all single-object metadata ops (`getFileStatus`,
+ * `open`, `exists`) resolve through [[graft.store.EntryIO]] — manifest
+ * binary search + one direct Parquet range-file read, NO Spark job — so
+ * executor task threads can call them during a distributed
+ * `spark.read.parquet("graft://...")` scan (Spark lists on the driver,
+ * opens on executors; a Spark-job-per-open would deadlock local mode and
+ * break clusters). Directory listings (`listStatus`) are driver-context
+ * operations and use one Catalyst plan (prefix-pruned scan + delimiter
+ * roll-up, the §3.1 listing pipeline).
+ *
+ * Engines are found through a process-local registry
+ * ([[GraftFileSystem.register]]) — the local-mode analogue of the
+ * reference's per-node endpoint configuration (`fs.lakefs.endpoint`); a
+ * cluster deployment would back the same resolution with the shared refs
+ * directory, which [[graft.store.RefStore]] keeps as plain files.
+ */
+class GraftFileSystem extends FileSystem {
+
+  private var fsUri: URI = _
+  private var workDir: Path = _
+
+  override def getScheme: String = GraftFileSystem.Scheme
+
+  override def initialize(name: URI, conf: Configuration): Unit = {
+    super.initialize(name, conf)
+    setConf(conf)
+    require(name.getAuthority != null && name.getAuthority.nonEmpty,
+      s"graft URI needs a repository authority: $name")
+    fsUri = URI.create(s"${GraftFileSystem.Scheme}://${name.getAuthority}")
+    workDir = new Path(s"$fsUri/")
+  }
+
+  override def getUri: URI = fsUri
+  override def setWorkingDirectory(p: Path): Unit = { workDir = p }
+  override def getWorkingDirectory: Path = workDir
+  override def getDefaultBlockSize: Long = 32L * 1024 * 1024
+
+  private def repo: String = fsUri.getAuthority
+  private def engine: Engine = {
+    val e = GraftFileSystem.registry.get(repo)
+    if (e == null)
+      throw new IOException(s"no engine registered for graft repository '$repo' " +
+        "(call GraftFileSystem.register)")
+    e
+  }
+
+  /** Split a path into (ref, key); either may be empty (root / ref root). */
+  private def parse(p: Path): (String, String) = {
+    val abs = makeQualified(p).toUri.getPath.stripPrefix("/")
+    val slash = abs.indexOf('/')
+    if (abs.isEmpty) ("", "")
+    else if (slash < 0) (abs, "")
+    else (abs.substring(0, slash), abs.substring(slash + 1).stripSuffix("/"))
+  }
+
+  private def pathOf(ref: String, key: String): Path =
+    new Path(s"$fsUri/$ref${if (key.isEmpty) "" else "/" + key}")
+
+  private def dirStatus(p: Path): FileStatus =
+    new FileStatus(0, true, 1, getDefaultBlockSize, 0, makeQualified(p))
+
+  private def fileStatus(ref: String, key: String, e: EntryIO.Entry): FileStatus =
+    new FileStatus(e.sizeBytes, false, 1, getDefaultBlockSize, e.mtime * 1000L,
+      pathOf(ref, key))
+
+  override def getFileStatus(f: Path): FileStatus = {
+    val (ref, key) = parse(f)
+    if (ref.isEmpty) return dirStatus(f) // repository root
+    val eng = engine
+    if (eng.refs.resolveFull(ref).isEmpty)
+      throw new FileNotFoundException(s"no ref '$ref' in graft://$repo: $f")
+    if (key.isEmpty) return dirStatus(f) // ref root
+    EntryIO.pointGet(eng, ref, key) match {
+      case Some(e) => fileStatus(ref, key, e)
+      case None =>
+        // marker object `key/` or any visible key under it → implicit dir
+        if (EntryIO.firstVisibleWithPrefix(eng, ref, key + "/").isDefined)
+          dirStatus(f)
+        else throw new FileNotFoundException(s"$f")
+    }
+  }
+
+  override def open(f: Path, bufferSize: Int): FSDataInputStream = {
+    val (ref, key) = parse(f)
+    if (ref.isEmpty || key.isEmpty) throw new FileNotFoundException(s"$f")
+    val e = EntryIO.pointGet(engine, ref, key)
+      .getOrElse(throw new FileNotFoundException(s"$f"))
+    val addr = e.address.filter(_.nonEmpty).getOrElse(
+      throw new IOException(s"entry '$key' has no physical address (not a file object)"))
+    val pp = new Path(addr)
+    pp.getFileSystem(getConf).open(pp, bufferSize)
+  }
+
+  override def create(f: Path, permission: FsPermission, overwrite: Boolean,
+      bufferSize: Int, replication: Short, blockSize: Long,
+      progress: Progressable): FSDataOutputStream = {
+    val (ref, key) = parse(f)
+    if (ref.isEmpty || key.isEmpty)
+      throw new IOException(s"cannot create at repository/ref root: $f")
+    val eng = engine
+    if (eng.refs.getBranch(ref).isEmpty)
+      throw new IOException(s"create requires a branch ref, got '$ref': $f")
+    val existing = try Some(getFileStatus(f)) catch { case _: FileNotFoundException => None }
+    existing.foreach { st =>
+      if (st.isDirectory) throw new FileAlreadyExistsException(s"$f is a directory")
+      if (!overwrite) throw new FileAlreadyExistsException(s"$f already exists")
+    }
+    // physical object under the repo namespace; entry linked on close — the
+    // reference's upload-then-LakeFSLinker two-step
+    val repoRoot = new Path(eng.repoDir)
+    val repoFs = repoRoot.getFileSystem(getConf)
+    val physical = repoFs.makeQualified(new Path(repoRoot,
+      s"data/fs-${java.util.UUID.randomUUID().toString.replace("-", "")}"))
+    val physOut = repoFs.create(physical, true)
+    val digest = MessageDigest.getInstance("SHA-256")
+    val counted = new java.io.FilterOutputStream(physOut) {
+      var n = 0L
+      override def write(b: Int): Unit = { physOut.write(b); digest.update(b.toByte); n += 1 }
+      override def write(b: Array[Byte], off: Int, len: Int): Unit = {
+        physOut.write(b, off, len); digest.update(b, off, len); n += len
+      }
+      override def close(): Unit = {
+        super.close()
+        val etag = digest.digest().map("%02x".format(_)).mkString
+        val (dir, epoch) = eng.allocateStagingDir(ref)
+        EntryIO.writeStaged(getConf, dir, epoch, Seq(EntryIO.Entry(
+          key, Some(etag), Some(physical.toString), n,
+          System.currentTimeMillis() / 1000)))
+      }
+    }
+    new FSDataOutputStream(counted, statistics)
+  }
+
+  override def append(f: Path, bufferSize: Int, progress: Progressable): FSDataOutputStream =
+    throw new IOException("append is not supported by GraftFileSystem " +
+      "(objects are immutable, LakeFSFileSystem.java:315-320)")
+
+  /** Stage entries directly (no Spark job) in one fresh epoch. */
+  private def stageEntries(branch: String, entries: Seq[EntryIO.Entry]): Unit = {
+    val (dir, epoch) = engine.allocateStagingDir(branch)
+    EntryIO.writeStaged(getConf, dir, epoch, entries)
+  }
+
+  private def tombstone(key: String): EntryIO.Entry =
+    EntryIO.Entry(key, None, None, 0L, 0L)
+
+  override def mkdirs(f: Path, permission: FsPermission): Boolean = {
+    val (ref, key) = parse(f)
+    if (ref.isEmpty) return true
+    val eng = engine
+    if (key.isEmpty) return eng.refs.resolveFull(ref).isDefined
+    if (eng.refs.getBranch(ref).isEmpty)
+      throw new IOException(s"mkdirs requires a branch ref, got '$ref': $f")
+    val existing = try Some(getFileStatus(f)) catch { case _: FileNotFoundException => None }
+    existing match {
+      case Some(st) if st.isFile =>
+        throw new FileAlreadyExistsException(s"$f exists as a file")
+      case Some(_) => true // already a directory
+      case None =>
+        // explicit marker object, the reference's createDirectoryMarker
+        stageEntries(ref, Seq(EntryIO.Entry(key + "/",
+          Some(graft.core.Identity.sha256Hex("")), None, 0L,
+          System.currentTimeMillis() / 1000)))
+        true
+    }
+  }
+
+  override def delete(f: Path, recursive: Boolean): Boolean = {
+    val (ref, key) = parse(f)
+    if (ref.isEmpty || key.isEmpty) return false
+    val eng = engine
+    if (eng.refs.getBranch(ref).isEmpty)
+      throw new IOException(s"delete requires a branch ref, got '$ref': $f")
+    EntryIO.pointGet(eng, ref, key) match {
+      case Some(_) =>
+        stageEntries(ref, Seq(tombstone(key)))
+        true
+      case None =>
+        if (EntryIO.firstVisibleWithPrefix(eng, ref, key + "/").isEmpty) false
+        else {
+          // directory: visible children + the marker itself
+          val children = eng.list(ref, prefix = key + "/")
+            .select("key").collect().map(_.getString(0))
+          if (!recursive && children.exists(_ != key + "/"))
+            throw new IOException(s"directory $f is not empty (recursive=false)")
+          children.grouped(1000).foreach(page =>
+            stageEntries(ref, page.map(tombstone).toSeq))
+          true
+        }
+    }
+  }
+
+  override def rename(src: Path, dst: Path): Boolean = {
+    val (refS, keyS) = parse(src)
+    val (refD, keyD0) = parse(dst)
+    if (refS.isEmpty || keyS.isEmpty || refD.isEmpty || refS != refD) return false
+    val eng = engine
+    if (eng.refs.getBranch(refS).isEmpty) return false
+    val srcStatus = try getFileStatus(src) catch {
+      case _: FileNotFoundException => return false
+    }
+    val dstStatus = try Some(getFileStatus(dst)) catch {
+      case _: FileNotFoundException => None
+    }
+    // Hadoop contract: rename onto an existing file fails; onto an existing
+    // directory moves INTO it (the reference honors the same contract,
+    // LakeFSFileSystem.java:334-420)
+    val target = dstStatus match {
+      case Some(st) if st.isFile => return false
+      case Some(_)               => s"$keyD0/${src.getName}"
+      case None                  => keyD0
+    }
+    if (target == keyS) return true
+    if (srcStatus.isFile) {
+      val e = EntryIO.pointGet(eng, refS, keyS).get
+      stageEntries(refS, Seq(e.copy(key = target), tombstone(keyS)))
+    } else {
+      // metadata-only re-key of every visible entry under the prefix
+      val rows = eng.list(refS, prefix = keyS + "/")
+      val cols = rows.columns.toSet
+      def colOr(n: String, d: org.apache.spark.sql.Column) =
+        if (cols(n)) col(n) else d
+      val collected = rows.select(col("key"), col("identity"),
+        colOr("address", lit(null).cast("string")).as("address"),
+        colOr("size_bytes", lit(0L)).cast("long").as("size_bytes"),
+        colOr("mtime", lit(0L)).cast("long").as("mtime")).collect()
+      collected.grouped(500).foreach { page =>
+        val moves = page.flatMap { r =>
+          val k = r.getString(0)
+          val moved = EntryIO.Entry(target + "/" + k.stripPrefix(keyS + "/"),
+            Option(r.getString(1)), Option(r.getString(2)),
+            r.getLong(3), r.getLong(4))
+          Seq(moved, tombstone(k))
+        }
+        stageEntries(refS, moves.toSeq)
+      }
+    }
+    true
+  }
+
+  override def listStatus(f: Path): Array[FileStatus] = {
+    val (ref, key) = parse(f)
+    val eng = engine
+    if (ref.isEmpty) // repository root lists branches as directories
+      return eng.refs.branches.keys.toArray.sorted.map(b => dirStatus(pathOf(b, "")))
+    val st = getFileStatus(f) // throws FileNotFoundException when absent
+    if (st.isFile) return Array(st)
+    val prefix = if (key.isEmpty) "" else key + "/"
+    // ONE Catalyst plan: prefix-pruned visible listing + delimiter roll-up
+    // (the §3.1 pipeline); only this directory PAGE is collected
+    val listed = eng.list(ref, prefix = prefix)
+    val cols = listed.columns.toSet
+    val size = (if (cols("size_bytes")) col("size_bytes") else lit(0L)).cast("long")
+    val mt = (if (cols("mtime")) col("mtime") else lit(0L)).cast("long")
+    val rest = expr(s"substring(key, ${prefix.codePointCount(0, prefix.length) + 1})")
+    val pos = instr(rest, "/")
+    val rows = listed.select(
+        when(pos > 0, substring_index(rest, "/", 1)).otherwise(rest).as("name"),
+        (pos > 0).as("is_dir"), size.as("sz"), mt.as("mt"))
+      .where(col("name") =!= "") // the directory's own marker
+      .groupBy("name", "is_dir")
+      .agg(max("sz").as("sz"), max("mt").as("mt"))
+      .collect()
+    // an object store can hold both `x` and `x/...`; a filesystem can list
+    // one status per name — the directory wins, as in the reference
+    val byName = rows.groupBy(_.getString(0))
+    byName.toArray.sortBy(_._1).map { case (name, vs) =>
+      val v = vs.find(_.getBoolean(1)).getOrElse(vs.head)
+      if (v.getBoolean(1)) dirStatus(pathOf(ref, prefix + name))
+      else new FileStatus(v.getLong(2), false, 1, getDefaultBlockSize,
+        v.getLong(3) * 1000L, pathOf(ref, prefix + name))
+    }
+  }
+}
+
+object GraftFileSystem {
+  val Scheme = "graft"
+
+  private[sources] val registry =
+    new java.util.concurrent.ConcurrentHashMap[String, Engine]()
+
+  /** Bind `repo` (the URI authority) to an engine — the local analogue of
+    * the reference's `fs.lakefs.endpoint` client wiring. */
+  def register(repo: String, engine: Engine): Unit = registry.put(repo, engine)
+  def deregister(repo: String): Unit = registry.remove(repo)
+
+  /** Hadoop conf keys enabling the scheme. */
+  def configure(conf: Configuration): Unit =
+    conf.set(s"fs.$Scheme.impl", classOf[GraftFileSystem].getName)
+}

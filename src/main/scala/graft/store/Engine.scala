@@ -473,6 +473,31 @@ class Engine(val spark: SparkSession, val repoDir: String,
   def stagedChanges(branch: String): Option[DataFrame] =
     stagedChangesFrom(liveEpochDirs(branch))
 
+  /** [[graft.sources.GraftFileSystem]] seam: live epoch dirs for the
+    * Spark-free metadata reader ([[EntryIO]]). */
+  private[graft] def liveStagingDirs(branch: String): Seq[String] =
+    liveEpochDirs(branch)
+
+  /** [[graft.sources.GraftFileSystem]] seam: the branch's effective read
+    * base (compacted staging base when installed, else the head commit). */
+  private[graft] def effectiveBaseMeta(branch: String, head: CommitInfo): String =
+    effectiveBase(branch, head)
+
+  /** [[graft.sources.GraftFileSystem]] seam: allocate a fresh staging epoch
+    * dir for a DIRECT (non-Spark) staged-entry write, under the same
+    * writability/protection gates as [[stage]]. The dir is created
+    * immediately so a racing allocation never reuses the number. */
+  private[graft] def allocateStagingDir(branch: String): (String, Long) = {
+    requireWritable("stage")
+    require(refs.getBranch(branch).isDefined, s"no branch $branch")
+    require(!refs.isProtected(branch), s"branch $branch is protected against staging writes")
+    var e = currentEpoch(branch)
+    var dir = stagingDir(branch, e)
+    while (exists(dir)) { e += 1; dir = stagingDir(branch, e) }
+    fs.mkdirs(new org.apache.hadoop.fs.Path(dir))
+    (dir, e)
+  }
+
   private def stagedChangesFrom(dirs: Seq[String]): Option[DataFrame] =
     if (dirs.isEmpty) None
     else {

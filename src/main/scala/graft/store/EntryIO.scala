@@ -1,0 +1,247 @@
+package graft.store
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.example.data.Group
+import org.apache.parquet.example.data.simple.SimpleGroupFactory
+import org.apache.parquet.filter2.compat.FilterCompat
+import org.apache.parquet.filter2.predicate.FilterApi
+import org.apache.parquet.hadoop.ParquetReader
+import org.apache.parquet.hadoop.example.{ExampleParquetWriter, GroupReadSupport, GroupWriteSupport}
+import org.apache.parquet.io.api.Binary
+import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType, PrimitiveType, Types}
+
+/**
+ * Spark-JOB-FREE entry I/O over the store's Parquet files — the metadata
+ * path of [[graft.sources.GraftFileSystem]].
+ *
+ * The reference's Hadoop client resolves every FileSystem operation through
+ * a lakeFS API call (`clients/hadoopfs/src/main/java/io/lakefs/
+ * LakeFSFileSystem.java:249-258,866-949`) — a metadata round-trip per op,
+ * no cluster involved. The Spark rebuild's equivalent must NOT launch a
+ * Spark job per `open()`/`getFileStatus()`: a distributed scan calls those
+ * from executor task threads, where submitting nested jobs deadlocks
+ * local-mode schedulers and is impossible on executors. Instead this reads
+ * the store's own files directly:
+ *
+ *  - committed entries: manifest (driver JSONL, cached by [[SnapshotStore]])
+ *    → binary-search the range by [minKey, maxKey] → read that ONE Parquet
+ *    range file via parquet-hadoop with a key equality filter (row groups
+ *    pruned by min/max stats) — O(log ranges + one range file), the same
+ *    seek discipline as the reference's metarange point lookup
+ *    (`pkg/graveler/sstable/range_manager.go:75-106`);
+ *  - staged entries: the branch's live epoch files read newest-epoch-first
+ *    with the same pushed filter — bounded by staged (not repo) data.
+ *
+ * Writes mirror [[Engine.stage]]'s on-disk shape (one Parquet file in a
+ * fresh `epoch=N` dir, `__epoch` column included) so engine reads, commits
+ * and seal-and-swap treat FS-staged entries exactly like engine-staged ones.
+ */
+object EntryIO {
+
+  /** One resolved entry. `identity == None` is a staged tombstone. */
+  case class Entry(key: String, identity: Option[String], address: Option[String],
+      sizeBytes: Long, mtime: Long)
+
+  /** The FS entry payload convention (the catalog-Entry subset a filesystem
+    * needs, `pkg/catalog/catalog.proto:10-26`): address + size + mtime. */
+  val stagedSchema: MessageType = Types.buildMessage()
+    .addField(Types.primitive(PrimitiveType.PrimitiveTypeName.BINARY,
+      org.apache.parquet.schema.Type.Repetition.REQUIRED)
+      .as(LogicalTypeAnnotation.stringType()).named("key"))
+    .addField(Types.primitive(PrimitiveType.PrimitiveTypeName.BINARY,
+      org.apache.parquet.schema.Type.Repetition.OPTIONAL)
+      .as(LogicalTypeAnnotation.stringType()).named("identity"))
+    .addField(Types.primitive(PrimitiveType.PrimitiveTypeName.BINARY,
+      org.apache.parquet.schema.Type.Repetition.OPTIONAL)
+      .as(LogicalTypeAnnotation.stringType()).named("address"))
+    .addField(Types.primitive(PrimitiveType.PrimitiveTypeName.INT64,
+      org.apache.parquet.schema.Type.Repetition.OPTIONAL).named("size_bytes"))
+    .addField(Types.primitive(PrimitiveType.PrimitiveTypeName.INT64,
+      org.apache.parquet.schema.Type.Repetition.OPTIONAL).named("mtime"))
+    .addField(Types.primitive(PrimitiveType.PrimitiveTypeName.INT64,
+      org.apache.parquet.schema.Type.Repetition.REQUIRED).named("__epoch"))
+    .named("graft_fs_staged")
+
+  private def optStr(g: Group, f: String): Option[String] = {
+    val t = g.getType
+    if (t.containsField(f) && g.getFieldRepetitionCount(f) > 0)
+      Some(g.getBinary(f, 0).toStringUsingUTF8)
+    else None
+  }
+  private def optLong(g: Group, f: String): Option[Long] = {
+    val t = g.getType
+    if (t.containsField(f) && g.getFieldRepetitionCount(f) > 0)
+      Some(g.getLong(f, 0))
+    else None
+  }
+
+  private def toEntry(g: Group): Entry = Entry(
+    g.getBinary("key", 0).toStringUsingUTF8,
+    optStr(g, "identity"),
+    optStr(g, "address"),
+    optLong(g, "size_bytes").getOrElse(0L),
+    optLong(g, "mtime").getOrElse(0L))
+
+  /** Visit entries of one Parquet file whose key lies in [lo, hi); stop when
+    * `f` returns false (the file is key-sorted only for committed ranges —
+    * staged files are NOT, so no early exit on key order here). Row groups
+    * outside the window are pruned via the pushed filter. */
+  def scanFile(conf: Configuration, file: String,
+      lo: Option[String], hi: Option[String])(f: Entry => Boolean): Unit = {
+    val keyCol = FilterApi.binaryColumn("key")
+    // typed explicitly: the inferred LUB of GtEq/Lt is a package-private
+    // parquet class, and bytecode referencing it fails verification
+    val preds: Seq[org.apache.parquet.filter2.predicate.FilterPredicate] = Seq(
+      lo.map(l => FilterApi.gtEq(keyCol, Binary.fromString(l))),
+      hi.map(h => FilterApi.lt(keyCol, Binary.fromString(h)))).flatten
+    val builder = ParquetReader
+      .builder(new GroupReadSupport(), new Path(file))
+      .withConf(conf)
+    val withFilter = preds match {
+      case Seq(a)    => builder.withFilter(FilterCompat.get(a))
+      case Seq(a, b) => builder.withFilter(FilterCompat.get(FilterApi.and(a, b)))
+      case _         => builder
+    }
+    val reader = withFilter.build()
+    try {
+      var g = reader.read()
+      var go = true
+      while (g != null && go) {
+        go = f(toEntry(g))
+        if (go) g = reader.read()
+      }
+    } finally reader.close()
+  }
+
+  /** Point lookup in one file: first row with key == k, if any. */
+  def pointInFile(conf: Configuration, file: String, k: String): Option[Entry] = {
+    var hit: Option[Entry] = None
+    scanFile(conf, file, Some(k), Some(k + "\u0000")) { e =>
+      if (e.key == k) { hit = Some(e); false } else true
+    }
+    hit
+  }
+
+  /** Data files of a staged epoch dir (skips `_SUCCESS` etc.). */
+  def epochFiles(conf: Configuration, dir: String): Seq[String] = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq
+      .filter(s => s.isFile && !s.getPath.getName.startsWith("_")
+        && !s.getPath.getName.startsWith("."))
+      .map(_.getPath.toString)
+  }
+
+  /** Write entries as ONE Parquet file in `dir` (an allocated epoch dir),
+    * matching [[Engine.stage]]'s on-disk shape. */
+  def writeStaged(conf: Configuration, dir: String, epoch: Long,
+      entries: Seq[Entry]): Unit = {
+    val file = new Path(dir, s"fs-${java.util.UUID.randomUUID()}.parquet")
+    val wconf = new Configuration(conf)
+    GroupWriteSupport.setSchema(stagedSchema, wconf)
+    val writer = ExampleParquetWriter.builder(file).withConf(wconf).build()
+    val fac = new SimpleGroupFactory(stagedSchema)
+    try entries.foreach { e =>
+      val g = fac.newGroup()
+      g.append("key", e.key)
+      e.identity.foreach(g.append("identity", _))
+      e.address.foreach(g.append("address", _))
+      g.append("size_bytes", e.sizeBytes)
+      g.append("mtime", e.mtime)
+      g.append("__epoch", epoch)
+      writer.write(g)
+    } finally writer.close()
+  }
+
+  // --- resolution over a repo ------------------------------------------------
+
+  /** Staged rows of `branch` whose key lies in [lo, hi), resolved
+    * latest-epoch-wins: key → (epoch, entry). Bounded by staged data. */
+  def stagedWindow(engine: Engine, branch: String,
+      lo: Option[String], hi: Option[String]): Map[String, Entry] = {
+    val conf = engine.spark.sparkContext.hadoopConfiguration
+    val byKey = scala.collection.mutable.HashMap[String, (Long, Entry)]()
+    engine.liveStagingDirs(branch).foreach { dir =>
+      val epoch = dir.substring(dir.lastIndexOf('=') + 1).toLong
+      epochFiles(conf, dir).foreach { f =>
+        scanFile(conf, f, lo, hi) { e =>
+          byKey.get(e.key) match {
+            case Some((prev, _)) if prev >= epoch => ()
+            case _ => byKey(e.key) = (epoch, e)
+          }
+          true
+        }
+      }
+    }
+    byKey.view.mapValues(_._2).toMap
+  }
+
+  /** Resolve (ref, key) without any Spark job: staged overlay first on a
+    * branch (tombstone → None), then the effective committed base through
+    * the manifest's range interval index. */
+  def pointGet(engine: Engine, ref: String, key: String): Option[Entry] = {
+    val rr = engine.refs.resolveFull(ref)
+      .getOrElse(sys.error(s"unresolvable ref: $ref"))
+    val conf = engine.spark.sparkContext.hadoopConfiguration
+    val useUncommitted = rr.branch.isDefined && !rr.committedOnly
+    if (useUncommitted) {
+      val staged = stagedWindow(engine, rr.branch.get,
+        Some(key), Some(key + "\u0000")).get(key)
+      staged match {
+        case Some(e) => return e.identity.map(_ => e) // tombstone → None
+        case None    => ()
+      }
+    }
+    val meta =
+      if (useUncommitted) engine.effectiveBaseMeta(rr.branch.get, rr.commit)
+      else rr.commit.metaRangeId
+    committedPoint(engine, meta, key)
+  }
+
+  private def committedPoint(engine: Engine, metaRangeId: String,
+      key: String): Option[Entry] = {
+    val conf = engine.spark.sparkContext.hadoopConfiguration
+    val infos = engine.snapshots.readManifest(metaRangeId) // sorted by minKey
+    // binary search: last range with minKey <= key
+    var lo = 0; var hi = infos.length - 1; var at = -1
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      if (infos(mid).minKey <= key) { at = mid; lo = mid + 1 } else hi = mid - 1
+    }
+    if (at < 0 || infos(at).maxKey < key) None
+    else pointInFile(conf, infos(at).path, key)
+  }
+
+  /** First VISIBLE key with prefix `p` under (ref) — staged overlay masks
+    * committed rows (tombstones hide them); used for implicit-directory
+    * checks. Early-exits on the first hit. */
+  def firstVisibleWithPrefix(engine: Engine, ref: String, p: String): Option[String] = {
+    val rr = engine.refs.resolveFull(ref)
+      .getOrElse(sys.error(s"unresolvable ref: $ref"))
+    val conf = engine.spark.sparkContext.hadoopConfiguration
+    val hi = graft.operators.Listing.upperBound(p)
+    val useUncommitted = rr.branch.isDefined && !rr.committedOnly
+    val staged: Map[String, Entry] =
+      if (useUncommitted) stagedWindow(engine, rr.branch.get, Some(p), hi)
+      else Map.empty
+    staged.collectFirst { case (k, e) if e.identity.isDefined => k } match {
+      case some @ Some(_) => return some
+      case None           => ()
+    }
+    val meta =
+      if (useUncommitted) engine.effectiveBaseMeta(rr.branch.get, rr.commit)
+      else rr.commit.metaRangeId
+    val infos = engine.snapshots.readManifest(meta)
+      .filter(ri => ri.maxKey >= p && hi.forall(h => ri.minKey < h))
+    infos.iterator.map { ri =>
+      var hit: Option[String] = None
+      scanFile(conf, ri.path, Some(p), hi) { e =>
+        if (staged.contains(e.key)) true // masked (tombstone or already found)
+        else { hit = Some(e.key); false }
+      }
+      hit
+    }.collectFirst { case Some(k) => k }
+  }
+}
