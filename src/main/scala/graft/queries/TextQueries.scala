@@ -1899,6 +1899,83 @@ object TextQueries {
                CAST(tv_present + (nall.n - c_t_present) * n_s AS BIGINT) AS tv_scaled,
                CAST((tv_present + (nall.n - c_t_present) * n_s) * 1000
                     // (2 * n_s * nall.n) AS BIGINT) AS tv_permille
-        FROM pres CROSS JOIN nall ORDER BY source"""))
+        FROM pres CROSS JOIN nall ORDER BY source""")),
+
+    // Tokenizer vocabulary coverage — the OOV-rate report a tokenizer
+    // bring-up reads per source: build the top-K corpus vocabulary
+    // (deterministic tie-break: frequency desc, token asc — identical on
+    // both engines even when the rank-K boundary ties), then the per-source
+    // out-of-vocabulary token share, permille by integer floor division.
+    // Plan: token counts are one map-side-combinable agg; the top-K is
+    // TakeOrderedAndProject (per-partition bounded heaps, no global sort);
+    // membership is a BROADCAST left-anti-style mark — a vocabulary is
+    // ≤ O(100k) rows at any real tokenizer size, never shuffle-joined.
+    "td_vocab_coverage" -> (((s: SparkSession, d: String) => {
+      val toks = Fixtures.documents(s, d)
+        .select(col("source"), explode(tokens(col("text"))).as("t"))
+        .where(col("t") =!= "")
+      val vocab = toks.groupBy("t").agg(count(lit(1)).as("f"))
+        .orderBy(desc("f"), asc("t")).limit(16)
+        .select(col("t"), lit(1L).as("__in_v"))
+      toks.join(broadcast(vocab), Seq("t"), "left")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("__in_v").isNull, 1L).otherwise(0L)).as("n_oov"))
+        .withColumn("oov_permille", expr("(n_oov * 1000) div n_tokens"))
+        .orderBy("source")
+    }),
+      Some(s"""$docsSql,
+        tok AS (
+          SELECT source, t FROM (
+            SELECT d.source, unnest(x.toks) AS t
+            FROM docs x JOIN documents d ON x.doc_id = d.doc_id
+          ) WHERE t <> ''),
+        tf AS (SELECT t, count(*) AS f FROM tok GROUP BY t),
+        vocab AS (SELECT t FROM tf ORDER BY f DESC, t LIMIT 16)
+        SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(count(*) FILTER (WHERE t NOT IN (SELECT t FROM vocab)) AS BIGINT) AS n_oov,
+               CAST(count(*) FILTER (WHERE t NOT IN (SELECT t FROM vocab)) * 1000
+                    // count(*) AS BIGINT) AS oov_permille
+        FROM tok GROUP BY source ORDER BY source""")),
+
+    // Exact-substring duplicate spans (the Lee et al. "Deduplicating
+    // Training Data Makes Language Models Better" exact-substring shape,
+    // windowed): 40-char windows at stride 20 per doc; a window is
+    // duplicated when it appears in >= 2 distinct docs; report per-doc
+    // window and duplicated-window counts. Windows join on their literal
+    // text here because the DuckDB twin must hash-match; the corpus-scale
+    // path keys the same joins on xxhash64(window) (8 bytes vs 40+,
+    // collision-checked on the final equi-join) — same plan shape.
+    // Plan: explode → count distinct docs per window (map-side combined) →
+    // the duplicated set left-joins back as a mark; shuffles key on window
+    // content, never on rows.
+    "td_exact_substring" -> (((s: SparkSession, d: String) => {
+      val wins = Fixtures.documents(s, d)
+        .where(length(col("text")) >= 40)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, length(text) - 39, 20)," +
+            " o -> substring(text, o, 40))")).as("w"))
+      val dup = wins.groupBy("w")
+        .agg(countDistinct("doc_id").as("nd"))
+        .where(col("nd") >= 2)
+        .select(col("w"), lit(1L).as("__dup"))
+      wins.join(dup, Seq("w"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_windows"),
+          sum(when(col("__dup").isNotNull, 1L).otherwise(0L)).as("n_dup_windows"))
+        .orderBy("doc_id")
+    }),
+      Some("""
+        WITH wins AS (
+          SELECT doc_id, unnest(list_transform(
+                   generate_series(1, length(text) - 39, 20),
+                   o -> substr(text, CAST(o AS INT), 40))) AS w
+          FROM documents WHERE length(text) >= 40
+        ),
+        dup AS (SELECT w FROM wins GROUP BY w HAVING count(DISTINCT doc_id) >= 2)
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+               CAST(count(*) FILTER (WHERE w IN (SELECT w FROM dup)) AS BIGINT)
+                 AS n_dup_windows
+        FROM wins GROUP BY doc_id ORDER BY doc_id"""))
   )
 }

@@ -8,7 +8,6 @@ import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs._
 import org.apache.hadoop.fs.permission.FsPermission
 import org.apache.hadoop.util.Progressable
-import org.apache.spark.sql.functions._
 
 import graft.store.{Engine, EntryIO}
 
@@ -39,15 +38,16 @@ import graft.store.{Engine, EntryIO}
  *    BulkDeleter (1000-key DeleteObjects pages);
  *  - `append` is unsupported, as in the reference (`:315-320`).
  *
- * Scale/execution shape: all single-object metadata ops (`getFileStatus`,
- * `open`, `exists`) resolve through [[graft.store.EntryIO]] — manifest
- * binary search + one direct Parquet range-file read, NO Spark job — so
- * executor task threads can call them during a distributed
- * `spark.read.parquet("graft://...")` scan (Spark lists on the driver,
- * opens on executors; a Spark-job-per-open would deadlock local mode and
- * break clusters). Directory listings (`listStatus`) are driver-context
- * operations and use one Catalyst plan (prefix-pruned scan + delimiter
- * roll-up, the §3.1 listing pipeline).
+ * Scale/execution shape: EVERY operation resolves through
+ * [[graft.store.EntryIO]] — manifest binary search + direct Parquet
+ * range-file reads with pushed key filters, NO Spark job anywhere in the
+ * FileSystem — so executor task threads can call any of it mid-job (a
+ * Spark-job-per-op would deadlock local mode and break clusters). That
+ * makes the WRITE path fully committer-driven: `df.write.parquet
+ * ("graft://...")` works because create/rename/delete/listStatus are all
+ * safe from task and commit threads; directory listings use the
+ * reference's delimiter seek-skip so a listing costs one probe per child,
+ * not per descendant.
  *
  * Engines are found through a process-local registry
  * ([[GraftFileSystem.register]]) — the local-mode analogue of the
@@ -219,13 +219,13 @@ class GraftFileSystem extends FileSystem {
       case None =>
         if (EntryIO.firstVisibleWithPrefix(eng, ref, key + "/").isEmpty) false
         else {
-          // directory: visible children + the marker itself
-          val children = eng.list(ref, prefix = key + "/")
-            .select("key").collect().map(_.getString(0))
+          // directory: visible children + the marker itself (the reference's
+          // BulkDeleter pages DeleteObjects batches the same way)
+          val children = EntryIO.visibleUnder(eng, ref, key + "/").map(_.key)
           if (!recursive && children.exists(_ != key + "/"))
             throw new IOException(s"directory $f is not empty (recursive=false)")
           children.grouped(1000).foreach(page =>
-            stageEntries(ref, page.map(tombstone).toSeq))
+            stageEntries(ref, page.map(tombstone)))
           true
         }
     }
@@ -257,23 +257,12 @@ class GraftFileSystem extends FileSystem {
       stageEntries(refS, Seq(e.copy(key = target), tombstone(keyS)))
     } else {
       // metadata-only re-key of every visible entry under the prefix
-      val rows = eng.list(refS, prefix = keyS + "/")
-      val cols = rows.columns.toSet
-      def colOr(n: String, d: org.apache.spark.sql.Column) =
-        if (cols(n)) col(n) else d
-      val collected = rows.select(col("key"), col("identity"),
-        colOr("address", lit(null).cast("string")).as("address"),
-        colOr("size_bytes", lit(0L)).cast("long").as("size_bytes"),
-        colOr("mtime", lit(0L)).cast("long").as("mtime")).collect()
-      collected.grouped(500).foreach { page =>
-        val moves = page.flatMap { r =>
-          val k = r.getString(0)
-          val moved = EntryIO.Entry(target + "/" + k.stripPrefix(keyS + "/"),
-            Option(r.getString(1)), Option(r.getString(2)),
-            r.getLong(3), r.getLong(4))
-          Seq(moved, tombstone(k))
+      EntryIO.visibleUnder(eng, refS, keyS + "/").grouped(500).foreach { page =>
+        val moves = page.flatMap { e =>
+          Seq(e.copy(key = target + "/" + e.key.stripPrefix(keyS + "/")),
+            tombstone(e.key))
         }
-        stageEntries(refS, moves.toSeq)
+        stageEntries(refS, moves)
       }
     }
     true
@@ -287,29 +276,16 @@ class GraftFileSystem extends FileSystem {
     val st = getFileStatus(f) // throws FileNotFoundException when absent
     if (st.isFile) return Array(st)
     val prefix = if (key.isEmpty) "" else key + "/"
-    // ONE Catalyst plan: prefix-pruned visible listing + delimiter roll-up
-    // (the §3.1 pipeline); only this directory PAGE is collected
-    val listed = eng.list(ref, prefix = prefix)
-    val cols = listed.columns.toSet
-    val size = (if (cols("size_bytes")) col("size_bytes") else lit(0L)).cast("long")
-    val mt = (if (cols("mtime")) col("mtime") else lit(0L)).cast("long")
-    val rest = expr(s"substring(key, ${prefix.codePointCount(0, prefix.length) + 1})")
-    val pos = instr(rest, "/")
-    val rows = listed.select(
-        when(pos > 0, substring_index(rest, "/", 1)).otherwise(rest).as("name"),
-        (pos > 0).as("is_dir"), size.as("sz"), mt.as("mt"))
-      .where(col("name") =!= "") // the directory's own marker
-      .groupBy("name", "is_dir")
-      .agg(max("sz").as("sz"), max("mt").as("mt"))
-      .collect()
+    // Spark-free delimiter walk with the reference's seek-skip (EntryIO
+    // .listDelimited) — callable from committer/task threads too
+    val rows = EntryIO.listDelimited(eng, ref, prefix)
     // an object store can hold both `x` and `x/...`; a filesystem can list
     // one status per name — the directory wins, as in the reference
-    val byName = rows.groupBy(_.getString(0))
-    byName.toArray.sortBy(_._1).map { case (name, vs) =>
-      val v = vs.find(_.getBoolean(1)).getOrElse(vs.head)
-      if (v.getBoolean(1)) dirStatus(pathOf(ref, prefix + name))
-      else new FileStatus(v.getLong(2), false, 1, getDefaultBlockSize,
-        v.getLong(3) * 1000L, pathOf(ref, prefix + name))
+    rows.groupBy(_._1).toArray.sortBy(_._1).map { case (name, vs) =>
+      val v = vs.find(_._2).getOrElse(vs.head)
+      if (v._2) dirStatus(pathOf(ref, prefix + name))
+      else new FileStatus(v._3, false, 1, getDefaultBlockSize,
+        v._4 * 1000L, pathOf(ref, prefix + name))
     }
   }
 }

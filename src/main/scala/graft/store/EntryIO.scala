@@ -134,6 +134,16 @@ object EntryIO {
       .map(_.getPath.toString)
   }
 
+  /** The Parquet data files backing one range. A range dir may hold SEVERAL
+    * sorted files (the salted small-snapshot write) whose key intervals
+    * interleave — each file is key-sorted, the set is not, so order-sensitive
+    * readers must take a minimum across files, never "first file wins". */
+  def rangeDataFiles(conf: Configuration, path: String): Seq[String] = {
+    val p = new Path(path)
+    if (p.getFileSystem(conf).getFileStatus(p).isFile) Seq(path)
+    else epochFiles(conf, path)
+  }
+
   /** Write entries as ONE Parquet file in `dir` (an allocated epoch dir),
     * matching [[Engine.stage]]'s on-disk shape. */
   def writeStaged(conf: Configuration, dir: String, epoch: Long,
@@ -212,6 +222,121 @@ object EntryIO {
     }
     if (at < 0 || infos(at).maxKey < key) None
     else pointInFile(conf, infos(at).path, key)
+  }
+
+  /** Resolved view of a ref for the walkers below: staged overlay (sorted
+    * keys + map) and the committed manifest. */
+  private case class View(staged: Map[String, Entry], stagedKeys: Array[String],
+      infos: Seq[graft.core.Model.RangeInfo])
+
+  private def viewOf(engine: Engine, ref: String,
+      lo: Option[String], hi: Option[String]): View = {
+    val rr = engine.refs.resolveFull(ref)
+      .getOrElse(sys.error(s"unresolvable ref: $ref"))
+    val useUncommitted = rr.branch.isDefined && !rr.committedOnly
+    val staged =
+      if (useUncommitted) stagedWindow(engine, rr.branch.get, lo, hi)
+      else Map.empty[String, Entry]
+    val meta =
+      if (useUncommitted) engine.effectiveBaseMeta(rr.branch.get, rr.commit)
+      else rr.commit.metaRangeId
+    val infos = engine.snapshots.readManifest(meta).filter { ri =>
+      lo.forall(l => ri.maxKey >= l) && hi.forall(h => ri.minKey < h)
+    }
+    View(staged, staged.keys.toArray.sorted, infos)
+  }
+
+  /** First visible entry with key in [from, hi): staged non-tombstones and
+    * committed rows not masked by a staged key, in key order. */
+  private def nextVisible(conf: Configuration, v: View,
+      from: String, hi: Option[String]): Option[Entry] = {
+    // first staged candidate (tombstones mask but never surface)
+    var i = java.util.Arrays.binarySearch(v.stagedKeys.asInstanceOf[Array[AnyRef]],
+      from, null)
+    if (i < 0) i = -i - 1
+    var stagedHit: Option[Entry] = None
+    while (stagedHit.isEmpty && i < v.stagedKeys.length &&
+        hi.forall(v.stagedKeys(i) < _)) {
+      val e = v.staged(v.stagedKeys(i))
+      if (e.identity.isDefined) stagedHit = Some(e)
+      i += 1
+    }
+    // first unmasked committed candidate: ranges are disjoint and ordered,
+    // so the first range with a hit decides — but WITHIN a range the data
+    // files' key intervals interleave, so take the min across its files
+    var committedHit: Option[Entry] = None
+    val it = v.infos.iterator.filter(ri => ri.maxKey >= from)
+    while (committedHit.isEmpty && it.hasNext) {
+      val ri = it.next()
+      rangeDataFiles(conf, ri.path).foreach { file =>
+        scanFile(conf, file, Some(from), hi) { e =>
+          if (v.staged.contains(e.key)) true
+          else {
+            if (committedHit.forall(_.key > e.key)) committedHit = Some(e)
+            false // each file is key-sorted: its first unmasked row is its min
+          }
+        }
+      }
+    }
+    (stagedHit, committedHit) match {
+      case (Some(s), Some(c)) => if (s.key <= c.key) Some(s) else Some(c)
+      case (s, c)             => s.orElse(c)
+    }
+  }
+
+  /** All visible entries with key prefix `p`, key-ordered — staged overlay
+    * merged over committed, tombstones dropped. Memory is bounded by the
+    * subtree (the caller materializes it anyway). */
+  def visibleUnder(engine: Engine, ref: String, p: String): Seq[Entry] = {
+    val conf = engine.spark.sparkContext.hadoopConfiguration
+    val hi = graft.operators.Listing.upperBound(p)
+    val v = viewOf(engine, ref, Some(p), hi)
+    val out = scala.collection.mutable.ArrayBuffer[Entry]()
+    v.infos.foreach { ri =>
+      scanFile(conf, ri.path, Some(p), hi) { e =>
+        if (!v.staged.contains(e.key)) out += e
+        true
+      }
+    }
+    out ++= v.staged.valuesIterator.filter(_.identity.isDefined)
+    out.sortBy(_.key).toSeq
+  }
+
+  /** One-level delimiter listing under `p` with the reference's seek-skip
+    * (`entry_listing_iterator.go:67-92` nextWithDelimiter): after emitting a
+    * common prefix, the walk SEEKS past the whole subtree (manifest re-pruned
+    * from the bound) instead of streaming it — a directory of a million-file
+    * subdirs costs one probe per CHILD, not per descendant. Returns
+    * (childName, isDir, size, mtime) in name order. */
+  def listDelimited(engine: Engine, ref: String, p: String)
+      : Seq[(String, Boolean, Long, Long)] = {
+    val conf = engine.spark.sparkContext.hadoopConfiguration
+    val hi = graft.operators.Listing.upperBound(p)
+    val v = viewOf(engine, ref, Some(p), hi)
+    val out = scala.collection.mutable.ArrayBuffer[(String, Boolean, Long, Long)]()
+    var from = p
+    var going = true
+    while (going) {
+      nextVisible(conf, v, from, hi) match {
+        case None => going = false
+        case Some(e) =>
+          val rest = e.key.substring(p.length)
+          val slash = rest.indexOf('/')
+          if (slash < 0) {
+            if (rest.nonEmpty) out += ((rest, false, e.sizeBytes, e.mtime))
+            from = e.key + "\u0000"
+          } else {
+            val head = rest.substring(0, slash)
+            out += ((head, true, 0L, 0L))
+            // seek past the subtree
+            graft.operators.Listing.upperBound(p + head + "/") match {
+              case Some(ub) => from = ub
+              case None     => going = false
+            }
+          }
+      }
+    }
+    out.toSeq
   }
 
   /** First VISIBLE key with prefix `p` under (ref) — staged overlay masks

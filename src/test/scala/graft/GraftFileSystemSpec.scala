@@ -199,4 +199,45 @@ class GraftFileSystemSpec extends SparkSpec {
     // predicate pushdown still reaches the physical parquet scan
     assert(viaGraft.where($"id" === 4242L).count() === 1)
   }
+
+  test("df.write.parquet over graft:// — the committer drives the FS") {
+    import spark.implicits._
+    val (engine, fs, _) = fixture("gfs9")
+    val df = (1 to 2000).map(i => (i.toLong, s"w$i")).toDF("id", "v")
+    df.repartition(2).write.parquet("graft://gfs9/main/out")
+    // temp-dir churn (create/rename/delete of _temporary keys) must leave
+    // only the final files + _SUCCESS staged
+    val staged = engine.list("main", prefix = "out/")
+      .select("key").collect().map(_.getString(0)).sorted
+    assert(staged.exists(_.endsWith("_SUCCESS")))
+    assert(staged.count(_.endsWith(".parquet")) === 2)
+    assert(!staged.exists(_.contains("_temporary")))
+    val back = spark.read.parquet("graft://gfs9/main/out")
+    assert(back.count() === 2000)
+    assert(back.except(df).isEmpty && df.except(back).isEmpty)
+    // and the write survives a commit as ordinary versioned entries
+    engine.commit("main", "t", "table written through the FS")
+    assert(spark.read.parquet("graft://gfs9/main@/out").count() === 2000)
+  }
+
+  test("readStream over graft:// — a branch as a streaming file source") {
+    import spark.implicits._
+    val (engine, fs, _) = fixture("gfs10")
+    (1 to 100).map(i => (i.toLong, s"s$i")).toDF("id", "v")
+      .coalesce(1).write.parquet("graft://gfs10/main/stream")
+    val schema = spark.read.parquet("graft://gfs10/main/stream").schema
+    val q = spark.readStream.schema(schema).parquet("graft://gfs10/main/stream")
+      .groupBy().count()
+      .writeStream.format("memory").queryName("gfs10_counts")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.sql("select * from gfs10_counts").head().getLong(0) === 100)
+      // new files on the branch appear in the next micro-batch
+      (101 to 150).map(i => (i.toLong, s"s$i")).toDF("id", "v")
+        .coalesce(1).write.mode("append").parquet("graft://gfs10/main/stream")
+      q.processAllAvailable()
+      assert(spark.sql("select * from gfs10_counts").head().getLong(0) === 150)
+    } finally q.stop()
+  }
 }
