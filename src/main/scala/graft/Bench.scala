@@ -203,6 +203,31 @@ object Bench {
         }
         m3.foreach(m => timed("diff_clustered") { store.diff(m1, m).count() })
 
+        // 3b. point_get: 20 point lookups through the manifest seek + ONE
+        // direct pushed-filter parquet read (EntryIO — no Spark job, no
+        // scheduler round-trip; the metarange seek of the reference's
+        // range_manager.go:75-106) vs the same 20 keys as min/max-pruned
+        // Spark plans over the bare snapshot. This is the latency-class
+        // metric: a versioned GET must not cost a cluster job.
+        val pointKeys = base.where(col("k") % 30000 === 7)
+          .select("key").collect().map(_.getString(0)).sorted.take(20)
+        if (pointKeys.nonEmpty) {
+          timed("point_get") {
+            pointKeys.foreach { k =>
+              require(graft.store.EntryIO.committedPoint(store, m1, k).isDefined,
+                s"point_get missed $k")
+            }
+          }
+          wroteBare.foreach { _ =>
+            timed("bare_point_get") {
+              pointKeys.foreach { k =>
+                require(bareSnap.where(col("key") === k).limit(1).collect().nonEmpty,
+                  s"bare_point_get missed $k")
+              }
+            }
+          }
+        }
+
         // 4a. merge3: conflict-free three-way merge as a relational plan
         // (J3) vs the unpruned bare deltas+resolve+apply.
         timed("merge3") {

@@ -1,0 +1,24 @@
+package graft
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+object PointProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val base = graft.fixtures.Fixtures.keyedBase(spark, "/root/testdata/sf0.1").persist()
+    base.count()
+    val store = new graft.store.SnapshotStore(spark, s"target/pp_${java.util.UUID.randomUUID()}", raggedness = 50000L)
+    val (m1, infos) = store.writeSnapshot(base)
+    println("ranges=" + infos.size + " files0=" + graft.store.EntryIO.rangeDataFiles(spark.sparkContext.hadoopConfiguration, infos.head.path).size)
+    val keys = base.where(col("k") % 3000 === 7).select("key").collect().map(_.getString(0)).sorted.take(200)
+    // warm
+    keys.take(50).foreach(k => graft.store.EntryIO.committedPoint(store, m1, k))
+    val t0 = System.nanoTime()
+    keys.foreach(k => require(graft.store.EntryIO.committedPoint(store, m1, k).isDefined))
+    val dt = (System.nanoTime() - t0) / 1e6
+    println(f"200 lookups: ${dt}%.1f ms total, ${dt/200}%.3f ms each")
+    spark.stop()
+  }
+}

@@ -83,6 +83,25 @@ object EntryIO {
     optLong(g, "size_bytes").getOrElse(0L),
     optLong(g, "mtime").getOrElse(0L))
 
+  /** The entry columns the readers materialize. */
+  private val wantedFields =
+    Set("key", "identity", "address", "size_bytes", "mtime")
+
+  /** GroupReadSupport restricted to the entry columns present in the file:
+    * a point get must not decode a wide payload's every column — projection
+    * cuts the row-group decode to the 2-5 narrow fields the Entry needs. */
+  private class EntryReadSupport extends GroupReadSupport {
+    override def init(context: org.apache.parquet.hadoop.api.InitContext)
+        : org.apache.parquet.hadoop.api.ReadSupport.ReadContext = {
+      import scala.jdk.CollectionConverters._
+      val fileSchema = context.getFileSchema
+      val kept = fileSchema.getFields.asScala
+        .filter(f => wantedFields.contains(f.getName)).asJava
+      val projected = new MessageType(fileSchema.getName, kept)
+      new org.apache.parquet.hadoop.api.ReadSupport.ReadContext(projected)
+    }
+  }
+
   /** Visit entries of one Parquet file whose key lies in [lo, hi); stop when
     * `f` returns false (the file is key-sorted only for committed ranges —
     * staged files are NOT, so no early exit on key order here). Row groups
@@ -96,7 +115,7 @@ object EntryIO {
       lo.map(l => FilterApi.gtEq(keyCol, Binary.fromString(l))),
       hi.map(h => FilterApi.lt(keyCol, Binary.fromString(h)))).flatten
     val builder = ParquetReader
-      .builder(new GroupReadSupport(), new Path(file))
+      .builder(new EntryReadSupport, new Path(file))
       .withConf(conf)
     val withFilter = preds match {
       case Seq(a)    => builder.withFilter(FilterCompat.get(a))
@@ -207,13 +226,18 @@ object EntryIO {
     val meta =
       if (useUncommitted) engine.effectiveBaseMeta(rr.branch.get, rr.commit)
       else rr.commit.metaRangeId
-    committedPoint(engine, meta, key)
+    committedPoint(engine.snapshots, meta, key)
   }
 
-  private def committedPoint(engine: Engine, metaRangeId: String,
+  /** Point lookup in a committed snapshot WITHOUT any Spark job: manifest
+    * binary search (O(log ranges)) + one pushed-filter read of the matching
+    * range file — the metarange seek discipline of the reference's
+    * `sstable/range_manager.go:75-106`, and the latency class a point get
+    * should live in (milliseconds, no scheduler round-trip). */
+  def committedPoint(store: SnapshotStore, metaRangeId: String,
       key: String): Option[Entry] = {
-    val conf = engine.spark.sparkContext.hadoopConfiguration
-    val infos = engine.snapshots.readManifest(metaRangeId) // sorted by minKey
+    val conf = store.spark.sparkContext.hadoopConfiguration
+    val infos = store.readManifest(metaRangeId) // sorted by minKey
     // binary search: last range with minKey <= key
     var lo = 0; var hi = infos.length - 1; var at = -1
     while (lo <= hi) {
