@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{EventQueries, ExtendedQueries, GraphQueries, PiiQueries, TextQueries, VectorQueries, VersionControlQueries}
+import graft.queries.{CurationQueries, EventQueries, ExtendedQueries, GraphQueries, PiiQueries, TextQueries, VectorQueries, VersionControlQueries}
 
 /**
  * Driver contract (see SURVEY.md §7 and the builder prompt).
@@ -17,6 +17,7 @@ object SparkEntry {
     VersionControlQueries.defs ++
     GraphQueries.defs ++
     TextQueries.defs ++
+    CurationQueries.defs ++
     PiiQueries.defs ++
     VectorQueries.defs ++
     ExtendedQueries.defs ++

@@ -1,0 +1,100 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.fixtures.Fixtures
+import graft.functions.TextFunctions._
+
+/**
+ * Corpus-curation follow-on operators: the steps that come AFTER detection
+ * in a production dedup/quality pipeline — novelty scoring for data pruning
+ * and representative selection for dedup groups.
+ *
+ * Scale notes: both queries shuffle by derived content keys (shingle /
+ * fingerprint) and aggregate with map-side combine — no windows over
+ * unbounded partitions, no driver-side loops, no all-pairs joins.
+ */
+object CurationQueries {
+
+  type QueryFn = (SparkSession, String) => DataFrame
+
+  val defs: Map[String, (QueryFn, Option[String])] = Map(
+
+    // N-gram novelty scoring (the "how much of this document is new to the
+    // corpus" dial used for data pruning / curriculum ordering): per doc,
+    // the permille of its DISTINCT 3-token shingles whose corpus-first
+    // occurrence (min doc_id) is this document. Plan: distinct
+    // (doc_id, shingle) -> groupBy(shingle) min(doc_id) -> rejoin -> per-doc
+    // counts. Shuffles by shingle, then by doc_id; both aggregations
+    // map-side combine, so the plan is two exchanges over the shingle set
+    // at any corpus size. Docs with < 3 tokens carry no shingles and are
+    // absent from the report on both engines.
+    "td_ngram_novelty" -> (((s: SparkSession, d: String) => {
+      val sh = Fixtures.documents(s, d)
+        .select(col("doc_id"), explode(array_distinct(shingles(col("text"), 3))).as("sh"))
+      val first = sh.groupBy("sh").agg(min("doc_id").as("first_doc"))
+      sh.join(first, "sh")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+        .withColumn("novelty_pm", expr("(n_novel * 1000) div n_shingles"))
+        .orderBy("doc_id")
+    }),
+      Some("""
+        WITH docs AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+          FROM documents
+        ), sh AS (
+          SELECT doc_id,
+                 unnest(list_distinct(list_transform(
+                   generate_series(1, greatest(len(toks)-2, 0)),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS s
+          FROM docs
+        ), first AS (
+          SELECT s, min(doc_id) AS first_doc FROM sh GROUP BY s
+        )
+        SELECT sh.doc_id,
+               CAST(count(*) AS BIGINT) AS n_shingles,
+               CAST(count(*) FILTER (WHERE first.first_doc = sh.doc_id) AS BIGINT)
+                 AS n_novel,
+               CAST(count(*) FILTER (WHERE first.first_doc = sh.doc_id) * 1000
+                    // count(*) AS BIGINT) AS novelty_pm
+        FROM sh JOIN first USING (s)
+        GROUP BY sh.doc_id ORDER BY sh.doc_id""")),
+
+    // Dedup representative selection (the KEEP step after exact-dup
+    // detection): within each whitespace-normalized fingerprint group, keep
+    // the doc maximizing (n_chars, then lowest doc_id) via a single
+    // composite integer ordering key — max_by in one hash aggregation, no
+    // per-group window sort — and bill the chars the removals save.
+    // doc_id < 10^12 by construction, so the composite key
+    // n_chars*2^40 + (2^40-1-doc_id) is collision-free and
+    // overflow-free in a long for any plausible doc length.
+    "td_dedup_keep" -> (((s: SparkSession, d: String) => {
+      val fp = sha2(regexp_replace(lower(col("text")), "\\s+", " "), 256)
+      val docs = Fixtures.documents(s, d)
+        .select(col("doc_id"), fp.as("fp"), col("n_chars"))
+        .withColumn("ord",
+          col("n_chars") * lit(1L << 40) + (lit((1L << 40) - 1) - col("doc_id")))
+      docs.groupBy("fp")
+        .agg(max_by(col("doc_id"), col("ord")).as("keeper_id"),
+          count(lit(1)).as("group_size"),
+          sum("n_chars").as("total_chars"),
+          max_by(col("n_chars"), col("ord")).as("keeper_chars"))
+        .withColumn("chars_saved", col("total_chars") - col("keeper_chars"))
+        .select("fp", "keeper_id", "group_size", "chars_saved")
+        .orderBy("fp")
+    }),
+      Some("""
+        WITH f AS (
+          SELECT doc_id, n_chars,
+                 sha256(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp,
+                 n_chars * (1::BIGINT << 40) + ((1::BIGINT << 40) - 1 - doc_id) AS ord
+          FROM documents
+        )
+        SELECT fp, arg_max(doc_id, ord) AS keeper_id,
+               count(*) AS group_size,
+               CAST(sum(n_chars) - arg_max(n_chars, ord) AS BIGINT) AS chars_saved
+        FROM f GROUP BY fp ORDER BY fp"""))
+  )
+}

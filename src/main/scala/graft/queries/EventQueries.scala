@@ -648,6 +648,86 @@ object EventQueries {
                max(value_c) AS high_c, min(value_c) AS low_c,
                arg_max(value_c, tsec * 100000000 + event_id) AS close_c,
                CAST(count(*) AS BIGINT) AS n
-        FROM ev GROUP BY 1, 2 ORDER BY hour_start, event_type"""))
+        FROM ev GROUP BY 1, 2 ORDER BY hour_start, event_type""")),
+
+    // Markov transition matrix over per-user event streams (the user-
+    // behavior-model / next-event-prediction table): for each consecutive
+    // event pair within a user's timeline (ordered by ts then event_id),
+    // count (prev_type -> next_type) and the conditional permille among
+    // all transitions leaving prev_type. One user-partitioned lag window
+    // (bounded partitions: a user's own history) and two hash
+    // aggregations; the per-prev totals table is vocabulary-sized, so the
+    // rejoin broadcasts at any corpus scale.
+    "ev_markov" -> (((s: SparkSession, d: String) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val pairs = Fixtures.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("prev_type", lag("event_type", 1).over(w))
+        .where(col("prev_type").isNotNull)
+      val counts = pairs.groupBy(col("prev_type"), col("event_type").as("next_type"))
+        .agg(count(lit(1)).as("n"))
+      val totals = counts.groupBy("prev_type").agg(sum("n").as("total"))
+      counts.join(broadcast(totals), "prev_type")
+        .withColumn("cond_pm", expr("(n * 1000) div total"))
+        .select("prev_type", "next_type", "n", "cond_pm")
+        .orderBy("prev_type", "next_type")
+    }),
+      Some("""
+        WITH pairs AS (
+          SELECT lag(event_type) OVER
+                   (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)
+                 AS prev_type, event_type AS next_type
+          FROM events
+        ), counts AS (
+          SELECT prev_type, next_type, count(*) AS n
+          FROM pairs WHERE prev_type IS NOT NULL GROUP BY 1, 2
+        ), totals AS (
+          SELECT prev_type, sum(n) AS total FROM counts GROUP BY 1
+        )
+        SELECT counts.prev_type, next_type, CAST(n AS BIGINT) AS n,
+               CAST(n * 1000 // total AS BIGINT) AS cond_pm
+        FROM counts JOIN totals USING (prev_type)
+        ORDER BY prev_type, next_type""")),
+
+    // Heavy-user concentration (the Pareto / abuse-detection number): the
+    // permille of all events produced by the top ceil(1%) of users by
+    // event count (ties broken toward lower user_id via a composite
+    // integer ordering key — user counts stay far below 2^40). The top-k
+    // itself is orderBy+limit = TakeOrderedAndProject (per-partition
+    // top-k, k-row driver merge); only the two single-row aggregates and
+    // the k surviving rows ever leave the executors.
+    "ev_power_users" -> (((s: SparkSession, d: String) => {
+      val perUser = Fixtures.events(s, d).groupBy("user_id")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("ord",
+          col("n") * lit(1L << 40) + (lit((1L << 40) - 1) - col("user_id")))
+      val hdr = perUser.agg(count(lit(1)).as("u"), sum("n").as("t")).head()
+      val (nUsers, totalEvents) = (hdr.getLong(0), hdr.getLong(1))
+      val k = ((nUsers + 99) / 100).toInt
+      val top = perUser.orderBy(col("ord").desc).limit(k)
+        .agg(sum("n").as("top_events")).head().getLong(0)
+      import s.implicits._
+      Seq((nUsers, k.toLong, top, totalEvents, top * 1000 / totalEvents))
+        .toDF("n_users", "k", "top_events", "total_events", "share_pm")
+    }),
+      Some("""
+        WITH per_user AS (
+          SELECT user_id, count(*) AS n,
+                 count(*) * (1::BIGINT << 40)
+                   + ((1::BIGINT << 40) - 1 - user_id) AS ord
+          FROM events GROUP BY 1
+        ), hdr AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_users,
+                 CAST(sum(n) AS BIGINT) AS total_events,
+                 CAST((count(*) + 99) // 100 AS BIGINT) AS k
+          FROM per_user
+        ), top AS (
+          SELECT CAST(sum(n) AS BIGINT) AS top_events FROM (
+            SELECT n FROM per_user ORDER BY ord DESC
+            LIMIT (SELECT k FROM hdr))
+        )
+        SELECT n_users, k, top_events, total_events,
+               top_events * 1000 // total_events AS share_pm
+        FROM hdr, top"""))
   )
 }
