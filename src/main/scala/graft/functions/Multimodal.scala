@@ -49,6 +49,18 @@ object Multimodal {
           i => ascii(substring(decoded, i, lit(1)))))
   }
 
+  /** Ingest integrity validation (the corrupt-blob scan every media
+    * pipeline runs before decode): recompute byte length and checksum from
+    * the payload and compare against the declared metadata — a truncated
+    * or bit-flipped blob fails one or both. Pure map-side column work;
+    * a real magic-byte sniffer slots in beside the checksum the same way
+    * a codec slots into [[stubDecode]]. */
+  def validate(media: DataFrame): DataFrame = media
+    .withColumn("len_ok",
+      length(col("payload")).cast("long") === col("metadata.n_bytes"))
+    .withColumn("sum_ok", sha2(col("payload"), 256) === col("metadata.checksum"))
+    .withColumn("is_corrupt", !(col("len_ok") && col("sum_ok")))
+
   /** Aspect-preserving resize planning (the image-pipeline resize step,
     * integer-exact): fit (width, height) into a `box`² target, downscale
     * only. A real resize kernel slots in exactly like [[stubDecode]]'s

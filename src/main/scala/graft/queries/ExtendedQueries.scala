@@ -523,6 +523,47 @@ object ExtendedQueries {
                CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
                CAST(sum(width) AS DOUBLE) / count(*) AS avg_width,
                CAST(sum(height) AS DOUBLE) / count(*) AS avg_height
-        FROM m"""))
+        FROM m""")),
+
+    // Corrupt-blob scan (ingest validation before any decode): media rows
+    // carry metadata (byte length + sha256) declared at ingest; the scan
+    // recomputes both from the payload and flags mismatches. Corruption is
+    // PLANTED deterministically — every 97th media's payload loses its
+    // final character while the metadata keeps describing the original —
+    // so the flagged set is real rows on both engines, not a vacuous 0=0.
+    // Character semantics (ASCII fixture text) keep the truncation
+    // byte-exact cross-engine. Shuffle-free map-side validation.
+    "mm_corrupt_scan" -> (((s: SparkSession, d: String) => {
+      val corrupted = when(col("doc_id") % 97 === 0,
+        expr("substring(text, 1, length(text)-1)")).otherwise(col("text"))
+      val media = Fixtures.documents(s, d).select(
+        col("doc_id").as("media_id"),
+        encode(corrupted, "UTF-8").as("payload"),
+        lit("image").as("media_type"),
+        struct(
+          length(encode(col("text"), "UTF-8")).cast("long").as("n_bytes"),
+          sha2(encode(col("text"), "UTF-8"), 256).as("checksum")).as("metadata"))
+      Multimodal.validate(media)
+        .select(col("media_id"),
+          col("metadata.n_bytes").as("n_bytes_expected"),
+          length(col("payload")).cast("long").as("n_bytes_actual"),
+          col("len_ok"), col("sum_ok"), col("is_corrupt"))
+        .orderBy("media_id")
+    }),
+      Some("""
+        WITH m AS (
+          SELECT doc_id AS media_id,
+                 CASE WHEN doc_id % 97 = 0
+                      THEN substr(text, 1, length(text)-1) ELSE text END AS payload,
+                 CAST(strlen(text) AS BIGINT) AS n_bytes,
+                 sha256(text) AS checksum
+          FROM documents)
+        SELECT media_id, n_bytes AS n_bytes_expected,
+               CAST(strlen(payload) AS BIGINT) AS n_bytes_actual,
+               strlen(payload) = n_bytes AS len_ok,
+               sha256(payload) = checksum AS sum_ok,
+               NOT (strlen(payload) = n_bytes AND sha256(payload) = checksum)
+                 AS is_corrupt
+        FROM m ORDER BY media_id"""))
   )
 }

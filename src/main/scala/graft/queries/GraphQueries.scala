@@ -201,6 +201,58 @@ object GraphQueries {
           ('^2~3',187,3), ('~1^1',200,2))
         SELECT e.expr AS expr, lpad(CAST(f.i AS VARCHAR),4,'0') AS commit_id
         FROM ex e JOIN fp f ON f.start = e.start AND f.d = e.d
-        ORDER BY expr"""))
+        ORDER BY expr""")),
+
+    // Stale-branch report (repo housekeeping: the `branch show` numbers for
+    // every branch at once, plus an actionable staleness flag): per branch
+    // head, ahead/behind vs the default head (200), the head's age in
+    // seconds, and stale = fully-merged-but-not-deleted (ahead = 0,
+    // behind > 0) OR abandoned (age > 3000 s). Same in-memory DAG walk
+    // discipline as G1/G2 — commit graphs are metadata-scale — with the
+    // oracle replaying each walk as a per-branch recursive CTE.
+    "vc_stale_branches" -> (((s: SparkSession, d: String) => {
+      val g = Dag.collectGraph(commitsDf(s))
+      val main = Dag.reachable(g, id(N))
+      val tsN = 1700000000L + N * 60L
+      val heads = Seq("dev-197" -> 197, "feat-185" -> 185, "rel-150" -> 150,
+        "old-100" -> 100, "arch-50" -> 50)
+      val schema = StructType(Seq(
+        StructField("branch", StringType), StructField("head", StringType),
+        StructField("ahead", LongType), StructField("behind", LongType),
+        StructField("age_sec", LongType), StructField("stale", BooleanType)))
+      val rows = heads.map { case (b, h) =>
+        val r = Dag.reachable(g, id(h))
+        val ahead = (r -- main).size.toLong
+        val behind = (main -- r).size.toLong
+        val age = tsN - (1700000000L + h * 60L)
+        Row(b, id(h), ahead, behind, age,
+          (ahead == 0L && behind > 0L) || age > 3000L)
+      }
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1), schema)
+        .orderBy("branch")
+    }),
+      Some(s"""
+        WITH RECURSIVE $edgesSql,
+        heads(b, h) AS (VALUES ('dev-197',197), ('feat-185',185),
+          ('rel-150',150), ('old-100',100), ('arch-50',50)),
+        r AS (
+          SELECT b, h AS i FROM heads
+          UNION
+          SELECT r.b, e.p FROM r JOIN edges e ON e.i = r.i
+        ),
+        m AS (SELECT 200 AS i UNION SELECT e.p FROM m x JOIN edges e ON e.i = x.i),
+        agg AS (
+          SELECT heads.b, heads.h,
+                 (SELECT count(*) FROM r WHERE r.b = heads.b
+                    AND r.i NOT IN (SELECT i FROM m)) AS ahead,
+                 (SELECT count(*) FROM m WHERE m.i NOT IN
+                    (SELECT i FROM r WHERE r.b = heads.b)) AS behind,
+                 (200 - heads.h) * 60 AS age_sec
+          FROM heads)
+        SELECT b AS branch, lpad(CAST(h AS VARCHAR), 4, '0') AS head,
+               CAST(ahead AS BIGINT) AS ahead, CAST(behind AS BIGINT) AS behind,
+               CAST(age_sec AS BIGINT) AS age_sec,
+               (ahead = 0 AND behind > 0) OR age_sec > 3000 AS stale
+        FROM agg ORDER BY branch"""))
   )
 }

@@ -1198,6 +1198,48 @@ object VectorQueries {
           FROM q)
         SELECT vec_id, CAST(i AS INT) AS dim, ys[i+1] AS y
         FROM proj, range(0, 16) t(i)
-        ORDER BY vec_id, dim"""))
+        ORDER BY vec_id, dim""")),
+
+    // Per-cluster outlier detection (embedding QA: vectors that do not
+    // belong to their labeled cluster — mislabeled or corrupt rows). The
+    // centroid is the per-label integer SUM vector — cosine is
+    // scale-invariant, so cos(v, sum) == cos(v, mean) with every dot
+    // product exact in BIGINT. Plan: dims explode into a (label, dim)
+    // hash agg (map-side combined), centroids reassemble via a tiny
+    // sort_array(collect_list) per label and broadcast back onto the
+    // table — the big side never shuffles. The outlier flag compares the
+    // INTEGER dot's sign, not the derived double, so it cannot straddle a
+    // float rounding boundary across engines.
+    "emb_outliers" -> (((s: SparkSession, d: String) => {
+      import graft.functions.VectorFunctions._
+      val emb = Fixtures.embeddings(s, d)
+        .select(col("vec_id"), col("label"), quantize(col("embedding")).as("q"))
+      val sums = emb
+        .select(col("label"), posexplode(col("q")).as(Seq("dim0", "v")))
+        .groupBy(col("label"), (col("dim0") + 1).as("dim"))
+        .agg(sum("v").as("sv"))
+        .groupBy("label")
+        .agg(transform(sort_array(collect_list(struct(col("dim"), col("sv")))),
+          x => x.getField("sv")).as("cv"))
+      emb.join(broadcast(sums), "label")
+        .withColumn("dot", intDot(col("q"), col("cv")))
+        .select(col("vec_id"), col("label"),
+          cosine(col("q"), col("cv")).as("sim"),
+          (col("dot") < 0).as("is_outlier"))
+        .orderBy("vec_id")
+    }),
+      Some(s"""
+        WITH q AS (SELECT vec_id, label, $qvecSql AS qv FROM embeddings),
+        cent AS (
+          SELECT label, list(s ORDER BY i) AS cv FROM (
+            SELECT label, i, CAST(sum(qv[i]) AS BIGINT) AS s
+            FROM q CROSS JOIN range(1, 65) t(i)
+            GROUP BY label, i)
+          GROUP BY label
+        )
+        SELECT vec_id, q.label AS label, ${cosSql("qv", "cv")} AS sim,
+               ${dotSql("qv", "cv")} < 0 AS is_outlier
+        FROM q JOIN cent USING (label)
+        ORDER BY vec_id"""))
   )
 }
