@@ -1,0 +1,57 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Streaming count-min sketch maintenance — the incremental sibling of the
+ * batch `td_cms_counts` query (`queries/TextQueries.scala`): the same
+ * d=4 × w=512 sketch (row j's bucket = hex slice j of sha256(gram) mod w),
+ * kept live over an unbounded gram stream as a plain keyed streaming
+ * aggregation in Update mode.
+ *
+ * Why this shape scales: the sketch IS the aggregation state — at most
+ * d·w = 2048 (j, b) cells regardless of stream volume, so state never
+ * grows past a constant, no watermark is needed, and every micro-batch
+ * map-side combines into the existing cells. Probing is a broadcast join
+ * of the probe set against the current cell table with `min` over a
+ * probe's d cells (the CMS one-sided estimate) — identical arithmetic to
+ * the batch query, asserted equal in StreamCmsSpec.
+ */
+object StreamCms {
+
+  val depth = 4
+  val width = 512
+
+  /** The d (j, bucket) cells of one gram string — row j's bucket comes
+    * from hex slice [4j+1, 4j+4] of sha256(gram), exactly the batch
+    * query's derivation (one definition here, reused for probes). */
+  def cellsOf(gram: Column): Column = {
+    val hex = sha2(gram, 256)
+    array((0 until depth).map(j =>
+      struct(lit(j).as("j"),
+        (conv(substring(hex, j * 4 + 1, 4), 16, 10)
+          .cast("long") % width).as("b"))): _*)
+  }
+
+  /** Live sketch over a streaming (or static) frame with a `g` gram
+    * column: (j, b, n) cell counts. On a stream, run in Update output
+    * mode — each micro-batch revises only the touched cells. */
+  def sketch(grams: DataFrame): DataFrame =
+    grams
+      .select(explode(cellsOf(col("g"))).as("x"))
+      .select(col("x.j").as("j"), col("x.b").as("b"))
+      .groupBy("j", "b")
+      .agg(count(lit(1)).as("n"))
+
+  /** One-sided CMS estimates for a probe set against a sketch SNAPSHOT
+    * (the cell table a streaming Update sink currently holds): min over
+    * the probe's d cells, absent cells counting 0. */
+  def estimate(sketchSnapshot: DataFrame, probes: DataFrame): DataFrame =
+    probes
+      .select(col("probe"), explode(cellsOf(col("probe"))).as("x"))
+      .select(col("probe"), col("x.j").as("j"), col("x.b").as("b"))
+      .join(broadcast(sketchSnapshot), Seq("j", "b"), "left")
+      .groupBy("probe")
+      .agg(min(coalesce(col("n"), lit(0L))).cast("long").as("cms_est"))
+}

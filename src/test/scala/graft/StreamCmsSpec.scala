@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.streaming.StreamCms
+
+/** The streaming CMS cell table must equal the batch sketch over the same
+  * grams after any number of micro-batches, and probe estimates must keep
+  * the one-sided (never-underestimate) guarantee. */
+class StreamCmsSpec extends SparkSpec {
+
+  private val batch1 = Seq("table scan", "merge batch", "table scan",
+    "sort window", "hash join", "table scan")
+  private val batch2 = Seq("merge batch", "table scan", "hash join")
+
+  test("streaming CMS equals the batch sketch across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[String]
+    val q = StreamCms.sketch(mem.toDF().toDF("g")).writeStream
+      .outputMode("update").format("memory").queryName("cms_cells").start()
+    try {
+      mem.addData(batch1)
+      q.processAllAvailable()
+      mem.addData(batch2)
+      q.processAllAvailable()
+      // Update-mode memory sink appends revisions; latest row per (j, b)
+      // is the live cell — max(n) works because counts only grow.
+      val live = spark.table("cms_cells")
+        .groupBy("j", "b").agg(max("n").as("n"))
+      val expected = StreamCms.sketch((batch1 ++ batch2).toDF("g"))
+      assert(live.except(expected).isEmpty && expected.except(live).isEmpty)
+
+      // state bound: never more than depth*width cells
+      assert(live.count() <= StreamCms.depth.toLong * StreamCms.width)
+
+      // probe estimates: >= true counts (one-sided), 0 stays possible for
+      // absent probes only when no collision hits all 4 rows
+      val probes = Seq("table scan", "hash join", "zz absent").toDF("probe")
+      val est = StreamCms.estimate(live, probes)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val truth = Map("table scan" -> 4L, "hash join" -> 2L, "zz absent" -> 0L)
+      truth.foreach { case (p, t) => assert(est(p) >= t, s"underestimate for $p") }
+    } finally q.stop()
+  }
+}
