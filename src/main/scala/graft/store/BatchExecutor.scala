@@ -1,0 +1,79 @@
+package graft.store
+
+import java.util.concurrent.{CompletableFuture, Executors, TimeUnit}
+import java.util.concurrent.atomic.AtomicLong
+
+/**
+ * Keyed request batching — the reference's `pkg/batch/executor.go` shape:
+ * the FIRST request for a key opens a batch and starts a short timer;
+ * every request for the same key arriving inside the window joins the
+ * batch; when the timer fires the batch closes (later arrivals open a new
+ * one) and the first caller's thunk executes ONCE, its result (or failure)
+ * delivered to every waiter.
+ *
+ * Why it matters at scale: dereferencing hot metadata (branch heads,
+ * commit records, manifests) under concurrent load otherwise multiplies
+ * identical remote reads by the caller count — the reference batches its
+ * ref-manager and staging reads through exactly this component
+ * (`pkg/graveler/ref/manager.go`, `pkg/graveler/staging/manager.go`).
+ * Callers trade at most `delayMs` of added latency for in-window dedup.
+ *
+ * [[SnapshotStore.readManifest]] routes cache misses through a per-store
+ * instance keyed by metaRange id, so a cold manifest hit by many threads
+ * (e.g. every task of a streaming trigger resolving one branch) costs one
+ * backing read.
+ */
+class BatchExecutor(delayMs: Long = 1L) {
+
+  private val waiting =
+    new java.util.concurrent.ConcurrentHashMap[String, CompletableFuture[Any]]()
+
+  /** Executions actually run (batches closed). */
+  val executed = new AtomicLong(0)
+  /** Requests that joined an existing batch (the reference's
+    * `Tracker.Batched()` count). */
+  val joined = new AtomicLong(0)
+
+  /** Run `exec` batched under `key`: join an open batch if one exists,
+    * else open one. Blocks until the batch's single execution completes;
+    * rethrows its failure verbatim on every waiter. */
+  def batchFor[T](key: String)(exec: => T): T = {
+    val fresh = new CompletableFuture[Any]()
+    val prev = waiting.putIfAbsent(key, fresh)
+    val fut =
+      if (prev != null) { joined.incrementAndGet(); prev }
+      else {
+        BatchExecutor.timer.schedule(new Runnable {
+          override def run(): Unit = {
+            // close the batch BEFORE executing — requests arriving during
+            // the execution must not latch onto a result computed from an
+            // older view (the reference dispatches the same way)
+            waiting.remove(key, fresh)
+            executed.incrementAndGet()
+            try fresh.complete(exec)
+            catch { case t: Throwable => fresh.completeExceptionally(t) }
+          }
+        }, delayMs, TimeUnit.MILLISECONDS)
+        fresh
+      }
+    try fut.get().asInstanceOf[T]
+    catch {
+      case e: java.util.concurrent.ExecutionException => throw e.getCause
+    }
+  }
+
+  /** The skip-batch escape hatch (`SkipBatchContextKey`): execute
+    * immediately, no window, no sharing. */
+  def execNow[T](exec: => T): T = exec
+}
+
+object BatchExecutor {
+  /** One shared daemon timer thread for all executors — batch windows are
+    * milliseconds; the work itself runs on the timer thread like the
+    * reference's dispatcher goroutine runs handlers. */
+  private val timer = Executors.newSingleThreadScheduledExecutor(r => {
+    val t = new Thread(r, "graft-batch-executor")
+    t.setDaemon(true)
+    t
+  })
+}

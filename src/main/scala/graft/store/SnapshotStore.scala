@@ -335,13 +335,27 @@ class SnapshotStore(val spark: SparkSession, val repoDir: String,
             e: java.util.Map.Entry[String, Seq[RangeInfo]]): Boolean = size() > 256
       })
 
+  // Cache misses batch through a keyed window (BatchExecutor — the
+  // reference's pkg/batch executor shape): N threads cold-resolving the
+  // same manifest cost ONE backing read. NOTE batch thunks must not call
+  // batchFor again (single dispatcher thread, like the reference's Run
+  // goroutine) — this one only reads a file and touches the cache.
+  private val manifestBatcher = new BatchExecutor(delayMs = 1L)
+
   def readManifest(metaRangeId: String): Seq[RangeInfo] = {
     val cached = manifestCache.get(metaRangeId)
     if (cached != null) return cached
-    val m = SnapshotStore.readManifestFile(fs, new Path(manifestDir(metaRangeId)))
-      .sortBy(_.minKey)
-    manifestCache.put(metaRangeId, m)
-    m
+    manifestBatcher.batchFor("manifest:" + metaRangeId) {
+      // re-check inside the batch: an earlier batch may have populated it
+      val c2 = manifestCache.get(metaRangeId)
+      if (c2 != null) c2
+      else {
+        val m = SnapshotStore.readManifestFile(fs, new Path(manifestDir(metaRangeId)))
+          .sortBy(_.minKey)
+        manifestCache.put(metaRangeId, m)
+        m
+      }
+    }
   }
 
   /** Full snapshot scan (S1): union of range files; Catalyst prunes files

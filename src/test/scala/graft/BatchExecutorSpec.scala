@@ -1,0 +1,69 @@
+package graft
+
+import java.util.concurrent.{CountDownLatch, TimeUnit}
+import java.util.concurrent.atomic.AtomicInteger
+import org.scalatest.funsuite.AnyFunSuite
+import graft.store.BatchExecutor
+
+/** pkg/batch executor semantics: same-key requests inside the window share
+  * ONE execution (first caller's thunk), different keys don't, failures
+  * reach every waiter, and the window closing starts a fresh batch. */
+class BatchExecutorSpec extends AnyFunSuite {
+
+  private def concurrently[T](n: Int)(f: Int => T): Seq[T] = {
+    val start = new CountDownLatch(1)
+    val results = new Array[Any](n)
+    val threads = (0 until n).map { i =>
+      val t = new Thread(() => { start.await(); results(i) = f(i) })
+      t.start(); t
+    }
+    start.countDown()
+    threads.foreach(_.join(30000))
+    results.toSeq.map(_.asInstanceOf[T])
+  }
+
+  test("same-key concurrent requests collapse to one execution, shared result") {
+    val ex = new BatchExecutor(delayMs = 50L)
+    val runs = new AtomicInteger(0)
+    val got = concurrently(8) { _ =>
+      ex.batchFor("k") { runs.incrementAndGet(); "value" }
+    }
+    assert(runs.get() == 1)
+    assert(got.forall(_ == "value"))
+    assert(ex.executed.get() == 1L && ex.joined.get() == 7L)
+  }
+
+  test("distinct keys execute independently") {
+    val ex = new BatchExecutor(delayMs = 20L)
+    val got = concurrently(4) { i => ex.batchFor(s"k$i")(i * 10) }
+    assert(got.sorted == Seq(0, 10, 20, 30))
+    assert(ex.executed.get() == 4L && ex.joined.get() == 0L)
+  }
+
+  test("a failure propagates to every waiter in the batch") {
+    val ex = new BatchExecutor(delayMs = 50L)
+    val got = concurrently(4) { _ =>
+      try { ex.batchFor("boom") { sys.error("backing read failed") }; "ok" }
+      catch { case e: RuntimeException => e.getMessage }
+    }
+    assert(got.forall(_ == "backing read failed"))
+  }
+
+  test("after the window closes a new batch forms") {
+    val ex = new BatchExecutor(delayMs = 5L)
+    val runs = new AtomicInteger(0)
+    assert(ex.batchFor("k") { runs.incrementAndGet() } == 1)
+    // first batch done (batchFor blocks through execution), so this opens
+    // a second one
+    assert(ex.batchFor("k") { runs.incrementAndGet() } == 2)
+    assert(ex.executed.get() == 2L)
+  }
+
+  test("execNow skips batching entirely") {
+    val ex = new BatchExecutor(delayMs = 1000L)
+    val t0 = System.nanoTime()
+    assert(ex.execNow(7) == 7)
+    assert(TimeUnit.NANOSECONDS.toMillis(System.nanoTime() - t0) < 500)
+    assert(ex.executed.get() == 0L)
+  }
+}
