@@ -580,11 +580,22 @@ class Engine(val spark: SparkSession, val repoDir: String,
     * its CAS — lets specs interleave a concurrent head move. */
   private[graft] var beforeCas: () => Unit = () => ()
 
+  /** In-process writers to the same branch line up FIFO here before the
+    * CAS loop (the reference's keyed lock, `pkg/distributed/
+    * in_process_keyed_lock.go`): local contenders stop burning optimistic
+    * retries against each other; the CAS below still guards against
+    * out-of-process movers. */
+  private val branchLock = new KeyedLock
+
   /** Optimistic branch update (`retryBranchUpdate`, graveler.go:2422-2446):
     * run `attempt` against the current head; if the CAS loses, re-resolve
     * and recompute, up to [[branchUpdateMaxTries]] tries. `attempt` returns
     * the commit to install plus an on-success action. */
   private def retryingCas(branch: String, op: String)(
+      attempt: (String, CommitInfo) => (CommitInfo, () => Unit)): CommitInfo =
+    branchLock.withLock(branch) { retryingCasUnlocked(branch, op)(attempt) }
+
+  private def retryingCasUnlocked(branch: String, op: String)(
       attempt: (String, CommitInfo) => (CommitInfo, () => Unit)): CommitInfo = {
     var tries = 0
     while (true) {

@@ -1,0 +1,41 @@
+package graft.store
+
+import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.locks.ReentrantLock
+
+/**
+ * Per-key FIFO mutual exclusion — the reference's in-process keyed lock
+ * (`pkg/distributed/in_process_keyed_lock.go`): waiters for the same key
+ * are served strictly in arrival order (fair ReentrantLock), different
+ * keys never contend, and a bounded-wait acquire stands in for the
+ * reference's context cancellation.
+ *
+ * [[Engine]] serializes same-branch writes through one of these before
+ * entering the CAS retry loop: in-process contenders then line up instead
+ * of burning optimistic retries against each other, while the CAS itself
+ * still guards against out-of-process movers. Lock records are one small
+ * object per key ever touched (branch names — metadata-scale), never
+ * removed, so a lock can be held across the map's lifetime safely.
+ */
+class KeyedLock {
+
+  private val locks = new ConcurrentHashMap[String, ReentrantLock]()
+
+  private def lockFor(key: String): ReentrantLock =
+    locks.computeIfAbsent(key, _ => new ReentrantLock(true))
+
+  /** Run `f` holding `key`'s lock; FIFO among waiters. */
+  def withLock[T](key: String)(f: => T): T = {
+    val l = lockFor(key)
+    l.lock()
+    try f finally l.unlock()
+  }
+
+  /** Bounded-wait acquire (the cancellation analogue): None if the lock
+    * wasn't free within `timeoutMs`. */
+  def withLockTimeout[T](key: String, timeoutMs: Long)(f: => T): Option[T] = {
+    val l = lockFor(key)
+    if (!l.tryLock(timeoutMs, java.util.concurrent.TimeUnit.MILLISECONDS)) None
+    else try Some(f) finally l.unlock()
+  }
+}

@@ -1,0 +1,62 @@
+package graft
+
+import java.util.concurrent.CountDownLatch
+import org.scalatest.funsuite.AnyFunSuite
+import graft.store.KeyedLock
+
+/** In-process keyed lock semantics (pkg/distributed/in_process_keyed_lock):
+  * same-key mutual exclusion with FIFO fairness, independent keys, and the
+  * bounded-wait acquire. */
+class KeyedLockSpec extends AnyFunSuite {
+
+  test("same-key sections are mutually exclusive; FIFO among queued waiters") {
+    val kl = new KeyedLock
+    val order = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[Int]())
+    var inside = 0
+    var maxInside = 0
+    // hold the lock so the workers all queue up, then release and check
+    // they ran one at a time in arrival order
+    val held = new CountDownLatch(1)
+    val queued = new CountDownLatch(1)
+    val holder = new Thread(() => kl.withLock("b") { queued.countDown(); held.await() })
+    holder.start()
+    queued.await()
+    val workers = (0 until 6).map { i =>
+      val t = new Thread(() => kl.withLock("b") {
+        kl.synchronized { inside += 1; maxInside = math.max(maxInside, inside) }
+        order.add(i)
+        Thread.sleep(5)
+        kl.synchronized { inside -= 1 }
+      })
+      t.start(); Thread.sleep(20) // stagger arrivals so FIFO order is defined
+      t
+    }
+    held.countDown()
+    holder.join(10000); workers.foreach(_.join(10000))
+    assert(maxInside == 1)
+    assert(order.toArray.toSeq == (0 until 6))
+  }
+
+  test("distinct keys never contend") {
+    val kl = new KeyedLock
+    val both = new CountDownLatch(2)
+    val t1 = new Thread(() => kl.withLock("a") { both.countDown(); both.await() })
+    val t2 = new Thread(() => kl.withLock("b") { both.countDown(); both.await() })
+    t1.start(); t2.start()
+    t1.join(10000); t2.join(10000)
+    assert(!t1.isAlive && !t2.isAlive) // would deadlock if "a" blocked "b"
+  }
+
+  test("bounded-wait acquire gives up on a held key and succeeds on a free one") {
+    val kl = new KeyedLock
+    val held = new CountDownLatch(1)
+    val inLock = new CountDownLatch(1)
+    val t = new Thread(() => kl.withLock("k") { inLock.countDown(); held.await() })
+    t.start(); inLock.await()
+    assert(kl.withLockTimeout("k", 50L)(1) === None)
+    assert(kl.withLockTimeout("free", 50L)(2) === Some(2))
+    held.countDown(); t.join(10000)
+    assert(kl.withLockTimeout("k", 1000L)(3) === Some(3))
+  }
+}

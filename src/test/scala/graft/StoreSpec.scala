@@ -959,4 +959,29 @@ class StoreSpec extends SparkSpec {
     new SnapshotStore(spark, dir, 100).writeSnapshot(rows(10, salt = "junk"))
     assert(eng.gcMark().count() > 0)
   }
+
+  test("concurrent same-branch commits serialize through the keyed lock") {
+    val dir = tmpDir("lockcas")
+    val eng = new Engine(spark, dir, raggedness = 100)
+    eng.init("main", Some(rows(50)))
+    val before = eng.log("main").length
+    // 12 > branchUpdateMaxTries empty commits racing on one branch: the
+    // per-branch FIFO lock serializes them, so none can exhaust the CAS
+    // retry budget against its siblings
+    val errors = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[Throwable]())
+    val start = new java.util.concurrent.CountDownLatch(1)
+    val threads = (0 until 12).map { i =>
+      val t = new Thread(() => {
+        start.await()
+        try eng.commit("main", s"t$i", s"empty $i", allowEmpty = true)
+        catch { case e: Throwable => errors.add(e) }
+      })
+      t.start(); t
+    }
+    start.countDown()
+    threads.foreach(_.join(60000))
+    assert(errors.isEmpty, s"concurrent commits failed: ${errors}")
+    assert(eng.log("main").length === before + 12)
+  }
 }
