@@ -95,6 +95,51 @@ object CurationQueries {
         SELECT fp, arg_max(doc_id, ord) AS keeper_id,
                count(*) AS group_size,
                CAST(sum(n_chars) - arg_max(n_chars, ord) AS BIGINT) AS chars_saved
-        FROM f GROUP BY fp ORDER BY fp"""))
+        FROM f GROUP BY fp ORDER BY fp""")),
+
+    // Cross-language duplicate audit (label QA: the same normalized text
+    // carrying different `lang` labels means at least one label is wrong —
+    // a real failure mode of language-ID'd web corpora, and exactly the
+    // rows a per-language dedup pass would silently miss). One fingerprint
+    // groupBy; the distinct-lang count and the per-language memberships
+    // aggregate in the same pass (collect_set is bounded by the language
+    // vocabulary, not the corpus). The fixture has no exact dups, so
+    // mislabeled copies are PLANTED deterministically (every 83rd doc
+    // re-enters at doc_id+100000 under lang 'xx') — the flagged groups
+    // are real rows on both engines, not a vacuous empty match.
+    "td_cross_lang_dups" -> (((s: SparkSession, d: String) => {
+      val fp = sha2(regexp_replace(lower(col("text")), "\\s+", " "), 256)
+      val docs = Fixtures.documents(s, d)
+        .select(col("doc_id"), fp.as("fp"), col("lang"))
+      val planted = Fixtures.documents(s, d)
+        .where(col("doc_id") % 83 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"), fp.as("fp"),
+          lit("xx").as("lang"))
+      docs.unionByName(planted)
+        .groupBy("fp")
+        .agg(count(lit(1)).as("group_size"),
+          countDistinct("lang").cast("long").as("n_langs"),
+          min("doc_id").as("first_doc"),
+          concat_ws(",", array_sort(collect_set(col("lang")))).as("langs"))
+        .where(col("group_size") >= 2 && col("n_langs") >= 2)
+        .orderBy("fp")
+    }),
+      Some("""
+        WITH f0 AS (
+          SELECT doc_id, lang,
+                 sha256(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
+          FROM documents
+        ), f AS (
+          SELECT doc_id, lang, fp FROM f0
+          UNION ALL
+          SELECT doc_id + 100000, 'xx', fp FROM f0 WHERE doc_id % 83 = 0
+        )
+        SELECT fp, count(*) AS group_size,
+               CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+               min(doc_id) AS first_doc,
+               array_to_string(list_sort(list_distinct(list(lang))), ',') AS langs
+        FROM f GROUP BY fp
+        HAVING count(*) >= 2 AND count(DISTINCT lang) >= 2
+        ORDER BY fp"""))
   )
 }

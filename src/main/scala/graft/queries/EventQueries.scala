@@ -728,6 +728,37 @@ object EventQueries {
         )
         SELECT n_users, k, top_events, total_events,
                top_events * 1000 // total_events AS share_pm
-        FROM hdr, top"""))
+        FROM hdr, top""")),
+
+    // Bot-traffic detection (the clean-before-train filter for behavioral
+    // data): a user is bot-like when their sustained rate — events per
+    // ACTIVE minute (minutes with >= 1 event) — is superhuman. Integer
+    // cross-multiplied threshold (events > 3 * active_minutes, i.e. rate
+    // > 3/min) with a minimum-volume guard (>= 30 events) so tiny
+    // accounts can't trip the ratio. Two hash aggregations, both map-side
+    // combined; per-user minute counting shuffles by (user, minute) once.
+    "ev_bot_detect" -> (((s: SparkSession, d: String) => {
+      val ev = Fixtures.events(s, d)
+        .select(col("user_id"), expr("ts div 60000000000").as("minute"))
+      val perMin = ev.groupBy("user_id", "minute").agg(count(lit(1)).as("n"))
+      perMin.groupBy("user_id")
+        .agg(sum("n").as("n_events"),
+          count(lit(1)).as("active_minutes"),
+          max("n").as("peak_minute"))
+        .withColumn("is_bot",
+          col("n_events") >= 30 && col("n_events") > col("active_minutes") * 3)
+        .orderBy("user_id")
+    }),
+      Some("""
+        WITH pm AS (
+          SELECT user_id, epoch_ns(ts) // 60000000000 AS minute,
+                 count(*) AS n
+          FROM events GROUP BY 1, 2
+        )
+        SELECT user_id, CAST(sum(n) AS BIGINT) AS n_events,
+               CAST(count(*) AS BIGINT) AS active_minutes,
+               CAST(max(n) AS BIGINT) AS peak_minute,
+               sum(n) >= 30 AND sum(n) > count(*) * 3 AS is_bot
+        FROM pm GROUP BY user_id ORDER BY user_id"""))
   )
 }

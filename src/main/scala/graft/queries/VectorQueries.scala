@@ -1240,6 +1240,69 @@ object VectorQueries {
         SELECT vec_id, q.label AS label, ${cosSql("qv", "cv")} AS sim,
                ${dotSql("qv", "cv")} < 0 AS is_outlier
         FROM q JOIN cent USING (label)
-        ORDER BY vec_id"""))
+        ORDER BY vec_id""")),
+
+    // Cluster-quality report (the eval behind emb_outliers: is each label
+    // a coherent, distinct cluster?): per label, cohesion as the permille
+    // of members whose INTEGER dot with their centroid sum-vector is
+    // positive (exact — no float sums cross partitions, so no
+    // order-dependent double accumulation), and distinctiveness as the
+    // single cosine between the label centroid and the corpus centroid
+    // (one double per label, derived from exact integer dots). Same
+    // broadcast-centroid plan shape as emb_outliers.
+    "emb_cluster_quality" -> (((s: SparkSession, d: String) => {
+      import graft.functions.VectorFunctions._
+      val emb = Fixtures.embeddings(s, d)
+        .select(col("vec_id"), col("label"), quantize(col("embedding")).as("q"))
+      val sums = emb
+        .select(col("label"), posexplode(col("q")).as(Seq("dim0", "v")))
+        .groupBy(col("label"), (col("dim0") + 1).as("dim"))
+        .agg(sum("v").as("sv"))
+        .groupBy("label")
+        .agg(transform(sort_array(collect_list(struct(col("dim"), col("sv")))),
+          x => x.getField("sv")).as("cv"))
+      val global = sums
+        .select(posexplode(col("cv")).as(Seq("dim0", "v")))
+        .groupBy((col("dim0") + 1).as("dim"))
+        .agg(sum("v").as("gv"))
+        .agg(transform(sort_array(collect_list(struct(col("dim"), col("gv")))),
+          x => x.getField("gv")).as("g"))
+      emb.join(broadcast(sums), "label")
+        .withColumn("pos", (intDot(col("q"), col("cv")) > 0).cast("long"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n"), sum("pos").as("pos_dot_members"),
+          first("cv").as("cv"))
+        .withColumn("cohesion_pm", expr("(pos_dot_members * 1000) div n"))
+        .crossJoin(broadcast(global))
+        .withColumn("sim_to_global", cosine(col("cv"), col("g")))
+        .select("label", "n", "pos_dot_members", "cohesion_pm", "sim_to_global")
+        .orderBy("label")
+    }),
+      Some(s"""
+        WITH q AS (SELECT vec_id, label, $qvecSql AS qv FROM embeddings),
+        cent AS (
+          SELECT label, list(s ORDER BY i) AS cv FROM (
+            SELECT label, i, CAST(sum(qv[i]) AS BIGINT) AS s
+            FROM q CROSS JOIN range(1, 65) t(i)
+            GROUP BY label, i)
+          GROUP BY label
+        ),
+        gcent AS (
+          SELECT list(s ORDER BY i) AS g FROM (
+            SELECT i, CAST(sum(cv[i]) AS BIGINT) AS s
+            FROM cent CROSS JOIN range(1, 65) t(i)
+            GROUP BY i)
+        ),
+        mem AS (
+          SELECT q.label, count(*) AS n,
+                 CAST(count(*) FILTER (WHERE ${dotSql("qv", "cv")} > 0) AS BIGINT)
+                   AS pos_dot_members
+          FROM q JOIN cent USING (label) GROUP BY q.label
+        )
+        SELECT mem.label AS label, CAST(n AS BIGINT) AS n, pos_dot_members,
+               CAST(pos_dot_members * 1000 // n AS BIGINT) AS cohesion_pm,
+               ${cosSql("cv", "g")} AS sim_to_global
+        FROM mem JOIN cent USING (label) CROSS JOIN gcent
+        ORDER BY label"""))
   )
 }
