@@ -1,0 +1,149 @@
+package graft.operators
+
+import scala.collection.mutable
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.databind.node.ObjectNode
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.types._
+import graft.store.{Engine, EntryIO}
+
+/**
+ * Delta-table transaction-log operators over a versioned repository — the
+ * table-format surface the reference serves through its Delta catalog
+ * export hooks (`pkg/actions/lua/formats/delta.go` builds the per-ref
+ * version→actions log; the catalogexport delta exporter writes a mirrored
+ * `_delta_log` whose logical `add`/`remove` paths are replaced by resolved
+ * physical addresses so external readers see the table without the repo in
+ * the path).
+ *
+ * A Delta table inside a repo is entries under `{table}/_delta_log/` (one
+ * JSON file per version, 20-digit zero-padded) plus the data files the log
+ * references. Log directories are bounded (versions, not data), so per-
+ * table work is a driver loop over small JSON files — the same shape as
+ * the reference's delta-go log build; a many-table export parallelizes per
+ * table above this operator.
+ */
+object DeltaLog {
+
+  private val mapper = new ObjectMapper()
+
+  final case class LogFile(version: Long, key: String, address: String)
+  final case class VersionInfo(version: Long, operation: String,
+      nAdds: Long, nRemoves: Long)
+
+  private val versionRe = """^(\d{20})\.json$""".r
+
+  /** The table's commit-log files under `ref`, version order. */
+  def logFiles(engine: Engine, ref: String, tablePrefix: String): Seq[LogFile] = {
+    val dir = s"$tablePrefix/_delta_log/"
+    engine.list(ref, prefix = dir).select("key", "address").collect().toSeq
+      .flatMap { r =>
+        val key = r.getString(0)
+        key.stripPrefix(dir) match {
+          case versionRe(v) => Some(LogFile(v.toLong, key, r.getString(1)))
+          case _ => None // checkpoints, CRCs, _last_checkpoint
+        }
+      }.sortBy(_.version)
+  }
+
+  private def absolute(engine: Engine, address: String): String =
+    if (address.contains("://") || address.startsWith("/")) address
+    else s"${engine.repoDir}/$address"
+
+  private def readContent(engine: Engine, address: String): String = {
+    val p = new Path(absolute(engine, address))
+    val fs = p.getFileSystem(engine.spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    try {
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      new String(out.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+    } finally in.close()
+  }
+
+  private def parseVersion(engine: Engine, lf: LogFile): VersionInfo = {
+    var op = ""; var adds = 0L; var removes = 0L
+    readContent(engine, lf.address).split('\n').filter(_.nonEmpty).foreach { line =>
+      val node = mapper.readTree(line)
+      if (node.has("commitInfo") && node.get("commitInfo").has("operation"))
+        op = node.get("commitInfo").get("operation").asText()
+      if (node.has("add")) adds += 1
+      if (node.has("remove")) removes += 1
+    }
+    VersionInfo(lf.version, op, adds, removes)
+  }
+
+  private val versionSchema = StructType(Seq(
+    StructField("version", LongType), StructField("operation", StringType),
+    StructField("n_adds", LongType), StructField("n_removes", LongType)))
+
+  /** The table's version history under one ref. */
+  def tableLog(engine: Engine, ref: String, tablePrefix: String): DataFrame = {
+    val rows = logFiles(engine, ref, tablePrefix).map { lf =>
+      val v = parseVersion(engine, lf)
+      Row(v.version, v.operation, v.nAdds, v.nRemoves)
+    }
+    engine.spark.createDataFrame(
+      engine.spark.sparkContext.parallelize(rows, 1), versionSchema)
+  }
+
+  /** Table diff between two refs (the "otf diff" view): versions present
+    * on `rightRef` but not on `leftRef`, with each new version's operation
+    * and add/remove counts. Works on log KEYS first (no content read for
+    * shared versions), then parses only the new versions' files. */
+  def tableDiff(engine: Engine, leftRef: String, rightRef: String,
+      tablePrefix: String): DataFrame = {
+    val leftVersions = logFiles(engine, leftRef, tablePrefix).map(_.version).toSet
+    val rows = logFiles(engine, rightRef, tablePrefix)
+      .filterNot(lf => leftVersions.contains(lf.version))
+      .map { lf =>
+        val v = parseVersion(engine, lf)
+        Row(v.version, v.operation, v.nAdds, v.nRemoves)
+      }
+    engine.spark.createDataFrame(
+      engine.spark.sparkContext.parallelize(rows, 1), versionSchema)
+  }
+
+  /** Mirror the table's `_delta_log` to `destDir`, rewriting every
+    * `add.path` / `remove.path` to the entry's resolved ABSOLUTE physical
+    * address under `ref` (removed files may no longer resolve — their
+    * logical path is kept, matching an exporter that only guarantees live
+    * data). Returns the per-version report. */
+  def exportLog(engine: Engine, ref: String, tablePrefix: String,
+      destDir: String): DataFrame = {
+    val conf = engine.spark.sparkContext.hadoopConfiguration
+    val destLog = new Path(s"$destDir/_delta_log")
+    val fs: FileSystem = destLog.getFileSystem(conf)
+    fs.mkdirs(destLog)
+    val rows = mutable.ArrayBuffer[Row]()
+    logFiles(engine, ref, tablePrefix).foreach { lf =>
+      var op = ""; var adds = 0L; var removes = 0L
+      val rewritten = readContent(engine, lf.address).split('\n')
+        .filter(_.nonEmpty).map { line =>
+          val node = mapper.readTree(line).asInstanceOf[ObjectNode]
+          if (node.has("commitInfo") && node.get("commitInfo").has("operation"))
+            op = node.get("commitInfo").get("operation").asText()
+          def rewrite(action: String): Unit = {
+            val a = node.get(action).asInstanceOf[ObjectNode]
+            val logical = a.get("path").asText()
+            EntryIO.pointGet(engine, ref, s"$tablePrefix/$logical")
+              .flatMap(_.address.filter(_.nonEmpty))
+              .foreach(addr => a.put("path", absolute(engine, addr)))
+          }
+          if (node.has("add")) { adds += 1; rewrite("add") }
+          if (node.has("remove")) { removes += 1; rewrite("remove") }
+          mapper.writeValueAsString(node)
+        }.mkString("", "\n", "\n")
+      val outPath = new Path(destLog, f"${lf.version}%020d.json")
+      val out = fs.create(outPath, true)
+      try out.write(rewritten.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      rows += Row(lf.version, op, adds, removes)
+    }
+    engine.spark.createDataFrame(
+      engine.spark.sparkContext.parallelize(rows.toSeq, 1), versionSchema)
+  }
+}

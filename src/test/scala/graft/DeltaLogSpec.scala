@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+import graft.operators.DeltaLog
+import graft.store.Engine
+
+/** Delta-log operators over a live repo: version listing, cross-ref table
+  * diff, and the mirrored export with physical-address rewriting. */
+class DeltaLogSpec extends SparkSpec {
+
+  private def writeBlob(eng: Engine, rel: String, content: String): Unit = {
+    val p = new Path(s"${eng.repoDir}/$rel")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(content.getBytes("UTF-8")) finally out.close()
+  }
+
+  private def stageFile(eng: Engine, branch: String, key: String,
+      addr: String, content: String): Unit = {
+    import spark.implicits._
+    writeBlob(eng, addr, content)
+    eng.stage(branch, Seq((key, s"id-$key", addr, content.length.toLong))
+      .toDF("key", "identity", "address", "size_bytes"))
+  }
+
+  private val t = "tables/t1"
+  private val v0 =
+    """{"metaData":{"id":"t1","schemaString":"{}"}}
+      |{"add":{"path":"part-0.parquet","size":10}}
+      |""".stripMargin
+  private val v1 =
+    """{"commitInfo":{"operation":"WRITE"}}
+      |{"add":{"path":"part-1.parquet","size":20}}
+      |{"remove":{"path":"part-0.parquet"}}
+      |""".stripMargin
+
+  private def repoWithTable(name: String): Engine = {
+    import spark.implicits._
+    val eng = new Engine(spark, tmpDir(name), raggedness = 100)
+    eng.init("main", Some(Seq(("seed", "s", "", 0L))
+      .toDF("key", "identity", "address", "size_bytes")))
+    stageFile(eng, "main", s"$t/part-0.parquet", "blobs/p0", "DATA0")
+    stageFile(eng, "main", s"$t/_delta_log/" + "0" * 20 + ".json", "blobs/l0", v0)
+    eng.commit("main", "u", "table v0")
+    eng.createBranch("dev", "main")
+    stageFile(eng, "dev", s"$t/part-1.parquet", "blobs/p1", "DATA1")
+    stageFile(eng, "dev", s"$t/_delta_log/" + "0" * 19 + "1.json", "blobs/l1", v1)
+    eng.commit("dev", "u", "table v1")
+    eng
+  }
+
+  test("tableLog lists versions with operations and action counts") {
+    val eng = repoWithTable("dlog1")
+    val log = DeltaLog.tableLog(eng, "dev", t).orderBy("version").collect()
+    assert(log.map(_.getLong(0)).toSeq === Seq(0L, 1L))
+    assert(log(0).getString(1) === "" && log(0).getLong(2) === 1L)
+    assert(log(1).getString(1) === "WRITE" &&
+      log(1).getLong(2) === 1L && log(1).getLong(3) === 1L)
+    // main never saw v1
+    assert(DeltaLog.tableLog(eng, "main", t).count() === 1L)
+  }
+
+  test("tableDiff reports only the versions new on the right ref") {
+    val eng = repoWithTable("dlog2")
+    val d = DeltaLog.tableDiff(eng, "main", "dev", t).collect()
+    assert(d.length === 1)
+    assert(d(0).getLong(0) === 1L && d(0).getString(1) === "WRITE")
+    assert(DeltaLog.tableDiff(eng, "dev", "dev", t).count() === 0L)
+  }
+
+  test("exportLog mirrors the log with physical addresses in add paths") {
+    val eng = repoWithTable("dlog3")
+    val dest = tmpDir("dlogout")
+    val report = DeltaLog.exportLog(eng, "dev", t, dest)
+      .orderBy("version").collect()
+    assert(report.map(_.getLong(0)).toSeq === Seq(0L, 1L))
+    val fs = new Path(dest).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def read(name: String): String = {
+      val in = fs.open(new Path(s"$dest/_delta_log/$name"))
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    }
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    val v1Lines = read("0" * 19 + "1.json").split('\n').filter(_.nonEmpty)
+    val addPath = v1Lines.map(m.readTree).find(_.has("add")).get
+      .get("add").get("path").asText()
+    // live file rewrites to its resolved absolute physical address
+    assert(addPath === s"${eng.repoDir}/blobs/p1")
+    // the removed file still resolves on dev's v1 view? it was deleted from
+    // the table, not the repo — it rewrites too (entry still present)
+    val rmPath = v1Lines.map(m.readTree).find(_.has("remove")).get
+      .get("remove").get("path").asText()
+    assert(rmPath === s"${eng.repoDir}/blobs/p0")
+  }
+}
