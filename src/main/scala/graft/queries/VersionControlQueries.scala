@@ -1826,6 +1826,55 @@ object VersionControlQueries {
     }),
       Some("""
         SELECT 'c6' AS first_bad, CAST(5 AS BIGINT) AS n_evals,
-               CAST(1 AS BIGINT) AS found"""))
+               CAST(1 AS BIGINT) AS found""")),
+
+    // Delta transaction-log diff across refs (operators.DeltaLog — the
+    // "otf diff" view): a table with versions 0-2 on main and 3-5 only on
+    // dev, each version's log file a real JSON blob (version i: WRITE with
+    // i+1 adds and i removes; v0 is the create, no commitInfo). The diff
+    // lists log KEYS first — shared versions cost no content read — then
+    // parses only the three new versions. Oracle: the construction rule as
+    // range arithmetic.
+    "vc_delta_diff" -> (((s: SparkSession, d: String) => {
+      import s.implicits._
+      val dir = s"target/vc_delta_repo_${math.abs(d.hashCode)}"
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(dir), s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+      val eng = new graft.store.Engine(s, dir, raggedness = 5000)
+      eng.init("main", Some(Seq(("seed", "s", "", 0L))
+        .toDF("key", "identity", "address", "size_bytes")))
+      val t = "tables/t1"
+      def logContent(v: Int): String = {
+        val header =
+          if (v == 0) """{"metaData":{"id":"t1","schemaString":"{}"}}"""
+          else s"""{"commitInfo":{"operation":"WRITE"}}"""
+        val adds = (0 to v).map(j =>
+          s"""{"add":{"path":"part-$v-$j.parquet","size":${10 * (j + 1)}}}""")
+        val removes = (0 until v).map(j =>
+          s"""{"remove":{"path":"part-${v - 1}-$j.parquet"}}""")
+        (header +: (adds ++ removes)).mkString("", "\n", "\n")
+      }
+      def putVersion(branch: String, v: Int): Unit = {
+        val addr = s"blobs/delta-l$v"
+        val content = logContent(v)
+        val p = new org.apache.hadoop.fs.Path(s"$dir/$addr")
+        val out = fs.create(p, true)
+        try out.write(content.getBytes("UTF-8")) finally out.close()
+        eng.stage(branch, Seq((f"$t/_delta_log/$v%020d.json", s"lid$v", addr,
+          content.length.toLong)).toDF("key", "identity", "address", "size_bytes"))
+        eng.commit(branch, "driver", s"table v$v")
+      }
+      (0 to 2).foreach(putVersion("main", _))
+      eng.createBranch("dev", "main")
+      (3 to 5).foreach(putVersion("dev", _))
+      graft.operators.DeltaLog.tableDiff(eng, "main", "dev", t)
+        .select(col("version"), col("operation"), col("n_adds"), col("n_removes"))
+        .orderBy("version")
+    }),
+      Some("""
+        SELECT CAST(i AS BIGINT) AS version, 'WRITE' AS operation,
+               CAST(i + 1 AS BIGINT) AS n_adds, CAST(i AS BIGINT) AS n_removes
+        FROM range(3, 6) t(i) ORDER BY version"""))
   )
 }
