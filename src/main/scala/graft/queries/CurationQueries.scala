@@ -140,6 +140,60 @@ object CurationQueries {
                array_to_string(list_sort(list_distinct(list(lang))), ',') AS langs
         FROM f GROUP BY fp
         HAVING count(*) >= 2 AND count(DISTINCT lang) >= 2
-        ORDER BY fp"""))
+        ORDER BY fp""")),
+
+    // Vocabulary growth curve (Heaps'-law profile: how fast new token
+    // types appear as the corpus grows — the saturation signal behind
+    // "is more data still adding vocabulary?"): docs bucket into 10
+    // uniform doc_id deciles, each reporting its token occurrences, the
+    // types FIRST seen there (min decile per type), and the cumulative
+    // vocabulary. Two hash aggregations shuffled by token; the final
+    // cumulative sum folds 10 rows on the driver — no unbounded window
+    // anywhere.
+    "td_vocab_growth" -> (((s: SparkSession, d: String) => {
+      import s.implicits._
+      val docs = Fixtures.documents(s, d)
+      val b = docs.agg(min("doc_id"), max("doc_id")).head()
+      val (mn, mx) = (b.getLong(0), b.getLong(1))
+      val span = math.max(1L, mx - mn + 1)
+      val tok = docs
+        .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+        .withColumn("dec",
+          expr(s"least(9L, ((doc_id - ${mn}L) * 10) div ${span}L)"))
+      val occ = tok.groupBy("dec").agg(count(lit(1)).as("n_tokens"))
+      val newTypes = tok.groupBy("t").agg(min("dec").as("dec"))
+        .groupBy("dec").agg(count(lit(1)).as("new_types"))
+      val rows = occ.join(newTypes, Seq("dec"), "left")
+        .select(col("dec"), col("n_tokens"),
+          coalesce(col("new_types"), lit(0L)).as("new_types"))
+        .orderBy("dec").collect()
+      var cum = 0L
+      rows.toSeq.map { r =>
+        cum += r.getLong(2)
+        (r.getLong(0), r.getLong(1), r.getLong(2), cum)
+      }.toDF("decile", "n_tokens", "new_types", "cum_types")
+    }),
+      Some("""
+        WITH docs AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+          FROM documents
+        ), bounds AS (
+          SELECT min(doc_id) AS mn, greatest(max(doc_id) - min(doc_id) + 1, 1) AS span
+          FROM docs
+        ), tokb AS (
+          SELECT least(9, (doc_id - mn) * 10 // span) AS dec, unnest(toks) AS t
+          FROM docs, bounds
+        ), occ AS (
+          SELECT dec, CAST(count(*) AS BIGINT) AS n_tokens FROM tokb GROUP BY dec
+        ), newt AS (
+          SELECT dec, CAST(count(*) AS BIGINT) AS new_types FROM (
+            SELECT t, min(dec) AS dec FROM tokb GROUP BY t) GROUP BY dec
+        )
+        SELECT occ.dec AS decile, n_tokens,
+               coalesce(new_types, 0) AS new_types,
+               CAST(sum(coalesce(new_types, 0))
+                    OVER (ORDER BY occ.dec) AS BIGINT) AS cum_types
+        FROM occ LEFT JOIN newt ON occ.dec = newt.dec
+        ORDER BY decile"""))
   )
 }

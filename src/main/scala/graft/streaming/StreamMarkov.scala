@@ -1,0 +1,59 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/**
+ * Streaming event-transition extraction — the incremental form of the batch
+ * `ev_markov` query (`queries/EventQueries.scala`): every consecutive
+ * (prev_type → next_type) pair within a user's timeline, emitted as events
+ * arrive. Downstream, the transition matrix is a plain streaming
+ * aggregation over the emitted pairs (state bounded by the event-type
+ * vocabulary squared, like [[StreamCms]]'s cell table).
+ *
+ * State per user is ONE tuple — the last event seen — in
+ * `flatMapGroupsWithState`: a lag window needs the whole partition ordered,
+ * but the incremental lag only ever needs its predecessor, which is the
+ * exact shape mapGroupsWithState state is for. Within a micro-batch a
+ * user's events fold in (ts, event_id) order; across batches the carried
+ * tuple seeds the first pair, so batch boundaries never lose a transition.
+ * Same in-order-ingest contract as [[StreamAsof]]; the batch pass is the
+ * late-data reconciliation.
+ *
+ * Scale: state shards by user_id, O(1) per user; no join, no buffering.
+ */
+object StreamMarkov {
+
+  case class Ev(user_id: Long, event_id: Long, ts: Long, event_type: String)
+  case class Last(ts: Long, event_id: Long, event_type: String)
+  case class Transition(user_id: Long, prev_type: String, next_type: String)
+
+  /** Input columns: (user_id, event_id, ts, event_type). Emits one row per
+    * consecutive same-user pair, matching the batch lag window on in-order
+    * streams. */
+  def transitions(events: DataFrame): Dataset[Transition] = {
+    import events.sparkSession.implicits._
+    events.select(col("user_id").cast("long"), col("event_id").cast("long"),
+        col("ts").cast("long"), col("event_type"))
+      .as[Ev]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (uid: Long, it: Iterator[Ev], state: GroupState[Last]) => {
+          val evs = it.toSeq.sortBy(e => (e.ts, e.event_id))
+          var last = state.getOption
+          val out = scala.collection.mutable.ArrayBuffer[Transition]()
+          evs.foreach { e =>
+            last.foreach(l => out += Transition(uid, l.event_type, e.event_type))
+            last = Some(Last(e.ts, e.event_id, e.event_type))
+          }
+          last.foreach(state.update)
+          out.iterator
+        })
+  }
+
+  /** The live transition matrix over the emitted pairs: (prev, next, n) in
+    * Update mode — vocabulary²-bounded state. */
+  def matrix(transitions: Dataset[Transition]): DataFrame =
+    transitions.groupBy("prev_type", "next_type").agg(count(lit(1)).as("n"))
+}

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.streaming.StreamMarkov
+
+/** The streaming transition fold must agree with the batch lag window on
+  * the same events, including pairs straddling a micro-batch boundary. */
+class StreamMarkovSpec extends SparkSpec {
+
+  // (user_id, event_id, ts, event_type); user 1's batch-2 head pairs with
+  // its batch-1 tail, user 2 lives in one batch, user 3 has one event
+  // (no transition)
+  private val batch1 = Seq(
+    (1L, 10L, 100L, "view"), (1L, 11L, 160L, "click"),
+    (2L, 20L, 100L, "view"), (2L, 21L, 130L, "view"),
+    (3L, 30L, 100L, "purchase"))
+  private val batch2 = Seq(
+    (1L, 12L, 200L, "purchase"), (2L, 22L, 210L, "click"))
+
+  private def batchPairs(rows: Seq[(Long, Long, Long, String)]) = {
+    import spark.implicits._
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    rows.toDF("user_id", "event_id", "ts", "event_type")
+      .withColumn("prev_type", lag("event_type", 1).over(w))
+      .where(col("prev_type").isNotNull)
+      .select("user_id", "prev_type", "event_type")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .groupBy(identity).view.mapValues(_.size).toMap
+  }
+
+  test("streaming transitions equal the batch lag window across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, Long, String)]
+    val in = mem.toDF().toDF("user_id", "event_id", "ts", "event_type")
+    val q = StreamMarkov.transitions(in).writeStream
+      .outputMode("append").format("memory").queryName("markov_out").start()
+    try {
+      mem.addData(batch1)
+      q.processAllAvailable()
+      mem.addData(batch2)
+      q.processAllAvailable()
+      val got = spark.table("markov_out")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+        .groupBy(identity).view.mapValues(_.size).toMap
+      assert(got === batchPairs(batch1 ++ batch2))
+      // the boundary-straddling pair exists: user 1 click->purchase
+      assert(got.contains((1L, "click", "purchase")))
+      // single-event user emits nothing
+      assert(!got.keys.exists(_._1 == 3L))
+    } finally q.stop()
+  }
+}
