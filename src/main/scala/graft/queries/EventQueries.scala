@@ -759,6 +759,76 @@ object EventQueries {
                CAST(count(*) AS BIGINT) AS active_minutes,
                CAST(max(n) AS BIGINT) AS peak_minute,
                sum(n) >= 30 AND sum(n) > count(*) * 3 AS is_bot
-        FROM pm GROUP BY user_id ORDER BY user_id"""))
+        FROM pm GROUP BY user_id ORDER BY user_id""")),
+
+    // Markov predictor evaluation (does ev_markov's transition table
+    // actually predict?): transitions split by the NEXT event's timestamp
+    // at the corpus midpoint — train on the first half, predict
+    // argmax-next per prev_type (max count, lexicographically-smallest
+    // tiebreak via a max+rejoin, no per-group sort), score top-1 accuracy
+    // on the second half. The model table is vocabulary² rows, so every
+    // rejoin broadcasts; the only data-scale work is the same lag window
+    // ev_markov runs.
+    "ev_markov_eval" -> (((s: SparkSession, d: String) => {
+      val ev = Fixtures.events(s, d)
+      val b = ev.agg(min("ts"), max("ts")).head()
+      val mid = b.getLong(0) + (b.getLong(1) - b.getLong(0)) / 2
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val pairs = ev
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("prev_type", lag("event_type", 1).over(w))
+        .where(col("prev_type").isNotNull)
+        .select(col("prev_type"), col("event_type").as("next_type"),
+          col("ts"))
+      val train = pairs.where(col("ts") <= mid)
+        .groupBy("prev_type", "next_type").agg(count(lit(1)).as("n"))
+      val best = train.groupBy("prev_type").agg(max("n").as("mx"))
+      val model = train.join(broadcast(best), "prev_type")
+        .where(col("n") === col("mx"))
+        .groupBy("prev_type").agg(min("next_type").as("predicted"))
+      pairs.where(col("ts") > mid)
+        .join(broadcast(model), Seq("prev_type"), "left")
+        .groupBy("prev_type")
+        .agg(count(lit(1)).as("n_test"),
+          sum(when(col("next_type") === col("predicted"), 1L).otherwise(0L))
+            .as("n_correct"),
+          first("predicted").as("predicted"))
+        .withColumn("acc_pm", expr("(n_correct * 1000) div n_test"))
+        .select("prev_type", "predicted", "n_test", "n_correct", "acc_pm")
+        .orderBy("prev_type")
+    }),
+      Some("""
+        WITH ev AS (
+          SELECT user_id, epoch_ns(ts) AS ts, event_id, event_type
+          FROM events
+        ), bounds AS (
+          SELECT min(ts) + (max(ts) - min(ts)) // 2 AS mid FROM ev
+        ), pairs AS (
+          SELECT lag(event_type) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+                 event_type AS next_type, ts
+          FROM ev
+        ), train AS (
+          SELECT prev_type, next_type, count(*) AS n
+          FROM pairs, bounds WHERE prev_type IS NOT NULL AND ts <= mid
+          GROUP BY 1, 2
+        ), best AS (
+          SELECT prev_type, max(n) AS mx FROM train GROUP BY 1
+        ), model AS (
+          SELECT train.prev_type, min(next_type) AS predicted
+          FROM train JOIN best ON train.prev_type = best.prev_type
+            AND train.n = best.mx
+          GROUP BY train.prev_type
+        )
+        SELECT p.prev_type, any_value(m.predicted) AS predicted,
+               CAST(count(*) AS BIGINT) AS n_test,
+               CAST(count(*) FILTER (WHERE p.next_type = m.predicted) AS BIGINT)
+                 AS n_correct,
+               CAST(count(*) FILTER (WHERE p.next_type = m.predicted) * 1000
+                    // count(*) AS BIGINT) AS acc_pm
+        FROM pairs p CROSS JOIN bounds
+        LEFT JOIN model m ON p.prev_type = m.prev_type
+        WHERE p.prev_type IS NOT NULL AND p.ts > mid
+        GROUP BY p.prev_type ORDER BY p.prev_type"""))
   )
 }

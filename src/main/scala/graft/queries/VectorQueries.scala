@@ -1303,6 +1303,95 @@ object VectorQueries {
                CAST(pos_dot_members * 1000 // n AS BIGINT) AS cohesion_pm,
                ${cosSql("cv", "g")} AS sim_to_global
         FROM mem JOIN cent USING (label) CROSS JOIN gcent
-        ORDER BY label"""))
+        ORDER BY label""")),
+
+    // Int8 scalar-quantization recall (the SQ8 compression dial, completing
+    // the PQ / matryoshka / random-projection eval set): per-dimension
+    // max-abs scales collected once (64 longs — driver-scale), every vector
+    // encoded to [0,127] codes via the SHIFTED integer division
+    // ((x + m) * 127) div (2m) — operands kept non-negative so floor and
+    // truncate agree across engines — and top-3-by-code-L2 compared against
+    // exact-L2 truth on the same probes. Declared all-pairs EVAL baseline
+    // (like emb_pq_recall): the scale path for serving is any of the ANN
+    // variants over the coded vectors.
+    "emb_sq8_recall" -> (((s: SparkSession, d: String) => {
+      val emb = Fixtures.embeddings(s, d)
+        .select(col("vec_id"), quantize(col("embedding")).as("q"))
+      val l2 = (a: Column, b: Column) =>
+        aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (acc, v) => acc + v)
+      val ms: Seq[Long] = emb
+        .select(posexplode(col("q")).as(Seq("dim", "v")))
+        .groupBy("dim").agg(greatest(max(abs(col("v"))), lit(1L)).as("m"))
+        .orderBy("dim").collect().map(_.getLong(1)).toSeq
+      val withCodes = emb.withColumn("ms", typedLit(ms))
+        .withColumn("codes", expr(
+          "transform(sequence(1, 64), i -> " +
+            "((element_at(q, i) + element_at(ms, i)) * 127) div (2 * element_at(ms, i)))"))
+      val probes = withCodes.where(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("probe_id"), col("q").as("pq"),
+          col("codes").as("pcodes"))
+      val wT = Window.partitionBy("probe_id").orderBy(col("dist").asc, col("vec_id").asc)
+      val truth = emb.crossJoin(broadcast(probes.select("probe_id", "pq")))
+        .where(col("vec_id") =!= col("probe_id"))
+        .withColumn("dist", l2(col("pq"), col("q")))
+        .withColumn("rank", row_number().over(wT)).where(col("rank") <= 3)
+        .select("probe_id", "vec_id")
+      val wF = Window.partitionBy("probe_id").orderBy(col("cdist").asc, col("vec_id").asc)
+      val found = withCodes.select(col("vec_id"), col("codes"))
+        .crossJoin(broadcast(probes.select("probe_id", "pcodes")))
+        .where(col("vec_id") =!= col("probe_id"))
+        .withColumn("cdist", l2(col("pcodes"), col("codes")))
+        .withColumn("rank", row_number().over(wF)).where(col("rank") <= 3)
+        .select("probe_id", "vec_id")
+      val nT = truth.agg(count(lit(1)).cast("long").as("n_true"))
+      val nF = truth.join(found, Seq("probe_id", "vec_id"), "left_semi")
+        .agg(count(lit(1)).cast("long").as("n_found"))
+      nT.crossJoin(nF)
+        .withColumn("recall",
+          col("n_found").cast("double") / col("n_true").cast("double"))
+    }),
+      Some(s"""
+        WITH q AS (SELECT vec_id, $qvecSql AS qv FROM embeddings),
+        maxs AS (
+          SELECT list(mx ORDER BY i) AS ms FROM (
+            SELECT i, greatest(max(abs(qv[i])), 1) AS mx
+            FROM q CROSS JOIN range(1, 65) t(i) GROUP BY i)
+        ),
+        coded AS (
+          SELECT vec_id, qv,
+                 list_transform(generate_series(1, 64),
+                   i -> ((qv[i] + ms[i]) * 127) // (2 * ms[i])) AS codes
+          FROM q CROSS JOIN maxs
+        ),
+        probes AS (
+          SELECT vec_id AS probe_id, qv AS pqv, codes AS pcodes
+          FROM coded WHERE vec_id % 100 = 0
+        ),
+        truth AS (
+          SELECT probe_id, vec_id FROM (
+            SELECT probe_id, c.vec_id,
+                   row_number() OVER (PARTITION BY probe_id ORDER BY
+                     CAST(list_sum(list_transform(generate_series(1, 64),
+                       i -> (pqv[i]-qv[i])*(pqv[i]-qv[i]))) AS BIGINT),
+                     c.vec_id) AS r
+            FROM probes JOIN coded c ON c.vec_id <> probe_id)
+          WHERE r <= 3
+        ),
+        found AS (
+          SELECT probe_id, vec_id FROM (
+            SELECT probe_id, c.vec_id,
+                   row_number() OVER (PARTITION BY probe_id ORDER BY
+                     CAST(list_sum(list_transform(generate_series(1, 64),
+                       i -> (pcodes[i]-codes[i])*(pcodes[i]-codes[i]))) AS BIGINT),
+                     c.vec_id) AS r
+            FROM probes JOIN coded c ON c.vec_id <> probe_id)
+          WHERE r <= 3
+        ),
+        a AS (SELECT CAST(count(*) AS BIGINT) AS n_true FROM truth),
+        b AS (SELECT CAST(count(*) AS BIGINT) AS n_found FROM
+                (SELECT * FROM truth INTERSECT SELECT * FROM found))
+        SELECT n_true, n_found,
+               CAST(n_found AS DOUBLE) / CAST(n_true AS DOUBLE) AS recall
+        FROM a CROSS JOIN b"""))
   )
 }
