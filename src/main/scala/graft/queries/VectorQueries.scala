@@ -1261,20 +1261,21 @@ object VectorQueries {
         .groupBy("label")
         .agg(transform(sort_array(collect_list(struct(col("dim"), col("sv")))),
           x => x.getField("sv")).as("cv"))
-      val global = sums
+      // the corpus centroid is ONE 64-long row — collect it rather than
+      // join it in (a single-row cross join would plan
+      // BroadcastNestedLoopJoin, which the plan guard bans outright)
+      val g: Seq[Long] = sums
         .select(posexplode(col("cv")).as(Seq("dim0", "v")))
         .groupBy((col("dim0") + 1).as("dim"))
         .agg(sum("v").as("gv"))
-        .agg(transform(sort_array(collect_list(struct(col("dim"), col("gv")))),
-          x => x.getField("gv")).as("g"))
+        .orderBy("dim").collect().map(_.getLong(1)).toSeq
       emb.join(broadcast(sums), "label")
         .withColumn("pos", (intDot(col("q"), col("cv")) > 0).cast("long"))
         .groupBy("label")
         .agg(count(lit(1)).as("n"), sum("pos").as("pos_dot_members"),
           first("cv").as("cv"))
         .withColumn("cohesion_pm", expr("(pos_dot_members * 1000) div n"))
-        .crossJoin(broadcast(global))
-        .withColumn("sim_to_global", cosine(col("cv"), col("g")))
+        .withColumn("sim_to_global", cosine(col("cv"), typedLit(g)))
         .select("label", "n", "pos_dot_members", "cohesion_pm", "sim_to_global")
         .orderBy("label")
     }),

@@ -47,7 +47,19 @@ class PlanShapeSpec extends SparkSpec {
     "td_pii_scan", "td_pii_redact", "td_pii_report", "td_nfc_norm",
     // source divergence: token/source-keyed aggs, token equi-join, tiny
     // per-source totals broadcast — never a row-keyed shuffle
-    "td_source_divergence")
+    "td_source_divergence",
+    // novelty: shingle-keyed min-doc agg + shingle equi-join, no pair join
+    "td_ngram_novelty",
+    // dedup keep / cross-lang audit: one fingerprint groupBy each
+    "td_dedup_keep", "td_cross_lang_dups",
+    // markov: user-partitioned lag + vocab-sized broadcast rejoin;
+    // bot detect: (user, minute) + user aggs, no join at all
+    "ev_markov", "ev_bot_detect", "ev_markov_eval",
+    // outliers / cluster quality: label-keyed centroid aggs broadcast back
+    // onto the table — the big side never shuffles
+    "emb_outliers", "emb_cluster_quality",
+    // corrupt scan: projection-only validation, no join at all
+    "mm_corrupt_scan")
 
   test("LSH scale paths contain no all-pairs join") {
     scalePaths.foreach { name =>
