@@ -142,6 +142,55 @@ object EntryIO {
     hit
   }
 
+  // Per-FILE key bounds, from the parquet footer's column statistics —
+  // range files are content-addressed and immutable, so the bounds cache
+  // never invalidates. A salted range dir holds several interleaved sorted
+  // files; without bounds a point get opens EVERY file's footer per call,
+  // with them only the (usually one) file whose [min, max] covers the key.
+  // Bounded FIFO, entries ~100 B.
+  private val fileBoundsCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String, (String, String)](64, 0.75f, false) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, (String, String)]): Boolean =
+        size() > 4096
+    })
+
+  /** [minKey, maxKey] of one Parquet file's `key` column (footer stats;
+    * cached). Falls back to an all-covering interval when stats are
+    * absent, so pruning is only ever conservative. */
+  def fileKeyBounds(conf: Configuration, file: String): (String, String) = {
+    val cached = fileBoundsCache.get(file)
+    if (cached != null) return cached
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile
+      .fromPath(new Path(file), conf)
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    val bounds = try {
+      import scala.jdk.CollectionConverters._
+      val stats = reader.getFooter.getBlocks.asScala.flatMap { b =>
+        b.getColumns.asScala.find(_.getPath.toDotString == "key")
+          .map(_.getStatistics)
+      }.filter(s => s != null && s.hasNonNullValue)
+      if (stats.isEmpty) ("", "\uffff\uffff")
+      else (
+        stats.map(_.genericGetMin.asInstanceOf[Binary].toStringUsingUTF8).min,
+        stats.map(_.genericGetMax.asInstanceOf[Binary].toStringUsingUTF8).max)
+    } finally reader.close()
+    fileBoundsCache.put(file, bounds)
+    bounds
+  }
+
+  /** Point lookup within a RANGE directory: consult each data file's
+    * cached key bounds and open only covering files (a key exists in at
+    * most one file of a disjoint-keyed snapshot, so first hit wins). */
+  def pointInRange(conf: Configuration, rangePath: String, k: String): Option[Entry] = {
+    val files = rangeDataFiles(conf, rangePath)
+    if (files.lengthCompare(1) == 0) return pointInFile(conf, files.head, k)
+    files.iterator
+      .filter { f => val (lo, hi) = fileKeyBounds(conf, f); lo <= k && k <= hi }
+      .map(f => pointInFile(conf, f, k))
+      .collectFirst { case Some(e) => e }
+  }
+
   /** Data files of a staged epoch dir (skips `_SUCCESS` etc.). */
   def epochFiles(conf: Configuration, dir: String): Seq[String] = {
     val p = new Path(dir)
@@ -245,7 +294,7 @@ object EntryIO {
       if (infos(mid).minKey <= key) { at = mid; lo = mid + 1 } else hi = mid - 1
     }
     if (at < 0 || infos(at).maxKey < key) None
-    else pointInFile(conf, infos(at).path, key)
+    else pointInRange(conf, infos(at).path, key)
   }
 
   /** Resolved view of a ref for the walkers below: staged overlay (sorted
