@@ -829,6 +829,98 @@ object EventQueries {
         FROM pairs p CROSS JOIN bounds
         LEFT JOIN model m ON p.prev_type = m.prev_type
         WHERE p.prev_type IS NOT NULL AND p.ts > mid
-        GROUP BY p.prev_type ORDER BY p.prev_type"""))
+        GROUP BY p.prev_type ORDER BY p.prev_type""")),
+
+    // Last-touch attribution (the marketing-analytics join every event
+    // warehouse runs): each purchase is attributed to the user's most
+    // recent click/view at-or-before it, within a 3600 s lookback — later
+    // touches win, purchases with no in-window touch fall to 'direct'.
+    // Same union-sort as-of plan as ev_asof (ONE shuffle on user_id, a
+    // running last_value(ignoreNulls) carries the latest touch into each
+    // purchase row — no range/theta join anywhere); touches pre-deduped
+    // per (user, second) by max event_id so the at-or-before match is
+    // unique on both engines. Revenue in integer cents.
+    "ev_attribution" -> (((s: SparkSession, d: String) => {
+      val ev = Fixtures.events(s, d).select(col("user_id"), col("event_id"),
+        expr("ts div 1000000000").as("tsec"), col("event_type"),
+        floor(col("value") * 100 + 0.5).cast("long").as("value_c"))
+      val touches = ev.where(col("event_type").isin("click", "view"))
+        .groupBy("user_id", "tsec")
+        .agg(max_by(col("event_type"), col("event_id")).as("touch_type"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("tsec"), col("value_c"))
+      val tagged = touches.select(col("user_id"), col("tsec"),
+          lit(0).as("side"), col("touch_type"),
+          lit(null).cast("long").as("value_c"))
+        .unionByName(purchases.select(col("user_id"), col("tsec"),
+          lit(1).as("side"), lit(null).cast("string").as("touch_type"),
+          col("value_c")))
+      val w = Window.partitionBy("user_id").orderBy("tsec", "side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      tagged
+        .withColumn("t_type",
+          last(when(col("side") === 0, col("touch_type")), ignoreNulls = true).over(w))
+        .withColumn("t_tsec",
+          last(when(col("side") === 0, col("tsec")), ignoreNulls = true).over(w))
+        .where(col("side") === 1)
+        .withColumn("channel",
+          when(col("t_tsec").isNotNull && col("tsec") - col("t_tsec") <= 3600L,
+            col("t_type")).otherwise(lit("direct")))
+        .groupBy("channel")
+        .agg(count(lit(1)).cast("long").as("n_purchases"),
+          sum("value_c").cast("long").as("revenue_c"))
+        .orderBy("channel")
+    }),
+      Some("""
+        WITH e AS (
+          SELECT user_id, event_id, epoch_ns(ts) // 1000000000 AS tsec,
+                 event_type, CAST(floor(value*100 + 0.5) AS BIGINT) AS value_c
+          FROM events),
+        t AS (
+          SELECT user_id, tsec, max_by(event_type, event_id) AS touch_type
+          FROM e WHERE event_type IN ('click', 'view') GROUP BY 1, 2),
+        p AS (
+          SELECT user_id, tsec, value_c FROM e WHERE event_type = 'purchase')
+        SELECT CASE WHEN t.tsec IS NOT NULL AND p.tsec - t.tsec <= 3600
+                    THEN t.touch_type ELSE 'direct' END AS channel,
+               CAST(count(*) AS BIGINT) AS n_purchases,
+               CAST(sum(p.value_c) AS BIGINT) AS revenue_c
+        FROM p ASOF LEFT JOIN t
+          ON p.user_id = t.user_id AND p.tsec >= t.tsec
+        GROUP BY 1 ORDER BY 1""")),
+
+    // Sliding (hopping) windows — 600 s windows every 300 s, the
+    // overlapping-window rollup Structured Streaming serves with the same
+    // `window()` expression. Spark plans the slide as an Expand (each row
+    // replicated into the ≤ window/slide = 2 windows covering it) BEFORE
+    // the hash aggregate, so partial aggregation still combines map-side
+    // and the shuffle carries one row per (window, type) group — the same
+    // shape at 100 TB. The oracle derives each event's two window starts
+    // arithmetically: s ∈ {⌊t/300⌋·300, ⌊t/300⌋·300 − 300}.
+    "ev_sliding_window" -> (((s: SparkSession, d: String) => {
+      val ev = Fixtures.events(s, d).select(
+        expr("ts div 1000000000").as("tsec"), col("event_type"),
+        floor(col("value") * 100 + 0.5).cast("long").as("value_c"))
+      ev.withColumn("tstamp", timestamp_seconds(col("tsec")))
+        .groupBy(window(col("tstamp"), "600 seconds", "300 seconds"),
+          col("event_type"))
+        .agg(count(lit(1)).cast("long").as("n_events"),
+          sum("value_c").cast("long").as("sum_value_c"))
+        .select(unix_timestamp(col("window.start")).as("w_start"),
+          col("event_type"), col("n_events"), col("sum_value_c"))
+        .orderBy("w_start", "event_type")
+    }),
+      Some("""
+        WITH e AS (
+          SELECT epoch_ns(ts) // 1000000000 AS tsec, event_type,
+                 CAST(floor(value*100 + 0.5) AS BIGINT) AS value_c
+          FROM events),
+        x AS (
+          SELECT (tsec // 300 - i) * 300 AS w_start, event_type, value_c
+          FROM e CROSS JOIN (SELECT unnest([0, 1]) AS i))
+        SELECT CAST(w_start AS BIGINT) AS w_start, event_type,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(value_c) AS BIGINT) AS sum_value_c
+        FROM x GROUP BY 1, 2 ORDER BY 1, 2"""))
   )
 }

@@ -1976,6 +1976,118 @@ object TextQueries {
         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows,
                CAST(count(*) FILTER (WHERE w IN (SELECT w FROM dup)) AS BIGINT)
                  AS n_dup_windows
-        FROM wins GROUP BY doc_id ORDER BY doc_id"""))
+        FROM wins GROUP BY doc_id ORDER BY doc_id""")),
+
+    // Content-defined chunking (LBFS/FastCDC-style CDC — the byte-level
+    // dedup primitive storage systems and corpus dedup both use): a chunk
+    // boundary falls after position i whenever the polynomial rolling hash
+    // of the 4 chars ending at i divides 61, so boundaries depend only on
+    // LOCAL content — an insertion early in a doc shifts at most one
+    // chunk's edges, unlike fixed-width windows where every later window
+    // changes. Boundaries are STATELESS (no min-size carry), so the whole
+    // computation is a pure per-row map (array expr in codegen, no UDF) +
+    // one shuffle on (source, chunk) for the exact distinct — the same
+    // plan at 100 TB. Hash arithmetic is int64 with a mod at each step
+    // (B = 1000003, M = 2^31-1), overflow-free and bit-identical on both
+    // engines. Reports per-source chunk totals, distinct chunks, the
+    // duplicate-chunk fraction (ppm), and mean chunk length.
+    "td_cdc_chunks" -> (((s: SparkSession, d: String) => {
+      // boundary positions: rolling 4-char polynomial hash divides 61
+      val bpos =
+        """filter(sequence(4, length(text) - 1),
+             i -> ((((ascii(substring(text, i-3, 1)) * 1000003L
+                    + ascii(substring(text, i-2, 1))) % 2147483647L)
+                    * 1000003L + ascii(substring(text, i-1, 1)))
+                    % 2147483647L * 1000003L
+                    + ascii(substring(text, i, 1))) % 2147483647L % 61 = 0)"""
+      // chunk j spans starts[j]..ends[j] where starts = 1 ∪ (bpos+1),
+      // ends = bpos ∪ length(text)
+      val cdc =
+        """CASE WHEN length(text) >= 5 THEN
+             transform(sequence(1, size(bpos) + 1),
+               j -> substring(text,
+                 element_at(concat(array(1), transform(bpos, p -> p + 1)), j),
+                 element_at(concat(bpos, array(length(text))), j)
+                   - element_at(concat(array(1), transform(bpos, p -> p + 1)), j)
+                   + 1))
+           ELSE array(text) END"""
+      val chunks = Fixtures.documents(s, d)
+        .select(col("source"), col("text"))
+        .withColumn("bpos", expr(bpos))
+        .select(col("source"), explode(expr(cdc)).as("chunk"))
+      chunks.groupBy("source")
+        .agg(count(lit(1)).cast("long").as("n_chunks"),
+          countDistinct("chunk").cast("long").as("n_uniq"),
+          sum(length(col("chunk"))).cast("long").as("sum_len"))
+        .withColumn("dup_ppm",
+          expr("((n_chunks - n_uniq) * 1000000L) div n_chunks").cast("long"))
+        .withColumn("mean_len", expr("sum_len div n_chunks").cast("long"))
+        .select("source", "n_chunks", "n_uniq", "dup_ppm", "mean_len")
+        .orderBy("source")
+    }),
+      Some("""
+        WITH d AS (
+          SELECT source, text,
+                 list_filter(generate_series(4, length(text) - 1),
+                   i -> ((((CAST(ascii(substr(text, CAST(i-3 AS INT), 1)) AS BIGINT)
+                            * 1000003
+                          + ascii(substr(text, CAST(i-2 AS INT), 1))) % 2147483647)
+                          * 1000003 + ascii(substr(text, CAST(i-1 AS INT), 1)))
+                          % 2147483647 * 1000003
+                          + ascii(substr(text, CAST(i AS INT), 1))) % 2147483647 % 61 = 0)
+                   AS bpos
+          FROM documents),
+        ck AS (
+          SELECT source,
+                 CASE WHEN length(text) >= 5 THEN
+                   unnest(list_transform(
+                     generate_series(1, len(bpos) + 1),
+                     j -> substr(text,
+                       CAST(([1] || list_transform(bpos, p -> p + 1))[j] AS INT),
+                       CAST((bpos || [length(text)])[j]
+                         - ([1] || list_transform(bpos, p -> p + 1))[j] + 1 AS INT))))
+                 ELSE unnest([text]) END AS chunk
+          FROM d)
+        SELECT source, CAST(count(*) AS BIGINT) AS n_chunks,
+               CAST(count(DISTINCT chunk) AS BIGINT) AS n_uniq,
+               CAST((count(*) - count(DISTINCT chunk)) * 1000000 // count(*) AS BIGINT)
+                 AS dup_ppm,
+               CAST(sum(length(chunk)) // count(*) AS BIGINT) AS mean_len
+        FROM ck GROUP BY source ORDER BY source""")),
+
+    // Term-blocklist filter (the wordlist screen — LDNOOBW-style — most
+    // public-corpus pipelines run before training): per source, how many
+    // docs contain a blocked term, the flag rate in ppm, and total term
+    // hits. Pure per-row map (array filter against a 3-term literal list,
+    // all codegen) + one groupBy on source — at 100 TB the blocklist
+    // broadcasts as a literal and the agg combines map-side. The fixture
+    // list stands in for a real wordlist.
+    "td_blocklist" -> (((s: SparkSession, d: String) => {
+      val hits = expr(
+        "size(filter(toks, t -> array_contains(array('slow','big','hash'), t)))")
+        .cast("long")
+      Fixtures.documents(s, d)
+        .select(col("source"), tokens(col("text")).as("toks"))
+        .withColumn("hits", hits)
+        .groupBy("source")
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(when(col("hits") > 0, 1L).otherwise(0L)).cast("long").as("n_flagged"),
+          sum("hits").cast("long").as("n_hits"))
+        .withColumn("flag_ppm", expr("(n_flagged * 1000000L) div n_docs").cast("long"))
+        .select("source", "n_docs", "n_flagged", "n_hits", "flag_ppm")
+        .orderBy("source")
+    }),
+      Some("""
+        WITH sd AS (
+          SELECT source,
+                 len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                   t -> list_contains(['slow','big','hash'], t))) AS hits
+          FROM documents)
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(count(*) FILTER (WHERE hits > 0) AS BIGINT) AS n_flagged,
+               CAST(sum(hits) AS BIGINT) AS n_hits,
+               CAST(count(*) FILTER (WHERE hits > 0) * 1000000 // count(*)
+                 AS BIGINT) AS flag_ppm
+        FROM sd GROUP BY source ORDER BY source"""))
   )
 }
