@@ -1393,6 +1393,160 @@ object VectorQueries {
                 (SELECT * FROM truth INTERSECT SELECT * FROM found))
         SELECT n_true, n_found,
                CAST(n_found AS DOUBLE) / CAST(n_true AS DOUBLE) AS recall
-        FROM a CROSS JOIN b"""))
+        FROM a CROSS JOIN b""")),
+
+    // IVF+PQ composed (the FAISS IVFADC layout, raw-vector variant): the
+    // coarse quantizer restricts each probe to its own IVF cell, and
+    // candidates inside the cell are scored by the PQ asymmetric distance
+    // (per-probe LUT against 4×16-dim codebook codes) instead of full
+    // vectors. This is THE billion-scale serving layout: the inverted
+    // list bounds candidates, codes are 4 small ints per vector (memory),
+    // and scoring is table lookups. Plan shape: centroid assignment and
+    // code-encoding are broadcast joins; candidate generation is an
+    // EQUI-join on the cell id; the ADC lookup table broadcasts per probe
+    // — no all-pairs join anywhere.
+    "emb_ivfpq_ann" -> (((s: SparkSession, d: String) => {
+      val emb = Fixtures.embeddings(s, d)
+        .select(col("vec_id"), quantize(col("embedding")).as("q"))
+      val l2 = (a: Column, b: Column) =>
+        aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (acc, v) => acc + v)
+      // coarse quantizer (emb_ivf_ann's): nearest vec_id%125 centroid
+      val cent = emb.where(col("vec_id") % 125 === 0)
+        .select(col("vec_id").as("cid"), col("q").as("cq"))
+      val wA = Window.partitionBy("vec_id").orderBy(col("dist").asc, col("cid").asc)
+      val assigned = emb.crossJoin(broadcast(cent))
+        .withColumn("dist", l2(col("q"), col("cq")))
+        .withColumn("rn", row_number().over(wA)).where(col("rn") === 1)
+        .select(col("vec_id"), col("cid"), col("q"))
+      // PQ codes (emb_pq_ann's): nearest codebook entry per 16-dim subspace
+      def subspaces(df: DataFrame, vcol: String) = df
+        .select(col("*"), explode(sequence(lit(0), lit(3))).as("m"))
+        .withColumn("sub", expr(s"slice($vcol, m*16+1, 16)"))
+      val cb = subspaces(emb.where(col("vec_id") % 125 === 0), "q")
+        .select(col("vec_id").as("ccid"), col("m"), col("sub").as("csub"))
+      val enc = subspaces(emb, "q").join(broadcast(cb), Seq("m"))
+        .withColumn("d", l2(col("sub"), col("csub")))
+        .groupBy("vec_id", "m")
+        .agg(min_by(col("ccid"), struct(col("d"), col("ccid"))).as("code"))
+      val encWide = enc.groupBy("vec_id")
+        .agg(transform(array_sort(collect_list(struct(col("m"), col("code")))),
+          x => x.getField("code")).as("codes"))
+      val probes = assigned.where(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("probe_id"), col("cid"), col("q").as("pq"))
+      val lut = subspaces(probes.select(col("probe_id"), col("pq")), "pq")
+        .join(broadcast(cb), Seq("m"))
+        .withColumn("d", l2(col("sub"), col("csub")))
+        .groupBy("probe_id")
+        .agg(map_from_entries(collect_list(
+          struct(concat_ws(":", col("m"), col("ccid")), col("d")))).as("dtab"))
+      val cands = assigned.join(encWide, Seq("vec_id"))
+        .join(broadcast(probes.select("probe_id", "cid")), Seq("cid"))
+        .where(col("vec_id") =!= col("probe_id"))
+        .join(broadcast(lut), Seq("probe_id"))
+        .withColumn("adist", expr(
+          "aggregate(transform(sequence(0,3), m -> element_at(dtab, " +
+            "concat(cast(m AS string), ':', cast(codes[m] AS string)))), " +
+            "0L, (a, x) -> a + x)"))
+      val wr = Window.partitionBy("probe_id").orderBy(col("adist").asc, col("vec_id").asc)
+      cands.withColumn("rank", row_number().over(wr).cast("long"))
+        .where(col("rank") <= 3)
+        .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+          col("rank"), col("adist"))
+        .orderBy("probe_id", "rank")
+    }),
+      Some(s"""
+        WITH q AS (SELECT vec_id, $qvecSql AS qv FROM embeddings),
+        cent AS (SELECT vec_id AS cid, qv AS cq FROM q WHERE vec_id % 125 = 0),
+        assign AS (
+          SELECT vec_id, cid FROM (
+            SELECT q.vec_id, cid, row_number() OVER (PARTITION BY q.vec_id
+              ORDER BY CAST(list_sum(list_transform(generate_series(1, len(qv)),
+                i -> (qv[i]-cq[i])*(qv[i]-cq[i]))) AS BIGINT), cid) AS rn
+            FROM q CROSS JOIN cent
+          ) WHERE rn = 1
+        ),
+        ms AS (SELECT unnest([0,1,2,3]) AS m),
+        cb AS (
+          SELECT vec_id AS ccid, m, list_slice(qv, m*16+1, m*16+16) AS csub
+          FROM q CROSS JOIN ms WHERE vec_id % 125 = 0
+        ),
+        sub AS (
+          SELECT vec_id, m, list_slice(qv, m*16+1, m*16+16) AS s
+          FROM q CROSS JOIN ms
+        ),
+        encd AS (
+          SELECT sub.vec_id, sub.m, cb.ccid,
+                 CAST(list_sum(list_transform(generate_series(1,16),
+                   i -> (s[i]-csub[i])*(s[i]-csub[i]))) AS BIGINT) AS d
+          FROM sub JOIN cb ON cb.m = sub.m
+        ),
+        enc AS (
+          SELECT vec_id, m, ccid AS code FROM (
+            SELECT vec_id, m, ccid,
+                   row_number() OVER (PARTITION BY vec_id, m ORDER BY d, ccid) AS rn
+            FROM encd
+          ) WHERE rn = 1
+        ),
+        probes AS (
+          SELECT a.vec_id AS probe_id, a.cid, qv AS pqv
+          FROM assign a JOIN q USING (vec_id) WHERE a.vec_id % 100 = 0
+        ),
+        pd AS (
+          SELECT probe_id, sub.m, cb.ccid,
+                 CAST(list_sum(list_transform(generate_series(1,16),
+                   i -> (s[i]-csub[i])*(s[i]-csub[i]))) AS BIGINT) AS d
+          FROM (SELECT probe_id, m, list_slice(pqv, m*16+1, m*16+16) AS s
+                FROM probes CROSS JOIN ms) sub
+          JOIN cb ON cb.m = sub.m
+        ),
+        ad AS (
+          SELECT p.probe_id, a.vec_id, CAST(sum(pd.d) AS BIGINT) AS adist
+          FROM probes p
+          JOIN assign a ON a.cid = p.cid AND a.vec_id <> p.probe_id
+          JOIN enc ON enc.vec_id = a.vec_id
+          JOIN pd ON pd.probe_id = p.probe_id AND pd.m = enc.m
+                 AND pd.ccid = enc.code
+          GROUP BY 1, 2
+        )
+        SELECT probe_id, vec_id AS neighbor_id, rank, adist FROM (
+          SELECT *, row_number() OVER (PARTITION BY probe_id
+                      ORDER BY adist, vec_id) AS rank
+          FROM ad
+        ) WHERE rank <= 3 ORDER BY probe_id, rank""")),
+
+    // Per-dimension component statistics — the calibration table every
+    // quantizer (SQ8's max-abs, PQ codebook training, Matryoshka prefix
+    // cuts) reads first: count, sum, min, max, and integer mean of the
+    // milli-quantized component per dimension. One posexplode + one
+    // 64-group hash agg (map-side combinable); at 100 TB this is the same
+    // single-pass plan, 64 output rows.
+    "emb_dim_stats" -> (((s: SparkSession, d: String) => {
+      Fixtures.embeddings(s, d)
+        .select(col("vec_id"), quantize(col("embedding")).as("q"))
+        .select(posexplode(col("q")).as(Seq("dim0", "v")))
+        .withColumn("dim", (col("dim0") + 1).cast("long"))
+        .groupBy("dim")
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum("v").cast("long").as("sum_q"),
+          min("v").cast("long").as("min_q"),
+          max("v").cast("long").as("max_q"))
+        .withColumn("mean_q", expr(
+          "CAST(CASE WHEN sum_q >= 0 THEN sum_q div n " +
+            "ELSE -((-sum_q) div n) END AS BIGINT)"))
+        .select("dim", "n", "sum_q", "min_q", "max_q", "mean_q")
+        .orderBy("dim")
+    }),
+      Some(s"""
+        WITH q AS (SELECT vec_id, $qvecSql AS qv FROM embeddings),
+        x AS (
+          SELECT CAST(i AS BIGINT) AS dim, qv[i] AS v
+          FROM q CROSS JOIN generate_series(1, 64) t(i))
+        SELECT dim, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(v) AS BIGINT) AS sum_q,
+               CAST(min(v) AS BIGINT) AS min_q,
+               CAST(max(v) AS BIGINT) AS max_q,
+               CAST(CASE WHEN sum(v) >= 0 THEN sum(v) // count(*)
+                    ELSE -((-sum(v)) // count(*)) END AS BIGINT) AS mean_q
+        FROM x GROUP BY dim ORDER BY dim"""))
   )
 }
