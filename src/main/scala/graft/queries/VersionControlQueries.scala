@@ -1875,6 +1875,56 @@ object VersionControlQueries {
       Some("""
         SELECT CAST(i AS BIGINT) AS version, 'WRITE' AS operation,
                CAST(i + 1 AS BIGINT) AS n_adds, CAST(i AS BIGINT) AS n_removes
-        FROM range(3, 6) t(i) ORDER BY version"""))
+        FROM range(3, 6) t(i) ORDER BY version""")),
+
+    // Pull-request lifecycle through the facade (`catalog.go:3340-3520`):
+    // one PR per nation branch, a fifth merged and a fifth closed, the
+    // rest left open. Checks the full surface in one row set: status
+    // transitions apply, terminal statuses are STICKY (reopening a merged
+    // PR must throw — ok_sticky rides as a literal), and the open-only
+    // id-ordered page reports has_more when open PRs exceed the limit.
+    // Ids are content hashes (unpredictable to the oracle), so the page
+    // membership itself is asserted by count/flag, not by id.
+    "vc_pr_list" -> (((s: SparkSession, d: String) => {
+      val dir = s"target/vc_prlist_repo_${math.abs(d.hashCode)}"
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(dir), s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+      val eng = new graft.store.Engine(s, dir, raggedness = 5000)
+      val tiny = s.read.parquet(s"$d/nation.parquet")
+        .select(concat(lit("n/"), col("n_name")).as("key"),
+          sha2(col("n_name"), 256).as("identity"))
+      eng.init("main", Some(tiny))
+      val rows = s.read.parquet(s"$d/nation.parquet")
+        .select("n_nationkey", "n_name").collect()
+        .map(r => (r.getInt(0), r.getString(1))).sortBy(_._1)
+      val prs = rows.map { case (k, name) =>
+        eng.createBranch(f"pr_$k%03d", "main")
+        (k, eng.refs.createPullRequest(f"pr_$k%03d", "main", name))
+      }
+      prs.foreach { case (k, pr) =>
+        if (k % 5 == 0) eng.refs.setPullRequestStatus(pr.id, "merged")
+        else if (k % 5 == 1) eng.refs.setPullRequestStatus(pr.id, "closed")
+      }
+      val merged = prs.collectFirst { case (k, pr) if k % 5 == 0 => pr }.get
+      val okSticky =
+        try { eng.refs.setPullRequestStatus(merged.id, "open"); 0L }
+        catch { case _: IllegalArgumentException => 1L }
+      val (_, more) = eng.listPullRequests(limit = 10, openOnly = true)
+      import s.implicits._
+      eng.refs.pullRequests.map(_.status).groupBy(identity)
+        .map { case (st, v) => (st, v.size.toLong) }.toSeq.toDF("status", "n")
+        .withColumn("has_more", lit(if (more) 1L else 0L))
+        .withColumn("ok_sticky", lit(okSticky))
+        .orderBy("status")
+    }),
+      Some("""
+        SELECT CASE WHEN n_nationkey % 5 = 0 THEN 'merged'
+                    WHEN n_nationkey % 5 = 1 THEN 'closed'
+                    ELSE 'open' END AS status,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(1 AS BIGINT) AS has_more,
+               CAST(1 AS BIGINT) AS ok_sticky
+        FROM nation GROUP BY 1 ORDER BY status"""))
   )
 }
