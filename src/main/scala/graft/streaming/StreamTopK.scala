@@ -1,0 +1,75 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/**
+ * Streaming heavy hitters via the space-saving summary (Metwally, Agrawal,
+ * El Abbadi, "Efficient computation of frequent and top-k elements in data
+ * streams", ICDT 2005) — the bounded-state sibling of the exact batch
+ * top-k reports (`ev_topk_per_group`, `td_top_ngrams`): an exact count
+ * table grows with the distinct-item cardinality, which an unbounded
+ * stream cannot afford; space-saving keeps at most `capacity` counters and
+ * still guarantees every item with true frequency > n/capacity is tracked,
+ * with each tracked count overestimating by at most its recorded `err`.
+ *
+ * Scale shape: items are SHARDED by item hash, so all occurrences of one
+ * item land in one shard's substream and each shard maintains an
+ * independent capacity-bounded summary in `flatMapGroupsWithState` —
+ * state is O(shards × capacity) regardless of stream volume, micro-batch
+ * work is one shuffle on the shard key, and the global report is the
+ * union of the (tiny) shard summaries. The same layout serves a
+ * 1000-executor cluster: shards spread over executors, no global state.
+ *
+ * Semantics per shard (classic space-saving): a tracked item increments;
+ * an untracked item either occupies a free slot at (1, 0) or evicts the
+ * minimum-count entry m and enters at (m.count + 1, err = m.count).
+ * Eviction picks the smallest (count, err, item) for determinism.
+ */
+object StreamTopK {
+
+  case class Hit(shard: Int, item: String)
+  case class Entry(shard: Int, item: String, count: Long, err: Long)
+
+  /** Per-shard space-saving update for one micro-batch's rows. */
+  private def updateShard(capacity: Int)(
+      shard: Int, rows: Iterator[Hit],
+      state: GroupState[Map[String, (Long, Long)]]): Iterator[Entry] = {
+    var m = state.getOption.getOrElse(Map.empty[String, (Long, Long)])
+    rows.foreach { h =>
+      m.get(h.item) match {
+        case Some((c, e)) => m = m.updated(h.item, (c + 1L, e))
+        case None if m.size < capacity => m = m.updated(h.item, (1L, 0L))
+        case None =>
+          val (evict, (ec, _)) = m.minBy { case (it, (c, e)) => (c, e, it) }
+          m = (m - evict).updated(h.item, (ec + 1L, ec))
+      }
+    }
+    state.update(m)
+    m.iterator.map { case (it, (c, e)) => Entry(shard, it, c, e) }
+  }
+
+  /** Live summary over a streaming `item: String` frame: each micro-batch
+    * re-emits the touched shards' full (bounded) summaries — run in Update
+    * output mode, latest row per (shard, item) wins. */
+  def summarize(spark: SparkSession, items: DataFrame,
+      shards: Int = 8, capacity: Int = 16): Dataset[Entry] = {
+    import spark.implicits._
+    items
+      .select(pmod(xxhash64(col("item")), lit(shards)).cast("int").as("shard"),
+        col("item"))
+      .as[Hit]
+      .groupByKey(_.shard)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        updateShard(capacity))
+  }
+
+  /** Global top-k over a summary SNAPSHOT (the latest row per (shard,
+    * item) an Update sink holds): ties broken by item for determinism.
+    * TakeOrderedAndProject over ≤ shards × capacity rows. */
+  def topK(summary: DataFrame, k: Int): DataFrame =
+    summary.orderBy(col("count").desc, col("err").asc, col("item").asc)
+      .limit(k)
+      .select(col("item"), col("count"), col("err"))
+}

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.streaming.StreamTopK
+
+/** Space-saving guarantees against exact batch counts: exact when the
+  * distinct cardinality fits the capacity, one-sided (count >= true,
+  * count - err <= true) and capacity-bounded when it overflows. */
+class StreamTopKSpec extends SparkSpec {
+
+  private val batch1 = Seq("scan", "join", "scan", "sort", "scan", "join")
+  private val batch2 = Seq("join", "scan", "agg", "scan", "join", "sort")
+
+  private def liveSummary(name: String) =
+    spark.table(name)
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("shard", "item").orderBy(col("count").desc)))
+      .where(col("rn") === 1).drop("rn")
+
+  test("streaming top-k equals exact counts when capacity fits") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[String]
+    val q = StreamTopK.summarize(spark, mem.toDF().toDF("item"))
+      .writeStream.outputMode("update").format("memory")
+      .queryName("topk_fits").start()
+    try {
+      mem.addData(batch1); q.processAllAvailable()
+      mem.addData(batch2); q.processAllAvailable()
+      val got = StreamTopK.topK(liveSummary("topk_fits"), 3)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      // exact counts: scan 5, join 4, sort 2, agg 1 — zero error tracked
+      assert(got.toSeq === Seq(("scan", 5L, 0L), ("join", 4L, 0L),
+        ("sort", 2L, 0L)))
+    } finally q.stop()
+  }
+
+  test("overflowed capacity keeps one-sided bounds and bounded state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // 1 shard, capacity 4, 8 distinct items: forces evictions
+    val items = (1 to 40).map(i => s"it${i % 8}") ++ Seq.fill(10)("it1")
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[String]
+    val q = StreamTopK.summarize(spark, mem.toDF().toDF("item"),
+        shards = 1, capacity = 4)
+      .writeStream.outputMode("update").format("memory")
+      .queryName("topk_ovfl").start()
+    try {
+      val (a, b) = items.splitAt(25)
+      mem.addData(a); q.processAllAvailable()
+      mem.addData(b); q.processAllAvailable()
+      val live = liveSummary("topk_ovfl").collect()
+        .map(r => (r.getAs[String]("item"),
+          r.getAs[Long]("count"), r.getAs[Long]("err")))
+      assert(live.length <= 4, s"state exceeded capacity: ${live.length}")
+      val truth = items.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      live.foreach { case (it, c, e) =>
+        assert(c >= truth(it), s"$it underestimated: $c < ${truth(it)}")
+        assert(c - e <= truth(it), s"$it err bound broken: $c - $e > ${truth(it)}")
+      }
+      // the guaranteed heavy hitter (true 15 > n/capacity = 50/4) survives
+      assert(live.exists(_._1 == "it1"), "heavy hitter it1 evicted")
+    } finally q.stop()
+  }
+}
