@@ -59,7 +59,13 @@ class PlanShapeSpec extends SparkSpec {
     // onto the table — the big side never shuffles
     "emb_outliers", "emb_cluster_quality",
     // corrupt scan: projection-only validation, no join at all
-    "mm_corrupt_scan")
+    "mm_corrupt_scan",
+    // attribution: union-sort as-of carry (no join operator at all);
+    // sliding windows: Expand + hash agg, no join
+    "ev_attribution", "ev_sliding_window",
+    // CDC chunking / blocklist / dim stats: per-row array maps + one
+    // hash agg each, no join anywhere
+    "td_cdc_chunks", "td_blocklist", "emb_dim_stats")
 
   test("LSH scale paths contain no all-pairs join") {
     scalePaths.foreach { name =>
