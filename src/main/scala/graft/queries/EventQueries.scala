@@ -921,6 +921,52 @@ object EventQueries {
         SELECT CAST(w_start AS BIGINT) AS w_start, event_type,
                CAST(count(*) AS BIGINT) AS n_events,
                CAST(sum(value_c) AS BIGINT) AS sum_value_c
-        FROM x GROUP BY 1, 2 ORDER BY 1, 2"""))
+        FROM x GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // SCD2 history build (the slowly-changing-dimension type-2 operator
+    // every warehouse's dimension loader runs): treating each user's
+    // event_type as their current state, collapse consecutive repeats and
+    // emit one versioned row per state CHANGE with a [valid_from,
+    // valid_until) interval — valid_until null on the open current row.
+    // Two windows over the same user partitioning (Catalyst reuses the
+    // one sort+shuffle): lag to detect changes, lead over the surviving
+    // change points for the interval end. Per-user history, so the
+    // shuffle key is user_id and the plan is identical at 100 TB.
+    "ev_scd2" -> (((s: SparkSession, d: String) => {
+      val ev = Fixtures.events(s, d).select(col("user_id"), col("event_id"),
+        expr("ts div 1000000000").as("tsec"), col("event_type"))
+      val w = Window.partitionBy("user_id").orderBy("tsec", "event_id")
+      val changes = ev
+        .withColumn("prev_type", lag("event_type", 1).over(w))
+        .where(col("prev_type").isNull ||
+          col("prev_type") =!= col("event_type"))
+      val wc = Window.partitionBy("user_id").orderBy("tsec", "event_id")
+      changes
+        .withColumn("version", row_number().over(wc).cast("long"))
+        .withColumn("valid_until", lead("tsec", 1).over(wc))
+        .select(col("user_id"), col("version"),
+          col("event_type").as("state"),
+          col("tsec").as("valid_from"), col("valid_until"))
+        .orderBy("user_id", "version")
+    }),
+      Some("""
+        WITH ev AS (
+          SELECT user_id, event_id, epoch_ns(ts) // 1000000000 AS tsec,
+                 event_type
+          FROM events),
+        ch AS (
+          SELECT * FROM (
+            SELECT user_id, event_id, tsec, event_type,
+                   lag(event_type) OVER (PARTITION BY user_id
+                     ORDER BY tsec, event_id) AS prev_type
+            FROM ev)
+          WHERE prev_type IS NULL OR prev_type <> event_type)
+        SELECT user_id,
+               CAST(row_number() OVER w AS BIGINT) AS version,
+               event_type AS state, tsec AS valid_from,
+               lead(tsec) OVER w AS valid_until
+        FROM ch
+        WINDOW w AS (PARTITION BY user_id ORDER BY tsec, event_id)
+        ORDER BY user_id, version"""))
   )
 }

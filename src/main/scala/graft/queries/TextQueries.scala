@@ -2088,6 +2088,51 @@ object TextQueries {
                CAST(sum(hits) AS BIGINT) AS n_hits,
                CAST(count(*) FILTER (WHERE hits > 0) * 1000000 // count(*)
                  AS BIGINT) AS flag_ppm
-        FROM sd GROUP BY source ORDER BY source"""))
+        FROM sd GROUP BY source ORDER BY source""")),
+
+    // Collocation mining by co-occurrence lift (the PMI-style association
+    // report behind phrase tables and compound detection — integer lift
+    // ‰ = n_ab·N·1000 div (n_a·n_b) instead of log PMI so both engines are
+    // exact): document-level co-occurrence over DISTINCT tokens per doc,
+    // pair candidates from a doc_id equi-self-join (per-doc quadratic in
+    // the distinct-token count — at corpus scale cap the per-doc token set
+    // like the SimHash features; the vocabulary-sized count joins are left
+    // to AQE). Support floor n_ab ≥ 5; top-20 by lift via orderBy+limit
+    // (TakeOrderedAndProject, never a global window).
+    "td_cooc_lift" -> (((s: SparkSession, d: String) => {
+      val dt = Fixtures.documents(s, d)
+        .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("t"))
+      val nd = Fixtures.documents(s, d).count()
+      val tc = dt.groupBy("t").agg(count(lit(1)).as("n_t"))
+      val pairs = dt.as("a").join(dt.as("b"), Seq("doc_id"))
+        .where(col("a.t") < col("b.t"))
+        .groupBy(col("a.t").as("t1"), col("b.t").as("t2"))
+        .agg(count(lit(1)).as("n_ab"))
+        .where(col("n_ab") >= 5)
+      pairs
+        .join(tc.select(col("t").as("t1"), col("n_t").as("n_a")), Seq("t1"))
+        .join(tc.select(col("t").as("t2"), col("n_t").as("n_b")), Seq("t2"))
+        .withColumn("lift_pm",
+          expr(s"(n_ab * ${nd}L * 1000L) div (n_a * n_b)").cast("long"))
+        .select(col("t1"), col("t2"), col("n_ab").cast("long").as("n_ab"),
+          col("lift_pm"))
+        .orderBy(col("lift_pm").desc, col("t1").asc, col("t2").asc)
+        .limit(20)
+    }),
+      Some(s"""$docsSql,
+        dt AS (SELECT DISTINCT doc_id, unnest(list_distinct(toks)) AS t FROM docs),
+        nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+        tc AS (SELECT t, CAST(count(*) AS BIGINT) AS n_t FROM dt GROUP BY t),
+        pairs AS (
+          SELECT a.t AS t1, b.t AS t2, CAST(count(*) AS BIGINT) AS n_ab
+          FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.t < b.t
+          GROUP BY 1, 2 HAVING count(*) >= 5)
+        SELECT t1, t2, n_ab,
+               CAST(n_ab * (SELECT n FROM nd) * 1000
+                    // (x.n_t * y.n_t) AS BIGINT) AS lift_pm
+        FROM pairs
+        JOIN tc x ON x.t = pairs.t1
+        JOIN tc y ON y.t = pairs.t2
+        ORDER BY lift_pm DESC, t1 ASC, t2 ASC LIMIT 20"""))
   )
 }
