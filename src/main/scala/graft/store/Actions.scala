@@ -87,6 +87,69 @@ object Actions {
         case c => c.toString
       }, s)
 
+  /** Reference event-type slugs (`pkg/graveler/hooks_handler.go:16-32`)
+    * as they appear in action files' `on:` keys. */
+  val eventSlugs: Map[String, Hooks.EventType] = Map(
+    "prepare-commit" -> Hooks.PrepareCommit,
+    "pre-commit" -> Hooks.PreCommit, "post-commit" -> Hooks.PostCommit,
+    "pre-merge" -> Hooks.PreMerge, "post-merge" -> Hooks.PostMerge,
+    "pre-create-tag" -> Hooks.PreCreateTag,
+    "post-create-tag" -> Hooks.PostCreateTag,
+    "pre-delete-tag" -> Hooks.PreDeleteTag,
+    "post-delete-tag" -> Hooks.PostDeleteTag,
+    "pre-create-branch" -> Hooks.PreCreateBranch,
+    "post-create-branch" -> Hooks.PostCreateBranch,
+    "pre-delete-branch" -> Hooks.PreDeleteBranch,
+    "post-delete-branch" -> Hooks.PostDeleteBranch,
+    "pre-revert" -> Hooks.PreRevert, "post-revert" -> Hooks.PostRevert,
+    "pre-cherry-pick" -> Hooks.PreCherryPick,
+    "post-cherry-pick" -> Hooks.PostCherryPick)
+
+  private val yamlMapper = new com.fasterxml.jackson.databind.ObjectMapper(
+    new com.fasterxml.jackson.dataformat.yaml.YAMLFactory())
+
+  /** Parse one action file — the reference's YAML action shape
+    * (`pkg/actions/action.go:16-58`):
+    * {{{
+    * name: protect main
+    * on:
+    *   pre-merge:
+    *     branches: ["main"]
+    * hooks:
+    *   - id: h1
+    *     type: sql_check
+    *     properties:
+    *       expr: "..."
+    * }}}
+    * JSON files parse too (JSON is valid YAML). `branches` omitted or
+    * empty means every branch, as in the reference. The parsed config
+    * passes the same [[validate]] the programmatic path uses; an unknown
+    * `on:` slug fails fast. */
+  def parseActionFile(bytes: Array[Byte]): ActionConf = {
+    import scala.jdk.CollectionConverters._
+    val root = yamlMapper.readTree(bytes)
+    val on = root.path("on").properties().asScala.map { e =>
+      val ev = eventSlugs.getOrElse(e.getKey,
+        sys.error(s"unknown event type '${e.getKey}' in action file"))
+      val globs = Option(e.getValue.get("branches")) match {
+        case Some(b) if b.isArray => b.elements().asScala.map(_.asText()).toSeq
+        case _ => Seq.empty
+      }
+      ev -> globs
+    }.toMap
+    val hooks = root.path("hooks").elements().asScala.map { h =>
+      val props = Option(h.get("properties")) match {
+        case Some(p) if p.isObject =>
+          p.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
+        case _ => Map.empty[String, String]
+      }
+      HookConf(h.path("id").asText(), h.path("type").asText(), props)
+    }.toSeq
+    val conf = ActionConf(root.path("name").asText(), on, hooks)
+    validate(conf)
+    conf
+  }
+
   /** Validate and install `conf` on `registry`: one registered hook per
     * (event type, action hook) pair, firing only when the event's branch
     * matches the action's globs for that event. */
@@ -161,9 +224,28 @@ class ActionService(val engine: Engine) {
     }
   }
 
+  private var repoSource: Option[ActionsSource] = None
+
+  /** Turn on the reference's repo-as-config hook source
+    * (`pkg/catalog/actions_source.go`): action files committed (or staged)
+    * under `_lakefs_actions/` on the event's branch participate in every
+    * event alongside programmatically added actions. Wires ALL event
+    * types, since which events fire is now data on the branch. */
+  def enableRepoActions(ttlMs: Long = 5000L): ActionsSource =
+    this.synchronized {
+      val src = repoSource.getOrElse(new ActionsSource(engine, ttlMs))
+      repoSource = Some(src)
+      Hooks.allEventTypes.foreach { ev =>
+        if (wired.add(ev)) engine.hooks.register(ev)(handle)
+      }
+      src
+    }
+
   private def handle(ev: Hooks.HookEvent): Unit = this.synchronized {
-    val matching = confs.filter(c => c.on.get(ev.eventType).exists(globs =>
-      globs.isEmpty || globs.exists(globMatches(_, ev.branch))))
+    val fromRepo = repoSource.toSeq.flatMap(_.load(ev))
+    val matching = (confs ++ fromRepo).filter(c =>
+      c.on.get(ev.eventType).exists(globs =>
+        globs.isEmpty || globs.exists(globMatches(_, ev.branch))))
     if (matching.isEmpty) return
     val runId = runs.nextRunId()
     val hookRuns = mutable.ArrayBuffer.empty[runs.HookRunResult]
@@ -190,5 +272,83 @@ class ActionService(val engine: Engine) {
     runs.record(runs.RunResult(runId, ev.eventType.toString, ev.branch,
       commitId, failure.isEmpty), hookRuns.toSeq)
     failure.foreach(e => throw e)
+  }
+}
+
+/**
+ * Repo-as-config action source — the reference's `ActionsSource`
+ * (`pkg/catalog/actions_source.go:15-92`): action definitions are
+ * OBJECTS IN THE REPOSITORY under `_lakefs_actions/`, listed and loaded
+ * from the event's branch at hook time, so hook policy is versioned,
+ * branched, and merged exactly like data. Listing + content reads go
+ * through the Spark-job-free metadata path ([[EntryIO.visibleUnder]] —
+ * staged files count, matching the reference's source-ref semantics where
+ * a commit sees its own staged action files), and results are cached per
+ * branch with a small TTL like the reference's 5 s jittered cache
+ * (`actions_source.go:21-25`). A malformed action file fails the
+ * operation (abortable events), mirroring the reference's load errors —
+ * bad policy must not silently stop guarding.
+ */
+class ActionsSource(engine: Engine, ttlMs: Long = 5000L) {
+  import Actions.ActionConf
+
+  val location = "_lakefs_actions/"
+
+  private case class Cached(at: Long, confs: Seq[ActionConf])
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, Cached]()
+
+  /** Action configs visible on the event's branch (staged included);
+    * empty for events that carry no branch ref. */
+  def load(ev: Hooks.HookEvent): Seq[ActionConf] = {
+    val ref = if (ev.branch.nonEmpty) Some(ev.branch) else ev.sourceRef
+    ref.map(loadRef).getOrElse(Seq.empty)
+  }
+
+  def loadRef(ref: String): Seq[ActionConf] = {
+    val now = System.currentTimeMillis()
+    val hit = Option(cache.get(ref)).filter(c => now - c.at < ttlMs)
+    hit.map(_.confs).getOrElse {
+      val confs = listAndParse(ref)
+      cache.put(ref, Cached(now, confs))
+      confs
+    }
+  }
+
+  private def listAndParse(ref: String): Seq[ActionConf] = {
+    // fail OPEN only for a ref that no longer resolves (e.g. the
+    // post-delete-branch event); any other listing failure must propagate —
+    // a broken listing silently disabling guards would be a policy hole
+    val entries =
+      try EntryIO.visibleUnder(engine, ref, location)
+      catch {
+        case e: RuntimeException
+            if Option(e.getMessage).exists(_.contains("unresolvable")) =>
+          return Seq.empty
+      }
+    entries
+      .filter(e => e.key.endsWith(".yaml") || e.key.endsWith(".yml") ||
+        e.key.endsWith(".json"))
+      .flatMap(e => e.address.map(a => (e.key, a)))
+      .map { case (key, address) =>
+        try Actions.parseActionFile(readBytes(address))
+        catch { case ex: Throwable =>
+          sys.error(s"action file '$key': ${ex.getMessage}")
+        }
+      }
+  }
+
+  private def readBytes(address: String): Array[Byte] = {
+    val p =
+      if (address.contains("://") || address.startsWith("/"))
+        new org.apache.hadoop.fs.Path(address)
+      else new org.apache.hadoop.fs.Path(engine.repoDir, address)
+    val fs = p.getFileSystem(engine.spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    try {
+      val out = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, out, 8192, false)
+      out.toByteArray
+    } finally in.close()
   }
 }

@@ -1,0 +1,102 @@
+package graft
+
+import graft.store.{ActionService, Actions, ActionsSource, Engine, Hooks}
+
+/** Repo-as-config hooks (`pkg/catalog/actions_source.go`): YAML action
+  * files committed under `_lakefs_actions/` guard operations on the branch
+  * that holds them — staged files already count, branch globs filter,
+  * malformed files abort, and loads cache per branch with a TTL. */
+class ActionsSourceSpec extends SparkSpec {
+
+  private val guardYaml =
+    """name: no bad words
+      |on:
+      |  pre-commit:
+      |    branches: ["main"]
+      |hooks:
+      |  - id: msg-check
+      |    type: sql_check
+      |    properties:
+      |      expr: "message NOT LIKE '%bad%'"
+      |""".stripMargin
+
+  private def writeBlob(dir: String, rel: String, content: String): Unit = {
+    val p = java.nio.file.Paths.get(dir, rel)
+    java.nio.file.Files.createDirectories(p.getParent)
+    java.nio.file.Files.write(p, content.getBytes("UTF-8"))
+  }
+
+  test("committed action files guard the branch; globs and staging apply") {
+    import spark.implicits._
+    val dir = tmpDir("asrc")
+    val eng = new Engine(spark, dir, raggedness = 100)
+    // the snapshot schema must carry `address` for action files to resolve
+    eng.init("main", Some(
+      (1 to 10).map(i => (f"k$i%04d", s"v$i", null: String))
+        .toDF("key", "identity", "address")))
+    val svc = new ActionService(eng)
+    svc.enableRepoActions(ttlMs = 0L)
+
+    // the action file is STAGED and already guards its own commit
+    writeBlob(dir, "blobs/act1.yaml", guardYaml)
+    eng.stage("main", Seq(
+      ("_lakefs_actions/guard.yaml", "g1", "blobs/act1.yaml"),
+      ("k0001", "v1b", null))
+      .toDF("key", "identity", "address"))
+    eng.commit("main", "alice", "install guard")
+    val head = eng.refs.getBranch("main").get
+
+    // a violating message aborts, head unmoved, failed run recorded
+    eng.stage("main", Seq(("k0002", "v2b", null: String))
+      .toDF("key", "identity", "address"))
+    val ex = intercept[RuntimeException] {
+      eng.commit("main", "alice", "a bad commit")
+    }
+    assert(ex.getMessage.contains("msg-check"))
+    assert(eng.refs.getBranch("main").get === head)
+    val (runs, _) = svc.runs.listRuns()
+    assert(runs.exists(r => r.eventType == "PreCommit" && !r.passed))
+
+    // branch glob: the file merges to dev with the data, but only guards main
+    eng.createBranch("dev", "main")
+    eng.stage("dev", Seq(("k0003", "v3b", null: String))
+      .toDF("key", "identity", "address"))
+    eng.commit("dev", "alice", "a bad commit on dev")
+
+    // non-action keys under other prefixes are ignored
+    eng.stage("main", Seq(("docs/readme.txt", "r1", null: String))
+      .toDF("key", "identity", "address"))
+    eng.commit("main", "alice", "plain commit")
+  }
+
+  test("malformed action files abort; loads cache per branch with TTL") {
+    import spark.implicits._
+    val dir = tmpDir("asrc2")
+    val eng = new Engine(spark, dir, raggedness = 100)
+    eng.init("main", Some(Seq(("k1", "v1", null: String))
+      .toDF("key", "identity", "address")))
+    val svc = new ActionService(eng)
+    svc.enableRepoActions(ttlMs = 0L)
+
+    writeBlob(dir, "blobs/broken.yaml",
+      "name: broken\non:\n  not-an-event: {}\nhooks: []\n")
+    eng.stage("main", Seq(("_lakefs_actions/broken.yaml", "b1", "blobs/broken.yaml"))
+      .toDF("key", "identity", "address"))
+    val ex = intercept[RuntimeException] { eng.commit("main", "alice", "x") }
+    assert(ex.getMessage.contains("broken.yaml"))
+
+    // TTL cache: with a long TTL the second load skips the re-list/re-read
+    val eng2 = new Engine(spark, tmpDir("asrc3"), raggedness = 100)
+    eng2.init("main", Some(Seq(("k1", "v1", null: String))
+      .toDF("key", "identity", "address")))
+    writeBlob(eng2.repoDir, "blobs/g.yaml", guardYaml)
+    eng2.stage("main", Seq(("_lakefs_actions/g.yaml", "g1", "blobs/g.yaml"))
+      .toDF("key", "identity", "address"))
+    eng2.commit("main", "alice", "install")
+    val src = new ActionsSource(eng2, ttlMs = 60000L)
+    assert(src.loadRef("main").map(_.name) === Seq("no bad words"))
+    // deleting the backing blob doesn't disturb a cached load
+    java.nio.file.Files.delete(java.nio.file.Paths.get(eng2.repoDir, "blobs/g.yaml"))
+    assert(src.loadRef("main").map(_.name) === Seq("no bad words"))
+  }
+}
