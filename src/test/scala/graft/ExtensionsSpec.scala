@@ -22,6 +22,9 @@ class ExtensionsSpec extends AnyFunSuite {
         .getOrCreate()
       val h = s.sql("SELECT fnv64('foobar')").head().getLong(0)
       assert(h === 0x85944171f73967e8L)
+      // NFC normalizer: e + combining acute (U+0065 U+0301) -> é (U+00E9)
+      val n = s.sql("SELECT nfc_normalize('e\u0301')").head().getString(0)
+      assert(n === "\u00e9")
     } finally {
       SparkSession.setDefaultSession(shared)
       SparkSession.setActiveSession(shared)
