@@ -2133,6 +2133,44 @@ object TextQueries {
         FROM pairs
         JOIN tc x ON x.t = pairs.t1
         JOIN tc y ON y.t = pairs.t2
-        ORDER BY lift_pm DESC, t1 ASC, t2 ASC LIMIT 20"""))
+        ORDER BY lift_pm DESC, t1 ASC, t2 ASC LIMIT 20""")),
+
+    // Edit-distance refinement of LSH dedup candidates (the fuzzy-dedup
+    // second stage): banded-MinHash candidate pairs are cheap but
+    // shingle-level — the REFINE pass computes exact Levenshtein distance
+    // on just the candidate pairs and keeps those within 20 edits,
+    // rejecting band collisions whose texts differ substantially. At
+    // 100 TB the quadratic-in-length distance runs only on the
+    // LSH-bounded candidate set (never all pairs), joined back to texts
+    // by id — the plan both engines' native `levenshtein` agrees on
+    // exactly (unit-cost edits, an integer).
+    "td_edit_refine" -> (((s: SparkSession, d: String) => {
+      val docs = plantedDocs(s, d)
+      val bands = minhashBands(minhashSigs(docs))
+      val cands = bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      cands
+        .join(docs.select(col("doc_id").as("doc_a"), col("text").as("ta")), Seq("doc_a"))
+        .join(docs.select(col("doc_id").as("doc_b"), col("text").as("tb")), Seq("doc_b"))
+        .withColumn("dist", levenshtein(col("ta"), col("tb")).cast("long"))
+        .where(col("dist") <= 20)
+        .select(col("doc_a"), col("doc_b"), col("dist"))
+        .orderBy("doc_a", "doc_b")
+    }),
+      Some(s"""$docsSql $plantedDocsSql ${shinglesSqlFrom("docsp")} $minhashCtesSql,
+        docst AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 10000, text FROM documents WHERE doc_id % 50 = 0)
+        SELECT doc_a, doc_b,
+               CAST(levenshtein(x.text, y.text) AS BIGINT) AS dist
+        FROM cands
+        JOIN docst x ON x.doc_id = doc_a
+        JOIN docst y ON y.doc_id = doc_b
+        WHERE levenshtein(x.text, y.text) <= 20
+        ORDER BY doc_a, doc_b"""))
   )
 }
