@@ -1,0 +1,62 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Stream-stream interval join — the incremental form of the batch
+ * `ev_range_join` query (purchases inside each error's 600 s incident
+ * window), through Structured Streaming's NATIVE stream-stream join:
+ * both sides carry watermarks and the join condition is a bounded
+ * time range, so the state store retains each side only until the
+ * other side's watermark passes the bound — bounded state, the exact
+ * situation the built-in operator exists for (no custom state code).
+ *
+ * Like the batch twin, candidates come from an EQUI-join on the
+ * 600 s time bucket (a window overlaps ≤ 2 buckets — exploded on the
+ * window side; an event exactly 1), refined by the range predicate.
+ * The equi key matters at scale for the same reason as in batch: it
+ * keys the state store so matching is hash-partitioned instead of
+ * scanning every buffered row of the other side.
+ *
+ * Inner-join semantics: a match emits once both rows have arrived;
+ * rows older than watermark + bound are dropped from state.
+ */
+object StreamIntervalJoin {
+
+  val windowSec = 600L
+
+  /** `windows`: (w_id, w_tsec) error stream; `probes`: (e_id, tsec,
+    * value_c) purchase stream. Emits (w_id, e_id, value_c) matches. */
+  def join(windows: DataFrame, probes: DataFrame): DataFrame = {
+    val w = windows
+      .withColumn("w_ts", timestamp_seconds(col("w_tsec")))
+      .withWatermark("w_ts", "10 minutes")
+      .withColumn("bucket", explode(array_distinct(array(
+        floor(col("w_tsec") / windowSec),
+        floor((col("w_tsec") + windowSec - 1) / windowSec)))))
+    val p = probes
+      .withColumn("p_ts", timestamp_seconds(col("tsec")))
+      .withWatermark("p_ts", "10 minutes")
+      .withColumn("bucket", floor(col("tsec") / windowSec))
+    w.join(p,
+      w("bucket") === p("bucket") &&
+        p("p_ts") >= w("w_ts") &&
+        p("p_ts") < w("w_ts") + expr(s"INTERVAL $windowSec SECONDS"))
+      .select(col("w_id"), col("e_id"), col("value_c"))
+  }
+
+  /** The batch twin over static frames: one bucketed equi-join + refine,
+    * the `ev_range_join` plan. */
+  def joinBatch(windows: DataFrame, probes: DataFrame): DataFrame = {
+    val w = windows.withColumn("bucket", explode(array_distinct(array(
+      floor(col("w_tsec") / windowSec),
+      floor((col("w_tsec") + windowSec - 1) / windowSec)))))
+    val p = probes.withColumn("bucket", floor(col("tsec") / windowSec))
+    w.join(p,
+      w("bucket") === p("bucket") &&
+        p("tsec") >= w("w_tsec") &&
+        p("tsec") < w("w_tsec") + windowSec)
+      .select(col("w_id"), col("e_id"), col("value_c"))
+  }
+}

@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.streaming.StreamIntervalJoin
+
+/** The native stream-stream interval join must emit exactly the batch
+  * bucketed-equi-join matches over the same rows, across micro-batches. */
+class StreamIntervalJoinSpec extends SparkSpec {
+
+  // errors at t=100, 650, 1300; purchases scattered around them
+  private val wins = Seq((10L, 100L), (11L, 650L), (12L, 1300L))
+  private val purch = Seq(
+    (1L, 90L, 5L),    // before every window
+    (2L, 100L, 7L),   // == start of w10 (inclusive)
+    (3L, 400L, 9L),   // inside w10
+    (4L, 699L, 11L),  // inside w10 (end exclusive is 700) and w11
+    (5L, 700L, 13L),  // only w11
+    (6L, 1899L, 17L), // last second of w12
+    (7L, 1900L, 19L)) // past every window
+
+  test("stream-stream interval join equals the batch bucketed join") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val wMem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long)]
+    val pMem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, Long)]
+    val joined = StreamIntervalJoin.join(
+      wMem.toDF().toDF("w_id", "w_tsec"),
+      pMem.toDF().toDF("e_id", "tsec", "value_c"))
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("sij").start()
+    try {
+      wMem.addData(wins.take(2)); pMem.addData(purch.take(4))
+      q.processAllAvailable()
+      wMem.addData(wins.drop(2)); pMem.addData(purch.drop(4))
+      q.processAllAvailable()
+
+      val got = spark.table("sij")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val expected = StreamIntervalJoin.joinBatch(
+          wins.toDF("w_id", "w_tsec"), purch.toDF("e_id", "tsec", "value_c"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got === expected)
+      // sanity on the fixture: inclusive start, exclusive end, multi-window
+      assert(expected.map(t => (t._1, t._2)) === Set(
+        (10L, 2L), (10L, 3L), (10L, 4L), (11L, 4L), (11L, 5L), (12L, 6L)))
+    } finally q.stop()
+  }
+}
