@@ -1925,6 +1925,65 @@ object VersionControlQueries {
                CAST(count(*) AS BIGINT) AS n,
                CAST(1 AS BIGINT) AS has_more,
                CAST(1 AS BIGINT) AS ok_sticky
-        FROM nation GROUP BY 1 ORDER BY status"""))
+        FROM nation GROUP BY 1 ORDER BY status""")),
+
+    // Repo-as-config hooks through the facade (`pkg/catalog/
+    // actions_source.go`): a YAML action file committed under
+    // `_lakefs_actions/` guards its own branch — a staged file already
+    // guards the commit installing it, a violating message aborts with the
+    // head unmoved, and the branch glob scopes the guard to main. The
+    // invariants ride as literal columns over the per-nation listing.
+    "vc_repo_actions" -> (((s: SparkSession, d: String) => {
+      val dir = s"target/vc_repoact_repo_${math.abs(d.hashCode)}"
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(dir), s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+      val eng = new graft.store.Engine(s, dir, raggedness = 5000)
+      val base = s.read.parquet(s"$d/nation.parquet")
+        .select(concat(lit("n/"), col("n_name")).as("key"),
+          sha2(col("n_name"), 256).as("identity"),
+          lit(null).cast("string").as("address"))
+      eng.init("main", Some(base))
+      new graft.store.ActionService(eng).enableRepoActions(ttlMs = 0L)
+      val yaml =
+        """name: no bad words
+          |on:
+          |  pre-commit:
+          |    branches: ["main"]
+          |hooks:
+          |  - id: msg-check
+          |    type: sql_check
+          |    properties:
+          |      expr: "message NOT LIKE '%bad%'"
+          |""".stripMargin
+      val out = fs.create(new org.apache.hadoop.fs.Path(s"$dir/blobs/guard.yaml"), true)
+      try out.write(yaml.getBytes("UTF-8")) finally out.close()
+      import s.implicits._
+      eng.stage("main", Seq(
+        ("_lakefs_actions/guard.yaml", "g1", "blobs/guard.yaml"))
+        .toDF("key", "identity", "address"))
+      eng.commit("main", "driver", "install guard") // staged file guards this
+      val head = eng.refs.getBranch("main").get
+      eng.stage("main", Seq(("n/extra", "x1", null: String))
+        .toDF("key", "identity", "address"))
+      val blocked =
+        try { eng.commit("main", "driver", "a bad commit"); 0L }
+        catch { case _: Exception => 1L }
+      val headUnmoved = if (eng.refs.getBranch("main").get == head) 1L else 0L
+      eng.createBranch("dev", "main")
+      eng.stage("dev", Seq(("n/devkey", "d1", null: String))
+        .toDF("key", "identity", "address"))
+      eng.commit("dev", "driver", "a bad commit off main") // glob skips dev
+      // committed view only: the aborted commit's staged key must not show
+      eng.list("main", prefix = "n/", includeStaged = false).select("key")
+        .withColumn("n_blocked", lit(blocked))
+        .withColumn("head_unmoved", lit(headUnmoved))
+        .orderBy("key")
+    }),
+      Some("""
+        SELECT 'n/' || n_name AS key,
+               CAST(1 AS BIGINT) AS n_blocked,
+               CAST(1 AS BIGINT) AS head_unmoved
+        FROM nation ORDER BY key"""))
   )
 }
