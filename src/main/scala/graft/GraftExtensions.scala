@@ -22,5 +22,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("nfc_normalize"),
       new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
       (exprs: Seq[Expression]) => NfcNormalize(exprs.head)))
+    // prefix predicates (LIKE 'p%') gain sargable range bounds so sorted
+    // snapshot scans prune row groups on key min/max — see PrefixRangeRewrite
+    ext.injectOptimizerRule(_ => graft.plans.PrefixRangeRewrite)
   }
 }

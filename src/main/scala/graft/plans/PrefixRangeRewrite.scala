@@ -1,0 +1,61 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions.{And, Attribute, Expression, GreaterThanOrEqual, LessThan, Literal, StartsWith}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.StringType
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Optimizer rule making string-prefix predicates SARGABLE everywhere: a
+ * `Filter` containing `StartsWith(attr, "p")` (what Catalyst rewrites
+ * `LIKE 'p%'` into) gains the equivalent range conjuncts
+ * `attr >= "p" AND attr < upperBound("p")` — the rewrite
+ * `operators/Listing.prefixFilter` applies by hand at the engine's own
+ * call sites, now applied to ANY user query (e.g. `spark.sql` over a ref
+ * view registered by `Engine.createOrReplaceRefView`) when the session is
+ * built with [[graft.GraftExtensions]].
+ *
+ * Why ranges matter when Spark already pushes StartsWith to Parquet:
+ * sorted snapshot files are pruned by column MIN/MAX stats, which answer
+ * range predicates directly — the added bounds let row groups drop on
+ * their key bounds exactly like the reference's metarange seek
+ * (`pkg/graveler/committed/meta_range.go` SeekGE), and they reach
+ * sources whose pushdown understands comparisons but not prefix matches.
+ *
+ * Safety: the StartsWith stays in place and the bounds are ADDED as
+ * conjuncts — semantics are identical (for any string s, s.startsWith(p)
+ * implies p <= s < upperBound(p) in UTF8 binary order, and rows outside
+ * the bounds can't start with p). Idempotent by construction: the rule
+ * skips a Filter whose condition already contains the derived lower
+ * bound, so the optimizer's fixpoint loop terminates.
+ */
+object PrefixRangeRewrite extends Rule[LogicalPlan] {
+
+  /** Smallest string greater than every string with this prefix, in UTF-16
+    * unit order (mirrors `operators/Listing.upperBound`). */
+  private def upperBound(p: UTF8String): Option[UTF8String] =
+    graft.operators.Listing.upperBound(p.toString).map(UTF8String.fromString)
+
+  private def bounds(cond: Expression): Seq[Expression] = {
+    val existing = cond.collect {
+      case GreaterThanOrEqual(a: Attribute, Literal(lo, StringType)) => (a.exprId, lo)
+    }.toSet
+    cond.collect {
+      case StartsWith(a: Attribute, Literal(p: UTF8String, StringType))
+          if p.numChars() > 0 && !existing.contains((a.exprId, p)) =>
+        val lo: Expression = GreaterThanOrEqual(a, Literal(p, StringType))
+        upperBound(p) match {
+          case Some(hi) => And(lo, LessThan(a, Literal(hi, StringType)))
+          case None => lo
+        }
+    }
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, child) =>
+      val extra = bounds(cond)
+      if (extra.isEmpty) f
+      else Filter(extra.foldLeft(cond)(And(_, _)), child)
+  }
+}

@@ -967,6 +967,57 @@ object EventQueries {
                lead(tsec) OVER w AS valid_until
         FROM ch
         WINDOW w AS (PARTITION BY user_id ORDER BY tsec, event_id)
-        ORDER BY user_id, version"""))
+        ORDER BY user_id, version""")),
+
+    // Time-BOUNDED funnel (the windowed upgrade of ev_funnel): signup →
+    // click → purchase where each step must land within 86400 s of the
+    // previous one — the "converted within a day of signing up" product
+    // metric. Each stage is a user-keyed equi-join of the next event
+    // class against the earliest qualifying previous-step time (min agg),
+    // so the plan is two joins + three aggs all shuffled on user_id —
+    // no window over the raw stream, no range join; identical at 100 TB.
+    // Earliest-qualifying semantics make the result order-independent.
+    "ev_funnel_windowed" -> (((s: SparkSession, d: String) => {
+      val W = 86400L
+      val ev = Fixtures.events(s, d).select(col("user_id"),
+        expr("ts div 1000000000").as("tsec"), col("event_type"))
+      val s1 = ev.where(col("event_type") === "signup")
+        .groupBy("user_id").agg(min("tsec").as("t1"))
+      val s2 = ev.where(col("event_type") === "click")
+        .join(s1, "user_id")
+        .where(col("tsec") >= col("t1") && col("tsec") <= col("t1") + W)
+        .groupBy("user_id").agg(min("tsec").as("t2"))
+      val s3 = ev.where(col("event_type") === "purchase")
+        .join(s2, "user_id")
+        .where(col("tsec") >= col("t2") && col("tsec") <= col("t2") + W)
+        .groupBy("user_id").agg(min("tsec").as("t3"))
+      val n1 = s1.agg(count(lit(1)).cast("long").as("n_signup"))
+      val n2 = s2.agg(count(lit(1)).cast("long").as("n_click_24h"))
+      val n3 = s3.agg(count(lit(1)).cast("long").as("n_purchase_24h"))
+      n1.crossJoin(n2).crossJoin(n3)
+        .withColumn("conv_ppm",
+          expr("(n_purchase_24h * 1000000L) div n_signup").cast("long"))
+    }),
+      Some("""
+        WITH ev AS (
+          SELECT user_id, epoch_ns(ts) // 1000000000 AS tsec, event_type
+          FROM events),
+        s1 AS (SELECT user_id, min(tsec) AS t1 FROM ev
+               WHERE event_type = 'signup' GROUP BY user_id),
+        s2 AS (SELECT ev.user_id, min(tsec) AS t2 FROM ev
+               JOIN s1 ON s1.user_id = ev.user_id
+               WHERE event_type = 'click'
+                 AND tsec >= t1 AND tsec <= t1 + 86400
+               GROUP BY ev.user_id),
+        s3 AS (SELECT ev.user_id, min(tsec) AS t3 FROM ev
+               JOIN s2 ON s2.user_id = ev.user_id
+               WHERE event_type = 'purchase'
+                 AND tsec >= t2 AND tsec <= t2 + 86400
+               GROUP BY ev.user_id)
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM s1) AS n_signup,
+               (SELECT CAST(count(*) AS BIGINT) FROM s2) AS n_click_24h,
+               (SELECT CAST(count(*) AS BIGINT) FROM s3) AS n_purchase_24h,
+               CAST((SELECT count(*) FROM s3) * 1000000
+                    // (SELECT count(*) FROM s1) AS BIGINT) AS conv_ppm"""))
   )
 }

@@ -25,6 +25,24 @@ class ExtensionsSpec extends AnyFunSuite {
       // NFC normalizer: e + combining acute (U+0065 U+0301) -> é (U+00E9)
       val n = s.sql("SELECT nfc_normalize('e\u0301')").head().getString(0)
       assert(n === "\u00e9")
+
+      // PrefixRangeRewrite: a LIKE 'p%' filter over a sorted snapshot view
+      // gains range bounds that reach the parquet scan's PushedFilters
+      import s.implicits._
+      val dir = "target/tmp_ext_prefix_" + java.util.UUID.randomUUID()
+      val store = new graft.store.SnapshotStore(s, dir, raggedness = 100)
+      val (meta, _) = store.writeSnapshot(
+        (1 to 300).map(i => (f"a/k$i%04d", s"v$i")).toDF("key", "identity"))
+      store.scan(meta).createOrReplaceTempView("ext_snap")
+      val q = s.sql("SELECT key FROM ext_snap WHERE key LIKE 'a/k01%'")
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("GreaterThanOrEqual(key,a/k01") &&
+        plan.contains("LessThan(key,a/k02"),
+        s"prefix bounds missing from scan:\n${plan.take(1500)}")
+      assert(q.count() === 100)
+      // plain equality is untouched by the rule
+      val q2 = s.sql("SELECT key FROM ext_snap WHERE key = 'a/k0005'")
+      assert(q2.count() === 1)
     } finally {
       SparkSession.setDefaultSession(shared)
       SparkSession.setActiveSession(shared)

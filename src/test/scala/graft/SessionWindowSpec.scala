@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Spark's native session_window must agree with the classic lag/cumsum
+  * session construction under the same boundary rule (an event at gap
+  * distance >= g starts a new session; < g extends). */
+class SessionWindowSpec extends SparkSpec {
+
+  test("native session_window equals lag/cumsum sessions on the fixture") {
+    val g = 1800L
+    val ev = graft.fixtures.Fixtures.events(spark, "/root/testdata/sf0.001")
+      .select(col("user_id"), expr("ts div 1000000000").as("tsec"))
+    // native: one row per (user, session) with its span and count
+    val native = ev
+      .withColumn("tstamp", timestamp_seconds(col("tsec")))
+      .groupBy(col("user_id"), session_window(col("tstamp"), s"$g seconds"))
+      .agg(count(lit(1)).as("n"),
+        min("tsec").as("start_sec"), max("tsec").as("end_sec"))
+      .select("user_id", "n", "start_sec", "end_sec")
+    // manual: cumsum over "gap >= g starts a session" markers
+    val w = Window.partitionBy("user_id").orderBy("tsec")
+    val manual = ev
+      .withColumn("prev", lag("tsec", 1).over(w))
+      .withColumn("new_s",
+        when(col("prev").isNull || col("tsec") - col("prev") >= g, 1L)
+          .otherwise(0L))
+      .withColumn("sid", sum("new_s").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "sid")
+      .agg(count(lit(1)).as("n"),
+        min("tsec").as("start_sec"), max("tsec").as("end_sec"))
+      .select("user_id", "n", "start_sec", "end_sec")
+    assert(native.count() > 0)
+    assert(native.except(manual).isEmpty && manual.except(native).isEmpty)
+  }
+}
