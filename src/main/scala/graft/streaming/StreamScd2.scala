@@ -1,0 +1,55 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/**
+ * Streaming SCD2 maintenance — the incremental form of the batch
+ * `ev_scd2` query: each user's dimension row is versioned as their state
+ * (event_type) changes, emitting a CLOSED [valid_from, valid_until) row
+ * the moment a change supersedes the current one. The open current row
+ * lives only in state (one tuple per user), exactly how a warehouse
+ * dimension loader holds the "current" row apart from history.
+ *
+ * State per user is one (state, valid_from, version) tuple in
+ * `flatMapGroupsWithState`; repeats of the current state are absorbed
+ * without output, a different state closes the open interval. Matches
+ * the batch twin's closed rows exactly on in-order streams (the batch
+ * pass is the periodic exact reconciliation for late data, as with
+ * [[StreamAsof]]/[[StreamDedup]]).
+ */
+object StreamScd2 {
+
+  case class Ev(user_id: Long, event_id: Long, tsec: Long, event_type: String)
+  case class Open(state: String, valid_from: Long, version: Long)
+  case class ClosedRow(user_id: Long, version: Long, state: String,
+      valid_from: Long, valid_until: Long)
+
+  /** Input columns (user_id, event_id, tsec, event_type); emits closed
+    * history rows as state changes arrive. */
+  def closedRows(events: DataFrame): Dataset[ClosedRow] = {
+    import events.sparkSession.implicits._
+    events.select(col("user_id").cast("long"), col("event_id").cast("long"),
+        col("tsec").cast("long"), col("event_type"))
+      .as[Ev]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (uid: Long, it: Iterator[Ev], state: GroupState[Open]) => {
+          val out = scala.collection.mutable.ArrayBuffer.empty[ClosedRow]
+          var cur = state.getOption
+          it.toSeq.sortBy(e => (e.tsec, e.event_id)).foreach { e =>
+            cur match {
+              case None =>
+                cur = Some(Open(e.event_type, e.tsec, 1L))
+              case Some(o) if o.state != e.event_type =>
+                out += ClosedRow(uid, o.version, o.state, o.valid_from, e.tsec)
+                cur = Some(Open(e.event_type, e.tsec, o.version + 1L))
+              case _ => // same state: absorb
+            }
+          }
+          cur.foreach(state.update)
+          out.iterator
+        })
+  }
+}

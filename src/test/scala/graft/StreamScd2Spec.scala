@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.streaming.StreamScd2
+
+/** Streaming SCD2 closed rows must equal the batch twin's closed rows
+  * (same collapse + interval semantics) over the same in-order events. */
+class StreamScd2Spec extends SparkSpec {
+
+  // user 1: a->a->b->c (two closed rows), user 2: x->x (none closed)
+  private val evs = Seq(
+    (1L, 1L, 100L, "view"), (1L, 2L, 150L, "view"),
+    (1L, 3L, 200L, "click"), (1L, 4L, 450L, "purchase"),
+    (2L, 5L, 120L, "view"), (2L, 6L, 300L, "view"))
+
+  private def batchClosed = {
+    import spark.implicits._
+    val w = Window.partitionBy("user_id").orderBy("tsec", "event_id")
+    evs.toDF("user_id", "event_id", "tsec", "event_type")
+      .withColumn("prev", lag("event_type", 1).over(w))
+      .where(col("prev").isNull || col("prev") =!= col("event_type"))
+      .withColumn("version", row_number().over(w).cast("long"))
+      .withColumn("valid_until", lead("tsec", 1).over(w))
+      .where(col("valid_until").isNotNull) // closed rows only
+      .select(col("user_id"), col("version"), col("event_type").as("state"),
+        col("tsec").as("valid_from"), col("valid_until"))
+  }
+
+  test("streaming closed rows equal the batch twin across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, Long, String)]
+    val q = StreamScd2.closedRows(
+        mem.toDF().toDF("user_id", "event_id", "tsec", "event_type"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("scd2_closed").start()
+    try {
+      val (a, b) = evs.splitAt(3)
+      mem.addData(a); q.processAllAvailable()
+      mem.addData(b); q.processAllAvailable()
+      val got = spark.table("scd2_closed")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+          r.getLong(3), r.getLong(4))).toSet
+      val expected = batchClosed.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+          r.getLong(3), r.getLong(4))).toSet
+      assert(got === expected)
+      assert(got === Set(
+        (1L, 1L, "view", 100L, 200L),
+        (1L, 2L, "click", 200L, 450L)))
+    } finally q.stop()
+  }
+}
