@@ -1018,6 +1018,48 @@ object EventQueries {
                (SELECT CAST(count(*) AS BIGINT) FROM s2) AS n_click_24h,
                (SELECT CAST(count(*) AS BIGINT) FROM s3) AS n_purchase_24h,
                CAST((SELECT count(*) FROM s3) * 1000000
-                    // (SELECT count(*) FROM s1) AS BIGINT) AS conv_ppm"""))
+                    // (SELECT count(*) FROM s1) AS BIGINT) AS conv_ppm""")),
+
+    // Inactivity churn by signup cohort (the retention flip side): a user
+    // is churned when their LAST event is older than 7 days before the
+    // stream's end; cohort = the week index of their first signup. Two
+    // user-keyed aggs (first signup, last activity) joined on user_id,
+    // then a cohort rollup — every shuffle on user_id or the small
+    // cohort key, the same plan at 100 TB. The global max rides a
+    // single-row broadcast crossJoin (scalar subquery shape).
+    "ev_churn" -> (((s: SparkSession, d: String) => {
+      val ev = Fixtures.events(s, d).select(col("user_id"),
+        expr("ts div 1000000000").as("tsec"), col("event_type"))
+      val signup = ev.where(col("event_type") === "signup")
+        .groupBy("user_id").agg(min("tsec").as("s0"))
+      val lastAct = ev.groupBy("user_id").agg(max("tsec").as("last_t"))
+      val tmax = ev.agg(max("tsec").as("t_end"))
+      signup.join(lastAct, "user_id").crossJoin(broadcast(tmax))
+        .withColumn("cohort_week", expr("s0 div 604800").cast("long"))
+        .withColumn("churned",
+          when(col("last_t") < col("t_end") - 604800L, 1L).otherwise(0L))
+        .groupBy("cohort_week")
+        .agg(count(lit(1)).cast("long").as("n_users"),
+          sum("churned").cast("long").as("n_churned"))
+        .withColumn("churn_ppm",
+          expr("(n_churned * 1000000L) div n_users").cast("long"))
+        .orderBy("cohort_week")
+    }),
+      Some("""
+        WITH ev AS (
+          SELECT user_id, epoch_ns(ts) // 1000000000 AS tsec, event_type
+          FROM events),
+        s AS (SELECT user_id, min(tsec) AS s0 FROM ev
+              WHERE event_type = 'signup' GROUP BY user_id),
+        l AS (SELECT user_id, max(tsec) AS last_t FROM ev GROUP BY user_id),
+        m AS (SELECT max(tsec) AS t_end FROM ev)
+        SELECT CAST(s0 // 604800 AS BIGINT) AS cohort_week,
+               CAST(count(*) AS BIGINT) AS n_users,
+               CAST(count(*) FILTER (WHERE last_t < t_end - 604800) AS BIGINT)
+                 AS n_churned,
+               CAST(count(*) FILTER (WHERE last_t < t_end - 604800) * 1000000
+                    // count(*) AS BIGINT) AS churn_ppm
+        FROM s JOIN l USING (user_id) CROSS JOIN m
+        GROUP BY 1 ORDER BY cohort_week"""))
   )
 }

@@ -2171,6 +2171,44 @@ object TextQueries {
         JOIN docst x ON x.doc_id = doc_a
         JOIN docst y ON y.doc_id = doc_b
         WHERE levenshtein(x.text, y.text) <= 20
-        ORDER BY doc_a, doc_b"""))
+        ORDER BY doc_a, doc_b""")),
+
+    // Tokenizer fertility by language — the comparative metric behind
+    // every multilingual tokenizer report (subword pieces per whitespace
+    // word; high fertility = the tokenizer fragments that language). The
+    // subword count here is the deterministic fixed-width proxy
+    // ceil(len/4) per word so both engines are integer-exact — the
+    // HARNESS is the operator (per-lang corpus aggregation of a per-word
+    // piece count); a real BPE's counts drop into the same plan. One
+    // scan, one groupBy(lang): map-side combinable at any scale.
+    "td_tokenizer_fertility" -> (((s: SparkSession, d: String) => {
+      Fixtures.documents(s, d)
+        .select(col("lang"), tokens(col("text")).as("toks"))
+        .select(col("lang"),
+          size(col("toks")).cast("long").as("n_words"),
+          expr("aggregate(toks, 0L, (a, t) -> a + (char_length(t) + 3) div 4)")
+            .as("n_pieces"))
+        .groupBy("lang")
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum("n_words").cast("long").as("n_words"),
+          sum("n_pieces").cast("long").as("n_pieces"))
+        .withColumn("fertility_pm",
+          expr("(n_pieces * 1000L) div n_words").cast("long"))
+        .orderBy("lang")
+    }),
+      Some(s"""$docsSql,
+        m AS (
+          SELECT lang,
+                 CAST(len(toks) AS BIGINT) AS n_words,
+                 CAST(list_sum(list_transform(toks,
+                   t -> (length(t) + 3) // 4)) AS BIGINT) AS n_pieces
+          FROM (SELECT d.*, lang FROM docs d
+                JOIN documents USING (doc_id)))
+        SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_words) AS BIGINT) AS n_words,
+               CAST(sum(n_pieces) AS BIGINT) AS n_pieces,
+               CAST(sum(n_pieces) * 1000 // sum(n_words) AS BIGINT)
+                 AS fertility_pm
+        FROM m GROUP BY lang ORDER BY lang"""))
   )
 }
