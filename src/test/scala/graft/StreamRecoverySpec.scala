@@ -1,0 +1,48 @@
+package graft
+
+import graft.streaming.StreamTopK
+
+/** Stateful streaming queries must survive a stop/restart from their
+  * checkpoint: the state store (space-saving shard summaries here) is
+  * recovered, not rebuilt, so counts continue from where the first
+  * incarnation stopped — the operational property a 1000-executor
+  * deployment leans on every time an executor or driver is replaced.
+  * (Sink: foreachBatch — the memory sink does not support recovery.) */
+class StreamRecoverySpec extends SparkSpec {
+
+  test("space-saving summary state survives a checkpointed restart") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = tmpDir("topk_ckpt")
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[String]
+    // latest observed (item -> count) across batches; Update re-emissions
+    // overwrite, which is exactly the live-summary semantics
+    val seen = new java.util.concurrent.ConcurrentHashMap[String, Long]()
+    def start() = StreamTopK.summarize(spark, mem.toDF().toDF("item"))
+      .writeStream.outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[StreamTopK.Entry],
+          _: Long) =>
+        batch.collect().foreach(e => seen.put(e.item, e.count))
+      }
+      .start()
+
+    val q1 = start()
+    try {
+      mem.addData(Seq("scan", "scan", "join", "scan"))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    assert(seen.get("scan") === 3L)
+
+    // second incarnation, same checkpoint: state carries the counts over
+    val q2 = start()
+    try {
+      mem.addData(Seq("scan", "join", "sort"))
+      q2.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      assert(seen.asScala.toMap === Map(
+        "scan" -> 4L, "join" -> 2L, "sort" -> 1L))
+    } finally q2.stop()
+  }
+}
