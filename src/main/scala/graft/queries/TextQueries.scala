@@ -2209,6 +2209,54 @@ object TextQueries {
                CAST(sum(n_pieces) AS BIGINT) AS n_pieces,
                CAST(sum(n_pieces) * 1000 // sum(n_words) AS BIGINT)
                  AS fertility_pm
-        FROM m GROUP BY lang ORDER BY lang"""))
+        FROM m GROUP BY lang ORDER BY lang""")),
+
+    // EXACT global percentiles WITHOUT a global sort — the two-pass
+    // histogram-locate algorithm (the distributed k-th-selection every
+    // shuffle-averse engine uses): pass 1 builds a 32-char-wide length
+    // histogram (map-side combinable, ≤ a few hundred buckets on the
+    // driver); the target rank's bucket is located driver-side; pass 2
+    // sorts ONLY that bucket's rows (1/B of the data, a bounded
+    // TakeOrderedAndProject) and reads the offset. At 100 TB the same
+    // two jobs run — or recurse into the bucket if it is still large —
+    // where td_length_percentiles' windowed form would sort whole
+    // partitions. Ranks use the ceil convention k = ⌈N·p/100⌉.
+    "td_quantile_2pass" -> (((s: SparkSession, d: String) => {
+      val lens = Fixtures.documents(s, d)
+        .select(length(col("text")).cast("long").as("len"))
+      val n = lens.count()
+      val hist = lens.groupBy(expr("len div 32").as("b"))
+        .agg(count(lit(1)).as("c"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      def kth(k: Long): Long = {
+        var cum = 0L
+        var found: Option[(Long, Long)] = None
+        hist.foreach { case (b, c) =>
+          if (found.isEmpty) {
+            if (cum + c >= k) found = Some((b, cum)) else cum += c
+          }
+        }
+        val (b, before) = found.getOrElse(sys.error(s"rank $k out of range"))
+        val off = (k - before).toInt
+        lens.where(expr("len div 32") === b)
+          .orderBy("len").limit(off).collect().last.getLong(0)
+      }
+      import s.implicits._
+      Seq(50, 90, 99).map { p =>
+        val k = math.max(1L, (n * p + 99) / 100)
+        (p.toLong, k, kth(k))
+      }.toDF("p", "k", "value").orderBy("p")
+    }),
+      Some("""
+        WITH l AS (SELECT CAST(length(text) AS BIGINT) AS len FROM documents),
+        n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM l),
+        r AS (SELECT len, row_number() OVER (ORDER BY len) AS rn FROM l),
+        ks AS (
+          SELECT CAST(p AS BIGINT) AS p,
+                 greatest(1, (n * p + 99) // 100) AS k
+          FROM (SELECT unnest([50, 90, 99]) AS p) CROSS JOIN n)
+        SELECT p, CAST(k AS BIGINT) AS k, r.len AS value
+        FROM ks JOIN r ON r.rn = ks.k
+        ORDER BY p"""))
   )
 }
