@@ -2257,6 +2257,72 @@ object TextQueries {
           FROM (SELECT unnest([50, 90, 99]) AS p) CROSS JOIN n)
         SELECT p, CAST(k AS BIGINT) AS k, r.len AS value
         FROM ks JOIN r ON r.rn = ks.k
-        ORDER BY p"""))
+        ORDER BY p""")),
+
+    // KMV sketch SET ALGEBRA (theta-sketch-style): estimate the vocabulary
+    // Jaccard between two sources from their k-minimum-values sketches
+    // alone — union sketch = k smallest of the merged sketches, overlap =
+    // fraction of union-sketch hashes present in BOTH input sketches, and
+    // the (K−1)·2³²/τ union-cardinality estimator. Sketches are
+    // DETERMINISTIC (k smallest sha-derived hashes), so the estimates are
+    // oracle-exact integers — beside them ride the exact baselines. At
+    // 100 TB only the K-row sketches move (TakeOrderedAndProject per
+    // source); the exact twin's distinct-count is the one full shuffle.
+    "td_vocab_overlap_kmv" -> (((s: SparkSession, d: String) => {
+      val K = 16
+      val hashed = Fixtures.documents(s, d)
+        .where(col("source").isin("src0", "src1"))
+        .select(col("source"), explode(array_distinct(tokens(col("text")))).as("tok"))
+        .distinct()
+        .withColumn("h", conv(substring(sha2(col("tok"), 256), 1, 8), 16, 10).cast("long"))
+      val flags = hashed.groupBy("h")
+        .agg(max(when(col("source") === "src0", 1L).otherwise(0L)).as("fa"),
+          max(when(col("source") === "src1", 1L).otherwise(0L)).as("fb"))
+        .agg(sum("fa").as("n_a"), sum("fb").as("n_b"),
+          sum(col("fa") * col("fb")).as("n_inter"))
+        .head()
+      val (nA, nB, nI) = (flags.getLong(0), flags.getLong(1), flags.getLong(2))
+      def sketch(src: String): Array[Long] = hashed
+        .where(col("source") === src).select("h").distinct()
+        .orderBy("h").limit(K).collect().map(_.getLong(0))
+      val (a, b) = (sketch("src0"), sketch("src1"))
+      val union = (a ++ b).distinct.sorted.take(K)
+      val tau = union.last
+      val inter = union.count(h => a.contains(h) && b.contains(h))
+      import s.implicits._
+      Seq((nA, nB, nI,
+        nI * 1000L / (nA + nB - nI),
+        inter * 1000L / union.length,
+        (union.length - 1L) * 4294967296L / tau))
+        .toDF("n_a", "n_b", "n_inter", "exact_jacc_pm", "kmv_jacc_pm",
+          "est_union")
+    }),
+      Some("""
+        WITH t AS (
+          SELECT DISTINCT source,
+                 unnest(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS tok
+          FROM documents WHERE source IN ('src0', 'src1')),
+        h AS (SELECT DISTINCT source,
+                     ('0x' || substr(sha256(tok), 1, 8))::BIGINT AS h
+              FROM t),
+        a AS (SELECT h FROM h WHERE source = 'src0' ORDER BY h LIMIT 16),
+        b AS (SELECT h FROM h WHERE source = 'src1' ORDER BY h LIMIT 16),
+        u AS (SELECT h FROM (SELECT h FROM a UNION SELECT h FROM b)
+              ORDER BY h LIMIT 16),
+        ustat AS (SELECT max(h) AS tau, CAST(count(*) AS BIGINT) AS ku FROM u),
+        uint AS (SELECT CAST(count(*) AS BIGINT) AS c FROM u
+                 WHERE h IN (SELECT h FROM a) AND h IN (SELECT h FROM b)),
+        ex AS (SELECT
+          (SELECT CAST(count(*) AS BIGINT) FROM h WHERE source = 'src0') AS n_a,
+          (SELECT CAST(count(*) AS BIGINT) FROM h WHERE source = 'src1') AS n_b,
+          (SELECT CAST(count(*) AS BIGINT) FROM
+             (SELECT h FROM h WHERE source = 'src0'
+              INTERSECT SELECT h FROM h WHERE source = 'src1')) AS n_inter)
+        SELECT n_a, n_b, n_inter,
+               CAST(n_inter * 1000 // (n_a + n_b - n_inter) AS BIGINT)
+                 AS exact_jacc_pm,
+               CAST(c * 1000 // ku AS BIGINT) AS kmv_jacc_pm,
+               CAST((ku - 1) * 4294967296 // tau AS BIGINT) AS est_union
+        FROM ex CROSS JOIN ustat CROSS JOIN uint"""))
   )
 }
