@@ -1060,6 +1060,40 @@ object EventQueries {
                CAST(count(*) FILTER (WHERE last_t < t_end - 604800) * 1000000
                     // count(*) AS BIGINT) AS churn_ppm
         FROM s JOIN l USING (user_id) CROSS JOIN m
-        GROUP BY 1 ORDER BY cohort_week"""))
+        GROUP BY 1 ORDER BY cohort_week""")),
+
+    // Top user paths (the "common journeys" product-analytics report):
+    // every 3-step event-type sequence a user walks (two lags over one
+    // user-partitioned sort — Catalyst plans a single window pass), counted
+    // corpus-wide, top-15 via orderBy+limit (TakeOrderedAndProject, never
+    // a global window). The per-user window and the path-keyed agg are the
+    // whole plan — identical at 100 TB.
+    "ev_top_paths" -> (((s: SparkSession, d: String) => {
+      val w = Window.partitionBy("user_id").orderBy("tsec", "event_id")
+      val paths = Fixtures.events(s, d)
+        .select(col("user_id"), col("event_id"),
+          expr("ts div 1000000000").as("tsec"), col("event_type"))
+        .withColumn("p1", lag("event_type", 2).over(w))
+        .withColumn("p2", lag("event_type", 1).over(w))
+        .where(col("p1").isNotNull)
+        .select(concat_ws(">", col("p1"), col("p2"), col("event_type")).as("path"))
+      paths.groupBy("path").agg(count(lit(1)).cast("long").as("n"))
+        .orderBy(col("n").desc, col("path").asc).limit(15)
+    }),
+      Some("""
+        WITH ev AS (
+          SELECT user_id, event_id, epoch_ns(ts) // 1000000000 AS tsec,
+                 event_type
+          FROM events),
+        p AS (
+          SELECT lag(event_type, 2) OVER w AS p1,
+                 lag(event_type, 1) OVER w AS p2,
+                 event_type AS p3
+          FROM ev
+          WINDOW w AS (PARTITION BY user_id ORDER BY tsec, event_id))
+        SELECT p1 || '>' || p2 || '>' || p3 AS path,
+               CAST(count(*) AS BIGINT) AS n
+        FROM p WHERE p1 IS NOT NULL
+        GROUP BY 1 ORDER BY n DESC, path ASC LIMIT 15"""))
   )
 }

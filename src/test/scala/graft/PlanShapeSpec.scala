@@ -65,7 +65,17 @@ class PlanShapeSpec extends SparkSpec {
     "ev_attribution", "ev_sliding_window",
     // CDC chunking / blocklist / dim stats: per-row array maps + one
     // hash agg each, no join anywhere
-    "td_cdc_chunks", "td_blocklist", "emb_dim_stats")
+    "td_cdc_chunks", "td_blocklist", "emb_dim_stats",
+    // SCD2 / top paths: windows over one user shuffle, no join
+    // (ev_funnel_windowed / ev_churn stay off this list: their data-side
+    // joins are user-keyed equi-joins, but the final scalar combination
+    // crossJoins three SINGLE-ROW aggregates — an intentional 1-row BNLJ)
+    "ev_scd2", "ev_top_paths",
+    // co-occurrence: doc_id equi-self-join; edit refine: LSH-band
+    // equi-join candidates + id joins back to texts
+    "td_cooc_lift", "td_edit_refine",
+    // fertility: scan + one lang agg, no join
+    "td_tokenizer_fertility")
 
   test("LSH scale paths contain no all-pairs join") {
     scalePaths.foreach { name =>
