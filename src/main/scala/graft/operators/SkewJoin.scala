@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Skew-salted equi-join — the explicit form of the hot-key treatment AQE
+ * applies opportunistically (and the one that works when AQE can't split,
+ * e.g. a sort-merge join feeding an aggregation that must not see
+ * re-partitioned input): hot keys on the big side are spread over `salts`
+ * shuffle partitions by a deterministic per-row salt, and the small side
+ * replicates ONLY its hot-key rows `salts` times, so the joined result is
+ * identical to the plain equi-join while no single task owns a hot key's
+ * whole volume.
+ *
+ * The salt must be deterministic (a hash of a per-row column, never
+ * rand()) so retried/speculated tasks produce identical rows — the same
+ * discipline as the snapshot writer's file salt (`store/SnapshotStore`).
+ *
+ * At 100 TB the hot-key detection pass is one map-side-combinable
+ * count over the join column; its output (keys above the threshold) is
+ * dimension-sized or smaller and broadcasts into both salting steps.
+ */
+object SkewJoin {
+
+  /** Keys whose row count on `df` exceeds `minCount` — the skew set.
+    * One groupBy(key) count, map-side combinable. */
+  def hotKeys(df: DataFrame, key: String, minCount: Long): DataFrame =
+    df.groupBy(key).agg(count(lit(1)).as("__n"))
+      .where(col("__n") > minCount).select(key)
+
+  /** Inner equi-join of `big` with `small` on `key`, spreading the keys in
+    * `hot` over `salts` partitions. `saltSrc` must be a deterministic
+    * per-row expression on `big` (an id column, a hash of the payload). */
+  def joinSalted(big: DataFrame, small: DataFrame, key: String,
+      hot: DataFrame, salts: Int, saltSrc: Column): DataFrame = {
+    require(salts >= 1, s"salts must be >= 1, got $salts")
+    val hotFlag = hot.select(col(key), lit(1L).as("__hot"))
+    val bigS = big.join(broadcast(hotFlag), Seq(key), "left")
+      .withColumn("__salt",
+        when(col("__hot").isNotNull, pmod(saltSrc, lit(salts)))
+          .otherwise(lit(0L)))
+      .drop("__hot")
+    val smallS = small.join(broadcast(hotFlag), Seq(key), "left")
+      .withColumn("__salts",
+        when(col("__hot").isNotNull, sequence(lit(0L), lit(salts.toLong - 1)))
+          .otherwise(array(lit(0L))))
+      .withColumn("__salt", explode(col("__salts")))
+      .drop("__hot", "__salts")
+    bigS.join(smallS, Seq(key, "__salt")).drop("__salt")
+  }
+
+  /** Convenience: detect hot keys on `big` above `minCount`, then join. */
+  def join(big: DataFrame, small: DataFrame, key: String,
+      minCount: Long, salts: Int, saltSrc: Column): DataFrame =
+    joinSalted(big, small, key, hotKeys(big, key, minCount), salts, saltSrc)
+}

@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.SkewJoin
+
+/** Salted skew join must equal the plain equi-join row-for-row, spread a
+  * hot key over multiple shuffle partitions, and leave cold keys on one
+  * salt (no dim blow-up for the long tail). */
+class SkewJoinSpec extends SparkSpec {
+
+  test("salted join equals plain join on a skewed dataset") {
+    import spark.implicits._
+    // 5000 rows on hot key 7 (half the data), long tail on 100 cold keys
+    val big = ((1 to 5000).map(i => (7L, i.toLong)) ++
+      (1 to 5000).map(i => ((i % 100 + 100).toLong, i.toLong)))
+      .toDF("k", "row_id")
+    val dim = (Seq(7L) ++ (100L to 199L)).map(k => (k, s"d$k")).toDF("k", "label")
+
+    val hot = SkewJoin.hotKeys(big, "k", minCount = 1000L)
+    assert(hot.collect().map(_.getLong(0)).toSeq === Seq(7L))
+
+    val salted = SkewJoin.joinSalted(big, dim, "k", hot,
+      salts = 8, saltSrc = xxhash64(col("row_id")))
+    val plain = big.join(dim, "k")
+    assert(salted.count() === 10000L)
+    assert(salted.select("k", "row_id", "label")
+      .except(plain.select("k", "row_id", "label")).isEmpty)
+    assert(plain.select("k", "row_id", "label")
+      .except(salted.select("k", "row_id", "label")).isEmpty)
+
+    // the hot key's rows really spread over multiple salts
+    val saltsUsed = big.join(broadcast(hot.withColumn("__hot", lit(1L))), Seq("k"), "inner")
+      .select(pmod(xxhash64(col("row_id")), lit(8)).as("s"))
+      .distinct().count()
+    assert(saltsUsed > 1, "hot rows all landed on one salt")
+
+    // convenience overload agrees
+    val viaDetect = SkewJoin.join(big, dim, "k",
+      minCount = 1000L, salts = 8, saltSrc = xxhash64(col("row_id")))
+    assert(viaDetect.count() === 10000L)
+  }
+}
