@@ -1,0 +1,210 @@
+package graft.sources
+
+import java.util
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.store.{EntryIO, RefStore, SnapshotStore}
+
+/**
+ * DataSourceV2 `TableCatalog` exposing every ref of every repository as a
+ * SQL table of its committed ENTRIES — the Delta/Iceberg-style SQL
+ * surface over the versioned store:
+ *
+ * {{{
+ * spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+ * spark.conf.set("spark.sql.catalog.graft.root", "/repos")
+ * spark.sql("SELECT * FROM graft.repo1.main WHERE key LIKE 'data/%'")
+ * spark.sql("SELECT * FROM graft.repo1.main VERSION AS OF '<commit>'")
+ * spark.sql("SELECT * FROM graft.repo1.main TIMESTAMP AS OF '...'")
+ * }}}
+ *
+ * Namespace = repository, table = any ref expression the engine resolves
+ * (branch, tag, commit hash, `~N`/`^N` modifiers — backquote refs with
+ * special characters). `VERSION AS OF` resolves the version string as a
+ * ref against the same repository (commit hashes being the common case);
+ * `TIMESTAMP AS OF` maps to the engine's first-parent commit-at-time
+ * resolution, exactly lakeFS's ref@timestamp semantics.
+ *
+ * Scale: the scan plans ONE InputPartition per manifest range file, and
+ * key predicates (equality, ranges, prefix) prune MANIFEST ENTRIES at
+ * planning time — the metarange seek expressed as connector planning —
+ * then push into each parquet read as row-group filters
+ * ([[EntryIO.scanFile]]). Filters are applied for pruning but reported
+ * unhandled, so Spark re-evaluates them — pruning can only skip files
+ * that cannot match, never change results.
+ */
+class GraftCatalog extends TableCatalog {
+
+  private var root: String = _
+  private var catalogName: String = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    root = Option(options.get("root")).getOrElse(
+      sys.error("graft catalog requires option 'root' (directory of repositories)"))
+    catalogName = name
+  }
+
+  override def name(): String = catalogName
+
+  private def repoDir(namespace: Array[String]): String = {
+    require(namespace.length == 1,
+      s"graft catalog expects <repo>.<ref>, got namespace ${namespace.mkString(".")}")
+    s"$root/${namespace(0)}"
+  }
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val refs = new RefStore(s"${repoDir(namespace)}/refs")
+    refs.branches.keys.toArray.sorted.map(b => Identifier.of(namespace, b))
+  }
+
+  override def loadTable(ident: Identifier): Table =
+    new GraftRefTable(repoDir(ident.namespace), ident.name)
+
+  /** `VERSION AS OF v`: v resolves as a ref (commit hash, tag, ...). */
+  override def loadTable(ident: Identifier, version: String): Table =
+    new GraftRefTable(repoDir(ident.namespace), version)
+
+  /** `TIMESTAMP AS OF ts` (micros): first-parent commit at-or-before. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val dir = repoDir(ident.namespace)
+    val eng = new graft.store.Engine(SparkSession.active, dir)
+    val commit = eng.commitAtTime(ident.name, timestamp / 1000000L)
+    new GraftRefTable(dir, commit.commitId)
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    try {
+      new RefStore(s"${repoDir(ident.namespace)}/refs")
+        .resolveFull(ident.name).isDefined
+    } catch { case _: Exception => false }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String]): Table =
+    throw new UnsupportedOperationException(
+      "graft tables are created through the Engine API")
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException("graft tables are immutable refs")
+  override def dropTable(ident: Identifier): Boolean =
+    throw new UnsupportedOperationException(
+      "drop refs through the Engine API")
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException("refs cannot be renamed via SQL")
+}
+
+object GraftRefTable {
+  val schema: StructType = StructType(Seq(
+    StructField("key", StringType, nullable = false),
+    StructField("identity", StringType, nullable = true),
+    StructField("address", StringType, nullable = true),
+    StructField("size_bytes", LongType, nullable = false),
+    StructField("mtime", LongType, nullable = false)))
+}
+
+class GraftRefTable(repoDir: String, ref: String) extends Table with SupportsRead {
+  override def name(): String = s"$repoDir@$ref"
+  override def schema(): StructType = GraftRefTable.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftScanBuilder(repoDir, ref)
+}
+
+/** Accepts key predicates for MANIFEST pruning; reports every filter
+  * unhandled so Spark keeps evaluating them (pruning-only pushdown). */
+class GraftScanBuilder(repoDir: String, ref: String)
+    extends ScanBuilder with SupportsPushDownFilters {
+
+  private var bounds: (Option[String], Option[String]) = (None, None)
+
+  private def tighten(lo: Option[String], hi: Option[String]): Unit = {
+    val (l0, h0) = bounds
+    val l = (l0 ++ lo).reduceOption((a, b) => if (a >= b) a else b)
+    val h = (h0 ++ hi).reduceOption((a, b) => if (a <= b) a else b)
+    bounds = (l, h)
+  }
+
+  override def pushFilters(filters: Array[sources.Filter]): Array[sources.Filter] = {
+    filters.foreach {
+      case sources.EqualTo("key", v: String) =>
+        tighten(Some(v), Some(v + "\u0000"))
+      case sources.GreaterThan("key", v: String) => tighten(Some(v), None)
+      case sources.GreaterThanOrEqual("key", v: String) => tighten(Some(v), None)
+      case sources.LessThan("key", v: String) => tighten(None, Some(v))
+      case sources.LessThanOrEqual("key", v: String) =>
+        tighten(None, Some(v + "\u0000"))
+      case sources.StringStartsWith("key", p: String) =>
+        tighten(Some(p), graft.operators.Listing.upperBound(p))
+      case _ => // not a key bound; Spark evaluates it post-scan
+    }
+    filters // everything re-evaluated by Spark
+  }
+  override def pushedFilters(): Array[sources.Filter] = Array.empty
+
+  override def build(): Scan =
+    new GraftScan(repoDir, ref, bounds._1, bounds._2)
+}
+
+class GraftScan(repoDir: String, ref: String,
+    lo: Option[String], hi: Option[String]) extends Scan with Batch {
+
+  override def readSchema(): StructType = GraftRefTable.schema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"GraftScan($repoDir@$ref, lo=$lo, hi=$hi)"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val spark = SparkSession.active
+    val refs = new RefStore(s"$repoDir/refs")
+    val resolved = refs.resolveFull(ref)
+      .getOrElse(sys.error(s"unresolvable ref: $ref"))
+    val store = new SnapshotStore(spark, repoDir)
+    store.readManifest(resolved.commit.metaRangeId)
+      .filter(ri => lo.forall(ri.maxKey >= _) && hi.forall(ri.minKey < _))
+      .map(ri => GraftRangePartition(ri.path): InputPartition)
+      .toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftReaderFactory(lo, hi)
+}
+
+case class GraftRangePartition(path: String) extends InputPartition
+
+class GraftReaderFactory(lo: Option[String], hi: Option[String])
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val path = partition.asInstanceOf[GraftRangePartition].path
+    new PartitionReader[InternalRow] {
+      // one range file is bounded (the writer's cut discipline), so the
+      // buffered read keeps the reader simple; row-group filters from
+      // the key bounds already pushed into the parquet scan
+      private val rows: Iterator[InternalRow] = {
+        val buf = scala.collection.mutable.ArrayBuffer[InternalRow]()
+        val conf = new org.apache.hadoop.conf.Configuration()
+        EntryIO.scanFile(conf, path, lo, hi) { e =>
+          buf += InternalRow(
+            UTF8String.fromString(e.key),
+            e.identity.map(UTF8String.fromString).orNull,
+            e.address.map(UTF8String.fromString).orNull,
+            e.sizeBytes, e.mtime)
+          true
+        }
+        buf.iterator
+      }
+      private var cur: InternalRow = _
+      override def next(): Boolean =
+        if (rows.hasNext) { cur = rows.next(); true } else false
+      override def get(): InternalRow = cur
+      override def close(): Unit = ()
+    }
+  }
+}

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The DSv2 catalog: refs query as SQL tables, VERSION AS OF time-travels,
+  * and key predicates prune manifest range files at planning time. */
+class GraftCatalogSpec extends SparkSpec {
+
+  test("refs are SQL tables with time travel and manifest pruning") {
+    import spark.implicits._
+    val root = tmpDir("cat_root")
+    val eng = new graft.store.Engine(spark, s"$root/repo1", raggedness = 50)
+    val c1Rows = (1 to 400).map(i => (f"a/k$i%04d", s"v$i", s"blobs/$i", i.toLong, 0L))
+    eng.init("main", Some(c1Rows
+      .toDF("key", "identity", "address", "size_bytes", "mtime")))
+    val c1 = eng.refs.getBranch("main").get
+    eng.stage("main", Seq(("b/new", "nv", "blobs/new", 1L, 0L))
+      .toDF("key", "identity", "address", "size_bytes", "mtime"))
+    eng.commit("main", "t", "second")
+
+    spark.conf.set("spark.sql.catalog.g8", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.g8.root", root)
+
+    // full scan sees the head state
+    assert(spark.sql("SELECT count(*) FROM g8.repo1.main").head().getLong(0) === 401L)
+    // predicate evaluation stays exact
+    assert(spark.sql(
+      "SELECT count(*) FROM g8.repo1.main WHERE key LIKE 'a/k01%'")
+      .head().getLong(0) === 100L)
+    assert(spark.sql(
+      "SELECT identity FROM g8.repo1.main WHERE key = 'b/new'")
+      .head().getString(0) === "nv")
+
+    // manifest pruning: the narrow prefix plans fewer range-file partitions
+    val full = spark.sql("SELECT key FROM g8.repo1.main")
+    val narrow = spark.sql(
+      "SELECT key FROM g8.repo1.main WHERE key >= 'a/k0100' AND key < 'a/k0110'")
+    assert(full.rdd.getNumPartitions > 1)
+    assert(narrow.rdd.getNumPartitions < full.rdd.getNumPartitions,
+      s"pruning had no effect: ${narrow.rdd.getNumPartitions} vs ${full.rdd.getNumPartitions}")
+    assert(narrow.count() === 10L)
+
+    // VERSION AS OF the first commit: pre-second-commit state
+    assert(spark.sql(
+      s"SELECT count(*) FROM g8.repo1.main VERSION AS OF '$c1'")
+      .head().getLong(0) === 400L)
+
+    // a tag is a table too (ref resolution, not just branches)
+    eng.refs.createTag("rel", c1)
+    assert(spark.sql("SELECT count(*) FROM g8.repo1.rel").head().getLong(0) === 400L)
+
+    // listTables surfaces branches
+    val shown = spark.sql("SHOW TABLES IN g8.repo1")
+      .select("tableName").collect().map(_.getString(0)).toSet
+    assert(shown.contains("main"))
+  }
+}
