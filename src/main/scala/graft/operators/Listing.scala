@@ -26,8 +26,18 @@ object Listing {
     var i = b.length - 1
     while (i >= 0) {
       // increment the last incrementable UTF-16 unit (Char.MaxValue, not the
-      // byte-algorithm's 0xFF — keys here are Strings, not raw bytes)
-      if (b(i) != Char.MaxValue) { b(i) = (b(i) + 1).toChar; return Some(new String(b, 0, i + 1)) }
+      // byte-algorithm's 0xFF — keys here are Strings, not raw bytes).
+      // Incrementing INTO the surrogate block (U+D800..U+DFFF) would build
+      // a lone high surrogate that UTF8String/parquet Binary mangle to '?'
+      // (0x3F) — an upper bound BELOW the prefix that silently drops every
+      // match — so jump those units to U+E000, the next valid char: all
+      // prefix matches keep a smaller unit at position i (both in UTF-16
+      // and UTF-8 binary order), so the bound stays sound.
+      if (b(i) != Char.MaxValue) {
+        val next = b(i) + 1
+        b(i) = if (next >= 0xD800 && next <= 0xDFFF) 0xE000.toChar else next.toChar
+        return Some(new String(b, 0, i + 1))
+      }
       i -= 1
     }
     None

@@ -36,9 +36,12 @@ object SkewJoin {
       hot: DataFrame, salts: Int, saltSrc: Column): DataFrame = {
     require(salts >= 1, s"salts must be >= 1, got $salts")
     val hotFlag = hot.select(col(key), lit(1L).as("__hot"))
+    // coalesce: a null saltSrc row must still land on SOME salt — a null
+    // salt would equi-join nothing and silently drop the row
     val bigS = big.join(broadcast(hotFlag), Seq(key), "left")
       .withColumn("__salt",
-        when(col("__hot").isNotNull, pmod(saltSrc, lit(salts)))
+        when(col("__hot").isNotNull,
+          coalesce(pmod(saltSrc, lit(salts)), lit(0L)))
           .otherwise(lit(0L)))
       .drop("__hot")
     val smallS = small.join(broadcast(hotFlag), Seq(key), "left")

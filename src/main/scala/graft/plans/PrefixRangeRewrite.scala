@@ -37,11 +37,22 @@ object PrefixRangeRewrite extends Rule[LogicalPlan] {
   private def upperBound(p: UTF8String): Option[UTF8String] =
     graft.operators.Listing.upperBound(p.toString).map(UTF8String.fromString)
 
+  /** Split a condition into its top-level AND conjuncts. */
+  private def conjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => conjuncts(l) ++ conjuncts(r)
+    case other => Seq(other)
+  }
+
   private def bounds(cond: Expression): Seq[Expression] = {
-    val existing = cond.collect {
+    // ONLY top-level conjuncts may contribute bounds: a StartsWith under
+    // Or/Not/CaseWhen does not constrain the whole row set, and ANDing a
+    // bound derived from one Or-branch onto the full condition would drop
+    // rows matched by the other branch
+    val top = conjuncts(cond)
+    val existing = top.collect {
       case GreaterThanOrEqual(a: Attribute, Literal(lo, StringType)) => (a.exprId, lo)
     }.toSet
-    cond.collect {
+    top.collect {
       case StartsWith(a: Attribute, Literal(p: UTF8String, StringType))
           if p.numChars() > 0 && !existing.contains((a.exprId, p)) =>
         val lo: Expression = GreaterThanOrEqual(a, Literal(p, StringType))

@@ -940,10 +940,9 @@ object EventQueries {
         .withColumn("prev_type", lag("event_type", 1).over(w))
         .where(col("prev_type").isNull ||
           col("prev_type") =!= col("event_type"))
-      val wc = Window.partitionBy("user_id").orderBy("tsec", "event_id")
       changes
-        .withColumn("version", row_number().over(wc).cast("long"))
-        .withColumn("valid_until", lead("tsec", 1).over(wc))
+        .withColumn("version", row_number().over(w).cast("long"))
+        .withColumn("valid_until", lead("tsec", 1).over(w))
         .select(col("user_id"), col("version"),
           col("event_type").as("state"),
           col("tsec").as("valid_from"), col("valid_until"))

@@ -66,12 +66,23 @@ class GraftCatalog extends TableCatalog {
     refs.branches.keys.toArray.sorted.map(b => Identifier.of(namespace, b))
   }
 
+  private def loadResolved(namespace: Array[String], ref: String,
+      ident: Identifier): Table = {
+    val dir = repoDir(namespace)
+    val ok =
+      try new RefStore(s"$dir/refs").resolveFull(ref).isDefined
+      catch { case _: Exception => false }
+    if (!ok) throw new org.apache.spark.sql.catalyst.analysis
+      .NoSuchTableException(ident.namespace :+ ident.name)
+    new GraftRefTable(dir, ref)
+  }
+
   override def loadTable(ident: Identifier): Table =
-    new GraftRefTable(repoDir(ident.namespace), ident.name)
+    loadResolved(ident.namespace, ident.name, ident)
 
   /** `VERSION AS OF v`: v resolves as a ref (commit hash, tag, ...). */
   override def loadTable(ident: Identifier, version: String): Table =
-    new GraftRefTable(repoDir(ident.namespace), version)
+    loadResolved(ident.namespace, version, ident)
 
   /** `TIMESTAMP AS OF ts` (micros): first-parent commit at-or-before. */
   override def loadTable(ident: Identifier, timestamp: Long): Table = {
@@ -174,12 +185,15 @@ class GraftScan(repoDir: String, ref: String,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftReaderFactory(lo, hi)
+    new GraftReaderFactory(lo, hi,
+      new org.apache.spark.util.SerializableConfiguration(
+        SparkSession.active.sparkContext.hadoopConfiguration))
 }
 
 case class GraftRangePartition(path: String) extends InputPartition
 
-class GraftReaderFactory(lo: Option[String], hi: Option[String])
+class GraftReaderFactory(lo: Option[String], hi: Option[String],
+    conf: org.apache.spark.util.SerializableConfiguration)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val path = partition.asInstanceOf[GraftRangePartition].path
@@ -189,8 +203,9 @@ class GraftReaderFactory(lo: Option[String], hi: Option[String])
       // the key bounds already pushed into the parquet scan
       private val rows: Iterator[InternalRow] = {
         val buf = scala.collection.mutable.ArrayBuffer[InternalRow]()
-        val conf = new org.apache.hadoop.conf.Configuration()
-        EntryIO.scanFile(conf, path, lo, hi) { e =>
+        // the SESSION's hadoop conf, shipped serialized: executor-side
+        // reads need the same fs credentials/impls planning used
+        EntryIO.scanFile(conf.value, path, lo, hi) { e =>
           buf += InternalRow(
             UTF8String.fromString(e.key),
             e.identity.map(UTF8String.fromString).orNull,

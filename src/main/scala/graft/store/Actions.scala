@@ -299,11 +299,20 @@ class ActionsSource(engine: Engine, ttlMs: Long = 5000L) {
     new java.util.concurrent.ConcurrentHashMap[String, Cached]()
 
   /** Action configs visible on the event's branch (staged included);
-    * empty for events that carry no branch ref. */
+    * empty for events that carry no branch ref. Create-branch events name
+    * a branch that does not exist YET — fall back to the event's source
+    * ref (the from-ref) so create-branch guards still load, matching the
+    * reference's SourceRef semantics. */
   def load(ev: Hooks.HookEvent): Seq[ActionConf] = {
-    val ref = if (ev.branch.nonEmpty) Some(ev.branch) else ev.sourceRef
-    ref.map(loadRef).getOrElse(Seq.empty)
+    val refs = Seq(ev.branch).filter(_.nonEmpty) ++ ev.sourceRef
+    refs.iterator.map(r => (r, resolves(r))).collectFirst {
+      case (r, true) => loadRef(r)
+    }.getOrElse(Seq.empty)
   }
+
+  private def resolves(ref: String): Boolean =
+    try engine.refs.resolveFull(ref).isDefined
+    catch { case _: Exception => false }
 
   def loadRef(ref: String): Seq[ActionConf] = {
     val now = System.currentTimeMillis()
@@ -329,11 +338,15 @@ class ActionsSource(engine: Engine, ttlMs: Long = 5000L) {
     entries
       .filter(e => e.key.endsWith(".yaml") || e.key.endsWith(".yml") ||
         e.key.endsWith(".json"))
-      .flatMap(e => e.address.map(a => (e.key, a)))
-      .map { case (key, address) =>
+      .map { e =>
+        // fail CLOSED: an action file whose entry carries no readable
+        // address must abort like a parse error — silently skipping it
+        // would leave the branch unguarded by a policy that visibly exists
+        val address = e.address.getOrElse(
+          sys.error(s"action file '${e.key}': entry has no address"))
         try Actions.parseActionFile(readBytes(address))
         catch { case ex: Throwable =>
-          sys.error(s"action file '$key': ${ex.getMessage}")
+          sys.error(s"action file '${e.key}': ${ex.getMessage}")
         }
       }
   }

@@ -69,6 +69,34 @@ class ActionsSourceSpec extends SparkSpec {
     eng.commit("main", "alice", "plain commit")
   }
 
+  test("create-branch guards load via the source ref (branch doesn't exist yet)") {
+    import spark.implicits._
+    val dir = tmpDir("asrc_cb")
+    val eng = new Engine(spark, dir, raggedness = 100)
+    eng.init("main", Some(Seq(("k1", "v1", null: String))
+      .toDF("key", "identity", "address")))
+    val svc = new ActionService(eng)
+    svc.enableRepoActions(ttlMs = 0L)
+    writeBlob(dir, "blobs/nb.yaml",
+      """name: no tmp branches
+        |on:
+        |  pre-create-branch: {}
+        |hooks:
+        |  - id: name-check
+        |    type: sql_check
+        |    properties:
+        |      expr: "branch NOT LIKE 'tmp%'"
+        |""".stripMargin)
+    eng.stage("main", Seq(("_lakefs_actions/nb.yaml", "n1", "blobs/nb.yaml"))
+      .toDF("key", "identity", "address"))
+    eng.commit("main", "alice", "install branch guard")
+    // the new branch name doesn't resolve — the guard must come from the
+    // SOURCE ref (main), not silently fail open
+    val ex = intercept[RuntimeException] { eng.createBranch("tmp1", "main") }
+    assert(ex.getMessage.contains("name-check"))
+    eng.createBranch("feature1", "main") // non-matching names pass
+  }
+
   test("malformed action files abort; loads cache per branch with TTL") {
     import spark.implicits._
     val dir = tmpDir("asrc2")

@@ -43,6 +43,19 @@ class ExtensionsSpec extends AnyFunSuite {
       // plain equality is untouched by the rule
       val q2 = s.sql("SELECT key FROM ext_snap WHERE key = 'a/k0005'")
       assert(q2.count() === 1)
+      // REGRESSION (review round 8): bounds derive ONLY from top-level
+      // conjuncts — StartsWith under Or/Not must not poison the filter
+      assert(s.sql(
+        "SELECT key FROM ext_snap WHERE key LIKE 'a/k01%' OR key LIKE 'a/k02%'")
+        .count() === 200)
+      assert(s.sql(
+        "SELECT key FROM ext_snap WHERE key NOT LIKE 'a/k01%'")
+        .count() === 200)
+      // a conjunct prefix still prunes when OR'd parts sit beside it
+      assert(s.sql(
+        "SELECT key FROM ext_snap WHERE key LIKE 'a/k01%' AND " +
+          "(key LIKE '%5' OR key LIKE '%6')")
+        .count() === 20)
     } finally {
       SparkSession.setDefaultSession(shared)
       SparkSession.setActiveSession(shared)
