@@ -154,6 +154,10 @@ class OperatorSpec extends SparkSpec {
     assert(Listing.upperBound("aÿ") === Some("aĀ")) // NOT "b" — ÿ is incrementable
     assert(Listing.upperBound("a￿") === Some("b"))
     assert(Listing.upperBound("￿") === None)
+    // surrogate block skipped: incrementing U+D7FF must land on U+E000 —
+    // a lone high surrogate bound would be mangled to '?' by UTF-8
+    // encoders and sort BELOW the prefix (review round 8)
+    assert(Listing.upperBound("a\ud7ff") === Some("a\ue000"))
     // the bound actually covers prefixed keys and excludes the next sibling
     assert("aÿz" >= "aÿ" && "aÿz" < "aĀ")
     assert(!("aĀx" < "aĀ"))
