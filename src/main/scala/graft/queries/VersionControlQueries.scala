@@ -1984,6 +1984,53 @@ object VersionControlQueries {
         SELECT 'n/' || n_name AS key,
                CAST(1 AS BIGINT) AS n_blocked,
                CAST(1 AS BIGINT) AS head_unmoved
-        FROM nation ORDER BY key"""))
+        FROM nation ORDER BY key""")),
+
+    // The DSv2 SQL surface under the oracle gate: a repo built from nation,
+    // queried purely through `spark.sql` against the registered catalog —
+    // prefix predicate (manifest-pruned at planning), a VERSION AS OF
+    // time-travel read of the pre-change commit, and the head state, all
+    // in one result. Proves the catalog path end-to-end, not just in a
+    // spec: resolution, pruning, parquet reads, and filter re-evaluation.
+    "vc_sql_catalog" -> (((s: SparkSession, d: String) => {
+      val root = s"target/vc_sqlcat_${math.abs(d.hashCode)}"
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(root), s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val eng = new graft.store.Engine(s, s"$root/repo", raggedness = 5000)
+      val base = s.read.parquet(s"$d/nation.parquet")
+        .select(concat(lit("n/"), col("n_name")).as("key"),
+          sha2(col("n_name"), 256).as("identity"),
+          lit(null).cast("string").as("address"),
+          col("n_nationkey").cast("long").as("size_bytes"),
+          lit(0L).as("mtime"))
+      eng.init("main", Some(base))
+      val c1 = eng.refs.getBranch("main").get
+      import s.implicits._
+      eng.stage("main", Seq(("n/NATION_1_NEW", "x", null: String, 99L, 0L))
+        .toDF("key", "identity", "address", "size_bytes", "mtime"))
+      eng.commit("main", "driver", "add one")
+      s.conf.set("spark.sql.catalog.gvc", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gvc.root", root)
+      val head = s.sql(
+        "SELECT key, size_bytes FROM gvc.repo.main WHERE key LIKE 'n/NATION_1%'")
+        .withColumn("at", lit("head"))
+      val v1 = s.sql(
+        s"SELECT key, size_bytes FROM gvc.repo.main VERSION AS OF '$c1' " +
+          "WHERE key LIKE 'n/NATION_1%'")
+        .withColumn("at", lit("v1"))
+      head.unionByName(v1).orderBy("at", "key")
+    }),
+      Some("""
+        WITH n AS (
+          SELECT 'n/' || n_name AS key,
+                 CAST(n_nationkey AS BIGINT) AS size_bytes
+          FROM nation WHERE n_name LIKE 'NATION\_1%' ESCAPE '\')
+        SELECT key, size_bytes, 'head' AS at FROM (
+          SELECT * FROM n
+          UNION ALL SELECT 'n/NATION_1_NEW', CAST(99 AS BIGINT))
+        UNION ALL
+        SELECT key, size_bytes, 'v1' AS at FROM n
+        ORDER BY at, key"""))
   )
 }
