@@ -1093,6 +1093,62 @@ object EventQueries {
         SELECT p1 || '>' || p2 || '>' || p3 AS path,
                CAST(count(*) AS BIGINT) AS n
         FROM p WHERE p1 IS NOT NULL
-        GROUP BY 1 ORDER BY n DESC, path ASC LIMIT 15"""))
+        GROUP BY 1 ORDER BY n DESC, path ASC LIMIT 15""")),
+
+    // RFM segmentation (the classic customer-value grid): per purchasing
+    // user recency (days since last purchase, against the stream's end),
+    // frequency (purchase count) and monetary (cents), bucketed by FIXED
+    // thresholds — a pure map, no global ranking window — then rolled up
+    // per (r_seg, f_seg) cell with integer mean monetary. One user-keyed
+    // agg + one cell-keyed agg; the single-row max rides a broadcast.
+    "ev_rfm" -> (((s: SparkSession, d: String) => {
+      val ev = Fixtures.events(s, d)
+        .where(col("event_type") === "purchase")
+        .select(col("user_id"), expr("ts div 1000000000").as("tsec"),
+          floor(col("value") * 100 + 0.5).cast("long").as("value_c"))
+      val perUser = ev.groupBy("user_id")
+        .agg(max("tsec").as("last_t"),
+          count(lit(1)).cast("long").as("freq"),
+          sum("value_c").cast("long").as("monetary_c"))
+      val tmax = ev.agg(max("tsec").as("t_end"))
+      perUser.crossJoin(broadcast(tmax))
+        .withColumn("recency_d", expr("(t_end - last_t) div 86400").cast("long"))
+        .withColumn("r_seg",
+          when(col("recency_d") <= 2, "r_hot")
+            .when(col("recency_d") <= 7, "r_warm").otherwise("r_cold"))
+        .withColumn("f_seg",
+          when(col("freq") >= 30, "f_high")
+            .when(col("freq") >= 10, "f_mid").otherwise("f_low"))
+        .groupBy("r_seg", "f_seg")
+        .agg(count(lit(1)).cast("long").as("n_users"),
+          sum("monetary_c").cast("long").as("sum_monetary_c"))
+        .withColumn("mean_monetary_c",
+          expr("sum_monetary_c div n_users").cast("long"))
+        .orderBy("r_seg", "f_seg")
+    }),
+      Some("""
+        WITH p AS (
+          SELECT user_id, epoch_ns(ts) // 1000000000 AS tsec,
+                 CAST(floor(value*100 + 0.5) AS BIGINT) AS value_c
+          FROM events WHERE event_type = 'purchase'),
+        u AS (
+          SELECT user_id, max(tsec) AS last_t,
+                 CAST(count(*) AS BIGINT) AS freq,
+                 CAST(sum(value_c) AS BIGINT) AS monetary_c
+          FROM p GROUP BY user_id),
+        m AS (SELECT max(tsec) AS t_end FROM p),
+        seg AS (
+          SELECT CASE WHEN (t_end - last_t) // 86400 <= 2 THEN 'r_hot'
+                      WHEN (t_end - last_t) // 86400 <= 7 THEN 'r_warm'
+                      ELSE 'r_cold' END AS r_seg,
+                 CASE WHEN freq >= 30 THEN 'f_high'
+                      WHEN freq >= 10 THEN 'f_mid'
+                      ELSE 'f_low' END AS f_seg,
+                 monetary_c
+          FROM u CROSS JOIN m)
+        SELECT r_seg, f_seg, CAST(count(*) AS BIGINT) AS n_users,
+               CAST(sum(monetary_c) AS BIGINT) AS sum_monetary_c,
+               CAST(sum(monetary_c) // count(*) AS BIGINT) AS mean_monetary_c
+        FROM seg GROUP BY 1, 2 ORDER BY r_seg, f_seg"""))
   )
 }

@@ -2323,6 +2323,48 @@ object TextQueries {
                  AS exact_jacc_pm,
                CAST(c * 1000 // ku AS BIGINT) AS kmv_jacc_pm,
                CAST((ku - 1) * 4294967296 // tau AS BIGINT) AS est_union
-        FROM ex CROSS JOIN ustat CROSS JOIN uint"""))
+        FROM ex CROSS JOIN ustat CROSS JOIN uint""")),
+
+    // T5/UL2-style span corruption planning (the denoising-objective prep
+    // pass): positions group into length-3 spans, and a span corrupts when
+    // a deterministic hash of (doc_id, span) lands under 3/20 — ≈15%
+    // masking in 3-token spans with NO RNG, so the plan is reproducible
+    // shard-by-shard and oracle-exact. Pure map (posexplode + hash) + one
+    // per-doc agg; identical at 100 TB. The report carries the counts a
+    // batch builder needs (mask rate, span count); the actual sentinel
+    // splice is the same arithmetic at write time.
+    "td_span_corruption" -> (((s: SparkSession, d: String) => {
+      val toks = Fixtures.documents(s, d)
+        .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("i", "tok")))
+        .withColumn("g", expr("i div 3"))
+        .withColumn("corrupt",
+          (conv(substring(sha2(concat_ws("|", col("doc_id"), col("g")), 256),
+            1, 8), 16, 10).cast("long") % 20 < 3).cast("long"))
+      toks.groupBy("doc_id")
+        .agg(count(lit(1)).cast("long").as("n_tokens"),
+          sum("corrupt").cast("long").as("n_masked"),
+          countDistinct(when(col("corrupt") === 1, col("g"))).cast("long")
+            .as("n_spans"))
+        .withColumn("mask_ppm",
+          expr("(n_masked * 1000000L) div n_tokens").cast("long"))
+        .orderBy("doc_id")
+    }),
+      Some(s"""$docsSql,
+        t AS (
+          SELECT doc_id, i - 1 AS i, toks[i] AS tok
+          FROM docs CROSS JOIN UNNEST(generate_series(1, len(toks))) AS u(i)),
+        m AS (
+          SELECT doc_id, i, (i) // 3 AS g,
+                 CASE WHEN ('0x' || substr(sha256(
+                        CAST(doc_id AS VARCHAR) || '|' ||
+                        CAST((i) // 3 AS VARCHAR)), 1, 8))::BIGINT % 20 < 3
+                      THEN 1 ELSE 0 END AS corrupt
+          FROM t)
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(sum(corrupt) AS BIGINT) AS n_masked,
+               CAST(count(DISTINCT CASE WHEN corrupt = 1 THEN g END) AS BIGINT)
+                 AS n_spans,
+               CAST(sum(corrupt) * 1000000 // count(*) AS BIGINT) AS mask_ppm
+        FROM m GROUP BY doc_id ORDER BY doc_id"""))
   )
 }

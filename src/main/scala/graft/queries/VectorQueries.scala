@@ -1547,6 +1547,61 @@ object VectorQueries {
                CAST(max(v) AS BIGINT) AS max_q,
                CAST(CASE WHEN sum(v) >= 0 THEN sum(v) // count(*)
                     ELSE -((-sum(v)) // count(*)) END AS BIGINT) AS mean_q
-        FROM x GROUP BY dim ORDER BY dim"""))
+        FROM x GROUP BY dim ORDER BY dim""")),
+
+    // Embedding distribution DRIFT per label (the embedding-space monitor
+    // ML ops runs between data eras): vectors split into an old/new half
+    // (vec_id parity as the era proxy), per (label, era) the milli-scaled
+    // integer mean vector, drift = Σ_dims (mean_old − mean_new)² — exact
+    // on both engines because means are floor-scaled BEFORE differencing.
+    // Two hash aggs ((label, dim, era) sums, then label rollup); no join
+    // wider than the 64-dim pivot; same plan at any scale.
+    "emb_drift" -> (((s: SparkSession, d: String) => {
+      val e = Fixtures.embeddings(s, d)
+        .select(col("vec_id"), col("label").cast("long").as("label"),
+          quantize(col("embedding")).as("q"))
+        .withColumn("era", (col("vec_id") % 2 === 0).cast("long"))
+        .select(col("label"), col("era"), posexplode(col("q")).as(Seq("dim", "v")))
+      val means = e.groupBy("label", "era", "dim")
+        .agg(sum("v").as("s"), count(lit(1)).as("n"))
+        .withColumn("m", expr(
+          "CASE WHEN s >= 0 THEN (s * 1000L) div n " +
+            "ELSE -(((-s) * 1000L) div n) END"))
+      means.groupBy("label", "dim")
+        .agg(sum(when(col("era") === 1, col("m"))).as("m_old"),
+          sum(when(col("era") === 0, col("m"))).as("m_new"),
+          sum(when(col("era") === 1, col("n"))).as("n_old"),
+          sum(when(col("era") === 0, col("n"))).as("n_new"))
+        .groupBy("label")
+        .agg(first("n_old").cast("long").as("n_old"),
+          first("n_new").cast("long").as("n_new"),
+          sum((col("m_old") - col("m_new")) * (col("m_old") - col("m_new")))
+            .cast("long").as("drift2"))
+        .orderBy("label")
+    }),
+      Some(s"""
+        WITH q AS (SELECT vec_id, label, $qvecSql AS qv FROM embeddings),
+        x AS (
+          SELECT CAST(label AS BIGINT) AS label,
+                 CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END AS era,
+                 CAST(i AS INT) AS dim, qv[i] AS v
+          FROM q CROSS JOIN generate_series(1, 64) t(i)),
+        mm AS (
+          SELECT label, era, dim, CAST(sum(v) AS BIGINT) AS s,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(CASE WHEN sum(v) >= 0 THEN (sum(v) * 1000) // count(*)
+                      ELSE -(((-sum(v)) * 1000) // count(*)) END AS BIGINT) AS m
+          FROM x GROUP BY 1, 2, 3),
+        pv AS (
+          SELECT label, dim,
+                 sum(CASE WHEN era = 1 THEN m END) AS m_old,
+                 sum(CASE WHEN era = 0 THEN m END) AS m_new,
+                 sum(CASE WHEN era = 1 THEN n END) AS n_old,
+                 sum(CASE WHEN era = 0 THEN n END) AS n_new
+          FROM mm GROUP BY 1, 2)
+        SELECT label, CAST(any_value(n_old) AS BIGINT) AS n_old,
+               CAST(any_value(n_new) AS BIGINT) AS n_new,
+               CAST(sum((m_old - m_new) * (m_old - m_new)) AS BIGINT) AS drift2
+        FROM pv GROUP BY label ORDER BY label"""))
   )
 }
