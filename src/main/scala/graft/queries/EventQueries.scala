@@ -1149,6 +1149,33 @@ object EventQueries {
         SELECT r_seg, f_seg, CAST(count(*) AS BIGINT) AS n_users,
                CAST(sum(monetary_c) AS BIGINT) AS sum_monetary_c,
                CAST(sum(monetary_c) // count(*) AS BIGINT) AS mean_monetary_c
-        FROM seg GROUP BY 1, 2 ORDER BY r_seg, f_seg"""))
+        FROM seg GROUP BY 1, 2 ORDER BY r_seg, f_seg""")),
+
+    // Seasonality profile (the hour-of-day × day-of-week heat map every
+    // traffic dashboard opens with): UTC epoch arithmetic only —
+    // dow = (days since epoch + 4) % 7 (1970-01-01 was a Thursday) — so
+    // no calendar/timezone library is in the hash path and both engines
+    // agree exactly. One groupBy over 168 cells, map-side combinable.
+    "ev_seasonality" -> (((s: SparkSession, d: String) => {
+      Fixtures.events(s, d)
+        .select(expr("ts div 1000000000").as("tsec"),
+          floor(col("value") * 100 + 0.5).cast("long").as("value_c"))
+        .withColumn("dow", expr("((tsec div 86400) + 4) % 7").cast("long"))
+        .withColumn("hour", expr("(tsec % 86400) div 3600").cast("long"))
+        .groupBy("dow", "hour")
+        .agg(count(lit(1)).cast("long").as("n_events"),
+          sum("value_c").cast("long").as("sum_value_c"))
+        .orderBy("dow", "hour")
+    }),
+      Some("""
+        WITH e AS (
+          SELECT epoch_ns(ts) // 1000000000 AS tsec,
+                 CAST(floor(value*100 + 0.5) AS BIGINT) AS value_c
+          FROM events)
+        SELECT CAST(((tsec // 86400) + 4) % 7 AS BIGINT) AS dow,
+               CAST((tsec % 86400) // 3600 AS BIGINT) AS hour,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(value_c) AS BIGINT) AS sum_value_c
+        FROM e GROUP BY 1, 2 ORDER BY dow, hour"""))
   )
 }

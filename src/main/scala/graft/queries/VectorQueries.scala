@@ -1602,6 +1602,47 @@ object VectorQueries {
         SELECT label, CAST(any_value(n_old) AS BIGINT) AS n_old,
                CAST(any_value(n_new) AS BIGINT) AS n_new,
                CAST(sum((m_old - m_new) * (m_old - m_new)) AS BIGINT) AS drift2
-        FROM pv GROUP BY label ORDER BY label"""))
+        FROM pv GROUP BY label ORDER BY label""")),
+
+    // Embedding-space margin probe (the cheapest "are labels separable"
+    // check before training a classifier on top): pair every vector with
+    // its id-successor — an EQUI-join on vec_id+1, no sampling RNG, no
+    // pair explosion — classify each pair same-label vs cross-label, and
+    // report count and mean milli-cosine per class. A healthy space shows
+    // same-label pairs with a visibly higher mean; the integer cosine is
+    // floor(cos·1000), exact on both engines.
+    "emb_neighbor_margin" -> (((s: SparkSession, d: String) => {
+      val e = Fixtures.embeddings(s, d)
+        .select(col("vec_id"), col("label").cast("long").as("label"),
+          quantize(col("embedding")).as("q"))
+      val j = e.as("a").join(e.as("b"),
+          col("a.vec_id") + 1 === col("b.vec_id"))
+        .select(col("a.label").as("la"), col("b.label").as("lb"),
+          floor(cosine(col("a.q"), col("b.q")) * 1000).cast("long").as("cos_m"))
+        .withColumn("cls",
+          when(col("la") === col("lb"), "same_label").otherwise("cross_label"))
+      j.groupBy("cls")
+        .agg(count(lit(1)).cast("long").as("n_pairs"),
+          sum("cos_m").cast("long").as("sum_cos_m"))
+        .withColumn("mean_cos_m", expr(
+          "CAST(CASE WHEN sum_cos_m >= 0 THEN sum_cos_m div n_pairs " +
+            "ELSE -((-sum_cos_m) div n_pairs) END AS BIGINT)"))
+        .orderBy("cls")
+    }),
+      Some(s"""
+        WITH q AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+                          $qvecSql AS qv FROM embeddings),
+        j AS (
+          SELECT CASE WHEN a.label = b.label
+                      THEN 'same_label' ELSE 'cross_label' END AS cls,
+                 CAST(floor((${cosSql("a.qv", "b.qv")}) * 1000) AS BIGINT)
+                   AS cos_m
+          FROM q a JOIN q b ON a.vec_id + 1 = b.vec_id)
+        SELECT cls, CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(sum(cos_m) AS BIGINT) AS sum_cos_m,
+               CAST(CASE WHEN sum(cos_m) >= 0 THEN sum(cos_m) // count(*)
+                    ELSE -((-sum(cos_m)) // count(*)) END AS BIGINT)
+                 AS mean_cos_m
+        FROM j GROUP BY cls ORDER BY cls"""))
   )
 }

@@ -75,7 +75,11 @@ class PlanShapeSpec extends SparkSpec {
     // equi-join candidates + id joins back to texts
     "td_cooc_lift", "td_edit_refine",
     // fertility: scan + one lang agg, no join
-    "td_tokenizer_fertility")
+    "td_tokenizer_fertility",
+    // span corruption / drift / seasonality: maps + hash aggs, no join;
+    // neighbor margin: id-successor equi-self-join
+    "td_span_corruption", "emb_drift", "ev_seasonality",
+    "emb_neighbor_margin")
 
   test("LSH scale paths contain no all-pairs join") {
     scalePaths.foreach { name =>
