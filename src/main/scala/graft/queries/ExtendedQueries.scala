@@ -564,6 +564,86 @@ object ExtendedQueries {
                sha256(payload) = checksum AS sum_ok,
                NOT (strlen(payload) = n_bytes AND sha256(payload) = checksum)
                  AS is_corrupt
-        FROM m ORDER BY media_id"""))
+        FROM m ORDER BY media_id""")),
+
+    // Audio activity segmentation (the VAD-shaped pass that trims silence
+    // before ASR/training): 40-sample windows hopped by 16 per media, a
+    // window is ACTIVE when its mean sample value clears a threshold (the
+    // stub energy — a real pipeline swaps RMS over decoded PCM into the
+    // same plan), and consecutive active windows merge into segments via
+    // gaps-and-islands (window_idx − rank among active = island id). The
+    // per-media window count is duration-bounded, so the island window
+    // partitions stay small however many media stream through; shuffle
+    // key is media_id throughout.
+    "mm_energy_segments" -> (((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val media = Fixtures.documents(s, d).where(col("doc_id") % 5 === 0)
+        .select(col("doc_id").as("media_id"), col("text"))
+      val wins = media
+        .withColumn("nw", expr(
+          "CASE WHEN length(text) >= 40 THEN (length(text) - 40) div 16 + 1 ELSE 0 END"))
+        .where(col("nw") > 0)
+        .select(col("media_id"), col("nw"),
+          posexplode(expr("transform(sequence(0, nw - 1)," +
+            " j -> substring(text, j * 16 + 1, 40))")).as(Seq("j", "w")))
+        .withColumn("energy", expr(
+          "aggregate(transform(sequence(1, 40)," +
+            " i -> CAST(ascii(substring(w, i, 1)) AS BIGINT)), 0L, (a, x) -> a + x)"))
+        .withColumn("active", (expr("energy div 40") >= 100).cast("long"))
+      val wAct = Window.partitionBy("media_id").orderBy("j")
+      val isl = wins.where(col("active") === 1)
+        .withColumn("grp", col("j") - row_number().over(wAct))
+        .groupBy("media_id", "grp").agg(count(lit(1)).as("seg_len"))
+      val segs = isl.groupBy("media_id")
+        .agg(count(lit(1)).cast("long").as("n_segments"),
+          max("seg_len").cast("long").as("max_seg"),
+          sum("seg_len").cast("long").as("n_active"))
+      wins.groupBy("media_id")
+        .agg(count(lit(1)).cast("long").as("n_windows"))
+        .join(segs, Seq("media_id"), "left")
+        .select(col("media_id"), col("n_windows"),
+          coalesce(col("n_active"), lit(0L)).as("n_active"),
+          coalesce(col("n_segments"), lit(0L)).as("n_segments"),
+          coalesce(col("max_seg"), lit(0L)).as("max_seg"))
+        .orderBy("media_id")
+    }),
+      Some("""
+        WITH m AS (
+          SELECT doc_id AS media_id, text,
+                 CASE WHEN length(text) >= 40
+                      THEN (length(text) - 40) // 16 + 1 ELSE 0 END AS nw
+          FROM documents WHERE doc_id % 5 = 0),
+        w AS (
+          SELECT media_id, j - 1 AS j,
+                 substr(text, CAST((j - 1) * 16 + 1 AS INT), 40) AS win
+          FROM m CROSS JOIN UNNEST(generate_series(1, nw)) AS u(j)
+          WHERE nw > 0),
+        e AS (
+          SELECT media_id, j,
+                 CASE WHEN list_sum(list_transform(generate_series(1, 40),
+                        i -> CAST(ascii(substr(win, CAST(i AS INT), 1)) AS BIGINT)))
+                      // 40 >= 100 THEN 1 ELSE 0 END AS active
+          FROM w),
+        isl AS (
+          SELECT media_id,
+                 j - row_number() OVER (PARTITION BY media_id ORDER BY j) AS grp
+          FROM e WHERE active = 1),
+        seg AS (
+          SELECT media_id, grp, CAST(count(*) AS BIGINT) AS seg_len
+          FROM isl GROUP BY 1, 2),
+        per AS (
+          SELECT media_id, CAST(count(*) AS BIGINT) AS n_segments,
+                 CAST(max(seg_len) AS BIGINT) AS max_seg,
+                 CAST(sum(seg_len) AS BIGINT) AS n_active
+          FROM seg GROUP BY media_id),
+        tot AS (
+          SELECT media_id, CAST(count(*) AS BIGINT) AS n_windows
+          FROM e GROUP BY media_id)
+        SELECT t.media_id, t.n_windows,
+               coalesce(p.n_active, 0) AS n_active,
+               coalesce(p.n_segments, 0) AS n_segments,
+               coalesce(p.max_seg, 0) AS max_seg
+        FROM tot t LEFT JOIN per p USING (media_id)
+        ORDER BY media_id"""))
   )
 }
