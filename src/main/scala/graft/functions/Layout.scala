@@ -1,0 +1,36 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/**
+ * Multi-dimensional data-layout keys. Z-ordering (Morton curve) interleaves
+ * the bits of several clustering dimensions so that range predicates on ANY
+ * of them prune files by min/max stats — the standard lakehouse layout
+ * technique for 100 TB tables where a single sort key only serves its
+ * leading column (Morton 1966; the same curve Delta's OPTIMIZE ZORDER and
+ * Hudi clustering use).
+ *
+ * Pure bit arithmetic on BIGINT — codegen-friendly (shift/and/add only, no
+ * UDF) and exactly reproducible in any engine, which the `vc_zorder` oracle
+ * relies on.
+ */
+object Layout {
+
+  /**
+   * 16-bit Morton code of two 8-bit dimensions: bit i of `x` lands at
+   * position 2i, bit i of `y` at 2i+1. Inputs must already be clamped to
+   * [0, 255] (callers bucket/clamp first — see `vc_zorder`).
+   */
+  def interleave8(x: Column, y: Column): Column =
+    (0 until 8).map { i =>
+      shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i) +
+        shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1)
+    }.reduce(_ + _)
+
+  /** DuckDB twin of [[interleave8]] over column expressions `x`, `y`. */
+  def interleave8Sql(x: String, y: String): String =
+    (0 until 8).map { i =>
+      s"(((($x >> $i) & 1) << ${2 * i}) + ((($y >> $i) & 1) << ${2 * i + 1}))"
+    }.mkString("(", " + ", ")")
+}

@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Small-range compaction planning over a snapshot manifest — decide which
+ * adjacent ranges to rewrite together so output files land near a target
+ * size while preserving the global key order (the invariant every committed
+ * range must keep, `pkg/graveler/committed` O1/O3; the reference compacts
+ * staging into committed ranges with the same bounded-size discipline its
+ * batch writer applies on commit).
+ *
+ * Planning rule: concatenate the ranges in key order and cut at every
+ * `targetBytes` boundary — range i goes to bin `startOffset_i div target`,
+ * where startOffset is the exclusive prefix sum of bytes in key order. This
+ * is the deterministic "merge adjacent runt ranges up to the target" plan;
+ * a bin can overshoot the target by at most its largest member range, so
+ * callers compacting only runts filter `bytes < targetBytes` ranges in
+ * first and let full-size ranges pass through unplanned.
+ *
+ * Scale: the manifest is metadata (millions of rows at 100 TB, not
+ * billions), but the prefix sum is still computed without a global
+ * single-partition window: a two-level sum — per coarse-key-prefix subtotals
+ * (tiny, one ordered window over #prefixes rows) broadcast back as offsets,
+ * then a window PARTITIONED by the coarse prefix for the intra-prefix run —
+ * so the widest window any task sees is one prefix's ranges. Ordering by
+ * (coarse prefix, min_key) equals global min_key order because the prefix is
+ * a prefix of the key.
+ */
+object Compaction {
+
+  /**
+   * Input `ranges`: (range_id, min_key, max_key, n_rows, bytes) — one row
+   * per manifest range. Output: one row per planned output file (bin):
+   * (bin, n_ranges, n_rows, bytes, first_key, last_key), bin-ordered-able.
+   */
+  def plan(ranges: DataFrame, targetBytes: Long, coarsePrefixLen: Int): DataFrame = {
+    require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
+    val r = ranges.withColumn("b", substring(col("min_key"), 1, coarsePrefixLen))
+    // level 1: per-coarse-prefix byte subtotals -> exclusive running offset
+    // (window over #prefixes rows only — metadata-tiny)
+    val wB = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    val offs = r.groupBy("b").agg(sum("bytes").as("b_bytes"))
+      .withColumn("b_off", coalesce(sum("b_bytes").over(wB), lit(0L)))
+      .drop("b_bytes")
+    // level 2: intra-prefix exclusive prefix sum, partitioned by prefix
+    val wIn = Window.partitionBy("b").orderBy("min_key")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    r.join(broadcast(offs), Seq("b"))
+      .withColumn("start", col("b_off") + coalesce(sum("bytes").over(wIn), lit(0L)))
+      .withColumn("bin", expr(s"start div ${targetBytes}L"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_ranges"), sum("n_rows").cast("long").as("n_rows"),
+        sum("bytes").cast("long").as("bytes"),
+        min("min_key").as("first_key"), max("max_key").as("last_key"))
+  }
+}

@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.core.Model.DiffType
+
+/**
+ * Incremental materialized-view maintenance driven by a snapshot diff — the
+ * downstream half of the reference's CDC story: a consumer holds a grouped
+ * aggregate over commit C1 and, when the branch advances to C2, refreshes it
+ * from `diff C1 C2` alone instead of rescanning the snapshot (the use the
+ * reference's diff API is built for, `pkg/graveler/committed/diff.go:73-329`;
+ * its webhooks/exporter consume the same change feed).
+ *
+ * Algebra: count/sum aggregates form a commutative group, so the classic
+ * delta rule applies — turn the diff into signed rows (+new for
+ * added/changed, -old for removed/changed), aggregate the deltas by the view
+ * key, and add them onto the stored view. Groups whose row count reaches 0
+ * are dropped (they no longer exist in the snapshot).
+ *
+ * Scale: the base snapshot is NEVER rescanned — cost is O(|diff|) + one
+ * equi-join against the stored view on its group key (shuffle on the group
+ * key both sides, AQE broadcasts whichever side is small). At 100 TB with a
+ * per-commit change rate of 0.1% this is a 1000x scan saving over
+ * re-materialization, and the join shape survives a high-cardinality view
+ * (both sides hash-partition on the same key; no window, no collect).
+ */
+object IncrView {
+
+  /** Materialize the view directly from a snapshot: groupCols ++
+    * (n_rows, sum_<c> for each value column). */
+  def materialize(snapshot: DataFrame, groupCols: Seq[String], valueCols: Seq[String]): DataFrame =
+    snapshot.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"),
+        valueCols.map(c => sum(col(c)).cast("long").as(s"sum_$c")): _*)
+
+  /**
+   * Signed delta rows between two snapshots, derived from [[Diff.twoWay]]:
+   * one +1 row per added/changed key carrying the RIGHT side's values, one
+   * -1 row per removed/changed key carrying the BASE side's values.
+   * Unchanged keys (the overwhelming majority at scale) never leave the
+   * diff's identity filter. Output: groupCols ++ valueCols ++ sign.
+   */
+  def deltas(base: DataFrame, right: DataFrame,
+             groupCols: Seq[String], valueCols: Seq[String]): DataFrame = {
+    val d = Diff.twoWay(base, right).select("key", "diff_type")
+    val keep = (groupCols ++ valueCols).map(col)
+    val plus = right
+      .join(d.where(col("diff_type").isin(DiffType.Added, DiffType.Changed)),
+        Seq("key"), "left_semi")
+      .select(keep :+ lit(1L).as("sign"): _*)
+    val minus = base
+      .join(d.where(col("diff_type").isin(DiffType.Removed, DiffType.Changed)),
+        Seq("key"), "left_semi")
+      .select(keep :+ lit(-1L).as("sign"): _*)
+    plus.unionByName(minus)
+  }
+
+  /**
+   * Apply signed deltas onto a stored view (schema of [[materialize]]):
+   * full-outer join on the group key, add signed counts/sums, drop groups
+   * whose refreshed row count is 0. The result equals
+   * `materialize(right, ...)` exactly — the driver row `vc_incr_view`
+   * hash-checks that identity against a full-recompute oracle.
+   */
+  def refresh(view: DataFrame, deltas: DataFrame,
+              groupCols: Seq[String], valueCols: Seq[String]): DataFrame = {
+    val dAgg = deltas.groupBy(groupCols.map(col): _*)
+      .agg(sum(col("sign")).as("d_n"),
+        valueCols.map(c => sum(col(c) * col("sign")).cast("long").as(s"d_$c")): _*)
+    val merged = view.join(dAgg, groupCols, "full_outer")
+    val outCols = groupCols.map(col) ++
+      Seq((coalesce(col("n_rows"), lit(0L)) + coalesce(col("d_n"), lit(0L))).as("n_rows")) ++
+      valueCols.map(c =>
+        (coalesce(col(s"sum_$c"), lit(0L)) + coalesce(col(s"d_$c"), lit(0L))).as(s"sum_$c"))
+    merged.select(outCols: _*).where(col("n_rows") > 0)
+  }
+}

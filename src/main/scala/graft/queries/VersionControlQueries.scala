@@ -2031,6 +2031,93 @@ object VersionControlQueries {
           UNION ALL SELECT 'n/NATION_1_NEW', CAST(99 AS BIGINT))
         UNION ALL
         SELECT key, size_bytes, 'v1' AS at FROM n
-        ORDER BY at, key"""))
+        ORDER BY at, key""")),
+
+    // Incremental materialized-view maintenance from a snapshot diff: the
+    // stored per-(rf,ls) aggregate over C1 is refreshed from diff(C1,C2)
+    // ONLY (no base rescan) and must equal a full recompute over C2 — the
+    // oracle IS that full recompute, so a hash match proves the delta rule.
+    "vc_incr_view" -> (((s: SparkSession, d: String) => {
+      val base = Fixtures.keyedBase(s, d)
+      val right = Fixtures.keyedRight(s, d)
+      val g = Seq("rf", "ls")
+      val v = Seq("qty", "price_c")
+      val view = IncrView.materialize(base, g, v)
+      IncrView.refresh(view, IncrView.deltas(base, right, g, v), g, v)
+        .orderBy("rf", "ls")
+    }),
+      Some(s"""$prelude
+        SELECT rf, ls, count(*) AS n_rows, CAST(sum(qty) AS BIGINT) AS sum_qty,
+               CAST(sum(price_c) AS BIGINT) AS sum_price_c
+        FROM rightv GROUP BY rf, ls ORDER BY rf, ls""")),
+
+    // Small-range compaction plan: concatenate manifest ranges in key order
+    // and cut output files at every targetBytes boundary (two-level prefix
+    // sum — no global single-partition window; see operators/Compaction).
+    "vc_compaction_plan" -> (((s: SparkSession, d: String) => {
+      val pk = Fixtures.pathKeyed(s, d).select(col("key"), col("price_c"))
+      val ranges = pk.groupBy(substring(col("key"), 1, 13).as("range_id"))
+        .agg(min("key").as("min_key"), max("key").as("max_key"),
+          count(lit(1)).as("n_rows"), sum("price_c").cast("long").as("bytes"))
+      Compaction.plan(ranges, 2000000000L, coarsePrefixLen = 4).orderBy("bin")
+    }),
+      Some(s"""$prelude, pk AS (
+          SELECT concat_ws('/', rf, ls, key) AS pkey, price_c FROM base
+        ), ranges AS (
+          SELECT substr(pkey, 1, 13) AS range_id, min(pkey) AS min_key,
+                 max(pkey) AS max_key, count(*) AS n_rows,
+                 CAST(sum(price_c) AS BIGINT) AS bytes
+          FROM pk GROUP BY 1
+        ), seq AS (
+          SELECT *, CAST(coalesce(sum(bytes) OVER (ORDER BY min_key
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start
+          FROM ranges
+        )
+        SELECT start // 2000000000 AS bin, count(*) AS n_ranges,
+               CAST(sum(n_rows) AS BIGINT) AS n_rows,
+               CAST(sum(bytes) AS BIGINT) AS bytes,
+               min(min_key) AS first_key, max(max_key) AS last_key
+        FROM seq GROUP BY 1 ORDER BY bin""")),
+
+    // Z-order layout probe: cluster (qty, price-bucket) by a 16-bit Morton
+    // code vs a linear (qty-major) sort, 256-way file split each, and count
+    // files a predicate on the NON-leading dimension touches. The z layout
+    // prunes on both dimensions (16/256 files here); linear touches every
+    // file — the lakehouse motivation for multi-dim clustering at 100 TB.
+    "vc_zorder" -> (((s: SparkSession, d: String) => {
+      val t = Fixtures.keyedBase(s, d).select(
+        least(col("qty"), lit(255L)).as("x"),
+        least(expr("price_c div 40000"), lit(255L)).as("y"))
+      val coded = t
+        .withColumn("z", graft.functions.Layout.interleave8(col("x"), col("y")))
+        .withColumn("zfile", expr("z div 256"))
+        .withColumn("linfile", expr("(x * 256 + y) div 256"))
+      val pred = col("y").between(64, 79)
+      val zAgg = coded.agg(
+        countDistinct(col("zfile")).as("n_files"),
+        countDistinct(when(pred, col("zfile"))).as("files_touched"))
+        .select(lit("zorder").as("layout"), col("n_files"), col("files_touched"))
+      val lAgg = coded.agg(
+        countDistinct(col("linfile")).as("n_files"),
+        countDistinct(when(pred, col("linfile"))).as("files_touched"))
+        .select(lit("linear").as("layout"), col("n_files"), col("files_touched"))
+      lAgg.unionByName(zAgg).orderBy("layout")
+    }),
+      Some(s"""$prelude, t AS (
+          SELECT least(qty, 255) AS x, least(price_c // 40000, 255) AS y FROM base
+        ), c AS (
+          SELECT y, ${graft.functions.Layout.interleave8Sql("x", "y")} // 256 AS zfile,
+                 (x * 256 + y) // 256 AS linfile
+          FROM t
+        )
+        SELECT layout, n_files, files_touched FROM (
+          SELECT 'linear' AS layout, count(DISTINCT linfile) AS n_files,
+                 count(DISTINCT CASE WHEN y BETWEEN 64 AND 79 THEN linfile END) AS files_touched
+          FROM c
+          UNION ALL
+          SELECT 'zorder', count(DISTINCT zfile),
+                 count(DISTINCT CASE WHEN y BETWEEN 64 AND 79 THEN zfile END)
+          FROM c
+        ) ORDER BY layout"""))
   )
 }

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Compaction
+
+/** Compaction planning invariants: nothing lost, key order preserved across
+  * bins, bins fill toward the target, oversized ranges isolate, and the
+  * two-level prefix sum equals the naive global cumulative sum. */
+class CompactionSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def ranges(rows: (String, Long, Long)*) =
+    rows.toDF("min_key", "n_rows", "bytes")
+      .withColumn("range_id", col("min_key"))
+      .withColumn("max_key", concat(col("min_key"), lit("~")))
+
+  test("plan preserves totals and key order across bins") {
+    val r = ranges((1 to 40).map(i => (f"k$i%04d", 10L, 30L)): _*)
+    val plan = Compaction.plan(r, targetBytes = 100L, coarsePrefixLen = 3)
+      .orderBy("bin").collect()
+    assert(plan.map(_.getAs[Long]("n_rows")).sum === 400L)
+    assert(plan.map(_.getAs[Long]("bytes")).sum === 40L * 30L)
+    // key ranges of consecutive bins must not interleave
+    val firsts = plan.map(_.getAs[String]("first_key"))
+    val lasts = plan.map(_.getAs[String]("last_key"))
+    firsts.zip(lasts).sliding(2).foreach {
+      case Array((_, l1), (f2, _)) => assert(l1 < f2)
+      case _ =>
+    }
+    // 30-byte ranges against a 100-byte target: bins carry 3-4 ranges
+    assert(plan.forall(p => (3L to 4L).contains(p.getAs[Long]("n_ranges"))))
+  }
+
+  test("oversized range overshoots its bin; filtered pre-plan it passes through") {
+    val r = ranges(("a1", 1L, 10L), ("a2", 1L, 10L), ("b1", 1L, 500L),
+      ("c1", 1L, 10L), ("c2", 1L, 10L))
+    // start-offset rule: b1 starts inside bin 0, so bin 0 overshoots
+    // (bounded by the largest member range); the c-runts still merge later
+    val plan = Compaction.plan(r, targetBytes = 100L, coarsePrefixLen = 1)
+      .orderBy("bin").collect()
+    assert(plan.head.getAs[Long]("n_ranges") === 3L)
+    assert(plan.head.getAs[Long]("bytes") === 520L)
+    assert(plan.last.getAs[Long]("n_ranges") === 2L)
+    // the documented usage for runt-only compaction: filter before planning
+    val runts = Compaction.plan(r.where(col("bytes") < 100L),
+      targetBytes = 100L, coarsePrefixLen = 1).orderBy("bin").collect()
+    assert(runts.map(_.getAs[Long]("n_ranges")).toSeq === Seq(4L))
+    assert(runts.head.getAs[Long]("bytes") === 40L)
+  }
+
+  test("two-level prefix sum matches the naive global cumulative sum") {
+    val r = ranges((1 to 57).map(i => (f"p${i % 7}%d/k$i%04d", i.toLong, (i * 13 % 97 + 5).toLong)): _*)
+    val got = Compaction.plan(r, targetBytes = 150L, coarsePrefixLen = 3)
+      .orderBy("bin").collect().toSeq
+    // naive: one global ordered window
+    val w = org.apache.spark.sql.expressions.Window.orderBy("min_key")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val want = r.withColumn("start", coalesce(sum("bytes").over(w), lit(0L)))
+      .withColumn("bin", expr("start div 150L"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_ranges"), sum("n_rows").cast("long").as("n_rows"),
+        sum("bytes").cast("long").as("bytes"),
+        min("min_key").as("first_key"), max("max_key").as("last_key"))
+      .orderBy("bin").collect().toSeq
+    assert(got === want)
+  }
+}

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.IncrView
+
+/** Delta-rule maintenance: refresh(view, deltas) must equal a full
+  * recompute, groups must appear/disappear with their rows, and the plan
+  * must never rescan the base snapshot. */
+class IncrViewSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val g = Seq("grp")
+  private val v = Seq("qty")
+
+  private def snap(rows: (String, String, Long)*) =
+    rows.toDF("key", "grp", "qty")
+      .withColumn("identity", sha2(concat_ws("|", col("key"), col("qty")), 256))
+
+  test("refresh equals full recompute across add/change/remove") {
+    val base = snap(("k1", "a", 10L), ("k2", "a", 20L), ("k3", "b", 5L))
+    val right = snap(("k1", "a", 11L), ("k3", "b", 5L), ("k4", "c", 7L))
+    val view = IncrView.materialize(base, g, v)
+    val got = IncrView.refresh(view, IncrView.deltas(base, right, g, v), g, v)
+    val want = IncrView.materialize(right, g, v)
+    assert(got.orderBy("grp").collect().toSeq ===
+      want.orderBy("grp").collect().toSeq)
+  }
+
+  test("group emptied by the diff is dropped; brand-new group appears") {
+    val base = snap(("k1", "a", 1L), ("k2", "b", 2L))
+    val right = snap(("k2", "b", 2L), ("k9", "z", 9L)) // group a gone, z new
+    val view = IncrView.materialize(base, g, v)
+    val got = IncrView.refresh(view, IncrView.deltas(base, right, g, v), g, v)
+      .orderBy("grp").collect()
+    assert(got.map(_.getString(0)).toSeq === Seq("b", "z"))
+    assert(got.map(_.getLong(2)).toSeq === Seq(2L, 9L))
+  }
+
+  test("no-op diff leaves the view untouched") {
+    val base = snap(("k1", "a", 1L), ("k2", "b", 2L))
+    val view = IncrView.materialize(base, g, v)
+    val got = IncrView.refresh(view, IncrView.deltas(base, base, g, v), g, v)
+    assert(got.orderBy("grp").collect().toSeq ===
+      view.orderBy("grp").collect().toSeq)
+  }
+
+  test("multi-column values and composite group keys") {
+    val base = Seq(("k1", "a", "x", 1L, 10L), ("k2", "a", "y", 2L, 20L))
+      .toDF("key", "g1", "g2", "qty", "price")
+      .withColumn("identity", sha2(concat_ws("|", col("key"), col("qty"), col("price")), 256))
+    val right = Seq(("k1", "a", "x", 5L, 50L), ("k2", "a", "y", 2L, 20L),
+      ("k3", "b", "x", 3L, 30L))
+      .toDF("key", "g1", "g2", "qty", "price")
+      .withColumn("identity", sha2(concat_ws("|", col("key"), col("qty"), col("price")), 256))
+    val gs = Seq("g1", "g2"); val vs = Seq("qty", "price")
+    val got = IncrView.refresh(IncrView.materialize(base, gs, vs),
+      IncrView.deltas(base, right, gs, vs), gs, vs)
+    val want = IncrView.materialize(right, gs, vs)
+    assert(got.orderBy("g1", "g2").collect().toSeq ===
+      want.orderBy("g1", "g2").collect().toSeq)
+  }
+}

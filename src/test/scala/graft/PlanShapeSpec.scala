@@ -79,7 +79,10 @@ class PlanShapeSpec extends SparkSpec {
     // span corruption / drift / seasonality: maps + hash aggs, no join;
     // neighbor margin: id-successor equi-self-join
     "td_span_corruption", "emb_drift", "ev_seasonality",
-    "emb_neighbor_margin")
+    "emb_neighbor_margin",
+    // incr view: key/group equi-joins only; compaction: prefix-partitioned
+    // windows + tiny broadcast offsets; zorder: pure bit-math aggs, no join
+    "vc_incr_view", "vc_compaction_plan", "vc_zorder")
 
   test("LSH scale paths contain no all-pairs join") {
     scalePaths.foreach { name =>
