@@ -77,6 +77,20 @@ object Multimodal {
       .withColumn("out_height", scaled(col("height")))
   }
 
+  /** Image tiling plan (the ViT-style patch/tile grid every vision
+    * pipeline schedules before encode): cover (width, height) with
+    * non-overlapping `tile`² tiles, edge tiles padded. Pure integer
+    * ceil-div geometry — shuffle-free, map-side, engine-exact. A real
+    * crop kernel consumes (n_tiles_x, n_tiles_y) exactly like a resize
+    * kernel consumes [[planResize]]'s target box. */
+  def planTiles(decoded: DataFrame, tile: Int): DataFrame =
+    decoded
+      .withColumn("n_tiles_x", expr(s"(width + ${tile - 1}) div $tile"))
+      .withColumn("n_tiles_y", expr(s"(height + ${tile - 1}) div $tile"))
+      .withColumn("n_tiles", col("n_tiles_x") * col("n_tiles_y"))
+      .withColumn("pad_x", col("n_tiles_x") * tile - col("width"))
+      .withColumn("pad_y", col("n_tiles_y") * tile - col("height"))
+
   /** Frame/window sampling: every `stride`-th byte-block as a "frame". */
   def sampleFrames(media: DataFrame, blockSize: Int, stride: Int): DataFrame =
     media.withColumn("frames",

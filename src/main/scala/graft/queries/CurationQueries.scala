@@ -194,6 +194,36 @@ object CurationQueries {
                CAST(sum(coalesce(new_types, 0))
                     OVER (ORDER BY occ.dec) AS BIGINT) AS cum_types
         FROM occ LEFT JOIN newt ON occ.dec = newt.dec
-        ORDER BY decile"""))
+        ORDER BY decile""")),
+
+    // Cross-modal curation audit: join the text table to its embedding
+    // table (doc_id = vec_id, the multimodal-pipeline alignment contract)
+    // and profile each semantic label's text side — docs, source spread,
+    // char/token volume. One shuffle-keyed equi-join on id + one label agg
+    // (both map-side combinable); the join survives any corpus size since
+    // both sides hash-partition on the id.
+    "td_doc_label_quality" -> (((s: SparkSession, d: String) => {
+      val docs = Fixtures.documents(s, d)
+        .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+      val emb = Fixtures.embeddings(s, d)
+        .select(col("vec_id").as("doc_id"), col("label").cast("long").as("label"))
+      docs.join(emb, "doc_id")
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct("source").as("n_sources"),
+          sum("n_chars").cast("long").as("sum_chars"),
+          sum("n_tokens").cast("long").as("sum_tokens"),
+          expr("sum(n_chars) div count(1)").as("mean_chars"))
+        .orderBy("label")
+    }),
+      Some("""
+        SELECT CAST(label AS BIGINT) AS label,
+               count(*) AS n_docs,
+               count(DISTINCT source) AS n_sources,
+               CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+               CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens,
+               CAST(sum(n_chars) AS BIGINT) // count(*) AS mean_chars
+        FROM documents JOIN embeddings ON doc_id = vec_id
+        GROUP BY label ORDER BY label"""))
   )
 }

@@ -244,6 +244,33 @@ object ExtendedQueries {
                     ELSE greatest((height*224) // greatest(width, height), 1) END AS out_height
         FROM dec ORDER BY media_id""")),
 
+    // Image tiling plan: the ViT patch/tile grid (224² tiles, edge tiles
+    // padded) scheduled per decoded image — ceil-div integer geometry,
+    // shuffle-free map-side work over the binary column, exact on both
+    // engines (same stub-decode dimension contract as mm_resize).
+    "mm_image_tiles" -> (((s: SparkSession, d: String) => {
+      val media = Multimodal.asMedia(
+        Fixtures.documents(s, d), col("doc_id"), encode(col("text"), "UTF-8"), "image")
+      Multimodal.planTiles(Multimodal.stubDecode(media), tile = 224)
+        .select(col("media_id"), col("width"), col("height"),
+          col("n_tiles_x"), col("n_tiles_y"), col("n_tiles"),
+          col("pad_x"), col("pad_y"))
+        .orderBy("media_id")
+    }),
+      Some("""
+        WITH dec AS (
+          SELECT doc_id AS media_id,
+                 ('0x' || substr(sha256(text),1,4))::BIGINT % 1920 + 1 AS width,
+                 ('0x' || substr(sha256(text),5,4))::BIGINT % 1080 + 1 AS height
+          FROM documents)
+        SELECT media_id, width, height,
+               (width + 223) // 224 AS n_tiles_x,
+               (height + 223) // 224 AS n_tiles_y,
+               ((width + 223) // 224) * ((height + 223) // 224) AS n_tiles,
+               ((width + 223) // 224) * 224 - width AS pad_x,
+               ((height + 223) // 224) * 224 - height AS pad_y
+        FROM dec ORDER BY media_id""")),
+
     // Audio-modality framing plan: the STFT window grid (win=40, hop=16 —
     // the 25ms/10ms shape scaled to the fixture's payload sizes) every
     // audio feature-extraction job schedules against. Decoded length

@@ -1395,6 +1395,83 @@ object VectorQueries {
                CAST(n_found AS DOUBLE) / CAST(n_true AS DOUBLE) AS recall
         FROM a CROSS JOIN b""")),
 
+    // Binary (sign-bit) quantization recall: 64 dims -> 64 bits (1 bit per
+    // dimension's sign — 256x smaller than fp32), hamming-ranked top-3 vs
+    // exact cosine truth. The memory-extreme end of the quantization
+    // spectrum next to SQ8 (emb_sq8_recall) and PQ (emb_pq_recall); at
+    // serving scale the codes fit in RAM and hamming is one XOR+popcount
+    // per candidate. Codes pack into two 32-bit halves so all shift
+    // arithmetic stays in positive BIGINT range on both engines; scoring
+    // stays codegen (bit_count/xor — no UDF).
+    "emb_sign_recall" -> (((s: SparkSession, d: String) => {
+      val emb = Fixtures.embeddings(s, d)
+        .select(col("vec_id"), quantize(col("embedding")).as("q"))
+      val half = (lo: Int) => expr(
+        s"aggregate(sequence($lo, ${lo + 31}), 0L, (acc, i) -> " +
+          s"acc + CASE WHEN element_at(q, i) > 0 THEN shiftleft(1L, i - $lo) ELSE 0L END)")
+      val coded = emb.withColumn("h1", half(1)).withColumn("h2", half(33))
+      val probes = coded.where(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("probe_id"), col("q").as("pq"),
+          col("h1").as("p1"), col("h2").as("p2"))
+      val wT = Window.partitionBy("probe_id").orderBy(col("sim").desc, col("vec_id").asc)
+      val truth = coded.crossJoin(broadcast(probes.select("probe_id", "pq")))
+        .where(col("vec_id") =!= col("probe_id"))
+        .withColumn("sim", cosine(col("pq"), col("q")))
+        .withColumn("rank", row_number().over(wT)).where(col("rank") <= 3)
+        .select("probe_id", "vec_id")
+      val wF = Window.partitionBy("probe_id").orderBy(col("ham").asc, col("vec_id").asc)
+      val found = coded.select("vec_id", "h1", "h2")
+        .crossJoin(broadcast(probes.select("probe_id", "p1", "p2")))
+        .where(col("vec_id") =!= col("probe_id"))
+        .withColumn("ham",
+          expr("bit_count(h1 ^ p1) + bit_count(h2 ^ p2)").cast("long"))
+        .withColumn("rank", row_number().over(wF)).where(col("rank") <= 3)
+        .select("probe_id", "vec_id")
+      val nT = truth.agg(count(lit(1)).cast("long").as("n_true"))
+      val nF = truth.join(found, Seq("probe_id", "vec_id"), "left_semi")
+        .agg(count(lit(1)).cast("long").as("n_found"))
+      nT.crossJoin(nF)
+        .withColumn("recall",
+          col("n_found").cast("double") / col("n_true").cast("double"))
+    }),
+      Some(s"""
+        WITH q AS (SELECT vec_id, $qvecSql AS qv FROM embeddings),
+        coded AS (
+          SELECT vec_id, qv,
+                 CAST(list_sum(list_transform(generate_series(1, 32),
+                   i -> CASE WHEN qv[i] > 0 THEN (1::BIGINT << (i - 1)) ELSE 0 END)) AS BIGINT) AS h1,
+                 CAST(list_sum(list_transform(generate_series(33, 64),
+                   i -> CASE WHEN qv[i] > 0 THEN (1::BIGINT << (i - 33)) ELSE 0 END)) AS BIGINT) AS h2
+          FROM q
+        ),
+        probes AS (
+          SELECT vec_id AS probe_id, qv AS pq, h1 AS p1, h2 AS p2
+          FROM coded WHERE vec_id % 100 = 0
+        ),
+        truth AS (
+          SELECT probe_id, vec_id FROM (
+            SELECT probe_id, c.vec_id,
+                   row_number() OVER (PARTITION BY probe_id ORDER BY
+                     ${cosSql("pq", "qv")} DESC, c.vec_id) AS r
+            FROM probes JOIN coded c ON c.vec_id <> probe_id)
+          WHERE r <= 3
+        ),
+        found AS (
+          SELECT probe_id, vec_id FROM (
+            SELECT probe_id, c.vec_id,
+                   row_number() OVER (PARTITION BY probe_id ORDER BY
+                     (bit_count(xor(c.h1, p1)) + bit_count(xor(c.h2, p2))),
+                     c.vec_id) AS r
+            FROM probes JOIN coded c ON c.vec_id <> probe_id)
+          WHERE r <= 3
+        ),
+        a AS (SELECT CAST(count(*) AS BIGINT) AS n_true FROM truth),
+        b AS (SELECT CAST(count(*) AS BIGINT) AS n_found FROM
+                (SELECT * FROM truth INTERSECT SELECT * FROM found))
+        SELECT n_true, n_found,
+               CAST(n_found AS DOUBLE) / CAST(n_true AS DOUBLE) AS recall
+        FROM a CROSS JOIN b""")),
+
     // IVF+PQ composed (the FAISS IVFADC layout, raw-vector variant): the
     // coarse quantizer restricts each probe to its own IVF cell, and
     // candidates inside the cell are scored by the PQ asymmetric distance

@@ -1,0 +1,44 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+
+/**
+ * Streaming materialized-view maintenance — the continuous form of
+ * [[graft.operators.IncrView]]: a CDC stream of signed delta rows
+ * (+1 upsert value / -1 retracted value, the shape `IncrView.deltas`
+ * derives from a snapshot diff) folds into per-group (count, sum) state,
+ * and every micro-batch emits the refreshed row for each touched group.
+ *
+ * State per group is one (n_rows, sum_qty) tuple — bounded by group
+ * cardinality, not stream length. A group whose count returns to 0 emits a
+ * final n_rows=0 row (the deletion signal a downstream sink consumes) and
+ * clears its state. In-order/exactly-once delivery is the contract, as with
+ * the other streaming twins; the batch refresh is the periodic exact
+ * reconciliation.
+ */
+object StreamIncrView {
+
+  case class Delta(grp: String, qty: Long, sign: Long)
+  case class ViewState(n: Long, sumQty: Long)
+  case class ViewRow(grp: String, n_rows: Long, sum_qty: Long)
+
+  /** Input columns (grp, qty, sign); emits the refreshed view row of every
+    * group touched in the micro-batch (n_rows=0 = group disappeared). */
+  def refreshed(deltas: DataFrame): Dataset[ViewRow] = {
+    import deltas.sparkSession.implicits._
+    deltas.select(col("grp"), col("qty").cast("long"), col("sign").cast("long"))
+      .as[Delta]
+      .groupByKey(_.grp)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(
+        (grp: String, it: Iterator[Delta], state: GroupState[ViewState]) => {
+          var s = state.getOption.getOrElse(ViewState(0L, 0L))
+          it.foreach { d =>
+            s = ViewState(s.n + d.sign, s.sumQty + d.sign * d.qty)
+          }
+          if (s.n <= 0L) { state.remove(); ViewRow(grp, 0L, 0L) }
+          else { state.update(s); ViewRow(grp, s.n, s.sumQty) }
+        })
+  }
+}

@@ -82,7 +82,10 @@ class PlanShapeSpec extends SparkSpec {
     "emb_neighbor_margin",
     // incr view: key/group equi-joins only; compaction: prefix-partitioned
     // windows + tiny broadcast offsets; zorder: pure bit-math aggs, no join
-    "vc_incr_view", "vc_compaction_plan", "vc_zorder")
+    "vc_incr_view", "vc_compaction_plan", "vc_zorder",
+    // cross-modal profile: one id equi-join + label agg; tiles: map-only
+    // (emb_sign_recall broadcasts the tiny probe set like emb_ann_topk)
+    "td_doc_label_quality", "mm_image_tiles")
 
   test("LSH scale paths contain no all-pairs join") {
     scalePaths.foreach { name =>

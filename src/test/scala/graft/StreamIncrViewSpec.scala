@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.IncrView
+import graft.streaming.StreamIncrView
+
+/** The streaming view-maintenance twin must converge to the batch
+  * IncrView.refresh result over the same deltas, and signal emptied
+  * groups with an n_rows=0 row. */
+class StreamIncrViewSpec extends SparkSpec {
+
+  // group a: +10, +20, then k1 retracted; group b: +5 then fully retracted
+  private val deltas = Seq(
+    ("a", 10L, 1L), ("a", 20L, 1L),
+    ("b", 5L, 1L),
+    ("a", 10L, -1L),
+    ("b", 5L, -1L))
+
+  test("streaming refresh converges to the batch delta rule; emptied group signals 0") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(String, Long, Long)]
+    val q = StreamIncrView.refreshed(mem.toDF().toDF("grp", "qty", "sign"))
+      .writeStream.outputMode("update").format("memory")
+      .queryName("incr_view").start()
+    try {
+      val (b1, b2) = deltas.splitAt(3)
+      mem.addData(b1); q.processAllAvailable()
+      val mid = spark.table("incr_view").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(mid === Set(("a", 2L, 30L), ("b", 1L, 5L)))
+      mem.addData(b2); q.processAllAvailable()
+      // last emission per group = converged state
+      val fin = spark.table("incr_view").collect().zipWithIndex
+        .groupBy(_._1.getString(0)).map { case (g, rows) =>
+          val r = rows.maxBy(_._2)._1; (g, r.getLong(1), r.getLong(2))
+        }.toSet
+      assert(fin === Set(("a", 1L, 20L), ("b", 0L, 0L)))
+
+      // batch twin over the same deltas (surviving groups only)
+      val view0 = Seq.empty[(String, Long, Long)].toDF("grp", "n_rows", "sum_qty")
+      val d = deltas.toDF("grp", "qty", "sign")
+      val batch = IncrView.refresh(view0, d, Seq("grp"), Seq("qty"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(batch === fin.filter(_._2 > 0L))
+    } finally q.stop()
+  }
+}
