@@ -1176,6 +1176,143 @@ object EventQueries {
                CAST((tsec % 86400) // 3600 AS BIGINT) AS hour,
                CAST(count(*) AS BIGINT) AS n_events,
                CAST(sum(value_c) AS BIGINT) AS sum_value_c
-        FROM e GROUP BY 1, 2 ORDER BY dow, hour"""))
+        FROM e GROUP BY 1, 2 ORDER BY dow, hour""")),
+
+    // Calendar gap filling (resample-to-hourly with explicit zeros): the
+    // downsampling step every time-series consumer needs before charting /
+    // anomaly scoring, since absent hours are silently invisible to a plain
+    // GROUP BY. The dense (hour × type) spine is generated (sequence +
+    // explode on Spark, generate_series in DuckDB) and left-joined to the
+    // sparse counts — the spine is |hours|·|types| rows (tiny relative to
+    // events), the join is equi-keyed, and the single-row bounds agg rides
+    // an intentional scalar crossJoin.
+    "ev_gapfill" -> (((s: SparkSession, d: String) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = Fixtures.events(s, d)
+        .select(expr("ts div 1000000000 div 3600").as("hour"), col("event_type"))
+      val counts = ev.groupBy("hour", "event_type")
+        .agg(count(lit(1)).cast("long").as("n_events"))
+      val hours = ev.agg(min("hour").as("h0"), max("hour").as("h1"))
+        .select(explode(sequence(col("h0"), col("h1"))).as("hour"))
+      val types = ev.select("event_type").distinct()
+      hours.crossJoin(types)
+        .join(counts, Seq("hour", "event_type"), "left")
+        .select((col("hour") * 3600).as("hour_start"), col("event_type"),
+          coalesce(col("n_events"), lit(0L)).as("n_events"))
+        .orderBy("hour_start", "event_type")
+    }),
+      Some("""
+        WITH ev AS (
+          SELECT epoch_ns(ts) // 1000000000 // 3600 AS hour, event_type
+          FROM events),
+        b AS (SELECT min(hour) AS h0, max(hour) AS h1 FROM ev),
+        hours AS (SELECT unnest(generate_series(h0, h1)) AS hour FROM b),
+        types AS (SELECT DISTINCT event_type FROM ev),
+        counts AS (
+          SELECT hour, event_type, CAST(count(*) AS BIGINT) AS n
+          FROM ev GROUP BY 1, 2)
+        SELECT h.hour * 3600 AS hour_start, t.event_type,
+               CAST(coalesce(c.n, 0) AS BIGINT) AS n_events
+        FROM hours h CROSS JOIN types t
+        LEFT JOIN counts c ON c.hour = h.hour AND c.event_type = t.event_type
+        ORDER BY hour_start, t.event_type""")),
+
+    // At-least-once replay cleanup: collapse redelivered events to one per
+    // (user, type, minute) keeping the smallest event_id — the batch twin
+    // of StreamDedup's first-seen rule — and bill what deduplication
+    // dropped per type. One composite-key agg + one type agg, both
+    // map-side combinable; no window, no join.
+    "ev_replay_dedup" -> (((s: SparkSession, d: String) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      Fixtures.events(s, d)
+        .select(col("user_id"), col("event_type"),
+          expr("ts div 1000000000 div 60").as("minute"), col("event_id"))
+        .groupBy("user_id", "event_type", "minute")
+        .agg(min("event_id").as("keep_id"), count(lit(1)).as("n_dup"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).cast("long").as("n_kept"),
+          sum("n_dup").cast("long").as("n_raw"))
+        .withColumn("n_dropped", col("n_raw") - col("n_kept"))
+        .orderBy("event_type")
+    }),
+      Some("""
+        WITH keyed AS (
+          SELECT user_id, event_type, epoch_ns(ts) // 1000000000 // 60 AS minute,
+                 min(event_id) AS keep_id, count(*) AS n_dup
+          FROM events GROUP BY 1, 2, 3)
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_kept,
+               CAST(sum(n_dup) AS BIGINT) AS n_raw,
+               CAST(sum(n_dup) - count(*) AS BIGINT) AS n_dropped
+        FROM keyed GROUP BY event_type ORDER BY event_type""")),
+
+    // Behavioral diversity per user — Gini impurity of each user's
+    // event-type mix, integer-exact by cross-multiplication:
+    // gini_pm = 1000 − (1000·Σc_i²) div n². A bot hammering one endpoint
+    // scores ~0; an organic user spread over all five types approaches
+    // 800. Sums stay in BIGINT up to n ≈ 3e6 events/user (1000·n² < 2⁶³);
+    // past that promote to DECIMAL(38) — same algebra. Two map-side
+    // combinable aggs keyed on (user, type) then user; no window, no join.
+    "ev_behavior_gini" -> (((s: SparkSession, d: String) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      Fixtures.events(s, d)
+        .groupBy("user_id", "event_type").agg(count(lit(1)).as("c"))
+        .groupBy("user_id")
+        .agg(sum("c").cast("long").as("n_events"),
+          sum(col("c") * col("c")).cast("long").as("ss"))
+        .select(col("user_id"), col("n_events"),
+          (lit(1000L) - expr("(1000 * ss) div (n_events * n_events)")).as("gini_pm"))
+        .orderBy("user_id")
+    }),
+      Some("""
+        WITH c AS (
+          SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c
+          FROM events GROUP BY 1, 2),
+        u AS (
+          SELECT user_id, CAST(sum(c) AS BIGINT) AS n_events,
+                 CAST(sum(c * c) AS BIGINT) AS ss
+          FROM c GROUP BY user_id)
+        SELECT user_id, n_events,
+               1000 - (1000 * ss) // (n_events * n_events) AS gini_pm
+        FROM u ORDER BY user_id""")),
+
+    // Cohort lifetime-value matrix: users cohorted by first-seen week,
+    // purchase revenue accumulated per (cohort, weeks-since-signup) cell
+    // with a running cumulative sum — the LTV curve growth teams read
+    // next to ev_retention's activity matrix. The cumulative window
+    // partitions by cohort (bounded by the cohort's week count); all money
+    // stays in integer cents.
+    "ev_ltv_cohort" -> (((s: SparkSession, d: String) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = Fixtures.events(s, d)
+        .select(col("user_id"), expr("ts div 1000000000 div 604800").as("week"),
+          col("event_type"), floor(col("value") * 100 + 0.5).cast("long").as("value_c"))
+      val cohorts = ev.groupBy("user_id").agg(min("week").as("cohort_week"))
+      val cells = ev.where(col("event_type") === "purchase")
+        .join(cohorts, "user_id")
+        .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
+        .agg(countDistinct("user_id").as("n_buyers"),
+          sum("value_c").cast("long").as("revenue_c"))
+      val w = Window.partitionBy("cohort_week").orderBy("week_offset")
+      cells.withColumn("cum_revenue_c",
+          sum("revenue_c").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"))
+        .orderBy("cohort_week", "week_offset")
+    }),
+      Some("""
+        WITH ev AS (
+          SELECT user_id, epoch_ns(ts) // 1000000000 // 604800 AS week, event_type,
+                 CAST(floor(value*100 + 0.5) AS BIGINT) AS value_c
+          FROM events),
+        cohorts AS (SELECT user_id, min(week) AS cohort_week FROM ev GROUP BY user_id),
+        cells AS (
+          SELECT cohort_week, week - cohort_week AS week_offset,
+                 CAST(count(DISTINCT ev.user_id) AS BIGINT) AS n_buyers,
+                 CAST(sum(value_c) AS BIGINT) AS revenue_c
+          FROM ev JOIN cohorts ON ev.user_id = cohorts.user_id
+          WHERE event_type = 'purchase'
+          GROUP BY 1, 2)
+        SELECT cohort_week, week_offset, n_buyers, revenue_c,
+               CAST(sum(revenue_c) OVER (PARTITION BY cohort_week ORDER BY week_offset
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_revenue_c
+        FROM cells ORDER BY cohort_week, week_offset"""))
   )
 }

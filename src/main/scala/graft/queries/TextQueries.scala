@@ -2365,6 +2365,43 @@ object TextQueries {
                CAST(count(DISTINCT CASE WHEN corrupt = 1 THEN g END) AS BIGINT)
                  AS n_spans,
                CAST(sum(corrupt) * 1000000 // count(*) AS BIGINT) AS mask_ppm
-        FROM m GROUP BY doc_id ORDER BY doc_id"""))
+        FROM m GROUP BY doc_id ORDER BY doc_id""")),
+
+    // Per-source token concentration — the Herfindahl index of each
+    // source's unigram distribution, ppm-scaled and integer-exact by
+    // cross-multiplication: hhi_ppm = (10⁶·Σc_t²) div N². High HHI flags
+    // template/boilerplate-heavy sources (a few tokens dominate); the
+    // complement of td_source_divergence's cross-source TV distance.
+    // BIGINT holds to N ≈ 3e6 tokens/source (10⁶·N² < 2⁶³); a 100 TB
+    // corpus promotes the products to DECIMAL(38) — same algebra. Two
+    // map-side combinable aggs keyed (source, token) then source.
+    "td_token_hhi" -> (((s: SparkSession, d: String) => {
+      Fixtures.documents(s, d)
+        .select(col("source"), explode(tokens(col("text"))).as("t"))
+        .where(col("t") =!= "")
+        .groupBy("source", "t").agg(count(lit(1)).as("c"))
+        .groupBy("source")
+        .agg(sum("c").cast("long").as("n_tokens"),
+          count(lit(1)).cast("long").as("n_types"),
+          sum(col("c") * col("c")).cast("long").as("ss"))
+        .select(col("source"), col("n_tokens"), col("n_types"),
+          expr("(1000000 * ss) div (n_tokens * n_tokens)").as("hhi_ppm"))
+        .orderBy("source")
+    }),
+      Some(s"""$docsSql,
+        st AS (
+          SELECT source, unnest(toks) AS t
+          FROM documents d JOIN docs USING (doc_id)),
+        c AS (
+          SELECT source, t, CAST(count(*) AS BIGINT) AS c
+          FROM st WHERE t <> '' GROUP BY 1, 2),
+        agg AS (
+          SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+                 CAST(count(*) AS BIGINT) AS n_types,
+                 CAST(sum(c * c) AS BIGINT) AS ss
+          FROM c GROUP BY source)
+        SELECT source, n_tokens, n_types,
+               (1000000 * ss) // (n_tokens * n_tokens) AS hhi_ppm
+        FROM agg ORDER BY source"""))
   )
 }

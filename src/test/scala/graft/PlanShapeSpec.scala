@@ -85,7 +85,11 @@ class PlanShapeSpec extends SparkSpec {
     "vc_incr_view", "vc_compaction_plan", "vc_zorder",
     // cross-modal profile: one id equi-join + label agg; tiles: map-only
     // (emb_sign_recall broadcasts the tiny probe set like emb_ann_topk)
-    "td_doc_label_quality", "mm_image_tiles")
+    "td_doc_label_quality", "mm_image_tiles",
+    // replay dedup / gini / HHI: composite-key aggs only, no join; LTV:
+    // user equi-join + cohort-partitioned window (ev_gapfill stays off:
+    // its dense spine is an intentional tiny hours×types crossJoin)
+    "ev_replay_dedup", "ev_behavior_gini", "td_token_hhi", "ev_ltv_cohort")
 
   test("LSH scale paths contain no all-pairs join") {
     scalePaths.foreach { name =>
