@@ -2118,6 +2118,53 @@ object VersionControlQueries {
           SELECT 'zorder', count(DISTINCT zfile),
                  count(DISTINCT CASE WHEN y BETWEEN 64 AND 79 THEN zfile END)
           FROM c
-        ) ORDER BY layout"""))
+        ) ORDER BY layout""")),
+
+    // §2.11 SQL DML surface end-to-end (the DSv2 write path): a repo seeded
+    // from `nation`, then driven purely through `spark.sql` — INSERT INTO
+    // (one explicit identity, one NULL identity derived content-side),
+    // DELETE FROM with a key-range predicate, INSERT OVERWRITE replacing the
+    // branch — each statement one engine commit through the same
+    // hook/protection/CAS path as the programmatic API. The final state is
+    // the two overwrite rows; the pre-overwrite count (25 nations + 2
+    // inserts − 12 deletes = 15) and the commit count (init + 3 DML = 4)
+    // ride as literal columns the VALUES oracle pins.
+    "vc_sql_write" -> (((s: SparkSession, d: String) => {
+      val dir = s"target/vc_sqlw_root_${math.abs(d.hashCode)}"
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(dir), s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+      val eng = new graft.store.Engine(s, s"$dir/repow")
+      eng.init("main", Some(s.read.parquet(s"$d/nation.parquet")
+        .select(concat(lit("n/"), col("n_name")).as("key"),
+          sha2(col("n_name"), 256).as("identity"),
+          concat(lit("blobs/"), col("n_name")).as("address"),
+          col("n_nationkey").cast("long").as("size_bytes"),
+          lit(0L).as("mtime"))))
+      val cat = s"gsqlw${math.abs(d.hashCode)}"
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", dir)
+      val t = s"$cat.repow.main"
+      s.sql(s"INSERT INTO $t VALUES " +
+        "('z/x1', 'idx1', 'a/x1', 11, 1), ('z/x2', NULL, 'a/x2', 22, 2)")
+      s.sql(s"DELETE FROM $t WHERE (key >= 'n/NATION_1' AND key < 'n/NATION_2')" +
+        " OR key = 'z/x1'")
+      val nBefore = s.sql(s"SELECT count(*) FROM $t").head().getLong(0)
+      s.sql(s"INSERT OVERWRITE $t VALUES " +
+        "('w/1', 'iw1', 'a/w1', 1, 10), ('w/2', 'iw2', 'a/w2', 2, 20)")
+      s.sql(s"SELECT key, identity, address, size_bytes, mtime FROM $t")
+        .withColumn("n_before_overwrite", lit(nBefore))
+        .withColumn("n_commits", lit(eng.log("main").size.toLong))
+        .orderBy("key")
+    }),
+      Some("""
+        SELECT * FROM (VALUES
+          ('w/1', 'iw1', 'a/w1', CAST(1 AS BIGINT), CAST(10 AS BIGINT),
+           CAST(15 AS BIGINT), CAST(4 AS BIGINT)),
+          ('w/2', 'iw2', 'a/w2', CAST(2 AS BIGINT), CAST(20 AS BIGINT),
+           CAST(15 AS BIGINT), CAST(4 AS BIGINT)))
+          AS v(key, identity, address, size_bytes, mtime,
+               n_before_overwrite, n_commits)
+        ORDER BY key"""))
   )
 }

@@ -2,17 +2,19 @@ package graft.sources
 
 import java.util
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.sources
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
-import graft.store.{EntryIO, RefStore, SnapshotStore}
+import graft.store.{Engine, EntryIO, RefStore, SnapshotStore}
 
 /**
  * DataSourceV2 `TableCatalog` exposing every ref of every repository as a
@@ -25,7 +27,16 @@ import graft.store.{EntryIO, RefStore, SnapshotStore}
  * spark.sql("SELECT * FROM graft.repo1.main WHERE key LIKE 'data/%'")
  * spark.sql("SELECT * FROM graft.repo1.main VERSION AS OF '<commit>'")
  * spark.sql("SELECT * FROM graft.repo1.main TIMESTAMP AS OF '...'")
+ * spark.sql("INSERT INTO graft.repo1.main VALUES ('k', NULL, 'addr', 4, 0)")
+ * spark.sql("INSERT OVERWRITE graft.repo1.main SELECT ...")
+ * spark.sql("DELETE FROM graft.repo1.main WHERE key LIKE 'tmp/%'")
+ * spark.sql("TRUNCATE TABLE graft.repo1.main")
  * }}}
+ *
+ * DML targets BRANCHES only (tags/commits are immutable views). Each
+ * statement is one engine commit — staged distributed via `Engine.stage`,
+ * committed through the same hook/protection/CAS path as the programmatic
+ * API, so branch protection and pre-commit actions govern SQL writers too.
  *
  * Namespace = repository, table = any ref expression the engine resolves
  * (branch, tag, commit hash, `~N`/`^N` modifiers — backquote refs with
@@ -120,13 +131,146 @@ object GraftRefTable {
     StructField("mtime", LongType, nullable = false)))
 }
 
-class GraftRefTable(repoDir: String, ref: String) extends Table with SupportsRead {
+class GraftRefTable(repoDir: String, ref: String) extends Table
+    with SupportsRead with SupportsWrite with SupportsDelete {
   override def name(): String = s"$repoDir@$ref"
   override def schema(): StructType = GraftRefTable.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(repoDir, ref)
+
+  /** SQL DML lands on BRANCHES only: tags/commits/modifier refs are
+    * immutable views, exactly the reference's write rule (every write API
+    * takes a BranchID, `pkg/graveler/graveler.go` Set/Delete/Commit). */
+  private def requireBranch(op: String): Unit =
+    if (!GraftSqlWrite.isBranch(repoDir, ref))
+      throw new UnsupportedOperationException(
+        s"$op target must be a branch; '$ref' is not a branch of $repoDir")
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    requireBranch("INSERT")
+    new GraftWriteBuilder(repoDir, ref)
+  }
+
+  // DELETE FROM <branch> WHERE <key predicate>: runs entirely on the
+  // engine's staging surface — matched keys become staged tombstones, then
+  // one commit. Predicates on columns other than `key` are rejected via
+  // canDeleteWhere, so Spark falls back with a clear analysis error
+  // instead of silently deleting the wrong rows.
+  override def canDeleteWhere(filters: Array[sources.Filter]): Boolean =
+    GraftSqlWrite.isBranch(repoDir, ref) &&
+      filters.forall(GraftSqlWrite.toKeyColumn(_).isDefined)
+
+  override def deleteWhere(filters: Array[sources.Filter]): Unit = {
+    requireBranch("DELETE")
+    GraftSqlWrite.deleteWhere(repoDir, ref, filters)
+  }
+}
+
+/** `INSERT INTO` / `INSERT OVERWRITE` on a branch table, through the
+  * sanctioned V1 bridge: Spark hands the coerced DataFrame to the driver,
+  * [[GraftSqlWrite.insert]] stages it distributed and commits once. */
+class GraftWriteBuilder(repoDir: String, ref: String)
+    extends WriteBuilder with SupportsTruncate {
+  private var overwrite = false
+  override def truncate(): WriteBuilder = { overwrite = true; this }
+  override def build(): Write = {
+    val ow = overwrite
+    new V1Write {
+      override def toInsertableRelation: sources.InsertableRelation =
+        new sources.InsertableRelation {
+          override def insert(data: DataFrame, overwriteFlag: Boolean): Unit =
+            GraftSqlWrite.insert(repoDir, ref, data, ow || overwriteFlag)
+        }
+    }
+  }
+}
+
+/** Driver-side DML implementations shared by the write builder and
+  * SupportsDelete. Every row-bearing step is a distributed DataFrame op
+  * (`Engine.stage` writes staged parquet from executors); the driver only
+  * sequences stage→commit, so a 100 TB INSERT is one staged write plus the
+  * engine's O(changed ranges) commit. */
+object GraftSqlWrite {
+
+  def isBranch(repoDir: String, ref: String): Boolean =
+    try new RefStore(s"$repoDir/refs").getBranch(ref).isDefined
+    catch { case _: Exception => false }
+
+  private def committer(spark: SparkSession): String =
+    spark.conf.get("spark.graft.sql.committer", "sql")
+
+  /** INSERT: rows upsert by key. A NULL `identity` derives a
+    * content-determined one from (address, size_bytes, mtime) — same
+    * identity for same content, so re-inserting identical rows is a
+    * diff-level no-op (`pkg/catalog/entry.go:21-38` spirit). OVERWRITE
+    * additionally tombstones every currently visible key absent from the
+    * new data — replace-all semantics in ONE commit (tombstones and
+    * upserts never share a key, so same-epoch precedence is moot). */
+  def insert(repoDir: String, ref: String, data: DataFrame,
+      overwrite: Boolean): Unit = {
+    val spark = data.sparkSession
+    val eng = new Engine(spark, repoDir)
+    val entries = data.select(
+      col("key").cast("string").as("key"),
+      coalesce(col("identity").cast("string"),
+        lower(hex(xxhash64(col("address"), col("size_bytes"), col("mtime")))))
+        .as("identity"),
+      col("address").cast("string").as("address"),
+      coalesce(col("size_bytes").cast("long"), lit(0L)).as("size_bytes"),
+      coalesce(col("mtime").cast("long"), lit(0L)).as("mtime"))
+    if (overwrite) {
+      val dead = eng.list(ref).select("key")
+        .join(entries.select("key"), Seq("key"), "left_anti")
+        .select(col("key"), lit(null).cast("string").as("identity"))
+      eng.stage(ref, dead)
+    }
+    eng.stage(ref, entries)
+    eng.commit(ref, committer(spark),
+      if (overwrite) "INSERT OVERWRITE (sql)" else "INSERT INTO (sql)",
+      allowEmpty = true)
+  }
+
+  /** The key-only filter shapes DELETE accepts, as a Column; None marks
+    * the filter untranslatable (canDeleteWhere then rejects the DELETE). */
+  def toKeyColumn(f: sources.Filter): Option[org.apache.spark.sql.Column] = f match {
+    case sources.EqualTo("key", v: String) => Some(col("key") === v)
+    case sources.In("key", vs) if vs.forall(_.isInstanceOf[String]) =>
+      Some(col("key").isin(vs: _*))
+    case sources.StringStartsWith("key", p: String) =>
+      Some(col("key").startsWith(p))
+    case sources.GreaterThan("key", v: String) => Some(col("key") > v)
+    case sources.GreaterThanOrEqual("key", v: String) => Some(col("key") >= v)
+    case sources.LessThan("key", v: String) => Some(col("key") < v)
+    case sources.LessThanOrEqual("key", v: String) => Some(col("key") <= v)
+    case sources.And(l, r) =>
+      for (a <- toKeyColumn(l); b <- toKeyColumn(r)) yield a && b
+    case sources.Or(l, r) =>
+      for (a <- toKeyColumn(l); b <- toKeyColumn(r)) yield a || b
+    case sources.Not(c) => toKeyColumn(c).map(!_)
+    case _: sources.AlwaysTrue => Some(lit(true))
+    case _: sources.AlwaysFalse => Some(lit(false))
+    case _ => None
+  }
+
+  /** DELETE FROM / TRUNCATE TABLE: stage a tombstone per matched visible
+    * key (distributed — no driver collect, no DeleteBatch 1000-key cap),
+    * one commit. A predicate matching nothing is a no-op, no commit. */
+  def deleteWhere(repoDir: String, ref: String,
+      filters: Array[sources.Filter]): Unit = {
+    val spark = SparkSession.active
+    val eng = new Engine(spark, repoDir)
+    val cond = filters.flatMap(toKeyColumn(_)).reduceOption(_ && _)
+      .getOrElse(lit(true))
+    val doomed = eng.list(ref).where(cond)
+      .select(col("key"), lit(null).cast("string").as("identity"))
+    if (!doomed.isEmpty) {
+      eng.stage(ref, doomed)
+      eng.commit(ref, committer(spark), "DELETE FROM (sql)")
+    }
+  }
 }
 
 /** Accepts key predicates for MANIFEST pruning; reports every filter

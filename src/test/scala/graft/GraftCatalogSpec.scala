@@ -54,4 +54,64 @@ class GraftCatalogSpec extends SparkSpec {
       .select("tableName").collect().map(_.getString(0)).toSet
     assert(shown.contains("main"))
   }
+
+  test("SQL DML: INSERT, INSERT OVERWRITE, DELETE, TRUNCATE commit through the engine") {
+    import spark.implicits._
+    val root = tmpDir("cat_dml_root")
+    val eng = new graft.store.Engine(spark, s"$root/repow")
+    eng.init("main", Some(Seq(
+      ("a/1", "i1", "blobs/1", 10L, 0L), ("a/2", "i2", "blobs/2", 20L, 0L))
+      .toDF("key", "identity", "address", "size_bytes", "mtime")))
+    spark.conf.set("spark.sql.catalog.g9", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.g9.root", root)
+    def keys() = spark.sql("SELECT key FROM g9.repow.main ORDER BY key")
+      .collect().map(_.getString(0)).toSeq
+    def nCommits() = eng.log("main").size
+
+    // INSERT INTO: upsert + one commit; NULL identity derives from content
+    val n0 = nCommits()
+    spark.sql(
+      "INSERT INTO g9.repow.main VALUES ('b/3', NULL, 'blobs/3', 30, 7)")
+    assert(keys() === Seq("a/1", "a/2", "b/3"))
+    assert(nCommits() === n0 + 1)
+    val id1 = spark.sql("SELECT identity FROM g9.repow.main WHERE key = 'b/3'")
+      .head().getString(0)
+    assert(id1 != null && id1.nonEmpty)
+    // identical content re-inserted derives the IDENTICAL identity
+    spark.sql(
+      "INSERT INTO g9.repow.main VALUES ('b/3', NULL, 'blobs/3', 30, 7)")
+    assert(spark.sql("SELECT identity FROM g9.repow.main WHERE key = 'b/3'")
+      .head().getString(0) === id1)
+
+    // DELETE FROM with a key predicate tombstones exactly the matches
+    spark.sql("DELETE FROM g9.repow.main WHERE key LIKE 'a/%'")
+    assert(keys() === Seq("b/3"))
+    // a predicate matching nothing is a no-op: no empty commit
+    val n1 = nCommits()
+    spark.sql("DELETE FROM g9.repow.main WHERE key = 'nope'")
+    assert(nCommits() === n1)
+    // a non-key predicate is rejected, not silently mis-applied
+    intercept[Exception] {
+      spark.sql("DELETE FROM g9.repow.main WHERE size_bytes > 5")
+    }
+
+    // INSERT OVERWRITE replaces the visible contents in one commit
+    spark.sql(
+      "INSERT OVERWRITE g9.repow.main VALUES ('c/9', 'i9', 'blobs/9', 90, 0)")
+    assert(keys() === Seq("c/9"))
+
+    // TRUNCATE TABLE empties the branch
+    spark.sql("TRUNCATE TABLE g9.repow.main")
+    assert(keys() === Seq.empty)
+
+    // history is intact: every statement above is an ordinary commit
+    assert(eng.log("main").size > n0)
+
+    // DML on a tag is rejected — immutable view
+    val head = eng.refs.getBranch("main").get
+    eng.refs.createTag("pin", head)
+    intercept[Exception] {
+      spark.sql("INSERT INTO g9.repow.pin VALUES ('x', 'i', 'a', 1, 0)")
+    }
+  }
 }
