@@ -8,6 +8,7 @@ import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.connector.write.streaming
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.sources
 import org.apache.spark.sql.types._
@@ -137,7 +138,8 @@ class GraftRefTable(repoDir: String, ref: String) extends Table
   override def schema(): StructType = GraftRefTable.schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.STREAMING_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(repoDir, ref)
 
@@ -151,7 +153,7 @@ class GraftRefTable(repoDir: String, ref: String) extends Table
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     requireBranch("INSERT")
-    new GraftWriteBuilder(repoDir, ref)
+    new GraftWriteBuilder(repoDir, ref, info.queryId)
   }
 
   // DELETE FROM <branch> WHERE <key predicate>: runs entirely on the
@@ -172,7 +174,7 @@ class GraftRefTable(repoDir: String, ref: String) extends Table
 /** `INSERT INTO` / `INSERT OVERWRITE` on a branch table, through the
   * sanctioned V1 bridge: Spark hands the coerced DataFrame to the driver,
   * [[GraftSqlWrite.insert]] stages it distributed and commits once. */
-class GraftWriteBuilder(repoDir: String, ref: String)
+class GraftWriteBuilder(repoDir: String, ref: String, queryId: String)
     extends WriteBuilder with SupportsTruncate {
   private var overwrite = false
   override def truncate(): WriteBuilder = { overwrite = true; this }
@@ -184,8 +186,114 @@ class GraftWriteBuilder(repoDir: String, ref: String)
           override def insert(data: DataFrame, overwriteFlag: Boolean): Unit =
             GraftSqlWrite.insert(repoDir, ref, data, ow || overwriteFlag)
         }
+      override def toStreaming: streaming.StreamingWrite =
+        new GraftStreamingWrite(repoDir, ref, queryId)
     }
   }
+}
+
+/** `writeStream.toTable("graft.repo.branch")`: ONE ENGINE COMMIT PER
+  * MICRO-BATCH — the streaming-ingest shape of the reference's
+  * commit-per-batch pipelines. Executors stream each partition's rows
+  * into a per-task temp parquet file (no buffering); the driver's epoch
+  * commit stages exactly the files named by the WINNING task commit
+  * messages (task retries leave orphan files that are never read), then
+  * commits through the same hook/protection/CAS path as every other
+  * write. Exactly-once across EPOCH replays (post-failure re-delivery of
+  * a committed batch) via commit metadata: the last committed epoch per
+  * streaming query rides in the commit record, and a replayed epoch
+  * ≤ that mark cleans up and returns without committing. */
+class GraftStreamingWrite(repoDir: String, ref: String, queryId: String)
+    extends streaming.StreamingWrite {
+
+  private def tmpDir(epochId: Long) = s"$repoDir/_stream_tmp/$queryId/$epochId"
+
+  override def createStreamingWriterFactory(
+      info: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
+      : streaming.StreamingDataWriterFactory = {
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      SparkSession.active.sparkContext.hadoopConfiguration)
+    val base = s"$repoDir/_stream_tmp/$queryId"
+    (partitionId: Int, taskId: Long, epochId: Long) =>
+      new GraftStreamDataWriter(conf, s"$base/$epochId", partitionId, taskId)
+  }
+
+  /** Newest ancestor commit this QUERY produced, by first-parent walk —
+    * the epoch high-water mark for replay detection. */
+  private def lastCommittedEpoch(eng: Engine): Option[Long] =
+    eng.log(ref, firstParent = true).iterator
+      .flatMap(c => c.metadata.get("graft.stream.query") match {
+        case Some(q) if q == queryId => c.metadata.get("graft.stream.epoch").map(_.toLong)
+        case _ => None
+      }).nextOption()
+
+  override def commit(epochId: Long,
+      messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = {
+    val spark = SparkSession.active
+    val eng = new Engine(spark, repoDir)
+    val fs = new org.apache.hadoop.fs.Path(repoDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dir = new org.apache.hadoop.fs.Path(tmpDir(epochId))
+    try {
+      val files = messages.collect { case GraftStreamFile(p, n) if n > 0 => p }
+      if (files.isEmpty) return // empty batch: no commit
+      if (lastCommittedEpoch(eng).exists(_ >= epochId)) return // replayed epoch
+      val batch = spark.read.parquet(files.toIndexedSeq: _*)
+      eng.stage(ref, batch)
+      eng.commit(ref, GraftSqlWrite.committerOf(spark),
+        s"stream epoch $epochId (sql)",
+        metadata = Map("graft.stream.query" -> queryId,
+          "graft.stream.epoch" -> epochId.toString))
+    } finally fs.delete(dir, true)
+  }
+
+  override def abort(epochId: Long,
+      messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = {
+    val spark = SparkSession.active
+    val fs = new org.apache.hadoop.fs.Path(repoDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(tmpDir(epochId)), true)
+  }
+}
+
+/** The winning task's file, named in its commit message: the driver reads
+  * ONLY these, so a speculative/retried task's orphan file is inert. */
+case class GraftStreamFile(path: String, rows: Long)
+    extends org.apache.spark.sql.connector.write.WriterCommitMessage
+
+/** Streams one partition's rows straight into a parquet file with the
+  * entry schema — constant memory, no row buffering. */
+class GraftStreamDataWriter(
+    conf: org.apache.spark.util.SerializableConfiguration,
+    epochDir: String, partitionId: Int, taskId: Long)
+    extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
+
+  private val file = s"$epochDir/part-$partitionId-$taskId.parquet"
+  private var rows = 0L
+  private lazy val writer = EntryIO.openEntryWriter(conf.value, file)
+
+  override def write(row: InternalRow): Unit = {
+    writer.write(EntryIO.Entry(
+      row.getUTF8String(0).toString,
+      if (row.isNullAt(1)) None else Some(row.getUTF8String(1).toString),
+      if (row.isNullAt(2)) None else Some(row.getUTF8String(2).toString),
+      if (row.isNullAt(3)) 0L else row.getLong(3),
+      if (row.isNullAt(4)) 0L else row.getLong(4)))
+    rows += 1
+  }
+
+  override def commit(): org.apache.spark.sql.connector.write.WriterCommitMessage = {
+    if (rows > 0) writer.close()
+    GraftStreamFile(file, rows)
+  }
+
+  override def abort(): Unit = {
+    if (rows > 0) writer.close()
+    new org.apache.hadoop.fs.Path(file).getFileSystem(conf.value)
+      .delete(new org.apache.hadoop.fs.Path(file), false)
+  }
+
+  override def close(): Unit = ()
 }
 
 /** Driver-side DML implementations shared by the write builder and
@@ -199,7 +307,7 @@ object GraftSqlWrite {
     try new RefStore(s"$repoDir/refs").getBranch(ref).isDefined
     catch { case _: Exception => false }
 
-  private def committer(spark: SparkSession): String =
+  def committerOf(spark: SparkSession): String =
     spark.conf.get("spark.graft.sql.committer", "sql")
 
   /** INSERT: rows upsert by key. A NULL `identity` derives a
@@ -228,7 +336,7 @@ object GraftSqlWrite {
       eng.stage(ref, dead)
     }
     eng.stage(ref, entries)
-    eng.commit(ref, committer(spark),
+    eng.commit(ref, committerOf(spark),
       if (overwrite) "INSERT OVERWRITE (sql)" else "INSERT INTO (sql)",
       allowEmpty = true)
   }
@@ -268,7 +376,7 @@ object GraftSqlWrite {
       .select(col("key"), lit(null).cast("string").as("identity"))
     if (!doomed.isEmpty) {
       eng.stage(ref, doomed)
-      eng.commit(ref, committer(spark), "DELETE FROM (sql)")
+      eng.commit(ref, committerOf(spark), "DELETE FROM (sql)")
     }
   }
 }

@@ -233,6 +233,48 @@ object EntryIO {
     } finally writer.close()
   }
 
+  /** Entry columns only (no __epoch): the shape of stream-ingest temp
+    * files the engine re-stages (stage() adds its own __epoch). */
+  val entrySchema: MessageType = Types.buildMessage()
+    .addField(Types.primitive(PrimitiveType.PrimitiveTypeName.BINARY,
+      org.apache.parquet.schema.Type.Repetition.REQUIRED)
+      .as(LogicalTypeAnnotation.stringType()).named("key"))
+    .addField(Types.primitive(PrimitiveType.PrimitiveTypeName.BINARY,
+      org.apache.parquet.schema.Type.Repetition.OPTIONAL)
+      .as(LogicalTypeAnnotation.stringType()).named("identity"))
+    .addField(Types.primitive(PrimitiveType.PrimitiveTypeName.BINARY,
+      org.apache.parquet.schema.Type.Repetition.OPTIONAL)
+      .as(LogicalTypeAnnotation.stringType()).named("address"))
+    .addField(Types.primitive(PrimitiveType.PrimitiveTypeName.INT64,
+      org.apache.parquet.schema.Type.Repetition.OPTIONAL).named("size_bytes"))
+    .addField(Types.primitive(PrimitiveType.PrimitiveTypeName.INT64,
+      org.apache.parquet.schema.Type.Repetition.OPTIONAL).named("mtime"))
+    .named("graft_entries")
+
+  /** Row-at-a-time parquet writer of [[entrySchema]] — constant memory,
+    * used by executor-side streaming ingest ([[graft.sources.GraftStreamDataWriter]]). */
+  final class EntryWriter private[EntryIO] (
+      writer: org.apache.parquet.hadoop.ParquetWriter[Group]) {
+    private val fac = new SimpleGroupFactory(entrySchema)
+    def write(e: Entry): Unit = {
+      val g = fac.newGroup()
+      g.append("key", e.key)
+      e.identity.foreach(g.append("identity", _))
+      e.address.foreach(g.append("address", _))
+      g.append("size_bytes", e.sizeBytes)
+      g.append("mtime", e.mtime)
+      writer.write(g)
+    }
+    def close(): Unit = writer.close()
+  }
+
+  def openEntryWriter(conf: Configuration, file: String): EntryWriter = {
+    val wconf = new Configuration(conf)
+    GroupWriteSupport.setSchema(entrySchema, wconf)
+    new EntryWriter(
+      ExampleParquetWriter.builder(new Path(file)).withConf(wconf).build())
+  }
+
   // --- resolution over a repo ------------------------------------------------
 
   /** Staged rows of `branch` whose key lies in [lo, hi), resolved

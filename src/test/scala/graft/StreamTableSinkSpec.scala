@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Streaming writes to a branch table: `writeStream.toTable` commits once
+  * per micro-batch through the engine, and an epoch replayed after a
+  * failure does not double-commit. */
+class StreamTableSinkSpec extends SparkSpec {
+
+  test("writeStream.toTable commits one engine commit per micro-batch") {
+    import spark.implicits._
+    val root = tmpDir("stsink_root")
+    val eng = new graft.store.Engine(spark, s"$root/repos")
+    eng.init("main", Some(Seq(("base/0", "i0", "a0", 1L, 0L))
+      .toDF("key", "identity", "address", "size_bytes", "mtime")))
+    spark.conf.set("spark.sql.catalog.gs", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gs.root", root)
+
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, String, String, Long, Long)]
+    val q = in.toDF()
+      .toDF("key", "identity", "address", "size_bytes", "mtime")
+      .writeStream
+      .option("checkpointLocation", tmpDir("stsink_ckpt"))
+      .toTable("gs.repos.main")
+    try {
+      in.addData(("s/1", "i1", "a1", 1L, 1L), ("s/2", "i2", "a2", 2L, 2L))
+      q.processAllAvailable()
+      val afterB1 = eng.log("main")
+      assert(afterB1.size === 2) // init + epoch 0
+      assert(afterB1.head.metadata.get("graft.stream.epoch") === Some("0"))
+
+      in.addData(("s/3", "i3", "a3", 3L, 3L))
+      q.processAllAvailable()
+      assert(eng.log("main").size === 3)
+
+      val keys = spark.sql("SELECT key FROM gs.repos.main ORDER BY key")
+        .collect().map(_.getString(0)).toSeq
+      assert(keys === Seq("base/0", "s/1", "s/2", "s/3"))
+
+      // temp ingest dirs are cleaned up after each epoch commit
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/repos/_stream_tmp")) ||
+        fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/repos/_stream_tmp")).isEmpty ||
+        fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/repos/_stream_tmp"))
+          .forall(d => fs.listStatus(d.getPath).isEmpty))
+    } finally q.stop()
+  }
+
+  test("a replayed epoch is a no-op: no double commit") {
+    import spark.implicits._
+    val root = tmpDir("stsink_replay")
+    val eng = new graft.store.Engine(spark, s"$root/repor")
+    eng.init("main", Some(Seq(("base/0", "i0", "a0", 1L, 0L))
+      .toDF("key", "identity", "address", "size_bytes", "mtime")))
+    val conf = spark.sparkContext.hadoopConfiguration
+
+    val sw = new graft.sources.GraftStreamingWrite(s"$root/repor", "main", "q-test")
+    def deliver(epoch: Long): Unit = {
+      val f = s"$root/repor/_stream_tmp/q-test/$epoch/part-0-0.parquet"
+      val w = graft.store.EntryIO.openEntryWriter(conf, f)
+      w.write(graft.store.EntryIO.Entry(s"e$epoch/k", Some("id"), Some("ad"), 1L, 0L))
+      w.close()
+      sw.commit(epoch, Array(graft.sources.GraftStreamFile(f, 1L)))
+    }
+    deliver(0)
+    assert(eng.log("main").size === 2)
+    deliver(0) // post-failure re-delivery of the SAME epoch
+    assert(eng.log("main").size === 2, "replayed epoch must not commit again")
+    deliver(1)
+    assert(eng.log("main").size === 3)
+    assert(eng.list("main").select("key").collect().map(_.getString(0)).toSet
+      === Set("base/0", "e0/k", "e1/k"))
+  }
+}
