@@ -2165,6 +2165,78 @@ object VersionControlQueries {
            CAST(15 AS BIGINT), CAST(4 AS BIGINT)))
           AS v(key, identity, address, size_bytes, mtime,
                n_before_overwrite, n_commits)
-        ORDER BY key"""))
+        ORDER BY key""")),
+
+    // Row-level SQL DML end-to-end (SupportsDelta): UPDATE with a non-key
+    // predicate touching 13 of 25 rows (payload-only, so identity
+    // re-derives as the sha256 content hash), then one MERGE INTO doing a
+    // matched-update, a matched-delete, and a not-matched-insert — each
+    // statement stages ONLY its changed rows (O(changed rows), the delta
+    // write) and lands as exactly one engine commit, so n_commits pins
+    // init + UPDATE + MERGE = 3. The oracle replays the same algebra over
+    // `nation` in plain SQL.
+    "vc_sql_merge" -> (((s: SparkSession, d: String) => {
+      val dir = s"target/vc_sqlm_root_${math.abs(d.hashCode)}"
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(dir), s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+      val eng = new graft.store.Engine(s, s"$dir/repom")
+      eng.init("main", Some(s.read.parquet(s"$d/nation.parquet")
+        .select(concat(lit("n/"), col("n_name")).as("key"),
+          sha2(col("n_name"), 256).as("identity"),
+          concat(lit("blobs/"), col("n_name")).as("address"),
+          col("n_nationkey").cast("long").as("size_bytes"),
+          lit(0L).as("mtime"))))
+      val cat = s"gsqlm${math.abs(d.hashCode)}"
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", dir)
+      val t = s"$cat.repom.main"
+      s.sql(s"UPDATE $t SET size_bytes = size_bytes * 2, mtime = 7 " +
+        "WHERE key >= 'n/NATION_2'")
+      s.sql(s"""
+        MERGE INTO $t t
+        USING (SELECT * FROM VALUES
+          ('n/NATION_0', 'm0'), ('n/NATION_21', 'xx'), ('x/new', 'ix')
+          AS v(k, nid)) s
+        ON t.key = s.k
+        WHEN MATCHED AND t.key = 'n/NATION_21' THEN DELETE
+        WHEN MATCHED THEN UPDATE SET identity = s.nid
+        WHEN NOT MATCHED THEN INSERT (key, identity, address, size_bytes, mtime)
+          VALUES (s.k, s.nid, 'a/x', 99, 5)""")
+      s.sql(s"SELECT key, identity, address, size_bytes, mtime FROM $t")
+        .withColumn("n_commits", lit(eng.log("main").size.toLong))
+        .orderBy("key")
+    }),
+      Some("""
+        WITH base AS (
+          SELECT 'n/' || n_name AS key, sha256(n_name) AS identity,
+                 'blobs/' || n_name AS address,
+                 CAST(n_nationkey AS BIGINT) AS size_bytes,
+                 CAST(0 AS BIGINT) AS mtime
+          FROM nation),
+        u AS (
+          -- payload-only UPDATE: identity re-derives as the content hash
+          -- sha256(address|size_bytes|mtime) — the engine's change signal
+          SELECT key,
+                 CASE WHEN key >= 'n/NATION_2'
+                      THEN sha256(address || '|' ||
+                        CAST(size_bytes * 2 AS VARCHAR) || '|7')
+                      ELSE identity END AS identity,
+                 address,
+                 CASE WHEN key >= 'n/NATION_2' THEN size_bytes * 2
+                      ELSE size_bytes END AS size_bytes,
+                 CASE WHEN key >= 'n/NATION_2' THEN CAST(7 AS BIGINT)
+                      ELSE mtime END AS mtime
+          FROM base),
+        m AS (
+          SELECT key,
+                 CASE WHEN key = 'n/NATION_0' THEN 'm0' ELSE identity END AS identity,
+                 address, size_bytes, mtime
+          FROM u WHERE key <> 'n/NATION_21'
+          UNION ALL
+          SELECT 'x/new', 'ix', 'a/x', CAST(99 AS BIGINT), CAST(5 AS BIGINT))
+        SELECT key, identity, address, size_bytes, mtime,
+               CAST(3 AS BIGINT) AS n_commits
+        FROM m ORDER BY key"""))
   )
 }

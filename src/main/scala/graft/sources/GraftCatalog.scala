@@ -9,6 +9,7 @@ import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.connector.write.streaming
+import org.apache.spark.sql.connector.{expressions, write}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.sources
 import org.apache.spark.sql.types._
@@ -133,7 +134,8 @@ object GraftRefTable {
 }
 
 class GraftRefTable(repoDir: String, ref: String) extends Table
-    with SupportsRead with SupportsWrite with SupportsDelete {
+    with SupportsRead with SupportsWrite with SupportsDelete
+    with SupportsRowLevelOperations {
   override def name(): String = s"$repoDir@$ref"
   override def schema(): StructType = GraftRefTable.schema
   override def capabilities(): util.Set[TableCapability] =
@@ -169,6 +171,146 @@ class GraftRefTable(repoDir: String, ref: String) extends Table
     requireBranch("DELETE")
     GraftSqlWrite.deleteWhere(repoDir, ref, filters)
   }
+
+  // UPDATE / MERGE INTO / non-key DELETE: delta-based row-level operations
+  // (SupportsDelta) — the natural fit for a staging engine. Spark joins the
+  // table with the statement's source/condition and hands back ONLY the
+  // changed rows, keyed by the row id (`key`); they become staged upserts
+  // and tombstones, then one commit. No copy-on-write table rewrite: the
+  // statement's cost is O(changed rows + touched ranges), the engine's
+  // commit contract, not O(table).
+  override def newRowLevelOperationBuilder(
+      info: write.RowLevelOperationInfo): write.RowLevelOperationBuilder = {
+    requireBranch(info.command.toString)
+    () => new GraftRowLevelOperation(repoDir, ref, info.command)
+  }
+}
+
+class GraftRowLevelOperation(repoDir: String, ref: String,
+    cmd: write.RowLevelOperation.Command) extends write.SupportsDelta {
+  override def command(): write.RowLevelOperation.Command = cmd
+  override def rowId(): Array[expressions.NamedReference] =
+    Array(expressions.Expressions.column("key"))
+  // an UPDATE that rewrites `key` itself must land as delete(old)+insert(new)
+  override def representUpdateAsDeleteAndInsert(): Boolean = true
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftScanBuilder(repoDir, ref)
+  override def newWriteBuilder(info: LogicalWriteInfo): write.DeltaWriteBuilder =
+    new write.DeltaWriteBuilder {
+      override def build(): write.DeltaWrite =
+        new GraftDeltaWrite(repoDir, ref, info.queryId, cmd)
+    }
+}
+
+/** The delta write: executors stream changed rows (tagged upsert/delete)
+  * into per-task temp parquet; the driver stages the net delta and commits
+  * once. Task retries are inert (winner files only, like the stream sink). */
+class GraftDeltaWrite(repoDir: String, ref: String, queryId: String,
+    cmd: write.RowLevelOperation.Command)
+    extends write.DeltaWrite with write.DeltaBatchWrite {
+
+  override def toBatch: write.DeltaBatchWrite = this
+  private def tmp = s"$repoDir/_dml_tmp/$queryId"
+
+  override def createBatchWriterFactory(
+      info: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
+      : write.DeltaWriterFactory = {
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      SparkSession.active.sparkContext.hadoopConfiguration)
+    val dir = tmp
+    new write.DeltaWriterFactory {
+      override def createWriter(partitionId: Int, taskId: Long)
+          : write.DeltaWriter[InternalRow] =
+        new GraftDeltaWriter(conf, dir, partitionId, taskId)
+    }
+  }
+
+  override def commit(
+      messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = {
+    val spark = SparkSession.active
+    val eng = new Engine(spark, repoDir)
+    val fs = new org.apache.hadoop.fs.Path(repoDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      val files = messages.collect { case GraftStreamFile(p, n) if n > 0 => p }
+      if (files.isEmpty) return // nothing matched: no empty commit
+      val delta = spark.read.parquet(files.toIndexedSeq: _*)
+      // the engine detects change by IDENTITY (same-identity upserts drop
+      // as no-ops), so a payload-only UPDATE must re-derive it: when the
+      // statement left identity unchanged (or null), identity becomes a
+      // pure content hash of the payload — idempotent (same payload, same
+      // identity; replaying the statement stages a no-op) and stable (no
+      // chaining off the previous identity). An identity the statement
+      // explicitly changed is honored verbatim.
+      val cur = eng.list(ref).select(col("key"), col("identity").as("_cur_id"))
+      val ups = delta.where(col("__op") === 0).drop("__op")
+        .join(cur, Seq("key"), "left")
+        .withColumn("identity",
+          when(col("identity") <=> col("_cur_id") || col("identity").isNull,
+            GraftSqlWrite.contentIdentity)
+          .otherwise(col("identity")))
+        .drop("_cur_id")
+      // a key both deleted and re-inserted in one statement (key-rewriting
+      // UPDATE split as delete+insert) nets to the insert — never stage a
+      // same-epoch tombstone beside its own upsert
+      val dels = delta.where(col("__op") === 1).select("key")
+        .join(ups.select("key"), Seq("key"), "left_anti")
+        .select(col("key"), lit(null).cast("string").as("identity"),
+          lit(null).cast("string").as("address"),
+          lit(0L).as("size_bytes"), lit(0L).as("mtime"))
+      eng.stage(ref, ups.unionByName(dels))
+      eng.commit(ref, GraftSqlWrite.committerOf(spark), s"$cmd (sql)")
+    } finally fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+  }
+
+  override def abort(
+      messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = {
+    val spark = SparkSession.active
+    val fs = new org.apache.hadoop.fs.Path(repoDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+  }
+}
+
+/** Executor side of a row-level statement: changed rows stream straight to
+  * a delta parquet file — upserts carry the full after-row, deletes only
+  * the row id (`key`). Constant memory, no buffering. */
+class GraftDeltaWriter(
+    conf: org.apache.spark.util.SerializableConfiguration,
+    dir: String, partitionId: Int, taskId: Long)
+    extends write.DeltaWriter[InternalRow] {
+
+  private val file = s"$dir/delta-$partitionId-$taskId.parquet"
+  private var rows = 0L
+  private lazy val writer = EntryIO.openDeltaWriter(conf.value, file)
+
+  private def entryOf(row: InternalRow) = EntryIO.Entry(
+    row.getUTF8String(0).toString,
+    if (row.isNullAt(1)) None else Some(row.getUTF8String(1).toString),
+    if (row.isNullAt(2)) None else Some(row.getUTF8String(2).toString),
+    if (row.isNullAt(3)) 0L else row.getLong(3),
+    if (row.isNullAt(4)) 0L else row.getLong(4))
+
+  override def insert(row: InternalRow): Unit = {
+    writer.write(entryOf(row), 0); rows += 1
+  }
+  override def update(meta: InternalRow, id: InternalRow, row: InternalRow): Unit =
+    insert(row) // unreachable with representUpdateAsDeleteAndInsert=true
+  override def delete(meta: InternalRow, id: InternalRow): Unit = {
+    writer.write(EntryIO.Entry(id.getUTF8String(0).toString,
+      None, None, 0L, 0L), 1)
+    rows += 1
+  }
+  override def commit(): org.apache.spark.sql.connector.write.WriterCommitMessage = {
+    if (rows > 0) writer.close()
+    GraftStreamFile(file, rows)
+  }
+  override def abort(): Unit = {
+    if (rows > 0) writer.close()
+    new org.apache.hadoop.fs.Path(file).getFileSystem(conf.value)
+      .delete(new org.apache.hadoop.fs.Path(file), false)
+  }
+  override def close(): Unit = ()
 }
 
 /** `INSERT INTO` / `INSERT OVERWRITE` on a branch table, through the
@@ -310,6 +452,16 @@ object GraftSqlWrite {
   def committerOf(spark: SparkSession): String =
     spark.conf.get("spark.graft.sql.committer", "sql")
 
+  /** Content-determined entry identity for SQL-written rows: a pure
+    * function of the payload (address, size_bytes, mtime), so identical
+    * content always derives the identical identity — re-inserting or
+    * re-updating to the same state is a diff-level no-op
+    * (`pkg/catalog/entry.go:21-38` spirit). */
+  def contentIdentity: org.apache.spark.sql.Column =
+    sha2(concat_ws("|", coalesce(col("address"), lit("")),
+      coalesce(col("size_bytes").cast("long"), lit(0L)),
+      coalesce(col("mtime").cast("long"), lit(0L))), 256)
+
   /** INSERT: rows upsert by key. A NULL `identity` derives a
     * content-determined one from (address, size_bytes, mtime) — same
     * identity for same content, so re-inserting identical rows is a
@@ -323,9 +475,7 @@ object GraftSqlWrite {
     val eng = new Engine(spark, repoDir)
     val entries = data.select(
       col("key").cast("string").as("key"),
-      coalesce(col("identity").cast("string"),
-        lower(hex(xxhash64(col("address"), col("size_bytes"), col("mtime")))))
-        .as("identity"),
+      coalesce(col("identity").cast("string"), contentIdentity).as("identity"),
       col("address").cast("string").as("address"),
       coalesce(col("size_bytes").cast("long"), lit(0L)).as("size_bytes"),
       coalesce(col("mtime").cast("long"), lit(0L)).as("mtime"))

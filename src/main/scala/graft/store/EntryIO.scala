@@ -275,6 +275,42 @@ object EntryIO {
       ExampleParquetWriter.builder(new Path(file)).withConf(wconf).build())
   }
 
+  /** [[entrySchema]] plus an `__op` discriminator (0 = upsert, 1 = delete):
+    * the shape of row-level-DML delta files, where a tombstone must stay
+    * distinguishable from an upsert that happens to carry NULL fields. */
+  val deltaSchema: MessageType = {
+    import scala.jdk.CollectionConverters._
+    val fields = entrySchema.getFields.asScala.toSeq :+
+      Types.primitive(PrimitiveType.PrimitiveTypeName.INT32,
+        org.apache.parquet.schema.Type.Repetition.REQUIRED).named("__op")
+    new MessageType("graft_delta", fields.asJava)
+  }
+
+  /** Row-at-a-time writer of [[deltaSchema]] — the executor side of SQL
+    * UPDATE/MERGE/row-level DELETE ([[graft.sources.GraftDeltaWriter]]). */
+  final class DeltaFileWriter private[EntryIO] (
+      writer: org.apache.parquet.hadoop.ParquetWriter[Group]) {
+    private val fac = new SimpleGroupFactory(deltaSchema)
+    def write(e: Entry, op: Int): Unit = {
+      val g = fac.newGroup()
+      g.append("key", e.key)
+      e.identity.foreach(g.append("identity", _))
+      e.address.foreach(g.append("address", _))
+      g.append("size_bytes", e.sizeBytes)
+      g.append("mtime", e.mtime)
+      g.append("__op", op)
+      writer.write(g)
+    }
+    def close(): Unit = writer.close()
+  }
+
+  def openDeltaWriter(conf: Configuration, file: String): DeltaFileWriter = {
+    val wconf = new Configuration(conf)
+    GroupWriteSupport.setSchema(deltaSchema, wconf)
+    new DeltaFileWriter(
+      ExampleParquetWriter.builder(new Path(file)).withConf(wconf).build())
+  }
+
   // --- resolution over a repo ------------------------------------------------
 
   /** Staged rows of `branch` whose key lies in [lo, hi), resolved

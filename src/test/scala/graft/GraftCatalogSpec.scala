@@ -90,10 +90,10 @@ class GraftCatalogSpec extends SparkSpec {
     val n1 = nCommits()
     spark.sql("DELETE FROM g9.repow.main WHERE key = 'nope'")
     assert(nCommits() === n1)
-    // a non-key predicate is rejected, not silently mis-applied
-    intercept[Exception] {
-      spark.sql("DELETE FROM g9.repow.main WHERE size_bytes > 5")
-    }
+    // a non-key predicate can't use the metadata-delete fast path; it
+    // falls back to the ROW-LEVEL delete (RowLevelDmlSpec) and still works
+    spark.sql("DELETE FROM g9.repow.main WHERE size_bytes > 25")
+    assert(keys() === Seq.empty)
 
     // INSERT OVERWRITE replaces the visible contents in one commit
     spark.sql(
