@@ -242,8 +242,19 @@ class GraftDeltaWrite(repoDir: String, ref: String, queryId: String,
       // identity; replaying the statement stages a no-op) and stable (no
       // chaining off the previous identity). An identity the statement
       // explicitly changed is honored verbatim.
-      val cur = eng.list(ref).select(col("key"), col("identity").as("_cur_id"))
-      val ups = delta.where(col("__op") === 0).drop("__op")
+      // bound the current-state probe by the delta's key interval: the
+      // listing's range files are key-sorted, so the pushed between-filter
+      // prunes row groups — an UPDATE of k rows reads O(k + touched row
+      // groups), not the whole table
+      val ups0 = delta.where(col("__op") === 0).drop("__op")
+      val kb = ups0.agg(min("key"), max("key")).head()
+      val cur =
+        if (kb.isNullAt(0)) eng.list(ref).limit(0)
+          .select(col("key"), col("identity").as("_cur_id"))
+        else eng.list(ref)
+          .where(col("key").between(kb.getString(0), kb.getString(1)))
+          .select(col("key"), col("identity").as("_cur_id"))
+      val ups = ups0
         .join(cur, Seq("key"), "left")
         .withColumn("identity",
           when(col("identity") <=> col("_cur_id") || col("identity").isNull,
