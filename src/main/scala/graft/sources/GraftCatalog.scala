@@ -141,7 +141,7 @@ class GraftRefTable(repoDir: String, ref: String) extends Table
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
-      TableCapability.STREAMING_WRITE)
+      TableCapability.STREAMING_WRITE, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(repoDir, ref)
 
@@ -582,6 +582,9 @@ class GraftScan(repoDir: String, ref: String,
 
   override def readSchema(): StructType = GraftRefTable.schema
   override def toBatch: Batch = this
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new GraftMicroBatchStream(repoDir, ref, checkpointLocation)
   override def description(): String =
     s"GraftScan($repoDir@$ref, lo=$lo, hi=$hi)"
 
@@ -633,6 +636,123 @@ class GraftReaderFactory(lo: Option[String], hi: Option[String],
         if (rows.hasNext) { cur = rows.next(); true } else false
       override def get(): InternalRow = cur
       override def close(): Unit = ()
+    }
+  }
+}
+
+/** Offset = the ref's head commit id at observation time ("" before the
+  * initial snapshot batch). */
+case class GraftCommitOffset(commitId: String)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = commitId
+}
+
+/**
+ * `spark.readStream.table("graft.repo.branch")` — the change-data feed of
+ * a ref, in table schema:
+ *
+ *  - batch 0 is the INITIAL SNAPSHOT (the manifest's range files read
+ *    directly, no materialization — one InputPartition per range file,
+ *    like the batch scan);
+ *  - every later batch is the NET CHANGE between the two observed head
+ *    commits, computed with the engine's range-pruned diff
+ *    (O(differing ranges), `committed/diff.go:238-240` contract):
+ *    added/changed entries carry their new state, deletes surface as
+ *    TOMBSTONE rows (NULL identity/address, zero size/mtime);
+ *  - a non-branch ref (tag/commit) streams its snapshot, then nothing.
+ *
+ * The per-batch diff materializes once under the stream's CHECKPOINT
+ * (planInputPartitions may be re-invoked on retry/restart — the path is
+ * deterministic per (start, end) and overwritten idempotently) and is
+ * deleted when Spark commits the batch.
+ */
+class GraftMicroBatchStream(repoDir: String, ref: String, ckpt: String)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private def spark = SparkSession.active
+  private def hconf = spark.sparkContext.hadoopConfiguration
+  private def head(): String =
+    new RefStore(s"$repoDir/refs").resolveFull(ref)
+      .getOrElse(sys.error(s"unresolvable ref: $ref")).commit.commitId
+  // batch-end → materialized diff dirs, deleted once Spark commits the batch
+  private val pending = scala.collection.mutable.Map[String, List[String]]()
+
+  override def initialOffset(): Offset = GraftCommitOffset("")
+  override def latestOffset(): Offset = GraftCommitOffset(head())
+  override def deserializeOffset(json: String): Offset = GraftCommitOffset(json)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s0 = start.asInstanceOf[GraftCommitOffset].commitId
+    val s1 = end.asInstanceOf[GraftCommitOffset].commitId
+    if (s0 == s1) return Array.empty
+    val store = new SnapshotStore(spark, repoDir)
+    val refs = new RefStore(s"$repoDir/refs")
+    def meta(id: String) = refs.getCommit(id)
+      .getOrElse(sys.error(s"unknown commit $id")).metaRangeId
+    if (s0.isEmpty) { // initial snapshot: manifest files direct
+      return store.readManifest(meta(s1))
+        .map(ri => GraftRangePartition(ri.path): InputPartition).toArray
+    }
+    val dir = s"$ckpt/cdc_${s0}_$s1"
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(hconf)
+    // idempotent materialization: Spark may re-plan the same batch (retry,
+    // AQE re-planning) — a completed write is REUSED, never rewritten, so
+    // earlier-planned partitions keep pointing at live files
+    if (fs.exists(new org.apache.hadoop.fs.Path(dir, "_SUCCESS")))
+      return listCdcFiles(fs, dir)
+    val (dl, dr) = store.prunedForDiff(meta(s0), meta(s1))
+    // project both sides to the table's entry columns (a repo with a wide
+    // payload schema still streams the FS-entry view, like the batch scan)
+    def asEntries(df: DataFrame) = {
+      def c(n: String, t: String) =
+        (if (df.columns.contains(n)) col(n).cast(t)
+         else lit(null).cast(t)).as(n)
+      df.select(col("key"), col("identity"),
+        c("address", "string"), c("size_bytes", "long"), c("mtime", "long"))
+    }
+    graft.operators.Diff.twoWayFull(asEntries(dl), asEntries(dr))
+      .select(col("key"),
+        when(col("diff_type") === "removed", lit(null).cast("string"))
+          .otherwise(col("identity")).as("identity"),
+        when(col("diff_type") === "removed", lit(null).cast("string"))
+          .otherwise(col("address")).as("address"),
+        when(col("diff_type") === "removed", lit(0L))
+          .otherwise(col("size_bytes")).cast("long").as("size_bytes"),
+        when(col("diff_type") === "removed", lit(0L))
+          .otherwise(col("mtime")).cast("long").as("mtime"))
+      .write.mode("overwrite").parquet(dir)
+    pending.synchronized {
+      pending(s1) = dir :: pending.getOrElse(s1, Nil)
+    }
+    listCdcFiles(fs, dir)
+  }
+
+  private def listCdcFiles(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String): Array[InputPartition] =
+    fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .map(st => GraftRangePartition(st.getPath.toString): InputPartition)
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftReaderFactory(None, None,
+      new org.apache.spark.util.SerializableConfiguration(hconf))
+
+  override def commit(end: Offset): Unit = {
+    val id = end.asInstanceOf[GraftCommitOffset].commitId
+    val dirs = pending.synchronized { pending.remove(id).getOrElse(Nil) }
+    dirs.foreach { d =>
+      val p = new org.apache.hadoop.fs.Path(d)
+      p.getFileSystem(hconf).delete(p, true)
+    }
+  }
+
+  override def stop(): Unit = {
+    val dirs = pending.synchronized { val d = pending.values.flatten.toList; pending.clear(); d }
+    dirs.foreach { d =>
+      val p = new org.apache.hadoop.fs.Path(d)
+      p.getFileSystem(hconf).delete(p, true)
     }
   }
 }

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Streaming reads from a ref table: initial snapshot, then the net change
+  * of each subsequent commit window — deletes as tombstone rows. */
+class StreamTableSourceSpec extends SparkSpec {
+
+  test("readStream.table streams the snapshot then per-commit changes") {
+    import spark.implicits._
+    val root = tmpDir("stsrc_root")
+    val eng = new graft.store.Engine(spark, s"$root/repo")
+    eng.init("main", Some(Seq(
+      ("a/1", "i1", "b/1", 1L, 10L), ("a/2", "i2", "b/2", 2L, 20L))
+      .toDF("key", "identity", "address", "size_bytes", "mtime")))
+    spark.conf.set("spark.sql.catalog.gr", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gr.root", root)
+
+    val q = spark.readStream.table("gr.repo.main")
+      .writeStream.format("memory").queryName("cdc_out")
+      .option("checkpointLocation", tmpDir("stsrc_ckpt"))
+      .start()
+    try {
+      q.processAllAvailable()
+      // batch 0: the initial snapshot
+      val snap = spark.sql("SELECT key, identity FROM cdc_out ORDER BY key")
+        .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+      assert(snap === Seq(("a/1", "i1"), ("a/2", "i2")))
+
+      // one commit: an upsert (changed identity) + an insert + a delete
+      eng.stage("main", Seq(("a/2", "i2x", "b/2x", 2L, 21L),
+        ("c/3", "i3", "b/3", 3L, 30L))
+        .toDF("key", "identity", "address", "size_bytes", "mtime"))
+      eng.deleteBatch("main", Seq("a/1"))
+      eng.commit("main", "t", "c2")
+      q.processAllAvailable()
+
+      val all = spark.sql(
+        "SELECT key, identity, address FROM cdc_out ORDER BY key, identity NULLS FIRST")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSeq
+      // snapshot rows + the 3 change rows (a/1 as a tombstone)
+      assert(all === Seq(
+        ("a/1", null, null), ("a/1", "i1", "b/1"), ("a/2", "i2", "b/2"),
+        ("a/2", "i2x", "b/2x"), ("c/3", "i3", "b/3")))
+
+      // a second commit streams incrementally
+      eng.stage("main", Seq(("d/4", "i4", "b/4", 4L, 40L))
+        .toDF("key", "identity", "address", "size_bytes", "mtime"))
+      eng.commit("main", "t", "c3")
+      q.processAllAvailable()
+      assert(spark.sql("SELECT count(*) FROM cdc_out").head().getLong(0) === 6L)
+      assert(spark.sql("SELECT size_bytes FROM cdc_out WHERE key = 'd/4'")
+        .head().getLong(0) === 4L)
+    } finally q.stop()
+  }
+}
