@@ -111,15 +111,32 @@ class GraftCatalog extends TableCatalog {
         .resolveFull(ident.name).isDefined
     } catch { case _: Exception => false }
 
+  /** `CREATE TABLE <repo>.<branch> ... TBLPROPERTIES ('from'='<ref>')`
+    * creates a BRANCH at the source ref's head (default: the repo's
+    * default branch) — the SQL spelling of branch creation. The column
+    * list, if given, must be the fixed entry schema. */
   override def createTable(ident: Identifier, schema: StructType,
-      partitions: Array[Transform], properties: util.Map[String, String]): Table =
-    throw new UnsupportedOperationException(
-      "graft tables are created through the Engine API")
+      partitions: Array[Transform], properties: util.Map[String, String]): Table = {
+    require(partitions.isEmpty, "graft branch tables are not partitioned")
+    require(schema.isEmpty || schema.fieldNames.sameElements(
+      GraftRefTable.schema.fieldNames),
+      s"a graft table has the fixed entry schema ${GraftRefTable.schema.simpleString}")
+    val dir = repoDir(ident.namespace)
+    val eng = new graft.store.Engine(SparkSession.active, dir)
+    val from = Option(properties.get("from")).getOrElse("main")
+    eng.createBranch(ident.name, from)
+    new GraftRefTable(dir, ident.name)
+  }
   override def alterTable(ident: Identifier, changes: TableChange*): Table =
     throw new UnsupportedOperationException("graft tables are immutable refs")
-  override def dropTable(ident: Identifier): Boolean =
-    throw new UnsupportedOperationException(
-      "drop refs through the Engine API")
+  /** `DROP TABLE <repo>.<branch>` deletes the branch (never the data:
+    * commits stay reachable from other refs until GC). */
+  override def dropTable(ident: Identifier): Boolean = {
+    val dir = repoDir(ident.namespace)
+    val eng = new graft.store.Engine(SparkSession.active, dir)
+    try { eng.deleteBranch(ident.name); true }
+    catch { case _: Exception => false }
+  }
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw new UnsupportedOperationException("refs cannot be renamed via SQL")
 }

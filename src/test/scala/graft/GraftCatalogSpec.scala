@@ -114,4 +114,29 @@ class GraftCatalogSpec extends SparkSpec {
       spark.sql("INSERT INTO g9.repow.pin VALUES ('x', 'i', 'a', 1, 0)")
     }
   }
+
+  test("CREATE TABLE / DROP TABLE manage branches") {
+    import spark.implicits._
+    val root = tmpDir("cat_ddl_root")
+    val eng = new graft.store.Engine(spark, s"$root/repod")
+    eng.init("main", Some(Seq(("a/1", "i1", "b/1", 1L, 0L))
+      .toDF("key", "identity", "address", "size_bytes", "mtime")))
+    spark.conf.set("spark.sql.catalog.gd2", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gd2.root", root)
+
+    // CREATE TABLE = branch from the source ref's head
+    spark.sql("CREATE TABLE gd2.repod.dev TBLPROPERTIES ('from'='main')")
+    assert(eng.refs.getBranch("dev") === eng.refs.getBranch("main"))
+    assert(spark.sql("SELECT count(*) FROM gd2.repod.dev").head().getLong(0) === 1L)
+
+    // branch writes diverge; main is untouched
+    spark.sql("INSERT INTO gd2.repod.dev VALUES ('d/2', 'i2', 'b/2', 2, 0)")
+    assert(spark.sql("SELECT count(*) FROM gd2.repod.dev").head().getLong(0) === 2L)
+    assert(spark.sql("SELECT count(*) FROM gd2.repod.main").head().getLong(0) === 1L)
+
+    // DROP TABLE deletes the branch; the repo and main survive
+    spark.sql("DROP TABLE gd2.repod.dev")
+    assert(eng.refs.getBranch("dev").isEmpty)
+    assert(spark.sql("SELECT count(*) FROM gd2.repod.main").head().getLong(0) === 1L)
+  }
 }
