@@ -1231,7 +1231,8 @@ object EventQueries {
         .agg(min("event_id").as("keep_id"), count(lit(1)).as("n_dup"))
         .groupBy("event_type")
         .agg(count(lit(1)).cast("long").as("n_kept"),
-          sum("n_dup").cast("long").as("n_raw"))
+          sum("n_dup").cast("long").as("n_raw"),
+          min("keep_id").cast("long").as("min_keep_id"))
         .withColumn("n_dropped", col("n_raw") - col("n_kept"))
         .orderBy("event_type")
     }),
@@ -1242,6 +1243,7 @@ object EventQueries {
           FROM events GROUP BY 1, 2, 3)
         SELECT event_type, CAST(count(*) AS BIGINT) AS n_kept,
                CAST(sum(n_dup) AS BIGINT) AS n_raw,
+               CAST(min(keep_id) AS BIGINT) AS min_keep_id,
                CAST(sum(n_dup) - count(*) AS BIGINT) AS n_dropped
         FROM keyed GROUP BY event_type ORDER BY event_type""")),
 

@@ -123,7 +123,12 @@ class GraftCatalog extends TableCatalog {
       s"a graft table has the fixed entry schema ${GraftRefTable.schema.simpleString}")
     val dir = repoDir(ident.namespace)
     val eng = new graft.store.Engine(SparkSession.active, dir)
-    val from = Option(properties.get("from")).getOrElse("main")
+    // source default: the repository's RECORDED default branch when this
+    // root carries a catalog kv, else "main"
+    val from = Option(properties.get("from")).getOrElse(
+      try new graft.store.Catalog(SparkSession.active, root)
+        .getRepository(ident.namespace()(0)).defaultBranchId
+      catch { case _: Exception => "main" })
     eng.createBranch(ident.name, from)
     new GraftRefTable(dir, ident.name)
   }
@@ -134,8 +139,10 @@ class GraftCatalog extends TableCatalog {
   override def dropTable(ident: Identifier): Boolean = {
     val dir = repoDir(ident.namespace)
     val eng = new graft.store.Engine(SparkSession.active, dir)
-    try { eng.deleteBranch(ident.name); true }
-    catch { case _: Exception => false }
+    // false ONLY when the branch does not exist; protection/hook/IO
+    // failures must surface, not masquerade as NoSuchTable
+    if (eng.refs.getBranch(ident.name).isEmpty) false
+    else { eng.deleteBranch(ident.name); true }
   }
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw new UnsupportedOperationException("refs cannot be renamed via SQL")
@@ -312,15 +319,8 @@ class GraftDeltaWriter(
   private var rows = 0L
   private lazy val writer = EntryIO.openDeltaWriter(conf.value, file)
 
-  private def entryOf(row: InternalRow) = EntryIO.Entry(
-    row.getUTF8String(0).toString,
-    if (row.isNullAt(1)) None else Some(row.getUTF8String(1).toString),
-    if (row.isNullAt(2)) None else Some(row.getUTF8String(2).toString),
-    if (row.isNullAt(3)) 0L else row.getLong(3),
-    if (row.isNullAt(4)) 0L else row.getLong(4))
-
   override def insert(row: InternalRow): Unit = {
-    writer.write(entryOf(row), 0); rows += 1
+    writer.write(GraftRowCodec.entryOf(row), 0); rows += 1
   }
   override def update(meta: InternalRow, id: InternalRow, row: InternalRow): Unit =
     insert(row) // unreachable with representUpdateAsDeleteAndInsert=true
@@ -357,7 +357,7 @@ class GraftWriteBuilder(repoDir: String, ref: String, queryId: String)
             GraftSqlWrite.insert(repoDir, ref, data, ow || overwriteFlag)
         }
       override def toStreaming: streaming.StreamingWrite =
-        new GraftStreamingWrite(repoDir, ref, queryId)
+        new GraftStreamingWrite(repoDir, ref, queryId, ow)
     }
   }
 }
@@ -373,8 +373,8 @@ class GraftWriteBuilder(repoDir: String, ref: String, queryId: String)
   * a committed batch) via commit metadata: the last committed epoch per
   * streaming query rides in the commit record, and a replayed epoch
   * ≤ that mark cleans up and returns without committing. */
-class GraftStreamingWrite(repoDir: String, ref: String, queryId: String)
-    extends streaming.StreamingWrite {
+class GraftStreamingWrite(repoDir: String, ref: String, queryId: String,
+    truncate: Boolean = false) extends streaming.StreamingWrite {
 
   private def tmpDir(epochId: Long) = s"$repoDir/_stream_tmp/$queryId/$epochId"
 
@@ -388,14 +388,22 @@ class GraftStreamingWrite(repoDir: String, ref: String, queryId: String)
       new GraftStreamDataWriter(conf, s"$base/$epochId", partitionId, taskId)
   }
 
-  /** Newest ancestor commit this QUERY produced, by first-parent walk —
-    * the epoch high-water mark for replay detection. */
-  private def lastCommittedEpoch(eng: Engine): Option[Long] =
-    eng.log(ref, firstParent = true).iterator
-      .flatMap(c => c.metadata.get("graft.stream.query") match {
-        case Some(q) if q == queryId => c.metadata.get("graft.stream.epoch").map(_.toLong)
-        case _ => None
-      }).nextOption()
+  /** Newest ancestor commit this QUERY produced — a LAZY first-parent
+    * walk from the head that stops at the first match (almost always at
+    * or near the head: this sink is usually the branch's only writer), so
+    * the per-epoch guard is O(commits since the last stream commit), not
+    * O(history). */
+  private def lastCommittedEpoch(eng: Engine): Option[Long] = {
+    val refs = new RefStore(s"$repoDir/refs")
+    var cur = refs.resolveFull(ref).map(_.commit)
+    while (cur.isDefined) {
+      val c = cur.get
+      if (c.metadata.get("graft.stream.query").contains(queryId))
+        return c.metadata.get("graft.stream.epoch").map(_.toLong)
+      cur = c.parents.headOption.flatMap(refs.getCommit)
+    }
+    None
+  }
 
   override def commit(epochId: Long,
       messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = {
@@ -409,6 +417,15 @@ class GraftStreamingWrite(repoDir: String, ref: String, queryId: String)
       if (files.isEmpty) return // empty batch: no commit
       if (lastCommittedEpoch(eng).exists(_ >= epochId)) return // replayed epoch
       val batch = spark.read.parquet(files.toIndexedSeq: _*)
+      // Complete output mode (builder.truncate()): each epoch REPLACES the
+      // branch contents — keys absent from this batch's complete result
+      // are tombstoned in the same commit, like INSERT OVERWRITE
+      if (truncate) {
+        val dead = eng.list(ref).select("key")
+          .join(batch.select("key"), Seq("key"), "left_anti")
+          .select(col("key"), lit(null).cast("string").as("identity"))
+        eng.stage(ref, dead)
+      }
       eng.stage(ref, batch)
       eng.commit(ref, GraftSqlWrite.committerOf(spark),
         s"stream epoch $epochId (sql)",
@@ -431,6 +448,17 @@ class GraftStreamingWrite(repoDir: String, ref: String, queryId: String)
 case class GraftStreamFile(path: String, rows: Long)
     extends org.apache.spark.sql.connector.write.WriterCommitMessage
 
+/** The one InternalRow→Entry mapping every executor-side writer shares
+  * (table-schema column order: key, identity, address, size_bytes, mtime). */
+object GraftRowCodec {
+  def entryOf(row: InternalRow): EntryIO.Entry = EntryIO.Entry(
+    row.getUTF8String(0).toString,
+    if (row.isNullAt(1)) None else Some(row.getUTF8String(1).toString),
+    if (row.isNullAt(2)) None else Some(row.getUTF8String(2).toString),
+    if (row.isNullAt(3)) 0L else row.getLong(3),
+    if (row.isNullAt(4)) 0L else row.getLong(4))
+}
+
 /** Streams one partition's rows straight into a parquet file with the
   * entry schema — constant memory, no row buffering. */
 class GraftStreamDataWriter(
@@ -443,12 +471,7 @@ class GraftStreamDataWriter(
   private lazy val writer = EntryIO.openEntryWriter(conf.value, file)
 
   override def write(row: InternalRow): Unit = {
-    writer.write(EntryIO.Entry(
-      row.getUTF8String(0).toString,
-      if (row.isNullAt(1)) None else Some(row.getUTF8String(1).toString),
-      if (row.isNullAt(2)) None else Some(row.getUTF8String(2).toString),
-      if (row.isNullAt(3)) 0L else row.getLong(3),
-      if (row.isNullAt(4)) 0L else row.getLong(4)))
+    writer.write(GraftRowCodec.entryOf(row))
     rows += 1
   }
 
@@ -501,22 +524,29 @@ object GraftSqlWrite {
       overwrite: Boolean): Unit = {
     val spark = data.sparkSession
     val eng = new Engine(spark, repoDir)
+    // persisted ONCE: the overwrite path reads the source twice (dead-key
+    // probe + staged write) and must see one consistent evaluation even
+    // for nondeterministic/concurrently-changing source queries
     val entries = data.select(
       col("key").cast("string").as("key"),
       coalesce(col("identity").cast("string"), contentIdentity).as("identity"),
       col("address").cast("string").as("address"),
       coalesce(col("size_bytes").cast("long"), lit(0L)).as("size_bytes"),
       coalesce(col("mtime").cast("long"), lit(0L)).as("mtime"))
-    if (overwrite) {
-      val dead = eng.list(ref).select("key")
-        .join(entries.select("key"), Seq("key"), "left_anti")
-        .select(col("key"), lit(null).cast("string").as("identity"))
-      eng.stage(ref, dead)
-    }
-    eng.stage(ref, entries)
-    eng.commit(ref, committerOf(spark),
-      if (overwrite) "INSERT OVERWRITE (sql)" else "INSERT INTO (sql)",
-      allowEmpty = true)
+      .persist()
+    try {
+      if (!overwrite && entries.isEmpty) return // empty append: no commit
+      if (overwrite) {
+        val dead = eng.list(ref).select("key")
+          .join(entries.select("key"), Seq("key"), "left_anti")
+          .select(col("key"), lit(null).cast("string").as("identity"))
+        eng.stage(ref, dead)
+      }
+      eng.stage(ref, entries)
+      eng.commit(ref, committerOf(spark),
+        if (overwrite) "INSERT OVERWRITE (sql)" else "INSERT INTO (sql)",
+        allowEmpty = overwrite) // an overwrite to the same state is legal
+    } finally entries.unpersist()
   }
 
   /** The key-only filter shapes DELETE accepts, as a Column; None marks
@@ -552,10 +582,11 @@ object GraftSqlWrite {
       .getOrElse(lit(true))
     val doomed = eng.list(ref).where(cond)
       .select(col("key"), lit(null).cast("string").as("identity"))
-    if (!doomed.isEmpty) {
+      .persist() // one scan feeds both the no-op probe and the staged write
+    try if (!doomed.isEmpty) {
       eng.stage(ref, doomed)
       eng.commit(ref, committerOf(spark), "DELETE FROM (sql)")
-    }
+    } finally doomed.unpersist()
   }
 }
 
@@ -717,8 +748,12 @@ class GraftMicroBatchStream(repoDir: String, ref: String, ckpt: String)
     // idempotent materialization: Spark may re-plan the same batch (retry,
     // AQE re-planning) — a completed write is REUSED, never rewritten, so
     // earlier-planned partitions keep pointing at live files
-    if (fs.exists(new org.apache.hadoop.fs.Path(dir, "_SUCCESS")))
+    if (fs.exists(new org.apache.hadoop.fs.Path(dir, "_SUCCESS"))) {
+      pending.synchronized { // still ours to delete once the batch commits
+        pending(s1) = dir :: pending.getOrElse(s1, Nil)
+      }
       return listCdcFiles(fs, dir)
+    }
     val (dl, dr) = store.prunedForDiff(meta(s0), meta(s1))
     // project both sides to the table's entry columns (a repo with a wide
     // payload schema still streams the FS-entry view, like the batch scan)

@@ -253,16 +253,20 @@ object EntryIO {
 
   /** Row-at-a-time parquet writer of [[entrySchema]] — constant memory,
     * used by executor-side streaming ingest ([[graft.sources.GraftStreamDataWriter]]). */
+  private def appendEntry(g: Group, e: Entry): Unit = {
+    g.append("key", e.key)
+    e.identity.foreach(g.append("identity", _))
+    e.address.foreach(g.append("address", _))
+    g.append("size_bytes", e.sizeBytes)
+    g.append("mtime", e.mtime)
+  }
+
   final class EntryWriter private[EntryIO] (
       writer: org.apache.parquet.hadoop.ParquetWriter[Group]) {
     private val fac = new SimpleGroupFactory(entrySchema)
     def write(e: Entry): Unit = {
       val g = fac.newGroup()
-      g.append("key", e.key)
-      e.identity.foreach(g.append("identity", _))
-      e.address.foreach(g.append("address", _))
-      g.append("size_bytes", e.sizeBytes)
-      g.append("mtime", e.mtime)
+      appendEntry(g, e)
       writer.write(g)
     }
     def close(): Unit = writer.close()
@@ -293,11 +297,7 @@ object EntryIO {
     private val fac = new SimpleGroupFactory(deltaSchema)
     def write(e: Entry, op: Int): Unit = {
       val g = fac.newGroup()
-      g.append("key", e.key)
-      e.identity.foreach(g.append("identity", _))
-      e.address.foreach(g.append("address", _))
-      g.append("size_bytes", e.sizeBytes)
-      g.append("mtime", e.mtime)
+      appendEntry(g, e)
       g.append("__op", op)
       writer.write(g)
     }

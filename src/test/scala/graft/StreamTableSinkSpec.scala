@@ -49,6 +49,41 @@ class StreamTableSinkSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("Complete output mode replaces the branch contents each epoch") {
+    import spark.implicits._
+    val root = tmpDir("stsink_complete")
+    val eng = new graft.store.Engine(spark, s"$root/repoc")
+    eng.init("main", Some(Seq(("base/0", "i0", "a0", 1L, 0L))
+      .toDF("key", "identity", "address", "size_bytes", "mtime")))
+    spark.conf.set("spark.sql.catalog.gc2", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gc2.root", root)
+
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[String]
+    val q = in.toDF().toDF("word")
+      .groupBy("word")
+      .agg(count(lit(1)).as("n"))
+      .select(col("word").as("key"), col("n").cast("string").as("identity"),
+        lit(null).cast("string").as("address"),
+        col("n").cast("long").as("size_bytes"), lit(0L).as("mtime"))
+      .writeStream.outputMode("complete")
+      .option("checkpointLocation", tmpDir("stsink_complete_ckpt"))
+      .toTable("gc2.repoc.main")
+    try {
+      in.addData("a", "a", "b")
+      q.processAllAvailable()
+      def state() = spark.sql(
+        "SELECT key, size_bytes FROM gc2.repoc.main ORDER BY key")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      // the complete result REPLACED the branch: base/0 is gone
+      assert(state() === Seq(("a", 2L), ("b", 1L)))
+
+      in.addData("b")
+      q.processAllAvailable()
+      assert(state() === Seq(("a", 2L), ("b", 2L)))
+    } finally q.stop()
+  }
+
   test("a replayed epoch is a no-op: no double commit") {
     import spark.implicits._
     val root = tmpDir("stsink_replay")
