@@ -593,9 +593,24 @@ object GraftSqlWrite {
 /** Accepts key predicates for MANIFEST pruning; reports every filter
   * unhandled so Spark keeps evaluating them (pruning-only pushdown). */
 class GraftScanBuilder(repoDir: String, ref: String)
-    extends ScanBuilder with SupportsPushDownFilters {
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns with SupportsPushDownLimit {
 
   private var bounds: (Option[String], Option[String]) = (None, None)
+  private var required: StructType = GraftRefTable.schema
+  private var limit: Option[Int] = None
+
+  /** Column pruning: a `SELECT key` decodes one column per row, not five
+    * (an empty projection -- `count(*)` -- decodes none). */
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = StructType(requiredSchema.fields.filter(f =>
+      GraftRefTable.schema.fieldNames.contains(f.name)))
+
+  /** Limit pushdown, PARTIALLY applied: each range-file reader stops after
+    * n rows (a global LIMIT n needs at most n per partition); Spark still
+    * applies the exact global limit on top. */
+  override def pushLimit(n: Int): Boolean = { limit = Some(n); false }
+  override def isPartiallyPushed(): Boolean = true
 
   private def tighten(lo: Option[String], hi: Option[String]): Unit = {
     val (l0, h0) = bounds
@@ -622,21 +637,30 @@ class GraftScanBuilder(repoDir: String, ref: String)
   override def pushedFilters(): Array[sources.Filter] = Array.empty
 
   override def build(): Scan =
-    new GraftScan(repoDir, ref, bounds._1, bounds._2)
+    new GraftScan(repoDir, ref, bounds._1, bounds._2, required, limit)
 }
 
 class GraftScan(repoDir: String, ref: String,
-    lo: Option[String], hi: Option[String]) extends Scan with Batch {
+    lo0: Option[String], hi0: Option[String],
+    required: StructType = GraftRefTable.schema,
+    limit: Option[Int] = None) extends Scan with Batch
+    with SupportsReportStatistics with SupportsRuntimeV2Filtering {
 
-  override def readSchema(): StructType = GraftRefTable.schema
+  // runtime filters (e.g. a broadcast join's key set) tighten the planned
+  // window further; BatchScanExec calls filter() before planInputPartitions
+  private var lo: Option[String] = lo0
+  private var hi: Option[String] = hi0
+
+  override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new GraftMicroBatchStream(repoDir, ref, checkpointLocation)
   override def description(): String =
-    s"GraftScan($repoDir@$ref, lo=$lo, hi=$hi)"
+    s"GraftScan($repoDir@$ref, lo=$lo, hi=$hi, " +
+      s"cols=${required.fieldNames.mkString(",")}, limit=$limit)"
 
-  override def planInputPartitions(): Array[InputPartition] = {
+  private def prunedManifest() = {
     val spark = SparkSession.active
     val refs = new RefStore(s"$repoDir/refs")
     val resolved = refs.resolveFull(ref)
@@ -644,38 +668,102 @@ class GraftScan(repoDir: String, ref: String,
     val store = new SnapshotStore(spark, repoDir)
     store.readManifest(resolved.commit.metaRangeId)
       .filter(ri => lo.forall(ri.maxKey >= _) && hi.forall(ri.minKey < _))
-      .map(ri => GraftRangePartition(ri.path): InputPartition)
-      .toArray
+  }
+
+  override def planInputPartitions(): Array[InputPartition] =
+    prunedManifest().map(ri => GraftRangePartition(ri.path): InputPartition).toArray
+
+  /** Manifest-backed estimates over the PRUNED window -- row counts and
+    * byte sizes are maintained per range at write time, so the optimizer's
+    * broadcast decision costs zero I/O. Bytes scale by the projected
+    * column fraction. */
+  override def estimateStatistics(): Statistics = {
+    val ranges = prunedManifest()
+    val rows = ranges.map(_.count).sum
+    val width = GraftRefTable.schema.size
+    val frac = math.max(required.size, 1).toDouble / width
+    val bytes = math.max((ranges.map(_.estimatedSize).sum * frac).toLong, 1L)
+    new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(bytes)
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.of(rows)
+    }
+  }
+
+  override def filterAttributes(): Array[expressions.NamedReference] =
+    Array(expressions.Expressions.column("key"))
+
+  /** Runtime (join) filters: an IN/= over `key` narrows [lo, hi) to the
+    * literal set's envelope -- pruning only, Spark re-evaluates the join. */
+  override def filter(predicates: Array[
+      org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
+    def keyLiterals(p: org.apache.spark.sql.connector.expressions.filter.Predicate)
+        : Option[Seq[String]] = {
+      val kids = p.children()
+      val isKey = kids.headOption.exists {
+        case f: expressions.NamedReference => f.fieldNames.sameElements(Array("key"))
+        case _ => false
+      }
+      if (!isKey || (p.name() != "IN" && p.name() != "=")) None
+      else {
+        val lits = kids.drop(1).toSeq.map {
+          case l: expressions.Literal[_] => Option(l.value).map(_.toString)
+          case _ => None
+        }
+        if (lits.exists(_.isEmpty)) None else Some(lits.flatten)
+      }
+    }
+    predicates.foreach { p =>
+      keyLiterals(p).filter(_.nonEmpty).foreach { vs =>
+        val l = vs.min; val h = vs.max + "\u0000"
+        lo = Some(lo.fold(l)(x => if (x >= l) x else l))
+        hi = Some(hi.fold(h)(x => if (x <= h) x else h))
+      }
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftReaderFactory(lo, hi,
       new org.apache.spark.util.SerializableConfiguration(
-        SparkSession.active.sparkContext.hadoopConfiguration))
+        SparkSession.active.sparkContext.hadoopConfiguration),
+      required.fieldNames, limit)
 }
 
 case class GraftRangePartition(path: String) extends InputPartition
 
 class GraftReaderFactory(lo: Option[String], hi: Option[String],
-    conf: org.apache.spark.util.SerializableConfiguration)
+    conf: org.apache.spark.util.SerializableConfiguration,
+    fields: Array[String] = GraftRefTable.schema.fieldNames,
+    limit: Option[Int] = None)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val path = partition.asInstanceOf[GraftRangePartition].path
+    // the projected row builders, resolved once per reader
+    val getters: Array[EntryIO.Entry => Any] = fields.map {
+      case "key" => (e: EntryIO.Entry) => UTF8String.fromString(e.key)
+      case "identity" =>
+        (e: EntryIO.Entry) => e.identity.map(UTF8String.fromString).orNull
+      case "address" =>
+        (e: EntryIO.Entry) => e.address.map(UTF8String.fromString).orNull
+      case "size_bytes" => (e: EntryIO.Entry) => e.sizeBytes
+      case "mtime" => (e: EntryIO.Entry) => e.mtime
+      case other => sys.error(s"unknown entry column: $other")
+    }
+    val cap = limit.getOrElse(Int.MaxValue)
     new PartitionReader[InternalRow] {
       // one range file is bounded (the writer's cut discipline), so the
       // buffered read keeps the reader simple; row-group filters from
-      // the key bounds already pushed into the parquet scan
+      // the key bounds already pushed into the parquet scan. A pushed
+      // LIMIT stops the file visit after `cap` rows (a global LIMIT n
+      // needs at most n per partition).
       private val rows: Iterator[InternalRow] = {
         val buf = scala.collection.mutable.ArrayBuffer[InternalRow]()
         // the SESSION's hadoop conf, shipped serialized: executor-side
         // reads need the same fs credentials/impls planning used
         EntryIO.scanFile(conf.value, path, lo, hi) { e =>
-          buf += InternalRow(
-            UTF8String.fromString(e.key),
-            e.identity.map(UTF8String.fromString).orNull,
-            e.address.map(UTF8String.fromString).orNull,
-            e.sizeBytes, e.mtime)
-          true
+          buf += InternalRow.fromSeq(getters.toIndexedSeq.map(_(e)))
+          buf.size < cap
         }
         buf.iterator
       }

@@ -55,6 +55,50 @@ class GraftCatalogSpec extends SparkSpec {
     assert(shown.contains("main"))
   }
 
+  test("scan reports manifest statistics, prunes columns, caps pushed limits, honors runtime filters") {
+    import spark.implicits._
+    val root = tmpDir("cat_scan_root")
+    val eng = new graft.store.Engine(spark, s"$root/repos", raggedness = 50)
+    eng.init("main", Some((1 to 400).map(i =>
+      (f"a/k$i%04d", s"v$i", s"blobs/$i", i.toLong, 0L))
+      .toDF("key", "identity", "address", "size_bytes", "mtime")))
+    spark.conf.set("spark.sql.catalog.gx", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gx.root", root)
+
+    // statistics straight from the manifest: exact rows, nonzero bytes
+    val scan = new graft.sources.GraftScan(s"$root/repos", "main", None, None)
+    val st = scan.estimateStatistics()
+    assert(st.numRows().getAsLong === 400L)
+    assert(st.sizeInBytes().getAsLong > 0L)
+    // a key window shrinks the estimate with the pruned manifest
+    val narrow = new graft.sources.GraftScan(s"$root/repos", "main",
+      Some("a/k0100"), Some("a/k0110"))
+    assert(narrow.estimateStatistics().numRows().getAsLong < 400L)
+
+    // column pruning reaches the connector: SELECT key reads ONE column
+    val plan = spark.sql("SELECT key FROM gx.repos.main").queryExecution.executedPlan
+    val scans = plan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.scan
+    }
+    assert(scans.nonEmpty)
+    assert(scans.head.readSchema().fieldNames.toSeq === Seq("key"))
+    // empty projection (count(*)) still counts correctly
+    assert(spark.sql("SELECT count(*) FROM gx.repos.main").head().getLong(0) === 400L)
+
+    // pushed limit: exact result, per-partition capped
+    assert(spark.sql("SELECT key FROM gx.repos.main LIMIT 3").count() === 3L)
+
+    // runtime filter: an IN over key prunes planned partitions
+    val rt = new graft.sources.GraftScan(s"$root/repos", "main", None, None)
+    val before = rt.planInputPartitions().length
+    import org.apache.spark.sql.connector.expressions.{Expressions => E}
+    rt.filter(Array(new org.apache.spark.sql.connector.expressions.filter.Predicate(
+      "IN", Array(E.column("key"), E.literal("a/k0100"), E.literal("a/k0101")))))
+    val after = rt.planInputPartitions().length
+    assert(after < before, s"runtime filter had no effect: $after vs $before")
+    assert(after >= 1)
+  }
+
   test("SQL DML: INSERT, INSERT OVERWRITE, DELETE, TRUNCATE commit through the engine") {
     import spark.implicits._
     val root = tmpDir("cat_dml_root")
