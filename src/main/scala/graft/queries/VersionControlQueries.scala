@@ -2237,6 +2237,57 @@ object VersionControlQueries {
           SELECT 'x/new', 'ix', 'a/x', CAST(99 AS BIGINT), CAST(5 AS BIGINT))
         SELECT key, identity, address, size_bytes, mtime,
                CAST(3 AS BIGINT) AS n_commits
-        FROM m ORDER BY key"""))
+        FROM m ORDER BY key""")),
+
+    // §2.11 CALL procedures end-to-end: the engine's command surface
+    // driven purely from SQL. create_branch forks dev at main's head, an
+    // INSERT diverges it, CALL merge lands a TWO-parent merge commit on
+    // main, CALL revert undoes the dev change again, and CALL cherry_pick
+    // re-applies it. The final main listing equals base + the dev row,
+    // with the structural facts (merge parents, branch count, commit
+    // count) pinned as literals.
+    "vc_sql_call" -> (((s: SparkSession, d: String) => {
+      val dir = s"target/vc_sqlc_root_${math.abs(d.hashCode)}"
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(dir), s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+      val eng = new graft.store.Engine(s, s"$dir/repoc")
+      eng.init("main", Some(s.read.parquet(s"$d/nation.parquet")
+        .select(concat(lit("n/"), col("n_name")).as("key"),
+          sha2(col("n_name"), 256).as("identity"),
+          concat(lit("blobs/"), col("n_name")).as("address"),
+          col("n_nationkey").cast("long").as("size_bytes"),
+          lit(0L).as("mtime"))))
+      val cat = s"gsqlc${math.abs(d.hashCode)}"
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", dir)
+      s.sql(s"CALL $cat.repoc.create_branch('dev', 'main')")
+      s.sql(s"INSERT INTO $cat.repoc.dev VALUES ('z/dev', 'zi', 'a/z', 7, 3)")
+      val mergeId = s.sql(s"CALL $cat.repoc.merge('dev', 'main')")
+        .head().getString(0)
+      val nParents = eng.refs.getCommit(mergeId).get.parents.size.toLong
+      val devHead = eng.refs.getBranch("dev").get
+      s.sql(s"CALL $cat.repoc.revert('main', '$devHead')")
+      val nAfterRevert = eng.list("main").count()
+      s.sql(s"CALL $cat.repoc.cherry_pick('main', '$devHead')")
+      s.sql(s"SELECT key, identity, size_bytes, mtime FROM $cat.repoc.main")
+        .withColumn("n_merge_parents", lit(nParents))
+        .withColumn("n_after_revert", lit(nAfterRevert))
+        .withColumn("n_branches", lit(eng.refs.branches.size.toLong))
+        .orderBy("key")
+    }),
+      Some("""
+        WITH base AS (
+          SELECT 'n/' || n_name AS key, sha256(n_name) AS identity,
+                 CAST(n_nationkey AS BIGINT) AS size_bytes,
+                 CAST(0 AS BIGINT) AS mtime
+          FROM nation
+          UNION ALL
+          SELECT 'z/dev', 'zi', CAST(7 AS BIGINT), CAST(3 AS BIGINT))
+        SELECT key, identity, size_bytes, mtime,
+               CAST(2 AS BIGINT) AS n_merge_parents,
+               CAST(25 AS BIGINT) AS n_after_revert,
+               CAST(2 AS BIGINT) AS n_branches
+        FROM base ORDER BY key"""))
   )
 }

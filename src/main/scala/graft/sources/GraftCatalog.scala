@@ -55,7 +55,8 @@ import graft.store.{Engine, EntryIO, RefStore, SnapshotStore}
  * unhandled, so Spark re-evaluates them — pruning can only skip files
  * that cannot match, never change results.
  */
-class GraftCatalog extends TableCatalog {
+class GraftCatalog extends TableCatalog
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
 
   private var root: String = _
   private var catalogName: String = _
@@ -146,6 +147,139 @@ class GraftCatalog extends TableCatalog {
   }
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw new UnsupportedOperationException("refs cannot be renamed via SQL")
+
+  // CALL graft.<repo>.<procedure>(...): the engine's command surface in
+  // SQL -- merge/revert/cherry-pick/commit, branch+tag CRUD, compact,
+  // fsck, gc_run. Side effects run at EXECUTION (not analysis/EXPLAIN),
+  // through the same hook/protection/CAS paths as the programmatic API.
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    GraftProcedures.names.map(n => Identifier.of(namespace, n))
+
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
+    GraftProcedures.load(repoDir(ident.namespace), ident.name)
+}
+
+/** The SQL stored-procedure surface over the engine's commands
+  * (`pkg/catalog/catalog.go` command set, re-expressed as Spark 4
+  * ProcedureCatalog procedures). Every procedure returns a one-row result
+  * documenting what happened (commit id / status). */
+object GraftProcedures {
+  import org.apache.spark.sql.connector.catalog.procedures._
+
+  val names: Array[String] = Array("merge", "commit", "revert", "cherry_pick",
+    "create_branch", "delete_branch", "create_tag", "delete_tag",
+    "compact", "fsck", "gc_run")
+
+  private def in(n: String, dt: DataType): ProcedureParameter =
+    ProcedureParameter.in(n, dt).build()
+  private def inD(n: String, dt: DataType, default: String): ProcedureParameter =
+    ProcedureParameter.in(n, dt).defaultValue(default).build()
+
+  private def str(r: InternalRow, i: Int): String =
+    if (r.isNullAt(i)) null else r.getUTF8String(i).toString
+
+  def load(repoDir: String, name: String): UnboundProcedure = name match {
+    case "merge" => proc(repoDir, "merge",
+      Seq(in("source", StringType), in("into", StringType),
+        inD("committer", StringType, "'sql'"),
+        inD("message", StringType, "'merge (sql)'"),
+        inD("squash", BooleanType, "false")),
+      Seq("commit_id")) { (eng, r) =>
+      Seq(eng.merge(str(r, 0), str(r, 1), str(r, 2), str(r, 3),
+        squash = r.getBoolean(4)).commitId)
+    }
+    case "commit" => proc(repoDir, "commit",
+      Seq(in("branch", StringType), in("message", StringType),
+        inD("committer", StringType, "'sql'")),
+      Seq("commit_id")) { (eng, r) =>
+      Seq(eng.commit(str(r, 0), str(r, 2), str(r, 1)).commitId)
+    }
+    case "revert" => proc(repoDir, "revert",
+      Seq(in("branch", StringType), in("ref", StringType),
+        inD("parent_number", IntegerType, "0"),
+        inD("committer", StringType, "'sql'")),
+      Seq("commit_id")) { (eng, r) =>
+      Seq(eng.revert(str(r, 0), str(r, 1), str(r, 3), r.getInt(2)).commitId)
+    }
+    case "cherry_pick" => proc(repoDir, "cherry_pick",
+      Seq(in("branch", StringType), in("ref", StringType),
+        inD("parent_number", IntegerType, "0"),
+        inD("committer", StringType, "'sql'")),
+      Seq("commit_id")) { (eng, r) =>
+      Seq(eng.cherryPick(str(r, 0), str(r, 1), str(r, 3), r.getInt(2)).commitId)
+    }
+    case "create_branch" => proc(repoDir, "create_branch",
+      Seq(in("name", StringType), in("from_ref", StringType)),
+      Seq("head")) { (eng, r) =>
+      eng.createBranch(str(r, 0), str(r, 1))
+      Seq(eng.refs.getBranch(str(r, 0)).get)
+    }
+    case "delete_branch" => proc(repoDir, "delete_branch",
+      Seq(in("name", StringType)), Seq("status")) { (eng, r) =>
+      eng.deleteBranch(str(r, 0)); Seq("deleted")
+    }
+    case "create_tag" => proc(repoDir, "create_tag",
+      Seq(in("name", StringType), in("ref", StringType)),
+      Seq("commit_id")) { (eng, r) =>
+      eng.createTag(str(r, 0), str(r, 1))
+      Seq(eng.refs.tags(str(r, 0)))
+    }
+    case "delete_tag" => proc(repoDir, "delete_tag",
+      Seq(in("name", StringType)), Seq("status")) { (eng, r) =>
+      eng.deleteTag(str(r, 0)); Seq("deleted")
+    }
+    case "compact" => proc(repoDir, "compact",
+      Seq(in("branch", StringType)), Seq("metarange_id")) { (eng, r) =>
+      Seq(eng.compact(str(r, 0)))
+    }
+    case "fsck" => proc(repoDir, "fsck",
+      Seq(in("ref", StringType)), Seq("n_issues")) { (eng, r) =>
+      Seq(eng.fsck(str(r, 0))
+        .where(col("status") =!= "ok").count().toString)
+    }
+    case "gc_run" => proc(repoDir, "gc_run",
+      Seq(in("run_id", StringType)), Seq("n_deleted", "report")) { (eng, r) =>
+      val (n, report) = eng.gcRun(str(r, 0))
+      Seq(n.toString, report)
+    }
+    case other =>
+      throw new RuntimeException(s"no such graft procedure: $other")
+  }
+
+  private def proc(repoDir: String, pname: String,
+      params: Seq[ProcedureParameter], outCols: Seq[String])(
+      body: (Engine, InternalRow) => Seq[String]): UnboundProcedure =
+    new UnboundProcedure {
+      override def name(): String = pname
+      override def description(): String = s"graft $pname over $repoDir"
+      override def bind(inputType: StructType): BoundProcedure =
+        new BoundProcedure {
+          override def name(): String = pname
+          override def description(): String = s"graft $pname over $repoDir"
+          override def parameters(): Array[ProcedureParameter] = params.toArray
+          override def isDeterministic: Boolean = false
+          override def call(input: InternalRow): java.util.Iterator[Scan] = {
+            val eng = new Engine(SparkSession.active, repoDir)
+            val out = body(eng, input)
+            val schema = StructType(outCols.map(c =>
+              StructField(c, StringType, nullable = true)))
+            val row = InternalRow.fromSeq(out.map(v =>
+              if (v == null) null else UTF8String.fromString(v)))
+            java.util.List.of[Scan](
+              new GraftLocalResult(schema, Array(row))).iterator()
+          }
+        }
+    }
+}
+
+/** One-row procedure result, served driver-locally. */
+class GraftLocalResult(schema: StructType,
+    resultRows: Array[InternalRow])
+    extends org.apache.spark.sql.connector.read.LocalScan {
+  override def readSchema(): StructType = schema
+  override def rows(): Array[InternalRow] = resultRows
+  override def description(): String = "GraftProcedureResult"
 }
 
 object GraftRefTable {

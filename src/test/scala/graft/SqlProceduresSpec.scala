@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** CALL procedures: the engine's command surface (merge, revert,
+  * cherry-pick, branch/tag CRUD, compact, fsck) driven purely from SQL. */
+class SqlProceduresSpec extends SparkSpec {
+
+  test("CALL runs merge, revert, cherry-pick, branch and tag commands") {
+    import spark.implicits._
+    val root = tmpDir("proc_root")
+    val eng = new graft.store.Engine(spark, s"$root/repo")
+    eng.init("main", Some(Seq(
+      ("a/1", "i1", "b/1", 1L, 0L), ("a/2", "i2", "b/2", 2L, 0L))
+      .toDF("key", "identity", "address", "size_bytes", "mtime")))
+    spark.conf.set("spark.sql.catalog.gp", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gp.root", root)
+
+    // branch + tag CRUD
+    spark.sql("CALL gp.repo.create_branch('dev', 'main')")
+    assert(eng.refs.getBranch("dev") === eng.refs.getBranch("main"))
+    spark.sql("CALL gp.repo.create_tag('v1', 'main')")
+    assert(eng.refs.tags.contains("v1"))
+
+    // diverge dev, merge back via CALL; the result row carries the commit id
+    eng.stage("dev", Seq(("d/3", "i3", "b/3", 3L, 0L))
+      .toDF("key", "identity", "address", "size_bytes", "mtime"))
+    eng.commit("dev", "t", "dev change")
+    val mergeId = spark.sql("CALL gp.repo.merge('dev', 'main')")
+      .head().getString(0)
+    assert(eng.refs.getBranch("main").get === mergeId)
+    assert(eng.list("main").count() === 3L)
+    // two parents: a real merge commit
+    assert(eng.refs.getCommit(mergeId).get.parents.size === 2)
+
+    // revert the dev change on main
+    val devHead = eng.refs.getBranch("dev").get
+    spark.sql(s"CALL gp.repo.revert('main', '$devHead', parent_number => 0)")
+    assert(eng.list("main").count() === 2L)
+
+    // cherry-pick it back
+    spark.sql(s"CALL gp.repo.cherry_pick('main', '$devHead')")
+    assert(eng.list("main").count() === 3L)
+
+    // staged change committed via CALL commit
+    eng.stage("main", Seq(("e/4", "i4", "b/4", 4L, 0L))
+      .toDF("key", "identity", "address", "size_bytes", "mtime"))
+    val cid = spark.sql("CALL gp.repo.commit('main', 'staged via sql')")
+      .head().getString(0)
+    assert(eng.refs.getCommit(cid).get.message === "staged via sql")
+
+    // fsck reports zero issues on a healthy repo
+    assert(spark.sql("CALL gp.repo.fsck('main')").head().getString(0) === "0")
+
+    // compact returns the new compacted-base metarange id
+    eng.stage("main", Seq(("e/5", "i5", "b/5", 5L, 0L))
+      .toDF("key", "identity", "address", "size_bytes", "mtime"))
+    val meta = spark.sql("CALL gp.repo.compact('main')").head().getString(0)
+    assert(meta != null && meta.nonEmpty)
+
+    // cleanup surface
+    spark.sql("CALL gp.repo.delete_tag('v1')")
+    assert(!eng.refs.tags.contains("v1"))
+    spark.sql("CALL gp.repo.delete_branch('dev')")
+    assert(eng.refs.getBranch("dev").isEmpty)
+
+    // EXPLAIN must not execute the side effect
+    val before = eng.refs.branches.size
+    spark.sql("EXPLAIN CALL gp.repo.create_branch('never', 'main')").collect()
+    assert(eng.refs.branches.size === before,
+      "EXPLAIN CALL must not run the procedure")
+  }
+}
