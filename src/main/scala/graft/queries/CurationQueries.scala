@@ -224,6 +224,58 @@ object CurationQueries {
                CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens,
                CAST(sum(n_chars) AS BIGINT) // count(*) AS mean_chars
         FROM documents JOIN embeddings ON doc_id = vec_id
-        GROUP BY label ORDER BY label"""))
+        GROUP BY label ORDER BY label""")),
+
+    // Encoding-damage scan (mojibake / replacement-character audit — the
+    // ingest-time filter that catches double-encoded UTF-8 ("Ã©"-style
+    // Latin-1-decoded sequences) and lossy-decode U+FFFD replacement
+    // characters before they poison tokenizer training). The clean fixture
+    // carries no damage, so corruption is PLANTED deterministically: every
+    // 41st doc gains one mojibake token and one replacement char — the
+    // report rows are real counts on both engines, not a vacuous 0=0.
+    // Pure map-side string scans + one per-source hash agg; occurrence
+    // counts come from length deltas (no regex in the hot path), so the
+    // whole plan is one shuffle on `source` at any corpus size.
+    "td_mojibake" -> (((s: SparkSession, d: String) => {
+      val moji = "caf\u00C3\u00A9" // UTF-8 e-acute bytes read back as Latin-1
+      val repl = "\uFFFD"
+      val docs = Fixtures.documents(s, d)
+        .withColumn("t",
+          when(col("doc_id") % 41 === 0,
+            concat(col("text"), lit(" " + moji + " " + repl)))
+            .otherwise(col("text")))
+      docs.select(col("source"),
+          (length(col("t")) - length(replace(col("t"), lit("\u00C3"), lit(""))))
+            .cast("long").as("n_moji"),
+          (length(col("t")) - length(replace(col("t"), lit(repl), lit(""))))
+            .cast("long").as("n_repl"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("n_moji") + col("n_repl") > 0, 1L).otherwise(0L)).as("n_flagged"),
+          sum("n_moji").as("moji_chars"),
+          sum("n_repl").as("repl_chars"))
+        .withColumn("flagged_pm", expr("(n_flagged * 1000) div n_docs"))
+        .orderBy("source")
+    }),
+      Some("""
+        WITH t AS (
+          SELECT source,
+                 CASE WHEN doc_id % 41 = 0
+                      THEN text || ' caf' || chr(195) || chr(169) || ' ' || chr(65533)
+                      ELSE text END AS t
+          FROM documents
+        ), c AS (
+          SELECT source,
+                 CAST(len(t) - len(replace(t, chr(195), '')) AS BIGINT) AS n_moji,
+                 CAST(len(t) - len(replace(t, chr(65533), '')) AS BIGINT) AS n_repl
+          FROM t
+        )
+        SELECT source, count(*) AS n_docs,
+               CAST(count(*) FILTER (WHERE n_moji + n_repl > 0) AS BIGINT) AS n_flagged,
+               CAST(sum(n_moji) AS BIGINT) AS moji_chars,
+               CAST(sum(n_repl) AS BIGINT) AS repl_chars,
+               CAST(count(*) FILTER (WHERE n_moji + n_repl > 0) * 1000
+                    // count(*) AS BIGINT) AS flagged_pm
+        FROM c GROUP BY source ORDER BY source"""))
   )
 }

@@ -1315,6 +1315,50 @@ object EventQueries {
         SELECT cohort_week, week_offset, n_buyers, revenue_c,
                CAST(sum(revenue_c) OVER (PARTITION BY cohort_week ORDER BY week_offset
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_revenue_c
-        FROM cells ORDER BY cohort_week, week_offset"""))
+        FROM cells ORDER BY cohort_week, week_offset""")),
+
+    // Inter-arrival time distribution (the traffic-shape profile behind
+    // capacity planning, bot detection thresholds, and session-gap tuning:
+    // pick the sessionization timeout where the gap histogram's valley
+    // sits). Per user, consecutive-event gaps via one user-partitioned lag
+    // window (scale-safe: partitions are per-user, never global), bucketed
+    // into fixed human-scale bands with a pure-integer CASE — no log()
+    // doubles anywhere near the hash. Report: gaps, distinct users, and
+    // gap extremes per band.
+    "ev_interarrival" -> (((s: SparkSession, d: String) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = Fixtures.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val gaps = ev.withColumn("prev_ts", lag("ts", 1).over(w))
+        .where(col("prev_ts").isNotNull)
+        .withColumn("gap_s", expr("(ts - prev_ts) div 1000000000"))
+      gaps.withColumn("bucket",
+          when(col("gap_s") < 1, 0L).when(col("gap_s") < 10, 1L)
+            .when(col("gap_s") < 60, 2L).when(col("gap_s") < 600, 3L)
+            .when(col("gap_s") < 3600, 4L).otherwise(5L))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_gaps"),
+          countDistinct("user_id").cast("long").as("n_users"),
+          min("gap_s").as("min_gap_s"), max("gap_s").as("max_gap_s"))
+        .orderBy("bucket")
+    }),
+      Some("""
+        WITH g AS (
+          SELECT user_id,
+                 (epoch_ns(ts) - lag(epoch_ns(ts)) OVER
+                   (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id))
+                 // 1000000000 AS gap_s
+          FROM events),
+        b AS (
+          SELECT user_id, gap_s,
+                 CASE WHEN gap_s < 1 THEN 0 WHEN gap_s < 10 THEN 1
+                      WHEN gap_s < 60 THEN 2 WHEN gap_s < 600 THEN 3
+                      WHEN gap_s < 3600 THEN 4 ELSE 5 END AS bucket
+          FROM g WHERE gap_s IS NOT NULL)
+        SELECT CAST(bucket AS BIGINT) AS bucket, count(*) AS n_gaps,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+               min(gap_s) AS min_gap_s, max(gap_s) AS max_gap_s
+        FROM b GROUP BY bucket ORDER BY bucket"""))
   )
 }

@@ -1720,6 +1720,71 @@ object VectorQueries {
                CAST(CASE WHEN sum(cos_m) >= 0 THEN sum(cos_m) // count(*)
                     ELSE -((-sum(cos_m)) // count(*)) END AS BIGINT)
                  AS mean_cos_m
-        FROM j GROUP BY cls ORDER BY cls"""))
+        FROM j GROUP BY cls ORDER BY cls""")),
+
+    // Hard-negative mining (the contrastive-training data step: for each
+    // anchor, the most-similar vector carrying a DIFFERENT label — the
+    // negatives that actually move a metric-learning loss). Candidates come
+    // from the same 4-table LSH band join as emb_lsh_ann — equi-joins on
+    // 4-bit band keys only, never all-pairs — so at corpus scale the mined
+    // set costs O(bucket collisions), and the per-anchor argmax is a rank
+    // window over the (small) candidate list, partitioned by anchor.
+    // Anchors with no cross-label LSH collision are absent on both engines
+    // (they'd need a wider OR-construction, the tables x bits dial).
+    "emb_hard_negatives" -> (((s: SparkSession, d: String) => {
+      val emb = Fixtures.embeddings(s, d)
+        .select(col("vec_id"), col("label").cast("long").as("label"),
+          quantize(col("embedding")).as("q"))
+      val bands = bandKeys(emb.select(col("vec_id"),
+        sig16(col("q")).as("sig")))
+      val anchors = bands.where(col("vec_id") % 25 === 0)
+        .withColumnRenamed("vec_id", "anchor_id")
+      val cand = anchors.join(bands, "bk")
+        .where(col("vec_id") =!= col("anchor_id"))
+        .select("anchor_id", "vec_id").distinct()
+      val scored = cand
+        .join(emb.select(col("vec_id").as("anchor_id"), col("label").as("a_label"),
+          col("q").as("aq")), "anchor_id")
+        .join(emb.select(col("vec_id"), col("label").as("n_label"), col("q").as("nq")),
+          "vec_id")
+        .where(col("a_label") =!= col("n_label"))
+        .withColumn("sim",
+          intDot(col("aq"), col("nq")).cast("double") /
+            (sqrt(intDot(col("aq"), col("aq")).cast("double")) *
+             sqrt(intDot(col("nq"), col("nq")).cast("double"))))
+      val w = Window.partitionBy("anchor_id")
+        .orderBy(col("sim").desc, col("vec_id").asc)
+      scored.withColumn("r", row_number().over(w))
+        .where(col("r") === 1)
+        .select(col("anchor_id"), col("a_label"),
+          col("vec_id").as("neg_id"), col("n_label").as("neg_label"), col("sim"))
+        .orderBy("anchor_id")
+    }),
+      Some(s"""
+        WITH q AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+                          $qvecSql AS qv FROM embeddings),
+        sig AS (SELECT vec_id, $sig16Sql AS sig FROM q),
+        bands AS (
+          SELECT vec_id, CAST(t AS VARCHAR) || ':' || substr(sig, t*4+1, 4) AS bk
+          FROM sig CROSS JOIN (SELECT unnest([0,1,2,3]) AS t)),
+        cand AS (
+          SELECT DISTINCT a.vec_id AS anchor_id, b.vec_id
+          FROM bands a JOIN bands b ON a.bk = b.bk AND a.vec_id <> b.vec_id
+          WHERE a.vec_id % 25 = 0),
+        scored AS (
+          SELECT c.anchor_id, qa.label AS a_label, c.vec_id, qn.label AS n_label,
+                 CAST(${dotSql("qa.qv", "qn.qv")} AS DOUBLE) /
+                   (sqrt(CAST(${dotSql("qa.qv", "qa.qv")} AS DOUBLE)) *
+                    sqrt(CAST(${dotSql("qn.qv", "qn.qv")} AS DOUBLE))) AS sim
+          FROM cand c
+          JOIN q qa ON qa.vec_id = c.anchor_id
+          JOIN q qn ON qn.vec_id = c.vec_id
+          WHERE qa.label <> qn.label)
+        SELECT anchor_id, a_label, vec_id AS neg_id, n_label AS neg_label, sim
+        FROM (
+          SELECT *, row_number() OVER (PARTITION BY anchor_id
+                      ORDER BY sim DESC, vec_id ASC) AS r
+          FROM scored)
+        WHERE r = 1 ORDER BY anchor_id"""))
   )
 }

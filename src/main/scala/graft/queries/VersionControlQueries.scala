@@ -2288,6 +2288,35 @@ object VersionControlQueries {
                CAST(2 AS BIGINT) AS n_merge_parents,
                CAST(25 AS BIGINT) AS n_after_revert,
                CAST(2 AS BIGINT) AS n_branches
-        FROM base ORDER BY key"""))
+        FROM base ORDER BY key""")),
+
+    // Hierarchical storage accounting ("du" over the namespace): object
+    // counts and byte totals at every directory level — repo total, each
+    // first-level prefix, each second-level prefix — in ONE pass via
+    // ROLLUP grouping sets (a single Expand + hash aggregation; no
+    // per-level rescan, no window). The fixture's path-shaped keys
+    // (rf/ls/key) stand in for the object tree; price_c is the recorded
+    // size_bytes surrogate. depth disambiguates levels (rf/ls are never
+    // null in the fixture, so no grouping-bit ambiguity).
+    "vc_du" -> (((s: SparkSession, d: String) =>
+      Fixtures.keyedBase(s, d)
+        .rollup(col("rf"), col("ls"))
+        .agg(count(lit(1)).as("n_objects"), sum("price_c").cast("long").as("bytes"))
+        .withColumn("depth",
+          when(col("rf").isNull, 0L).when(col("ls").isNull, 1L).otherwise(2L))
+        .withColumn("path",
+          when(col("rf").isNull, lit(""))
+            .when(col("ls").isNull, concat(col("rf"), lit("/")))
+            .otherwise(concat(col("rf"), lit("/"), col("ls"), lit("/"))))
+        .select("path", "depth", "n_objects", "bytes")
+        .orderBy("depth", "path")),
+      Some(s"""$prelude
+        SELECT CASE WHEN rf IS NULL THEN ''
+                    WHEN ls IS NULL THEN rf || '/'
+                    ELSE rf || '/' || ls || '/' END AS path,
+               CAST(CASE WHEN rf IS NULL THEN 0 WHEN ls IS NULL THEN 1
+                    ELSE 2 END AS BIGINT) AS depth,
+               count(*) AS n_objects, CAST(sum(price_c) AS BIGINT) AS bytes
+        FROM base GROUP BY ROLLUP(rf, ls) ORDER BY depth, path"""))
   )
 }

@@ -89,7 +89,14 @@ class PlanShapeSpec extends SparkSpec {
     // replay dedup / gini / HHI: composite-key aggs only, no join; LTV:
     // user equi-join + cohort-partitioned window (ev_gapfill stays off:
     // its dense spine is an intentional tiny hours×types crossJoin)
-    "ev_replay_dedup", "ev_behavior_gini", "td_token_hhi", "ev_ltv_cohort")
+    "ev_replay_dedup", "ev_behavior_gini", "td_token_hhi", "ev_ltv_cohort",
+    // mojibake: map-side length deltas + one source agg, no join;
+    // interarrival: user-partitioned lag + bucket agg, no join;
+    // du: single ROLLUP Expand + hash agg, no join
+    "td_mojibake", "ev_interarrival", "vc_du",
+    // hard negatives: LSH band equi-join candidates + id joins back to
+    // vectors + anchor-partitioned rank window — never all-pairs
+    "emb_hard_negatives")
 
   test("LSH scale paths contain no all-pairs join") {
     scalePaths.foreach { name =>
