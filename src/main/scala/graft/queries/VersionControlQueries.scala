@@ -2317,6 +2317,142 @@ object VersionControlQueries {
                CAST(CASE WHEN rf IS NULL THEN 0 WHEN ls IS NULL THEN 1
                     ELSE 2 END AS BIGINT) AS depth,
                count(*) AS n_objects, CAST(sum(price_c) AS BIGINT) AS bytes
-        FROM base GROUP BY ROLLUP(rf, ls) ORDER BY depth, path"""))
+        FROM base GROUP BY ROLLUP(rf, ls) ORDER BY depth, path""")),
+
+    // Batch RBAC authorization audit — the `pkg/auth` CheckPermissions
+    // semantics (ARN field-wise match with wildcard resource, glob
+    // actions, `${user}` interpolation, deny-precedence,
+    // default-unauthorized) evaluated RELATIONALLY over an access log:
+    // requests equi-join their principal's statements (the policy table is
+    // tiny and broadcast), glob patterns compile to LIKE, the ARN splits
+    // once via regexp_extract, and the deny>allow>unauthorized precedence
+    // is a per-request conditional MAX — at 100 TB of audit log this is
+    // one broadcast join plus two partial-agg shuffles. RbacSpec pins this
+    // plan row-for-row to the driver-side `store/Rbac.check` twin
+    // (`pkg/auth/service.go:1230-1327`).
+    "vc_rbac_eval" -> (((s: SparkSession, d: String) => {
+      val arnRe = "^([^:]*):([^:]*):([^:]*):([^:]*):([^:]*):(.*)$"
+      val st = {
+        import s.implicits._
+        broadcast(graft.store.Rbac.demoStatements
+          .toDF("grp", "effect", "action_glob", "resource_glob"))
+      }
+      val obj = "arn:lakefs:fs:::repository/data-repo/object/"
+      val req = Fixtures.events(s, d).select(
+        col("event_id"),
+        concat(lit("user"), col("user_id").cast("string")).as("username"),
+        when(col("user_id") % 10 === 0, "admins")
+          .when(col("user_id") % 10 <= 4, "developers")
+          .otherwise("viewers").as("grp"),
+        when(col("event_type") === "purchase", "fs:WriteObject")
+          .when(col("event_type") === "signup", "fs:CreateBranch")
+          .when(col("event_type") === "error", "fs:DeleteObject")
+          .when(col("event_type") === "click", "fs:ReadObject")
+          .otherwise("fs:ListObjects").as("action"),
+        when(col("event_id") % 5 === 0,
+            concat(lit(obj + "dev/f"), (col("event_id") % 97).cast("string")))
+          .when(col("event_id") % 5 === 1,
+            concat(lit(obj + "home/user"), col("user_id").cast("string"), lit("/notes")))
+          .when(col("event_id") % 5 === 2,
+            concat(lit(obj + "prod/secrets/key"), (col("event_id") % 7).cast("string")))
+          .when(col("event_id") % 5 === 3, lit(obj + "prod/data"))
+          .otherwise(concat(lit("arn:lakefs:fs:::repository/data-repo/branch/b"),
+            (col("event_id") % 11).cast("string"))).as("resource"))
+      val hit = req.join(st, "grp")
+        .withColumn("act_ok", expr(
+          "action LIKE replace(replace(action_glob,'*','%'),'?','_')"))
+        .withColumn("res_ok",
+          (col("resource_glob") === "*") ||
+          (regexp_extract(col("resource_glob"), arnRe, 2) ===
+             regexp_extract(col("resource"), arnRe, 2) &&
+           regexp_extract(col("resource_glob"), arnRe, 3) ===
+             regexp_extract(col("resource"), arnRe, 3) &&
+           regexp_extract(col("resource_glob"), arnRe, 5) ===
+             regexp_extract(col("resource"), arnRe, 5) &&
+           expr("regexp_extract(resource, '^([^:]*):([^:]*):([^:]*):([^:]*):([^:]*):(.*)$', 6) LIKE " +
+             "replace(replace(replace(regexp_extract(resource_glob, " +
+             "'^([^:]*):([^:]*):([^:]*):([^:]*):([^:]*):(.*)$', 6), " +
+             "'$' || '{user}', username),'*','%'),'?','_')")))
+      hit.groupBy("event_id", "grp", "action")
+        .agg(
+          max(when(col("act_ok") && col("res_ok") && col("effect") === "deny", 1)
+            .otherwise(0)).as("any_deny"),
+          max(when(col("act_ok") && col("res_ok") && col("effect") === "allow", 1)
+            .otherwise(0)).as("any_allow"))
+        .groupBy("grp", "action")
+        .agg(count(lit(1)).as("n_req"),
+          sum(when(col("any_deny") === 0 && col("any_allow") === 1, 1L)
+            .otherwise(0L)).cast("long").as("n_allow"),
+          sum("any_deny").cast("long").as("n_deny"),
+          sum(when(col("any_deny") === 0 && col("any_allow") === 0, 1L)
+            .otherwise(0L)).cast("long").as("n_unauth"))
+        .orderBy("grp", "action")
+    }),
+      Some("""
+        WITH st(grp, effect, action_glob, resource_glob) AS (VALUES
+          ('admins','allow','*','*'),
+          ('developers','allow','fs:ReadObject','arn:lakefs:fs:::repository/data-repo/object/dev/*'),
+          ('developers','allow','fs:WriteObject','arn:lakefs:fs:::repository/data-repo/object/dev/*'),
+          ('developers','allow','fs:Read*','arn:lakefs:fs:::repository/data-repo/object/logs/*'),
+          ('developers','allow','fs:CreateBranch','arn:lakefs:fs:::repository/data-repo/branch/b?'),
+          ('viewers','allow','fs:ReadObject','arn:lakefs:fs:::repository/data-repo/object/*'),
+          ('viewers','allow','fs:ListObjects','arn:lakefs:fs:::repository/data-repo/object/*'),
+          ('admins','allow','fs:ReadObject','arn:lakefs:fs:::repository/data-repo/object/home/${user}/*'),
+          ('admins','allow','fs:WriteObject','arn:lakefs:fs:::repository/data-repo/object/home/${user}/*'),
+          ('admins','allow','fs:DeleteObject','arn:lakefs:fs:::repository/data-repo/object/home/${user}/*'),
+          ('admins','deny','fs:*','arn:lakefs:fs:::repository/data-repo/object/*secrets*'),
+          ('developers','allow','fs:ReadObject','arn:lakefs:fs:::repository/data-repo/object/home/${user}/*'),
+          ('developers','allow','fs:WriteObject','arn:lakefs:fs:::repository/data-repo/object/home/${user}/*'),
+          ('developers','allow','fs:DeleteObject','arn:lakefs:fs:::repository/data-repo/object/home/${user}/*'),
+          ('developers','deny','fs:*','arn:lakefs:fs:::repository/data-repo/object/*secrets*'),
+          ('viewers','allow','fs:ReadObject','arn:lakefs:fs:::repository/data-repo/object/home/${user}/*'),
+          ('viewers','allow','fs:WriteObject','arn:lakefs:fs:::repository/data-repo/object/home/${user}/*'),
+          ('viewers','allow','fs:DeleteObject','arn:lakefs:fs:::repository/data-repo/object/home/${user}/*'),
+          ('viewers','deny','fs:*','arn:lakefs:fs:::repository/data-repo/object/*secrets*')),
+        req AS (
+          SELECT event_id,
+                 'user' || CAST(user_id AS VARCHAR) AS username,
+                 CASE WHEN user_id % 10 = 0 THEN 'admins'
+                      WHEN user_id % 10 <= 4 THEN 'developers'
+                      ELSE 'viewers' END AS grp,
+                 CASE event_type WHEN 'purchase' THEN 'fs:WriteObject'
+                      WHEN 'signup' THEN 'fs:CreateBranch'
+                      WHEN 'error' THEN 'fs:DeleteObject'
+                      WHEN 'click' THEN 'fs:ReadObject'
+                      ELSE 'fs:ListObjects' END AS action,
+                 CASE event_id % 5
+                      WHEN 0 THEN 'arn:lakefs:fs:::repository/data-repo/object/dev/f' || CAST(event_id % 97 AS VARCHAR)
+                      WHEN 1 THEN 'arn:lakefs:fs:::repository/data-repo/object/home/user' || CAST(user_id AS VARCHAR) || '/notes'
+                      WHEN 2 THEN 'arn:lakefs:fs:::repository/data-repo/object/prod/secrets/key' || CAST(event_id % 7 AS VARCHAR)
+                      WHEN 3 THEN 'arn:lakefs:fs:::repository/data-repo/object/prod/data'
+                      ELSE 'arn:lakefs:fs:::repository/data-repo/branch/b' || CAST(event_id % 11 AS VARCHAR) END AS resource
+          FROM events),
+        m AS (
+          SELECT r.event_id, r.grp, r.action, s.effect,
+                 CASE WHEN r.action LIKE replace(replace(s.action_glob,'*','%'),'?','_')
+                      THEN 1 ELSE 0 END AS act_ok,
+                 CASE WHEN s.resource_glob = '*' THEN 1
+                      WHEN regexp_extract(s.resource_glob, '^([^:]*):([^:]*):([^:]*):([^:]*):([^:]*):(.*)$', 2)
+                             = regexp_extract(r.resource, '^([^:]*):([^:]*):([^:]*):([^:]*):([^:]*):(.*)$', 2)
+                       AND regexp_extract(s.resource_glob, '^([^:]*):([^:]*):([^:]*):([^:]*):([^:]*):(.*)$', 3)
+                             = regexp_extract(r.resource, '^([^:]*):([^:]*):([^:]*):([^:]*):([^:]*):(.*)$', 3)
+                       AND regexp_extract(s.resource_glob, '^([^:]*):([^:]*):([^:]*):([^:]*):([^:]*):(.*)$', 5)
+                             = regexp_extract(r.resource, '^([^:]*):([^:]*):([^:]*):([^:]*):([^:]*):(.*)$', 5)
+                       AND regexp_extract(r.resource, '^([^:]*):([^:]*):([^:]*):([^:]*):([^:]*):(.*)$', 6)
+                             LIKE replace(replace(replace(
+                               regexp_extract(s.resource_glob, '^([^:]*):([^:]*):([^:]*):([^:]*):([^:]*):(.*)$', 6),
+                               '${user}', r.username),'*','%'),'?','_')
+                      THEN 1 ELSE 0 END AS res_ok
+          FROM req r JOIN st s ON r.grp = s.grp),
+        d AS (
+          SELECT event_id, grp, action,
+                 max(CASE WHEN act_ok=1 AND res_ok=1 AND effect='deny' THEN 1 ELSE 0 END) AS any_deny,
+                 max(CASE WHEN act_ok=1 AND res_ok=1 AND effect='allow' THEN 1 ELSE 0 END) AS any_allow
+          FROM m GROUP BY 1,2,3)
+        SELECT grp, action, count(*) AS n_req,
+               CAST(sum(CASE WHEN any_deny=0 AND any_allow=1 THEN 1 ELSE 0 END) AS BIGINT) AS n_allow,
+               CAST(sum(any_deny) AS BIGINT) AS n_deny,
+               CAST(sum(CASE WHEN any_deny=0 AND any_allow=0 THEN 1 ELSE 0 END) AS BIGINT) AS n_unauth
+        FROM d GROUP BY grp, action ORDER BY grp, action"""))
   )
 }

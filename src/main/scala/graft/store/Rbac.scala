@@ -1,0 +1,262 @@
+package graft.store
+
+/**
+ * RBAC authorization twin of the reference's `pkg/auth` +
+ * `pkg/permissions`:
+ *
+ *  - shell-style wildcard matching (`*`, `?`) as in
+ *    `pkg/auth/wildcard/match.go` (a stripped `path.Match`: `*` spans any
+ *    run including `/`, `?` consumes exactly one character);
+ *  - ARN parse (`arn:lakefs:service:region:account:resource`, resource may
+ *    itself contain colons — SplitN semantics, `pkg/auth/arn.go:60-85`);
+ *  - ARN match (`pkg/auth/arn.go:87-113`): the literal pattern `*` matches
+ *    anything; otherwise partition/service/account compare EXACTLY, region
+ *    is ignored, and only the resource field is wildcard-matched;
+ *  - statement resources in either single-ARN or JSON-list form
+ *    (`ParsePolicyResourceAsList`, `pkg/auth/arn.go:115-128`);
+ *  - `${user}` interpolation into resources
+ *    (`pkg/auth/service.go:1329-1331`);
+ *  - the permission check itself (`CheckPermissions`,
+ *    `pkg/auth/service.go:1230-1327`): any matching `deny` statement wins
+ *    immediately, else any matching `allow` grants, else the result is
+ *    neutral (the caller treats neutral as unauthorized); `or` nodes
+ *    deny-first then any-allow, `and` nodes require every child to allow;
+ *  - effective policies for a user = directly attached plus each of the
+ *    user's groups' policies, deduplicated by policy id
+ *    (`pkg/auth/service.go` getEffectivePolicies).
+ *
+ * Statement `Condition` blocks (a lakeFS enterprise surface) are NOT
+ * implemented; a statement carrying conditions would need
+ * `EvaluateConditions` parity and none of the in-tree policies use them.
+ *
+ * The scale path is NOT this driver-side checker: batch authorization over
+ * an access log is expressed relationally (see the `vc_rbac_eval` query —
+ * a broadcast equi-join of requests to their principals' statements, glob
+ * evaluation compiled to LIKE, deny-precedence as a per-request
+ * conditional aggregate), and RbacSpec pins that plan row-for-row to this
+ * checker's verdicts.
+ */
+object Rbac {
+
+  /** `pkg/auth/wildcard/match.go` Match: greedy chunk scan with one-step
+    * backtracking through `*`. */
+  def wildcardMatch(pattern: String, name: String): Boolean = {
+    var p = pattern
+    var n = name
+    while (p.nonEmpty) {
+      // scanChunk: leading stars, then the chunk up to the next star
+      var star = false
+      while (p.nonEmpty && p.head == '*') { star = true; p = p.tail }
+      val cut = p.indexOf('*') match { case -1 => p.length; case i => i }
+      val chunk = p.substring(0, cut)
+      p = p.substring(cut)
+      if (star && chunk.isEmpty) return true // trailing * matches the rest
+      matchChunk(chunk, n) match {
+        case Some(t) if t.isEmpty || p.nonEmpty =>
+          n = t
+        case _ if star =>
+          // try the chunk at every later start position
+          var i = 0
+          var found = false
+          while (!found && i < n.length) {
+            matchChunk(chunk, n.substring(i + 1)) match {
+              case Some(t) if !(p.isEmpty && t.nonEmpty) =>
+                n = t; found = true
+              case _ => i += 1
+            }
+          }
+          if (!found) return false
+        case _ => return false
+      }
+    }
+    n.isEmpty
+  }
+
+  /** Match a star-free chunk at the start of `name`; `?` consumes one
+    * character. Returns the unconsumed remainder on success. */
+  private def matchChunk(chunk: String, name: String): Option[String] = {
+    var ci = 0
+    var ni = 0
+    while (ci < chunk.length) {
+      if (ni >= name.length) return None
+      if (chunk.charAt(ci) == '?' || chunk.charAt(ci) == name.charAt(ni)) {
+        ci += 1; ni += 1
+      } else return None
+    }
+    Some(name.substring(ni))
+  }
+
+  final case class Arn(partition: String, service: String, region: String,
+      account: String, resource: String)
+
+  /** `ParseARN` — SplitN(":", 6): `arn` literal, `lakefs` partition,
+    * non-empty service and resource; resource keeps embedded colons. */
+  def parseArn(s: String): Option[Arn] = {
+    val parts = s.split(":", 6)
+    if (parts.length < 6) return None
+    if (parts(0) != "arn" || parts(1) != "lakefs") return None
+    if (parts(2).isEmpty || parts(5).isEmpty) return None
+    Some(Arn(parts(1), parts(2), parts(3), parts(4), parts(5)))
+  }
+
+  /** `ArnMatch` — `*` matches everything; otherwise exact
+    * partition/service/account (region ignored), wildcard resource. */
+  def arnMatch(pattern: String, arn: String): Boolean =
+    pattern == "*" || ((parseArn(pattern), parseArn(arn)) match {
+      case (Some(p), Some(a)) =>
+        p.partition == a.partition && p.service == a.service &&
+          p.account == a.account && wildcardMatch(p.resource, a.resource)
+      case _ => false
+    })
+
+  /** `ParsePolicyResourceAsList`: `["arn",...]` JSON-list form or a single
+    * ARN string; empty is invalid. */
+  def resourceList(resource: String): Seq[String] = {
+    require(resource.nonEmpty, "empty policy resource")
+    if (resource.head == '[' && resource.last == ']') {
+      val m = new com.fasterxml.jackson.databind.ObjectMapper()
+      val node = m.readTree(resource)
+      require(node.isArray, s"invalid resource list: $resource")
+      import scala.jdk.CollectionConverters._
+      node.elements().asScala.map(_.asText()).toSeq
+    } else Seq(resource)
+  }
+
+  final case class Statement(effect: String, actions: Seq[String], resource: String)
+  final case class Policy(id: String, statements: Seq[Statement])
+
+  sealed trait Node
+  final case class Perm(action: String, resource: String) extends Node
+  final case class Or(nodes: Seq[Node]) extends Node
+  final case class And(nodes: Seq[Node]) extends Node
+
+  sealed trait Verdict
+  case object Allow extends Verdict
+  case object Deny extends Verdict
+  case object Neutral extends Verdict
+
+  private def interpolate(resource: String, user: String): String =
+    resource.replace("${user}", user)
+
+  /** `CheckPermissions` over one permission node. */
+  def check(node: Node, user: String, policies: Seq[Policy]): Verdict = node match {
+    case Perm(action, resource) =>
+      var allowed: Verdict = Neutral
+      for (p <- policies; st <- p.statements) {
+        for (res <- resourceList(st.resource)
+             if arnMatch(interpolate(res, user), resource);
+             act <- st.actions if wildcardMatch(act, action)) {
+          if (st.effect == "deny") return Deny
+          allowed = Allow
+        }
+      }
+      allowed
+    case Or(nodes) =>
+      var out: Verdict = Neutral
+      for (n <- nodes) check(n, user, policies) match {
+        case Deny => return Deny
+        case Allow => out = Allow
+        case Neutral => ()
+      }
+      out
+    case And(nodes) =>
+      for (n <- nodes) check(n, user, policies) match {
+        case Allow => ()
+        case v => return v
+      }
+      Allow
+  }
+
+  /** Final API verdict: only an explicit Allow authorizes. */
+  def isAuthorized(node: Node, user: String, policies: Seq[Policy]): Boolean =
+    check(node, user, policies) == Allow
+
+  /** Minimal principal directory (users, groups, attachments) backing
+    * effective-policy resolution. */
+  final class Directory {
+    private val groupsOfUser = scala.collection.mutable.Map
+      .empty[String, Vector[String]].withDefaultValue(Vector.empty)
+    private val userPol = scala.collection.mutable.Map
+      .empty[String, Vector[Policy]].withDefaultValue(Vector.empty)
+    private val groupPol = scala.collection.mutable.Map
+      .empty[String, Vector[Policy]].withDefaultValue(Vector.empty)
+
+    def addMember(user: String, group: String): Unit =
+      groupsOfUser(user) = (groupsOfUser(user) :+ group).distinct
+    def attachToUser(user: String, p: Policy): Unit =
+      userPol(user) = userPol(user) :+ p
+    def attachToGroup(group: String, p: Policy): Unit =
+      groupPol(group) = groupPol(group) :+ p
+
+    /** Direct policies first, then group policies, dedup by policy id. */
+    def effectivePolicies(user: String): Seq[Policy] = {
+      val all = userPol(user) ++ groupsOfUser(user).flatMap(groupPol)
+      val seen = scala.collection.mutable.Set.empty[String]
+      all.filter(p => seen.add(p.id))
+    }
+
+    def authorize(user: String, node: Node): Boolean =
+      isAuthorized(node, user, effectivePolicies(user))
+  }
+
+  // ---- demo principal model shared by the `vc_rbac_eval` driver query and
+  // RbacSpec's plan-vs-checker equivalence test -------------------------
+
+  private val objPrefix = "arn:lakefs:fs:::repository/data-repo/object/"
+
+  /** Group-attached demo policies: admin-everything, developer scoped RW +
+    * branch create (with a `?` single-char glob), viewer read-only, a
+    * `${user}` home area for everyone, and a deny-secrets override that
+    * outranks even the admin allow-all. */
+  val demoPolicies: Seq[(String, Policy)] = {
+    val home = Policy("HomeRW", Seq(Statement("allow",
+      Seq("fs:ReadObject", "fs:WriteObject", "fs:DeleteObject"),
+      objPrefix + "home/${user}/*")))
+    val denySecrets = Policy("DenySecrets",
+      Seq(Statement("deny", Seq("fs:*"), objPrefix + "*secrets*")))
+    Seq(
+      "admins" -> Policy("AdminAll", Seq(Statement("allow", Seq("*"), "*"))),
+      "developers" -> Policy("DevRW", Seq(
+        Statement("allow", Seq("fs:ReadObject", "fs:WriteObject"),
+          objPrefix + "dev/*"),
+        Statement("allow", Seq("fs:Read*"), objPrefix + "logs/*"),
+        Statement("allow", Seq("fs:CreateBranch"),
+          "arn:lakefs:fs:::repository/data-repo/branch/b?"))),
+      "viewers" -> Policy("ViewRead", Seq(Statement("allow",
+        Seq("fs:ReadObject", "fs:ListObjects"), objPrefix + "*")))
+    ) ++ Seq("admins", "developers", "viewers").flatMap(g =>
+      Seq(g -> home, g -> denySecrets))
+  }
+
+  /** The same policies flattened to one (group, effect, actionGlob,
+    * resourceGlob) row per action pattern — the broadcast side of the
+    * relational evaluation. */
+  def demoStatements: Seq[(String, String, String, String)] =
+    for {
+      (g, p) <- demoPolicies
+      st <- p.statements
+      res <- resourceList(st.resource)
+      act <- st.actions
+    } yield (g, st.effect, act, res)
+
+  /** Demo principal/request derivation (pure, mirrored in SQL on both
+    * engines): username, group, action and resource from an event row. */
+  def demoUser(userId: Long): String = "user" + userId
+  def demoGroup(userId: Long): String =
+    if (userId % 10 == 0) "admins"
+    else if (userId % 10 <= 4) "developers" else "viewers"
+  def demoAction(eventType: String): String = eventType match {
+    case "purchase" => "fs:WriteObject"
+    case "signup" => "fs:CreateBranch"
+    case "error" => "fs:DeleteObject"
+    case "click" => "fs:ReadObject"
+    case _ => "fs:ListObjects"
+  }
+  def demoResource(eventId: Long, userId: Long): String = (eventId % 5) match {
+    case 0 => objPrefix + "dev/f" + (eventId % 97)
+    case 1 => objPrefix + "home/user" + userId + "/notes"
+    case 2 => objPrefix + "prod/secrets/key" + (eventId % 7)
+    case 3 => objPrefix + "prod/data"
+    case _ => "arn:lakefs:fs:::repository/data-repo/branch/b" + (eventId % 11)
+  }
+}

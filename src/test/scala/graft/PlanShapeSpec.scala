@@ -96,7 +96,10 @@ class PlanShapeSpec extends SparkSpec {
     "td_mojibake", "ev_interarrival", "vc_du",
     // hard negatives: LSH band equi-join candidates + id joins back to
     // vectors + anchor-partitioned rank window — never all-pairs
-    "emb_hard_negatives")
+    "emb_hard_negatives",
+    // rbac: broadcast equi-join of requests to the tiny statement table,
+    // LIKE-compiled globs, two partial-agg shuffles — no nested loop
+    "vc_rbac_eval")
 
   test("LSH scale paths contain no all-pairs join") {
     scalePaths.foreach { name =>

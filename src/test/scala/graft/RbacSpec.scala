@@ -1,0 +1,163 @@
+package graft
+
+import graft.store.Rbac
+import graft.store.Rbac._
+
+/** RBAC twin of `pkg/auth`: wildcard/ARN tables from the reference's
+  * `wildcard/match_test.go` and `arn_test.go`, CheckPermissions semantics
+  * (`service_test.go`), and an equivalence test pinning the relational
+  * `vc_rbac_eval` plan to the driver-side checker's verdicts. */
+class RbacSpec extends SparkSpec {
+
+  test("wildcard match (match_test.go table)") {
+    val cases = Seq(
+      ("*", "s3:GetObject", true),
+      ("", "s3:GetObject", false),
+      ("", "", true),
+      ("s3:*", "s3:ListMultipartUploadParts", true),
+      ("s3:ListBucketMultipartUploads", "s3:ListBucket", false),
+      ("s3:ListBucket", "s3:ListBucket", true),
+      ("my-bucket/oo*", "my-bucket/oo", true),
+      ("my-bucket/In*", "my-bucket/India/Karnataka/", true),
+      ("my-bucket/In*/Ka/*", "my-bucket/India/Karnataka/", false),
+      ("my-bucket/In*/Ka*", "my-bucket/India/Karnataka/Bangalore", true),
+      ("my-bucket?/abc*", "my-bucket1/abc33", true),
+      ("my-bucket?/abc*", "my-bucket/abc33", false),
+      ("my-?-bucket/abc*", "my-1-bucket/abc33", true),
+      ("my??bucket/abc*", "my-bucket/abc33", false),
+      ("my??bucket/abc*", "my-1bucket/abc33", true),
+      ("my-bucket/abc?efg", "my-bucket/abcdefg", true),
+      ("my-bucket/abc?efg", "my-bucket/abc/efg", true),
+      ("my-bucket/abc?efg", "my-bucket/abcefg", false),
+      ("a*b", "ab", true),
+      ("a*b", "axxb", true),
+      ("a*b", "axxbc", false))
+    cases.foreach { case (p, t, want) =>
+      assert(wildcardMatch(p, t) === want, s"pattern=$p text=$t")
+    }
+  }
+
+  test("ARN parse (arn_test.go table)") {
+    assert(parseArn("").isEmpty)
+    assert(parseArn("arn:lakefs:repo").isEmpty)
+    assert(parseArn("arn:lakefs:repos:a:b:myrepo") ===
+      Some(Arn("lakefs", "repos", "a", "b", "myrepo")))
+    assert(parseArn("arn:lakefs:repos:a::myrepo") ===
+      Some(Arn("lakefs", "repos", "a", "", "myrepo")))
+    assert(parseArn("arn:lakefs:repos::b:myrepo") ===
+      Some(Arn("lakefs", "repos", "", "b", "myrepo")))
+    assert(parseArn("arn:lakefs:repos:::myrepo") ===
+      Some(Arn("lakefs", "repos", "", "", "myrepo")))
+    // resource keeps embedded colons (SplitN semantics)
+    assert(parseArn("arn:lakefs:fs:::myrepo/branch/file:with:colon") ===
+      Some(Arn("lakefs", "fs", "", "", "myrepo/branch/file:with:colon")))
+    // invalid partition / empty service / empty resource
+    assert(parseArn("arn:aws:fs:::x").isEmpty)
+    assert(parseArn("arn:lakefs::::x").isEmpty)
+    assert(parseArn("arn:lakefs:fs:::").isEmpty)
+  }
+
+  test("ARN match: * wildcard, exact fields, region ignored") {
+    assert(arnMatch("*", "arn:lakefs:fs:::repository/r/object/k"))
+    assert(arnMatch("arn:lakefs:fs:::repository/r/object/*",
+      "arn:lakefs:fs:::repository/r/object/a/b"))
+    // region differs -> still matches (reference ignores region)
+    assert(arnMatch("arn:lakefs:fs:reg1::repository/r",
+      "arn:lakefs:fs:reg2::repository/r"))
+    // service / account mismatch -> no match
+    assert(!arnMatch("arn:lakefs:repos:::r", "arn:lakefs:fs:::r"))
+    assert(!arnMatch("arn:lakefs:fs::acct:r", "arn:lakefs:fs:::r"))
+    // malformed pattern never matches (but is not an error)
+    assert(!arnMatch("not-an-arn", "arn:lakefs:fs:::r"))
+  }
+
+  test("resource list: single ARN vs JSON list (ParsePolicyResourceAsList)") {
+    assert(resourceList("arn:lakefs:fs:::r") === Seq("arn:lakefs:fs:::r"))
+    assert(resourceList("""["arn:lakefs:repos::b:myrepo","arn:lakefs:repos::b:hisrepo"]""") ===
+      Seq("arn:lakefs:repos::b:myrepo", "arn:lakefs:repos::b:hisrepo"))
+    assert(resourceList("   arn:lakefs:repos::b:myrepo  ") ===
+      Seq("   arn:lakefs:repos::b:myrepo  "))
+    intercept[IllegalArgumentException](resourceList(""))
+  }
+
+  test("check: deny precedence, default neutral, ${user}, or/and nodes") {
+    val read = Policy("read", Seq(Statement("allow", Seq("fs:ReadObject"),
+      "arn:lakefs:fs:::repository/r/object/*")))
+    val deny = Policy("deny", Seq(Statement("deny", Seq("fs:*"),
+      "arn:lakefs:fs:::repository/r/object/secret/*")))
+    val home = Policy("home", Seq(Statement("allow", Seq("fs:WriteObject"),
+      "arn:lakefs:fs:::repository/r/object/home/${user}/*")))
+    val pols = Seq(read, deny, home)
+
+    def obj(k: String) = Perm("fs:ReadObject", "arn:lakefs:fs:::repository/r/object/" + k)
+    assert(check(obj("pub/a"), "alice", pols) === Allow)
+    assert(check(obj("secret/a"), "alice", pols) === Deny) // deny beats allow
+    assert(check(Perm("fs:DeleteObject", "arn:lakefs:fs:::repository/r/object/pub/a"),
+      "alice", pols) === Neutral) // nothing matched
+    // ${user} interpolation: own home writable, someone else's is not
+    assert(check(Perm("fs:WriteObject", "arn:lakefs:fs:::repository/r/object/home/alice/x"),
+      "alice", pols) === Allow)
+    assert(check(Perm("fs:WriteObject", "arn:lakefs:fs:::repository/r/object/home/bob/x"),
+      "alice", pols) === Neutral)
+    // or: any allow unless some deny; and: every child must allow
+    assert(check(Or(Seq(obj("pub/a"), obj("secret/a"))), "alice", pols) === Deny)
+    assert(check(Or(Seq(Perm("fs:DeleteObject", "arn:lakefs:fs:::repository/r/object/x"),
+      obj("pub/a"))), "alice", pols) === Allow)
+    assert(check(And(Seq(obj("pub/a"), Perm("fs:DeleteObject",
+      "arn:lakefs:fs:::repository/r/object/x"))), "alice", pols) === Neutral)
+    assert(check(And(Seq(obj("pub/a"), obj("pub/b"))), "alice", pols) === Allow)
+    assert(!isAuthorized(Perm("fs:DeleteObject",
+      "arn:lakefs:fs:::repository/r/object/x"), "alice", pols))
+  }
+
+  test("directory: direct + group policies, dedup by id") {
+    val dir = new Directory
+    val p1 = Policy("p1", Seq(Statement("allow", Seq("fs:ReadObject"),
+      "arn:lakefs:fs:::repository/r/object/*")))
+    val p2 = Policy("p2", Seq(Statement("allow", Seq("fs:WriteObject"),
+      "arn:lakefs:fs:::repository/r/object/*")))
+    dir.attachToUser("alice", p1)
+    dir.addMember("alice", "devs")
+    dir.attachToGroup("devs", p1) // duplicate of the direct attachment
+    dir.attachToGroup("devs", p2)
+    assert(dir.effectivePolicies("alice").map(_.id) === Seq("p1", "p2"))
+    assert(dir.authorize("alice",
+      Perm("fs:WriteObject", "arn:lakefs:fs:::repository/r/object/k")))
+    assert(!dir.authorize("bob",
+      Perm("fs:ReadObject", "arn:lakefs:fs:::repository/r/object/k")))
+  }
+
+  test("vc_rbac_eval plan agrees with the driver-side checker, row for row") {
+    val d = "/root/testdata/sf0.001"
+    val got = graft.SparkEntry.queries("vc_rbac_eval")(spark, d)
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+
+    // recompute with store.Rbac over the same derived requests
+    val polsOf = Seq("admins", "developers", "viewers").map(g =>
+      g -> demoPolicies.collect { case (`g`, p) => p }).toMap
+    val rows = graft.fixtures.Fixtures.events(spark, d)
+      .selectExpr("event_id", "user_id", "event_type").collect()
+    val perReq = rows.map { r =>
+      val (eid, uid, et) = (r.getLong(0), r.getLong(1), r.getString(2))
+      val (user, grp) = (demoUser(uid), demoGroup(uid))
+      val (action, resource) = (demoAction(et), demoResource(eid, uid))
+      val v = Rbac.check(Perm(action, resource), user, polsOf(grp))
+      ((eid, grp, action), v)
+    }
+    // mirror the query's per-(event_id,grp,action) precedence merge
+    val want = perReq.groupBy(_._1).map { case ((_, grp, action), vs) =>
+      val dny = vs.exists(_._2 == Deny)
+      val alw = !dny && vs.exists(_._2 == Allow)
+      (grp, action, if (dny) "deny" else if (alw) "allow" else "unauth")
+    }.groupBy { case (g, a, _) => (g, a) }.map { case ((g, a), ds) =>
+      (g, a, ds.size.toLong,
+        ds.count(_._3 == "allow").toLong,
+        ds.count(_._3 == "deny").toLong,
+        ds.count(_._3 == "unauth").toLong)
+    }.toSeq.sortBy(t => (t._1, t._2))
+
+    assert(got.toSeq === want)
+    assert(got.map(_._3).sum === rows.length.toLong)
+  }
+}
