@@ -2453,6 +2453,75 @@ object VersionControlQueries {
                CAST(sum(CASE WHEN any_deny=0 AND any_allow=1 THEN 1 ELSE 0 END) AS BIGINT) AS n_allow,
                CAST(sum(any_deny) AS BIGINT) AS n_deny,
                CAST(sum(CASE WHEN any_deny=0 AND any_allow=0 THEN 1 ELSE 0 END) AS BIGINT) AS n_unauth
-        FROM d GROUP BY grp, action ORDER BY grp, action"""))
+        FROM d GROUP BY grp, action ORDER BY grp, action""")),
+
+    // Cache working-set sizing for the tiered range cache (the report
+    // behind the reference's 1 GiB local-cache / 90-10 range-metarange
+    // split, `pkg/config/defaults.go:89-93`, `pkg/pyramid/tier_fs.go`).
+    // The average number of DISTINCT ranges touched in any trailing window
+    // of tau accesses — Denning's working set — has an exact one-pass
+    // identity: each access covers min(tau, gap-to-next-same-key-access)
+    // of the tau-windows, so W(tau) = sum(min(tau, gap)) / T. That turns
+    // "distinct count in every sliding window" into ONE per-key lead
+    // window plus ONE global partial aggregate: no join, no per-window
+    // rescan, holds at any trace length. Also bills the reuse-gap
+    // histogram (the cache-TTL dial) and cold-miss floor from the same
+    // pass. Trace: a skewed synthetic range-access stream off events
+    // (hot 8-key half, pseudo-random 997-key cold half).
+    "vc_cache_ws" -> (((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val t = Fixtures.events(s, d).select(
+        col("event_id").as("seq"),
+        when(col("event_id") % 2 === 0, col("user_id") % 8)
+          .otherwise(lit(1000) + (col("event_id") * 7 + col("user_id") * 13) % 997)
+          .as("k"))
+      val w = Window.partitionBy("k").orderBy("seq")
+      val g = t.withColumn("nxt", lead("seq", 1).over(w))
+      val tot = g.agg(max("seq").as("mx")).select((col("mx") + 1).as("t_slots"))
+      g.crossJoin(tot) // single-row scalar join: T reaches every row
+        .withColumn("gap", coalesce(col("nxt"), col("t_slots")) - col("seq"))
+        .agg(
+          count(lit(1)).as("n_accesses"),
+          countDistinct("k").cast("long").as("n_keys"),
+          first("t_slots").as("t_slots"),
+          sum(least(lit(10L), col("gap"))).as("cov10"),
+          sum(least(lit(100L), col("gap"))).as("cov100"),
+          sum(least(lit(1000L), col("gap"))).as("cov1k"),
+          sum(least(lit(10000L), col("gap"))).as("cov10k"),
+          sum(when(col("nxt").isNotNull && col("gap") < 100, 1L).otherwise(0L)).as("gap_lt100"),
+          sum(when(col("nxt").isNotNull && col("gap") >= 100 && col("gap") < 10000, 1L)
+            .otherwise(0L)).as("gap_mid"),
+          sum(when(col("nxt").isNotNull && col("gap") >= 10000, 1L).otherwise(0L)).as("gap_ge10k"))
+        .select(col("n_accesses"), col("n_keys"),
+          expr("cov10 * 1000 div t_slots").as("ws10_milli"),
+          expr("cov100 * 1000 div t_slots").as("ws100_milli"),
+          expr("cov1k * 1000 div t_slots").as("ws1k_milli"),
+          expr("cov10k * 1000 div t_slots").as("ws10k_milli"),
+          col("gap_lt100"), col("gap_mid"), col("gap_ge10k"))
+    }),
+      Some("""
+        WITH t AS (
+          SELECT event_id AS seq,
+                 CASE WHEN event_id % 2 = 0 THEN user_id % 8
+                      ELSE 1000 + (event_id * 7 + user_id * 13) % 997 END AS k
+          FROM events),
+        g AS (
+          SELECT k, seq, lead(seq) OVER (PARTITION BY k ORDER BY seq) AS nxt
+          FROM t),
+        tot AS (SELECT max(seq) + 1 AS t_slots FROM t),
+        c AS (
+          SELECT g.*, tot.t_slots,
+                 coalesce(nxt, t_slots) - seq AS gap
+          FROM g CROSS JOIN tot)
+        SELECT count(*) AS n_accesses,
+               CAST(count(DISTINCT k) AS BIGINT) AS n_keys,
+               CAST(sum(least(10, gap)) * 1000 // any_value(t_slots) AS BIGINT) AS ws10_milli,
+               CAST(sum(least(100, gap)) * 1000 // any_value(t_slots) AS BIGINT) AS ws100_milli,
+               CAST(sum(least(1000, gap)) * 1000 // any_value(t_slots) AS BIGINT) AS ws1k_milli,
+               CAST(sum(least(10000, gap)) * 1000 // any_value(t_slots) AS BIGINT) AS ws10k_milli,
+               CAST(sum(CASE WHEN nxt IS NOT NULL AND gap < 100 THEN 1 ELSE 0 END) AS BIGINT) AS gap_lt100,
+               CAST(sum(CASE WHEN nxt IS NOT NULL AND gap >= 100 AND gap < 10000 THEN 1 ELSE 0 END) AS BIGINT) AS gap_mid,
+               CAST(sum(CASE WHEN nxt IS NOT NULL AND gap >= 10000 THEN 1 ELSE 0 END) AS BIGINT) AS gap_ge10k
+        FROM c"""))
   )
 }
