@@ -24,6 +24,9 @@ class Engine(val spark: SparkSession, val repoDir: String,
 
   val snapshots = new SnapshotStore(spark, repoDir, raggedness)
   val refs = new RefStore(s"$repoDir/refs")
+  /** Repo-level settings KV (`pkg/graveler/settings` twin: checksum CAS,
+    * eventually-consistent cached reads). */
+  lazy val settings = new Settings(s"$repoDir/refs")
   val hooks = new HookRegistry
 
   private def stagingDir(branch: String, epoch: Long) =

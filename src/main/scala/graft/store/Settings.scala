@@ -1,0 +1,125 @@
+package graft.store
+
+import java.nio.file.{Files, Path, Paths}
+
+/**
+ * Repository-level settings manager — twin of
+ * `pkg/graveler/settings/manager.go`:
+ *
+ *  - a setting is an opaque (here: JSON string) value under a key in the
+ *    repo's control partition (`graveler.SettingsPath`);
+ *  - `saveIf` is a checksum CAS (`Save`, `manager.go:66-99`): a `None`
+ *    last-known checksum writes unconditionally, the EMPTY-string
+ *    checksum writes only if the key does not exist yet, any other value
+ *    must equal sha256(current stored bytes) or the write fails with
+ *    precondition-failed — the checksum of a non-existent setting is the
+ *    empty string (`computeChecksum`, `manager.go:101-113`);
+ *  - `getLatest` returns (value, checksum) for CAS round-trips
+ *    (`manager.go:115-140`);
+ *  - `get` is the EVENTUALLY-CONSISTENT read: results are cached for
+ *    `cacheExpiryMs` (reference default 3 s, `manager.go:19-22`), so a
+ *    concurrent writer's update may not be visible until expiry — exactly
+ *    the reference's documented semantics, including caching of absent
+ *    settings;
+ *  - `update` is the optimistic retry loop the reference's callers (e.g.
+ *    the branch-protection manager) wrap around GetLatest+Save.
+ *
+ * Single-file swap persistence via [[KvFile]] under the same `_refs`
+ * control dir as branches/tags; values are escaped for the TSV container.
+ */
+class Settings(rootDir: String, cacheExpiryMs: Long = 3000) {
+
+  private def file: Path = {
+    val d = Paths.get(rootDir)
+    Files.createDirectories(d)
+    d.resolve("settings.tsv")
+  }
+
+  final class PreconditionFailed(key: String)
+    extends RuntimeException(s"setting '$key': precondition failed")
+
+  private def esc(v: String): String =
+    v.replace("\\", "\\\\").replace("\t", "\\t").replace("\n", "\\n")
+  private def unesc(v: String): String = {
+    val b = new StringBuilder
+    var i = 0
+    while (i < v.length) {
+      if (v(i) == '\\' && i + 1 < v.length) {
+        v(i + 1) match {
+          case 't' => b += '\t'; case 'n' => b += '\n'; case c => b += c
+        }
+        i += 2
+      } else { b += v(i); i += 1 }
+    }
+    b.toString
+  }
+
+  private def sha256(v: String): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(v.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** Checksum of the stored value; empty string for an absent setting. */
+  def checksumOf(value: Option[String]): String =
+    value.fold("")(sha256)
+
+  /** Latest (value, checksum) — the strongly-consistent read. */
+  def getLatest(key: String): (Option[String], String) = this.synchronized {
+    val v = KvFile.read(file).get(key).map(unesc)
+    (v, checksumOf(v))
+  }
+
+  /** Save guarded by the last-known checksum: None = unconditional,
+    * Some("") = only-if-absent, Some(cs) = only if cs matches the stored
+    * bytes' sha256. Returns the new checksum. */
+  def saveIf(key: String, value: String,
+      lastKnownChecksum: Option[String]): String = this.synchronized {
+    require(key.nonEmpty && !key.contains('\t') && !key.contains('\n'),
+      s"invalid settings key: $key")
+    val m = KvFile.read(file)
+    val cur = m.get(key).map(unesc)
+    lastKnownChecksum.foreach { cs =>
+      if (cs != checksumOf(cur)) throw new PreconditionFailed(key)
+    }
+    KvFile.write(file, m.updated(key, esc(value)))
+    sha256(value)
+  }
+
+  def save(key: String, value: String): String = saveIf(key, value, None)
+
+  // --- eventually-consistent cached read --------------------------------
+  private case class Cached(value: Option[String], at: Long)
+  private val cache = new java.util.concurrent.ConcurrentHashMap[String, Cached]()
+
+  /** Cached read; absent settings are cached too (reference `Get`). May
+    * lag a concurrent writer by up to `cacheExpiryMs`. */
+  def get(key: String): Option[String] = {
+    val now = System.nanoTime() / 1000000L
+    val hit = cache.get(key)
+    if (hit != null && now - hit.at < cacheExpiryMs) hit.value
+    else {
+      val v = getLatest(key)._1
+      cache.put(key, Cached(v, now))
+      v
+    }
+  }
+
+  /** Optimistic update loop: GetLatest -> transform -> checksum CAS, the
+    * shape the reference's settings callers use around `Save`. */
+  def update(key: String, f: Option[String] => String, maxTries: Int = 3): String = {
+    var tries = 0
+    while (true) {
+      val (cur, cs) = getLatest(key)
+      try return saveIf(key, f(cur), Some(cs))
+      catch {
+        case e: PreconditionFailed =>
+          tries += 1
+          if (tries >= maxTries) throw e
+      }
+    }
+    sys.error("unreachable")
+  }
+
+  def keys: Seq[String] = this.synchronized {
+    KvFile.read(file).keys.toSeq.sorted
+  }
+}

@@ -1,0 +1,50 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+
+/**
+ * Streaming reuse-gap extraction — the continuous form of the batch
+ * `vc_cache_ws` working-set report: the cache-access stream (seq, key)
+ * folds into one last-seen seq per key, and each re-access EMITS the
+ * closed gap (key, prev_seq, gap) — exactly the `lead`-window derivation
+ * of the batch twin, produced incrementally. Downstream, the running
+ * working-set coverage `sum(min(tau, gap))` and the reuse-gap histogram
+ * are plain streaming aggregates over the emitted gaps; still-open tails
+ * (keys with no re-access yet) are the per-key states themselves, closed
+ * by the batch pass's trace-end sentinel.
+ *
+ * State per key is ONE long — bounded by key cardinality (the range
+ * id space), not trace length. In-order delivery per key is the contract
+ * (gaps of out-of-order arrivals would go negative); rows within a
+ * micro-batch are sorted per key before folding, matching the other
+ * streaming twins.
+ */
+object StreamWorkingSet {
+
+  case class Access(k: Long, seq: Long)
+  case class Gap(k: Long, seq: Long, gap: Long)
+
+  /** Input columns (k long, seq long); emits one closed gap per re-access. */
+  def gaps(accesses: DataFrame): Dataset[Gap] = {
+    import accesses.sparkSession.implicits._
+    accesses.select(col("k").cast("long"), col("seq").cast("long"))
+      .as[Access]
+      .groupByKey(_.k)
+      .flatMapGroupsWithState(
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout)(
+        (k: Long, it: Iterator[Access], state: GroupState[Long]) => {
+          val sorted = it.toSeq.sortBy(_.seq)
+          val out = Seq.newBuilder[Gap]
+          var last = state.getOption
+          sorted.foreach { a =>
+            last.foreach(p => out += Gap(k, p, a.seq - p))
+            last = Some(a.seq)
+          }
+          last.foreach(state.update)
+          out.result().iterator
+        })
+  }
+}

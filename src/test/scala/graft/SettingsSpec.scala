@@ -1,0 +1,84 @@
+package graft
+
+import graft.store.Settings
+
+/** `pkg/graveler/settings/manager.go` twin: checksum-CAS save matrix,
+  * eventually-consistent cached reads, optimistic update retries. */
+class SettingsSpec extends SparkSpec {
+
+  private def fresh(expiryMs: Long = 3000) =
+    new Settings(tmpDir("settings"), expiryMs)
+
+  test("save matrix: unconditional / only-if-absent / checksum CAS") {
+    val st = fresh()
+    // absent: checksum is the empty string
+    assert(st.getLatest("gc") === ((None, "")))
+    // Some("") = only-if-absent
+    val cs1 = st.saveIf("gc", """{"days":7}""", Some(""))
+    intercept[st.PreconditionFailed](st.saveIf("gc", "x", Some("")))
+    // stale checksum fails, current checksum succeeds
+    intercept[st.PreconditionFailed](st.saveIf("gc", "y", Some("deadbeef")))
+    val (v, cs) = st.getLatest("gc")
+    assert(v === Some("""{"days":7}""") && cs === cs1)
+    val cs2 = st.saveIf("gc", """{"days":14}""", Some(cs))
+    assert(st.getLatest("gc") === ((Some("""{"days":14}"""), cs2)))
+    // None = unconditional override
+    st.saveIf("gc", """{"days":30}""", None)
+    assert(st.getLatest("gc")._1 === Some("""{"days":30}"""))
+    // values round-trip through the TSV container escaping
+    st.save("weird", "a\tb\nc\\d")
+    assert(st.getLatest("weird")._1 === Some("a\tb\nc\\d"))
+    assert(st.keys === Seq("gc", "weird"))
+  }
+
+  test("get is eventually consistent within the cache expiry") {
+    val st = fresh(expiryMs = 250)
+    assert(st.get("k") === None) // absence is cached too
+    st.save("k", "v1")
+    assert(st.get("k") === None) // still the cached absence
+    Thread.sleep(300)
+    assert(st.get("k") === Some("v1")) // expired -> fresh read
+    st.save("k", "v2")
+    assert(st.get("k") === Some("v1")) // cached stale value
+    assert(st.getLatest("k")._1 === Some("v2")) // strong read sees it
+  }
+
+  test("update retries through a conflicting writer") {
+    val st = fresh()
+    st.save("ctr", "0")
+    var sneaked = false
+    st.update("ctr", cur => {
+      if (!sneaked) { // interleave a conflicting write on first attempt
+        sneaked = true
+        st.save("ctr", "100")
+      }
+      (cur.get.toLong + 1).toString
+    })
+    assert(st.getLatest("ctr")._1 === Some("101"))
+
+    // and gives up after maxTries exhausted
+    val st2 = fresh()
+    st2.save("x", "0")
+    intercept[st2.PreconditionFailed] {
+      st2.update("x", cur => { st2.save("x", cur.getOrElse("") + "!"); "y" },
+        maxTries = 2)
+    }
+  }
+
+  test("concurrent counter increments all land (12 writers)") {
+    val st = fresh()
+    st.save("n", "0")
+    val threads = (1 to 12).map(_ => new Thread(() =>
+      st.update("n", c => (c.get.toLong + 1).toString, maxTries = 50)))
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(st.getLatest("n")._1 === Some("12"))
+  }
+
+  test("engine exposes the settings store under the repo control dir") {
+    val d = tmpDir("settings_engine")
+    val eng = new graft.store.Engine(spark, d)
+    eng.settings.save("description", "analytics lake")
+    assert(new graft.store.Engine(spark, d).settings
+      .getLatest("description")._1 === Some("analytics lake"))
+  }
+}

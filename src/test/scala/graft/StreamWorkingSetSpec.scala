@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.streaming.StreamWorkingSet
+
+/** The streaming gap extractor must emit exactly the closed gaps the batch
+  * `vc_cache_ws` lead-window derivation produces over the same trace, with
+  * the open tails left in state. */
+class StreamWorkingSetSpec extends SparkSpec {
+
+  test("streamed gaps equal the batch lead-window gaps over the sf0.001 trace") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val d = "/root/testdata/sf0.001"
+
+    // the vc_cache_ws trace derivation (skewed hot/cold key stream)
+    val trace = graft.fixtures.Fixtures.events(spark, d).select(
+        col("event_id").as("seq"),
+        when(col("event_id") % 2 === 0, col("user_id") % 8)
+          .otherwise(lit(1000) + (col("event_id") * 7 + col("user_id") * 13) % 997)
+          .as("k"))
+      .select(col("k").cast("long"), col("seq").cast("long"))
+      .as[(Long, Long)].collect().sortBy(_._2)
+
+    // batch: closed gaps = lead-window rows with a successor
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("k").orderBy("seq")
+    val batch = trace.toSeq.toDF("k", "seq")
+      .withColumn("nxt", lead("seq", 1).over(w))
+      .where(col("nxt").isNotNull)
+      .select(col("k"), col("seq"), (col("nxt") - col("seq")).as("gap"))
+      .as[(Long, Long, Long)].collect().toSet
+
+    // streaming: same trace in three in-order chunks
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long)]
+    val q = StreamWorkingSet.gaps(mem.toDF().toDF("k", "seq"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ws_gaps").start()
+    try {
+      val third = (trace.length + 2) / 3
+      trace.grouped(third).foreach { chunk =>
+        mem.addData(chunk.toSeq); q.processAllAvailable()
+      }
+      val streamed = spark.table("ws_gaps").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(streamed === batch)
+      // open tails = one state per distinct key, none emitted
+      assert(streamed.size === trace.length - trace.map(_._1).distinct.length)
+    } finally q.stop()
+  }
+}
