@@ -209,11 +209,12 @@ class SnapshotStore(val spark: SparkSession, val repoDir: String,
     val cutPred = (abs(xxhash64(col("key"))) % raggedness) === 0
     val cutStruct = when(cutPred,
       struct(col("key"), col("identity").isNull.as("del")))
-    val (touched: Set[String], changeCutRows: Array[(String, Boolean)]) = tr("detect")(
+    val (touched: Set[String], changeCutRows: Array[(String, Boolean)],
+         changeCount: Long) = tr("detect")(
       if (base.isEmpty) {
         val rows = changes.where(cutPred)
           .select(col("key"), col("identity").isNull.as("del")).collect()
-        (Set.empty[String], rows.map(r => (r.getString(0), r.getBoolean(1))))
+        (Set.empty[String], rows.map(r => (r.getString(0), r.getBoolean(1))), -1L)
       } else {
         val minArr = base.map(ri => UTF8String.fromString(ri.minKey)).toArray
         val bcMin = spark.sparkContext.broadcast(minArr)
@@ -235,37 +236,42 @@ class SnapshotStore(val spark: SparkSession, val repoDir: String,
               val cuts = bcMin.value
               val bits = new Array[Long](((cuts.length + 1) + 63) >>> 6)
               val cutRows = scala.collection.mutable.ArrayBuffer[(String, Boolean)]()
+              var n = 0L
               it.foreach { r =>
                 val ks = r.getString(0)
                 val idx = graft.functions.CutIndex.indexOf(
                   cuts, UTF8String.fromString(ks))
                 bits(idx >>> 6) |= 1L << (idx & 63)
                 if (r.getBoolean(2)) cutRows += ((ks, r.getBoolean(1)))
+                n += 1
               }
-              Iterator.single((bits, cutRows.toArray))
+              Iterator.single((bits, cutRows.toArray, n))
             }.collect()
             val bits = new Array[Long](((minArr.length + 1) + 63) >>> 6)
             val cr = Array.newBuilder[(String, Boolean)]
-            perTask.foreach { case (b, c) =>
+            var nTot = 0L
+            perTask.foreach { case (b, c, n) =>
               var i = 0
               while (i < b.length) { bits(i) |= b(i); i += 1 }
               cr ++= c
+              nTot += n
             }
             val t = (1 to minArr.length).iterator
               .filter(idx => (bits(idx >>> 6) & (1L << (idx & 63))) != 0)
               .map(idx => base(idx - 1).rangeId).toSet
-            (t, cr.result().distinct)
+            (t, cr.result().distinct, nTot)
           } else {
             val rows = changes
               .select(graft.functions.CutIndex.chunkOf(col("key"), bcMin).as("__idx"),
                 cutStruct.as("__cut"))
-              .groupBy("__idx").agg(collect_set("__cut").as("cuts")).collect()
+              .groupBy("__idx").agg(collect_set("__cut").as("cuts"),
+                count(lit(1)).as("n")).collect()
             val t = rows.collect {
               case r if r.getInt(0) >= 1 => base(r.getInt(0) - 1).rangeId
             }.toSet
             val cr = rows.flatMap(_.getSeq[Row](1).map(s =>
               (s.getString(0), s.getBoolean(1))))
-            (t, cr)
+            (t, cr, rows.map(_.getAs[Long]("n")).sum)
           }
         } finally bcMin.destroy()
       })
@@ -312,8 +318,22 @@ class SnapshotStore(val spark: SparkSession, val repoDir: String,
     // it after the stats pass — detecting that upfront costs a join
     // against the base on every commit to optimize a case that writes
     // nothing, so the eager path keeps the common case single-pass
+    // Aligned fast path: when no change key adds or removes a range
+    // boundary (changeCutRows empty — the overwhelmingly common case at
+    // raggedness 50k), every touched range's output interval equals its
+    // input interval, so the rewrite needs NO exchange at all: each scan
+    // split already holds rows of exactly one output chunk, the change set
+    // applies as a broadcast anti-join, and the write is one map-side
+    // stage. The shuffle path below moves the whole rewritten slice
+    // through an exchange + sort per commit — at 100 TB that exchange is
+    // the commit's dominant cost for zero information gain. Gated to
+    // change sets small enough to broadcast (the detect job counts them);
+    // boundary-shifting or oversized change sets take the shuffle path.
+    val alignedOk = changeCutRows.isEmpty && touchedInfos.nonEmpty &&
+      changeCount >= 0 && changeCount <= maxAlignedChanges
     val newInfos =
-      if (cuts.length <= maxBroadcastCuts)
+      if (alignedOk) tr("aligned_write")(writeAligned(touchedInfos, touchedDf, aligned))
+      else if (cuts.length <= maxBroadcastCuts)
         chunkAndWriteBroadcast(rewritten, cuts, eagerStage = true)
       else chunkAndWriteWindowed(rewritten, eagerStage = true)
     val newSch = allNullable(rewritten.schema)
@@ -595,6 +615,72 @@ class SnapshotStore(val spark: SparkSession, val repoDir: String,
     math.abs(h) % raggedness == 0
   }
 
+  /** Change sets beyond this row count fall off the aligned (shuffle-free)
+    * commit path onto the exchange-based rewrite: the aligned apply is a
+    * broadcast anti-join, so the change set must stay broadcast-sized. */
+  private val maxAlignedChanges: Long = 1L << 20
+
+  /**
+   * Shuffle-free commit write (the aligned fast path). Preconditions, all
+   * checked by the caller: range boundaries are unchanged (no change key is
+   * a cut key), `touched` is non-empty, and the change set is
+   * broadcast-sized. Under them each touched range's output key interval
+   * equals its input interval, so the plan is
+   *
+   *   parquet scan of touched ranges → broadcast LEFT ANTI (changed keys)
+   *   → union broadcast-applied upserts → dynamic-partition write
+   *
+   * — ONE stage, no exchange, no global sort (the writer's local
+   * partition-column sort is O(n) over near-constant `__chunk` runs).
+   * Rows route to chunks by the same binary search the detect pass used
+   * (count of touched min-keys ≤ key), so a base row lands in its own
+   * range's chunk and an upsert in the range detect marked touched; keys
+   * before the first snapshot range form a new leading chunk (index 0),
+   * disjoint from every carried range by construction.
+   *
+   * Scan-split sizing: when the touched slice is small relative to the
+   * core count, the default 128 MB packing would glue every range file
+   * into a couple of tasks and serialize the write — the session split
+   * size is temporarily lowered so tasks ≈ 2×cores (restored in finally;
+   * a concurrent query planned in the window just reads with smaller
+   * splits, which is harmless). At scale the default packing already
+   * yields enough tasks and the conf is left alone.
+   */
+  private def writeAligned(touched: Seq[RangeInfo], touchedDf: DataFrame,
+      aligned: DataFrame): Seq[RangeInfo] = {
+    import org.apache.spark.unsafe.types.UTF8String
+    val mins = touched.map(ri => UTF8String.fromString(ri.minKey)).toArray
+    val bc = spark.sparkContext.broadcast(mins)
+    val splitKey = "spark.sql.files.maxPartitionBytes"
+    val openKey = "spark.sql.files.openCostInBytes"
+    val oldSplit = spark.conf.get(splitKey, "134217728")
+    val oldOpen = spark.conf.get(openKey, "4194304")
+    try {
+      val chunk = graft.functions.CutIndex.chunkOf(col("key"), bc)
+      val survivors = touchedDf
+        .join(broadcast(aligned.select("key")), Seq("key"), "left_anti")
+        .withColumn("__chunk", chunk)
+      val upserts = aligned.where(col("identity").isNotNull)
+        .select(touchedDf.columns.map(col).toSeq: _*)
+        .withColumn("__chunk", chunk)
+      val out = survivors.unionByName(upserts)
+      if (touched.lengthCompare(parts * 4) < 0) {
+        // estimatedSize tracks key+identity bytes only — an undercount of
+        // the file bytes, which only errs toward MORE tasks, never fewer
+        val totalBytes = math.max(1L, touched.map(_.estimatedSize).sum)
+        val split = math.max(1L << 20, totalBytes / math.max(1, parts * 2))
+        spark.conf.set(splitKey, split.toString)
+        spark.conf.set(openKey, (1L << 18).toString)
+      }
+      writeChunks(out, approxChunks = touched.length + 1,
+        eagerStage = true, noShuffle = true)
+    } finally {
+      spark.conf.set(splitKey, oldSplit)
+      spark.conf.set(openKey, oldOpen)
+      bc.destroy()
+    }
+  }
+
   /** Fast path: codegen'd binary search against the broadcast sorted cuts. */
   private def chunkAndWriteBroadcast(df: DataFrame, cutKeys: Array[String],
       eagerStage: Boolean): Seq[RangeInfo] = {
@@ -685,7 +771,7 @@ class SnapshotStore(val spark: SparkSession, val repoDir: String,
    * `pkg/config/defaults.go:91`).
    */
   private def writeChunks(withChunk: DataFrame, approxChunks: Int,
-      eagerStage: Boolean = false): Seq[RangeInfo] = {
+      eagerStage: Boolean = false, noShuffle: Boolean = false): Seq[RangeInfo] = {
     val two64 = java.math.BigInteger.ONE.shiftLeft(64)
     val freshStore = !fs.exists(new Path(rangesDir))
 
@@ -712,7 +798,12 @@ class SnapshotStore(val spark: SparkSession, val repoDir: String,
     }
     def stageAll(df: DataFrame, nChunks: Int,
         obs: Option[org.apache.spark.sql.Observation] = None): Unit = {
-      val shuffled = df
+      // noShuffle (aligned commit): scan splits already hold single-chunk
+      // near-sorted runs — skip the exchange and sort LOCALLY only. The
+      // per-partition sort is load-bearing beyond writer grouping: every
+      // data file under a range dir must be key-sorted (EntryIO's walkers
+      // early-exit on it), and the upsert partitions arrive unsorted.
+      val shuffled = if (noShuffle) df.sortWithinPartitions("__chunk", "key") else df
         .repartition(
           // salted (few chunks): one partition PER (chunk, salt) group —
           // packing ~2 groups into `parts` partitions made the slowest task
