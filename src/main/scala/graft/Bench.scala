@@ -68,6 +68,19 @@ object Bench {
     // successful pass reports -1
     val samples =
       scala.collection.mutable.LinkedHashMap[String, Vector[Double]]()
+    // per-metric store sub-step wall clock (store.drainTrace() right after
+    // the timed block), medianed across passes like the metrics themselves —
+    // BENCH JSON carries the snapshot_write/commit decomposition so
+    // over-budget ratios are adjudicable (cut scan vs write vs renames)
+    val stepSamples = scala.collection.mutable
+      .LinkedHashMap[String, scala.collection.mutable.LinkedHashMap[String, Vector[Double]]]()
+    def drainSteps(metric: String, store: SnapshotStore): Unit = {
+      val m = stepSamples.getOrElseUpdate(metric,
+        scala.collection.mutable.LinkedHashMap[String, Vector[Double]]())
+      store.drainTrace().foreach { case (step, sec) =>
+        m(step) = m.getOrElse(step, Vector.empty) :+ sec
+      }
+    }
     def timed[T](name: String)(f: => T): Option[T] = {
       // Quiesce before starting the clock: a metric that follows a 30 MB
       // parquet write otherwise pays the PREVIOUS op's page-cache flush and
@@ -161,8 +174,10 @@ object Bench {
         // 1. snapshot_write: commit C1 from sorted records (J5/O1), then
         // the bare twin: full sorted rewrite, no manifests/content ids.
         // Everything downstream needs C1, so a failure ends the pass.
+        store.drainTrace() // discard setup-time residue
         val m1 = timed("snapshot_write") { store.writeSnapshot(base)._1 }
           .getOrElse(return)
+        drainSteps("snapshot_write", store)
         val wroteBare = timed("bare_snapshot_write") {
           base.repartitionByRange(col("key")).sortWithinPartitions("key")
             .write.parquet(s"$bareOut/snap")
@@ -171,7 +186,9 @@ object Bench {
 
         // 2. commit: apply a ~1% change set, rewriting only touched
         // ranges; bare twin = full rewrite (apply + re-sort + rewrite).
+        store.drainTrace()
         val m2 = timed("commit") { store.commitChanges(m1, changes)._1 }
+        drainSteps("commit", store)
         if (wroteBare.isDefined && m2.isDefined) {
           timed("bare_commit") {
             Merge.applyChanges(bareSnap, changes)
@@ -262,25 +279,46 @@ object Bench {
           System.err.println(s"[bench] merge3_store setup failed: ${e.getMessage}")
         }
 
-        // 5. gc_mark: all ∖ committed ∖ uncommitted (J9).
+        // 5. gc_mark: all ∖ committed ∖ uncommitted (J9), vs the bare twin —
+        // BASELINE §D names the op "J9 `except`", so the twin is the
+        // textbook Dataset.except chain (distinct + anti-join per step)
+        // over the same three inputs.
+        val gcAll = Fixtures.orders(spark, sfDir)
+          .select(concat(lit("data/"), lpad(col("o_orderkey").cast("string"), 10, "0")).as("address"))
+        val gcCommitted = gcAll.where(expr("CAST(substring(address, 6) AS BIGINT) % 3 <> 0"))
+        val gcUncommitted = gcAll.where(expr("CAST(substring(address, 6) AS BIGINT) % 7 = 0"))
         timed("gc_mark") {
-          val all = Fixtures.orders(spark, sfDir)
-            .select(concat(lit("data/"), lpad(col("o_orderkey").cast("string"), 10, "0")).as("address"))
-          val committed = all.where(expr("CAST(substring(address, 6) AS BIGINT) % 3 <> 0"))
-          val uncommitted = all.where(expr("CAST(substring(address, 6) AS BIGINT) % 7 = 0"))
-          Gc.mark(all, committed, uncommitted).count()
+          Gc.mark(gcAll, gcCommitted, gcUncommitted).count()
+        }
+        timed("bare_gc_mark") {
+          gcAll.except(gcCommitted).except(gcUncommitted).count()
         }
 
-        // 6. list_delim: prefix+delimiter roll-up page of 1000 (P4/O2).
+        // 6. list_delim: prefix+delimiter roll-up page of 1000 (P4/O2), vs
+        // the bare twin: same roll-up written naively — startsWith filter
+        // (no sargable key-range rewrite) + split/groupBy + global sort
+        // page instead of TakeOrderedAndProject.
         timed("list_delim") {
           Listing.delimiterRollup(Fixtures.pathKeyed(spark, sfDir), "R/F/", "/")
+            .orderBy("path").limit(1000).count()
+        }
+        timed("bare_list_delim") {
+          val in = Fixtures.pathKeyed(spark, sfDir)
+            .where(col("key").startsWith("R/F/"))
+          val rest = expr("substring(key, 5)")
+          val path = when(instr(rest, "/") > 0,
+            concat(lit("R/F/"), substring_index(rest, "/", 1), lit("/")))
+            .otherwise(col("key"))
+          in.select(path.as("path"), (instr(rest, "/") > 0).as("is_common_prefix"))
+            .groupBy("path", "is_common_prefix")
+            .agg(count(lit(1)).as("n_entries"))
             .orderBy("path").limit(1000).count()
         }
       } finally { deleteDir(bareOut); deleteDir(repoDir) }
     }
 
     (1 to passes).foreach(runPass)
-    emit(samples, sfDir)
+    emit(samples, stepSamples, sfDir)
     spark.stop()
   }
 
@@ -290,16 +328,24 @@ object Bench {
 
   private def emit(
       samples: scala.collection.mutable.LinkedHashMap[String, Vector[Double]],
+      stepSamples: scala.collection.mutable.LinkedHashMap[
+        String, scala.collection.mutable.LinkedHashMap[String, Vector[Double]]],
       sfDir: String): Unit = {
     def json(f: Vector[Double] => Double) = samples
       .map { case (k, v) => "\"" + k + "\":" + f(v) }.mkString("{", ",", "}")
     val qs = json(median)
     val qsMin = json(v => if (v.isEmpty) -1.0 else v.min)
+    // per-metric store sub-step decomposition (medians, like the metrics)
+    val trace = stepSamples.map { case (metric, steps) =>
+      "\"" + metric + "\":" + steps
+        .map { case (s, v) => "\"" + s + "\":" + median(v) }
+        .mkString("{", ",", "}")
+    }.mkString("{", ",", "}")
     // headline total = engine metrics only; bare_* twins are the comparison
     val total = samples.collect {
       case (k, v) if v.nonEmpty && !k.startsWith("bare_") => median(v)
     }.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""queries_min":$qsMin,"passes":$passes,"sf":"$sfDir"}""")
+      s""""queries_min":$qsMin,"trace":$trace,"passes":$passes,"sf":"$sfDir"}""")
   }
 }

@@ -865,17 +865,20 @@ class Engine(val spark: SparkSession, val repoDir: String,
   }
 
   /** J10: import an external key set under prefixes — imported content fully
-    * replaces destination content under those prefixes (`Graveler.Import`). */
+    * replaces destination content under those prefixes (`Graveler.Import`).
+    * O(imported region): ranges outside the prefixes carry by reference —
+    * the store's prefix-interval-pruned overlay
+    * ([[SnapshotStore.importOverlay]], the reference's
+    * `skip_prefix_iterator.go:15-153` shape) — so an import under
+    * `photos/2026/` never reads the rest of the lake. */
   def importUnder(branch: String, imported: DataFrame, prefixes: Seq[String],
       committer: String, message: String): CommitInfo = {
     requireWritable("import")
     requireClean(branch, "import")
     val headId = refs.getBranch(branch).getOrElse(sys.error(s"no branch $branch"))
     val head = refs.getCommit(headId).get
-    val overlaid = Import.overlay(
-      snapshots.scan(head.metaRangeId),
+    val (meta, _) = snapshots.importOverlay(head.metaRangeId,
       alignTo(snapshots.scan(head.metaRangeId), imported), prefixes)
-    val (meta, _) = snapshots.writeSnapshot(overlaid)
     val c = refs.addCommit(committer, message, meta, Seq(headId),
       Map("import" -> prefixes.mkString(",")))
     require(refs.casBranch(branch, Some(headId), c.commitId))

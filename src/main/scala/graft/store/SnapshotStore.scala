@@ -482,6 +482,76 @@ class SnapshotStore(val spark: SparkSession, val repoDir: String,
   // ---- internals ----------------------------------------------------------
 
   // No mergeSchema: every range in a manifest carries the SNAPSHOT's schema
+  /**
+   * Prefix-interval-pruned import overlay (J10 at store level — the
+   * reference's `SkipPrefixIterator`,
+   * `pkg/graveler/committed/skip_prefix_iterator.go:15-153`, composed with
+   * the range-reuse discipline of `merge.go:490-497`): imported content
+   * fully replaces base content under `prefixes`, at O(imported region)
+   * cost, never O(repo).
+   *
+   * Manifest classification (driver arithmetic over range intervals):
+   *  - ranges wholly OUTSIDE every prefix interval carry by reference —
+   *    never opened;
+   *  - ranges wholly INSIDE a prefix interval are dropped unread (their
+   *    content is replaced in full — the reference's skip-to-prefix-end);
+   *  - only ranges STRADDLING a prefix boundary are scanned, masked, and
+   *    re-chunked together with the imported rows.
+   *
+   * Disjointness with the carried ranges is forced through the cut set:
+   * every straddling range's minKey and every prefix start is a chunk
+   * boundary, so no rewritten chunk can span a key gap that holds a
+   * carried range (a slice component either starts at a straddling range —
+   * its minKey cuts — or at a prefix start with no straddling cover — the
+   * prefix start cuts). Imported keys hashing as content-defined cuts are
+   * added for chunker determinism within the imported mass.
+   *
+   * `imported` must already be aligned to the snapshot's schema (the
+   * engine's alignTo) and is read twice (cut collection + write) — pass it
+   * persisted when it is a derived frame.
+   *
+   * Fallback: a cut set beyond [[maxBroadcastCuts]] (an import of >
+   * raggedness × 2^20 keys) falls back to the full-overlay rewrite — the
+   * windowed chunker cannot carry the extra interval boundaries.
+   */
+  def importOverlay(baseMeta: String, imported: DataFrame, prefixes: Seq[String])
+      : (String, Seq[RangeInfo]) = {
+    require(prefixes.nonEmpty, "import requires at least one prefix")
+    val base = readManifest(baseMeta)
+    val intervals = prefixes.map(p => (p, graft.operators.Listing.upperBound(p)))
+    def intersects(ri: RangeInfo) = intervals.exists { case (lo, hi) =>
+      ri.maxKey >= lo && hi.forall(h => ri.minKey < h) }
+    def inside(ri: RangeInfo) = intervals.exists { case (lo, hi) =>
+      ri.minKey >= lo && hi.forall(h => ri.maxKey < h) }
+    val carried = base.filterNot(intersects)
+    val straddle = base.filter(ri => intersects(ri) && !inside(ri))
+
+    // one tiny job over the imported rows: their content-defined cut keys
+    val importedCuts = imported
+      .where((abs(xxhash64(col("key"))) % raggedness) === 0)
+      .select("key").collect().map(_.getString(0))
+    val cuts = (straddle.map(_.minKey) ++ prefixes ++ importedCuts).distinct.toArray
+    if (cuts.length > maxBroadcastCuts) {
+      // legacy O(repo) shape, correctness-only escape hatch
+      val overlaid = graft.operators.Import.overlay(
+        readRanges(base), imported, prefixes)
+      return writeSnapshot(overlaid)
+    }
+
+    val template =
+      if (straddle.nonEmpty) readRanges(straddle)
+      else if (base.nonEmpty) readRanges(Seq(base.head)).limit(0)
+      else imported.limit(0)
+    val slice = graft.operators.Import.overlay(template, imported, prefixes)
+    val newInfos = chunkAndWriteBroadcast(slice, cuts, eagerStage = true)
+    val newSch = allNullable(slice.schema)
+    newInfos.foreach(ri => schemaCache.putIfAbsent(ri.rangeId, newSch))
+    val all = (carried ++ newInfos).sortBy(_.minKey)
+    val metaRangeId = metaRangeIdOf(all)
+    writeManifest(metaRangeId, all)
+    (metaRangeId, all)
+  }
+
   // by construction — writeSnapshot cuts one source, and commitChanges
   // aligns the change set to the base schema before rewriting, so carried
   // and rewritten ranges agree. mergeSchema would read every range's footer
@@ -508,14 +578,20 @@ class SnapshotStore(val spark: SparkSession, val repoDir: String,
   private def allNullable(s: org.apache.spark.sql.types.StructType) =
     org.apache.spark.sql.types.StructType(s.fields.map(_.copy(nullable = true)))
   private def readRanges(infos: Seq[RangeInfo]): DataFrame =
+    readRangesIn(spark, infos)
+
+  /** [[readRanges]] against an explicit session — the aligned commit write
+    * builds its touched-range scan in a cloned session whose SQLConf
+    * carries a per-write split size (see [[writeAligned]]). */
+  private def readRangesIn(sess: SparkSession, infos: Seq[RangeInfo]): DataFrame =
     if (infos.isEmpty) {
-      import spark.implicits._
+      import sess.implicits._
       Seq.empty[(String, String)].toDF("key", "identity")
     } else {
       val cached = schemaCache.get(infos.head.rangeId)
-      if (cached != null) spark.read.schema(cached).parquet(infos.map(_.path): _*)
+      if (cached != null) sess.read.schema(cached).parquet(infos.map(_.path): _*)
       else {
-        val df = spark.read.parquet(infos.map(_.path): _*)
+        val df = sess.read.parquet(infos.map(_.path): _*)
         val sch = allNullable(df.schema)
         infos.foreach(ri => schemaCache.putIfAbsent(ri.rangeId, sch))
         df
@@ -594,14 +670,36 @@ class SnapshotStore(val spark: SparkSession, val repoDir: String,
 
   private def parts: Int = math.max(1, spark.sessionState.conf.numShufflePartitions)
 
-  // stage timing to stderr when SPARK_GRAFT_TRACE is set (bench diagnosis)
+  // stage timing: always accumulated into [[drainTrace]] (one Long add per
+  // store sub-step — nanoseconds next to Spark jobs), echoed to stderr only
+  // when SPARK_GRAFT_TRACE is set. Bench drains the accumulator per metric
+  // so BENCH_r*.json carries the snapshot_write/commit decomposition.
   private val trace = sys.env.contains("SPARK_GRAFT_TRACE")
-  private def tr[T](name: String)(f: => T): T =
-    if (!trace) f else {
-      val t0 = System.nanoTime(); val r = f
-      System.err.println(f"[trace] $name%-14s ${(System.nanoTime() - t0) / 1e9}%7.3f s")
-      r
+  private val traceAcc =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.LongAdder]()
+  private def tr[T](name: String)(f: => T): T = {
+    val t0 = System.nanoTime(); val r = f
+    val dt = System.nanoTime() - t0
+    traceAcc.computeIfAbsent(name,
+      _ => new java.util.concurrent.atomic.LongAdder).add(dt)
+    if (trace)
+      System.err.println(f"[trace] $name%-14s ${dt / 1e9}%7.3f s")
+    r
+  }
+
+  /** Return and reset the per-sub-step wall-clock accumulated since the last
+    * drain (seconds). Bench calls this around each store metric so the
+    * emitted JSON decomposes e.g. snapshot_write into
+    * cut_scan / stage_write / stats / renames / staging_del. */
+  def drainTrace(): Map[String, Double] = {
+    val out = scala.collection.mutable.Map[String, Double]()
+    val it = traceAcc.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      out(e.getKey) = e.getValue.sumThenReset() / 1e9
     }
+    out.filter(_._2 > 0).toMap
+  }
 
   /** Driver-side twin of the chunker's cut predicate — evaluates the SAME
     * Catalyst expression (`abs(xxhash64(key)) % raggedness == 0`, seed and
@@ -640,22 +738,38 @@ class SnapshotStore(val spark: SparkSession, val repoDir: String,
    *
    * Scan-split sizing: when the touched slice is small relative to the
    * core count, the default 128 MB packing would glue every range file
-   * into a couple of tasks and serialize the write — the session split
-   * size is temporarily lowered so tasks ≈ 2×cores (restored in finally;
-   * a concurrent query planned in the window just reads with smaller
-   * splits, which is harmless). At scale the default packing already
-   * yields enough tasks and the conf is left alone.
+   * into a couple of tasks and serialize the write — the touched-range
+   * scan is re-planned with a smaller split size so tasks ≈ 2×cores.
+   * The override is scoped to THIS scan only: split planning reads the
+   * conf of the session the HadoopFsRelation was created in
+   * (`FileSourceScanExec.createReadRDD` calls
+   * `FilePartition.maxSplitBytes(relation.sparkSession, …)`), so the
+   * scan is rebuilt in a cloned session (`spark.newSession()` — shared
+   * SparkContext, isolated SQLConf) carrying the small split size. The
+   * shared session's conf is never mutated — no set/restore window for a
+   * concurrent writer or query to inherit (two same-store writers are
+   * already serialized by the engine's KeyedLock, but CROSS-branch and
+   * cross-store writers are not). At scale the default packing already
+   * yields enough tasks and the original scan is used as-is.
    */
-  private def writeAligned(touched: Seq[RangeInfo], touchedDf: DataFrame,
+  private def writeAligned(touched: Seq[RangeInfo], touchedDf0: DataFrame,
       aligned: DataFrame): Seq[RangeInfo] = {
     import org.apache.spark.unsafe.types.UTF8String
     val mins = touched.map(ri => UTF8String.fromString(ri.minKey)).toArray
     val bc = spark.sparkContext.broadcast(mins)
-    val splitKey = "spark.sql.files.maxPartitionBytes"
-    val openKey = "spark.sql.files.openCostInBytes"
-    val oldSplit = spark.conf.get(splitKey, "134217728")
-    val oldOpen = spark.conf.get(openKey, "4194304")
     try {
+      val touchedDf =
+        if (touched.lengthCompare(parts * 4) >= 0) touchedDf0
+        else {
+          // estimatedSize tracks key+identity bytes only — an undercount of
+          // the file bytes, which only errs toward MORE tasks, never fewer
+          val totalBytes = math.max(1L, touched.map(_.estimatedSize).sum)
+          val split = math.max(1L << 20, totalBytes / math.max(1, parts * 2))
+          val s2 = spark.newSession()
+          s2.conf.set("spark.sql.files.maxPartitionBytes", split.toString)
+          s2.conf.set("spark.sql.files.openCostInBytes", (1L << 18).toString)
+          readRangesIn(s2, touched)
+        }
       val chunk = graft.functions.CutIndex.chunkOf(col("key"), bc)
       val survivors = touchedDf
         .join(broadcast(aligned.select("key")), Seq("key"), "left_anti")
@@ -663,22 +777,13 @@ class SnapshotStore(val spark: SparkSession, val repoDir: String,
       val upserts = aligned.where(col("identity").isNotNull)
         .select(touchedDf.columns.map(col).toSeq: _*)
         .withColumn("__chunk", chunk)
-      val out = survivors.unionByName(upserts)
-      if (touched.lengthCompare(parts * 4) < 0) {
-        // estimatedSize tracks key+identity bytes only — an undercount of
-        // the file bytes, which only errs toward MORE tasks, never fewer
-        val totalBytes = math.max(1L, touched.map(_.estimatedSize).sum)
-        val split = math.max(1L << 20, totalBytes / math.max(1, parts * 2))
-        spark.conf.set(splitKey, split.toString)
-        spark.conf.set(openKey, (1L << 18).toString)
-      }
+      // receiver = upserts keeps the combined plan (and the write that
+      // follows) bound to the shared session; only the leaf relation
+      // carries the cloned session's split conf
+      val out = upserts.unionByName(survivors)
       writeChunks(out, approxChunks = touched.length + 1,
         eagerStage = true, noShuffle = true)
-    } finally {
-      spark.conf.set(splitKey, oldSplit)
-      spark.conf.set(openKey, oldOpen)
-      bc.destroy()
-    }
+    } finally bc.destroy()
   }
 
   /** Fast path: codegen'd binary search against the broadcast sorted cuts. */

@@ -176,6 +176,100 @@ class StoreSpec extends SparkSpec {
     assert(d.length === 1 && d.head.getAs[String]("diff_type") === "changed")
   }
 
+  test("aligned commit never mutates the shared session's split conf") {
+    import spark.implicits._
+    // the aligned fast path resizes scan splits through a CLONED session's
+    // conf (FileSourceScanExec plans splits with the relation's captured
+    // session) — a concurrent query/writer planned mid-commit must keep
+    // seeing the shared session's defaults, so poll them during the commit
+    val dir = tmpDir("alignedconf")
+    val store = new SnapshotStore(spark, dir, raggedness = 100)
+    val (m1, infos) = store.writeSnapshot(rows(2000))
+    assert(infos.size > 3)
+    val splitKey = "spark.sql.files.maxPartitionBytes"
+    val openKey = "spark.sql.files.openCostInBytes"
+    val split0 = spark.conf.get(splitKey)
+    val open0 = spark.conf.get(openKey)
+    val drift = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    @volatile var done = false
+    val poller = new Thread(() => {
+      while (!done) {
+        val s = spark.conf.get(splitKey); val o = spark.conf.get(openKey)
+        if (s != split0 || o != open0) drift.add(s"$s/$o")
+        Thread.sleep(1)
+      }
+    })
+    poller.start()
+    val m2 =
+      try {
+        store.drainTrace()
+        val changes = Seq(("k000500", "CONF"), ("k001500", "CONF2"))
+          .toDF("key", "identity")
+        store.commitChanges(m1, changes)._1
+      } finally { done = true; poller.join() }
+    // the small-slice commit must actually have taken the aligned path —
+    // otherwise this test guards nothing
+    assert(store.drainTrace().contains("aligned_write"),
+      "commit did not take the aligned fast path")
+    assert(drift.isEmpty, s"shared conf mutated during commit: $drift")
+    assert(spark.conf.get(splitKey) === split0 && spark.conf.get(openKey) === open0)
+    val back = store.scan(m2).where(col("key") === "k000500").collect()
+    assert(back.length === 1 && back.head.getString(1) === "CONF")
+  }
+
+  test("importOverlay rewrites only prefix-intersecting ranges, carries the rest") {
+    import spark.implicits._
+    val dir = tmpDir("impoverlay")
+    val store = new SnapshotStore(spark, dir, raggedness = 100)
+    val baseRows = ((1 to 1000).map(i => (f"a$i%06d", s"id$i")) ++
+      (1 to 200).map(i => (f"m/x$i%04d", s"old$i")) ++
+      (1 to 1000).map(i => (f"z$i%06d", s"id$i"))).toDF("key", "identity")
+    val (m1, infos1) = store.writeSnapshot(baseRows)
+    assert(infos1.size > 5, s"want many ranges, got ${infos1.size}")
+    val imported = (1 to 50).map(i => (f"m/y$i%04d", s"new$i")).toDF("key", "identity")
+    val (m2, infos2) = store.importOverlay(m1, imported, Seq("m/"))
+    // content: everything under m/ replaced, everything else intact
+    val back = store.scan(m2).collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(back.size === 2050)
+    assert(back.keys.count(_.startsWith("m/")) === 50)
+    assert(back("m/y0001") === "new1")
+    assert(back("a000001") === "id1" && back("z001000") === "id1000")
+    // O(imported): every base range wholly outside [m/, m0) must carry into
+    // the new manifest BY REFERENCE (same range id, no rewrite)
+    val carried = infos1.filter(ri => ri.maxKey < "m/" || ri.minKey >= "m0")
+      .map(_.rangeId).toSet
+    assert(carried.nonEmpty, "fixture must produce carry-able ranges")
+    val ids2 = infos2.map(_.rangeId).toSet
+    assert(carried.subsetOf(ids2),
+      s"carried ranges rewritten: ${(carried -- ids2).size} of ${carried.size}")
+    // and the new manifest still satisfies the disjoint-sorted invariant
+    infos2.sortBy(_.minKey).sliding(2).foreach {
+      case scala.collection.Seq(x, y) => assert(x.maxKey < y.minKey,
+        s"overlap [${x.minKey},${x.maxKey}] vs [${y.minKey},${y.maxKey}]")
+      case _ => ()
+    }
+    // equivalence with the full overlay on the same inputs
+    val full = operators.Import.overlay(store.scan(m1), imported, Seq("m/"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(back === full)
+  }
+
+  test("importOverlay with empty import clears the prefix region") {
+    import spark.implicits._
+    val dir = tmpDir("impclear")
+    val store = new SnapshotStore(spark, dir, raggedness = 100)
+    val baseRows = ((1 to 600).map(i => (f"a$i%06d", s"id$i")) ++
+      (1 to 300).map(i => (f"m/x$i%04d", s"old$i"))).toDF("key", "identity")
+    val (m1, infos1) = store.writeSnapshot(baseRows)
+    val empty = Seq.empty[(String, String)].toDF("key", "identity")
+    val (m2, infos2) = store.importOverlay(m1, empty, Seq("m/"))
+    val back = store.scan(m2).collect().map(_.getString(0))
+    assert(back.length === 600 && !back.exists(_.startsWith("m/")))
+    val carried = infos1.filter(ri => ri.maxKey < "m/" || ri.minKey >= "m0")
+      .map(_.rangeId).toSet
+    assert(carried.subsetOf(infos2.map(_.rangeId).toSet))
+  }
+
   test("pruned diff equals unpruned diff with deletes and adds") {
     import spark.implicits._
     val dir = tmpDir("prune")
