@@ -109,41 +109,96 @@ object DeltaLog {
 
   /** Mirror the table's `_delta_log` to `destDir`, rewriting every
     * `add.path` / `remove.path` to the entry's resolved ABSOLUTE physical
-    * address under `ref` (removed files may no longer resolve — their
-    * logical path is kept, matching an exporter that only guarantees live
-    * data). Returns the per-version report. */
+    * address under `ref` (paths that no longer resolve keep their logical
+    * form, matching an exporter that only guarantees live data). Returns
+    * the per-version report.
+    *
+    * Distributed shape: the driver holds only the version list (bounded by
+    * log versions). Executors read the version files and explode them to
+    * (version, line_no, line); logical action paths resolve through ONE
+    * left join against the ref's table listing — never a per-path point
+    * lookup, never the listing collected to the driver — and a
+    * `mapGroups` per version reassembles, rewrites, and writes the
+    * mirrored file from the executor. Memory bound: one version's actions
+    * per group (the same bound a Delta reader needs for that version). */
   def exportLog(engine: Engine, ref: String, tablePrefix: String,
       destDir: String): DataFrame = {
-    val conf = engine.spark.sparkContext.hadoopConfiguration
+    val spark = engine.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
     val destLog = new Path(s"$destDir/_delta_log")
-    val fs: FileSystem = destLog.getFileSystem(conf)
+    val fs: FileSystem = destLog.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(destLog)
-    val rows = mutable.ArrayBuffer[Row]()
-    logFiles(engine, ref, tablePrefix).foreach { lf =>
-      var op = ""; var adds = 0L; var removes = 0L
-      val rewritten = readContent(engine, lf.address).split('\n')
-        .filter(_.nonEmpty).map { line =>
+    val lfs = logFiles(engine, ref, tablePrefix)
+    if (lfs.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq.empty[Row], 1), versionSchema)
+
+    // plain values only in the closures — Engine/FileSystem don't serialize
+    val repoDir = engine.repoDir
+    val destLogStr = destLog.toString
+    val hconf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    def abs(address: String): String =
+      if (address.contains("://") || address.startsWith("/")) address
+      else s"$repoDir/$address"
+
+    val lines = spark.createDataset(lfs.map(lf => (lf.version, abs(lf.address))))
+      .flatMap { case (v, addr) =>
+        val p = new Path(addr)
+        val lfsys = p.getFileSystem(hconf.value)
+        val in = lfsys.open(p)
+        val content =
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        content.split('\n').iterator.filter(_.nonEmpty).zipWithIndex
+          .map { case (line, i) => (v, i, line) }.toSeq
+      }.toDF("version", "line_no", "line")
+
+    val withKey = lines.withColumn("lpath",
+      coalesce(get_json_object(col("line"), "$.add.path"),
+        get_json_object(col("line"), "$.remove.path")))
+      .withColumn("full_key",
+        when(col("lpath").isNotNull, concat(lit(s"$tablePrefix/"), col("lpath"))))
+    val listing = engine.list(ref, prefix = s"$tablePrefix/")
+      .where(!col("key").startsWith(s"$tablePrefix/_delta_log/") &&
+        col("address").isNotNull && length(col("address")) > 0)
+      .select(col("key").as("full_key"), col("address").as("paddr"))
+
+    val report = withKey
+      .join(listing, Seq("full_key"), "left")
+      .select(col("version"), col("line_no"), col("line"), col("paddr"))
+      .as[(Long, Int, String, Option[String])]
+      .groupByKey(_._1)
+      .mapGroups { (v, it) =>
+        val rows = it.toArray.sortBy(_._2)
+        var op = ""; var adds = 0L; var removes = 0L
+        val sb = new StringBuilder
+        rows.foreach { case (_, _, line, paddr) =>
           val node = mapper.readTree(line).asInstanceOf[ObjectNode]
           if (node.has("commitInfo") && node.get("commitInfo").has("operation"))
             op = node.get("commitInfo").get("operation").asText()
-          def rewrite(action: String): Unit = {
-            val a = node.get(action).asInstanceOf[ObjectNode]
-            val logical = a.get("path").asText()
-            EntryIO.pointGet(engine, ref, s"$tablePrefix/$logical")
-              .flatMap(_.address.filter(_.nonEmpty))
-              .foreach(addr => a.put("path", absolute(engine, addr)))
-          }
+          def rewrite(action: String): Unit =
+            paddr.foreach { a =>
+              node.get(action).asInstanceOf[ObjectNode].put("path", abs(a))
+            }
           if (node.has("add")) { adds += 1; rewrite("add") }
           if (node.has("remove")) { removes += 1; rewrite("remove") }
-          mapper.writeValueAsString(node)
-        }.mkString("", "\n", "\n")
-      val outPath = new Path(destLog, f"${lf.version}%020d.json")
-      val out = fs.create(outPath, true)
-      try out.write(rewritten.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
-      rows += Row(lf.version, op, adds, removes)
-    }
-    engine.spark.createDataFrame(
-      engine.spark.sparkContext.parallelize(rows.toSeq, 1), versionSchema)
+          sb.append(mapper.writeValueAsString(node)).append('\n')
+        }
+        val outPath = new Path(destLogStr, f"$v%020d.json")
+        val ofs = outPath.getFileSystem(hconf.value)
+        val out = ofs.create(outPath, true)
+        try out.write(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+        (v, op, adds, removes)
+      }
+    // materialize now (one job): the mirrored files are the export's effect —
+    // callers must see them whether or not they act on the report; rows are
+    // one per VERSION, the same driver footprint as the version list itself
+    val done = report.collect()
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        done.map(r => Row(r._1, r._2, r._3, r._4)).toSeq, 1), versionSchema)
   }
 }

@@ -68,8 +68,17 @@ object IncrView {
     val dAgg = deltas.groupBy(groupCols.map(col): _*)
       .agg(sum(col("sign")).as("d_n"),
         valueCols.map(c => sum(col(c) * col("sign")).cast("long").as(s"d_$c")): _*)
-    val merged = view.join(dAgg, groupCols, "full_outer")
-    val outCols = groupCols.map(col) ++
+    // null-SAFE equality on the group key: materialize's groupBy keeps
+    // NULL groups as one group, so the refresh join must merge them too —
+    // a null-unsafe using-columns join would keep both sides as separate
+    // rows and break the refresh == full-recompute identity. The delta
+    // side's group columns are renamed first so the <=> condition stays
+    // unambiguous even when view and deltas share lineage (no-op refresh).
+    val dRen = groupCols.foldLeft(dAgg)((df, c) =>
+      df.withColumnRenamed(c, s"__d_$c"))
+    val joinCond = groupCols.map(c => col(c) <=> col(s"__d_$c")).reduce(_ && _)
+    val merged = view.join(dRen, joinCond, "full_outer")
+    val outCols = groupCols.map(c => coalesce(col(c), col(s"__d_$c")).as(c)) ++
       Seq((coalesce(col("n_rows"), lit(0L)) + coalesce(col("d_n"), lit(0L))).as("n_rows")) ++
       valueCols.map(c =>
         (coalesce(col(s"sum_$c"), lit(0L)) + coalesce(col(s"d_$c"), lit(0L))).as(s"sum_$c"))

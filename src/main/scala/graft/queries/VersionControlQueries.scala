@@ -949,33 +949,35 @@ object VersionControlQueries {
       val ident = sha2(concat_ws("|",
         col("key"), col("qty"), col("price_c"), col("rf"), col("ls")), 256)
       eng.init("main", Some(base))
-      graft.store.Actions.clearDeliveries()
-      graft.store.Actions.register(eng.hooks, s, graft.store.Actions.ActionConf(
-        "oracle guard",
-        Map(graft.store.Hooks.PreCommit -> Seq("main")),
-        Seq(
-          graft.store.Actions.HookConf("no_wip", "sql_check",
-            Map("expr" -> "NOT message LIKE 'WIP%'")),
-          graft.store.Actions.HookConf("notify", "webhook",
-            Map("url" -> "http://example.invalid/hook")))))
-      eng.stage("main", base.where(col("k") % 100 === 5)
-        .withColumn("price_c", col("price_c") + 10).withColumn("identity", ident))
-      eng.commit("main", "driver", "add five")
-      eng.stage("main", base.where(col("k") % 100 === 9)
-        .withColumn("price_c", col("price_c") + 20).withColumn("identity", ident))
-      val blocked =
-        try { eng.commit("main", "driver", "WIP: nine"); 0L }
-        catch { case _: Exception => 1L }
-      eng.commit("main", "driver", "nine done") // epoch survived the abort
-      eng.createBranch("scratch", "main")
-      eng.stage("scratch", base.where(col("k") % 100 === 13)
-        .withColumn("price_c", col("price_c") + 30).withColumn("identity", ident))
-      eng.commit("scratch", "driver", "WIP: off-main passes the glob")
-      val dels = graft.store.Actions.deliveries.filter(_._1 == "oracle guard")
-      val mainOnly = dels.forall(_._4.contains("\"branch_id\":\"main\""))
+      // webhook delivery is a REAL HTTP POST — run against a live local sink
+      val (blocked, received) = graft.store.Actions.withLocalSink() { url =>
+        graft.store.Actions.register(eng.hooks, s, graft.store.Actions.ActionConf(
+          "oracle guard",
+          Map(graft.store.Hooks.PreCommit -> Seq("main")),
+          Seq(
+            graft.store.Actions.HookConf("no_wip", "sql_check",
+              Map("expr" -> "NOT message LIKE 'WIP%'")),
+            graft.store.Actions.HookConf("notify", "webhook",
+              Map("url" -> url)))))
+        eng.stage("main", base.where(col("k") % 100 === 5)
+          .withColumn("price_c", col("price_c") + 10).withColumn("identity", ident))
+        eng.commit("main", "driver", "add five")
+        eng.stage("main", base.where(col("k") % 100 === 9)
+          .withColumn("price_c", col("price_c") + 20).withColumn("identity", ident))
+        val b =
+          try { eng.commit("main", "driver", "WIP: nine"); 0L }
+          catch { case _: Exception => 1L }
+        eng.commit("main", "driver", "nine done") // epoch survived the abort
+        eng.createBranch("scratch", "main")
+        eng.stage("scratch", base.where(col("k") % 100 === 13)
+          .withColumn("price_c", col("price_c") + 30).withColumn("identity", ident))
+        eng.commit("scratch", "driver", "WIP: off-main passes the glob")
+        b
+      }
+      val mainOnly = received.forall(_.contains("\"branch_id\":\"main\""))
       eng.list("main").select("key", "identity", "qty", "price_c")
         .withColumn("n_blocked", lit(blocked))
-        .withColumn("n_deliveries", lit(dels.size.toLong))
+        .withColumn("n_deliveries", lit(received.size.toLong))
         .withColumn("payloads_main_only", lit(if (mainOnly) 1L else 0L))
         .orderBy("key")
     }),
@@ -1764,20 +1766,23 @@ object VersionControlQueries {
         Map(graft.store.Hooks.PreCommit -> Seq.empty),
         Seq(graft.store.Actions.HookConf("no-bots", "sql_check",
           Map("expr" -> "committer <> 'bot'")))))
-      svc.add(graft.store.Actions.ActionConf("notify",
-        Map(graft.store.Hooks.PostCommit -> Seq("main")),
-        Seq(graft.store.Actions.HookConf("hook-web", "webhook",
-          Map("url" -> "http://x/")))))
-      def delta(m: Int) = base.where(col("k") % 100 === m)
-        .withColumn("price_c", col("price_c") + 5).withColumn("identity", ident)
-      eng.stage("main", delta(5)); eng.commit("main", "alice", "m1")
-      eng.stage("dev", delta(6)); eng.commit("dev", "alice", "d1")
-      val devHead = eng.refs.getBranch("dev").get
-      eng.stage("dev", delta(7))
-      val rejected = try { eng.commit("dev", "bot", "evil"); 0L }
-        catch { case _: Exception => 1L }
-      val headPinned =
-        if (eng.refs.getBranch("dev").contains(devHead)) 1L else 0L
+      // the webhook POSTs for real — answer it with a live local sink
+      val ((rejected, headPinned), _) =
+        graft.store.Actions.withLocalSink() { url =>
+          svc.add(graft.store.Actions.ActionConf("notify",
+            Map(graft.store.Hooks.PostCommit -> Seq("main")),
+            Seq(graft.store.Actions.HookConf("hook-web", "webhook",
+              Map("url" -> url)))))
+          def delta(m: Int) = base.where(col("k") % 100 === m)
+            .withColumn("price_c", col("price_c") + 5).withColumn("identity", ident)
+          eng.stage("main", delta(5)); eng.commit("main", "alice", "m1")
+          eng.stage("dev", delta(6)); eng.commit("dev", "alice", "d1")
+          val devHead = eng.refs.getBranch("dev").get
+          eng.stage("dev", delta(7))
+          val rej = try { eng.commit("dev", "bot", "evil"); 0L }
+            catch { case _: Exception => 1L }
+          (rej, if (eng.refs.getBranch("dev").contains(devHead)) 1L else 0L)
+        }
       import s.implicits._
       svc.runs.listRuns()._1.map { r =>
         val hr = svc.runs.listHookRuns(r.runId)
@@ -2010,13 +2015,17 @@ object VersionControlQueries {
       eng.stage("main", Seq(("n/NATION_1_NEW", "x", null: String, 99L, 0L))
         .toDF("key", "identity", "address", "size_bytes", "mtime"))
       eng.commit("main", "driver", "add one")
-      s.conf.set("spark.sql.catalog.gvc", "graft.sources.GraftCatalog")
-      s.conf.set("spark.sql.catalog.gvc.root", root)
+      // dataset-hash-suffixed catalog name: Spark's CatalogManager caches
+      // catalog instances per name after first load, so a fixed name would
+      // pin the FIRST dataset's root for the whole session
+      val cat = s"gvc${math.abs(d.hashCode)}"
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
       val head = s.sql(
-        "SELECT key, size_bytes FROM gvc.repo.main WHERE key LIKE 'n/NATION_1%'")
+        s"SELECT key, size_bytes FROM $cat.repo.main WHERE key LIKE 'n/NATION_1%'")
         .withColumn("at", lit("head"))
       val v1 = s.sql(
-        s"SELECT key, size_bytes FROM gvc.repo.main VERSION AS OF '$c1' " +
+        s"SELECT key, size_bytes FROM $cat.repo.main VERSION AS OF '$c1' " +
           "WHERE key LIKE 'n/NATION_1%'")
         .withColumn("at", lit("v1"))
       head.unionByName(v1).orderBy("at", "key")

@@ -140,10 +140,18 @@ class GraftCatalog extends TableCatalog
   override def dropTable(ident: Identifier): Boolean = {
     val dir = repoDir(ident.namespace)
     val eng = new graft.store.Engine(SparkSession.active, dir)
-    // false ONLY when the branch does not exist; protection/hook/IO
-    // failures must surface, not masquerade as NoSuchTable
-    if (eng.refs.getBranch(ident.name).isEmpty) false
-    else { eng.deleteBranch(ident.name); true }
+    // false ONLY when the ref does not exist at all; protection/hook/IO
+    // failures must surface, not masquerade as NoSuchTable — and a ref
+    // that RESOLVES but is not a branch (tag, commit) is a visible table
+    // that simply cannot be dropped, so it reports unsupported rather
+    // than NoSuchTable
+    if (eng.refs.getBranch(ident.name).isDefined) {
+      eng.deleteBranch(ident.name); true
+    } else if (scala.util.Try(eng.refs.resolve(ident.name)).toOption
+        .flatten.isDefined)
+      throw new UnsupportedOperationException(
+        s"ref '${ident.name}' is not a branch; only branch tables can be dropped")
+    else false
   }
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw new UnsupportedOperationException("refs cannot be renamed via SQL")
@@ -798,7 +806,7 @@ class GraftScan(repoDir: String, ref: String,
     val spark = SparkSession.active
     val refs = new RefStore(s"$repoDir/refs")
     val resolved = refs.resolveFull(ref)
-      .getOrElse(sys.error(s"unresolvable ref: $ref"))
+      .getOrElse(throw new graft.store.UnresolvableRefException(ref))
     val store = new SnapshotStore(spark, repoDir)
     store.readManifest(resolved.commit.metaRangeId)
       .filter(ri => lo.forall(ri.maxKey >= _) && hi.forall(ri.minKey < _))
@@ -945,7 +953,7 @@ class GraftMicroBatchStream(repoDir: String, ref: String, ckpt: String)
   private def hconf = spark.sparkContext.hadoopConfiguration
   private def head(): String =
     new RefStore(s"$repoDir/refs").resolveFull(ref)
-      .getOrElse(sys.error(s"unresolvable ref: $ref")).commit.commitId
+      .getOrElse(throw new graft.store.UnresolvableRefException(ref)).commit.commitId
   // batch-end → materialized diff dirs, deleted once Spark commits the batch
   private val pending = scala.collection.mutable.Map[String, List[String]]()
 

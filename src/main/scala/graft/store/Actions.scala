@@ -18,10 +18,12 @@ import scala.collection.mutable
  *    (`pkg/actions/lua.go`), expressed in the engine's native expression
  *    language — evaluated driver-side (Catalyst folds a filter over a
  *    one-row local relation at optimization time; no cluster job).
- *  - `webhook` — property `url` (+ optional `timeout`); this build runs
- *    with zero egress, so the delivery is appended to
- *    [[Actions.deliveries]] instead of POSTed. The payload mirrors the
- *    reference's `EventInfo` JSON (`pkg/actions/webhook.go:83-141`).
+ *  - `webhook` — property `url` (+ optional `timeout`, `header:<Name>`
+ *    extras): POSTs the reference's `EventInfo` JSON
+ *    (`pkg/actions/webhook.go:83-141`) with connect/read timeouts;
+ *    transport errors and non-2xx responses are hook failures, aborting
+ *    the operation on pre-events. Every attempt is also appended to
+ *    [[Actions.deliveries]] so the audit trail survives a failed POST.
  *
  * Branch patterns use the reference's glob matching (`*`/`?`,
  * `pkg/actions/action.go:141-159` via `path.Match`); an empty list matches
@@ -39,7 +41,8 @@ object Actions {
       on: Map[Hooks.EventType, Seq[String]], // event -> branch globs ([] = all)
       hooks: Seq[HookConf])
 
-  /** Recorded would-be webhook POSTs: (action, hook id, url, JSON payload). */
+  /** Recorded webhook POST attempts: (action, hook id, url, JSON payload) —
+    * appended before the POST so the audit survives delivery failures. */
   private val deliveryLog =
     new java.util.concurrent.CopyOnWriteArrayList[(String, String, String, String)]()
   def deliveries: Seq[(String, String, String, String)] = {
@@ -47,6 +50,31 @@ object Actions {
     deliveryLog.asScala.toSeq
   }
   def clearDeliveries(): Unit = deliveryLog.clear()
+
+  /** Run `f` against a live local HTTP sink on an ephemeral port answering
+    * every POST with `status` (after `delayMs`, to exercise read timeouts);
+    * returns (f's result, request bodies received). Drivers and specs use
+    * this to exercise REAL webhook delivery in zero-egress environments. */
+  def withLocalSink[T](status: Int = 200, delayMs: Long = 0L)
+      (f: String => T): (T, Seq[String]) = {
+    val srv = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    val bodies = new java.util.concurrent.CopyOnWriteArrayList[String]()
+    srv.createContext("/", (ex: com.sun.net.httpserver.HttpExchange) => {
+      val body = new String(ex.getRequestBody.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8)
+      bodies.add(body)
+      if (delayMs > 0) Thread.sleep(delayMs)
+      ex.sendResponseHeaders(status, -1)
+      ex.close()
+    })
+    srv.start()
+    try {
+      import scala.jdk.CollectionConverters._
+      val r = f(s"http://127.0.0.1:${srv.getAddress.getPort}/hook")
+      (r, bodies.asScala.toSeq)
+    } finally srv.stop(0)
+  }
 
   private val payloadMapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
@@ -74,6 +102,17 @@ object Actions {
         h.properties.get(k).exists(_.nonEmpty),
         s"hook '${h.id}': property '$k' is required for ${h.hookType}"))
     }
+  }
+
+  /** Hook timeout property: plain integer seconds, or a Go-duration-style
+    * `Nms`/`Ns`/`Nm` suffix (the reference's YAML carries Go durations). */
+  private[store] def parseTimeoutMs(v: String): Long = {
+    val t = v.trim
+    def num(s: String) = s.trim.toLong
+    if (t.endsWith("ms")) num(t.dropRight(2))
+    else if (t.endsWith("s")) num(t.dropRight(1)) * 1000L
+    else if (t.endsWith("m")) num(t.dropRight(1)) * 60000L
+    else num(t) * 1000L
   }
 
   /** Glob match with `*` (any run) and `?` (one char), anchored — the
@@ -188,8 +227,35 @@ object Actions {
         "committer" -> ev.committer, "commit_message" -> ev.message,
         "tag_id" -> ev.tag.getOrElse(""))
         .foreach { case (k, v) => node.put(k, v) }
-      deliveryLog.add((conf.name, h.id, h.properties("url"),
-        payloadMapper.writeValueAsString(node)))
+      val payload = payloadMapper.writeValueAsString(node)
+      val url = h.properties("url")
+      // real delivery, `pkg/actions/webhook.go:83-141` semantics: POST the
+      // EventInfo JSON with connect/read timeouts; a transport error or a
+      // non-2xx status is a hook failure (→ abort on pre-events). The
+      // attempt is recorded FIRST so the delivery audit survives a failed
+      // POST, like the reference's run manifests.
+      deliveryLog.add((conf.name, h.id, url, payload))
+      val timeoutMs = h.properties.get("timeout")
+        .map(parseTimeoutMs).getOrElse(60000L) // webhook.go default 1m
+      val conn = new java.net.URL(url).openConnection()
+        .asInstanceOf[java.net.HttpURLConnection]
+      try {
+        conn.setRequestMethod("POST")
+        conn.setConnectTimeout(math.min(timeoutMs, Int.MaxValue).toInt)
+        conn.setReadTimeout(math.min(timeoutMs, Int.MaxValue).toInt)
+        conn.setDoOutput(true)
+        conn.setRequestProperty("Content-Type", "application/json")
+        // extra request headers ride properties as `header:<Name>`
+        h.properties.foreach { case (k, v) =>
+          if (k.startsWith("header:")) conn.setRequestProperty(k.drop(7), v)
+        }
+        val out = conn.getOutputStream
+        try out.write(payload.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+        val code = conn.getResponseCode
+        if (code < 200 || code >= 300) sys.error(
+          s"action '${conf.name}' hook '${h.id}': webhook $url returned HTTP $code")
+      } finally conn.disconnect()
     case "export" =>
       new Engine(spark, ev.repoDir)
         .exportRunAuto(ev.branch, h.properties("dest"))
@@ -330,11 +396,7 @@ class ActionsSource(engine: Engine, ttlMs: Long = 5000L) {
     // a broken listing silently disabling guards would be a policy hole
     val entries =
       try EntryIO.visibleUnder(engine, ref, location)
-      catch {
-        case e: RuntimeException
-            if Option(e.getMessage).exists(_.contains("unresolvable")) =>
-          return Seq.empty
-      }
+      catch { case _: UnresolvableRefException => return Seq.empty }
     entries
       .filter(e => e.key.endsWith(".yaml") || e.key.endsWith(".yml") ||
         e.key.endsWith(".json"))

@@ -19,6 +19,12 @@ import graft.operators.{Dag, Diff, Export, Import, Listing, Merge, Retention, St
  * Data-scale work (diff/merge/commit/list) is DataFrame plans; only
  * metadata (refs, manifests) touches the driver.
  */
+/** A ref expression that resolves to no commit — typed so policy layers
+  * (e.g. [[ActionsSource]]'s fail-open-on-deleted-ref path) can branch on
+  * the CAUSE instead of matching message text. */
+class UnresolvableRefException(val ref: String)
+  extends RuntimeException(s"unresolvable ref: $ref")
+
 class Engine(val spark: SparkSession, val repoDir: String,
     raggedness: Long = 50000L) {
 
@@ -99,7 +105,7 @@ class Engine(val spark: SparkSession, val repoDir: String,
   }
 
   def resolveCommit(ref: String): CommitInfo =
-    refs.resolve(ref).getOrElse(sys.error(s"unresolvable ref: $ref"))
+    refs.resolve(ref).getOrElse(throw new UnresolvableRefException(ref))
 
   // --- staging (T1/T2: epoch-tagged changes log) --------------------------
 
@@ -621,7 +627,7 @@ class Engine(val spark: SparkSession, val repoDir: String,
     * staged view even when `includeStaged` is false. */
   def list(ref: String, prefix: String = "", after: String = "",
       limit: Int = Int.MaxValue, includeStaged: Boolean = true): DataFrame = {
-    val r = refs.resolveFull(ref).getOrElse(sys.error(s"unresolvable ref: $ref"))
+    val r = refs.resolveFull(ref).getOrElse(throw new UnresolvableRefException(ref))
     val commit = r.commit
     val isBranch = r.branch.isDefined
     val branch = r.branch.getOrElse("")
@@ -653,7 +659,7 @@ class Engine(val spark: SparkSession, val repoDir: String,
     * staged overlay resolves first (tombstone => None), then the effective
     * base — the same resolution order as [[list]] and the reference's Get. */
   def get(ref: String, key: String): Option[Row] = {
-    val r = refs.resolveFull(ref).getOrElse(sys.error(s"unresolvable ref: $ref"))
+    val r = refs.resolveFull(ref).getOrElse(throw new UnresolvableRefException(ref))
     val commit = r.commit
     val isBranch = r.branch.isDefined
     val useUncommitted = isBranch && !r.committedOnly
@@ -682,9 +688,9 @@ class Engine(val spark: SparkSession, val repoDir: String,
     * CombinedDiffIterator shape (`graveler.go:3471-3515`). The left side
     * must dereference to a commit (`dereferenceCommit`, `:3450-3469`). */
   def diff(leftRef: String, rightRef: String): DataFrame = {
-    val left = refs.resolveFull(leftRef).getOrElse(sys.error(s"unresolvable ref: $leftRef"))
+    val left = refs.resolveFull(leftRef).getOrElse(throw new UnresolvableRefException(leftRef))
     require(!left.staging, s"left ref $leftRef names a staging area, not a commit")
-    val right = refs.resolveFull(rightRef).getOrElse(sys.error(s"unresolvable ref: $rightRef"))
+    val right = refs.resolveFull(rightRef).getOrElse(throw new UnresolvableRefException(rightRef))
     val leftMeta = left.commit.metaRangeId
     if (!right.staging) snapshots.diff(leftMeta, right.commit.metaRangeId)
     else {
@@ -720,9 +726,9 @@ class Engine(val spark: SparkSession, val repoDir: String,
     * inspects the extra row for has_more, like every paged listing here. */
   def diffPrefix(leftRef: String, rightRef: String, prefix: String = "",
       after: String = "", limit: Int = Int.MaxValue): DataFrame = {
-    val left = refs.resolveFull(leftRef).getOrElse(sys.error(s"unresolvable ref: $leftRef"))
+    val left = refs.resolveFull(leftRef).getOrElse(throw new UnresolvableRefException(leftRef))
     require(!left.staging, s"left ref $leftRef names a staging area, not a commit")
-    val right = refs.resolveFull(rightRef).getOrElse(sys.error(s"unresolvable ref: $rightRef"))
+    val right = refs.resolveFull(rightRef).getOrElse(throw new UnresolvableRefException(rightRef))
     val dd =
       if (right.staging) diff(leftRef, rightRef)
       else {
@@ -1491,7 +1497,7 @@ class Engine(val spark: SparkSession, val repoDir: String,
    */
   def symlinkExport(ref: String, dest: String, ns: String,
       location: String = ""): Long = {
-    val r = refs.resolveFull(ref).getOrElse(sys.error(s"unresolvable ref: $ref"))
+    val r = refs.resolveFull(ref).getOrElse(throw new UnresolvableRefException(ref))
     val branch = r.branch.getOrElse(ref)
     val entries = list(ref, prefix = location)
     val plan = graft.operators.Export.symlinks(

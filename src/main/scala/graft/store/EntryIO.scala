@@ -339,7 +339,7 @@ object EntryIO {
     * the manifest's range interval index. */
   def pointGet(engine: Engine, ref: String, key: String): Option[Entry] = {
     val rr = engine.refs.resolveFull(ref)
-      .getOrElse(sys.error(s"unresolvable ref: $ref"))
+      .getOrElse(throw new graft.store.UnresolvableRefException(ref))
     val conf = engine.spark.sparkContext.hadoopConfiguration
     val useUncommitted = rr.branch.isDefined && !rr.committedOnly
     if (useUncommitted) {
@@ -383,7 +383,7 @@ object EntryIO {
   private def viewOf(engine: Engine, ref: String,
       lo: Option[String], hi: Option[String]): View = {
     val rr = engine.refs.resolveFull(ref)
-      .getOrElse(sys.error(s"unresolvable ref: $ref"))
+      .getOrElse(throw new graft.store.UnresolvableRefException(ref))
     val useUncommitted = rr.branch.isDefined && !rr.committedOnly
     val staged =
       if (useUncommitted) stagedWindow(engine, rr.branch.get, lo, hi)
@@ -495,7 +495,7 @@ object EntryIO {
     * checks. Early-exits on the first hit. */
   def firstVisibleWithPrefix(engine: Engine, ref: String, p: String): Option[String] = {
     val rr = engine.refs.resolveFull(ref)
-      .getOrElse(sys.error(s"unresolvable ref: $ref"))
+      .getOrElse(throw new graft.store.UnresolvableRefException(ref))
     val conf = engine.spark.sparkContext.hadoopConfiguration
     val hi = graft.operators.Listing.upperBound(p)
     val useUncommitted = rr.branch.isDefined && !rr.committedOnly

@@ -25,18 +25,23 @@ class ActionRunsSpec extends SparkSpec {
         Map("expr" -> "committer <> 'bot'")),
         Actions.HookConf("never-runs-after-fail", "sql_check",
           Map("expr" -> "true")))))
-    svc.add(Actions.ActionConf("notify",
-      Map(Hooks.PostCommit -> Seq("main")),
-      Seq(Actions.HookConf("hook-web", "webhook", Map("url" -> "http://x/")))))
+    // the webhook POSTs for real - answer it with a live local sink
+    val (headAfterAlice, delivered) = Actions.withLocalSink() { url =>
+      svc.add(Actions.ActionConf("notify",
+        Map(Hooks.PostCommit -> Seq("main")),
+        Seq(Actions.HookConf("hook-web", "webhook", Map("url" -> url)))))
 
-    eng.stage("main", Seq(("k0001", "v1b")).toDF("key", "identity"))
-    eng.commit("main", "alice", "ok commit")
-    val headAfterAlice = eng.refs.getBranch("main").get
+      eng.stage("main", Seq(("k0001", "v1b")).toDF("key", "identity"))
+      eng.commit("main", "alice", "ok commit")
+      val head = eng.refs.getBranch("main").get
 
-    eng.stage("main", Seq(("k0002", "v2b")).toDF("key", "identity"))
-    intercept[RuntimeException] { eng.commit("main", "bot", "evil commit") }
-    // the failed run recorded, the operation rolled back
-    assert(eng.refs.getBranch("main").get === headAfterAlice)
+      eng.stage("main", Seq(("k0002", "v2b")).toDF("key", "identity"))
+      intercept[RuntimeException] { eng.commit("main", "bot", "evil commit") }
+      // the failed run recorded, the operation rolled back
+      assert(eng.refs.getBranch("main").get === head)
+      head
+    }
+    assert(delivered.size === 1 && delivered.head.contains("\"committer\":\"alice\""))
 
     val (runs, more) = svc.runs.listRuns()
     assert(!more)

@@ -127,4 +127,96 @@ class ActionsSourceSpec extends SparkSpec {
     java.nio.file.Files.delete(java.nio.file.Paths.get(eng2.repoDir, "blobs/g.yaml"))
     assert(src.loadRef("main").map(_.name) === Seq("no bad words"))
   }
+
+  test("repo-configured webhook delivers to a live HTTP listener") {
+    import spark.implicits._
+    val dir = tmpDir("asrcweb")
+    val eng = new Engine(spark, dir, raggedness = 100)
+    eng.init("main", Some(Seq(("k1", "v1", null: String))
+      .toDF("key", "identity", "address")))
+    val svc = new ActionService(eng)
+    svc.enableRepoActions(ttlMs = 0L)
+    val (_, received) = Actions.withLocalSink() { url =>
+      val yaml =
+        s"""name: ping ci
+           |on:
+           |  post-commit: {}
+           |hooks:
+           |  - id: ping
+           |    type: webhook
+           |    properties:
+           |      url: "$url"
+           |      timeout: 5s
+           |""".stripMargin
+      writeBlob(dir, "blobs/ping.yaml", yaml)
+      eng.stage("main", Seq(("_lakefs_actions/ping.yaml", "p1", "blobs/ping.yaml"))
+        .toDF("key", "identity", "address"))
+      eng.commit("main", "alice", "install ping")
+    }
+    // the install commit itself fired post-commit (staged files count)
+    assert(received.size === 1)
+    val node = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(received.head)
+    assert(node.get("event_type").asText() === "PostCommit")
+    assert(node.get("action_name").asText() === "ping ci")
+    assert(node.get("committer").asText() === "alice")
+    // the run store recorded the successful delivery
+    val (runs, _) = svc.runs.listRuns()
+    assert(runs.exists(r => r.eventType == "PostCommit" && r.passed))
+  }
+
+  test("webhook timeout and non-2xx abort a pre-commit, head pinned") {
+    import spark.implicits._
+    def guarded(name: String)(prep: String => Unit): Engine = {
+      val eng = new Engine(spark, tmpDir(name), raggedness = 100)
+      eng.init("main", Some(Seq(("k1", "v1", null: String))
+        .toDF("key", "identity", "address")))
+      new ActionService(eng).enableRepoActions(ttlMs = 0L)
+      eng
+    }
+    def installAndCommit(eng: Engine, url: String, timeout: String): Unit = {
+      val yaml =
+        s"""name: slow gate
+           |on:
+           |  pre-commit: {}
+           |hooks:
+           |  - id: gate
+           |    type: webhook
+           |    properties:
+           |      url: "$url"
+           |      timeout: $timeout
+           |""".stripMargin
+      writeBlob(eng.repoDir, "blobs/gate.yaml", yaml)
+      eng.stage("main", Seq(("_lakefs_actions/gate.yaml", "g1", "blobs/gate.yaml"))
+        .toDF("key", "identity", "address"))
+      eng.commit("main", "alice", "guarded commit")
+    }
+
+    // read timeout: the sink answers after 2s, the hook allows 200ms
+    val eng1 = guarded("asrcslow")(_ => ())
+    val head1 = eng1.refs.getBranch("main").get
+    Actions.withLocalSink(delayMs = 2000L) { url =>
+      val ex = intercept[Exception] { installAndCommit(eng1, url, "200ms") }
+      assert(Option(ex.getMessage).exists(m =>
+        m.toLowerCase.contains("timed out") || m.contains("gate")))
+    }
+    assert(eng1.refs.getBranch("main").get === head1, "abort must pin the head")
+
+    // non-2xx: a 500 from the listener is a hook failure
+    val eng2 = guarded("asrc500")(_ => ())
+    val head2 = eng2.refs.getBranch("main").get
+    Actions.withLocalSink(status = 500) { url =>
+      val ex = intercept[Exception] { installAndCommit(eng2, url, "5s") }
+      assert(ex.getMessage.contains("HTTP 500"))
+    }
+    assert(eng2.refs.getBranch("main").get === head2)
+
+    // connection refused (no listener at all) fails too
+    val eng3 = guarded("asrcrefused")(_ => ())
+    val head3 = eng3.refs.getBranch("main").get
+    intercept[Exception] {
+      installAndCommit(eng3, "http://127.0.0.1:1/hook", "500ms")
+    }
+    assert(eng3.refs.getBranch("main").get === head3)
+  }
 }

@@ -91,4 +91,49 @@ class DeltaLogSpec extends SparkSpec {
       .get("remove").get("path").asText()
     assert(rmPath === s"${eng.repoDir}/blobs/p0")
   }
+
+  test("exportLog driver work does not scale with the table's file count") {
+    import spark.implicits._
+    // address resolution is ONE distributed join against the listing —
+    // never a per-path point lookup — so the Spark job count of an export
+    // must not grow with the number of data files a version references
+    def tableWith(n: Int): Engine = {
+      val eng = new Engine(spark, tmpDir(s"dlogscale$n"), raggedness = 100)
+      eng.init("main", Some(Seq(("seed", "s", "", 0L))
+        .toDF("key", "identity", "address", "size_bytes")))
+      (0 until n).foreach { i =>
+        stageFile(eng, "main", s"$t/part-$i.parquet", s"blobs/p$i", s"D$i")
+      }
+      val big = (0 until n)
+        .map(i => s"""{"add":{"path":"part-$i.parquet","size":10}}""")
+        .mkString("""{"commitInfo":{"operation":"WRITE"}}""" + "\n", "\n", "\n")
+      stageFile(eng, "main", s"$t/_delta_log/" + "0" * 20 + ".json", "blobs/l0", big)
+      eng.commit("main", "u", s"table with $n files")
+      eng
+    }
+    def jobsDuring(f: => Unit): Int = {
+      val counter = new java.util.concurrent.atomic.AtomicInteger()
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          counter.incrementAndGet()
+      }
+      spark.sparkContext.addSparkListener(l)
+      try { f; Thread.sleep(300) } // let queued listener events drain
+      finally spark.sparkContext.removeSparkListener(l)
+      counter.get()
+    }
+    val small = tableWith(3)
+    val large = tableWith(48)
+    val jSmall = jobsDuring {
+      val r = DeltaLog.exportLog(small, "main", t, tmpDir("dlogsmall")).collect()
+      assert(r.map(_.getLong(2)).sum === 3L)
+    }
+    val jLarge = jobsDuring {
+      val r = DeltaLog.exportLog(large, "main", t, tmpDir("dloglarge")).collect()
+      assert(r.map(_.getLong(2)).sum === 48L)
+    }
+    assert(jLarge <= jSmall + 2,
+      s"export job count grew with file count: $jSmall -> $jLarge")
+  }
 }

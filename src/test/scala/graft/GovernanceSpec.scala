@@ -56,55 +56,57 @@ class GovernanceSpec extends SparkSpec {
     assert(!eng.refs.isProtected("feature/1.0"))
   }
 
-  test("config-driven actions: sql_check aborts a commit, webhook records delivery") {
+  test("config-driven actions: sql_check aborts a commit, webhook delivers") {
     import spark.implicits._
     import graft.store.{Actions, Hooks}
     val eng = new Engine(spark, tmpDir("actions"), raggedness = 100)
     eng.init("main", Some(rows(10)))
     eng.createBranch("scratch", "main")
-    Actions.clearDeliveries()
 
-    // the action, as pure configuration (action.go:16-58): block WIP commit
-    // messages on main, notify a webhook after any commit
-    Actions.register(eng.hooks, spark, Actions.ActionConf(
-      name = "commit policy",
-      on = Map(
-        Hooks.PreCommit -> Seq("main", "release/*"),
-        Hooks.PostCommit -> Seq.empty),
-      hooks = Seq(
-        Actions.HookConf("no_wip", "sql_check",
-          Map("expr" -> "NOT message LIKE '%WIP%'")),
-        Actions.HookConf("notify", "webhook",
-          Map("url" -> "https://example.invalid/hook")))))
-
-    // rejected on a matching branch: commit aborts, head unmoved
-    eng.stage("main", Seq(("k0001", "X")).toDF("key", "identity"))
-    val before = eng.resolveCommit("main").commitId
-    val ex = intercept[RuntimeException] { eng.commit("main", "t", "WIP: later") }
-    assert(ex.getMessage.contains("no_wip"))
-    assert(eng.resolveCommit("main").commitId === before)
-
-    // non-matching branch: the branch-glob filter skips the check
-    eng.stage("scratch", Seq(("k0002", "Y")).toDF("key", "identity"))
-    eng.commit("scratch", "t", "WIP: fine here")
-
-    // passing commit on main: sql_check passes, post-commit webhook recorded
-    val n0 = Actions.deliveries.size
-    eng.commit("main", "t", "ready")
-    val hits = Actions.deliveries.drop(n0).filter(_._2 === "notify")
-    assert(hits.exists { case (a, _, url, payload) =>
-      a === "commit policy" && url === "https://example.invalid/hook" &&
-        payload.contains("\"branch_id\":\"main\"") &&
-        payload.contains("\"commit_message\":\"ready\"")
-    })
-
-    // payloads are real JSON: control chars / backslashes / quotes in the
-    // commit message survive a strict parse with the original value intact
-    eng.stage("main", Seq(("k0003", "Z")).toDF("key", "identity"))
     val nasty = "line1\nline2\t\"quoted\" back\\slash \u0007"
-    val n1 = Actions.deliveries.size
-    eng.commit("main", "t", nasty)
-    val rec = Actions.deliveries.drop(n1).find(_._2 === "notify").get._4
+    // webhook delivery is a REAL HTTP POST now - exercise it end-to-end
+    // against a live local listener (zero-egress environment)
+    val (_, received) = Actions.withLocalSink() { url =>
+      // the action, as pure configuration (action.go:16-58): block WIP
+      // commit messages on main, notify a webhook after any commit
+      Actions.register(eng.hooks, spark, Actions.ActionConf(
+        name = "commit policy",
+        on = Map(
+          Hooks.PreCommit -> Seq("main", "release/*"),
+          Hooks.PostCommit -> Seq.empty),
+        hooks = Seq(
+          Actions.HookConf("no_wip", "sql_check",
+            Map("expr" -> "NOT message LIKE '%WIP%'")),
+          Actions.HookConf("notify", "webhook",
+            Map("url" -> url)))))
+
+      // rejected on a matching branch: commit aborts, head unmoved
+      eng.stage("main", Seq(("k0001", "X")).toDF("key", "identity"))
+      val before = eng.resolveCommit("main").commitId
+      val ex = intercept[RuntimeException] { eng.commit("main", "t", "WIP: later") }
+      assert(ex.getMessage.contains("no_wip"))
+      assert(eng.resolveCommit("main").commitId === before)
+
+      // non-matching branch: the branch-glob filter skips the check, and
+      // the post-commit webhook POSTs for the scratch commit
+      eng.stage("scratch", Seq(("k0002", "Y")).toDF("key", "identity"))
+      eng.commit("scratch", "t", "WIP: fine here")
+
+      // passing commit on main: sql_check passes, post-commit webhook
+      // delivered to the live listener
+      eng.commit("main", "t", "ready")
+
+      // payloads are real JSON: control chars / backslashes / quotes in
+      // the commit message survive a strict parse with the value intact
+      eng.stage("main", Seq(("k0003", "Z")).toDF("key", "identity"))
+      eng.commit("main", "t", nasty)
+    }
+    assert(received.exists(p =>
+      p.contains("\"branch_id\":\"main\"") &&
+        p.contains("\"commit_message\":\"ready\"")))
+    // (no scratch delivery: the action runs its hooks in order per event,
+    // so the WIP message fails sql_check at post-commit before the webhook)
+    val rec = received.last
     val parsed = new com.fasterxml.jackson.databind.ObjectMapper().readTree(rec)
     assert(parsed.get("commit_message").asText() === nasty)
 

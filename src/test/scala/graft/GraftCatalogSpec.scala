@@ -182,5 +182,16 @@ class GraftCatalogSpec extends SparkSpec {
     spark.sql("DROP TABLE gd2.repod.dev")
     assert(eng.refs.getBranch("dev").isEmpty)
     assert(spark.sql("SELECT count(*) FROM gd2.repod.main").head().getLong(0) === 1L)
+
+    // a tag is a visible (readable) table but NOT droppable: surfacing it
+    // as NoSuchTable would misreport it as missing — unsupported instead
+    eng.refs.createTag("pinned", eng.refs.getBranch("main").get)
+    assert(spark.sql("SELECT count(*) FROM gd2.repod.pinned").head().getLong(0) === 1L)
+    val ex = intercept[Exception] { spark.sql("DROP TABLE gd2.repod.pinned") }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: chain(t.getCause)
+    assert(chain(ex).exists(_.isInstanceOf[UnsupportedOperationException]),
+      s"want UnsupportedOperationException, got $ex")
+    assert(eng.refs.tags.contains("pinned"), "the tag must survive")
   }
 }

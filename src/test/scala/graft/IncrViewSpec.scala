@@ -27,6 +27,27 @@ class IncrViewSpec extends SparkSpec {
       want.orderBy("grp").collect().toSeq)
   }
 
+  test("NULL group keys merge with their stored view row on refresh") {
+    // materialize's groupBy keeps NULL groups as ONE group; the refresh
+    // join must be null-safe or the stored NULL-group row and its delta
+    // would survive as two separate rows
+    def snapN(rows: (String, Option[String], Long)*) =
+      rows.toDF("key", "grp", "qty")
+        .withColumn("identity", sha2(concat_ws("|", col("key"), col("qty")), 256))
+    val base = snapN(("k1", None, 10L), ("k2", Some("a"), 20L), ("k3", None, 5L))
+    val right = snapN(("k1", None, 11L), ("k2", Some("a"), 20L), ("k4", None, 2L))
+    val view = IncrView.materialize(base, g, v)
+    val got = IncrView.refresh(view, IncrView.deltas(base, right, g, v), g, v)
+    val want = IncrView.materialize(right, g, v)
+    assert(got.orderBy("grp").collect().toSeq ===
+      want.orderBy("grp").collect().toSeq)
+    // exactly one NULL-group row survives, with the refreshed sums
+    val nulls = got.where(col("grp").isNull).collect()
+    assert(nulls.length === 1)
+    assert(nulls.head.getAs[Long]("n_rows") === 2L &&
+      nulls.head.getAs[Long]("sum_qty") === 13L)
+  }
+
   test("group emptied by the diff is dropped; brand-new group appears") {
     val base = snap(("k1", "a", 1L), ("k2", "b", 2L))
     val right = snap(("k2", "b", 2L), ("k9", "z", 9L)) // group a gone, z new
