@@ -112,7 +112,9 @@ object Listing {
     // shift the split by one
     val rest = expr(
       s"substring($keyCol, ${prefix.codePointCount(0, prefix.length) + 1})")
-    val pos = instr(rest, delimiter)
+    // no delimiter = no roll-up (S3 lists plain keys); instr(_, "") is 1,
+    // which would otherwise collapse every key into a common prefix
+    val pos = if (delimiter.isEmpty) lit(0) else instr(rest, delimiter)
     val name = when(pos > 0,
       concat(lit(prefix), substring_index(rest, delimiter, 1), lit(delimiter)))
       .otherwise(col(keyCol))
@@ -130,6 +132,36 @@ object Listing {
         (max("rn").over(whole) > maxKeys).cast("long"))
       .where(col("rn") <= maxKeys)
       .select("rn", "name", "entry_type", "is_truncated")
+      .orderBy("rn")
+  }
+
+  /**
+   * The S3 gateway's ListObjects (V1) page — the `marker` dialect of
+   * [[s3ListPage]] (`pkg/gateway/operations/listobjects.go`, V1 branch):
+   * listing starts strictly AFTER `marker`, and the response carries
+   * `NextMarker` — the LAST name on the page — only when the page is
+   * truncated AND a delimiter was given (without one, V1 clients use the
+   * last Contents key themselves). Output adds `next_marker`
+   * (null unless truncated-with-delimiter) to the V2 page columns; the
+   * plan shape is identical — roll-up distinct + TakeOrderedAndProject +
+   * window over the ≤ maxKeys+1 page rows.
+   */
+  def s3ListPageV1(
+      df: DataFrame,
+      prefix: String,
+      delimiter: String,
+      marker: Option[String],
+      maxKeys: Int,
+      keyCol: String = "key"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val page = s3ListPage(df, prefix, delimiter, marker, maxKeys, keyCol)
+    val whole = Window.orderBy("rn")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    page
+      .withColumn("next_marker",
+        when(col("is_truncated") === 1L && lit(delimiter.nonEmpty),
+          max(when(col("rn") === max("rn").over(whole), col("name"))).over(whole)))
+      .select("rn", "name", "entry_type", "is_truncated", "next_marker")
       .orderBy("rn")
   }
 

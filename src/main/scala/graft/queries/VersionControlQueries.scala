@@ -1206,6 +1206,44 @@ object VersionControlQueries {
                  AS BIGINT) AS is_truncated
         FROM num WHERE rn <= 100 ORDER BY rn""")),
 
+    // The V1 marker dialect of the same page (listobjects.go V1 branch):
+    // truncated-with-delimiter responses carry NextMarker = the last name
+    // on the page; the page itself is identical to V2's. maxKeys 100 over
+    // the interleaved tree guarantees truncation at sf>=0.001.
+    "vc_s3_list_v1" -> (((s: SparkSession, d: String) => {
+      val flat = Fixtures.keyedBase(s, d).where(col("k") % 97 === 3)
+        .select(concat(lit("R/f"), col("key")).as("key"))
+      val paths = Fixtures.pathKeyed(s, d).select("key").unionByName(flat)
+      Listing.s3ListPageV1(paths, "R/", "/", Some("R/F/"), 100)
+    }),
+      Some(s"""$prelude,
+        paths AS (
+          SELECT rf || '/' || ls || '/' || key AS key FROM base
+          UNION ALL
+          SELECT 'R/f' || key AS key FROM base WHERE k%97=3
+        ),
+        ent AS (
+          SELECT DISTINCT
+            CASE WHEN strpos(substr(key, 3), '/') > 0
+                 THEN 'R/' || split_part(substr(key, 3), '/', 1) || '/'
+                 ELSE key END AS name,
+            CASE WHEN strpos(substr(key, 3), '/') > 0
+                 THEN 'common_prefix' ELSE 'key' END AS entry_type
+          FROM paths WHERE key LIKE 'R/%'
+        ),
+        num AS (
+          SELECT name, entry_type, row_number() OVER (ORDER BY name) AS rn
+          FROM ent WHERE name > 'R/F/'
+        ),
+        page AS (SELECT * FROM num WHERE rn <= 100),
+        trunc AS (
+          SELECT CASE WHEN count(*) > 100 THEN 1 ELSE 0 END AS t FROM num)
+        SELECT CAST(rn AS BIGINT) AS rn, name, entry_type,
+               CAST((SELECT t FROM trunc) AS BIGINT) AS is_truncated,
+               CASE WHEN (SELECT t FROM trunc) = 1
+                    THEN (SELECT max(name) FROM page) END AS next_marker
+        FROM page ORDER BY rn""")),
+
     // T4 housekeeping oracle-checked: DeleteExpiredImports
     // (`catalog.go:3177-3190`) drops FINISHED import records (completed or
     // errored) older than the cutoff and never touches in-flight ones

@@ -104,6 +104,18 @@ class Catalog(val spark: SparkSession, val rootDir: String,
   def listRepositories(): Seq[RepoInfo] =
     readKv().toSeq.sortBy(_._1).map { case (id, v) => dec(id, v) }
 
+  /** The S3 gateway's ListBuckets response
+    * (`pkg/gateway/operations/listbuckets.go`): every repository as a
+    * bucket row (name, creation_date), name order — the gateway maps
+    * bucket == repository and stamps the repo's creation date. Driver
+    * metadata (repos are few); returned as a DataFrame so gateway
+    * surfaces stay uniformly queryable. */
+  def listBuckets(): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    listRepositories().map(r => (r.repositoryId, r.creationDate))
+      .toDF("bucket", "creation_date").orderBy("bucket")
+  }
+
   /** Id-ordered repository page strictly after `after`, plus a has-more
     * flag (`pkg/catalog/catalog.go:246-283` ListRepositories paging). */
   def listRepositoriesPage(after: Option[String] = None, limit: Int = 1000)

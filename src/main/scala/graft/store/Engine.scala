@@ -29,6 +29,16 @@ class Engine(val spark: SparkSession, val repoDir: String,
     raggedness: Long = 50000L) {
 
   val snapshots = new SnapshotStore(spark, repoDir, raggedness)
+  /** Turn on the executor-local hot-range file tier ([[RangeTierCache]],
+    * the pyramid `tier_fs` analogue — reference envelope 1 GiB,
+    * `pkg/config/defaults.go:89-93`). Repeated point gets / pruned diffs
+    * over the working set then read local disk instead of the object
+    * store; one-shot scans are never admitted. */
+  def enableRangeCache(
+      budgetBytes: Long = RangeTierCache.DefaultBudgetBytes,
+      localDir: String = "target"): RangeTierCache =
+    snapshots.enableRangeCache(budgetBytes, localDir)
+  def disableRangeCache(): Unit = snapshots.disableRangeCache()
   val refs = new RefStore(s"$repoDir/refs")
   /** Repo-level settings KV (`pkg/graveler/settings` twin: checksum CAS,
     * eventually-consistent cached reads). */

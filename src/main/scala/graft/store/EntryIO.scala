@@ -372,7 +372,9 @@ object EntryIO {
       if (infos(mid).minKey <= key) { at = mid; lo = mid + 1 } else hi = mid - 1
     }
     if (at < 0 || infos(at).maxKey < key) None
-    else pointInRange(conf, infos(at).path, key)
+    // read through the store's local tier when enabled — a hot range's
+    // repeated point gets then never touch the object store
+    else pointInRange(conf, store.tierPath(infos(at)), key)
   }
 
   /** Resolved view of a ref for the walkers below: staged overlay (sorted

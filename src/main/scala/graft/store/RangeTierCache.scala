@@ -1,0 +1,130 @@
+package graft.store
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, FileUtil, Path}
+import graft.core.Model.RangeInfo
+
+/**
+ * Local file tier in front of the repo's range store — the executor-local
+ * cache of the reference's pyramid tiered FS (`pkg/pyramid/tier_fs.go`;
+ * sizing defaults `pkg/config/defaults.go:89-93`, 1 GiB local space). On a
+ * real cluster the repo lives in an object store and every repeated
+ * manifest/hot-range read pays a remote round-trip; the tier keeps hot
+ * range directories on local disk. Range dirs are content-addressed and
+ * immutable, so a cached copy never needs validation or invalidation —
+ * eviction is purely capacity (LRU by bytes against the budget).
+ *
+ * Admission is working-set gated (the Denning window the `vc_cache_ws` row
+ * sizes caches with): a range is admitted on its second access within the
+ * current-or-previous access generation — two-generation sets approximate
+ * the sliding window — so one-shot full scans never pollute the tier while
+ * repeatedly-touched hot ranges stick after their first re-read.
+ *
+ * Local layout mirrors the repo (`<root>/ranges/<range_id>/…`) so path
+ * introspection (e.g. fsck's `input_file_name` range-id extraction) works
+ * identically on tiered reads. Copy-through happens on the admission read
+ * the caller was about to pay anyway; a failed copy falls back to the
+ * remote path and admits nothing.
+ */
+final class RangeTierCache(conf: Configuration,
+    val budgetBytes: Long = RangeTierCache.DefaultBudgetBytes,
+    localDir: String = "target",
+    windowAccesses: Long = 4096L) {
+  require(budgetBytes > 0, s"budget must be positive: $budgetBytes")
+
+  private val root = new Path(
+    s"$localDir/graft_tier_${java.util.UUID.randomUUID().toString.take(12)}")
+  private val lfs = FileSystem.getLocal(conf)
+  lfs.mkdirs(new Path(root, "ranges"))
+
+  // two-generation access sets ≈ the Denning working-set window
+  @volatile private var curGen =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  @volatile private var prevGen =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private val accessCount = new java.util.concurrent.atomic.AtomicLong()
+
+  private final case class Slot(localPath: String, bytes: Long)
+  // access-ordered for LRU eviction; guarded by `this`
+  private val slots = new java.util.LinkedHashMap[String, Slot](64, 0.75f, true)
+  private var usedBytes = 0L
+
+  val hits = new java.util.concurrent.atomic.LongAdder
+  val misses = new java.util.concurrent.atomic.LongAdder
+  val admissions = new java.util.concurrent.atomic.LongAdder
+  val evictions = new java.util.concurrent.atomic.LongAdder
+
+  /** Path to read `ri`'s data from: the local tier when hot, the store
+    * path otherwise. Never throws — any tier trouble degrades to the
+    * remote path. */
+  def resolve(ri: RangeInfo): String = {
+    if (accessCount.incrementAndGet() % windowAccesses == 0L) roll()
+    val hit = this.synchronized(Option(slots.get(ri.rangeId)))
+    hit match {
+      case Some(s) => hits.increment(); s.localPath
+      case None =>
+        misses.increment()
+        val seen = curGen.contains(ri.rangeId) || prevGen.contains(ri.rangeId)
+        curGen.add(ri.rangeId)
+        if (seen) admit(ri) else ri.path
+    }
+  }
+
+  private def roll(): Unit = this.synchronized {
+    prevGen = curGen
+    curGen = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  }
+
+  private def admit(ri: RangeInfo): String =
+    try {
+      val src = new Path(ri.path)
+      val srcFs = src.getFileSystem(conf)
+      if (!srcFs.exists(src)) return ri.path
+      val bytes = srcFs.getContentSummary(src).getLength
+      if (bytes > budgetBytes) return ri.path // never cache past the budget
+      val dest = new Path(root, s"ranges/${ri.rangeId}")
+      val tmp = new Path(root, s"ranges/.tmp_${ri.rangeId}_${System.nanoTime()}")
+      if (!FileUtil.copy(srcFs, src, lfs, tmp, false, conf)) {
+        lfs.delete(tmp, true); return ri.path
+      }
+      this.synchronized {
+        if (slots.containsKey(ri.rangeId)) { lfs.delete(tmp, true) }
+        else if (lfs.rename(tmp, dest) || lfs.exists(dest)) {
+          slots.put(ri.rangeId, Slot(dest.toUri.getPath, bytes))
+          usedBytes += bytes
+          admissions.increment()
+          // LRU eviction down to budget (never the slot just admitted)
+          val it = slots.entrySet().iterator()
+          while (usedBytes > budgetBytes && it.hasNext) {
+            val e = it.next()
+            if (e.getKey != ri.rangeId) {
+              usedBytes -= e.getValue.bytes
+              lfs.delete(new Path(e.getValue.localPath), true)
+              it.remove()
+              evictions.increment()
+            }
+          }
+        } else lfs.delete(tmp, true)
+      }
+      this.synchronized(Option(slots.get(ri.rangeId)))
+        .map(_.localPath).getOrElse(ri.path)
+    } catch { case _: Exception => ri.path }
+
+  /** True iff `rangeId` currently sits in the local tier. */
+  def cached(rangeId: String): Boolean =
+    this.synchronized(slots.containsKey(rangeId))
+
+  def cachedBytes: Long = this.synchronized(usedBytes)
+
+  /** Drop every cached file and the tier directory. */
+  def close(): Unit = this.synchronized {
+    slots.clear(); usedBytes = 0L
+    try lfs.delete(root, true) catch { case _: Exception => () }
+  }
+}
+
+object RangeTierCache {
+  /** The reference's local pyramid allotment (`pkg/config/defaults.go:89`,
+    * `local.total_allocated_bytes` 1 GiB). */
+  val DefaultBudgetBytes: Long = 1L << 30
+}

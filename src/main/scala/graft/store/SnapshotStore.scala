@@ -577,6 +577,25 @@ class SnapshotStore(val spark: SparkSession, val repoDir: String,
     })
   private def allNullable(s: org.apache.spark.sql.types.StructType) =
     org.apache.spark.sql.types.StructType(s.fields.map(_.copy(nullable = true)))
+  // Optional local file tier in front of the range store — the pyramid
+  // tier_fs analogue ([[RangeTierCache]]). Off by default; enabling swaps
+  // hot ranges' read PATHS only, so every plan shape (pushed filters,
+  // pruning, fsck's path introspection) is unchanged.
+  @volatile private var tier: Option[RangeTierCache] = None
+  def enableRangeCache(
+      budgetBytes: Long = RangeTierCache.DefaultBudgetBytes,
+      localDir: String = "target",
+      windowAccesses: Long = 4096L): RangeTierCache = {
+    val t = new RangeTierCache(spark.sparkContext.hadoopConfiguration,
+      budgetBytes, localDir, windowAccesses)
+    tier = Some(t)
+    t
+  }
+  def disableRangeCache(): Unit = { tier.foreach(_.close()); tier = None }
+  /** The path to read `ri` from: local tier when hot, store path otherwise. */
+  private[store] def tierPath(ri: RangeInfo): String =
+    tier.map(_.resolve(ri)).getOrElse(ri.path)
+
   private def readRanges(infos: Seq[RangeInfo]): DataFrame =
     readRangesIn(spark, infos)
 
@@ -588,10 +607,11 @@ class SnapshotStore(val spark: SparkSession, val repoDir: String,
       import sess.implicits._
       Seq.empty[(String, String)].toDF("key", "identity")
     } else {
+      val paths = infos.map(tierPath)
       val cached = schemaCache.get(infos.head.rangeId)
-      if (cached != null) sess.read.schema(cached).parquet(infos.map(_.path): _*)
+      if (cached != null) sess.read.schema(cached).parquet(paths: _*)
       else {
-        val df = sess.read.parquet(infos.map(_.path): _*)
+        val df = sess.read.parquet(paths: _*)
         val sch = allNullable(df.schema)
         infos.foreach(ri => schemaCache.putIfAbsent(ri.rangeId, sch))
         df

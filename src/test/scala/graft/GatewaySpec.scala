@@ -213,4 +213,49 @@ class GatewaySpec extends SparkSpec {
     intercept[IllegalArgumentException] { gw.putObject("main", "x", 1L, "c") }
     eng.readOnly = false
   }
+
+  test("ListObjectsV1 marker dialect vs V2 continuation on one fixture tree") {
+    import spark.implicits._
+    import graft.operators.Listing
+    val keys = Seq("R/F/a1", "R/F/a2", "R/G/b1", "R/G/b2",
+      "R/root1", "R/root2", "S/x").toDF("key")
+
+    // V2: first page of 3 under R/ with delimiter - two rolled-up common
+    // prefixes then the first plain key; truncated
+    val v2 = Listing.s3ListPage(keys, "R/", "/", None, 3).collect()
+    assert(v2.map(_.getString(1)).toSeq === Seq("R/F/", "R/G/", "R/root1"))
+    assert(v2.forall(_.getLong(3) === 1L))
+
+    // V1: identical page, and because a delimiter was given the truncated
+    // response carries NextMarker = last name on the page
+    val v1 = Listing.s3ListPageV1(keys, "R/", "/", None, 3).collect()
+    assert(v1.map(_.getString(1)).toSeq === Seq("R/F/", "R/G/", "R/root1"))
+    assert(v1.forall(_.getString(4) === "R/root1"))
+
+    // continuing from the marker drains the listing; final page is not
+    // truncated and carries no NextMarker
+    val v1b = Listing.s3ListPageV1(keys, "R/", "/", Some("R/root1"), 3).collect()
+    assert(v1b.map(_.getString(1)).toSeq === Seq("R/root2"))
+    assert(v1b.forall(r => r.getLong(3) === 0L && r.isNullAt(4)))
+
+    // no delimiter: plain keys, no roll-up, and V1 returns NO NextMarker
+    // even when truncated (clients use the last Contents key)
+    val v1c = Listing.s3ListPageV1(keys, "R/", "", None, 2).collect()
+    assert(v1c.map(_.getString(1)).toSeq === Seq("R/F/a1", "R/F/a2"))
+    assert(v1c.forall(r => r.getLong(3) === 1L && r.isNullAt(4)))
+
+    // marker/startAfter agree across dialects on the same tree
+    val v2b = Listing.s3ListPage(keys, "R/", "/", Some("R/G/"), 2).collect()
+    assert(v2b.map(_.getString(1)).toSeq === Seq("R/root1", "R/root2"))
+  }
+
+  test("ListBuckets: every repository as a (bucket, creation_date) row") {
+    val root = tmpDir("gwbuckets")
+    val cat = new graft.store.Catalog(spark, root)
+    cat.createRepository("zeta")
+    cat.createRepository("alpha")
+    val rows = cat.listBuckets().collect()
+    assert(rows.map(_.getString(0)).toSeq === Seq("alpha", "zeta"))
+    assert(rows.forall(_.getLong(1) > 0L))
+  }
 }

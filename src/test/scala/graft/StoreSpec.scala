@@ -217,6 +217,59 @@ class StoreSpec extends SparkSpec {
     assert(back.length === 1 && back.head.getString(1) === "CONF")
   }
 
+  test("range tier: second access admits, hot reads skip the store, LRU evicts") {
+    import spark.implicits._
+    val dir = tmpDir("tier")
+    val store = new SnapshotStore(spark, dir, raggedness = 100)
+    val (m1, infos) = store.writeSnapshot(rows(2000))
+    assert(infos.size > 3)
+    val tier = store.enableRangeCache(
+      budgetBytes = 1L << 20, localDir = tmpDir("tierlocal"))
+    try {
+      val k = "k000777"
+      // 1st point get: miss, NOT admitted (one-shot accesses never pollute)
+      assert(graft.store.EntryIO.committedPoint(store, m1, k).isDefined)
+      val hitRange = infos.find(ri => ri.minKey <= k && ri.maxKey >= k).get
+      assert(!tier.cached(hitRange.rangeId))
+      // 2nd access: admitted into the local tier
+      assert(graft.store.EntryIO.committedPoint(store, m1, k).isDefined)
+      assert(tier.cached(hitRange.rangeId))
+      val missesBefore = tier.misses.sum()
+      // 3rd access: pure tier hit — and to PROVE the store isn't read,
+      // delete the backing range dir; the tiered read still serves
+      val ffs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+      ffs.delete(new org.apache.hadoop.fs.Path(hitRange.path), true)
+      val e = graft.store.EntryIO.committedPoint(store, m1, k)
+      assert(e.isDefined && e.get.identity.contains("id777"))
+      assert(tier.hits.sum() >= 1 && tier.misses.sum() === missesBefore)
+
+      // LRU eviction: heat every surviving range twice with a budget that
+      // holds only ~2 of them; earlier-admitted ranges must be evicted
+      store.disableRangeCache() // closes the first tier
+      val rest = infos.filterNot(_.rangeId == hitRange.rangeId)
+      val actualSizes = rest.map { ri =>
+        ffs.getContentSummary(new org.apache.hadoop.fs.Path(ri.path)).getLength
+      }
+      val tiny = store.enableRangeCache(
+        budgetBytes = actualSizes.max * 2,
+        localDir = tmpDir("tierlocal2"))
+      rest.foreach { ri =>
+        graft.store.EntryIO.committedPoint(store, m1, ri.minKey)
+        graft.store.EntryIO.committedPoint(store, m1, ri.minKey)
+      }
+      assert(tiny.admissions.sum() >= 3, "several ranges must have admitted")
+      assert(tiny.evictions.sum() >= 1, "the budget must have forced eviction")
+      assert(tiny.cachedBytes <= tiny.budgetBytes,
+        s"cached ${tiny.cachedBytes} vs budget ${tiny.budgetBytes}")
+    } finally store.disableRangeCache()
+    // with the tier gone, reads go to the store again (the deleted range
+    // now genuinely fails) — prove the earlier serve came from the tier
+    intercept[Exception] {
+      store.scan(m1).count()
+    }
+  }
+
   test("importOverlay rewrites only prefix-intersecting ranges, carries the rest") {
     import spark.implicits._
     val dir = tmpDir("impoverlay")
