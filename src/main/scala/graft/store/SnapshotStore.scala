@@ -794,8 +794,15 @@ class SnapshotStore(val spark: SparkSession, val repoDir: String,
       val survivors = touchedDf
         .join(broadcast(aligned.select("key")), Seq("key"), "left_anti")
         .withColumn("__chunk", chunk)
+      // coalesce(1): the upsert side is broadcast-sized but arrives in many
+      // partitions, and the dynamic-partition writer emits one file PER
+      // (task, chunk) — uncoalesced, 16 upsert partitions × k touched
+      // chunks sprayed ~16k tiny files per commit, and every later scan
+      // (diff, point_get) paid the file-open tail. One narrow task writing
+      // k files keeps the range dirs compact; no exchange is added.
       val upserts = aligned.where(col("identity").isNotNull)
         .select(touchedDf.columns.map(col).toSeq: _*)
+        .coalesce(1)
         .withColumn("__chunk", chunk)
       // receiver = upserts keeps the combined plan (and the write that
       // follows) bound to the shared session; only the leaf relation
