@@ -1782,6 +1782,58 @@ object VersionControlQueries {
                CAST(1 AS BIGINT) AS missing_after_corruption,
                CAST(1 AS BIGINT) AS rest_still_ok""")),
 
+    // The scriptable hook runtime (`pkg/actions/lua.go`'s role as SQL): a
+    // PreCommit sql_script guard whose verdict is computed over the
+    // branch's UNCOMMITTED DIFF — repository state, not the event row.
+    // Commit 1 (clean keys) passes; commit 2 stages a tmp/ key and is
+    // blocked with the head pinned; deleting the tmp/ key un-blocks the
+    // same epoch. Output = final listing + the blocked/head-pinned flags.
+    "vc_actions_script" -> (((s: SparkSession, d: String) => {
+      val dir = s"target/vc_script_repo_${math.abs(d.hashCode)}"
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(dir), s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+      val eng = new graft.store.Engine(s, dir, raggedness = 5000)
+      val base = Fixtures.keyedBase(s, d).where(col("k") < 4000)
+      val ident = sha2(concat_ws("|",
+        col("key"), col("qty"), col("price_c"), col("rf"), col("ls")), 256)
+      eng.init("main", Some(base))
+      graft.store.Actions.register(eng.hooks, s, graft.store.Actions.ActionConf(
+        "no tmp paths",
+        Map(graft.store.Hooks.PreCommit -> Seq("main")),
+        Seq(graft.store.Actions.HookConf("path_guard", "sql_script", Map("sql" ->
+          ("SELECT count(*) = 0 AS pass FROM uncommitted " +
+            "WHERE key LIKE 'tmp/%' AND diff_type <> 'removed'"))))))
+      import s.implicits._
+      eng.stage("main", base.where(col("k") % 100 === 7)
+        .withColumn("price_c", col("price_c") + 40).withColumn("identity", ident))
+      eng.commit("main", "driver", "clean change")
+      val head1 = eng.refs.getBranch("main").get
+      eng.stage("main", Seq(("tmp/scratch", "T")).toDF("key", "identity"))
+      val blocked =
+        try { eng.commit("main", "driver", "tmp sneaks in"); 0L }
+        catch { case _: Exception => 1L }
+      val pinned = if (eng.refs.getBranch("main").contains(head1)) 1L else 0L
+      eng.stage("main", Seq(("tmp/scratch", null: String)).toDF("key", "identity"))
+      eng.commit("main", "driver", "tmp removed, epoch lands")
+      eng.list("main").select("key", "identity", "qty", "price_c")
+        .withColumn("n_blocked", lit(blocked))
+        .withColumn("head_pinned", lit(pinned))
+        .orderBy("key")
+    }),
+      Some(s"""$prelude
+        SELECT lpad(CAST(k AS VARCHAR),12,'0') AS key,
+               ${identSql("lpad(CAST(k AS VARCHAR),12,'0')", "qty", "price_c", "rf", "ls")} AS identity,
+               qty, price_c,
+               CAST(1 AS BIGINT) AS n_blocked,
+               CAST(1 AS BIGINT) AS head_pinned
+        FROM (
+          SELECT k, qty,
+                 CASE WHEN k%100=7 THEN price_c+40 ELSE price_c END AS price_c,
+                 rf, ls
+          FROM L WHERE k < 4000
+        ) ORDER BY key""")),
+
     // Persisted action runs (pkg/actions service + run store behind
     // ListRunResults/GetRun): one run per matched event shared across
     // actions, failed pre-hook runs recorded BEFORE the abort rolls the

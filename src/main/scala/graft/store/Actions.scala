@@ -18,6 +18,12 @@ import scala.collection.mutable
  *    (`pkg/actions/lua.go`), expressed in the engine's native expression
  *    language — evaluated driver-side (Catalyst folds a filter over a
  *    one-row local relation at optimization time; no cluster job).
+ *  - `sql_script` — property `sql`: a multi-statement Spark SQL script run
+ *    in an isolated session against `event` / `listing` / `uncommitted`
+ *    views; the last statement's first column must be all-true booleans
+ *    (empty fails closed). This is the reference's scriptable Lua hook
+ *    runtime (`pkg/actions/lua.go` + stdlib) re-expressed in SQL — guards
+ *    that read repository state, not just the event row.
  *  - `webhook` — property `url` (+ optional `timeout`, `header:<Name>`
  *    extras): POSTs the reference's `EventInfo` JSON
  *    (`pkg/actions/webhook.go:83-141`) with connect/read timeouts;
@@ -82,6 +88,7 @@ object Actions {
   private val reHookId = "^[_a-zA-Z][\\-_a-zA-Z0-9]{1,255}$".r
   private val knownTypes = Map(
     "sql_check" -> Seq("expr"),
+    "sql_script" -> Seq("sql"),
     "webhook"   -> Seq("url"),
     // continuous mirror export: property `dest`; incremental vs the
     // destination's own _latest marker (Engine.exportRunAuto) — the
@@ -259,6 +266,46 @@ object Actions {
     case "export" =>
       new Engine(spark, ev.repoDir)
         .exportRunAuto(ev.branch, h.properties("dest"))
+    case "sql_script" =>
+      // The scriptable hook runtime — the role the reference gives embedded
+      // Lua (`pkg/actions/lua.go` + stdlib: guards that READ REPO STATE,
+      // e.g. format/path/size checks over the changes a commit is about to
+      // land), expressed in the engine's native language. Statements run
+      // in an ISOLATED session (cloned catalog — temp views can't leak or
+      // clobber), against three views:
+      //   event       — one row (event_type, repo, branch, source_ref,
+      //                 committer, message, tag)
+      //   listing     — the branch's visible listing, staged included
+      //   uncommitted — the branch's uncommitted diff (key, diff_type, …)
+      // The LAST statement is the verdict: it must return at least one row
+      // and every value in its first column must be boolean true —
+      // anything else fails the hook (→ abort on pre-events). Empty
+      // verdicts fail closed: a guard that matched nothing it expected to
+      // match must not silently pass.
+      val s2 = spark.newSession()
+      import s2.implicits._
+      Seq((ev.eventType.toString, ev.repoDir, ev.branch,
+        ev.sourceRef.getOrElse(""), ev.committer, ev.message,
+        ev.tag.getOrElse("")))
+        .toDF("event_type", "repo", "branch", "source_ref", "committer",
+          "message", "tag")
+        .createOrReplaceTempView("event")
+      if (ev.branch.nonEmpty) {
+        val eng2 = new Engine(s2, ev.repoDir)
+        eng2.list(ev.branch).createOrReplaceTempView("listing")
+        eng2.diffUncommitted(ev.branch).createOrReplaceTempView("uncommitted")
+      }
+      val stmts = h.properties("sql").split(";").map(_.trim).filter(_.nonEmpty)
+      require(stmts.nonEmpty, s"hook '${h.id}': empty sql script")
+      val verdict = stmts.map(s2.sql).last.limit(10001).collect()
+      val ok = verdict.nonEmpty && verdict.forall { r =>
+        !r.isNullAt(0) && r.schema.fields(0).dataType ==
+          org.apache.spark.sql.types.BooleanType && r.getBoolean(0)
+      }
+      if (!ok) sys.error(
+        s"action '${conf.name}' hook '${h.id}': sql_script verdict rejected " +
+          s"${ev.eventType} on ${ev.branch}" +
+          (if (verdict.isEmpty) " (empty verdict fails closed)" else ""))
     case other => sys.error(s"unknown hook type '$other'")
   }
 }

@@ -131,6 +131,39 @@ class Gateway(val engine: Engine) {
     }.toDF("upload_id", "branch", "path")
   }
 
+  /** The S3 dialect of ListMultipartUploads
+    * (`pkg/gateway/operations/listobjects.go` multipart branch / the S3
+    * protocol page): uploads ordered by (key, upload_id), optional key
+    * `prefix`, resumed strictly after (`keyMarker`, `uploadIdMarker`) —
+    * same key + greater id, or greater key — truncated at `maxUploads`
+    * with NextKeyMarker/NextUploadIdMarker = the page's last row.
+    * Tracker-scale (thousands of in-flight uploads): plain driver rows. */
+  def listMultipartUploadsPage(
+      prefix: String = "",
+      keyMarker: String = "",
+      uploadIdMarker: String = "",
+      maxUploads: Int = 1000): DataFrame = {
+    import spark.implicits._
+    require(maxUploads > 0, s"bad maxUploads: $maxUploads")
+    val all = KvFile.read(uploadsFile).toSeq.map { case (id, v) =>
+      val f = v.split('|'); (f(1), id, f(0)) // (path, upload_id, branch)
+    }.filter(u => prefix.isEmpty || u._1.startsWith(prefix))
+      .sortBy(u => (u._1, u._2))
+      .filter { case (path, id, _) =>
+        if (keyMarker.isEmpty) true
+        else path > keyMarker ||
+          (path == keyMarker && uploadIdMarker.nonEmpty && id > uploadIdMarker)
+      }
+    val truncated = all.lengthCompare(maxUploads) > 0
+    val page = all.take(maxUploads)
+    val (nk, nu) =
+      if (truncated && page.nonEmpty) (page.last._1, page.last._2) else ("", "")
+    page.zipWithIndex.map { case ((path, id, branch), i) =>
+      ((i + 1).toLong, path, id, branch, if (truncated) 1L else 0L, nk, nu)
+    }.toDF("rn", "path", "upload_id", "branch", "is_truncated",
+      "next_key_marker", "next_upload_id_marker")
+  }
+
   private def partsOf(uploadId: String): Seq[(Int, Long, String)] =
     KvFile.read(partsFile).toSeq
       .filter(_._1.startsWith(uploadId + "#"))

@@ -249,6 +249,39 @@ class GatewaySpec extends SparkSpec {
     assert(v2b.map(_.getString(1)).toSeq === Seq("R/root1", "R/root2"))
   }
 
+  test("ListMultipartUploads page: prefix, (key,id) markers, truncation") {
+    import spark.implicits._
+    val eng = new Engine(spark, tmpDir("gwmplist"), raggedness = 100)
+    eng.init("main", Some(Seq(("seed", "s", "", 0L))
+      .toDF("key", "identity", "address", "size_bytes")))
+    val gw = new graft.store.Gateway(eng)
+    val ids = Seq("b/2.bin", "a/1.bin", "a/1.bin", "a/3.bin", "c/4.bin")
+      .map(p => p -> gw.createMultipartUpload("main", p))
+    // full listing: (key, upload_id) order, untruncated
+    val all = gw.listMultipartUploadsPage().collect()
+    assert(all.map(_.getString(1)).toSeq ===
+      Seq("a/1.bin", "a/1.bin", "a/3.bin", "b/2.bin", "c/4.bin"))
+    assert(all.forall(_.getLong(4) === 0L))
+    // same-key uploads ordered by id
+    val a1 = all.filter(_.getString(1) == "a/1.bin").map(_.getString(2))
+    assert(a1.toSeq === a1.sorted.toSeq)
+    // prefix filter
+    assert(gw.listMultipartUploadsPage(prefix = "a/").count() === 3L)
+    // truncation carries the next (key, id) marker pair
+    val p1 = gw.listMultipartUploadsPage(maxUploads = 2).collect()
+    assert(p1.length === 2 && p1.forall(_.getLong(4) === 1L))
+    val (nk, nu) = (p1.last.getString(5), p1.last.getString(6))
+    assert(nk === "a/1.bin" && nu === p1.last.getString(2))
+    // resuming drains without overlap or loss
+    val p2 = gw.listMultipartUploadsPage(
+      keyMarker = nk, uploadIdMarker = nu, maxUploads = 10).collect()
+    assert(p2.map(_.getString(1)).toSeq === Seq("a/3.bin", "b/2.bin", "c/4.bin"))
+    // key-only marker skips every upload of that key
+    val p3 = gw.listMultipartUploadsPage(keyMarker = "a/1.bin").collect()
+    assert(p3.map(_.getString(1)).toSeq === Seq("a/3.bin", "b/2.bin", "c/4.bin"))
+    ids.foreach { case (_, id) => gw.abortMultipartUpload(id) }
+  }
+
   test("ListBuckets: every repository as a (bucket, creation_date) row") {
     val root = tmpDir("gwbuckets")
     val cat = new graft.store.Catalog(spark, root)

@@ -110,6 +110,41 @@ class GovernanceSpec extends SparkSpec {
     val parsed = new com.fasterxml.jackson.databind.ObjectMapper().readTree(rec)
     assert(parsed.get("commit_message").asText() === nasty)
 
+    // sql_script: the scriptable (Lua-role) hook — guards that read
+    // REPOSITORY STATE, not just the event row
+    val eng2 = new Engine(spark, tmpDir("script"), raggedness = 100)
+    eng2.init("main", Some(rows(10)))
+    Actions.register(eng2.hooks, spark, Actions.ActionConf(
+      name = "no tmp files",
+      on = Map(Hooks.PreCommit -> Seq.empty),
+      hooks = Seq(Actions.HookConf("path_guard", "sql_script", Map("sql" ->
+        """SELECT count(*) = 0 AS pass
+          |FROM uncommitted WHERE key LIKE 'tmp/%' AND diff_type <> 'removed'
+          |""".stripMargin)))))
+    // staging a tmp/ file blocks the commit, head pinned, epoch survives
+    eng2.stage("main", Seq(("tmp/scratch", "T")).toDF("key", "identity"))
+    val h0 = eng2.resolveCommit("main").commitId
+    val exS = intercept[RuntimeException] { eng2.commit("main", "t", "add tmp") }
+    assert(exS.getMessage.contains("path_guard"))
+    assert(eng2.resolveCommit("main").commitId === h0)
+    // deleting it again un-blocks: the guard sees the NET uncommitted diff
+    eng2.stage("main", Seq(("tmp/scratch", null: String)).toDF("key", "identity"))
+    eng2.stage("main", Seq(("ok/file", "O")).toDF("key", "identity"))
+    eng2.commit("main", "t", "clean")
+    assert(eng2.list("main").where(col("key") === "ok/file").count() === 1L)
+
+    // multi-statement scripts: intermediate CTE-ish statements allowed,
+    // last statement is the verdict; empty verdicts fail CLOSED
+    Actions.register(eng2.hooks, spark, Actions.ActionConf(
+      name = "empty verdict",
+      on = Map(Hooks.PreCreateTag -> Seq.empty),
+      hooks = Seq(Actions.HookConf("never", "sql_script", Map("sql" ->
+        "SELECT true AS pass FROM event WHERE 1 = 0")))))
+    val exE = intercept[RuntimeException] {
+      eng2.createTag("v1", eng2.resolveCommit("main").commitId)
+    }
+    assert(exE.getMessage.contains("fails closed"))
+
     // validation mirrors action.go:71-106
     intercept[IllegalArgumentException] { Actions.validate(Actions.ActionConf(
       "bad", Map.empty, Seq.empty)) } // no events
