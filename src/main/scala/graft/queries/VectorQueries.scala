@@ -1785,6 +1785,191 @@ object VectorQueries {
           SELECT *, row_number() OVER (PARTITION BY anchor_id
                       ORDER BY sim DESC, vec_id ASC) AS r
           FROM scored)
-        WHERE r = 1 ORDER BY anchor_id"""))
+        WHERE r = 1 ORDER BY anchor_id""")),
+
+    // Attribute-FILTERED ANN (the filtered-vector-search problem every
+    // retrieval stack hits: "nearest neighbors WHERE label matches"). Two
+    // strategies on one output: the exact PRE-filter truth (restrict the
+    // corpus first, brute-force top-3 — always right, always a full
+    // filtered scan) vs the index-friendly POST-filter (IVF own-cell
+    // candidates, predicate applied after candidate generation — cheap,
+    // loses neighbors when a cell holds too few matching rows). Per probe:
+    // truth size and how many truth neighbors the post-filter kept — the
+    // recall deficit is exactly what probe-expansion / filtered indexes
+    // (e.g. per-label partitioned IVF) buy back at scale.
+    "emb_filtered_ann" -> (((s: SparkSession, d: String) => {
+      val emb = Fixtures.embeddings(s, d)
+        .select(col("vec_id"), quantize(col("embedding")).as("q"),
+          col("label").cast("long").as("label"))
+      val cent = emb.where(col("vec_id") % 125 === 0)
+        .select(col("vec_id").as("cid"), col("q").as("cq"))
+      val dist = emb.crossJoin(broadcast(cent))
+        .withColumn("dist",
+          aggregate(zip_with(col("q"), col("cq"), (x, y) => (x - y) * (x - y)),
+            lit(0L), (acc, v) => acc + v))
+      val w = Window.partitionBy("vec_id").orderBy(col("dist").asc, col("cid").asc)
+      val assigned = dist.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+        .select(col("vec_id"), col("cid"), col("q"), col("label"))
+      val probes = assigned.where(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("probe_id"), col("cid"), col("q").as("pq"))
+      val pred = col("label") % 3 === 1
+      val wt = Window.partitionBy("probe_id")
+        .orderBy(col("sim").desc, col("vec_id").asc)
+      val truth = emb.where(pred)
+        .crossJoin(broadcast(probes.select("probe_id", "pq")))
+        .where(col("vec_id") =!= col("probe_id"))
+        .withColumn("sim", cosine(col("pq"), col("q")))
+        .withColumn("rank", row_number().over(wt)).where(col("rank") <= 3)
+        .select(col("probe_id"), col("vec_id"))
+      val found = assigned.join(broadcast(probes), Seq("cid"))
+        .where(col("vec_id") =!= col("probe_id") && pred)
+        .withColumn("sim", cosine(col("pq"), col("q")))
+        .withColumn("rank", row_number().over(wt)).where(col("rank") <= 3)
+        .select(col("probe_id").as("f_probe"), col("vec_id").as("f_vec"))
+      truth.join(found,
+          truth("probe_id") === found("f_probe") && truth("vec_id") === found("f_vec"),
+          "left")
+        .groupBy(col("probe_id"))
+        .agg(count(lit(1)).as("n_truth"),
+          sum(when(col("f_vec").isNotNull, 1L).otherwise(0L)).as("n_kept"))
+        .orderBy("probe_id")
+    }),
+      Some(s"""
+        WITH q AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+                          $qvecSql AS qv FROM embeddings),
+        cent AS (SELECT vec_id AS cid, qv AS cq FROM q WHERE vec_id % 125 = 0),
+        dd AS (
+          SELECT q.vec_id, cid,
+                 CAST(list_sum(list_transform(generate_series(1, len(qv)),
+                   i -> (qv[i]-cq[i])*(qv[i]-cq[i]))) AS BIGINT) AS dist
+          FROM q CROSS JOIN cent
+        ),
+        assign AS (
+          SELECT vec_id, cid FROM (
+            SELECT vec_id, cid,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+            FROM dd
+          ) WHERE rn = 1
+        ),
+        m AS (SELECT a.vec_id, a.cid, q.qv, q.label FROM assign a JOIN q USING (vec_id)),
+        probes AS (SELECT vec_id AS probe_id, cid, qv AS pq FROM m WHERE vec_id % 100 = 0),
+        truth AS (
+          SELECT probe_id, vec_id FROM (
+            SELECT probe_id, t.vec_id,
+                   row_number() OVER (PARTITION BY probe_id
+                     ORDER BY ${cosSql("pq", "t.qv")} DESC, t.vec_id ASC) AS rank
+            FROM (SELECT vec_id, qv FROM m WHERE label % 3 = 1) t
+            CROSS JOIN probes
+            WHERE t.vec_id <> probe_id
+          ) WHERE rank <= 3
+        ),
+        found AS (
+          SELECT probe_id AS f_probe, vec_id AS f_vec FROM (
+            SELECT probe_id, m.vec_id,
+                   row_number() OVER (PARTITION BY probe_id
+                     ORDER BY ${cosSql("pq", "m.qv")} DESC, m.vec_id ASC) AS rank
+            FROM probes JOIN m ON m.cid = probes.cid
+            WHERE m.vec_id <> probe_id AND m.label % 3 = 1
+          ) WHERE rank <= 3
+        )
+        SELECT probe_id, CAST(count(*) AS BIGINT) AS n_truth,
+               CAST(sum(CASE WHEN f_vec IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_kept
+        FROM truth LEFT JOIN found
+          ON f_probe = probe_id AND f_vec = vec_id
+        GROUP BY probe_id ORDER BY probe_id""")),
+
+    // The recall repair for emb_filtered_ann: probe EXPANSION under a
+    // filter. Candidates come from each probe's top-2 nearest cells
+    // (nprobe=2) instead of one, predicate still applied post-candidates —
+    // the standard production answer to filtered-search recall loss (probe
+    // more cells until enough filtered candidates survive). Same output
+    // schema as emb_filtered_ann so the two rows read as one experiment.
+    "emb_filtered_multiprobe" -> (((s: SparkSession, d: String) => {
+      val emb = Fixtures.embeddings(s, d)
+        .select(col("vec_id"), quantize(col("embedding")).as("q"),
+          col("label").cast("long").as("label"))
+      val cent = emb.where(col("vec_id") % 125 === 0)
+        .select(col("vec_id").as("cid"), col("q").as("cq"))
+      val dist = emb.crossJoin(broadcast(cent))
+        .withColumn("dist",
+          aggregate(zip_with(col("q"), col("cq"), (x, y) => (x - y) * (x - y)),
+            lit(0L), (acc, v) => acc + v))
+      val w = Window.partitionBy("vec_id").orderBy(col("dist").asc, col("cid").asc)
+      val ranked = dist.withColumn("rn", row_number().over(w))
+      val assigned = ranked.where(col("rn") === 1)
+        .select(col("vec_id"), col("cid"), col("q"), col("label"))
+      // probes carry their top-2 cells (nprobe=2)
+      val probes = ranked.where(col("rn") <= 2 && col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("probe_id"), col("cid"), col("q").as("pq"))
+      val pred = col("label") % 3 === 1
+      val wt = Window.partitionBy("probe_id")
+        .orderBy(col("sim").desc, col("vec_id").asc)
+      val truth = emb.where(pred)
+        .crossJoin(broadcast(probes.select("probe_id", "pq").distinct()))
+        .where(col("vec_id") =!= col("probe_id"))
+        .withColumn("sim", cosine(col("pq"), col("q")))
+        .withColumn("rank", row_number().over(wt)).where(col("rank") <= 3)
+        .select(col("probe_id"), col("vec_id"))
+      val found = assigned.join(broadcast(probes), Seq("cid"))
+        .where(col("vec_id") =!= col("probe_id") && pred)
+        .withColumn("sim", cosine(col("pq"), col("q")))
+        .withColumn("rank", row_number().over(wt)).where(col("rank") <= 3)
+        .select(col("probe_id").as("f_probe"), col("vec_id").as("f_vec"))
+        .distinct()
+      truth.join(found,
+          truth("probe_id") === found("f_probe") && truth("vec_id") === found("f_vec"),
+          "left")
+        .groupBy(col("probe_id"))
+        .agg(count(lit(1)).as("n_truth"),
+          sum(when(col("f_vec").isNotNull, 1L).otherwise(0L)).as("n_kept"))
+        .orderBy("probe_id")
+    }),
+      Some(s"""
+        WITH q AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+                          $qvecSql AS qv FROM embeddings),
+        cent AS (SELECT vec_id AS cid, qv AS cq FROM q WHERE vec_id % 125 = 0),
+        dd AS (
+          SELECT q.vec_id, cid,
+                 CAST(list_sum(list_transform(generate_series(1, len(qv)),
+                   i -> (qv[i]-cq[i])*(qv[i]-cq[i]))) AS BIGINT) AS dist
+          FROM q CROSS JOIN cent
+        ),
+        ranked AS (
+          SELECT vec_id, cid,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+          FROM dd
+        ),
+        assign AS (SELECT vec_id, cid FROM ranked WHERE rn = 1),
+        m AS (SELECT a.vec_id, a.cid, q.qv, q.label FROM assign a JOIN q USING (vec_id)),
+        probes AS (
+          SELECT r.vec_id AS probe_id, r.cid, q.qv AS pq
+          FROM ranked r JOIN q ON q.vec_id = r.vec_id
+          WHERE r.rn <= 2 AND r.vec_id % 100 = 0),
+        truth AS (
+          SELECT probe_id, vec_id FROM (
+            SELECT probe_id, t.vec_id,
+                   row_number() OVER (PARTITION BY probe_id
+                     ORDER BY ${cosSql("pq", "t.qv")} DESC, t.vec_id ASC) AS rank
+            FROM (SELECT vec_id, qv FROM m WHERE label % 3 = 1) t
+            CROSS JOIN (SELECT DISTINCT probe_id, pq FROM probes)
+            WHERE t.vec_id <> probe_id
+          ) WHERE rank <= 3
+        ),
+        found AS (
+          SELECT DISTINCT probe_id AS f_probe, vec_id AS f_vec FROM (
+            SELECT probe_id, m.vec_id,
+                   row_number() OVER (PARTITION BY probe_id
+                     ORDER BY ${cosSql("pq", "m.qv")} DESC, m.vec_id ASC) AS rank
+            FROM probes JOIN m ON m.cid = probes.cid
+            WHERE m.vec_id <> probe_id AND m.label % 3 = 1
+          ) WHERE rank <= 3
+        )
+        SELECT probe_id, CAST(count(*) AS BIGINT) AS n_truth,
+               CAST(sum(CASE WHEN f_vec IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_kept
+        FROM truth LEFT JOIN found
+          ON f_probe = probe_id AND f_vec = vec_id
+        GROUP BY probe_id ORDER BY probe_id"""))
   )
 }
