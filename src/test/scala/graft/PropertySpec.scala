@@ -132,6 +132,50 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("importOverlay == full overlay + manifest invariants, random prefixes") {
+    import graft.store.SnapshotStore
+    // random base snapshots (two key families so prefixes cut mid-stream),
+    // random imported sets, random prefix lists — the pruned overlay must
+    // equal Import.overlay over the full scan, and the manifest must stay
+    // disjoint-sorted with every outside range carried by reference
+    val famGen = Gen.oneOf("a/", "m/", "z/")
+    val kvGen = Gen.zip(Gen.zip(famGen, Gen.chooseNum(0, 60)), Gen.alphaNumStr)
+      .map { case ((f, i), v) => (f + f"k$i%03d", "v" + v.take(4)) }
+    val baseGen = Gen.mapOf(kvGen)
+    val impGen = Gen.mapOf(kvGen)
+    val prefGen = Gen.someOf(Seq("a/", "m/", "z/k01", "m/k05")).map(_.toSeq)
+      .suchThat(_.nonEmpty)
+    val cases = samples(Gen.zip(baseGen, impGen, prefGen), 6)
+    cases.zipWithIndex.foreach { case ((baseM, impM, prefixes), i) =>
+      val dir = tmpDir(s"impprop$i")
+      val store = new SnapshotStore(spark, dir, raggedness = 7)
+      val (m1, infos1) = store.writeSnapshot(df(baseM))
+      val (m2, infos2) = store.importOverlay(m1, df(impM), prefixes)
+      // equivalence with the full overlay
+      val got = store.scan(m2).collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      val want = graft.operators.Import
+        .overlay(store.scan(m1), df(impM), prefixes).collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(got === want, s"case $i: prefixes=$prefixes")
+      // invariants: disjoint-sorted, outside ranges carried by reference
+      infos2.sortBy(_.minKey).sliding(2).foreach {
+        case scala.collection.Seq(x, y) =>
+          assert(x.maxKey < y.minKey, s"case $i overlap")
+        case _ => ()
+      }
+      def outside(ri: RangeInfo) = prefixes.forall { p =>
+        graft.operators.Listing.upperBound(p) match {
+          case Some(ub) => ri.maxKey < p || ri.minKey >= ub
+          case None     => ri.maxKey < p
+        }
+      }
+      val carried = infos1.filter(outside).map(_.rangeId).toSet
+      assert(carried.subsetOf(infos2.map(_.rangeId).toSet),
+        s"case $i: carried range rewritten")
+    }
+  }
+
   test("s3ListPage = rolled-up names, sorted, after marker, capped — with an honest truncation flag") {
     import graft.operators.Listing
     // random path sets over a 2-level namespace: the page must equal the
