@@ -380,7 +380,8 @@ object EntryIO {
   /** Resolved view of a ref for the walkers below: staged overlay (sorted
     * keys + map) and the committed manifest. */
   private case class View(staged: Map[String, Entry], stagedKeys: Array[String],
-      infos: Seq[graft.core.Model.RangeInfo])
+      infos: Seq[graft.core.Model.RangeInfo],
+      path: graft.core.Model.RangeInfo => String)
 
   private def viewOf(engine: Engine, ref: String,
       lo: Option[String], hi: Option[String]): View = {
@@ -396,7 +397,8 @@ object EntryIO {
     val infos = engine.snapshots.readManifest(meta).filter { ri =>
       lo.forall(l => ri.maxKey >= l) && hi.forall(h => ri.minKey < h)
     }
-    View(staged, staged.keys.toArray.sorted, infos)
+    View(staged, staged.keys.toArray.sorted, infos,
+      ri => engine.snapshots.tierPath(ri))
   }
 
   /** First visible entry with key in [from, hi): staged non-tombstones and
@@ -421,7 +423,7 @@ object EntryIO {
     val it = v.infos.iterator.filter(ri => ri.maxKey >= from)
     while (committedHit.isEmpty && it.hasNext) {
       val ri = it.next()
-      rangeDataFiles(conf, ri.path).foreach { file =>
+      rangeDataFiles(conf, v.path(ri)).foreach { file =>
         scanFile(conf, file, Some(from), hi) { e =>
           if (v.staged.contains(e.key)) true
           else {
@@ -446,7 +448,7 @@ object EntryIO {
     val v = viewOf(engine, ref, Some(p), hi)
     val out = scala.collection.mutable.ArrayBuffer[Entry]()
     v.infos.foreach { ri =>
-      scanFile(conf, ri.path, Some(p), hi) { e =>
+      scanFile(conf, v.path(ri), Some(p), hi) { e =>
         if (!v.staged.contains(e.key)) out += e
         true
       }
@@ -515,7 +517,7 @@ object EntryIO {
       .filter(ri => ri.maxKey >= p && hi.forall(h => ri.minKey < h))
     infos.iterator.map { ri =>
       var hit: Option[String] = None
-      scanFile(conf, ri.path, Some(p), hi) { e =>
+      scanFile(conf, engine.snapshots.tierPath(ri), Some(p), hi) { e =>
         if (staged.contains(e.key)) true // masked (tombstone or already found)
         else { hit = Some(e.key); false }
       }
