@@ -47,12 +47,12 @@ object DeltaLog {
       }.sortBy(_.version)
   }
 
-  private def absolute(engine: Engine, address: String): String =
+  private def absolute(repoDir: String, address: String): String =
     if (address.contains("://") || address.startsWith("/")) address
-    else s"${engine.repoDir}/$address"
+    else s"$repoDir/$address"
 
   private def readContent(engine: Engine, address: String): String = {
-    val p = new Path(absolute(engine, address))
+    val p = new Path(absolute(engine.repoDir, address))
     val fs = p.getFileSystem(engine.spark.sparkContext.hadoopConfiguration)
     val in = fs.open(p)
     try {
@@ -139,6 +139,9 @@ object DeltaLog {
     val destLogStr = destLog.toString
     val hconf = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
+    // self-contained twin of absolute(repoDir, _): a module-method call
+    // inside the executor closures below trips the closure cleaner, so the
+    // rule is inlined — keep in sync with `absolute` above
     def abs(address: String): String =
       if (address.contains("://") || address.startsWith("/")) address
       else s"$repoDir/$address"

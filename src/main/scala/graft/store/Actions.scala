@@ -111,6 +111,36 @@ object Actions {
     }
   }
 
+  /** Split a sql_script body on statement-terminating semicolons —
+    * quote-aware, so `WHERE key LIKE 'a;b/%'` stays one statement.
+    * Single-quoted literals with `''` escaping and double-quoted
+    * identifiers are honored; comments are not special-cased (use
+    * whitespace). */
+  private[graft] def splitSqlScript(sql: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    val cur = new StringBuilder
+    var inS = false; var inD = false
+    var i = 0
+    while (i < sql.length) {
+      val ch = sql.charAt(i)
+      ch match {
+        case '\'' if !inD =>
+          // '' inside a single-quoted literal is an escaped quote
+          if (inS && i + 1 < sql.length && sql.charAt(i + 1) == '\'') {
+            cur.append("''"); i += 1
+          } else { inS = !inS; cur.append(ch) }
+        case '"' if !inS => inD = !inD; cur.append(ch)
+        case ';' if !inS && !inD =>
+          if (cur.toString.trim.nonEmpty) out += cur.toString.trim
+          cur.clear()
+        case _ => cur.append(ch)
+      }
+      i += 1
+    }
+    if (cur.toString.trim.nonEmpty) out += cur.toString.trim
+    out.toSeq
+  }
+
   /** Hook timeout property: plain integer seconds, or a Go-duration-style
     * `Nms`/`Ns`/`Nm` suffix (the reference's YAML carries Go durations). */
   private[store] def parseTimeoutMs(v: String): Long = {
@@ -295,17 +325,29 @@ object Actions {
         eng2.list(ev.branch).createOrReplaceTempView("listing")
         eng2.diffUncommitted(ev.branch).createOrReplaceTempView("uncommitted")
       }
-      val stmts = h.properties("sql").split(";").map(_.trim).filter(_.nonEmpty)
+      val stmts = splitSqlScript(h.properties("sql"))
       require(stmts.nonEmpty, s"hook '${h.id}': empty sql script")
-      val verdict = stmts.map(s2.sql).last.limit(10001).collect()
-      val ok = verdict.nonEmpty && verdict.forall { r =>
-        !r.isNullAt(0) && r.schema.fields(0).dataType ==
-          org.apache.spark.sql.types.BooleanType && r.getBoolean(0)
-      }
-      if (!ok) sys.error(
+      val vdf = stmts.map(s2.sql).last
+      // the verdict is judged SERVER-side (one aggregate over the whole
+      // result) — collecting a bounded page would silently ignore rows
+      // past the bound and turn an all-true check fail-OPEN
+      val first = vdf.schema.fields.headOption.getOrElse(
+        sys.error(s"hook '${h.id}': verdict has no columns"))
+      if (first.dataType != org.apache.spark.sql.types.BooleanType)
+        sys.error(s"action '${conf.name}' hook '${h.id}': sql_script verdict " +
+          s"column '${first.name}' must be BOOLEAN, got ${first.dataType.sql}")
+      val c = org.apache.spark.sql.functions.col(first.name)
+      val agg = vdf.agg(
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.sum(org.apache.spark.sql.functions
+          .when(c.isNull || !c, 1L).otherwise(0L)).as("bad")).head()
+      val (n, bad) = (agg.getLong(0), if (agg.isNullAt(1)) 0L else agg.getLong(1))
+      if (n == 0L || bad > 0L) sys.error(
         s"action '${conf.name}' hook '${h.id}': sql_script verdict rejected " +
           s"${ev.eventType} on ${ev.branch}" +
-          (if (verdict.isEmpty) " (empty verdict fails closed)" else ""))
+          (if (n == 0L) " (empty verdict fails closed)"
+           else s" ($bad of $n verdict rows not true)"))
     case other => sys.error(s"unknown hook type '$other'")
   }
 }

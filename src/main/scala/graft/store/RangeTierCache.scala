@@ -29,7 +29,8 @@ import graft.core.Model.RangeInfo
 final class RangeTierCache(conf: Configuration,
     val budgetBytes: Long = RangeTierCache.DefaultBudgetBytes,
     localDir: String = "target",
-    windowAccesses: Long = 4096L) {
+    windowAccesses: Long = 4096L,
+    evictGraceMs: Long = 600000L) {
   require(budgetBytes > 0, s"budget must be positive: $budgetBytes")
 
   private val root = new Path(
@@ -70,6 +71,18 @@ final class RangeTierCache(conf: Configuration,
     }
   }
 
+  /** [[resolve]] without admission accounting: returns the cached local
+    * path when hot, the store path otherwise, and never marks an access
+    * or copies. Write paths (commit/import rewrites) read each range once
+    * by construction — letting them count would turn every one-shot
+    * rewrite into a tier admission, the exact pollution the working-set
+    * gate exists to prevent. */
+  def peek(ri: RangeInfo): String =
+    this.synchronized(Option(slots.get(ri.rangeId))) match {
+      case Some(s) => hits.increment(); s.localPath
+      case None    => ri.path
+    }
+
   private def roll(): Unit = this.synchronized {
     prevGen = curGen
     curGen = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
@@ -93,22 +106,44 @@ final class RangeTierCache(conf: Configuration,
           slots.put(ri.rangeId, Slot(dest.toUri.getPath, bytes))
           usedBytes += bytes
           admissions.increment()
-          // LRU eviction down to budget (never the slot just admitted)
+          // LRU eviction down to budget (never the slot just admitted).
+          // Deletion is GRACE-DELAYED: a concurrent query may have already
+          // resolved the evicted local path into a running scan plan, so
+          // the file is only unaccounted now and deleted once evictGraceMs
+          // old — the same lag an object store's eventual consistency
+          // already forces readers to tolerate. Disk usage is bounded by
+          // budget + one grace window of eviction churn.
           val it = slots.entrySet().iterator()
           while (usedBytes > budgetBytes && it.hasNext) {
             val e = it.next()
             if (e.getKey != ri.rangeId) {
               usedBytes -= e.getValue.bytes
-              lfs.delete(new Path(e.getValue.localPath), true)
+              pendingDelete += ((new Path(e.getValue.localPath), System.nanoTime()))
               it.remove()
               evictions.increment()
             }
           }
+          sweepPending(force = false)
         } else lfs.delete(tmp, true)
       }
       this.synchronized(Option(slots.get(ri.rangeId)))
         .map(_.localPath).getOrElse(ri.path)
     } catch { case _: Exception => ri.path }
+
+  // evicted-but-not-yet-deleted dirs, (path, evictedAtNanos); guarded by `this`
+  private val pendingDelete =
+    scala.collection.mutable.ArrayBuffer[(Path, Long)]()
+
+  /** Delete pending evictions older than the grace window (all of them
+    * when `force`). Caller holds `this`. */
+  private def sweepPending(force: Boolean): Unit = {
+    val cutoff = System.nanoTime() - evictGraceMs * 1000000L
+    val (drop, keep) = pendingDelete.partition(p => force || p._2 <= cutoff)
+    drop.foreach { case (p, _) =>
+      try lfs.delete(p, true) catch { case _: Exception => () }
+    }
+    pendingDelete.clear(); pendingDelete ++= keep
+  }
 
   /** True iff `rangeId` currently sits in the local tier. */
   def cached(rangeId: String): Boolean =
@@ -119,6 +154,7 @@ final class RangeTierCache(conf: Configuration,
   /** Drop every cached file and the tier directory. */
   def close(): Unit = this.synchronized {
     slots.clear(); usedBytes = 0L
+    sweepPending(force = true)
     try lfs.delete(root, true) catch { case _: Exception => () }
   }
 }

@@ -130,7 +130,7 @@ class SnapshotStore(val spark: SparkSession, val repoDir: String,
     if (present.isEmpty) return missingDf
     val exp = present.map(ri => (ri.rangeId, ri.path, ri.count, ri.minKey, ri.maxKey))
       .toDF("range_id", "path", "exp_count", "min_key", "max_key")
-    val act = readRanges(present)
+    val act = readRangesIn(spark, present, ri => ri.path) // audit the STORE, not the tier
       .withColumn("range_id",
         regexp_extract(input_file_name(), "/ranges/([^/]+)/", 1))
       .groupBy("range_id")
@@ -283,8 +283,8 @@ class SnapshotStore(val spark: SparkSession, val repoDir: String,
     // it from a narrow change set would write payload-less ranges that
     // poison later scans
     val touchedDf =
-      if (touchedInfos.nonEmpty) readRanges(touchedInfos)
-      else if (base.nonEmpty) readRanges(Seq(base.head)).limit(0)
+      if (touchedInfos.nonEmpty) readRangesIn(spark, touchedInfos, tierPeek)
+      else if (base.nonEmpty) readRangesIn(spark, Seq(base.head), tierPeek).limit(0)
       else changes.limit(0)
 
     // align the change set to the snapshot's payload columns (narrow change
@@ -534,13 +534,13 @@ class SnapshotStore(val spark: SparkSession, val repoDir: String,
     if (cuts.length > maxBroadcastCuts) {
       // legacy O(repo) shape, correctness-only escape hatch
       val overlaid = graft.operators.Import.overlay(
-        readRanges(base), imported, prefixes)
+        readRangesIn(spark, base, tierPeek), imported, prefixes)
       return writeSnapshot(overlaid)
     }
 
     val template =
-      if (straddle.nonEmpty) readRanges(straddle)
-      else if (base.nonEmpty) readRanges(Seq(base.head)).limit(0)
+      if (straddle.nonEmpty) readRangesIn(spark, straddle, tierPeek)
+      else if (base.nonEmpty) readRangesIn(spark, Seq(base.head), tierPeek).limit(0)
       else imported.limit(0)
     val slice = graft.operators.Import.overlay(template, imported, prefixes)
     val newInfos = chunkAndWriteBroadcast(slice, cuts, eagerStage = true)
@@ -588,26 +588,36 @@ class SnapshotStore(val spark: SparkSession, val repoDir: String,
       windowAccesses: Long = 4096L): RangeTierCache = {
     val t = new RangeTierCache(spark.sparkContext.hadoopConfiguration,
       budgetBytes, localDir, windowAccesses)
+    val old = tier
     tier = Some(t)
+    old.foreach(_.close()) // re-enabling must not leak the old tier's files
     t
   }
   def disableRangeCache(): Unit = { tier.foreach(_.close()); tier = None }
   /** The path to read `ri` from: local tier when hot, store path otherwise. */
   private[store] def tierPath(ri: RangeInfo): String =
     tier.map(_.resolve(ri)).getOrElse(ri.path)
+  /** [[tierPath]] without admission accounting — write-path reads (commit,
+    * import rewrites) touch each range once by construction, so counting
+    * them would admit one-shot rewrites into the tier. */
+  private[store] def tierPeek(ri: RangeInfo): String =
+    tier.map(_.peek(ri)).getOrElse(ri.path)
 
   private def readRanges(infos: Seq[RangeInfo]): DataFrame =
     readRangesIn(spark, infos)
 
-  /** [[readRanges]] against an explicit session — the aligned commit write
+  /** [[readRanges]] against an explicit session (the aligned commit write
     * builds its touched-range scan in a cloned session whose SQLConf
-    * carries a per-write split size (see [[writeAligned]]). */
-  private def readRangesIn(sess: SparkSession, infos: Seq[RangeInfo]): DataFrame =
+    * carries a per-write split size — see [[writeAligned]]) and an explicit
+    * path resolver: read paths ride the tier with admission accounting,
+    * write paths peek, fsck audits the raw store paths. */
+  private def readRangesIn(sess: SparkSession, infos: Seq[RangeInfo],
+      resolve: RangeInfo => String = tierPath): DataFrame =
     if (infos.isEmpty) {
       import sess.implicits._
       Seq.empty[(String, String)].toDF("key", "identity")
     } else {
-      val paths = infos.map(tierPath)
+      val paths = infos.map(resolve)
       val cached = schemaCache.get(infos.head.rangeId)
       if (cached != null) sess.read.schema(cached).parquet(paths: _*)
       else {
@@ -788,7 +798,7 @@ class SnapshotStore(val spark: SparkSession, val repoDir: String,
           val s2 = spark.newSession()
           s2.conf.set("spark.sql.files.maxPartitionBytes", split.toString)
           s2.conf.set("spark.sql.files.openCostInBytes", (1L << 18).toString)
-          readRangesIn(s2, touched)
+          readRangesIn(s2, touched, tierPeek)
         }
       val chunk = graft.functions.CutIndex.chunkOf(col("key"), bc)
       val survivors = touchedDf

@@ -145,6 +145,12 @@ class GovernanceSpec extends SparkSpec {
     }
     assert(exE.getMessage.contains("fails closed"))
 
+    // quote-aware script splitting: semicolons inside literals/identifiers
+    assert(Actions.splitSqlScript("SELECT 1; SELECT 'a;b'; SELECT \"x;y\"") ===
+      Seq("SELECT 1", "SELECT 'a;b'", "SELECT \"x;y\""))
+    assert(Actions.splitSqlScript("SELECT 'it''s; fine'; SELECT 2") ===
+      Seq("SELECT 'it''s; fine'", "SELECT 2"))
+
     // validation mirrors action.go:71-106
     intercept[IllegalArgumentException] { Actions.validate(Actions.ActionConf(
       "bad", Map.empty, Seq.empty)) } // no events
