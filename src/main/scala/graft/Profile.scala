@@ -113,6 +113,7 @@ object Profile {
             .option("mapreduce.fileoutputcommitter.algorithm.version", "2")
             .partitionBy("__chunk").parquet("target/profile_manual/dyn")
         }
+
         t(s"m_write_bare_$i") {
           base.repartitionByRange(col("key")).sortWithinPartitions("key")
             .write.mode("overwrite").parquet("target/profile_manual/bare")
