@@ -150,10 +150,13 @@ class Engine(val spark: SparkSession, val repoDir: String,
   }
 
   /** Single-key Set (the KV write surface, `graveler.go:628-654`): stages
-    * one (key, identity) write. For bulk writes use [[stage]] directly. */
+    * one (key, identity) write WITHOUT a Spark job — direct Parquet into a
+    * fresh epoch dir, the same latency class as the reference's KV write.
+    * For bulk writes use [[stage]] directly. */
   def set(branch: String, key: String, identity: String): Unit = {
-    import spark.implicits._
-    stage(branch, Seq((key, identity)).toDF("key", "identity"))
+    val (dir, e) = allocateStagingDir(branch)
+    EntryIO.writeStagedNarrow(spark.sparkContext.hadoopConfiguration,
+      dir, e, Seq((key, Some(identity))))
   }
 
   /** Single-key Delete: stages a tombstone. */
@@ -441,11 +444,14 @@ class Engine(val spark: SparkSession, val repoDir: String,
   }
 
   /** DeleteBatch (≤1000 keys per call in the reference,
-    * `DeleteKeysMaxSize` graveler.go:56): stages tombstones for the keys. */
+    * `DeleteKeysMaxSize` graveler.go:56): stages tombstones for the keys —
+    * job-free (bounded metadata write, not a cluster operation). */
   def deleteBatch(branch: String, keys: Seq[String]): Unit = {
     require(keys.size <= 1000, "DeleteBatch is limited to 1000 keys")
-    import spark.implicits._
-    stage(branch, keys.map(k => (k, null.asInstanceOf[String])).toDF("key", "identity"))
+    if (keys.isEmpty) return
+    val (dir, e) = allocateStagingDir(branch)
+    EntryIO.writeStagedNarrow(spark.sparkContext.hadoopConfiguration,
+      dir, e, keys.map(k => (k, None)))
   }
 
   // T3: sealed epochs committed are dropped ASYNCHRONOUSLY (the reference's

@@ -233,6 +233,42 @@ object EntryIO {
     } finally writer.close()
   }
 
+  /** Narrow staged schema for KV-style writes (Set/Delete): only
+    * (key, identity?, __epoch) — mirroring the narrow DataFrames the
+    * engine used to stage for those ops, so merged-epoch reads see
+    * identical columns (no phantom size/mtime zeros). */
+  private val stagedNarrowSchema: MessageType = Types.buildMessage()
+    .addField(Types.primitive(PrimitiveType.PrimitiveTypeName.BINARY,
+      org.apache.parquet.schema.Type.Repetition.REQUIRED)
+      .as(LogicalTypeAnnotation.stringType()).named("key"))
+    .addField(Types.primitive(PrimitiveType.PrimitiveTypeName.BINARY,
+      org.apache.parquet.schema.Type.Repetition.OPTIONAL)
+      .as(LogicalTypeAnnotation.stringType()).named("identity"))
+    .addField(Types.primitive(PrimitiveType.PrimitiveTypeName.INT64,
+      org.apache.parquet.schema.Type.Repetition.REQUIRED).named("__epoch"))
+    .named("graft_kv_staged")
+
+  /** Job-free KV staged write: (key, identity-or-tombstone) rows as ONE
+    * Parquet file in an allocated epoch dir — the engine's Set/DeleteBatch
+    * latency class (the reference's staging writes are KV ops,
+    * `graveler.go:628-654`; a Spark job per PUT would put a scheduler
+    * round-trip in front of every gateway write). */
+  def writeStagedNarrow(conf: Configuration, dir: String, epoch: Long,
+      rows: Seq[(String, Option[String])]): Unit = {
+    val file = new Path(dir, s"kv-${java.util.UUID.randomUUID()}.parquet")
+    val wconf = new Configuration(conf)
+    GroupWriteSupport.setSchema(stagedNarrowSchema, wconf)
+    val writer = ExampleParquetWriter.builder(file).withConf(wconf).build()
+    val fac = new SimpleGroupFactory(stagedNarrowSchema)
+    try rows.foreach { case (k, ident) =>
+      val g = fac.newGroup()
+      g.append("key", k)
+      ident.foreach(g.append("identity", _))
+      g.append("__epoch", epoch)
+      writer.write(g)
+    } finally writer.close()
+  }
+
   /** Entry columns only (no __epoch): the shape of stream-ingest temp
     * files the engine re-stages (stage() adds its own __epoch). */
   val entrySchema: MessageType = Types.buildMessage()

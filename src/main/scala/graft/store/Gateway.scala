@@ -201,9 +201,12 @@ class Gateway(val engine: Engine) {
       md.digest().map("%02x".format(_)).mkString
     }
     val totalSize = chosen.map(_._2).sum
-    import spark.implicits._
-    engine.stage(branch, Seq((path, checksum, address, totalSize))
-      .toDF("key", "identity", "address", "size_bytes"))
+    // job-free: completing a multipart upload is a metadata link, not a
+    // cluster operation (postobject.go:174 stages one entry)
+    val (dir, e) = engine.allocateStagingDir(branch)
+    graft.store.EntryIO.writeStaged(
+      spark.sparkContext.hadoopConfiguration, dir, e,
+      Seq(EntryIO.Entry(path, Some(checksum), Some(address), totalSize, 0L)))
     dropUpload(uploadId)
     (s"$checksum-${chosen.length}", totalSize)
   }
@@ -399,9 +402,11 @@ class Gateway(val engine: Engine) {
     requireWritable("putObject")
     val addr = if (address.nonEmpty) address
       else s"data/gw-${java.util.UUID.randomUUID()}"
-    import spark.implicits._
-    engine.stage(branch, Seq((path, checksum, addr, sizeBytes))
-      .toDF("key", "identity", "address", "size_bytes"))
+    // job-free single-entry stage — a gateway PUT must not cost a
+    // scheduler round-trip (the reference's PUT is a KV write)
+    val (dir, e) = engine.allocateStagingDir(branch)
+    EntryIO.writeStaged(spark.sparkContext.hadoopConfiguration, dir, e,
+      Seq(EntryIO.Entry(path, Some(checksum), Some(addr), sizeBytes, 0L)))
     checksum
   }
 
