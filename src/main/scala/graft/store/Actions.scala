@@ -108,6 +108,13 @@ object Actions {
       required.foreach(k => require(
         h.properties.get(k).exists(_.nonEmpty),
         s"hook '${h.id}': property '$k' is required for ${h.hookType}"))
+      // a malformed timeout must fail at INSTALL, not abort every event
+      h.properties.get("timeout").foreach { t =>
+        try parseTimeoutMs(t)
+        catch { case e: Exception =>
+          sys.error(s"hook '${h.id}': invalid timeout '$t': ${e.getMessage}")
+        }
+      }
     }
   }
 
@@ -141,15 +148,30 @@ object Actions {
     out.toSeq
   }
 
-  /** Hook timeout property: plain integer seconds, or a Go-duration-style
-    * `Nms`/`Ns`/`Nm` suffix (the reference's YAML carries Go durations). */
-  private[store] def parseTimeoutMs(v: String): Long = {
+  /** Hook timeout property: a Go duration (the reference's YAML carries Go
+    * durations — compound `1m30s`, fractional `1.5s`, units ns/us/ms/s/m/h)
+    * or a bare number meaning seconds. Parsed to milliseconds; rejects
+    * malformed input with a clear message (validated at REGISTRATION, so a
+    * bad timeout fails loudly at install instead of aborting every event). */
+  private[graft] def parseTimeoutMs(v: String): Long = {
     val t = v.trim
-    def num(s: String) = s.trim.toLong
-    if (t.endsWith("ms")) num(t.dropRight(2))
-    else if (t.endsWith("s")) num(t.dropRight(1)) * 1000L
-    else if (t.endsWith("m")) num(t.dropRight(1)) * 60000L
-    else num(t) * 1000L
+    require(t.nonEmpty, "empty timeout")
+    if (t.forall(c => c.isDigit)) return t.toLong * 1000L // bare = seconds
+    val unitMs: Seq[(String, Double)] = Seq( // longest-first for matching
+      "ns" -> 1e-6, "us" -> 1e-3, "ms" -> 1.0,
+      "h" -> 3600000.0, "m" -> 60000.0, "s" -> 1000.0)
+    var i = 0; var totalMs = 0.0
+    while (i < t.length) {
+      val numStart = i
+      while (i < t.length && (t.charAt(i).isDigit || t.charAt(i) == '.')) i += 1
+      require(i > numStart, s"bad duration '$v': expected a number at '${t.drop(numStart)}'")
+      val num = t.substring(numStart, i).toDouble
+      val unit = unitMs.collectFirst {
+        case (u, f) if t.startsWith(u, i) => i += u.length; f
+      }.getOrElse(sys.error(s"bad duration '$v': unknown unit at '${t.drop(i)}'"))
+      totalMs += num * unit
+    }
+    math.max(1L, totalMs.toLong)
   }
 
   /** Glob match with `*` (any run) and `?` (one char), anchored — the

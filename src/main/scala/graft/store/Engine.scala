@@ -29,11 +29,14 @@ class Engine(val spark: SparkSession, val repoDir: String,
     raggedness: Long = 50000L) {
 
   val snapshots = new SnapshotStore(spark, repoDir, raggedness)
-  /** Turn on the executor-local hot-range file tier ([[RangeTierCache]],
+  /** Turn on the driver-local hot-range file tier ([[RangeTierCache]],
     * the pyramid `tier_fs` analogue — reference envelope 1 GiB,
-    * `pkg/config/defaults.go:89-93`). Repeated point gets / pruned diffs
+    * `pkg/config/defaults.go:89-93`). Repeated point gets / walker reads
     * over the working set then read local disk instead of the object
-    * store; one-shot scans are never admitted. */
+    * store; one-shot scans are never admitted. DataFrame scans use tier
+    * paths only in local mode (driver == executors) — on a real cluster
+    * the tier serves the driver-side metadata path, the latency-critical
+    * one, while distributed scans keep store paths. */
   def enableRangeCache(
       budgetBytes: Long = RangeTierCache.DefaultBudgetBytes,
       localDir: String = "target"): RangeTierCache =

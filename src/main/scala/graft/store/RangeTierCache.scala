@@ -5,7 +5,7 @@ import org.apache.hadoop.fs.{FileSystem, FileUtil, Path}
 import graft.core.Model.RangeInfo
 
 /**
- * Local file tier in front of the repo's range store — the executor-local
+ * Local file tier in front of the repo's range store — the process-local
  * cache of the reference's pyramid tiered FS (`pkg/pyramid/tier_fs.go`;
  * sizing defaults `pkg/config/defaults.go:89-93`, 1 GiB local space). On a
  * real cluster the repo lives in an object store and every repeated
@@ -101,9 +101,23 @@ final class RangeTierCache(conf: Configuration,
         lfs.delete(tmp, true); return ri.path
       }
       this.synchronized {
-        if (slots.containsKey(ri.rangeId)) { lfs.delete(tmp, true) }
-        else if (lfs.rename(tmp, dest) || lfs.exists(dest)) {
-          slots.put(ri.rangeId, Slot(dest.toUri.getPath, bytes))
+        // a re-admission during the old copy's eviction grace must reclaim
+        // the pendingDelete entry FIRST — otherwise the sweep would later
+        // delete the directory the new slot serves
+        val destPath = dest.toUri.getPath
+        val pi = pendingDelete.indexWhere(_._1.toUri.getPath == destPath)
+        if (pi >= 0) pendingDelete.remove(pi)
+        val admitted =
+          if (slots.containsKey(ri.rangeId)) { lfs.delete(tmp, true); false }
+          else if (lfs.exists(dest)) {
+            // reclaimed grace-window copy or a stale crash leftover —
+            // content-addressed, so its bytes are identical: reuse, and
+            // never rename INTO it (Hadoop local rename would nest tmp)
+            lfs.delete(tmp, true); true
+          } else if (lfs.rename(tmp, dest)) true
+          else { lfs.delete(tmp, true); lfs.exists(dest) }
+        if (admitted) {
+          slots.put(ri.rangeId, Slot(destPath, bytes))
           usedBytes += bytes
           admissions.increment()
           // LRU eviction down to budget (never the slot just admitted).
@@ -124,7 +138,7 @@ final class RangeTierCache(conf: Configuration,
             }
           }
           sweepPending(force = false)
-        } else lfs.delete(tmp, true)
+        }
       }
       this.synchronized(Option(slots.get(ri.rangeId)))
         .map(_.localPath).getOrElse(ri.path)

@@ -526,17 +526,28 @@ class SnapshotStore(val spark: SparkSession, val repoDir: String,
     val carried = base.filterNot(intersects)
     val straddle = base.filter(ri => intersects(ri) && !inside(ri))
 
-    // one tiny job over the imported rows: their content-defined cut keys
-    val importedCuts = imported
+    // one tiny job over the imported rows: their content-defined cut keys,
+    // collected with the same per-partition bound as chunkAndWrite's cut
+    // scan — an import big enough for the escape hatch must not first
+    // materialize a multi-million-key cut array on the driver
+    val bound = maxBroadcastCuts
+    val perPart: Array[(Long, Array[String])] = imported.select("key")
       .where((abs(xxhash64(col("key"))) % raggedness) === 0)
-      .select("key").collect().map(_.getString(0))
-    val cuts = (straddle.map(_.minKey) ++ prefixes ++ importedCuts).distinct.toArray
-    if (cuts.length > maxBroadcastCuts) {
+      .rdd.mapPartitions { it =>
+        val buf = scala.collection.mutable.ArrayBuffer[String]()
+        var n = 0L
+        it.foreach { r => n += 1; if (n <= bound) buf += r.getString(0) }
+        Iterator.single((n, if (n <= bound) buf.toArray else Array.empty[String]))
+      }.collect()
+    val importedCutCount = perPart.map(_._1).sum
+    if (importedCutCount + straddle.size + prefixes.size > maxBroadcastCuts) {
       // legacy O(repo) shape, correctness-only escape hatch
       val overlaid = graft.operators.Import.overlay(
         readRangesIn(spark, base, tierPeek), imported, prefixes)
       return writeSnapshot(overlaid)
     }
+    val importedCuts = perPart.flatMap(_._2)
+    val cuts = (straddle.map(_.minKey) ++ prefixes ++ importedCuts).distinct.toArray
 
     val template =
       if (straddle.nonEmpty) readRangesIn(spark, straddle, tierPeek)
@@ -594,9 +605,21 @@ class SnapshotStore(val spark: SparkSession, val repoDir: String,
     t
   }
   def disableRangeCache(): Unit = { tier.foreach(_.close()); tier = None }
-  /** The path to read `ri` from: local tier when hot, store path otherwise. */
+  /** The path to read `ri` from: local tier when hot, store path otherwise.
+    * Safe wherever the CALLER runs on the machine that owns the tier —
+    * EntryIO point gets and walkers execute on the driver, which is where
+    * the tier lives. */
   private[store] def tierPath(ri: RangeInfo): String =
     tier.map(_.resolve(ri)).getOrElse(ri.path)
+
+  /** [[tierPath]] for DATAFRAME scans: tier paths are files on THIS
+    * machine's disk, and a scan plan ships its paths to executors — on a
+    * real cluster those paths do not exist there, so scan substitution is
+    * gated to local mode (where driver == executors). The driver-side
+    * metadata path (point gets, walkers) keeps the tier everywhere; a true
+    * per-executor tier would hook the executor's read path instead. */
+  private def tierPathForScan(ri: RangeInfo): String =
+    if (spark.sparkContext.isLocal) tierPath(ri) else ri.path
   /** [[tierPath]] without admission accounting — write-path reads (commit,
     * import rewrites) touch each range once by construction, so counting
     * them would admit one-shot rewrites into the tier. */
@@ -612,7 +635,7 @@ class SnapshotStore(val spark: SparkSession, val repoDir: String,
     * path resolver: read paths ride the tier with admission accounting,
     * write paths peek, fsck audits the raw store paths. */
   private def readRangesIn(sess: SparkSession, infos: Seq[RangeInfo],
-      resolve: RangeInfo => String = tierPath): DataFrame =
+      resolve: RangeInfo => String = tierPathForScan): DataFrame =
     if (infos.isEmpty) {
       import sess.implicits._
       Seq.empty[(String, String)].toDF("key", "identity")

@@ -145,6 +145,20 @@ class GovernanceSpec extends SparkSpec {
     }
     assert(exE.getMessage.contains("fails closed"))
 
+    // Go-duration timeouts parse (compound, fractional, all units) and a
+    // malformed one fails at INSTALL, not at event time
+    assert(Actions.parseTimeoutMs("30") === 30000L)
+    assert(Actions.parseTimeoutMs("250ms") === 250L)
+    assert(Actions.parseTimeoutMs("1m30s") === 90000L)
+    assert(Actions.parseTimeoutMs("1.5s") === 1500L)
+    assert(Actions.parseTimeoutMs("1h") === 3600000L)
+    assert(Actions.parseTimeoutMs("2us") === 1L) // clamped to >= 1ms
+    intercept[RuntimeException] { Actions.parseTimeoutMs("1fortnight") }
+    intercept[RuntimeException] { Actions.validate(Actions.ActionConf(
+      "ok name", Map(Hooks.PreCommit -> Seq.empty),
+      Seq(Actions.HookConf("h1", "webhook",
+        Map("url" -> "u", "timeout" -> "1fortnight"))))) }
+
     // quote-aware script splitting: semicolons inside literals/identifiers
     assert(Actions.splitSqlScript("SELECT 1; SELECT 'a;b'; SELECT \"x;y\"") ===
       Seq("SELECT 1", "SELECT 'a;b'", "SELECT \"x;y\""))

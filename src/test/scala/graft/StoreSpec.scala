@@ -270,6 +270,46 @@ class StoreSpec extends SparkSpec {
     }
   }
 
+  test("range tier: re-admission inside the eviction grace window reclaims the copy") {
+    import spark.implicits._
+    val dir = tmpDir("tierreclaim")
+    val store = new SnapshotStore(spark, dir, raggedness = 100)
+    val (m1, infos) = store.writeSnapshot(rows(2000))
+    val ffs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    def sizeOf(ri: graft.core.Model.RangeInfo) =
+      ffs.getContentSummary(new org.apache.hadoop.fs.Path(ri.path)).getLength
+    val Seq(sa, sb, _) = infos.take(3).map(sizeOf)
+    // budget fits either of a/b alone but never both, SHORT grace so the
+    // sweep actually runs inside the test
+    val tier = new graft.store.RangeTierCache(
+      spark.sparkContext.hadoopConfiguration,
+      budgetBytes = math.max(sa, sb) + 1,
+      localDir = tmpDir("tierreclaimlocal"),
+      evictGraceMs = 50L)
+    try {
+      val Seq(a, b, c) = infos.take(3)
+      def heat(ri: graft.core.Model.RangeInfo): Unit = {
+        tier.resolve(ri); tier.resolve(ri)
+      }
+      heat(a)                       // admit a
+      assert(tier.cached(a.rangeId))
+      heat(b)                       // admit b -> evicts a (grace-pending)
+      assert(tier.cached(b.rangeId) && !tier.cached(a.rangeId))
+      heat(a)                       // re-admit a INSIDE the grace window
+      assert(tier.cached(a.rangeId))
+      Thread.sleep(120)             // grace expires
+      heat(c)                       // triggers the sweep
+      // the re-admitted copy must have been RECLAIMED from pendingDelete —
+      // the sweep must not delete the directory the live slot serves
+      if (tier.cached(a.rangeId)) {
+        val local = tier.resolve(a)
+        assert(new java.io.File(local).exists,
+          "sweep deleted a live re-admitted tier dir")
+      }
+    } finally tier.close()
+  }
+
   test("importOverlay rewrites only prefix-intersecting ranges, carries the rest") {
     import spark.implicits._
     val dir = tmpDir("impoverlay")
