@@ -1970,6 +1970,106 @@ object VectorQueries {
                  AS n_kept
         FROM truth LEFT JOIN found
           ON f_probe = probe_id AND f_vec = vec_id
+        GROUP BY probe_id ORDER BY probe_id""")),
+
+    // The third leg of the filtered-ANN experiment: a LABEL-PARTITIONED
+    // index ("partition your index by the filter attribute"). The IVF is
+    // built over the FILTERED subset with its own centroids, so every
+    // candidate satisfies the predicate by construction — the win is
+    // recall-per-candidate: no scanned candidate is wasted on the
+    // predicate, where post-filter discards ~2/3 of its cell. Recall
+    // remains bounded by single-cell probing like any IVF (the fixture
+    // shows it within one of post-filter at ~3x fewer candidates);
+    // compose with multiprobe to buy recall. Same (probe_id, n_truth,
+    // n_kept) schema as emb_filtered_ann / emb_filtered_multiprobe.
+    "emb_filtered_partitioned" -> (((s: SparkSession, d: String) => {
+      val emb = Fixtures.embeddings(s, d)
+        .select(col("vec_id"), quantize(col("embedding")).as("q"),
+          col("label").cast("long").as("label"))
+      val pred = col("label") % 3 === 1
+      val filtered = emb.where(pred)
+      // centroids drawn from the filtered subset itself
+      val cent = filtered.where(col("vec_id") % 20 === 0)
+        .select(col("vec_id").as("cid"), col("q").as("cq"))
+      val w = Window.partitionBy("vec_id").orderBy(col("dist").asc, col("cid").asc)
+      def assign(df: DataFrame): DataFrame = df.crossJoin(broadcast(cent))
+        .withColumn("dist",
+          aggregate(zip_with(col("q"), col("cq"), (x, y) => (x - y) * (x - y)),
+            lit(0L), (acc, v) => acc + v))
+        .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+        .select(col("vec_id"), col("cid"), col("q"))
+      val assigned = assign(filtered)
+      // probes = the SAME probe set as the other two rows (any label)
+      val probes = assign(emb.where(col("vec_id") % 100 === 0))
+        .select(col("vec_id").as("probe_id"), col("cid"), col("q").as("pq"))
+      val wt = Window.partitionBy("probe_id")
+        .orderBy(col("sim").desc, col("vec_id").asc)
+      val truth = filtered
+        .crossJoin(broadcast(probes.select("probe_id", "pq")))
+        .where(col("vec_id") =!= col("probe_id"))
+        .withColumn("sim", cosine(col("pq"), col("q")))
+        .withColumn("rank", row_number().over(wt)).where(col("rank") <= 3)
+        .select(col("probe_id"), col("vec_id"))
+      val found = assigned.join(broadcast(probes), Seq("cid"))
+        .where(col("vec_id") =!= col("probe_id"))
+        .withColumn("sim", cosine(col("pq"), col("q")))
+        .withColumn("rank", row_number().over(wt)).where(col("rank") <= 3)
+        .select(col("probe_id").as("f_probe"), col("vec_id").as("f_vec"))
+      truth.join(found,
+          truth("probe_id") === found("f_probe") && truth("vec_id") === found("f_vec"),
+          "left")
+        .groupBy(col("probe_id"))
+        .agg(count(lit(1)).as("n_truth"),
+          sum(when(col("f_vec").isNotNull, 1L).otherwise(0L)).as("n_kept"))
+        .orderBy("probe_id")
+    }),
+      Some(s"""
+        WITH q AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+                          $qvecSql AS qv FROM embeddings),
+        f AS (SELECT vec_id, qv FROM q WHERE label % 3 = 1),
+        cent AS (SELECT vec_id AS cid, qv AS cq FROM f WHERE vec_id % 20 = 0),
+        fa AS (
+          SELECT vec_id, cid, qv FROM (
+            SELECT f.vec_id, cid, qv,
+                   row_number() OVER (PARTITION BY f.vec_id ORDER BY
+                     CAST(list_sum(list_transform(generate_series(1, len(qv)),
+                       i -> (qv[i]-cq[i])*(qv[i]-cq[i]))) AS BIGINT), cid) AS rn
+            FROM f CROSS JOIN cent
+          ) WHERE rn = 1
+        ),
+        probes AS (
+          SELECT vec_id AS probe_id, cid, qv AS pq FROM (
+            SELECT q.vec_id, cid, qv,
+                   row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                     CAST(list_sum(list_transform(generate_series(1, len(qv)),
+                       i -> (qv[i]-cq[i])*(qv[i]-cq[i]))) AS BIGINT), cid) AS rn
+            FROM q CROSS JOIN cent
+            WHERE q.vec_id % 100 = 0
+          ) WHERE rn = 1
+        ),
+        truth AS (
+          SELECT probe_id, vec_id FROM (
+            SELECT probe_id, f.vec_id,
+                   row_number() OVER (PARTITION BY probe_id
+                     ORDER BY ${cosSql("pq", "f.qv")} DESC, f.vec_id ASC) AS rank
+            FROM f CROSS JOIN probes
+            WHERE f.vec_id <> probe_id
+          ) WHERE rank <= 3
+        ),
+        found AS (
+          SELECT probe_id AS f_probe, vec_id AS f_vec FROM (
+            SELECT probe_id, fa.vec_id,
+                   row_number() OVER (PARTITION BY probe_id
+                     ORDER BY ${cosSql("pq", "fa.qv")} DESC, fa.vec_id ASC) AS rank
+            FROM probes JOIN fa ON fa.cid = probes.cid
+            WHERE fa.vec_id <> probe_id
+          ) WHERE rank <= 3
+        )
+        SELECT probe_id, CAST(count(*) AS BIGINT) AS n_truth,
+               CAST(sum(CASE WHEN f_vec IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_kept
+        FROM truth LEFT JOIN found
+          ON f_probe = probe_id AND f_vec = vec_id
         GROUP BY probe_id ORDER BY probe_id"""))
   )
 }
