@@ -1,0 +1,270 @@
+package graft.sources
+
+import java.net.URI
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs._
+import org.apache.hadoop.fs.permission.FsPermission
+import org.apache.hadoop.util.Progressable
+
+/**
+ * `gtier://` — a read-through caching Hadoop FileSystem: the EXECUTOR seam
+ * of the reference's pyramid tiered FS (`pkg/pyramid/tier_fs.go`). A scan
+ * plan carries `gtier://...` paths; every JVM that opens one (driver or
+ * any executor) copies the backing file to its OWN local disk on first
+ * read and serves subsequent opens locally — per-process caches, so the
+ * mechanism is correct on a real cluster where plan paths are shipped to
+ * machines that don't share the driver's disk. Range files are
+ * content-addressed and immutable, so cached copies never validate;
+ * eviction is LRU by bytes against a budget.
+ *
+ * URI encoding (underlying FS recovered from the path itself):
+ * {{{
+ *   gtier://<scheme>/<authority-or "-">/<path>
+ *   file:/repo/ranges/r1/f.parquet  <->  gtier://file/-/repo/ranges/r1/f.parquet
+ *   s3a://bucket/k                  <->  gtier://s3a/bucket/k
+ * }}}
+ *
+ * Caching applies to `open()` only; metadata calls (status, listing)
+ * delegate to the underlying FS, and every mutation is rejected — the
+ * tier fronts immutable committed ranges, nothing else. Whole-FILE
+ * caching (not blocks): range files are bounded by
+ * `max_range_size_bytes` (20 MiB, `pkg/config/defaults.go:97`), so a
+ * file is the natural cache unit, exactly like the reference's tier.
+ *
+ * Configuration (Hadoop conf keys):
+ *  - `graft.tier.dir`    local cache root (default `target/gtier_cache`)
+ *  - `graft.tier.budget` bytes per JVM (default 1 GiB, defaults.go:89)
+ */
+class TierCacheFileSystem extends FileSystem {
+
+  private var uri: URI = _
+
+  override def initialize(name: URI, conf: Configuration): Unit = {
+    super.initialize(name, conf)
+    setConf(conf)
+    uri = URI.create(s"${TierCacheFileSystem.Scheme}://${name.getAuthority}/")
+  }
+
+  override def getScheme: String = TierCacheFileSystem.Scheme
+  override def getUri: URI = uri
+
+  private def decode(p: Path): Path = TierCacheFileSystem.decode(p)
+  private def under(p: Path): (FileSystem, Path) = {
+    val u = decode(p)
+    (u.getFileSystem(getConf), u)
+  }
+  private def encode(p: Path): Path = TierCacheFileSystem.encode(p, getConf)
+
+  override def open(f: Path, bufferSize: Int): FSDataInputStream = {
+    val (ufs, up) = under(f)
+    TierCacheFileSystem.openCached(getConf, ufs, up, bufferSize)
+  }
+
+  override def getFileStatus(f: Path): FileStatus = {
+    val u = decode(f)
+    // a cached file answers its own status — parquet readers re-stat the
+    // file before open (HadoopInputFile.fromPath), and the whole point of
+    // the tier is serving hot files after the backing read would miss
+    TierCacheFileSystem.cachedStatus(u.toString, f) match {
+      case Some(st) => st
+      case None =>
+        val ufs = u.getFileSystem(getConf)
+        reEncode(ufs.getFileStatus(u))
+    }
+  }
+
+  override def listStatus(f: Path): Array[FileStatus] = {
+    val (ufs, up) = under(f)
+    ufs.listStatus(up).map(reEncode)
+  }
+
+  /** Statuses must carry gtier paths back out — Spark's file index lists a
+    * directory and then opens the CHILD paths it was handed. */
+  private def reEncode(st: FileStatus): FileStatus = {
+    val n = new FileStatus(st.getLen, st.isDirectory, st.getReplication,
+      st.getBlockSize, st.getModificationTime, st.getAccessTime,
+      st.getPermission, st.getOwner, st.getGroup, encode(st.getPath))
+    n
+  }
+
+  override def exists(f: Path): Boolean = {
+    val u = decode(f)
+    TierCacheFileSystem.cachedStatus(u.toString, f).isDefined || {
+      val ufs = u.getFileSystem(getConf); ufs.exists(u)
+    }
+  }
+
+  private def ro(op: String): Nothing =
+    throw new java.io.IOException(
+      s"gtier is a read-through cache over immutable ranges: $op unsupported")
+  override def create(f: Path, permission: FsPermission, overwrite: Boolean,
+      bufferSize: Int, replication: Short, blockSize: Long,
+      progress: Progressable): FSDataOutputStream = ro("create")
+  override def append(f: Path, bufferSize: Int, progress: Progressable): FSDataOutputStream =
+    ro("append")
+  override def rename(src: Path, dst: Path): Boolean = ro("rename")
+  override def delete(f: Path, recursive: Boolean): Boolean = ro("delete")
+  override def mkdirs(f: Path, permission: FsPermission): Boolean = ro("mkdirs")
+
+  private var wd = new Path("/")
+  override def setWorkingDirectory(d: Path): Unit = { wd = d }
+  override def getWorkingDirectory: Path = wd
+}
+
+object TierCacheFileSystem {
+  val Scheme = "gtier"
+
+  /** Wrap an underlying path (qualified against `conf`) as a gtier path. */
+  def encode(p: Path, conf: Configuration): Path = {
+    if (p.toUri.getScheme == Scheme) return p
+    val q = p.getFileSystem(conf).makeQualified(p)
+    val u = q.toUri
+    val auth = Option(u.getAuthority).filter(_.nonEmpty).getOrElse("-")
+    new Path(s"$Scheme://${u.getScheme}/$auth${u.getPath}")
+  }
+
+  /** Recover the underlying path from a gtier path. */
+  def decode(p: Path): Path = {
+    val u = p.toUri
+    require(u.getScheme == Scheme, s"not a gtier path: $p")
+    val scheme = u.getAuthority
+    val rest = u.getPath.stripPrefix("/")
+    val slash = rest.indexOf('/')
+    require(slash > 0, s"malformed gtier path: $p")
+    val auth = rest.substring(0, slash)
+    val path = rest.substring(slash)
+    if (auth == "-") new Path(s"$scheme:$path")
+    else new Path(s"$scheme://$auth$path")
+  }
+
+  /** Register the scheme on a Hadoop conf (idempotent). */
+  def register(conf: Configuration): Unit =
+    conf.set(s"fs.$Scheme.impl", classOf[TierCacheFileSystem].getName)
+
+  // ---- per-JVM whole-file cache (one per executor/driver process) --------
+
+  private final case class Slot(local: java.io.File, bytes: Long)
+  private val slots = new java.util.LinkedHashMap[String, Slot](64, 0.75f, true)
+  private var usedBytes = 0L
+  private var cacheDir: java.io.File = _
+  val hits = new java.util.concurrent.atomic.LongAdder
+  val copies = new java.util.concurrent.atomic.LongAdder
+  val evictions = new java.util.concurrent.atomic.LongAdder
+
+  /** Status served from the JVM cache, if this underlying path is held. */
+  private[sources] def cachedStatus(key: String, gtierPath: Path): Option[FileStatus] =
+    slots.synchronized(Option(slots.get(key))).collect {
+      case s if s.local.exists() =>
+        new FileStatus(s.bytes, false, 1, 1L << 26,
+          s.local.lastModified(), gtierPath)
+    }
+
+  /** Test hook: drop the whole JVM cache. */
+  def reset(): Unit = slots.synchronized {
+    slots.clear(); usedBytes = 0L
+    if (cacheDir != null) deleteRec(cacheDir)
+    cacheDir = null
+  }
+
+  private def deleteRec(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(deleteRec))
+    f.delete(); ()
+  }
+
+  private def dirFor(conf: Configuration): java.io.File = slots.synchronized {
+    if (cacheDir == null) {
+      cacheDir = new java.io.File(
+        conf.get("graft.tier.dir", "target/gtier_cache"),
+        s"jvm_${java.util.UUID.randomUUID().toString.take(8)}")
+      cacheDir.mkdirs()
+    }
+    cacheDir
+  }
+
+  private def budget(conf: Configuration): Long =
+    conf.getLong("graft.tier.budget", 1L << 30)
+
+  private def openCached(conf: Configuration, ufs: FileSystem, up: Path,
+      bufferSize: Int): FSDataInputStream = {
+    val key = up.toString
+    val cached = slots.synchronized(Option(slots.get(key)))
+    cached match {
+      case Some(s) if s.local.exists() =>
+        hits.increment()
+        localStream(s.local)
+      case _ =>
+        // copy-through on first open (the pyramid discipline: every
+        // committed-range read lands in the local tier); any copy trouble
+        // degrades to a passthrough stream of the underlying FS
+        try {
+          val st = ufs.getFileStatus(up)
+          val b = budget(conf)
+          if (st.getLen > b) return ufs.open(up, bufferSize)
+          val dir = dirFor(conf)
+          val tmp = java.io.File.createTempFile("part", ".tmp", dir)
+          val in = ufs.open(up)
+          try {
+            val out = new java.io.FileOutputStream(tmp)
+            try {
+              val buf = new Array[Byte](1 << 16)
+              var n = in.read(buf)
+              while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+            } finally out.close()
+          } finally in.close()
+          val dest = new java.io.File(dir,
+            java.lang.Long.toHexString(
+              scala.util.hashing.MurmurHash3.stringHash(key).toLong
+                & 0xffffffffL) + "_" + up.getName)
+          slots.synchronized {
+            if (!slots.containsKey(key)) {
+              if (!tmp.renameTo(dest) && !dest.exists()) {
+                tmp.delete()
+              } else {
+                tmp.delete() // no-op when renamed
+                slots.put(key, Slot(dest, st.getLen))
+                usedBytes += st.getLen
+                copies.increment()
+                val it = slots.entrySet().iterator()
+                while (usedBytes > b && it.hasNext) {
+                  val e = it.next()
+                  if (e.getKey != key) {
+                    usedBytes -= e.getValue.bytes
+                    e.getValue.local.delete()
+                    it.remove()
+                    evictions.increment()
+                  }
+                }
+              }
+            } else tmp.delete()
+          }
+          slots.synchronized(Option(slots.get(key))) match {
+            case Some(s) if s.local.exists() => localStream(s.local)
+            case _ => ufs.open(up, bufferSize)
+          }
+        } catch { case _: Exception => ufs.open(up, bufferSize) }
+    }
+  }
+
+  /** Seekable positioned-read stream over the local copy. */
+  private def localStream(f: java.io.File): FSDataInputStream = {
+    val raf = new java.io.RandomAccessFile(f, "r")
+    val in = new FSInputStream {
+      override def seek(pos: Long): Unit = raf.seek(pos)
+      override def getPos: Long = raf.getFilePointer
+      override def seekToNewSource(targetPos: Long): Boolean = false
+      override def read(): Int = raf.read()
+      override def read(b: Array[Byte], off: Int, len: Int): Int =
+        raf.read(b, off, len)
+      override def read(pos: Long, b: Array[Byte], off: Int, len: Int): Int = {
+        // positioned read must not disturb the stream position
+        this.synchronized {
+          val save = raf.getFilePointer
+          try { raf.seek(pos); raf.read(b, off, len) }
+          finally raf.seek(save)
+        }
+      }
+      override def close(): Unit = raf.close()
+    }
+    new FSDataInputStream(new BufferedFSInputStream(in, 1 << 16))
+  }
+}

@@ -599,6 +599,15 @@ class SnapshotStore(val spark: SparkSession, val repoDir: String,
       windowAccesses: Long = 4096L): RangeTierCache = {
     val t = new RangeTierCache(spark.sparkContext.hadoopConfiguration,
       budgetBytes, localDir, windowAccesses)
+    // distributed scans read through the gtier:// FS (per-JVM caches on
+    // every executor); the driver-side RangeTierCache serves the job-free
+    // metadata path (point gets, walkers)
+    graft.sources.TierCacheFileSystem.register(
+      spark.sparkContext.hadoopConfiguration)
+    spark.sparkContext.hadoopConfiguration
+      .set("graft.tier.dir", s"$localDir/gtier_cache")
+    spark.sparkContext.hadoopConfiguration
+      .setLong("graft.tier.budget", budgetBytes)
     val old = tier
     tier = Some(t)
     old.foreach(_.close()) // re-enabling must not leak the old tier's files
@@ -612,14 +621,16 @@ class SnapshotStore(val spark: SparkSession, val repoDir: String,
   private[store] def tierPath(ri: RangeInfo): String =
     tier.map(_.resolve(ri)).getOrElse(ri.path)
 
-  /** [[tierPath]] for DATAFRAME scans: tier paths are files on THIS
-    * machine's disk, and a scan plan ships its paths to executors — on a
-    * real cluster those paths do not exist there, so scan substitution is
-    * gated to local mode (where driver == executors). The driver-side
-    * metadata path (point gets, walkers) keeps the tier everywhere; a true
-    * per-executor tier would hook the executor's read path instead. */
+  /** [[tierPath]] for DATAFRAME scans: scan plans ship their paths to
+    * executors, so machine-local paths would break off the driver —
+    * instead, scans read through the `gtier://` read-through-cache
+    * FileSystem ([[graft.sources.TierCacheFileSystem]]): each JVM that
+    * opens a range file caches it on ITS OWN disk, which is the
+    * executor-local pyramid tier on any cluster shape. */
   private def tierPathForScan(ri: RangeInfo): String =
-    if (spark.sparkContext.isLocal) tierPath(ri) else ri.path
+    if (tier.isEmpty) ri.path
+    else graft.sources.TierCacheFileSystem.encode(
+      new Path(ri.path), spark.sparkContext.hadoopConfiguration).toString
   /** [[tierPath]] without admission accounting — write-path reads (commit,
     * import rewrites) touch each range once by construction, so counting
     * them would admit one-shot rewrites into the tier. */

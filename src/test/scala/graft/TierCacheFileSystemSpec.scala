@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import graft.sources.TierCacheFileSystem
+import graft.store.SnapshotStore
+
+/** The gtier:// read-through cache FS — the executor seam of the pyramid
+  * tier: encode/decode, copy-through open, per-JVM serving after the
+  * backing store is gone, budget eviction, and mutation rejection. */
+class TierCacheFileSystemSpec extends SparkSpec {
+
+  private def hconf = spark.sparkContext.hadoopConfiguration
+
+  test("gtier paths encode/decode round-trip across schemes") {
+    TierCacheFileSystem.register(hconf)
+    val localAbs = new Path("/repo/ranges/r1/part-0.parquet")
+    val enc = TierCacheFileSystem.encode(localAbs, hconf)
+    assert(enc.toUri.getScheme === "gtier")
+    assert(TierCacheFileSystem.decode(enc).toUri.getPath ===
+      "/repo/ranges/r1/part-0.parquet")
+    // authority-carrying scheme
+    val s3 = new Path("gtier://s3a/bucket/k/part.parquet")
+    assert(TierCacheFileSystem.decode(s3).toString === "s3a://bucket/k/part.parquet")
+    // double-encode is a no-op
+    assert(TierCacheFileSystem.encode(enc, hconf) === enc)
+    // the encoded path keeps the /ranges/<id>/ shape for path introspection
+    assert(enc.toString.contains("/ranges/r1/"))
+  }
+
+  test("scan through gtier: copy-through on first read, JVM cache serves after") {
+    import spark.implicits._
+    TierCacheFileSystem.reset()
+    val dir = tmpDir("gtier")
+    val store = new SnapshotStore(spark, dir, raggedness = 100)
+    val (m1, infos) = store.writeSnapshot(
+      (1 to 1500).map(i => (f"k$i%06d", s"id$i")).toDF("key", "identity"))
+    store.enableRangeCache(localDir = tmpDir("gtierlocal"))
+    try {
+      val df = store.scan(m1) // plan resolves gtier paths ONCE
+      // the plan's leaf must actually carry gtier paths
+      val files = df.inputFiles
+      assert(files.nonEmpty && files.forall(_.startsWith("gtier://")),
+        s"scan paths not tiered: ${files.take(2).mkString(",")}")
+      assert(df.count() === 1500L)
+      assert(TierCacheFileSystem.copies.sum() > 0, "first read must copy-through")
+      // the executor-correctness proof: delete the BACKING store files and
+      // re-execute the same plan — every open is served from this JVM's
+      // tier copy (on a cluster, each executor holds its own)
+      val ffs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(dir), hconf)
+      infos.foreach(ri => ffs.delete(new Path(ri.path), true))
+      val hitsBefore = TierCacheFileSystem.hits.sum()
+      assert(df.count() === 1500L)
+      assert(TierCacheFileSystem.hits.sum() > hitsBefore)
+      // filters still push down through the tier (row-group pruning reads)
+      assert(df.where(col("key") === "k000042").count() === 1L)
+    } finally {
+      store.disableRangeCache()
+      TierCacheFileSystem.reset()
+    }
+  }
+
+  test("gtier budget evicts LRU files; mutations are rejected") {
+    TierCacheFileSystem.reset()
+    TierCacheFileSystem.register(hconf)
+    val dir = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "gtierunit")
+    def blob(name: String, n: Int): Path = {
+      val p = dir.resolve(name)
+      java.nio.file.Files.write(p, Array.fill[Byte](n)(7))
+      new Path(p.toUri.getPath)
+    }
+    val a = blob("a.bin", 4000)
+    val b = blob("b.bin", 4000)
+    val conf = new org.apache.hadoop.conf.Configuration(hconf)
+    conf.setLong("graft.tier.budget", 6000L)
+    conf.set("graft.tier.dir", dir.resolve("cache").toString)
+    TierCacheFileSystem.register(conf)
+    val ga = TierCacheFileSystem.encode(a, conf)
+    // FileSystem.get caches instances per scheme — newInstance picks up
+    // THIS conf's budget instead of the session instance's default
+    val fs = org.apache.hadoop.fs.FileSystem.newInstance(ga.toUri, conf)
+    def readAll(p: Path): Int = {
+      val in = fs.open(p)
+      try {
+        var total = 0; val buf = new Array[Byte](1024)
+        var n = in.read(buf)
+        while (n >= 0) { total += n; n = in.read(buf) }
+        total
+      } finally in.close()
+    }
+    assert(readAll(ga) === 4000)
+    assert(readAll(TierCacheFileSystem.encode(b, conf)) === 4000)
+    assert(TierCacheFileSystem.evictions.sum() >= 1,
+      "6000-byte budget cannot hold two 4000-byte files")
+    // status/listing delegate; mutations rejected
+    assert(fs.getFileStatus(ga).getLen === 4000)
+    intercept[java.io.IOException] { fs.delete(ga, true) }
+    intercept[java.io.IOException] {
+      fs.mkdirs(new Path(ga.getParent, "x"))
+    }
+    TierCacheFileSystem.reset()
+  }
+}
