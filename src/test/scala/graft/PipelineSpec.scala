@@ -106,4 +106,8 @@ class PipelineSpec extends SparkSpec {
     assert(!listed.contains("k001") && !listed.contains("k002"))
     assert(listed("k003") === "UPDATED" && listed.size === 28)
   }
+
+  test("SparkEntry.entry returns rows (the driver's smoke contract)") {
+    assert(SparkEntry.entry(spark).limit(1).count() === 1L)
+  }
 }
