@@ -143,7 +143,11 @@ object TierCacheFileSystem {
 
   // ---- per-JVM whole-file cache (one per executor/driver process) --------
 
-  private final case class Slot(local: java.io.File, bytes: Long)
+  /** `mtime` pins the BACKING file's modificationTime at copy time so
+    * cachedStatus and a delegated listStatus report the same (path, mtime,
+    * length) triple — Spark's FileStatusCache and streaming file tracking
+    * key on it, and the local copy's own mtime would disagree. */
+  private final case class Slot(local: java.io.File, bytes: Long, mtime: Long)
   private val slots = new java.util.LinkedHashMap[String, Slot](64, 0.75f, true)
   private var usedBytes = 0L
   private var cacheDir: java.io.File = _
@@ -155,8 +159,7 @@ object TierCacheFileSystem {
   private[sources] def cachedStatus(key: String, gtierPath: Path): Option[FileStatus] =
     slots.synchronized(Option(slots.get(key))).collect {
       case s if s.local.exists() =>
-        new FileStatus(s.bytes, false, 1, 1L << 26,
-          s.local.lastModified(), gtierPath)
+        new FileStatus(s.bytes, false, 1, 1L << 26, s.mtime, gtierPath)
     }
 
   /** Test hook: drop the whole JVM cache. */
@@ -190,8 +193,11 @@ object TierCacheFileSystem {
     val cached = slots.synchronized(Option(slots.get(key)))
     cached match {
       case Some(s) if s.local.exists() =>
-        hits.increment()
-        localStream(s.local)
+        // exists() then open races a concurrent admission's eviction
+        // (local.delete()); the loser must degrade to the source, not
+        // fail the Spark task
+        try { val st = localStream(s.local); hits.increment(); st }
+        catch { case _: java.io.FileNotFoundException => ufs.open(up, bufferSize) }
       case _ =>
         // copy-through on first open (the pyramid discipline: every
         // committed-range read lands in the local tier); any copy trouble
@@ -221,7 +227,7 @@ object TierCacheFileSystem {
                 tmp.delete()
               } else {
                 tmp.delete() // no-op when renamed
-                slots.put(key, Slot(dest, st.getLen))
+                slots.put(key, Slot(dest, st.getLen, st.getModificationTime))
                 usedBytes += st.getLen
                 copies.increment()
                 val it = slots.entrySet().iterator()
@@ -238,7 +244,9 @@ object TierCacheFileSystem {
             } else tmp.delete()
           }
           slots.synchronized(Option(slots.get(key))) match {
-            case Some(s) if s.local.exists() => localStream(s.local)
+            case Some(s) if s.local.exists() =>
+              try localStream(s.local)
+              catch { case _: java.io.FileNotFoundException => ufs.open(up, bufferSize) }
             case _ => ufs.open(up, bufferSize)
           }
         } catch { case _: Exception => ufs.open(up, bufferSize) }

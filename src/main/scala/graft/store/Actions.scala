@@ -323,8 +323,11 @@ object Actions {
       // Lua (`pkg/actions/lua.go` + stdlib: guards that READ REPO STATE,
       // e.g. format/path/size checks over the changes a commit is about to
       // land), expressed in the engine's native language. Statements run
-      // in an ISOLATED session (cloned catalog — temp views can't leak or
-      // clobber), against three views:
+      // in a session with isolated temp views and SQLConf (newSession) —
+      // the persistent catalog and SparkContext stay SHARED, so a script
+      // can touch shared catalog state; like the reference's Lua hooks,
+      // action authors are repo admins and scripts run trusted. Three
+      // views are provided:
       //   event       — one row (event_type, repo, branch, source_ref,
       //                 committer, message, tag)
       //   listing     — the branch's visible listing, staged included

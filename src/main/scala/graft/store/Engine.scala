@@ -159,7 +159,7 @@ class Engine(val spark: SparkSession, val repoDir: String,
   def set(branch: String, key: String, identity: String): Unit = {
     val (dir, e) = allocateStagingDir(branch)
     EntryIO.writeStagedNarrow(spark.sparkContext.hadoopConfiguration,
-      dir, e, Seq((key, Some(identity))))
+      dir, e, Seq((key, Option(identity)))) // null identity = tombstone, as on the DataFrame path
   }
 
   /** Single-key Delete: stages a tombstone. */

@@ -51,6 +51,17 @@ class ReviewRegressionSpec extends SparkSpec {
     assert(eng.refs.getCommit(imp.commitId).get.metadata("import") === "a/,b/")
   }
 
+  test("set with a null identity stages a tombstone, not an NPE") {
+    import spark.implicits._
+    val eng = new Engine(spark, tmpDir("setnull"), raggedness = 100)
+    eng.init("main", Some(rows(5)))
+    eng.set("main", "k0002", null) // DataFrame path staged null = delete
+    assert(eng.get("main", "k0002").isEmpty)
+    assert(eng.list("main").where(col("key") === "k0002").count() === 0)
+    eng.commit("main", "t", "del via set(null)")
+    assert(eng.list("main").count() === 4)
+  }
+
   test("paged listing with a cursor and default limit does not overflow") {
     val eng = new Engine(spark, tmpDir("page"), raggedness = 100)
     eng.init("main", Some(rows(30)))

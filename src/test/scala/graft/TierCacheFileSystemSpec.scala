@@ -102,4 +102,29 @@ class TierCacheFileSystemSpec extends SparkSpec {
     }
     TierCacheFileSystem.reset()
   }
+
+  test("cached and delegated statuses agree on (path, mtime, length)") {
+    TierCacheFileSystem.reset()
+    val dir = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "gtiermt")
+    val p = dir.resolve("r.bin")
+    java.nio.file.Files.write(p, Array.fill[Byte](512)(3))
+    // backdate the backing file so a fresh local copy's own mtime differs
+    java.nio.file.Files.setLastModifiedTime(p,
+      java.nio.file.attribute.FileTime.fromMillis(1_000_000_000_000L))
+    val conf = new org.apache.hadoop.conf.Configuration(hconf)
+    conf.set("graft.tier.dir", dir.resolve("cache").toString)
+    TierCacheFileSystem.register(conf)
+    val gp = TierCacheFileSystem.encode(new Path(p.toUri.getPath), conf)
+    val fs = org.apache.hadoop.fs.FileSystem.newInstance(gp.toUri, conf)
+    val before = fs.getFileStatus(gp) // delegated (not yet cached)
+    fs.open(gp).close()               // admit into the tier
+    val cached = fs.getFileStatus(gp) // served from the cache
+    val listed = fs.listStatus(gp.getParent)
+      .find(_.getPath.getName == "r.bin").get // delegated re-encode
+    assert(cached.getModificationTime === before.getModificationTime)
+    assert(cached.getModificationTime === listed.getModificationTime)
+    assert(cached.getLen === listed.getLen && cached.getPath === listed.getPath)
+    TierCacheFileSystem.reset()
+  }
 }
