@@ -74,13 +74,15 @@ object Bench {
     // over-budget ratios are adjudicable (cut scan vs write vs renames)
     val stepSamples = scala.collection.mutable
       .LinkedHashMap[String, scala.collection.mutable.LinkedHashMap[String, Vector[Double]]]()
-    def drainSteps(metric: String, store: SnapshotStore): Unit = {
+    def addStep(metric: String, step: String, v: Double): Unit = {
       val m = stepSamples.getOrElseUpdate(metric,
         scala.collection.mutable.LinkedHashMap[String, Vector[Double]]())
-      store.drainTrace().foreach { case (step, sec) =>
-        m(step) = m.getOrElse(step, Vector.empty) :+ sec
-      }
+      m(step) = m.getOrElse(step, Vector.empty) :+ v
     }
+    def drainSteps(metric: String, store: SnapshotStore): Unit =
+      store.drainTrace().foreach { case (step, sec) =>
+        addStep(metric, step, sec)
+      }
     def timed[T](name: String)(f: => T): Option[T] = {
       // Quiesce before starting the clock: a metric that follows a 30 MB
       // parquet write otherwise pays the PREVIOUS op's page-cache flush and
@@ -209,9 +211,17 @@ object Bench {
         // 3. diff: C1..C2 with range-level pruning (J1) vs the bare
         // full-outer over complete snapshots, plus the clustered variant
         // where pruning skips almost every range.
+        // the two diff stages land in the JSON trace (trace.diff) so a
+        // ratio drift is attributable: manifest-prune/plan-build time vs
+        // the pruned scan+join execution
         m2.foreach(m => timed("diff") {
+          val t0 = System.nanoTime()
           val (dl, dr) = tr("diff_build")(store.prunedForDiff(m1, m))
+          val t1 = System.nanoTime()
           tr("diff_exec")(Diff.twoWay(dl, dr).count())
+          val t2 = System.nanoTime()
+          addStep("diff", "manifest_prune", (t1 - t0) / 1e9)
+          addStep("diff", "scan_join", (t2 - t1) / 1e9)
         })
         if (wroteBare.isDefined && m2.isDefined) {
           timed("bare_diff") {
@@ -314,10 +324,89 @@ object Bench {
             .agg(count(lit(1)).as("n_entries"))
             .orderBy("path").limit(1000).count()
         }
+
+        // 7. tiered twins (the pyramid tier, reference envelope 1 GiB —
+        // `pkg/config/defaults.go:89-93`): the SAME 20 point gets and the
+        // SAME pruned diff as above, but with the range tier enabled and
+        // warmed — point gets serve from the driver-side RangeTierCache,
+        // the diff's scan reads through gtier:// per-JVM copies. Cold
+        // comparators are this pass's own point_get / diff. Runs LAST in
+        // the pass so the tier never touches the other metrics; the trace
+        // carries the hit/miss counters so the win is attributable.
+        if (pointKeys.nonEmpty && m2.isDefined) {
+          val tier = store.enableRangeCache(localDir = s"$repoDir/tier")
+          val gtierHits0 = graft.sources.TierCacheFileSystem.hits.sum()
+          try {
+            // warm untimed: the two-generation window admits a range on its
+            // 2nd access and serves from the 3rd
+            (1 to 2).foreach { _ =>
+              pointKeys.foreach(k =>
+                graft.store.EntryIO.committedPoint(store, m1, k))
+            }
+            timed("point_get_tiered") {
+              pointKeys.foreach { k =>
+                require(graft.store.EntryIO.committedPoint(store, m1, k).isDefined,
+                  s"point_get_tiered missed $k")
+              }
+            }
+            // warm the executor-side gtier copies with one untimed execution
+            val (wl, wr) = store.prunedForDiff(m1, m2.get)
+            Diff.twoWay(wl, wr).count()
+            timed("diff_tiered") {
+              val (dl, dr) = store.prunedForDiff(m1, m2.get)
+              Diff.twoWay(dl, dr).count()
+            }
+            addStep("tier", "point_hits", tier.hits.sum().toDouble)
+            addStep("tier", "point_misses", tier.misses.sum().toDouble)
+            addStep("tier", "scan_hits",
+              (graft.sources.TierCacheFileSystem.hits.sum() - gtierHits0).toDouble)
+          } finally {
+            store.disableRangeCache()
+            graft.sources.TierCacheFileSystem.reset()
+          }
+        }
       } finally { deleteDir(bareOut); deleteDir(repoDir) }
     }
 
     (1 to passes).foreach(runPass)
+
+    // O(changed) growth guard (§C complexity contract — the reference
+    // commits in time proportional to the CHANGED ranges,
+    // `committed/commit.go:116-137`): the SAME clustered delta applied to
+    // a repo 10× larger; commit and diff wall-time must grow far less
+    // than 10×. One shot under trace.growth, not a headline metric.
+    {
+      val gsOut = s"target/bench_growth_${java.util.UUID.randomUUID()}"
+      try {
+        val small = base.where(col("k") % 10 === 0)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val maxK = base.agg(max("k")).head().getLong(0)
+        // delta keys live in the FIRST key interval and in BOTH repos —
+        // the same absolute change set at both scales
+        val delta = base.where(col("k") <= maxK / 100 && col("k") % 10 === 0)
+          .withColumn("price_c", col("price_c") + 555)
+          .withColumn("identity", identExpr)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        small.count(); delta.count()
+        val storeS = new SnapshotStore(spark, s"$gsOut/small", raggedness = 50000L)
+        val storeB = new SnapshotStore(spark, s"$gsOut/big", raggedness = 50000L)
+        val mS = storeS.writeSnapshot(small)._1
+        val mB = storeB.writeSnapshot(base)._1
+        def clock(f: => Unit): Double = {
+          System.gc(); Thread.sleep(250)
+          val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+        }
+        var m2S: String = null; var m2B: String = null
+        addStep("growth", "commit_1x", clock { m2S = storeS.commitChanges(mS, delta)._1 })
+        addStep("growth", "commit_10x", clock { m2B = storeB.commitChanges(mB, delta)._1 })
+        addStep("growth", "diff_1x", clock { storeS.diff(mS, m2S).count() })
+        addStep("growth", "diff_10x", clock { storeB.diff(mB, m2B).count() })
+        small.unpersist(); delta.unpersist()
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] growth guard failed (continuing): ${e.getMessage}")
+      } finally deleteDir(gsOut)
+    }
+
     emit(samples, stepSamples, sfDir)
     spark.stop()
   }

@@ -1,0 +1,199 @@
+package graft.store
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, StandardCopyOption, StandardOpenOption}
+
+/**
+ * Cross-process conditional swap for tiny control files (the branches/tags
+ * tables): the multi-writer analogue of the reference's KV `SetMsgIf`
+ * (`pkg/kv/store.go` interface, used for the branch-head CAS at
+ * `pkg/graveler/ref/manager.go:194` and retried by `retryBranchUpdate`,
+ * `graveler.go:2422-2446`).
+ *
+ * [[KvFile]]'s write-temp + atomic-rename is safe for ONE writer; two
+ * engines in different JVMs (two jobs on a cluster, or driver + external
+ * writer) can both read the same head, both rename, and silently lose an
+ * update. This seam makes the read-compare-swap atomic across processes:
+ *
+ *  - [[LockFileStore]] — plain filesystems (posix/NFS/HDFS): a lock file
+ *    taken with create-if-absent plus a fencing-token check before the
+ *    final atomic rename. The default.
+ *  - [[EtagStore]] — object stores with native conditional put (S3
+ *    `If-Match`/`If-None-Match`, GCS generation preconditions, Azure
+ *    ETags): every install is a single conditional PUT, no rename at all —
+ *    correct even where rename is non-atomic (S3A).
+ *
+ * Every read returns an opaque version TAG alongside the map; every write
+ * names the tag it read. A failed `writeIf` means the file moved under the
+ * caller — possibly a DIFFERENT key in the same file — so callers re-read
+ * and re-apply (see `RefStore.updateKv` / `casBranch`).
+ */
+trait ConditionalStore {
+  /** Read (entries, version tag). Tag "" = file absent. */
+  def readTagged(p: Path): (Map[String, String], String)
+
+  /** Install `m` iff the file's tag still equals `expectedTag` ("" =
+    * require-absent). Atomic w.r.t. every other `writeIf` on any process.
+    * False = the precondition failed (or the store is too contended);
+    * callers re-read and retry. */
+  def writeIf(p: Path, m: Map[String, String], expectedTag: String): Boolean
+}
+
+object ConditionalStore {
+  /** Default backend for `file:` repo dirs. */
+  def default: ConditionalStore = new LockFileStore()
+
+  private[store] def sha(bytes: Array[Byte]): String = {
+    val d = java.security.MessageDigest.getInstance("SHA-256").digest(bytes)
+    d.map("%02x".format(_)).mkString
+  }
+}
+
+/**
+ * (b) Lock-file + fencing-token conditional swap for plain filesystems.
+ *
+ * Protocol per [[writeIf]]:
+ *  1. acquire `<file>.lock` with create-if-absent (O_EXCL), our unique
+ *     token as its content; a lock older than `staleMs` (a crashed holder)
+ *     is broken by deletion and re-contested;
+ *  2. under the lock, re-read the file's content tag and compare;
+ *  3. write the new content to a WRITER-UNIQUE temp name;
+ *  4. FENCING CHECK: re-read the lock — if it no longer holds our token,
+ *     someone judged us stale and broke the lock; abort without renaming;
+ *  5. atomic rename; release the lock only if still ours.
+ *
+ * The fencing check closes the stale-break race (two breakers can both
+ * delete-and-recreate; the one whose token survives is the one allowed to
+ * rename). Residual caveat, inherent to lock files without server-side
+ * fencing: a writer that stalls LONGER than `staleMs` between its fencing
+ * check (4) and rename (5) could still collide — the check-to-rename
+ * window is microseconds against a 10 s staleness budget. Stores needing
+ * a hard guarantee use [[EtagStore]].
+ *
+ * Content tags are SHA-256 of the file bytes (an etag analogue): rename is
+ * atomic here, so an unlocked read observes a consistent (bytes, tag) pair.
+ */
+class LockFileStore(staleMs: Long = 10000L, acquireTries: Int = 4000)
+    extends ConditionalStore {
+
+  private def bytesOf(p: Path): Option[Array[Byte]] =
+    try { if (Files.exists(p)) Some(Files.readAllBytes(p)) else None }
+    catch { case _: java.io.IOException => None } // lost a rename race: absent
+
+  override def readTagged(p: Path): (Map[String, String], String) =
+    bytesOf(p) match {
+      case Some(b) => (KvFile.parse(b), ConditionalStore.sha(b))
+      case None    => (Map.empty, "")
+    }
+
+  private def lockPath(p: Path): Path =
+    p.resolveSibling(p.getFileName.toString + ".lock")
+
+  private def holds(lock: Path, token: String): Boolean =
+    try new String(Files.readAllBytes(lock), StandardCharsets.UTF_8) == token
+    catch { case _: java.io.IOException => false }
+
+  /** Spin for the lock; break holders older than `staleMs`. */
+  private def acquire(lock: Path, token: String): Boolean = {
+    var tries = 0
+    while (tries < acquireTries) {
+      tries += 1
+      try {
+        Files.write(lock, token.getBytes(StandardCharsets.UTF_8),
+          StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
+        return true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          try {
+            val age = System.currentTimeMillis() -
+              Files.getLastModifiedTime(lock).toMillis
+            if (age > staleMs) { Files.deleteIfExists(lock); () }
+            else Thread.sleep(1)
+          } catch { case _: java.io.IOException => () } // holder released mid-check
+        case _: java.io.IOException => Thread.sleep(1)  // transient FS hiccup
+      }
+    }
+    false
+  }
+
+  private def release(lock: Path, token: String): Unit =
+    try { if (holds(lock, token)) Files.deleteIfExists(lock); () }
+    catch { case _: java.io.IOException => () }
+
+  /** Test seam: runs while holding the lock, before the fencing check —
+    * specs simulate a stalled writer whose lock gets broken. */
+  private[graft] var beforeFence: () => Unit = () => ()
+
+  override def writeIf(p: Path, m: Map[String, String],
+      expectedTag: String): Boolean = {
+    val lock = lockPath(p)
+    val token = java.util.UUID.randomUUID().toString
+    if (!acquire(lock, token)) return false
+    try {
+      val cur = bytesOf(p).map(ConditionalStore.sha).getOrElse("")
+      if (cur != expectedTag) return false
+      val tmp = p.resolveSibling(
+        s"${p.getFileName}.${token.take(8)}.tmp") // writer-unique: no tmp collisions
+      Files.write(tmp, KvFile.render(m))
+      beforeFence()
+      if (!holds(lock, token)) { Files.deleteIfExists(tmp); return false }
+      Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+      true
+    } finally release(lock, token)
+  }
+}
+
+/**
+ * Single-key blob primitive with conditional put — the surface S3
+ * (`If-Match`/`If-None-Match`, public API), GCS (`ifGenerationMatch`) and
+ * Azure (ETags) all expose. [[EtagStore]] builds the control-file CAS on
+ * top; an adapter for a real object store implements exactly these two
+ * calls.
+ */
+trait ConditionalBlob {
+  /** (bytes, etag), or None when absent. */
+  def get(key: String): Option[(Array[Byte], String)]
+
+  /** Put iff the current etag equals `ifMatch` (None = require-absent,
+    * i.e. `If-None-Match: *`). Returns the new etag, or None when the
+    * precondition failed. Atomic per key. */
+  def putIf(key: String, bytes: Array[Byte], ifMatch: Option[String]): Option[String]
+}
+
+/** (a) Conditional-put conditional swap: one PUT per install, no rename —
+  * the correct primitive for object stores where rename is non-atomic. */
+class EtagStore(blob: ConditionalBlob) extends ConditionalStore {
+  override def readTagged(p: Path): (Map[String, String], String) =
+    blob.get(p.toString) match {
+      case Some((b, e)) => (KvFile.parse(b), e)
+      case None         => (Map.empty, "")
+    }
+  override def writeIf(p: Path, m: Map[String, String],
+      expectedTag: String): Boolean =
+    blob.putIf(p.toString, KvFile.render(m),
+      if (expectedTag.isEmpty) None else Some(expectedTag)).isDefined
+}
+
+/** In-memory [[ConditionalBlob]] with generation-numbered etags (the GCS
+  * dialect — ABA-proof, unlike content etags): the test double for the
+  * object-store backend. Shared across "engine processes" in a spec the
+  * way a bucket is shared across JVMs. */
+class InMemoryBlob extends ConditionalBlob {
+  private val m = new java.util.concurrent.ConcurrentHashMap[String, (Array[Byte], String)]()
+  private val gen = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  override def get(key: String): Option[(Array[Byte], String)] = Option(m.get(key))
+
+  override def putIf(key: String, bytes: Array[Byte],
+      ifMatch: Option[String]): Option[String] = {
+    val next = s"g${gen.incrementAndGet()}"
+    var ok = false
+    m.compute(key, (_, cur) => (cur, ifMatch) match {
+      case (null, None)                       => ok = true; (bytes, next)
+      case ((_, e), Some(exp)) if e == exp    => ok = true; (bytes, next)
+      case _                                  => cur // precondition failed
+    })
+    if (ok) Some(next) else None
+  }
+}

@@ -26,7 +26,8 @@ class UnresolvableRefException(val ref: String)
   extends RuntimeException(s"unresolvable ref: $ref")
 
 class Engine(val spark: SparkSession, val repoDir: String,
-    raggedness: Long = 50000L) {
+    raggedness: Long = 50000L,
+    conditional: ConditionalStore = ConditionalStore.default) {
 
   val snapshots = new SnapshotStore(spark, repoDir, raggedness)
   /** Turn on the driver-local hot-range file tier ([[RangeTierCache]],
@@ -42,7 +43,7 @@ class Engine(val spark: SparkSession, val repoDir: String,
       localDir: String = "target"): RangeTierCache =
     snapshots.enableRangeCache(budgetBytes, localDir)
   def disableRangeCache(): Unit = snapshots.disableRangeCache()
-  val refs = new RefStore(s"$repoDir/refs")
+  val refs = new RefStore(s"$repoDir/refs", conditional)
   /** Repo-level settings KV (`pkg/graveler/settings` twin: checksum CAS,
     * eventually-consistent cached reads). */
   lazy val settings = new Settings(s"$repoDir/refs")

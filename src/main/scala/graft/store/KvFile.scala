@@ -12,17 +12,26 @@ import java.nio.file.{Files, Path, StandardCopyOption}
  */
 object KvFile {
 
-  def read(p: Path): Map[String, String] =
-    if (!Files.exists(p)) Map.empty
-    else scala.jdk.CollectionConverters.ListHasAsScala(Files.readAllLines(p))
-      .asScala.filter(_.nonEmpty).map { l =>
+  /** Canonical bytes for a map — sorted, so equal maps render identically
+    * (content tags in [[ConditionalStore]] depend on this). */
+  def render(m: Map[String, String]): Array[Byte] =
+    m.toSeq.sorted.map { case (k, v) => s"$k\t$v" }
+      .mkString("\n").getBytes(StandardCharsets.UTF_8)
+
+  def parse(bytes: Array[Byte]): Map[String, String] =
+    new String(bytes, StandardCharsets.UTF_8).split('\n').iterator
+      .filter(_.nonEmpty).map { l =>
         val i = l.indexOf('\t'); l.take(i) -> l.drop(i + 1)
       }.toMap
 
+  def read(p: Path): Map[String, String] =
+    if (!Files.exists(p)) Map.empty else parse(Files.readAllBytes(p))
+
+  /** Single-writer swap. Control files with CONCURRENT writers (branches/
+    * tags) go through [[ConditionalStore]] instead. */
   def write(p: Path, m: Map[String, String]): Unit = {
     val tmp = p.resolveSibling(p.getFileName.toString + ".tmp")
-    Files.write(tmp, m.toSeq.sorted.map { case (k, v) => s"$k\t$v" }
-      .mkString("\n").getBytes(StandardCharsets.UTF_8))
+    Files.write(tmp, render(m))
     Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
   }

@@ -12,14 +12,22 @@ import graft.core.Model._
  * `pkg/graveler/ref/manager.go`).
  *
  * Commit metadata is tiny (thousands of rows for a 100 TB repo), so it lives
- * driver-side as line-delimited records with write-to-temp + atomic-rename
- * swaps — the single-writer analogue of the reference's KV `SetMsgIf` CAS
- * (`ref/manager.go:194`). An expected-value check on branch update gives the
- * same optimistic-concurrency semantics within one driver.
+ * driver-side as line-delimited records. Every control-file mutation is a
+ * conditional install through a [[ConditionalStore]] — the cross-process
+ * twin of the reference's KV `SetMsgIf` CAS (`ref/manager.go:194`): two
+ * engines in different JVMs over the same store dir contend safely, the
+ * loser re-reads and recomputes (the `retryBranchUpdate` loop lives in
+ * Engine). The default backend is a lock-file + fencing-token swap for
+ * plain filesystems; object stores plug a conditional-put [[EtagStore]].
+ *
+ * The commits log is append-only and content-addressed: concurrent
+ * appenders ride O_APPEND atomicity, and a commit double-written by two
+ * processes decodes to the same id — duplicates are harmless.
  *
  * Dump/Load (S11) falls out for free: the files are the dump.
  */
-class RefStore(rootDir: String) {
+class RefStore(rootDir: String,
+    cond: ConditionalStore = ConditionalStore.default) {
 
   private def dir: Path = Paths.get(rootDir)
   private def commitsFile = dir.resolve("commits.jsonl")
@@ -127,8 +135,22 @@ class RefStore(rootDir: String) {
 
   // --- branches / tags (swap files with expected-value CAS) ---------------
 
-  private def readKv(p: Path): Map[String, String] = KvFile.read(p)
-  private def writeKv(p: Path, m: Map[String, String]): Unit = KvFile.write(p, m)
+  private def readKv(p: Path): Map[String, String] = cond.readTagged(p)._1
+
+  /** Cross-process read-modify-write: re-read + re-apply `f` until the
+    * conditional install lands (a failed writeIf means ANY key in the file
+    * moved — possibly one unrelated to this update). */
+  private def updateKv(p: Path)(
+      f: Map[String, String] => Map[String, String]): Map[String, String] = {
+    var tries = 0
+    while (tries < 64) {
+      tries += 1
+      val (cur, tag) = cond.readTagged(p)
+      val next = f(cur)
+      if (next == cur || cond.writeIf(p, next, tag)) return next
+    }
+    sys.error(s"control file too contended: $p")
+  }
 
   /** Branch record: head commit + optional compacted base metarange
     * (`CompactedBaseMetaRangeID`, graveler.go:541-542) + hidden flag
@@ -174,48 +196,58 @@ class RefStore(rootDir: String) {
   def getBranchRecord(name: String): Option[BranchRecord] = branchRecords.get(name)
 
   /** Optimistic branch move: fails if the head moved under us — the
-    * reference's BranchUpdate CAS (`graveler.go:2289-2305`). Clears any
-    * compacted base (it described the previous head's staging). */
-  def casBranch(name: String, expected: Option[String], to: String): Boolean =
-    this.synchronized {
-      val cur = branchRecords
-      if (cur.get(name).map(_.commitId) != expected) false
-      else {
-        val hidden = cur.get(name).exists(_.hidden)
-        writeKv(branchesFile, readKv(branchesFile) +
-          (name -> encBranch(BranchRecord(to, None, hidden))))
-        true
-      }
+    * reference's BranchUpdate CAS (`graveler.go:2289-2305`), atomic across
+    * PROCESSES via the conditional store. Clears any compacted base (it
+    * described the previous head's staging). A failed conditional install
+    * re-reads: the file may have moved on an UNRELATED key (another
+    * branch, a hidden-flag flip); only a changed head of THIS branch
+    * reports CAS failure to the engine's retry loop. */
+  def casBranch(name: String, expected: Option[String], to: String): Boolean = {
+    var tries = 0
+    while (tries < 64) {
+      tries += 1
+      val (raw, tag) = cond.readTagged(branchesFile)
+      val cur = raw.map { case (k, v) => k -> decBranch(v) }
+      if (cur.get(name).map(_.commitId) != expected) return false
+      val hidden = cur.get(name).exists(_.hidden)
+      if (cond.writeIf(branchesFile,
+          raw + (name -> encBranch(BranchRecord(to, None, hidden))), tag))
+        return true
     }
+    false // contended beyond budget: report as a lost CAS, the engine retries
+  }
 
   def setBranch(name: String, commitId: String, compactedBase: Option[String] = None,
-      hidden: Boolean = false): Unit =
-    this.synchronized {
-      writeKv(branchesFile, readKv(branchesFile) +
-        (name -> encBranch(BranchRecord(commitId, compactedBase, hidden))))
-    }
+      hidden: Boolean = false): Unit = {
+    updateKv(branchesFile)(
+      _ + (name -> encBranch(BranchRecord(commitId, compactedBase, hidden))))
+    ()
+  }
 
-  /** Install/replace the compacted staging base without moving the head. */
-  def setCompactedBase(name: String, meta: Option[String]): Unit =
-    this.synchronized {
-      branchRecords.get(name).foreach { r =>
-        writeKv(branchesFile, readKv(branchesFile) +
-          (name -> encBranch(r.copy(compactedBase = meta))))
+  /** Install/replace the compacted staging base without moving the head.
+    * The record is re-read inside the RMW loop, so a concurrent move of a
+    * DIFFERENT branch is never clobbered. */
+  def setCompactedBase(name: String, meta: Option[String]): Unit = {
+    updateKv(branchesFile) { raw =>
+      raw.get(name).map(decBranch) match {
+        case Some(r) => raw + (name -> encBranch(r.copy(compactedBase = meta)))
+        case None    => raw
       }
     }
+    ()
+  }
 
-  def deleteBranch(name: String): Unit =
-    this.synchronized { writeKv(branchesFile, readKv(branchesFile) - name) }
+  def deleteBranch(name: String): Unit = { updateKv(branchesFile)(_ - name); () }
 
   // --- branch protection (pkg/graveler/branch/protection_manager.go) ------
 
   private def protectedFile = dir.resolve("protected.tsv")
 
-  def protectBranch(pattern: String): Unit = this.synchronized {
-    writeKv(protectedFile, readKv(protectedFile) + (pattern -> "1"))
+  def protectBranch(pattern: String): Unit = {
+    updateKv(protectedFile)(_ + (pattern -> "1")); ()
   }
-  def unprotectBranch(pattern: String): Unit = this.synchronized {
-    writeKv(protectedFile, readKv(protectedFile) - pattern)
+  def unprotectBranch(pattern: String): Unit = {
+    updateKv(protectedFile)(_ - pattern); ()
   }
   /** Glob-style match ('*' wildcard), like the reference's rule patterns. */
   def isProtected(branch: String): Boolean =
@@ -227,11 +259,11 @@ class RefStore(rootDir: String) {
 
   private def importsFile = dir.resolve("imports.tsv")
 
-  def setImportStatus(s: ImportStatus): Unit = this.synchronized {
+  def setImportStatus(s: ImportStatus): Unit = {
     val v = Seq(if (s.completed) "1" else "0", s.progress.toString,
       s.metaRangeId.getOrElse(""), s.commitId.getOrElse(""),
       s.error.map(esc).getOrElse(""), s.updatedAt.toString).mkString("|")
-    writeKv(importsFile, readKv(importsFile) + (s.id -> v))
+    updateKv(importsFile)(_ + (s.id -> v)); ()
   }
 
   def getImportStatus(id: String): Option[ImportStatus] =
@@ -249,11 +281,10 @@ class RefStore(rootDir: String) {
   /** DeleteExpiredImports (`catalog.go:3177-3190`): drop FINISHED import
     * records (completed or errored) older than the cutoff; in-flight
     * imports are never dropped regardless of age. Returns ids removed. */
-  def deleteExpiredImports(cutoffEpochSec: Long): Seq[String] = this.synchronized {
+  def deleteExpiredImports(cutoffEpochSec: Long): Seq[String] = {
     val expired = importStatuses.filter(s =>
       (s.completed || s.error.isDefined) && s.updatedAt < cutoffEpochSec)
-    if (expired.nonEmpty)
-      writeKv(importsFile, readKv(importsFile) -- expired.map(_.id))
+    if (expired.nonEmpty) { updateKv(importsFile)(_ -- expired.map(_.id)); () }
     expired.map(_.id)
   }
 
@@ -261,13 +292,13 @@ class RefStore(rootDir: String) {
 
   private def tasksFile = dir.resolve("tasks.tsv")
 
-  def setTaskStatus(s: TaskStatus): Unit = this.synchronized {
+  def setTaskStatus(s: TaskStatus): Unit = {
     val info = s.info.toSeq.sorted
       .map { case (k, v) => esc(k) + "=" + esc(v) }.mkString(",")
     val v = Seq(esc(s.operation), esc(s.step), s.stepsDone.toString,
       s.totalSteps.toString, if (s.done) "1" else "0",
       s.error.map(esc).getOrElse(""), info, s.updatedAt.toString).mkString("|")
-    writeKv(tasksFile, readKv(tasksFile) + (s.id -> v))
+    updateKv(tasksFile)(_ + (s.id -> v)); ()
   }
 
   def getTaskStatus(id: String): Option[TaskStatus] =
@@ -288,10 +319,9 @@ class RefStore(rootDir: String) {
   /** DeleteExpiredTasks (`catalog.go:3192-3215`): drop FINISHED task
     * records older than the cutoff; a task still running is never dropped
     * regardless of age (same janitor discipline as import expiry). */
-  def deleteExpiredTasks(cutoffEpochSec: Long): Seq[String] = this.synchronized {
+  def deleteExpiredTasks(cutoffEpochSec: Long): Seq[String] = {
     val expired = taskStatuses.filter(s => s.done && s.updatedAt < cutoffEpochSec)
-    if (expired.nonEmpty)
-      writeKv(tasksFile, readKv(tasksFile) -- expired.map(_.id))
+    if (expired.nonEmpty) { updateKv(tasksFile)(_ -- expired.map(_.id)); () }
     expired.map(_.id)
   }
 
@@ -303,11 +333,11 @@ class RefStore(rootDir: String) {
     * `GarbageCollectionRules` proto shape). */
   case class GcRules(defaultRetentionDays: Int, perBranch: Map[String, Int])
 
-  def setGcRules(defaultRetentionDays: Int, perBranch: Map[String, Int] = Map.empty): Unit =
-    this.synchronized {
-      writeKv(gcRulesFile, Map("__default__" -> defaultRetentionDays.toString) ++
-        perBranch.map { case (b, d) => s"b:$b" -> d.toString })
-    }
+  def setGcRules(defaultRetentionDays: Int, perBranch: Map[String, Int] = Map.empty): Unit = {
+    updateKv(gcRulesFile)(_ => Map("__default__" -> defaultRetentionDays.toString) ++
+      perBranch.map { case (b, d) => s"b:$b" -> d.toString })
+    ()
+  }
 
   def gcRules: Option[GcRules] = {
     val kv = readKv(gcRulesFile)
@@ -337,13 +367,15 @@ class RefStore(rootDir: String) {
   }
 
   def createPullRequest(source: String, dest: String, title: String,
-      description: String = ""): PullRequest =
-    this.synchronized {
-      val id = Identity.sha256Hex(s"pr|$source|$dest|$title|${readKv(prsFile).size}").take(12)
-      val pr = PullRequest(id, source, dest, title, "open", description)
-      writeKv(prsFile, readKv(prsFile) + (id -> encPr(pr)))
-      pr
+      description: String = ""): PullRequest = {
+    var pr: PullRequest = null
+    updateKv(prsFile) { cur =>
+      val id = Identity.sha256Hex(s"pr|$source|$dest|$title|${cur.size}").take(12)
+      pr = PullRequest(id, source, dest, title, "open", description)
+      cur + (id -> encPr(pr))
     }
+    pr
+  }
 
   def pullRequests: Seq[PullRequest] =
     readKv(prsFile).toSeq.sortBy(_._1).map { case (id, v) => decPr(id, v) }
@@ -357,19 +389,25 @@ class RefStore(rootDir: String) {
     * Returns the updated record; None when the id is unknown. */
   def updatePullRequest(id: String, title: Option[String] = None,
       description: Option[String] = None, status: Option[String] = None)
-      : Option[PullRequest] = this.synchronized {
-    getPullRequest(id).map { pr =>
-      status.foreach { s =>
-        require(Set("open", "closed", "merged")(s), s"invalid PR status: $s")
-        require(pr.status == "open" || s == pr.status,
-          s"pull request $id is ${pr.status}; terminal statuses cannot change")
+      : Option[PullRequest] = {
+    var out: Option[PullRequest] = None
+    updateKv(prsFile) { cur =>
+      cur.get(id).map(v => decPr(id, v)) match {
+        case None => out = None; cur
+        case Some(pr) =>
+          status.foreach { s =>
+            require(Set("open", "closed", "merged")(s), s"invalid PR status: $s")
+            require(pr.status == "open" || s == pr.status,
+              s"pull request $id is ${pr.status}; terminal statuses cannot change")
+          }
+          val upd = pr.copy(title = title.getOrElse(pr.title),
+            description = description.getOrElse(pr.description),
+            status = status.getOrElse(pr.status))
+          out = Some(upd)
+          cur + (id -> encPr(upd))
       }
-      val upd = pr.copy(title = title.getOrElse(pr.title),
-        description = description.getOrElse(pr.description),
-        status = status.getOrElse(pr.status))
-      writeKv(prsFile, readKv(prsFile) + (id -> encPr(upd)))
-      upd
     }
+    out
   }
 
   /** ListPullRequest (`catalog.go:3424-3489`): id-ordered page with
@@ -387,15 +425,19 @@ class RefStore(rootDir: String) {
 
   def tags: Map[String, String] = readKv(tagsFile)
 
-  /** Tags are immutable: creating an existing tag fails (graveler.go:571-575). */
-  def createTag(name: String, commitId: String): Boolean = this.synchronized {
-    val cur = tags
-    if (cur.contains(name)) false
-    else { writeKv(tagsFile, cur + (name -> commitId)); true }
+  /** Tags are immutable: creating an existing tag fails (graveler.go:571-575)
+    * — including one created by ANOTHER process between our read and write
+    * (the conditional install re-checks). */
+  def createTag(name: String, commitId: String): Boolean = {
+    var created = false
+    updateKv(tagsFile) { cur =>
+      if (cur.contains(name)) { created = false; cur }
+      else { created = true; cur + (name -> commitId) }
+    }
+    created
   }
 
-  def deleteTag(name: String): Unit =
-    this.synchronized { writeKv(tagsFile, tags - name) }
+  def deleteTag(name: String): Unit = { updateKv(tagsFile)(_ - name); () }
 
   // --- ref resolution (G4, `pkg/graveler/ref/resolve_ref.go:32-133`) ------
 

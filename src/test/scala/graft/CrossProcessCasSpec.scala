@@ -1,0 +1,177 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import java.util.concurrent.Executors
+import org.apache.spark.sql.functions._
+import graft.store.{ConditionalStore, Engine, EtagStore, InMemoryBlob, LockFileStore, RefStore}
+
+/**
+ * Cross-process branch-head CAS (the reference's `kv.SetMsgIf` +
+ * `retryBranchUpdate`, `ref/manager.go:194`, `graveler.go:2422-2446`):
+ * every contender here is a SEPARATE store/engine instance sharing only
+ * the on-disk (or blob) state — no in-memory locks in common, exactly like
+ * two JVMs on a cluster.
+ */
+class CrossProcessCasSpec extends SparkSpec {
+
+  /** N contenders, each incrementing the head counter exactly once via
+    * expected-value CAS with re-read on loss. Lost updates => final < N. */
+  private def counterRace(stores: Seq[RefStore], perStore: Int): Unit = {
+    stores.head.setBranch("main", "c0")
+    val pool = Executors.newFixedThreadPool(16)
+    try {
+      val futs = for (s <- stores; _ <- 1 to perStore) yield pool.submit {
+        new Runnable {
+          override def run(): Unit = {
+            var done = false
+            while (!done) {
+              val cur = s.getBranch("main").get
+              val n = cur.drop(1).toInt
+              done = s.casBranch("main", Some(cur), s"c${n + 1}")
+            }
+          }
+        }
+      }
+      futs.foreach(_.get())
+    } finally pool.shutdown()
+    val total = stores.size * perStore
+    assert(stores.head.getBranch("main").get === s"c$total",
+      "every CAS increment must be applied exactly once")
+  }
+
+  test("lock-file backend: two stores, 64 contenders, no lost update") {
+    val dir = tmpDir("casfs")
+    counterRace(Seq(new RefStore(dir), new RefStore(dir)), perStore = 32)
+  }
+
+  test("etag backend: conditional put over a store with NO atomic rename") {
+    val blob = new InMemoryBlob // simulated object store: put-if-match only
+    val dir = tmpDir("casblob")
+    counterRace(Seq(
+      new RefStore(dir, new EtagStore(blob)),
+      new RefStore(dir, new EtagStore(blob))), perStore = 32)
+  }
+
+  test("fencing token: a writer stalled past staleness aborts, the breaker wins") {
+    val dir = Paths.get(tmpDir("fence"))
+    val p = dir.resolve("kv.tsv")
+    val s1 = new LockFileStore(staleMs = 100)
+    val s2 = new LockFileStore(staleMs = 100)
+    val (_, t0) = s1.readTagged(p)
+    @volatile var second = false
+    s1.beforeFence = () => {
+      Thread.sleep(300) // stall: s1's lock becomes breakable
+      second = s2.writeIf(p, Map("k" -> "second"), t0) // breaks + installs
+    }
+    val first = s1.writeIf(p, Map("k" -> "first"), t0)
+    assert(second, "the breaker's conditional install must land")
+    assert(!first, "the stalled writer must fail its fencing check, not clobber")
+    assert(s1.readTagged(p)._1("k") === "second")
+  }
+
+  test("a lock file orphaned by a crashed process is broken, not a deadlock") {
+    val dir = Paths.get(tmpDir("orphan"))
+    val p = dir.resolve("kv.tsv")
+    Files.write(dir.resolve("kv.tsv.lock"), "dead-process-token".getBytes)
+    Thread.sleep(150)
+    val s = new LockFileStore(staleMs = 100)
+    assert(s.writeIf(p, Map("k" -> "v"), ""))
+    assert(s.readTagged(p)._1("k") === "v")
+  }
+
+  test("tag immutability holds across stores: exactly one creator wins") {
+    val dir = tmpDir("tagrace")
+    val a = new RefStore(dir)
+    val b = new RefStore(dir)
+    val pool = Executors.newFixedThreadPool(8)
+    try {
+      val futs = (1 to 8).map { i =>
+        val s = if (i % 2 == 0) a else b
+        pool.submit(new java.util.concurrent.Callable[Boolean] {
+          override def call(): Boolean = s.createTag("v1", s"commit$i")
+        })
+      }
+      assert(futs.count(_.get()) === 1)
+    } finally pool.shutdown()
+    assert(a.tags.size === 1)
+  }
+
+  test("two engines: the CAS loser retries onto the winner's head") {
+    import spark.implicits._
+    val dir = tmpDir("twoeng")
+    val a = new Engine(spark, dir, raggedness = 100)
+    val init = a.init("main",
+      Some((1 to 20).map(i => (f"k$i%03d", s"v$i")).toDF("key", "identity")))
+    val b = new Engine(spark, dir, raggedness = 100) // separate instance = separate JVM's state
+    a.stage("main", Seq(("k001", "CHANGED")).toDF("key", "identity"))
+    // interleave an EXTERNAL head move (engine b) exactly between a's
+    // commit computation and its CAS — the lost-update window
+    @volatile var moved: String = null
+    var fired = false
+    a.beforeCas = () => if (!fired) {
+      fired = true
+      val head = b.refs.getBranch("main").get
+      val c = b.refs.addCommit("b", "external head move",
+        b.resolveCommit("main").metaRangeId, Seq(head))
+      assert(b.refs.casBranch("main", Some(head), c.commitId),
+        "the interleaved writer must win the first CAS")
+      moved = c.commitId
+    }
+    val ac = a.commit("main", "a", "contended commit")
+    // exactly one commit won the first CAS (b's); a's retried onto it
+    assert(ac.parents === Seq(moved),
+      "the loser must recompute against the winner's head, not its stale read")
+    assert(a.log("main").map(_.commitId) ===
+      Seq(ac.commitId, moved, init.commitId))
+    assert(a.list("main").where(col("key") === "k001")
+      .select("identity").as[String].head() === "CHANGED")
+  }
+
+  test("two engines race real commits: all keys land, history stays linear") {
+    import spark.implicits._
+    val dir = tmpDir("engrace")
+    val a = new Engine(spark, dir, raggedness = 100)
+    a.init("main", Some(Seq(("seed", "s")).toDF("key", "identity")))
+    val b = new Engine(spark, dir, raggedness = 100)
+    val engines = Seq(a, b)
+    val keys = for (e <- 0 to 1; i <- 1 to 3) yield (e, s"key-e$e-$i")
+    val pool = Executors.newFixedThreadPool(6)
+    try {
+      val futs = keys.map { case (e, key) =>
+        pool.submit(new Runnable {
+          override def run(): Unit = {
+            val eng = engines(e)
+            // cross-process contract: an attempt may lose the CAS, find its
+            // epoch consumed by the other engine's commit, or read an epoch
+            // the other engine is dropping — retry from scratch until the
+            // key is COMMITTED (set is idempotent: same content, same id)
+            var tries = 0
+            while (tries < 12 && !eng.list("main@")
+                .where(col("key") === key).limit(1).collect().nonEmpty) {
+              tries += 1
+              try {
+                eng.set("main", key, s"v-$key")
+                eng.commit("main", s"e$e", s"land $key")
+              } catch { case _: Exception => Thread.sleep(20) }
+            }
+          }
+        })
+      }
+      futs.foreach(_.get())
+    } finally pool.shutdown()
+    a.awaitStagingCleanup(); b.awaitStagingCleanup()
+    // every key committed exactly once, visible from BOTH engines
+    engines.foreach { eng =>
+      val committed = eng.list("main@").select("key").as[String].collect().toSet
+      keys.foreach { case (_, k) => assert(committed.contains(k), s"lost update: $k") }
+    }
+    // linear history: every commit's parent chain walks back to init
+    val log = a.log("main")
+    assert(log.map(_.commitId).distinct.size === log.size)
+    log.sliding(2).foreach {
+      case Seq(child, parent) => assert(child.parents === Seq(parent.commitId),
+        "concurrent commits must serialize into one line, never fork")
+      case _ => ()
+    }
+  }
+}
