@@ -79,13 +79,15 @@ class TierCacheFileSystem extends FileSystem {
   }
 
   /** Statuses must carry gtier paths back out — Spark's file index lists a
-    * directory and then opens the CHILD paths it was handed. */
-  private def reEncode(st: FileStatus): FileStatus = {
-    val n = new FileStatus(st.getLen, st.isDirectory, st.getReplication,
-      st.getBlockSize, st.getModificationTime, st.getAccessTime,
-      st.getPermission, st.getOwner, st.getGroup, encode(st.getPath))
-    n
-  }
+    * directory and then opens the CHILD paths it was handed. Length/dir/
+    * mtime only: copying permission/owner/group looks free but forces
+    * RawLocalFileSystem's LAZY permission load, which shells out to
+    * `ls -ld` PER FILE (`DeprecatedRawLocalFileStatus.loadPermissionInfo`)
+    * — measured ~18 ms per listStatus vs ~0.3 ms without. The tier fronts
+    * immutable content-addressed ranges; nothing reads their permissions. */
+  private def reEncode(st: FileStatus): FileStatus =
+    new FileStatus(st.getLen, st.isDirectory, st.getReplication,
+      st.getBlockSize, st.getModificationTime, encode(st.getPath))
 
   override def exists(f: Path): Boolean = {
     val u = decode(f)

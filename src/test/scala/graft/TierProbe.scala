@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.fixtures.Fixtures
+import graft.operators.Diff
+import graft.store.SnapshotStore
+
+/** Scratch harness (not a test): gtier vs direct diff cost, plus the raw
+  * FS-metadata micro-comparison that caught the lazy-permission fork (a
+  * copied getPermission made RawLocalFileSystem shell out per file).
+  * Run: sbt "Test/runMain graft.TierProbe" */
+object TierProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 16)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val base = Fixtures.keyedBase(spark, sfDir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    base.count()
+    val identExpr = sha2(concat_ws("|",
+      col("key"), col("qty"), col("price_c"), col("rf"), col("ls")), 256)
+    val changes = base.where(col("k") % 100 === 21)
+      .withColumn("price_c", col("price_c") + 777)
+      .withColumn("identity", identExpr)
+    val repo = s"target/tierprobe_${java.util.UUID.randomUUID()}"
+    val store = new SnapshotStore(spark, repo, raggedness = 50000L)
+    val m1 = store.writeSnapshot(base)._1
+    val m2 = store.commitChanges(m1, changes)._1
+    def t(name: String)(f: => Unit): Unit = {
+      System.gc(); Thread.sleep(200)
+      val t0 = System.nanoTime(); f
+      println(f"[tierprobe] $name%-22s ${(System.nanoTime() - t0) / 1e9}%7.3f s")
+    }
+    def runDiff(): Unit = {
+      val (l, r) = store.prunedForDiff(m1, m2)
+      Diff.twoWay(l, r).count()
+    }
+    t("diff_direct_1")(runDiff())
+    t("diff_direct_2")(runDiff())
+    t("diff_direct_3")(runDiff())
+    store.enableRangeCache(localDir = s"$repo/tier")
+    t("diff_gtier_cold")(runDiff())
+    t("diff_gtier_warm_1")(runDiff())
+    t("diff_gtier_warm_2")(runDiff())
+    // FS metadata parity: gtier listing must track direct listing (a gap
+    // here is driver/executor plan-build overhead multiplied per file)
+    val hc = spark.sparkContext.hadoopConfiguration
+    val infos = store.readManifest(m1)
+    val gp0 = new org.apache.hadoop.fs.Path(
+      graft.sources.TierCacheFileSystem.encode(
+        new org.apache.hadoop.fs.Path(infos.head.path), hc).toString)
+    val dp0 = new org.apache.hadoop.fs.Path(infos.head.path)
+    val gfs = gp0.getFileSystem(hc)
+    val dfs = dp0.getFileSystem(hc)
+    t("gtier_listStatus_x100")((1 to 100).foreach(_ => gfs.listStatus(gp0)))
+    t("direct_listStatus_x100")((1 to 100).foreach(_ => dfs.listStatus(dp0)))
+    store.disableRangeCache()
+    t("diff_direct_after")(runDiff())
+    graft.sources.TierCacheFileSystem.reset()
+    val ffs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(repo), hc)
+    ffs.delete(new org.apache.hadoop.fs.Path(repo), true)
+    spark.stop()
+  }
+}
