@@ -1,0 +1,120 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Catalog-export payload builders: the Spark rebuild of the reference's
+ * catalog-export Lua stdlib — Glue table registration
+ * (`pkg/actions/lua/lakefs/catalogexport/glue_exporter.lua`) and Unity
+ * (Databricks) external-table registration
+ * (`.../catalogexport/unity_exporter.lua` + `pkg/actions/lua/databricks/
+ * client.go:57`). The network clients (AWS Glue API, Databricks SQL
+ * execution) stay out — what's rebuilt is everything up to the wire
+ * payload: descriptor discovery over a ref's listing, the name/location
+ * grammar, the hive→glue type mapping, the partition/column split, and
+ * the registration JSON / DDL, all as one distributed plan per descriptor
+ * set (a repo can carry thousands of table specs; each row is independent).
+ *
+ * Descriptor CONTENT (the parsed `_lakefs_tables/<name>.yaml`) arrives as
+ * columns — `(path, name, table_type, catalog, physical_path,
+ * partition_columns: array<string>, fields: array<struct<name,type>>)` —
+ * the YAML-parse seam the reference crosses in
+ * `table_extractor.get_table_descriptor`.
+ */
+object CatalogExport {
+
+  /** Descriptor discovery over a ref listing (`table_extractor.lua`
+    * `is_table_obj` + `list_table_descriptor_entries`): entries under
+    * `base` whose name ends in `.yaml` and is not hidden — no path segment
+    * below `base` starts with '_' (`path.IsHidden`, HiddenPrefix "_",
+    * `pkg/actions/lua/path/path.go:13,104`). */
+  def descriptorEntries(listing: DataFrame,
+      base: String = "_lakefs_tables/"): DataFrame = {
+    val rel = expr(s"substring(key, ${base.length + 1})")
+    listing
+      .where(col("key").startsWith(base))
+      .where(col("key").endsWith(".yaml"))
+      .where(!exists(split(rel, "/"), seg => seg.startsWith("_")))
+  }
+
+  /** `<name>_<repo>_<ref>_<sha6>` (glue_exporter.lua
+    * `get_full_table_name`; `internal.lua` short_digest = 6). */
+  private def glueTableName(repo: String, refName: String,
+      commitId: String): Column =
+    concat_ws("_", col("name"), lit(repo), lit(refName),
+      lit(commitId.take(6)))
+
+  /** `<ns>/_lakefs/exported/<ref>/<sha6>/<name>` (internal.lua
+    * `get_storage_uri_prefix` + glue_exporter `get_table_location`). */
+  private def tableLocation(storageNs: String, refName: String,
+      commitId: String): Column = {
+    val ns = if (storageNs.endsWith("/")) storageNs.dropRight(1) else storageNs
+    concat(lit(s"$ns/_lakefs/exported/$refName/${commitId.take(6)}/"),
+      col("name"))
+  }
+
+  /** hive→glue type mapping (glue_exporter.lua `typesMapping`). */
+  private def glueType(t: Column): Column =
+    when(t === "integer", lit("int")).otherwise(t)
+
+  private def colJson(f: Column): Column = concat(
+    lit("""{"Name":""""), f.getField("name"),
+    lit("""","Type":""""), glueType(f.getField("type")), lit(""""}"""))
+
+  /**
+   * AWS Glue `CreateTable` TableInput per descriptor
+   * (`build_glue_create_table_input`): EXTERNAL_TABLE, partition keys in
+   * `partition_columns` ORDER (each resolved against the schema fields —
+   * the order determines the storage path), the remaining fields as
+   * StorageDescriptor.Columns, location = the ref's symlink export prefix.
+   * Emits both the flat columns and the assembled `table_input` JSON.
+   * One narrow projection per row — no shuffle, no driver loop.
+   */
+  def glueTableInputs(descriptors: DataFrame, repo: String, refName: String,
+      commitId: String, storageNs: String): DataFrame = {
+    val partCols = transform(col("partition_columns"),
+      p => element_at(filter(col("fields"), f => f.getField("name") === p), 1))
+    val dataCols = filter(col("fields"),
+      f => !array_contains(col("partition_columns"), f.getField("name")))
+    descriptors
+      .withColumn("glue_table_name", glueTableName(repo, refName, commitId))
+      .withColumn("location", tableLocation(storageNs, refName, commitId))
+      .withColumn("columns_json",
+        concat(lit("["), array_join(transform(dataCols, colJson(_)), ","), lit("]")))
+      .withColumn("partition_keys_json",
+        concat(lit("["), array_join(transform(partCols, colJson(_)), ","), lit("]")))
+      .withColumn("table_input", concat(
+        lit("""{"Name":""""), col("glue_table_name"),
+        lit("""","TableType":"EXTERNAL_TABLE","StorageDescriptor":{"Columns":"""),
+        col("columns_json"),
+        lit(""","Location":""""), col("location"),
+        lit(""""},"PartitionKeys":"""), col("partition_keys_json"), lit("}")))
+      .select("path", "name", "glue_table_name", "location",
+        "columns_json", "partition_keys_json", "table_input")
+  }
+
+  /**
+   * Unity-catalog registration per DELTA descriptor (`unity_exporter.lua`
+   * `register_tables` + `databricks/client.go:53-63`): the schema is the
+   * BRANCH name, non-delta descriptors are rejected rows (`status =
+   * 'error: …'` instead of a thrown batch — one bad spec must not abort a
+   * thousand-table registration), and the DDL is the exact statement the
+   * reference executes: `CREATE EXTERNAL TABLE <name> LOCATION '<path>'`
+   * under (catalog, schema).
+   */
+  def unityRegistrations(descriptors: DataFrame, branch: String): DataFrame =
+    descriptors
+      .withColumn("schema_name", lit(branch))
+      .withColumn("status",
+        when(col("table_type") =!= "delta",
+          lit("error: unity exporter supports only table descriptors of type 'delta'"))
+          .when(col("catalog").isNull || col("catalog") === "",
+            lit("error: catalog name is required"))
+          .otherwise(lit("ok")))
+      .withColumn("ddl",
+        when(col("status") === "ok", concat(
+          lit("CREATE EXTERNAL TABLE "), col("name"),
+          lit(" LOCATION '"), col("physical_path"), lit("'"))))
+      .select("path", "name", "catalog", "schema_name", "status", "ddl")
+}

@@ -126,17 +126,40 @@ object ExtendedQueries {
         WHERE json_extract(props, '$.k') IS NOT NULL
         GROUP BY 1 ORDER BY bucket""")),
 
-    // A-layer approximate ops (north-star): HLL distinct counts. No oracle —
-    // approximate results differ across engines by design, so the driver
-    // applies its weaker rows-only check; the exact twin is vc_range_stats.
+    // A-layer approximate ops (north-star): HLL distinct counts, made
+    // ORACLE-CHECKABLE as bound checks: the raw estimates differ across
+    // engines by design, so the row carries the exact distinct counts
+    // (DuckDB recomputes those) plus booleans asserting the engine's HLL
+    // estimate landed within 5% of ITS OWN exact count — the oracle emits
+    // literal TRUE, so a drifting estimator hash-mismatches.
     "vc_approx_distinct" -> (((s: SparkSession, d: String) => {
       val base = graft.fixtures.Fixtures.keyedBase(s, d)
       base.groupBy("rf")
-        .agg(approx_count_distinct(col("key")).as("approx_keys"),
-          approx_count_distinct(col("price_c"), 0.02).as("approx_prices"))
+        .agg(approx_count_distinct(col("key"), 0.02).as("a_keys"),
+          approx_count_distinct(col("price_c"), 0.02).as("a_prices"),
+          countDistinct(col("key")).as("exact_keys"),
+          countDistinct(col("price_c")).as("exact_prices"))
+        .select(col("rf"), col("exact_keys"), col("exact_prices"),
+          (abs(col("a_keys") - col("exact_keys")) * 20 <= col("exact_keys"))
+            .as("keys_within_5pct"),
+          (abs(col("a_prices") - col("exact_prices")) * 20 <= col("exact_prices"))
+            .as("prices_within_5pct"))
         .orderBy("rf")
     }),
-      None),
+      Some("""
+        WITH L AS (
+          SELECT k, min(price_c) AS price_c, min(rf) AS rf
+          FROM (
+            SELECT l_orderkey*10 + l_linenumber AS k,
+                   CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS price_c,
+                   l_returnflag AS rf
+            FROM lineitem
+          ) GROUP BY k
+        )
+        SELECT rf, CAST(count(DISTINCT k) AS BIGINT) AS exact_keys,
+               CAST(count(DISTINCT price_c) AS BIGINT) AS exact_prices,
+               TRUE AS keys_within_5pct, TRUE AS prices_within_5pct
+        FROM L GROUP BY rf ORDER BY rf""")),
 
     // KMV (k-minimum-values) distinct sketch with an EXACT oracle: the
     // estimator is approximate, but its computation — k-th smallest 60-bit

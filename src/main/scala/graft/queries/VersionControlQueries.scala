@@ -874,6 +874,112 @@ object VersionControlQueries {
                CAST(1 AS BIGINT) AS tag_at_dev_head
         FROM rightv ORDER BY key""")),
 
+    // Catalog-export twins (`pkg/actions/lua/lakefs/catalogexport/
+    // {glue,unity}_exporter.lua` + `databricks/client.go:57`): descriptor
+    // DISCOVERY over a real engine listing (prefix + .yaml + hidden-segment
+    // filter), then the Glue CreateTable TableInput (name grammar, hive→glue
+    // type map, partition/column split, symlink location, assembled JSON)
+    // and the Unity registration row (branch schema, delta-only guard,
+    // CREATE EXTERNAL TABLE DDL) per discovered table. The oracle
+    // recomputes every payload independently in DuckDB from the same spec
+    // literals. Commit id pinned — the glue name embeds its short digest.
+    "vc_catalog_export" -> (((s: SparkSession, d: String) => {
+      import s.implicits._
+      val dir = s"target/vc_catexp_repo_${math.abs(d.hashCode)}"
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(dir), s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+      val eng = new graft.store.Engine(s, dir, raggedness = 5000)
+      eng.init("main", Some(Seq(
+        ("_lakefs_tables/events.yaml", "i1"),
+        ("_lakefs_tables/marts/daily_sales.yaml", "i2"),
+        ("_lakefs_tables/users.yaml", "i3"),
+        ("_lakefs_tables/_wip/skip.yaml", "i4"), // hidden segment: excluded
+        ("_lakefs_tables/notes.txt", "i5"),      // not yaml: excluded
+        ("data/part-0001", "i6")                 // outside base: excluded
+      ).toDF("key", "identity")))
+      val found = CatalogExport.descriptorEntries(eng.list("main"))
+        .select(col("key").as("path"))
+      // parsed descriptor content — the YAML seam of
+      // table_extractor.get_table_descriptor, as columns
+      val specs = Seq(
+        ("_lakefs_tables/events.yaml", "events", "hive", "",
+          "s3://lake/prod/events", Seq("dt"),
+          Seq(("user_id", "bigint"), ("n", "integer"), ("dt", "string"))),
+        ("_lakefs_tables/marts/daily_sales.yaml", "daily_sales", "delta",
+          "main_cat", "s3://lake/prod/daily_sales", Seq("region", "dt"),
+          Seq(("sale_id", "bigint"), ("amount", "double"),
+            ("region", "string"), ("dt", "string"))),
+        ("_lakefs_tables/users.yaml", "users", "delta", "",
+          "s3://lake/prod/users", Seq.empty[String],
+          Seq(("id", "integer"), ("email", "string"))))
+        .toDF("path", "name", "table_type", "catalog", "physical_path",
+          "partition_columns", "fields_raw")
+        .withColumn("fields", transform(col("fields_raw"), f =>
+          struct(f.getField("_1").as("name"), f.getField("_2").as("type"))))
+        .drop("fields_raw")
+      // discovery feeds extraction: only listed descriptors register
+      val descs = specs.join(found, Seq("path"))
+      val commitId = "feedc0ffee5eed00" // pinned: the name embeds take(6)
+      val glue = CatalogExport.glueTableInputs(
+        descs, "repo1", "main", commitId, "s3://lake/prod")
+      val unity = CatalogExport.unityRegistrations(descs, "main")
+      glue.join(unity, Seq("path", "name")).orderBy("path")
+    }),
+      Some("""
+        WITH specs(path, name, table_type, catalog, physical_path,
+                   partition_columns, fields) AS (VALUES
+          ('_lakefs_tables/events.yaml', 'events', 'hive', '',
+           's3://lake/prod/events', ['dt'],
+           [{'name':'user_id','type':'bigint'},{'name':'n','type':'integer'},
+            {'name':'dt','type':'string'}]),
+          ('_lakefs_tables/marts/daily_sales.yaml', 'daily_sales', 'delta',
+           'main_cat', 's3://lake/prod/daily_sales', ['region','dt'],
+           [{'name':'sale_id','type':'bigint'},{'name':'amount','type':'double'},
+            {'name':'region','type':'string'},{'name':'dt','type':'string'}]),
+          ('_lakefs_tables/users.yaml', 'users', 'delta', '',
+           's3://lake/prod/users', [],
+           [{'name':'id','type':'integer'},{'name':'email','type':'string'}])
+        ), mapped AS (
+          SELECT *,
+            list_transform(list_filter(fields,
+              f -> NOT list_contains(partition_columns, f.name)),
+              f -> '{"Name":"' || f.name || '","Type":"' ||
+                   (CASE WHEN f.type = 'integer' THEN 'int' ELSE f.type END) ||
+                   '"}') AS data_cols,
+            list_transform(partition_columns,
+              p -> '{"Name":"' || p || '","Type":"' ||
+                   (CASE WHEN list_filter(fields, f -> f.name = p)[1].type = 'integer'
+                         THEN 'int'
+                         ELSE list_filter(fields, f -> f.name = p)[1].type END) ||
+                   '"}') AS part_cols,
+            name || '_repo1_main_feedc0' AS glue_table_name,
+            's3://lake/prod/_lakefs/exported/main/feedc0/' || name AS location
+          FROM specs
+        )
+        SELECT path, name, glue_table_name, location,
+               '[' || list_aggregate(data_cols, 'string_agg', ',') || ']' AS columns_json,
+               CASE WHEN len(part_cols) = 0 THEN '[]'
+                    ELSE '[' || list_aggregate(part_cols, 'string_agg', ',') || ']'
+               END AS partition_keys_json,
+               '{"Name":"' || glue_table_name ||
+               '","TableType":"EXTERNAL_TABLE","StorageDescriptor":{"Columns":' ||
+               '[' || list_aggregate(data_cols, 'string_agg', ',') || ']' ||
+               ',"Location":"' || location || '"},"PartitionKeys":' ||
+               CASE WHEN len(part_cols) = 0 THEN '[]'
+                    ELSE '[' || list_aggregate(part_cols, 'string_agg', ',') || ']'
+               END || '}' AS table_input,
+               catalog, 'main' AS schema_name,
+               CASE WHEN table_type <> 'delta'
+                      THEN 'error: unity exporter supports only table descriptors of type ''delta'''
+                    WHEN catalog = '' THEN 'error: catalog name is required'
+                    ELSE 'ok' END AS status,
+               CASE WHEN table_type = 'delta' AND catalog <> ''
+                    THEN 'CREATE EXTERNAL TABLE ' || name ||
+                         ' LOCATION ''' || physical_path || ''''
+               END AS ddl
+        FROM mapped ORDER BY path""")),
+
     // §2.11 + J4: merge with a per-row conflict resolver through the facade
     // (`Graveler.Merge` with a ConflictResolver chain, `graveler.go:142-145`,
     // `committed/merge.go:304-326`). Both sides edit k%50==11 differently

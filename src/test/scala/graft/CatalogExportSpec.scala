@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.CatalogExport
+
+/** Catalog-export payload builders (the Glue/Unity exporter twins):
+  * descriptor discovery filters, the Glue TableInput grammar, and the
+  * Unity registration guards. */
+class CatalogExportSpec extends SparkSpec {
+
+  private def specs = {
+    import spark.implicits._
+    Seq(
+      ("_lakefs_tables/t1.yaml", "t1", "delta", "cat1", "s3://b/t1",
+        Seq("dt"), Seq(("id", "integer"), ("dt", "string"))),
+      ("_lakefs_tables/t2.yaml", "t2", "hive", "", "s3://b/t2",
+        Seq.empty[String], Seq(("x", "bigint"))))
+      .toDF("path", "name", "table_type", "catalog", "physical_path",
+        "partition_columns", "fields_raw")
+      .withColumn("fields", transform(col("fields_raw"), f =>
+        struct(f.getField("_1").as("name"), f.getField("_2").as("type"))))
+      .drop("fields_raw")
+  }
+
+  test("descriptor discovery: base prefix, .yaml suffix, hidden segments") {
+    import spark.implicits._
+    val listing = Seq(
+      "_lakefs_tables/a.yaml", "_lakefs_tables/sub/b.yaml",
+      "_lakefs_tables/_hidden/c.yaml", "_lakefs_tables/sub/_d.yaml",
+      "_lakefs_tables/e.txt", "elsewhere/f.yaml")
+      .toDF("key")
+    val found = CatalogExport.descriptorEntries(listing)
+      .select("key").as[String].collect().sorted
+    assert(found.toSeq === Seq("_lakefs_tables/a.yaml", "_lakefs_tables/sub/b.yaml"))
+  }
+
+  test("glue TableInput: name grammar, type map, partition split, location") {
+    val rows = CatalogExport.glueTableInputs(
+        specs, "repo", "main", "abcdef0123", "s3://ns/")
+      .orderBy("name").collect()
+    val t1 = rows(0)
+    assert(t1.getAs[String]("glue_table_name") === "t1_repo_main_abcdef")
+    assert(t1.getAs[String]("location") ===
+      "s3://ns/_lakefs/exported/main/abcdef/t1")
+    // integer maps to int; the dt partition column leaves the data columns
+    assert(t1.getAs[String]("columns_json") === """[{"Name":"id","Type":"int"}]""")
+    assert(t1.getAs[String]("partition_keys_json") ===
+      """[{"Name":"dt","Type":"string"}]""")
+    val payload = t1.getAs[String]("table_input")
+    assert(payload.contains(""""TableType":"EXTERNAL_TABLE""""))
+    // the payload is real JSON: parse and check a nested field
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(payload)
+    assert(node.get("StorageDescriptor").get("Location").asText ===
+      "s3://ns/_lakefs/exported/main/abcdef/t1")
+    assert(node.get("PartitionKeys").get(0).get("Name").asText === "dt")
+    // unpartitioned table: empty PartitionKeys array, all fields as columns
+    val t2 = rows(1)
+    assert(t2.getAs[String]("partition_keys_json") === "[]")
+    assert(t2.getAs[String]("columns_json") === """[{"Name":"x","Type":"bigint"}]""")
+  }
+
+  test("unity registrations: branch schema, delta-only and catalog guards") {
+    val rows = CatalogExport.unityRegistrations(specs, "dev")
+      .orderBy("name").collect()
+    val t1 = rows(0)
+    assert(t1.getAs[String]("schema_name") === "dev")
+    assert(t1.getAs[String]("status") === "ok")
+    assert(t1.getAs[String]("ddl") ===
+      "CREATE EXTERNAL TABLE t1 LOCATION 's3://b/t1'")
+    val t2 = rows(1) // hive type: rejected row, not a thrown batch
+    assert(t2.getAs[String]("status").startsWith("error: unity exporter"))
+    assert(t2.isNullAt(t2.fieldIndex("ddl")))
+  }
+}
