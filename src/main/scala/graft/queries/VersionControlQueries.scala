@@ -980,6 +980,74 @@ object VersionControlQueries {
                END AS ddl
         FROM mapped ORDER BY path""")),
 
+    // Auth management surface (`contrib/auth/acl/service.go` twin via
+    // store/AuthService): users from `nation`, groups from `region`,
+    // memberships from n_regionkey, one policy per group plus a direct
+    // user policy for every third nation — then the service's
+    // effective-policy resolution (direct ∪ group attachments, dedup,
+    // name-sorted, `service.go:308-390`) read back per user. The oracle
+    // recomputes the expected (user, policy) pairs relationally.
+    "vc_auth_mgmt" -> (((s: SparkSession, d: String) => {
+      import s.implicits._
+      val dir = s"target/vc_auth_repo_${math.abs(d.hashCode)}"
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI("file:///"), s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+      val auth = new graft.store.AuthService(dir)
+      val regions = s.read.parquet(s"$d/region.parquet")
+        .select("r_regionkey", "r_name").collect()
+        .map(r => r.getInt(0) -> r.getString(1).toLowerCase.replace(' ', '_'))
+        .toMap
+      regions.toSeq.sortBy(_._1).foreach { case (_, rn) =>
+        auth.createGroup(s"grp_$rn")
+        auth.writePolicy(graft.store.Rbac.Policy(s"pol_grp_$rn",
+          Seq(graft.store.Rbac.Statement("allow", Seq("fs:ReadObject"),
+            s"arn:lakefs:fs:::repository/data/object/$rn/*"))))
+        auth.attachPolicyToGroup(s"pol_grp_$rn", s"grp_$rn")
+      }
+      val nations = s.read.parquet(s"$d/nation.parquet")
+        .select("n_nationkey", "n_name", "n_regionkey").collect()
+        .map(r => (r.getInt(0), r.getString(1).toLowerCase.replace(' ', '_'),
+          r.getInt(2))).sortBy(_._1)
+      nations.foreach { case (key, nn, rk) =>
+        auth.createUser(s"user_$nn")
+        auth.addUserToGroup(s"user_$nn", s"grp_${regions(rk)}")
+        if (key % 3 == 0) {
+          auth.writePolicy(graft.store.Rbac.Policy(s"pol_user_$nn",
+            Seq(graft.store.Rbac.Statement("allow", Seq("fs:WriteObject"),
+              s"arn:lakefs:fs:::repository/data/object/home/$nn/*"))))
+          auth.attachPolicyToUser(s"pol_user_$nn", s"user_$nn")
+        }
+      }
+      val rows = for {
+        (_, nn, _) <- nations.toSeq
+        p <- auth.listEffectivePolicies(s"user_$nn")._1
+      } yield (s"user_$nn", p.id, p.statements.head.actions.mkString(","),
+        p.statements.head.resource)
+      rows.toDF("username", "policy", "actions", "resource")
+        .orderBy("username", "policy")
+    }),
+      Some("""
+        WITH u AS (
+          SELECT 'user_' || lower(replace(n_name, ' ', '_')) AS username,
+                 n_nationkey,
+                 lower(replace(r_name, ' ', '_')) AS rn
+          FROM nation JOIN region ON n_regionkey = r_regionkey
+        ), eff AS (
+          SELECT username, 'pol_grp_' || rn AS policy,
+                 'fs:ReadObject' AS actions,
+                 'arn:lakefs:fs:::repository/data/object/' || rn || '/*' AS resource
+          FROM u
+          UNION ALL
+          SELECT username, 'pol_user_' || substr(username, 6) AS policy,
+                 'fs:WriteObject' AS actions,
+                 'arn:lakefs:fs:::repository/data/object/home/' ||
+                   substr(username, 6) || '/*' AS resource
+          FROM u WHERE n_nationkey % 3 = 0
+        )
+        SELECT username, policy, actions, resource
+        FROM eff ORDER BY username, policy""")),
+
     // §2.11 + J4: merge with a per-row conflict resolver through the facade
     // (`Graveler.Merge` with a ConflictResolver chain, `graveler.go:142-145`,
     // `committed/merge.go:304-326`). Both sides edit k%50==11 differently

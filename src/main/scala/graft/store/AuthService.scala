@@ -1,0 +1,426 @@
+package graft.store
+
+import java.nio.file.{Files, Path, Paths}
+import graft.store.Rbac.{Node, Policy, Statement}
+
+/**
+ * Auth management twin of the reference's full (ACL-server) auth service —
+ * `contrib/auth/acl/service.go` AuthService over `pkg/kv`, API per
+ * `pkg/auth/service.go:110-168`: user/group/policy CRUD, memberships,
+ * policy attachments, credentials, paged listings, effective-policy
+ * resolution, and Authorize. The policy model and the permission checker
+ * are the existing [[Rbac]] twins; this class adds the PERSISTED
+ * management surface around them.
+ *
+ * Storage: tiny control tables (a deployment has thousands of principals,
+ * not billions) as KvFiles, every mutation a conditional install through
+ * [[ConditionalStore]] — the same `kv.SetMsgIf` discipline the reference
+ * uses for each of these writes, so create-if-absent races (two admins
+ * adding the same user from two JVMs) lose cleanly with AlreadyExists.
+ *
+ * Error semantics mirror the reference exactly: creates of existing
+ * entities fail AlreadyExists (`service.go:113`), updates/gets of missing
+ * ones fail NotFound, `WritePolicy(update=true)` requires existence
+ * (`PrecondConditionalExists`, `service.go:647`), deletes CASCADE —
+ * `DeleteUser` detaches the user's policies and memberships
+ * (`service.go:120-168`), `DeleteGroup` its members and attachments
+ * (`:447-495`), `DeletePolicy` its attachments on every principal
+ * (`:681-723`) — and entity names reject the path delimiter
+ * (`model/validation.go:15-23`).
+ *
+ * Secrets: the reference encrypts secret keys at rest
+ * (`model.EncryptSecret`); here the at-rest form is an HMAC-style
+ * SHA-256 over (serviceSecret, secret) — one-way, so reads can VERIFY a
+ * presented secret but never recover it; the plaintext is returned once,
+ * at creation, like the reference's API.
+ */
+class AuthService(rootDir: String,
+    cond: ConditionalStore = ConditionalStore.default,
+    serviceSecret: String = "graft-auth") {
+
+  // ---- typed errors (pkg/auth/errors.go) ---------------------------------
+  class AuthException(msg: String) extends RuntimeException(msg)
+  class NotFoundException(what: String) extends AuthException(s"not found: $what")
+  class AlreadyExistsException(what: String) extends AuthException(s"already exists: $what")
+  class ValidationException(msg: String) extends AuthException(s"validation error: $msg")
+
+  private def dir: Path = Paths.get(rootDir)
+  Files.createDirectories(dir)
+  private def usersFile = dir.resolve("auth_users.tsv")
+  private def groupsFile = dir.resolve("auth_groups.tsv")
+  private def groupUsersFile = dir.resolve("auth_group_users.tsv")
+  private def userPoliciesFile = dir.resolve("auth_user_policies.tsv")
+  private def groupPoliciesFile = dir.resolve("auth_group_policies.tsv")
+  private def policiesFile = dir.resolve("auth_policies.tsv")
+  private def credsFile = dir.resolve("auth_credentials.tsv")
+
+  private def esc(v: String) = java.net.URLEncoder.encode(v, "UTF-8")
+  private def unesc(v: String) = java.net.URLDecoder.decode(v, "UTF-8")
+
+  private def readKv(p: Path): Map[String, String] = cond.readTagged(p)._1
+  private def updateKv(p: Path)(
+      f: Map[String, String] => Map[String, String]): Unit = {
+    var tries = 0
+    while (tries < 64) {
+      tries += 1
+      val (cur, tag) = cond.readTagged(p)
+      val next = f(cur) // may throw AlreadyExists/NotFound — the CAS answer
+      if (next == cur || cond.writeIf(p, next, tag)) return
+    }
+    throw new AuthException(s"auth store too contended: $p")
+  }
+
+  /** `model.ValidateAuthEntityID`: non-empty, no kv path delimiter. */
+  private def validateEntityId(name: String): Unit = {
+    if (name.isEmpty) throw new ValidationException("empty name")
+    if (name.contains("/"))
+      throw new ValidationException(s"name contains delimiter /: $name")
+  }
+
+  // ---- pagination (ListKVPaged, contrib service.go:48-94) ----------------
+  /** (page, nextPageToken): name-sorted keys under `prefix` strictly after
+    * `after`, `amount` capped at MaxPage; the token is the LAST included
+    * key (pass it back as `after`), "" when the listing is exhausted. */
+  private def page(keys: Iterable[String], prefix: String, after: String,
+      amount: Int): (Seq[String], String) = {
+    val amt = if (amount < 0 || amount > AuthService.MaxPage)
+      AuthService.MaxPage else amount
+    val rest = keys.filter(k => k.startsWith(prefix) && k > after).toSeq.sorted
+    val p = rest.take(amt)
+    (p, if (rest.lengthCompare(amt) > 0) p.lastOption.getOrElse("") else "")
+  }
+
+  // ---- users (service.go:104-241) ----------------------------------------
+  final case class User(username: String, createdAt: Long,
+      friendlyName: String = "", email: String = "")
+
+  private def encUser(u: User) =
+    Seq(u.createdAt.toString, esc(u.friendlyName), esc(u.email)).mkString("|")
+  private def decUser(name: String, v: String) = {
+    val f = v.split('|').padTo(3, "")
+    User(name, f(0).toLong, unesc(f(1)), unesc(f(2)))
+  }
+
+  def createUser(username: String, friendlyName: String = "",
+      email: String = ""): String = {
+    validateEntityId(username)
+    val u = User(username, now(), friendlyName, email)
+    updateKv(usersFile) { cur =>
+      if (cur.contains(username)) throw new AlreadyExistsException(s"user $username")
+      cur + (username -> encUser(u))
+    }
+    username
+  }
+
+  def getUser(username: String): User =
+    readKv(usersFile).get(username).map(decUser(username, _))
+      .getOrElse(throw new NotFoundException(s"user $username"))
+
+  def listUsers(prefix: String = "", after: String = "",
+      amount: Int = -1): (Seq[User], String) = {
+    val kv = readKv(usersFile)
+    val (names, tok) = page(kv.keys, prefix, after, amount)
+    (names.map(n => decUser(n, kv(n))), tok)
+  }
+
+  /** Cascade per `service.go:120-168`: detach the user's policies, remove
+    * every group membership, then the user record. Credentials are NOT
+    * cascaded (the reference's DeleteUser leaves them; janitors sweep). */
+  def deleteUser(username: String): Unit = {
+    getUser(username)
+    updateKv(userPoliciesFile)(_.filterNot(_._1.startsWith(username + "/")))
+    updateKv(groupUsersFile)(_.filterNot(_._1.endsWith("/" + username)))
+    updateKv(usersFile)(_ - username)
+  }
+
+  // ---- groups (service.go:425-519) ---------------------------------------
+  final case class Group(name: String, createdAt: Long, description: String = "")
+
+  private def encGroup(g: Group) =
+    Seq(g.createdAt.toString, esc(g.description)).mkString("|")
+  private def decGroup(name: String, v: String) = {
+    val f = v.split('|').padTo(2, "")
+    Group(name, f(0).toLong, unesc(f(1)))
+  }
+
+  def createGroup(name: String, description: String = ""): Group = {
+    validateEntityId(name)
+    val g = Group(name, now(), description)
+    updateKv(groupsFile) { cur =>
+      if (cur.contains(name)) throw new AlreadyExistsException(s"group $name")
+      cur + (name -> encGroup(g))
+    }
+    g
+  }
+
+  def getGroup(name: String): Group =
+    readKv(groupsFile).get(name).map(decGroup(name, _))
+      .getOrElse(throw new NotFoundException(s"group $name"))
+
+  def listGroups(prefix: String = "", after: String = "",
+      amount: Int = -1): (Seq[Group], String) = {
+    val kv = readKv(groupsFile)
+    val (names, tok) = page(kv.keys, prefix, after, amount)
+    (names.map(n => decGroup(n, kv(n))), tok)
+  }
+
+  /** Cascade per `service.go:447-495`: memberships, attachments, record. */
+  def deleteGroup(name: String): Unit = {
+    getGroup(name)
+    updateKv(groupUsersFile)(_.filterNot(_._1.startsWith(name + "/")))
+    updateKv(groupPoliciesFile)(_.filterNot(_._1.startsWith(name + "/")))
+    updateKv(groupsFile)(_ - name)
+  }
+
+  // ---- memberships (service.go:521-637) ----------------------------------
+  def addUserToGroup(username: String, group: String): Unit = {
+    getUser(username); getGroup(group)
+    updateKv(groupUsersFile) { cur =>
+      val k = s"$group/$username"
+      if (cur.contains(k))
+        throw new AlreadyExistsException(s"membership $k")
+      cur + (k -> "1")
+    }
+  }
+
+  def removeUserFromGroup(username: String, group: String): Unit = {
+    getUser(username); getGroup(group)
+    updateKv(groupUsersFile)(_ - s"$group/$username")
+  }
+
+  def listGroupUsers(group: String, prefix: String = "", after: String = "",
+      amount: Int = -1): (Seq[String], String) = {
+    getGroup(group)
+    val members = readKv(groupUsersFile).keys
+      .collect { case k if k.startsWith(group + "/") => k.drop(group.length + 1) }
+    page(members, prefix, after, amount)
+  }
+
+  def listUserGroups(username: String, after: String = "",
+      amount: Int = -1): (Seq[String], String) = {
+    getUser(username)
+    val groups = readKv(groupUsersFile).keys
+      .collect { case k if k.endsWith("/" + username) =>
+        k.dropRight(username.length + 1) }
+    page(groups, "", after, amount)
+  }
+
+  // ---- policies (service.go:619-734) --------------------------------------
+  private def encPolicy(createdAt: Long, p: Policy): String = {
+    val stmts = p.statements.map(st =>
+      Seq(st.effect, st.actions.map(esc).mkString(","), esc(st.resource))
+        .mkString(";")).mkString("~")
+    s"$createdAt|$stmts"
+  }
+  private def decPolicy(name: String, v: String): (Long, Policy) = {
+    val bar = v.indexOf('|')
+    val stmts = v.drop(bar + 1).split('~').filter(_.nonEmpty).toSeq.map { s =>
+      val f = s.split(';').padTo(3, "")
+      Statement(f(0), f(1).split(',').filter(_.nonEmpty).toSeq.map(unesc), unesc(f(2)))
+    }
+    (v.take(bar).toLong, Policy(name, stmts))
+  }
+
+  /** `ValidatePolicy` (contrib service.go:619-637): entity id, each action
+    * `service:Action` with a known service (`pkg/permissions/actions.go:94`)
+    * or the literal `*`, resource an ARN or `*`, effect allow/deny. */
+  private def validatePolicy(p: Policy): Unit = {
+    validateEntityId(p.id)
+    p.statements.foreach { st =>
+      st.actions.foreach { a =>
+        val ok = a == "*" || {
+          val parts = a.split(":", -1)
+          parts.length == 2 && AuthService.Services(parts(0))
+        }
+        if (!ok) throw new ValidationException(s"invalid action: $a")
+      }
+      val r = st.resource
+      if (r != "*" && !(r.startsWith("arn:") && r.split(":", -1).length >= 6))
+        throw new ValidationException(s"invalid ARN: $r")
+      if (st.effect != "allow" && st.effect != "deny")
+        throw new ValidationException(s"invalid effect: ${st.effect}")
+    }
+  }
+
+  /** update=false: create-if-absent (AlreadyExists on conflict);
+    * update=true: replace-if-present (NotFound when absent) — the
+    * `PrecondConditionalExists` pair of `service.go:639-666`. */
+  def writePolicy(p: Policy, update: Boolean = false): Unit = {
+    validatePolicy(p)
+    updateKv(policiesFile) { cur =>
+      if (update && !cur.contains(p.id)) throw new NotFoundException(s"policy ${p.id}")
+      if (!update && cur.contains(p.id)) throw new AlreadyExistsException(s"policy ${p.id}")
+      cur + (p.id -> encPolicy(cur.get(p.id).map(v => decPolicy(p.id, v)._1)
+        .getOrElse(now()), p))
+    }
+  }
+
+  def getPolicy(name: String): Policy =
+    readKv(policiesFile).get(name).map(decPolicy(name, _)._2)
+      .getOrElse(throw new NotFoundException(s"policy $name"))
+
+  def listPolicies(prefix: String = "", after: String = "",
+      amount: Int = -1): (Seq[Policy], String) = {
+    val kv = readKv(policiesFile)
+    val (names, tok) = page(kv.keys, prefix, after, amount)
+    (names.map(n => decPolicy(n, kv(n))._2), tok)
+  }
+
+  /** Cascade per `service.go:681-723`: every user and group attachment. */
+  def deletePolicy(name: String): Unit = {
+    getPolicy(name)
+    updateKv(userPoliciesFile)(_.filterNot(_._1.endsWith("/" + name)))
+    updateKv(groupPoliciesFile)(_.filterNot(_._1.endsWith("/" + name)))
+    updateKv(policiesFile)(_ - name)
+  }
+
+  // ---- attachments (service.go:257-306, 801-840) --------------------------
+  private def attach(file: Path, principal: String, policy: String): Unit =
+    updateKv(file) { cur =>
+      val k = s"$principal/$policy"
+      if (cur.contains(k)) throw new AlreadyExistsException(s"attachment $k")
+      cur + (k -> "1")
+    }
+
+  def attachPolicyToUser(policy: String, username: String): Unit = {
+    getUser(username); getPolicy(policy)
+    attach(userPoliciesFile, username, policy)
+  }
+  def detachPolicyFromUser(policy: String, username: String): Unit = {
+    getUser(username); getPolicy(policy)
+    updateKv(userPoliciesFile)(_ - s"$username/$policy")
+  }
+  def attachPolicyToGroup(policy: String, group: String): Unit = {
+    getGroup(group); getPolicy(policy)
+    attach(groupPoliciesFile, group, policy)
+  }
+  def detachPolicyFromGroup(policy: String, group: String): Unit = {
+    getGroup(group); getPolicy(policy)
+    updateKv(groupPoliciesFile)(_ - s"$group/$policy")
+  }
+
+  private def attachedNames(file: Path, principal: String): Seq[String] =
+    readKv(file).keys
+      .collect { case k if k.startsWith(principal + "/") =>
+        k.drop(principal.length + 1) }.toSeq.sorted
+
+  def listUserPolicies(username: String, after: String = "",
+      amount: Int = -1): (Seq[Policy], String) = {
+    getUser(username)
+    val (names, tok) = page(attachedNames(userPoliciesFile, username), "", after, amount)
+    (names.map(getPolicy), tok)
+  }
+
+  def listGroupPolicies(group: String, after: String = "",
+      amount: Int = -1): (Seq[Policy], String) = {
+    getGroup(group)
+    val (names, tok) = page(attachedNames(groupPoliciesFile, group), "", after, amount)
+    (names.map(getPolicy), tok)
+  }
+
+  /** getEffectivePolicies (contrib service.go:308-390): direct attachments
+    * ∪ every membership group's attachments, deduplicated by display name,
+    * NAME-SORTED, then paged with after/amount. */
+  def listEffectivePolicies(username: String, after: String = "",
+      amount: Int = -1): (Seq[Policy], String) = {
+    getUser(username)
+    val direct = attachedNames(userPoliciesFile, username)
+    val viaGroups = listUserGroups(username)._1
+      .flatMap(g => attachedNames(groupPoliciesFile, g))
+    val (names, tok) = page((direct ++ viaGroups).distinct, "", after, amount)
+    (names.map(getPolicy), tok)
+  }
+
+  // ---- credentials (service.go:736-893; keys/keys.go) ---------------------
+  final case class Credential(accessKeyId: String, username: String,
+      issuedAt: Long, secretAccessKey: String = "")
+
+  /** `AKIAJ` + 14 chars of the AKIA alphabet + `Q` (keys.go:59-63). */
+  private[store] def genAccessKeyId(): String = {
+    val alpha = "ABCDEFGHIJKLMNOPQRSTUVWXYZ234567"
+    val rnd = new java.security.SecureRandom()
+    "AKIAJ" + (1 to 14).map(_ => alpha(rnd.nextInt(alpha.length))).mkString + "Q"
+  }
+
+  private def encryptSecret(secret: String): String =
+    graft.core.Identity.sha256Hex(serviceSecret + " " + secret)
+
+  /** Verify a presented secret against the at-rest form (the gateway's
+    * SigV4 check needs exactly this predicate). */
+  def verifySecret(accessKeyId: String, presented: String): Boolean =
+    readKv(credsFile).get(accessKeyId).exists { v =>
+      val f = v.split('|').padTo(3, "")
+      f(1) == encryptSecret(presented)
+    }
+
+  def createCredentials(username: String): Credential =
+    addCredentials(username, genAccessKeyId(),
+      java.util.Base64.getEncoder.encodeToString {
+        val b = new Array[Byte](30); new java.security.SecureRandom().nextBytes(b); b
+      })
+
+  def addCredentials(username: String, accessKeyId: String,
+      secretAccessKey: String): Credential = {
+    if (accessKeyId.length < 3 || accessKeyId.length > 20)
+      throw new ValidationException(s"invalid access key id: $accessKeyId")
+    if (secretAccessKey.isEmpty)
+      throw new ValidationException("empty secret access key")
+    getUser(username)
+    val c = Credential(accessKeyId, username, now(), secretAccessKey)
+    updateKv(credsFile) { cur =>
+      if (cur.contains(accessKeyId))
+        throw new AlreadyExistsException(s"credential $accessKeyId")
+      cur + (accessKeyId ->
+        Seq(username, encryptSecret(secretAccessKey), c.issuedAt.toString)
+          .mkString("|"))
+    }
+    c // the only time the plaintext secret is returned
+  }
+
+  private def decCred(key: String, v: String): Credential = {
+    val f = v.split('|').padTo(3, "")
+    Credential(key, f(0), f(2).toLong)
+  }
+
+  def getCredentials(accessKeyId: String): Credential =
+    readKv(credsFile).get(accessKeyId).map(decCred(accessKeyId, _))
+      .getOrElse(throw new NotFoundException(s"credential $accessKeyId"))
+
+  def getCredentialsForUser(username: String, accessKeyId: String): Credential = {
+    getUser(username)
+    val c = getCredentials(accessKeyId)
+    if (c.username != username) throw new NotFoundException(s"credential $accessKeyId")
+    c
+  }
+
+  def deleteCredentials(username: String, accessKeyId: String): Unit = {
+    getUser(username); getCredentials(accessKeyId)
+    updateKv(credsFile)(_ - accessKeyId)
+  }
+
+  def listUserCredentials(username: String, after: String = "",
+      amount: Int = -1): (Seq[Credential], String) = {
+    getUser(username)
+    val kv = readKv(credsFile).filter(_._2.split('|').head == username)
+    val (keys, tok) = page(kv.keys, "", after, amount)
+    (keys.map(k => decCred(k, kv(k))), tok)
+  }
+
+  // ---- authorize (service.go:895-915) --------------------------------------
+  /** User must exist (NotFound otherwise), then the [[Rbac]] checker runs
+    * over the user's effective policies — deny wins, allow grants,
+    * neutral is unauthorized. */
+  def authorize(username: String, node: Node): Boolean = {
+    val policies = listEffectivePolicies(username)._1
+    Rbac.isAuthorized(node, username, policies)
+  }
+
+  private def now(): Long = System.currentTimeMillis() / 1000
+}
+
+object AuthService {
+  /** auth.MaxPage — the reference's page-size ceiling. */
+  val MaxPage = 1000
+  /** `pkg/permissions/actions.go:94-101` serviceSet. */
+  val Services: Set[String] = Set("fs", "auth", "ci", "retention", "branches", "pr")
+}

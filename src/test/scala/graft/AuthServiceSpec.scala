@@ -1,0 +1,180 @@
+package graft
+
+import java.util.concurrent.Executors
+import org.scalatest.funsuite.AnyFunSuite
+import graft.store.{AuthService, Rbac}
+import graft.store.Rbac.{Perm, Policy, Statement}
+
+/** The persisted auth management surface (contrib ACL AuthService twin):
+  * CRUD error semantics, delete cascades, paging, effective policies,
+  * credentials, authorize, persistence, and cross-instance create races.
+  * No Spark needed — this is driver-side control-table machinery. */
+class AuthServiceSpec extends AnyFunSuite {
+
+  private def fresh(prefix: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), prefix)
+    d.toFile.deleteOnExit()
+    d.toString
+  }
+
+  private def pol(name: String, action: String = "fs:ReadObject",
+      resource: String = "*") =
+    Policy(name, Seq(Statement("allow", Seq(action), resource)))
+
+  test("user CRUD: already-exists, not-found, validation, paging") {
+    val a = new AuthService(fresh("auth"))
+    assert(a.createUser("alice", email = "a@x") === "alice")
+    intercept[a.AlreadyExistsException](a.createUser("alice"))
+    intercept[a.ValidationException](a.createUser("bad/name"))
+    intercept[a.ValidationException](a.createUser(""))
+    intercept[a.NotFoundException](a.getUser("nobody"))
+    assert(a.getUser("alice").email === "a@x")
+    (1 to 5).foreach(i => a.createUser(s"u$i"))
+    val (p1, tok1) = a.listUsers(prefix = "u", amount = 2)
+    assert(p1.map(_.username) === Seq("u1", "u2") && tok1 === "u2")
+    val (p2, tok2) = a.listUsers(prefix = "u", after = tok1, amount = 2)
+    assert(p2.map(_.username) === Seq("u3", "u4") && tok2 === "u4")
+    val (p3, tok3) = a.listUsers(prefix = "u", after = tok2, amount = 2)
+    assert(p3.map(_.username) === Seq("u5") && tok3 === "")
+  }
+
+  test("policy validation mirrors the reference's rules") {
+    val a = new AuthService(fresh("auth"))
+    a.writePolicy(pol("ok"))
+    a.writePolicy(Policy("ok2", Seq(
+      Statement("deny", Seq("*"), "arn:lakefs:fs:::repository/r/object/x"))))
+    intercept[a.ValidationException](
+      a.writePolicy(pol("badsvc", action = "nosuch:Thing")))
+    intercept[a.ValidationException](
+      a.writePolicy(pol("badact", action = "fs:Read:Extra")))
+    intercept[a.ValidationException](
+      a.writePolicy(pol("badarn", resource = "not-an-arn")))
+    intercept[a.ValidationException](a.writePolicy(
+      Policy("badeff", Seq(Statement("maybe", Seq("fs:ReadObject"), "*")))))
+    // create-vs-update preconditions (SetMsgIf nil / PrecondConditionalExists)
+    intercept[a.AlreadyExistsException](a.writePolicy(pol("ok")))
+    intercept[a.NotFoundException](a.writePolicy(pol("ghost"), update = true))
+    a.writePolicy(pol("ok", action = "auth:ReadUser"), update = true)
+    assert(a.getPolicy("ok").statements.head.actions === Seq("auth:ReadUser"))
+  }
+
+  test("delete cascades: user, group, and policy detach everywhere") {
+    val a = new AuthService(fresh("auth"))
+    Seq("alice", "bob").foreach(a.createUser(_))
+    a.createGroup("devs")
+    a.addUserToGroup("alice", "devs")
+    a.addUserToGroup("bob", "devs")
+    intercept[a.AlreadyExistsException](a.addUserToGroup("bob", "devs"))
+    a.writePolicy(pol("p1")); a.writePolicy(pol("p2"))
+    a.attachPolicyToUser("p1", "alice")
+    a.attachPolicyToGroup("p2", "devs")
+    // policy delete detaches from both principals
+    a.deletePolicy("p2")
+    assert(a.listGroupPolicies("devs")._1.isEmpty)
+    intercept[a.NotFoundException](a.getPolicy("p2"))
+    // user delete removes memberships and attachments
+    a.deleteUser("alice")
+    assert(a.listGroupUsers("devs")._1 === Seq("bob"))
+    intercept[a.NotFoundException](a.listUserPolicies("alice"))
+    // group delete removes memberships
+    a.deleteGroup("devs")
+    intercept[a.NotFoundException](a.getGroup("devs"))
+    assert(a.listUserGroups("bob")._1.isEmpty)
+  }
+
+  test("effective policies: direct ∪ groups, dedup, sorted — matches Rbac") {
+    val a = new AuthService(fresh("auth"))
+    a.createUser("alice")
+    Seq("devs", "ops").foreach(g => a.createGroup(g))
+    a.addUserToGroup("alice", "devs"); a.addUserToGroup("alice", "ops")
+    val shared = pol("shared")
+    a.writePolicy(shared); a.writePolicy(pol("zdirect")); a.writePolicy(pol("gops"))
+    a.attachPolicyToUser("zdirect", "alice")
+    a.attachPolicyToUser("shared", "alice")
+    a.attachPolicyToGroup("shared", "devs") // duplicate via group: dedup
+    a.attachPolicyToGroup("gops", "ops")
+    val (eff, _) = a.listEffectivePolicies("alice")
+    assert(eff.map(_.id) === Seq("gops", "shared", "zdirect")) // name-sorted
+    // parity with the in-memory Rbac directory used by vc_rbac_eval
+    val dirM = new Rbac.Directory
+    dirM.addMember("alice", "devs"); dirM.addMember("alice", "ops")
+    dirM.attachToUser("alice", shared); dirM.attachToUser("alice", pol("zdirect"))
+    dirM.attachToGroup("devs", shared); dirM.attachToGroup("ops", pol("gops"))
+    assert(dirM.effectivePolicies("alice").map(_.id).sorted ===
+      eff.map(_.id))
+    // paging over the effective list
+    val (page1, tok) = a.listEffectivePolicies("alice", amount = 2)
+    assert(page1.map(_.id) === Seq("gops", "shared") && tok === "shared")
+    assert(a.listEffectivePolicies("alice", after = tok)._1.map(_.id) ===
+      Seq("zdirect"))
+  }
+
+  test("credentials: format, lifecycle, secret verification") {
+    val a = new AuthService(fresh("auth"))
+    a.createUser("alice")
+    val c = a.createCredentials("alice")
+    assert(c.accessKeyId.matches("AKIAJ[A-Z2-7]{14}Q")) // keys.go:59-63 format
+    assert(c.secretAccessKey.nonEmpty)
+    assert(a.verifySecret(c.accessKeyId, c.secretAccessKey))
+    assert(!a.verifySecret(c.accessKeyId, "wrong"))
+    // the plaintext never comes back after creation
+    assert(a.getCredentials(c.accessKeyId).secretAccessKey === "")
+    assert(a.getCredentialsForUser("alice", c.accessKeyId).username === "alice")
+    a.createUser("bob")
+    intercept[a.NotFoundException](a.getCredentialsForUser("bob", c.accessKeyId))
+    intercept[a.ValidationException](a.addCredentials("alice", "xy", "s")) // <3 chars
+    intercept[a.ValidationException](a.addCredentials("alice", "validkey", ""))
+    intercept[a.AlreadyExistsException](
+      a.addCredentials("alice", c.accessKeyId, "s2"))
+    a.addCredentials("alice", "AKIA2", "sec")
+    assert(a.listUserCredentials("alice")._1.map(_.accessKeyId).sorted ===
+      Seq("AKIA2", c.accessKeyId).sorted)
+    a.deleteCredentials("alice", "AKIA2")
+    intercept[a.NotFoundException](a.getCredentials("AKIA2"))
+  }
+
+  test("authorize runs the Rbac checker over effective policies") {
+    val a = new AuthService(fresh("auth"))
+    a.createUser("alice"); a.createGroup("devs")
+    a.addUserToGroup("alice", "devs")
+    a.writePolicy(Policy("dev-read", Seq(Statement("allow",
+      Seq("fs:Read*"), "arn:lakefs:fs:::repository/r/object/dev/*"))))
+    a.writePolicy(Policy("deny-secrets", Seq(Statement("deny",
+      Seq("fs:*"), "arn:lakefs:fs:::repository/r/object/dev/secrets/*"))))
+    a.attachPolicyToGroup("dev-read", "devs")
+    a.attachPolicyToUser("deny-secrets", "alice")
+    assert(a.authorize("alice",
+      Perm("fs:ReadObject", "arn:lakefs:fs:::repository/r/object/dev/a")))
+    assert(!a.authorize("alice", // deny outranks the group allow
+      Perm("fs:ReadObject", "arn:lakefs:fs:::repository/r/object/dev/secrets/k")))
+    assert(!a.authorize("alice", // neutral = unauthorized
+      Perm("fs:WriteObject", "arn:lakefs:fs:::repository/r/object/dev/a")))
+    intercept[a.NotFoundException](
+      a.authorize("ghost", Perm("fs:ReadObject", "*")))
+  }
+
+  test("state persists across instances; creates race safely across them") {
+    val dir = fresh("auth")
+    val a = new AuthService(dir)
+    a.createUser("alice")
+    a.writePolicy(pol("p1")); a.attachPolicyToUser("p1", "alice")
+    val b = new AuthService(dir) // a second process over the same store
+    assert(b.getUser("alice").username === "alice")
+    assert(b.listEffectivePolicies("alice")._1.map(_.id) === Seq("p1"))
+    // concurrent same-name creates across instances: exactly one wins
+    val pool = Executors.newFixedThreadPool(8)
+    try {
+      val wins = (1 to 8).map { i =>
+        val svc = if (i % 2 == 0) a else b
+        pool.submit(new java.util.concurrent.Callable[Boolean] {
+          override def call(): Boolean =
+            try { svc.createUser("raced"); true }
+            catch { case _: RuntimeException => false }
+        })
+      }.count(_.get())
+      assert(wins === 1)
+    } finally pool.shutdown()
+    assert(b.listUsers(prefix = "raced")._1.size === 1)
+  }
+}
