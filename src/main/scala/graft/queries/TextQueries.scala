@@ -689,6 +689,132 @@ object TextQueries {
         FROM comp JOIN sizes USING (canonical_id) ORDER BY doc_id""")
         .replaceFirst("WITH ", "WITH RECURSIVE "))),
 
+    // Leakage-safe train/val split — whole near-dup GROUPS go to one side
+    // (side = hash of the group's canonical id, 80/20), because a naive
+    // per-doc split puts near-duplicates of a training doc into the eval
+    // set and inflates every metric. The row carries the honest
+    // cross-checks, computed not asserted: crossing_groups (groups
+    // straddling sides — 0 for the group-keyed split by construction) and
+    // naive_crossing_groups (what a per-doc hash split WOULD leak on the
+    // same graph). Groups ride the shared [[dedupLabels] LSH components;
+    // docs with no near-dup edge are their own group. Scale shape: one
+    // group join + hash projections + two aggregates, no window, no
+    // all-pairs; the two global counters collect ONE driver row.
+    "td_group_split" -> (((s: SparkSession, d: String) => {
+      val docs = plantedDocs(s, d).select("doc_id")
+      val labels = dedupLabels(s, d)
+      val grouped = docs
+        .join(labels.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("grp"))
+      def sideOf(c: org.apache.spark.sql.Column) = when(
+        conv(substring(sha2(c.cast("string"), 256), 1, 2), 16, 10)
+          .cast("long") % 5 < 4, "train").otherwise("val")
+      val assigned = grouped
+        .withColumn("side", sideOf(col("grp")))
+        .withColumn("naive_side", sideOf(col("doc_id")))
+        .persist()
+      val cx = assigned.groupBy("grp").agg(
+          countDistinct("side").as("ns"), countDistinct("naive_side").as("nn"))
+        .agg(sum(when(col("ns") > 1, 1L).otherwise(0L)).as("crossing_groups"),
+          sum(when(col("nn") > 1, 1L).otherwise(0L)).as("naive_crossing_groups"))
+        .head()
+      val out = assigned.groupBy("side")
+        .agg(count(lit(1)).as("n_docs"), countDistinct("grp").as("n_groups"))
+        .withColumn("crossing_groups", lit(cx.getLong(0)))
+        .withColumn("naive_crossing_groups", lit(cx.getLong(1)))
+        .orderBy("side")
+      assigned.unpersist()
+      out
+    }),
+      Some((s"""$docsSql $plantedDocsSql ${shinglesSqlFrom("docsp")} $minhashCtesSql,
+        edges AS (
+          SELECT doc_a AS a, doc_b AS b FROM est WHERE n_eq >= 8
+          UNION ALL
+          SELECT doc_b, doc_a FROM est WHERE n_eq >= 8
+        ),
+        nodes AS (SELECT DISTINCT a AS id FROM edges),
+        reach AS (
+          SELECT id, id AS r FROM nodes
+          UNION
+          SELECT reach.id, e.b FROM reach JOIN edges e ON reach.r = e.a
+        ),
+        comp AS (SELECT id, min(r) AS canonical_id FROM reach GROUP BY id),
+        grouped AS (
+          SELECT d.doc_id, coalesce(c.canonical_id, d.doc_id) AS grp
+          FROM docsp d LEFT JOIN comp c ON d.doc_id = c.id
+        ),
+        assigned AS (
+          SELECT doc_id, grp,
+            CASE WHEN ('0x' || substr(sha256(CAST(grp AS VARCHAR)), 1, 2))::BIGINT
+                      % 5 < 4 THEN 'train' ELSE 'val' END AS side,
+            CASE WHEN ('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 2))::BIGINT
+                      % 5 < 4 THEN 'train' ELSE 'val' END AS naive_side
+          FROM grouped
+        ),
+        cx AS (
+          SELECT
+            CAST(sum(CASE WHEN ns > 1 THEN 1 ELSE 0 END) AS BIGINT) AS crossing_groups,
+            CAST(sum(CASE WHEN nn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS naive_crossing_groups
+          FROM (SELECT grp, count(DISTINCT side) AS ns,
+                       count(DISTINCT naive_side) AS nn
+                FROM assigned GROUP BY grp)
+        )
+        SELECT side, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(count(DISTINCT grp) AS BIGINT) AS n_groups,
+               crossing_groups, naive_crossing_groups
+        FROM assigned, cx
+        GROUP BY side, crossing_groups, naive_crossing_groups
+        ORDER BY side""")
+        .replaceFirst("WITH ", "WITH RECURSIVE "))),
+
+    // Deterministic stratified sampling — the per-source quota downsample
+    // every mixture plan executes: rank docs WITHIN each source by a
+    // content-stable hash (sha256 of doc_id — a reproducible shuffle, same
+    // sample on every run and every engine), keep the top `rate` fraction
+    // with the rate set per quality tier (even-numbered sources 40%, odd
+    // 20%). The keep rule is integer cross-multiplied (rk*5 <= tot*2 /
+    // rk*5 <= tot) so both engines agree exactly. Scale shape: one window
+    // per source partition (sources are the parallel unit), no global sort.
+    "td_stratified_sample" -> (((s: SparkSession, d: String) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy(col("h"), col("doc_id"))
+      Fixtures.documents(s, d).select(col("doc_id"), col("source"), col("n_chars"))
+        .withColumn("h",
+          conv(substring(sha2(col("doc_id").cast("string"), 256), 1, 15), 16, 10)
+            .cast("long"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .withColumn("tot", count(lit(1))
+          .over(org.apache.spark.sql.expressions.Window.partitionBy("source"))
+          .cast("long"))
+        .withColumn("even_src",
+          expr("CAST(substring(source, 4) AS BIGINT)") % 2 === 0)
+        .withColumn("keep", when(col("even_src"), col("rk") * 5 <= col("tot") * 2)
+          .otherwise(col("rk") * 5 <= col("tot")))
+        .groupBy("source")
+        .agg(max("tot").as("n_total"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_sampled"),
+          sum(when(col("keep"), col("n_chars")).otherwise(0L)).as("chars_sampled"))
+        .orderBy("source")
+    }),
+      Some("""
+        WITH ranked AS (
+          SELECT doc_id, source, n_chars,
+                 row_number() OVER (PARTITION BY source ORDER BY
+                   ('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+                   doc_id) AS rk,
+                 count(*) OVER (PARTITION BY source) AS tot,
+                 CAST(substring(source, 4) AS BIGINT) % 2 = 0 AS even_src
+          FROM documents
+        ), kept AS (
+          SELECT *, CASE WHEN even_src THEN rk * 5 <= tot * 2
+                         ELSE rk * 5 <= tot END AS keep
+          FROM ranked
+        )
+        SELECT source, CAST(max(tot) AS BIGINT) AS n_total,
+               CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+               CAST(sum(CASE WHEN keep THEN n_chars ELSE 0 END) AS BIGINT) AS chars_sampled
+        FROM kept GROUP BY source ORDER BY source""")),
+
     // Survivorship dedup — the purge step after grouping: per duplicate
     // component keep the best doc (most tokens, tie -> lowest doc_id) and
     // mark the rest purged. The rank window partitions by component

@@ -99,7 +99,11 @@ class PlanShapeSpec extends SparkSpec {
     "emb_hard_negatives",
     // rbac: broadcast equi-join of requests to the tiny statement table,
     // LIKE-compiled globs, two partial-agg shuffles — no nested loop
-    "vc_rbac_eval")
+    "vc_rbac_eval",
+    // group split: LSH components + one group left-join + hash aggs (the
+    // two global counters collect ONE driver row, no 1-row crossJoin);
+    // stratified sample: source-partitioned windows + one source agg
+    "td_group_split", "td_stratified_sample")
 
   test("LSH scale paths contain no all-pairs join") {
     scalePaths.foreach { name =>
