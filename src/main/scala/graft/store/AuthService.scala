@@ -60,21 +60,18 @@ class AuthService(rootDir: String,
   private def readKv(p: Path): Map[String, String] = cond.readTagged(p)._1
   private def updateKv(p: Path)(
       f: Map[String, String] => Map[String, String]): Unit = {
-    var tries = 0
-    while (tries < 64) {
-      tries += 1
-      val (cur, tag) = cond.readTagged(p)
-      val next = f(cur) // may throw AlreadyExists/NotFound — the CAS answer
-      if (next == cur || cond.writeIf(p, next, tag)) return
-    }
-    throw new AuthException(s"auth store too contended: $p")
+    cond.update(p)(f) // f may throw AlreadyExists/NotFound — the CAS answer
+    ()
   }
 
-  /** `model.ValidateAuthEntityID`: non-empty, no kv path delimiter. */
+  /** `model.ValidateAuthEntityID`: non-empty, no kv path delimiter — plus
+    * the characters OUR storage reserves: tab/newline (TSV line format)
+    * and '|' ('|'-joined record fields). A name carrying any of these
+    * would corrupt the control table it keys. */
   private def validateEntityId(name: String): Unit = {
     if (name.isEmpty) throw new ValidationException("empty name")
-    if (name.contains("/"))
-      throw new ValidationException(s"name contains delimiter /: $name")
+    if (name.exists(c => c == '/' || c == '|' || Character.isISOControl(c)))
+      throw new ValidationException(s"name contains a reserved character: $name")
   }
 
   // ---- pagination (ListKVPaged, contrib service.go:48-94) ----------------
@@ -83,7 +80,9 @@ class AuthService(rootDir: String,
     * key (pass it back as `after`), "" when the listing is exhausted. */
   private def page(keys: Iterable[String], prefix: String, after: String,
       amount: Int): (Seq[String], String) = {
-    val amt = if (amount < 0 || amount > AuthService.MaxPage)
+    // amount<=0 means "everything up to MaxPage" — an amount of 0 must not
+    // return an empty page with an empty token (false exhaustion signal)
+    val amt = if (amount <= 0 || amount > AuthService.MaxPage)
       AuthService.MaxPage else amount
     val rest = keys.filter(k => k.startsWith(prefix) && k > after).toSeq.sorted
     val p = rest.take(amt)
@@ -299,36 +298,58 @@ class AuthService(rootDir: String,
     updateKv(groupPoliciesFile)(_ - s"$group/$policy")
   }
 
-  private def attachedNames(file: Path, principal: String): Seq[String] =
-    readKv(file).keys
-      .collect { case k if k.startsWith(principal + "/") =>
-        k.drop(principal.length + 1) }.toSeq.sorted
+  private def attachedIn(kv: Map[String, String], principal: String): Seq[String] =
+    kv.keys.collect { case k if k.startsWith(principal + "/") =>
+      k.drop(principal.length + 1) }.toSeq.sorted
+
+  /** Resolve attachment names against ONE read of the policies table,
+    * SKIPPING danglers: an attachment can outlive its policy when an
+    * attach races deletePolicy's cascade in another process — a principal
+    * whose list throws forever would need hand repair, so resolution
+    * degrades to "as if detached" instead (the reference's secondary-index
+    * iterator likewise skips missing primaries). */
+  private def resolvePolicies(names: Seq[String]): Seq[Policy] = {
+    val kv = readKv(policiesFile)
+    names.flatMap(n => kv.get(n).map(decPolicy(n, _)._2))
+  }
 
   def listUserPolicies(username: String, after: String = "",
       amount: Int = -1): (Seq[Policy], String) = {
     getUser(username)
-    val (names, tok) = page(attachedNames(userPoliciesFile, username), "", after, amount)
-    (names.map(getPolicy), tok)
+    val (names, tok) =
+      page(attachedIn(readKv(userPoliciesFile), username), "", after, amount)
+    (resolvePolicies(names), tok)
   }
 
   def listGroupPolicies(group: String, after: String = "",
       amount: Int = -1): (Seq[Policy], String) = {
     getGroup(group)
-    val (names, tok) = page(attachedNames(groupPoliciesFile, group), "", after, amount)
-    (names.map(getPolicy), tok)
+    val (names, tok) =
+      page(attachedIn(readKv(groupPoliciesFile), group), "", after, amount)
+    (resolvePolicies(names), tok)
   }
 
-  /** getEffectivePolicies (contrib service.go:308-390): direct attachments
-    * ∪ every membership group's attachments, deduplicated by display name,
+  /** The FULL effective-policy name set — direct attachments ∪ every
+    * membership group's attachments, deduplicated — reading each control
+    * table exactly once and with NO page bound: [[authorize]] must see
+    * every deny however many policies a principal accumulates. */
+  private def effectivePolicyNames(username: String): Seq[String] = {
+    getUser(username)
+    val direct = attachedIn(readKv(userPoliciesFile), username)
+    val memberships = readKv(groupUsersFile).keys
+      .collect { case k if k.endsWith("/" + username) =>
+        k.dropRight(username.length + 1) }.toSeq
+    val groupKv = readKv(groupPoliciesFile)
+    val viaGroups = memberships.flatMap(g => attachedIn(groupKv, g))
+    (direct ++ viaGroups).distinct
+  }
+
+  /** getEffectivePolicies (contrib service.go:308-390): the full set,
     * NAME-SORTED, then paged with after/amount. */
   def listEffectivePolicies(username: String, after: String = "",
       amount: Int = -1): (Seq[Policy], String) = {
-    getUser(username)
-    val direct = attachedNames(userPoliciesFile, username)
-    val viaGroups = listUserGroups(username)._1
-      .flatMap(g => attachedNames(groupPoliciesFile, g))
-    val (names, tok) = page((direct ++ viaGroups).distinct, "", after, amount)
-    (names.map(getPolicy), tok)
+    val (names, tok) = page(effectivePolicyNames(username), "", after, amount)
+    (resolvePolicies(names), tok)
   }
 
   // ---- credentials (service.go:736-893; keys/keys.go) ---------------------
@@ -363,6 +384,7 @@ class AuthService(rootDir: String,
       secretAccessKey: String): Credential = {
     if (accessKeyId.length < 3 || accessKeyId.length > 20)
       throw new ValidationException(s"invalid access key id: $accessKeyId")
+    validateEntityId(accessKeyId) // storage-reserved characters
     if (secretAccessKey.isEmpty)
       throw new ValidationException("empty secret access key")
     getUser(username)
@@ -408,10 +430,11 @@ class AuthService(rootDir: String,
 
   // ---- authorize (service.go:895-915) --------------------------------------
   /** User must exist (NotFound otherwise), then the [[Rbac]] checker runs
-    * over the user's effective policies — deny wins, allow grants,
-    * neutral is unauthorized. */
+    * over the user's COMPLETE effective policy set (never a page — a deny
+    * that sorts past a page boundary must still win) — deny wins, allow
+    * grants, neutral is unauthorized. */
   def authorize(username: String, node: Node): Boolean = {
-    val policies = listEffectivePolicies(username)._1
+    val policies = resolvePolicies(effectivePolicyNames(username))
     Rbac.isAuthorized(node, username, policies)
   }
 

@@ -37,6 +37,24 @@ trait ConditionalStore {
     * False = the precondition failed (or the store is too contended);
     * callers re-read and retry. */
   def writeIf(p: Path, m: Map[String, String], expectedTag: String): Boolean
+
+  /** Cross-process read-modify-write: re-read + re-apply `f` until the
+    * conditional install lands (a failed writeIf means ANY key in the file
+    * moved — possibly one unrelated to this update). `f` runs against the
+    * CURRENT state on every retry, so precondition checks inside it (throw
+    * AlreadyExists / filter an expiry set) evaluate what the winning write
+    * will actually see. Returns the installed map. */
+  def update(p: Path)(f: Map[String, String] => Map[String, String])
+      : Map[String, String] = {
+    var tries = 0
+    while (tries < 64) {
+      tries += 1
+      val (cur, tag) = readTagged(p)
+      val next = f(cur)
+      if (next == cur || writeIf(p, next, tag)) return next
+    }
+    sys.error(s"control file too contended: $p")
+  }
 }
 
 object ConditionalStore {
@@ -107,9 +125,18 @@ class LockFileStore(staleMs: Long = 10000L, acquireTries: Int = 4000)
           try {
             val age = System.currentTimeMillis() -
               Files.getLastModifiedTime(lock).toMillis
-            if (age > staleMs) { Files.deleteIfExists(lock); () }
-            else Thread.sleep(1)
-          } catch { case _: java.io.IOException => () } // holder released mid-check
+            if (age > staleMs) {
+              // claim the break by ATOMIC RENAME: exactly one breaker wins
+              // the move (losers get NoSuchFile and re-contend) — a blind
+              // delete could instead remove a DIFFERENT writer's fresh lock
+              // created after our staleness read
+              val claimed = lock.resolveSibling(
+                lock.getFileName.toString + ".broken." +
+                  java.util.UUID.randomUUID().toString.take(8))
+              Files.move(lock, claimed, StandardCopyOption.ATOMIC_MOVE)
+              Files.deleteIfExists(claimed); ()
+            } else Thread.sleep(1)
+          } catch { case _: java.io.IOException => () } // holder released/lost the break race
         case _: java.io.IOException => Thread.sleep(1)  // transient FS hiccup
       }
     }

@@ -137,20 +137,10 @@ class RefStore(rootDir: String,
 
   private def readKv(p: Path): Map[String, String] = cond.readTagged(p)._1
 
-  /** Cross-process read-modify-write: re-read + re-apply `f` until the
-    * conditional install lands (a failed writeIf means ANY key in the file
-    * moved — possibly one unrelated to this update). */
+  /** Cross-process read-modify-write (see [[ConditionalStore.update]]). */
   private def updateKv(p: Path)(
-      f: Map[String, String] => Map[String, String]): Map[String, String] = {
-    var tries = 0
-    while (tries < 64) {
-      tries += 1
-      val (cur, tag) = cond.readTagged(p)
-      val next = f(cur)
-      if (next == cur || cond.writeIf(p, next, tag)) return next
-    }
-    sys.error(s"control file too contended: $p")
-  }
+      f: Map[String, String] => Map[String, String]): Map[String, String] =
+    cond.update(p)(f)
 
   /** Branch record: head commit + optional compacted base metarange
     * (`CompactedBaseMetaRangeID`, graveler.go:541-542) + hidden flag
@@ -266,14 +256,16 @@ class RefStore(rootDir: String,
     updateKv(importsFile)(_ + (s.id -> v)); ()
   }
 
+  private def decImportStatus(id: String, v: String): ImportStatus = {
+    val f = v.split('|').padTo(6, "")
+    ImportStatus(id, f(0) == "1", f(1).toLong,
+      if (f(2).isEmpty) None else Some(f(2)),
+      if (f(3).isEmpty) None else Some(f(3)),
+      if (f(4).isEmpty) None else Some(unesc(f(4))), f(5).toLong)
+  }
+
   def getImportStatus(id: String): Option[ImportStatus] =
-    readKv(importsFile).get(id).map { v =>
-      val f = v.split('|').padTo(6, "")
-      ImportStatus(id, f(0) == "1", f(1).toLong,
-        if (f(2).isEmpty) None else Some(f(2)),
-        if (f(3).isEmpty) None else Some(f(3)),
-        if (f(4).isEmpty) None else Some(unesc(f(4))), f(5).toLong)
-    }
+    readKv(importsFile).get(id).map(decImportStatus(id, _))
 
   def importStatuses: Seq[ImportStatus] =
     readKv(importsFile).keys.toSeq.sorted.flatMap(getImportStatus)
@@ -282,10 +274,19 @@ class RefStore(rootDir: String,
     * records (completed or errored) older than the cutoff; in-flight
     * imports are never dropped regardless of age. Returns ids removed. */
   def deleteExpiredImports(cutoffEpochSec: Long): Seq[String] = {
-    val expired = importStatuses.filter(s =>
-      (s.completed || s.error.isDefined) && s.updatedAt < cutoffEpochSec)
-    if (expired.nonEmpty) { updateKv(importsFile)(_ -- expired.map(_.id)); () }
-    expired.map(_.id)
+    // the expiry filter runs INSIDE the RMW lambda against the re-read
+    // state: a concurrent setImportStatus that restarts an import (fresh
+    // updatedAt, completed=false) wins the CAS and must not be swept
+    var removed: Seq[String] = Seq.empty
+    updateKv(importsFile) { cur =>
+      val expired = cur.keys.toSeq.sorted
+        .map(id => decImportStatus(id, cur(id)))
+        .filter(s => (s.completed || s.error.isDefined) && s.updatedAt < cutoffEpochSec)
+        .map(_.id)
+      removed = expired
+      cur -- expired
+    }
+    removed
   }
 
   // --- background tasks (pkg/catalog/task.go, catalog.go:2242-2330) -------
@@ -301,17 +302,19 @@ class RefStore(rootDir: String,
     updateKv(tasksFile)(_ + (s.id -> v)); ()
   }
 
+  private def decTaskStatus(id: String, v: String): TaskStatus = {
+    val f = v.split('|').padTo(8, "")
+    val info = f(6).split(',').filter(_.nonEmpty).map { kv =>
+      val i = kv.indexOf('=')
+      unesc(kv.take(i)) -> unesc(kv.drop(i + 1))
+    }.toMap
+    TaskStatus(id, unesc(f(0)), unesc(f(1)), f(2).toInt, f(3).toInt,
+      f(4) == "1", if (f(5).isEmpty) None else Some(unesc(f(5))), info,
+      f(7).toLong)
+  }
+
   def getTaskStatus(id: String): Option[TaskStatus] =
-    readKv(tasksFile).get(id).map { v =>
-      val f = v.split('|').padTo(8, "")
-      val info = f(6).split(',').filter(_.nonEmpty).map { kv =>
-        val i = kv.indexOf('=')
-        unesc(kv.take(i)) -> unesc(kv.drop(i + 1))
-      }.toMap
-      TaskStatus(id, unesc(f(0)), unesc(f(1)), f(2).toInt, f(3).toInt,
-        f(4) == "1", if (f(5).isEmpty) None else Some(unesc(f(5))), info,
-        f(7).toLong)
-    }
+    readKv(tasksFile).get(id).map(decTaskStatus(id, _))
 
   def taskStatuses: Seq[TaskStatus] =
     readKv(tasksFile).keys.toSeq.sorted.flatMap(getTaskStatus)
@@ -320,9 +323,18 @@ class RefStore(rootDir: String,
     * records older than the cutoff; a task still running is never dropped
     * regardless of age (same janitor discipline as import expiry). */
   def deleteExpiredTasks(cutoffEpochSec: Long): Seq[String] = {
-    val expired = taskStatuses.filter(s => s.done && s.updatedAt < cutoffEpochSec)
-    if (expired.nonEmpty) { updateKv(tasksFile)(_ -- expired.map(_.id)); () }
-    expired.map(_.id)
+    // expiry evaluated INSIDE the RMW lambda: a task concurrently
+    // restarted (done=false, fresh updatedAt) wins its CAS and stays
+    var removed: Seq[String] = Seq.empty
+    updateKv(tasksFile) { cur =>
+      val expired = cur.keys.toSeq.sorted
+        .map(id => decTaskStatus(id, cur(id)))
+        .filter(s => s.done && s.updatedAt < cutoffEpochSec)
+        .map(_.id)
+      removed = expired
+      cur -- expired
+    }
+    removed
   }
 
   // --- GC retention rules (garbage_collection_manager.go:59-87) -----------

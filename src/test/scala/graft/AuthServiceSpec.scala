@@ -154,6 +154,57 @@ class AuthServiceSpec extends AnyFunSuite {
       a.authorize("ghost", Perm("fs:ReadObject", "*")))
   }
 
+  test("names carrying storage-reserved characters are rejected, not stored") {
+    val a = new AuthService(fresh("auth"))
+    intercept[a.ValidationException](a.createUser("a|b"))
+    intercept[a.ValidationException](a.createUser("a\tb"))
+    intercept[a.ValidationException](a.createUser("a\nb"))
+    intercept[a.ValidationException](a.createGroup("g|1"))
+    intercept[a.ValidationException](a.writePolicy(pol("p|1")))
+    a.createUser("alice")
+    intercept[a.ValidationException](a.addCredentials("alice", "k|e\ty", "s"))
+    // the store stayed clean: listings parse
+    assert(a.listUsers()._1.map(_.username) === Seq("alice"))
+  }
+
+  test("amount=0 paging never signals false exhaustion") {
+    val a = new AuthService(fresh("auth"))
+    (1 to 3).foreach(i => a.createUser(s"u$i"))
+    val (p, tok) = a.listUsers(amount = 0) // <=0 = everything up to MaxPage
+    assert(p.size === 3 && tok === "")
+  }
+
+  test("a dangling attachment (attach raced a policy delete) is skipped, not fatal") {
+    val dir = fresh("auth")
+    val a = new AuthService(dir)
+    a.createUser("alice"); a.writePolicy(pol("real"))
+    a.attachPolicyToUser("real", "alice")
+    // simulate the cross-process race remnant: an attachment row whose
+    // policy record is gone
+    val f = java.nio.file.Paths.get(dir, "auth_user_policies.tsv")
+    graft.store.KvFile.write(f, graft.store.KvFile.read(f) + ("alice/ghost" -> "1"))
+    assert(a.listUserPolicies("alice")._1.map(_.id) === Seq("real"))
+    assert(a.listEffectivePolicies("alice")._1.map(_.id) === Seq("real"))
+    assert(a.authorize("alice", Perm("fs:ReadObject", "whatever")) ===
+      a.authorize("alice", Perm("fs:ReadObject", "whatever"))) // no throw
+  }
+
+  test("authorize sees a deny beyond the page bound (never a paged view)") {
+    val a = new AuthService(fresh("auth"))
+    a.createUser("alice")
+    // MaxPage allow policies that sort BEFORE the deny, plus the deny
+    (1 to AuthService.MaxPage).foreach { i =>
+      val name = f"allow$i%04d"
+      a.writePolicy(pol(name)); a.attachPolicyToUser(name, "alice")
+    }
+    a.writePolicy(Policy("zz-deny", Seq(Statement("deny", Seq("fs:*"), "*"))))
+    a.attachPolicyToUser("zz-deny", "alice")
+    // a paged reading would return only the first 1000 allows
+    assert(a.listEffectivePolicies("alice")._1.size === AuthService.MaxPage)
+    assert(!a.authorize("alice", Perm("fs:ReadObject", "x")),
+      "the deny past the page boundary must still win")
+  }
+
   test("state persists across instances; creates race safely across them") {
     val dir = fresh("auth")
     val a = new AuthService(dir)
