@@ -91,19 +91,20 @@ class AuthService(rootDir: String,
 
   // ---- users (service.go:104-241) ----------------------------------------
   final case class User(username: String, createdAt: Long,
-      friendlyName: String = "", email: String = "")
+      friendlyName: String = "", email: String = "", externalId: String = "")
 
   private def encUser(u: User) =
-    Seq(u.createdAt.toString, esc(u.friendlyName), esc(u.email)).mkString("|")
+    Seq(u.createdAt.toString, esc(u.friendlyName), esc(u.email),
+      esc(u.externalId)).mkString("|")
   private def decUser(name: String, v: String) = {
-    val f = v.split('|').padTo(3, "")
-    User(name, f(0).toLong, unesc(f(1)), unesc(f(2)))
+    val f = v.split('|').padTo(4, "")
+    User(name, f(0).toLong, unesc(f(1)), unesc(f(2)), unesc(f(3)))
   }
 
   def createUser(username: String, friendlyName: String = "",
-      email: String = ""): String = {
+      email: String = "", externalId: String = ""): String = {
     validateEntityId(username)
-    val u = User(username, now(), friendlyName, email)
+    val u = User(username, now(), friendlyName, email, externalId)
     updateKv(usersFile) { cur =>
       if (cur.contains(username)) throw new AlreadyExistsException(s"user $username")
       cur + (username -> encUser(u))
@@ -114,6 +115,70 @@ class AuthService(rootDir: String,
   def getUser(username: String): User =
     readKv(usersFile).get(username).map(decUser(username, _))
       .getOrElse(throw new NotFoundException(s"user $username"))
+
+  /** GetUserByID aliases GetUser (contrib service.go:197-199). */
+  def getUserById(userId: String): User = getUser(userId)
+
+  /** Predicate gets scan the table for the FIRST match in key order
+    * (`getUserByPredicate`, contrib service.go:172-195). */
+  private def userWhere(what: String)(pred: User => Boolean): User = {
+    val kv = readKv(usersFile)
+    kv.keys.toSeq.sorted.iterator.map(n => decUser(n, kv(n))).find(pred)
+      .getOrElse(throw new NotFoundException(what))
+  }
+
+  def getUserByEmail(email: String): User =
+    userWhere(s"user with email $email")(_.email == email)
+
+  def getUserByExternalId(externalId: String): User =
+    userWhere(s"user with external id $externalId")(_.externalId == externalId)
+
+  /** UpdateUserFriendlyName (the `pkg/auth/service.go:123` surface; the
+    * contrib ACL server leaves it NotImplemented — implemented here since
+    * the record is ours). */
+  def updateUserFriendlyName(username: String, friendlyName: String): Unit =
+    updateKv(usersFile) { cur =>
+      val u = cur.get(username).map(decUser(username, _))
+        .getOrElse(throw new NotFoundException(s"user $username"))
+      cur + (username -> encUser(u.copy(friendlyName = friendlyName)))
+    }
+
+  // ---- external principals (pkg/auth/service.go:95-103) -------------------
+  // IAM-style principal → user mapping: create-if-absent, cascade-free
+  // (deleting a user leaves the mapping for the janitor, like credentials).
+  private def extPrincipalsFile = dir.resolve("auth_external_principals.tsv")
+
+  def createUserExternalPrincipal(username: String, principalId: String): Unit = {
+    getUser(username); validateEntityId(principalId)
+    updateKv(extPrincipalsFile) { cur =>
+      if (cur.contains(principalId))
+        throw new AlreadyExistsException(s"external principal $principalId")
+      cur + (principalId -> username)
+    }
+  }
+
+  def deleteUserExternalPrincipal(username: String, principalId: String): Unit = {
+    getUser(username)
+    updateKv(extPrincipalsFile) { cur =>
+      if (!cur.get(principalId).contains(username))
+        throw new NotFoundException(s"external principal $principalId")
+      cur - principalId
+    }
+  }
+
+  /** (principalId, username), NotFound when unmapped. */
+  def getExternalPrincipal(principalId: String): (String, String) =
+    readKv(extPrincipalsFile).get(principalId).map(principalId -> _)
+      .getOrElse(throw new NotFoundException(s"external principal $principalId"))
+
+  def listUserExternalPrincipals(username: String, after: String = "",
+      amount: Int = -1): (Seq[String], String) = {
+    getUser(username)
+    val ids = readKv(extPrincipalsFile).collect {
+      case (pid, u) if u == username => pid
+    }
+    page(ids, "", after, amount)
+  }
 
   def listUsers(prefix: String = "", after: String = "",
       amount: Int = -1): (Seq[User], String) = {

@@ -154,6 +154,29 @@ class AuthServiceSpec extends AnyFunSuite {
       a.authorize("ghost", Perm("fs:ReadObject", "*")))
   }
 
+  test("predicate gets, friendly-name update, and external principals") {
+    val a = new AuthService(fresh("auth"))
+    a.createUser("alice", email = "a@x", externalId = "arn:aws:iam::1:user/a")
+    a.createUser("bob", email = "b@x")
+    assert(a.getUserById("alice").username === "alice")
+    assert(a.getUserByEmail("b@x").username === "bob")
+    assert(a.getUserByExternalId("arn:aws:iam::1:user/a").username === "alice")
+    intercept[a.NotFoundException](a.getUserByEmail("nobody@x"))
+    a.updateUserFriendlyName("bob", "Robert")
+    assert(a.getUser("bob").friendlyName === "Robert")
+    intercept[a.NotFoundException](a.updateUserFriendlyName("ghost", "x"))
+    // external principals: create-if-absent, ownership-checked delete
+    a.createUserExternalPrincipal("alice", "principal-1")
+    intercept[a.AlreadyExistsException](
+      a.createUserExternalPrincipal("bob", "principal-1"))
+    assert(a.getExternalPrincipal("principal-1") === ("principal-1", "alice"))
+    assert(a.listUserExternalPrincipals("alice")._1 === Seq("principal-1"))
+    intercept[a.NotFoundException](
+      a.deleteUserExternalPrincipal("bob", "principal-1"))
+    a.deleteUserExternalPrincipal("alice", "principal-1")
+    intercept[a.NotFoundException](a.getExternalPrincipal("principal-1"))
+  }
+
   test("names carrying storage-reserved characters are rejected, not stored") {
     val a = new AuthService(fresh("auth"))
     intercept[a.ValidationException](a.createUser("a|b"))
