@@ -38,6 +38,20 @@ object CatalogExport {
       .where(!exists(split(rel, "/"), seg => seg.startsWith("_")))
   }
 
+  /** Descriptor rows from parsed specs: (path, name, table_type, catalog,
+    * physical_path, partition_columns, fields as (name,type) pairs) — the
+    * column shape [[glueTableInputs]] / [[unityRegistrations]] consume. */
+  def descriptorsDF(s: org.apache.spark.sql.SparkSession,
+      rows: Seq[(String, String, String, String, String, Seq[String],
+        Seq[(String, String)])]): DataFrame = {
+    import s.implicits._
+    rows.toDF("path", "name", "table_type", "catalog", "physical_path",
+        "partition_columns", "fields_raw")
+      .withColumn("fields", transform(col("fields_raw"), f =>
+        struct(f.getField("_1").as("name"), f.getField("_2").as("type"))))
+      .drop("fields_raw")
+  }
+
   /** `<name>_<repo>_<ref>_<sha6>` (glue_exporter.lua
     * `get_full_table_name`; `internal.lua` short_digest = 6). */
   private def glueTableName(repo: String, refName: String,

@@ -93,7 +93,11 @@ object Actions {
     // continuous mirror export: property `dest`; incremental vs the
     // destination's own _latest marker (Engine.exportRunAuto) — the
     // data-side CD loop a post-commit/post-merge action drives
-    "export"    -> Seq("dest"))
+    "export"    -> Seq("dest"),
+    // Glue/Unity registration payloads from the branch's committed table
+    // descriptors — the catalogexport Lua stdlib's action role
+    // (`glue_exporter.lua` / `unity_exporter.lua`); format: glue|unity
+    "catalog_export" -> Seq("dest", "format"))
 
   /** `action.go:71-106` checks, minus YAML plumbing. */
   def validate(conf: ActionConf): Unit = {
@@ -318,6 +322,62 @@ object Actions {
     case "export" =>
       new Engine(spark, ev.repoDir)
         .exportRunAuto(ev.branch, h.properties("dest"))
+    case "catalog_export" =>
+      // The catalogexport Lua exporters' action role (`pkg/actions/lua/
+      // lakefs/catalogexport/{glue,unity}_exporter.lua`): discover the
+      // branch's committed `_lakefs_tables/*.yaml` descriptors, parse
+      // them, and land the registration payloads under `dest` — Glue
+      // CreateTable TableInput JSON lines, or Unity registration rows —
+      // for the process holding the catalog credentials. The descriptor
+      // LIST is bounded (table specs, not data), so reading each spec's
+      // physical object on the driver mirrors the reference's paged
+      // get_object loop; the payload build and write stay distributed.
+      val format = h.properties("format")
+      require(format == "glue" || format == "unity",
+        s"hook '${h.id}': catalog_export format must be glue|unity, got '$format'")
+      val eng = new Engine(spark, ev.repoDir)
+      val commit = eng.resolveCommit(ev.branch)
+      val base = h.properties.getOrElse("tables_base", "_lakefs_tables/")
+      val found = graft.operators.CatalogExport
+        .descriptorEntries(eng.list(ev.branch + "@"), base)
+        .select("key", "address").collect()
+      val hconf = spark.sparkContext.hadoopConfiguration
+      def readYaml(addr: String): com.fasterxml.jackson.databind.JsonNode = {
+        val p = new org.apache.hadoop.fs.Path(
+          if (addr.contains("://") || addr.startsWith("/")) addr
+          else s"${ev.repoDir}/$addr")
+        val in = p.getFileSystem(hconf).open(p)
+        val bytes = try in.readAllBytes() finally in.close()
+        new com.fasterxml.jackson.databind.ObjectMapper(
+          new com.fasterxml.jackson.dataformat.yaml.YAMLFactory()).readTree(bytes)
+      }
+      val specs = found.toSeq.map { r =>
+        val path = r.getString(0)
+        val n = readYaml(r.getString(1))
+        val parts = scala.jdk.CollectionConverters
+          .IteratorHasAsScala(n.path("partition_columns").elements()).asScala
+          .map(_.asText()).toSeq
+        val fields = scala.jdk.CollectionConverters
+          .IteratorHasAsScala(n.path("schema").path("fields").elements()).asScala
+          .map(f => (f.path("name").asText(), f.path("type").asText())).toSeq
+        (path, n.path("name").asText(), n.path("type").asText(),
+          n.path("catalog").asText(""), n.path("path").asText(""), parts, fields)
+      }
+      val descs = graft.operators.CatalogExport.descriptorsDF(spark, specs)
+      val dest = h.properties("dest")
+      val outDir = s"$dest/${commit.commitId.take(6)}_$format"
+      if (format == "glue") {
+        val repoName = h.properties.getOrElse("repo_name",
+          ev.repoDir.reverse.takeWhile(_ != '/').reverse)
+        val ns = h.properties.getOrElse("storage_ns", ev.repoDir)
+        graft.operators.CatalogExport
+          .glueTableInputs(descs, repoName, ev.branch, commit.commitId, ns)
+          .select("table_input") // one CreateTable TableInput JSON per line
+          .write.mode("overwrite").text(outDir)
+      } else {
+        graft.operators.CatalogExport.unityRegistrations(descs, ev.branch)
+          .write.mode("overwrite").json(outDir)
+      }
     case "sql_script" =>
       // The scriptable hook runtime — the role the reference gives embedded
       // Lua (`pkg/actions/lua.go` + stdlib: guards that READ REPO STATE,

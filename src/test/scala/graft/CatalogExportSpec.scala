@@ -59,6 +59,91 @@ class CatalogExportSpec extends SparkSpec {
     assert(t2.getAs[String]("columns_json") === """[{"Name":"x","Type":"bigint"}]""")
   }
 
+  test("catalog_export action: committed YAML descriptors to payload files") {
+    import spark.implicits._
+    val dir = tmpDir("catact")
+    val dest = tmpDir("catdest")
+    val eng = new graft.store.Engine(spark, dir, raggedness = 100)
+    eng.init("main", Some(Seq(("seed", "s", null: String))
+      .toDF("key", "identity", "address")))
+    val svc = new graft.store.ActionService(eng)
+    svc.enableRepoActions(ttlMs = 0L)
+    def blob(rel: String, content: String): String = {
+      val p = java.nio.file.Paths.get(dir, rel)
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p, content.getBytes("UTF-8"))
+      rel
+    }
+    val eventsYaml = blob("blobs/events.yaml",
+      """name: events
+        |type: hive
+        |partition_columns: ['dt']
+        |schema:
+        |  type: struct
+        |  fields:
+        |    - name: user_id
+        |      type: bigint
+        |    - name: n
+        |      type: integer
+        |    - name: dt
+        |      type: string
+        |""".stripMargin)
+    val salesYaml = blob("blobs/sales.yaml",
+      """name: sales
+        |type: delta
+        |catalog: main_cat
+        |path: s3://lake/prod/sales
+        |schema:
+        |  type: struct
+        |  fields:
+        |    - name: id
+        |      type: bigint
+        |""".stripMargin)
+    val actionYaml = blob("blobs/action.yaml",
+      s"""name: register tables
+         |on:
+         |  post-commit:
+         |    branches: ["main"]
+         |hooks:
+         |  - id: glue-reg
+         |    type: catalog_export
+         |    properties:
+         |      dest: "$dest"
+         |      format: glue
+         |      repo_name: repo1
+         |      storage_ns: "s3://lake/prod"
+         |  - id: unity-reg
+         |    type: catalog_export
+         |    properties:
+         |      dest: "$dest"
+         |      format: unity
+         |""".stripMargin)
+    eng.stage("main", Seq(
+      ("_lakefs_tables/events.yaml", "e1", eventsYaml),
+      ("_lakefs_tables/sales.yaml", "s1", salesYaml),
+      ("_lakefs_actions/register.yaml", "a1", actionYaml))
+      .toDF("key", "identity", "address"))
+    val c = eng.commit("main", "alice", "install tables + action")
+    val short = c.commitId.take(6)
+    val glue = spark.read.text(s"$dest/${short}_glue")
+      .as[String].collect().sorted
+    assert(glue.length === 2)
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val byName = glue.map(om.readTree).map(n => n.get("Name").asText -> n).toMap
+    val ev = byName(s"events_repo1_main_$short")
+    assert(ev.get("StorageDescriptor").get("Location").asText ===
+      s"s3://lake/prod/_lakefs/exported/main/$short/events")
+    assert(ev.get("PartitionKeys").get(0).get("Name").asText === "dt")
+    assert(ev.get("StorageDescriptor").get("Columns").get(1).get("Type").asText === "int")
+    val unity = spark.read.json(s"$dest/${short}_unity")
+    val rows = unity.orderBy("name").collect()
+    assert(rows.map(_.getAs[String]("name")).toSeq === Seq("events", "sales"))
+    assert(rows(0).getAs[String]("status").startsWith("error: unity")) // hive spec
+    assert(rows(1).getAs[String]("status") === "ok")
+    assert(rows(1).getAs[String]("ddl") ===
+      "CREATE EXTERNAL TABLE sales LOCATION 's3://lake/prod/sales'")
+  }
+
   test("unity registrations: branch schema, delta-only and catalog guards") {
     val rows = CatalogExport.unityRegistrations(specs, "dev")
       .orderBy("name").collect()
