@@ -1,0 +1,79 @@
+package graft.store
+
+import graft.store.Rbac.{And, Node, Perm}
+
+/**
+ * Gateway authentication + per-operation authorization — the reference's
+ * S3-gateway middleware chain (`pkg/gateway/middleware.go:30-90`:
+ * access-key lookup → signature verify → user load) plus each operation's
+ * `RequiredPermissions` table (`pkg/gateway/operations/<op>.go`), evaluated
+ * over the `GatewayService` surface (`pkg/auth/service.go:74-79`:
+ * GetCredentials / GetUser / ListEffectivePolicies / Authorize).
+ *
+ * The HTTP and SigV4 PARSING stay out (no server here); what a verified
+ * AWS signature proves is possession of the secret for the named access
+ * key, so `presentedSecret` is this layer's signature-check input —
+ * [[AuthService.verifySecret]] is the one-way at-rest comparison the
+ * check needs.
+ */
+final class GatewayAuth(auth: AuthService) {
+
+  class AccessDeniedException(msg: String)
+    extends RuntimeException(s"access denied: $msg")
+
+  /** middleware.go:49-75: unknown access key, failed verification, and a
+    * missing user all deny — callers never learn which. Returns the
+    * authenticated username. */
+  def authenticate(accessKeyId: String, presentedSecret: String): String = {
+    val cred =
+      try auth.getCredentials(accessKeyId)
+      catch { case _: RuntimeException =>
+        throw new AccessDeniedException("could not find access key") }
+    if (!auth.verifySecret(accessKeyId, presentedSecret))
+      throw new AccessDeniedException("signature verification failed")
+    try auth.getUser(cred.username).username
+    catch { case _: RuntimeException =>
+      throw new AccessDeniedException("no user for credentials") }
+  }
+
+  private val fsArnPrefix = "arn:lakefs:fs:::"
+  private def repoArn(repo: String) = s"${fsArnPrefix}repository/$repo"
+  private def objectArn(repo: String, key: String) =
+    s"${fsArnPrefix}repository/$repo/object/$key"
+
+  /** The per-op RequiredPermissions table (`pkg/permissions/permission.go:
+    * 30-44` ARN grammar; op rows cited inline). `path2` carries a copy
+    * SOURCE when the op reads one object and writes another. */
+  def requiredPermission(op: String, repo: String, path: String = "",
+      path2: String = ""): Node = op match {
+    // getobject.go:33 / headobject.go:17
+    case "get_object" | "head_object" => Perm("fs:ReadObject", objectArn(repo, path))
+    // putobject.go:40-48 (plain PUT) and :50-64 (copy = AND(write dest, read src));
+    // postobject.go:33 (multipart create/complete)
+    case "put_object" | "post_object" =>
+      if (path2.isEmpty) Perm("fs:WriteObject", objectArn(repo, path))
+      else And(Seq(
+        Perm("fs:WriteObject", objectArn(repo, path)),
+        Perm("fs:ReadObject", objectArn(repo, path2))))
+    // deleteobject.go:16
+    case "delete_object" => Perm("fs:DeleteObject", objectArn(repo, path))
+    // listobjects.go:39-60: top-level delimiter listing enumerates
+    // BRANCHES; anything deeper lists objects
+    case "list_branches" => Perm("fs:ListBranches", repoArn(repo))
+    case "list_objects" => Perm("fs:ListObjects", repoArn(repo))
+    // headbucket.go:11
+    case "head_bucket" => Perm("fs:ReadRepository", repoArn(repo))
+    case other => throw new IllegalArgumentException(s"unknown gateway op: $other")
+  }
+
+  /** Authenticate, then evaluate the op's permission node against the
+    * user's effective policies; throws AccessDenied on either failure —
+    * the two-middleware chain collapsed to one call. */
+  def authorizeOp(accessKeyId: String, presentedSecret: String, op: String,
+      repo: String, path: String = "", path2: String = ""): String = {
+    val user = authenticate(accessKeyId, presentedSecret)
+    if (!auth.authorize(user, requiredPermission(op, repo, path, path2)))
+      throw new AccessDeniedException(s"$user is not permitted to $op")
+    user
+  }
+}

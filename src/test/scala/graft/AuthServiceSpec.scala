@@ -228,6 +228,44 @@ class AuthServiceSpec extends AnyFunSuite {
       "the deny past the page boundary must still win")
   }
 
+  test("gateway auth: signature predicate, per-op permission table, copy AND") {
+    val a = new AuthService(fresh("auth"))
+    val gw = new graft.store.GatewayAuth(a)
+    a.createUser("alice"); a.createGroup("devs")
+    a.addUserToGroup("alice", "devs")
+    a.writePolicy(Policy("dev-rw", Seq(
+      Statement("allow", Seq("fs:ReadObject", "fs:WriteObject"),
+        "arn:lakefs:fs:::repository/repo1/object/dev/*"),
+      Statement("allow", Seq("fs:ListObjects"),
+        "arn:lakefs:fs:::repository/repo1"))))
+    a.attachPolicyToGroup("dev-rw", "devs")
+    val c = a.createCredentials("alice")
+    // authentication: wrong secret and unknown key both deny
+    assert(gw.authenticate(c.accessKeyId, c.secretAccessKey) === "alice")
+    intercept[gw.AccessDeniedException](gw.authenticate(c.accessKeyId, "bad"))
+    intercept[gw.AccessDeniedException](gw.authenticate("AKIANOPE", "s"))
+    // per-op authorization
+    assert(gw.authorizeOp(c.accessKeyId, c.secretAccessKey,
+      "get_object", "repo1", "dev/a.parquet") === "alice")
+    assert(gw.authorizeOp(c.accessKeyId, c.secretAccessKey,
+      "list_objects", "repo1") === "alice")
+    intercept[gw.AccessDeniedException] { // outside the granted prefix
+      gw.authorizeOp(c.accessKeyId, c.secretAccessKey,
+        "get_object", "repo1", "prod/a.parquet")
+    }
+    intercept[gw.AccessDeniedException] { // no delete grant at all
+      gw.authorizeOp(c.accessKeyId, c.secretAccessKey,
+        "delete_object", "repo1", "dev/a.parquet")
+    }
+    // copy = AND(write dest, read source): src outside the grant denies
+    assert(gw.authorizeOp(c.accessKeyId, c.secretAccessKey,
+      "put_object", "repo1", "dev/to", "dev/from") === "alice")
+    intercept[gw.AccessDeniedException] {
+      gw.authorizeOp(c.accessKeyId, c.secretAccessKey,
+        "put_object", "repo1", "dev/to", "prod/from")
+    }
+  }
+
   test("state persists across instances; creates race safely across them") {
     val dir = fresh("auth")
     val a = new AuthService(dir)
