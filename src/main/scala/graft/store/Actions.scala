@@ -119,6 +119,12 @@ object Actions {
           sys.error(s"hook '${h.id}': invalid timeout '$t': ${e.getMessage}")
         }
       }
+      // same discipline for catalog_export's format enum
+      if (h.hookType == "catalog_export") {
+        val f = h.properties.getOrElse("format", "")
+        require(f == "glue" || f == "unity",
+          s"hook '${h.id}': catalog_export format must be glue|unity, got '$f'")
+      }
     }
   }
 
@@ -209,6 +215,24 @@ object Actions {
 
   private val yamlMapper = new com.fasterxml.jackson.databind.ObjectMapper(
     new com.fasterxml.jackson.dataformat.yaml.YAMLFactory())
+
+  /** Shared entry-address resolution + read (FULL addresses pass through,
+    * relative ones prefix the repo dir — the P7 rule): one implementation
+    * for action files and catalog-export descriptors. */
+  private[store] def readAddressBytes(spark: SparkSession, repoDir: String,
+      address: String): Array[Byte] = {
+    val p =
+      if (address.contains("://") || address.startsWith("/"))
+        new org.apache.hadoop.fs.Path(address)
+      else new org.apache.hadoop.fs.Path(repoDir, address)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    try {
+      val out = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, out, 8192, false)
+      out.toByteArray
+    } finally in.close()
+  }
 
   /** Parse one action file — the reference's YAML action shape
     * (`pkg/actions/action.go:16-58`):
@@ -332,28 +356,22 @@ object Actions {
       // LIST is bounded (table specs, not data), so reading each spec's
       // physical object on the driver mirrors the reference's paged
       // get_object loop; the payload build and write stay distributed.
-      val format = h.properties("format")
-      require(format == "glue" || format == "unity",
-        s"hook '${h.id}': catalog_export format must be glue|unity, got '$format'")
+      val format = h.properties("format") // validated at install (validate())
       val eng = new Engine(spark, ev.repoDir)
       val commit = eng.resolveCommit(ev.branch)
-      val base = h.properties.getOrElse("tables_base", "_lakefs_tables/")
+      // normalize to a directory prefix: a base without the trailing '/'
+      // would also match sibling prefixes (specs vs specs2/) and misalign
+      // the hidden-segment filter's offset
+      val base0 = h.properties.getOrElse("tables_base", "_lakefs_tables/")
+      val base = if (base0.endsWith("/")) base0 else base0 + "/"
       val found = graft.operators.CatalogExport
         .descriptorEntries(eng.list(ev.branch + "@"), base)
         .select("key", "address").collect()
-      val hconf = spark.sparkContext.hadoopConfiguration
-      def readYaml(addr: String): com.fasterxml.jackson.databind.JsonNode = {
-        val p = new org.apache.hadoop.fs.Path(
-          if (addr.contains("://") || addr.startsWith("/")) addr
-          else s"${ev.repoDir}/$addr")
-        val in = p.getFileSystem(hconf).open(p)
-        val bytes = try in.readAllBytes() finally in.close()
-        new com.fasterxml.jackson.databind.ObjectMapper(
-          new com.fasterxml.jackson.dataformat.yaml.YAMLFactory()).readTree(bytes)
-      }
       val specs = found.toSeq.map { r =>
         val path = r.getString(0)
-        val n = readYaml(r.getString(1))
+        if (r.isNullAt(1)) sys.error(s"table descriptor '$path': entry has no address")
+        val n = yamlMapper.readTree(
+          readAddressBytes(spark, ev.repoDir, r.getString(1)))
         val parts = scala.jdk.CollectionConverters
           .IteratorHasAsScala(n.path("partition_columns").elements()).asScala
           .map(_.asText()).toSeq
@@ -587,17 +605,6 @@ class ActionsSource(engine: Engine, ttlMs: Long = 5000L) {
       }
   }
 
-  private def readBytes(address: String): Array[Byte] = {
-    val p =
-      if (address.contains("://") || address.startsWith("/"))
-        new org.apache.hadoop.fs.Path(address)
-      else new org.apache.hadoop.fs.Path(engine.repoDir, address)
-    val fs = p.getFileSystem(engine.spark.sparkContext.hadoopConfiguration)
-    val in = fs.open(p)
-    try {
-      val out = new java.io.ByteArrayOutputStream()
-      org.apache.hadoop.io.IOUtils.copyBytes(in, out, 8192, false)
-      out.toByteArray
-    } finally in.close()
-  }
+  private def readBytes(address: String): Array[Byte] =
+    Actions.readAddressBytes(engine.spark, engine.repoDir, address)
 }

@@ -74,6 +74,15 @@ class AuthService(rootDir: String,
       throw new ValidationException(s"name contains a reserved character: $name")
   }
 
+  /** Ids that key a table alone (never composed with '/'-joined keys):
+    * only the STORAGE-reserved characters are rejected — IAM-style
+    * external principals are ARNs and legitimately contain '/'. */
+  private def validateOpaqueId(name: String): Unit = {
+    if (name.isEmpty) throw new ValidationException("empty id")
+    if (name.exists(c => c == '|' || Character.isISOControl(c)))
+      throw new ValidationException(s"id contains a reserved character: $name")
+  }
+
   // ---- pagination (ListKVPaged, contrib service.go:48-94) ----------------
   /** (page, nextPageToken): name-sorted keys under `prefix` strictly after
     * `after`, `amount` capped at MaxPage; the token is the LAST included
@@ -127,11 +136,19 @@ class AuthService(rootDir: String,
       .getOrElse(throw new NotFoundException(what))
   }
 
-  def getUserByEmail(email: String): User =
+  /** An EMPTY lookup key must not resolve: unset fields are stored as ""
+    * and an empty claim matching the first-sorted real user would be an
+    * authentication bypass. */
+  def getUserByEmail(email: String): User = {
+    if (email.isEmpty) throw new NotFoundException("user with empty email")
     userWhere(s"user with email $email")(_.email == email)
+  }
 
-  def getUserByExternalId(externalId: String): User =
+  def getUserByExternalId(externalId: String): User = {
+    if (externalId.isEmpty)
+      throw new NotFoundException("user with empty external id")
     userWhere(s"user with external id $externalId")(_.externalId == externalId)
+  }
 
   /** UpdateUserFriendlyName (the `pkg/auth/service.go:123` surface; the
     * contrib ACL server leaves it NotImplemented — implemented here since
@@ -149,7 +166,7 @@ class AuthService(rootDir: String,
   private def extPrincipalsFile = dir.resolve("auth_external_principals.tsv")
 
   def createUserExternalPrincipal(username: String, principalId: String): Unit = {
-    getUser(username); validateEntityId(principalId)
+    getUser(username); validateOpaqueId(principalId)
     updateKv(extPrincipalsFile) { cur =>
       if (cur.contains(principalId))
         throw new AlreadyExistsException(s"external principal $principalId")
@@ -400,6 +417,10 @@ class AuthService(rootDir: String,
     * every deny however many policies a principal accumulates. */
   private def effectivePolicyNames(username: String): Seq[String] = {
     getUser(username)
+    effectivePolicyNamesUnchecked(username)
+  }
+
+  private def effectivePolicyNamesUnchecked(username: String): Seq[String] = {
     val direct = attachedIn(readKv(userPoliciesFile), username)
     val memberships = readKv(groupUsersFile).keys
       .collect { case k if k.endsWith("/" + username) =>
@@ -502,6 +523,25 @@ class AuthService(rootDir: String,
     val policies = resolvePolicies(effectivePolicyNames(username))
     Rbac.isAuthorized(node, username, policies)
   }
+
+  /** [[authorize]] for a principal the caller just AUTHENTICATED (the
+    * gateway's per-request path) — skips the redundant user-existence
+    * read. */
+  private[store] def authorizeKnownUser(username: String, node: Node): Boolean =
+    Rbac.isAuthorized(node, username,
+      resolvePolicies(effectivePolicyNamesUnchecked(username)))
+
+  /** One-read authentication primitive: resolve the key's record AND
+    * verify the presented secret against the at-rest form in a single
+    * credentials-file read. None covers unknown key and bad secret alike
+    * — indistinguishable by design (no key-validity oracle). */
+  private[store] def authenticateCredential(accessKeyId: String,
+      presented: String): Option[Credential] =
+    readKv(credsFile).get(accessKeyId).flatMap { v =>
+      val f = v.split('|').padTo(3, "")
+      if (f(1) == encryptSecret(presented)) Some(decCred(accessKeyId, v))
+      else None
+    }
 
   private def now(): Long = System.currentTimeMillis() / 1000
 }

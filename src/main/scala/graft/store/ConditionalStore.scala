@@ -127,14 +127,25 @@ class LockFileStore(staleMs: Long = 10000L, acquireTries: Int = 4000)
               Files.getLastModifiedTime(lock).toMillis
             if (age > staleMs) {
               // claim the break by ATOMIC RENAME: exactly one breaker wins
-              // the move (losers get NoSuchFile and re-contend) — a blind
-              // delete could instead remove a DIFFERENT writer's fresh lock
-              // created after our staleness read
+              // the move (losers get NoSuchFile and re-contend). This
+              // narrows the blind-delete race to the same residual window
+              // as the stall caveat above — the move can still claim a
+              // lock refreshed between our staleness read and the rename;
+              // the fencing check remains the backstop.
               val claimed = lock.resolveSibling(
                 lock.getFileName.toString + ".broken." +
                   java.util.UUID.randomUUID().toString.take(8))
               Files.move(lock, claimed, StandardCopyOption.ATOMIC_MOVE)
-              Files.deleteIfExists(claimed); ()
+              Files.deleteIfExists(claimed)
+              // sweep orphans from breakers that crashed between their
+              // move and delete (rare path: runs only when breaking)
+              val prefix = lock.getFileName.toString + ".broken."
+              val ds = Files.newDirectoryStream(lock.getParent)
+              try ds.forEach { p =>
+                if (p.getFileName.toString.startsWith(prefix)) {
+                  Files.deleteIfExists(p); ()
+                }
+              } finally ds.close()
             } else Thread.sleep(1)
           } catch { case _: java.io.IOException => () } // holder released/lost the break race
         case _: java.io.IOException => Thread.sleep(1)  // transient FS hiccup

@@ -215,22 +215,38 @@ object EntryIO {
   /** Write entries as ONE Parquet file in `dir` (an allocated epoch dir),
     * matching [[Engine.stage]]'s on-disk shape. */
   def writeStaged(conf: Configuration, dir: String, epoch: Long,
-      entries: Seq[Entry]): Unit = {
-    val file = new Path(dir, s"fs-${java.util.UUID.randomUUID()}.parquet")
+      entries: Seq[Entry]): Unit =
+    writeHiddenThenReveal(conf, dir, "fs") { (file, wconf) =>
+      GroupWriteSupport.setSchema(stagedSchema, wconf)
+      val writer = ExampleParquetWriter.builder(file).withConf(wconf).build()
+      val fac = new SimpleGroupFactory(stagedSchema)
+      try entries.foreach { e =>
+        val g = fac.newGroup()
+        g.append("key", e.key)
+        e.identity.foreach(g.append("identity", _))
+        e.address.foreach(g.append("address", _))
+        g.append("size_bytes", e.sizeBytes)
+        g.append("mtime", e.mtime)
+        g.append("__epoch", epoch)
+        writer.write(g)
+      } finally writer.close()
+    }
+
+  /** Write a staged parquet file under a DOT-PREFIXED (hidden) name, then
+    * rename to its visible name. A committer in another thread or PROCESS
+    * lists epoch dirs while sets are in flight; Spark's file index and the
+    * parquet reader skip dot-files, so a half-written file is invisible
+    * until the rename makes it whole — without this, a concurrent
+    * stagedChangesFrom could hit a torn footer and fail the commit. */
+  private def writeHiddenThenReveal(conf: Configuration, dir: String,
+      prefix: String)(write: (Path, Configuration) => Unit): Unit = {
+    val name = s"$prefix-${java.util.UUID.randomUUID()}.parquet"
+    val tmp = new Path(dir, s".$name")
     val wconf = new Configuration(conf)
-    GroupWriteSupport.setSchema(stagedSchema, wconf)
-    val writer = ExampleParquetWriter.builder(file).withConf(wconf).build()
-    val fac = new SimpleGroupFactory(stagedSchema)
-    try entries.foreach { e =>
-      val g = fac.newGroup()
-      g.append("key", e.key)
-      e.identity.foreach(g.append("identity", _))
-      e.address.foreach(g.append("address", _))
-      g.append("size_bytes", e.sizeBytes)
-      g.append("mtime", e.mtime)
-      g.append("__epoch", epoch)
-      writer.write(g)
-    } finally writer.close()
+    write(tmp, wconf)
+    val fs = tmp.getFileSystem(conf)
+    if (!fs.rename(tmp, new Path(dir, name)))
+      sys.error(s"staged write rename failed: $dir/$name")
   }
 
   /** Narrow staged schema for KV-style writes (Set/Delete): only
@@ -254,20 +270,19 @@ object EntryIO {
     * `graveler.go:628-654`; a Spark job per PUT would put a scheduler
     * round-trip in front of every gateway write). */
   def writeStagedNarrow(conf: Configuration, dir: String, epoch: Long,
-      rows: Seq[(String, Option[String])]): Unit = {
-    val file = new Path(dir, s"kv-${java.util.UUID.randomUUID()}.parquet")
-    val wconf = new Configuration(conf)
-    GroupWriteSupport.setSchema(stagedNarrowSchema, wconf)
-    val writer = ExampleParquetWriter.builder(file).withConf(wconf).build()
-    val fac = new SimpleGroupFactory(stagedNarrowSchema)
-    try rows.foreach { case (k, ident) =>
-      val g = fac.newGroup()
-      g.append("key", k)
-      ident.foreach(g.append("identity", _))
-      g.append("__epoch", epoch)
-      writer.write(g)
-    } finally writer.close()
-  }
+      rows: Seq[(String, Option[String])]): Unit =
+    writeHiddenThenReveal(conf, dir, "kv") { (file, wconf) =>
+      GroupWriteSupport.setSchema(stagedNarrowSchema, wconf)
+      val writer = ExampleParquetWriter.builder(file).withConf(wconf).build()
+      val fac = new SimpleGroupFactory(stagedNarrowSchema)
+      try rows.foreach { case (k, ident) =>
+        val g = fac.newGroup()
+        g.append("key", k)
+        ident.foreach(g.append("identity", _))
+        g.append("__epoch", epoch)
+        writer.write(g)
+      } finally writer.close()
+    }
 
   /** Entry columns only (no __epoch): the shape of stream-ingest temp
     * files the engine re-stages (stage() adds its own __epoch). */

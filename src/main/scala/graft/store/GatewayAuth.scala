@@ -22,18 +22,15 @@ final class GatewayAuth(auth: AuthService) {
     extends RuntimeException(s"access denied: $msg")
 
   /** middleware.go:49-75: unknown access key, failed verification, and a
-    * missing user all deny — callers never learn which. Returns the
-    * authenticated username. */
+    * missing user all deny with the SAME message — an attacker must not
+    * be able to enumerate valid access keys by distinguishing failures.
+    * Returns the authenticated username. One credentials-file read. */
   def authenticate(accessKeyId: String, presentedSecret: String): String = {
-    val cred =
-      try auth.getCredentials(accessKeyId)
-      catch { case _: RuntimeException =>
-        throw new AccessDeniedException("could not find access key") }
-    if (!auth.verifySecret(accessKeyId, presentedSecret))
-      throw new AccessDeniedException("signature verification failed")
+    def denied = new AccessDeniedException("credentials rejected")
+    val cred = auth.authenticateCredential(accessKeyId, presentedSecret)
+      .getOrElse(throw denied)
     try auth.getUser(cred.username).username
-    catch { case _: RuntimeException =>
-      throw new AccessDeniedException("no user for credentials") }
+    catch { case _: RuntimeException => throw denied }
   }
 
   private val fsArnPrefix = "arn:lakefs:fs:::"
@@ -72,7 +69,8 @@ final class GatewayAuth(auth: AuthService) {
   def authorizeOp(accessKeyId: String, presentedSecret: String, op: String,
       repo: String, path: String = "", path2: String = ""): String = {
     val user = authenticate(accessKeyId, presentedSecret)
-    if (!auth.authorize(user, requiredPermission(op, repo, path, path2)))
+    // the user's existence was just proven — skip the re-read
+    if (!auth.authorizeKnownUser(user, requiredPermission(op, repo, path, path2)))
       throw new AccessDeniedException(s"$user is not permitted to $op")
     user
   }

@@ -162,11 +162,17 @@ class AuthServiceSpec extends AnyFunSuite {
     assert(a.getUserByEmail("b@x").username === "bob")
     assert(a.getUserByExternalId("arn:aws:iam::1:user/a").username === "alice")
     intercept[a.NotFoundException](a.getUserByEmail("nobody@x"))
+    // an EMPTY claim must never resolve to a user whose field is unset
+    intercept[a.NotFoundException](a.getUserByEmail(""))
+    intercept[a.NotFoundException](a.getUserByExternalId(""))
     a.updateUserFriendlyName("bob", "Robert")
     assert(a.getUser("bob").friendlyName === "Robert")
     intercept[a.NotFoundException](a.updateUserFriendlyName("ghost", "x"))
-    // external principals: create-if-absent, ownership-checked delete
+    // external principals: create-if-absent, ownership-checked delete;
+    // IAM-style ARNs (containing '/') are legal principal ids
     a.createUserExternalPrincipal("alice", "principal-1")
+    a.createUserExternalPrincipal("bob", "arn:aws:sts::1:assumed-role/r/s")
+    assert(a.getExternalPrincipal("arn:aws:sts::1:assumed-role/r/s")._2 === "bob")
     intercept[a.AlreadyExistsException](
       a.createUserExternalPrincipal("bob", "principal-1"))
     assert(a.getExternalPrincipal("principal-1") === ("principal-1", "alice"))
