@@ -28,11 +28,14 @@ import graft.store.Rbac.{Node, Policy, Statement}
  * (`:681-723`) — and entity names reject the path delimiter
  * (`model/validation.go:15-23`).
  *
- * Secrets: the reference encrypts secret keys at rest
- * (`model.EncryptSecret`); here the at-rest form is an HMAC-style
- * SHA-256 over (serviceSecret, secret) — one-way, so reads can VERIFY a
- * presented secret but never recover it; the plaintext is returned once,
- * at creation, like the reference's API.
+ * Secrets: like the reference (`model.EncryptSecret` via `pkg/crypt`),
+ * secret keys are encrypted at rest RECOVERABLY — AES-GCM under a key
+ * derived from the service secret — because SigV4 verification needs the
+ * plaintext server-side to run the HMAC chain ([[GatewaySig.signingKey]]);
+ * a one-way hash could answer "is this the secret?" but never sign.
+ * Presented-secret comparisons are constant-time
+ * (MessageDigest.isEqual), closing the timing oracle on the gateway
+ * authentication path.
  */
 class AuthService(rootDir: String,
     cond: ConditionalStore = ConditionalStore.default,
@@ -118,6 +121,13 @@ class AuthService(rootDir: String,
       if (cur.contains(username)) throw new AlreadyExistsException(s"user $username")
       cur + (username -> encUser(u))
     }
+    // A deleteUser racing attachPolicyToUser/addUserToGroup in another
+    // process can strand attachment rows keyed by the dead name; a later
+    // create with the SAME name must not resurrect those privileges. The
+    // create-if-absent CAS above makes this the safe sweep point: the name
+    // was just proven fresh, so anything keyed by it is stale.
+    updateKv(userPoliciesFile)(_.filterNot(_._1.startsWith(username + "/")))
+    updateKv(groupUsersFile)(_.filterNot(_._1.endsWith("/" + username)))
     username
   }
 
@@ -449,15 +459,50 @@ class AuthService(rootDir: String,
     "AKIAJ" + (1 to 14).map(_ => alpha(rnd.nextInt(alpha.length))).mkString + "Q"
   }
 
-  private def encryptSecret(secret: String): String =
-    graft.core.Identity.sha256Hex(serviceSecret + " " + secret)
+  // AES-GCM under sha256(serviceSecret) — `pkg/crypt` encrypt-at-rest twin.
+  // Random 12-byte IV prepended to the ciphertext; GCM authenticates, so a
+  // tampered record decrypts to None rather than garbage.
+  private lazy val atRestKey = new javax.crypto.spec.SecretKeySpec(
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(serviceSecret.getBytes("UTF-8")), "AES")
 
-  /** Verify a presented secret against the at-rest form (the gateway's
-    * SigV4 check needs exactly this predicate). */
+  private def encryptSecret(secret: String): String = {
+    val iv = new Array[Byte](12)
+    new java.security.SecureRandom().nextBytes(iv)
+    val c = javax.crypto.Cipher.getInstance("AES/GCM/NoPadding")
+    c.init(javax.crypto.Cipher.ENCRYPT_MODE, atRestKey,
+      new javax.crypto.spec.GCMParameterSpec(128, iv))
+    java.util.Base64.getEncoder.encodeToString(
+      iv ++ c.doFinal(secret.getBytes("UTF-8")))
+  }
+
+  private def decryptSecret(enc: String): Option[String] =
+    try {
+      val raw = java.util.Base64.getDecoder.decode(enc)
+      val c = javax.crypto.Cipher.getInstance("AES/GCM/NoPadding")
+      c.init(javax.crypto.Cipher.DECRYPT_MODE, atRestKey,
+        new javax.crypto.spec.GCMParameterSpec(128, raw.take(12)))
+      Some(new String(c.doFinal(raw.drop(12)), "UTF-8"))
+    } catch { case _: Exception => None }
+
+  /** Verify a presented secret against the at-rest form — constant-time
+    * on the plaintext bytes. */
   def verifySecret(accessKeyId: String, presented: String): Boolean =
     readKv(credsFile).get(accessKeyId).exists { v =>
       val f = v.split('|').padTo(3, "")
-      f(1) == encryptSecret(presented)
+      decryptSecret(f(1)).exists(s =>
+        java.security.MessageDigest.isEqual(
+          s.getBytes("UTF-8"), presented.getBytes("UTF-8")))
+    }
+
+  /** The key's PLAINTEXT secret plus its credential record — what the
+    * gateway's signature verifier needs (`middleware.go:50` GetCredentials
+    * hands the decrypted SecretAccessKey to `authenticator.Verify`).
+    * None covers unknown key and an undecryptable record alike. */
+  private[store] def secretForKey(accessKeyId: String): Option[(Credential, String)] =
+    readKv(credsFile).get(accessKeyId).flatMap { v =>
+      val f = v.split('|').padTo(3, "")
+      decryptSecret(f(1)).map(s => (decCred(accessKeyId, v), s))
     }
 
   def createCredentials(username: String): Credential =
@@ -537,10 +582,9 @@ class AuthService(rootDir: String,
     * — indistinguishable by design (no key-validity oracle). */
   private[store] def authenticateCredential(accessKeyId: String,
       presented: String): Option[Credential] =
-    readKv(credsFile).get(accessKeyId).flatMap { v =>
-      val f = v.split('|').padTo(3, "")
-      if (f(1) == encryptSecret(presented)) Some(decCred(accessKeyId, v))
-      else None
+    secretForKey(accessKeyId).collect {
+      case (cred, secret) if java.security.MessageDigest.isEqual(
+        secret.getBytes("UTF-8"), presented.getBytes("UTF-8")) => cred
     }
 
   private def now(): Long = System.currentTimeMillis() / 1000

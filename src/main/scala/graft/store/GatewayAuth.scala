@@ -1,31 +1,62 @@
 package graft.store
 
+import java.time.Instant
+
+import graft.store.GatewaySig.{ParsedAuth, SigError, SignedRequest}
 import graft.store.Rbac.{And, Node, Perm}
 
 /**
  * Gateway authentication + per-operation authorization — the reference's
- * S3-gateway middleware chain (`pkg/gateway/middleware.go:30-90`:
- * access-key lookup → signature verify → user load) plus each operation's
- * `RequiredPermissions` table (`pkg/gateway/operations/<op>.go`), evaluated
- * over the `GatewayService` surface (`pkg/auth/service.go:74-79`:
- * GetCredentials / GetUser / ListEffectivePolicies / Authorize).
+ * S3-gateway middleware chain (`pkg/gateway/middleware.go:26-82`:
+ * chained-signature parse → access-key lookup → signature verify → user
+ * load) plus each operation's `RequiredPermissions` table
+ * (`pkg/gateway/operations/` per-op files), evaluated over the
+ * `GatewayService` surface (`pkg/auth/service.go:74-79`: GetCredentials /
+ * GetUser / ListEffectivePolicies / Authorize).
  *
- * The HTTP and SigV4 PARSING stay out (no server here); what a verified
- * AWS signature proves is possession of the secret for the named access
- * key, so `presentedSecret` is this layer's signature-check input —
- * [[AuthService.verifySecret]] is the one-way at-rest comparison the
- * check needs.
+ * Authentication takes a SIGNED REQUEST, not a secret: [[GatewaySig]]
+ * parses the SigV4 / SigV2 / JavaV2 auth material and verifies the
+ * signature against the key's secret recovered from [[AuthService]]'s
+ * encrypted-at-rest store — what a stock S3 SDK actually sends. The
+ * failure taxonomy mirrors the middleware: an unknown access key denies
+ * generically (no key-enumeration oracle, middleware.go:55-59), while a
+ * failed VERIFY surfaces the signature error itself (skew, expiry,
+ * mismatch — middleware.go:61-65, S3 returns these distinctly).
+ *
+ * The raw key+secret compare survives as [[authenticateBasic]] — the
+ * OpenAPI basic-auth path (`pkg/api/auth_middleware.go` userByAuth), which
+ * really does receive the secret itself.
  */
 final class GatewayAuth(auth: AuthService) {
 
   class AccessDeniedException(msg: String)
     extends RuntimeException(s"access denied: $msg")
 
-  /** middleware.go:49-75: unknown access key, failed verification, and a
-    * missing user all deny with the SAME message — an attacker must not
-    * be able to enumerate valid access keys by distinguishing failures.
-    * Returns the authenticated username. One credentials-file read. */
-  def authenticate(accessKeyId: String, presentedSecret: String): String = {
+  /** Authenticate a signed request: parse the auth material (V4 header,
+    * V4 presigned, V2, JavaV2 — middleware.go:37-41 order), resolve the
+    * access key, verify the signature with an injected clock, and load the
+    * user. Returns the authenticated username. */
+  def authenticate(req: SignedRequest, now: Instant,
+      bareDomain: String = ""): String = {
+    def denied = new AccessDeniedException("credentials rejected")
+    val parsed: ParsedAuth = GatewaySig.parseChain(req) match {
+      case Right(p) => p
+      case Left(e) => throw e // parse failures carry their own error (mw:43-47)
+    }
+    val (cred, secret) = auth.secretForKey(parsed.accessKeyId)
+      .getOrElse(throw denied) // unknown key: generic deny (mw:55-59)
+    GatewaySig.verify(parsed, req, secret, now, bareDomain) match {
+      case Right(_) => ()
+      case Left(e: SigError) => throw e // verify failures are specific (mw:61-65)
+    }
+    try auth.getUser(cred.username).username
+    catch { case _: RuntimeException => throw denied }
+  }
+
+  /** The non-gateway credential check: raw key+secret, constant-time —
+    * the OpenAPI basic-auth twin. Unknown key, bad secret, and a missing
+    * user all deny identically. */
+  def authenticateBasic(accessKeyId: String, presentedSecret: String): String = {
     def denied = new AccessDeniedException("credentials rejected")
     val cred = auth.authenticateCredential(accessKeyId, presentedSecret)
       .getOrElse(throw denied)
@@ -63,12 +94,13 @@ final class GatewayAuth(auth: AuthService) {
     case other => throw new IllegalArgumentException(s"unknown gateway op: $other")
   }
 
-  /** Authenticate, then evaluate the op's permission node against the
-    * user's effective policies; throws AccessDenied on either failure —
-    * the two-middleware chain collapsed to one call. */
-  def authorizeOp(accessKeyId: String, presentedSecret: String, op: String,
-      repo: String, path: String = "", path2: String = ""): String = {
-    val user = authenticate(accessKeyId, presentedSecret)
+  /** Authenticate the signed request, then evaluate the op's permission
+    * node against the user's effective policies; throws on either failure
+    * — the two-middleware chain collapsed to one call. */
+  def authorizeOp(req: SignedRequest, now: Instant, op: String,
+      repo: String, path: String = "", path2: String = "",
+      bareDomain: String = ""): String = {
+    val user = authenticate(req, now, bareDomain)
     // the user's existence was just proven — skip the re-read
     if (!auth.authorizeKnownUser(user, requiredPermission(op, repo, path, path2)))
       throw new AccessDeniedException(s"$user is not permitted to $op")

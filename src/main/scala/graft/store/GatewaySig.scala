@@ -1,0 +1,838 @@
+package graft.store
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.security.MessageDigest
+import java.time.format.DateTimeFormatter
+import java.time.temporal.ChronoUnit
+import java.time.{Duration, Instant, LocalDate, LocalDateTime, ZoneOffset}
+
+/**
+ * AWS signature verification for the S3 gateway twin — the reference's
+ * `pkg/gateway/sig` package re-expressed as pure functions over an
+ * immutable [[GatewaySig.SignedRequest]] instead of a mutable
+ * `http.Request`:
+ *
+ *   - SigV4 header auth and presigned-URL auth (`sig/v4.go`): auth-context
+ *     parsing, canonical request, string-to-sign, the AWS4 HMAC key chain,
+ *     clock-skew and presign-expiry checks, and payload verification
+ *     including the `aws-chunked` streaming format with per-chunk
+ *     signatures and unsigned-payload trailers (`sig/v4_streaming_reader.go`).
+ *   - SigV2 (`sig/v2.go`): the botocore HmacV1 canonical string over
+ *     interesting headers and subresources, HMAC-SHA1.
+ *   - JavaV2 (`sig/javav2.go`): the aws-sdk-java 1.x query-string signer
+ *     quirk (method hardwired to POST), HMAC-SHA256.
+ *   - The chained authenticator (`sig/sig.go:101-119`): try each parser;
+ *     "wrong format" errors fall through to the next method, anything else
+ *     is terminal.
+ *
+ * The SIGNING side (header sign + presign-URL generation) is also here —
+ * the reference tests against the AWS SDK's signer; with no SDK in this
+ * build the signer is implemented from the same public algorithm and
+ * pinned by the fixed test vectors of the AWS documentation (known
+ * signatures for the 20130524 examplebucket examples). `presignV4` is at
+ * the same time the presign twin of `pkg/block/adapter.go:187-226`'s
+ * direct-access surface: deterministic given an injected clock and key,
+ * expiry- and tamper-rejecting on validation.
+ *
+ * Everything takes `now: Instant` explicitly — no wall-clock reads — so
+ * expiry and skew behavior is deterministic under test.
+ */
+object GatewaySig {
+
+  // ---- errors (pkg/gateway/errors + sig/sig.go:26-27) ----------------------
+  /** Singleton errors, matched by identity like the reference's sentinel
+    * `errors.New` values; stack traces suppressed (pure control flow). */
+  sealed abstract class SigError(msg: String)
+      extends RuntimeException(msg, null, false, false)
+  /** "wrong auth format — try the next authenticator" (sig.go:105-117). */
+  case object ErrHeaderMalformed extends SigError("header malformed")
+  case object ErrBadAuthorizationFormat
+      extends SigError("authorization format not supported")
+  case object ErrSignatureDoesNotMatch extends SigError(
+    "the request signature we calculated does not match the signature you provided")
+  case object ErrRequestTimeTooSkewed extends SigError(
+    "the difference between the request time and the server's time is too large")
+  case object ErrRequestNotReadyYet extends SigError(
+    "request is not valid yet")
+  case object ErrExpiredPresignRequest extends SigError(
+    "request has expired")
+  case object ErrMissingDateHeader extends SigError("missing date header")
+  case object ErrMalformedDate extends SigError("malformed date")
+  case object ErrMalformedCredentialDate extends SigError(
+    "malformed credential date")
+  case object ErrInvalidCredentialDate extends SigError(
+    "request date does not match credential scope date")
+  case object ErrMissingFields extends SigError("missing required fields")
+  case object ErrMalformedExpires extends SigError("malformed expires value")
+  case object ErrNegativeExpires extends SigError("expires must be non-negative")
+  case object ErrMaximumExpires extends SigError(
+    "expires exceeds the maximum of 604800 seconds")
+  case object ErrInvalidQuerySignatureAlgo extends SigError(
+    "invalid query signature algorithm")
+  case object ErrMissingCredTag extends SigError("missing credential tag")
+  case object ErrCredMalformed extends SigError("malformed credential scope")
+  case object ErrMalformedChunkedBody extends SigError(
+    "malformed aws-chunked body")
+  case object ErrUnsupportedChecksum extends SigError(
+    "unsupported trailer checksum algorithm")
+  case object ErrChecksumTypeMismatch extends SigError(
+    "trailer checksum type does not match the declared X-Amz-Trailer")
+  case object ErrChecksumMismatch extends SigError(
+    "trailer checksum does not match the payload")
+
+  // ---- request model --------------------------------------------------------
+  /** The parts of an HTTP request the signature algorithms read. `path` is
+    * the DECODED url path (Go's `URL.Path`); `rawPath`, when the wire form
+    * differs, is the escaped path (`URL.EscapedPath()`) that SigV2 signs
+    * literally. Query values are decoded; headers keep wire case and may
+    * repeat. */
+  final case class SignedRequest(
+      method: String,
+      host: String,
+      path: String,
+      query: Seq[(String, String)] = Nil,
+      headers: Seq[(String, String)] = Nil,
+      body: Array[Byte] = Array.emptyByteArray,
+      rawPath: Option[String] = None) {
+
+    def escapedPath: String = rawPath.getOrElse(encodePath(path))
+    /** First value of the first header with this name, case-insensitive —
+      * `getInsensitiveHeader` (v4.go:298-305). */
+    def header(name: String): Option[String] =
+      headers.collectFirst { case (k, v) if k.equalsIgnoreCase(name) => v }
+    /** ALL values for a header name (SigV2 joins repeats with ","). */
+    def headerValues(name: String): Seq[String] =
+      headers.collect { case (k, v) if k.equalsIgnoreCase(name) => v }
+    /** First query value, case-SENSITIVE key like Go's url.Values. */
+    def queryGet(name: String): Option[String] =
+      query.collectFirst { case (k, v) if k == name => v }
+    def withQuery(extra: Seq[(String, String)]): SignedRequest =
+      copy(query = query ++ extra)
+    def withHeader(name: String, value: String): SignedRequest =
+      copy(headers = headers :+ (name -> value))
+  }
+
+  // ---- shared constants (sig.go / v4.go:23-46) ------------------------------
+  /** 15 minutes — the replay window every signature method enforces. */
+  val AmzMaxClockSkew: Duration = Duration.ofMinutes(15)
+  /** 7 days — the presign expiry ceiling (v4.go:37). */
+  val AmzPresignMaxExpires: Long = 7L * 24 * 3600
+  val V4AuthHeaderPrefix = "AWS4-HMAC-SHA256"
+  private val v4ScopeTerminator = "aws4_request"
+  private val v4StreamingPayloadHash = "STREAMING-AWS4-HMAC-SHA256-PAYLOAD"
+  private val v4UnsignedPayloadTrailer = "STREAMING-UNSIGNED-PAYLOAD-TRAILER"
+  private val v4UnsignedPayload = "UNSIGNED-PAYLOAD"
+  private val v4ChunkedAlgorithm = "AWS4-HMAC-SHA256-PAYLOAD"
+  private val emptySha256 =
+    "e3b0c44298fc1c149afbf4c8996fb92427ae41e4649b934ca495991b7852b855"
+
+  private val v4TimeFmt = DateTimeFormatter.ofPattern("uuuuMMdd'T'HHmmss'Z'")
+  private val v4ShortTimeFmt = DateTimeFormatter.ofPattern("uuuuMMdd")
+
+  def formatAmzDate(t: Instant): String =
+    v4TimeFmt.format(LocalDateTime.ofInstant(t, ZoneOffset.UTC))
+  def formatShortDate(t: Instant): String =
+    v4ShortTimeFmt.format(LocalDateTime.ofInstant(t, ZoneOffset.UTC))
+  private def parseAmzTime(s: String): Option[Instant] =
+    try Some(LocalDateTime.parse(s, v4TimeFmt).toInstant(ZoneOffset.UTC))
+    catch { case _: Exception => None }
+  private def parseShortDate(s: String): Option[LocalDate] =
+    try Some(LocalDate.parse(s, v4ShortTimeFmt))
+    catch { case _: Exception => None }
+
+  // ---- primitives -----------------------------------------------------------
+  private def hmac(algo: String, key: Array[Byte], msg: Array[Byte]): Array[Byte] = {
+    val m = javax.crypto.Mac.getInstance(algo)
+    m.init(new javax.crypto.spec.SecretKeySpec(key, algo))
+    m.doFinal(msg)
+  }
+  private def hmacSha256(key: Array[Byte], msg: String): Array[Byte] =
+    hmac("HmacSHA256", key, msg.getBytes(UTF_8))
+  private def sha256Hex(b: Array[Byte]): String =
+    MessageDigest.getInstance("SHA-256").digest(b)
+      .map("%02x".format(_)).mkString
+  def payloadSha256Hex(body: Array[Byte]): String = sha256Hex(body)
+
+  /** Constant-time comparison — `sig.Equal` (hmac.Equal). */
+  def constantTimeEquals(a: Array[Byte], b: Array[Byte]): Boolean =
+    MessageDigest.isEqual(a, b)
+
+  /** The AWS4 key-derivation chain (v4.go:401-407). */
+  def signingKey(secret: String, dateStamp: String, region: String,
+      service: String): Array[Byte] = {
+    val kDate = hmacSha256(("AWS4" + secret).getBytes(UTF_8), dateStamp)
+    val kRegion = hmacSha256(kDate, region)
+    val kService = hmacSha256(kRegion, service)
+    hmacSha256(kService, v4ScopeTerminator)
+  }
+
+  /** UTF-8 percent-encoding that escapes everything outside the RFC 3986
+    * unreserved set — `sig.EncodePath` (sig.go:56-85), the minio-derived
+    * replacement for url-encoders that mangle non-ASCII. */
+  def encodePath(pathName: String): String = {
+    if (pathName.forall(c => c.isLetterOrDigit && c < 128 ||
+        "-_.~/".contains(c))) return pathName
+    val sb = new StringBuilder
+    for (b <- pathName.getBytes(UTF_8)) {
+      val c = b.toChar
+      if ((c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z') ||
+          (c >= '0' && c <= '9') || "-_.~/".contains(c)) sb.append(c)
+      else sb.append(f"%%${b & 0xff}%02X")
+    }
+    sb.toString
+  }
+
+  /** Query-component escaping matching Go's url.QueryEscape with "+" then
+    * rewritten "%20" (v4.go:240-242): unreserved chars pass, space and all
+    * else percent-encode. */
+  private def queryEscape(s: String): String = {
+    val sb = new StringBuilder
+    for (b <- s.getBytes(UTF_8)) {
+      val c = b.toChar
+      if ((c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z') ||
+          (c >= '0' && c <= '9') || "-_.~".contains(c)) sb.append(c)
+      else sb.append(f"%%${b & 0xff}%02X")
+    }
+    sb.toString
+  }
+
+  /** Request timestamp within ±15 minutes of `now` (sig.go:128-138). */
+  def validateClockSkew(now: Instant, requestTime: Instant): Either[SigError, Unit] = {
+    val diff = Duration.between(requestTime, now)
+    if (diff.compareTo(AmzMaxClockSkew.negated) < 0) Left(ErrRequestNotReadyYet)
+    else if (diff.compareTo(AmzMaxClockSkew) > 0) Left(ErrRequestTimeTooSkewed)
+    else Right(())
+  }
+
+  // ---- V4 auth context (v4.go:57-190) ---------------------------------------
+  final case class V4Auth(
+      accessKeyId: String,
+      date: String,
+      region: String,
+      service: String,
+      signedHeaders: Seq[String],
+      signedHeadersString: String,
+      signature: String,
+      expires: Long = 0,
+      isPresigned: Boolean = false,
+      checksumAlgorithm: String = "") {
+    def credentialScope: String =
+      Seq(date, region, service, v4ScopeTerminator).mkString("/")
+  }
+
+  // v4.go:53-54 — ported verbatim (header token charset incl. the chars S3
+  // allows in metadata keys).
+  private val V4AuthHeaderRegexp =
+    ("""AWS4-HMAC-SHA256 Credential=(.{3,20})/(\d{8})/([\w\-]+)/([\w\-]+)/aws4_request,\s*""" +
+     """SignedHeaders=([\w\-;.#!$%&'*+^`|~]+),\s*Signature=([abcdef0123456789]{64})""").r
+  private val V4CredentialScopeRegexp =
+    """(.{3,20})/(\d{8})/([\w\-]+)/([\w\-]+)/aws4_request""".r
+
+  private def splitHeaders(headers: String): Seq[String] =
+    headers.split(';').toSeq.sorted
+
+  /** X-Amz-Expires validation (v4.go:80-93). */
+  def parseExpires(expiresStr: String): Either[SigError, Long] =
+    expiresStr.toLongOption match {
+      case None => Left(ErrMalformedExpires)
+      case Some(e) if e < 0 => Left(ErrNegativeExpires)
+      case Some(e) if e > AmzPresignMaxExpires => Left(ErrMaximumExpires)
+      case Some(e) => Right(e)
+    }
+
+  /** Presigned-request shape check (v4.go:95-119): algorithm param present
+    * and AWS4-HMAC-SHA256, all five required params present. */
+  def isV4PresignedRequest(query: Seq[(String, String)]): Either[SigError, Unit] = {
+    val keys = query.map(_._1).toSet
+    if (!keys.contains("X-Amz-Algorithm")) Left(ErrBadAuthorizationFormat)
+    else if (!query.collectFirst { case ("X-Amz-Algorithm", v) => v }
+        .exists(_.equalsIgnoreCase(V4AuthHeaderPrefix)))
+      Left(ErrInvalidQuerySignatureAlgo)
+    else if (!Seq("X-Amz-Credential", "X-Amz-Signature", "X-Amz-Date",
+        "X-Amz-SignedHeaders", "X-Amz-Expires").forall(keys.contains))
+      Left(ErrMissingFields)
+    else Right(())
+  }
+
+  /** ParseV4AuthContext (v4.go:121-190): Authorization header first, then
+    * the presigned query-param form. */
+  def parseV4(req: SignedRequest): Either[SigError, V4Auth] = {
+    val checksum = req.header("X-Amz-Trailer").getOrElse("")
+    req.header("Authorization").filter(_.nonEmpty) match {
+      case Some(headerValue) =>
+        V4AuthHeaderRegexp.findFirstMatchIn(headerValue) match {
+          case None => Left(ErrHeaderMalformed)
+          case Some(m) =>
+            Right(V4Auth(
+              accessKeyId = m.group(1), date = m.group(2),
+              region = m.group(3), service = m.group(4),
+              signedHeaders = splitHeaders(m.group(5)),
+              signedHeadersString = m.group(5),
+              signature = m.group(6), checksumAlgorithm = checksum))
+        }
+      case None =>
+        for {
+          _ <- isV4PresignedRequest(req.query)
+          credScope = req.queryGet("X-Amz-Credential").getOrElse("")
+          _ <- if (credScope.isEmpty) Left(ErrMissingCredTag) else Right(())
+          m <- V4CredentialScopeRegexp.findFirstMatchIn(credScope)
+            .toRight(ErrCredMalformed)
+          expires <- parseExpires(req.queryGet("X-Amz-Expires").getOrElse(""))
+        } yield {
+          val sh = req.queryGet("X-Amz-SignedHeaders").getOrElse("")
+          V4Auth(
+            accessKeyId = m.group(1), date = m.group(2),
+            region = m.group(3), service = m.group(4),
+            signedHeaders = splitHeaders(sh), signedHeadersString = sh,
+            signature = req.queryGet("X-Amz-Signature").getOrElse(""),
+            expires = expires, isPresigned = true,
+            checksumAlgorithm = checksum)
+        }
+    }
+  }
+
+  // ---- V4 canonicalization (v4.go:240-331) ----------------------------------
+  /** Collapse runs of whitespace to their first char, trim ends (v4.go:278). */
+  private def trimAll(str: String): String = {
+    val s = str.trim
+    val sb = new StringBuilder
+    var inSpace = false
+    for (ch <- s) {
+      if (Character.isWhitespace(ch)) {
+        if (!inSpace) { sb.append(ch); inSpace = true }
+      } else { sb.append(ch); inSpace = false }
+    }
+    sb.toString
+  }
+
+  private def canonicalQueryString(query: Seq[(String, String)]): String =
+    query.map(_._1).distinct.filterNot(_ == "X-Amz-Signature").sorted
+      .map { k =>
+        val v = query.collectFirst { case (`k`, vv) => vv }.getOrElse("")
+        s"${queryEscape(k)}=${queryEscape(v)}"
+      }.mkString("&")
+
+  private def canonicalHeaders(req: SignedRequest, signed: Seq[String]): String =
+    signed.map { h =>
+      val value =
+        if (h.equalsIgnoreCase("host")) req.host
+        else req.header(h).getOrElse("")
+      s"$h:${trimAll(value)}\n"
+    }.mkString
+
+  private def payloadHashOf(req: SignedRequest): String =
+    req.header("x-amz-content-sha256").getOrElse(v4UnsignedPayload)
+
+  def buildCanonicalRequest(req: SignedRequest, auth: V4Auth): String =
+    Seq(
+      req.method,
+      encodePath(req.path),
+      canonicalQueryString(req.query),
+      canonicalHeaders(req, auth.signedHeaders),
+      auth.signedHeadersString,
+      payloadHashOf(req)
+    ).mkString("\n")
+
+  /** Date resolution and credential-scope day check (v4.go:334-365):
+    * X-Amz-Date query param, then x-amz-date header, then date header; the
+    * scope's yyyymmdd must be the same calendar day. */
+  def getAmzDate(req: SignedRequest, auth: V4Auth): Either[SigError, String] = {
+    val amzDate = req.queryGet("X-Amz-Date").filter(_.nonEmpty)
+      .orElse(req.header("x-amz-date").filter(_.nonEmpty))
+      .orElse(req.header("date").filter(_.nonEmpty))
+    amzDate match {
+      case None => Left(ErrMissingDateHeader)
+      case Some(d) =>
+        parseAmzTime(d) match {
+          case None => Left(ErrMalformedDate)
+          case Some(ts) =>
+            parseShortDate(auth.date) match {
+              case None => Left(ErrMalformedCredentialDate)
+              case Some(sig) =>
+                val day = LocalDateTime.ofInstant(ts, ZoneOffset.UTC).toLocalDate
+                if (sig != day) Left(ErrInvalidCredentialDate) else Right(d)
+            }
+        }
+    }
+  }
+
+  def buildStringToSign(req: SignedRequest, auth: V4Auth,
+      canonicalRequest: String): Either[SigError, String] =
+    getAmzDate(req, auth).map { amzDate =>
+      Seq(V4AuthHeaderPrefix, amzDate, auth.credentialScope,
+        sha256Hex(canonicalRequest.getBytes(UTF_8))).mkString("\n")
+    }
+
+  /** Skew check for every request; presign expiry on top (v4.go:367-393). */
+  def verifyExpiration(req: SignedRequest, auth: V4Auth,
+      now: Instant): Either[SigError, Unit] =
+    for {
+      amzDate <- getAmzDate(req, auth)
+      requestTime <- parseAmzTime(amzDate).toRight(ErrMalformedDate)
+      _ <- validateClockSkew(now, requestTime)
+      _ <- if (auth.isPresigned &&
+          now.isAfter(requestTime.plus(auth.expires, ChronoUnit.SECONDS)))
+        Left(ErrExpiredPresignRequest) else Right(())
+    } yield ()
+
+  private def isStreaming(ph: String): Boolean =
+    ph.equalsIgnoreCase(v4StreamingPayloadHash) ||
+      ph.equalsIgnoreCase(v4UnsignedPayloadTrailer)
+
+  /** V4Verify (v4.go:192-232): recompute and compare the signature, check
+    * skew and expiry, then verify the payload — a plain sha256 compare for
+    * single-chunk bodies, the chunk-signature chain for aws-chunked
+    * streaming. Returns the DECODED payload (the reference's wrapped
+    * reader, collapsed — bodies here are in-memory byte arrays). */
+  def v4Verify(req: SignedRequest, auth: V4Auth, secret: String,
+      now: Instant): Either[SigError, Array[Byte]] = {
+    val canonicalRequest = buildCanonicalRequest(req, auth)
+    for {
+      stringToSign <- buildStringToSign(req, auth, canonicalRequest)
+      key = signingKey(secret, auth.date, auth.region, auth.service)
+      signature = hmacSha256(key, stringToSign).map("%02x".format(_)).mkString
+      _ <- if (constantTimeEquals(signature.getBytes(UTF_8),
+          auth.signature.getBytes(UTF_8))) Right(())
+        else Left(ErrSignatureDoesNotMatch)
+      _ <- verifyExpiration(req, auth, now)
+      body <- verifyPayload(req, auth, secret)
+    } yield body
+  }
+
+  private def verifyPayload(req: SignedRequest, auth: V4Auth,
+      secret: String): Either[SigError, Array[Byte]] = {
+    val ph = payloadHashOf(req)
+    if (ph.equalsIgnoreCase(v4StreamingPayloadHash))
+      getAmzDate(req, auth).flatMap(d =>
+        decodeSignedChunks(req.body, auth, secret, d))
+    else if (ph.equalsIgnoreCase(v4UnsignedPayloadTrailer))
+      decodeUnsignedTrailerChunks(req.body, auth.checksumAlgorithm)
+    else if (ph.equalsIgnoreCase(v4UnsignedPayload)) Right(req.body)
+    else if (constantTimeEquals(sha256Hex(req.body).getBytes(UTF_8),
+        ph.toLowerCase.getBytes(UTF_8))) Right(req.body)
+    else Left(ErrSignatureDoesNotMatch)
+  }
+
+  // ---- aws-chunked payload decoding (v4_streaming_reader.go) ----------------
+  /** Per-chunk signature (v4_streaming_reader.go:73-90): HMAC over
+    * "AWS4-HMAC-SHA256-PAYLOAD \n date \n scope \n previousSig \n
+    * emptySha \n chunkHash" with the same derived key. */
+  def chunkSignature(secret: String, seedSignature: String, region: String,
+      service: String, date: Instant, hashedChunk: String): String = {
+    val scope = Seq(formatShortDate(date), region, service,
+      v4ScopeTerminator).mkString("/")
+    val stringToSign = Seq(v4ChunkedAlgorithm, formatAmzDate(date), scope,
+      seedSignature, emptySha256, hashedChunk).mkString("\n")
+    val key = signingKey(secret, formatShortDate(date), region, service)
+    hmacSha256(key, stringToSign).map("%02x".format(_)).mkString
+  }
+
+  private def splitChunkHeader(body: Array[Byte], off: Int):
+      Either[SigError, (String, Int)] = {
+    var i = off
+    while (i + 1 < body.length && !(body(i) == '\r' && body(i + 1) == '\n')) i += 1
+    if (i + 1 >= body.length) Left(ErrMalformedChunkedBody)
+    else Right((new String(body, off, i - off, UTF_8), i + 2))
+  }
+
+  /** Decode `size;chunk-signature=sig CRLF data CRLF` chunks, verifying the
+    * signature chain seeded by the header signature. */
+  def decodeSignedChunks(body: Array[Byte], auth: V4Auth, secret: String,
+      amzDate: String): Either[SigError, Array[Byte]] = {
+    val dateOpt = parseAmzTime(amzDate)
+    if (dateOpt.isEmpty) return Left(ErrMalformedDate)
+    val date = dateOpt.get
+    val out = new java.io.ByteArrayOutputStream()
+    var prevSig = auth.signature
+    var off = 0
+    while (true) {
+      splitChunkHeader(body, off) match {
+        case Left(e) => return Left(e)
+        case Right((header, dataOff)) =>
+          val parts = header.split(";chunk-signature=", 2)
+          if (parts.length != 2) return Left(ErrMalformedChunkedBody)
+          val size = try Integer.parseInt(parts(0).trim, 16)
+            catch { case _: NumberFormatException =>
+              return Left(ErrMalformedChunkedBody) }
+          val declaredSig = parts(1).trim
+          if (dataOff + size > body.length) return Left(ErrMalformedChunkedBody)
+          val data = java.util.Arrays.copyOfRange(body, dataOff, dataOff + size)
+          val expect = chunkSignature(secret, prevSig, auth.region,
+            auth.service, date, sha256Hex(data))
+          if (!constantTimeEquals(expect.getBytes(UTF_8),
+              declaredSig.getBytes(UTF_8)))
+            return Left(ErrSignatureDoesNotMatch)
+          prevSig = declaredSig
+          if (size == 0) return Right(out.toByteArray)
+          out.write(data, 0, size)
+          // skip the trailing CRLF after the data
+          off = dataOff + size + 2
+          if (off > body.length) return Left(ErrMalformedChunkedBody)
+      }
+    }
+    Right(out.toByteArray) // unreachable
+  }
+
+  /** Trailer checksum algorithms (v4_streaming_reader.go:484 GetChecksumWriter). */
+  private def checksumOf(algo: String, data: Array[Byte]): Option[Array[Byte]] =
+    algo.toLowerCase match {
+      case "x-amz-checksum-crc32" =>
+        val c = new java.util.zip.CRC32(); c.update(data)
+        Some(java.nio.ByteBuffer.allocate(4).putInt(c.getValue.toInt).array)
+      case "x-amz-checksum-crc32c" =>
+        val c = new java.util.zip.CRC32C(); c.update(data)
+        Some(java.nio.ByteBuffer.allocate(4).putInt(c.getValue.toInt).array)
+      case "x-amz-checksum-sha1" =>
+        Some(MessageDigest.getInstance("SHA-1").digest(data))
+      case "x-amz-checksum-sha256" =>
+        Some(MessageDigest.getInstance("SHA-256").digest(data))
+      case _ => None
+    }
+
+  /** Decode `size CRLF data CRLF` chunks terminated by a `0` chunk plus a
+    * `x-amz-checksum-NAME:base64` trailer; the trailer's NAME must equal
+    * the declared X-Amz-Trailer and its value must match the payload. */
+  def decodeUnsignedTrailerChunks(body: Array[Byte],
+      declaredTrailer: String): Either[SigError, Array[Byte]] = {
+    if (checksumOf(declaredTrailer, Array.emptyByteArray).isEmpty)
+      return Left(ErrUnsupportedChecksum)
+    val out = new java.io.ByteArrayOutputStream()
+    var off = 0
+    var done = false
+    while (!done) {
+      splitChunkHeader(body, off) match {
+        case Left(e) => return Left(e)
+        case Right((header, dataOff)) =>
+          val size = try Integer.parseInt(header.trim, 16)
+            catch { case _: NumberFormatException =>
+              return Left(ErrMalformedChunkedBody) }
+          if (size == 0) { off = dataOff; done = true }
+          else {
+            if (dataOff + size + 2 > body.length)
+              return Left(ErrMalformedChunkedBody)
+            out.write(body, dataOff, size)
+            off = dataOff + size + 2
+          }
+      }
+    }
+    // trailer line: name:base64value CRLF (CRLF)
+    val trailerStr = new String(body, off, body.length - off, UTF_8).trim
+    val colon = trailerStr.indexOf(':')
+    if (colon < 0) return Left(ErrMalformedChunkedBody)
+    val name = trailerStr.substring(0, colon).trim
+    val value = trailerStr.substring(colon + 1).trim
+    if (!name.equalsIgnoreCase(declaredTrailer))
+      return Left(ErrChecksumTypeMismatch)
+    val data = out.toByteArray
+    val expectOpt = checksumOf(name, data)
+    if (expectOpt.isEmpty) return Left(ErrUnsupportedChecksum)
+    val expect = expectOpt.get
+    val got = try java.util.Base64.getDecoder.decode(value)
+      catch { case _: IllegalArgumentException =>
+        return Left(ErrMalformedChunkedBody) }
+    if (!constantTimeEquals(expect, got)) Left(ErrChecksumMismatch)
+    else Right(data)
+  }
+
+  // ---- V4 signing (the client/presign side) ---------------------------------
+  /** Sign a request header-style: sets x-amz-date (and the payload-hash
+    * header when given), signs `host` plus every header present, returns
+    * the request with its Authorization header attached. The algorithm is
+    * the public SigV4 suite pinned by the AWS documentation vectors. */
+  def v4SignHeaders(req: SignedRequest, accessKeyId: String, secret: String,
+      region: String, service: String, signTime: Instant,
+      payloadHash: Option[String] = None,
+      includeDateHeader: Boolean = false): SignedRequest = {
+    var r = req
+    if (r.header("x-amz-date").isEmpty)
+      r = r.withHeader("x-amz-date", formatAmzDate(signTime))
+    payloadHash.foreach { ph =>
+      if (r.header("x-amz-content-sha256").isEmpty)
+        r = r.withHeader("x-amz-content-sha256", ph)
+    }
+    if (includeDateHeader && r.header("date").isEmpty)
+      r = r.withHeader("date", DateTimeFormatter.RFC_1123_DATE_TIME
+        .format(signTime.atOffset(ZoneOffset.UTC)))
+    val signedNames =
+      ("host" +: r.headers.map(_._1.toLowerCase)).distinct.sorted
+    val dateStamp = formatShortDate(signTime)
+    val auth = V4Auth(accessKeyId, dateStamp, region, service,
+      signedNames, signedNames.mkString(";"), signature = "")
+    val canonical = buildCanonicalRequest(r, auth)
+    val stringToSign = Seq(V4AuthHeaderPrefix, formatAmzDate(signTime),
+      auth.credentialScope,
+      sha256Hex(canonical.getBytes(UTF_8))).mkString("\n")
+    val sig = hmacSha256(signingKey(secret, dateStamp, region, service),
+      stringToSign).map("%02x".format(_)).mkString
+    r.withHeader("Authorization",
+      s"$V4AuthHeaderPrefix Credential=$accessKeyId/${auth.credentialScope}," +
+      s"SignedHeaders=${auth.signedHeadersString},Signature=$sig")
+  }
+
+  /** Generate a presigned request: the query-parameter auth form
+    * (SignedHeaders=host, UNSIGNED-PAYLOAD) — the gateway twin of the
+    * reference's presign surface (block/adapter.go:187-226), deterministic
+    * under an injected clock+key, validated by the same [[v4Verify]] that
+    * rejects tampering and expiry. */
+  def presignV4(req: SignedRequest, accessKeyId: String, secret: String,
+      region: String, service: String, signTime: Instant,
+      expiresSeconds: Long): SignedRequest = {
+    val dateStamp = formatShortDate(signTime)
+    val credential =
+      s"$accessKeyId/$dateStamp/$region/$service/$v4ScopeTerminator"
+    val base = req.withQuery(Seq(
+      "X-Amz-Algorithm" -> V4AuthHeaderPrefix,
+      "X-Amz-Credential" -> credential,
+      "X-Amz-Date" -> formatAmzDate(signTime),
+      "X-Amz-Expires" -> expiresSeconds.toString,
+      "X-Amz-SignedHeaders" -> "host"))
+    val auth = V4Auth(accessKeyId, dateStamp, region, service,
+      Seq("host"), "host", signature = "", expires = expiresSeconds,
+      isPresigned = true)
+    val canonical = buildCanonicalRequest(base, auth)
+    val stringToSign = Seq(V4AuthHeaderPrefix, formatAmzDate(signTime),
+      auth.credentialScope,
+      sha256Hex(canonical.getBytes(UTF_8))).mkString("\n")
+    val sig = hmacSha256(signingKey(secret, dateStamp, region, service),
+      stringToSign).map("%02x".format(_)).mkString
+    base.withQuery(Seq("X-Amz-Signature" -> sig))
+  }
+
+  /** Render a presigned request as a URL string. */
+  def presignedUrl(req: SignedRequest, https: Boolean = true): String = {
+    val q = req.query.map { case (k, v) =>
+      s"${queryEscape(k)}=${queryEscape(v)}" }.mkString("&")
+    val scheme = if (https) "https" else "http"
+    s"$scheme://${req.host}${req.escapedPath}" + (if (q.isEmpty) "" else s"?$q")
+  }
+
+  // ---- SigV2 (v2.go) ---------------------------------------------------------
+  private val V2AuthHeaderRegexp = """AWS (.{3,20}):([A-Za-z0-9+/=]+)""".r
+  // v2.go:35-47 — the subresource allowlist, sorted (data table).
+  private val interestingResources: Seq[String] = Seq(
+    "accelerate", "acl", "copy-source", "cors", "defaultObjectAcl",
+    "location", "logging", "partNumber", "policy",
+    "requestPayment", "torrent",
+    "versioning", "versionId", "versions", "website",
+    "uploads", "uploadId", "response-content-type",
+    "response-content-language", "response-expires",
+    "response-cache-control", "response-content-disposition",
+    "response-content-encoding", "delete", "lifecycle",
+    "tagging", "restore", "storageClass", "notification",
+    "replication", "analytics", "metrics",
+    "inventory", "select", "select-type").sorted
+  private val interestingHeaders = Seq("content-md5", "content-type", "date")
+
+  final case class V2Auth(accessKeyId: String, signature: Array[Byte])
+
+  def parseV2(req: SignedRequest): Either[SigError, V2Auth] =
+    req.header("Authorization").filter(_.nonEmpty) match {
+      case None => Left(ErrHeaderMalformed)
+      case Some(hv) =>
+        V2AuthHeaderRegexp.findFirstMatchIn(hv) match {
+          case None => Left(ErrHeaderMalformed)
+          case Some(m) =>
+            try Right(V2Auth(m.group(1),
+              java.util.Base64.getDecoder.decode(m.group(2))))
+            catch { case _: IllegalArgumentException => Left(ErrHeaderMalformed) }
+        }
+    }
+
+  private def stripPort(host: String): String =
+    host.lastIndexOf(':') match {
+      case -1 => host
+      case i if host.drop(i + 1).forall(_.isDigit) => host.take(i)
+      case _ => host
+    }
+
+  /** Virtual-host-style path reconstruction (v2.go:210-226): a sub-domain
+    * of the bare domain becomes a leading path segment; mismatched hosts
+    * produce "" (and therefore a failed signature). */
+  def buildPath(host: String, bareDomain: String, path: String): String = {
+    val h = stripPort(host)
+    val b = stripPort(bareDomain)
+    if (h == b) path
+    else if (h.endsWith("." + b)) "/" + h.dropRight(b.length + 1) + path
+    else ""
+  }
+
+  private def v2CanonicalString(req: SignedRequest, path: String): String = {
+    val std = interestingHeaders.map { h =>
+      val vs = req.headerValues(h)
+      if (vs.isEmpty) "\n" else vs.map(_.trim).mkString(",") + "\n"
+    }.mkString
+    val custom = req.headers.map(_._1).filter(
+        _.toLowerCase.startsWith("x-amz-")).map(_.toLowerCase)
+      .distinct.sorted.map { k =>
+        s"$k:${req.headerValues(k).map(_.trim).mkString(",")}\n" }.mkString
+    val resources = {
+      // Go lowercases the query's KEYS before probing (v2.go:173-176)
+      val lower = req.query.groupBy(_._1.toLowerCase)
+        .map { case (k, vs) => k -> vs.map(_._2) }
+      val found = interestingResources.flatMap { r =>
+        lower.get(r).map { vs =>
+          val joined = vs.mkString(",")
+          if (joined.nonEmpty) s"$r=$joined" else r
+        }
+      }
+      path + (if (found.nonEmpty) "?" + found.mkString("&") else "")
+    }
+    req.method.toUpperCase + "\n" + std + custom + resources
+  }
+
+  def v2StringToSign(req: SignedRequest, bareDomain: String): String =
+    v2CanonicalString(req, buildPath(req.host, bareDomain, req.escapedPath))
+
+  def v2Sign(req: SignedRequest, secret: String, bareDomain: String): Array[Byte] =
+    hmac("HmacSHA1", secret.getBytes(UTF_8),
+      v2StringToSign(req, bareDomain).getBytes(UTF_8))
+
+  private def parseV2RequestTime(s: String): Option[Instant] = {
+    val attempts: Seq[() => Instant] = Seq(
+      () => Instant.from(DateTimeFormatter.RFC_1123_DATE_TIME.parse(s)),
+      () => LocalDateTime.parse(s, v4TimeFmt).toInstant(ZoneOffset.UTC))
+    attempts.view.flatMap(f => try Some(f()) catch {
+      case _: Exception => None }).headOption
+  }
+
+  /** V2 date check (v2.go:281-298): X-Amz-Date over Date; RFC1123(Z) or
+    * compact ISO8601; then the common skew window. */
+  def v2VerifyRequestDate(req: SignedRequest, now: Instant): Either[SigError, Unit] = {
+    val dateStr = req.header("X-Amz-Date").filter(_.nonEmpty)
+      .orElse(req.header("Date").filter(_.nonEmpty))
+    dateStr match {
+      case None => Left(ErrMissingFields)
+      case Some(s) => parseV2RequestTime(s) match {
+        case None => Left(ErrMalformedDate)
+        case Some(t) => validateClockSkew(now, t)
+      }
+    }
+  }
+
+  def v2Verify(req: SignedRequest, auth: V2Auth, secret: String,
+      bareDomain: String, now: Instant): Either[SigError, Array[Byte]] =
+    for {
+      _ <- v2VerifyRequestDate(req, now)
+      _ <- if (constantTimeEquals(v2Sign(req, secret, bareDomain),
+          auth.signature)) Right(())
+        else Left(ErrSignatureDoesNotMatch)
+    } yield req.body
+
+  // ---- JavaV2 (javav2.go) ----------------------------------------------------
+  final case class JavaV2Auth(accessKeyId: String, signature: Array[Byte])
+
+  def parseJavaV2(req: SignedRequest): Either[SigError, JavaV2Auth] = {
+    val key = req.queryGet("AWSAccessKeyId").getOrElse("")
+    val sig = req.queryGet("Signature").getOrElse("")
+    if (key.isEmpty || sig.isEmpty) Left(ErrHeaderMalformed)
+    else if (!req.queryGet("SignatureMethod").contains("HmacSHA256"))
+      Left(ErrHeaderMalformed)
+    else if (!req.queryGet("SignatureVersion").contains("2"))
+      Left(ErrHeaderMalformed)
+    else try Right(JavaV2Auth(key, java.util.Base64.getDecoder.decode(sig)))
+      catch { case _: IllegalArgumentException => Left(ErrHeaderMalformed) }
+  }
+
+  /** Go's url.QueryEscape: like [[queryEscape]] but space becomes '+'
+    * (javav2.go keeps the '+', no %20 rewrite). */
+  private def goQueryEscape(s: String): String =
+    queryEscape(s).replace("%20", "+")
+
+  def javaV2StringToSign(req: SignedRequest, bareDomain: String): String = {
+    val path = buildPath(req.host, bareDomain, req.escapedPath)
+    val pairs = req.query
+      .filterNot { case (k, _) => k.equalsIgnoreCase("signature") }
+      .map { case (k, v) => (goQueryEscape(k), goQueryEscape(v)) }
+      .sortBy(_._1)
+      .map { case (k, v) => s"$k=$v" }.mkString("&")
+    // method hardwired to POST — the aws-sdk-java 1.x quirk (javav2.go:40)
+    s"POST\n${req.host}\n$path\n$pairs"
+  }
+
+  def javaV2Sign(req: SignedRequest, secret: String,
+      bareDomain: String): Array[Byte] =
+    hmac("HmacSHA256", secret.getBytes(UTF_8),
+      javaV2StringToSign(req, bareDomain).getBytes(UTF_8))
+
+  private val javaV2TsMillis =
+    DateTimeFormatter.ofPattern("uuuu-MM-dd'T'HH:mm:ss.SSS'Z'")
+  private val javaV2TsSecs =
+    DateTimeFormatter.ofPattern("uuuu-MM-dd'T'HH:mm:ss'Z'")
+
+  def javaV2VerifyRequestDate(req: SignedRequest,
+      now: Instant): Either[SigError, Unit] =
+    req.queryGet("Timestamp").filter(_.nonEmpty) match {
+      case None => Left(ErrMissingFields)
+      case Some(s) =>
+        val t = Seq(javaV2TsMillis, javaV2TsSecs).view.flatMap { f =>
+          try Some(LocalDateTime.parse(s, f).toInstant(ZoneOffset.UTC))
+          catch { case _: Exception => None }
+        }.headOption
+        t match {
+          case None => Left(ErrMalformedDate)
+          case Some(ts) => validateClockSkew(now, ts)
+        }
+    }
+
+  def javaV2Verify(req: SignedRequest, auth: JavaV2Auth, secret: String,
+      bareDomain: String, now: Instant): Either[SigError, Array[Byte]] =
+    for {
+      _ <- javaV2VerifyRequestDate(req, now)
+      _ <- if (constantTimeEquals(javaV2Sign(req, secret, bareDomain),
+          auth.signature)) Right(())
+        else Left(ErrSignatureDoesNotMatch)
+    } yield req.body
+
+  // ---- chained authenticator (sig.go:96-149) --------------------------------
+  sealed trait ParsedAuth { def accessKeyId: String }
+  final case class ParsedV4(auth: V4Auth) extends ParsedAuth {
+    def accessKeyId: String = auth.accessKeyId
+  }
+  final case class ParsedV2(auth: V2Auth) extends ParsedAuth {
+    def accessKeyId: String = auth.accessKeyId
+  }
+  final case class ParsedJavaV2(auth: JavaV2Auth) extends ParsedAuth {
+    def accessKeyId: String = auth.accessKeyId
+  }
+
+  /** Try V4 (header, then presigned query), V2, JavaV2 — in the
+    * middleware's order (middleware.go:37-41). Format mismatches fall
+    * through; any other parse error is terminal. */
+  def parseChain(req: SignedRequest): Either[SigError, ParsedAuth] = {
+    def fallthrough(e: SigError): Boolean =
+      e == ErrHeaderMalformed || e == ErrBadAuthorizationFormat
+    parseV4(req) match {
+      case Right(a) => Right(ParsedV4(a))
+      case Left(e) if !fallthrough(e) => Left(e)
+      case Left(_) => parseV2(req) match {
+        case Right(a) => Right(ParsedV2(a))
+        case Left(e) if !fallthrough(e) => Left(e)
+        case Left(_) => parseJavaV2(req) match {
+          case Right(a) => Right(ParsedJavaV2(a))
+          case Left(e) if !fallthrough(e) => Left(e)
+          case Left(_) => Left(ErrMissingFields)
+        }
+      }
+    }
+  }
+
+  /** Verify a parsed auth context against the key's secret. Returns the
+    * request's verified payload. */
+  def verify(parsed: ParsedAuth, req: SignedRequest, secret: String,
+      now: Instant, bareDomain: String = ""): Either[SigError, Array[Byte]] = {
+    val bd = if (bareDomain.isEmpty) req.host else bareDomain
+    parsed match {
+      case ParsedV4(a) => v4Verify(req, a, secret, now)
+      case ParsedV2(a) => v2Verify(req, a, secret, bd, now)
+      case ParsedJavaV2(a) => javaV2Verify(req, a, secret, bd, now)
+    }
+  }
+
+  /** IsAWSSignedRequest (sig.go:151-178). */
+  def isAwsSignedRequest(req: SignedRequest): Boolean =
+    req.header("X-Amz-Signature").exists(_.nonEmpty) ||
+      req.header("Authorization").exists(v =>
+        v.startsWith("AWS4") || v.startsWith("AWS ")) ||
+      req.queryGet("AWSAccessKeyId").exists(_.nonEmpty) ||
+      req.queryGet("X-Amz-Credential").exists(_.nonEmpty)
+}

@@ -234,7 +234,8 @@ class AuthServiceSpec extends AnyFunSuite {
       "the deny past the page boundary must still win")
   }
 
-  test("gateway auth: signature predicate, per-op permission table, copy AND") {
+  test("gateway auth: signed requests, per-op permission table, copy AND") {
+    import graft.store.GatewaySig
     val a = new AuthService(fresh("auth"))
     val gw = new graft.store.GatewayAuth(a)
     a.createUser("alice"); a.createGroup("devs")
@@ -246,29 +247,37 @@ class AuthServiceSpec extends AnyFunSuite {
         "arn:lakefs:fs:::repository/repo1"))))
     a.attachPolicyToGroup("dev-rw", "devs")
     val c = a.createCredentials("alice")
-    // authentication: wrong secret and unknown key both deny
-    assert(gw.authenticate(c.accessKeyId, c.secretAccessKey) === "alice")
-    intercept[gw.AccessDeniedException](gw.authenticate(c.accessKeyId, "bad"))
-    intercept[gw.AccessDeniedException](gw.authenticate("AKIANOPE", "s"))
-    // per-op authorization
-    assert(gw.authorizeOp(c.accessKeyId, c.secretAccessKey,
-      "get_object", "repo1", "dev/a.parquet") === "alice")
-    assert(gw.authorizeOp(c.accessKeyId, c.secretAccessKey,
-      "list_objects", "repo1") === "alice")
+    val now = java.time.Instant.parse("2026-03-01T12:00:00Z")
+    // what a stock SDK sends: a SigV4-signed request
+    def signed(method: String, path: String, secret: String = c.secretAccessKey) =
+      GatewaySig.v4SignHeaders(
+        GatewaySig.SignedRequest(method, "repo1.gw.local", path,
+          headers = Seq("Host" -> "repo1.gw.local")),
+        c.accessKeyId, secret, "us-east-1", "s3", now,
+        payloadHash = Some(GatewaySig.payloadSha256Hex(Array.emptyByteArray)))
+    assert(gw.authenticate(signed("GET", "/main/dev/a.parquet"), now) === "alice")
+    // wrong secret: the SIGNATURE error surfaces (middleware.go:61-65)
+    intercept[GatewaySig.SigError](
+      gw.authenticate(signed("GET", "/main/dev/a.parquet", "bad"), now))
+    // basic-auth path: wrong secret and unknown key both deny generically
+    assert(gw.authenticateBasic(c.accessKeyId, c.secretAccessKey) === "alice")
+    intercept[gw.AccessDeniedException](gw.authenticateBasic(c.accessKeyId, "bad"))
+    intercept[gw.AccessDeniedException](gw.authenticateBasic("AKIANOPE", "s"))
+    // per-op authorization over the signed request
+    def authz(op: String, repo: String, path: String = "", path2: String = "") =
+      gw.authorizeOp(signed("GET", s"/$repo/$path"), now, op, repo, path, path2)
+    assert(authz("get_object", "repo1", "dev/a.parquet") === "alice")
+    assert(authz("list_objects", "repo1") === "alice")
     intercept[gw.AccessDeniedException] { // outside the granted prefix
-      gw.authorizeOp(c.accessKeyId, c.secretAccessKey,
-        "get_object", "repo1", "prod/a.parquet")
+      authz("get_object", "repo1", "prod/a.parquet")
     }
     intercept[gw.AccessDeniedException] { // no delete grant at all
-      gw.authorizeOp(c.accessKeyId, c.secretAccessKey,
-        "delete_object", "repo1", "dev/a.parquet")
+      authz("delete_object", "repo1", "dev/a.parquet")
     }
     // copy = AND(write dest, read source): src outside the grant denies
-    assert(gw.authorizeOp(c.accessKeyId, c.secretAccessKey,
-      "put_object", "repo1", "dev/to", "dev/from") === "alice")
+    assert(authz("put_object", "repo1", "dev/to", "dev/from") === "alice")
     intercept[gw.AccessDeniedException] {
-      gw.authorizeOp(c.accessKeyId, c.secretAccessKey,
-        "put_object", "repo1", "dev/to", "prod/from")
+      authz("put_object", "repo1", "dev/to", "prod/from")
     }
   }
 
