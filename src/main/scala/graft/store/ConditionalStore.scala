@@ -187,7 +187,22 @@ class LockFileStore(staleMs: Long = 10000L, acquireTries: Int = 4000)
  * (`If-Match`/`If-None-Match`, public API), GCS (`ifGenerationMatch`) and
  * Azure (ETags) all expose. [[EtagStore]] builds the control-file CAS on
  * top; an adapter for a real object store implements exactly these two
- * calls.
+ * calls, and earns its guarantees by passing ConditionalContractSpec's
+ * backend matrix (the `pkg/kv/kvtest` discipline). The thin mapping per
+ * store, against that contract:
+ *
+ *  - S3:    get → GetObject (etag from the response); putIf(None) →
+ *           PutObject + `If-None-Match: *`; putIf(Some(e)) → PutObject +
+ *           `If-Match: e`; 412 PreconditionFailed / 409 → None.
+ *  - GCS:   etag = generation number; putIf(None) → insert with
+ *           `ifGenerationMatch=0`; putIf(Some(g)) → `ifGenerationMatch=g`.
+ *  - Azure: etag = blob ETag; putIf(None) → Put Blob + `If-None-Match: *`;
+ *           putIf(Some(e)) → `If-Match: e`.
+ *
+ * Contract points the suite enforces: fresh etag per successful put,
+ * stale/absent preconditions fail without side effects, single winner per
+ * (key, expected-etag) under contention, and — for generation-style etags
+ * — no ABA (re-writing old content never resurrects an old tag).
  */
 trait ConditionalBlob {
   /** (bytes, etag), or None when absent. */
@@ -211,6 +226,107 @@ class EtagStore(blob: ConditionalBlob) extends ConditionalStore {
       expectedTag: String): Boolean =
     blob.putIf(p.toString, KvFile.render(m),
       if (expectedTag.isEmpty) None else Some(expectedTag)).isDefined
+}
+
+/**
+ * Durable file-backed [[ConditionalBlob]] with generation-numbered etags —
+ * a single-machine backend with [[EtagStore]]'s HARD guarantee (no
+ * staleness heuristic, no fencing window; contrast the
+ * [[LockFileStore]] caveat). Fills the role of the reference's
+ * local/embedded KV backend among its pluggable stores (`pkg/kv` —
+ * dynamodb/postgres/cosmosdb implement `SetMsgIf` server-side; this is
+ * the no-server equivalent).
+ *
+ * Layout: each key is a directory of immutable generation files
+ * `gen-%019d`. A put claims generation N+1 by HARD-LINKING a fully
+ * written writer-unique temp file to the generation name —
+ * `Files.createLink` is atomic create-if-absent on POSIX, so exactly one
+ * contender can create `gen-N+1`, and the content appears atomically
+ * complete (readers never see a torn write). The conditional check is
+ * structural: if the caller's expected generation is stale, the next
+ * generation name it computes already exists and the link loses. ABA is
+ * impossible by construction — generations only grow, so re-writing old
+ * CONTENT never resurrects an old TAG.
+ *
+ * Old generations are pruned behind a retention window wide enough that a
+ * reader holding a just-listed maximum can still open it.
+ */
+class FileGenerationBlob(root: Path, keepGenerations: Int = 8)
+    extends ConditionalBlob {
+  Files.createDirectories(root)
+
+  private def keyDir(key: String): Path =
+    // flat, collision-free encoding of arbitrary key strings
+    root.resolve(java.util.Base64.getUrlEncoder.withoutPadding
+      .encodeToString(key.getBytes(StandardCharsets.UTF_8)))
+
+  private val GenName = "gen-(\\d{19})".r
+  private def genOf(p: Path): Option[Long] = p.getFileName.toString match {
+    case GenName(n) => Some(n.toLong)
+    case _          => None
+  }
+  private def genPath(dir: Path, n: Long): Path = dir.resolve(f"gen-$n%019d")
+
+  private def maxGen(dir: Path): Long = {
+    if (!Files.isDirectory(dir)) return 0L
+    var max = 0L
+    val ds = Files.newDirectoryStream(dir)
+    try ds.forEach(p => genOf(p).foreach(g => if (g > max) max = g))
+    finally ds.close()
+    max
+  }
+
+  override def get(key: String): Option[(Array[Byte], String)] = {
+    val dir = keyDir(key)
+    // a generation can be pruned between our listing and the read when
+    // writers advance concurrently — re-list and retry on a fresher max
+    var tries = 0
+    while (tries < 16) {
+      tries += 1
+      val g = maxGen(dir)
+      if (g == 0L) return None
+      try return Some((Files.readAllBytes(genPath(dir, g)), s"g$g"))
+      catch { case _: java.io.IOException => () }
+    }
+    sys.error(s"generation blob unreadable under churn: $key")
+  }
+
+  override def putIf(key: String, bytes: Array[Byte],
+      ifMatch: Option[String]): Option[String] = {
+    val dir = keyDir(key)
+    Files.createDirectories(dir)
+    val expected = ifMatch match {
+      case None => 0L
+      case Some(e) if e.startsWith("g") => e.drop(1).toLongOption.getOrElse(-1L)
+      case _ => -1L
+    }
+    if (expected < 0 || maxGen(dir) != expected) return None
+    val tmp = dir.resolve(
+      s".tmp-${java.util.UUID.randomUUID().toString.take(13)}")
+    Files.write(tmp, bytes)
+    val claimed = genPath(dir, expected + 1)
+    try {
+      Files.createLink(claimed, tmp) // THE atomic claim: one winner per gen
+      prune(dir, expected + 1)
+      Some(s"g${expected + 1}")
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException => None // lost the race
+      case _: java.io.IOException => None
+    } finally Files.deleteIfExists(tmp)
+  }
+
+  /** Drop generations more than `keepGenerations` behind the new head;
+    * best-effort (a crashed pruner just leaves files for the next put). */
+  private def prune(dir: Path, head: Long): Unit = {
+    if (head <= keepGenerations) return
+    val cutoff = head - keepGenerations
+    try {
+      val ds = Files.newDirectoryStream(dir)
+      try ds.forEach { p =>
+        if (genOf(p).exists(_ <= cutoff)) { Files.deleteIfExists(p); () }
+      } finally ds.close()
+    } catch { case _: java.io.IOException => () }
+  }
 }
 
 /** In-memory [[ConditionalBlob]] with generation-numbered etags (the GCS

@@ -1,0 +1,266 @@
+package graft
+
+import java.nio.file.{Files, Path, Paths}
+import java.util.concurrent.Executors
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.store.{ConditionalBlob, ConditionalStore, EtagStore,
+  FileGenerationBlob, InMemoryBlob, LockFileStore}
+
+/**
+ * Contract suites in the reference's `pkg/kv/kvtest` style — ONE behavioral
+ * suite instantiated against EVERY backend, so a new backend earns its
+ * guarantees by passing the same matrix, not by bespoke tests:
+ *
+ *  - [[ConditionalBlob]] contract (get/putIf): absent reads, If-None-Match
+ *    creation races, If-Match stale rejection, ABA via generation etags,
+ *    cross-instance visibility, and a 32-thread single-winner race —
+ *    against [[InMemoryBlob]] and [[FileGenerationBlob]] (two instances
+ *    over one directory = two processes over one store).
+ *  - [[ConditionalStore]] contract (readTagged/writeIf/update): the same
+ *    matrix one level up — against [[LockFileStore]],
+ *    EtagStore([[InMemoryBlob]]), and EtagStore([[FileGenerationBlob]]).
+ */
+class ConditionalContractSpec extends AnyFunSuite {
+
+  private def tmp(prefix: String): Path =
+    Files.createTempDirectory(prefix)
+
+  // ---- ConditionalBlob contract ---------------------------------------------
+  /** `factory()` returns a NEW CLIENT of the SAME underlying store — the
+    * cross-process axis. */
+  private def blobContract(name: String, factory: () => ConditionalBlob): Unit = {
+
+    test(s"blob contract [$name]: absent key reads None; If-Match on absent fails") {
+      val b = factory()
+      assert(b.get("nope").isEmpty)
+      assert(b.putIf("nope2", "x".getBytes, Some("g1")).isEmpty,
+        "If-Match against an absent key must fail, not create")
+      assert(b.get("nope2").isEmpty)
+    }
+
+    test(s"blob contract [$name]: create-if-absent, then If-None-Match rejects") {
+      val b = factory()
+      val e1 = b.putIf("k-create", "v1".getBytes, None)
+      assert(e1.nonEmpty)
+      assert(b.putIf("k-create", "v2".getBytes, None).isEmpty,
+        "a second If-None-Match create must lose")
+      val (bytes, etag) = b.get("k-create").get
+      assert(new String(bytes) === "v1")
+      assert(etag === e1.get)
+    }
+
+    test(s"blob contract [$name]: If-Match current succeeds, stale fails") {
+      val b = factory()
+      val e1 = b.putIf("k-match", "v1".getBytes, None).get
+      val e2 = b.putIf("k-match", "v2".getBytes, Some(e1)).get
+      assert(e2 !== e1, "every successful put must mint a fresh etag")
+      assert(b.putIf("k-match", "v3".getBytes, Some(e1)).isEmpty,
+        "a stale If-Match must fail")
+      assert(new String(b.get("k-match").get._1) === "v2")
+      // garbage etag never matches
+      assert(b.putIf("k-match", "v4".getBytes, Some("not-an-etag")).isEmpty)
+    }
+
+    test(s"blob contract [$name]: ABA — re-writing old content never " +
+        "resurrects an old etag") {
+      val b = factory()
+      val e1 = b.putIf("k-aba", "A".getBytes, None).get
+      val e2 = b.putIf("k-aba", "B".getBytes, Some(e1)).get
+      val e3 = b.putIf("k-aba", "A".getBytes, Some(e2)).get // content == gen-1's
+      assert(e3 !== e1, "generation etags must not repeat for equal content")
+      assert(b.putIf("k-aba", "C".getBytes, Some(e1)).isEmpty,
+        "a writer holding the FIRST 'A' etag must still be stale — " +
+        "content equality is not state equality")
+      assert(new String(b.get("k-aba").get._1) === "A")
+      assert(b.get("k-aba").get._2 === e3)
+    }
+
+    test(s"blob contract [$name]: cross-instance visibility and CAS") {
+      val b1 = factory()
+      // a fresh client of the same store must see b1's state and be able
+      // to CAS against it (InMemoryBlob is its own single instance — the
+      // factory documents which axis each backend can exercise)
+      val e1 = b1.putIf("shared", "from-1".getBytes, None).get
+      val b2 = factory()
+      b2.get("shared") match {
+        case Some((bytes, etag)) => // a true multi-client store
+          assert(new String(bytes) === "from-1")
+          assert(etag === e1)
+          val e2 = b2.putIf("shared", "from-2".getBytes, Some(etag))
+          assert(e2.nonEmpty)
+          assert(new String(b1.get("shared").get._1) === "from-2",
+            "instance 1 must observe instance 2's conditional install")
+        case None => // single-instance backend: nothing to assert across
+          assert(b2.putIf("solo", "x".getBytes, None).nonEmpty)
+      }
+    }
+
+    test(s"blob contract [$name]: 32 contenders, one etag, exactly one winner") {
+      val seedClient = factory()
+      val seed = seedClient.putIf("raced", "seed".getBytes, None).get
+      val pool = Executors.newFixedThreadPool(16)
+      try {
+        val futs = (1 to 32).map { i =>
+          // every contender its own client where the store supports it
+          val c = if (i % 2 == 0) seedClient else factory()
+          val cli = if (c.get("raced").isDefined) c else seedClient
+          pool.submit(new java.util.concurrent.Callable[Boolean] {
+            override def call(): Boolean =
+              cli.putIf("raced", s"w$i".getBytes, Some(seed)).nonEmpty
+          })
+        }
+        assert(futs.count(_.get()) === 1,
+          "the same If-Match precondition must admit exactly one writer")
+      } finally pool.shutdown()
+    }
+
+    test(s"blob contract [$name]: sequential generations keep monotonic history") {
+      val b = factory()
+      var etag = b.putIf("mono", "v0".getBytes, None).get
+      for (i <- 1 to 20) {
+        val next = b.putIf("mono", s"v$i".getBytes, Some(etag))
+        assert(next.nonEmpty, s"step $i")
+        assert(next.get !== etag)
+        etag = next.get
+      }
+      assert(new String(b.get("mono").get._1) === "v20")
+    }
+  }
+
+  blobContract("InMemoryBlob", {
+    val shared = new InMemoryBlob
+    () => shared // one in-memory store, many logical clients
+  })
+
+  blobContract("FileGenerationBlob", {
+    val dir = tmp("fgb")
+    () => new FileGenerationBlob(dir) // each call = a new process over the dir
+  })
+
+  test("FileGenerationBlob: an orphaned temp from a crashed writer is harmless") {
+    val dir = tmp("fgb-orphan")
+    val b = new FileGenerationBlob(dir)
+    val e1 = b.putIf("k", "v1".getBytes, None).get
+    // simulate a writer that crashed after writing its temp, before linking
+    val keyDir = Files.list(dir).iterator.next()
+    Files.write(keyDir.resolve(".tmp-deadbeefdead1"), "torn".getBytes)
+    assert(new String(b.get("k").get._1) === "v1", "temps are never read")
+    assert(b.putIf("k", "v2".getBytes, Some(e1)).nonEmpty,
+      "an orphan temp must not block subsequent puts")
+  }
+
+  test("FileGenerationBlob: old generations are pruned behind the window") {
+    val dir = tmp("fgb-prune")
+    val b = new FileGenerationBlob(dir, keepGenerations = 4)
+    var etag = b.putIf("k", "v0".getBytes, None).get
+    for (i <- 1 to 20)
+      etag = b.putIf("k", s"v$i".getBytes, Some(etag)).get
+    val keyDir = Files.list(dir).iterator.next()
+    val gens = Files.list(keyDir).iterator()
+    var count = 0
+    while (gens.hasNext) { gens.next(); count += 1 }
+    assert(count <= 5, s"pruning must bound the directory (saw $count)")
+    assert(new String(b.get("k").get._1) === "v20")
+  }
+
+  // ---- ConditionalStore contract --------------------------------------------
+  private def storeContract(name: String,
+      factory: () => (ConditionalStore, Path)): Unit = {
+
+    test(s"store contract [$name]: absent file reads (empty, tag=\"\")") {
+      val (s, p) = factory()
+      assert(s.readTagged(p) === (Map.empty[String, String], ""))
+    }
+
+    test(s"store contract [$name]: require-absent install; re-install fails") {
+      val (s, p) = factory()
+      assert(s.writeIf(p, Map("a" -> "1"), ""))
+      assert(!s.writeIf(p, Map("a" -> "other"), ""),
+        "require-absent against an existing file must fail")
+      val (m, tag) = s.readTagged(p)
+      assert(m === Map("a" -> "1"))
+      assert(tag.nonEmpty)
+    }
+
+    test(s"store contract [$name]: stale tag fails, current tag swaps") {
+      val (s, p) = factory()
+      assert(s.writeIf(p, Map("a" -> "1"), ""))
+      val (_, t1) = s.readTagged(p)
+      assert(s.writeIf(p, Map("a" -> "2"), t1))
+      val (_, t2) = s.readTagged(p)
+      assert(t2 !== t1)
+      assert(!s.writeIf(p, Map("a" -> "3"), t1), "stale tag must lose")
+      assert(s.readTagged(p)._1 === Map("a" -> "2"))
+    }
+
+    test(s"store contract [$name]: update() converges under 32-way contention") {
+      val (s, p) = factory()
+      s.writeIf(p, Map("n" -> "0"), "")
+      val pool = Executors.newFixedThreadPool(16)
+      try {
+        val futs = (1 to 32).map { _ =>
+          pool.submit(new Runnable {
+            override def run(): Unit = {
+              s.update(p)(m => m + ("n" -> (m("n").toInt + 1).toString))
+              ()
+            }
+          })
+        }
+        futs.foreach(_.get())
+      } finally pool.shutdown()
+      assert(s.readTagged(p)._1("n") === "32",
+        "every read-modify-write must land exactly once")
+    }
+
+    test(s"store contract [$name]: update() no-op writes nothing new") {
+      val (s, p) = factory()
+      s.writeIf(p, Map("a" -> "1"), "")
+      val (_, before) = s.readTagged(p)
+      s.update(p)(identity)
+      assert(s.readTagged(p)._2 === before, "an identity update must not bump the tag")
+    }
+  }
+
+  storeContract("LockFileStore", () => {
+    val dir = tmp("csl")
+    (new LockFileStore(), dir.resolve("kv.tsv"))
+  })
+  storeContract("EtagStore(InMemoryBlob)", () => {
+    val dir = tmp("csm")
+    (new EtagStore(new InMemoryBlob), dir.resolve("kv.tsv"))
+  })
+  storeContract("EtagStore(FileGenerationBlob)", () => {
+    val dir = tmp("csf")
+    (new EtagStore(new FileGenerationBlob(dir.resolve("blob"))),
+      dir.resolve("kv.tsv"))
+  })
+
+  test("content-tag vs generation-tag ABA, on the record: LockFileStore " +
+      "content tags repeat for equal content (benign — the map IS the state); " +
+      "generation backends never repeat") {
+    val dir = tmp("aba")
+    val p = dir.resolve("kv.tsv")
+    val lock = new LockFileStore()
+    lock.writeIf(p, Map("k" -> "A"), "")
+    val (_, tA1) = lock.readTagged(p)
+    lock.writeIf(p, Map("k" -> "B"), tA1)
+    val (_, tB) = lock.readTagged(p)
+    lock.writeIf(p, Map("k" -> "A"), tB)
+    val (_, tA2) = lock.readTagged(p)
+    assert(tA2 === tA1) // content tags: A-again == A — acceptable for a KV
+    // map where tag-equality implies state-equality, documented here
+    val gen = new EtagStore(new FileGenerationBlob(dir.resolve("blob")))
+    val p2 = dir.resolve("kv2.tsv")
+    gen.writeIf(p2, Map("k" -> "A"), "")
+    val (_, gA1) = gen.readTagged(p2)
+    gen.writeIf(p2, Map("k" -> "B"), gA1)
+    val (_, gB) = gen.readTagged(p2)
+    gen.writeIf(p2, Map("k" -> "A"), gB)
+    val (_, gA2) = gen.readTagged(p2)
+    assert(gA2 !== gA1, "generation tags must never repeat")
+    assert(!gen.writeIf(p2, Map("k" -> "C"), gA1),
+      "a generation backend rejects the resurrected tag")
+  }
+}

@@ -52,6 +52,17 @@ class CrossProcessCasSpec extends SparkSpec {
       new RefStore(dir, new EtagStore(blob))), perStore = 32)
   }
 
+  test("file-generation backend: durable hard-linked generations, two stores") {
+    val dir = tmpDir("casgen")
+    val blobDir = Paths.get(tmpDir("casgen-blob"))
+    // each RefStore gets its OWN FileGenerationBlob instance over the same
+    // directory — the genuine two-process shape (nothing shared in memory)
+    counterRace(Seq(
+      new RefStore(dir, new EtagStore(new graft.store.FileGenerationBlob(blobDir))),
+      new RefStore(dir, new EtagStore(new graft.store.FileGenerationBlob(blobDir)))),
+      perStore = 32)
+  }
+
   test("fencing token: a writer stalled past staleness aborts, the breaker wins") {
     val dir = Paths.get(tmpDir("fence"))
     val p = dir.resolve("kv.tsv")
