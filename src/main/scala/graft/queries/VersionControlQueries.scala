@@ -1048,6 +1048,71 @@ object VersionControlQueries {
         SELECT username, policy, actions, resource
         FROM eff ORDER BY username, policy""")),
 
+    // Presign twin (`pkg/block/adapter.go:195-201` GetPreSignedURL + the
+    // SigV4 query-auth validation of `pkg/gateway/sig/v4.go`): one object
+    // per nation, a REAL presigned URL generated at a fixed clock with a
+    // fixed signing key, then validated through the full signature path at
+    // a per-row check time — plus a tampered-path and a wrong-secret
+    // validation that must fail as signature mismatches. Deterministic
+    // because the clock and key are injected; the oracle recomputes the
+    // expiry decision table relationally and pins the failure constants.
+    "vc_presign" -> (((s: SparkSession, d: String) => {
+      import s.implicits._
+      val dir = s"target/vc_presign_repo_${math.abs(d.hashCode)}"
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI("file:///"), s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+      val eng = new graft.store.Engine(s, dir, raggedness = 5000)
+      val nations = s.read.parquet(s"$d/nation.parquet")
+        .select("n_nationkey", "n_name").collect()
+        .map(r => (r.getInt(0), r.getString(1).toLowerCase.replace(' ', '_')))
+        .sortBy(_._1).toSeq
+      eng.init("main", Some(nations
+        .map { case (k, n) => (s"obj/$n", s"id$k", s"phys/$n", k.toLong) }
+        .toDF("key", "identity", "address", "size_bytes")))
+      val gw = new graft.store.Gateway(eng)
+      val (ak, sk) = ("AKIAJPRESIGNROWTESQ", "presign-oracle-secret")
+      val t0 = 1750000000L
+      val rows = nations.map { case (k, name) =>
+        val expires = 60L + (k % 5) * 120L // 60..540s, inside the skew window
+        val checkDelta = (k % 7) * 80L     // 0..480s
+        val p = gw.preSignedUrl("read", "main", s"obj/$name", ak, sk, t0, expires)
+        val verdict = gw.validatePresigned(p.request, sk, t0 + checkDelta) match {
+          case Right(_) => "ok"
+          case Left(graft.store.GatewaySig.ErrExpiredPresignRequest) => "expired"
+          case Left(e) => e.getClass.getSimpleName
+        }
+        def mustMismatch(r: Either[graft.store.GatewaySig.SigError, _]) =
+          r match {
+            case Left(graft.store.GatewaySig.ErrSignatureDoesNotMatch) =>
+              "sig_mismatch"
+            case other => s"unexpected:$other"
+          }
+        val tamper = mustMismatch(gw.validatePresigned(
+          p.request.copy(path = p.request.path + "x"), sk, t0 + 1))
+        val wrongKey = mustMismatch(
+          gw.validatePresigned(p.request, "other-secret", t0 + 1))
+        val urlOk = p.url.startsWith(s"https://gateway.local/phys/$name?") &&
+          p.url.contains(s"X-Amz-Expires=$expires") &&
+          p.url.contains("X-Amz-Signature=")
+        (s"obj/$name", expires, checkDelta, verdict, tamper, wrongKey,
+          if (urlOk) 1L else 0L)
+      }
+      rows.toDF("path", "expires_s", "check_delta_s", "verdict",
+        "tamper_verdict", "wrong_key_verdict", "url_shape_ok")
+        .orderBy("path")
+    }),
+      Some("""
+        SELECT 'obj/' || lower(replace(n_name, ' ', '_')) AS path,
+               CAST(60 + (n_nationkey % 5) * 120 AS BIGINT) AS expires_s,
+               CAST((n_nationkey % 7) * 80 AS BIGINT) AS check_delta_s,
+               CASE WHEN (n_nationkey % 7) * 80 <= 60 + (n_nationkey % 5) * 120
+                    THEN 'ok' ELSE 'expired' END AS verdict,
+               'sig_mismatch' AS tamper_verdict,
+               'sig_mismatch' AS wrong_key_verdict,
+               CAST(1 AS BIGINT) AS url_shape_ok
+        FROM nation ORDER BY path""")),
+
     // §2.11 + J4: merge with a per-row conflict resolver through the facade
     // (`Graveler.Merge` with a ConflictResolver chain, `graveler.go:142-145`,
     // `committed/merge.go:304-326`). Both sides edit k%50==11 differently

@@ -420,4 +420,59 @@ class Gateway(val engine: Engine) {
     engine.copyEntry(srcRef, srcPath, destBranch, destPath)
     headObject(destBranch + "$", destPath).etag
   }
+
+  // ---- presign (block/adapter.go:195-201 GetPreSignedURL + the
+  // controller's presigned-physical-address flow) ----------------------------
+
+  /** A presigned direct-access grant: the URL, its parsed request form
+    * (what [[validatePresigned]] consumes), the absolute expiry, and — for
+    * write mode — the allocated physical address plus the link token that
+    * [[Engine.linkPhysicalAddress]] verifies after the client's upload. */
+  final case class Presigned(url: String, request: GatewaySig.SignedRequest,
+      expiresAtEpochSec: Long, physicalAddress: String, linkToken: String)
+
+  /** Generate a presigned URL for direct object access, deterministic
+    * given the injected clock and signing key. `mode` follows the
+    * reference's PreSignMode: "read" signs a GET of an EXISTING object's
+    * physical address (NoSuchKey otherwise, like getObject); "write"
+    * allocates a fresh physical address (the getPhysicalAddress flow,
+    * catalog.go:3285-3292) and signs a PUT of it — after uploading, the
+    * client links it with the returned token. Expiry is clamped to the S3
+    * presign ceiling exactly like validation's parseExpires. */
+  def preSignedUrl(mode: String, ref: String, path: String,
+      accessKeyId: String, secret: String, nowEpochSec: Long,
+      expiresSeconds: Long, host: String = "gateway.local",
+      region: String = "us-east-1", filename: String = ""): Presigned = {
+    require(expiresSeconds >= 0 && expiresSeconds <= GatewaySig.AmzPresignMaxExpires,
+      s"presign expiry out of range: $expiresSeconds")
+    val (method, physical, token) = mode match {
+      case "read" => ("GET", headObject(ref, path).address, "")
+      case "write" =>
+        requireWritable("presign upload")
+        val (addr, tok) = engine.getPhysicalAddress(ref, path, nowEpochSec)
+        ("PUT", addr, tok)
+      case other => sys.error(s"unknown presign mode: $other")
+    }
+    val query = if (filename.isEmpty) Nil
+      else Seq("response-content-disposition" ->
+        ("attachment; filename=\"" + filename + "\""))
+    val base = GatewaySig.SignedRequest(method, host,
+      "/" + physical.stripPrefix("/"), query = query,
+      headers = Seq("Host" -> host))
+    val signed = GatewaySig.presignV4(base, accessKeyId, secret, region,
+      "s3", java.time.Instant.ofEpochSecond(nowEpochSec), expiresSeconds)
+    Presigned(GatewaySig.presignedUrl(signed), signed,
+      nowEpochSec + expiresSeconds, physical, token)
+  }
+
+  /** Validate an incoming presigned request at `nowEpochSec`: the full
+    * SigV4 query-auth verification (signature, clock skew, X-Amz-Expires
+    * window — GatewaySig.v4Verify) against the key's secret. Returns the
+    * verified (method, physical path) on success; tampered, expired, and
+    * wrong-key requests surface their specific SigError. */
+  def validatePresigned(req: GatewaySig.SignedRequest, secret: String,
+      nowEpochSec: Long): Either[GatewaySig.SigError, (String, String)] =
+    GatewaySig.parseV4(req).flatMap(a => GatewaySig.v4Verify(req, a, secret,
+      java.time.Instant.ofEpochSecond(nowEpochSec)))
+      .map(_ => (req.method, req.path))
 }

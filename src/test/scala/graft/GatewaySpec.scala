@@ -291,4 +291,67 @@ class GatewaySpec extends SparkSpec {
     assert(rows.map(_.getString(0)).toSeq === Seq("alpha", "zeta"))
     assert(rows.forall(_.getLong(1) > 0L))
   }
+
+  test("presign: generate → validate round trip; expiry and tamper rejected") {
+    import graft.store.GatewaySig
+    val eng = freshEngine("gwpresign")
+    val gw = new Gateway(eng)
+    val (ak, sk) = ("AKIAJTESTTESTTESTTQ", "secret-presign-key")
+    val t0 = 1750000000L // injected clock: everything below is deterministic
+
+    // read mode: signs a GET of the existing object's PHYSICAL address
+    // expiry < the 900 s clock-skew window, so the EXPIRY check is the
+    // one that can fire (skew is checked first, v4.go:379-388)
+    val p = gw.preSignedUrl("read", "main", "k0004", ak, sk, t0, 600)
+    assert(p.physicalAddress === "a4")
+    assert(p.expiresAtEpochSec === t0 + 600)
+    assert(p.url.startsWith("https://gateway.local/a4?"))
+    assert(p.url.contains("X-Amz-Expires=600"))
+    assert(p.url.contains("X-Amz-Signature="))
+    // round trip inside the window
+    assert(gw.validatePresigned(p.request, sk, t0 + 300)
+      === Right(("GET", "/a4")))
+    // identical inputs → identical URL (deterministic under injected clock+key)
+    assert(gw.preSignedUrl("read", "main", "k0004", ak, sk, t0, 600).url === p.url)
+    // past the expiry window (but inside clock skew): expired
+    assert(gw.validatePresigned(p.request, sk, t0 + 700)
+      === Left(GatewaySig.ErrExpiredPresignRequest))
+    // far past everything: the skew window rejects first
+    assert(gw.validatePresigned(p.request, sk, t0 + 7200)
+      === Left(GatewaySig.ErrRequestTimeTooSkewed))
+    // tampered path / query / wrong secret: signature mismatch
+    assert(gw.validatePresigned(p.request.copy(path = "/a5"), sk, t0 + 300)
+      === Left(GatewaySig.ErrSignatureDoesNotMatch))
+    assert(gw.validatePresigned(
+      p.request.withQuery(Seq("x-tamper" -> "1")), sk, t0 + 300)
+      === Left(GatewaySig.ErrSignatureDoesNotMatch))
+    assert(gw.validatePresigned(p.request, "wrong-secret", t0 + 300)
+      === Left(GatewaySig.ErrSignatureDoesNotMatch))
+    // a missing object cannot be presigned for read
+    intercept[RuntimeException] {
+      gw.preSignedUrl("read", "main", "nope", ak, sk, t0, 900)
+    }
+    // expiry ceiling enforced at generation like validation's parseExpires
+    intercept[IllegalArgumentException] {
+      gw.preSignedUrl("read", "main", "k0004", ak, sk, t0, 604801)
+    }
+
+    // write mode: allocates an address + link token; PUT URL validates;
+    // after "uploading", the token links the object (catalog.go:3234-3283)
+    val w = gw.preSignedUrl("write", "main", "obj/direct", ak, sk, t0, 600)
+    assert(w.linkToken.nonEmpty)
+    assert(gw.validatePresigned(w.request, sk, t0 + 60)
+      === Right(("PUT", "/" + w.physicalAddress.stripPrefix("/"))))
+    eng.linkPhysicalAddress("main", "obj/direct", w.physicalAddress,
+      w.linkToken, "cs-direct", 123L, nowEpochSec = t0 + 120)
+    val st = gw.headObject("main$", "obj/direct")
+    assert(st.etag === "cs-direct" && st.sizeBytes === 123L &&
+      st.address === w.physicalAddress)
+    // read-only latch covers presign-for-upload
+    eng.readOnly = true
+    intercept[IllegalArgumentException] {
+      gw.preSignedUrl("write", "main", "x", ak, sk, t0, 60)
+    }
+    eng.readOnly = false
+  }
 }
