@@ -324,6 +324,30 @@ object Bench {
             .agg(count(lit(1)).as("n_entries"))
             .orderBy("path").limit(1000).count()
         }
+        // list attribution (untimed for the metric, medianed in trace.list):
+        // cumulative sub-plan clocks split the path into prefix-clamped
+        // scan, roll-up aggregate, and the ordered page — so a list_delim
+        // ratio drift names its stage instead of being a single opaque
+        // number. Runs right after the timed metric, same cache state.
+        locally {
+          def clockSub(f: => Unit): Double = {
+            val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+          }
+          val src = Fixtures.pathKeyed(spark, sfDir)
+          val tPrefix = clockSub {
+            Listing.prefixFilter(src, "R/F/").count()
+          }
+          val tRollup = clockSub {
+            Listing.delimiterRollup(src, "R/F/", "/").count()
+          }
+          val tPage = clockSub {
+            Listing.delimiterRollup(src, "R/F/", "/")
+              .orderBy("path").limit(1000).count()
+          }
+          addStep("list", "prefix_scan", tPrefix)
+          addStep("list", "rollup", math.max(0.0, tRollup - tPrefix))
+          addStep("list", "page", math.max(0.0, tPage - tRollup))
+        }
 
         // 7. tiered twins (the pyramid tier, reference envelope 1 GiB —
         // `pkg/config/defaults.go:89-93`): the SAME 20 point gets and the
@@ -373,38 +397,132 @@ object Bench {
     // O(changed) growth guard (§C complexity contract — the reference
     // commits in time proportional to the CHANGED ranges,
     // `committed/commit.go:116-137`): the SAME clustered delta applied to
-    // a repo 10× larger; commit and diff wall-time must grow far less
-    // than 10×. One shot under trace.growth, not a headline metric.
+    // repos 10× and 100× larger; commit and diff wall-time must grow far
+    // less than the repo factor across BOTH decades. One shot under
+    // trace.growth, not a headline metric.
     {
       val gsOut = s"target/bench_growth_${java.util.UUID.randomUUID()}"
       try {
-        val small = base.where(col("k") % 10 === 0)
+        val tiny = base.where(col("k") % 100 === 0)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val mid = base.where(col("k") % 10 === 0)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val maxK = base.agg(max("k")).head().getLong(0)
-        // delta keys live in the FIRST key interval and in BOTH repos —
-        // the same absolute change set at both scales
-        val delta = base.where(col("k") <= maxK / 100 && col("k") % 10 === 0)
+        // delta keys live in the FIRST key interval and in ALL THREE repos —
+        // the same absolute change set at every scale
+        val delta = base.where(col("k") <= maxK / 100 && col("k") % 100 === 0)
           .withColumn("price_c", col("price_c") + 555)
           .withColumn("identity", identExpr)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        small.count(); delta.count()
-        val storeS = new SnapshotStore(spark, s"$gsOut/small", raggedness = 50000L)
+        tiny.count(); mid.count(); delta.count()
+        // raggedness scaled DOWN with the repo so all three repos hold
+        // comparably many ranges per row volume — the guard measures how
+        // cost tracks REPO SIZE at fixed delta, not chunk-count artifacts
+        val storeT = new SnapshotStore(spark, s"$gsOut/tiny", raggedness = 500L)
+        val storeS = new SnapshotStore(spark, s"$gsOut/small", raggedness = 5000L)
         val storeB = new SnapshotStore(spark, s"$gsOut/big", raggedness = 50000L)
-        val mS = storeS.writeSnapshot(small)._1
+        val mT = storeT.writeSnapshot(tiny)._1
+        val mS = storeS.writeSnapshot(mid)._1
         val mB = storeB.writeSnapshot(base)._1
         def clock(f: => Unit): Double = {
           System.gc(); Thread.sleep(250)
           val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
         }
-        var m2S: String = null; var m2B: String = null
-        addStep("growth", "commit_1x", clock { m2S = storeS.commitChanges(mS, delta)._1 })
-        addStep("growth", "commit_10x", clock { m2B = storeB.commitChanges(mB, delta)._1 })
-        addStep("growth", "diff_1x", clock { storeS.diff(mS, m2S).count() })
-        addStep("growth", "diff_10x", clock { storeB.diff(mB, m2B).count() })
-        small.unpersist(); delta.unpersist()
+        var m2T: String = null; var m2S: String = null; var m2B: String = null
+        addStep("growth", "commit_1x", clock { m2T = storeT.commitChanges(mT, delta)._1 })
+        addStep("growth", "commit_10x", clock { m2S = storeS.commitChanges(mS, delta)._1 })
+        addStep("growth", "commit_100x", clock { m2B = storeB.commitChanges(mB, delta)._1 })
+        addStep("growth", "diff_1x", clock { storeT.diff(mT, m2T).count() })
+        addStep("growth", "diff_10x", clock { storeS.diff(mS, m2S).count() })
+        addStep("growth", "diff_100x", clock { storeB.diff(mB, m2B).count() })
+        tiny.unpersist(); mid.unpersist(); delta.unpersist()
       } catch { case e: Throwable =>
         System.err.println(s"[bench] growth guard failed (continuing): ${e.getMessage}")
       } finally deleteDir(gsOut)
+    }
+
+    // Multi-writer contention (the reference's retryBranchUpdate envelope,
+    // graveler.go:2422-2446: N contenders cost N re-reads of a KB-scale
+    // control file plus recomputes on loss): two Engine INSTANCES over one
+    // store dir — nothing shared in memory, the two-JVM shape — each
+    // landing 6 single-key commits on the same branch concurrently, the
+    // full cross-process contract (an attempt may lose the CAS or find its
+    // epoch consumed; it retries until ITS key is committed). The serial
+    // twin lands the same 12 commits alone. trace.contention carries the
+    // lost-CAS count and extra attempts; wall ≲ 2× serial is the budget.
+    {
+      val cdOut = s"target/bench_contended_${java.util.UUID.randomUUID()}"
+      def clock(f: => Unit): Double = {
+        System.gc(); Thread.sleep(250)
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      try {
+        val seed = base.where(col("k") % 10 === 0)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        seed.count()
+        def landAll(eng: graft.store.Engine, tag: String,
+            keys: Seq[String]): Int = {
+          var attempts = 0
+          for (key <- keys) {
+            var landed = false
+            var tries = 0
+            while (!landed && tries < 20) {
+              tries += 1; attempts += 1
+              try {
+                eng.set("main", key, s"v-$key")
+                eng.commit("main", tag, s"land $key")
+                landed = true
+              } catch {
+                case _: Exception =>
+                  Thread.sleep(10)
+                  landed = eng.list("main@").where(col("key") === key)
+                    .limit(1).collect().nonEmpty
+              }
+            }
+          }
+          attempts
+        }
+        val serKeys = (1 to 12).map(i => f"zz-contend-ser-$i%03d")
+        val engS = new graft.store.Engine(spark, s"$cdOut/serial", raggedness = 50000L)
+        engS.init("main", Some(seed))
+        val tSerial = clock { landAll(engS, "s", serKeys); () }
+        engS.awaitStagingCleanup()
+
+        val engA = new graft.store.Engine(spark, s"$cdOut/shared", raggedness = 50000L)
+        engA.init("main", Some(seed))
+        val engB = new graft.store.Engine(spark, s"$cdOut/shared", raggedness = 50000L)
+        val keysA = (1 to 6).map(i => f"zz-contend-a-$i%03d")
+        val keysB = (1 to 6).map(i => f"zz-contend-b-$i%03d")
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+        var attempts = 0
+        val tContended = clock {
+          val fa = pool.submit(new java.util.concurrent.Callable[Int] {
+            override def call(): Int = landAll(engA, "a", keysA)
+          })
+          val fb = pool.submit(new java.util.concurrent.Callable[Int] {
+            override def call(): Int = landAll(engB, "b", keysB)
+          })
+          attempts = fa.get() + fb.get()
+        }
+        pool.shutdown()
+        engA.awaitStagingCleanup(); engB.awaitStagingCleanup()
+        // correctness backstop: every key from both writers is committed
+        val committed = engA.list("main@")
+          .where(col("key").startsWith("zz-contend-"))
+          .select("key").collect().map(_.getString(0)).toSet
+        (keysA ++ keysB).foreach(k =>
+          require(committed.contains(k), s"contended commit lost $k"))
+        samples("commit_contended") =
+          samples.getOrElse("commit_contended", Vector.empty) :+ tContended
+        addStep("contention", "serial_wall", tSerial)
+        addStep("contention", "contended_wall", tContended)
+        addStep("contention", "cas_retries",
+          (engA.casRetries.sum + engB.casRetries.sum).toDouble)
+        addStep("contention", "extra_attempts", (attempts - 12).toDouble)
+        seed.unpersist()
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] contention metric failed (continuing): ${e.getMessage}")
+      } finally deleteDir(cdOut)
     }
 
     emit(samples, stepSamples, sfDir)

@@ -609,6 +609,10 @@ class Engine(val spark: SparkSession, val repoDir: String,
     * its CAS — lets specs interleave a concurrent head move. */
   private[graft] var beforeCas: () => Unit = () => ()
 
+  /** Lost branch-head CAS attempts (each one cost a recompute) — the
+    * contention meter the bench's `commit_contended` metric reads. */
+  private[graft] val casRetries = new java.util.concurrent.atomic.LongAdder
+
   /** In-process writers to the same branch line up FIFO here before the
     * CAS loop (the reference's keyed lock, `pkg/distributed/
     * in_process_keyed_lock.go`): local contenders stop burning optimistic
@@ -634,6 +638,7 @@ class Engine(val spark: SparkSession, val repoDir: String,
       val (c, onSuccess) = attempt(headId, head)
       beforeCas()
       if (refs.casBranch(branch, Some(headId), c.commitId)) { onSuccess(); return c }
+      casRetries.increment()
       if (tries >= branchUpdateMaxTries)
         sys.error(s"$op: branch $branch moved concurrently ($tries tries)")
     }
