@@ -72,9 +72,11 @@ object CatalogExport {
   private def glueType(t: Column): Column =
     when(t === "integer", lit("int")).otherwise(t)
 
-  private def colJson(f: Column): Column = concat(
-    lit("""{"Name":""""), f.getField("name"),
-    lit("""","Type":""""), glueType(f.getField("type")), lit(""""}"""))
+  /** A schema field as the Glue column struct — rendered through to_json,
+    * so a name or type carrying '"' or '\' JSON-escapes instead of
+    * producing a malformed payload. */
+  private def glueColStruct(f: Column): Column = struct(
+    f.getField("name").as("Name"), glueType(f.getField("type")).as("Type"))
 
   /**
    * AWS Glue `CreateTable` TableInput per descriptor
@@ -84,26 +86,34 @@ object CatalogExport {
    * StorageDescriptor.Columns, location = the ref's symlink export prefix.
    * Emits both the flat columns and the assembled `table_input` JSON.
    * One narrow projection per row — no shuffle, no driver loop.
+   *
+   * A partition column missing from the schema fields is the reference's
+   * HARD failure (`hive_partitions_to_glue_input`: "partition name not
+   * found in table") — raised per offending row at execution, never a
+   * silently truncated PartitionKeys list.
    */
   def glueTableInputs(descriptors: DataFrame, repo: String, refName: String,
       commitId: String, storageNs: String): DataFrame = {
-    val partCols = transform(col("partition_columns"),
-      p => element_at(filter(col("fields"), f => f.getField("name") === p), 1))
-    val dataCols = filter(col("fields"),
-      f => !array_contains(col("partition_columns"), f.getField("name")))
+    val unresolved = exists(col("partition_columns"),
+      p => !exists(col("fields"), f => f.getField("name") === p))
+    val partCols = transform(col("partition_columns"), p => glueColStruct(
+      element_at(filter(col("fields"), f => f.getField("name") === p), 1)))
+    val dataCols = transform(filter(col("fields"),
+      f => !array_contains(col("partition_columns"), f.getField("name"))),
+      glueColStruct(_))
     descriptors
       .withColumn("glue_table_name", glueTableName(repo, refName, commitId))
       .withColumn("location", tableLocation(storageNs, refName, commitId))
-      .withColumn("columns_json",
-        concat(lit("["), array_join(transform(dataCols, colJson(_)), ","), lit("]")))
+      .withColumn("columns_json", to_json(dataCols))
       .withColumn("partition_keys_json",
-        concat(lit("["), array_join(transform(partCols, colJson(_)), ","), lit("]")))
-      .withColumn("table_input", concat(
-        lit("""{"Name":""""), col("glue_table_name"),
-        lit("""","TableType":"EXTERNAL_TABLE","StorageDescriptor":{"Columns":"""),
-        col("columns_json"),
-        lit(""","Location":""""), col("location"),
-        lit(""""},"PartitionKeys":"""), col("partition_keys_json"), lit("}")))
+        when(!unresolved, to_json(partCols)).otherwise(raise_error(concat(
+          lit("partition name not found in table "), col("name")))))
+      .withColumn("table_input", to_json(struct(
+        col("glue_table_name").as("Name"),
+        lit("EXTERNAL_TABLE").as("TableType"),
+        struct(dataCols.as("Columns"), col("location").as("Location"))
+          .as("StorageDescriptor"),
+        partCols.as("PartitionKeys"))))
       .select("path", "name", "glue_table_name", "location",
         "columns_json", "partition_keys_json", "table_input")
   }
@@ -125,10 +135,18 @@ object CatalogExport {
           lit("error: unity exporter supports only table descriptors of type 'delta'"))
           .when(col("catalog").isNull || col("catalog") === "",
             lit("error: catalog name is required"))
+          // databricks client.go validateTableInput: an unquoted SQL
+          // identifier must stay in the identifier charset — a name that
+          // doesn't cannot be embedded in the DDL safely
+          .when(!col("name").rlike("^[A-Za-z0-9_]+$"),
+            lit("error: invalid table name"))
           .otherwise(lit("ok")))
       .withColumn("ddl",
         when(col("status") === "ok", concat(
           lit("CREATE EXTERNAL TABLE "), col("name"),
-          lit(" LOCATION '"), col("physical_path"), lit("'"))))
+          // standard SQL string-literal escaping: '' for a literal quote,
+          // so a path carrying one cannot break out of the LOCATION string
+          lit(" LOCATION '"), regexp_replace(col("physical_path"), "'", "''"),
+          lit("'"))))
       .select("path", "name", "catalog", "schema_name", "status", "ddl")
 }

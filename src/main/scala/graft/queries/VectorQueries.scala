@@ -592,6 +592,79 @@ object VectorQueries {
                CAST(n_found AS DOUBLE) / CAST(n_true AS DOUBLE) AS recall
         FROM m CROSS JOIN f""")),
 
+    // The SAMPLED form of the recall eval — the shape emb_lsh_recall's own
+    // comment promises for production: the exact-truth side is capped to
+    // pairs ANCHORED at a deterministic ~1/4 document sample (first hex
+    // nibble of sha256(vec_id) below 4 — a reproducible hash sample, not
+    // rand()), so the all-pairs join shrinks by the sample rate while the
+    // banded candidate side stays the full scale path. At 100 TB the truth
+    // join is sample × corpus instead of corpus²; recall on the sample is
+    // an unbiased estimate of full recall. n_docs_sampled proves the cap.
+    "emb_lsh_recall_sampled" -> (((s: SparkSession, d: String) => {
+      val emb = withPlanted(Fixtures.embeddings(s, d)
+        .select(col("vec_id"), quantize(col("embedding")).as("q")))
+      val sample = emb
+        .where(substring(sha2(col("vec_id").cast("string"), 256), 1, 1)
+          .isin("0", "1", "2", "3"))
+        .select(col("vec_id").as("id_a"))
+      val a = emb.select(col("vec_id").as("id_a"), col("q").as("qa"))
+        .join(sample, Seq("id_a"), "left_semi")
+      val b = emb.select(col("vec_id").as("id_b"), col("q").as("qb"))
+      val truth = a.join(b, col("id_a") < col("id_b"))
+        .where(cosine(col("qa"), col("qb")) >= 0.99)
+        .select("id_a", "id_b")
+      val banded = bandKeys(emb.select(col("vec_id"), sig16(col("q")).as("sig")))
+      val cands = banded.select(col("bk"), col("vec_id").as("id_a"))
+        .join(banded.select(col("bk"), col("vec_id").as("id_b")), Seq("bk"))
+        .where(col("id_a") < col("id_b"))
+        .select("id_a", "id_b").distinct()
+      val found = cands
+        .join(emb.select(col("vec_id").as("id_a"), col("q").as("qa")), Seq("id_a"))
+        .join(emb.select(col("vec_id").as("id_b"), col("q").as("qb")), Seq("id_b"))
+        .where(cosine(col("qa"), col("qb")) >= 0.99)
+        .select("id_a", "id_b")
+      val nDocs = sample.agg(count(lit(1)).cast("long").as("n_docs_sampled"))
+      val nTrue = truth.agg(count(lit(1)).cast("long").as("n_true"))
+      val nFound = truth.join(found, Seq("id_a", "id_b"), "left_semi")
+        .agg(count(lit(1)).cast("long").as("n_found"))
+      nDocs.crossJoin(nTrue).crossJoin(nFound)
+        .withColumn("recall",
+          col("n_found").cast("double") / col("n_true").cast("double"))
+    }),
+      Some(s"""
+        WITH q AS (SELECT vec_id, $qvecSql AS qv FROM embeddings),
+        $plantedSql,
+        samp AS (
+          SELECT vec_id FROM qp
+          WHERE substr(sha256(CAST(vec_id AS VARCHAR)), 1, 1)
+                  IN ('0', '1', '2', '3')),
+        truth AS (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM qp a JOIN qp b ON a.vec_id < b.vec_id
+          WHERE a.vec_id IN (SELECT vec_id FROM samp)
+            AND ${cosSql("a.qv", "b.qv")} >= 0.99),
+        sig AS (SELECT vec_id, $sig16Sql AS sig FROM qp),
+        banded AS (
+          SELECT vec_id, CAST(t AS VARCHAR) || ':' || substr(sig, t*4+1, 4) AS bk
+          FROM sig CROSS JOIN (SELECT unnest([0,1,2,3]) AS t)
+        ),
+        cands AS (
+          SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM banded a JOIN banded b ON a.bk = b.bk AND a.vec_id < b.vec_id
+        ),
+        found AS (
+          SELECT id_a, id_b FROM (
+            SELECT id_a, id_b, ${cosSql("x.qv", "y.qv")} AS sim
+            FROM cands JOIN qp x ON x.vec_id = id_a JOIN qp y ON y.vec_id = id_b
+          ) WHERE sim >= 0.99),
+        sd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs_sampled FROM samp),
+        m AS (SELECT CAST(count(*) AS BIGINT) AS n_true FROM truth),
+        f AS (SELECT CAST(count(*) AS BIGINT) AS n_found FROM
+                (SELECT id_a, id_b FROM truth INTERSECT SELECT id_a, id_b FROM found))
+        SELECT n_docs_sampled, n_true, n_found,
+               CAST(n_found AS DOUBLE) / CAST(n_true AS DOUBLE) AS recall
+        FROM sd CROSS JOIN m CROSS JOIN f""")),
+
     // IVF-bucketed ANN (the other classic scale path besides LSH): vectors
     // are assigned to their nearest of 4 fixed centroids (deterministic
     // integer L2 on quantized components; centroid = the vec_id%125==0

@@ -385,8 +385,9 @@ object Actions {
       val dest = h.properties("dest")
       val outDir = s"$dest/${commit.commitId.take(6)}_$format"
       if (format == "glue") {
+        // a trailing slash on repoDir must not yield an empty repo segment
         val repoName = h.properties.getOrElse("repo_name",
-          ev.repoDir.reverse.takeWhile(_ != '/').reverse)
+          ev.repoDir.stripSuffix("/").reverse.takeWhile(_ != '/').reverse)
         val ns = h.properties.getOrElse("storage_ns", ev.repoDir)
         graft.operators.CatalogExport
           .glueTableInputs(descs, repoName, ev.branch, commit.commitId, ns)

@@ -156,4 +156,54 @@ class CatalogExportSpec extends SparkSpec {
     assert(t2.getAs[String]("status").startsWith("error: unity exporter"))
     assert(t2.isNullAt(t2.fieldIndex("ddl")))
   }
+
+  test("glue: a partition column missing from the fields is a HARD failure") {
+    import spark.implicits._
+    // glue_exporter.lua hive_partitions_to_glue_input errors; a silently
+    // truncated PartitionKeys list would register a wrong table
+    val bad = Seq(("_lakefs_tables/b.yaml", "b", "hive", "", "s3://b/b",
+        Seq("ghost"), Seq(("id", "integer"))))
+      .toDF("path", "name", "table_type", "catalog", "physical_path",
+        "partition_columns", "fields_raw")
+      .withColumn("fields", transform(col("fields_raw"), f =>
+        struct(f.getField("_1").as("name"), f.getField("_2").as("type"))))
+      .drop("fields_raw")
+    val e = intercept[Exception] {
+      CatalogExport.glueTableInputs(bad, "r", "main", "abcdef01", "s3://ns")
+        .collect()
+    }
+    assert(e.getMessage.contains("partition name not found in table b"))
+  }
+
+  test("payload escaping: JSON-hostile names and quoted paths stay well-formed") {
+    import spark.implicits._
+    val hostile = Seq((
+        "_lakefs_tables/h.yaml", "h", "delta", "cat",
+        "s3://b/it's here", // a single quote aimed at the DDL string
+        Seq.empty[String],
+        Seq(("col\"quote", "string"), ("back\\slash", "integer"))))
+      .toDF("path", "name", "table_type", "catalog", "physical_path",
+        "partition_columns", "fields_raw")
+      .withColumn("fields", transform(col("fields_raw"), f =>
+        struct(f.getField("_1").as("name"), f.getField("_2").as("type"))))
+      .drop("fields_raw")
+    val glue = CatalogExport.glueTableInputs(
+      hostile, "r", "main", "abcdef01", "s3://ns").collect()(0)
+    // the TableInput must parse as real JSON with the values intact
+    val node = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(glue.getAs[String]("table_input"))
+    val cols = node.get("StorageDescriptor").get("Columns")
+    assert(cols.get(0).get("Name").asText === "col\"quote")
+    assert(cols.get(1).get("Name").asText === "back\\slash")
+    assert(cols.get(1).get("Type").asText === "int")
+    val unity = CatalogExport.unityRegistrations(hostile, "dev").collect()(0)
+    // the quote in the path doubles; the statement stays one literal
+    assert(unity.getAs[String]("ddl") ===
+      "CREATE EXTERNAL TABLE h LOCATION 's3://b/it''s here'")
+    // a name outside the identifier charset cannot reach the DDL at all
+    val badName = hostile.withColumn("name", lit("h; DROP TABLE x"))
+    val r = CatalogExport.unityRegistrations(badName, "dev").collect()(0)
+    assert(r.getAs[String]("status") === "error: invalid table name")
+    assert(r.isNullAt(r.fieldIndex("ddl")))
+  }
 }

@@ -6,9 +6,13 @@ package graft
  * all-pairs join (CartesianProduct / BroadcastNestedLoopJoin) anywhere in
  * those plans is a 100 TB scale bug, whatever the sf0.01 numbers say.
  * (`emb_neardup` and `td_ngram_jaccard` are the DECLARED all-pairs
- * correctness baselines and are deliberately not listed here; the broadcast
- * crossJoins of emb_ann_topk / emb_kmeans / emb_pq_ann against a tiny
- * probe / centroid / lookup-table set are likewise intentional.)
+ * correctness baselines and are deliberately not listed here — as are the
+ * recall EVALS whose truth side is all-pairs by definition, with
+ * `emb_lsh_recall_sampled` demonstrating the production form: truth
+ * anchored at a deterministic hash sample, sample × corpus instead of
+ * corpus²; the broadcast crossJoins of emb_ann_topk / emb_kmeans /
+ * emb_pq_ann against a tiny probe / centroid / lookup-table set are
+ * likewise intentional.)
  */
 class PlanShapeSpec extends SparkSpec {
 
