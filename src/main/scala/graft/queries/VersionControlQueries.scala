@@ -1113,6 +1113,111 @@ object VersionControlQueries {
                CAST(1 AS BIGINT) AS url_shape_ok
         FROM nation ORDER BY path""")),
 
+    // S3-gateway request routing (`pkg/gateway/middleware.go:268-358`
+    // ParseRequestParts + the method×shape operation tables + each op's
+    // query sub-routing): one request per nation, crossing addressing
+    // style (virtual-host vs path), URL shape (object vs repository), HTTP
+    // method, and multipart query params — the REAL router resolves every
+    // row; the oracle recomputes the expected decision table relationally.
+    "vc_s3_route" -> (((s: SparkSession, d: String) => {
+      import s.implicits._
+      val bare = Seq("gw.local")
+      val rows = s.read.parquet(s"$d/nation.parquet")
+        .select("n_nationkey", "n_name").collect()
+        .map(r => (r.getInt(0), r.getString(1).toLowerCase.replace(' ', '_')))
+        .sortBy(_._1).toSeq
+        .map { case (k, name) =>
+          val virtualStyle = k % 2 == 0
+          val objectShape = k % 4 < 2
+          val method = Seq("GET", "PUT", "POST", "DELETE", "HEAD")(k % 5)
+          val q: Seq[(String, String)] = (k % 3) match {
+            case 0 => Nil
+            case 1 => Seq("uploads" -> "")
+            case _ => Seq("uploadId" -> "u1", "partNumber" -> "1")
+          }
+          val host = if (virtualStyle) s"$name.gw.local" else "gw.local"
+          val objPath = s"data/f$k.parquet"
+          val urlPath = (virtualStyle, objectShape) match {
+            case (true, true) => s"/main/$objPath"
+            case (true, false) => "/"
+            case (false, true) => s"/$name/main/$objPath"
+            case (false, false) => s"/$name"
+          }
+          val parts = graft.store.GatewayRouter.parseRequestParts(
+            host, urlPath, bare)
+          val op = graft.store.GatewayRouter.operationId(method, parts, q)
+          val perm = graft.store.GatewayRouter.permissionOp(op, q).getOrElse("")
+          (k.toLong, if (virtualStyle) "virtual" else "path",
+            if (objectShape) "object" else "repo", method,
+            q.headOption.map(_._1).getOrElse(""), parts.repository,
+            parts.ref, parts.path, op.name, perm)
+        }
+      rows.toDF("k", "style", "shape", "method", "q", "repository",
+        "ref", "path", "op", "perm_op").orderBy("k")
+    }),
+      Some("""
+        WITH req AS (
+          SELECT CAST(n_nationkey AS BIGINT) AS k,
+                 lower(replace(n_name, ' ', '_')) AS name,
+                 n_nationkey % 2 = 0 AS virt,
+                 n_nationkey % 4 < 2 AS obj,
+                 ['GET','PUT','POST','DELETE','HEAD'][n_nationkey % 5 + 1] AS method,
+                 CASE n_nationkey % 3 WHEN 0 THEN ''
+                      WHEN 1 THEN 'uploads' ELSE 'uploadId' END AS q
+          FROM nation
+        )
+        SELECT k,
+               CASE WHEN virt THEN 'virtual' ELSE 'path' END AS style,
+               CASE WHEN obj THEN 'object' ELSE 'repo' END AS shape,
+               method, q,
+               name AS repository,
+               CASE WHEN obj THEN 'main' ELSE '' END AS ref,
+               CASE WHEN obj THEN 'data/f' || k || '.parquet' ELSE '' END AS path,
+               CASE WHEN obj THEN
+                 CASE method
+                   WHEN 'HEAD' THEN 'head_object'
+                   WHEN 'GET' THEN CASE q WHEN 'uploadId' THEN 'list_parts'
+                                          ELSE 'get_object' END
+                   WHEN 'PUT' THEN CASE q WHEN 'uploadId' THEN 'upload_part'
+                                          ELSE 'put_object' END
+                   WHEN 'POST' THEN CASE q
+                     WHEN 'uploads' THEN 'create_multipart_upload'
+                     WHEN 'uploadId' THEN 'complete_multipart_upload'
+                     ELSE 'operation_not_found' END
+                   WHEN 'DELETE' THEN CASE q
+                     WHEN 'uploadId' THEN 'abort_multipart_upload'
+                     ELSE 'delete_object' END
+                 END
+               ELSE
+                 CASE method
+                   WHEN 'GET' THEN CASE q
+                     WHEN 'uploads' THEN 'list_multipart_uploads'
+                     ELSE 'list_objects' END
+                   WHEN 'PUT' THEN 'put_bucket'
+                   WHEN 'POST' THEN 'delete_objects'
+                   WHEN 'DELETE' THEN 'not_implemented'
+                   WHEN 'HEAD' THEN 'head_bucket'
+                 END
+               END AS op,
+               CASE WHEN obj THEN
+                 CASE method
+                   WHEN 'HEAD' THEN 'head_object'
+                   WHEN 'GET' THEN 'get_object'
+                   WHEN 'PUT' THEN 'put_object'
+                   WHEN 'POST' THEN CASE q WHEN '' THEN '' ELSE 'put_object' END
+                   WHEN 'DELETE' THEN 'delete_object'
+                 END
+               ELSE
+                 CASE method
+                   WHEN 'GET' THEN 'list_objects'
+                   WHEN 'PUT' THEN 'put_bucket'
+                   WHEN 'POST' THEN ''
+                   WHEN 'DELETE' THEN ''
+                   WHEN 'HEAD' THEN 'head_bucket'
+                 END
+               END AS perm_op
+        FROM req ORDER BY k""")),
+
     // §2.11 + J4: merge with a per-row conflict resolver through the facade
     // (`Graveler.Merge` with a ConflictResolver chain, `graveler.go:142-145`,
     // `committed/merge.go:304-326`). Both sides edit k%50==11 differently

@@ -91,8 +91,20 @@ final class GatewayAuth(auth: AuthService) {
     case "list_objects" => Perm("fs:ListObjects", repoArn(repo))
     // headbucket.go:11
     case "head_bucket" => Perm("fs:ReadRepository", repoArn(repo))
+    // putbucket.go:15-24: mimic S3's s3:CreateBucket requirement even
+    // though lakeFS only ever answers 409 for an existing repo
+    case "put_bucket" => Perm("fs:CreateRepository", repoArn(repo))
     case other => throw new IllegalArgumentException(s"unknown gateway op: $other")
   }
+
+  /** Authorize an ALREADY-authenticated principal for `op` — the router's
+    * second middleware, where authentication happened once at the head of
+    * the chain (handler.go:248 authorize). Throws AccessDenied on a
+    * failed policy evaluation. */
+  def authorizeKnown(user: String, op: String, repo: String,
+      path: String = "", path2: String = ""): Unit =
+    if (!auth.authorizeKnownUser(user, requiredPermission(op, repo, path, path2)))
+      throw new AccessDeniedException(s"$user is not permitted to $op")
 
   /** Authenticate the signed request, then evaluate the op's permission
     * node against the user's effective policies; throws on either failure

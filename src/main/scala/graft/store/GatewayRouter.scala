@@ -1,0 +1,279 @@
+package graft.store
+
+import graft.store.GatewaySig.SignedRequest
+
+/**
+ * S3-gateway request routing — the reference's operation-resolution
+ * middleware (`pkg/gateway/middleware.go:155-171` + `:268-358`) and each
+ * operation's query/header SUB-routing (the `Handle` dispatch at the top
+ * of every `pkg/gateway/operations/<op>.go`), as pure functions:
+ *
+ *  1. [[parseRequestParts]] splits (host, url path) into
+ *     (repository, ref, path) for both path-style and
+ *     virtual-host-style addressing;
+ *  2. the parts SHAPE plus the HTTP method picks the coarse operation
+ *     (root / repository / path based tables, middleware.go:319-358);
+ *  3. query parameters and headers refine it — `?uploads` / `?uploadId` /
+ *     `partNumber` route the multipart lifecycle, `x-amz-copy-source`
+ *     makes a PUT a copy, `?location` / `?versioning` / `?tagging` answer
+ *     stub configuration reads, and each op's unsupported-subresource
+ *     list rejects what lakeFS does not implement.
+ *
+ * Combined with [[GatewaySig]] (authentication) and [[GatewayAuth]]
+ * (authorization) this is the full request path of the reference's
+ * gateway short of HTTP/XML transport: signed request in, resolved +
+ * authorized operation out.
+ */
+object GatewayRouter {
+
+  /** middleware.go:260-266. */
+  final case class RequestParts(repository: String, ref: String,
+      path: String, matchedHost: Boolean)
+
+  private def stripPort(host: String): String =
+    host.lastIndexOf(':') match {
+      case -1 => host
+      case i if host.drop(i + 1).forall(_.isDigit) => host.take(i)
+      case _ => host
+    }
+
+  /** ParseRequestParts (middleware.go:268-318): exact bare-domain match →
+    * path style; bare-domain suffix → virtual-host style (repo from the
+    * subdomain); unknown host → path style. Case-insensitive host
+    * comparison (memberFold). */
+  def parseRequestParts(host: String, urlPath: String,
+      bareDomains: Seq[String]): RequestParts = {
+    val trimmed = urlPath.stripPrefix("/")
+    val h = stripPort(host)
+    val ours = bareDomains.map(stripPort)
+    var repository = ""
+    var matched = false
+    var rest: Array[String] = Array.empty
+
+    if (ours.exists(_.equalsIgnoreCase(h))) {
+      val p = trimmed.split("/", 3)
+      repository = p(0)
+      rest = p.drop(1)
+      matched = true
+    } else {
+      ours.find(o => h.toLowerCase.endsWith("." + o.toLowerCase)) match {
+        case Some(o) =>
+          repository = h.dropRight(o.length + 1)
+          matched = true
+          rest = trimmed.split("/", 2)
+        case None =>
+          val p = trimmed.split("/", 3)
+          repository = p(0)
+          rest = p.drop(1)
+      }
+    }
+    RequestParts(
+      repository,
+      if (rest.length > 0) rest(0) else "",
+      if (rest.length > 1) rest(1) else "",
+      matched)
+  }
+
+  /** Resolved operations — the reference's OperationIDs plus the
+    * sub-routed forms each op's Handle dispatches to. */
+  sealed trait OpId { def name: String }
+  sealed abstract class Op(val name: String) extends OpId
+  case object ListBuckets extends Op("list_buckets")
+  case object GetObject extends Op("get_object")
+  case object HeadObject extends Op("head_object")
+  case object PutObject extends Op("put_object")
+  case object CopyObject extends Op("copy_object")
+  case object DeleteObject extends Op("delete_object")
+  case object DeleteObjects extends Op("delete_objects")
+  case object ListObjects extends Op("list_objects")
+  case object ListObjectsV2 extends Op("list_objects_v2")
+  case object HeadBucket extends Op("head_bucket")
+  case object PutBucket extends Op("put_bucket")
+  case object GetBucketLocation extends Op("get_bucket_location")
+  case object GetBucketVersioning extends Op("get_bucket_versioning")
+  case object GetObjectVersioning extends Op("get_object_versioning")
+  case object GetObjectTagging extends Op("get_object_tagging")
+  case object CreateMultipartUpload extends Op("create_multipart_upload")
+  case object CompleteMultipartUpload extends Op("complete_multipart_upload")
+  case object AbortMultipartUpload extends Op("abort_multipart_upload")
+  case object UploadPart extends Op("upload_part")
+  case object UploadPartCopy extends Op("upload_part_copy")
+  case object ListParts extends Op("list_parts")
+  case object ListMultipartUploads extends Op("list_multipart_uploads")
+  final case class Unsupported(subresource: String) extends OpId {
+    def name = s"unsupported:$subresource"
+  }
+  case object NotImplemented extends Op("not_implemented")
+  case object OperationNotFound extends Op("operation_not_found")
+
+  // per-op unsupported subresources (each Handle's HandleUnsupported list)
+  private val unsupportedByOp: Map[String, Seq[String]] = Map(
+    "get_object" -> Seq("torrent", "acl", "retention", "legal-hold", "lambdaArn"),
+    "put_object" -> Seq("torrent", "acl"),
+    "delete_object" -> Seq("tagging", "acl", "torrent"),
+    "post_object" -> Seq("select", "restore"),
+    "head_bucket" -> Seq("acl"),
+    "list_buckets" -> Seq("events"),
+    "list_objects" -> Seq("inventory", "metrics", "publicAccessBlock",
+      "ownershipControls", "intelligent-tiering", "analytics", "policy",
+      "lifecycle", "encryption", "object-lock", "replication",
+      "notification", "events", "acl", "cors", "website", "accelerate",
+      "requestPayment", "logging", "tagging", "versions", "policyStatus"))
+
+  private def firstUnsupported(op: String,
+      query: Seq[(String, String)]): Option[String] = {
+    val keys = query.map(_._1)
+    unsupportedByOp.getOrElse(op, Nil).find(keys.contains)
+  }
+
+  /** Resolve a request to its operation: the coarse method×shape table
+    * (middleware.go:319-358) refined by each op's own query/header
+    * dispatch. `query` keys are case-sensitive like Go's url.Values. */
+  def operationId(method: String, parts: RequestParts,
+      query: Seq[(String, String)] = Nil,
+      headers: Seq[(String, String)] = Nil): OpId = {
+    val m = method.toUpperCase
+    val keys = query.map(_._1).toSet
+    def header(n: String) = headers.collectFirst {
+      case (k, v) if k.equalsIgnoreCase(n) => v }
+
+    if (parts.repository.isEmpty) {
+      // rootBasedOperationID
+      if (m != "GET") OperationNotFound
+      else firstUnsupported("list_buckets", query).map(Unsupported(_))
+        .getOrElse(ListBuckets)
+    } else if (parts.ref.nonEmpty && parts.path.nonEmpty) {
+      // pathBasedOperationID + each op's Handle dispatch
+      m match {
+        case "DELETE" =>
+          firstUnsupported("delete_object", query).map(Unsupported(_))
+            .getOrElse {
+              if (keys.contains("uploadId")) AbortMultipartUpload
+              else DeleteObject
+            }
+        case "POST" =>
+          firstUnsupported("post_object", query).map(Unsupported(_))
+            .getOrElse {
+              if (keys.contains("uploads")) CreateMultipartUpload
+              else if (keys.contains("uploadId")) CompleteMultipartUpload
+              else OperationNotFound // postobject.go:236 default: error
+            }
+        case "GET" =>
+          firstUnsupported("get_object", query).map(Unsupported(_))
+            .getOrElse {
+              if (keys.contains("versioning")) GetObjectVersioning
+              else if (keys.contains("tagging")) GetObjectTagging
+              else if (keys.contains("uploadId")) ListParts
+              else GetObject
+            }
+        case "HEAD" => HeadObject
+        case "PUT" =>
+          firstUnsupported("put_object", query).map(Unsupported(_))
+            .getOrElse {
+              // putobject.go:300-325: uploadId → part (copy-source makes it
+              // a ranged part copy); copy-source alone → CopyObject;
+              // ?tagging unsupported; else the plain upload
+              if (keys.contains("uploadId")) {
+                if (header("x-amz-copy-source").isDefined) UploadPartCopy
+                else UploadPart
+              }
+              else if (header("x-amz-copy-source").isDefined) CopyObject
+              else if (keys.contains("tagging")) NotImplemented
+              else PutObject
+            }
+        case _ => OperationNotFound
+      }
+    } else if (parts.ref.isEmpty && parts.path.isEmpty) {
+      // repositoryBasedOperationID + ListObjects' own dispatch
+      m match {
+        case "DELETE" => NotImplemented // OperationIDUnsupportedOperation
+        case "PUT" => PutBucket
+        case "HEAD" =>
+          firstUnsupported("head_bucket", query).map(Unsupported(_))
+            .getOrElse(HeadBucket)
+        case "POST" => DeleteObjects
+        case "GET" =>
+          firstUnsupported("list_objects", query).map(Unsupported(_))
+            .getOrElse {
+              if (keys.contains("location")) GetBucketLocation
+              else if (keys.contains("uploads")) ListMultipartUploads
+              else if (keys.contains("versioning")) GetBucketVersioning
+              else query.collectFirst { case ("list-type", v) => v } match {
+                case None | Some("1") | Some("") => ListObjects
+                case Some("2") => ListObjectsV2
+                case Some(_) => OperationNotFound // bad list-type: ErrBadRequest
+              }
+            }
+        case _ => OperationNotFound
+      }
+    } else OperationNotFound // ref without path, or path without ref
+  }
+
+  /** The authorization key each routed op evaluates — the op's
+    * RequiredPermissions row in [[GatewayAuth.requiredPermission]]'s
+    * table. None = the op declares NO route-time permission in the
+    * reference: ListBuckets filters per-repo in its Handle
+    * (listbuckets.go:17-23), DeleteObjects authorizes PER KEY from the
+    * request body (deleteobjects.go:26-28,79-86 — mirrored by
+    * Gateway.deleteObjects' per-key outcomes), and not-found /
+    * unsupported fail before authorization. A top-level `delimiter=/`
+    * listing with a prefix above any branch enumerates BRANCHES
+    * (listobjects.go:39-60). */
+  def permissionOp(op: OpId,
+      query: Seq[(String, String)] = Nil): Option[String] = op match {
+    case GetObject | ListParts | GetObjectTagging |
+         GetObjectVersioning => Some("get_object")
+    case HeadObject => Some("head_object")
+    case PutObject | CopyObject | UploadPart | UploadPartCopy |
+         CreateMultipartUpload | CompleteMultipartUpload => Some("put_object")
+    case DeleteObject | AbortMultipartUpload => Some("delete_object")
+    case ListObjects | ListObjectsV2 =>
+      val delim = query.collectFirst { case ("delimiter", v) => v }.getOrElse("")
+      val prefix = query.collectFirst { case ("prefix", v) => v }.getOrElse("")
+      if (delim == "/" && !prefix.contains("/")) Some("list_branches")
+      else Some("list_objects")
+    case ListMultipartUploads | GetBucketLocation |
+         GetBucketVersioning => Some("list_objects")
+    case HeadBucket => Some("head_bucket")
+    case PutBucket => Some("put_bucket")
+    case ListBuckets | DeleteObjects => None
+    case _ => None
+  }
+
+  /** The routed view of a signed request: authentication input plus the
+    * resolved operation and addressing. */
+  final case class RoutedRequest(user: String, op: OpId,
+      repository: String, ref: String, path: String)
+
+  /** The gateway's full request path minus transport: authenticate the
+    * signed request (SigV4/V2/JavaV2 chain), resolve the operation, and
+    * authorize it against the user's effective policies — the
+    * AuthenticationHandler → EnrichWithOperation → authorize middleware
+    * chain collapsed to one call. Throws [[GatewaySig.SigError]] on
+    * signature failure and GatewayAuth.AccessDeniedException on
+    * authorization failure, exactly like the middleware's error split. */
+  def route(auth: GatewayAuth, req: SignedRequest, now: java.time.Instant,
+      bareDomains: Seq[String]): RoutedRequest = {
+    val bare = bareDomains.headOption.getOrElse(req.host)
+    val user = auth.authenticate(req, now, bare)
+    val parts = parseRequestParts(req.host, req.path, bareDomains)
+    val op = operationId(req.method, parts, req.query, req.headers)
+    permissionOp(op, req.query) match {
+      case Some(permOp) =>
+        // permissions take the OBJECT path, never the ref
+        // (handler.go:211 passes path; getobject.go:33 ignores the ref)
+        val copySrcPath = req.header("x-amz-copy-source") match {
+          case Some(src) => // "/repo/ref/path" → the source OBJECT path
+            src.stripPrefix("/").split("/", 3) match {
+              case Array(_, _, p) => p
+              case _ => ""
+            }
+          case None => ""
+        }
+        auth.authorizeKnown(user, permOp, parts.repository, parts.path,
+          copySrcPath)
+      case None => ()
+    }
+    RoutedRequest(user, op, parts.repository, parts.ref, parts.path)
+  }
+}

@@ -1,0 +1,185 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.store.GatewayRouter
+import graft.store.GatewayRouter._
+import graft.store.GatewaySig.SignedRequest
+
+/**
+ * Gateway request routing — ports `pkg/gateway/middleware_test.go`
+ * TestParseRequestParts verbatim, then pins the operation-resolution
+ * tables (middleware.go:319-358) with each op's query/header sub-routing,
+ * and drives the full authenticate→route→authorize chain end-to-end with
+ * a real SigV4-signed request.
+ */
+class GatewayRouterSpec extends AnyFunSuite {
+
+  private val bare = Seq("lakefs.example.com")
+
+  test("middleware_test.go TestParseRequestParts: the full 17-case table") {
+    val cases = Seq(
+      // (name, urlPath, host, repo, ref, path, matchedHost)
+      ("repo_only_virtual_style", "/", "foo.lakefs.example.com", "foo", "", "", true),
+      ("repo_only_virtual_style_1", "", "foo.lakefs.example.com", "foo", "", "", true),
+      ("repo_only_path_style", "/foo", "lakefs.dev", "foo", "", "", false),
+      ("repo_only_path_style_1", "/foo/", "lakefs.dev", "foo", "", "", false),
+      ("repo_only_path_style_2", "foo/", "lakefs.dev", "foo", "", "", false),
+      ("repo_branch_virtual_style", "/bar", "foo.lakefs.example.com", "foo", "bar", "", true),
+      ("repo_branch_virtual_style_1", "/bar/", "foo.lakefs.example.com", "foo", "bar", "", true),
+      ("repo_branch_virtual_style_2", "bar/", "foo.lakefs.example.com", "foo", "bar", "", true),
+      ("repo_branch_virtual_style_3", "bar", "foo.lakefs.example.com", "foo", "bar", "", true),
+      ("repo_branch_path_virtual_style", "bar/a/b/c", "foo.lakefs.example.com", "foo", "bar", "a/b/c", true),
+      ("repo_branch_path_virtual_style_1", "/bar/a/b/c", "foo.lakefs.example.com", "foo", "bar", "a/b/c", true),
+      ("repo_branch_path_virtual_style_2", "bar/a/b/c/", "foo.lakefs.example.com", "foo", "bar", "a/b/c/", true),
+      ("repo_branch_path_virtual_style_3", "/bar/a/b/c/", "foo.lakefs.example.com", "foo", "bar", "a/b/c/", true),
+      ("repo_branch_path_path_style", "foo/bar/a/b/c", "lakefs.dev", "foo", "bar", "a/b/c", false),
+      ("repo_branch_path_path_style_1", "/foo/bar/a/b/c", "lakefs.dev", "foo", "bar", "a/b/c", false),
+      ("repo_branch_path_path_style_2", "foo/bar/a/b/c/", "lakefs.dev", "foo", "bar", "a/b/c/", false),
+      ("repo_branch_path_path_style_3", "/foo/bar/a/b/c/", "lakefs.dev", "foo", "bar", "a/b/c/", false),
+      ("all_empty", "", "lakefs.example.com", "", "", "", true))
+    for ((name, urlPath, host, repo, ref, path, matched) <- cases) {
+      val got = parseRequestParts(host, urlPath, bare)
+      assert(got === RequestParts(repo, ref, path, matched), name)
+    }
+  }
+
+  test("host matching is case-insensitive and port-blind (memberFold + HostOnly)") {
+    assert(parseRequestParts("FOO.LakeFS.Example.COM", "/bar",
+      bare) === RequestParts("FOO", "bar", "", true))
+    assert(parseRequestParts("lakefs.example.com:8000", "/foo/bar",
+      bare) === RequestParts("foo", "bar", "", true))
+  }
+
+  private def pathParts = RequestParts("repo1", "main", "data/x.parquet", true)
+  private def repoParts = RequestParts("repo1", "", "", true)
+  private def rootParts = RequestParts("", "", "", true)
+
+  test("coarse tables: root / repository / path shapes by method") {
+    assert(operationId("GET", rootParts) === ListBuckets)
+    assert(operationId("PUT", rootParts) === OperationNotFound)
+    assert(operationId("GET", pathParts) === GetObject)
+    assert(operationId("HEAD", pathParts) === HeadObject)
+    assert(operationId("PUT", pathParts) === PutObject)
+    assert(operationId("DELETE", pathParts) === DeleteObject)
+    assert(operationId("GET", repoParts) === ListObjects)
+    assert(operationId("HEAD", repoParts) === HeadBucket)
+    assert(operationId("PUT", repoParts) === PutBucket)
+    assert(operationId("POST", repoParts) === DeleteObjects)
+    assert(operationId("DELETE", repoParts) === NotImplemented)
+    assert(operationId("PATCH", pathParts) === OperationNotFound)
+    // ref without path (a branch URL with trailing ambiguity) resolves to
+    // the repository shape only when BOTH are empty
+    assert(operationId("GET", RequestParts("r", "main", "", true)) ===
+      OperationNotFound)
+  }
+
+  test("multipart lifecycle sub-routing by query params") {
+    assert(operationId("POST", pathParts, Seq("uploads" -> "")) ===
+      CreateMultipartUpload)
+    assert(operationId("POST", pathParts, Seq("uploadId" -> "u1")) ===
+      CompleteMultipartUpload)
+    assert(operationId("POST", pathParts) === OperationNotFound)
+    assert(operationId("PUT", pathParts,
+      Seq("uploadId" -> "u1", "partNumber" -> "3")) === UploadPart)
+    assert(operationId("PUT", pathParts,
+      Seq("uploadId" -> "u1", "partNumber" -> "3"),
+      Seq("x-amz-copy-source" -> "/r/main/src")) === UploadPartCopy)
+    assert(operationId("DELETE", pathParts, Seq("uploadId" -> "u1")) ===
+      AbortMultipartUpload)
+    assert(operationId("GET", pathParts, Seq("uploadId" -> "u1")) === ListParts)
+    assert(operationId("GET", repoParts, Seq("uploads" -> "")) ===
+      ListMultipartUploads)
+  }
+
+  test("copy, config stubs, list versions, and unsupported subresources") {
+    assert(operationId("PUT", pathParts, Nil,
+      Seq("x-amz-copy-source" -> "/r/main/src")) === CopyObject)
+    assert(operationId("PUT", pathParts, Seq("tagging" -> "")) === NotImplemented)
+    assert(operationId("GET", pathParts, Seq("versioning" -> "")) ===
+      GetObjectVersioning)
+    assert(operationId("GET", pathParts, Seq("tagging" -> "")) ===
+      GetObjectTagging)
+    assert(operationId("GET", repoParts, Seq("location" -> "")) ===
+      GetBucketLocation)
+    assert(operationId("GET", repoParts, Seq("versioning" -> "")) ===
+      GetBucketVersioning)
+    assert(operationId("GET", repoParts, Seq("list-type" -> "2")) ===
+      ListObjectsV2)
+    assert(operationId("GET", repoParts, Seq("list-type" -> "1")) === ListObjects)
+    assert(operationId("GET", repoParts, Seq("list-type" -> "7")) ===
+      OperationNotFound)
+    // each op's HandleUnsupported list rejects before sub-routing
+    assert(operationId("GET", pathParts, Seq("torrent" -> "")) ===
+      Unsupported("torrent"))
+    assert(operationId("PUT", pathParts, Seq("acl" -> "")) === Unsupported("acl"))
+    assert(operationId("DELETE", pathParts, Seq("tagging" -> "")) ===
+      Unsupported("tagging"))
+    assert(operationId("GET", repoParts, Seq("lifecycle" -> "")) ===
+      Unsupported("lifecycle"))
+    assert(operationId("GET", rootParts, Seq("events" -> "")) ===
+      Unsupported("events"))
+  }
+
+  test("permissionOp: the reference's per-op permission rows") {
+    assert(permissionOp(GetObject) === Some("get_object"))
+    assert(permissionOp(UploadPart) === Some("put_object"))
+    assert(permissionOp(AbortMultipartUpload) === Some("delete_object"))
+    assert(permissionOp(PutBucket) === Some("put_bucket"))
+    assert(permissionOp(ListBuckets) === None)  // filtered per-repo in Handle
+    assert(permissionOp(DeleteObjects) === None) // per-KEY auth in Handle
+    // top-level delimiter listing enumerates BRANCHES (listobjects.go:39-60)
+    assert(permissionOp(ListObjectsV2,
+      Seq("delimiter" -> "/", "prefix" -> "")) === Some("list_branches"))
+    assert(permissionOp(ListObjectsV2,
+      Seq("delimiter" -> "/", "prefix" -> "main/x")) === Some("list_objects"))
+    assert(permissionOp(ListObjects, Seq("delimiter" -> "")) ===
+      Some("list_objects"))
+  }
+
+  test("route: authenticate → resolve → authorize, end to end") {
+    import graft.store.{AuthService, GatewayAuth, GatewaySig}
+    import graft.store.Rbac.{Policy, Statement}
+    val dir = java.nio.file.Files.createTempDirectory("router").toString
+    val a = new AuthService(dir)
+    val gw = new GatewayAuth(a)
+    a.createUser("alice")
+    a.writePolicy(Policy("readers", Seq(
+      Statement("allow", Seq("fs:ReadObject"),
+        "arn:lakefs:fs:::repository/repo1/object/data/*"),
+      Statement("allow", Seq("fs:ListBranches"),
+        "arn:lakefs:fs:::repository/repo1"))))
+    a.attachPolicyToUser("readers", "alice")
+    val c = a.createCredentials("alice")
+    val now = java.time.Instant.parse("2026-03-01T12:00:00Z")
+    def signed(method: String, path: String,
+        query: Seq[(String, String)] = Nil) =
+      GatewaySig.v4SignHeaders(
+        SignedRequest(method, "repo1.lakefs.example.com", path, query = query,
+          headers = Seq("Host" -> "repo1.lakefs.example.com")),
+        c.accessKeyId, c.secretAccessKey, "us-east-1", "s3", now,
+        payloadHash = Some(GatewaySig.payloadSha256Hex(Array.emptyByteArray)))
+
+    // a virtual-host-style GET routes, authenticates, and authorizes
+    val r = GatewayRouter.route(gw, signed("GET", "/main/data/a.parquet"),
+      now, bare)
+    assert(r === RoutedRequest("alice", GetObject, "repo1", "main",
+      "data/a.parquet"))
+    // top-level branch enumeration rides the ListBranches grant
+    val l = GatewayRouter.route(gw,
+      signed("GET", "/", Seq("delimiter" -> "/", "list-type" -> "2")), now, bare)
+    assert(l.op === ListObjectsV2 && l.repository === "repo1")
+    // an op outside the grant denies AFTER authentication
+    intercept[gw.AccessDeniedException] {
+      GatewayRouter.route(gw, signed("PUT", "/main/data/a.parquet"), now, bare)
+    }
+    // outside the granted prefix denies too
+    intercept[gw.AccessDeniedException] {
+      GatewayRouter.route(gw, signed("GET", "/main/prod/a.parquet"), now, bare)
+    }
+    // a tampered signature never reaches routing
+    val bad = signed("GET", "/main/data/a.parquet")
+      .copy(path = "/main/data/b.parquet")
+    intercept[GatewaySig.SigError] { GatewayRouter.route(gw, bad, now, bare) }
+  }
+}
