@@ -1130,10 +1130,11 @@ object VersionControlQueries {
           val virtualStyle = k % 2 == 0
           val objectShape = k % 4 < 2
           val method = Seq("GET", "PUT", "POST", "DELETE", "HEAD")(k % 5)
-          val q: Seq[(String, String)] = (k % 3) match {
+          val q: Seq[(String, String)] = (k % 4) match {
             case 0 => Nil
             case 1 => Seq("uploads" -> "")
-            case _ => Seq("uploadId" -> "u1", "partNumber" -> "1")
+            case 2 => Seq("uploadId" -> "u1", "partNumber" -> "1")
+            case _ => Seq("delete" -> "")
           }
           val host = if (virtualStyle) s"$name.gw.local" else "gw.local"
           val objPath = s"data/f$k.parquet"
@@ -1162,8 +1163,9 @@ object VersionControlQueries {
                  n_nationkey % 2 = 0 AS virt,
                  n_nationkey % 4 < 2 AS obj,
                  ['GET','PUT','POST','DELETE','HEAD'][n_nationkey % 5 + 1] AS method,
-                 CASE n_nationkey % 3 WHEN 0 THEN ''
-                      WHEN 1 THEN 'uploads' ELSE 'uploadId' END AS q
+                 CASE n_nationkey % 4 WHEN 0 THEN ''
+                      WHEN 1 THEN 'uploads' WHEN 2 THEN 'uploadId'
+                      ELSE 'delete' END AS q
           FROM nation
         )
         SELECT k,
@@ -1194,7 +1196,8 @@ object VersionControlQueries {
                      WHEN 'uploads' THEN 'list_multipart_uploads'
                      ELSE 'list_objects' END
                    WHEN 'PUT' THEN 'put_bucket'
-                   WHEN 'POST' THEN 'delete_objects'
+                   WHEN 'POST' THEN CASE q WHEN 'delete' THEN 'delete_objects'
+                                           ELSE 'not_implemented' END
                    WHEN 'DELETE' THEN 'not_implemented'
                    WHEN 'HEAD' THEN 'head_bucket'
                  END
@@ -1204,7 +1207,8 @@ object VersionControlQueries {
                    WHEN 'HEAD' THEN 'head_object'
                    WHEN 'GET' THEN 'get_object'
                    WHEN 'PUT' THEN 'put_object'
-                   WHEN 'POST' THEN CASE q WHEN '' THEN '' ELSE 'put_object' END
+                   WHEN 'POST' THEN CASE q WHEN 'uploads' THEN 'put_object'
+                     WHEN 'uploadId' THEN 'put_object' ELSE '' END
                    WHEN 'DELETE' THEN 'delete_object'
                  END
                ELSE

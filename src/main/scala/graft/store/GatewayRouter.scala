@@ -39,8 +39,9 @@ object GatewayRouter {
 
   /** ParseRequestParts (middleware.go:268-318): exact bare-domain match →
     * path style; bare-domain suffix → virtual-host style (repo from the
-    * subdomain); unknown host → path style. Case-insensitive host
-    * comparison (memberFold). */
+    * subdomain); unknown host → path style. The EXACT match is
+    * case-insensitive (memberFold); the suffix check is case-sensitive,
+    * exactly like the reference's strings.HasSuffix. */
   def parseRequestParts(host: String, urlPath: String,
       bareDomains: Seq[String]): RequestParts = {
     val trimmed = urlPath.stripPrefix("/")
@@ -56,7 +57,7 @@ object GatewayRouter {
       rest = p.drop(1)
       matched = true
     } else {
-      ours.find(o => h.toLowerCase.endsWith("." + o.toLowerCase)) match {
+      ours.find(o => h.endsWith("." + o)) match {
         case Some(o) =>
           repository = h.dropRight(o.length + 1)
           matched = true
@@ -191,7 +192,10 @@ object GatewayRouter {
         case "HEAD" =>
           firstUnsupported("head_bucket", query).map(Unsupported(_))
             .getOrElse(HeadBucket)
-        case "POST" => DeleteObjects
+        case "POST" =>
+          // deleteobjects.go:31-35: the op only handles the batch-delete
+          // form — a POST without ?delete is LakeFSNotSupported
+          if (keys.contains("delete")) DeleteObjects else NotImplemented
         case "GET" =>
           firstUnsupported("list_objects", query).map(Unsupported(_))
             .getOrElse {

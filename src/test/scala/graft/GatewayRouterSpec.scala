@@ -44,9 +44,14 @@ class GatewayRouterSpec extends AnyFunSuite {
     }
   }
 
-  test("host matching is case-insensitive and port-blind (memberFold + HostOnly)") {
+  test("host matching: exact is case-insensitive, suffix is not, ports strip") {
+    // memberFold covers the exact bare-domain match…
+    assert(parseRequestParts("LakeFS.Example.COM", "/foo/bar",
+      bare) === RequestParts("foo", "bar", "", true))
+    // …but the virtual-host suffix check is strings.HasSuffix — a
+    // case-mismatched suffix falls back to path-style parsing
     assert(parseRequestParts("FOO.LakeFS.Example.COM", "/bar",
-      bare) === RequestParts("FOO", "bar", "", true))
+      bare) === RequestParts("bar", "", "", false))
     assert(parseRequestParts("lakefs.example.com:8000", "/foo/bar",
       bare) === RequestParts("foo", "bar", "", true))
   }
@@ -65,7 +70,9 @@ class GatewayRouterSpec extends AnyFunSuite {
     assert(operationId("GET", repoParts) === ListObjects)
     assert(operationId("HEAD", repoParts) === HeadBucket)
     assert(operationId("PUT", repoParts) === PutBucket)
-    assert(operationId("POST", repoParts) === DeleteObjects)
+    // deleteobjects.go:31-35: only the ?delete form is the batch delete
+    assert(operationId("POST", repoParts, Seq("delete" -> "")) === DeleteObjects)
+    assert(operationId("POST", repoParts) === NotImplemented)
     assert(operationId("DELETE", repoParts) === NotImplemented)
     assert(operationId("PATCH", pathParts) === OperationNotFound)
     // ref without path (a branch URL with trailing ambiguity) resolves to
