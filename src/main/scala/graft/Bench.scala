@@ -548,9 +548,12 @@ object Bench {
         .map { case (s, v) => "\"" + s + "\":" + median(v) }
         .mkString("{", ",", "}")
     }.mkString("{", ",", "}")
-    // headline total = engine metrics only; bare_* twins are the comparison
+    // headline total = engine metrics only; bare_* twins are the
+    // comparison, and commit_contended is a DELIBERATE two-writer stress
+    // whose wall belongs in queries/trace, not a round-over-round total
     val total = samples.collect {
-      case (k, v) if v.nonEmpty && !k.startsWith("bare_") => median(v)
+      case (k, v) if v.nonEmpty && !k.startsWith("bare_") &&
+        k != "commit_contended" => median(v)
     }.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""queries_min":$qsMin,"trace":$trace,"passes":$passes,"sf":"$sfDir"}""")

@@ -5,6 +5,8 @@ import java.nio.file.Paths
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+import graft.operators.Listing
+
 /**
  * S3-gateway object operations over the engine: multipart uploads and
  * batch DeleteObjects (reference `pkg/gateway/operations/postobject.go`,
@@ -475,4 +477,165 @@ class Gateway(val engine: Engine) {
     GatewaySig.parseV4(req).flatMap(a => GatewaySig.v4Verify(req, a, secret,
       java.time.Instant.ofEpochSecond(nowEpochSec)))
       .map(_ => (req.method, req.path))
+
+  // ---- routed-operation execution (each operations/<op>.go Handle body) -----
+
+  /** The gateway's response families, transport stripped: what each
+    * operation's XML/headers would carry. */
+  sealed trait S3Result
+  /** GetObject: response geometry (bytes stream from `address` outside). */
+  final case class ObjectResult(status: Int, etag: String,
+      contentLength: Long, start: Long, end: Long, address: String) extends S3Result
+  /** HeadObject / HeadBucket. */
+  final case class StatResult(etag: String, sizeBytes: Long) extends S3Result
+  /** PutObject / CopyObject / CompleteMultipartUpload: the new ETag. */
+  final case class EtagResult(etag: String) extends S3Result
+  /** CreateMultipartUpload: the upload id. */
+  final case class IdResult(id: String) extends S3Result
+  /** Listings (objects, parts, uploads, delete outcomes). */
+  final case class PageResult(df: DataFrame) extends S3Result
+  /** DeleteObject / AbortMultipartUpload (204). */
+  case object NoContentResult extends S3Result
+  /** The config-read stubs (?location, ?versioning, ?tagging) — lakeFS
+    * answers an empty configuration (getobject.go:54-61,
+    * listobjects.go:371-389). */
+  final case class ConfigResult(body: String) extends S3Result
+  /** Unsupported subresource / not-implemented op / bad request. */
+  final case class ErrorResult(code: String) extends S3Result
+
+  private def xmlTagValues(body: String, tag: String): Seq[String] =
+    s"<$tag>([^<]*)</$tag>".r.findAllMatchIn(body).map(_.group(1)).toSeq
+
+  /**
+   * Execute a ROUTED request against the engine — the body of each
+   * `pkg/gateway/operations/<op>.go` Handle with HTTP/XML transport
+   * stripped (request bodies still arrive in the S3 wire shapes: the
+   * Delete and CompleteMultipartUpload XML documents are parsed here,
+   * matching `serde`'s field extraction). Authentication and
+   * authorization already happened in [[GatewayRouter.route]]; this is
+   * the handler the router's operation table selects.
+   *
+   * Read ops resolve through the full ref grammar like their engine
+   * twins; multipart part bodies contribute (size, sha256-etag) exactly
+   * like [[putObject]]'s metadata-only contract — object BYTES live at
+   * the physical address, never in the driver.
+   */
+  def handle(routed: GatewayRouter.RoutedRequest,
+      req: GatewaySig.SignedRequest,
+      nowEpochSec: Long = System.currentTimeMillis() / 1000): S3Result = {
+    import GatewayRouter._
+    val body = new String(req.body, java.nio.charset.StandardCharsets.UTF_8)
+    def q(name: String): String = req.queryGet(name).getOrElse("")
+    routed.op match {
+      case GetObject =>
+        val r = getObject(routed.ref, routed.path, req.header("Range"))
+        ObjectResult(r.status, r.etag, r.contentLength, r.start, r.end, r.address)
+      case HeadObject =>
+        val st = headObject(routed.ref, routed.path)
+        StatResult(st.etag, st.sizeBytes)
+      case PutObject =>
+        EtagResult(putObject(routed.ref, routed.path, req.body.length.toLong,
+          GatewaySig.payloadSha256Hex(req.body)))
+      case CopyObject =>
+        // putobject.go:50-64: source is "/repo/ref/path" (same-repo here,
+        // like the permission table)
+        req.header("x-amz-copy-source").getOrElse("")
+          .stripPrefix("/").split("/", 3) match {
+          case Array(_, srcRef, srcPath) =>
+            EtagResult(putObjectCopy(routed.ref, routed.path, srcRef, srcPath))
+          case _ => ErrorResult("InvalidCopySource")
+        }
+      case DeleteObject => deleteObject(routed.ref, routed.path); NoContentResult
+      case DeleteObjects =>
+        // the Delete XML document: <Object><Key>branch/path</Key></Object>…
+        val keys = xmlTagValues(body, "Key")
+        if (keys.isEmpty) ErrorResult("MalformedXML")
+        else PageResult(deleteObjects(keys, quiet = body.contains("<Quiet>true</Quiet>")))
+      case CreateMultipartUpload =>
+        IdResult(createMultipartUpload(routed.ref, routed.path,
+          nowEpochSec = nowEpochSec))
+      case UploadPart =>
+        q("partNumber").toIntOption match {
+          case None => ErrorResult("InvalidArgument")
+          case Some(pn) =>
+            val etag = GatewaySig.payloadSha256Hex(req.body)
+            uploadPart(q("uploadId"), pn, req.body.length.toLong, etag)
+            EtagResult(etag)
+        }
+      case UploadPartCopy =>
+        q("partNumber").toIntOption match {
+          case None => ErrorResult("InvalidArgument")
+          case Some(pn) =>
+            req.header("x-amz-copy-source").getOrElse("")
+              .stripPrefix("/").split("/", 3) match {
+              case Array(_, srcRef, srcPath) =>
+                val (_, etag) = uploadPartCopy(q("uploadId"), pn,
+                  srcRef, srcPath, req.header("x-amz-copy-source-range"))
+                EtagResult(etag)
+              case _ => ErrorResult("InvalidCopySource")
+            }
+        }
+      case CompleteMultipartUpload =>
+        // <Part><PartNumber>n</PartNumber><ETag>e</ETag></Part>…
+        val parts = xmlTagValues(body, "PartNumber").map(_.toInt)
+          .zip(xmlTagValues(body, "ETag"))
+        if (parts.isEmpty) ErrorResult("MalformedXML")
+        else EtagResult(completeMultipartUpload(q("uploadId"), parts)._1)
+      case AbortMultipartUpload =>
+        abortMultipartUpload(q("uploadId")); NoContentResult
+      case ListParts => PageResult(listParts(q("uploadId")))
+      case ListMultipartUploads =>
+        PageResult(listMultipartUploadsPage(q("prefix"), q("key-marker"),
+          q("upload-id-marker"),
+          q("max-uploads").toIntOption.filter(_ > 0).getOrElse(1000)))
+      case ListObjects | ListObjectsV2 =>
+        // listobjects.go ListV1/ListV2: keys are "ref/path" at repo scope —
+        // resolve the ref from the prefix's first segment and page with
+        // the composed P1+P2+P4+O2 operator
+        val prefix = q("prefix")
+        val delim = q("delimiter")
+        val maxKeys = q("max-keys").toIntOption.filter(_ > 0).getOrElse(1000)
+        val after = routed.op match {
+          case ListObjectsV2 => // ContinuationToken overrides StartAfter
+            Some(q("continuation-token")).filter(_.nonEmpty)
+              .getOrElse(q("start-after"))
+          case _ => q("marker")
+        }
+        val i = prefix.indexOf('/')
+        if (i <= 0) {
+          // a prefix above any ref enumerates branches as common prefixes
+          import spark.implicits._
+          val branches = engine.refs.branches.keys.toSeq.sorted
+            .filter(b => prefix.isEmpty || b.startsWith(prefix))
+            .map(b => (s"$b/", "common_prefix"))
+          PageResult(branches.toDF("name", "entry_type"))
+        } else {
+          val ref = prefix.take(i)
+          val keys = engine.list(ref, includeStaged = false)
+            .select(concat(lit(ref + "/"), col("key")).as("key"))
+          val page =
+            if (routed.op == ListObjectsV2)
+              Listing.s3ListPage(keys, prefix, delim,
+                Some(after).filter(_.nonEmpty), maxKeys)
+            else Listing.s3ListPageV1(keys, prefix, delim,
+              Some(after).filter(_.nonEmpty), maxKeys)
+          PageResult(page)
+        }
+      case HeadBucket => StatResult(routed.repository, 0L)
+      case GetBucketLocation => ConfigResult("")       // defaultBucketLocation
+      case GetBucketVersioning | GetObjectVersioning =>
+        ConfigResult("<VersioningConfiguration/>")     // serde stub
+      case GetObjectTagging => ConfigResult("<Tagging/>")
+      case PutBucket =>
+        // putbucket.go: repos are never created through the gateway — an
+        // existing repo answers 409 BucketAlreadyExists, else NotImplemented
+        ErrorResult("ErrNotImplemented")
+      case ListBuckets =>
+        // repo-scoped gateway: the catalog-level handler owns this
+        ErrorResult("ErrNotImplemented")
+      case Unsupported(sub) => ErrorResult(s"ERRLakeFSNotSupported:$sub")
+      case NotImplemented => ErrorResult("ErrNotImplemented")
+      case OperationNotFound => ErrorResult("ErrNoSuchOperation")
+    }
+  }
 }
