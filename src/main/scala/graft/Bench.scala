@@ -435,6 +435,19 @@ object Bench {
         addStep("growth", "diff_1x", clock { storeT.diff(mT, m2T).count() })
         addStep("growth", "diff_10x", clock { storeS.diff(mS, m2S).count() })
         addStep("growth", "diff_100x", clock { storeB.diff(mB, m2B).count() })
+        // point-get flatness: the same 8 keys (present in every repo)
+        // through the manifest seek — latency must track the RANGE, not
+        // the repo, so the three clocks should be near-identical
+        val pkeys = delta.select("key").limit(8).collect()
+          .map(_.getString(0)).sorted
+        def points(st: SnapshotStore, m: String): Unit =
+          pkeys.foreach { k =>
+            require(graft.store.EntryIO.committedPoint(st, m, k).isDefined,
+              s"growth point_get missed $k")
+          }
+        addStep("growth", "point_1x", clock { points(storeT, mT) })
+        addStep("growth", "point_10x", clock { points(storeS, mS) })
+        addStep("growth", "point_100x", clock { points(storeB, mB) })
         tiny.unpersist(); mid.unpersist(); delta.unpersist()
       } catch { case e: Throwable =>
         System.err.println(s"[bench] growth guard failed (continuing): ${e.getMessage}")

@@ -139,11 +139,25 @@ class CrossProcessCasSpec extends SparkSpec {
   }
 
   test("two engines race real commits: all keys land, history stays linear") {
+    engineCommitRace(backend = "lockfile")
+  }
+
+  test("two engines race real commits over the FILE-GENERATION backend") {
+    // the durable hard-link CAS carries the same full-commit contract
+    engineCommitRace(backend = "filegen")
+  }
+
+  private def engineCommitRace(backend: String): Unit = {
     import spark.implicits._
-    val dir = tmpDir("engrace")
-    val a = new Engine(spark, dir, raggedness = 100)
+    val dir = tmpDir(s"engrace-$backend")
+    def cond(): ConditionalStore = backend match {
+      case "filegen" => new EtagStore(
+        new graft.store.FileGenerationBlob(Paths.get(dir).resolve("_gen")))
+      case _ => ConditionalStore.default
+    }
+    val a = new Engine(spark, dir, raggedness = 100, conditional = cond())
     a.init("main", Some(Seq(("seed", "s")).toDF("key", "identity")))
-    val b = new Engine(spark, dir, raggedness = 100)
+    val b = new Engine(spark, dir, raggedness = 100, conditional = cond())
     val engines = Seq(a, b)
     val keys = for (e <- 0 to 1; i <- 1 to 3) yield (e, s"key-e$e-$i")
     val pool = Executors.newFixedThreadPool(6)
