@@ -1,0 +1,216 @@
+package graft
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.time.Instant
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.store.GatewaySig
+import graft.store.GatewaySig._
+
+/**
+ * Property-based laws for the signature suite, over generated requests
+ * (deterministic fixed-seed ScalaCheck samples, like PropertySpec):
+ *
+ *  - sign → parse → verify succeeds for arbitrary method/path/query/
+ *    header/body combinations, across V4 header auth, V4 presigned, V2,
+ *    and JavaV2;
+ *  - any single tamper — path, query value, signed header value, body
+ *    byte, or one signature hex digit — fails verification;
+ *  - EncodePath round-trips through percent-decoding for arbitrary
+ *    unicode paths.
+ *
+ * Security code earns trust from adversarial inputs, not examples — the
+ * doc vectors in GatewaySigSpec pin the constants; these laws pin the
+ * behavior everywhere else.
+ */
+class GatewaySigPropertySpec extends AnyFunSuite {
+
+  private val now = Instant.parse("2026-04-01T08:30:00Z")
+  private val AK = "AKIAJPROPERTYTESTTQ"
+  private val SK = "property-secret/with+specials=="
+
+  private def samples[T](g: Gen[T], n: Int): Seq[T] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(1337L + i)))
+
+  private val segGen: Gen[String] = Gen.oneOf(
+    Gen.alphaNumStr.map(_.take(8)).suchThat(_.nonEmpty),
+    Gen.oneOf("with space", "üñïçødé", "a+b=c", "dollar$file", "tilde~ok",
+      "par(en)s", "comma,sep", "😀emoji"))
+  private val pathGen: Gen[String] =
+    Gen.nonEmptyListOf(segGen).map(segs => "/" + segs.take(4).mkString("/"))
+  private val queryGen: Gen[Seq[(String, String)]] =
+    Gen.listOf(Gen.zip(
+      Gen.oneOf("prefix", "marker", "list-type", "Zz-Custom", "empty"),
+      Gen.oneOf("", "a b", "x/y", "100", "ü", "a&b=c"))).map(_.take(4).distinct)
+  private val headerGen: Gen[Seq[(String, String)]] =
+    Gen.listOf(Gen.zip(
+      Gen.oneOf("x-amz-meta-tag", "x-amz-storage-class", "Content-Type"),
+      Gen.oneOf("v1", "two  spaces", " padded ", "text/plain; charset=utf-8")))
+      .map(_.take(3).distinctBy(_._1))
+  private val bodyGen: Gen[Array[Byte]] =
+    Gen.oneOf(
+      Gen.const(Array.emptyByteArray),
+      Gen.listOf(Gen.chooseNum(-128, 127).map(_.toByte)).map(_.take(64).toArray))
+  private val methodGen: Gen[String] =
+    Gen.oneOf("GET", "PUT", "POST", "DELETE", "HEAD")
+
+  private val requestGen: Gen[SignedRequest] = for {
+    m <- methodGen
+    p <- pathGen
+    q <- queryGen
+    h <- headerGen
+    b <- bodyGen
+  } yield SignedRequest(m, "bucket.gw.example", p, query = q,
+    headers = ("Host" -> "bucket.gw.example") +: h, body = b)
+
+  private def v4Signed(req: SignedRequest): SignedRequest =
+    v4SignHeaders(req, AK, SK, "eu-west-1", "s3", now,
+      payloadHash = Some(payloadSha256Hex(req.body)))
+
+  private def verifyReq(req: SignedRequest,
+      secret: String = SK): Either[SigError, Array[Byte]] =
+    parseChain(req).flatMap(p => verify(p, req, secret, now, "gw.example"))
+
+  test("V4 header auth: sign → parse → verify for arbitrary requests") {
+    samples(requestGen, 60).foreach { r =>
+      val signed = v4Signed(r)
+      val out = verifyReq(signed)
+      assert(out.isRight, s"case: $r → $out")
+      assert(out.toOption.get.sameElements(r.body), s"case: $r")
+    }
+  }
+
+  test("V4: every single tamper fails verification") {
+    samples(requestGen, 25).foreach { r =>
+      val signed = v4Signed(r)
+      def mustFail(mut: SignedRequest, what: String): Unit =
+        assert(verifyReq(mut) === Left(ErrSignatureDoesNotMatch),
+          s"$what must break the signature: $r")
+      mustFail(signed.copy(path = signed.path + "x"), "path tamper")
+      mustFail(signed.withQuery(Seq("evil" -> "1")), "query addition")
+      if (r.body.nonEmpty) {
+        val b = signed.body.clone(); b(0) = (b(0) ^ 1).toByte
+        mustFail(signed.copy(body = b), "body flip")
+      }
+      mustFail(signed.copy(method =
+        if (signed.method == "GET") "PUT" else "GET"), "method swap")
+      // flip one hex digit of the signature itself
+      val auth = signed.header("Authorization").get
+      val i = auth.length - 1
+      val flipped = auth.updated(i, if (auth(i) == 'a') 'b' else 'a')
+      val mutated = signed.copy(headers = signed.headers.map {
+        case ("Authorization", _) => ("Authorization", flipped)
+        case kv => kv
+      })
+      assert(verifyReq(mutated).isLeft, s"signature digit flip: $r")
+      // wrong secret
+      assert(verifyReq(signed, "other") === Left(ErrSignatureDoesNotMatch))
+    }
+  }
+
+  test("V4 presigned: generate → verify; expiry boundary is exact") {
+    samples(Gen.zip(pathGen, Gen.chooseNum(1L, 800L)), 40).foreach {
+      case (p, expires) =>
+        val base = SignedRequest("GET", "bucket.gw.example", p,
+          headers = Seq("Host" -> "bucket.gw.example"))
+        val pre = presignV4(base, AK, SK, "eu-west-1", "s3", now, expires)
+        assert(verifyReq(pre).isRight, s"presign $p")
+        // now + expires is the last valid instant; one second past expires
+        val lastOk = parseV4(pre).flatMap(a =>
+          v4Verify(pre, a, SK, now.plusSeconds(expires)))
+        assert(lastOk.isRight, s"boundary $expires")
+        val justOver = parseV4(pre).flatMap(a =>
+          v4Verify(pre, a, SK, now.plusSeconds(expires + 1)))
+        assert(justOver === Left(ErrExpiredPresignRequest), s"over $expires")
+    }
+  }
+
+  test("V2 and JavaV2: sign → parse → verify; tampered query fails") {
+    samples(Gen.zip(pathGen, queryGen), 40).foreach { case (p, q) =>
+      // V2 (header auth, dated)
+      val dated = SignedRequest("GET", "b.gw.example", p, query = q,
+        headers = Seq(
+          "Host" -> "b.gw.example",
+          "Date" -> java.time.format.DateTimeFormatter.RFC_1123_DATE_TIME
+            .format(now.atOffset(java.time.ZoneOffset.UTC))))
+      val sig2 = java.util.Base64.getEncoder.encodeToString(
+        v2Sign(dated, SK, "gw.example"))
+      val v2req = dated.withHeader("Authorization", s"AWS $AK:$sig2")
+      assert(verifyReq(v2req).isRight, s"v2 $p $q")
+      // tamper an INTERESTING subresource (uploads is in the v2 canon)
+      assert(verifyReq(v2req.withQuery(Seq("uploads" -> ""))) ===
+        Left(ErrSignatureDoesNotMatch), s"v2 tamper $p")
+
+      // JavaV2 (query auth, POST-hardwired string to sign)
+      val ts = java.time.format.DateTimeFormatter
+        .ofPattern("uuuu-MM-dd'T'HH:mm:ss.SSS'Z'")
+        .format(java.time.LocalDateTime.ofInstant(now, java.time.ZoneOffset.UTC))
+      val jbase = SignedRequest("GET", "b.gw.example", p,
+        query = q.filterNot(kv => kv._1.equalsIgnoreCase("signature")) ++ Seq(
+          "AWSAccessKeyId" -> AK, "SignatureMethod" -> "HmacSHA256",
+          "SignatureVersion" -> "2", "Timestamp" -> ts))
+      val jsig = java.util.Base64.getEncoder.encodeToString(
+        javaV2Sign(jbase, SK, "gw.example"))
+      val jreq = jbase.withQuery(Seq("Signature" -> jsig))
+      assert(verifyReq(jreq).isRight, s"javav2 $p $q")
+      assert(verifyReq(jreq.withQuery(Seq("x" -> "tamper"))) ===
+        Left(ErrSignatureDoesNotMatch), s"javav2 tamper $p")
+    }
+  }
+
+  test("EncodePath: percent-decoding the encoding recovers the path") {
+    def percentDecode(s: String): String = {
+      val out = new java.io.ByteArrayOutputStream()
+      var i = 0
+      while (i < s.length) {
+        if (s(i) == '%') {
+          out.write(Integer.parseInt(s.substring(i + 1, i + 3), 16)); i += 3
+        } else { out.write(s(i).toString.getBytes(UTF_8)); i += 1 }
+      }
+      new String(out.toByteArray, UTF_8)
+    }
+    samples(pathGen, 80).foreach { p =>
+      val enc = encodePath(p)
+      assert(percentDecode(enc) === p, s"path $p → $enc")
+      // the encoded form carries only unreserved chars, '/', and escapes
+      assert(enc.forall(c => c.isLetterOrDigit && c < 128 ||
+        "-_.~/%".contains(c)), s"alphabet: $enc")
+    }
+  }
+
+  test("chunked streaming: decode(encode(chunks)) = payload, any flip fails") {
+    val chunkGen: Gen[List[Array[Byte]]] = Gen.listOfN(3,
+      Gen.chooseNum(1, 300).map(n => Array.fill[Byte](n)(('a' + n % 26).toByte)))
+    samples(chunkGen, 15).foreach { (chunks: List[Array[Byte]]) =>
+      val decodedLen = chunks.map(_.length).sum
+      val unsigned = SignedRequest("PUT", "b.gw.example", "/obj",
+        headers = Seq("Host" -> "b.gw.example",
+          "x-amz-content-sha256" -> "STREAMING-AWS4-HMAC-SHA256-PAYLOAD",
+          "X-Amz-Decoded-Content-Length" -> decodedLen.toString))
+      val signed = v4SignHeaders(unsigned, AK, SK, "eu-west-1", "s3", now)
+      val seed = signed.header("Authorization").get.split("Signature=").last
+      val body = new java.io.ByteArrayOutputStream()
+      var prev = seed
+      for (c <- chunks :+ Array.emptyByteArray) {
+        val sig = chunkSignature(SK, prev, "eu-west-1", "s3", now,
+          payloadSha256Hex(c))
+        body.write(f"${c.length}%x;chunk-signature=$sig\r\n".getBytes(UTF_8))
+        body.write(c); body.write("\r\n".getBytes(UTF_8))
+        prev = sig
+      }
+      val req = signed.copy(body = body.toByteArray)
+      val out = verifyReq(req)
+      assert(out.isRight, s"chunks ${chunks.map(_.length)}")
+      assert(out.toOption.get.sameElements(Array.concat(chunks: _*)))
+      // flip one payload byte: the chunk chain must reject
+      val corrupt = req.body.clone()
+      val idx = corrupt.indexOfSlice("\r\n".getBytes(UTF_8)) + 2
+      corrupt(idx) = (corrupt(idx) ^ 1).toByte
+      assert(verifyReq(req.copy(body = corrupt)).isLeft,
+        s"corrupt chunks ${chunks.map(_.length)}")
+    }
+  }
+}
