@@ -767,6 +767,54 @@ object TextQueries {
         ORDER BY side""")
         .replaceFirst("WITH ", "WITH RECURSIVE "))),
 
+    // Dedup-aware LOSS WEIGHTS — the softer alternative to dropping
+    // near-duplicates: keep every doc but weight its training loss by
+    // 1/group_size so a 40-copy boilerplate cluster contributes one doc's
+    // worth of gradient. Weight as integer ppm (1000000 div size) so both
+    // engines agree exactly; singleton docs (no near-dup edge) weigh 1.0.
+    // The sum of weights per group is then ≤ 1e6 with equality iff size
+    // divides it — the per-doc rows make that auditable downstream. Scale
+    // shape: the shared LSH component labels + one group-size aggregate +
+    // one join; no window, no all-pairs.
+    "td_dedup_weights" -> (((s: SparkSession, d: String) => {
+      val docs = plantedDocs(s, d).select("doc_id")
+      val labels = dedupLabels(s, d)
+      val grouped = docs
+        .join(labels.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("grp"))
+      val sizes = grouped.groupBy("grp")
+        .agg(count(lit(1)).cast("long").as("group_size"))
+      grouped.join(sizes, "grp")
+        .withColumn("weight_ppm", expr("1000000 DIV group_size").cast("long"))
+        .select("doc_id", "grp", "group_size", "weight_ppm")
+        .orderBy("doc_id")
+    }),
+      Some((s"""$docsSql $plantedDocsSql ${shinglesSqlFrom("docsp")} $minhashCtesSql,
+        edges AS (
+          SELECT doc_a AS a, doc_b AS b FROM est WHERE n_eq >= 8
+          UNION ALL
+          SELECT doc_b, doc_a FROM est WHERE n_eq >= 8
+        ),
+        nodes AS (SELECT DISTINCT a AS id FROM edges),
+        reach AS (
+          SELECT id, id AS r FROM nodes
+          UNION
+          SELECT reach.id, e.b FROM reach JOIN edges e ON reach.r = e.a
+        ),
+        comp AS (SELECT id, min(r) AS canonical_id FROM reach GROUP BY id),
+        grouped AS (
+          SELECT d.doc_id, coalesce(c.canonical_id, d.doc_id) AS grp
+          FROM docsp d LEFT JOIN comp c ON d.doc_id = c.id
+        ),
+        sizes AS (
+          SELECT grp, CAST(count(*) AS BIGINT) AS group_size
+          FROM grouped GROUP BY grp
+        )
+        SELECT doc_id, grouped.grp, group_size,
+               CAST(1000000 // group_size AS BIGINT) AS weight_ppm
+        FROM grouped JOIN sizes USING (grp) ORDER BY doc_id""")
+        .replaceFirst("WITH ", "WITH RECURSIVE "))),
+
     // Deterministic stratified sampling — the per-source quota downsample
     // every mixture plan executes: rank docs WITHIN each source by a
     // content-stable hash (sha256 of doc_id — a reproducible shuffle, same

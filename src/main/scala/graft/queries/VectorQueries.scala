@@ -412,6 +412,84 @@ object VectorQueries {
           FROM scored
         ) WHERE rnk <= 3 ORDER BY src, rnk""")),
 
+    // Semi-supervised quality AUTO-LABELING: one label-propagation step
+    // over the kNN graph — seed docs (vec_id % 10 == 0) carry a
+    // deterministic quality label; every unlabeled doc takes the MAJORITY
+    // label of its labeled top-3 neighbors (ties to the lexicographically
+    // first label). The workhorse for extending a small human-rated set
+    // across a corpus. Scale shape: the same banded-candidate kNN as
+    // emb_knn_graph (equi-join + per-src window) + one vote aggregate +
+    // one rank — no all-pairs, no iteration-to-fixpoint (one hop is the
+    // auditable unit; more hops = re-running the row on its own output).
+    "emb_label_prop" -> (((s: SparkSession, d: String) => {
+      val emb = Fixtures.embeddings(s, d)
+        .select(col("vec_id"), quantize(col("embedding")).as("q"))
+      val banded = bandKeys(emb.select(col("vec_id"), sig16(col("q")).as("sig")))
+      val a = banded.select(col("bk"), col("vec_id").as("src"))
+      val b = banded.select(col("bk"), col("vec_id").as("dst"))
+      val cands = a.join(b, Seq("bk")).where(col("src") =!= col("dst"))
+        .select("src", "dst").distinct()
+      val knn = cands
+        .join(emb.select(col("vec_id").as("src"), col("q").as("qa")), Seq("src"))
+        .join(emb.select(col("vec_id").as("dst"), col("q").as("qb")), Seq("dst"))
+        .withColumn("sim", cosine(col("qa"), col("qb")))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy("src").orderBy(desc("sim"), asc("dst"))))
+        .where(col("rnk") <= 3)
+        .select("src", "dst")
+      val seeds = emb.where(col("vec_id") % 10 === 0)
+        .select(col("vec_id"),
+          when(expr("vec_id DIV 10") % 3 =!= 0, lit("hi"))
+            .otherwise(lit("lo")).as("label"))
+      val votes = knn
+        .join(seeds.withColumnRenamed("vec_id", "dst"), Seq("dst"))
+        .groupBy("src", "label").agg(count(lit(1)).cast("long").as("votes"))
+      votes
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("src").orderBy(desc("votes"), asc("label"))))
+        .where(col("rk") === 1)
+        .join(seeds.select(col("vec_id").as("src")), Seq("src"), "left_anti")
+        .select(col("src").as("vec_id"), col("label").as("propagated"),
+          col("votes"))
+        .orderBy("vec_id")
+    }),
+      Some(s"""
+        WITH q AS (SELECT vec_id, $qvecSql AS qv FROM embeddings),
+        sig AS (SELECT vec_id, $sig16Sql AS sig FROM q),
+        banded AS (
+          SELECT vec_id, CAST(t AS VARCHAR) || ':' || substr(sig, t*4+1, 4) AS bk
+          FROM sig CROSS JOIN (SELECT unnest([0,1,2,3]) AS t)
+        ),
+        cands AS (
+          SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+          FROM banded a JOIN banded b ON a.bk = b.bk AND a.vec_id <> b.vec_id
+        ),
+        knn AS (
+          SELECT src, dst FROM (
+            SELECT src, dst,
+                   row_number() OVER (PARTITION BY src
+                     ORDER BY ${cosSql("x.qv", "y.qv")} DESC, dst) AS rnk
+            FROM cands JOIN q x ON x.vec_id = src JOIN q y ON y.vec_id = dst
+          ) WHERE rnk <= 3
+        ),
+        seeds AS (
+          SELECT vec_id,
+                 CASE WHEN (vec_id // 10) % 3 <> 0 THEN 'hi' ELSE 'lo' END AS label
+          FROM q WHERE vec_id % 10 = 0
+        ),
+        votes AS (
+          SELECT src, label, CAST(count(*) AS BIGINT) AS votes
+          FROM knn JOIN seeds ON knn.dst = seeds.vec_id
+          GROUP BY src, label
+        )
+        SELECT src AS vec_id, label AS propagated, votes FROM (
+          SELECT src, label, votes,
+                 row_number() OVER (PARTITION BY src
+                   ORDER BY votes DESC, label) AS rk
+          FROM votes
+        ) WHERE rk = 1 AND src NOT IN (SELECT vec_id FROM seeds)
+        ORDER BY vec_id""")),
+
     "emb_lsh_ann" -> (((s: SparkSession, d: String) => {
       val emb = withPlanted(Fixtures.embeddings(s, d)
         .select(col("vec_id"), quantize(col("embedding")).as("q")))

@@ -40,6 +40,10 @@ class PlanShapeSpec extends SparkSpec {
     "vc_local_sync",
     // knn graph: LSH bucket equi-join candidates + per-src rank window
     "emb_knn_graph",
+    // label propagation: the same banded kNN + seed equi-join + vote agg
+    "emb_label_prop",
+    // dedup weights: LSH component labels + one size agg + one group join
+    "td_dedup_weights",
     // DSIR: tiny bucket table broadcast onto the bigram stream, no pair join
     "td_dsir",
     // symlink manifests: one group-by-dir shuffle, no join at all
