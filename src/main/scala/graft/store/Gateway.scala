@@ -524,7 +524,10 @@ class Gateway(val engine: Engine) {
       req: GatewaySig.SignedRequest,
       nowEpochSec: Long = System.currentTimeMillis() / 1000): S3Result = {
     import GatewayRouter._
-    val body = new String(req.body, java.nio.charset.StandardCharsets.UTF_8)
+    // the VERIFIED payload (chunk-decoded for streaming bodies) — never
+    // the wire body
+    val payload = routed.payload
+    val body = new String(payload, java.nio.charset.StandardCharsets.UTF_8)
     def q(name: String): String = req.queryGet(name).getOrElse("")
     routed.op match {
       case GetObject =>
@@ -534,8 +537,8 @@ class Gateway(val engine: Engine) {
         val st = headObject(routed.ref, routed.path)
         StatResult(st.etag, st.sizeBytes)
       case PutObject =>
-        EtagResult(putObject(routed.ref, routed.path, req.body.length.toLong,
-          GatewaySig.payloadSha256Hex(req.body)))
+        EtagResult(putObject(routed.ref, routed.path, payload.length.toLong,
+          GatewaySig.payloadSha256Hex(payload)))
       case CopyObject =>
         // putobject.go:50-64: source is "/repo/ref/path" (same-repo here,
         // like the permission table)
@@ -558,8 +561,8 @@ class Gateway(val engine: Engine) {
         q("partNumber").toIntOption match {
           case None => ErrorResult("InvalidArgument")
           case Some(pn) =>
-            val etag = GatewaySig.payloadSha256Hex(req.body)
-            uploadPart(q("uploadId"), pn, req.body.length.toLong, etag)
+            val etag = GatewaySig.payloadSha256Hex(payload)
+            uploadPart(q("uploadId"), pn, payload.length.toLong, etag)
             EtagResult(etag)
         }
       case UploadPartCopy =>

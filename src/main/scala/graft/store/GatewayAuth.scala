@@ -37,7 +37,16 @@ final class GatewayAuth(auth: AuthService) {
     * access key, verify the signature with an injected clock, and load the
     * user. Returns the authenticated username. */
   def authenticate(req: SignedRequest, now: Instant,
-      bareDomain: String = ""): String = {
+      bareDomain: String = ""): String =
+    authenticateVerified(req, now, bareDomain)._1
+
+  /** [[authenticate]] plus the VERIFIED payload — for aws-chunked
+    * streaming bodies this is the decoded content with every chunk
+    * signature checked (the reference wraps the body reader,
+    * v4.go:218-223; here the decoded bytes return directly). Handlers
+    * must consume THIS, not the wire body. */
+  def authenticateVerified(req: SignedRequest, now: Instant,
+      bareDomain: String = ""): (String, Array[Byte]) = {
     def denied = new AccessDeniedException("credentials rejected")
     val parsed: ParsedAuth = GatewaySig.parseChain(req) match {
       case Right(p) => p
@@ -45,12 +54,13 @@ final class GatewayAuth(auth: AuthService) {
     }
     val (cred, secret) = auth.secretForKey(parsed.accessKeyId)
       .getOrElse(throw denied) // unknown key: generic deny (mw:55-59)
-    GatewaySig.verify(parsed, req, secret, now, bareDomain) match {
-      case Right(_) => ()
+    val payload = GatewaySig.verify(parsed, req, secret, now, bareDomain) match {
+      case Right(p) => p
       case Left(e: SigError) => throw e // verify failures are specific (mw:61-65)
     }
-    try auth.getUser(cred.username).username
-    catch { case _: RuntimeException => throw denied }
+    val user = try auth.getUser(cred.username).username
+      catch { case _: RuntimeException => throw denied }
+    (user, payload)
   }
 
   /** The non-gateway credential check: raw key+secret, constant-time —

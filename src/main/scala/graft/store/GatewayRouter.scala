@@ -244,10 +244,13 @@ object GatewayRouter {
     case _ => None
   }
 
-  /** The routed view of a signed request: authentication input plus the
-    * resolved operation and addressing. */
+  /** The routed view of a signed request: the authenticated principal,
+    * the resolved operation and addressing, and the VERIFIED payload —
+    * for aws-chunked streaming bodies the decoded content (chunk
+    * signatures checked), which is what handlers must consume. */
   final case class RoutedRequest(user: String, op: OpId,
-      repository: String, ref: String, path: String)
+      repository: String, ref: String, path: String,
+      payload: Array[Byte] = Array.emptyByteArray)
 
   /** The gateway's full request path minus transport: authenticate the
     * signed request (SigV4/V2/JavaV2 chain), resolve the operation, and
@@ -259,7 +262,7 @@ object GatewayRouter {
   def route(auth: GatewayAuth, req: SignedRequest, now: java.time.Instant,
       bareDomains: Seq[String]): RoutedRequest = {
     val bare = bareDomains.headOption.getOrElse(req.host)
-    val user = auth.authenticate(req, now, bare)
+    val (user, payload) = auth.authenticateVerified(req, now, bare)
     val parts = parseRequestParts(req.host, req.path, bareDomains)
     val op = operationId(req.method, parts, req.query, req.headers)
     permissionOp(op, req.query) match {
@@ -278,6 +281,6 @@ object GatewayRouter {
           copySrcPath)
       case None => ()
     }
-    RoutedRequest(user, op, parts.repository, parts.ref, parts.path)
+    RoutedRequest(user, op, parts.repository, parts.ref, parts.path, payload)
   }
 }

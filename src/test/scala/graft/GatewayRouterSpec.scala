@@ -247,6 +247,38 @@ class GatewayRouterSpec extends AnyFunSuite {
         assert(df.collect().map(_.getString(1)).toSeq === Seq("deleted", "deleted"))
       case other => fail(s"unexpected: $other")
     }
+    // an aws-chunked STREAMING put: handle must store the DECODED payload's
+    // length and hash, never the chunked wire body's
+    locally {
+      val content = Array.fill[Byte](100)('z')
+      val unsigned = SignedRequest("PUT", "repo1.lakefs.example.com",
+        "/main/data/streamed.bin",
+        headers = Seq("Host" -> "repo1.lakefs.example.com",
+          "x-amz-content-sha256" -> "STREAMING-AWS4-HMAC-SHA256-PAYLOAD",
+          "X-Amz-Decoded-Content-Length" -> content.length.toString))
+      val signedReq = GatewaySig.v4SignHeaders(unsigned, c.accessKeyId,
+        c.secretAccessKey, "us-east-1", "s3", now)
+      val seed = signedReq.header("Authorization").get.split("Signature=").last
+      val sig1 = GatewaySig.chunkSignature(c.secretAccessKey, seed,
+        "us-east-1", "s3", now, GatewaySig.payloadSha256Hex(content))
+      val sigF = GatewaySig.chunkSignature(c.secretAccessKey, sig1,
+        "us-east-1", "s3", now,
+        GatewaySig.payloadSha256Hex(Array.emptyByteArray))
+      val wire = new java.io.ByteArrayOutputStream()
+      wire.write(f"${content.length}%x;chunk-signature=$sig1\r\n".getBytes("UTF-8"))
+      wire.write(content); wire.write("\r\n".getBytes("UTF-8"))
+      wire.write(s"0;chunk-signature=$sigF\r\n\r\n".getBytes("UTF-8"))
+      val req = signedReq.copy(body = wire.toByteArray)
+      val routed = GatewayRouter.route(gwAuth, req, now, bare)
+      assert(routed.payload.sameElements(content), "decoded payload plumbed")
+      gw.handle(routed, req, nowSec) match {
+        case gw.EtagResult(e) =>
+          assert(e === GatewaySig.payloadSha256Hex(content))
+        case other => fail(s"unexpected: $other")
+      }
+      val st = gw.headObject("main$", "data/streamed.bin")
+      assert(st.sizeBytes === 100L, "decoded length, not the wire body's")
+    }
     // config stubs and unsupported subresources
     assert(send("GET", "/", Seq("location" -> "")) === gw.ConfigResult(""))
     send("GET", "/main/data/k05", Seq("torrent" -> "")) match {
