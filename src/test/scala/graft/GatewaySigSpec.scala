@@ -485,6 +485,46 @@ class GatewaySigSpec extends AnyFunSuite {
       req.query.filterNot(_._1 == "SignatureMethod"))) === Left(ErrHeaderMalformed))
   }
 
+  test("v2_timestamp_internal_test.go: date selection and invalid dates") {
+    val now = Instant.parse("2025-12-12T10:00:00Z")
+    val rfc1123 = java.time.format.DateTimeFormatter.RFC_1123_DATE_TIME
+    def reqWith(headers: (String, String)*) =
+      SignedRequest("GET", "s3.amazonaws.com", "/examplebucket/test.txt",
+        headers = headers)
+    // valid Date header
+    assert(v2VerifyRequestDate(reqWith(
+      "Date" -> rfc1123.format(now.atOffset(java.time.ZoneOffset.UTC))), now)
+      === Right(()))
+    // X-Amz-Date takes precedence: the EXPIRED Date header must be ignored
+    val expired = now.minus(AmzMaxClockSkew).minusSeconds(3600)
+    assert(v2VerifyRequestDate(reqWith(
+      "X-Amz-Date" -> formatAmzDate(now),
+      "Date" -> rfc1123.format(expired.atOffset(java.time.ZoneOffset.UTC))), now)
+      === Right(()))
+    // missing / malformed dates
+    assert(v2VerifyRequestDate(reqWith(), now) === Left(ErrMissingFields))
+    assert(v2VerifyRequestDate(reqWith(
+      "X-Amz-Date" -> "not-a-valid-date-format"), now) === Left(ErrMalformedDate))
+  }
+
+  test("javav2_timestamp_internal_test.go: both ISO forms, invalid rejected") {
+    val now = Instant.parse("2025-12-12T10:00:00Z")
+    def reqWith(ts: String) = SignedRequest("GET", "h", "/",
+      query = Seq("Timestamp" -> ts))
+    // the aws-sdk-java QueryStringSigner millis form and the plain form
+    assert(javaV2VerifyRequestDate(reqWith("2025-12-12T10:00:00.000Z"), now)
+      === Right(()))
+    assert(javaV2VerifyRequestDate(reqWith("2025-12-12T10:00:00Z"), now)
+      === Right(()))
+    assert(javaV2VerifyRequestDate(reqWith("12 Dec 2025 10:00"), now)
+      === Left(ErrMalformedDate))
+    assert(javaV2VerifyRequestDate(SignedRequest("GET", "h", "/"), now)
+      === Left(ErrMissingFields))
+    // skew applies to the query timestamp too
+    assert(javaV2VerifyRequestDate(reqWith("2025-12-12T09:30:00Z"), now)
+      === Left(ErrRequestTimeTooSkewed))
+  }
+
   // ---- chained authenticator --------------------------------------------------
 
   test("sig.go chain: V4 wins, V2 falls through, terminal errors stop the chain") {
