@@ -22,6 +22,12 @@ import java.nio.file.{Files, Path, StandardCopyOption, StandardOpenOption}
  *    `If-Match`/`If-None-Match`, GCS generation preconditions, Azure
  *    ETags): every install is a single conditional PUT, no rename at all —
  *    correct even where rename is non-atomic (S3A).
+ *  - [[EtagStore]] over [[FileGenerationBlob]] — a durable single-machine
+ *    backend with the conditional-put HARD guarantee (atomic hard-link
+ *    generation claims; no staleness heuristic, no ABA), for deployments
+ *    that want EtagStore semantics without an object store.
+ *
+ * All three pass ConditionalContractSpec's kvtest-style behavioral matrix.
  *
  * Every read returns an opaque version TAG alongside the map; every write
  * names the tag it read. A failed `writeIf` means the file moved under the
