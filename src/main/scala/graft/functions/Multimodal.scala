@@ -91,6 +91,28 @@ object Multimodal {
       .withColumn("pad_x", col("n_tiles_x") * tile - col("width"))
       .withColumn("pad_y", col("n_tiles_y") * tile - col("height"))
 
+  /** Aspect-ratio bucketing — the variable-shape batching trick of modern
+    * vision training (group images by the nearest ladder shape so a batch
+    * shares one tensor geometry instead of square-cropping everything).
+    * Each image maps to the ladder entry minimizing the integer
+    * cross-multiplied aspect difference |width*bh − height*bw| (ties to
+    * the earlier ladder entry). Pure map-side integer math via array_min
+    * over scored structs — shuffle-free, engine-exact. */
+  def planAspectBuckets(decoded: DataFrame,
+      ladder: Seq[(Int, Int)]): DataFrame = {
+    require(ladder.nonEmpty && ladder.size < 100, "ladder must be 1..99 shapes")
+    val scored = ladder.zipWithIndex.map { case ((bw, bh), i) =>
+      struct(
+        (abs(col("width") * bh - col("height") * bw) * 100 + i).as("score"),
+        lit(bw.toLong).as("bucket_w"), lit(bh.toLong).as("bucket_h"))
+    }
+    decoded
+      .withColumn("b", array_min(array(scored: _*)))
+      .withColumn("bucket_w", col("b.bucket_w"))
+      .withColumn("bucket_h", col("b.bucket_h"))
+      .drop("b")
+  }
+
   /** Frame/window sampling: every `stride`-th byte-block as a "frame". */
   def sampleFrames(media: DataFrame, blockSize: Int, stride: Int): DataFrame =
     media.withColumn("frames",

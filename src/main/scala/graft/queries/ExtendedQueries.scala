@@ -267,6 +267,53 @@ object ExtendedQueries {
                     ELSE greatest((height*224) // greatest(width, height), 1) END AS out_height
         FROM dec ORDER BY media_id""")),
 
+    // Aspect-ratio bucketed batching — the variable-shape batching every
+    // modern vision-training pipeline runs instead of square-cropping:
+    // each image maps to the nearest of 7 ladder shapes (integer
+    // cross-multiplied aspect distance, ties to the earlier entry), then
+    // batches of 8 form WITHIN each bucket by media_id order. One window
+    // per bucket partition; bucket selection is map-side array_min over
+    // scored structs. Same stub-decode dimension contract as mm_resize.
+    "mm_aspect_buckets" -> (((s: SparkSession, d: String) => {
+      val ladder = Seq((224, 224), (256, 192), (192, 256), (288, 160),
+        (160, 288), (320, 128), (128, 320))
+      val media = Multimodal.asMedia(
+        Fixtures.documents(s, d), col("doc_id"), encode(col("text"), "UTF-8"), "image")
+      val bucketed = Multimodal.planAspectBuckets(
+        Multimodal.stubDecode(media), ladder)
+      bucketed
+        .withColumn("batch_idx",
+          expr("(row_number() OVER (PARTITION BY bucket_w, bucket_h " +
+            "ORDER BY media_id) - 1) div 8").cast("long"))
+        .select(col("media_id"), col("width"), col("height"),
+          col("bucket_w"), col("bucket_h"), col("batch_idx"))
+        .orderBy("media_id")
+    }),
+      Some("""
+        WITH dec AS (
+          SELECT doc_id AS media_id,
+                 ('0x' || substr(sha256(text),1,4))::BIGINT % 1920 + 1 AS width,
+                 ('0x' || substr(sha256(text),5,4))::BIGINT % 1080 + 1 AS height
+          FROM documents),
+        scored AS (
+          SELECT media_id, width, height,
+                 list_sort([
+                   [abs(width*224 - height*224)*100 + 0, 224, 224],
+                   [abs(width*192 - height*256)*100 + 1, 256, 192],
+                   [abs(width*256 - height*192)*100 + 2, 192, 256],
+                   [abs(width*160 - height*288)*100 + 3, 288, 160],
+                   [abs(width*288 - height*160)*100 + 4, 160, 288],
+                   [abs(width*128 - height*320)*100 + 5, 320, 128],
+                   [abs(width*320 - height*128)*100 + 6, 128, 320]
+                 ])[1] AS b
+          FROM dec)
+        SELECT media_id, width, height,
+               CAST(b[2] AS BIGINT) AS bucket_w,
+               CAST(b[3] AS BIGINT) AS bucket_h,
+               CAST((row_number() OVER (PARTITION BY b[2], b[3]
+                     ORDER BY media_id) - 1) // 8 AS BIGINT) AS batch_idx
+        FROM scored ORDER BY media_id""")),
+
     // Image tiling plan: the ViT patch/tile grid (224² tiles, edge tiles
     // padded) scheduled per decoded image — ceil-div integer geometry,
     // shuffle-free map-side work over the binary column, exact on both
