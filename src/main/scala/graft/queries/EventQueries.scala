@@ -354,6 +354,63 @@ object EventQueries {
     // stages are equi-shuffles: distinct (user, week) pairs, a per-user min
     // for the cohort, a co-partitioned self-join on user_id, and a
     // count-distinct that Spark plans as two-stage partial aggregation.
+    // Deterministic experiment assignment + sample-ratio-mismatch audit —
+    // the A/B bucketing every event pipeline runs: users hash into arms
+    // by sha256(user_id) % 100 (50/25/25 control/treat_a/treat_b — a
+    // REPRODUCIBLE assignment, same arm on every engine and every run),
+    // then the SRM check compares each arm's observed user share against
+    // its design share in integer ppm. A deviation far above sampling
+    // noise means the assignment or logging pipeline is broken and the
+    // experiment unreadable. One map-side arm derivation per event + one
+    // aggregate; the 3-row share window is driver-scale.
+    "ev_ab_assignment" -> (((s: SparkSession, d: String) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val assigned = Fixtures.events(s, d).select(col("user_id"))
+        .withColumn("bucket",
+          conv(substring(sha2(col("user_id").cast("string"), 256), 1, 4),
+            16, 10).cast("long") % 100)
+        .withColumn("arm",
+          when(col("bucket") < 50, "control")
+            .when(col("bucket") < 75, "treat_a").otherwise("treat_b"))
+      assigned.groupBy("arm")
+        .agg(countDistinct("user_id").cast("long").as("n_users"),
+          count(lit(1)).cast("long").as("n_events"))
+        .withColumn("total_users", sum("n_users").over(
+          org.apache.spark.sql.expressions.Window.partitionBy()))
+        .withColumn("observed_share_ppm",
+          expr("n_users * 1000000 div total_users").cast("long"))
+        .withColumn("expected_share_ppm",
+          when(col("arm") === "control", 500000L).otherwise(250000L))
+        .withColumn("srm_deviation_ppm",
+          abs(col("observed_share_ppm") - col("expected_share_ppm")))
+        .select("arm", "n_users", "n_events", "observed_share_ppm",
+          "expected_share_ppm", "srm_deviation_ppm")
+        .orderBy("arm")
+    }),
+      Some("""
+        WITH a AS (
+          SELECT user_id,
+                 CASE WHEN b < 50 THEN 'control'
+                      WHEN b < 75 THEN 'treat_a' ELSE 'treat_b' END AS arm
+          FROM (SELECT user_id,
+                  ('0x' || substr(sha256(CAST(user_id AS VARCHAR)), 1, 4))::BIGINT
+                    % 100 AS b
+                FROM events)),
+        g AS (
+          SELECT arm, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+                 CAST(count(*) AS BIGINT) AS n_events
+          FROM a GROUP BY arm),
+        t AS (SELECT CAST(sum(n_users) AS BIGINT) AS total_users FROM g)
+        SELECT arm, n_users, n_events,
+               CAST(n_users * 1000000 // total_users AS BIGINT)
+                 AS observed_share_ppm,
+               CAST(CASE WHEN arm = 'control' THEN 500000 ELSE 250000 END
+                 AS BIGINT) AS expected_share_ppm,
+               CAST(abs(n_users * 1000000 // total_users -
+                 CASE WHEN arm = 'control' THEN 500000 ELSE 250000 END)
+                 AS BIGINT) AS srm_deviation_ppm
+        FROM g, t ORDER BY arm""")),
+
     "ev_retention" -> (((s: SparkSession, d: String) => {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val weeks = Fixtures.events(s, d)
