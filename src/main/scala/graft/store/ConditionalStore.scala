@@ -254,8 +254,18 @@ class EtagStore(blob: ConditionalBlob) extends ConditionalStore {
  * impossible by construction — generations only grow, so re-writing old
  * CONTENT never resurrects an old TAG.
  *
- * Old generations are pruned behind a retention window wide enough that a
- * reader holding a just-listed maximum can still open it.
+ * THE NO-NAME-REUSE INVARIANT: a claimed generation NAME is never
+ * deleted. Pruning reclaims bytes by atomically replacing old
+ * generations' content with a one-byte tombstone — deleting the name
+ * instead would let a writer stalled between its staleness check and its
+ * link "claim" a long-dead generation number: the link would succeed,
+ * the write would sit invisibly below the head, and its caller would
+ * believe a CAS landed that no reader can ever observe (a lost update —
+ * caught by CrossProcessCasSpec's 64-contender race before this was an
+ * invariant). The cost is one directory entry per update ever made; a
+ * `head` hint file keeps operations O(probe) instead of O(listing), and
+ * a production deployment rolls to a fresh key directory during
+ * maintenance windows the way the reference compacts its KV.
  */
 class FileGenerationBlob(root: Path, keepGenerations: Int = 8)
     extends ConditionalBlob {
@@ -272,27 +282,58 @@ class FileGenerationBlob(root: Path, keepGenerations: Int = 8)
     case _          => None
   }
   private def genPath(dir: Path, n: Long): Path = dir.resolve(f"gen-$n%019d")
+  // the tombstone: one NUL byte. KvFile content is never a single NUL
+  // (and an EMPTY map renders zero bytes), so the marker is unambiguous.
+  private val Tombstone = Array[Byte](0)
+  private def isTombstone(b: Array[Byte]): Boolean =
+    b.length == 1 && b(0) == 0
 
+  private def hintPath(dir: Path): Path = dir.resolve("head")
+  private def readHint(dir: Path): Long =
+    try new String(Files.readAllBytes(hintPath(dir)),
+      StandardCharsets.UTF_8).trim.toLongOption.getOrElse(0L)
+    catch { case _: java.io.IOException => 0L }
+  /** Best-effort, monotone-in-practice head hint — written AFTER a claim,
+    * so it can only LAG the true head; probes close the gap. */
+  private def writeHint(dir: Path, n: Long): Unit =
+    try {
+      val tmp = dir.resolve(s".hint-${java.util.UUID.randomUUID().toString.take(8)}")
+      Files.write(tmp, n.toString.getBytes(StandardCharsets.UTF_8))
+      Files.move(tmp, hintPath(dir), StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+    } catch { case _: java.io.IOException => () }
+
+  /** True head = probe upward from the hint until a generation name is
+    * absent. Names are never deleted (tombstoned at worst), so the first
+    * gap IS the frontier. Falls back to a full listing when the directory
+    * has generations but no usable hint (crash before the first hint). */
   private def maxGen(dir: Path): Long = {
     if (!Files.isDirectory(dir)) return 0L
-    var max = 0L
-    val ds = Files.newDirectoryStream(dir)
-    try ds.forEach(p => genOf(p).foreach(g => if (g > max) max = g))
-    finally ds.close()
-    max
+    var g = readHint(dir)
+    if (g == 0L) { // recover a lost/never-written hint by listing once
+      val ds = Files.newDirectoryStream(dir)
+      try ds.forEach(p => genOf(p).foreach(n => if (n > g) g = n))
+      finally ds.close()
+      if (g == 0L) return 0L
+    }
+    while (Files.exists(genPath(dir, g + 1))) g += 1
+    g
   }
 
   override def get(key: String): Option[(Array[Byte], String)] = {
     val dir = keyDir(key)
-    // a generation can be pruned between our listing and the read when
-    // writers advance concurrently — re-list and retry on a fresher max
+    // the head can advance (and our candidate get tombstoned) between the
+    // resolve and the read — re-resolve and retry on a fresher max
     var tries = 0
     while (tries < 16) {
       tries += 1
       val g = maxGen(dir)
       if (g == 0L) return None
-      try return Some((Files.readAllBytes(genPath(dir, g)), s"g$g"))
-      catch { case _: java.io.IOException => () }
+      try {
+        val b = Files.readAllBytes(genPath(dir, g))
+        if (!isTombstone(b)) return Some((b, s"g$g"))
+        // tombstoned ⇒ a newer head exists; re-resolve
+      } catch { case _: java.io.IOException => () }
     }
     sys.error(s"generation blob unreadable under churn: $key")
   }
@@ -313,6 +354,7 @@ class FileGenerationBlob(root: Path, keepGenerations: Int = 8)
     val claimed = genPath(dir, expected + 1)
     try {
       Files.createLink(claimed, tmp) // THE atomic claim: one winner per gen
+      writeHint(dir, expected + 1)
       prune(dir, expected + 1)
       Some(s"g${expected + 1}")
     } catch {
@@ -321,16 +363,34 @@ class FileGenerationBlob(root: Path, keepGenerations: Int = 8)
     } finally Files.deleteIfExists(tmp)
   }
 
-  /** Drop generations more than `keepGenerations` behind the new head;
-    * best-effort (a crashed pruner just leaves files for the next put). */
+  /** Reclaim bytes from generations more than `keepGenerations` behind
+    * the new head by ATOMICALLY replacing their content with the
+    * tombstone — the NAME stays claimed forever (see the class doc).
+    * Best-effort; bounded to one retention window of work per call. */
   private def prune(dir: Path, head: Long): Unit = {
     if (head <= keepGenerations) return
     val cutoff = head - keepGenerations
     try {
-      val ds = Files.newDirectoryStream(dir)
-      try ds.forEach { p =>
-        if (genOf(p).exists(_ <= cutoff)) { Files.deleteIfExists(p); () }
-      } finally ds.close()
+      // walk back from the cutoff; stop at the first already-tombstoned
+      // generation (everything older was handled by earlier prunes)
+      var g = cutoff
+      var continue = true
+      while (continue && g >= 1) {
+        val p = genPath(dir, g)
+        if (!Files.exists(p)) { continue = false }
+        else {
+          val cur = Files.readAllBytes(p)
+          if (isTombstone(cur)) continue = false
+          else {
+            val tmp = dir.resolve(
+              s".tomb-${java.util.UUID.randomUUID().toString.take(8)}")
+            Files.write(tmp, Tombstone)
+            Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE,
+              StandardCopyOption.REPLACE_EXISTING)
+          }
+        }
+        g -= 1
+      }
     } catch { case _: java.io.IOException => () }
   }
 }

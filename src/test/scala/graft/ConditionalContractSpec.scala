@@ -151,17 +151,32 @@ class ConditionalContractSpec extends AnyFunSuite {
       "an orphan temp must not block subsequent puts")
   }
 
-  test("FileGenerationBlob: old generations are pruned behind the window") {
+  test("FileGenerationBlob: pruning tombstones content but NEVER deletes " +
+      "a claimed name (the no-resurrection invariant)") {
     val dir = tmp("fgb-prune")
     val b = new FileGenerationBlob(dir, keepGenerations = 4)
     var etag = b.putIf("k", "v0".getBytes, None).get
     for (i <- 1 to 20)
       etag = b.putIf("k", s"v$i".getBytes, Some(etag)).get
     val keyDir = Files.list(dir).iterator.next()
-    val gens = Files.list(keyDir).iterator()
-    var count = 0
-    while (gens.hasNext) { gens.next(); count += 1 }
-    assert(count <= 5, s"pruning must bound the directory (saw $count)")
+    var names = 0
+    var live = 0L
+    val it = Files.list(keyDir).iterator()
+    while (it.hasNext) {
+      val p = it.next()
+      if (p.getFileName.toString.startsWith("gen-")) {
+        names += 1
+        if (Files.size(p) > 1) live += 1 // content, not the 1-byte tombstone
+      }
+    }
+    assert(names === 21, "every claimed generation NAME must persist")
+    assert(live <= 5, s"pruning must bound retained CONTENT (saw $live)")
+    assert(new String(b.get("k").get._1) === "v20")
+    // the killer case the invariant exists for: a writer that stalled
+    // holding a long-dead etag must NOT be able to re-claim its
+    // tombstoned generation number and report a phantom success
+    assert(b.putIf("k", "resurrected".getBytes, Some("g5")).isEmpty,
+      "a pruned generation must stay claimed")
     assert(new String(b.get("k").get._1) === "v20")
   }
 
