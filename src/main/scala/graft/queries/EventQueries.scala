@@ -365,13 +365,10 @@ object EventQueries {
     // aggregate; the 3-row share window is driver-scale.
     "ev_ab_assignment" -> (((s: SparkSession, d: String) => {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // ONE arm derivation, shared with the streaming SRM monitor
+      // (streaming/StreamSrm.scala) — batch and stream can never disagree
       val assigned = Fixtures.events(s, d).select(col("user_id"))
-        .withColumn("bucket",
-          conv(substring(sha2(col("user_id").cast("string"), 256), 1, 4),
-            16, 10).cast("long") % 100)
-        .withColumn("arm",
-          when(col("bucket") < 50, "control")
-            .when(col("bucket") < 75, "treat_a").otherwise("treat_b"))
+        .withColumn("arm", graft.streaming.StreamSrm.armOf(col("user_id")))
       assigned.groupBy("arm")
         .agg(countDistinct("user_id").cast("long").as("n_users"),
           count(lit(1)).cast("long").as("n_events"))

@@ -1,0 +1,59 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Streaming sample-ratio-mismatch monitor — the incremental sibling of the
+ * batch `ev_ab_assignment` query (`queries/EventQueries.scala`): the SAME
+ * deterministic arm derivation (shared here so batch and stream can never
+ * disagree on assignment), with per-arm RUNNING distinct-user counts as an
+ * Update-mode streaming aggregation. An experiment owner watches this
+ * while the experiment runs — a share drifting from design mid-flight
+ * means assignment or logging broke, and waiting for the batch job to
+ * notice wastes the traffic.
+ *
+ * Scale shape: `dropDuplicates(user_id)` keeps one state row per distinct
+ * user (the cardinality every funnel/retention job already carries), and
+ * the arm aggregation reduces to as many rows as arms. The 3-row share
+ * comparison against the design split happens on the OUTPUT table —
+ * driver-scale by construction.
+ */
+object StreamSrm {
+
+  /** The assignment: sha256(user_id) bucket → 50/25/25 arms. ONE
+    * definition for the batch row and the stream — a monitor that buckets
+    * differently than the assigner would page people about its own bug. */
+  def armOf(userId: Column): Column = {
+    val bucket = conv(substring(sha2(userId.cast("string"), 256), 1, 4),
+      16, 10).cast("long") % 100
+    when(bucket < 50, "control").when(bucket < 75, "treat_a")
+      .otherwise("treat_b")
+  }
+
+  /** Per-arm running distinct-user counts over a raw event stream (any
+    * frame with a `user_id` column). Update output mode: each micro-batch
+    * re-emits the arms whose counts moved. */
+  def armUserCounts(events: DataFrame): DataFrame =
+    events.select(col("user_id"))
+      .dropDuplicates("user_id")
+      .withColumn("arm", armOf(col("user_id")))
+      .groupBy("arm")
+      .agg(count(lit(1)).cast("long").as("n_users"))
+
+  /** The SRM verdict over a (arm, n_users) table — integer-ppm observed
+    * vs design share, same algebra as the batch row; runs on the tiny
+    * output table (or inside foreachBatch). */
+  def srmReport(armCounts: DataFrame): DataFrame =
+    armCounts
+      .withColumn("total_users", sum("n_users").over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+      .withColumn("observed_share_ppm",
+        expr("n_users * 1000000 div total_users").cast("long"))
+      .withColumn("expected_share_ppm",
+        when(col("arm") === "control", 500000L).otherwise(250000L))
+      .withColumn("srm_deviation_ppm",
+        abs(col("observed_share_ppm") - col("expected_share_ppm")))
+      .select("arm", "n_users", "observed_share_ppm", "expected_share_ppm",
+        "srm_deviation_ppm")
+}

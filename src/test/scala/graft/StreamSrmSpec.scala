@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.streaming.StreamSrm
+
+/** The streaming SRM monitor must agree with the batch assignment on the
+  * same users — per-arm distinct counts equal across micro-batches (the
+  * dedup state must span batches), and the ppm verdict matches the batch
+  * algebra. */
+class StreamSrmSpec extends SparkSpec {
+
+  test("streaming per-arm distinct users equals the batch twin across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[Long]
+    val in = mem.toDS().toDF("user_id")
+    val q = StreamSrm.armUserCounts(in).writeStream
+      .outputMode("update").format("memory").queryName("srm_out").start()
+    try {
+      // batch 1: users 1..40; batch 2: 21..60 — overlap 21..40 must NOT
+      // recount (cross-batch dropDuplicates state)
+      mem.addData(1L to 40L: _*)
+      q.processAllAvailable()
+      mem.addData(21L to 60L: _*)
+      q.processAllAvailable()
+      // update mode re-emits arms as counts move: the LAST row per arm is
+      // the running total
+      val got = spark.table("srm_out")
+        .groupBy("arm").agg(max("n_users").as("n_users"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val expected = (1L to 60L).toDF("user_id")
+        .withColumn("arm", StreamSrm.armOf(col("user_id")))
+        .groupBy("arm").agg(countDistinct("user_id").as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got === expected)
+      assert(got.values.sum === 60L, "every user exactly once across arms")
+
+      // the verdict table carries the batch row's exact ppm algebra
+      val report = StreamSrm.srmReport(
+        got.toSeq.toDF("arm", "n_users")).collect()
+        .map(r => r.getString(0) ->
+          (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+      report.foreach { case (arm, (obs, exp, dev)) =>
+        assert(obs === got(arm) * 1000000L / 60L, arm)
+        assert(exp === (if (arm == "control") 500000L else 250000L), arm)
+        assert(dev === math.abs(obs - exp), arm)
+      }
+    } finally q.stop()
+  }
+}
