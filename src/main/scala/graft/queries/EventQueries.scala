@@ -408,6 +408,57 @@ object EventQueries {
                  AS BIGINT) AS srm_deviation_ppm
         FROM g, t ORDER BY arm""")),
 
+    // The experiment READOUT on top of ev_ab_assignment: per-arm
+    // conversion (did the user ever purchase?) as integer-ppm rates, plus
+    // the uplift of each treatment arm against control in ppm points —
+    // what the experimenter actually decides on once the SRM check passes.
+    // Same shared arm derivation; one distinct-user pass with a
+    // did-convert flag, one arm aggregate; the control join is a 1-row
+    // broadcast.
+    "ev_ab_uplift" -> (((s: SparkSession, d: String) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val perUser = Fixtures.events(s, d)
+        .select(col("user_id"),
+          (col("event_type") === "purchase").cast("long").as("purchased"))
+        .groupBy("user_id")
+        .agg(max("purchased").as("converted"))
+        .withColumn("arm", graft.streaming.StreamSrm.armOf(col("user_id")))
+      val arms = perUser.groupBy("arm")
+        .agg(count(lit(1)).cast("long").as("n_users"),
+          sum("converted").cast("long").as("n_converted"))
+        .withColumn("cvr_ppm",
+          expr("n_converted * 1000000 div n_users").cast("long"))
+      val control = arms.where(col("arm") === "control")
+        .select(col("cvr_ppm").as("control_cvr_ppm"))
+      arms.crossJoin(broadcast(control))
+        .withColumn("uplift_ppm", col("cvr_ppm") - col("control_cvr_ppm"))
+        .select("arm", "n_users", "n_converted", "cvr_ppm", "uplift_ppm")
+        .orderBy("arm")
+    }),
+      Some("""
+        WITH u AS (
+          SELECT user_id,
+                 CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS converted
+          FROM events GROUP BY user_id),
+        a AS (
+          SELECT user_id, converted,
+                 CASE WHEN b < 50 THEN 'control'
+                      WHEN b < 75 THEN 'treat_a' ELSE 'treat_b' END AS arm
+          FROM (SELECT user_id, converted,
+                  ('0x' || substr(sha256(CAST(user_id AS VARCHAR)), 1, 4))::BIGINT
+                    % 100 AS b
+                FROM u)),
+        g AS (
+          SELECT arm, CAST(count(*) AS BIGINT) AS n_users,
+                 CAST(sum(converted) AS BIGINT) AS n_converted,
+                 CAST(sum(converted) * 1000000 // count(*) AS BIGINT) AS cvr_ppm
+          FROM a GROUP BY arm),
+        c AS (SELECT cvr_ppm AS control_cvr_ppm FROM g WHERE arm = 'control')
+        SELECT arm, n_users, n_converted, cvr_ppm,
+               CAST(cvr_ppm - control_cvr_ppm AS BIGINT) AS uplift_ppm
+        FROM g, c ORDER BY arm""")),
+
     "ev_retention" -> (((s: SparkSession, d: String) => {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val weeks = Fixtures.events(s, d)
