@@ -41,15 +41,41 @@ trait ConditionalStore {
   /** Install `m` iff the file's tag still equals `expectedTag` ("" =
     * require-absent). Atomic w.r.t. every other `writeIf` on any process.
     * False = the precondition failed (or the store is too contended);
-    * callers re-read and retry. */
+    * callers re-read and retry. Backends that can fail AMBIGUOUSLY (a
+    * conditional put that times out after durably landing) resolve here by
+    * re-reading: content == `m` reports success. Callers needing per-key
+    * resolution (the branch-head CAS) use [[writeIfOutcome]]. */
   def writeIf(p: Path, m: Map[String, String], expectedTag: String): Boolean
+
+  /** Tri-state [[writeIf]]: `Installed` / `Lost` are definitive;
+    * `Unknown` means the install MAY have landed (a conditional put can
+    * throw after durably applying — timeout after write). Backends whose
+    * primitive cannot be ambiguous (local rename, in-memory) never return
+    * Unknown; the default maps the boolean surface. */
+  def writeIfOutcome(p: Path, m: Map[String, String],
+      expectedTag: String): SwapOutcome =
+    if (writeIf(p, m, expectedTag)) SwapOutcome.Installed else SwapOutcome.Lost
 
   /** Cross-process read-modify-write: re-read + re-apply `f` until the
     * conditional install lands (a failed writeIf means ANY key in the file
     * moved — possibly one unrelated to this update). `f` runs against the
     * CURRENT state on every retry, so precondition checks inside it (throw
     * AlreadyExists / filter an expiry set) evaluate what the winning write
-    * will actually see. Returns the installed map. */
+    * will actually see. Returns the installed map.
+    *
+    * Unknown outcomes resolve by CONTENT: a re-read showing exactly `next`
+    * means our install (or one byte-identical to it — same effect) is the
+    * visible state, and we return without retrying. A re-read showing
+    * anything else retries `f` against the current state. THE CAVEAT a
+    * history-less store cannot close: if our ambiguous install landed and
+    * a competing writer SUPERSEDED it before our re-read, the retry
+    * re-applies `f` — at-least-once, not exactly-once, for that window.
+    * `f` must therefore be IDEMPOTENT (a per-key set/remove, where
+    * re-application is a no-op on the final state) — which every caller
+    * in this engine is. The one non-idempotent chain, the branch-head
+    * CAS, does NOT use update(): commits chain through parent ids, so
+    * [[RefStore.casBranchOutcome]] + the engine's ancestry walk recover
+    * the answer this method cannot. */
   def update(p: Path)(f: Map[String, String] => Map[String, String])
       : Map[String, String] = {
     var tries = 0
@@ -57,10 +83,32 @@ trait ConditionalStore {
       tries += 1
       val (cur, tag) = readTagged(p)
       val next = f(cur)
-      if (next == cur || writeIf(p, next, tag)) return next
+      if (next == cur) return next
+      writeIfOutcome(p, next, tag) match {
+        case SwapOutcome.Installed => return next
+        case SwapOutcome.Lost      => () // moved under us: re-read, re-apply
+        case SwapOutcome.Unknown(_) =>
+          if (readTagged(p)._1 == next) return next // our write IS the state
+          // else: never landed, or landed and was superseded — retry is
+          // safe either way for a state transform (see scaladoc)
+      }
     }
     sys.error(s"control file too contended: $p")
   }
+}
+
+/** Outcome of a conditional install ([[ConditionalStore.writeIfOutcome]]). */
+sealed trait SwapOutcome
+object SwapOutcome {
+  /** The install durably landed and is (or was) the visible state. */
+  case object Installed extends SwapOutcome
+  /** The precondition failed; nothing was written. Definitive. */
+  case object Lost extends SwapOutcome
+  /** The backend cannot say — the put may or may not have landed, NOW OR
+    * LATER (an in-flight request can still apply after this returns, but
+    * only while its etag precondition remains unconsumed). Callers resolve
+    * by re-reading and self-recognizing their content. */
+  final case class Unknown(cause: Throwable) extends SwapOutcome
 }
 
 object ConditionalStore {
@@ -215,9 +263,37 @@ trait ConditionalBlob {
   def get(key: String): Option[(Array[Byte], String)]
 
   /** Put iff the current etag equals `ifMatch` (None = require-absent,
-    * i.e. `If-None-Match: *`). Returns the new etag, or None when the
-    * precondition failed. Atomic per key. */
-  def putIf(key: String, bytes: Array[Byte], ifMatch: Option[String]): Option[String]
+    * i.e. `If-None-Match: *`). Atomic per key. Tri-state: `Put(etag)` and
+    * `PreconditionFailed` are definitive; `Unknown` is the real-bucket
+    * failure mode a boolean cannot carry — the request errored AFTER the
+    * store may have durably applied it (client timeout, dropped response,
+    * 5xx on a write that landed). Callers must treat Unknown as "possibly
+    * installed" and resolve by re-reading, never as a clean loss. */
+  def putIfOutcome(key: String, bytes: Array[Byte],
+      ifMatch: Option[String]): PutOutcome
+
+  /** Boolean-ish convenience: new etag on success, None on a definitive
+    * precondition failure. An ambiguous outcome THROWS its cause — callers
+    * that can recover use [[putIfOutcome]]. */
+  final def putIf(key: String, bytes: Array[Byte],
+      ifMatch: Option[String]): Option[String] =
+    putIfOutcome(key, bytes, ifMatch) match {
+      case PutOutcome.Put(e)             => Some(e)
+      case PutOutcome.PreconditionFailed => None
+      case PutOutcome.Unknown(c)         => throw c
+    }
+}
+
+/** Outcome of a conditional blob put ([[ConditionalBlob.putIfOutcome]]). */
+sealed trait PutOutcome
+object PutOutcome {
+  /** Durably installed; `etag` names the new version. */
+  final case class Put(etag: String) extends PutOutcome
+  /** The precondition failed; nothing was written. Definitive. */
+  case object PreconditionFailed extends PutOutcome
+  /** The put may or may not have landed (it can even land AFTER this
+    * returns, while its precondition remains unconsumed). */
+  final case class Unknown(cause: Throwable) extends PutOutcome
 }
 
 /** (a) Conditional-put conditional swap: one PUT per install, no rename —
@@ -228,10 +304,24 @@ class EtagStore(blob: ConditionalBlob) extends ConditionalStore {
       case Some((b, e)) => (KvFile.parse(b), e)
       case None         => (Map.empty, "")
     }
+  override def writeIfOutcome(p: Path, m: Map[String, String],
+      expectedTag: String): SwapOutcome =
+    blob.putIfOutcome(p.toString, KvFile.render(m),
+      if (expectedTag.isEmpty) None else Some(expectedTag)) match {
+      case PutOutcome.Put(_)             => SwapOutcome.Installed
+      case PutOutcome.PreconditionFailed => SwapOutcome.Lost
+      case PutOutcome.Unknown(c)         => SwapOutcome.Unknown(c)
+    }
+  /** Boolean surface: an Unknown resolves by whole-content re-read — right
+    * for [[ConditionalStore.update]]'s state transforms; the branch-head
+    * CAS resolves per KEY instead ([[RefStore.casBranchOutcome]]). */
   override def writeIf(p: Path, m: Map[String, String],
       expectedTag: String): Boolean =
-    blob.putIf(p.toString, KvFile.render(m),
-      if (expectedTag.isEmpty) None else Some(expectedTag)).isDefined
+    writeIfOutcome(p, m, expectedTag) match {
+      case SwapOutcome.Installed  => true
+      case SwapOutcome.Lost       => false
+      case SwapOutcome.Unknown(_) => readTagged(p)._1 == m
+    }
 }
 
 /**
@@ -338,8 +428,8 @@ class FileGenerationBlob(root: Path, keepGenerations: Int = 8)
     sys.error(s"generation blob unreadable under churn: $key")
   }
 
-  override def putIf(key: String, bytes: Array[Byte],
-      ifMatch: Option[String]): Option[String] = {
+  override def putIfOutcome(key: String, bytes: Array[Byte],
+      ifMatch: Option[String]): PutOutcome = {
     val dir = keyDir(key)
     Files.createDirectories(dir)
     val expected = ifMatch match {
@@ -347,19 +437,38 @@ class FileGenerationBlob(root: Path, keepGenerations: Int = 8)
       case Some(e) if e.startsWith("g") => e.drop(1).toLongOption.getOrElse(-1L)
       case _ => -1L
     }
-    if (expected < 0 || maxGen(dir) != expected) return None
+    if (expected < 0 || maxGen(dir) != expected)
+      return PutOutcome.PreconditionFailed
     val tmp = dir.resolve(
       s".tmp-${java.util.UUID.randomUUID().toString.take(13)}")
-    Files.write(tmp, bytes)
+    Files.write(tmp, bytes) // pre-claim failure propagates: known-not-applied
     val claimed = genPath(dir, expected + 1)
     try {
       Files.createLink(claimed, tmp) // THE atomic claim: one winner per gen
       writeHint(dir, expected + 1)
       prune(dir, expected + 1)
-      Some(s"g${expected + 1}")
+      PutOutcome.Put(s"g${expected + 1}")
     } catch {
-      case _: java.nio.file.FileAlreadyExistsException => None // lost the race
-      case _: java.io.IOException => None
+      case _: java.nio.file.FileAlreadyExistsException =>
+        PutOutcome.PreconditionFailed // lost the race: definitive
+      case e: java.io.IOException =>
+        // The claim step errored. Unlike a network conditional PUT, the
+        // post-state here is DETERMINABLE: createLink is synchronous, the
+        // claimed name is never deleted, and its content is immutable
+        // until tombstoned — so read the claimed generation back. Our
+        // bytes ⇒ the link landed before the error (won); other bytes or
+        // absent ⇒ it did not and never will (lost). Only a failed
+        // resolution read is genuinely Unknown — the state a history-less
+        // bucket adapter is ALWAYS in after a timeout.
+        try {
+          if (Files.exists(claimed) &&
+              java.util.Arrays.equals(Files.readAllBytes(claimed), bytes)) {
+            writeHint(dir, expected + 1)
+            PutOutcome.Put(s"g${expected + 1}")
+          } else PutOutcome.PreconditionFailed
+        } catch { case e2: java.io.IOException =>
+          e.addSuppressed(e2); PutOutcome.Unknown(e)
+        }
     } finally Files.deleteIfExists(tmp)
   }
 
@@ -405,8 +514,8 @@ class InMemoryBlob extends ConditionalBlob {
 
   override def get(key: String): Option[(Array[Byte], String)] = Option(m.get(key))
 
-  override def putIf(key: String, bytes: Array[Byte],
-      ifMatch: Option[String]): Option[String] = {
+  override def putIfOutcome(key: String, bytes: Array[Byte],
+      ifMatch: Option[String]): PutOutcome = {
     val next = s"g${gen.incrementAndGet()}"
     var ok = false
     m.compute(key, (_, cur) => (cur, ifMatch) match {
@@ -414,6 +523,6 @@ class InMemoryBlob extends ConditionalBlob {
       case ((_, e), Some(exp)) if e == exp    => ok = true; (bytes, next)
       case _                                  => cur // precondition failed
     })
-    if (ok) Some(next) else None
+    if (ok) PutOutcome.Put(next) else PutOutcome.PreconditionFailed
   }
 }

@@ -628,19 +628,69 @@ class Engine(val spark: SparkSession, val repoDir: String,
       attempt: (String, CommitInfo) => (CommitInfo, () => Unit)): CommitInfo =
     branchLock.withLock(branch) { retryingCasUnlocked(branch, op)(attempt) }
 
+  /** Ambiguous branch-head CAS attempts resolved as wins — the meter
+    * FaultingBlob-style backends exercise. */
+  private[graft] val casUnknownWins = new java.util.concurrent.atomic.LongAdder
+
+  /** Is `target` the head or an ancestor of `headId`? Generation-bounded
+    * parent walk (G5): a commit installed by an ambiguous CAS that another
+    * writer has since built on is still OUR landed commit. */
+  private def landedAtOrBelow(headId: String, target: CommitInfo): Boolean = {
+    var frontier = List(headId)
+    var seen = Set.empty[String]
+    while (frontier.nonEmpty) {
+      val id = frontier.head
+      frontier = frontier.tail
+      if (id == target.commitId) return true
+      if (!seen(id)) {
+        seen += id
+        refs.getCommit(id).foreach { ci =>
+          if (ci.generation > target.generation)
+            frontier = ci.parents.toList ::: frontier
+        }
+      }
+    }
+    false
+  }
+
   private def retryingCasUnlocked(branch: String, op: String)(
       attempt: (String, CommitInfo) => (CommitInfo, () => Unit)): CommitInfo = {
     var tries = 0
+    // Commits whose CAS outcome was AMBIGUOUS (a conditional put that
+    // errored after possibly landing — `RefStore.CasUnknown`). Before each
+    // recompute, check whether one of them is now at-or-below the head:
+    // that is OUR commit durably in the line, and retrying would commit
+    // the same changes twice (the reference's retryBranchUpdate envelope,
+    // graveler.go:2422-2446, never faces this because its KV SetMsgIf is
+    // definitive; an object-store CAS is not).
+    var pending = Map.empty[String, (CommitInfo, () => Unit)]
     while (true) {
       tries += 1
       val headId = refs.getBranch(branch).getOrElse(sys.error(s"no branch $branch"))
+      if (pending.nonEmpty) {
+        pending.collectFirst {
+          case (_, (c, onOk)) if landedAtOrBelow(headId, c) => (c, onOk)
+        } match {
+          case Some((c, onOk)) => casUnknownWins.increment(); onOk(); return c
+          case None            => ()
+        }
+      }
       val head = refs.getCommit(headId).get
       val (c, onSuccess) = attempt(headId, head)
       beforeCas()
-      if (refs.casBranch(branch, Some(headId), c.commitId)) { onSuccess(); return c }
-      casRetries.increment()
-      if (tries >= branchUpdateMaxTries)
-        sys.error(s"$op: branch $branch moved concurrently ($tries tries)")
+      refs.casBranchOutcome(branch, Some(headId), c.commitId) match {
+        case RefStore.CasWon => onSuccess(); return c
+        case RefStore.CasLost =>
+          casRetries.increment()
+          if (tries >= branchUpdateMaxTries)
+            sys.error(s"$op: branch $branch moved concurrently ($tries tries)")
+        case RefStore.CasUnknown(cause) =>
+          pending += (c.commitId -> ((c, onSuccess)))
+          casRetries.increment()
+          if (tries >= branchUpdateMaxTries)
+            throw new IllegalStateException(
+              s"$op: branch $branch CAS outcome unknown after $tries tries", cause)
+      }
     }
     throw new IllegalStateException("unreachable")
   }

@@ -192,19 +192,45 @@ class RefStore(rootDir: String,
     * re-reads: the file may have moved on an UNRELATED key (another
     * branch, a hidden-flag flip); only a changed head of THIS branch
     * reports CAS failure to the engine's retry loop. */
-  def casBranch(name: String, expected: Option[String], to: String): Boolean = {
+  def casBranch(name: String, expected: Option[String], to: String): Boolean =
+    casBranchOutcome(name, expected, to) == RefStore.CasWon
+
+  /** [[casBranch]] with the third outcome a real conditional store has:
+    * UNKNOWN — the install errored after possibly landing (timeout after a
+    * durable write; see [[SwapOutcome.Unknown]]). Resolution here is per
+    * KEY, not whole-file (another branch moving concurrently must not mask
+    * our win): a re-read showing THIS branch at `to` is our win — `to` is
+    * the commit id this attempt minted, no other writer installs it. A
+    * re-read still at `expected` retries the install: if the in-flight put
+    * lands later anyway, its file-tag precondition races our retry and at
+    * most one same-content install wins. Only a head that moved PAST us
+    * stays ambiguous — the engine resolves that by commit ancestry
+    * ([[Engine]]'s retry loop). */
+  def casBranchOutcome(name: String, expected: Option[String],
+      to: String): RefStore.CasOutcome = {
     var tries = 0
+    var sawUnknown = false
+    var lastCause: Throwable = null
     while (tries < 64) {
       tries += 1
       val (raw, tag) = cond.readTagged(branchesFile)
       val cur = raw.map { case (k, v) => k -> decBranch(v) }
-      if (cur.get(name).map(_.commitId) != expected) return false
+      val head = cur.get(name).map(_.commitId)
+      if (sawUnknown && head.contains(to)) return RefStore.CasWon
+      if (head != expected)
+        return if (sawUnknown) RefStore.CasUnknown(lastCause) else RefStore.CasLost
       val hidden = cur.get(name).exists(_.hidden)
-      if (cond.writeIf(branchesFile,
-          raw + (name -> encBranch(BranchRecord(to, None, hidden))), tag))
-        return true
+      cond.writeIfOutcome(branchesFile,
+          raw + (name -> encBranch(BranchRecord(to, None, hidden))), tag) match {
+        case SwapOutcome.Installed => return RefStore.CasWon
+        case SwapOutcome.Lost      => () // file moved (maybe another key): re-read
+        case SwapOutcome.Unknown(c) =>
+          sawUnknown = true; lastCause = c // loop: the re-read resolves
+      }
     }
-    false // contended beyond budget: report as a lost CAS, the engine retries
+    // contended beyond budget: a lost CAS the engine retries — unless an
+    // ambiguous install is still unaccounted for, which must stay UNKNOWN
+    if (sawUnknown) RefStore.CasUnknown(lastCause) else RefStore.CasLost
   }
 
   def setBranch(name: String, commitId: String, compactedBase: Option[String] = None,
@@ -501,4 +527,19 @@ class RefStore(rootDir: String,
   }
 
   def resolve(ref: String): Option[CommitInfo] = resolveFull(ref).map(_.commit)
+}
+
+object RefStore {
+  /** Outcome of a branch-head CAS ([[RefStore.casBranchOutcome]]). */
+  sealed trait CasOutcome
+  /** The head moved to `to` by THIS attempt (or by this attempt's own
+    * delayed install, recognized on re-read). */
+  case object CasWon extends CasOutcome
+  /** Definitive: the head did not match `expected`, nothing was written. */
+  case object CasLost extends CasOutcome
+  /** The install may have landed but the head has since moved PAST it —
+    * the caller must decide by ancestry whether its commit is in the line
+    * (the engine's retry loop does; a plain [[RefStore.casBranch]] caller
+    * sees `false` and must tolerate at-least-once installs). */
+  final case class CasUnknown(cause: Throwable) extends CasOutcome
 }

@@ -1,5 +1,6 @@
 package graft
 
+import java.io.IOException
 import java.nio.file.{Files, Path, Paths}
 import java.util.concurrent.Executors
 
@@ -251,6 +252,108 @@ class ConditionalContractSpec extends AnyFunSuite {
     (new EtagStore(new FileGenerationBlob(dir.resolve("blob"))),
       dir.resolve("kv.tsv"))
   })
+
+  // ---- unknown-outcome (ambiguous CAS) contract ------------------------------
+  /** The fault-injection matrix the real-bucket adapter earns its
+    * guarantees from: every ambiguity a conditional PUT can have, against
+    * every generation backend, resolved without lost OR doubled updates. */
+  private def faultContract(name: String, factory: () => ConditionalBlob): Unit = {
+    import graft.store.{EtagStore, PutOutcome}
+
+    test(s"fault contract [$name]: after-apply unknown — writeIf " +
+        "self-recognizes its landed content") {
+      val f = new FaultingBlob(factory())
+      val s = new EtagStore(f)
+      val p = Paths.get("ctl.tsv")
+      f.mode = FaultingBlob.AfterApply
+      assert(s.writeIf(p, Map("a" -> "1"), ""),
+        "a put that durably landed must read back as a win")
+      assert(f.injected.get() === 1)
+      assert(s.readTagged(p)._1 === Map("a" -> "1"))
+      // and the next conditional write sees the REAL tag the store minted
+      f.mode = FaultingBlob.Off
+      val (_, t1) = s.readTagged(p)
+      assert(s.writeIf(p, Map("a" -> "2"), t1))
+    }
+
+    test(s"fault contract [$name]: before-apply unknown — writeIf reports " +
+        "loss, and nothing landed") {
+      val f = new FaultingBlob(factory())
+      val s = new EtagStore(f)
+      val p = Paths.get("ctl.tsv")
+      f.mode = FaultingBlob.BeforeApply
+      assert(!s.writeIf(p, Map("a" -> "1"), ""),
+        "a put that never landed must not read back as a win")
+      f.mode = FaultingBlob.Off
+      assert(s.readTagged(p) === (Map.empty[String, String], ""),
+        "before-apply faults must leave no side effects")
+      assert(s.writeIf(p, Map("a" -> "1"), ""),
+        "the same precondition must still be winnable afterwards")
+    }
+
+    test(s"fault contract [$name]: update() under 100% after-apply faults " +
+        "applies each transform exactly once") {
+      val f = new FaultingBlob(factory())
+      val s = new EtagStore(f)
+      val p = Paths.get("ctl.tsv")
+      s.update(p)(_ + ("n" -> "0"))
+      f.mode = FaultingBlob.AfterApply
+      for (_ <- 1 to 20)
+        s.update(p)(m => m + ("n" -> (m("n").toInt + 1).toString))
+      assert(s.readTagged(p)._1("n") === "20",
+        "every ambiguous-but-landed install must count exactly once")
+      assert(f.injected.get() >= 20)
+    }
+
+    test(s"fault contract [$name]: update() loses nothing under 32-way " +
+        "contention with injected ambiguity (idempotent per-key transforms)") {
+      // update()'s documented contract: EXACTLY-once for the idempotent
+      // map-set transforms the engine performs; a non-idempotent transform
+      // (a counter) superseded during an ambiguity window would re-apply —
+      // information a history-less store cannot recover (the scaladoc
+      // caveat; the branch-head CAS recovers it via commit ancestry
+      // instead, proven in CrossProcessCasSpec). So the contention matrix
+      // asserts the hard guarantee: every writer's key lands, none lost.
+      val f = new FaultingBlob(factory())
+      val s = new EtagStore(f)
+      val p = Paths.get("ctl.tsv")
+      f.mode = FaultingBlob.AfterApply
+      f.shouldFault = n => n % 2 == 0 // every 2nd successful put ambiguous
+      val pool = Executors.newFixedThreadPool(16)
+      try {
+        val futs = (1 to 32).map { i =>
+          pool.submit(new Runnable {
+            override def run(): Unit = {
+              s.update(p)(m => m + (s"w$i" -> i.toString))
+              ()
+            }
+          })
+        }
+        futs.foreach(_.get())
+      } finally pool.shutdown()
+      val m = s.readTagged(p)._1
+      (1 to 32).foreach { i =>
+        assert(m.get(s"w$i") === Some(i.toString),
+          s"writer $i's update was lost under injected ambiguity")
+      }
+      assert(f.injected.get() > 0, "the fault injector must have fired")
+    }
+
+    test(s"fault contract [$name]: putIfOutcome surfaces the tri-state, " +
+        "and putIf throws on Unknown rather than guessing") {
+      val f = new FaultingBlob(factory())
+      f.mode = FaultingBlob.AfterApply
+      f.putIfOutcome("k", "v".getBytes, None) match {
+        case PutOutcome.Unknown(_) => () // the contract
+        case other => fail(s"expected Unknown, got $other")
+      }
+      intercept[IOException] { f.putIf("k2", "v".getBytes, None) }
+    }
+  }
+
+  faultContract("InMemoryBlob", () => new InMemoryBlob)
+  faultContract("FileGenerationBlob",
+    () => new FileGenerationBlob(tmp("fgb-fault")))
 
   test("content-tag vs generation-tag ABA, on the record: LockFileStore " +
       "content tags repeat for equal content (benign — the map IS the state); " +

@@ -138,8 +138,85 @@ class CrossProcessCasSpec extends SparkSpec {
       .select("identity").as[String].head() === "CHANGED")
   }
 
+  test("UNKNOWN-outcome CAS, landed: a commit whose conditional put times " +
+      "out AFTER applying is recognized, not re-committed") {
+    import spark.implicits._
+    val dir = tmpDir("unkland")
+    val blob = new InMemoryBlob
+    val faulty = new FaultingBlob(blob)
+    val a = new Engine(spark, dir, raggedness = 100,
+      conditional = new EtagStore(faulty))
+    val init = a.init("main", Some(Seq(("k1", "v1")).toDF("key", "identity")))
+    a.set("main", "k2", "v2")
+    // every put from here on durably lands, then reports Unknown
+    faulty.mode = FaultingBlob.AfterApply
+    val c = a.commit("main", "a", "ambiguous commit")
+    faulty.mode = FaultingBlob.Off
+    // exactly ONE commit landed: the head is c, its parent is init — a
+    // double apply would stack a second commit with the same message
+    assert(a.log("main").map(_.commitId) === Seq(c.commitId, init.commitId))
+    assert(a.list("main@").where(col("key") === "k2").count() === 1)
+    assert(faulty.injected.get() >= 1)
+  }
+
+  test("UNKNOWN-outcome CAS, never landed: the retry wins cleanly") {
+    import spark.implicits._
+    val dir = tmpDir("unklost")
+    val blob = new InMemoryBlob
+    val faulty = new FaultingBlob(blob)
+    val a = new Engine(spark, dir, raggedness = 100,
+      conditional = new EtagStore(faulty))
+    val init = a.init("main", Some(Seq(("k1", "v1")).toDF("key", "identity")))
+    a.set("main", "k2", "v2")
+    // the FIRST put vanishes in flight; subsequent ones are clean
+    faulty.mode = FaultingBlob.BeforeApply
+    val first = faulty.puts.get() + 1
+    faulty.shouldFault = n => n == first
+    val c = a.commit("main", "a", "retried commit")
+    assert(a.log("main").map(_.commitId) === Seq(c.commitId, init.commitId))
+    assert(faulty.injected.get() === 1)
+  }
+
+  test("UNKNOWN-outcome CAS, overtaken: a competing writer stacks on the " +
+      "ambiguously-landed commit before the re-read — ancestry resolves it") {
+    import spark.implicits._
+    val dir = tmpDir("unkstack")
+    val blob = new InMemoryBlob
+    val faulty = new FaultingBlob(blob)
+    val a = new Engine(spark, dir, raggedness = 100,
+      conditional = new EtagStore(faulty))
+    val init = a.init("main", Some(Seq(("k1", "v1")).toDF("key", "identity")))
+    // engine b shares the UNDERLYING store, fault-free — the competing JVM
+    val b = new Engine(spark, dir, raggedness = 100,
+      conditional = new EtagStore(blob))
+    a.set("main", "k2", "v2")
+    @volatile var stacked: String = null
+    faulty.afterApply = () => if (stacked == null) {
+      // between a's durable install and its Unknown report: b moves the
+      // head PAST a's commit, so a's re-read cannot see its own id at head
+      val head = b.refs.getBranch("main").get
+      val cb = b.refs.addCommit("b", "stacked on the ambiguous install",
+        b.resolveCommit("main").metaRangeId, Seq(head))
+      assert(b.refs.casBranch("main", Some(head), cb.commitId))
+      stacked = cb.commitId
+    }
+    faulty.mode = FaultingBlob.AfterApply
+    val c = a.commit("main", "a", "overtaken commit")
+    faulty.mode = FaultingBlob.Off
+    // a's commit is IN the line exactly once, below b's: recomputing it
+    // would have produced [dup, stacked, c, init]
+    assert(a.log("main").map(_.commitId) === Seq(stacked, c.commitId, init.commitId))
+    assert(a.casUnknownWins.sum() === 1,
+      "the ancestry walk, not a blind retry, must claim the landed commit")
+  }
+
   test("two engines race real commits: all keys land, history stays linear") {
     engineCommitRace(backend = "lockfile")
+  }
+
+  test("two engines race real commits under INJECTED CAS ambiguity: " +
+      "no lost and no duplicated commit") {
+    engineCommitRace(backend = "faulting")
   }
 
   test("two engines race real commits over the FILE-GENERATION backend") {
@@ -153,6 +230,14 @@ class CrossProcessCasSpec extends SparkSpec {
     def cond(): ConditionalStore = backend match {
       case "filegen" => new EtagStore(
         new graft.store.FileGenerationBlob(Paths.get(dir).resolve("_gen")))
+      case "faulting" =>
+        // every engine's client reports every 2nd successful put as
+        // Unknown — the store itself (shared dir) stays correct
+        val f = new FaultingBlob(
+          new graft.store.FileGenerationBlob(Paths.get(dir).resolve("_gen")))
+        f.mode = FaultingBlob.AfterApply
+        f.shouldFault = n => n % 2 == 0
+        new EtagStore(f)
       case _ => ConditionalStore.default
     }
     val a = new Engine(spark, dir, raggedness = 100, conditional = cond())
@@ -193,6 +278,9 @@ class CrossProcessCasSpec extends SparkSpec {
     // linear history: every commit's parent chain walks back to init
     val log = a.log("main")
     assert(log.map(_.commitId).distinct.size === log.size)
+    assert(log.map(_.message).distinct.size === log.size,
+      "a duplicated message = the same logical commit applied twice " +
+      "(an ambiguous CAS mistaken for a loss)")
     log.sliding(2).foreach {
       case Seq(child, parent) => assert(child.parents === Seq(parent.commitId),
         "concurrent commits must serialize into one line, never fork")

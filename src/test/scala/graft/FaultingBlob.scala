@@ -1,0 +1,68 @@
+package graft
+
+import java.io.IOException
+import java.util.concurrent.atomic.AtomicInteger
+
+import graft.store.{ConditionalBlob, PutOutcome}
+
+/**
+ * Fault-injecting [[ConditionalBlob]] wrapper — simulates the real-bucket
+ * ambiguity a local backend never produces: a conditional PUT whose
+ * RESPONSE is lost. Two modes, matching the two sides of the ambiguity:
+ *
+ *  - [[FaultingBlob.AfterApply]]: the put IS durably applied to the
+ *    underlying store, then reported [[PutOutcome.Unknown]] — "timeout
+ *    after the write landed". The caller that treats this as a clean loss
+ *    recomputes against a head that already contains its own write (the
+ *    double-commit bug class).
+ *  - [[FaultingBlob.BeforeApply]]: the underlying store is never touched,
+ *    and the put reports Unknown — "request lost in flight". The caller
+ *    that treats this as a win loses its update.
+ *
+ * `shouldFault(n)` picks which put attempts (1-based, successful-or-not)
+ * fault, so races can interleave clean and ambiguous outcomes
+ * deterministically. `afterApply` runs between a durable apply and the
+ * Unknown report — specs interleave a competing writer there to force the
+ * "head moved PAST my landed commit" resolution path.
+ */
+class FaultingBlob(underlying: ConditionalBlob) extends ConditionalBlob {
+  import FaultingBlob._
+
+  @volatile var mode: Mode = Off
+  @volatile var shouldFault: Int => Boolean = _ => true
+  @volatile var afterApply: () => Unit = () => ()
+
+  val puts = new AtomicInteger
+  val injected = new AtomicInteger
+
+  override def get(key: String): Option[(Array[Byte], String)] =
+    underlying.get(key)
+
+  override def putIfOutcome(key: String, bytes: Array[Byte],
+      ifMatch: Option[String]): PutOutcome = {
+    val n = puts.incrementAndGet()
+    mode match {
+      case BeforeApply if shouldFault(n) =>
+        injected.incrementAndGet()
+        PutOutcome.Unknown(new IOException(
+          s"injected (put #$n): request lost before apply"))
+      case AfterApply =>
+        underlying.putIfOutcome(key, bytes, ifMatch) match {
+          case PutOutcome.Put(_) if shouldFault(n) =>
+            injected.incrementAndGet()
+            afterApply()
+            PutOutcome.Unknown(new IOException(
+              s"injected (put #$n): response lost after durable apply"))
+          case other => other
+        }
+      case _ => underlying.putIfOutcome(key, bytes, ifMatch)
+    }
+  }
+}
+
+object FaultingBlob {
+  sealed trait Mode
+  case object Off extends Mode
+  case object BeforeApply extends Mode
+  case object AfterApply extends Mode
+}
