@@ -1,0 +1,536 @@
+package graft.store
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, StandardCopyOption}
+import java.time.Instant
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.apache.spark.sql.Row
+
+import graft.store.GatewaySig.SignedRequest
+
+/**
+ * S3 XML wire shapes (`pkg/gateway/serde/xml.go` + `types.go`) — the
+ * response documents a stock S3 SDK parses. Hand-rendered (no XML lib on
+ * the classpath and the shapes are flat), fields in the serde structs'
+ * order, values escaped.
+ */
+object GatewayXml {
+  private[store] def esc(s: String): String = {
+    val b = new StringBuilder(s.length)
+    s.foreach {
+      case '&' => b.append("&amp;")
+      case '<' => b.append("&lt;")
+      case '>' => b.append("&gt;")
+      case '"' => b.append("&quot;")
+      case c   => b.append(c)
+    }
+    b.toString
+  }
+  private def el(tag: String, v: String): String = s"<$tag>${esc(v)}</$tag>"
+  val Xmlns = "http://s3.amazonaws.com/doc/2006-03-01/"
+  private val Decl = """<?xml version="1.0" encoding="UTF-8"?>"""
+
+  /** serde.Error (xml.go:9-15). */
+  def error(code: String, message: String, resource: String,
+      requestId: String): String =
+    Decl + "<Error>" + el("Code", code) + el("Message", message) +
+      el("Resource", resource) + el("RequestId", requestId) + "</Error>"
+
+  /** One Contents row (xml.go:40-46). The gateway's listing operator
+    * carries names only (P1+P4+O2 — the data contract); per-key
+    * etag/size would cost a stat per row, which the reference also skips
+    * on the common-prefix path. */
+  final case class Entry(key: String, isPrefix: Boolean)
+
+  /** serde.ListObjectsV2Output / ListBucketResult (xml.go:52-91) — `v2`
+    * picks the continuation dialect, V1 the marker dialect. */
+  def listBucket(v2: Boolean, name: String, prefix: String, delimiter: String,
+      maxKeys: Int, entries: Seq[Entry], isTruncated: Boolean,
+      nextToken: Option[String], marker: Option[String]): String = {
+    val b = new StringBuilder(Decl)
+    b.append(s"""<ListBucketResult xmlns="$Xmlns">""")
+    b.append(el("Name", name)).append(el("IsTruncated", isTruncated.toString))
+    b.append(el("Prefix", prefix))
+    if (delimiter.nonEmpty) b.append(el("Delimiter", delimiter))
+    val keys = entries.filterNot(_.isPrefix)
+    b.append(el("KeyCount", entries.size.toString))
+    b.append(el("MaxKeys", maxKeys.toString))
+    entries.filter(_.isPrefix).foreach(e =>
+      b.append("<CommonPrefixes>").append(el("Prefix", e.key))
+        .append("</CommonPrefixes>"))
+    if (v2) {
+      nextToken.foreach(t => b.append(el("NextContinuationToken", t)))
+    } else {
+      b.append(el("Marker", marker.getOrElse("")))
+      if (isTruncated) nextToken.foreach(t => b.append(el("NextMarker", t)))
+    }
+    keys.foreach { e =>
+      b.append("<Contents>").append(el("Key", e.key))
+        .append(el("StorageClass", "STANDARD")).append("</Contents>")
+    }
+    b.append("</ListBucketResult>")
+    b.toString
+  }
+
+  /** serde.InitiateMultipartUploadResult (xml.go:132-136). */
+  def initiateMultipartUpload(bucket: String, key: String, id: String): String =
+    Decl + "<InitiateMultipartUploadResult>" + el("Bucket", bucket) +
+      el("Key", key) + el("UploadId", id) + "</InitiateMultipartUploadResult>"
+
+  /** serde.CompleteMultipartUploadResult (xml.go:138-143). */
+  def completeMultipartUpload(location: String, bucket: String, key: String,
+      etag: String): String =
+    Decl + "<CompleteMultipartUploadResult>" + el("Location", location) +
+      el("Bucket", bucket) + el("Key", key) + el("ETag", etag) +
+      "</CompleteMultipartUploadResult>"
+
+  /** serde.CopyObjectResult / CopyPartResult (xml.go:122-130). */
+  def copyResult(part: Boolean, lastModified: String, etag: String): String = {
+    val tag = if (part) "CopyPartResult" else "CopyObjectResult"
+    Decl + s"<$tag>" + el("LastModified", lastModified) + el("ETag", etag) +
+      s"</$tag>"
+  }
+
+  /** serde.DeleteResult (xml.go:116-120): Deleted + Error entries. */
+  def deleteResult(deleted: Seq[String],
+      errors: Seq[(String, String)]): String = {
+    val b = new StringBuilder(Decl)
+    b.append(s"""<DeleteResult xmlns="$Xmlns">""")
+    deleted.foreach(k =>
+      b.append("<Deleted>").append(el("Key", k)).append("</Deleted>"))
+    errors.foreach { case (k, code) =>
+      b.append("<Error>").append(el("Code", code)).append(el("Key", k))
+        .append(el("Message", code)).append("</Error>")
+    }
+    b.append("</DeleteResult>")
+    b.toString
+  }
+
+  /** serde.ListPartsOutput (xml.go:157-165). */
+  def listParts(bucket: String, key: String,
+      parts: Seq[(Int, String, Long)]): String = {
+    val b = new StringBuilder(Decl)
+    b.append("<ListPartsResult>").append(el("Bucket", bucket))
+      .append(el("IsTruncated", "false")).append(el("Key", key))
+      .append(el("MaxParts", parts.size.toString))
+    parts.foreach { case (n, etag, size) =>
+      b.append("<Part>").append(el("PartNumber", n.toString))
+        .append(el("ETag", etag)).append(el("Size", size.toString))
+        .append("</Part>")
+    }
+    b.append("</ListPartsResult>")
+    b.toString
+  }
+
+  /** serde.ListMultipartUploadsOutput (xml.go:167-175). */
+  def listMultipartUploads(bucket: String, uploads: Seq[(String, String)],
+      isTruncated: Boolean): String = {
+    val b = new StringBuilder(Decl)
+    b.append("<ListMultipartUploadsResult>").append(el("Bucket", bucket))
+    uploads.foreach { case (key, id) =>
+      b.append("<Upload>").append(el("Key", key))
+        .append(el("UploadId", id)).append("</Upload>")
+    }
+    if (isTruncated) b.append(el("IsTruncated", "true"))
+    b.append("</ListMultipartUploadsResult>")
+    b.toString
+  }
+
+  /** serde.LocationResponse (xml.go:196-199) — lakeFS answers empty. */
+  def locationConstraint: String =
+    Decl + s"""<LocationConstraint xmlns="$Xmlns"/>"""
+  /** serde.VersioningResponse (xml.go:6-8). */
+  def versioning: String = s"""<VersioningConfiguration xmlns="$Xmlns"/>"""
+  /** serde.Tagging, empty set (getobject.go ?tagging stub). */
+  def tagging: String = Decl + s"""<Tagging xmlns="$Xmlns"><TagSet/></Tagging>"""
+}
+
+/**
+ * The gateway's HTTP last mile — the reference's `pkg/gateway/handler.go`
+ * + per-op serializers, as an embedded JDK server (the same zero-egress
+ * localhost pattern as the webhook listeners in [[Actions]]). The request
+ * path per exchange is EXACTLY the function chain the router exposes:
+ *
+ *   wire bytes → [[SignedRequest]] → [[GatewayRouter.route]]
+ *   (authenticate: SigV4/V2 header or presigned query auth; resolve op;
+ *   authorize) → [[Gateway.handle]] → XML/headers out.
+ *
+ * Object BYTES: the engine stores metadata (identity/address/size); the
+ * bytes live at the physical address. This server doubles as the local
+ * block adapter the reference mounts behind its gateway (`pkg/block/local`):
+ * PUT/UploadPart payloads are written under `blockRoot/<physical address>`,
+ * GET streams them back with range applied — so a stock S3 client gets a
+ * true byte round trip, multipart included. Presigned URLs, which address
+ * the PHYSICAL path directly (the reference's direct-access flow), are
+ * served here too: query-auth requests bypass the catalog route and hit
+ * the block store after [[Gateway.validatePresigned]].
+ *
+ * Error bodies are `serde.Error` documents with the codes and HTTP
+ * statuses of `pkg/gateway/errors/errors.go`.
+ */
+class GatewayHttp(gw: Gateway, auth: GatewayAuth, authSvc: AuthService,
+    bareDomains: Seq[String], blockRoot: Path,
+    clock: () => Instant = () => Instant.now()) {
+
+  private var server: HttpServer = _
+  def port: Int = server.getAddress.getPort
+
+  def start(port: Int = 0): Int = {
+    server = HttpServer.create(new java.net.InetSocketAddress(
+      java.net.InetAddress.getLoopbackAddress, port), 0)
+    server.createContext("/", (ex: HttpExchange) => handleExchange(ex))
+    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4))
+    server.start()
+    this.port
+  }
+
+  def stop(): Unit = if (server != null) server.stop(0)
+
+  // ---- wire → SignedRequest -------------------------------------------------
+
+  private def decode(s: String): String =
+    java.net.URLDecoder.decode(s, StandardCharsets.UTF_8)
+
+  /** Query string → ordered decoded pairs (Go's url.Values semantics the
+    * signature canonicalization re-encodes from). */
+  private[store] def parseQuery(raw: String): Seq[(String, String)] =
+    if (raw == null || raw.isEmpty) Nil
+    else raw.split("&", -1).toSeq.filter(_.nonEmpty).map { kv =>
+      kv.indexOf('=') match {
+        case -1 => (decode(kv), "")
+        case i  => (decode(kv.take(i)), decode(kv.drop(i + 1)))
+      }
+    }
+
+  private def toSignedRequest(ex: HttpExchange): SignedRequest = {
+    val uri = ex.getRequestURI
+    val headers = {
+      val b = Seq.newBuilder[(String, String)]
+      ex.getRequestHeaders.forEach((k, vs) => vs.forEach(v => b += (k -> v)))
+      b.result()
+    }
+    val host = headers.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("Host") => v
+    }.getOrElse("")
+    val body = ex.getRequestBody.readAllBytes()
+    SignedRequest(ex.getRequestMethod.toUpperCase, host,
+      decode(uri.getRawPath), parseQuery(uri.getRawQuery), headers, body,
+      rawPath = Some(uri.getRawPath))
+  }
+
+  // ---- error mapping (pkg/gateway/errors/errors.go status table) -------------
+
+  /** code → HTTP status, the errors.go rows for every code this gateway
+    * emits. */
+  private val statusOf: Map[String, Int] = Map(
+    "AccessDenied" -> 403, "InvalidAccessKeyId" -> 403,
+    "SignatureDoesNotMatch" -> 403, "RequestTimeTooSkewed" -> 403,
+    "AuthorizationQueryParametersError" -> 400,
+    "NoSuchKey" -> 404, "NoSuchBucket" -> 404, "NoSuchUpload" -> 404,
+    "InvalidRange" -> 416, "MalformedXML" -> 400, "InvalidArgument" -> 400,
+    "InvalidCopySource" -> 400, "InvalidRequest" -> 400,
+    "NotImplemented" -> 501, "ERRLakeFSNotSupported" -> 405,
+    "MethodNotAllowed" -> 405, "InternalError" -> 500,
+    "BadRequest" -> 400)
+
+  private def sigErrorCode(e: GatewaySig.SigError): String = e match {
+    case GatewaySig.ErrRequestTimeTooSkewed => "RequestTimeTooSkewed"
+    case GatewaySig.ErrExpiredPresignRequest |
+         GatewaySig.ErrRequestNotReadyYet => "AccessDenied"
+    case GatewaySig.ErrMissingFields | GatewaySig.ErrMalformedExpires |
+         GatewaySig.ErrNegativeExpires | GatewaySig.ErrMaximumExpires |
+         GatewaySig.ErrInvalidQuerySignatureAlgo |
+         GatewaySig.ErrMissingCredTag | GatewaySig.ErrCredMalformed =>
+      "AuthorizationQueryParametersError"
+    case _ => "SignatureDoesNotMatch"
+  }
+
+  /** The handler's internal errors arrive as messages prefixed with their
+    * S3 code (`sys.error(s"NoSuchKey: $path")` in [[Gateway]]). */
+  private def codeOfMessage(msg: String): String = {
+    val m = if (msg == null) "" else msg
+    statusOf.keys.find(c => m.startsWith(c + ":") || m.startsWith(c + " "))
+      .getOrElse(if (m.contains("no branch") || m.contains("unknown ref") ||
+        m.contains("unresolvable")) "NoSuchBucket"
+      else if (m.contains("unknown upload") || m.contains("upload token"))
+        "NoSuchUpload"
+      else "InternalError")
+  }
+
+  private def respondError(ex: HttpExchange, code: String): Unit = {
+    val fullCode = code.takeWhile(_ != ':') // "ERRLakeFSNotSupported:acl"
+    val status = statusOf.getOrElse(fullCode, 500)
+    val body = GatewayXml.error(fullCode, code,
+      ex.getRequestURI.getPath, requestIdOf(ex))
+    respond(ex, status, body.getBytes(StandardCharsets.UTF_8),
+      Seq("Content-Type" -> "application/xml"))
+  }
+
+  private def requestIdOf(ex: HttpExchange): String =
+    Integer.toHexString(System.identityHashCode(ex))
+
+  private def respond(ex: HttpExchange, status: Int, body: Array[Byte],
+      headers: Seq[(String, String)] = Nil): Unit = {
+    headers.foreach { case (k, v) => ex.getResponseHeaders.add(k, v) }
+    ex.getResponseHeaders.add("x-amz-request-id", requestIdOf(ex))
+    if (ex.getRequestMethod.equalsIgnoreCase("HEAD")) {
+      // HEAD: headers only; -1 = no body follows (Content-Length handled
+      // by the declared length headers we set explicitly)
+      ex.sendResponseHeaders(status, -1)
+    } else if (body.isEmpty && (status == 204 || status == 304)) {
+      ex.sendResponseHeaders(status, -1)
+    } else {
+      ex.sendResponseHeaders(status, if (body.isEmpty) -1 else body.length.toLong)
+      if (body.nonEmpty) ex.getResponseBody.write(body)
+    }
+    ex.close()
+  }
+
+  // ---- block store (the pkg/block/local role) -------------------------------
+
+  private def physicalPath(address: String): Path = {
+    val clean = address.stripPrefix("/")
+    require(!clean.split('/').contains(".."), s"bad address: $address")
+    blockRoot.resolve(clean)
+  }
+
+  private def writePhysical(address: String, bytes: Array[Byte]): Unit = {
+    val p = physicalPath(address)
+    Files.createDirectories(p.getParent)
+    val tmp = p.resolveSibling(
+      s".tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+    Files.write(tmp, bytes)
+    Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private def readPhysical(address: String, start: Long, end: Long): Array[Byte] = {
+    val p = physicalPath(address)
+    if (!Files.exists(p)) Array.emptyByteArray
+    else {
+      val all = Files.readAllBytes(p)
+      val s = math.max(0L, start).toInt
+      val e = math.min(end, all.length - 1L).toInt
+      if (s > e) Array.emptyByteArray else java.util.Arrays.copyOfRange(all, s, e + 1)
+    }
+  }
+
+  private def mpuPartPath(uploadId: String, partNumber: Int): Path =
+    blockRoot.resolve(".mpu").resolve(uploadId).resolve(s"part-$partNumber")
+
+  // ---- presigned direct access ----------------------------------------------
+
+  /** A query-auth request addresses the PHYSICAL path (the reference's
+    * presigned direct-access flow): validate the SigV4 query signature
+    * against the key's secret, then hit the block store directly. */
+  private def handlePresigned(ex: HttpExchange, req: SignedRequest): Unit = {
+    val accessKey = req.queryGet("X-Amz-Credential")
+      .map(_.takeWhile(_ != '/')).getOrElse("")
+    authSvc.secretForKey(accessKey) match {
+      case None => respondError(ex, "InvalidAccessKeyId")
+      case Some((_, secret)) =>
+        gw.validatePresigned(req, secret, clock().getEpochSecond) match {
+          case Left(e) => respondError(ex, sigErrorCode(e))
+          case Right((method, physical)) => method match {
+            case "GET" =>
+              val bytes = readPhysical(physical, 0L, Long.MaxValue - 1)
+              respond(ex, 200, bytes,
+                Seq("Content-Type" -> "application/octet-stream"))
+            case "PUT" =>
+              writePhysical(physical, req.body)
+              respond(ex, 200, Array.emptyByteArray, Seq("ETag" ->
+                quote(GatewaySig.payloadSha256Hex(req.body))))
+            case _ => respondError(ex, "MethodNotAllowed")
+          }
+        }
+    }
+  }
+
+  private def quote(etag: String): String = "\"" + etag + "\""
+
+  // ---- the per-exchange pipeline --------------------------------------------
+
+  private def handleExchange(ex: HttpExchange): Unit =
+    try {
+      val req = toSignedRequest(ex)
+      if (req.queryGet("X-Amz-Algorithm").isDefined) handlePresigned(ex, req)
+      else handleSigned(ex, req)
+    } catch {
+      case e: GatewaySig.SigError => respondError(ex, sigErrorCode(e))
+      case e: GatewayAuth#AccessDeniedException =>
+        respondError(ex, if (e.getMessage != null &&
+          e.getMessage.contains("credentials rejected")) "InvalidAccessKeyId"
+        else "AccessDenied")
+      case e: Exception => respondError(ex, codeOfMessage(e.getMessage))
+    } finally ex.close()
+
+  private def handleSigned(ex: HttpExchange, req: SignedRequest): Unit = {
+    import GatewayRouter._
+    val now = clock()
+    val routed = GatewayRouter.route(auth, req, now, bareDomains)
+    val nowSec = now.getEpochSecond
+    val lastModified = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")
+      .withZone(java.time.ZoneOffset.UTC).format(now)
+    def xml(body: String): Unit =
+      respond(ex, 200, body.getBytes(StandardCharsets.UTF_8),
+        Seq("Content-Type" -> "application/xml"))
+
+    gw.handle(routed, req, nowSec) match {
+      case r: gw.ObjectResult =>
+        val total = gw.headObject(routed.ref, routed.path).sizeBytes
+        val bytes = readPhysical(r.address, r.start, r.end)
+        val base = Seq("ETag" -> quote(r.etag),
+          "Accept-Ranges" -> "bytes",
+          "Content-Type" -> "application/octet-stream")
+        val hdrs = if (r.status == 206)
+          base :+ ("Content-Range" -> s"bytes ${r.start}-${r.end}/$total")
+        else base
+        respond(ex, r.status, bytes, hdrs)
+      case r: gw.StatResult =>
+        respond(ex, 200, Array.emptyByteArray, Seq("ETag" -> quote(r.etag),
+          "Content-Length" -> r.sizeBytes.toString,
+          "Accept-Ranges" -> "bytes"))
+      case r: gw.EtagResult =>
+        // the block-adapter write: land the verified payload (or the
+        // assembled multipart) at the entry's physical address
+        routed.op match {
+          case PutObject =>
+            writePhysical(addressOf(routed), routed.payload)
+            respond(ex, 200, Array.emptyByteArray, Seq("ETag" -> quote(r.etag)))
+          case UploadPart =>
+            val pn = req.queryGet("partNumber").get.toInt
+            val pp = mpuPartPath(req.queryGet("uploadId").get, pn)
+            Files.createDirectories(pp.getParent)
+            Files.write(pp, routed.payload)
+            respond(ex, 200, Array.emptyByteArray, Seq("ETag" -> quote(r.etag)))
+          case UploadPartCopy =>
+            // byte half: slice the SOURCE's physical bytes into the stash
+            // so assembly stays correct when parts arrive by copy
+            req.header("x-amz-copy-source").getOrElse("")
+              .stripPrefix("/").split("/", 3) match {
+              case Array(_, srcRef, srcPath) =>
+                val src = gw.headObject(srcRef, srcPath)
+                val (s, e) = req.header("x-amz-copy-source-range") match {
+                  case Some(spec) => HttpRange.parse(spec, src.sizeBytes)
+                    .toOption.getOrElse((0L, src.sizeBytes - 1))
+                  case None => (0L, src.sizeBytes - 1)
+                }
+                val pn = req.queryGet("partNumber").get.toInt
+                val pp = mpuPartPath(req.queryGet("uploadId").get, pn)
+                Files.createDirectories(pp.getParent)
+                Files.write(pp, readPhysical(src.address, s, e))
+              case _ => ()
+            }
+            xml(GatewayXml.copyResult(part = true, lastModified, quote(r.etag)))
+          case CopyObject =>
+            // CopyEntry shares the source's physical address — no byte move
+            xml(GatewayXml.copyResult(part = false, lastModified, quote(r.etag)))
+          case CompleteMultipartUpload =>
+            assembleParts(req, routed)
+            xml(GatewayXml.completeMultipartUpload(
+              s"/${routed.repository}/${routed.ref}/${routed.path}",
+              routed.repository, s"${routed.ref}/${routed.path}", quote(r.etag)))
+          case _ =>
+            respond(ex, 200, Array.emptyByteArray, Seq("ETag" -> quote(r.etag)))
+        }
+      case r: gw.IdResult =>
+        xml(GatewayXml.initiateMultipartUpload(routed.repository,
+          s"${routed.ref}/${routed.path}", r.id))
+      case gw.NoContentResult => respond(ex, 204, Array.emptyByteArray)
+      case r: gw.ConfigResult =>
+        routed.op match {
+          case GetBucketLocation => xml(GatewayXml.locationConstraint)
+          case GetObjectTagging  => xml(GatewayXml.tagging)
+          case _                 => xml(GatewayXml.versioning)
+        }
+      case r: gw.PageResult => serializePage(ex, req, routed, r, xml)
+      case r: gw.ErrorResult => respondError(ex, r.code)
+    }
+  }
+
+  private def addressOf(routed: GatewayRouter.RoutedRequest): String =
+    gw.headObject(routed.ref + "$", routed.path).address
+
+  /** CompleteMultipartUpload's byte half: concatenate the stashed parts in
+    * the request document's part order into the final physical address
+    * (the reference's block adapter does this server-side in S3). */
+  private def assembleParts(req: SignedRequest,
+      routed: GatewayRouter.RoutedRequest): Unit = {
+    val body = new String(routed.payload, StandardCharsets.UTF_8)
+    val order = "<PartNumber>([0-9]+)</PartNumber>".r
+      .findAllMatchIn(body).map(_.group(1).toInt).toSeq
+    val id = req.queryGet("uploadId").getOrElse("")
+    val out = new java.io.ByteArrayOutputStream()
+    order.foreach { pn =>
+      val pp = mpuPartPath(id, pn)
+      if (Files.exists(pp)) out.write(Files.readAllBytes(pp))
+    }
+    writePhysical(addressOf(routed), out.toByteArray)
+    // reclaim the stash
+    val dir = blockRoot.resolve(".mpu").resolve(id)
+    if (Files.isDirectory(dir)) {
+      val ds = Files.newDirectoryStream(dir)
+      try ds.forEach(p => { Files.deleteIfExists(p); () }) finally ds.close()
+      Files.deleteIfExists(dir)
+      ()
+    }
+  }
+
+  /** DataFrame pages → their op's serde document. Bounded collects: every
+    * page here is ≤ max-keys (≤1000) rows by construction (O2). */
+  private def serializePage(ex: HttpExchange, req: SignedRequest,
+      routed: GatewayRouter.RoutedRequest, r: gw.PageResult,
+      xml: (String) => Unit): Unit = {
+    import GatewayRouter._
+    def q(n: String) = req.queryGet(n).getOrElse("")
+    routed.op match {
+      case ListObjects | ListObjectsV2 =>
+        val rows: Array[Row] =
+          if (r.df.columns.contains("rn")) r.df.orderBy("rn").collect()
+          else r.df.orderBy("name").collect() // the branches-as-prefixes page
+        val entries = rows.map(row => GatewayXml.Entry(
+          row.getAs[String]("name"),
+          row.getAs[String]("entry_type") == "common_prefix")).toSeq
+        val truncated = rows.nonEmpty &&
+          r.df.columns.contains("is_truncated") &&
+          rows.last.getAs[Long]("is_truncated") == 1L
+        val nextToken =
+          if (!truncated) None
+          else if (routed.op == ListObjectsV2) rows.lastOption.map(_.getAs[String]("name"))
+          else if (r.df.columns.contains("next_marker"))
+            Option(rows.last.getAs[String]("next_marker"))
+          else None
+        xml(GatewayXml.listBucket(routed.op == ListObjectsV2,
+          routed.repository, q("prefix"), q("delimiter"),
+          req.queryGet("max-keys").flatMap(_.toIntOption).getOrElse(1000),
+          entries, truncated, nextToken,
+          Some(q("marker")).filter(_ => routed.op == ListObjects)))
+      case DeleteObjects =>
+        val rows = r.df.collect()
+        val deleted = rows.filter(_.getAs[String]("status") == "deleted")
+          .map(_.getAs[String]("key")).toSeq
+        val errors = rows.filter(_.getAs[String]("status") != "deleted")
+          .map(row => (row.getAs[String]("key"),
+            Option(row.getAs[String]("code")).getOrElse("InternalError"))).toSeq
+        xml(GatewayXml.deleteResult(deleted, errors))
+      case ListParts =>
+        val parts = r.df.orderBy("part_number").collect().map(row =>
+          (row.getAs[Long]("part_number").toInt, row.getAs[String]("etag"),
+            row.getAs[Long]("size_bytes"))).toSeq
+        xml(GatewayXml.listParts(routed.repository,
+          s"${routed.ref}/${routed.path}", parts))
+      case ListMultipartUploads =>
+        val rows = r.df.orderBy("rn").collect()
+        val ups = rows.map(row => (row.getAs[String]("path"),
+          row.getAs[String]("upload_id"))).toSeq
+        val truncated = rows.nonEmpty &&
+          rows.last.getAs[Long]("is_truncated") == 1L
+        xml(GatewayXml.listMultipartUploads(routed.repository, ups, truncated))
+      case _ => // a page with no serde document (internal listings)
+        xml(GatewayXml.error("InternalError",
+          s"no serializer for ${routed.op.name}", req.path, requestIdOf(ex)))
+    }
+  }
+}

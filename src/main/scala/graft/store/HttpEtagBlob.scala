@@ -1,0 +1,98 @@
+package graft.store
+
+import java.io.IOException
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.charset.StandardCharsets
+import java.time.Duration
+
+/**
+ * The object-store [[ConditionalBlob]] adapter, HTTP-etag dialect — the
+ * production plug the reference fills with its KV backends (`pkg/kv/
+ * dynamodb`, `pkg/kv/postgres` implement `SetMsgIf` server-side; an
+ * object-store deployment uses the bucket's own conditional writes). One
+ * key = one object; the conditional PUT maps to the stores' public
+ * header/parameter forms exactly as documented on the
+ * [[ConditionalBlob]] contract:
+ *
+ *  - S3:    `If-None-Match: *` to create, `If-Match: <etag>` to replace
+ *           (public conditional-write API); 412 PreconditionFailed /
+ *           409 ConditionalRequestConflict → lost.
+ *  - GCS:   `x-goog-if-generation-match: 0 / <generation>` (the XML
+ *           API's header form of `ifGenerationMatch`).
+ *  - Azure: `If-None-Match: *` / `If-Match: <etag>` on Put Blob.
+ *
+ * This class speaks the S3/Azure header form against any endpoint that
+ * enforces it atomically (a real bucket, or the in-process fake in the
+ * contract suite). OUTCOME MAPPING is the part a real bucket makes
+ * non-trivial and the tri-state contract exists for:
+ *
+ *  - 200/201 with an ETag header → [[PutOutcome.Put]] (definitive).
+ *  - 412/409 → [[PutOutcome.PreconditionFailed]] (definitive: the store
+ *    evaluated the precondition and wrote nothing).
+ *  - any 5xx, or an I/O error after the request left → [[PutOutcome
+ *    .Unknown]]: the server may have applied the write before failing to
+ *    answer. NEVER a clean loss — [[EtagStore]]/[[RefStore]] resolve by
+ *    re-reading (self-recognition / commit ancestry).
+ *  - other 4xx → thrown: the request itself is wrong (auth, malformed),
+ *    definitive and not retryable by re-reading.
+ *
+ * Read-your-writes: S3, GCS and Azure all serve strong read-after-write
+ * consistency for single objects (published consistency models), which is
+ * what the Unknown resolution protocol requires of the endpoint.
+ */
+class HttpEtagBlob(endpoint: URI, timeout: Duration = Duration.ofSeconds(10))
+    extends ConditionalBlob {
+
+  private val client = HttpClient.newBuilder()
+    .connectTimeout(timeout).build()
+
+  /** Arbitrary key strings → one opaque path segment (control-file paths
+    * contain '/'; the endpoint keys on the raw segment). */
+  private def keyUri(key: String): URI = {
+    val seg = java.net.URLEncoder.encode(key, StandardCharsets.UTF_8)
+    endpoint.resolve("/" + seg)
+  }
+
+  override def get(key: String): Option[(Array[Byte], String)] = {
+    val req = HttpRequest.newBuilder(keyUri(key)).GET()
+      .timeout(timeout).build()
+    val resp = client.send(req, HttpResponse.BodyHandlers.ofByteArray())
+    resp.statusCode() match {
+      case 200 =>
+        val etag = resp.headers().firstValue("ETag")
+          .orElseThrow(() => new IOException(s"no ETag on GET $key"))
+        Some((resp.body(), etag))
+      case 404 => None
+      case s   => throw new IOException(s"GET $key: HTTP $s")
+    }
+  }
+
+  override def putIfOutcome(key: String, bytes: Array[Byte],
+      ifMatch: Option[String]): PutOutcome = {
+    val b = HttpRequest.newBuilder(keyUri(key))
+      .PUT(HttpRequest.BodyPublishers.ofByteArray(bytes))
+      .timeout(timeout)
+    ifMatch match {
+      case None    => b.header("If-None-Match", "*")
+      case Some(e) => b.header("If-Match", e)
+    }
+    val resp =
+      try client.send(b.build(), HttpResponse.BodyHandlers.ofByteArray())
+      catch {
+        case e: IOException => return PutOutcome.Unknown(e)
+        case e: InterruptedException =>
+          Thread.currentThread().interrupt(); return PutOutcome.Unknown(e)
+      }
+    resp.statusCode() match {
+      case 200 | 201 =>
+        resp.headers().firstValue("ETag").map[PutOutcome](e =>
+          PutOutcome.Put(e)).orElseGet(() => PutOutcome.Unknown(
+            new IOException(s"PUT $key: 200 without an ETag")))
+      case 412 | 409 => PutOutcome.PreconditionFailed
+      case s if s >= 500 => PutOutcome.Unknown(
+        new IOException(s"PUT $key: HTTP $s — the write may have applied"))
+      case s => throw new IOException(s"PUT $key: HTTP $s")
+    }
+  }
+}

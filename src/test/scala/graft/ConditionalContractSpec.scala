@@ -140,6 +140,16 @@ class ConditionalContractSpec extends AnyFunSuite {
     () => new FileGenerationBlob(dir) // each call = a new process over the dir
   })
 
+  // the HTTP-etag dialect: real wire bytes against the in-process fake of
+  // a bucket's conditional-put endpoint — every client is its own
+  // "process", the server is the shared store
+  private val etagServer = new FakeEtagServer
+  private val etagPort = etagServer.start()
+  private def httpBlob() = new graft.store.HttpEtagBlob(
+    java.net.URI.create(s"http://localhost:$etagPort"))
+
+  blobContract("HttpEtagBlob(fake bucket)", () => httpBlob())
+
   test("FileGenerationBlob: an orphaned temp from a crashed writer is harmless") {
     val dir = tmp("fgb-orphan")
     val b = new FileGenerationBlob(dir)
@@ -252,6 +262,10 @@ class ConditionalContractSpec extends AnyFunSuite {
     (new EtagStore(new FileGenerationBlob(dir.resolve("blob"))),
       dir.resolve("kv.tsv"))
   })
+  storeContract("EtagStore(HttpEtagBlob)", () => {
+    // unique control-file path per test = unique key on the shared endpoint
+    (new EtagStore(httpBlob()), tmp("csh").resolve("kv.tsv"))
+  })
 
   // ---- unknown-outcome (ambiguous CAS) contract ------------------------------
   /** The fault-injection matrix the real-bucket adapter earns its
@@ -354,6 +368,36 @@ class ConditionalContractSpec extends AnyFunSuite {
   faultContract("InMemoryBlob", () => new InMemoryBlob)
   faultContract("FileGenerationBlob",
     () => new FileGenerationBlob(tmp("fgb-fault")))
+  faultContract("HttpEtagBlob", () => {
+    // fresh endpoint per test: the fault matrix reuses one key name
+    val srv = new FakeEtagServer
+    new graft.store.HttpEtagBlob(
+      java.net.URI.create(s"http://localhost:${srv.start()}"))
+  })
+
+  test("HttpEtagBlob maps a 5xx AFTER a durable server-side apply to " +
+      "Unknown — and the store layer recovers it as a win") {
+    import graft.store.{EtagStore, PutOutcome}
+    val srv = new FakeEtagServer
+    val b = new graft.store.HttpEtagBlob(
+      java.net.URI.create(s"http://localhost:${srv.start()}"))
+    // client-level: the wire 500 is Unknown, never PreconditionFailed
+    srv.failPutsAfterApply.set(1)
+    b.putIfOutcome("k", "v1".getBytes, None) match {
+      case PutOutcome.Unknown(_) => ()
+      case other => fail(s"a 5xx-after-apply must be Unknown, got $other")
+    }
+    // the write DID land server-side
+    assert(new String(b.get("k").get._1) === "v1")
+    // store-level: writeIf through the same ambiguity self-recognizes
+    val s = new EtagStore(b)
+    val p = Paths.get("ctl2.tsv")
+    srv.failPutsAfterApply.set(1)
+    assert(s.writeIf(p, Map("a" -> "1"), ""),
+      "EtagStore must recover a landed-but-500 install by re-reading")
+    assert(s.readTagged(p)._1 === Map("a" -> "1"))
+    srv.stop()
+  }
 
   test("content-tag vs generation-tag ABA, on the record: LockFileStore " +
       "content tags repeat for equal content (benign — the map IS the state); " +

@@ -224,10 +224,22 @@ class CrossProcessCasSpec extends SparkSpec {
     engineCommitRace(backend = "filegen")
   }
 
+  test("two engines race real commits over the HTTP-ETAG (bucket-dialect) " +
+      "backend: conditional puts on real wire bytes") {
+    engineCommitRace(backend = "http")
+  }
+
   private def engineCommitRace(backend: String): Unit = {
     import spark.implicits._
     val dir = tmpDir(s"engrace-$backend")
+    val httpEndpoint: Option[String] =
+      if (backend == "http") {
+        val srv = new FakeEtagServer
+        Some(s"http://localhost:${srv.start()}")
+      } else None
     def cond(): ConditionalStore = backend match {
+      case "http" => new EtagStore(new graft.store.HttpEtagBlob(
+        java.net.URI.create(httpEndpoint.get)))
       case "filegen" => new EtagStore(
         new graft.store.FileGenerationBlob(Paths.get(dir).resolve("_gen")))
       case "faulting" =>

@@ -1,0 +1,89 @@
+package graft
+
+import java.util.concurrent.atomic.{AtomicInteger, AtomicLong}
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+
+/**
+ * In-process fake of an object store's conditional-put endpoint — the
+ * server side [[graft.store.HttpEtagBlob]] speaks to. Enforces the S3/
+ * Azure header contract atomically (one lock around compare-and-set, the
+ * guarantee a real bucket provides server-side) with GCS-style GENERATION
+ * etags (monotonic per key — ABA-proof, matching the contract suite's
+ * expectations for generation backends).
+ *
+ * Fault injection, server-side: `failPutsAfterApply` makes the next N
+ * winning PUTs apply durably and then answer 500 — the exact wire
+ * behavior that forces a client to report [[graft.store.PutOutcome
+ * .Unknown]], proving the CLIENT's outcome mapping (not just a wrapper's).
+ */
+class FakeEtagServer {
+  private val store = new java.util.HashMap[String, (Array[Byte], Long)]()
+  private val gen = new AtomicLong(0L)
+  private val lock = new Object
+  val failPutsAfterApply = new AtomicInteger(0)
+  private var server: HttpServer = _
+
+  def start(): Int = {
+    server = HttpServer.create(new java.net.InetSocketAddress(
+      java.net.InetAddress.getLoopbackAddress, 0), 0)
+    server.createContext("/", (ex: HttpExchange) => handle(ex))
+    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8))
+    server.start()
+    server.getAddress.getPort
+  }
+
+  def stop(): Unit = if (server != null) server.stop(0)
+
+  private def etagOf(g: Long): String = s"\"gen-$g\""
+
+  private def respond(ex: HttpExchange, status: Int,
+      body: Array[Byte] = Array.emptyByteArray,
+      etag: Option[String] = None): Unit = {
+    etag.foreach(e => ex.getResponseHeaders.add("ETag", e))
+    if (body.isEmpty) ex.sendResponseHeaders(status, -1)
+    else {
+      ex.sendResponseHeaders(status, body.length.toLong)
+      ex.getResponseBody.write(body)
+    }
+    ex.close()
+  }
+
+  private def handle(ex: HttpExchange): Unit = try {
+    val key = ex.getRequestURI.getRawPath.stripPrefix("/")
+    ex.getRequestMethod match {
+      case "GET" => lock.synchronized(Option(store.get(key))) match {
+        case Some((bytes, g)) => respond(ex, 200, bytes, Some(etagOf(g)))
+        case None             => respond(ex, 404)
+      }
+      case "PUT" =>
+        val body = ex.getRequestBody.readAllBytes()
+        val ifMatch = Option(ex.getRequestHeaders.getFirst("If-Match"))
+        val ifNoneMatch = Option(ex.getRequestHeaders.getFirst("If-None-Match"))
+        val applied: Option[Long] = lock.synchronized {
+          val cur = Option(store.get(key))
+          val ok = (ifNoneMatch, ifMatch, cur) match {
+            case (Some("*"), _, None)                        => true
+            case (Some("*"), _, Some(_))                     => false
+            case (_, Some(e), Some((_, g))) if e == etagOf(g) => true
+            case (_, Some(_), _)                             => false
+            case (None, None, _) => true // unconditional put (not used here)
+          }
+          if (ok) {
+            val g = gen.incrementAndGet()
+            store.put(key, (body, g))
+            Some(g)
+          } else None
+        }
+        applied match {
+          case Some(g) =>
+            // the injected ambiguity: durably applied, answer lost
+            if (failPutsAfterApply.getAndUpdate(n => math.max(0, n - 1)) > 0)
+              respond(ex, 500)
+            else respond(ex, 200, etag = Some(etagOf(g)))
+          case None => respond(ex, 412)
+        }
+      case _ => respond(ex, 405)
+    }
+  } catch { case _: Exception => respond(ex, 500) }
+}
