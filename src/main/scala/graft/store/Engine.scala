@@ -707,8 +707,18 @@ class Engine(val spark: SparkSession, val repoDir: String,
     val isBranch = r.branch.isDefined
     val branch = r.branch.getOrElse("")
     val useUncommitted = isBranch && !r.committedOnly
-    val committed = snapshots.scan(
-      if (useUncommitted) effectiveBase(branch, commit) else commit.metaRangeId)
+    // prefix/after push down to MANIFEST pruning (S1 scanInterval): a
+    // prefix listing reads only the ranges intersecting its key interval —
+    // at 100× repo size the page cost tracks the WINDOW, not the repo
+    // (trace.growth list_*). The predicate is re-applied below, so the
+    // interval is free to be conservative; the staged overlay is small by
+    // contract and filters post-union.
+    val meta = if (useUncommitted) effectiveBase(branch, commit)
+      else commit.metaRangeId
+    val lo = Seq(prefix, after).filter(_.nonEmpty).maxOption
+    val hi = if (prefix.isEmpty) None else Listing.upperBound(prefix)
+    val committed = if (lo.isEmpty && hi.isEmpty) snapshots.scan(meta)
+      else snapshots.scanInterval(meta, lo, hi)
     val overlaid = if ((includeStaged || r.staging) && useUncommitted) {
       stagedChanges(branch) match {
         case Some(st) =>

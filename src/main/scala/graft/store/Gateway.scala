@@ -614,7 +614,10 @@ class Gateway(val engine: Engine) {
           PageResult(branches.toDF("name", "entry_type"))
         } else {
           val ref = prefix.take(i)
-          val keys = engine.list(ref, includeStaged = false)
+          // the key prefix pushes down to manifest pruning (Engine.list →
+          // scanInterval): the page reads only ranges under the prefix
+          val keys = engine.list(ref, prefix = prefix.drop(i + 1),
+              includeStaged = false)
             .select(concat(lit(ref + "/"), col("key")).as("key"))
           val page =
             if (routed.op == ListObjectsV2)

@@ -385,10 +385,17 @@ class SnapshotStore(val spark: SparkSession, val repoDir: String,
 
   /** Manifest-level key-interval pruning (S3/P1 fast path): scan only ranges
     * intersecting [lo, hi). Conservative — callers re-apply the predicate. */
-  def scanInterval(metaRangeId: String, lo: Option[String], hi: Option[String]): DataFrame =
-    readRanges(readManifest(metaRangeId).filter { ri =>
+  def scanInterval(metaRangeId: String, lo: Option[String], hi: Option[String]): DataFrame = {
+    val all = readManifest(metaRangeId)
+    val keep = all.filter { ri =>
       lo.forall(l => ri.maxKey >= l) && hi.forall(h => ri.minKey < h)
-    })
+    }
+    // a fully-pruned interval keeps the snapshot's schema (empty slice of
+    // one range), like prunedForDiff — downstream unions/selects still see
+    // the payload columns
+    if (keep.nonEmpty || all.isEmpty) readRanges(keep)
+    else readRanges(Seq(all.head)).limit(0)
+  }
 
   /** The two diff sides restricted to ranges NOT shared by content id —
     * the reference's whole-range skip. Shared ranges contribute no diff.
