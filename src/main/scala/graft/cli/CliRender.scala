@@ -1,0 +1,172 @@
+package graft.cli
+
+import graft.core.Model.CommitInfo
+import graft.store.Engine
+
+/**
+ * lakectl-style text rendering over the engine's operators — the
+ * reference's command-line output layer (`cmd/lakectl/cmd/{log,diff,
+ * annotate,merge,branch,fs_ls}.go` templates), the surface its
+ * `esti/golden *.golden` files pin. Pure string building over results the
+ * operators already produce; colors are omitted (the goldens are captured
+ * with color stripped, like esti's sanitized output).
+ *
+ * GoldenSpec compares these renderings byte-for-byte against
+ * `src/test/resources/golden *.golden files` after the same placeholder
+ * sanitization esti applies (<COMMIT_ID>, <DATE> <TIME> <TZ>).
+ */
+object CliRender {
+
+  /** `ljust` template filter (common_helpers.go:161-163): left-align pad,
+    * longer strings pass through. */
+  def ljust(s: String, n: Int): String =
+    if (s.length >= n) s else s + (" " * (n - s.length))
+
+  /** `date` template filter (common_helpers.go:158-160): Go's
+    * `time.Unix(ts,0).String()` — "2006-01-02 15:04:05 -0700 MST", here
+    * always rendered in UTC. */
+  def fmtDate(epochSec: Long): String = {
+    val dt = java.time.LocalDateTime.ofEpochSecond(epochSec, 0,
+      java.time.ZoneOffset.UTC)
+    f"${dt.getYear}%04d-${dt.getMonthValue}%02d-${dt.getDayOfMonth}%02d " +
+      f"${dt.getHour}%02d:${dt.getMinute}%02d:${dt.getSecond}%02d +0000 UTC"
+  }
+
+  /** `human_bytes` (common_helpers.go:179-190): SI units, one decimal. */
+  def humanBytes(b: Long): String = {
+    val unit = 1000L
+    if (b < unit) s"$b B"
+    else {
+      var div = unit
+      var exp = 0
+      var n = b / unit
+      while (n >= unit) { div *= unit; exp += 1; n /= unit }
+      f"${b.toDouble / div}%.1f ${"kMGTPE".charAt(exp)}B"
+    }
+  }
+
+  /** The diff action labels (`pkg/diff/diff.go:53-75`). */
+  def diffAction(diffType: String): String = diffType match {
+    case "added"               => "+ added"
+    case "removed"             => "- removed"
+    case "changed" | "modified" => "~ modified"
+    case "conflict"            => "* conflict"
+    case other                 => other
+  }
+
+  /** `lakectl log` (log.go commitsTemplate + the log goldens): each commit
+    * as an ID/Author/Date header, an optional Merge line for multi-parent
+    * commits, the tab-indented message, and an optional Metadata block. */
+  def renderLog(commits: Seq[CommitInfo]): String = {
+    val b = new StringBuilder
+    commits.foreach { c =>
+      b.append('\n')
+      b.append("ID:            ").append(c.commitId).append('\n')
+      if (c.committer.nonEmpty)
+        b.append("Author:        ").append(c.committer).append('\n')
+      b.append("Date:          ").append(fmtDate(c.creationDate)).append('\n')
+      if (c.parents.size > 1)
+        b.append("Merge:         ").append(c.parents.mkString(", ")).append('\n')
+      b.append('\n')
+      b.append('\t').append(c.message).append('\n')
+      if (c.metadata.nonEmpty) {
+        b.append("\nMetadata:\n")
+        c.metadata.toSeq.sortBy(_._1).foreach { case (k, v) =>
+          b.append('\t').append(ljust(k, 18)).append(" = ").append(v).append('\n')
+        }
+      }
+    }
+    b.toString
+  }
+
+  /** `lakectl diff` (diff.go:100-143 + lakectl_diff.golden): the two-ref
+    * header, then one action line per change in key order. */
+  def renderDiff(repo: String, leftRef: String, rightRef: String,
+      changes: Seq[(String, String)]): String = {
+    val b = new StringBuilder
+    b.append(s"Left ref: lakefs://$repo/$leftRef\n")
+    b.append(s"Right ref: lakefs://$repo/$rightRef\n")
+    changes.foreach { case (path, diffType) =>
+      b.append(diffAction(diffType)).append(' ').append(path).append('\n')
+    }
+    b.toString
+  }
+
+  /** One `lakectl annotate` line (annotate.go:13): object ljust 15,
+    * committer ljust 20, 16-char commit id ljust 20, date, first message
+    * line capped at 200 chars (annotateMessageSize). */
+  def renderAnnotateLine(objectPath: String, c: CommitInfo): String = {
+    val msg = c.message.linesIterator.nextOption().getOrElse("").take(200)
+    s"${ljust(objectPath, 15)} ${ljust(c.committer, 20)} " +
+      s"${ljust(c.commitId.take(16), 20)} ${fmtDate(c.creationDate)}  $msg\n"
+  }
+
+  def renderAnnotate(rows: Seq[(String, CommitInfo)]): String =
+    rows.map { case (p, c) => renderAnnotateLine(p, c) }.mkString
+
+  /** `lakectl merge` (merge.go + lakectl_merge_success/conflict.golden). */
+  def renderMerge(repo: String, sourceRef: String, destBranch: String,
+      result: Either[String, String]): String = {
+    val head = s"Source: lakefs://$repo/$sourceRef\n" +
+      s"Destination: lakefs://$repo/$destBranch\n"
+    result match {
+      case Right(commitId) =>
+        head + s"""Merged "$sourceRef" into "$destBranch" to get "$commitId".""" + "\n"
+      case Left(_) =>
+        head + "Conflict found.\nError executing command.\n"
+    }
+  }
+
+  /** `lakectl branch list` (lakectl_branch_list.golden): name TAB head. */
+  def renderBranchList(branches: Seq[(String, String)]): String =
+    branches.sortBy(_._1).map { case (n, id) => s"$n\t$id\n" }.mkString
+
+  /** One `lakectl fs ls` line (fs_ls.go:73 + lakectl_fs_ls_1_file.golden):
+    * pathType ljust 12, then for objects date ljust 29 + size ljust 12,
+    * for prefixes the blank gutter, then the path. */
+  def renderFsLsLine(pathType: String, mtimeEpochSec: Long, sizeBytes: Long,
+      path: String): String =
+    if (pathType == "object")
+      s"${ljust(pathType, 12)}    ${ljust(fmtDate(mtimeEpochSec), 29)}    " +
+        s"${ljust(humanBytes(sizeBytes), 12)}    $path\n"
+    else
+      s"${ljust(pathType, 12)}    ${" " * 44}    $path\n"
+
+  // ---- engine-driven assembly ------------------------------------------------
+
+  /** `lakectl annotate`: entries under `prefix` at `ref` (first-level
+    * roll-up unless `recursive`), each with the newest commit that touched
+    * it — assembled from the existing operators (P4 roll-up + J11
+    * log-with-path). CLI-scale: one bounded listing page + one pruned log
+    * walk per rendered line. */
+  def annotate(eng: Engine, ref: String, prefix: String,
+      recursive: Boolean = false, limit: Int = 1000): Seq[(String, CommitInfo)] = {
+    val entries: Seq[String] =
+      if (recursive)
+        eng.list(ref, prefix = prefix, limit = limit)
+          .select("key").collect().map(_.getString(0)).toSeq
+      else {
+        val page = graft.operators.Listing.delimiterRollup(
+          eng.list(ref, prefix = prefix), prefix, "/")
+        page.orderBy("path").limit(limit)
+          .select("path").collect().map(_.getString(0)).toSeq
+      }
+    entries.map { e =>
+      val last = eng.logWithPaths(ref, Seq(e)).headOption
+        .getOrElse(eng.resolveCommit(ref))
+      (e, last)
+    }
+  }
+
+  /** `lakectl log` over the engine (first line of the command). */
+  def log(eng: Engine, ref: String, amount: Int = Int.MaxValue): String =
+    renderLog(eng.log(ref).take(amount))
+
+  /** `lakectl diff` over the engine: key-ordered changes. */
+  def diff(eng: Engine, repo: String, leftRef: String, rightRef: String): String = {
+    val rows = eng.diff(leftRef, rightRef)
+      .select("key", "diff_type").orderBy("key")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    renderDiff(repo, leftRef, rightRef, rows)
+  }
+}

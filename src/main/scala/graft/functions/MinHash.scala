@@ -1,0 +1,56 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/**
+ * THE MinHash-LSH derivation — one definition shared by the batch dedup
+ * queries (`queries/TextQueries.scala`: td_minhash_lsh,
+ * td_incremental_dedup, td_dedup_groups, …) and the streaming index
+ * (`streaming/StreamDedupIndex.scala`), the `armOf` pattern: a streaming
+ * monitor that banded differently than the batch dedup would disagree
+ * about which documents are near-duplicates, silently.
+ *
+ * 16 permutations over distinct 3-word shingles, 4 bands × 4 slots.
+ * Everything is a codegen'd column expression — `sigArray` in particular
+ * computes the signature WITHOUT a shuffle (array_min over the shingle
+ * array per permutation), so it is usable mid-stream and keeps the batch
+ * derivation map-side.
+ */
+object MinHash {
+  val NumPerms = 16
+  val NumBands = 4
+  val BandSize = 4
+  /** Permutation modulus (fits DuckDB's exact integer arithmetic). */
+  val Mod = 1000000007L
+
+  /** Permutation j of a shingle hash — the formula the DuckDB oracles
+    * replicate digit-for-digit. */
+  def perm(h: Column, j: Column): Column =
+    (h * (j * 2 + 3) + j * 7919 + 1) % Mod
+
+  /** Distinct 3-word shingle hashes of a text column (empty array for
+    * texts with fewer than 3 tokens). */
+  def shingleHashes(text: Column): Column =
+    transform(array_distinct(TextFunctions.shingles(text, 3)),
+      s => TextFunctions.shingleHash64(s))
+
+  /** The 16-slot signature as one array<long>, shuffle-free: slot j =
+    * min over shingles of perm_j — identical values to a
+    * groupBy(doc, j).min aggregation. Null slots when the text has no
+    * shingles (such docs have no signature; callers drop them, matching
+    * the batch explode semantics). */
+  def sigArray(text: Column): Column = {
+    val hs = shingleHashes(text)
+    array((0 until NumPerms).map { j =>
+      when(size(hs) > 0, array_min(transform(hs, h => perm(h, lit(j)))))
+        .otherwise(lit(null).cast("long"))
+    }: _*)
+  }
+
+  /** Band b's key over a [[sigArray]] signature: the band's 4 slots in
+    * j order, '|'-joined — byte-identical to the batch band build. */
+  def bandSig(sig: Column, b: Int): Column =
+    concat_ws("|", (0 until BandSize).map(i =>
+      element_at(sig, b * BandSize + i + 1).cast("string")): _*)
+}

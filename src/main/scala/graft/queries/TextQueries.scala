@@ -136,15 +136,16 @@ object TextQueries {
     * est_sim)`. The estimation stage joins signatures to CANDIDATE pairs
     * only (never sigs × sigs), so the whole pipeline is O(candidates). */
   /** MinHash signatures (doc_id, j, m): 16 permutations over 3-shingles. */
-  private def minhashSigs(docs0: DataFrame): DataFrame = {
-    val docs = docs0
-      .select(col("doc_id"), array_distinct(shingles(col("text"), 3)).as("sh"))
-    docs.select(col("doc_id"), explode(col("sh")).as("s"))
-      .withColumn("h", shingleHash64(col("s")))
-      .select(col("doc_id"), col("h"), explode(sequence(lit(0), lit(15))).as("j"))
-      .withColumn("hp", (col("h") * (col("j") * 2 + 3) + col("j") * 7919 + 1) % 1000000007L)
-      .groupBy("doc_id", "j").agg(min("hp").as("m"))
-  }
+  private def minhashSigs(docs0: DataFrame): DataFrame =
+    // THE shared derivation (functions/MinHash — also the streaming dedup
+    // index's), shuffle-free: posexplode of the per-row signature array
+    // replaces the old explode→groupBy(doc,j).min with identical values
+    // (null slots = docs with no shingles, which the old explode dropped)
+    docs0
+      .select(col("doc_id"),
+        posexplode(graft.functions.MinHash.sigArray(col("text")))
+          .as(Seq("j", "m")))
+      .where(col("m").isNotNull)
 
   /** Band keys (doc_id, band, sig): 4 bands of 4 signature slots. */
   private def minhashBands(sigs: DataFrame): DataFrame =

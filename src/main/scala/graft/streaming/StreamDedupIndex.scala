@@ -1,0 +1,98 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.functions.MinHash
+
+/**
+ * Streaming incremental near-dedup — the micro-batch twin of the batch
+ * `td_incremental_dedup` query (`queries/TextQueries.scala`): new
+ * documents arrive as micro-batches and probe a BAND INDEX of everything
+ * that arrived before, exactly the production shape where the daily
+ * increment joins the persisted index instead of re-deduping the corpus.
+ *
+ * The signature/band derivation is [[MinHash]] — ONE definition with the
+ * batch queries (the `armOf` pattern from [[StreamSrm]]), so the stream
+ * and the batch can never disagree on which documents band together.
+ *
+ * Mechanics: documents explode to their [[MinHash.NumBands]] band keys;
+ * `flatMapGroupsWithState` keyed by band key holds the bucket's member
+ * list (doc_id + full 16-slot signature). Each arriving document emits a
+ * match row per PRIOR-batch member sharing the bucket, with the slot
+ * agreement `n_eq` computed against the stored signature — then joins the
+ * bucket itself, becoming history for later batches. Within one
+ * micro-batch, documents do not match each other (batch-boundary
+ * semantics, matching the batch query's history×incoming restriction);
+ * the periodic batch dedup owns intra-increment pairs.
+ *
+ * Scale: state shards by band key across executors — bucket membership is
+ * the SAME index the batch path materializes, sized by corpus bands, and
+ * `maxPerBucket` bounds the degenerate bucket (a stop-word band) exactly
+ * like the batch path's candidate cap. A pair colliding in several bands
+ * emits once per band; consumers dedupe with `dropDuplicates` (the rows
+ * are identical), or aggregate per doc like [[bestMatches]].
+ */
+object StreamDedupIndex {
+
+  /** One doc in one band bucket. */
+  final case class BandedDoc(bucket: String, doc_id: Long, sig: Seq[Long])
+  /** An emitted match: `doc_id` (new) against `matched_doc` (prior). */
+  final case class MatchRow(doc_id: Long, matched_doc: Long, n_eq: Int)
+  /** Bucket state: members in arrival order. */
+  final case class BucketState(docs: List[(Long, Seq[Long])])
+
+  /** Banded form of a doc stream with (doc_id long, text string): one row
+    * per (doc, band), docs without shingles dropped — identical to the
+    * batch band build. */
+  def banded(docs: DataFrame): Dataset[BandedDoc] = {
+    import docs.sparkSession.implicits._
+    docs
+      .withColumn("sig", MinHash.sigArray(col("text")))
+      .where(element_at(col("sig"), 1).isNotNull)
+      .select(col("doc_id").cast("long").as("doc_id"), col("sig"),
+        explode(array((0 until MinHash.NumBands).map(b =>
+          concat(lit(s"$b:"), MinHash.bandSig(col("sig"), b))): _*)).as("bucket"))
+      .select(col("bucket"), col("doc_id"), col("sig"))
+      .as[BandedDoc]
+  }
+
+  /** The match stream (Append): every arriving doc × every prior-batch
+    * doc in a shared band bucket, with the signature agreement count.
+    * Threshold downstream (the batch twin keeps n_eq >= 8). */
+  def matches(docs: DataFrame, maxPerBucket: Int = 256): Dataset[MatchRow] = {
+    import docs.sparkSession.implicits._
+    banded(docs)
+      .groupByKey(_.bucket)
+      .flatMapGroupsWithState[BucketState, MatchRow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_, rows, state: GroupState[BucketState]) =>
+          val hist = state.getOption.map(_.docs).getOrElse(Nil)
+          // deterministic within-batch order; a doc re-sent into the same
+          // bucket (duplicate delivery) must not self-match or re-join
+          val arriving = rows.toSeq.sortBy(_.doc_id)
+            .filterNot(d => hist.exists(_._1 == d.doc_id))
+          val out = arriving.flatMap { d =>
+            hist.map { case (oid, osig) =>
+              MatchRow(d.doc_id, oid,
+                d.sig.iterator.zip(osig.iterator).count { case (a, b) => a == b })
+            }
+          }
+          val joined = hist ++ arriving.map(d => (d.doc_id, d.sig))
+          state.update(BucketState(joined.takeRight(maxPerBucket)))
+          out.iterator
+      }
+  }
+
+  /** Per-doc best historical match over a COMPLETE match table — the
+    * batch query's aggregation shape, for foreachBatch consumers and the
+    * equality spec. `minNEq` mirrors the batch threshold. */
+  def bestMatches(matchTable: DataFrame, minNEq: Int = 8): DataFrame =
+    matchTable.where(col("n_eq") >= minNEq)
+      .select("doc_id", "matched_doc", "n_eq").dropDuplicates()
+      .groupBy("doc_id")
+      .agg(min("matched_doc").as("matched_doc"),
+        max("n_eq").cast("long").as("best_n_eq"),
+        countDistinct("matched_doc").cast("long").as("n_matches"))
+}

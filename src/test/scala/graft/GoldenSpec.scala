@@ -1,0 +1,127 @@
+package graft
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Paths}
+
+import graft.cli.CliRender
+import graft.store.Engine
+
+/**
+ * lakectl-golden rendering over the real operators — the reference's
+ * `esti/golden` discipline: render, sanitize volatile fields with
+ * the same placeholders esti uses (<COMMIT_ID>, <COMMIT_ID_16>,
+ * <DATE> <TIME> <TZ>), compare byte-for-byte against the files under
+ * `src/test/resources/golden/`. Regenerate with GOLDEN_UPDATE=1 after an
+ * intentional format change.
+ */
+class GoldenSpec extends SparkSpec {
+
+  private val goldenDir = "src/test/resources/golden"
+
+  private def sanitize(s: String): String = s
+    .replaceAll("[0-9a-f]{64}", "<COMMIT_ID>")
+    .replaceAll("[0-9a-f]{16}", "<COMMIT_ID_16>")
+    .replaceAll("""\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2} \+0000 UTC""",
+      "<DATE> <TIME> <TZ>")
+
+  private def check(name: String, rendered: String): Unit = {
+    val p = Paths.get(s"$goldenDir/$name.golden")
+    val got = sanitize(rendered)
+    if (sys.env.contains("GOLDEN_UPDATE")) {
+      Files.createDirectories(p.getParent)
+      Files.write(p, got.getBytes(UTF_8))
+      ()
+    }
+    assert(Files.exists(p), s"missing golden file $p — run with GOLDEN_UPDATE=1")
+    val want = new String(Files.readAllBytes(p), UTF_8)
+    assert(got === want, s"golden mismatch for $name")
+  }
+
+  /** The esti-like fixture repo: four commits on main building the
+    * aaa/bbb|aaa/fff|top-level shape the annotate goldens pin, a dev
+    * branch with an add+modify+delete change set, and a conflicting pair
+    * of branches for the merge-conflict shape. */
+  private lazy val repo: Engine = {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("golden").toString
+    val eng = new Engine(spark, dir, raggedness = 100)
+    eng.init("main")
+    def land(msg: String, adds: Seq[(String, String)],
+        metadata: Map[String, String] = Map.empty): Unit = {
+      eng.stage("main", adds.toDF("key", "identity")
+        .withColumn("size_bytes",
+          org.apache.spark.sql.functions.lit(1000L)))
+      eng.commit("main", "tester", msg, metadata)
+      ()
+    }
+    land("commit #1", Seq("aaa/bbb/ccc" -> "c1", "aaa/bbb/ddd" -> "d1"))
+    land("commit #2", Seq("aaa/bbb/eee" -> "e1"))
+    land("commit #3", Seq("aaa/fff/ggg" -> "g1", "aaa/hhh" -> "h1"))
+    land("commit #4", Seq("iii/kkk/lll" -> "l1", "mmm" -> "m1"),
+      metadata = Map("source" -> "ingest", "ticket" -> "DATA-42"))
+    eng.createBranch("dev", "main")
+    eng.set("dev", "nnn", "n1")
+    eng.set("dev", "aaa/hhh", "h2")
+    eng.delete("dev", "aaa/bbb/ccc")
+    eng.commit("dev", "tester", "dev edits")
+    // conflicting branches: both rewrite mmm differently
+    eng.createBranch("left", "main")
+    eng.createBranch("right", "main")
+    eng.set("left", "mmm", "m-left"); eng.commit("left", "tester", "left edit")
+    eng.set("right", "mmm", "m-right"); eng.commit("right", "tester", "right edit")
+    eng
+  }
+
+  test("lakectl_log: ID/Author/Date blocks, Merge line, Metadata block") {
+    val eng = repo
+    // a merge commit so the log carries a Merge: parents line
+    eng.merge("dev", "main", "tester", "merge dev into main")
+    check("lakectl_log", CliRender.log(eng, "main"))
+  }
+
+  test("lakectl_diff: two-ref header + action lines in key order") {
+    check("lakectl_diff", CliRender.diff(repo, "repo1", "main~1", "dev"))
+  }
+
+  test("lakectl_annotate: first-level roll-up, newest touching commit") {
+    check("lakectl_annotate",
+      CliRender.renderAnnotate(CliRender.annotate(repo, "main", "aaa/")))
+  }
+
+  test("lakectl_annotate_recursive: every object under the prefix") {
+    check("lakectl_annotate_recursive",
+      CliRender.renderAnnotate(
+        CliRender.annotate(repo, "main", "aaa/", recursive = true)))
+  }
+
+  test("lakectl_merge: the success and conflict documents") {
+    val eng = repo
+    val conflict =
+      try { eng.merge("left", "right", "tester", "collide"); Right("no") }
+      catch { case e: Exception => Left(e.getMessage) }
+    assert(conflict.isLeft, "the fixture's branches must conflict")
+    val success = CliRender.renderMerge("repo1", "dev", "main",
+      Right(eng.resolveCommit("main").commitId))
+    val failed = CliRender.renderMerge("repo1", "left", "right",
+      Left("conflict"))
+    check("lakectl_merge", success + failed)
+  }
+
+  test("lakectl_branch_list: name TAB head commit") {
+    val eng = repo
+    check("lakectl_branch_list", CliRender.renderBranchList(
+      eng.refs.branches.toSeq))
+  }
+
+  test("lakectl_fs_ls: typed gutter, date, human bytes, path") {
+    val eng = repo
+    val head = eng.resolveCommit("main")
+    import org.apache.spark.sql.functions.col
+    val rows = eng.list("main", prefix = "aaa/bbb/")
+      .select("key", "size_bytes").orderBy("key").collect()
+      .map(r => CliRender.renderFsLsLine("object", head.creationDate,
+        r.getLong(1), r.getString(0))).mkString
+    val withPrefix = CliRender.renderFsLsLine("common_prefix", 0L, 0L, "aaa/fff/")
+    check("lakectl_fs_ls", rows + withPrefix)
+  }
+}

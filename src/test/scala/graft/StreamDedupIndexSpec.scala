@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.MinHash
+import graft.streaming.StreamDedupIndex
+
+/**
+ * The streaming incremental-dedup index must agree with the batch
+ * `td_incremental_dedup` shape on the same corpus: history arrives first,
+ * increments probe the band index across micro-batches, and the per-doc
+ * best-match table equals the batch pipeline's (shared [[MinHash]]
+ * derivation, independent matching machinery). Cross-INCREMENT duplicates
+ * — the case only the stream can see at arrival time — are asserted
+ * separately.
+ */
+class StreamDedupIndexSpec extends SparkSpec {
+
+  private val history = Seq(
+    1L -> "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi omicron pi rho sigma tau upsilon",
+    2L -> "one two three four five six seven eight nine ten eleven twelve thirteen fourteen fifteen sixteen seventeen eighteen nineteen twenty",
+    3L -> "lorem ipsum dolor sit amet consectetur adipiscing elit sed do eiusmod tempor incididunt ut labore et dolore magna aliqua ridiculus",
+    4L -> "red orange yellow green blue indigo violet crimson amber teal maroon navy olive silver gold bronze copper pearl jade onyx")
+
+  private val batch2 = Seq(
+    10001L -> history.head._2, // exact dup of d1
+    10002L -> "one two three four five six seven eight nine ten eleven twelve thirteen fourteen fifteen sixteen seventeen eighteen nineteen twentyone",
+    10003L -> "quantum flux capacitor drives temporal machine engine core reactor plasma conduit matrix field stabilizer array vector thruster module grid phase")
+
+  private val batch3 = Seq(
+    10004L -> batch2.last._2, // exact dup of 10003 — CROSS-INCREMENT
+    10005L -> "lorem ipsum dolor sit amet consectetur adipiscing elit sed do eiusmod tempor incididunt ut labore et dolore magna aliqua mus",
+    10006L -> batch2.last._2) // same batch as 10004: must match 10003 only
+
+  /** The batch td_incremental_dedup pipeline over the full corpus (the
+    * query's shape, rebuilt here as the spec's oracle). */
+  private def batchExpect(all: DataFrame): DataFrame = {
+    val sigs = all.select(col("doc_id"),
+        posexplode(MinHash.sigArray(col("text"))).as(Seq("j", "m")))
+      .where(col("m").isNotNull)
+    val bands = sigs.withColumn("band", (col("j") / 4).cast("int"))
+      .groupBy("doc_id", "band")
+      .agg(concat_ws("|",
+        transform(array_sort(collect_list(struct(col("j"), col("m")))),
+          x => x.getField("m").cast("string"))).as("sig"))
+    val hist = bands.where(col("doc_id") < 10000)
+    val incoming = bands.where(col("doc_id") >= 10000)
+    val cands = incoming.as("n").join(hist.as("o"),
+        col("n.band") === col("o.band") && col("n.sig") === col("o.sig"))
+      .select(col("o.doc_id").as("doc_a"), col("n.doc_id").as("doc_b"))
+      .distinct()
+    cands
+      .join(sigs.select(col("doc_id").as("doc_a"), col("j"), col("m").as("ma")), Seq("doc_a"))
+      .join(sigs.select(col("doc_id").as("doc_b"), col("j"), col("m").as("mb")), Seq("doc_b", "j"))
+      .groupBy("doc_a", "doc_b")
+      .agg(sum(when(col("ma") === col("mb"), 1).otherwise(0)).as("n_eq"))
+      .where(col("n_eq") >= 8)
+      .groupBy(col("doc_b").as("doc_id"))
+      .agg(min("doc_a").as("matched_doc"),
+        max("n_eq").cast("long").as("best_n_eq"),
+        countDistinct("doc_a").cast("long").as("n_matches"))
+  }
+
+  test("multi-batch replay equals the batch incremental-dedup, and " +
+      "cross-increment duplicates are caught at arrival") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val in = mem.toDS().toDF("doc_id", "text")
+    val q = StreamDedupIndex.matches(in).writeStream
+      .outputMode("append").format("memory").queryName("dedup_idx").start()
+    try {
+      mem.addData(history: _*)
+      q.processAllAvailable()
+      // history-only: nothing matches (first batch has no prior index)
+      assert(spark.table("dedup_idx").count() === 0L)
+      mem.addData(batch2: _*)
+      q.processAllAvailable()
+      mem.addData(batch3: _*)
+      q.processAllAvailable()
+      val matchTable = spark.table("dedup_idx")
+
+      // 1. vs-history agreement: the stream's best matches against docs
+      // arrived before id 10000 equal the batch pipeline on the corpus
+      val streamBest = StreamDedupIndex.bestMatches(
+        matchTable.where(col("matched_doc") < 10000))
+        .orderBy("doc_id").collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      val all = (history ++ batch2 ++ batch3).toDF("doc_id", "text")
+      val batchBest = batchExpect(all)
+        .orderBy("doc_id").collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      assert(streamBest === batchBest,
+        "stream-vs-history must equal the batch incremental dedup")
+      // the exact dup and both near-dups are in the agreed table
+      val byDoc = streamBest.map(t => t._1 -> t).toMap
+      assert(byDoc(10001L)._2 === 1L && byDoc(10001L)._3 === 16L,
+        "exact dup of history: all 16 slots agree")
+      assert(byDoc.contains(10002L) && byDoc(10002L)._2 === 2L)
+      assert(byDoc.contains(10005L) && byDoc(10005L)._2 === 3L)
+
+      // 2. cross-increment dup — the streaming-only catch: 10004 (batch 3)
+      // matches 10003 (batch 2) at full signature agreement
+      val best = StreamDedupIndex.bestMatches(matchTable)
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      assert(best(10004L) === ((10003L, 16L, 1L)),
+        "a duplicate of a PRIOR increment must match it at arrival")
+
+      // 3. batch-boundary semantics: 10006 arrived WITH 10004 (identical
+      // text) — it matches only the prior increment's 10003, never its
+      // own batch's twin
+      assert(best(10006L) === ((10003L, 16L, 1L)),
+        "within-batch pairs are the periodic batch pass's job")
+      assert(matchTable.where(col("doc_id") === 10006L &&
+        col("matched_doc") === 10004L).count() === 0L)
+    } finally q.stop()
+  }
+}
