@@ -653,6 +653,24 @@ class Engine(val spark: SparkSession, val repoDir: String,
     false
   }
 
+  /** One-shot head install for the non-retrying write paths (import /
+    * revert / cherry-pick fail on a concurrent move rather than
+    * recomputing): tri-state aware, so an ambiguously-landed install is
+    * recognized by ancestry instead of surfacing as a spurious conflict. */
+  private def installHeadOnce(branch: String, headId: String, c: CommitInfo,
+      op: String): Unit =
+    refs.casBranchOutcome(branch, Some(headId), c.commitId) match {
+      case RefStore.CasWon => ()
+      case RefStore.CasLost =>
+        sys.error(s"$op: branch $branch moved concurrently")
+      case RefStore.CasUnknown(cause) =>
+        val nowHead = refs.getBranch(branch)
+        if (!nowHead.exists(h => landedAtOrBelow(h, c)))
+          throw new IllegalStateException(
+            s"$op: branch $branch CAS outcome unknown", cause)
+        casUnknownWins.increment()
+    }
+
   private def retryingCasUnlocked(branch: String, op: String)(
       attempt: (String, CommitInfo) => (CommitInfo, () => Unit)): CommitInfo = {
     var tries = 0
@@ -972,7 +990,7 @@ class Engine(val spark: SparkSession, val repoDir: String,
       alignTo(snapshots.scan(head.metaRangeId), imported), prefixes)
     val c = refs.addCommit(committer, message, meta, Seq(headId),
       Map("import" -> prefixes.mkString(",")))
-    require(refs.casBranch(branch, Some(headId), c.commitId))
+    installHeadOnce(branch, headId, c, "import")
     c
   }
 
@@ -1227,7 +1245,7 @@ class Engine(val spark: SparkSession, val repoDir: String,
     val (meta, _) = snapshots.commitChanges(head.metaRangeId,
       alignTo(snapshots.scan(head.metaRangeId), undo))
     val c = refs.addCommit(committer, s"revert ${target.commitId.take(8)}", meta, Seq(headId))
-    require(refs.casBranch(branch, Some(headId), c.commitId))
+    installHeadOnce(branch, headId, c, "revert")
     hooks.fire(Hooks.HookEvent(Hooks.PostRevert, repoDir, branch, Some(commitRef), committer, ""))
     c
   }
@@ -1249,7 +1267,7 @@ class Engine(val spark: SparkSession, val repoDir: String,
       refs.getCommit(headId).get.metaRangeId,
       alignTo(snapshots.scan(refs.getCommit(headId).get.metaRangeId), patch))
     val c = refs.addCommit(committer, s"cherry-pick ${target.commitId.take(8)}", meta, Seq(headId))
-    require(refs.casBranch(branch, Some(headId), c.commitId))
+    installHeadOnce(branch, headId, c, "cherry-pick")
     hooks.fire(Hooks.HookEvent(Hooks.PostCherryPick, repoDir, branch, Some(commitRef), committer, ""))
     c
   }

@@ -210,6 +210,28 @@ class CrossProcessCasSpec extends SparkSpec {
       "the ancestry walk, not a blind retry, must claim the landed commit")
   }
 
+  test("UNKNOWN-outcome CAS on a one-shot install (revert): the landed " +
+      "install is recognized, not reported as a spurious conflict") {
+    import spark.implicits._
+    val dir = tmpDir("unkonce")
+    val blob = new InMemoryBlob
+    val faulty = new FaultingBlob(blob)
+    val a = new Engine(spark, dir, raggedness = 100,
+      conditional = new EtagStore(faulty))
+    a.init("main", Some(Seq(("k1", "v1"), ("k2", "v2")).toDF("key", "identity")))
+    a.set("main", "k2", "v2b")
+    val c2 = a.commit("main", "a", "change k2")
+    faulty.mode = FaultingBlob.AfterApply
+    val rc = a.revert("main", c2.commitId, "a")
+    faulty.mode = FaultingBlob.Off
+    assert(a.log("main").head.commitId === rc.commitId,
+      "the ambiguously-landed revert must be the head, exactly once")
+    assert(a.log("main").map(_.commitId).distinct.size === a.log("main").size)
+    assert(a.list("main@").where(col("key") === "k2")
+      .select("identity").as[String].head() === "v2",
+      "the revert's content must be in effect")
+  }
+
   test("two engines race real commits: all keys land, history stays linear") {
     engineCommitRace(backend = "lockfile")
   }
