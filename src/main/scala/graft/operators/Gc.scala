@@ -42,9 +42,13 @@ object Gc {
     * committed range and no uncommitted entry (`GarbageCollection.scala:205-210`). */
   def mark(allObjects: DataFrame, committed: DataFrame, uncommitted: DataFrame,
       addrCol: String = "address"): DataFrame = {
+    // an anti join is duplicate-insensitive on its right side — a
+    // pre-distinct there is a full extra aggregate exchange for nothing
+    // (callers that NEED address dedup run [[addrs]] first, which is where
+    // the multi-ref duplication actually arises)
     val all = allObjects.select(addrCol)
-    all.join(committed.select(addrCol).distinct(), Seq(addrCol), "left_anti")
-      .join(uncommitted.select(addrCol).distinct(), Seq(addrCol), "left_anti")
+    all.join(committed.select(addrCol), Seq(addrCol), "left_anti")
+      .join(uncommitted.select(addrCol), Seq(addrCol), "left_anti")
   }
 
   /** A4: GC summary row. */
