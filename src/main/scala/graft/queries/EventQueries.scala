@@ -459,6 +459,135 @@ object EventQueries {
                CAST(cvr_ppm - control_cvr_ppm AS BIGINT) AS uplift_ppm
         FROM g, c ORDER BY arm""")),
 
+    // CUPED variance reduction on top of ev_ab_uplift — the fourth leg of
+    // the experimentation suite (assignment → SRM → uplift → CUPED): use
+    // each user's PRE-period activity as the control covariate, compute
+    // the pooled theta = cov(pre, post)/var(pre) (pre-period behavior is
+    // arm-independent by randomization, so pooling is unbiased), adjust
+    // each arm's conversion by theta * (arm pre mean - global pre mean),
+    // and report the variance fraction CUPED removes (rho^2). Everything
+    // is INTEGER-exact end to end: sufficient statistics are BIGINT sums
+    // (magnitudes bounded: counts x users stay well under 2^63 at bench
+    // scale; a 100 TB deployment lifts them to DECIMAL(38,0) sums, the
+    // same two-level tree aggregation), ratios are truncated integer div
+    // in ppm — Spark `div` and DuckDB `//` both truncate toward zero, so
+    // the engines round identically even on negative covariances. One
+    // pass per user (conditional sums around the global time midpoint),
+    // one arm aggregate, 1-row broadcasts for the pooled statistics.
+    "ev_cuped" -> (((s: SparkSession, d: String) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = Fixtures.events(s, d)
+        .select(col("user_id"), expr("ts div 1000000000").as("tsec"),
+          col("event_type"))
+      val split = ev.agg(
+        ((min("tsec") + max("tsec")) / 2).cast("long").as("split"))
+      val perUser = ev.crossJoin(broadcast(split))
+        .groupBy("user_id")
+        .agg(
+          sum(when(col("tsec") < col("split"), 1L).otherwise(0L)).as("x"),
+          sum(when(col("tsec") >= col("split") &&
+            col("event_type") === "purchase", 1L).otherwise(0L)).as("y"))
+        .withColumn("arm", graft.streaming.StreamSrm.armOf(col("user_id")))
+      val pooled = perUser.agg(
+        count(lit(1)).as("nn"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("y") * col("y")).as("syy"))
+        .select(
+          // degenerate covariates (zero variance — e.g. a constant
+          // conversion column at tiny scale) make CUPED a no-op, not an
+          // error: theta and the removed-variance fraction are 0
+          expr("""CASE WHEN nn * sxx - sx * sx = 0 THEN 0
+                  ELSE 1000000 * (nn * sxy - sx * sy) div (nn * sxx - sx * sx)
+                  END""").cast("long").as("theta_ppm"),
+          // rho^2 = theta * (cov/var_y): the variance fraction removed
+          expr("""CASE WHEN nn * sxx - sx * sx = 0 OR nn * syy - sy * sy = 0
+                  THEN 0
+                  ELSE (1000000 * (nn * sxy - sx * sy) div (nn * sxx - sx * sx))
+                     * (1000000 * (nn * sxy - sx * sy) div (nn * syy - sy * sy))
+                     div 1000000
+                  END""").cast("long").as("var_reduction_ppm"),
+          expr("1000000 * sx div nn").cast("long").as("global_pre_ppm"))
+      val arms = perUser.groupBy("arm")
+        .agg(count(lit(1)).cast("long").as("n_users"),
+          sum("x").as("arm_sx"), sum("y").cast("long").as("n_purchases"))
+        .withColumn("pre_mean_ppm",
+          expr("1000000 * arm_sx div n_users").cast("long"))
+        .withColumn("post_mean_ppm",
+          expr("1000000 * n_purchases div n_users").cast("long"))
+      val adjusted = arms.crossJoin(broadcast(pooled))
+        .withColumn("adj_post_ppm", (col("post_mean_ppm") -
+          expr("theta_ppm * (pre_mean_ppm - global_pre_ppm) div 1000000"))
+          .cast("long"))
+      val control = adjusted.where(col("arm") === "control")
+        .select(col("adj_post_ppm").as("control_adj_ppm"))
+      adjusted.crossJoin(broadcast(control))
+        .withColumn("adj_uplift_ppm",
+          (col("adj_post_ppm") - col("control_adj_ppm")).cast("long"))
+        .select("arm", "n_users", "n_purchases", "pre_mean_ppm",
+          "post_mean_ppm", "theta_ppm", "var_reduction_ppm", "adj_post_ppm",
+          "adj_uplift_ppm")
+        .orderBy("arm")
+    }),
+      Some("""
+        WITH e AS (
+          SELECT user_id, epoch_ns(ts) // 1000000000 AS tsec, event_type
+          FROM events),
+        sp AS (SELECT (min(tsec) + max(tsec)) // 2 AS split FROM e),
+        u AS (
+          SELECT user_id,
+                 CAST(sum(CASE WHEN tsec < split THEN 1 ELSE 0 END)
+                   AS BIGINT) AS x,
+                 CAST(sum(CASE WHEN tsec >= split AND event_type = 'purchase'
+                   THEN 1 ELSE 0 END) AS BIGINT) AS y
+          FROM e, sp GROUP BY user_id),
+        a AS (
+          SELECT user_id, x, y,
+                 CASE WHEN b < 50 THEN 'control'
+                      WHEN b < 75 THEN 'treat_a' ELSE 'treat_b' END AS arm
+          FROM (SELECT user_id, x, y,
+                  ('0x' || substr(sha256(CAST(user_id AS VARCHAR)), 1, 4))::BIGINT
+                    % 100 AS b
+                FROM u)),
+        p AS (
+          SELECT CAST(CASE WHEN nn * sxx - sx * sx = 0 THEN 0
+                   ELSE 1000000 * (nn * sxy - sx * sy) // (nn * sxx - sx * sx)
+                   END AS BIGINT) AS theta_ppm,
+                 CAST(CASE WHEN nn * sxx - sx * sx = 0
+                        OR nn * syy - sy * sy = 0 THEN 0
+                   ELSE (1000000 * (nn * sxy - sx * sy) // (nn * sxx - sx * sx))
+                      * (1000000 * (nn * sxy - sx * sy) // (nn * syy - sy * sy))
+                      // 1000000
+                   END AS BIGINT) AS var_reduction_ppm,
+                 CAST(1000000 * sx // nn AS BIGINT) AS global_pre_ppm
+          FROM (SELECT CAST(count(*) AS BIGINT) AS nn,
+                       CAST(sum(x) AS BIGINT) AS sx,
+                       CAST(sum(y) AS BIGINT) AS sy,
+                       CAST(sum(x * x) AS BIGINT) AS sxx,
+                       CAST(sum(x * y) AS BIGINT) AS sxy,
+                       CAST(sum(y * y) AS BIGINT) AS syy
+                FROM a)),
+        g AS (
+          SELECT arm, CAST(count(*) AS BIGINT) AS n_users,
+                 CAST(sum(x) AS BIGINT) AS arm_sx,
+                 CAST(sum(y) AS BIGINT) AS n_purchases
+          FROM a GROUP BY arm),
+        adj AS (
+          SELECT arm, n_users, n_purchases,
+                 CAST(1000000 * arm_sx // n_users AS BIGINT) AS pre_mean_ppm,
+                 CAST(1000000 * n_purchases // n_users AS BIGINT) AS post_mean_ppm,
+                 theta_ppm, var_reduction_ppm,
+                 CAST(1000000 * n_purchases // n_users
+                   - theta_ppm * (1000000 * arm_sx // n_users - global_pre_ppm)
+                     // 1000000 AS BIGINT) AS adj_post_ppm
+          FROM g, p),
+        c AS (SELECT adj_post_ppm AS control_adj_ppm FROM adj
+              WHERE arm = 'control')
+        SELECT arm, n_users, n_purchases, pre_mean_ppm, post_mean_ppm,
+               theta_ppm, var_reduction_ppm, adj_post_ppm,
+               CAST(adj_post_ppm - control_adj_ppm AS BIGINT) AS adj_uplift_ppm
+        FROM adj, c ORDER BY arm""")),
+
     "ev_retention" -> (((s: SparkSession, d: String) => {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val weeks = Fixtures.events(s, d)
