@@ -488,40 +488,54 @@ object EventQueries {
           sum(when(col("tsec") >= col("split") &&
             col("event_type") === "purchase", 1L).otherwise(0L)).as("y"))
         .withColumn("arm", graft.streaming.StreamSrm.armOf(col("user_id")))
-      val pooled = perUser.agg(
-        count(lit(1)).as("nn"), sum("x").as("sx"), sum("y").as("sy"),
-        sum(col("x") * col("x")).as("sxx"),
-        sum(col("x") * col("y")).as("sxy"),
-        sum(col("y") * col("y")).as("syy"))
-        .select(
-          // degenerate covariates (zero variance — e.g. a constant
-          // conversion column at tiny scale) make CUPED a no-op, not an
-          // error: theta and the removed-variance fraction are 0
+      // ONE pass: per-arm sufficient statistics; the pooled statistics are
+      // the exact integer sums of the 3-row arm table, so the big data
+      // shuffles exactly twice (events -> users -> arms) and every later
+      // combination is a 1-row broadcast
+      val armStats = perUser.groupBy("arm")
+        .agg(count(lit(1)).as("n_users"),
+          sum("x").as("arm_sx"), sum("y").cast("long").as("n_purchases"),
+          sum(col("x") * col("x")).as("arm_sxx"),
+          sum(col("x") * col("y")).as("arm_sxy"),
+          sum(col("y") * col("y")).as("arm_syy"))
+      // pooled statistics + control extraction as whole-table windows over
+      // the 3-row arm table (the ev_ab_assignment pattern) — the plan
+      // stays LINEAR: no fork re-computes the big aggregations
+      val whole = org.apache.spark.sql.expressions.Window.partitionBy()
+      armStats
+        .withColumn("nn", sum("n_users").over(whole))
+        .withColumn("sx", sum("arm_sx").over(whole))
+        .withColumn("sy", sum("n_purchases").over(whole))
+        .withColumn("sxx", sum("arm_sxx").over(whole))
+        .withColumn("sxy", sum("arm_sxy").over(whole))
+        .withColumn("syy", sum("arm_syy").over(whole))
+        // degenerate covariates (zero variance — e.g. a constant metric at
+        // tiny scale) make CUPED a no-op, not an error: theta and the
+        // removed-variance fraction are 0
+        .withColumn("theta_ppm",
           expr("""CASE WHEN nn * sxx - sx * sx = 0 THEN 0
                   ELSE 1000000 * (nn * sxy - sx * sy) div (nn * sxx - sx * sx)
-                  END""").cast("long").as("theta_ppm"),
-          // rho^2 = theta * (cov/var_y): the variance fraction removed
+                  END""").cast("long"))
+        // rho^2 = theta * (cov/var_y): the variance fraction removed
+        .withColumn("var_reduction_ppm",
           expr("""CASE WHEN nn * sxx - sx * sx = 0 OR nn * syy - sy * sy = 0
                   THEN 0
                   ELSE (1000000 * (nn * sxy - sx * sy) div (nn * sxx - sx * sx))
                      * (1000000 * (nn * sxy - sx * sy) div (nn * syy - sy * sy))
                      div 1000000
-                  END""").cast("long").as("var_reduction_ppm"),
-          expr("1000000 * sx div nn").cast("long").as("global_pre_ppm"))
-      val arms = perUser.groupBy("arm")
-        .agg(count(lit(1)).cast("long").as("n_users"),
-          sum("x").as("arm_sx"), sum("y").cast("long").as("n_purchases"))
+                  END""").cast("long"))
+        .withColumn("global_pre_ppm",
+          expr("1000000 * sx div nn").cast("long"))
+        .withColumn("n_users", col("n_users").cast("long"))
         .withColumn("pre_mean_ppm",
           expr("1000000 * arm_sx div n_users").cast("long"))
         .withColumn("post_mean_ppm",
           expr("1000000 * n_purchases div n_users").cast("long"))
-      val adjusted = arms.crossJoin(broadcast(pooled))
         .withColumn("adj_post_ppm", (col("post_mean_ppm") -
           expr("theta_ppm * (pre_mean_ppm - global_pre_ppm) div 1000000"))
           .cast("long"))
-      val control = adjusted.where(col("arm") === "control")
-        .select(col("adj_post_ppm").as("control_adj_ppm"))
-      adjusted.crossJoin(broadcast(control))
+        .withColumn("control_adj_ppm", max(when(col("arm") === "control",
+          col("adj_post_ppm"))).over(whole))
         .withColumn("adj_uplift_ppm",
           (col("adj_post_ppm") - col("control_adj_ppm")).cast("long"))
         .select("arm", "n_users", "n_purchases", "pre_mean_ppm",

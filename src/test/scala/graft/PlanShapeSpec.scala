@@ -293,6 +293,22 @@ class PlanShapeSpec extends SparkSpec {
       "ev_ab_test plans a CartesianProduct")
   }
 
+  test("ev_cuped: one user-keyed aggregation; the pooled statistics reach " +
+      "the 3-row arm table as 1-row broadcasts, never a reshuffle") {
+    val df = SparkEntry.queries("ev_cuped")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange"),
+      s"ev_cuped must broadcast its 1-row pooled stats:\n${plan.take(2000)}")
+    assert(!plan.contains("CartesianProduct"),
+      "ev_cuped plans a CartesianProduct")
+    // the big table shuffles exactly twice: events -> per-user, users ->
+    // per-arm; every later combination is against 1-row broadcasts
+    val exchanges = plan.split("\n").count(l =>
+      l.contains("Exchange hashpartitioning"))
+    assert(exchanges <= 4, // user agg + arm agg (AQE may split reads)
+      s"ev_cuped reshuffles beyond the two keyed aggregations:\n$plan")
+  }
+
   test("sketch queries: bounded state broadcasts, corpus never pair-joins") {
     // td_cms_counts' counter table and td_bloom_prefilter's bit table are
     // constant-size — they must reach the probe/new-batch side as
