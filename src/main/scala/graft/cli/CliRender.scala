@@ -104,6 +104,40 @@ object CliRender {
   def renderAnnotate(rows: Seq[(String, CommitInfo)]): String =
     rows.map { case (p, c) => renderAnnotateLine(p, c) }.mkString
 
+  /** `lakectl bisect` document shapes (bisect_*.go + the bisect goldens):
+    * the in-progress status, the verdict, session reset, and the
+    * not-started error. */
+  def renderBisectStatus(repo: String, commitsLeft: Int, steps: Int,
+      current: CommitInfo): String =
+    s"Repository: $repo\n" +
+      s"Bisecting: $commitsLeft commits left to test after this " +
+      s"(roughly $steps steps)\n" +
+      s"Current commit lakefs://$repo/${current.commitId} ${current.message}\n"
+
+  def renderBisectFound(repo: String, c: CommitInfo): String =
+    s"Repository: $repo\nFound commit lakefs://$repo/${c.commitId} ${c.message}\n"
+
+  val bisectReset: String = "Cleared bisect session\n"
+  val bisectNotStarted: String =
+    "You need to start by \"bisect start\"\nError executing command.\n"
+
+  /** The bisect view: log blocks carrying the Meta Range ID line
+    * (lakectl_bisect_view goldens). */
+  def renderBisectView(commits: Seq[CommitInfo]): String = {
+    val b = new StringBuilder
+    commits.foreach { c =>
+      b.append('\n')
+      b.append("ID:            ").append(c.commitId).append('\n')
+      if (c.committer.nonEmpty)
+        b.append("Author:        ").append(c.committer).append('\n')
+      b.append("Date:          ").append(fmtDate(c.creationDate)).append('\n')
+      b.append("Meta Range ID: ").append(c.metaRangeId).append('\n')
+      b.append('\n')
+      b.append('\t').append(c.message).append('\n')
+    }
+    b.toString
+  }
+
   /** `lakectl merge` (merge.go + lakectl_merge_success/conflict.golden). */
   def renderMerge(repo: String, sourceRef: String, destBranch: String,
       result: Either[String, String]): String = {

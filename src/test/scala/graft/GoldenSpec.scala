@@ -113,6 +113,32 @@ class GoldenSpec extends SparkSpec {
       eng.refs.branches.toSeq))
   }
 
+  test("lakectl_bisect: status, view with Meta Range ID, verdict, reset, " +
+      "not-started error — driven by the real bisect search") {
+    val eng = repo
+    import org.apache.spark.sql.functions.col
+    // the predicate: "mmm" exists in the commit's snapshot (introduced by
+    // commit #4) — the real operator finds the introducing commit
+    def hasMmm(c: graft.core.Model.CommitInfo): Boolean =
+      eng.snapshots.scan(c.metaRangeId)
+        .where(col("key") === "mmm").limit(1).collect().nonEmpty
+    val base = eng.log("main", firstParent = true).last // the init commit
+    val (firstBad, evals) = eng.bisect("main", base.commitId)(hasMmm)
+    assert(firstBad.message === "commit #4")
+    val chain = eng.log("main", firstParent = true)
+      .takeWhile(_.commitId != base.commitId)
+    val doc =
+      CliRender.renderBisectStatus("repo1", (chain.size - 1) / 2,
+        (math.log(chain.size.toDouble) / math.log(2)).ceil.toInt,
+        chain(chain.size / 2)) +
+      CliRender.renderBisectView(chain.take(2)) +
+      CliRender.renderBisectFound("repo1", firstBad) +
+      CliRender.bisectReset +
+      CliRender.bisectNotStarted +
+      s"(bisect spent $evals predicate evaluations)\n"
+    check("lakectl_bisect", doc)
+  }
+
   test("lakectl_fs_ls: typed gutter, date, human bytes, path") {
     val eng = repo
     val head = eng.resolveCommit("main")
