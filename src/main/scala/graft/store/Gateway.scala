@@ -616,16 +616,28 @@ class Gateway(val engine: Engine) {
           val ref = prefix.take(i)
           // the key prefix pushes down to manifest pruning (Engine.list →
           // scanInterval): the page reads only ranges under the prefix
-          val keys = engine.list(ref, prefix = prefix.drop(i + 1),
-              includeStaged = false)
-            .select(concat(lit(ref + "/"), col("key")).as("key"))
+          val listed = engine.list(ref, prefix = prefix.drop(i + 1),
+            includeStaged = false)
+          val keys = listed.select(concat(lit(ref + "/"), col("key")).as("key"))
           val page =
             if (routed.op == ListObjectsV2)
               Listing.s3ListPage(keys, prefix, delim,
                 Some(after).filter(_.nonEmpty), maxKeys)
             else Listing.s3ListPageV1(keys, prefix, delim,
               Some(after).filter(_.nonEmpty), maxKeys)
-          PageResult(page)
+          // S3 listings carry per-key ETag/Size (an SDK reads them): when
+          // the snapshot schema has them, rejoin the ≤ maxKeys page (tiny,
+          // broadcast side) to the pruned listing — prefixes keep nulls
+          val withStats =
+            if (listed.columns.contains("identity") &&
+                listed.columns.contains("size_bytes"))
+              page.join(
+                listed.select(
+                  concat(lit(ref + "/"), col("key")).as("name"),
+                  col("identity").as("etag"), col("size_bytes")),
+                Seq("name"), "left")
+            else page
+          PageResult(withStats)
         }
       case HeadBucket => StatResult(routed.repository, 0L)
       case GetBucketLocation => ConfigResult("")       // defaultBucketLocation

@@ -37,11 +37,11 @@ object GatewayXml {
     Decl + "<Error>" + el("Code", code) + el("Message", message) +
       el("Resource", resource) + el("RequestId", requestId) + "</Error>"
 
-  /** One Contents row (xml.go:40-46). The gateway's listing operator
-    * carries names only (P1+P4+O2 — the data contract); per-key
-    * etag/size would cost a stat per row, which the reference also skips
-    * on the common-prefix path. */
-  final case class Entry(key: String, isPrefix: Boolean)
+  /** One Contents row (xml.go:40-46): per-key ETag/Size ride along when
+    * the snapshot schema carries them (the gateway rejoins the page to
+    * the pruned listing); common prefixes have neither. */
+  final case class Entry(key: String, isPrefix: Boolean,
+      etag: Option[String] = None, size: Option[Long] = None)
 
   /** serde.ListObjectsV2Output / ListBucketResult (xml.go:52-91) — `v2`
     * picks the continuation dialect, V1 the marker dialect. */
@@ -67,7 +67,9 @@ object GatewayXml {
     }
     keys.foreach { e =>
       b.append("<Contents>").append(el("Key", e.key))
-        .append(el("StorageClass", "STANDARD")).append("</Contents>")
+      e.etag.foreach(t => b.append(el("ETag", "\"" + t + "\"")))
+      e.size.foreach(s => b.append(el("Size", s.toString)))
+      b.append(el("StorageClass", "STANDARD")).append("</Contents>")
     }
     b.append("</ListBucketResult>")
     b.toString
@@ -490,9 +492,16 @@ class GatewayHttp(gw: Gateway, auth: GatewayAuth, authSvc: AuthService,
         val rows: Array[Row] =
           if (r.df.columns.contains("rn")) r.df.orderBy("rn").collect()
           else r.df.orderBy("name").collect() // the branches-as-prefixes page
-        val entries = rows.map(row => GatewayXml.Entry(
-          row.getAs[String]("name"),
-          row.getAs[String]("entry_type") == "common_prefix")).toSeq
+        val hasStats = r.df.columns.contains("etag")
+        val entries = rows.map { row =>
+          val isPrefix = row.getAs[String]("entry_type") == "common_prefix"
+          GatewayXml.Entry(row.getAs[String]("name"), isPrefix,
+            etag = if (hasStats && !isPrefix)
+              Option(row.getAs[String]("etag")) else None,
+            size = if (hasStats && !isPrefix && !row.isNullAt(
+              row.fieldIndex("size_bytes")))
+              Some(row.getAs[Long]("size_bytes")) else None)
+        }.toSeq
         val truncated = rows.nonEmpty &&
           r.df.columns.contains("is_truncated") &&
           rows.last.getAs[Long]("is_truncated") == 1L

@@ -104,6 +104,11 @@ class GatewayHttpSpec extends SparkSpec {
     assert(hs === 200)
     assert(hh.firstValue("ETag").get === etag)
     assert(hb.isEmpty)
+    // an S3 SDK's headObject().contentLength() reads this header — it must
+    // carry the OBJECT's length even though a HEAD response has no body
+    assert(hh.firstValue("Content-Length").orElse("0").toLong ===
+      payload.length.toLong,
+      s"HEAD must declare the object length, got headers: ${hh.map()}")
 
     val (gs, gh, gb) = send("GET", "/repo1/main/data/wire.txt")
     assert(gs === 200)
@@ -186,6 +191,11 @@ class GatewayHttpSpec extends SparkSpec {
     assert(keys.size === 5 && keys.head === "main/data/k01")
     assert(xmlValues(xml, "IsTruncated") === Seq("true"))
     assert(xmlValues(xml, "NextContinuationToken").nonEmpty)
+    // Contents carry per-key ETag/Size (what an SDK's listing exposes)
+    assert(xmlValues(xml, "Size").head === "1")
+    assert(xmlValues(xml, "ETag").head === "&quot;id1&quot;" ||
+      xmlValues(xml, "ETag").head === "\"id1\"",
+      s"listing must carry the key's etag: $xml")
   }
 
   test("batch delete over HTTP: DeleteResult XML with per-key outcomes") {
