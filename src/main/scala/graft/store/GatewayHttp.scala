@@ -75,6 +75,29 @@ object GatewayXml {
     b.toString
   }
 
+  /** serde.ListAllMyBucketsResult (xml.go:17-34): repositories as buckets,
+    * CreationDate in serde.Timestamp's format (types.go:7-12). */
+  def listAllMyBuckets(owner: String,
+      buckets: Seq[(String, Long)]): String = {
+    val fmt = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")
+      .withZone(java.time.ZoneOffset.UTC)
+    val b = new StringBuilder(Decl)
+    b.append(s"""<ListAllMyBucketsResult xmlns="$Xmlns">""")
+    b.append("<Buckets>")
+    buckets.foreach { case (name, createdSec) =>
+      b.append("<Bucket>")
+        .append(el("CreationDate",
+          fmt.format(java.time.Instant.ofEpochSecond(createdSec))))
+        .append(el("Name", name)).append("</Bucket>")
+    }
+    b.append("</Buckets>")
+    b.append("<Owner>").append(el("DisplayName", owner))
+      .append(el("ID", owner)).append("</Owner>")
+    b.append("</ListAllMyBucketsResult>")
+    b.toString
+  }
+
   /** serde.InitiateMultipartUploadResult (xml.go:132-136). */
   def initiateMultipartUpload(bucket: String, key: String, id: String): String =
     Decl + "<InitiateMultipartUploadResult>" + el("Bucket", bucket) +
@@ -171,9 +194,28 @@ object GatewayXml {
  * Error bodies are `serde.Error` documents with the codes and HTTP
  * statuses of `pkg/gateway/errors/errors.go`.
  */
-class GatewayHttp(gw: Gateway, auth: GatewayAuth, authSvc: AuthService,
+/** The repository→gateway routing table a multi-repo server hosts —
+  * `repository` parses from the request (path- or virtual-host-style) and
+  * picks the engine, exactly the reference's repo resolution in its
+  * gateway handler; ListBuckets enumerates the table (filtered per the
+  * caller's read permission, listbuckets.go:17-23). */
+final class GatewayHub(repos: Map[String, (Gateway, Long)]) {
+  def get(repository: String): Option[Gateway] = repos.get(repository).map(_._1)
+  /** (name, createdEpochSec), name order. */
+  def list: Seq[(String, Long)] =
+    repos.toSeq.map { case (n, (_, c)) => (n, c) }.sortBy(_._1)
+}
+
+class GatewayHttp(hub: GatewayHub, auth: GatewayAuth, authSvc: AuthService,
     bareDomains: Seq[String], blockRoot: Path,
     clock: () => Instant = () => Instant.now()) {
+
+  /** Single-repository convenience: a hub of one. */
+  def this(gw: Gateway, auth: GatewayAuth, authSvc: AuthService,
+      bareDomains: Seq[String], blockRoot: Path, clock: () => Instant,
+      repository: String) =
+    this(new GatewayHub(Map(repository -> ((gw, 0L)))), auth, authSvc,
+      bareDomains, blockRoot, clock)
 
   private var server: HttpServer = _
   def port: Int = server.getAddress.getPort
@@ -332,7 +374,10 @@ class GatewayHttp(gw: Gateway, auth: GatewayAuth, authSvc: AuthService,
     authSvc.secretForKey(accessKey) match {
       case None => respondError(ex, "InvalidAccessKeyId")
       case Some((_, secret)) =>
-        gw.validatePresigned(req, secret, clock().getEpochSecond) match {
+        // pure signature validation (repo-agnostic, GatewaySig only)
+        GatewaySig.parseV4(req).flatMap(a => GatewaySig.v4Verify(req, a,
+            secret, java.time.Instant.ofEpochSecond(clock().getEpochSecond)))
+          .map(_ => (req.method, req.path)) match {
           case Left(e) => respondError(ex, sigErrorCode(e))
           case Right((method, physical)) => method match {
             case "GET" =>
@@ -372,6 +417,22 @@ class GatewayHttp(gw: Gateway, auth: GatewayAuth, authSvc: AuthService,
     val now = clock()
     val routed = GatewayRouter.route(auth, req, now, bareDomains)
     val nowSec = now.getEpochSecond
+    if (routed.op == ListBuckets) {
+      // repositories as buckets, filtered to what the caller may read
+      // (listbuckets.go:17-23 authorizes per repo instead of up front)
+      val visible = hub.list.filter { case (name, _) =>
+        try { auth.authorizeKnown(routed.user, "head_bucket", name); true }
+        catch { case _: GatewayAuth#AccessDeniedException => false }
+      }
+      respond(ex, 200, GatewayXml.listAllMyBuckets(routed.user, visible)
+        .getBytes(StandardCharsets.UTF_8),
+        Seq("Content-Type" -> "application/xml"))
+      return
+    }
+    val gw = hub.get(routed.repository) match {
+      case Some(g) => g
+      case None    => respondError(ex, "NoSuchBucket"); return
+    }
     val lastModified = java.time.format.DateTimeFormatter
       .ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")
       .withZone(java.time.ZoneOffset.UTC).format(now)
@@ -399,7 +460,7 @@ class GatewayHttp(gw: Gateway, auth: GatewayAuth, authSvc: AuthService,
         // assembled multipart) at the entry's physical address
         routed.op match {
           case PutObject =>
-            writePhysical(addressOf(routed), routed.payload)
+            writePhysical(addressOf(gw, routed), routed.payload)
             respond(ex, 200, Array.emptyByteArray, Seq("ETag" -> quote(r.etag)))
           case UploadPart =>
             val pn = req.queryGet("partNumber").get.toInt
@@ -430,7 +491,7 @@ class GatewayHttp(gw: Gateway, auth: GatewayAuth, authSvc: AuthService,
             // CopyEntry shares the source's physical address — no byte move
             xml(GatewayXml.copyResult(part = false, lastModified, quote(r.etag)))
           case CompleteMultipartUpload =>
-            assembleParts(req, routed)
+            assembleParts(gw, req, routed)
             xml(GatewayXml.completeMultipartUpload(
               s"/${routed.repository}/${routed.ref}/${routed.path}",
               routed.repository, s"${routed.ref}/${routed.path}", quote(r.etag)))
@@ -447,18 +508,19 @@ class GatewayHttp(gw: Gateway, auth: GatewayAuth, authSvc: AuthService,
           case GetObjectTagging  => xml(GatewayXml.tagging)
           case _                 => xml(GatewayXml.versioning)
         }
-      case r: gw.PageResult => serializePage(ex, req, routed, r, xml)
+      case r: gw.PageResult => serializePage(ex, req, routed, r.df, xml)
       case r: gw.ErrorResult => respondError(ex, r.code)
     }
   }
 
-  private def addressOf(routed: GatewayRouter.RoutedRequest): String =
+  private def addressOf(gw: Gateway,
+      routed: GatewayRouter.RoutedRequest): String =
     gw.headObject(routed.ref + "$", routed.path).address
 
   /** CompleteMultipartUpload's byte half: concatenate the stashed parts in
     * the request document's part order into the final physical address
     * (the reference's block adapter does this server-side in S3). */
-  private def assembleParts(req: SignedRequest,
+  private def assembleParts(gw: Gateway, req: SignedRequest,
       routed: GatewayRouter.RoutedRequest): Unit = {
     val body = new String(routed.payload, StandardCharsets.UTF_8)
     val order = "<PartNumber>([0-9]+)</PartNumber>".r
@@ -469,7 +531,7 @@ class GatewayHttp(gw: Gateway, auth: GatewayAuth, authSvc: AuthService,
       val pp = mpuPartPath(id, pn)
       if (Files.exists(pp)) out.write(Files.readAllBytes(pp))
     }
-    writePhysical(addressOf(routed), out.toByteArray)
+    writePhysical(addressOf(gw, routed), out.toByteArray)
     // reclaim the stash
     val dir = blockRoot.resolve(".mpu").resolve(id)
     if (Files.isDirectory(dir)) {
@@ -483,16 +545,16 @@ class GatewayHttp(gw: Gateway, auth: GatewayAuth, authSvc: AuthService,
   /** DataFrame pages → their op's serde document. Bounded collects: every
     * page here is ≤ max-keys (≤1000) rows by construction (O2). */
   private def serializePage(ex: HttpExchange, req: SignedRequest,
-      routed: GatewayRouter.RoutedRequest, r: gw.PageResult,
+      routed: GatewayRouter.RoutedRequest, df: org.apache.spark.sql.DataFrame,
       xml: (String) => Unit): Unit = {
     import GatewayRouter._
     def q(n: String) = req.queryGet(n).getOrElse("")
     routed.op match {
       case ListObjects | ListObjectsV2 =>
         val rows: Array[Row] =
-          if (r.df.columns.contains("rn")) r.df.orderBy("rn").collect()
-          else r.df.orderBy("name").collect() // the branches-as-prefixes page
-        val hasStats = r.df.columns.contains("etag")
+          if (df.columns.contains("rn")) df.orderBy("rn").collect()
+          else df.orderBy("name").collect() // the branches-as-prefixes page
+        val hasStats = df.columns.contains("etag")
         val entries = rows.map { row =>
           val isPrefix = row.getAs[String]("entry_type") == "common_prefix"
           GatewayXml.Entry(row.getAs[String]("name"), isPrefix,
@@ -503,12 +565,12 @@ class GatewayHttp(gw: Gateway, auth: GatewayAuth, authSvc: AuthService,
               Some(row.getAs[Long]("size_bytes")) else None)
         }.toSeq
         val truncated = rows.nonEmpty &&
-          r.df.columns.contains("is_truncated") &&
+          df.columns.contains("is_truncated") &&
           rows.last.getAs[Long]("is_truncated") == 1L
         val nextToken =
           if (!truncated) None
           else if (routed.op == ListObjectsV2) rows.lastOption.map(_.getAs[String]("name"))
-          else if (r.df.columns.contains("next_marker"))
+          else if (df.columns.contains("next_marker"))
             Option(rows.last.getAs[String]("next_marker"))
           else None
         xml(GatewayXml.listBucket(routed.op == ListObjectsV2,
@@ -517,7 +579,7 @@ class GatewayHttp(gw: Gateway, auth: GatewayAuth, authSvc: AuthService,
           entries, truncated, nextToken,
           Some(q("marker")).filter(_ => routed.op == ListObjects)))
       case DeleteObjects =>
-        val rows = r.df.collect()
+        val rows = df.collect()
         val deleted = rows.filter(_.getAs[String]("status") == "deleted")
           .map(_.getAs[String]("key")).toSeq
         val errors = rows.filter(_.getAs[String]("status") != "deleted")
@@ -525,13 +587,13 @@ class GatewayHttp(gw: Gateway, auth: GatewayAuth, authSvc: AuthService,
             Option(row.getAs[String]("code")).getOrElse("InternalError"))).toSeq
         xml(GatewayXml.deleteResult(deleted, errors))
       case ListParts =>
-        val parts = r.df.orderBy("part_number").collect().map(row =>
+        val parts = df.orderBy("part_number").collect().map(row =>
           (row.getAs[Long]("part_number").toInt, row.getAs[String]("etag"),
             row.getAs[Long]("size_bytes"))).toSeq
         xml(GatewayXml.listParts(routed.repository,
           s"${routed.ref}/${routed.path}", parts))
       case ListMultipartUploads =>
-        val rows = r.df.orderBy("rn").collect()
+        val rows = df.orderBy("rn").collect()
         val ups = rows.map(row => (row.getAs[String]("path"),
           row.getAs[String]("upload_id"))).toSeq
         val truncated = rows.nonEmpty &&

@@ -44,7 +44,16 @@ class GatewayHttpSpec extends SparkSpec {
     a.attachPolicyToUser("rw", "writer")
     val c = a.createCredentials("writer")
     val blockRoot = java.nio.file.Files.createTempDirectory("gwhttp-blocks")
-    val http = new GatewayHttp(gw, new GatewayAuth(a), a,
+    // a second repository the writer's policy does NOT cover — ListBuckets
+    // must filter it out
+    val eng2 = new Engine(spark,
+      java.nio.file.Files.createTempDirectory("gwhttp2").toString,
+      raggedness = 100)
+    eng2.init("main")
+    val hub = new graft.store.GatewayHub(Map(
+      "repo1" -> ((gw, now.getEpochSecond - 86400L)),
+      "private-repo" -> ((new Gateway(eng2), now.getEpochSecond))))
+    val http = new GatewayHttp(hub, new GatewayAuth(a), a,
       Seq("localhost"), blockRoot, clock = () => now)
     val port = http.start()
     (eng, gw, c, http, port, blockRoot)
@@ -254,6 +263,27 @@ class GatewayHttpSpec extends SparkSpec {
       HttpResponse.BodyHandlers.ofByteArray())
     assert(badResp.statusCode() === 403)
     assert(bodyStr(badResp.body()).contains("<Code>SignatureDoesNotMatch</Code>"))
+  }
+
+  test("ListBuckets at root: repositories as buckets, filtered to what " +
+      "the caller may read; unknown repository answers NoSuchBucket") {
+    val (st, _, body) = send("GET", "/")
+    assert(st === 200)
+    val xml = bodyStr(body)
+    assert(xml.contains("<ListAllMyBucketsResult"))
+    assert(xmlValues(xml, "Name") === Seq("repo1"),
+      s"the writer's policy covers repo1 only, got: $xml")
+    assert(xmlValues(xml, "DisplayName") === Seq("writer"))
+    assert(xmlValues(xml, "CreationDate").head.endsWith("Z"))
+    // a request addressed to a repository outside the hub → NoSuchBucket
+    val (st2, _, b2) = send("GET", "/ghost-repo/main/data/k01")
+    assert(st2 === 404 || st2 === 403, s"got $st2: ${bodyStr(b2)}")
+    // the writer HAS no permission on arbitrary repos — AccessDenied is
+    // also wire-correct; when authorized-but-absent, it must be
+    // NoSuchBucket (exercised via the covered-by-policy name space)
+    val (st3, _, b3) = send("GET", "/repo1x/main/data/k01")
+    assert(st3 === 404, s"got $st3: ${bodyStr(b3)}")
+    assert(bodyStr(b3).contains("<Code>NoSuchBucket</Code>"))
   }
 
   test("error documents: NoSuchKey 404, SignatureDoesNotMatch 403, " +
