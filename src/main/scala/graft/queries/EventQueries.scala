@@ -602,6 +602,155 @@ object EventQueries {
                CAST(adj_post_ppm - control_adj_ppm AS BIGINT) AS adj_uplift_ppm
         FROM adj, c ORDER BY arm""")),
 
+    // Difference-in-differences readout — the quasi-experimental
+    // complement of ev_ab_uplift for launches where assignment happened
+    // at a point in TIME (pre/post around the global midpoint, the
+    // ev_cuped split) rather than purely across users: each arm's
+    // per-user event-rate delta (post − pre) is differenced against the
+    // control arm's delta, cancelling any secular trend both arms share.
+    // Same shared armOf derivation, same integer-exact ppm discipline
+    // (BIGINT sums, truncating div on both engines); the big data
+    // shuffles exactly twice (events → users → arms) and the control
+    // extraction is a 3-row whole-table window.
+    "ev_did" -> (((s: SparkSession, d: String) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = Fixtures.events(s, d)
+        .select(col("user_id"), expr("ts div 1000000000").as("tsec"))
+      val split = ev.agg(
+        ((min("tsec") + max("tsec")) / 2).cast("long").as("split"))
+      val perUser = ev.crossJoin(broadcast(split))
+        .groupBy("user_id")
+        .agg(
+          sum(when(col("tsec") < col("split"), 1L).otherwise(0L)).as("pre_n"),
+          sum(when(col("tsec") >= col("split"), 1L).otherwise(0L)).as("post_n"))
+        .withColumn("arm", graft.streaming.StreamSrm.armOf(col("user_id")))
+      val whole = org.apache.spark.sql.expressions.Window.partitionBy()
+      perUser.groupBy("arm")
+        .agg(count(lit(1)).cast("long").as("n_users"),
+          sum("pre_n").as("s_pre"), sum("post_n").as("s_post"))
+        .withColumn("pre_mean_ppm",
+          expr("1000000 * s_pre div n_users").cast("long"))
+        .withColumn("post_mean_ppm",
+          expr("1000000 * s_post div n_users").cast("long"))
+        .withColumn("delta_ppm",
+          (col("post_mean_ppm") - col("pre_mean_ppm")).cast("long"))
+        .withColumn("control_delta_ppm",
+          max(when(col("arm") === "control", col("delta_ppm"))).over(whole))
+        .withColumn("did_ppm",
+          (col("delta_ppm") - col("control_delta_ppm")).cast("long"))
+        .select("arm", "n_users", "pre_mean_ppm", "post_mean_ppm",
+          "delta_ppm", "did_ppm")
+        .orderBy("arm")
+    }),
+      Some("""
+        WITH e AS (
+          SELECT user_id, epoch_ns(ts) // 1000000000 AS tsec FROM events),
+        sp AS (SELECT (min(tsec) + max(tsec)) // 2 AS split FROM e),
+        u AS (
+          SELECT user_id,
+                 CAST(sum(CASE WHEN tsec < split THEN 1 ELSE 0 END)
+                   AS BIGINT) AS pre_n,
+                 CAST(sum(CASE WHEN tsec >= split THEN 1 ELSE 0 END)
+                   AS BIGINT) AS post_n
+          FROM e, sp GROUP BY user_id),
+        a AS (
+          SELECT user_id, pre_n, post_n,
+                 CASE WHEN b < 50 THEN 'control'
+                      WHEN b < 75 THEN 'treat_a' ELSE 'treat_b' END AS arm
+          FROM (SELECT user_id, pre_n, post_n,
+                  ('0x' || substr(sha256(CAST(user_id AS VARCHAR)), 1, 4))::BIGINT
+                    % 100 AS b
+                FROM u)),
+        g AS (
+          SELECT arm, CAST(count(*) AS BIGINT) AS n_users,
+                 CAST(sum(pre_n) AS BIGINT) AS s_pre,
+                 CAST(sum(post_n) AS BIGINT) AS s_post
+          FROM a GROUP BY arm),
+        m AS (
+          SELECT arm, n_users,
+                 CAST(1000000 * s_pre // n_users AS BIGINT) AS pre_mean_ppm,
+                 CAST(1000000 * s_post // n_users AS BIGINT) AS post_mean_ppm,
+                 CAST(1000000 * s_post // n_users
+                    - 1000000 * s_pre // n_users AS BIGINT) AS delta_ppm
+          FROM g),
+        c AS (SELECT delta_ppm AS control_delta_ppm FROM m
+              WHERE arm = 'control')
+        SELECT arm, n_users, pre_mean_ppm, post_mean_ppm, delta_ppm,
+               CAST(delta_ppm - control_delta_ppm AS BIGINT) AS did_ppm
+        FROM m, c ORDER BY arm""")),
+
+    // Sequential experiment monitor — Wald's SPRT (1945) over the
+    // conditional-binomial view of treat_a vs control: under H0 (equal
+    // per-user conversion rates) each purchase lands in treat_a with
+    // p0 = 25/(25+50) = 1/3 given the 25/50 allocation, so the
+    // day-by-day log-likelihood ratio against the planned-uplift
+    // alternative p1 = 0.4 is cum_treat·ln(p1/p0) + cum_ctrl·ln((1−p1)/
+    // (1−p0)). The logs are FIXED INTEGER LITERALS in micro-nats
+    // (ln 1.2 → 182322, ln 0.9 → −105361), as are the Wald boundaries
+    // for α=0.05/β=0.20 (ln 16 → 2772589, ln(0.2/0.95) → −1558145) — so
+    // the whole monitor is integer-exact on both engines with zero
+    // floating-point. The LLR algebra and constants are SHARED with the
+    // live streaming monitor (streaming/StreamSprt.scala — the armOf
+    // pattern), so the mid-flight stopping decision and this readout can
+    // never disagree. One map-side arm derivation + one day aggregate;
+    // the cumulative window runs over the day table (duration-bounded,
+    // driver-scale), never over raw events.
+    "ev_sequential" -> (((s: SparkSession, d: String) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      import org.apache.spark.sql.expressions.Window
+      import graft.streaming.StreamSprt
+      val purch = Fixtures.events(s, d)
+        .where(col("event_type") === "purchase")
+        .withColumn("arm", graft.streaming.StreamSrm.armOf(col("user_id")))
+        .where(col("arm").isin("control", "treat_a"))
+        .withColumn("day", expr("ts div 1000000000 div 86400"))
+      val daily = purch.groupBy("day")
+        .agg(sum(when(col("arm") === "treat_a", 1L).otherwise(0L)).as("k_treat"),
+          sum(when(col("arm") === "control", 1L).otherwise(0L)).as("k_ctrl"))
+      val w = Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      daily
+        .withColumn("cum_treat", sum("k_treat").over(w).cast("long"))
+        .withColumn("cum_ctrl", sum("k_ctrl").over(w).cast("long"))
+        .withColumn("llr_micronat",
+          StreamSprt.llrMicronat(col("cum_treat"), col("cum_ctrl")))
+        .withColumn("decision", StreamSprt.decisionOf(col("llr_micronat")))
+        .select(col("day").cast("long").as("day"), col("cum_treat"),
+          col("cum_ctrl"), col("llr_micronat"), col("decision"))
+        .orderBy("day")
+    }),
+      Some("""
+        WITH p AS (
+          SELECT epoch_ns(ts) // 1000000000 // 86400 AS day,
+                 CASE WHEN b < 50 THEN 'control'
+                      WHEN b < 75 THEN 'treat_a' ELSE 'treat_b' END AS arm
+          FROM (SELECT ts,
+                  ('0x' || substr(sha256(CAST(user_id AS VARCHAR)), 1, 4))::BIGINT
+                    % 100 AS b
+                FROM events WHERE event_type = 'purchase')),
+        d AS (
+          SELECT day,
+                 CAST(sum(CASE WHEN arm = 'treat_a' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS k_treat,
+                 CAST(sum(CASE WHEN arm = 'control' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS k_ctrl
+          FROM p WHERE arm IN ('control', 'treat_a') GROUP BY day),
+        c AS (
+          SELECT day,
+                 CAST(sum(k_treat) OVER win AS BIGINT) AS cum_treat,
+                 CAST(sum(k_ctrl) OVER win AS BIGINT) AS cum_ctrl
+          FROM d WINDOW win AS (ORDER BY day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        SELECT CAST(day AS BIGINT) AS day, cum_treat, cum_ctrl,
+               CAST(cum_treat * 182322 - cum_ctrl * 105361 AS BIGINT)
+                 AS llr_micronat,
+               CASE WHEN cum_treat * 182322 - cum_ctrl * 105361 >= 2772589
+                      THEN 'reject_h0'
+                    WHEN cum_treat * 182322 - cum_ctrl * 105361 <= -1558145
+                      THEN 'accept_h0'
+                    ELSE 'continue' END AS decision
+        FROM c ORDER BY day""")),
+
     "ev_retention" -> (((s: SparkSession, d: String) => {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val weeks = Fixtures.events(s, d)

@@ -741,6 +741,96 @@ object ExtendedQueries {
                coalesce(p.n_segments, 0) AS n_segments,
                coalesce(p.max_seg, 0) AS max_seg
         FROM tot t LEFT JOIN per p USING (media_id)
-        ORDER BY media_id"""))
+        ORDER BY media_id""")),
+
+    // Voice-activity detection with hangover smoothing — where
+    // mm_energy_segments reports per-media ACTIVITY COUNTS, this emits the
+    // actual speech SPANS a segmenter cuts clips on, after the smoothing
+    // step every production VAD applies: a window is voiced if it OR a
+    // neighbor clears the energy threshold (±1-window dilation — the
+    // "hangover" that bridges sub-hop silences so one utterance doesn't
+    // shatter into fragments). Segment ids come from a cumulative
+    // rising-edge sum; per-media window counts are duration-bounded so the
+    // three stacked windows (dilate, edge, cumsum — ONE shuffle, same
+    // partition key) stay small per media however many clips stream
+    // through. The stub energy is the same mean-sample stand-in as
+    // mm_energy_segments; a PCM decoder slots in without touching the plan.
+    "mm_vad" -> (((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val media = Fixtures.documents(s, d).where(col("doc_id") % 4 === 1)
+        .select(col("doc_id").as("media_id"), col("text"))
+      val wins = media
+        .withColumn("nw", expr(
+          "CASE WHEN length(text) >= 40 THEN (length(text) - 40) div 16 + 1 ELSE 0 END"))
+        .where(col("nw") > 0)
+        .select(col("media_id"),
+          posexplode(expr("transform(sequence(0, nw - 1)," +
+            " j -> substring(text, j * 16 + 1, 40))")).as(Seq("j", "w")))
+        .withColumn("energy", expr(
+          "aggregate(transform(sequence(1, 40)," +
+            " i -> CAST(ascii(substring(w, i, 1)) AS BIGINT)), 0L, (a, x) -> a + x)" +
+            " div 40"))
+        .withColumn("active", when(col("energy") >= 100, 1).otherwise(0))
+      val w = Window.partitionBy("media_id").orderBy("j")
+      val voiced = wins
+        .withColumn("voiced", greatest(col("active"),
+          coalesce(lag("active", 1).over(w), lit(0)),
+          coalesce(lead("active", 1).over(w), lit(0))))
+        .withColumn("is_start", when(col("voiced") === 1 &&
+          coalesce(lag("voiced", 1).over(w), lit(0)) === 0, 1).otherwise(0))
+        .withColumn("seg", sum("is_start").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      voiced.where(col("voiced") === 1)
+        .groupBy(col("media_id"), col("seg").cast("long").as("seg_idx"))
+        .agg(min("j").cast("long").as("start_win"),
+          max("j").cast("long").as("end_win"),
+          count(lit(1)).cast("long").as("n_windows"),
+          sum("energy").cast("long").as("sum_energy"))
+        .orderBy("media_id", "seg_idx")
+    }),
+      Some("""
+        WITH m AS (
+          SELECT doc_id AS media_id, text,
+                 CASE WHEN length(text) >= 40
+                      THEN (length(text) - 40) // 16 + 1 ELSE 0 END AS nw
+          FROM documents WHERE doc_id % 4 = 1),
+        w AS (
+          SELECT media_id, j - 1 AS j,
+                 substr(text, CAST((j - 1) * 16 + 1 AS INT), 40) AS win
+          FROM m CROSS JOIN UNNEST(generate_series(1, nw)) AS u(j)
+          WHERE nw > 0),
+        e AS (
+          SELECT media_id, j,
+                 list_sum(list_transform(generate_series(1, 40),
+                   i -> CAST(ascii(substr(win, CAST(i AS INT), 1)) AS BIGINT)))
+                   // 40 AS energy
+          FROM w),
+        a AS (
+          SELECT media_id, j, energy,
+                 CASE WHEN energy >= 100 THEN 1 ELSE 0 END AS active
+          FROM e),
+        v AS (
+          SELECT media_id, j, energy,
+                 greatest(active,
+                   coalesce(lag(active) OVER win1, 0),
+                   coalesce(lead(active) OVER win1, 0)) AS voiced
+          FROM a WINDOW win1 AS (PARTITION BY media_id ORDER BY j)),
+        edges AS (
+          SELECT media_id, j, energy, voiced,
+                 CASE WHEN voiced = 1 AND coalesce(lag(voiced) OVER win2, 0) = 0
+                      THEN 1 ELSE 0 END AS is_start
+          FROM v WINDOW win2 AS (PARTITION BY media_id ORDER BY j)),
+        sg AS (
+          SELECT media_id, j, energy, voiced,
+                 sum(is_start) OVER (PARTITION BY media_id ORDER BY j
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg
+          FROM edges)
+        SELECT media_id, CAST(seg AS BIGINT) AS seg_idx,
+               CAST(min(j) AS BIGINT) AS start_win,
+               CAST(max(j) AS BIGINT) AS end_win,
+               CAST(count(*) AS BIGINT) AS n_windows,
+               CAST(sum(energy) AS BIGINT) AS sum_energy
+        FROM sg WHERE voiced = 1
+        GROUP BY media_id, seg ORDER BY media_id, seg_idx"""))
   )
 }

@@ -2577,6 +2577,74 @@ object TextQueries {
           FROM c GROUP BY source)
         SELECT source, n_tokens, n_types,
                (1000000 * ss) // (n_tokens * n_tokens) AS hhi_ppm
-        FROM agg ORDER BY source"""))
+        FROM agg ORDER BY source""")),
+
+    // Fill-in-the-middle transform (the infilling-objective prep pass for
+    // code/text models — Bavarian et al. 2022, "Efficient Training of
+    // Language Models to Fill in the Middle"): each document splits at two
+    // DETERMINISTIC cut points derived from doc_id (prime multipliers mod
+    // n+1 — no RNG, so every shard rebuilds bit-identically), and the
+    // pieces reassemble in PSM or SPM sentinel order chosen by doc parity
+    // (the paper's 50/50 mode mix). Pure map-side character arithmetic —
+    // shuffle-free, identical at 100 TB; the emitted fim_text is the
+    // actual training string, and the length triple is what a packing
+    // planner consumes downstream.
+    "td_fim" -> (((s: SparkSession, d: String) => {
+      Fixtures.documents(s, d)
+        .select(col("doc_id"), col("text"))
+        .withColumn("n", length(col("text")).cast("long"))
+        .withColumn("lo0", expr("(doc_id * 7919) % (n + 1)"))
+        .withColumn("hi0", expr("(doc_id * 104729) % (n + 1)"))
+        .withColumn("lo", least(col("lo0"), col("hi0")))
+        .withColumn("hi", greatest(col("lo0"), col("hi0")))
+        .withColumn("mode", when(col("doc_id") % 2 === 0, "psm")
+          .otherwise("spm"))
+        .withColumn("prefix", expr("substring(text, 1, CAST(lo AS INT))"))
+        .withColumn("middle",
+          expr("substring(text, CAST(lo + 1 AS INT), CAST(hi - lo AS INT))"))
+        .withColumn("suffix",
+          expr("substring(text, CAST(hi + 1 AS INT), CAST(n - hi AS INT))"))
+        .withColumn("fim_text",
+          when(col("mode") === "psm",
+            concat(lit("<PRE>"), col("prefix"), lit("<SUF>"), col("suffix"),
+              lit("<MID>"), col("middle")))
+          .otherwise(
+            concat(lit("<SUF>"), col("suffix"), lit("<PRE>"), col("prefix"),
+              lit("<MID>"), col("middle"))))
+        .select(col("doc_id"), col("mode"),
+          col("lo").cast("long").as("prefix_len"),
+          (col("hi") - col("lo")).cast("long").as("middle_len"),
+          (col("n") - col("hi")).cast("long").as("suffix_len"),
+          col("fim_text"))
+        .orderBy("doc_id")
+    }),
+      Some("""
+        WITH t AS (
+          SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n,
+                 (doc_id * 7919) % (CAST(length(text) AS BIGINT) + 1) AS lo0,
+                 (doc_id * 104729) % (CAST(length(text) AS BIGINT) + 1) AS hi0
+          FROM documents),
+        s AS (
+          SELECT doc_id, text, n,
+                 least(lo0, hi0) AS lo, greatest(lo0, hi0) AS hi,
+                 CASE WHEN doc_id % 2 = 0 THEN 'psm' ELSE 'spm' END AS mode
+          FROM t),
+        parts AS (
+          SELECT doc_id, mode, n, lo, hi,
+                 substr(text, 1, CAST(lo AS INT)) AS prefix,
+                 substr(text, CAST(lo + 1 AS INT), CAST(hi - lo AS INT))
+                   AS middle,
+                 substr(text, CAST(hi + 1 AS INT), CAST(n - hi AS INT))
+                   AS suffix
+          FROM s)
+        SELECT doc_id, mode,
+               CAST(lo AS BIGINT) AS prefix_len,
+               CAST(hi - lo AS BIGINT) AS middle_len,
+               CAST(n - hi AS BIGINT) AS suffix_len,
+               CASE WHEN mode = 'psm'
+                 THEN '<PRE>' || prefix || '<SUF>' || suffix || '<MID>' || middle
+                 ELSE '<SUF>' || suffix || '<PRE>' || prefix || '<MID>' || middle
+               END AS fim_text
+        FROM parts ORDER BY doc_id"""))
   )
 }

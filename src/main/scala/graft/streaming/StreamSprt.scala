@@ -1,0 +1,72 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Streaming sequential-test monitor — the incremental sibling of the batch
+ * `ev_sequential` query (`queries/EventQueries.scala`): Wald's SPRT (1945)
+ * over the conditional-binomial view of treat_a vs control purchases.
+ * Under H0 (equal per-user conversion rates) each purchase lands in
+ * treat_a with p0 = 25/(25+50) = 1/3 given the 50/25/25 allocation of
+ * [[StreamSrm.armOf]]; the monitor accumulates the log-likelihood ratio
+ * against the planned-uplift alternative p1 = 0.4 and stops the experiment
+ * the moment a Wald boundary is crossed — the whole point of a sequential
+ * test is that waiting for the batch readout wastes traffic.
+ *
+ * The LLR algebra lives HERE, as fixed integer micro-nat literals and two
+ * Column builders, and the batch row calls these same definitions — a
+ * monitor that computes a different statistic than the readout would stop
+ * experiments the readout disagrees with. Everything is integer-exact:
+ * no floating point anywhere, so batch, stream, and the DuckDB oracle
+ * agree bit-for-bit.
+ *
+ * Scale shape: purchases reduce map-side to per-arm counts (a 2-row
+ * Update-mode streaming aggregation, one state row per arm); the
+ * LLR/decision algebra runs on that tiny output table — foreachBatch- or
+ * driver-scale by construction, never over raw events.
+ */
+object StreamSprt {
+
+  /** ln(p1/p0) = ln 1.2 in micro-nats, for p0 = 1/3, p1 = 0.4. */
+  val LnSuccessMicronat = 182322L
+  /** ln((1−p1)/(1−p0)) = ln 0.9 in micro-nats. */
+  val LnFailureMicronat = -105361L
+  /** Upper Wald boundary ln((1−β)/α) = ln 16 for α = 0.05, β = 0.20. */
+  val UpperMicronat = 2772589L
+  /** Lower Wald boundary ln(β/(1−α)) = ln(0.2/0.95). */
+  val LowerMicronat = -1558145L
+
+  /** The SPRT statistic after observing `cumTreat` treat_a purchases and
+    * `cumCtrl` control purchases — ONE definition for batch and stream. */
+  def llrMicronat(cumTreat: Column, cumCtrl: Column): Column =
+    (cumTreat * LnSuccessMicronat + cumCtrl * LnFailureMicronat).cast("long")
+
+  /** Wald's stopping rule over the micro-nat LLR. */
+  def decisionOf(llr: Column): Column =
+    when(llr >= UpperMicronat, "reject_h0")
+      .when(llr <= LowerMicronat, "accept_h0")
+      .otherwise("continue")
+
+  /** Per-arm running purchase counts over a raw event stream (any frame
+    * with `user_id` and `event_type`). Update output mode: each
+    * micro-batch re-emits the arms whose counts moved. */
+  def armPurchaseCounts(events: DataFrame): DataFrame =
+    events.where(col("event_type") === "purchase")
+      .withColumn("arm", StreamSrm.armOf(col("user_id")))
+      .where(col("arm").isin("control", "treat_a"))
+      .groupBy("arm")
+      .agg(count(lit(1)).cast("long").as("n"))
+
+  /** The stopping verdict over an (arm, n) counts table — collapses the
+    * 2-row table to one decision row with the shared LLR algebra. */
+  def verdict(counts: DataFrame): DataFrame =
+    counts.agg(
+      coalesce(sum(when(col("arm") === "treat_a", col("n"))), lit(0L))
+        .cast("long").as("cum_treat"),
+      coalesce(sum(when(col("arm") === "control", col("n"))), lit(0L))
+        .cast("long").as("cum_ctrl"))
+      .withColumn("llr_micronat",
+        llrMicronat(col("cum_treat"), col("cum_ctrl")))
+      .withColumn("decision", decisionOf(col("llr_micronat")))
+}

@@ -111,7 +111,12 @@ class PlanShapeSpec extends SparkSpec {
     // group split: LSH components + one group left-join + hash aggs (the
     // two global counters collect ONE driver row, no 1-row crossJoin);
     // stratified sample: source-partitioned windows + one source agg
-    "td_group_split", "td_stratified_sample")
+    "td_group_split", "td_stratified_sample",
+    // FIM transform: pure map-side character arithmetic, no join at all;
+    // sequential monitor: map-side arm derivation + one day agg (the
+    // cumulative window runs over the duration-bounded day table);
+    // VAD: one media-keyed shuffle feeding three stacked windows
+    "td_fim", "ev_sequential", "mm_vad")
 
   test("LSH scale paths contain no all-pairs join") {
     scalePaths.foreach { name =>
@@ -307,6 +312,22 @@ class PlanShapeSpec extends SparkSpec {
       l.contains("Exchange hashpartitioning"))
     assert(exchanges <= 4, // user agg + arm agg (AQE may split reads)
       s"ev_cuped reshuffles beyond the two keyed aggregations:\n$plan")
+  }
+
+  test("ev_did: two keyed aggregations; the midpoint split reaches the " +
+      "events scan as a 1-row broadcast, never a reshuffle") {
+    val df = SparkEntry.queries("ev_did")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange"),
+      s"ev_did must broadcast its 1-row split:\n${plan.take(2000)}")
+    assert(!plan.contains("CartesianProduct"),
+      "ev_did plans a CartesianProduct")
+    // events -> per-user, users -> per-arm; the control delta is a 3-row
+    // whole-table window, never another shuffle of the big table
+    val exchanges = plan.split("\n").count(l =>
+      l.contains("Exchange hashpartitioning"))
+    assert(exchanges <= 4,
+      s"ev_did reshuffles beyond the two keyed aggregations:\n$plan")
   }
 
   test("sketch queries: bounded state broadcasts, corpus never pair-joins") {

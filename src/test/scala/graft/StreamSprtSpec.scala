@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.streaming.{StreamSprt, StreamSrm}
+
+/** The streaming SPRT monitor must agree with the batch `ev_sequential`
+  * readout on the same purchases: running per-arm counts accumulate across
+  * micro-batches, and the final LLR/decision equals the batch algebra's
+  * last row (shared constants — they can't diverge by construction, this
+  * spec proves the plumbing around them doesn't either). */
+class StreamSprtSpec extends SparkSpec {
+
+  test("streaming SPRT counts and verdict equal the batch algebra across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val in = mem.toDS().toDF("user_id", "event_type")
+    val q = StreamSprt.armPurchaseCounts(in).writeStream
+      .outputMode("update").format("memory").queryName("sprt_out").start()
+    try {
+      // two micro-batches; non-purchases and treat_b users must not count
+      mem.addData((1L to 30L).map(u => (u, "purchase")): _*)
+      q.processAllAvailable()
+      mem.addData((31L to 80L).map(u =>
+        (u, if (u % 5 == 0) "view" else "purchase")): _*)
+      q.processAllAvailable()
+      val counts = spark.table("sprt_out")
+        .groupBy("arm").agg(max("n").as("n"))
+      val got = counts.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+      val batch = (1L to 80L).map(u =>
+          (u, if (u > 30 && u % 5 == 0) "view" else "purchase"))
+        .toDF("user_id", "event_type")
+        .where(col("event_type") === "purchase")
+        .withColumn("arm", StreamSrm.armOf(col("user_id")))
+        .where(col("arm").isin("control", "treat_a"))
+        .groupBy("arm").agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got === batch)
+
+      // the verdict row carries the shared integer algebra exactly
+      val v = StreamSprt.verdict(counts).collect().head
+      val (ct, cc) = (v.getLong(0), v.getLong(1))
+      assert(ct === batch.getOrElse("treat_a", 0L))
+      assert(cc === batch.getOrElse("control", 0L))
+      val llr = ct * StreamSprt.LnSuccessMicronat +
+        cc * StreamSprt.LnFailureMicronat
+      assert(v.getLong(2) === llr)
+      val expectedDecision =
+        if (llr >= StreamSprt.UpperMicronat) "reject_h0"
+        else if (llr <= StreamSprt.LowerMicronat) "accept_h0"
+        else "continue"
+      assert(v.getString(3) === expectedDecision)
+    } finally q.stop()
+  }
+}
