@@ -54,4 +54,45 @@ object Gc {
   /** A4: GC summary row. */
   def summary(deleted: DataFrame): DataFrame =
     deleted.agg(count(lit(1)).as("num_deleted_objects"))
+
+  /**
+   * Incremental J9 — the daily-run shape of [[mark]] that never re-expands
+   * old commits. Full mark cost at 100 TB is dominated by the committed
+   * side: every range of every active commit re-read on every run. But two
+   * reference invariants make that re-read redundant between consecutive
+   * runs over a growing commit set:
+   *
+   *  1. commits are immutable — the address set an old commit references
+   *     never changes;
+   *  2. physical addresses are never reused — every upload mints a fresh
+   *     xid name (`pkg/upload/path_provider.go:102-106`), so an old commit
+   *     cannot reference an object that appeared after it.
+   *
+   * Carry ONE state set between runs: `U`, the addresses present in the
+   * store but referenced by NO committed range (staging deliberately NOT
+   * subtracted — staging protection is transient, so folding it into the
+   * state would hide objects that get unstaged later). Then
+   *
+   *   U_today    = (U_prev ∪ new_objects) ∖ refs(new commits)
+   *   mark_today = U_today ∖ uncommitted_now
+   *
+   * — exact because refs(old commits) already left U_prev (1) and cannot
+   * claim new_objects (2), while NEW commits can claim BOTH sides: a fresh
+   * upload they reference, or a previously-unreferenced object linked late
+   * (the direct-upload flow, `catalog.go:3234-3292`) — which is exactly
+   * the case that breaks a naive "mark only the new stuff" increment.
+   * Inputs are O(unreferenced + new + staged); the anti-join right sides
+   * are the NEW commits' entries and current staging, both broadcast-sized
+   * on a daily cadence. Returns (U_today to persist for the next run,
+   * today's mark).
+   */
+  def markIncremental(prevUnreferenced: DataFrame, newObjects: DataFrame,
+      newCommitRefs: DataFrame, uncommitted: DataFrame,
+      addrCol: String = "address"): (DataFrame, DataFrame) = {
+    val universe = prevUnreferenced.select(addrCol)
+      .unionByName(newObjects.select(addrCol))
+    val uToday = universe
+      .join(newCommitRefs.select(addrCol), Seq(addrCol), "left_anti")
+    (uToday, uToday.join(uncommitted.select(addrCol), Seq(addrCol), "left_anti"))
+  }
 }

@@ -446,6 +446,43 @@ object VersionControlQueries {
     }),
       Some("SELECT count(*) AS num_deleted_objects FROM orders WHERE o_orderkey % 3 = 0 AND o_orderkey % 7 <> 0")),
 
+    // Incremental J9 — the daily-GC shape that never re-expands old
+    // commits (operators/Gc.scala markIncremental): run 1 leaves the
+    // committed-unreferenced state U_prev (even addresses old commits
+    // skip, k%6=0); since then odd addresses were uploaded (k%2=1 — new
+    // uploads mint fresh xids, so old commits cannot reference them) and
+    // NEW commits claimed k%5=0 — both fresh uploads AND late-linked old
+    // objects, the case a naive "new stuff only" increment misses; k%7=0
+    // is currently staged. The SPARK side runs the incremental algebra
+    // over O(unreferenced+new); the ORACLE recomputes the FULL mark from
+    // scratch — the hash match IS the proof that the increment equals the
+    // full recompute.
+    "vc_gc_incremental" -> (((s: SparkSession, d: String) => {
+      val all = Fixtures.orders(s, d).select(
+        concat(lit("data/"), lpad(col("o_orderkey").cast("string"), 10, "0"))
+          .as("address"),
+        col("o_orderkey").as("k"))
+      val uPrev = all.where(col("k") % 2 === 0 && col("k") % 3 === 0)
+        .select("address")
+      val newObjects = all.where(col("k") % 2 === 1).select("address")
+      val newCommitRefs = all.where(col("k") % 5 === 0).select("address")
+      val staged = all.where(col("k") % 7 === 0).select("address")
+      val (_, mark) = Gc.markIncremental(uPrev, newObjects, newCommitRefs, staged)
+      mark.orderBy("address")
+    }),
+      Some(s"""
+        WITH allobj AS (
+          SELECT 'data/' || lpad(CAST(o_orderkey AS VARCHAR),10,'0') AS address,
+                 o_orderkey AS k
+          FROM orders)
+        -- FULL recompute: unreferenced by any commit (old commits skip
+        -- k%3=0 of the even addresses; new commits claim k%5=0), minus
+        -- currently-staged k%7=0
+        SELECT address FROM allobj
+        WHERE NOT ((k % 2 = 0 AND k % 3 <> 0) OR k % 5 = 0)
+          AND k % 7 <> 0
+        ORDER BY address""")),
+
     // P6/P7: address filter + namespace resolution.
     "vc_addr_resolve" -> (((s: SparkSession, d: String) => {
       val ns = "s3://repo-bucket/prefix"

@@ -118,6 +118,40 @@ class GcSpec extends SparkSpec {
       "within-retention second-parent lineage must survive the sweep")
   }
 
+  test("markIncremental equals the full recompute across three chained epochs") {
+    import spark.implicits._
+    // epoch e mints addresses a{e}_{i} (never reused — the xid invariant);
+    // commits at each epoch claim a deterministic subset of EVERYTHING
+    // visible (old commits stay immutable; new commits may late-link
+    // previously-unreferenced objects), staging protects another subset.
+    def addrs(e: Int) = (1 to 90).map(i => f"a${e}_$i%03d")
+    def df(xs: Seq[String]) = xs.toDF("address")
+    def claimed(e: Int, xs: Seq[String]) =
+      xs.filter(a => (a.hashCode.abs + e) % 3 == 0)
+    def stagedAt(e: Int, xs: Seq[String]) =
+      xs.filter(a => (a.hashCode.abs + e) % 7 == 0)
+
+    var all = Seq.empty[String]        // store listing
+    var refs = Seq.empty[String]       // union of every commit's entries
+    // run 0 state: empty U (fresh repo, nothing unreferenced yet)
+    var u = df(Seq.empty[String])
+    (1 to 3).foreach { e =>
+      val fresh = addrs(e)
+      all = all ++ fresh
+      val newRefs = claimed(e, all.distinct)   // late-linking included
+      refs = refs ++ newRefs
+      val staged = stagedAt(e, all)
+      val (uNext, markIncr) =
+        graft.operators.Gc.markIncremental(u, df(fresh), df(newRefs), df(staged))
+      val full = graft.operators.Gc.mark(df(all), df(refs), df(staged))
+      val a = markIncr.collect().map(_.getString(0)).sorted.toSeq
+      val b = full.collect().map(_.getString(0)).sorted.toSeq
+      assert(a === b, s"epoch $e: incremental mark diverged from full recompute")
+      // persist U for the next epoch (materialized, as a real run would)
+      u = df(uNext.collect().map(_.getString(0)).toSeq)
+    }
+  }
+
   test("gc rules round-trip with per-branch overrides") {
     val dir = tmpDir("gcrules")
     val eng = new Engine(spark, dir, raggedness = 50)

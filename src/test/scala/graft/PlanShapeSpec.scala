@@ -116,7 +116,10 @@ class PlanShapeSpec extends SparkSpec {
     // sequential monitor: map-side arm derivation + one day agg (the
     // cumulative window runs over the duration-bounded day table);
     // VAD: one media-keyed shuffle feeding three stacked windows
-    "td_fim", "ev_sequential", "mm_vad")
+    "td_fim", "ev_sequential", "mm_vad",
+    // incremental GC mark: union + two left-anti equi-joins, right sides
+    // broadcast-sized (new commits' entries + staging) on a daily cadence
+    "vc_gc_incremental")
 
   test("LSH scale paths contain no all-pairs join") {
     scalePaths.foreach { name =>
