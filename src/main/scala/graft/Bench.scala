@@ -531,6 +531,42 @@ object Bench {
         addStep("growth", "list_1x", clock { listPage(listT, lmT, "0" * 7) })
         addStep("growth", "list_10x", clock { listPage(listS, lmS, "0" * 8) })
         addStep("growth", "list_100x", clock { listPage(listB, lmB, "0" * 9) })
+        // GC growth: the FULL mark re-reads every committed reference, so
+        // its cost tracks the repo (all objects + committed refs both grow
+        // linearly); the INCREMENTAL mark (Gc.markIncremental — the
+        // state-carried daily run, equivalence proven by the
+        // vc_gc_incremental oracle) reads only the carried unreferenced
+        // set + the day's new objects + the new commits' entries — all
+        // bounded by ingest/sweep cadence, not repo size, so the same
+        // absolute increment is measured against every repo. The contrast
+        // pair (gc_full grows, gc_incr flat) is the operator's claim.
+        def addrOf(df: DataFrame) = df.select(col("key").as("address"))
+        val stagedG = addrOf(delta.where(col("k") % 7 === 0))
+        def fullMark(allDf: DataFrame): Unit = {
+          val refs = addrOf(allDf.where(col("k") % 3 =!= 0))
+          Gc.mark(addrOf(allDf), refs, stagedG).count(); ()
+        }
+        // a real daily run READS its carried state (U) and the day's
+        // increment from storage — it never re-derives them from the full
+        // listing — so the increment inputs materialize untimed, exactly
+        // like `delta` above
+        val uPrevG = addrOf(base.where(col("k") <= maxK / 100 && col("k") % 3 === 0))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val newObjsG = addrOf(delta)
+        val newRefsG = addrOf(delta.where(col("k") % 2 === 0))
+        uPrevG.count()
+        def incrMark(): Unit = {
+          val (_, m) = Gc.markIncremental(uPrevG, newObjsG, newRefsG, stagedG)
+          m.count(); ()
+        }
+        fullMark(tiny); incrMark() // warm the two plan shapes untimed
+        addStep("growth", "gc_full_1x", clock { fullMark(tiny) })
+        addStep("growth", "gc_full_10x", clock { fullMark(mid) })
+        addStep("growth", "gc_full_100x", clock { fullMark(base) })
+        addStep("growth", "gc_incr_1x", clock { incrMark() })
+        addStep("growth", "gc_incr_10x", clock { incrMark() })
+        addStep("growth", "gc_incr_100x", clock { incrMark() })
+        uPrevG.unpersist()
         delta2.unpersist()
         tiny.unpersist(); mid.unpersist(); delta.unpersist()
       } catch { case e: Throwable =>
