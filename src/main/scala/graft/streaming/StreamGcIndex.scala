@@ -1,0 +1,71 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/**
+ * Streaming GC candidate tracker — the continuous sibling of
+ * `Gc.markIncremental` (`operators/Gc.scala`), completing the trilogy:
+ * full batch mark, state-carried incremental mark, and THIS — the live
+ * view of the committed-unreferenced set `U` maintained from the store's
+ * own lifecycle events (object uploaded, object referenced by a landed
+ * commit or a late link), so a sweep never waits for a listing walk at
+ * all. Same algebra as the batch pair: membership is `created ∧ ¬
+ * referenced`, staging protection stays OUT of the state and is applied
+ * by the sweep consumer (transient protection folded into durable state
+ * would hide objects that get unstaged later — the markIncremental
+ * design note).
+ *
+ * Mechanics: `flatMapGroupsWithState` keyed by address holds two
+ * booleans; a state CHANGE in membership emits (address, is_candidate) —
+ * an upload emits true, a reference retracts with false, duplicates
+ * (at-least-once delivery) emit nothing. Referenced addresses keep a
+ * tombstone: references only accumulate (expiry is the batch GC's job),
+ * but a REPLAYED `created` event must not resurrect a referenced address.
+ * Emissions per address therefore strictly alternate true/false starting
+ * at true, so the current set needs no ordering column: an address is a
+ * candidate iff its change count is ODD ([[currentCandidates]]).
+ *
+ * Scale: state shards by address hash across executors; candidate state
+ * is bounded by the garbage backlog (sweep cadence), and referenced
+ * tombstones by the reference rate — production expires tombstones past
+ * the delivery-replay horizon via `GroupStateTimeout` (the dial is
+ * there; the spec runs NoTimeout for determinism).
+ */
+object StreamGcIndex {
+
+  /** Store lifecycle event: `kind` ∈ created | referenced. */
+  final case class AddrEvent(address: String, kind: String)
+  /** Membership change of the committed-unreferenced set U. */
+  final case class CandidateChange(address: String, is_candidate: Boolean)
+  /** Per-address lifecycle bits. */
+  final case class AddrState(created: Boolean, referenced: Boolean)
+
+  /** The change stream (Append): one row per membership FLIP of U. */
+  def candidateChanges(events: Dataset[AddrEvent]): Dataset[CandidateChange] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.address)
+      .flatMapGroupsWithState[AddrState, CandidateChange](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (addr, rows, state: GroupState[AddrState]) =>
+          val prev = state.getOption.getOrElse(AddrState(false, false))
+          val kinds = rows.map(_.kind).toSet
+          val next = AddrState(
+            prev.created || kinds.contains("created"),
+            prev.referenced || kinds.contains("referenced"))
+          state.update(next)
+          def member(s: AddrState) = s.created && !s.referenced
+          if (member(prev) == member(next)) Iterator.empty
+          else Iterator(CandidateChange(addr, member(next)))
+      }
+  }
+
+  /** Fold a complete change table into the CURRENT candidate set. Flips
+    * strictly alternate (true first), so membership ⟺ odd change count —
+    * no per-row ordering needed, any sink that keeps all rows works. */
+  def currentCandidates(changes: DataFrame): DataFrame =
+    changes.groupBy("address").agg(count(lit(1)).as("flips"))
+      .where(col("flips") % 2 === 1)
+      .select("address")
+}

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.streaming.StreamGcIndex
+
+/** The streaming GC candidate tracker must agree with the batch mark
+  * algebra on the same lifecycle events: the folded change stream equals
+  * `Gc.mark(created, referenced, ∅)`, late links RETRACT candidates
+  * across micro-batches, and duplicate deliveries emit nothing. */
+class StreamGcIndexSpec extends SparkSpec {
+
+  test("folded candidate changes equal the batch mark across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(String, String)]
+    val in = mem.toDS().toDF("address", "kind")
+      .as[StreamGcIndex.AddrEvent]
+    val q = StreamGcIndex.candidateChanges(in).writeStream
+      .outputMode("append").format("memory").queryName("gc_changes").start()
+    try {
+      // batch 1: a1..a6 uploaded; a3 referenced by a commit in the same
+      // batch; a7 uploaded AND referenced at once (never a candidate)
+      mem.addData(
+        (1 to 6).map(i => (s"a$i", "created")) ++
+          Seq(("a3", "referenced"), ("a7", "created"), ("a7", "referenced")): _*)
+      q.processAllAvailable()
+      // batch 2: a1 late-linked (retraction!); a8 uploaded; a2 created
+      // REPLAYED (duplicate — no emission); a3 referenced again (dup)
+      mem.addData(("a1", "referenced"), ("a8", "created"),
+        ("a2", "created"), ("a3", "referenced"))
+      q.processAllAvailable()
+      // batch 3: a9 uploaded; a5 referenced; a replayed created for the
+      // long-referenced a1 must NOT resurrect it (tombstone)
+      mem.addData(("a9", "created"), ("a5", "referenced"), ("a1", "created"))
+      q.processAllAvailable()
+
+      val changes = spark.table("gc_changes")
+      val got = StreamGcIndex.currentCandidates(changes)
+        .collect().map(_.getString(0)).sorted.toSeq
+
+      // batch algebra over the SAME events
+      val events = Seq(
+        "a1" -> "created", "a2" -> "created", "a3" -> "created",
+        "a4" -> "created", "a5" -> "created", "a6" -> "created",
+        "a3" -> "referenced", "a7" -> "created", "a7" -> "referenced",
+        "a1" -> "referenced", "a8" -> "created", "a2" -> "created",
+        "a3" -> "referenced", "a9" -> "created", "a5" -> "referenced",
+        "a1" -> "created").toDF("address", "kind")
+      val expected = graft.operators.Gc.mark(
+          events.where(col("kind") === "created").select("address"),
+          events.where(col("kind") === "referenced").select("address"),
+          spark.emptyDataFrame.withColumn("address", lit("")).limit(0)
+            .select("address"))
+        .distinct().collect().map(_.getString(0)).sorted.toSeq
+      assert(got === expected)
+      assert(got === Seq("a2", "a4", "a6", "a8", "a9"))
+
+      // a1's history is the retraction shape: true then false, nothing more
+      val a1 = changes.where(col("address") === "a1")
+        .select("is_candidate").collect().map(_.getBoolean(0)).toSeq
+      assert(a1.count(identity) === 1 && a1.count(!_) === 1,
+        s"a1 must flip exactly true->false, got $a1")
+    } finally q.stop()
+  }
+}
