@@ -859,6 +859,70 @@ object VectorQueries {
                CAST(n_found AS DOUBLE) / CAST(n_true AS DOUBLE) AS recall
         FROM nt CROSS JOIN nf""")),
 
+    // IVF index APPEND — the incremental-indexing shape every serving
+    // stack runs between reclusters: new vectors (odd ids, "today's
+    // batch") are assigned to the FROZEN centroids trained on the old
+    // half (even ids — the 250-step sample is even by construction), and
+    // the report carries what the index maintainer decides on: per-list
+    // old/new occupancy, growth in integer ppm, and the needs_split flag
+    // (a list that more than 1.5×'d since training has drifted — the
+    // recluster trigger). Assignment is the same broadcast-centroid
+    // crossJoin + per-vector min window as emb_ivf_ann; one list-keyed
+    // aggregate ends the plan. At 100 TB only the NEW batch needs
+    // assigning — the old occupancy is the persisted index's metadata —
+    // but assigning both sides here keeps the oracle self-contained.
+    "emb_ivf_append" -> (((s: SparkSession, d: String) => {
+      val emb = Fixtures.embeddings(s, d)
+        .select(col("vec_id"), quantize(col("embedding")).as("q"))
+      val cent = emb.where(col("vec_id") % 250 === 0)
+        .select(col("vec_id").as("cid"), col("q").as("cq"))
+      val dist = emb.crossJoin(broadcast(cent))
+        .withColumn("dist",
+          aggregate(zip_with(col("q"), col("cq"), (x, y) => (x - y) * (x - y)),
+            lit(0L), (acc, v) => acc + v))
+      val w = Window.partitionBy("vec_id").orderBy(col("dist").asc, col("cid").asc)
+      val assigned = dist.withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1).select(col("vec_id"), col("cid"))
+      assigned.groupBy("cid")
+        .agg(
+          sum(when(col("vec_id") % 2 === 0, 1L).otherwise(0L)).as("old_n"),
+          sum(when(col("vec_id") % 2 === 1, 1L).otherwise(0L)).as("new_n"))
+        .withColumn("growth_ppm",
+          expr("1000000 * new_n div greatest(old_n, 1)").cast("long"))
+        .withColumn("needs_split",
+          (col("growth_ppm") > 1500000L).cast("long"))
+        .select(col("cid"), col("old_n").cast("long").as("old_n"),
+          col("new_n").cast("long").as("new_n"), col("growth_ppm"),
+          col("needs_split"))
+        .orderBy("cid")
+    }),
+      Some(s"""
+        WITH q AS (SELECT vec_id, $qvecSql AS qv FROM embeddings),
+        cent AS (SELECT vec_id AS cid, qv AS cq FROM q WHERE vec_id % 250 = 0),
+        d AS (
+          SELECT q.vec_id, cid,
+                 CAST(list_sum(list_transform(generate_series(1, len(qv)),
+                   i -> (qv[i]-cq[i])*(qv[i]-cq[i]))) AS BIGINT) AS dist
+          FROM q CROSS JOIN cent),
+        assign AS (
+          SELECT vec_id, cid FROM (
+            SELECT vec_id, cid,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+            FROM d) WHERE rn = 1),
+        g AS (
+          SELECT cid,
+                 CAST(sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS old_n,
+                 CAST(sum(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS new_n
+          FROM assign GROUP BY cid)
+        SELECT cid, old_n, new_n,
+               CAST(1000000 * new_n // greatest(old_n, 1) AS BIGINT)
+                 AS growth_ppm,
+               CAST(CASE WHEN 1000000 * new_n // greatest(old_n, 1) > 1500000
+                 THEN 1 ELSE 0 END AS BIGINT) AS needs_split
+        FROM g ORDER BY cid""")),
+
     "emb_ivf_recall" -> (((s: SparkSession, d: String) => {
       val emb = Fixtures.embeddings(s, d)
         .select(col("vec_id"), quantize(col("embedding")).as("q"))
