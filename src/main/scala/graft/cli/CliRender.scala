@@ -155,6 +155,49 @@ object CliRender {
   def renderBranchList(branches: Seq[(String, String)]): String =
     branches.sortBy(_._1).map { case (n, id) => s"$n\t$id\n" }.mkString
 
+  /** `lakectl commit` success (cmd/commit.go + lakectl_commit.golden):
+    * branch line, completion line, then the ID/Message/Timestamp/Parents
+    * block. */
+  def renderCommit(repo: String, branch: String, c: CommitInfo): String =
+    s"Branch: lakefs://$repo/$branch\n" +
+      s"""Commit for branch "$branch" completed.""" + "\n\n" +
+      s"ID: ${c.commitId}\n" +
+      s"Message: ${c.message}\n" +
+      s"Timestamp: ${fmtDate(c.creationDate)}\n" +
+      s"Parents: ${c.parents.mkString(", ")}\n\n"
+
+  /** `lakectl commit` with a clean worktree
+    * (lakectl_commit_no_change.golden): the 400 error shape. */
+  def renderCommitNoChange(repo: String, branch: String): String =
+    s"Branch: lakefs://$repo/$branch\ncommit: no changes\n400 Bad Request\n"
+
+  /** `lakectl branch create` (cmd/branch.go +
+    * lakectl_branch_create.golden). */
+  def renderBranchCreate(repo: String, sourceBranch: String,
+      destBranch: String, commitId: String): String =
+    s"Source ref: lakefs://$repo/$sourceBranch\n" +
+      s"created branch '$destBranch' $commitId\n"
+
+  /** `lakectl tag create` (cmd/tag.go + lakectl_tag_create.golden). */
+  def renderTagCreate(tag: String, commitId: String): String =
+    s"Created tag '$tag' ({$commitId $tag})\n"
+
+  /** `lakectl tag list` (lakectl_tag_list.golden): name TAB commit. */
+  def renderTagList(tags: Seq[(String, String)]): String =
+    tags.sortBy(_._1).map { case (n, id) => s"$n\t$id\n" }.mkString
+
+  /** `lakectl fs stat` (cmd/fs_stat.go + lakectl_stat_default.golden). */
+  def renderStat(path: String, mtimeEpochSec: Long, sizeBytes: Long,
+      physicalAddress: String, checksum: String,
+      contentType: String = "application/octet-stream"): String =
+    s"Path: $path\n" +
+      s"Modified Time: ${fmtDate(mtimeEpochSec)}\n" +
+      s"Size: $sizeBytes bytes\n" +
+      s"Human Size: ${humanBytes(sizeBytes)}\n" +
+      s"Physical Address: $physicalAddress\n" +
+      s"Checksum: $checksum\n" +
+      s"Content-Type: $contentType\n"
+
   /** One `lakectl fs ls` line (fs_ls.go:73 + lakectl_fs_ls_1_file.golden):
     * pathType ljust 12, then for objects date ljust 29 + size ljust 12,
     * for prefixes the blank gutter, then the path. */

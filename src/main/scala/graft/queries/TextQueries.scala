@@ -2579,6 +2579,43 @@ object TextQueries {
                (1000000 * ss) // (n_tokens * n_tokens) AS hhi_ppm
         FROM agg ORDER BY source""")),
 
+    // One-pass MERGEABLE quantile sketch (Greenwald-Khanna via Spark's
+    // percentile_approx) — the 100 TB shape beside td_quantile_2pass's
+    // exact two-pass: partial sketch states merge map-side, so per-source
+    // length percentiles cost one aggregation however many executors
+    // feed it. Approximate values differ across engines by design, so the
+    // row is ORACLE-CHECKABLE the vc_approx_distinct way: it emits exact
+    // doc counts plus booleans asserting the sketch value's RANK landed
+    // within ±5% of its target (GK at accuracy 100 guarantees ±1%). The
+    // rank check is TIE-TOLERANT — with heavily tied lengths the value's
+    // rank is an interval [#(<v)+1, #(≤v)], and the audit asks that the
+    // interval INTERSECT the band, not that a point land in it. The
+    // oracle emits literal TRUE, so a drifting estimator hash-mismatches.
+    "td_quantile_sketch" -> (((s: SparkSession, d: String) => {
+      val docs = Fixtures.documents(s, d)
+        .select(col("source"), length(col("text")).cast("long").as("len"))
+      val sk = docs.groupBy("source").agg(
+        percentile_approx(col("len"), lit(0.5), lit(100)).as("p50"),
+        percentile_approx(col("len"), lit(0.9), lit(100)).as("p90"))
+      docs.join(broadcast(sk), "source")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("len") < col("p50"), 1L).otherwise(0L)).as("lt50"),
+          sum(when(col("len") <= col("p50"), 1L).otherwise(0L)).as("le50"),
+          sum(when(col("len") < col("p90"), 1L).otherwise(0L)).as("lt90"),
+          sum(when(col("len") <= col("p90"), 1L).otherwise(0L)).as("le90"))
+        .select(col("source"), col("n").cast("long").as("n_docs"),
+          (col("lt50") * 100 <= col("n") * 55 &&
+            col("le50") * 100 >= col("n") * 45).as("p50_rank_ok"),
+          (col("lt90") * 100 <= col("n") * 95 &&
+            col("le90") * 100 >= col("n") * 85).as("p90_rank_ok"))
+        .orderBy("source")
+    }),
+      Some("""
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               TRUE AS p50_rank_ok, TRUE AS p90_rank_ok
+        FROM documents GROUP BY source ORDER BY source""")),
+
     // Fill-in-the-middle transform (the infilling-objective prep pass for
     // code/text models — Bavarian et al. 2022, "Efficient Training of
     // Language Models to Fill in the Middle"): each document splits at two

@@ -150,4 +150,46 @@ class GoldenSpec extends SparkSpec {
     val withPrefix = CliRender.renderFsLsLine("common_prefix", 0L, 0L, "aaa/fff/")
     check("lakectl_fs_ls", rows + withPrefix)
   }
+
+  test("lakectl_commit: the completion block, and the no-change 400 shape") {
+    import spark.implicits._
+    val eng = repo
+    eng.createBranch("golden-commit", "main")
+    eng.stage("golden-commit", Seq(("zzz/new", "z1")).toDF("key", "identity"))
+    val c = eng.commit("golden-commit", "tester", "golden commit")
+    val noChange =
+      try { eng.commit("golden-commit", "tester", "nothing"); "" }
+      catch { case _: Exception =>
+        CliRender.renderCommitNoChange("repo1", "golden-commit") }
+    assert(noChange.nonEmpty, "a clean worktree must refuse to commit")
+    check("lakectl_commit",
+      CliRender.renderCommit("repo1", "golden-commit", c) + noChange)
+  }
+
+  test("lakectl_branch_tag: branch create, tag create, tag list") {
+    val eng = repo
+    eng.createBranch("golden-branch", "main")
+    val head = eng.resolveCommit("golden-branch").commitId
+    eng.createTag("golden-v1", head)
+    eng.createTag("golden-v2", head)
+    val doc =
+      CliRender.renderBranchCreate("repo1", "main", "golden-branch", head) +
+      CliRender.renderTagCreate("golden-v1", head) +
+      CliRender.renderTagList(eng.refs.tags.toSeq
+        .filter(_._1.startsWith("golden-")))
+    check("lakectl_branch_tag", doc)
+  }
+
+  test("lakectl_stat: the fs stat block over a real entry") {
+    val eng = repo
+    val row = eng.get("main", "mmm").get
+    val size = row.getLong(row.fieldIndex("size_bytes"))
+    val checksum = row.getString(row.fieldIndex("identity"))
+    val mtime = eng.logWithPaths("main", Seq("mmm")).headOption
+      .getOrElse(eng.resolveCommit("main")).creationDate
+    check("lakectl_stat", CliRender.renderStat(
+      "mmm", mtime, size,
+      physicalAddress = s"local://repo1/data/$checksum",
+      checksum = checksum))
+  }
 }

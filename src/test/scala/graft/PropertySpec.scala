@@ -248,4 +248,43 @@ class PropertySpec extends SparkSpec {
       "metarange id must not depend on input partitioning")
     assert(metas.map(_._2.map(_.rangeId)).distinct.size === 1)
   }
+
+  test("incremental GC mark law: chained increments equal the full recompute " +
+      "over random epoch histories") {
+    import spark.implicits._
+    // random histories under the two real invariants — addresses are
+    // never reused (fresh namespace per epoch) and references only
+    // accumulate — with per-epoch reference sets drawn from EVERYTHING
+    // visible (late links included) and independent transient staging
+    def subsetGen(xs: Seq[String]): Gen[List[String]] =
+      Gen.sequence[List[Boolean], Boolean](xs.map(_ => Gen.oneOf(true, false)))
+        .map(bs => xs.zip(bs).collect { case (x, true) => x }.toList)
+    samples(Gen.chooseNum(5, 25), 6).zipWithIndex.foreach { case (sz, c) =>
+      var seedCtr = 1000L * (c + 1)
+      def sampleSubset(xs: Seq[String]): Seq[String] = {
+        seedCtr += 1
+        subsetGen(xs).apply(Gen.Parameters.default, Seed(seedCtr))
+          .getOrElse(Seq.empty)
+      }
+      var all = Seq.empty[String]
+      var refs = Seq.empty[String]
+      var u = Seq.empty[String].toDF("address")
+      (1 to 3).foreach { e =>
+        val fresh = (1 to sz).map(i => s"c${c}e${e}_$i")
+        all = all ++ fresh
+        val newRefs = sampleSubset(all)
+        refs = refs ++ newRefs
+        val staged = sampleSubset(all)
+        val (uNext, incr) = graft.operators.Gc.markIncremental(
+          u, fresh.toDF("address"), newRefs.toDF("address"),
+          staged.toDF("address"))
+        val full = graft.operators.Gc.mark(
+          all.toDF("address"), refs.toDF("address"), staged.toDF("address"))
+        assert(incr.collect().map(_.getString(0)).sorted.toSeq ===
+          full.distinct().collect().map(_.getString(0)).sorted.toSeq,
+          s"case $c epoch $e: increment diverged from full recompute")
+        u = uNext.collect().map(_.getString(0)).toSeq.toDF("address")
+      }
+    }
+  }
 }
