@@ -991,6 +991,91 @@ object TextQueries {
         SELECT diff_type, count(*) AS n_docs, CAST(sum(delta) AS BIGINT) AS token_delta
         FROM dd WHERE diff_type IS NOT NULL GROUP BY 1 ORDER BY 1""")),
 
+    // Release-delta dedup — the composition the whole engine exists for:
+    // td_release_diff's identity comparison CLASSIFIES the new release
+    // into delta (added/changed) vs carried (unchanged since the curated
+    // previous release), then only the DELTA goes through the shared
+    // MinHash-LSH band index against the carried corpus — "dedup what
+    // changed, against what you already kept", the per-release increment
+    // of td_incremental_dedup with the increment coming from the diff
+    // operator instead of an id threshold. Planted duplicates (a carried
+    // doc re-uploaded under a fresh id, offset +1000000 — the re-ingest
+    // every crawl refresh produces) make the flag set provably non-empty.
+    // Scale: identity classify is one key equi-join; candidates are band
+    // equi-joins (delta side × carried side); never all-pairs.
+    "td_release_dedup" -> (((s: SparkSession, d: String) => {
+      val docs = Fixtures.documents(s, d).select(col("doc_id"), col("text"))
+        .where(col("text").isNotNull)
+      val relA = docs.where(col("doc_id") % 7 =!= 0)
+        .select(col("doc_id"), sha2(col("text"), 256).as("id_a"))
+      val relB = docs.where(col("doc_id") % 5 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 11 === 0, concat(col("text"), lit(" [rev2]")))
+            .otherwise(col("text")).as("text"))
+      val classed = relB.join(relA, Seq("doc_id"), "left")
+        .withColumn("is_delta",
+          (col("id_a").isNull || col("id_a") =!= sha2(col("text"), 256))
+            .cast("int"))
+        .select("doc_id", "text", "is_delta")
+      val planted = classed
+        .where(col("is_delta") === 0 && col("doc_id") % 12 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"),
+          lit(1).as("is_delta"))
+      val corpus = classed.unionByName(planted)
+      val sigs = minhashSigs(corpus.select("doc_id", "text"))
+      val bands = minhashBands(sigs)
+        .join(corpus.select("doc_id", "is_delta"), "doc_id")
+      val cands = bands.where(col("is_delta") === 1).as("n")
+        .join(bands.where(col("is_delta") === 0).as("o"),
+          col("n.band") === col("o.band") && col("n.sig") === col("o.sig"))
+        .select(col("o.doc_id").as("doc_a"), col("n.doc_id").as("doc_b"))
+        .distinct()
+      estFromCands(cands, sigs).where(col("n_eq") >= 8)
+        .groupBy(col("doc_b").as("doc_id"))
+        .agg(min("doc_a").as("carried_match"),
+          max("n_eq").cast("long").as("best_n_eq"),
+          countDistinct("doc_a").cast("long").as("n_matches"))
+        .orderBy("doc_id")
+    }),
+      Some(s"""$docsSql,
+        a AS (
+          SELECT doc_id, sha256(text) AS id_a
+          FROM docs WHERE text IS NOT NULL AND doc_id % 7 <> 0),
+        b0 AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 11 = 0 THEN text || ' [rev2]' ELSE text END
+                   AS text
+          FROM docs WHERE text IS NOT NULL AND doc_id % 5 <> 0),
+        roles0 AS (
+          SELECT b0.doc_id, b0.text,
+                 CASE WHEN a.id_a IS NULL OR a.id_a <> sha256(b0.text)
+                      THEN 1 ELSE 0 END AS is_delta
+          FROM b0 LEFT JOIN a USING (doc_id)),
+        plantedrel AS (
+          SELECT doc_id + 1000000 AS doc_id, text, 1 AS is_delta
+          FROM roles0 WHERE is_delta = 0 AND doc_id % 12 = 0),
+        corpus AS (SELECT * FROM roles0 UNION ALL SELECT * FROM plantedrel),
+        docsp AS (
+          SELECT doc_id, text,
+                 regexp_split_to_array(trim(text), '\\s+') AS toks
+          FROM corpus)
+        ${shinglesSqlFrom("docsp")} $minhashCtesSql,
+        r AS (SELECT doc_id, is_delta FROM corpus),
+        pairs AS (
+          SELECT CASE WHEN ra.is_delta = 1 THEN est.doc_a ELSE est.doc_b END
+                   AS subj,
+                 CASE WHEN ra.is_delta = 1 THEN est.doc_b ELSE est.doc_a END
+                   AS carried,
+                 n_eq
+          FROM est
+          JOIN r ra ON ra.doc_id = est.doc_a
+          JOIN r rb ON rb.doc_id = est.doc_b
+          WHERE ra.is_delta <> rb.is_delta AND n_eq >= 8)
+        SELECT subj AS doc_id, min(carried) AS carried_match,
+               CAST(max(n_eq) AS BIGINT) AS best_n_eq,
+               CAST(count(DISTINCT carried) AS BIGINT) AS n_matches
+        FROM pairs GROUP BY subj ORDER BY doc_id""")),
+
     // Cross-document sequence packing: concatenate the corpus in doc_id
     // order and split at fixed 256-token boundaries — the
     // concat-then-chunk shape LLM pretraining uses to fill context

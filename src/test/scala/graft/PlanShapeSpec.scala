@@ -119,7 +119,10 @@ class PlanShapeSpec extends SparkSpec {
     "td_fim", "ev_sequential", "mm_vad",
     // incremental GC mark: union + two left-anti equi-joins, right sides
     // broadcast-sized (new commits' entries + staging) on a daily cadence
-    "vc_gc_incremental")
+    "vc_gc_incremental",
+    // release-delta dedup: identity classify is a key equi-join, then the
+    // delta x carried candidates ride band equi-joins — never all-pairs
+    "td_release_dedup")
 
   test("LSH scale paths contain no all-pairs join") {
     scalePaths.foreach { name =>
