@@ -153,6 +153,52 @@ object Multimodal {
         when(col("n_windows") > 0,
           (col("n_windows") - 1) * hop + win).otherwise(0L))
 
+  /**
+   * VAD frame grid — ONE derivation for the batch `mm_vad` row and the
+   * streaming monitor ([[graft.streaming.StreamVad]]), the armOf pattern:
+   * the window geometry of [[planAudioWindows]] (win/hop over character
+   * semantics), per-window mean-sample energy (the stub a PCM decoder
+   * replaces), and the raw activity flag. Input: (media_id, `textCol`).
+   * Output: (media_id, j, energy, active) — shuffle-free map-side work.
+   */
+  def vadFrames(media: DataFrame, textCol: String,
+      win: Int = 40, hop: Int = 16, threshold: Long = 100L): DataFrame =
+    media
+      .withColumn("nw", expr(
+        s"CASE WHEN length($textCol) >= $win THEN (length($textCol) - $win) div $hop + 1 ELSE 0 END"))
+      .where(col("nw") > 0)
+      .select(col("media_id"),
+        posexplode(expr(s"transform(sequence(0, nw - 1)," +
+          s" j -> substring($textCol, j * $hop + 1, $win))")).as(Seq("j", "w")))
+      .withColumn("energy", expr(
+        s"aggregate(transform(sequence(1, $win)," +
+          s" i -> CAST(ascii(substring(w, i, 1)) AS BIGINT)), 0L, (a, x) -> a + x)" +
+          s" div $win"))
+      .withColumn("active", when(col("energy") >= threshold, 1).otherwise(0))
+      .select("media_id", "j", "energy", "active")
+
+  /** Batch fold of [[vadFrames]] output into hangover-smoothed speech
+    * segments: ±1-window dilation, rising-edge segment numbering, per-
+    * segment span/occupancy/energy. Three stacked windows, ONE shuffle. */
+  def vadSegments(frames: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("media_id").orderBy("j")
+    frames
+      .withColumn("voiced", greatest(col("active"),
+        coalesce(lag("active", 1).over(w), lit(0)),
+        coalesce(lead("active", 1).over(w), lit(0))))
+      .withColumn("is_start", when(col("voiced") === 1 &&
+        coalesce(lag("voiced", 1).over(w), lit(0)) === 0, 1).otherwise(0))
+      .withColumn("seg", sum("is_start").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .where(col("voiced") === 1)
+      .groupBy(col("media_id"), col("seg").cast("long").as("seg_idx"))
+      .agg(min("j").cast("long").as("start_win"),
+        max("j").cast("long").as("end_win"),
+        count(lit(1)).cast("long").as("n_windows"),
+        sum("energy").cast("long").as("sum_energy"))
+  }
+
   /** Feature summary per media type (the "embed then aggregate" shape). */
   def featureStats(decoded: DataFrame): DataFrame =
     decoded.groupBy("media_type")

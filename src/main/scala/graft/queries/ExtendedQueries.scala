@@ -756,36 +756,12 @@ object ExtendedQueries {
     // through. The stub energy is the same mean-sample stand-in as
     // mm_energy_segments; a PCM decoder slots in without touching the plan.
     "mm_vad" -> (((s: SparkSession, d: String) => {
-      import org.apache.spark.sql.expressions.Window
+      // frame grid + segment fold are ONE shared derivation with the
+      // streaming monitor (functions/Multimodal vadFrames/vadSegments,
+      // streaming/StreamVad) — batch and stream cannot disagree
       val media = Fixtures.documents(s, d).where(col("doc_id") % 4 === 1)
         .select(col("doc_id").as("media_id"), col("text"))
-      val wins = media
-        .withColumn("nw", expr(
-          "CASE WHEN length(text) >= 40 THEN (length(text) - 40) div 16 + 1 ELSE 0 END"))
-        .where(col("nw") > 0)
-        .select(col("media_id"),
-          posexplode(expr("transform(sequence(0, nw - 1)," +
-            " j -> substring(text, j * 16 + 1, 40))")).as(Seq("j", "w")))
-        .withColumn("energy", expr(
-          "aggregate(transform(sequence(1, 40)," +
-            " i -> CAST(ascii(substring(w, i, 1)) AS BIGINT)), 0L, (a, x) -> a + x)" +
-            " div 40"))
-        .withColumn("active", when(col("energy") >= 100, 1).otherwise(0))
-      val w = Window.partitionBy("media_id").orderBy("j")
-      val voiced = wins
-        .withColumn("voiced", greatest(col("active"),
-          coalesce(lag("active", 1).over(w), lit(0)),
-          coalesce(lead("active", 1).over(w), lit(0))))
-        .withColumn("is_start", when(col("voiced") === 1 &&
-          coalesce(lag("voiced", 1).over(w), lit(0)) === 0, 1).otherwise(0))
-        .withColumn("seg", sum("is_start").over(
-          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      voiced.where(col("voiced") === 1)
-        .groupBy(col("media_id"), col("seg").cast("long").as("seg_idx"))
-        .agg(min("j").cast("long").as("start_win"),
-          max("j").cast("long").as("end_win"),
-          count(lit(1)).cast("long").as("n_windows"),
-          sum("energy").cast("long").as("sum_energy"))
+      Multimodal.vadSegments(Multimodal.vadFrames(media, "text"))
         .orderBy("media_id", "seg_idx")
     }),
       Some("""

@@ -1,0 +1,103 @@
+package graft.streaming
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/**
+ * Streaming voice-activity segmenter — the live sibling of the batch
+ * `mm_vad` query: audio frames arrive as micro-batches (a capture
+ * pipeline emits them continuously) and speech segments are emitted the
+ * moment they CLOSE, instead of waiting for the clip to land whole. The
+ * frame derivation (window grid, stub energy, threshold) is
+ * [[graft.functions.Multimodal.vadFrames]] — ONE definition with the
+ * batch row, so the two can never disagree on what counts as speech.
+ *
+ * Semantics are the batch fold's exactly: a frame is VOICED if it or a
+ * ±1 neighbor is active (the hangover dilation), and consecutive voiced
+ * frames form a segment. The lookahead in that definition means frame j
+ * finalizes when frame j+1 arrives — the emitter runs ONE frame behind
+ * capture, the minimum latency the dilation permits. A `flush` event
+ * finalizes the trailing frame and closes any open segment (production
+ * wires an event-time timeout to the same handler; the spec sends flush
+ * explicitly for determinism).
+ *
+ * Ordering contract: frames of one media arrive in `j` order ACROSS
+ * micro-batches (within a batch any order — the handler sorts). That is
+ * the capture pipeline's natural delivery; a re-sequencing buffer, if
+ * the transport reorders, sits upstream of this operator.
+ *
+ * Scale: state per media is O(1) — the last frame, one activity bit, the
+ * open segment accumulator, and a segment counter — sharded by media_id
+ * across executors; emitted rows are segments, a duration-bounded
+ * fraction of frames.
+ */
+object StreamVad {
+
+  /** One frame (from [[graft.functions.Multimodal.vadFrames]]), or the
+    * end-of-media flush when `flush` is true (j/energy/active ignored). */
+  final case class VadFrame(media_id: Long, j: Long, energy: Long,
+      active: Int, flush: Boolean)
+  /** A closed speech segment — the batch row's exact shape. */
+  final case class VadSegment(media_id: Long, seg_idx: Long, start_win: Long,
+      end_win: Long, n_windows: Long, sum_energy: Long)
+  /** O(1) per-media state. */
+  final case class VadState(
+      prev: Option[(Long, Long, Int)], // last arrived (j, energy, active)
+      prevPrevActive: Int,             // activity of the frame before it
+      open: Option[(Long, Long, Long)],// (start_j, n_windows, sum_energy)
+      segCount: Long)
+
+  /** The segment stream (Append): segments emit as they close. */
+  def segments(frames: Dataset[VadFrame]): Dataset[VadSegment] = {
+    import frames.sparkSession.implicits._
+    frames.groupByKey(_.media_id)
+      .flatMapGroupsWithState[VadState, VadSegment](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (media, rows, state: GroupState[VadState]) =>
+          var st = state.getOption.getOrElse(VadState(None, 0, None, 0L))
+          val out = scala.collection.mutable.ArrayBuffer[VadSegment]()
+
+          // finalize frame (j,e,a) once its successor's activity is known
+          def finalizeFrame(j: Long, e: Long, a: Int, aPrev: Int,
+              aNext: Int): Unit = {
+            val voiced = math.max(math.max(aPrev, a), aNext) == 1
+            (voiced, st.open) match {
+              case (true, Some((s0, n, se))) =>
+                st = st.copy(open = Some((s0, n + 1, se + e)))
+              case (true, None) =>
+                st = st.copy(open = Some((j, 1L, e)), segCount = st.segCount + 1)
+              case (false, Some((s0, n, se))) =>
+                out += VadSegment(media, st.segCount, s0, s0 + n - 1, n, se)
+                st = st.copy(open = None)
+              case (false, None) => ()
+            }
+          }
+          def closeAll(): Unit = {
+            st.prev.foreach { case (pj, pe, pa) =>
+              finalizeFrame(pj, pe, pa, st.prevPrevActive, 0)
+            }
+            st.open.foreach { case (s0, n, se) =>
+              out += VadSegment(media, st.segCount, s0, s0 + n - 1, n, se)
+            }
+            st = VadState(None, 0, None, st.segCount)
+          }
+
+          // within a batch, frames sort by j; flush applies after them
+          val (flushes, arrivals) = rows.toSeq.partition(_.flush)
+          arrivals.sortBy(_.j).foreach { f =>
+            st.prev match {
+              case Some((pj, pe, pa)) =>
+                finalizeFrame(pj, pe, pa, st.prevPrevActive, f.active)
+                st = st.copy(prev = Some((f.j, f.energy, f.active)),
+                  prevPrevActive = pa)
+              case None =>
+                st = st.copy(prev = Some((f.j, f.energy, f.active)),
+                  prevPrevActive = 0)
+            }
+          }
+          if (flushes.nonEmpty) closeAll()
+          state.update(st)
+          out.iterator
+      }
+  }
+}

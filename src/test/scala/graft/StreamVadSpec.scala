@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.Multimodal
+import graft.streaming.StreamVad
+
+/** The streaming VAD segmenter must emit exactly the batch fold's
+  * segments on the same frames (shared vadFrames derivation), with media
+  * split across micro-batches mid-clip. */
+class StreamVadSpec extends SparkSpec {
+
+  test("streamed segments equal the batch fold across mid-clip batch splits") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val media = graft.fixtures.Fixtures.documents(spark, "/root/testdata/sf0.001")
+      .where(col("doc_id") % 4 === 1).limit(12)
+      .select(col("doc_id").as("media_id"), col("text"))
+    val frames = Multimodal.vadFrames(media, "text")
+      .select(col("media_id").cast("long"), col("j").cast("long"),
+        col("energy"), col("active"))
+      .collect()
+      .map(r => StreamVad.VadFrame(r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getInt(3), flush = false))
+      .sortBy(f => (f.media_id, f.j))
+    assert(frames.nonEmpty)
+
+    // three batches cut mid-media: per-media j order is preserved, but a
+    // clip's frames straddle batch boundaries (the capture shape)
+    val cut1 = frames.length / 3
+    val cut2 = 2 * frames.length / 3
+    val flushes = frames.map(_.media_id).distinct
+      .map(m => StreamVad.VadFrame(m, -1L, 0L, 0, flush = true))
+
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[StreamVad.VadFrame]
+    val q = StreamVad.segments(mem.toDS()).writeStream
+      .outputMode("append").format("memory").queryName("vad_out").start()
+    try {
+      mem.addData(frames.slice(0, cut1).toIndexedSeq: _*)
+      q.processAllAvailable()
+      mem.addData(frames.slice(cut1, cut2).toIndexedSeq: _*)
+      q.processAllAvailable()
+      mem.addData((frames.slice(cut2, frames.length) ++ flushes).toIndexedSeq: _*)
+      q.processAllAvailable()
+
+      val got = spark.table("vad_out")
+        .select("media_id", "seg_idx", "start_win", "end_win", "n_windows",
+          "sum_energy")
+        .collect().map(_.toSeq).sortBy(_.toString)
+      val want = Multimodal.vadSegments(
+          Multimodal.vadFrames(media, "text"))
+        .select(col("media_id").cast("long"), col("seg_idx"),
+          col("start_win"), col("end_win"), col("n_windows"),
+          col("sum_energy"))
+        .collect().map(_.toSeq).sortBy(_.toString)
+      assert(want.nonEmpty, "the fixture clips must contain speech segments")
+      assert(got.toSeq === want.toSeq)
+    } finally q.stop()
+  }
+}
