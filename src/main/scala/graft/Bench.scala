@@ -384,6 +384,11 @@ object Bench {
           addStep("list", "page", math.max(0.0, tPage - tRollup))
         }
 
+        // (import is measured in trace.growth — import_1x/10x/100x, the
+        // O(imported) flatness claim — not as a headline pair: at bench SF
+        // the fixed chunk-write pipeline cost dominates both sides and the
+        // pair would measure job constants, not the zero-copy contract)
+
         // 7. tiered twins (the pyramid tier, reference envelope 1 GiB —
         // `pkg/config/defaults.go:89-93`): the SAME 20 point gets and the
         // SAME pruned diff as above, but with the range tier enabled and
@@ -566,6 +571,30 @@ object Bench {
         addStep("growth", "gc_incr_1x", clock { incrMark() })
         addStep("growth", "gc_incr_10x", clock { incrMark() })
         addStep("growth", "gc_incr_100x", clock { incrMark() })
+        // import growth: the SAME absolute import overlaid on repos 1x/
+        // 10x/100x — O(imported) means the cost tracks the import, not
+        // the repo it lands in (carried ranges are manifest references)
+        val impG = delta.withColumn("key", concat(lit("I/"), col("key")))
+          .withColumn("identity", identExpr)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        impG.count()
+        def importAt(st: SnapshotStore, m: String): Unit = {
+          val (meta, _) = st.importOverlay(m, impG, Seq("I/"))
+          st.readManifest(meta).map(_.count).sum
+          ()
+        }
+        // warm the plan shape untimed under a DIFFERENT prefix — a same-
+        // prefix warm run would leave content-addressed chunks behind and
+        // hand import_1x a reuse discount the other two scales don't get
+        locally {
+          val warmImp = delta.withColumn("key", concat(lit("W/"), col("key")))
+            .withColumn("identity", identExpr)
+          storeT.importOverlay(mT, warmImp, Seq("W/"))
+        }
+        addStep("growth", "import_1x", clock { importAt(storeT, mT) })
+        addStep("growth", "import_10x", clock { importAt(storeS, mS) })
+        addStep("growth", "import_100x", clock { importAt(storeB, mB) })
+        impG.unpersist()
         uPrevG.unpersist()
         delta2.unpersist()
         tiny.unpersist(); mid.unpersist(); delta.unpersist()
