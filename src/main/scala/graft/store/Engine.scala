@@ -166,6 +166,31 @@ class Engine(val spark: SparkSession, val repoDir: String,
   /** Single-key Delete: stages a tombstone. */
   def delete(branch: String, key: String): Unit = deleteBatch(branch, Seq(key))
 
+  /** Conditional single-entry stage — the Set-with-condition surface the
+    * gateway's `PutObject + If-None-Match: *` rides
+    * (`pkg/gateway/operations/putobject.go:328-346`,
+    * `pkg/api/apiutil/conditions.go:27-33`): under the branch's keyed
+    * lock, the entry stages only if `key` does NOT currently resolve on
+    * the branch's effective view (staged overlay incl. tombstones, then
+    * the committed/compacted base — the same view the reference's
+    * condition closure sees). Returns true if staged, false if the
+    * precondition failed and nothing was written. The lock makes
+    * check-then-stage atomic against in-process writers, the role the
+    * reference's KV SetIf plays; cross-process staging writers are
+    * append-only epochs, so the residual race window is the same one the
+    * reference has between its catalog pre-check and the KV write. */
+  def setEntryIfAbsent(branch: String, key: String, identity: String,
+      sizeBytes: Long, address: Option[String] = None): Boolean =
+    branchLock.withLock(branch) {
+      if (get(branch, key).isDefined) false
+      else {
+        val (dir, e) = allocateStagingDir(branch)
+        EntryIO.writeStaged(spark.sparkContext.hadoopConfiguration, dir, e,
+          Seq(EntryIO.Entry(key, Some(identity), address, sizeBytes, 0L)))
+        true
+      }
+    }
+
   /** Read-modify-stage a single entry — the reference's `ValueUpdateFunc`
     * surface (`graveler.go:567-569,644`, applied via `handleUpdate`
     * `:1902`): the entry's current row resolves through the branch's

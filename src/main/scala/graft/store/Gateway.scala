@@ -412,6 +412,18 @@ class Gateway(val engine: Engine) {
     checksum
   }
 
+  /** Conditional PutObject (`putobject.go:328-346` handlePut +
+    * `apiutil/conditions.go:16-36`): stage only if the path does not
+    * already resolve on the branch's effective view — the write-if-absent
+    * every ingest pipeline wants through a stock S3 client. True = staged;
+    * false = the object exists and nothing was written (412 at the wire). */
+  def putObjectIfAbsent(branch: String, path: String, sizeBytes: Long,
+      checksum: String): Boolean = {
+    requireWritable("putObject")
+    engine.setEntryIfAbsent(branch, path, checksum, sizeBytes,
+      Some(s"data/gw-${java.util.UUID.randomUUID()}"))
+  }
+
   /** PutObject with `x-amz-copy-source` (putobject.go:41-86 → CopyObject):
     * same-physical-address copy through the catalog's CopyEntry — the ETag
     * (identity) carries over unchanged. Source resolves through any ref;
@@ -537,8 +549,22 @@ class Gateway(val engine: Engine) {
         val st = headObject(routed.ref, routed.path)
         StatResult(st.etag, st.sizeBytes)
       case PutObject =>
-        EtagResult(putObject(routed.ref, routed.path, payload.length.toLong,
-          GatewaySig.payloadSha256Hex(payload)))
+        // precondition grammar, conditions.go:16-36 verbatim: both headers
+        // or If-Match alone or a non-"*" If-None-Match → NotImplemented;
+        // If-None-Match:* → write-if-absent, 412 when the object exists
+        val checksum = GatewaySig.payloadSha256Hex(payload)
+        (req.header("If-Match"), req.header("If-None-Match")) match {
+          case (Some(_), Some(_)) => ErrorResult("NotImplemented")
+          case (Some(_), None) => ErrorResult("NotImplemented")
+          case (None, Some(v)) if v.trim != "*" => ErrorResult("NotImplemented")
+          case (None, Some(_)) =>
+            if (putObjectIfAbsent(routed.ref, routed.path,
+                payload.length.toLong, checksum)) EtagResult(checksum)
+            else ErrorResult("PreconditionFailed")
+          case (None, None) =>
+            EtagResult(putObject(routed.ref, routed.path,
+              payload.length.toLong, checksum))
+        }
       case CopyObject =>
         // putobject.go:50-64: source is "/repo/ref/path" (same-repo here,
         // like the permission table)

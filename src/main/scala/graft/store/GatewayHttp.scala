@@ -276,7 +276,9 @@ class GatewayHttp(hub: GatewayHub, auth: GatewayAuth, authSvc: AuthService,
     "InvalidCopySource" -> 400, "InvalidRequest" -> 400,
     "NotImplemented" -> 501, "ERRLakeFSNotSupported" -> 405,
     "MethodNotAllowed" -> 405, "InternalError" -> 500,
-    "BadRequest" -> 400)
+    "BadRequest" -> 400,
+    // errors.go:381-385 — the conditional-PUT precondition failure
+    "PreconditionFailed" -> 412)
 
   private def sigErrorCode(e: GatewaySig.SigError): String = e match {
     case GatewaySig.ErrRequestTimeTooSkewed => "RequestTimeTooSkewed"

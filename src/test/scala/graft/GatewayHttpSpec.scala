@@ -148,6 +148,51 @@ class GatewayHttpSpec extends SparkSpec {
     assert(gs === 200 && gb.toSeq === payload.toSeq)
   }
 
+  test("conditional PUT: If-None-Match:* writes once then 412s; If-Match " +
+      "and non-star forms answer NotImplemented (conditions.go verbatim)") {
+    val payload = "write once".getBytes(StandardCharsets.UTF_8)
+    // fresh key: the conditional write lands and serves back
+    val (st1, hdr1, _) = send("PUT", "/repo1/main/data/once.txt",
+      body = payload, extraHeaders = Seq("If-None-Match" -> "*"))
+    assert(st1 === 200)
+    assert(hdr1.firstValue("ETag").get ===
+      "\"" + GatewaySig.payloadSha256Hex(payload) + "\"")
+    val (gs, _, gb) = send("GET", "/repo1/main/data/once.txt")
+    assert(gs === 200 && gb.toSeq === payload.toSeq)
+    // the object now exists: the same conditional PUT must 412 and NOT
+    // overwrite (different payload — bytes must stay the first write's)
+    val (st2, _, b2) = send("PUT", "/repo1/main/data/once.txt",
+      body = "usurper".getBytes(StandardCharsets.UTF_8),
+      extraHeaders = Seq("If-None-Match" -> "*"))
+    assert(st2 === 412)
+    assert(bodyStr(b2).contains("<Code>PreconditionFailed</Code>"))
+    val (gs2, _, gb2) = send("GET", "/repo1/main/data/once.txt")
+    assert(gs2 === 200 && gb2.toSeq === payload.toSeq,
+      "a failed precondition must not overwrite the object")
+    // a STAGED-ONLY object (k01 is committed; stage a fresh one) also
+    // blocks: the condition sees the branch's effective view
+    val (st3, _, _) = send("PUT", "/repo1/main/data/k01",
+      body = payload, extraHeaders = Seq("If-None-Match" -> "*"))
+    assert(st3 === 412, "a committed entry must fail the precondition")
+    // the reference's unsupported combinations, conditions.go:19-26
+    val (st4, _, b4) = send("PUT", "/repo1/main/data/other.txt",
+      body = payload, extraHeaders = Seq("If-Match" -> "\"abc\""))
+    assert(st4 === 501 && bodyStr(b4).contains("<Code>NotImplemented</Code>"))
+    val (st5, _, _) = send("PUT", "/repo1/main/data/other.txt",
+      body = payload, extraHeaders = Seq("If-None-Match" -> "\"abc\""))
+    assert(st5 === 501)
+    val (st6, _, _) = send("PUT", "/repo1/main/data/other.txt",
+      body = payload,
+      extraHeaders = Seq("If-Match" -> "\"abc\"", "If-None-Match" -> "*"))
+    assert(st6 === 501)
+    // and the plain unconditional PUT still overwrites
+    val (st7, _, _) = send("PUT", "/repo1/main/data/once.txt",
+      body = "plain".getBytes(StandardCharsets.UTF_8))
+    assert(st7 === 200)
+    val (_, _, gb3) = send("GET", "/repo1/main/data/once.txt")
+    assert(bodyStr(gb3) === "plain")
+  }
+
   test("full multipart lifecycle over HTTP: initiate, parts, complete, " +
       "read back the concatenation") {
     val (is, _, ib) = send("POST", "/repo1/main/data/big.bin",

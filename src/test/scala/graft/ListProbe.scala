@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.fixtures.Fixtures
+import graft.operators.Listing
+
+/** Scratch harness (not a test): decomposes the list_delim metric — the
+  * engine roll-up + TakeOrdered page vs the bare startsWith/split twin.
+  * Run:  sbt "Test/runMain graft.ListProbe"
+  */
+object ListProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def clock(tag: String)(f: => Unit): Unit = {
+      val t0 = System.nanoTime(); f
+      println(f"[probe] $tag%-28s ${(System.nanoTime() - t0) / 1e9}%7.3f s")
+    }
+    val src = Fixtures.pathKeyed(spark, sfDir)
+    println("[probe] rows under R/F/: " +
+      Listing.prefixFilter(src, "R/F/").count())
+    println("[probe] rollup groups: " +
+      Listing.delimiterRollup(src, "R/F/", "/").count())
+
+    val engine = Listing.delimiterRollup(src, "R/F/", "/")
+      .orderBy("path").limit(1000)
+    engine.count() // warm
+    (1 to 3).foreach { i =>
+      clock(s"engine rollup+page #$i") { engine.count() }
+    }
+    val bare = {
+      val in = src.where(col("key").startsWith("R/F/"))
+      in.select(concat(lit("R/F/"),
+          element_at(split(expr("substring(key, 5)"), "/"), 1)).as("head"))
+        .groupBy("head").agg(count(lit(1)).as("n"))
+        .orderBy("head").limit(1000)
+    }
+    bare.count()
+    (1 to 3).foreach { i =>
+      clock(s"bare startsWith+page  #$i") { bare.count() }
+    }
+    println("=== engine plan ===")
+    println(engine.queryExecution.executedPlan.toString.take(4000))
+    spark.stop()
+  }
+}
