@@ -1859,6 +1859,84 @@ object VersionControlQueries {
     // start sits past the object, bad specs served as full content. The
     // oracle recomputes the RFC 7233 arithmetic in SQL over the same
     // sizes, so every clamp and error branch is hash-checked.
+    // Conditional PutObject decision table — the REAL Gateway.handle
+    // grammar (putobject.go handlePut + apiutil/conditions.go) driven per
+    // nation row against a live engine: pre-state (entry staged or fresh)
+    // × header form (none / If-None-Match:* / If-Match / non-star
+    // If-None-Match) → outcome + the entry's FINAL identity, proving both
+    // the 412 and that a failed precondition never overwrites. The oracle
+    // recomputes the table relationally.
+    "vc_s3_conditional_put" -> (((s: SparkSession, d: String) => {
+      val dir = s"target/vc_s3cond_repo_${math.abs(d.hashCode)}"
+      val hfs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(dir), s.sparkContext.hadoopConfiguration)
+      hfs.delete(new org.apache.hadoop.fs.Path(dir), true)
+      val eng = new graft.store.Engine(s, dir, raggedness = 5000)
+      eng.init("main")
+      val gw = new graft.store.Gateway(eng)
+      val cases = s.read.parquet(s"$d/nation.parquet")
+        .select("n_nationkey", "n_name").collect()
+        .map(r => (r.getInt(0), r.getString(1).toLowerCase.replace(' ', '_')))
+        .sortBy(_._1).toSeq
+      val rows = cases.map { case (k, name) =>
+        val key = s"data/$name.txt"
+        val exists = k % 2 == 0
+        if (exists) eng.set("main", key, s"old-$k")
+        val form = k % 4
+        val hdrs: Seq[(String, String)] = form match {
+          case 0 => Nil
+          case 1 => Seq("If-None-Match" -> "*")
+          case 2 => Seq("If-Match" -> "\"e\"")
+          case _ => Seq("If-None-Match" -> "\"e\"")
+        }
+        val payload = s"body-$k".getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val routed = graft.store.GatewayRouter.RoutedRequest(
+          "tester", graft.store.GatewayRouter.PutObject, "repo1", "main",
+          key, payload)
+        val req = graft.store.GatewaySig.SignedRequest(
+          "PUT", "gw.local", s"/repo1/main/$key", headers = hdrs)
+        val outcome = gw.handle(routed, req) match {
+          case _: gw.EtagResult => "ok"
+          case e: gw.ErrorResult => e.code
+          case other => other.getClass.getSimpleName
+        }
+        val finalIdentity = eng.get("main", key)
+          .map(r => r.getString(r.fieldIndex("identity"))).getOrElse("")
+        (k.toLong,
+          if (exists) "existing" else "fresh",
+          form match {
+            case 0 => "none"
+            case 1 => "if_none_match_star"
+            case 2 => "if_match"
+            case _ => "if_none_match_etag"
+          },
+          outcome, finalIdentity)
+      }
+      import s.implicits._
+      rows.toDF("k", "pre_state", "form", "outcome", "final_identity")
+        .orderBy("k")
+    }),
+      Some("""
+        WITH c AS (
+          SELECT CAST(n_nationkey AS BIGINT) AS k,
+                 n_nationkey % 2 = 0 AS ex,
+                 n_nationkey % 4 AS form
+          FROM nation)
+        SELECT k,
+               CASE WHEN ex THEN 'existing' ELSE 'fresh' END AS pre_state,
+               CASE form WHEN 0 THEN 'none' WHEN 1 THEN 'if_none_match_star'
+                    WHEN 2 THEN 'if_match' ELSE 'if_none_match_etag' END
+                 AS form,
+               CASE WHEN form = 0 THEN 'ok'
+                    WHEN form = 1 AND NOT ex THEN 'ok'
+                    WHEN form = 1 THEN 'PreconditionFailed'
+                    ELSE 'NotImplemented' END AS outcome,
+               CASE WHEN form = 0 OR (form = 1 AND NOT ex)
+                    THEN sha256('body-' || CAST(k AS VARCHAR))
+                    WHEN ex THEN 'old-' || CAST(k AS VARCHAR)
+                    ELSE '' END AS final_identity
+        FROM c ORDER BY k""")),
+
     "vc_s3_object_ops" -> (((s: SparkSession, d: String) => {
       val dir = s"target/vc_s3obj_repo_${math.abs(d.hashCode)}"
       val hfs = org.apache.hadoop.fs.FileSystem.get(
