@@ -37,6 +37,16 @@ class GoldenSpec extends SparkSpec {
     assert(got === want, s"golden mismatch for $name")
   }
 
+  /** Commit timestamps have second granularity and the log's tie-break is
+    * the content-derived commit id (the reference's own ordering,
+    * `commit_iterator.go:39-45`) — two commits in the SAME second would
+    * make the pinned log order run-dependent. Every commit the goldens
+    * render waits for a fresh second, so dates are strictly increasing. */
+  private def nextSecond(): Unit = {
+    val now = System.currentTimeMillis()
+    Thread.sleep((now / 1000 + 1) * 1000 - now + 5)
+  }
+
   /** The esti-like fixture repo: four commits on main building the
     * aaa/bbb|aaa/fff|top-level shape the annotate goldens pin, a dev
     * branch with an add+modify+delete change set, and a conflicting pair
@@ -51,6 +61,7 @@ class GoldenSpec extends SparkSpec {
       eng.stage("main", adds.toDF("key", "identity")
         .withColumn("size_bytes",
           org.apache.spark.sql.functions.lit(1000L)))
+      nextSecond()
       eng.commit("main", "tester", msg, metadata)
       ()
     }
@@ -63,6 +74,7 @@ class GoldenSpec extends SparkSpec {
     eng.set("dev", "nnn", "n1")
     eng.set("dev", "aaa/hhh", "h2")
     eng.delete("dev", "aaa/bbb/ccc")
+    nextSecond()
     eng.commit("dev", "tester", "dev edits")
     // conflicting branches: both rewrite mmm differently
     eng.createBranch("left", "main")
@@ -75,6 +87,7 @@ class GoldenSpec extends SparkSpec {
   test("lakectl_log: ID/Author/Date blocks, Merge line, Metadata block") {
     val eng = repo
     // a merge commit so the log carries a Merge: parents line
+    nextSecond()
     eng.merge("dev", "main", "tester", "merge dev into main")
     check("lakectl_log", CliRender.log(eng, "main"))
   }
