@@ -751,6 +751,66 @@ object EventQueries {
                     ELSE 'continue' END AS decision
         FROM c ORDER BY day""")),
 
+    // Power analysis — the DESIGN leg that runs before any of the other
+    // six experimentation legs (power → assignment → SRM → uplift → CUPED
+    // → DiD → sequential): required per-arm sample size for a grid of
+    // minimum detectable effects via the classic two-sample-proportions
+    // formula n = (z_α/2 + z_β)²·2·p(1−p)/δ² (Fleiss), with the normal
+    // quantiles as FIXED INTEGER LITERALS in milli-sigma (z_.025 → 1960,
+    // z_.20 → 842, sum 2802, squared 7 851 204 — micro-scale z²) so the
+    // whole computation is integer-exact on both engines: ceiling
+    // division, baseline conversion in ppm from the historical corpus,
+    // availability against the 25% treatment allocation of armOf.
+    // Magnitudes verified ≤ 3.94e18 < 2⁶³ at worst case p = 0.5. One
+    // user aggregate + a 1-row broadcast onto a 4-row literal grid.
+    "ev_power_analysis" -> (((s: SparkSession, d: String) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      import s.implicits._
+      val users = Fixtures.events(s, d)
+        .groupBy("user_id")
+        .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("conv"))
+      val baseline = users.agg(
+        count(lit(1)).cast("long").as("n_users"),
+        sum("conv").cast("long").as("n_conv"))
+        .withColumn("p_ppm", expr("1000000 * n_conv div n_users").cast("long"))
+      Seq(5000L, 10000L, 20000L, 50000L).toDF("mde_ppm")
+        .crossJoin(broadcast(baseline))
+        .withColumn("required_n", expr(
+          """(7851204 * 2 * p_ppm * (1000000 - p_ppm)
+             + mde_ppm * mde_ppm * 1000000 - 1)
+             div (mde_ppm * mde_ppm * 1000000)""").cast("long"))
+        .withColumn("available_n",
+          expr("n_users * 250000 div 1000000").cast("long"))
+        .withColumn("powered", col("available_n") >= col("required_n"))
+        .select("mde_ppm", "p_ppm", "required_n", "available_n", "powered")
+        .orderBy("mde_ppm")
+    }),
+      Some("""
+        WITH u AS (
+          SELECT user_id,
+                 CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS conv
+          FROM events GROUP BY user_id),
+        b AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_users,
+                 CAST(sum(conv) AS BIGINT) AS n_conv
+          FROM u),
+        b2 AS (SELECT n_users, 1000000 * n_conv // n_users AS p_ppm FROM b),
+        g AS (SELECT CAST(unnest([5000, 10000, 20000, 50000]) AS BIGINT)
+                AS mde_ppm)
+        SELECT mde_ppm,
+               CAST(p_ppm AS BIGINT) AS p_ppm,
+               CAST((7851204 * 2 * p_ppm * (1000000 - p_ppm)
+                     + mde_ppm * mde_ppm * 1000000 - 1)
+                    // (mde_ppm * mde_ppm * 1000000) AS BIGINT) AS required_n,
+               CAST(n_users * 250000 // 1000000 AS BIGINT) AS available_n,
+               (n_users * 250000 // 1000000) >=
+                 ((7851204 * 2 * p_ppm * (1000000 - p_ppm)
+                   + mde_ppm * mde_ppm * 1000000 - 1)
+                  // (mde_ppm * mde_ppm * 1000000)) AS powered
+        FROM g, b2 ORDER BY mde_ppm""")),
+
     "ev_retention" -> (((s: SparkSession, d: String) => {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val weeks = Fixtures.events(s, d)
