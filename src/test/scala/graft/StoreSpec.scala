@@ -16,6 +16,38 @@ class StoreSpec extends SparkSpec {
     (1 to n).map(i => (f"k$i%06d", s"id$i$salt")).toDF("key", "identity")
   }
 
+  test("setEntryIfAbsent: 16 racing conditional writes admit exactly one " +
+      "winner; a tombstoned key is absent again; losers never overwrite") {
+    val dir = tmpDir("setifabsent")
+    val eng = new graft.store.Engine(spark, dir, raggedness = 50)
+    eng.init("main")
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(16)
+    try {
+      import scala.jdk.CollectionConverters._
+      val results = pool.invokeAll(
+        (1 to 16).map { i =>
+          new java.util.concurrent.Callable[(Int, Boolean)] {
+            def call(): (Int, Boolean) =
+              (i, eng.setEntryIfAbsent("main", "race/key", s"contender-$i", i.toLong))
+          }
+        }.asJava).asScala.map(_.get()).toSeq
+      val winners = results.filter(_._2)
+      assert(winners.size === 1, s"exactly one conditional write must win: $results")
+      val row = eng.get("main", "race/key").get
+      assert(row.getString(row.fieldIndex("identity")) ===
+        s"contender-${winners.head._1}",
+        "the stored identity must be the winner's — losers may not overwrite")
+      // a second conditional write fails without touching the entry
+      assert(!eng.setEntryIfAbsent("main", "race/key", "late", 1L))
+      // delete stages a tombstone: the key is ABSENT on the effective
+      // view again, so a conditional write succeeds (the re-upload flow)
+      eng.delete("main", "race/key")
+      assert(eng.setEntryIfAbsent("main", "race/key", "reborn", 2L))
+      val r2 = eng.get("main", "race/key").get
+      assert(r2.getString(r2.fieldIndex("identity")) === "reborn")
+    } finally pool.shutdown()
+  }
+
   test("snapshot write is deterministic and idempotent") {
     val dir = tmpDir("snap")
     val store = new SnapshotStore(spark, dir, raggedness = 100)
