@@ -71,7 +71,8 @@ object Bench {
     // per-metric store sub-step wall clock (store.drainTrace() right after
     // the timed block), medianed across passes like the metrics themselves —
     // BENCH JSON carries the snapshot_write/commit decomposition so
-    // over-budget ratios are adjudicable (cut scan vs write vs renames)
+    // over-budget ratios are adjudicable (cut scan vs direct write vs
+    // marker metadata)
     val stepSamples = scala.collection.mutable
       .LinkedHashMap[String, scala.collection.mutable.LinkedHashMap[String, Vector[Double]]]()
     def addStep(metric: String, step: String, v: Double): Unit = {
@@ -156,6 +157,41 @@ object Bench {
       } finally deleteDir(warmDir)
     }
 
+    // --- HTTP block-path twin (r12 verdict task 3): a store whose ranges
+    // live behind the embedded S3 gateway (GatewayHttp + S3WireFileSystem,
+    // SigV4-signed wire bytes). commit_http / snapshot_write_http vs their
+    // local metrics IS the block-adapter latency delta of the reference's
+    // production split (sstables in a bucket, refs in KV).
+    val httpTwin: Option[(String, graft.store.Engine)] = try {
+      val innerDir = s"target/bench_gw_${java.util.UUID.randomUUID()}"
+      val inner = new graft.store.Engine(spark, innerDir, raggedness = 50000L)
+      inner.init("main")
+      val auth = new graft.store.AuthService(s"$innerDir/auth")
+      auth.createUser("bench")
+      auth.writePolicy(graft.store.Rbac.Policy("rw", Seq(
+        graft.store.Rbac.Statement("allow",
+          Seq("fs:ReadObject", "fs:WriteObject", "fs:DeleteObject",
+            "fs:ListObjects", "fs:ReadRepository"),
+          "arn:lakefs:fs:::repository/benchbucket*"))))
+      auth.attachPolicyToUser("rw", "bench")
+      val c = auth.createCredentials("bench")
+      val hub = new graft.store.GatewayHub(
+        Map("benchbucket" -> ((new graft.store.Gateway(inner), 0L))))
+      val http = new graft.store.GatewayHttp(hub,
+        new graft.store.GatewayAuth(auth), auth, Seq("localhost"),
+        java.nio.file.Paths.get(s"$innerDir/blocks"))
+      val port = http.start()
+      val hconf = spark.sparkContext.hadoopConfiguration
+      hconf.set("fs.gws.impl", classOf[graft.sources.S3WireFileSystem].getName)
+      hconf.set("graft.gws.endpoint", s"localhost:$port")
+      hconf.set("graft.gws.access", c.accessKeyId)
+      hconf.set("graft.gws.secret", c.secretAccessKey)
+      Some(("gws://benchbucket/main", inner))
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] http twin setup failed (continuing): ${e.getMessage}")
+      None
+    }
+
     def runPass(pass: Int): Unit = {
       val repoDir = s"target/bench_repo_${java.util.UUID.randomUUID()}"
       val store = new SnapshotStore(spark, repoDir, raggedness = 50000L)
@@ -196,6 +232,29 @@ object Bench {
             Merge.applyChanges(bareSnap, changes)
               .repartitionByRange(col("key")).sortWithinPartitions("key")
               .write.parquet(s"$bareOut/snap2")
+          }
+        }
+
+        // 2c. HTTP twins: the SAME snapshot write and 1% commit with range
+        // data behind the S3 gateway — every range byte travels signed
+        // HTTP PUT/GET instead of local file I/O. Compare with
+        // snapshot_write / commit for the wire-latency delta.
+        httpTwin.foreach { case (root, inner) =>
+          try {
+            val hs = new SnapshotStore(spark,
+              s"$root/p${java.util.UUID.randomUUID().toString.take(8)}",
+              raggedness = 50000L)
+            val hm1 = timed("snapshot_write_http") { hs.writeSnapshot(base)._1 }
+            hm1.foreach { m =>
+              timed("commit_http") { hs.commitChanges(m, changes)._1 }
+            }
+            // collapse the inner engine's staged epochs between passes:
+            // the gateway stages one entry per PUT object, and an
+            // uncompacted epoch pile would tax LATER passes' HEAD/GET
+            // resolution — a non-stationarity the metric must not carry
+            inner.commit("main", "bench", s"collapse pass $pass")
+          } catch { case e: Throwable =>
+            System.err.println(s"[bench] http twin pass failed (continuing): ${e.getMessage}")
           }
         }
 
@@ -554,23 +613,36 @@ object Bench {
         // a real daily run READS its carried state (U) and the day's
         // increment from storage — it never re-derives them from the full
         // listing — so the increment inputs materialize untimed, exactly
-        // like `delta` above
-        val uPrevG = addrOf(base.where(col("k") <= maxK / 100 && col("k") % 3 === 0))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val newObjsG = addrOf(delta)
-        val newRefsG = addrOf(delta.where(col("k") % 2 === 0))
-        uPrevG.count()
-        def incrMark(): Unit = {
-          val (_, m) = Gc.markIncremental(uPrevG, newObjsG, newRefsG, stagedG)
+        // like `delta` above. Each scale's inputs are drawn from ITS OWN
+        // repo (tiny/mid/base) — same constant row counts (the delta key
+        // window lives in all three), but genuinely distinct frames, so
+        // the flat trio measures the operator, not one cached plan run
+        // three times (r12 ADVICE).
+        def incrInputsOf(repo: DataFrame) = {
+          val mk = (pred: org.apache.spark.sql.Column) =>
+            addrOf(repo.where(col("k") <= maxK / 100 && pred))
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          val u = mk(col("k") % 3 === 0)
+          val objs = mk(col("k") % 100 === 0)
+          val refs = mk(col("k") % 100 === 0 && col("k") % 2 === 0)
+          Seq(u, objs, refs).foreach(_.count())
+          (u, objs, refs)
+        }
+        val (uT, oT, rT) = incrInputsOf(tiny)
+        val (uS, oS, rS) = incrInputsOf(mid)
+        val (uB, oB, rB) = incrInputsOf(base)
+        def incrMark(u: DataFrame, o: DataFrame, r: DataFrame): Unit = {
+          val (_, m) = Gc.markIncremental(u, o, r, stagedG)
           m.count(); ()
         }
-        fullMark(tiny); incrMark() // warm the two plan shapes untimed
+        fullMark(tiny); incrMark(uT, oT, rT) // warm the two plan shapes untimed
         addStep("growth", "gc_full_1x", clock { fullMark(tiny) })
         addStep("growth", "gc_full_10x", clock { fullMark(mid) })
         addStep("growth", "gc_full_100x", clock { fullMark(base) })
-        addStep("growth", "gc_incr_1x", clock { incrMark() })
-        addStep("growth", "gc_incr_10x", clock { incrMark() })
-        addStep("growth", "gc_incr_100x", clock { incrMark() })
+        addStep("growth", "gc_incr_1x", clock { incrMark(uT, oT, rT) })
+        addStep("growth", "gc_incr_10x", clock { incrMark(uS, oS, rS) })
+        addStep("growth", "gc_incr_100x", clock { incrMark(uB, oB, rB) })
+        Seq(uT, oT, rT, uS, oS, rS, uB, oB, rB).foreach(_.unpersist())
         // import growth: the SAME absolute import overlaid on repos 1x/
         // 10x/100x — O(imported) means the cost tracks the import, not
         // the repo it lands in (carried ranges are manifest references)
@@ -595,7 +667,6 @@ object Bench {
         addStep("growth", "import_10x", clock { importAt(storeS, mS) })
         addStep("growth", "import_100x", clock { importAt(storeB, mB) })
         impG.unpersist()
-        uPrevG.unpersist()
         delta2.unpersist()
         tiny.unpersist(); mid.unpersist(); delta.unpersist()
       } catch { case e: Throwable =>
@@ -719,5 +790,18 @@ object Bench {
     }.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""queries_min":$qsMin,"trace":$trace,"passes":$passes,"sf":"$sfDir"}""")
+    // Compact [median, min] twin line, printed LAST: the driver captures a
+    // bounded TAIL of stdout, and r12's big line lost its median block to
+    // the window — the headline numbers must sit at the very end so a
+    // clipped capture still carries them (r12 verdict, What's wrong #1).
+    def sig(x: Double) = f"$x%.4f".reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse
+    val medmin = samples
+      .map { case (k, v) =>
+        val med = if (v.isEmpty) -1.0 else median(v)
+        val mn = if (v.isEmpty) -1.0 else v.min
+        "\"" + k + "\":[" + sig(med) + "," + sig(mn) + "]"
+      }.mkString("{", ",", "}")
+    println(s"""{"metric":"summary","value":${sig(total)},"unit":"sec",""" +
+      s""""medmin":$medmin,"passes":$passes,"sf":"$sfDir"}""")
   }
 }

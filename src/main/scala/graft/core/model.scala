@@ -133,11 +133,20 @@ object Model {
       error: Option[String],
       updatedAt: Long)
 
+  /** One committed range (≈ SSTable) of a snapshot manifest.
+    *
+    * `files` lists the exact Parquet data files backing the range — the
+    * object-store-honest layout where tasks write each file ONCE under its
+    * final name and the manifest (not a directory listing) defines
+    * membership, so a speculative duplicate or crashed writer's file is
+    * simply never referenced. Empty `files` marks a legacy range whose
+    * `path` directory is listed instead. */
   case class RangeInfo(
       rangeId: String,
       minKey: String,
       maxKey: String,
       estimatedSize: Long,
       count: Long,
-      path: String)
+      path: String,
+      files: Seq[String] = Seq.empty)
 }

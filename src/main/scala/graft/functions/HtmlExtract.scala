@@ -1,0 +1,79 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/**
+ * Main-content extraction from markup — the boilerplate-removal pass every
+ * web-scale pretraining pipeline runs BEFORE quality filtering
+ * (trafilatura/resiliparse-shaped; the block heuristics are Kohlschütter
+ * et al.'s public boilerplate features: per-block link density + text
+ * length). No reference counterpart (lakeFS stores bytes, it doesn't parse
+ * them) — this is the td_* curation pillar.
+ *
+ * All derivations are single codegen'd projections over builtin
+ * `regexp_replace` / `split` / higher-order array functions — no UDF, no
+ * shuffle, embarrassingly parallel at 100 TB. ONE definition shared by the
+ * td_extract / td_link_density / td_extract_gopher rows so the segmentation
+ * cannot drift between them.
+ */
+object HtmlExtract {
+
+  /** Block-opening tags: each starts a new segment. Closing tags stay in
+    * the previous segment and are stripped with the rest of the markup. */
+  private val blockTagRe =
+    "<(?:p|div|nav|footer|header|ul|ol|li|h[1-6]|table|article|section)\\b[^>]*>"
+
+  /** Minimum visible characters for a block to count as CONTENT — short
+    * blocks (titles, copyright lines, breadcrumbs) are boilerplate
+    * (Kohlschütter's words-in-block feature, coarse-grained). */
+  val minContentChars = 25
+
+  /** Deterministic page builder for the fixture oracle: wraps a document's
+    * text in a realistic page — head with title+style, a link-dense nav
+    * bar, one main content block, a short footer. The oracle recovers the
+    * planted structure by pure concatenation (the td_pii_scrub pattern). */
+  def pageOf(text: Column, docId: Column): Column = concat(
+    lit("<html><head><title>Doc "), docId.cast("string"),
+    lit("</title><style>p{color:#333}</style></head><body>"),
+    lit("<nav><a href=\"/\">Home</a> <a href=\"/about\">About</a></nav>"),
+    lit("<div id=\"main\"><p>"), text, lit("</p></div>"),
+    lit("<footer>(c) 2026 Example Corp</footer></body></html>"))
+
+  /** Page → block segments: style/script subtrees dropped WITH their
+    * content (their text is never prose), then one split at every
+    * block-opening tag (sentinel U+0001 — callers must exclude texts
+    * containing it, as the queries' WHERE does). */
+  def segments(html: Column): Column =
+    split(
+      regexp_replace(
+        regexp_replace(html, "(?s)<(style|script)\\b[^>]*>.*?</\\1>", ""),
+        blockTagRe, "\u0001"),
+      "\u0001")
+
+  /** Visible text of one segment: tags stripped, outer spaces trimmed. */
+  def visible(seg: Column): Column = trim(regexp_replace(seg, "<[^>]*>", ""))
+
+  /** Visible text living inside anchors — the link-density numerator. */
+  def anchorVisible(seg: Column): Column =
+    regexp_replace(
+      array_join(
+        regexp_extract_all(seg, lit("(?s)<a\\b[^>]*>(.*?)</a>"), lit(1)), ""),
+      "<[^>]*>", "")
+
+  /** Boilerplate verdict for one segment, integer-exact: too short, or
+    * link-dense (anchor chars > 1/3 of visible chars — 3*anchor > visible
+    * keeps the compare in integers on both engines). */
+  def isBoiler(seg: Column): Column = {
+    val v = length(visible(seg))
+    val a = length(anchorVisible(seg))
+    v < minContentChars || a * 3 > v
+  }
+
+  /** Main-content extraction: concatenated visible text of the non-boiler
+    * segments. */
+  def extract(html: Column): Column =
+    array_join(
+      transform(filter(segments(html), s => !isBoiler(s)), s => visible(s)),
+      "")
+}

@@ -89,8 +89,12 @@ object Gc {
   def markIncremental(prevUnreferenced: DataFrame, newObjects: DataFrame,
       newCommitRefs: DataFrame, uncommitted: DataFrame,
       addrCol: String = "address"): (DataFrame, DataFrame) = {
+    // distinct: the persisted U must stay canonical — unionByName keeps
+    // duplicate rows when newObjects overlaps prevUnreferenced (or a daily
+    // listing window overlaps), and anti-joins don't dedup their left side,
+    // so dups would compound run over run in the carried state
     val universe = prevUnreferenced.select(addrCol)
-      .unionByName(newObjects.select(addrCol))
+      .unionByName(newObjects.select(addrCol)).distinct()
     val uToday = universe
       .join(newCommitRefs.select(addrCol), Seq(addrCol), "left_anti")
     (uToday, uToday.join(uncommitted.select(addrCol), Seq(addrCol), "left_anti"))

@@ -479,8 +479,11 @@ object EventQueries {
       val ev = Fixtures.events(s, d)
         .select(col("user_id"), expr("ts div 1000000000").as("tsec"),
           col("event_type"))
+      // `div` = true integer division (DuckDB's `//`): the float-divide
+      // form was exact only while min+max stayed under 2^53 — a latent
+      // break if tsec ever becomes millis/ns
       val split = ev.agg(
-        ((min("tsec") + max("tsec")) / 2).cast("long").as("split"))
+        expr("(min(tsec) + max(tsec)) div 2").as("split"))
       val perUser = ev.crossJoin(broadcast(split))
         .groupBy("user_id")
         .agg(
@@ -616,8 +619,11 @@ object EventQueries {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val ev = Fixtures.events(s, d)
         .select(col("user_id"), expr("ts div 1000000000").as("tsec"))
+      // `div` = true integer division (DuckDB's `//`): the float-divide
+      // form was exact only while min+max stayed under 2^53 — a latent
+      // break if tsec ever becomes millis/ns
       val split = ev.agg(
-        ((min("tsec") + max("tsec")) / 2).cast("long").as("split"))
+        expr("(min(tsec) + max(tsec)) div 2").as("split"))
       val perUser = ev.crossJoin(broadcast(split))
         .groupBy("user_id")
         .agg(

@@ -2768,5 +2768,118 @@ object TextQueries {
                  ELSE '<SUF>' || suffix || '<PRE>' || prefix || '<MID>' || middle
                END AS fim_text
         FROM parts ORDER BY doc_id"""))
+  ,
+
+    // --- HTML/markup extraction family (r12 verdict task 4) --------------
+    // Main-content extraction BEFORE quality filtering — the boilerplate-
+    // removal pass (trafilatura/resiliparse-shaped; Kohlschütter block
+    // heuristics: link density + block length) every web-scale pipeline
+    // runs first. The fixture text carries no markup (verified: no '<',
+    // no U+0001), so a deterministic page is PLANTED around each doc —
+    // head+title+style, a link-dense nav, ONE content block, a short
+    // footer — and the oracle recovers the planted structure by pure
+    // concatenation/arithmetic (the td_pii_scrub pattern): extraction must
+    // return the content block byte-for-byte, so over-stripping and
+    // under-stripping both fail the hash. One codegen'd projection per
+    // doc — no UDF, no shuffle, embarrassingly parallel at 100 TB.
+    "td_extract" -> (((s: SparkSession, d: String) => {
+      import graft.functions.HtmlExtract
+      val page = HtmlExtract.pageOf(col("text"), col("doc_id"))
+      Fixtures.documents(s, d)
+        .where(instr(col("text"), "<") === 0 &&
+          instr(col("text"), "\u0001") === 0 &&
+          length(trim(col("text"))) >= 40)
+        .select(col("doc_id"),
+          HtmlExtract.extract(page).as("extracted"),
+          size(HtmlExtract.segments(page)).cast("long").as("n_blocks"),
+          size(filter(HtmlExtract.segments(page),
+            sg => !HtmlExtract.isBoiler(sg))).cast("long").as("n_kept"))
+        .orderBy("doc_id")
+    }),
+      Some("""
+        SELECT doc_id, trim(text) AS extracted,
+               CAST(5 AS BIGINT) AS n_blocks, CAST(1 AS BIGINT) AS n_kept
+        FROM documents
+        WHERE instr(text, '<') = 0 AND instr(text, chr(1)) = 0
+          AND length(trim(text)) >= 40
+        ORDER BY doc_id""")),
+
+    // Per-block link-density table — the scoring leg of the extractor,
+    // exploded so the oracle pins EVERY block's visible length, anchor
+    // length and boilerplate verdict (planted structure → closed-form
+    // constants + the content block's own length). posexplode keeps the
+    // block index; integer-exact density compare (3*anchor > visible).
+    "td_link_density" -> (((s: SparkSession, d: String) => {
+      import graft.functions.HtmlExtract
+      val page = HtmlExtract.pageOf(col("text"), col("doc_id"))
+      Fixtures.documents(s, d)
+        .where(instr(col("text"), "<") === 0 &&
+          instr(col("text"), "\u0001") === 0 &&
+          length(trim(col("text"))) >= 40)
+        .select(col("doc_id"),
+          posexplode(HtmlExtract.segments(page)).as(Seq("seg_idx", "seg")))
+        .select(col("doc_id"),
+          col("seg_idx").cast("long").as("seg_idx"),
+          length(HtmlExtract.visible(col("seg"))).cast("long").as("vis_len"),
+          length(HtmlExtract.anchorVisible(col("seg"))).cast("long").as("anchor_len"),
+          HtmlExtract.isBoiler(col("seg")).cast("long").as("is_boiler"))
+        .orderBy("doc_id", "seg_idx")
+    }),
+      Some("""
+        WITH d AS (
+          SELECT doc_id, trim(text) AS body FROM documents
+          WHERE instr(text,'<')=0 AND instr(text, chr(1))=0
+            AND length(trim(text)) >= 40),
+        segs(seg_idx) AS (VALUES (0),(1),(2),(3),(4))
+        SELECT d.doc_id, CAST(seg_idx AS BIGINT) AS seg_idx,
+               CAST(CASE seg_idx
+                 WHEN 0 THEN 4 + length(CAST(doc_id AS VARCHAR))
+                 WHEN 1 THEN 10
+                 WHEN 2 THEN 0
+                 WHEN 3 THEN length(body)
+                 ELSE 21 END AS BIGINT) AS vis_len,
+               CAST(CASE seg_idx WHEN 1 THEN 9 ELSE 0 END AS BIGINT) AS anchor_len,
+               CAST(seg_idx <> 3 AS BIGINT) AS is_boiler
+        FROM d CROSS JOIN segs
+        ORDER BY doc_id, seg_idx""")),
+
+    // Composition proof: the extractor's output feeds the EXISTING Gopher
+    // quality battery (word count + mean-word-length flags, identical
+    // integer-exact derivations as td_gopher_filters) — extraction
+    // recovered the content exactly iff the downstream metrics equal the
+    // oracle's recomputation over the raw text.
+    "td_extract_gopher" -> (((s: SparkSession, d: String) => {
+      import graft.functions.HtmlExtract
+      val page = HtmlExtract.pageOf(col("text"), col("doc_id"))
+      val toks = tokens(col("extracted"))
+      Fixtures.documents(s, d)
+        .where(instr(col("text"), "<") === 0 &&
+          instr(col("text"), "\u0001") === 0 &&
+          length(trim(col("text"))) >= 40)
+        .select(col("doc_id"), HtmlExtract.extract(page).as("extracted"))
+        .select(col("doc_id"),
+          size(toks).cast("long").as("n_words"),
+          aggregate(toks, lit(0L), (acc, t) => acc + length(t)).as("sum_len"))
+        .withColumn("f_wc",
+          (col("n_words") >= 50 && col("n_words") <= 100000).cast("long"))
+        .withColumn("f_mwl", (lit(3) * col("n_words") <= col("sum_len") &&
+          col("sum_len") <= lit(10) * col("n_words")).cast("long"))
+        .orderBy("doc_id")
+    }),
+      Some("""
+        WITH d AS (
+          SELECT doc_id, trim(text) AS ext FROM documents
+          WHERE instr(text,'<')=0 AND instr(text, chr(1))=0
+            AND length(trim(text)) >= 40),
+        m AS (
+          SELECT doc_id,
+                 CAST(len(regexp_split_to_array(trim(ext), '\s+')) AS BIGINT) AS n_words,
+                 CAST(list_sum(list_transform(regexp_split_to_array(trim(ext), '\s+'),
+                   t -> length(t))) AS BIGINT) AS sum_len
+          FROM d)
+        SELECT doc_id, n_words, sum_len,
+               CAST(n_words >= 50 AND n_words <= 100000 AS BIGINT) AS f_wc,
+               CAST(3*n_words <= sum_len AND sum_len <= 10*n_words AS BIGINT) AS f_mwl
+        FROM m ORDER BY doc_id"""))
   )
 }

@@ -3085,5 +3085,78 @@ object VersionControlQueries {
                CAST(sum(CASE WHEN nxt IS NOT NULL AND gap >= 100 AND gap < 10000 THEN 1 ELSE 0 END) AS BIGINT) AS gap_mid,
                CAST(sum(CASE WHEN nxt IS NOT NULL AND gap >= 10000 THEN 1 ELSE 0 END) AS BIGINT) AS gap_ge10k
         FROM c"""))
+  ,
+
+    // lakectl bisect, STEP-LEVEL decision table (bisect.go:142-191,
+    // bisect_run.go:25-45 — the wire-accurate window convention: newest-
+    // first list, h = len >> 1, BAD keeps [h:]): vc_bisect above proves
+    // the converged answer; this row pins EVERY probe the loop makes. A 16-commit
+    // linear history is built once; commit seq b(nk) = (nk % 14) + 2
+    // plants key "bug<nk>" for nation nk, carried by every later commit —
+    // so "is commit X bad for nation nk" is a REAL job-free point probe of
+    // X's committed snapshot. One bisect run per nation drives
+    // Engine.bisect end-to-end (newest-first window, h = len>>1, BAD keeps
+    // [h:]); the oracle replays the same arithmetic as a recursive CTE
+    // with probe verdicts from the planted thresholds. 25 runs × 4 probes
+    // = 100 rows; every probe is O(log ranges) metadata, no Spark job.
+    "vc_bisect_steps" -> (((s: SparkSession, d: String) => {
+      import s.implicits._
+      val nCommits = 16
+      val dir = s"target/vc_bisect_repo_${math.abs(d.hashCode)}"
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(dir), s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+      val eng = new graft.store.Engine(s, dir, raggedness = 5000)
+      val nations = s.read.parquet(s"$d/nation.parquet")
+        .select(col("n_nationkey").cast("long")).collect()
+        .map(_.getLong(0)).sorted
+      def bOf(nk: Long): Long = (nk % 14) + 2
+      eng.init("main", Some(Seq(("seed", "s")).toDF("key", "identity")))
+      val good = eng.resolveCommit("main")
+      (1 to nCommits).foreach { i =>
+        val bugs = nations.filter(nk => bOf(nk) == i)
+          .map(nk => (s"bug$nk", "planted")).toSeq
+        eng.stage("main",
+          ((f"c$i%02d", s"v$i") +: bugs).toDF("key", "identity"))
+        eng.commit("main", "driver", f"c$i%02d")
+      }
+      val rows = nations.flatMap { nk =>
+        val (steps, firstBad) = eng.bisectSteps(good.commitId, "main") { c =>
+          graft.store.EntryIO.committedPoint(
+            eng.snapshots, c.metaRangeId, s"bug$nk").isDefined
+        }
+        // seq of a probed commit = its own message "cNN"
+        def seqOf(c: graft.core.Model.CommitInfo): Long = c.message.drop(1).toLong
+        // probe_pos = the ABSOLUTE newest-first position, derived from the
+        // REAL probed commit's seq (pos = nCommits - seq) — so the emitted
+        // position is tied to which commit the engine actually probed
+        steps.map(st => (nk, st.step.toLong, st.nCommits.toLong,
+          nCommits - seqOf(st.commit), seqOf(st.commit),
+          if (st.bad) 1L else 0L, seqOf(firstBad)))
+      }
+      rows.toSeq
+        .toDF("n_key", "step", "n_commits", "probe_pos", "probe_seq",
+          "probe_bad", "first_bad_seq")
+        .orderBy("n_key", "step")
+    }),
+      Some("""
+        WITH RECURSIVE nat AS (
+          SELECT n_nationkey AS nk, (n_nationkey % 14) + 2 AS b FROM nation),
+        steps AS (
+          SELECT nk, b, 0 AS step, 0 AS lo, 16 AS len FROM nat
+          UNION ALL
+          SELECT nk, b, step + 1,
+            CASE WHEN (16 - (lo + (len >> 1))) >= b
+                 THEN lo + (len >> 1) ELSE lo END,
+            CASE WHEN (16 - (lo + (len >> 1))) >= b
+                 THEN len - (len >> 1) ELSE (len >> 1) END
+          FROM steps WHERE len > 1)
+        SELECT CAST(nk AS BIGINT) AS n_key, CAST(step AS BIGINT) AS step,
+               CAST(len AS BIGINT) AS n_commits,
+               CAST(lo + (len >> 1) AS BIGINT) AS probe_pos,
+               CAST(16 - (lo + (len >> 1)) AS BIGINT) AS probe_seq,
+               CAST((16 - (lo + (len >> 1))) >= b AS BIGINT) AS probe_bad,
+               CAST(b AS BIGINT) AS first_bad_seq
+        FROM steps WHERE len > 1 ORDER BY n_key, step"""))
   )
 }

@@ -1,0 +1,347 @@
+package graft.sources
+
+import java.io.{ByteArrayOutputStream, FileNotFoundException, IOException, InputStream}
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.charset.StandardCharsets
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FSDataInputStream, FSDataOutputStream, FSInputStream, FileStatus, FileSystem, Path}
+import org.apache.hadoop.fs.permission.FsPermission
+import org.apache.hadoop.util.Progressable
+import graft.store.GatewaySig
+import graft.store.GatewaySig.SignedRequest
+
+/**
+ * Minimal S3-wire-protocol Hadoop FileSystem (`gws://bucket/key...`) — the
+ * block-adapter client that lets the engine keep its RANGE DATA in any
+ * S3-API store, with the embedded [[graft.store.GatewayHttp]] as the
+ * in-sandbox bucket. This is the deployment split the reference runs in
+ * production: refs/staging in a KV store, committed sstables as objects
+ * (`pkg/block/s3/adapter.go` — upload once, ranged reads, no rename).
+ *
+ * Wire surface used (all SigV4-signed, path-style):
+ *  - PUT object (create; `If-None-Match: *` for create-if-absent — the
+ *    conditional form [[graft.store.FsCaps]]-gated metadata writers rely
+ *    on, `putobject.go:328-346`),
+ *  - GET with `Range: bytes=pos-` (seekable Parquet reads),
+ *  - HEAD (status), DELETE, ListObjectsV2 (prefix/delimiter/continuation),
+ *  - CopyObject + DELETE for `rename` — the s3a copy+delete shape, present
+ *    for framework committers only; the store's own data path never
+ *    renames (scheme `gws` is in FsCaps' rename-free set).
+ *
+ * Writes buffer in memory and PUT on close — range files are bounded by
+ * the chunker's raggedness (tens of MB); the gateway's multipart lifecycle
+ * is the documented escape hatch for larger objects.
+ *
+ * Config: `graft.gws.endpoint` (host:port), `graft.gws.access`,
+ * `graft.gws.secret`, `graft.gws.region` (default us-east-1).
+ */
+class S3WireFileSystem extends FileSystem {
+
+  private var fsUri: URI = _
+  private var bucket: String = _
+  private var endpoint: String = _
+  private var access: String = _
+  private var secret: String = _
+  private var region: String = _
+  private var workingDir: Path = _
+  private lazy val client = HttpClient.newHttpClient()
+
+  override def initialize(name: URI, conf: Configuration): Unit = {
+    super.initialize(name, conf)
+    setConf(conf)
+    bucket = Option(name.getAuthority).getOrElse(
+      throw new IOException(s"gws URI needs a bucket authority: $name"))
+    fsUri = URI.create(s"gws://$bucket")
+    endpoint = conf.get("graft.gws.endpoint")
+    if (endpoint == null)
+      throw new IOException("graft.gws.endpoint is not configured")
+    access = conf.get("graft.gws.access", "")
+    secret = conf.get("graft.gws.secret", "")
+    region = conf.get("graft.gws.region", "us-east-1")
+    workingDir = new Path(s"gws://$bucket/")
+  }
+
+  override def getScheme: String = "gws"
+  override def getUri: URI = fsUri
+  override def getWorkingDirectory: Path = workingDir
+  override def setWorkingDirectory(dir: Path): Unit = { workingDir = dir }
+
+  private def keyOf(p: Path): String = {
+    val abs = if (p.isAbsolute) p else new Path(workingDir, p)
+    abs.toUri.getPath.stripPrefix("/")
+  }
+
+  private def enc(s: String): String =
+    java.net.URLEncoder.encode(s, StandardCharsets.UTF_8)
+
+  /** Sign and send one S3 request; returns (status, headers, body bytes). */
+  private def send(method: String, key: String,
+      query: Seq[(String, String)] = Nil,
+      body: Array[Byte] = Array.emptyByteArray,
+      extraHeaders: Seq[(String, String)] = Nil)
+      : (Int, java.net.http.HttpHeaders, Array[Byte]) = {
+    val (st, hd, stream) = sendStreaming(method, key, query, body, extraHeaders)
+    val bytes = try stream.readAllBytes() finally stream.close()
+    (st, hd, bytes)
+  }
+
+  private def sendStreaming(method: String, key: String,
+      query: Seq[(String, String)],
+      body: Array[Byte],
+      extraHeaders: Seq[(String, String)])
+      : (Int, java.net.http.HttpHeaders, InputStream) = {
+    val path = "/" + bucket + (if (key.isEmpty) "" else "/" + key)
+    val signed = GatewaySig.v4SignHeaders(
+      SignedRequest(method, endpoint, path, query = query,
+        headers = ("Host" -> endpoint) +: extraHeaders, body = body),
+      access, secret, region, "s3", java.time.Instant.now(),
+      payloadHash = Some(GatewaySig.payloadSha256Hex(body)))
+    val qs =
+      if (query.isEmpty) ""
+      else "?" + query.map { case (k, v) =>
+        if (v.isEmpty) enc(k) else s"${enc(k)}=${enc(v)}" }.mkString("&")
+    val escaped = GatewaySig.encodePath(path)
+    val builder = HttpRequest.newBuilder(
+        URI.create(s"http://$endpoint$escaped$qs"))
+      .method(method, if (body.isEmpty) HttpRequest.BodyPublishers.noBody()
+        else HttpRequest.BodyPublishers.ofByteArray(body))
+    signed.headers.foreach { case (k, v) =>
+      if (!k.equalsIgnoreCase("Host") && !k.equalsIgnoreCase("Content-Length"))
+        builder.header(k, v)
+    }
+    val resp = client.send(builder.build(),
+      HttpResponse.BodyHandlers.ofInputStream())
+    (resp.statusCode(), resp.headers(), resp.body())
+  }
+
+  private def xmlValues(body: String, tag: String): Seq[String] =
+    s"<$tag>([^<]*)</$tag>".r.findAllMatchIn(body).map(_.group(1)).toSeq
+
+  private def xmlUnescape(s: String): String = s
+    .replace("&lt;", "<").replace("&gt;", ">").replace("&quot;", "\"")
+    .replace("&#39;", "'").replace("&amp;", "&")
+
+  /** One ListObjectsV2 page: (files as (key, size), dir prefixes, next token). */
+  private def listPage(prefix: String, delimiter: String,
+      token: Option[String], maxKeys: Int = 1000)
+      : (Seq[(String, Long)], Seq[String], Option[String]) = {
+    val q = Seq("list-type" -> "2", "prefix" -> prefix,
+      "max-keys" -> maxKeys.toString) ++
+      (if (delimiter.nonEmpty) Seq("delimiter" -> delimiter) else Nil) ++
+      token.map("continuation-token" -> _).toSeq
+    val (st, _, body) = send("GET", "", query = q)
+    if (st != 200) throw new IOException(s"list $bucket/$prefix: HTTP $st")
+    val xml = new String(body, StandardCharsets.UTF_8)
+    // Contents blocks carry Key then Size; CommonPrefixes carry Prefix
+    val contents = "<Contents>(.*?)</Contents>".r
+      .findAllMatchIn(xml).map(_.group(1)).map { c =>
+        val k = xmlUnescape(xmlValues(c, "Key").headOption.getOrElse(""))
+        val sz = xmlValues(c, "Size").headOption.map(_.toLong).getOrElse(0L)
+        (k, sz)
+      }.toSeq
+    val prefixes = "<CommonPrefixes>(.*?)</CommonPrefixes>".r
+      .findAllMatchIn(xml).map(_.group(1))
+      .flatMap(c => xmlValues(c, "Prefix").map(xmlUnescape)).toSeq
+    val next = xmlValues(xml, "NextContinuationToken").headOption
+      .map(xmlUnescape).filter(_.nonEmpty)
+    (contents, prefixes, next)
+  }
+
+  private def fileStatusOf(key: String, len: Long, mtime: Long): FileStatus =
+    new FileStatus(len, false, 1, 1L << 26, mtime,
+      new Path(s"gws://$bucket/$key"))
+
+  private def dirStatusOf(key: String): FileStatus =
+    new FileStatus(0, true, 1, 1L << 26, 0L,
+      new Path(s"gws://$bucket/${key.stripSuffix("/")}"))
+
+  override def getFileStatus(f: Path): FileStatus = {
+    val key = keyOf(f)
+    if (key.isEmpty) return dirStatusOf("")
+    val (st, hd, _) = send("HEAD", key)
+    if (st == 200) {
+      val len = hd.firstValue("Content-Length").map[Long](_.toLong).orElse(0L)
+      val mtime = hd.firstValue("Last-Modified")
+        .map[Long](v => scala.util.Try(
+          java.time.ZonedDateTime.parse(v,
+            java.time.format.DateTimeFormatter.RFC_1123_DATE_TIME)
+            .toInstant.toEpochMilli).getOrElse(0L))
+        .orElse(0L)
+      fileStatusOf(key, len, mtime)
+    } else {
+      // no object: an implied directory iff anything lives under key/
+      val (files, prefixes, _) = listPage(key + "/", "/", None, maxKeys = 1)
+      if (files.nonEmpty || prefixes.nonEmpty) dirStatusOf(key)
+      else throw new FileNotFoundException(s"gws://$bucket/$key")
+    }
+  }
+
+  override def listStatus(f: Path): Array[FileStatus] = {
+    val key = keyOf(f)
+    // a plain object lists as itself
+    if (key.nonEmpty) {
+      val (st, hd, _) = send("HEAD", key)
+      if (st == 200)
+        return Array(fileStatusOf(key,
+          hd.firstValue("Content-Length").map[Long](_.toLong).orElse(0L), 0L))
+    }
+    val prefix = if (key.isEmpty) "" else key + "/"
+    val out = scala.collection.mutable.ArrayBuffer[FileStatus]()
+    var token: Option[String] = None
+    var sawAny = false
+    var go = true
+    while (go) {
+      val (files, prefixes, next) = listPage(prefix, "/", token)
+      sawAny |= files.nonEmpty || prefixes.nonEmpty
+      files.foreach { case (k, sz) => out += fileStatusOf(k, sz, 0L) }
+      prefixes.foreach(p => out += dirStatusOf(p))
+      token = next
+      go = next.isDefined
+    }
+    if (!sawAny && key.nonEmpty)
+      throw new FileNotFoundException(s"gws://$bucket/$key")
+    out.toArray
+  }
+
+  override def open(f: Path, bufferSize: Int): FSDataInputStream = {
+    val st = getFileStatus(f)
+    if (st.isDirectory) throw new IOException(s"cannot open a directory: $f")
+    new FSDataInputStream(new RangedInput(keyOf(f), st.getLen))
+  }
+
+  /** Seekable reader over ranged GETs: sequential reads stream one open
+    * `Range: bytes=pos-` response; a seek drops it and the next read opens
+    * a fresh range — the S3 read pattern Parquet footers + row groups make
+    * (one ranged GET per contiguous run). */
+  private final class RangedInput(key: String, len: Long) extends FSInputStream {
+    private var pos = 0L
+    private var in: InputStream = _
+    private def dropStream(): Unit = {
+      if (in != null) { try in.close() catch { case _: IOException => () } }
+      in = null
+    }
+    private def ensureStream(): Unit = if (in == null) {
+      val (st, _, stream) = sendStreaming("GET", key,
+        Nil, Array.emptyByteArray, Seq("Range" -> s"bytes=$pos-${len - 1}"))
+      if (st != 200 && st != 206) {
+        stream.close()
+        throw new IOException(s"GET $bucket/$key @$pos: HTTP $st")
+      }
+      in = stream
+    }
+    override def seek(p: Long): Unit = {
+      if (p < 0 || p > len) throw new java.io.EOFException(s"seek $p of $len")
+      if (p != pos) { dropStream(); pos = p }
+    }
+    override def getPos: Long = pos
+    override def seekToNewSource(targetPos: Long): Boolean = false
+    override def read(): Int = {
+      if (pos >= len) return -1
+      ensureStream()
+      val b = in.read()
+      if (b >= 0) pos += 1 else dropStream()
+      b
+    }
+    override def read(buf: Array[Byte], off: Int, l: Int): Int = {
+      if (pos >= len) return -1
+      ensureStream()
+      val n = in.read(buf, off, l)
+      if (n > 0) pos += n else dropStream()
+      n
+    }
+    override def close(): Unit = dropStream()
+  }
+
+  override def create(f: Path, permission: FsPermission, overwrite: Boolean,
+      bufferSize: Int, replication: Short, blockSize: Long,
+      progress: Progressable): FSDataOutputStream = {
+    val key = keyOf(f)
+    val buf = new ByteArrayOutputStream(64 * 1024)
+    val wrapped = new java.io.OutputStream {
+      private var closed = false
+      override def write(b: Int): Unit = buf.write(b)
+      override def write(b: Array[Byte], off: Int, l: Int): Unit =
+        buf.write(b, off, l)
+      override def close(): Unit = {
+        if (closed) return
+        closed = true
+        val headers =
+          if (overwrite) Nil
+          // create-if-absent IS the S3 conditional PUT — one atomic wire
+          // op, the primitive the rename-free metadata writers assume
+          else Seq("If-None-Match" -> "*")
+        val (st, _, body) = send("PUT", key, body = buf.toByteArray,
+          extraHeaders = headers)
+        st match {
+          case 200 | 201 => ()
+          case 412 | 409 =>
+            throw new org.apache.hadoop.fs.FileAlreadyExistsException(
+              s"gws://$bucket/$key")
+          case s => throw new IOException(
+            s"PUT $bucket/$key: HTTP $s ${new String(body, StandardCharsets.UTF_8).take(200)}")
+        }
+      }
+    }
+    new FSDataOutputStream(wrapped, statistics)
+  }
+
+  override def append(f: Path, bufferSize: Int,
+      progress: Progressable): FSDataOutputStream =
+    throw new UnsupportedOperationException("gws does not support append")
+
+  override def delete(f: Path, recursive: Boolean): Boolean = {
+    val key = keyOf(f)
+    val (st, _, _) = send("HEAD", key)
+    if (st == 200) {
+      val (ds, _, _) = send("DELETE", key)
+      return ds == 200 || ds == 204
+    }
+    // directory: delete every key under the prefix
+    var any = false
+    var token: Option[String] = None
+    var go = true
+    while (go) {
+      val (files, _, next) = listPage(key + "/", "", token)
+      if (files.nonEmpty && !recursive)
+        throw new IOException(s"directory not empty: $f")
+      files.foreach { case (k, _) => send("DELETE", k); any = true }
+      token = next
+      go = next.isDefined
+    }
+    any
+  }
+
+  /** s3a-shaped rename: server-side CopyObject + DELETE per key. Present
+    * for framework committers only — [[graft.store.FsCaps]] lists `gws`
+    * rename-free, so the store's own writers never land here. */
+  override def rename(src: Path, dst: Path): Boolean = {
+    val srcKey = keyOf(src)
+    val dstKey = keyOf(dst)
+    def copyDelete(from: String, to: String): Boolean = {
+      val (cs, _, _) = send("PUT", to,
+        extraHeaders = Seq("x-amz-copy-source" -> s"/$bucket/$from"))
+      if (cs != 200) return false
+      val (ds, _, _) = send("DELETE", from)
+      ds == 200 || ds == 204
+    }
+    val (st, _, _) = send("HEAD", srcKey)
+    if (st == 200) return copyDelete(srcKey, dstKey)
+    var ok = true
+    var any = false
+    var token: Option[String] = None
+    var go = true
+    while (go) {
+      val (files, _, next) = listPage(srcKey + "/", "", token)
+      files.foreach { case (k, _) =>
+        any = true
+        ok &= copyDelete(k, dstKey + "/" + k.stripPrefix(srcKey + "/"))
+      }
+      token = next
+      go = next.isDefined
+    }
+    ok && any
+  }
+
+  override def mkdirs(f: Path, permission: FsPermission): Boolean = true
+}

@@ -27,9 +27,17 @@ class UnresolvableRefException(val ref: String)
 
 class Engine(val spark: SparkSession, val repoDir: String,
     raggedness: Long = 50000L,
-    conditional: ConditionalStore = ConditionalStore.default) {
+    conditional: ConditionalStore = ConditionalStore.default,
+    snapshotDir: Option[String] = None) {
 
-  val snapshots = new SnapshotStore(spark, repoDir, raggedness)
+  /** Where committed range data + manifests live. Defaults to `repoDir`;
+    * overriding it gives the reference's production split — refs/staging
+    * in a local KV store, committed ranges as objects in a bucket
+    * (`pkg/block/s3/adapter.go` + KV ref store) — e.g. a
+    * [[graft.sources.S3WireFileSystem]] `gws://` URI served by the
+    * embedded S3 gateway. */
+  val dataDir: String = snapshotDir.getOrElse(repoDir)
+  val snapshots = new SnapshotStore(spark, dataDir, raggedness)
   /** Turn on the driver-local hot-range file tier ([[RangeTierCache]],
     * the pyramid `tier_fs` analogue — reference envelope 1 GiB,
     * `pkg/config/defaults.go:89-93`). Repeated point gets / walker reads
@@ -55,6 +63,9 @@ class Engine(val spark: SparkSession, val repoDir: String,
 
   private def fs = org.apache.hadoop.fs.FileSystem.get(
     new java.net.URI(repoDir), spark.sparkContext.hadoopConfiguration)
+  /** FS of [[dataDir]] — distinct from `fs` when ranges live in a bucket. */
+  private def dataFs = org.apache.hadoop.fs.FileSystem.get(
+    new java.net.URI(dataDir), spark.sparkContext.hadoopConfiguration)
   private def exists(p: String) = fs.exists(new org.apache.hadoop.fs.Path(p))
 
   // --- repo / branch lifecycle --------------------------------------------
@@ -182,7 +193,12 @@ class Engine(val spark: SparkSession, val repoDir: String,
   def setEntryIfAbsent(branch: String, key: String, identity: String,
       sizeBytes: Long, address: Option[String] = None): Boolean =
     branchLock.withLock(branch) {
-      if (get(branch, key).isDefined) false
+      // the precondition read is the JOB-FREE point resolve (EntryIO):
+      // the reference's condition closure is a KV read, and a Spark job
+      // under the branch lock would put a scheduler round-trip in front
+      // of every conditional PUT (and deadlock a gateway serving an
+      // engine whose executors are blocked on that same gateway)
+      if (EntryIO.pointGet(this, branch, key).isDefined) false
       else {
         val (dir, e) = allocateStagingDir(branch)
         EntryIO.writeStaged(spark.sparkContext.hadoopConfiguration, dir, e,
@@ -1156,17 +1172,18 @@ class Engine(val spark: SparkSession, val repoDir: String,
     // covering ranges per (metarange, path) — driver-side over the cached
     // manifests (metadata-scale; manifests are sorted by minKey so each
     // interval resolves to a contiguous slice, no Spark job needed)
-    val cover: Seq[(String, String, String, String)] = for {
+    val cover: Seq[(String, String, String, graft.core.Model.RangeInfo)] = for {
       m <- metas
       ri <- snapshots.readManifest(m)
       (qpath, lo, hi) <- intervals
       if ri.maxKey >= lo && (hi == null || ri.minKey < hi)
-    } yield (m, qpath, ri.rangeId, ri.path)
+    } yield (m, qpath, ri.rangeId, ri)
 
     val coverSets: Map[(String, String), Set[String]] = cover
       .groupBy(c => (c._1, c._2)).map { case (k, v) => k -> v.map(_._3).toSet }
       .withDefaultValue(Set.empty)
-    val fileOf: Map[String, String] = cover.map(c => c._3 -> c._4).toMap
+    val infoOf: Map[String, graft.core.Model.RangeInfo] =
+      cover.map(c => c._3 -> c._4).toMap
 
     // ranges worth reading: where a commit's covering set differs from its
     // parent's for some path (roots compare against nothing)
@@ -1183,8 +1200,17 @@ class Engine(val spark: SparkSession, val repoDir: String,
       if (needed.isEmpty) Map.empty
       else {
         val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
-        spark.read.parquet(needed.toSeq.map(fileOf): _*)
-          .withColumn("rid", regexp_extract(input_file_name(), "ranges/([^/]+)/", 1))
+        // file-tail → range-id join (dir names are job-scoped on the
+        // rename-free layout, so the manifest's file list, not the path,
+        // is the range-id authority — same discipline as fsck)
+        val tailRid = needed.toSeq.flatMap { rid =>
+          snapshots.storeDataFiles(infoOf(rid))
+            .map(f => (SnapshotStore.pathTail2(f), f, rid)) }
+        val tailDf = tailRid.map(t => (t._1, t._3)).toDF("__tail", "rid")
+        spark.read.parquet(tailRid.map(_._2).distinct: _*)
+          .withColumn("__tail",
+            regexp_extract(input_file_name(), "([^/]+/[^/]+)$", 1))
+          .join(broadcast(tailDf), Seq("__tail"))
           .join(broadcast(pathsDf),
             col("key") >= col("lo") && (col("hi").isNull || col("key") < col("hi")))
           .groupBy("rid", "qpath")
@@ -1341,6 +1367,42 @@ class Engine(val spark: SparkSession, val repoDir: String,
     (all.take(amount), all.lengthCompare(amount) > 0)
   }
 
+  /** One bisect probe: (step, window size before, probe index in window,
+    * probed commit, verdict). */
+  final case class BisectStep(step: Int, nCommits: Int, probeIdx: Int,
+      commit: CommitInfo, bad: Boolean)
+
+  /** `lakectl bisect run` — the good/bad narrowing loop
+    * (`cmd/lakectl/cmd/bisect.go:142-191`, `bisect_run.go:25-45`): the
+    * window is the commit log from `bad` down to `good` (exclusive,
+    * newest-first, exactly the paged LogCommits order); each iteration
+    * probes the MIDDLE element (`h = len >> 1`), a BAD verdict keeps
+    * `[h:]`, a GOOD one keeps `[:h]`, until one commit — the first bad —
+    * remains. Probes run against committed snapshots (job-free point
+    * resolves in the vc_bisect oracle row), so a full search is
+    * O(log n) metadata reads. */
+  def bisectSteps(goodRef: String, badRef: String)(isBad: CommitInfo => Boolean)
+      : (Seq[BisectStep], CommitInfo) = {
+    val good = resolveCommit(goodRef)
+    val chain = log(badRef)
+    val window = chain.takeWhile(_.commitId != good.commitId)
+    require(window.lengthCompare(chain.length) < 0,
+      s"good commit $goodRef not reachable from $badRef")
+    require(window.nonEmpty, "bad commit equals good commit")
+    var commits = window.toVector
+    val steps = Vector.newBuilder[BisectStep]
+    var step = 0
+    while (commits.lengthCompare(1) > 0) {
+      val h = commits.length >> 1
+      val probe = commits(h)
+      val verdict = isBad(probe)
+      steps += BisectStep(step, commits.length, h, probe, verdict)
+      commits = if (verdict) commits.drop(h) else commits.take(h)
+      step += 1
+    }
+    (steps.result(), commits.head)
+  }
+
   /** Merge base of two commits (G2, generation-priority walk). */
   def mergeBase(aId: String, bId: String): CommitInfo = {
     val g = refs.commits.map(c => Dag.CommitRow(
@@ -1366,34 +1428,65 @@ class Engine(val spark: SparkSession, val repoDir: String,
     * directory name — so path qualification differences don't matter). */
   def gcMark(): DataFrame = {
     import spark.implicits._
-    // live metaranges: every commit reachable from any branch head OR tag,
-    // plus uncommitted compacted bases — all of them hold user data
-    val heads = refs.branches.values ++ refs.tags.values
-    val commitMetas = heads.toSet.flatMap((h: String) => log(h).map(_.metaRangeId))
-    val compactedMetas = refs.branchRecords.values.flatMap(_.compactedBase)
-    val live = (commitMetas ++ compactedMetas)
-      .flatMap((m: String) => snapshots.readManifest(m).map(_.rangeId)).toSet
     val allDf = rangeDirCandidates().toDF("address")
-    val liveDf = live.toSeq.toDF("address")
+    val liveDf = liveRangeInfos().map(Engine.dirBasename).distinct.toDF("address")
     graft.operators.Gc.mark(allDf, liveDf, liveDf.limit(0))
   }
 
-  /** Sweep candidates under ranges/: finished range directories only.
-    * In-flight `__staging_*` write dirs (SnapshotStore's pre-rename staging)
-    * are NEVER candidates — a concurrent write must not race the sweep. */
+  /** Every RangeInfo referenced by a manifest reachable from a branch head,
+    * tag, or uncommitted compacted base — all of them hold user data. */
+  private def liveRangeInfos(): Seq[graft.core.Model.RangeInfo] = {
+    val heads = refs.branches.values ++ refs.tags.values
+    val commitMetas = heads.toSet.flatMap((h: String) => log(h).map(_.metaRangeId))
+    val compactedMetas = refs.branchRecords.values.flatMap(_.compactedBase)
+    (commitMetas ++ compactedMetas).toSeq.distinct
+      .flatMap(m => snapshots.readManifest(m))
+  }
+
+  /** Sweep candidates under ranges/: finished range directories only —
+    * legacy content-addressed dirs AND job-scoped `u<job>-<chunk>` direct-
+    * write dirs, compared by DIR BASENAME against the live manifests'
+    * `path` basenames (dir names stopped being content ids when the write
+    * path went rename-free). `_`-prefixed entries (the `_idx` marker index,
+    * legacy `__staging_*`) are never candidates. */
   private def rangeDirCandidates(): Seq[String] =
-    if (!exists(s"$repoDir/ranges")) Seq.empty[String]
-    else fs.listStatus(new org.apache.hadoop.fs.Path(s"$repoDir/ranges"))
+    if (!dataFs.exists(new org.apache.hadoop.fs.Path(s"$dataDir/ranges")))
+      Seq.empty[String]
+    else dataFs.listStatus(new org.apache.hadoop.fs.Path(s"$dataDir/ranges"))
       .map(_.getPath.getName).toSeq
-      .filterNot(_.startsWith("__staging_"))
+      .filterNot(_.startsWith("_"))
+
+  /** Delete content markers (`ranges/_idx/<rid>`) whose content id no
+    * manifest references anymore — BEFORE the data dirs go, so a lazy
+    * write's marker probe can never adopt files a sweep is deleting (the
+    * probe validates file existence; with the marker gone first there is
+    * no window where a valid-looking marker points at vanishing data).
+    * Metadata-scale: one dir listing + pooled deletes. */
+  private def sweepDeadMarkers(liveRids: Set[String]): Long = {
+    val idx = new org.apache.hadoop.fs.Path(s"$dataDir/ranges/_idx")
+    if (!dataFs.exists(idx)) return 0L
+    val dead = dataFs.listStatus(idx).map(_.getPath.getName).toSeq
+      .filterNot(liveRids)
+    SnapshotStore.inParallel(dead)(n =>
+      dataFs.delete(new org.apache.hadoop.fs.Path(idx, n), false))
+    dead.length.toLong
+  }
 
   /** GC sweep: delete every unreferenced range and write the S9 report
     * (mark via [[gcMark]]; the delete is distributed — mirrors the
     * reference's executor-side bulk remover, `GarbageCollection.scala:253-276`).
     * The delete guard is the mark time: a range dir that lands after this
-    * instant (a commit racing the sweep) has a newer mtime and is skipped. */
-  def gcSweep(runId: String): (Long, String) =
-    distributedSweep(gcMark(), runId, Some(System.currentTimeMillis()))
+    * instant (a commit racing the sweep) has a newer mtime and is skipped.
+    * Dead markers go first (see [[sweepDeadMarkers]]). */
+  def gcSweep(runId: String): (Long, String) = {
+    val live = liveRangeInfos()
+    sweepDeadMarkers(live.map(_.rangeId).toSet)
+    import spark.implicits._
+    val allDf = rangeDirCandidates().toDF("address")
+    val liveDf = live.map(Engine.dirBasename).distinct.toDF("address")
+    val marked = graft.operators.Gc.mark(allDf, liveDf, liveDf.limit(0))
+    distributedSweep(marked, runId, Some(System.currentTimeMillis()))
+  }
 
   /** Executor-side bulk delete of marked addresses + S9 report. The dead set
     * never reaches the driver (millions of paths at 100 TB): each partition
@@ -1407,7 +1500,7 @@ class Engine(val spark: SparkSession, val repoDir: String,
     import spark.implicits._
     val marked = marked0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     marked.count() // materialize the mark before any delete mutates the listing
-    val rangesRoot = s"$repoDir/ranges" // local vals: the closure must not capture `this`
+    val rangesRoot = s"$dataDir/ranges" // local vals: the closure must not capture `this`
     val guardMs = cutoffMs.getOrElse(Long.MaxValue)
     // ship the driver's effective Hadoop conf as plain entries (Configuration
     // itself isn't closure-serializable) - executors must see the same
@@ -1418,7 +1511,14 @@ class Engine(val spark: SparkSession, val repoDir: String,
       while (it.hasNext) { val e = it.next(); buf += ((e.getKey, e.getValue)) }
       buf.toArray
     }
-    val deleted = marked.select("address").as[String].mapPartitions { addrs =>
+    // cap delete tasks BELOW the executor slot count: bulk deletes are
+    // IO-bound metadata calls that must not monopolize the app — and when
+    // the backing store is itself Spark-served (the embedded S3 gateway),
+    // saturating every slot with delete tasks that block on listings
+    // would starve the listings' own jobs into a deadlock
+    val deleteParts = math.max(1, spark.sparkContext.defaultParallelism - 2)
+    val deleted = marked.select("address").as[String]
+      .repartition(deleteParts).mapPartitions { addrs =>
       val conf = new org.apache.hadoop.conf.Configuration()
       confEntries.foreach { case (k, v) => conf.set(k, v) }
       val pfs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(rangesRoot), conf)
@@ -1466,8 +1566,10 @@ class Engine(val spark: SparkSession, val repoDir: String,
       .collect().map(_.getString(0)).filter(_.nonEmpty)
     val tagMetas = refs.tags.values.flatMap(refs.getCommit).map(_.metaRangeId)
     val compactedMetas = refs.branchRecords.values.flatMap(_.compactedBase)
-    val live = (activeMetas ++ tagMetas ++ compactedMetas).toSet
-      .flatMap((m: String) => snapshots.readManifest(m).map(_.rangeId))
+    val liveInfos = (activeMetas ++ tagMetas ++ compactedMetas).toSet.toSeq
+      .flatMap((m: String) => snapshots.readManifest(m))
+    sweepDeadMarkers(liveInfos.map(_.rangeId).toSet)
+    val live = liveInfos.map(Engine.dirBasename).toSet
 
     // S8: uncommitted inventory — staging epoch files with their mtimes
     // (status-only listing, metadata-scale even when staged data is big)
@@ -1833,5 +1935,15 @@ class Engine(val spark: SparkSession, val repoDir: String,
   private def emptySnapshot(): DataFrame = {
     import spark.implicits._
     Seq.empty[(String, String)].toDF("key", "identity")
+  }
+}
+
+object Engine {
+  /** Basename of a RangeInfo's data directory — the GC address unit (dir
+    * names are job-scoped since the write path went rename-free, so the
+    * manifest's `path`, not the content id, locates the bytes). */
+  private[store] def dirBasename(ri: graft.core.Model.RangeInfo): String = {
+    val p = ri.path
+    p.substring(p.lastIndexOf('/') + 1)
   }
 }

@@ -179,11 +179,10 @@ object EntryIO {
     bounds
   }
 
-  /** Point lookup within a RANGE directory: consult each data file's
-    * cached key bounds and open only covering files (a key exists in at
-    * most one file of a disjoint-keyed snapshot, so first hit wins). */
-  def pointInRange(conf: Configuration, rangePath: String, k: String): Option[Entry] = {
-    val files = rangeDataFiles(conf, rangePath)
+  /** Point lookup within a RANGE's data files: consult each file's cached
+    * key bounds and open only covering files (a key exists in at most one
+    * file of a disjoint-keyed snapshot, so first hit wins). */
+  def pointInFiles(conf: Configuration, files: Seq[String], k: String): Option[Entry] = {
     if (files.lengthCompare(1) == 0) return pointInFile(conf, files.head, k)
     files.iterator
       .filter { f => val (lo, hi) = fileKeyBounds(conf, f); lo <= k && k <= hi }
@@ -237,15 +236,26 @@ object EntryIO {
     * lists epoch dirs while sets are in flight; Spark's file index and the
     * parquet reader skip dot-files, so a half-written file is invisible
     * until the rename makes it whole — without this, a concurrent
-    * stagedChangesFrom could hit a torn footer and fail the commit. */
+    * stagedChangesFrom could hit a torn footer and fail the commit.
+    *
+    * Capability-gated ([[FsCaps.atomicRename]]): on object stores the
+    * file is written DIRECTLY under its visible name — PUT visibility is
+    * already atomic there (the object appears only when complete, so a
+    * lister can never see a torn footer), and rename would be a
+    * copy+delete. */
   private def writeHiddenThenReveal(conf: Configuration, dir: String,
       prefix: String)(write: (Path, Configuration) => Unit): Unit = {
     val name = s"$prefix-${java.util.UUID.randomUUID()}.parquet"
+    val visible = new Path(dir, name)
+    val fs = visible.getFileSystem(conf)
+    if (!FsCaps.atomicRename(fs)) {
+      write(visible, new Configuration(conf))
+      return
+    }
     val tmp = new Path(dir, s".$name")
     val wconf = new Configuration(conf)
     write(tmp, wconf)
-    val fs = tmp.getFileSystem(conf)
-    if (!fs.rename(tmp, new Path(dir, name)))
+    if (!fs.rename(tmp, visible))
       sys.error(s"staged write rename failed: $dir/$name")
   }
 
@@ -425,14 +435,14 @@ object EntryIO {
     if (at < 0 || infos(at).maxKey < key) None
     // read through the store's local tier when enabled — a hot range's
     // repeated point gets then never touch the object store
-    else pointInRange(conf, store.tierPath(infos(at)), key)
+    else pointInFiles(conf, store.tierDataFiles(infos(at)), key)
   }
 
   /** Resolved view of a ref for the walkers below: staged overlay (sorted
     * keys + map) and the committed manifest. */
   private case class View(staged: Map[String, Entry], stagedKeys: Array[String],
       infos: Seq[graft.core.Model.RangeInfo],
-      path: graft.core.Model.RangeInfo => String)
+      files: graft.core.Model.RangeInfo => Seq[String])
 
   private def viewOf(engine: Engine, ref: String,
       lo: Option[String], hi: Option[String]): View = {
@@ -449,7 +459,7 @@ object EntryIO {
       lo.forall(l => ri.maxKey >= l) && hi.forall(h => ri.minKey < h)
     }
     View(staged, staged.keys.toArray.sorted, infos,
-      ri => engine.snapshots.tierPath(ri))
+      ri => engine.snapshots.tierDataFiles(ri))
   }
 
   /** First visible entry with key in [from, hi): staged non-tombstones and
@@ -474,7 +484,7 @@ object EntryIO {
     val it = v.infos.iterator.filter(ri => ri.maxKey >= from)
     while (committedHit.isEmpty && it.hasNext) {
       val ri = it.next()
-      rangeDataFiles(conf, v.path(ri)).foreach { file =>
+      v.files(ri).foreach { file =>
         scanFile(conf, file, Some(from), hi) { e =>
           if (v.staged.contains(e.key)) true
           else {
@@ -499,10 +509,10 @@ object EntryIO {
     val v = viewOf(engine, ref, Some(p), hi)
     val out = scala.collection.mutable.ArrayBuffer[Entry]()
     v.infos.foreach { ri =>
-      scanFile(conf, v.path(ri), Some(p), hi) { e =>
+      v.files(ri).foreach { f => scanFile(conf, f, Some(p), hi) { e =>
         if (!v.staged.contains(e.key)) out += e
         true
-      }
+      } }
     }
     out ++= v.staged.valuesIterator.filter(_.identity.isDefined)
     out.sortBy(_.key).toSeq
@@ -568,10 +578,13 @@ object EntryIO {
       .filter(ri => ri.maxKey >= p && hi.forall(h => ri.minKey < h))
     infos.iterator.map { ri =>
       var hit: Option[String] = None
-      scanFile(conf, engine.snapshots.tierPath(ri), Some(p), hi) { e =>
-        if (staged.contains(e.key)) true // masked (tombstone or already found)
-        else { hit = Some(e.key); false }
-      }
+      engine.snapshots.tierDataFiles(ri).iterator
+        .takeWhile(_ => hit.isEmpty).foreach { f =>
+          scanFile(conf, f, Some(p), hi) { e =>
+            if (staged.contains(e.key)) true // masked (tombstone or found)
+            else { hit = Some(e.key); false }
+          }
+        }
       hit
     }.collectFirst { case Some(k) => k }
   }

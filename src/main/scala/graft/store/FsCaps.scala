@@ -1,0 +1,47 @@
+package graft.store
+
+import org.apache.hadoop.fs.FileSystem
+
+/**
+ * FileSystem capability probe for the write paths.
+ *
+ * The store's data path never renames (range files are written once under
+ * their final names — see [[SnapshotStore]]), but two METADATA writers still
+ * want an atomicity primitive:
+ *
+ *  - manifests ([[SnapshotStore.writeManifestFile]]) and staged epoch files
+ *    ([[EntryIO]] writeHiddenThenReveal) use write-to-temp + rename where
+ *    rename is atomic (posix/HDFS — a concurrent reader never sees a torn
+ *    file);
+ *  - on object stores rename is copy+delete (2x write amplification, not
+ *    atomic), but PUT visibility is already atomic — an object appears only
+ *    when complete — so the correct primitive there is a DIRECT write under
+ *    the final name, no temp, no rename.
+ *
+ * This mirrors the reference's split: its KV/block adapters never rename on
+ * S3/GCS/Azure (`pkg/block/s3/adapter.go` uploads once), while the local
+ * adapter uses posix rename (`pkg/block/local/adapter.go`).
+ *
+ * The probe is scheme-based with an explicit conf override
+ * (`graft.fs.rename.atomic` = true/false) — Hadoop exposes no portable
+ * atomic-rename path capability, and the scheme list below matches the
+ * object-store connectors whose rename is documented copy+delete.
+ */
+object FsCaps {
+  /** Connectors whose rename is a non-atomic copy+delete. `gws` is the
+    * engine's own S3-wire client ([[graft.sources.S3WireFileSystem]]);
+    * `norename` is the s3a-shaped test shim that RECORDS every rename so
+    * the suite can prove the data path triggers none. */
+  private val renameFreeSchemes =
+    Set("s3a", "s3", "s3n", "gs", "oss", "cos", "swift", "wasbs", "abfs",
+      "abfss", "gws", "norename")
+
+  /** True iff `fs.rename` is atomic (and cheap) on this FileSystem. */
+  def atomicRename(fs: FileSystem): Boolean = {
+    val conf = fs.getConf
+    val o = if (conf == null) null else conf.get("graft.fs.rename.atomic")
+    if (o != null) o.trim.equalsIgnoreCase("true")
+    else !renameFreeSchemes.contains(
+      Option(fs.getScheme).getOrElse("").toLowerCase)
+  }
+}

@@ -319,22 +319,17 @@ class Gateway(val engine: Engine) {
       address: String)
 
   private def statOf(ref: String, path: String): Option[ObjectStat] =
-    engine.get(ref, path).map { row =>
-      def strCol(c: String): String = {
-        val i = row.schema.fieldNames.indexOf(c)
-        if (i < 0 || row.isNullAt(i)) "" else row.get(i).toString
-      }
-      def longCol(c: String): Long = {
-        val i = row.schema.fieldNames.indexOf(c)
-        if (i < 0 || row.isNullAt(i)) 0L
-        else row.get(i) match {
-          case n: Number => n.longValue()
-          case other     => other.toString.toLong
-        }
-      }
-      ObjectStat(path, strCol("identity"), longCol("size_bytes"),
-        strCol("address"))
-    }
+    // the JOB-FREE point resolve (manifest seek + pushed-filter parquet
+    // read, staged overlay first) — a gateway stat is the reference's KV
+    // entry read (`entry_catalog` get), and a Spark job here would (a) put
+    // a scheduler round-trip in front of every HEAD/GET/PUT and (b)
+    // deadlock a gateway that is itself serving a Spark app's FileSystem
+    // (every executor slot blocked on HTTP while the handler waits for a
+    // slot). Entry carries exactly the stat surface: identity (ETag),
+    // size_bytes, address.
+    EntryIO.pointGet(engine, ref, path).map(e =>
+      ObjectStat(path, e.identity.getOrElse(""), e.sizeBytes,
+        e.address.getOrElse("")))
 
   /** HeadObject (headobject.go): metadata through the full ref grammar;
     * a missing key is the S3 NoSuchKey error. */
@@ -556,7 +551,9 @@ class Gateway(val engine: Engine) {
         (req.header("If-Match"), req.header("If-None-Match")) match {
           case (Some(_), Some(_)) => ErrorResult("NotImplemented")
           case (Some(_), None) => ErrorResult("NotImplemented")
-          case (None, Some(v)) if v.trim != "*" => ErrorResult("NotImplemented")
+          // RAW compare (no trim): conditions.go matches *ifNoneMatch != "*"
+          // untrimmed, so ' * ' is NotImplemented there too
+          case (None, Some(v)) if v != "*" => ErrorResult("NotImplemented")
           case (None, Some(_)) =>
             if (putObjectIfAbsent(routed.ref, routed.path,
                 payload.length.toLong, checksum)) EtagResult(checksum)
@@ -641,9 +638,12 @@ class Gateway(val engine: Engine) {
         } else {
           val ref = prefix.take(i)
           // the key prefix pushes down to manifest pruning (Engine.list →
-          // scanInterval): the page reads only ranges under the prefix
-          val listed = engine.list(ref, prefix = prefix.drop(i + 1),
-            includeStaged = false)
+          // scanInterval): the page reads only ranges under the prefix.
+          // Staged entries ARE listed — the reference's gateway lists the
+          // branch's working tree (`listobjects.go:191` → catalog
+          // ListEntries → graveler List over staged+committed), so an SDK
+          // sees its own uploads; `ref@` still lists committed-only.
+          val listed = engine.list(ref, prefix = prefix.drop(i + 1))
           val keys = listed.select(concat(lit(ref + "/"), col("key")).as("key"))
           val page =
             if (routed.op == ListObjectsV2)

@@ -224,7 +224,7 @@ class GatewayHttp(hub: GatewayHub, auth: GatewayAuth, authSvc: AuthService,
     server = HttpServer.create(new java.net.InetSocketAddress(
       java.net.InetAddress.getLoopbackAddress, port), 0)
     server.createContext("/", (ex: HttpExchange) => handleExchange(ex))
-    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4))
+    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(16))
     server.start()
     this.port
   }

@@ -92,14 +92,31 @@ final class RangeTierCache(conf: Configuration,
     try {
       val src = new Path(ri.path)
       val srcFs = src.getFileSystem(conf)
-      if (!srcFs.exists(src)) return ri.path
-      val bytes = srcFs.getContentSummary(src).getLength
-      if (bytes > budgetBytes) return ri.path // never cache past the budget
       val dest = new Path(root, s"ranges/${ri.rangeId}")
       val tmp = new Path(root, s"ranges/.tmp_${ri.rangeId}_${System.nanoTime()}")
-      if (!FileUtil.copy(srcFs, src, lfs, tmp, false, conf)) {
-        lfs.delete(tmp, true); return ri.path
-      }
+      val bytes =
+        if (ri.files.nonEmpty) {
+          // manifest-listed files: copy exactly the referenced members —
+          // a speculative loser's file in the same dir is never admitted
+          val sts = ri.files.map(f => srcFs.getFileStatus(new Path(f)))
+          val total = sts.map(_.getLen).sum
+          if (total > budgetBytes) return ri.path // never cache past the budget
+          lfs.mkdirs(tmp)
+          val ok = ri.files.forall { f =>
+            val fp = new Path(f)
+            FileUtil.copy(srcFs, fp, lfs, new Path(tmp, fp.getName), false, conf)
+          }
+          if (!ok) { lfs.delete(tmp, true); return ri.path }
+          total
+        } else {
+          if (!srcFs.exists(src)) return ri.path
+          val total = srcFs.getContentSummary(src).getLength
+          if (total > budgetBytes) return ri.path // never cache past the budget
+          if (!FileUtil.copy(srcFs, src, lfs, tmp, false, conf)) {
+            lfs.delete(tmp, true); return ri.path
+          }
+          total
+        }
       this.synchronized {
         // a re-admission during the old copy's eviction grace must reclaim
         // the pendingDelete entry FIRST — otherwise the sweep would later

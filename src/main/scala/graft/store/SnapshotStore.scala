@@ -120,8 +120,12 @@ class SnapshotStore(val spark: SparkSession, val repoDir: String,
   def fsck(metaRangeId: String): DataFrame = {
     import spark.implicits._
     val infos = readManifest(metaRangeId)
-    val probes = SnapshotStore.inParallel(infos)(ri =>
-      ri -> fs.exists(new Path(ri.path)))
+    val probes = SnapshotStore.inParallel(infos) { ri =>
+      val ok =
+        if (ri.files.nonEmpty) ri.files.forall(f => fs.exists(new Path(f)))
+        else fs.exists(new Path(ri.path))
+      ri -> ok
+    }
     val missing = probes.collect { case (ri, false) =>
       (ri.rangeId, ri.path, "missing", ri.count, 0L) }
     val present = probes.collect { case (ri, true) => ri }
@@ -130,9 +134,16 @@ class SnapshotStore(val spark: SparkSession, val repoDir: String,
     if (present.isEmpty) return missingDf
     val exp = present.map(ri => (ri.rangeId, ri.path, ri.count, ri.minKey, ri.maxKey))
       .toDF("range_id", "path", "exp_count", "min_key", "max_key")
-    val act = readRangesIn(spark, present, ri => ri.path) // audit the STORE, not the tier
-      .withColumn("range_id",
-        regexp_extract(input_file_name(), "/ranges/([^/]+)/", 1))
+    // (file tail → range id) join replaces the legacy `/ranges/<rid>/`
+    // regexp: data dirs are job-scoped names, not content ids, so the
+    // manifest's file list is the only path→range authority
+    val tailToRange = present.flatMap(ri => storeDataFiles(ri)
+        .map(f => SnapshotStore.pathTail2(f) -> ri.rangeId))
+      .toDF("__tail", "range_id")
+    val act = readRangesIn(spark, present, storeDataFiles) // audit the STORE, not the tier
+      .withColumn("__tail",
+        regexp_extract(input_file_name(), "([^/]+/[^/]+)$", 1))
+      .join(broadcast(tailToRange), Seq("__tail"))
       .groupBy("range_id")
       .agg(count(lit(1)).as("act_count"),
         min("key").as("act_min"), max("key").as("act_max"))
@@ -161,7 +172,7 @@ class SnapshotStore(val spark: SparkSession, val repoDir: String,
     val infos = readManifest(metaRangeId)
     require(infos.nonEmpty, s"empty manifest: $metaRangeId")
     val schemas = SnapshotStore.inParallel(infos)(ri =>
-      ri.path -> spark.read.parquet(ri.path).schema)
+      ri.path -> spark.read.parquet(storeScanPaths(ri): _*).schema)
     val (p0, s0) = schemas.head
     schemas.foreach { case (p, s) =>
       require(s == s0,
@@ -628,21 +639,44 @@ class SnapshotStore(val spark: SparkSession, val repoDir: String,
   private[store] def tierPath(ri: RangeInfo): String =
     tier.map(_.resolve(ri)).getOrElse(ri.path)
 
-  /** [[tierPath]] for DATAFRAME scans: scan plans ship their paths to
+  /** Concrete Parquet data files of `ri` in the backing STORE (never the
+    * tier): the manifest's explicit file list, or a legacy dir listing. */
+  private[store] def storeDataFiles(ri: RangeInfo): Seq[String] =
+    if (ri.files.nonEmpty) ri.files
+    else EntryIO.rangeDataFiles(spark.sparkContext.hadoopConfiguration, ri.path)
+
+  /** Store-side paths for a DATAFRAME scan: the explicit file list, or the
+    * legacy range dir (Spark lists it). */
+  private def storeScanPaths(ri: RangeInfo): Seq[String] =
+    if (ri.files.nonEmpty) ri.files else Seq(ri.path)
+
+  /** Data files of `ri` for DRIVER-side readers (point gets, walkers),
+    * through the local tier with admission accounting: a tier hit lists the
+    * local copy, a miss reads the store's file list. */
+  private[store] def tierDataFiles(ri: RangeInfo): Seq[String] = {
+    val resolved = tierPath(ri)
+    if (resolved != ri.path)
+      EntryIO.epochFiles(spark.sparkContext.hadoopConfiguration, resolved)
+    else storeDataFiles(ri)
+  }
+
+  /** [[tierDataFiles]] for DATAFRAME scans: scan plans ship their paths to
     * executors, so machine-local paths would break off the driver —
     * instead, scans read through the `gtier://` read-through-cache
     * FileSystem ([[graft.sources.TierCacheFileSystem]]): each JVM that
     * opens a range file caches it on ITS OWN disk, which is the
     * executor-local pyramid tier on any cluster shape. */
-  private def tierPathForScan(ri: RangeInfo): String =
-    if (tier.isEmpty) ri.path
-    else graft.sources.TierCacheFileSystem.encode(
-      new Path(ri.path), spark.sparkContext.hadoopConfiguration).toString
-  /** [[tierPath]] without admission accounting — write-path reads (commit,
+  private def scanPathsTiered(ri: RangeInfo): Seq[String] =
+    if (tier.isEmpty) storeScanPaths(ri)
+    else storeScanPaths(ri).map(p => graft.sources.TierCacheFileSystem.encode(
+      new Path(p), spark.sparkContext.hadoopConfiguration).toString)
+  /** Scan paths without admission accounting — write-path reads (commit,
     * import rewrites) touch each range once by construction, so counting
     * them would admit one-shot rewrites into the tier. */
-  private[store] def tierPeek(ri: RangeInfo): String =
-    tier.map(_.peek(ri)).getOrElse(ri.path)
+  private[store] def tierPeek(ri: RangeInfo): Seq[String] = {
+    val r = tier.map(_.peek(ri)).getOrElse(ri.path)
+    if (r != ri.path) Seq(r) else storeScanPaths(ri)
+  }
 
   private def readRanges(infos: Seq[RangeInfo]): DataFrame =
     readRangesIn(spark, infos)
@@ -653,12 +687,12 @@ class SnapshotStore(val spark: SparkSession, val repoDir: String,
     * path resolver: read paths ride the tier with admission accounting,
     * write paths peek, fsck audits the raw store paths. */
   private def readRangesIn(sess: SparkSession, infos: Seq[RangeInfo],
-      resolve: RangeInfo => String = tierPathForScan): DataFrame =
+      resolve: RangeInfo => Seq[String] = scanPathsTiered): DataFrame =
     if (infos.isEmpty) {
       import sess.implicits._
       Seq.empty[(String, String)].toDF("key", "identity")
     } else {
-      val paths = infos.map(resolve)
+      val paths = infos.flatMap(resolve)
       val cached = schemaCache.get(infos.head.rangeId)
       if (cached != null) sess.read.schema(cached).parquet(paths: _*)
       else {
@@ -920,49 +954,104 @@ class SnapshotStore(val spark: SparkSession, val repoDir: String,
   }
 
   /**
-   * Manifest stats + range-file write for an already-chunk-assigned source,
-   * in one of three shapes chosen by store state and the caller's hint:
+   * Manifest stats + range-file write for an already-chunk-assigned source.
    *
-   * '''One-pass shapes''' — fresh store (ranges dir absent: no chunk can
-   * already exist) and `eagerStage` on an existing store (commitChanges: a
-   * touched range was touched because a change key lands in it, so its
-   * rewritten chunks almost certainly carry new content ids): the per-chunk
-   * stats aggregate ([[graft.functions.ChunkStatsExpr]]) rides the
-   * staged write itself as a `CollectMetrics` (df.observe) placed AFTER the
-   * shuffle, inside the write job's result stage — content ids and manifest
-   * stats land with the write, no second job, no staged-file readback.
-   * Post-shuffle placement is correctness, not taste: Spark applies
-   * result-stage accumulator updates exactly once, while a map-stage
-   * aggregate would be re-merged when a fetch failure resubmits the map
-   * stage or speculation duplicates a task, silently corrupting the wrap-sum
-   * content ids. Chunks whose content address already exists are still
-   * skipped at rename time; a no-op change set costs one discarded staging
-   * dir (tradeoff documented at the commit call site).
+   * '''Object-store-honest, rename-free''' (the reference's upload-once
+   * discipline — ranges are PUT exactly once under their final object
+   * names, `pkg/graveler/sstable/writer.go`,
+   * `committed/batch_write_closer.go`): each write task streams its sorted
+   * chunk runs STRAIGHT into Parquet files under their FINAL names
+   * (`ranges/u<job>-<chunk>/p<partition>-a<attempt>.parquet`) — no staging
+   * directory, no FileOutputCommitter, no rename anywhere on the data
+   * path. On an S3-class store a rename is a copy+delete: the previous
+   * staged-write design would have paid 2x write amplification on the
+   * hottest path. Atomicity comes from the METADATA chain instead: a data
+   * file is invisible until the manifest listing it exists
+   * ([[graft.core.Model.RangeInfo]] `files`) and a commit's tri-state CAS
+   * installs that manifest; a crashed writer or a speculative loser leaves
+   * only unreferenced files that [[graft.store.Engine#gcSweep]] collects.
    *
-   * '''Otherwise''' (existing store, no hint): stats run first, then ONLY
-   * chunks whose content-addressed directory doesn't already exist are
-   * written. An unchanged chunk — same keys, same identities — costs a
-   * hash-agg and nothing else, the whole-range reuse discipline of the
-   * reference's content-addressed uploads (`pkg/graveler/sstable/writer.go`,
-   * `committed/commit.go:116-137`).
+   * Stats ride the write itself: every task accumulates, per emitted file,
+   * the two unreduced xxhash64 streams (precomputed in a codegen'd
+   * projection post-sort), key bounds, row count and byte estimate, and
+   * returns them as the JOB RESULT — Spark delivers exactly one completed
+   * attempt's output per partition, so a retried or speculated attempt can
+   * never double-count (the same exactly-once argument the previous
+   * result-stage CollectMetrics design leaned on), and the losing
+   * attempt's file is simply never referenced.
    *
-   * All per-chunk remote-metadata calls (exists probes, staging→final
-   * renames) go through a bounded pool of [[SnapshotStore.ioParallelism]]
-   * driver threads rather than a serial loop — at import scale the manifest
-   * has millions of entries and a serial tail would dominate the commit
-   * (the reference uploads ranges through 10 concurrent workers,
-   * `pkg/config/defaults.go:91`).
+   * '''Shapes''' (chosen by store state and the caller's hint):
+   *  - '''one-pass''' — fresh store (ranges dir absent), or `eagerStage`
+   *    (commitChanges: a touched range was touched because a change key
+   *    lands in it, so its rewritten chunks almost certainly carry new
+   *    content ids): shuffle → sort → direct write in ONE job, manifest
+   *    rows folded from the task results;
+   *  - '''lazy''' (existing store, no hint — idempotent re-write of a
+   *    snapshot mostly already on disk): stats first ([[statsOf]]), then
+   *    the content-id MARKER index (`ranges/_idx/<rid>`) is probed and
+   *    only chunks without a marker are written — an unchanged chunk
+   *    costs a hash-agg and one marker read, nothing else: the
+   *    whole-range reuse discipline of the reference's content-addressed
+   *    uploads (`committed/commit.go:116-137`).
+   *
+   * The marker index replaces the old content-addressed-directory
+   * existence probe: `_idx/<rid>` records which files hold a content id,
+   * written create-if-absent AFTER its data files land (one small PUT —
+   * atomic visibility on object stores, no rename, torn-on-crash reads as
+   * absent). On a publish race the loser deletes its duplicate bytes and
+   * adopts the winner's files, so concurrent identical writes converge to
+   * one stored copy. Markers are an optimization index only — readers
+   * never consult them — and are swept before their ranges
+   * ([[graft.store.Engine#gcSweep]] removes dead markers FIRST, so a
+   * probe can never adopt deleted data). All per-chunk metadata calls
+   * (marker probes/puts) go through the bounded
+   * [[SnapshotStore.ioParallelism]] pool (the reference's 10 concurrent
+   * committed-writer uploaders, `pkg/config/defaults.go:91`), and
+   * publishing is skipped past [[SnapshotStore.maxMarkers]] chunks per
+   * write — an import-scale job would pay a metadata PUT per range for
+   * near-zero reuse probability.
    */
   private def writeChunks(withChunk: DataFrame, approxChunks: Int,
       eagerStage: Boolean = false, noShuffle: Boolean = false): Seq[RangeInfo] = {
-    val two64 = java.math.BigInteger.ONE.shiftLeft(64)
     val freshStore = !fs.exists(new Path(rangesDir))
+    if (eagerStage || freshStore) {
+      val infos = directWrite(withChunk, approxChunks, noShuffle)
+      return publishMarkers(infos).sortBy(_.minKey)
+    }
+    // lazy shape: stats first, then write only unmarked content
+    val manifest = tr("stats_agg")(statsOf(withChunk))
+    if (manifest.isEmpty) return Seq.empty
+    val probed = tr("marker_probe")(SnapshotStore.inParallel(manifest.toSeq) {
+      case (ri, chunk) => (readMarker(ri.rangeId), ri, chunk)
+    })
+    val reused = probed.collect { case (Some((path, files)), ri, _) =>
+      ri.copy(path = path, files = files) }
+    val missing = probed.collect { case (None, _, chunk) => chunk }
+    val written =
+      if (missing.isEmpty) Seq.empty[RangeInfo]
+      else {
+        // write only the missing chunks; when the filter wouldn't prune
+        // anything (full rewrite) skip it so the scan stays predicate-free
+        val toWrite =
+          if (missing.length == manifest.length) withChunk
+          else withChunk.where(col("__chunk").isInCollection(missing))
+        publishMarkers(directWrite(toWrite, missing.length, noShuffle = false))
+      }
+    (reused ++ written).sortBy(_.minKey).toSeq
+  }
 
-    val stagingPath = s"$rangesDir/__staging_${java.util.UUID.randomUUID()}"
-
+  /** One shuffle → sort → write job over a chunk-assigned frame: tasks
+    * stream their sorted runs into final-named Parquet files
+    * ([[SnapshotStore.writePartitionDirect]]) and return per-file stats;
+    * the driver folds them into manifest rows. Long wrap-around sums of
+    * the per-file hash partials ARE the mod-2^64 stream sums, so `%016x`
+    * of the raw Long (Java formats negatives as unsigned two's-complement
+    * hex) matches [[statsOf]]'s BigInteger recombination bit-for-bit. */
+  private def directWrite(withChunk0: DataFrame, approxChunks: Int,
+      noShuffle: Boolean): Seq[RangeInfo] = tr("direct_write") {
     // When a small snapshot yields fewer chunks than cores, hash-by-chunk
     // write parallelism is the chunk count; a key-hash salt restores it
-    // (multiple sorted files per range dir — readers take dirs). At scale
+    // (multiple sorted files per range — the manifest lists them). At scale
     // chunks >> cores, the salt degenerates to 1 and ranges stay one file.
     // SPARK_GRAFT_SALT overrides for bench diagnosis only — re-measured at
     // sf0.1/local[32] (median-of-3 within-run ratios): salt 1 (13 tasks,
@@ -979,160 +1068,176 @@ class SnapshotStore(val spark: SparkSession, val repoDir: String,
       case None =>
         math.min(16, math.max(1, parts * 4 / math.max(1, approxChunks)))
     }
-    def stageAll(df: DataFrame, nChunks: Int,
-        obs: Option[org.apache.spark.sql.Observation] = None): Unit = {
-      // noShuffle (aligned commit): scan splits already hold single-chunk
-      // near-sorted runs — skip the exchange and sort LOCALLY only. The
-      // per-partition sort is load-bearing beyond writer grouping: every
-      // data file under a range dir must be key-sorted (EntryIO's walkers
-      // early-exit on it), and the upsert partitions arrive unsorted.
-      val shuffled = if (noShuffle) df.sortWithinPartitions("__chunk", "key") else df
-        .repartition(
+    // noShuffle (aligned commit): scan splits already hold single-chunk
+    // near-sorted runs — skip the exchange and sort LOCALLY only. The
+    // per-partition sort is load-bearing beyond file grouping: every data
+    // file of a range must be key-sorted (EntryIO's walkers early-exit on
+    // it), and the upsert partitions arrive unsorted.
+    val sorted =
+      if (noShuffle) withChunk0.sortWithinPartitions("__chunk", "key")
+      else withChunk0.repartition(
           // salted (few chunks): one partition PER (chunk, salt) group —
           // packing ~2 groups into `parts` partitions made the slowest task
           // a multi-group straggler (measured ~10-15% slower at sf0.1);
           // unsalted (chunks >= cores): one task per missing chunk, capped
-          if (salt > 1) math.min(parts * 4, nChunks * salt)
-          else math.max(1, math.min(nChunks, parts * 4)),
+          if (salt > 1) math.min(parts * 4, approxChunks * salt)
+          else math.max(1, math.min(approxChunks, parts * 4)),
           col("__chunk"), pmod(xxhash64(col("key")), lit(salt)))
         .sortWithinPartitions("__chunk", "key")
-      // the observed stats aggregate sits ABOVE the exchange — result-stage
-      // accumulators are exactly-once; a pre-shuffle placement would
-      // double-count on map-stage resubmission (fetch failure, speculation).
-      // The hash/length inputs are precomputed in a codegen'd projection
-      // (post-sort, so nothing widens the shuffle) and dropped before the
-      // writer: CollectMetrics evaluates its aggregate children INTERPRETED
-      // per row, so feeding it plain column refs instead of xxhash64 trees
-      // keeps the hashing inside whole-stage codegen.
-      obs.fold(shuffled) { o =>
-        shuffled
-          .withColumn("__h1", xxhash64(col("key"), col("identity")))
-          .withColumn("__h2", xxhash64(col("identity"), col("key"), lit("s2")))
-          .withColumn("__vl", (length(col("key")) +
-            coalesce(length(col("identity")), lit(0L))).cast("long"))
-          .observe(o, graft.functions.ChunkStatsAggregator.statsColPre.as("stats"))
-          .drop("__h1", "__h2", "__vl")
-      }
-      .write.mode(SaveMode.Overwrite)
-      // commit algorithm v2: output files move into place at TASK commit
-      // (parallel, on the executors) instead of a serial driver rename loop
-      // at job commit — the staging dir is private to this write and
-      // renamed/deleted atomically afterwards, so v1's job-level atomicity
-      // buys nothing here
-      .option("mapreduce.fileoutputcommitter.algorithm.version", "2")
-      .partitionBy("__chunk")
-      .parquet(stagingPath)
-    }
-
-    // Two independent unreduced 64-bit streams per row — chained multi-arg
-    // xxhash64 (no row-level string concat); stream 2 swaps the argument
-    // order and adds a salt. Each stream sums mod 2^64, carried as separate
-    // hi/lo 32-bit halves in plain long sums: pure codegen'd primitive ops
-    // (a Decimal(38) sum costs a per-row BigDecimal), overflow-free below
-    // 2^31 rows per chunk, recombined exactly on the driver.
-    def statsOf(df: DataFrame): Array[(RangeInfo, Int)] = {
-      val h1e = xxhash64(col("key"), col("identity"))
-      val h2e = xxhash64(col("identity"), col("key"), lit("s2"))
-      def hiLo(e: org.apache.spark.sql.Column, n: String) = Seq(
-        sum(shiftright(e, 32)).as(n + "_hi"),
-        sum(e.bitwiseAND(lit(0xFFFFFFFFL))).as(n + "_lo"))
-      val aggs = hiLo(h1e, "h1") ++ hiLo(h2e, "h2") ++ Seq(
-        min("key").as("min_key"), max("key").as("max_key"),
-        count(lit(1)).as("cnt"),
-        sum(length(col("key")) + coalesce(length(col("identity")), lit(0L))).as("est"))
-      df.groupBy("__chunk").agg(aggs.head, aggs.tail: _*).collect()
-        .map { r =>
-          def hex64(n: String): String = String.format("%016x",
-            java.math.BigInteger.valueOf(r.getAs[Long](n + "_hi")).shiftLeft(32)
-              .add(java.math.BigInteger.valueOf(r.getAs[Long](n + "_lo"))).mod(two64))
-          val rid = hex64("h1") + hex64("h2")
-          (RangeInfo(rid, r.getAs[String]("min_key"), r.getAs[String]("max_key"),
-            r.getAs[Long]("est"), r.getAs[Long]("cnt"), s"$rangesDir/$rid"),
-           r.getAs[Int]("__chunk"))
-        }
-    }
-    // Observed-metrics twin of statsOf: same RangeInfo rows, read from the
-    // CollectMetrics result of the staged write instead of a second job.
-    // Long wrap-around sums ARE the mod-2^64 stream sums, so `%016x` of the
-    // raw Long (Java formats negatives as unsigned two's complement hex)
-    // equals statsOf's BigInteger hi/lo recombination bit-for-bit.
-    def manifestFromObserved(
-        obs: org.apache.spark.sql.Observation): Array[(RangeInfo, Int)] = {
-      val raw = obs.get("stats")
-      raw.asInstanceOf[scala.collection.Seq[Row]].iterator.map { r =>
-        val chunk = r.getInt(0)
-        val rid = String.format("%016x", r.getLong(1)) +
-          String.format("%016x", r.getLong(2))
-        (RangeInfo(rid, r.getString(3), r.getString(4), r.getLong(6),
-          r.getLong(5), s"$rangesDir/$rid"), chunk)
-      }.toArray
-    }
-
-    def renameMissing(missing: Seq[(RangeInfo, Int)]): Unit =
-      tr("renames")(SnapshotStore.inParallel(missing) { case (ri, chunkIdx) =>
-        val src = new Path(s"$stagingPath/__chunk=$chunkIdx")
-        val dest = new Path(ri.path)
-        if (!fs.exists(dest) && !fs.rename(src, dest) && !fs.exists(dest))
-          sys.error(s"range rename failed: $dest")
-      })
-
-    // everything past this point runs under a finally that deletes the
-    // staging dir — stats-agg failures, staged-write failures, and rename
-    // errors must not leak __staging_* dirs under ranges/
-    try {
-      if (eagerStage || freshStore) {
-        // One-pass shapes — a `CollectMetrics` (df.observe) of the typed
-        // per-chunk stats aggregate rides the staged write's RESULT stage
-        // (post-shuffle, exactly-once — see stageAll), so content ids and
-        // manifest stats land with the write itself:
-        //  - commit path (caller hints the chunks are almost certainly
-        //    new): the apply pipeline streams through the single
-        //    shuffle-sort-write pass, no cache materialization, no staged
-        //    readback; chunks whose content address already exists are
-        //    still skipped at rename time;
-        //  - fresh store: every chunk is missing by construction — the
-        //    previous shape ran stats and write as two concurrent jobs
-        //    over the same cached source (wall = max of the two); the
-        //    observed write is ONE job over one scan.
-        val obs = org.apache.spark.sql.Observation(
-          "chunk_stats_" + java.util.UUID.randomUUID())
-        tr("stage_write")(stageAll(withChunk, approxChunks, Some(obs)))
-        val manifest = tr("stats_obs")(manifestFromObserved(obs))
-        if (manifest.isEmpty) return Seq.empty
-        val missing =
-          if (freshStore) manifest.toSeq
-          else SnapshotStore.inParallel(manifest.toSeq) { p =>
-            (p, fs.exists(new Path(p._1.path)))
-          }.collect { case (p, exists) if !exists => p }
-        renameMissing(missing)
-        return manifest.map(_._1).sortBy(_.minKey).toSeq
-      }
-
-      // Existing store, no new-content hint (idempotent re-write of a
-      // snapshot that is mostly already on disk): stats first, then ONLY
-      // chunks whose content-addressed directory doesn't exist are written.
-      // An unchanged chunk costs a hash-agg and nothing else — the
-      // whole-range reuse discipline of the reference's content-addressed
-      // uploads (`pkg/graveler/sstable/writer.go`, `committed/commit.go`).
-      val manifest = tr("stats_agg")(statsOf(withChunk))
-      if (manifest.isEmpty) return Seq.empty
-
-      val missing = SnapshotStore.inParallel(manifest.toSeq) { p =>
-        (p, fs.exists(new Path(p._1.path)))
-      }.collect { case (p, exists) if !exists => p }
-      if (missing.nonEmpty) {
-        // write only the missing chunks; when the filter wouldn't prune
-        // anything (full rewrite) skip it so the scan stays predicate-free
-        val missingIdx = missing.map(_._2)
-        val toWrite =
-          if (missing.length == manifest.length) withChunk
-          else withChunk.where(col("__chunk").isInCollection(missingIdx))
-        stageAll(toWrite, missing.length)
-        renameMissing(missing)
-      }
-      manifest.map(_._1).sortBy(_.minKey).toSeq
-    } finally tr("staging_del")(fs.delete(new Path(stagingPath), true))
+    // hash/length inputs ride a codegen'd projection placed post-sort (so
+    // nothing widens the shuffle) and are dropped before the writer — the
+    // task body reads plain column ordinals instead of evaluating
+    // interpreted expression trees per row
+    val prepared = sorted
+      .withColumn("__h1", xxhash64(col("key"), col("identity")))
+      .withColumn("__h2", xxhash64(col("identity"), col("key"), lit("s2")))
+      .withColumn("__vl", (length(col("key")) +
+        coalesce(length(col("identity")), lit(0L))).cast("long"))
+    val schema = prepared.schema
+    val metaCols = Set("__chunk", "__h1", "__h2", "__vl")
+    val dataFields = schema.fields.zipWithIndex.filterNot(f => metaCols(f._1.name))
+    val dataSchema = org.apache.spark.sql.types.StructType(dataFields.map(_._1))
+    val dataOrdinals = dataFields.map(_._2)
+    val jobTag = java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+    val rangesRoot = rangesDir // local vals: the closure must not capture `this`
+    val confEntries = SnapshotStore.confAsEntries(
+      spark.sparkContext.hadoopConfiguration) ++ parquetWriteConf()
+    val chunkI = schema.fieldIndex("__chunk")
+    val h1I = schema.fieldIndex("__h1")
+    val h2I = schema.fieldIndex("__h2")
+    val vlI = schema.fieldIndex("__vl")
+    val keyI = schema.fieldIndex("key")
+    val fileStats = prepared.queryExecution.toRdd.mapPartitionsWithIndex {
+      (pid, rows) =>
+        if (!rows.hasNext) Iterator.empty
+        else SnapshotStore.writePartitionDirect(rows, pid, jobTag, rangesRoot,
+          confEntries, schema, dataSchema, dataOrdinals,
+          chunkI, h1I, h2I, vlI, keyI)
+    }.collect()
+    fileStats.groupBy(_.chunk).iterator.map { case (chunk, fls) =>
+      val h1 = fls.foldLeft(0L)(_ + _.h1)
+      val h2 = fls.foldLeft(0L)(_ + _.h2)
+      val rid = String.format("%016x", java.lang.Long.valueOf(h1)) +
+        String.format("%016x", java.lang.Long.valueOf(h2))
+      RangeInfo(rid, fls.map(_.minKey).min, fls.map(_.maxKey).max,
+        fls.map(_.est).sum, fls.map(_.cnt).sum,
+        s"$rangesRoot/u$jobTag-$chunk", fls.map(_.file).sorted.toSeq)
+    }.toSeq
   }
+
+  /** Per-chunk manifest stats as ONE aggregation job — the lazy shape's
+    * first pass. Two independent unreduced 64-bit streams per row — chained
+    * multi-arg xxhash64 (no row-level string concat); stream 2 swaps the
+    * argument order and adds a salt. Each stream sums mod 2^64, carried as
+    * separate hi/lo 32-bit halves in plain long sums: pure codegen'd
+    * primitive ops (a Decimal(38) sum costs a per-row BigDecimal),
+    * overflow-free below 2^31 rows per chunk, recombined exactly on the
+    * driver. Returned paths/file-lists are placeholders — the caller takes
+    * location from the marker index or a subsequent [[directWrite]]. */
+  private def statsOf(df: DataFrame): Array[(RangeInfo, Int)] = {
+    val two64 = java.math.BigInteger.ONE.shiftLeft(64)
+    val h1e = xxhash64(col("key"), col("identity"))
+    val h2e = xxhash64(col("identity"), col("key"), lit("s2"))
+    def hiLo(e: org.apache.spark.sql.Column, n: String) = Seq(
+      sum(shiftright(e, 32)).as(n + "_hi"),
+      sum(e.bitwiseAND(lit(0xFFFFFFFFL))).as(n + "_lo"))
+    val aggs = hiLo(h1e, "h1") ++ hiLo(h2e, "h2") ++ Seq(
+      min("key").as("min_key"), max("key").as("max_key"),
+      count(lit(1)).as("cnt"),
+      sum(length(col("key")) + coalesce(length(col("identity")), lit(0L))).as("est"))
+    df.groupBy("__chunk").agg(aggs.head, aggs.tail: _*).collect()
+      .map { r =>
+        def hex64(n: String): String = String.format("%016x",
+          java.math.BigInteger.valueOf(r.getAs[Long](n + "_hi")).shiftLeft(32)
+            .add(java.math.BigInteger.valueOf(r.getAs[Long](n + "_lo"))).mod(two64))
+        val rid = hex64("h1") + hex64("h2")
+        (RangeInfo(rid, r.getAs[String]("min_key"), r.getAs[String]("max_key"),
+          r.getAs[Long]("est"), r.getAs[Long]("cnt"), s"$rangesDir/$rid"),
+         r.getAs[Int]("__chunk"))
+      }
+  }
+
+  /** SQL write-side settings Spark's ParquetWriteSupport.init reads from
+    * the task's Hadoop conf, mirrored from this session so direct task
+    * writes encode exactly what a DataFrameWriter would. */
+  private def parquetWriteConf(): Array[(String, String)] = {
+    import org.apache.spark.sql.internal.SQLConf
+    val c = spark.sessionState.conf
+    Array(
+      SQLConf.PARQUET_WRITE_LEGACY_FORMAT.key,
+      SQLConf.PARQUET_OUTPUT_TIMESTAMP_TYPE.key,
+      SQLConf.PARQUET_FIELD_ID_WRITE_ENABLED.key,
+      SQLConf.PARQUET_REBASE_MODE_IN_WRITE.key,
+      SQLConf.PARQUET_INT96_REBASE_MODE_IN_WRITE.key,
+      SQLConf.PARQUET_ANNOTATE_VARIANT_LOGICAL_TYPE.key,
+      SQLConf.SESSION_LOCAL_TIMEZONE.key
+    ).map(k => k -> c.getConfString(k))
+  }
+
+  private def markerDir = s"$rangesDir/_idx"
+  private def markerPath(rid: String) = new Path(s"$markerDir/$rid")
+
+  /** Read and validate `rid`'s content marker. A torn marker (crashed
+    * publisher on a posix store) or one whose target a sweep already
+    * removed reads as ABSENT — the caller then writes fresh data, never
+    * adopting a dangle. */
+  private def readMarker(rid: String): Option[(String, Seq[String])] =
+    try {
+      val p = markerPath(rid)
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        val txt =
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        val n = SnapshotStore.mapper.readTree(txt)
+        val fn = n.get("files")
+        val files = (0 until fn.size).map(i => fn.get(i).asText())
+        if (files.isEmpty || !fs.exists(new Path(files.head))) None
+        else Some((n.get("path").asText(), files))
+      }
+    } catch { case _: Exception => None }
+
+  /** Publish content markers for freshly written ranges, create-if-absent
+    * (single small PUT — no rename; bounded by
+    * [[SnapshotStore.maxMarkers]]). A loser of the publish race deletes
+    * its duplicate directory and adopts the winner's files — same content
+    * by construction (ids hash key+identity) — so concurrent identical
+    * writes converge to one stored copy, preserving the old
+    * rename-time-skip storage dedup. */
+  private def publishMarkers(infos: Seq[RangeInfo]): Seq[RangeInfo] = {
+    if (infos.isEmpty || infos.lengthCompare(SnapshotStore.maxMarkers) > 0)
+      return infos
+    tr("marker_put")(SnapshotStore.inParallel(infos) { ri =>
+      if (writeMarkerIfAbsent(ri)) ri
+      else readMarker(ri.rangeId) match {
+        case Some((path, files)) if files != ri.files =>
+          // duplicate bytes: nothing references ours yet (the caller writes
+          // the manifest AFTER this returns), so drop them and adopt
+          try fs.delete(new Path(ri.path), true)
+          catch { case _: Exception => () }
+          ri.copy(path = path, files = files)
+        case _ => ri // unreadable marker: keep our own copy, never dangle
+      }
+    })
+  }
+
+  /** True iff this call created the marker. Any failure (already exists,
+    * unwritable) reads as a lost race — the caller keeps its own copy. */
+  private def writeMarkerIfAbsent(ri: RangeInfo): Boolean =
+    try {
+      fs.mkdirs(new Path(markerDir))
+      val out = fs.create(markerPath(ri.rangeId), false)
+      try {
+        val n = SnapshotStore.mapper.createObjectNode()
+        n.put("path", ri.path)
+        val arr = n.putArray("files")
+        ri.files.foreach(arr.add)
+        out.write(SnapshotStore.mapper.writeValueAsString(n)
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      } finally out.close()
+      true
+    } catch { case _: Exception => false }
 
   private def writeManifest(metaRangeId: String, infos: Seq[RangeInfo]): Unit = {
     val p = new Path(manifestDir(metaRangeId))
@@ -1150,6 +1255,111 @@ object SnapshotStore {
   /** Concurrent range-upload width, the reference's default of 10 parallel
     * committed-writer uploaders (`pkg/config/defaults.go:91`). */
   val ioParallelism = 10
+
+  /** Largest per-write chunk count that still publishes content markers —
+    * past it (import scale) the metadata PUT per range buys near-zero
+    * reuse probability. */
+  val maxMarkers = 4096
+
+  /** Per-file write stats a direct-write task returns: the job result IS
+    * the manifest input (exactly-once per partition by Spark's result
+    * semantics — a speculative loser's file is never referenced). */
+  private[store] case class FileStat(chunk: Int, file: String, h1: Long,
+      h2: Long, minKey: String, maxKey: String, cnt: Long, est: Long)
+
+  /** Ship the driver's effective Hadoop conf as plain entries —
+    * Configuration itself isn't closure-serializable, and executors must
+    * see the same credentials/endpoints/fs.* settings the driver resolved. */
+  private[store] def confAsEntries(
+      conf: org.apache.hadoop.conf.Configuration): Array[(String, String)] = {
+    val it = conf.iterator()
+    val buf = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    while (it.hasNext) { val e = it.next(); buf += ((e.getKey, e.getValue)) }
+    buf.toArray
+  }
+
+  /** parquet-mr writer builder over Spark's own InternalRow WriteSupport —
+    * the identical encoder a DataFrameWriter uses, minus the
+    * FileOutputCommitter: files stream to their FINAL names, one PUT each. */
+  private[store] final class InternalRowParquetBuilder(path: Path)
+      extends org.apache.parquet.hadoop.ParquetWriter.Builder[
+        org.apache.spark.sql.catalyst.InternalRow, InternalRowParquetBuilder](path) {
+    override protected def self(): InternalRowParquetBuilder = this
+    override protected def getWriteSupport(
+        conf: org.apache.hadoop.conf.Configuration)
+        : org.apache.parquet.hadoop.api.WriteSupport[
+          org.apache.spark.sql.catalyst.InternalRow] =
+      new org.apache.spark.sql.execution.datasources.parquet.ParquetWriteSupport()
+  }
+
+  /** Executor body of the direct range write: stream sorted (__chunk, key)
+    * runs into one Parquet file per chunk run, under final names — rename-
+    * free by construction. Constant memory: one open writer at a time
+    * (chunk runs are contiguous after the partition sort). */
+  private[store] def writePartitionDirect(
+      rows: Iterator[org.apache.spark.sql.catalyst.InternalRow],
+      pid: Int, jobTag: String, rangesRoot: String,
+      confEntries: Array[(String, String)],
+      schema: org.apache.spark.sql.types.StructType,
+      dataSchema: org.apache.spark.sql.types.StructType,
+      dataOrdinals: Array[Int],
+      chunkI: Int, h1I: Int, h2I: Int, vlI: Int, keyI: Int)
+      : Iterator[FileStat] = {
+    import org.apache.spark.sql.catalyst.expressions.{BoundReference, UnsafeProjection}
+    val conf = new org.apache.hadoop.conf.Configuration()
+    confEntries.foreach { case (k, v) => conf.set(k, v) }
+    org.apache.spark.sql.execution.datasources.parquet.ParquetWriteSupport
+      .setSchema(dataSchema, conf)
+    // codegen'd narrow copy dropping the meta columns; the writer consumes
+    // each projected row before the next iteration reuses the buffer
+    val proj = UnsafeProjection.create(dataOrdinals.toIndexedSeq.map(i =>
+      BoundReference(i, schema(i).dataType, nullable = true)))
+    val attempt = Option(org.apache.spark.TaskContext.get())
+      .map(_.taskAttemptId()).getOrElse(0L)
+    val out = scala.collection.mutable.ArrayBuffer[FileStat]()
+    var writer: org.apache.parquet.hadoop.ParquetWriter[
+      org.apache.spark.sql.catalyst.InternalRow] = null
+    var cur = Int.MinValue
+    var file: String = null
+    var h1 = 0L; var h2 = 0L; var cnt = 0L; var est = 0L
+    var minKey: String = null
+    var lastKey: org.apache.spark.unsafe.types.UTF8String = null
+    def closeCurrent(): Unit = if (writer != null) {
+      writer.close()
+      out += FileStat(cur, file, h1, h2, minKey, lastKey.toString, cnt, est)
+      writer = null
+    }
+    try {
+      while (rows.hasNext) {
+        val row = rows.next()
+        val c = row.getInt(chunkI)
+        if (c != cur || writer == null) {
+          closeCurrent()
+          cur = c
+          file = s"$rangesRoot/u$jobTag-$c/p$pid-a$attempt.parquet"
+          writer = new InternalRowParquetBuilder(new Path(file))
+            .withConf(conf)
+            .withCompressionCodec(
+              org.apache.parquet.hadoop.metadata.CompressionCodecName.SNAPPY)
+            // OVERWRITE, not CREATE: file names are attempt-unique, so a
+            // conditional create buys nothing and costs a precondition
+            // round-trip per file on conditional-PUT object stores
+            .withWriteMode(org.apache.parquet.hadoop.ParquetFileWriter.Mode.OVERWRITE)
+            .build()
+          h1 = 0L; h2 = 0L; cnt = 0L; est = 0L
+          minKey = row.getUTF8String(keyI).toString
+        }
+        h1 += row.getLong(h1I) // wrap-around sums ARE the mod-2^64 streams
+        h2 += row.getLong(h2I)
+        est += row.getLong(vlI)
+        cnt += 1
+        lastKey = row.getUTF8String(keyI).clone()
+        writer.write(proj(row))
+      }
+      closeCurrent()
+    } finally if (writer != null) writer.close() // error path only (see guard)
+    out.iterator
+  }
 
   /** Shared bounded pool for per-chunk metadata I/O (exists probes, renames)
     * and the fresh-store eager staged write. Daemon threads — never blocks
@@ -1177,14 +1387,35 @@ object SnapshotStore {
 
   // jackson (on the Spark classpath) handles key escaping; keys are
   // arbitrary user paths so hand-rolled formats would be fragile
-  private val mapper = new ObjectMapper()
+  private[store] val mapper = new ObjectMapper()
 
-  /** One JSON object per line; write-to-temp + rename for atomicity. */
+  /** Last two path components — the join key fsck matches against
+    * `input_file_name()` (sidesteps URI-qualification differences). */
+  private[store] def pathTail2(p: String): String = {
+    val parts = p.split('/')
+    parts.takeRight(2).mkString("/")
+  }
+
+  /** One JSON object per line. Atomicity is capability-gated
+    * ([[FsCaps.atomicRename]]): write-to-temp + rename where rename is
+    * atomic (posix/HDFS); on object stores a DIRECT create-if-absent —
+    * PUT visibility is already atomic there, and rename would be a
+    * copy+delete. Manifests are content-addressed, so a lost create race
+    * means identical bytes already landed. */
   private[store] def writeManifestFile(fs: FileSystem, p: Path,
       infos: Seq[RangeInfo]): Unit = {
-    val tmp = new Path(p.getParent, p.getName + s".tmp_${java.util.UUID.randomUUID()}")
+    val atomicRename = FsCaps.atomicRename(fs)
+    val target =
+      if (atomicRename)
+        new Path(p.getParent, p.getName + s".tmp_${java.util.UUID.randomUUID()}")
+      else p
     fs.mkdirs(p.getParent)
-    val out = fs.create(tmp, true)
+    val out =
+      try fs.create(target, atomicRename)
+      catch {
+        // direct mode, already created by a racing identical writer: done
+        case _: java.io.IOException if !atomicRename && fs.exists(p) => return
+      }
     try {
       val w = new java.io.BufferedWriter(
         new java.io.OutputStreamWriter(out, java.nio.charset.StandardCharsets.UTF_8))
@@ -1193,11 +1424,15 @@ object SnapshotStore {
         n.put("rangeId", ri.rangeId); n.put("minKey", ri.minKey)
         n.put("maxKey", ri.maxKey); n.put("estimatedSize", ri.estimatedSize)
         n.put("count", ri.count); n.put("path", ri.path)
+        if (ri.files.nonEmpty) {
+          val arr = n.putArray("files")
+          ri.files.foreach(arr.add)
+        }
         w.write(mapper.writeValueAsString(n)); w.write('\n')
       }
       w.flush()
     } finally out.close()
-    if (!fs.rename(tmp, p) && !fs.exists(p))
+    if (atomicRename && !fs.rename(target, p) && !fs.exists(p))
       sys.error(s"manifest rename failed: $p")
   }
 
@@ -1209,9 +1444,13 @@ object SnapshotStore {
       Iterator.continually(r.readLine()).takeWhile(_ != null)
         .filter(_.nonEmpty).map { line =>
           val n = mapper.readTree(line)
+          val files =
+            if (n.has("files"))
+              (0 until n.get("files").size).map(i => n.get("files").get(i).asText())
+            else Seq.empty[String]
           RangeInfo(n.get("rangeId").asText(), n.get("minKey").asText(),
             n.get("maxKey").asText(), n.get("estimatedSize").asLong(),
-            n.get("count").asLong(), n.get("path").asText())
+            n.get("count").asLong(), n.get("path").asText(), files)
         }.toVector
     } finally in.close()
   }

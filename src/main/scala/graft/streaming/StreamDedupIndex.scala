@@ -85,6 +85,65 @@ object StreamDedupIndex {
       }
   }
 
+  /** Production sink (r12 verdict task 5): run the match stream into a
+    * durable EXACTLY-ONCE match table under `outDir`. Per micro-batch,
+    * foreachBatch (a) drops the per-band duplicate emissions (a pair
+    * colliding in k bands arrives k times as identical rows), then
+    * (b) writes the batch to its own `batch=<id>` directory and records
+    * the id in a commit MARKER afterwards — the
+    * [[graft.sources.GraftStreamingWrite]] epoch-replay discipline: a
+    * post-crash replay of the same batch id overwrites the (possibly
+    * partial) data dir and re-creates the marker, and [[matchTable]]
+    * reads ONLY marker-committed directories, so a crash between data and
+    * marker is invisible and a replay is idempotent. State (the band
+    * index) restores from the checkpoint, so matches never re-emit for
+    * batches the checkpoint already committed. */
+  def run(docs: DataFrame, outDir: String, checkpointDir: String,
+      maxPerBucket: Int = 256): org.apache.spark.sql.streaming.StreamingQuery =
+    matches(docs, maxPerBucket).writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[MatchRow], batchId: Long) =>
+        val sess = batch.sparkSession
+        val conf = sess.sparkContext.hadoopConfiguration
+        val fs = new org.apache.hadoop.fs.Path(outDir).getFileSystem(conf)
+        val marker = new org.apache.hadoop.fs.Path(
+          s"$outDir/_committed/$batchId")
+        if (!fs.exists(marker)) {
+          batch.dropDuplicates("doc_id", "matched_doc", "n_eq")
+            .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+          fs.mkdirs(marker.getParent)
+          // create-if-absent: a concurrent replay racing this write keeps
+          // one marker; content-free — the marker IS the commit record
+          try fs.create(marker, false).close()
+          catch { case _: java.io.IOException => () }
+        }
+        ()
+      }
+      .start()
+
+  /** The durable match table `run` maintains: the union of COMMITTED batch
+    * directories (marker-gated — a crashed batch's partial data dir is
+    * never read). Empty-schema'd when nothing committed yet. */
+  def matchTable(sess: org.apache.spark.sql.SparkSession,
+      outDir: String): DataFrame = {
+    import sess.implicits._
+    val conf = sess.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(s"$outDir/_committed")
+    val fs = root.getFileSystem(conf)
+    val committed =
+      if (!fs.exists(root)) Seq.empty[String]
+      else fs.listStatus(root).map(_.getPath.getName).toSeq
+    val dirs = committed.map(b => s"$outDir/batch=$b")
+      .filter(d => fs.exists(new org.apache.hadoop.fs.Path(d)))
+    if (dirs.isEmpty)
+      Seq.empty[(Long, Long, Int)].toDF("doc_id", "matched_doc", "n_eq")
+    // explicit schema: a committed EMPTY batch writes only _SUCCESS, and
+    // schema inference would refuse a fileless directory
+    else sess.read.schema("doc_id LONG, matched_doc LONG, n_eq INT")
+      .parquet(dirs: _*)
+  }
+
   /** Per-doc best historical match over a COMPLETE match table — the
     * batch query's aggregation shape, for foreachBatch consumers and the
     * equality spec. `minNEq` mirrors the batch threshold. */

@@ -235,8 +235,11 @@ class GatewayHttpSpec extends SparkSpec {
 
   test("ListObjectsV2 over HTTP: ListBucketResult XML with rolled-up " +
       "prefixes and keys") {
+    // prefix main/data/k: the committed fixture keys only — the listing
+    // now includes staged uploads (reference listobjects semantics), and
+    // earlier tests of this suite stage objects under main/data/
     val (st, _, body) = send("GET", "/repo1/",
-      Seq("list-type" -> "2", "prefix" -> "main/data/", "delimiter" -> "/",
+      Seq("list-type" -> "2", "prefix" -> "main/data/k", "delimiter" -> "/",
         "max-keys" -> "5"))
     assert(st === 200)
     val xml = bodyStr(body)

@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.store._
+import graft.store.Rbac.{Policy, Statement}
+
+/**
+ * The verdict-r12 task-3 end-to-end: a SECOND engine whose committed range
+ * data lives behind [[GatewayHttp]]'s S3 wire (via
+ * [[graft.sources.S3WireFileSystem]] `gws://`), refs CAS through
+ * [[HttpEtagBlob]] over real HTTP — the reference's production split
+ * (sstables in a bucket through `pkg/block/s3/adapter.go`, refs in KV),
+ * with the embedded gateway standing in for the bucket. Every range byte
+ * of the outer engine travels HTTP PUT/GET/HEAD/List/Delete; the
+ * rename-free write path from task 1 runs under real wire latency.
+ */
+class GatewayStoreSpec extends SparkSpec {
+  import org.apache.spark.sql.DataFrame
+
+  private def rows(n: Int, salt: String = ""): DataFrame = {
+    import spark.implicits._
+    (1 to n).map(i => (f"k$i%06d", s"v$salt$i")).toDF("key", "identity")
+  }
+
+  /** Inner engine + gateway + signed HTTP server; returns the gws:// data
+    * root for the OUTER engine and the refs-CAS endpoint. */
+  private lazy val fixture = {
+    val bucket = s"hbucket${scala.util.Random.nextInt(1 << 24)}"
+    val inner = new Engine(spark,
+      java.nio.file.Files.createTempDirectory("gwstore-inner").toString,
+      raggedness = 100)
+    inner.init("main")
+    val gw = new Gateway(inner)
+    val a = new AuthService(java.nio.file.Files
+      .createTempDirectory("gwstore-auth").toString)
+    a.createUser("writer")
+    a.writePolicy(Policy("rw", Seq(
+      Statement("allow",
+        Seq("fs:ReadObject", "fs:WriteObject", "fs:DeleteObject",
+          "fs:ListObjects", "fs:ReadRepository"),
+        s"arn:lakefs:fs:::repository/$bucket*"))))
+    a.attachPolicyToUser("rw", "writer")
+    val c = a.createCredentials("writer")
+    val blockRoot = java.nio.file.Files.createTempDirectory("gwstore-blocks")
+    val hub = new GatewayHub(Map(
+      bucket -> ((gw, System.currentTimeMillis() / 1000 - 86400L))))
+    val http = new GatewayHttp(hub, new GatewayAuth(a), a,
+      Seq("localhost"), blockRoot)
+    val port = http.start()
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.gws.impl", classOf[graft.sources.S3WireFileSystem].getName)
+    conf.set("graft.gws.endpoint", s"localhost:$port")
+    conf.set("graft.gws.access", c.accessKeyId)
+    conf.set("graft.gws.secret", c.secretAccessKey)
+    val etag = new FakeEtagServer
+    val etagPort = etag.start()
+    (s"gws://$bucket/main/store", s"http://localhost:$etagPort", inner, bucket)
+  }
+
+  test("engine lifecycle with range data behind the S3 gateway: init → " +
+      "stage → commit → diff → branch → merge → gc over HTTP wire bytes") {
+    import spark.implicits._
+    val (dataRoot, etagEndpoint, inner, _) = fixture
+    val repoDir = tmpDir("gwstore-refs")
+    val eng = new Engine(spark, repoDir, raggedness = 100,
+      conditional = new EtagStore(new HttpEtagBlob(
+        java.net.URI.create(etagEndpoint))),
+      snapshotDir = Some(dataRoot))
+
+    val c1 = eng.init("main", Some(rows(1200)))
+    // range files + manifests are OBJECTS in the inner repo, not local files
+    val objects = inner.list("main", prefix = "store/").select("key")
+      .as[String].collect()
+    assert(objects.exists(_.contains("/ranges/u")),
+      s"range files must live behind the gateway, saw ${objects.take(3).toSeq}")
+    assert(objects.exists(_.contains("/manifests/")),
+      "manifests must live behind the gateway")
+    assert(!new java.io.File(s"$repoDir/ranges").exists,
+      "no range data may land beside the local refs")
+
+    eng.stage("main", Seq(
+      ("k000010", "V2"),
+      ("k000020", null.asInstanceOf[String]),
+      ("k999999", "NEW")).toDF("key", "identity"))
+    val c2 = eng.commit("main", "t", "edit over http")
+    val d = eng.diff(c1.commitId, c2.commitId)
+      .select("key", "diff_type").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(d === Set(("k000010", "changed"), ("k000020", "removed"),
+      ("k999999", "added")))
+
+    eng.createBranch("feature", c1.commitId)
+    eng.stage("feature", Seq(("k000030", "F1")).toDF("key", "identity"))
+    eng.commit("feature", "t", "feature edit")
+    eng.merge("feature", "main", "t", "merge feature")
+    val merged = eng.list("main").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(merged("k000030") === "F1" && merged("k000010") === "V2" &&
+      !merged.contains("k000020") && merged("k999999") === "NEW")
+
+    // job-free point get: manifest seek + ranged GETs over the wire
+    assert(eng.get("main", "k000030").map(_.getString(1)) === Some("F1"))
+
+    // GC over the HTTP store: expire the pre-rewrite ranges, sweep DELETEs
+    // the dead objects, live data survives
+    eng.stage("main", rows(1200, salt = "v3"))
+    eng.commit("main", "t", "rewrite")
+    eng.refs.setGcRules(defaultRetentionDays = 0)
+    val (nDeleted, _) = eng.gcRun("http-run",
+      nowSecs = System.currentTimeMillis() / 1000 + 1000000)
+    assert(nDeleted > 0, "expired ranges must sweep over the gateway")
+    assert(eng.list("main").count() === 1201) // 1200 − removed + NEW + merged
+    assert(eng.get("main", "k999999").isDefined)
+  }
+}

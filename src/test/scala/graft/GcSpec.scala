@@ -15,6 +15,13 @@ class GcSpec extends SparkSpec {
     (1 to n).map(i => (f"k$i%06d", s"id$i$salt")).toDF("key", "identity")
   }
 
+  /** Dir basenames of a manifest subset — the GC address unit on the
+    * rename-free layout (dir names are job-scoped, not content ids). */
+  private def dirsOf(infos: Seq[graft.core.Model.RangeInfo],
+      rids: Set[String] = Set.empty): Set[String] =
+    infos.filter(ri => rids.isEmpty || rids(ri.rangeId))
+      .map(ri => ri.path.substring(ri.path.lastIndexOf('/') + 1)).toSet
+
   test("gcRun expires old commits, protects heads/tags/uncommitted, writes sinks") {
     import spark.implicits._
     val dir = tmpDir("gcrun")
@@ -25,9 +32,11 @@ class GcSpec extends SparkSpec {
     val c1 = eng.init("main", Some(rows(500)))
     eng.stage("main", rows(500, salt = "v2"))
     val c2 = eng.commit("main", "t", "rewrite")
-    val c1Ranges = eng.snapshots.readManifest(c1.metaRangeId).map(_.rangeId).toSet
-    val c2Ranges = eng.snapshots.readManifest(c2.metaRangeId).map(_.rangeId).toSet
-    val onlyC1 = c1Ranges.diff(c2Ranges)
+    val c1Infos = eng.snapshots.readManifest(c1.metaRangeId)
+    val c2Infos = eng.snapshots.readManifest(c2.metaRangeId)
+    val c1Ranges = c1Infos.map(_.rangeId).toSet
+    val c2Ranges = c2Infos.map(_.rangeId).toSet
+    val onlyC1 = dirsOf(c1Infos).diff(dirsOf(c2Infos))
     assert(onlyC1.nonEmpty)
 
     // a tagged commit keeps its data whatever the cutoff says
@@ -41,12 +50,12 @@ class GcSpec extends SparkSpec {
     eng.stage("wip", Seq(("k000001", "WIP")).toDF("key", "identity"))
     val compactedMeta = eng.compact("wip")
     eng.stage("wip", Seq(("k000002", "WIP2")).toDF("key", "identity"))
-    val compactedRanges = eng.snapshots.readManifest(compactedMeta).map(_.rangeId).toSet
+    val compactedDirs = dirsOf(eng.snapshots.readManifest(compactedMeta))
 
     // an orphan snapshot nobody references — must be swept
     val (_, orphanInfos) = storeB.writeSnapshot(rows(80, salt = "orphan"))
-    val orphanOnly = orphanInfos.map(_.rangeId).toSet
-      .diff(c1Ranges ++ c2Ranges ++ compactedRanges ++ tagInfos.map(_.rangeId))
+    val orphanOnly = dirsOf(orphanInfos)
+      .diff(dirsOf(c1Infos) ++ dirsOf(c2Infos) ++ compactedDirs ++ dirsOf(tagInfos))
     assert(orphanOnly.nonEmpty)
 
     // retention: 0 days, "now" far in the future => every commit is older
@@ -60,15 +69,16 @@ class GcSpec extends SparkSpec {
     val left = new org.apache.hadoop.fs.Path(s"$dir/ranges")
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
-    val remaining = fs.listStatus(left).map(_.getPath.getName).toSet
+    val remaining = fs.listStatus(left).map(_.getPath.getName)
+      .filterNot(_.startsWith("_")).toSet
 
     // expired c1-only ranges and the orphan are gone
     assert(onlyC1.intersect(remaining).isEmpty, "expired ranges must be swept")
     assert(orphanOnly.intersect(remaining).isEmpty, "orphan ranges must be swept")
     // head, tag, and uncommitted compacted base survive
-    assert(c2Ranges.subsetOf(remaining), "head ranges must survive")
-    assert(tagInfos.map(_.rangeId).toSet.subsetOf(remaining), "tagged ranges must survive")
-    assert(compactedRanges.subsetOf(remaining), "compacted-base ranges must survive")
+    assert(dirsOf(c2Infos).subsetOf(remaining), "head ranges must survive")
+    assert(dirsOf(tagInfos).subsetOf(remaining), "tagged ranges must survive")
+    assert(compactedDirs.subsetOf(remaining), "compacted-base ranges must survive")
 
     // the head still scans fully, and the wip listing still overlays staging
     assert(eng.list("main").count() === 500)
@@ -105,7 +115,7 @@ class GcSpec extends SparkSpec {
     eng.commit("feat", "t", "feat step 2")
     eng.merge("feat", "main", "t", "merge feat", graft.core.Model.StrategySourceWins)
     eng.deleteBranch("feat") // cf1 now reachable only via the merge's 2nd parent
-    val cf1Ranges = eng.snapshots.readManifest(cf1.metaRangeId).map(_.rangeId).toSet
+    val cf1Dirs = dirsOf(eng.snapshots.readManifest(cf1.metaRangeId))
 
     // cutoff in the past: EVERYTHING is inside retention - nothing may sweep
     eng.refs.setGcRules(0)
@@ -114,7 +124,7 @@ class GcSpec extends SparkSpec {
       new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
     val remaining = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/ranges"))
       .map(_.getPath.getName).toSet
-    assert(cf1Ranges.subsetOf(remaining),
+    assert(cf1Dirs.subsetOf(remaining),
       "within-retention second-parent lineage must survive the sweep")
   }
 

@@ -1,0 +1,71 @@
+package graft
+
+import java.net.URI
+import org.apache.hadoop.fs.{FileUtil, Path, RawLocalFileSystem}
+
+/**
+ * S3A-shaped FileSystem shim for object-store-honesty tests: `rename` is a
+ * COPY + DELETE (non-atomic, 2x write amplification — exactly what `s3a://`
+ * does under the hood), and every rename is recorded so tests can assert
+ * the store's DATA path (`/ranges/`) never triggers one. The scheme is in
+ * [[graft.store.FsCaps]]' rename-free set, so the store's metadata writers
+ * (manifests, staged epoch files) take their direct-PUT shapes against it.
+ *
+ * Reference envelope: the Go writer uploads ranges once under their content
+ * hash with no rename anywhere (`pkg/graveler/sstable/writer.go`,
+ * `committed/batch_write_closer.go`); Spark-framework committer renames
+ * (staging epoch ingest, GC report sinks) are the deployment's committer
+ * choice — on real s3a one plugs the zero-rename S3A committer — and are
+ * therefore allowed here, but counted.
+ */
+class NoRenameFileSystem extends RawLocalFileSystem {
+  override def getScheme: String = "norename"
+  override def getUri: URI = URI.create("norename:///")
+
+  // RawLocal's DeprecatedRawLocalFileStatus lazy-loads permissions via
+  // `new File(uri)`, which rejects any scheme but "file" — return statuses
+  // with permissions pre-resolved so nothing lazy-loads
+  private def solid(st: org.apache.hadoop.fs.FileStatus)
+      : org.apache.hadoop.fs.FileStatus =
+    new org.apache.hadoop.fs.FileStatus(st.getLen, st.isDirectory,
+      st.getReplication, st.getBlockSize, st.getModificationTime,
+      st.getAccessTime,
+      org.apache.hadoop.fs.permission.FsPermission.getFileDefault, "", "",
+      st.getPath)
+
+  override def getFileStatus(p: Path): org.apache.hadoop.fs.FileStatus =
+    solid(super.getFileStatus(p))
+
+  override def listStatus(p: Path): Array[org.apache.hadoop.fs.FileStatus] =
+    super.listStatus(p).map(solid)
+
+  override def rename(src: Path, dst: Path): Boolean = {
+    NoRenameFileSystem.record(src.toString, dst.toString)
+    if (!exists(src)) return false
+    if (exists(dst)) return false
+    val ok = FileUtil.copy(this, src, this, dst, false, getConf)
+    if (ok) delete(src, true)
+    ok
+  }
+}
+
+object NoRenameFileSystem {
+  private val renameLog =
+    new java.util.concurrent.ConcurrentLinkedQueue[(String, String)]()
+
+  private[graft] def record(src: String, dst: String): Unit =
+    renameLog.add((src, dst))
+
+  def renames: Seq[(String, String)] = {
+    import scala.jdk.CollectionConverters._
+    renameLog.asScala.toSeq
+  }
+
+  /** Renames whose source or destination lies under a repo's ranges/ tree —
+    * the set the rename-free data path must keep EMPTY. */
+  def rangeRenames: Seq[(String, String)] =
+    renames.filter { case (s, d) =>
+      s.contains("/ranges/") || d.contains("/ranges/") }
+
+  def reset(): Unit = renameLog.clear()
+}

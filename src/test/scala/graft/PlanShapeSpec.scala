@@ -122,7 +122,11 @@ class PlanShapeSpec extends SparkSpec {
     "vc_gc_incremental",
     // release-delta dedup: identity classify is a key equi-join, then the
     // delta x carried candidates ride band equi-joins — never all-pairs
-    "td_release_dedup")
+    "td_release_dedup",
+    // HTML extraction family: one codegen'd projection per doc (regexp +
+    // higher-order array ops), zero joins; link_density adds posexplode
+    // (still map-side); the gopher composition is projection-only too
+    "td_extract", "td_link_density", "td_extract_gopher")
 
   test("LSH scale paths contain no all-pairs join") {
     scalePaths.foreach { name =>

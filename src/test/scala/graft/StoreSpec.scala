@@ -912,24 +912,30 @@ class StoreSpec extends SparkSpec {
     assert(all.nonEmpty && all.forall(_.getAs[String]("status") == "ok"))
 
     val manifest = eng.getMetaRange(eng.resolveCommit("main").metaRangeId)
-    // delete one range dir -> missing
+    // delete one range dir -> missing (membership is manifest-defined, so
+    // every listed file of the victim vanishes)
     val victim = manifest.head
     val vPath = new org.apache.hadoop.fs.Path(victim.path)
     val hfs = vPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     hfs.delete(vPath, true)
-    // copy a foreign part file into another range dir -> count mismatch
+    // corrupt a REFERENCED file of another range: overwrite it with a donor
+    // range's part file — the foreign rows flip the count and/or push keys
+    // outside the declared [minKey, maxKey]. (A foreign file merely DROPPED
+    // into the dir is no longer corruption: the manifest's file list, not
+    // the listing, defines membership on the rename-free layout.)
     val donor = manifest(1); val target = manifest(2)
-    val part = hfs.listStatus(new org.apache.hadoop.fs.Path(donor.path))
-      .map(_.getPath).find(_.getName.endsWith(".parquet")).get
-    org.apache.hadoop.fs.FileUtil.copy(hfs, part, hfs,
-      new org.apache.hadoop.fs.Path(target.path, "zz-" + part.getName),
+    val donorFile = new org.apache.hadoop.fs.Path(donor.files.head)
+    val targetFile = new org.apache.hadoop.fs.Path(target.files.head)
+    hfs.delete(targetFile, false)
+    org.apache.hadoop.fs.FileUtil.copy(hfs, donorFile, hfs, targetFile,
       false, spark.sparkContext.hadoopConfiguration)
 
     val report = eng.fsck("main").collect()
       .map(r => r.getAs[String]("range_id") -> r.getAs[String]("status")).toMap
     assert(report(victim.rangeId) === "missing")
     assert(report(donor.rangeId) === "ok")
-    assert(report(target.rangeId) === "count_mismatch")
+    assert(Set("count_mismatch", "key_out_of_bounds")(report(target.rangeId)),
+      s"corrupted range must be diagnosed, got ${report(target.rangeId)}")
   }
 
   test("physical-address linking: signed token round-trip, forgery/expiry rejected") {
