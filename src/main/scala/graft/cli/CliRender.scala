@@ -209,6 +209,63 @@ object CliRender {
     else
       s"${ljust(pathType, 12)}    ${" " * 44}    $path\n"
 
+  /** `lakectl fs download` (cmd/fs_download.go:66). */
+  def renderDownload(remote: String, dest: String): String =
+    s"download: $remote to $dest\n"
+
+  /** `lakectl import` completion block (cmd/import.go +
+    * lakectl_import.golden / lakectl_import_with_message.golden). */
+  def renderImport(nObjects: Long, branch: String, c: CommitInfo): String =
+    s"""Import of $nObjects object(s) into "$branch" completed.""" + "\n" +
+      s"MetaRange ID: ${c.metaRangeId}\n" +
+      s"Commit ID: ${c.commitId}\n" +
+      s"Message: ${c.message}\n" +
+      s"Timestamp: ${fmtDate(c.creationDate)}\n" +
+      s"Parents: ${c.parents.mkString(", ")}\n"
+
+  /** `lakectl auth users create` (cmd/auth_users_create.go
+    * userCreatedTemplate + lakectl_auth_users_create_success.golden). */
+  def renderUserCreated(id: String, createdAtEpochSec: Long): String =
+    "User created successfully.\n" +
+      s"ID: $id\n" +
+      s"Creation Date: ${fmtDate(createdAtEpochSec)}\n"
+
+  /** One `lakectl auth users list` row
+    * (lakectl_auth_users_list_with_prefix.golden: id, gutter, date). */
+  def renderUserListLine(id: String, createdAtEpochSec: Long): String =
+    s"$id    ${fmtDate(createdAtEpochSec)}\n"
+
+  /** `lakectl tag show` (lakectl_tag_show.golden: name SPACE commit id —
+    * unlike the TAB-joined tag LIST rows). */
+  def renderTagShow(tag: String, commitId: String): String =
+    s"$tag $commitId\n"
+
+  /** `lakectl show commit` (cmd/show.go + lakectl_show_commit.golden /
+    * lakectl_show_commit_metarange.golden): leading blank line, aligned
+    * field block, blank line, TAB-indented message. */
+  def renderShowCommit(c: CommitInfo, withMetaRange: Boolean = false): String =
+    "\n" +
+      s"ID:            ${c.commitId}\n" +
+      s"Author:        ${c.committer}\n" +
+      s"Date:          ${fmtDate(c.creationDate)}\n" +
+      (if (withMetaRange) s"Meta Range ID: ${c.metaRangeId}\n" else "") +
+      "\n\t" + c.message + "\n"
+
+  /** `lakectl repo list` terminal table (tablewriter shape of
+    * lakectl_repo_list_1.term.golden): column widths grow to the content,
+    * `+---+` borders, one space of cell padding. */
+  def renderRepoTable(rows: Seq[(String, Long, String, String)]): String = {
+    val headers = Seq("REPOSITORY", "CREATION DATE", "DEFAULT REF NAME",
+      "STORAGE NAMESPACE")
+    val cells = rows.map { case (r, d, b, ns) => Seq(r, fmtDate(d), b, ns) }
+    val widths = headers.indices.map(i =>
+      (headers(i) +: cells.map(_(i))).map(_.length).max)
+    val border = widths.map(w => "+" + "-" * (w + 2)).mkString + "+\n"
+    def line(vs: Seq[String]) = vs.zip(widths)
+      .map { case (v, w) => "| " + ljust(v, w) + " " }.mkString + "|\n"
+    border + line(headers) + border + cells.map(line).mkString + border
+  }
+
   // ---- engine-driven assembly ------------------------------------------------
 
   /** `lakectl annotate`: entries under `prefix` at `ref` (first-level

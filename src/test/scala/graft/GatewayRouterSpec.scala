@@ -229,13 +229,16 @@ class GatewayRouterSpec extends AnyFunSuite {
       case other => fail(s"unexpected: $other")
     }
     assert(gw.headObject("main$", "data/big.bin").sizeBytes === 96L)
-    // V2 listing at repo scope: prefix picks the ref
+    // V2 listing at repo scope: prefix picks the ref. Staged uploads ARE
+    // listed (reference listobjects semantics — an SDK sees its own
+    // uploads), so the multipart object landed above leads the page.
     send("GET", "/", Seq("list-type" -> "2", "prefix" -> "main/data/",
         "delimiter" -> "/", "max-keys" -> "5")) match {
       case gw.PageResult(df) =>
         val names = df.orderBy("rn").select("name")
           .collect().map(_.getString(0)).toSeq
-        assert(names.size === 5 && names.head === "main/data/k01")
+        assert(names.size === 5 && names.head === "main/data/big.bin" &&
+          names.contains("main/data/k01"))
       case other => fail(s"unexpected: $other")
     }
     // DELETE object → 204; batch delete via the Delete XML document

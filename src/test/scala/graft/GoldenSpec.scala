@@ -193,6 +193,167 @@ class GoldenSpec extends SparkSpec {
     check("lakectl_branch_tag", doc)
   }
 
+  test("lakectl_fs_upload: the uploaded entry's stat block, driven by the " +
+      "real get-address → link flow") {
+    val eng = repo
+    eng.createBranch("golden-upload", "main")
+    val now = 1700000000L
+    val (addr, token) = eng.getPhysicalAddress("golden-upload", "files/up.bin", now)
+    val checksum = graft.core.Identity.sha256Hex("golden upload bytes")
+    eng.linkPhysicalAddress("golden-upload", "files/up.bin", addr, token,
+      checksum, sizeBytes = 1024L, nowEpochSec = now)
+    val row = eng.get("golden-upload", "files/up.bin").get
+    val doc = CliRender.renderStat("files/up.bin", now,
+      row.getLong(row.fieldIndex("size_bytes")),
+      physicalAddress = s"local://repo1/ext/$checksum",
+      checksum = row.getString(row.fieldIndex("identity")))
+    check("lakectl_fs_upload", doc)
+  }
+
+  test("lakectl_fs_upload_dir_marker: a zero-byte directory marker object") {
+    val eng = repo
+    eng.createBranch("golden-marker", "main")
+    val now = 1700000100L
+    val (addr, token) = eng.getPhysicalAddress("golden-marker", "files/dir/", now)
+    val checksum = graft.core.Identity.sha256Hex("")
+    eng.linkPhysicalAddress("golden-marker", "files/dir/", addr, token,
+      checksum, sizeBytes = 0L, nowEpochSec = now)
+    val row = eng.get("golden-marker", "files/dir/").get
+    check("lakectl_fs_upload_dir_marker", CliRender.renderStat("files/dir/",
+      now, row.getLong(row.fieldIndex("size_bytes")),
+      physicalAddress = s"local://repo1/ext/$checksum",
+      checksum = row.getString(row.fieldIndex("identity"))))
+  }
+
+  test("lakectl_fs_download: the transfer line") {
+    check("lakectl_fs_download", CliRender.renderDownload(
+      "lakefs://repo1/main/files/up.bin", "/tmp/up.bin"))
+  }
+
+  test("lakectl_import: the completion block over a real prefix import") {
+    import spark.implicits._
+    val eng = repo
+    eng.createBranch("golden-import", "main")
+    val imported = (1 to 7).map(i => (f"imported/x$i%02d", s"I$i"))
+      .toDF("key", "identity")
+    nextSecond()
+    val c = eng.importUnder("golden-import", imported, Seq("imported/"),
+      "tester", "Import objects")
+    val n = eng.list("golden-import", prefix = "imported/").count()
+    check("lakectl_import", CliRender.renderImport(n, "golden-import", c))
+  }
+
+  test("lakectl_import_with_message: a custom import message") {
+    import spark.implicits._
+    val eng = repo
+    eng.createBranch("golden-import2", "main")
+    val imported = (1 to 3).map(i => (f"batch2/y$i%02d", s"J$i"))
+      .toDF("key", "identity")
+    nextSecond()
+    val c = eng.importUnder("golden-import2", imported, Seq("batch2/"),
+      "tester", "import too")
+    check("lakectl_import_with_message",
+      CliRender.renderImport(3L, "golden-import2", c))
+  }
+
+  test("lakectl_auth_users: create block and prefixed list rows over the " +
+      "real auth store") {
+    val a = new graft.store.AuthService(
+      Files.createTempDirectory("golden-auth").toString)
+    a.createUser("alice-analyst")
+    a.createUser("bob-builder")
+    a.createUser("ops-admin")
+    val alice = a.listUsers(prefix = "alice")._1.head
+    check("lakectl_auth_users_create",
+      CliRender.renderUserCreated(alice.username, alice.createdAt))
+    val (prefixed, _) = a.listUsers(prefix = "b")
+    check("lakectl_auth_users_list",
+      prefixed.map(u => CliRender.renderUserListLine(u.username, u.createdAt))
+        .mkString)
+  }
+
+  test("lakectl_import_and_merge: the deprecation notice ahead of the block") {
+    import spark.implicits._
+    val eng = repo
+    eng.createBranch("golden-import3", "main")
+    val imported = (1 to 2).map(i => (f"merged/z$i%02d", s"K$i"))
+      .toDF("key", "identity")
+    nextSecond()
+    val c = eng.importUnder("golden-import3", imported, Seq("merged/"),
+      "tester", "Import objects")
+    check("lakectl_import_and_merge",
+      "Flag --merge has been deprecated, import is done directly into " +
+        "target branch\n" +
+        CliRender.renderImport(2L, "golden-import3", c))
+  }
+
+  test("lakectl_stat_pre_sign: the stat block with a presigned physical " +
+      "address") {
+    import spark.implicits._
+    val eng = repo
+    eng.createBranch("golden-statpre", "main")
+    eng.stage("golden-statpre",
+      Seq(("files/spre.bin", "ids", "ext/stat-presign-key", 1024L))
+        .toDF("key", "identity", "address", "size_bytes"))
+    val gw = new graft.store.Gateway(eng)
+    val up = gw.preSignedUrl("read", "golden-statpre", "files/spre.bin",
+      "AKIAGOLDEN", "secret-golden", 1700000000L, 3600)
+    check("lakectl_stat_pre_sign", CliRender.renderStat(
+      "files/spre.bin", 1700000000L, 1024L,
+      physicalAddress = up.url, checksum = "ids"))
+  }
+
+  test("lakectl_tag_list_prefix: the prefixed subset of the tag table") {
+    val eng = repo
+    val head = eng.resolveCommit("main").commitId
+    eng.createTag("release-1.0", head)
+    eng.createTag("release-1.1", head)
+    eng.createTag("nightly-01", head)
+    check("lakectl_tag_list_prefix", CliRender.renderTagList(
+      eng.refs.tags.toSeq.filter(_._1.startsWith("release-"))))
+  }
+
+  test("lakectl_tag_show: name space commit id") {
+    val eng = repo
+    val head = eng.resolveCommit("main").commitId
+    eng.createTag("golden-show", head)
+    check("lakectl_tag_show", CliRender.renderTagShow("golden-show", head))
+  }
+
+  test("lakectl_show_commit: aligned field block, with and without the " +
+      "Meta Range ID line") {
+    val eng = repo
+    val c = eng.resolveCommit("main")
+    check("lakectl_show_commit",
+      CliRender.renderShowCommit(c) +
+        CliRender.renderShowCommit(c, withMetaRange = true))
+  }
+
+  test("lakectl_repo_list: the terminal table with content-sized columns") {
+    check("lakectl_repo_list", CliRender.renderRepoTable(Seq(
+      ("repo1", 1700000000L, "main", "local://repo1"),
+      ("analytics-lake", 1700000100L, "main", "s3://bucket/prefix"))))
+  }
+
+  test("lakectl_fs_presign: the bare presigned URL line over the real signer") {
+    import spark.implicits._
+    val eng = repo
+    // an entry with a STABLE physical address: presigned URLs point at the
+    // physical object (the reference's presign serves the backing store
+    // location), so the URL path must come from the entry's address
+    eng.createBranch("golden-presign", "main")
+    // staged (not committed): the repo schema has no address column, and
+    // commit aligns changes to it — the staged overlay keeps the address,
+    // which is exactly the upload-then-presign flow
+    eng.stage("golden-presign",
+      Seq(("files/pre.bin", "idp", "ext/stable-object-key", 1024L))
+        .toDF("key", "identity", "address", "size_bytes"))
+    val gw = new graft.store.Gateway(eng)
+    val up = gw.preSignedUrl("read", "golden-presign", "files/pre.bin",
+      "AKIAGOLDEN", "secret-golden", 1700000000L, 3600)
+    check("lakectl_fs_presign", up.url + "\n")
+  }
+
   test("lakectl_stat: the fs stat block over a real entry") {
     val eng = repo
     val row = eng.get("main", "mmm").get
