@@ -619,12 +619,17 @@ object Bench {
         // the flat trio measures the operator, not one cached plan run
         // three times (r12 ADVICE).
         def incrInputsOf(repo: DataFrame) = {
+          // predicates intersect the key population ALL THREE repos share
+          // (k%100==0, the tiny-repo membership) so each scale's inputs
+          // have the same row counts — genuinely distinct frames, equal
+          // increments
           val mk = (pred: org.apache.spark.sql.Column) =>
-            addrOf(repo.where(col("k") <= maxK / 100 && pred))
+            addrOf(repo.where(col("k") <= maxK / 100 &&
+                col("k") % 100 === 0 && pred))
               .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           val u = mk(col("k") % 3 === 0)
-          val objs = mk(col("k") % 100 === 0)
-          val refs = mk(col("k") % 100 === 0 && col("k") % 2 === 0)
+          val objs = mk(lit(true))
+          val refs = mk(col("k") % 2 === 0)
           Seq(u, objs, refs).foreach(_.count())
           (u, objs, refs)
         }

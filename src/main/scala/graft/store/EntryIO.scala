@@ -383,7 +383,15 @@ object EntryIO {
     engine.liveStagingDirs(branch).foreach { dir =>
       val epoch = dir.substring(dir.lastIndexOf('=') + 1).toLong
       epochFiles(conf, dir).foreach { f =>
-        scanFile(conf, f, lo, hi) { e =>
+        // footer-bounds prune BEFORE opening a reader: a KV-shaped staging
+        // area (one entry per epoch, e.g. behind the S3 gateway) makes a
+        // point probe otherwise open EVERY epoch file — O(epochs) opens
+        // per lookup where the reference pays one KV get. Staged files are
+        // immutable once revealed, so the cached bounds never invalidate;
+        // windowless resolves (lo/hi empty) read everything as before.
+        val (fLo, fHi) = fileKeyBounds(conf, f)
+        val covers = lo.forall(l => fHi >= l) && hi.forall(h => fLo < h)
+        if (covers) scanFile(conf, f, lo, hi) { e =>
           byKey.get(e.key) match {
             case Some((prev, _)) if prev >= epoch => ()
             case _ => byKey(e.key) = (epoch, e)
