@@ -59,6 +59,11 @@ object Bench {
       .appName("graft-bench")
       .config("spark.sql.shuffle.partitions", math.min(cpus.toInt, 16))
       .config("spark.sql.adaptive.enabled", "true")
+      // manifests hand scans EXPLICIT file lists (the rename-free layout);
+      // the default 32-path threshold would launch a listing JOB for any
+      // snapshot over ~8 ranges — driver-side stats are cheaper up to
+      // thousands of files, and truly huge scans still fan out past this
+      .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "4096")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -244,9 +249,18 @@ object Bench {
             val hs = new SnapshotStore(spark,
               s"$root/p${java.util.UUID.randomUUID().toString.take(8)}",
               raggedness = 50000L)
+            hs.drainTrace() // scope the http twins' step attribution
             val hm1 = timed("snapshot_write_http") { hs.writeSnapshot(base)._1 }
+            drainSteps("snapshot_write_http", hs)
+            // collapse the snapshot write's staged epochs BEFORE timing the
+            // commit: each PUT staged one epoch in the inner engine, and a
+            // compacted gateway (the T6 sensor-compaction steady state) is
+            // the deployment shape — without this the commit metric mostly
+            // re-measures the previous metric's staging backlog
+            inner.commit("main", "bench", "collapse pre-commit")
             hm1.foreach { m =>
               timed("commit_http") { hs.commitChanges(m, changes)._1 }
+              drainSteps("commit_http", hs)
             }
             // collapse the inner engine's staged epochs between passes:
             // the gateway stages one entry per PUT object, and an

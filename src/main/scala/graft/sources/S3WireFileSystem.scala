@@ -47,6 +47,32 @@ class S3WireFileSystem extends FileSystem {
   private var workingDir: Path = _
   private lazy val client = HttpClient.newHttpClient()
 
+  // Object-status cache (TTL + LRU): the store's objects are write-once by
+  // design (content-addressed range files, create-if-absent manifests and
+  // markers), and a commit stats the same file set several times — index
+  // build, scan planning, reader opens — each a wire round trip without
+  // this. Our own mutations update the cache synchronously (a PUT inserts
+  // the status it just created, a DELETE evicts); foreign mutations (a
+  // concurrent GC from another client) surface within the TTL — the same
+  // bounded-staleness posture as the local range tier. Off with ttl=0.
+  private def statusTtlMs: Long =
+    getConf.getLong("graft.gws.status.ttl.ms", 60000L)
+  private val statusCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String, (FileStatus, Long)](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, (FileStatus, Long)]): Boolean =
+        size() > 8192
+    })
+  private def cachedStatus(key: String): Option[FileStatus] = {
+    if (statusTtlMs <= 0) return None
+    Option(statusCache.get(key)).collect {
+      case (st, at) if System.currentTimeMillis() - at < statusTtlMs => st
+    }
+  }
+  private def cacheStatus(key: String, st: FileStatus): Unit =
+    if (statusTtlMs > 0) { statusCache.put(key, (st, System.currentTimeMillis())); () }
+  private def evictStatus(key: String): Unit = { statusCache.remove(key); () }
+
   override def initialize(name: URI, conf: Configuration): Unit = {
     super.initialize(name, conf)
     setConf(conf)
@@ -159,6 +185,7 @@ class S3WireFileSystem extends FileSystem {
   override def getFileStatus(f: Path): FileStatus = {
     val key = keyOf(f)
     if (key.isEmpty) return dirStatusOf("")
+    cachedStatus(key).foreach(return _)
     val (st, hd, _) = send("HEAD", key)
     if (st == 200) {
       val len = hd.firstValue("Content-Length").map[Long](_.toLong).orElse(0L)
@@ -168,7 +195,9 @@ class S3WireFileSystem extends FileSystem {
             java.time.format.DateTimeFormatter.RFC_1123_DATE_TIME)
             .toInstant.toEpochMilli).getOrElse(0L))
         .orElse(0L)
-      fileStatusOf(key, len, mtime)
+      val fst = fileStatusOf(key, len, mtime)
+      cacheStatus(key, fst)
+      fst
     } else {
       // no object: an implied directory iff anything lives under key/
       val (files, prefixes, _) = listPage(key + "/", "/", None, maxKeys = 1)
@@ -204,10 +233,56 @@ class S3WireFileSystem extends FileSystem {
     out.toArray
   }
 
+  /** Objects up to this size are fetched WHOLE on first read — a Parquet
+    * open otherwise costs ~a dozen ranged GETs (footer tail, footer body,
+    * per-row-group reads), and at range-file sizes (tens of MB, bounded by
+    * the chunker) one full GET is strictly cheaper than the round trips.
+    * Larger objects stream by range. `graft.gws.whole.read.limit` tunes. */
+  private def wholeReadLimit: Long =
+    getConf.getLong("graft.gws.whole.read.limit", 32L << 20)
+
   override def open(f: Path, bufferSize: Int): FSDataInputStream = {
     val st = getFileStatus(f)
     if (st.isDirectory) throw new IOException(s"cannot open a directory: $f")
-    new FSDataInputStream(new RangedInput(keyOf(f), st.getLen))
+    if (st.getLen <= wholeReadLimit)
+      new FSDataInputStream(new WholeObjectInput(keyOf(f), st.getLen))
+    else
+      new FSDataInputStream(new RangedInput(keyOf(f), st.getLen))
+  }
+
+  /** Small-object reader: ONE full GET on first access, every seek/read
+    * served from the buffer afterwards. */
+  private final class WholeObjectInput(key: String, len: Long)
+      extends FSInputStream {
+    private var pos = 0L
+    private var buf: Array[Byte] = _
+    private def ensure(): Unit = if (buf == null) {
+      val (st, _, body) = send("GET", key)
+      if (st != 200) throw new IOException(s"GET $bucket/$key: HTTP $st")
+      buf = body
+    }
+    override def seek(p: Long): Unit = {
+      if (p < 0 || p > len) throw new java.io.EOFException(s"seek $p of $len")
+      pos = p
+    }
+    override def getPos: Long = pos
+    override def seekToNewSource(targetPos: Long): Boolean = false
+    override def read(): Int = {
+      if (pos >= len) return -1
+      ensure()
+      val b = buf(pos.toInt) & 0xff
+      pos += 1
+      b
+    }
+    override def read(b: Array[Byte], off: Int, l: Int): Int = {
+      if (pos >= len) return -1
+      ensure()
+      val n = math.min(l.toLong, len - pos).toInt
+      System.arraycopy(buf, pos.toInt, b, off, n)
+      pos += n
+      n
+    }
+    override def close(): Unit = { buf = null }
   }
 
   /** Seekable reader over ranged GETs: sequential reads stream one open
@@ -274,7 +349,9 @@ class S3WireFileSystem extends FileSystem {
         val (st, _, body) = send("PUT", key, body = buf.toByteArray,
           extraHeaders = headers)
         st match {
-          case 200 | 201 => ()
+          case 200 | 201 =>
+            cacheStatus(key, fileStatusOf(key, buf.size.toLong,
+              System.currentTimeMillis()))
           case 412 | 409 =>
             throw new org.apache.hadoop.fs.FileAlreadyExistsException(
               s"gws://$bucket/$key")
@@ -292,6 +369,7 @@ class S3WireFileSystem extends FileSystem {
 
   override def delete(f: Path, recursive: Boolean): Boolean = {
     val key = keyOf(f)
+    evictStatus(key)
     val (st, _, _) = send("HEAD", key)
     if (st == 200) {
       val (ds, _, _) = send("DELETE", key)
@@ -305,7 +383,8 @@ class S3WireFileSystem extends FileSystem {
       val (files, _, next) = listPage(key + "/", "", token)
       if (files.nonEmpty && !recursive)
         throw new IOException(s"directory not empty: $f")
-      files.foreach { case (k, _) => send("DELETE", k); any = true }
+      files.foreach { case (k, _) =>
+        evictStatus(k); send("DELETE", k); any = true }
       token = next
       go = next.isDefined
     }
@@ -319,6 +398,7 @@ class S3WireFileSystem extends FileSystem {
     val srcKey = keyOf(src)
     val dstKey = keyOf(dst)
     def copyDelete(from: String, to: String): Boolean = {
+      evictStatus(from); evictStatus(to)
       val (cs, _, _) = send("PUT", to,
         extraHeaders = Seq("x-amz-copy-source" -> s"/$bucket/$from"))
       if (cs != 200) return false

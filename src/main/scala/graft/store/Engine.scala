@@ -1433,15 +1433,19 @@ class Engine(val spark: SparkSession, val repoDir: String,
     graft.operators.Gc.mark(allDf, liveDf, liveDf.limit(0))
   }
 
-  /** Every RangeInfo referenced by a manifest reachable from a branch head,
-    * tag, or uncommitted compacted base — all of them hold user data. */
-  private def liveRangeInfos(): Seq[graft.core.Model.RangeInfo] = {
+  /** Metaranges reachable from any branch head, tag, or uncommitted
+    * compacted base — the live manifest set. */
+  private def liveMetaRangeIds(): Seq[String] = {
     val heads = refs.branches.values ++ refs.tags.values
     val commitMetas = heads.toSet.flatMap((h: String) => log(h).map(_.metaRangeId))
     val compactedMetas = refs.branchRecords.values.flatMap(_.compactedBase)
     (commitMetas ++ compactedMetas).toSeq.distinct
-      .flatMap(m => snapshots.readManifest(m))
   }
+
+  /** Every RangeInfo referenced by a live manifest ([[liveMetaRangeIds]]) —
+    * all of them hold user data. */
+  private def liveRangeInfos(): Seq[graft.core.Model.RangeInfo] =
+    liveMetaRangeIds().flatMap(m => snapshots.readManifest(m))
 
   /** Sweep candidates under ranges/: finished range directories only —
     * legacy content-addressed dirs AND job-scoped `u<job>-<chunk>` direct-
@@ -1472,20 +1476,44 @@ class Engine(val spark: SparkSession, val repoDir: String,
     dead.length.toLong
   }
 
+  /** Delete manifest files whose metarange no live commit/tag/compacted
+    * base references — without this the manifests directory grows one file
+    * per metarange FOREVER (range data was swept, its metadata was not).
+    * The mtime guard mirrors the range sweep's: a manifest written by a
+    * commit racing this sweep (manifest lands BEFORE the commit's CAS) is
+    * newer than the cutoff and survives until it is either reachable or
+    * old enough to have lost its race. Metadata-scale: one dir listing +
+    * pooled deletes. */
+  private def sweepDeadManifests(liveMetas: Set[String], cutoffMs: Long): Long = {
+    val dir = new org.apache.hadoop.fs.Path(s"$dataDir/manifests")
+    if (!dataFs.exists(dir)) return 0L
+    val dead = dataFs.listStatus(dir).toSeq
+      .filter(st => !liveMetas(st.getPath.getName) &&
+        st.getModificationTime <= cutoffMs &&
+        !st.getPath.getName.startsWith("."))
+      .map(_.getPath)
+    SnapshotStore.inParallel(dead)(p => dataFs.delete(p, true))
+    dead.length.toLong
+  }
+
   /** GC sweep: delete every unreferenced range and write the S9 report
     * (mark via [[gcMark]]; the delete is distributed — mirrors the
     * reference's executor-side bulk remover, `GarbageCollection.scala:253-276`).
     * The delete guard is the mark time: a range dir that lands after this
     * instant (a commit racing the sweep) has a newer mtime and is skipped.
-    * Dead markers go first (see [[sweepDeadMarkers]]). */
+    * Dead markers go first (see [[sweepDeadMarkers]]), dead manifests with
+    * the same cutoff guard ([[sweepDeadManifests]]). */
   def gcSweep(runId: String): (Long, String) = {
-    val live = liveRangeInfos()
+    val cutoffMs = System.currentTimeMillis()
+    val liveMetas = liveMetaRangeIds()
+    val live = liveMetas.flatMap(m => snapshots.readManifest(m))
     sweepDeadMarkers(live.map(_.rangeId).toSet)
+    sweepDeadManifests(liveMetas.toSet, cutoffMs)
     import spark.implicits._
     val allDf = rangeDirCandidates().toDF("address")
     val liveDf = live.map(Engine.dirBasename).distinct.toDF("address")
     val marked = graft.operators.Gc.mark(allDf, liveDf, liveDf.limit(0))
-    distributedSweep(marked, runId, Some(System.currentTimeMillis()))
+    distributedSweep(marked, runId, Some(cutoffMs))
   }
 
   /** Executor-side bulk delete of marked addresses + S9 report. The dead set
@@ -1566,9 +1594,12 @@ class Engine(val spark: SparkSession, val repoDir: String,
       .collect().map(_.getString(0)).filter(_.nonEmpty)
     val tagMetas = refs.tags.values.flatMap(refs.getCommit).map(_.metaRangeId)
     val compactedMetas = refs.branchRecords.values.flatMap(_.compactedBase)
-    val liveInfos = (activeMetas ++ tagMetas ++ compactedMetas).toSet.toSeq
+    val liveMetas = (activeMetas ++ tagMetas ++ compactedMetas).toSet
+    val liveInfos = liveMetas.toSeq
       .flatMap((m: String) => snapshots.readManifest(m))
     sweepDeadMarkers(liveInfos.map(_.rangeId).toSet)
+    sweepDeadManifests(liveMetas,
+      cutoffs.values.minOption.getOrElse(nowSecs) * 1000L)
     val live = liveInfos.map(Engine.dirBasename).toSet
 
     // S8: uncommitted inventory — staging epoch files with their mtimes

@@ -10,9 +10,14 @@ import graft.core.Model.RangeInfo
  * metarange/range SSTable layer (SURVEY.md §1, §4; reference
  * `pkg/graveler/committed/meta_range.go:13-25`, `sstable/writer.go:169-183`).
  *
- * Layout under a repo directory:
+ * Layout under a repo directory (rename-free — every data file is written
+ * ONCE under its final name; membership is manifest-defined):
  * {{{
- *   ranges/<range_id>/          one sorted Parquet file per range (≈ SSTable)
+ *   ranges/u<job>-<chunk>/      sorted Parquet files of one range (≈ SSTable;
+ *                               the manifest's `files` list, not the dir
+ *                               listing, defines membership)
+ *   ranges/_idx/<range_id>      content-marker index: rid → files (the
+ *                               idempotent-rewrite/dedup probe)
  *   manifests/<meta_range_id>   JSONL of RangeInfo rows (≈ metarange)
  * }}}
  *
@@ -38,8 +43,8 @@ import graft.core.Model.RangeInfo
  *    range_id first, so identical ranges are never opened (`diff.go:238-240`).
  *
  * Rows carry (key: string, identity: string, ...payload). Writes are
- * idempotent: a range whose content-addressed directory already exists is
- * not rewritten.
+ * idempotent: a range whose content id already has a marker in the
+ * `_idx` index reuses the marker's files instead of rewriting.
  */
 class SnapshotStore(val spark: SparkSession, val repoDir: String,
     raggedness: Long = 50000L, maxBroadcastCuts: Int = 1 << 20) {

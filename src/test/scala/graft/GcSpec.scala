@@ -80,6 +80,17 @@ class GcSpec extends SparkSpec {
     assert(dirsOf(tagInfos).subsetOf(remaining), "tagged ranges must survive")
     assert(compactedDirs.subsetOf(remaining), "compacted-base ranges must survive")
 
+    // manifest metadata sweeps WITH its data: the expired commit's and the
+    // orphan snapshot's manifests are gone, every live manifest survives
+    val manifests = fs.listStatus(
+      new org.apache.hadoop.fs.Path(s"$dir/manifests"))
+      .map(_.getPath.getName).toSet
+    assert(!manifests.contains(c1.metaRangeId),
+      "expired commit's manifest must sweep")
+    assert(manifests.contains(c2.metaRangeId) && manifests.contains(tagMeta)
+      && manifests.contains(compactedMeta),
+      "live manifests must survive the sweep")
+
     // the head still scans fully, and the wip listing still overlays staging
     assert(eng.list("main").count() === 500)
     val wip = eng.list("wip").collect().map(r => r.getString(0) -> r.getString(1)).toMap
