@@ -47,6 +47,20 @@ class HttpEtagBlob(endpoint: URI, timeout: Duration = Duration.ofSeconds(10))
   private val client = HttpClient.newBuilder()
     .connectTimeout(timeout).build()
 
+  /** The version token header of a successful GET/PUT response — `ETag`
+    * here; the GCS dialect ([[HttpGenerationBlob]]) reads
+    * `x-goog-generation`. */
+  protected def tokenHeader: String = "ETag"
+
+  /** The conditional-write request headers for create (`ifMatch` empty)
+    * or replace — `If-None-Match: *` / `If-Match: <etag>` here; the GCS
+    * dialect sends `x-goog-if-generation-match: 0 / <generation>`. */
+  protected def conditionHeaders(ifMatch: Option[String]): Seq[(String, String)] =
+    ifMatch match {
+      case None    => Seq("If-None-Match" -> "*")
+      case Some(e) => Seq("If-Match" -> e)
+    }
+
   /** Arbitrary key strings → one opaque path segment (control-file paths
     * contain '/'; the endpoint keys on the raw segment). */
   private def keyUri(key: String): URI = {
@@ -60,8 +74,8 @@ class HttpEtagBlob(endpoint: URI, timeout: Duration = Duration.ofSeconds(10))
     val resp = client.send(req, HttpResponse.BodyHandlers.ofByteArray())
     resp.statusCode() match {
       case 200 =>
-        val etag = resp.headers().firstValue("ETag")
-          .orElseThrow(() => new IOException(s"no ETag on GET $key"))
+        val etag = resp.headers().firstValue(tokenHeader)
+          .orElseThrow(() => new IOException(s"no $tokenHeader on GET $key"))
         Some((resp.body(), etag))
       case 404 => None
       case s   => throw new IOException(s"GET $key: HTTP $s")
@@ -73,10 +87,7 @@ class HttpEtagBlob(endpoint: URI, timeout: Duration = Duration.ofSeconds(10))
     val b = HttpRequest.newBuilder(keyUri(key))
       .PUT(HttpRequest.BodyPublishers.ofByteArray(bytes))
       .timeout(timeout)
-    ifMatch match {
-      case None    => b.header("If-None-Match", "*")
-      case Some(e) => b.header("If-Match", e)
-    }
+    conditionHeaders(ifMatch).foreach { case (k, v) => b.header(k, v) }
     val resp =
       try client.send(b.build(), HttpResponse.BodyHandlers.ofByteArray())
       catch {
@@ -86,13 +97,33 @@ class HttpEtagBlob(endpoint: URI, timeout: Duration = Duration.ofSeconds(10))
       }
     resp.statusCode() match {
       case 200 | 201 =>
-        resp.headers().firstValue("ETag").map[PutOutcome](e =>
+        resp.headers().firstValue(tokenHeader).map[PutOutcome](e =>
           PutOutcome.Put(e)).orElseGet(() => PutOutcome.Unknown(
-            new IOException(s"PUT $key: 200 without an ETag")))
+            new IOException(s"PUT $key: 200 without $tokenHeader")))
       case 412 | 409 => PutOutcome.PreconditionFailed
       case s if s >= 500 => PutOutcome.Unknown(
         new IOException(s"PUT $key: HTTP $s — the write may have applied"))
       case s => throw new IOException(s"PUT $key: HTTP $s")
     }
   }
+}
+
+/**
+ * The GCS dialect of [[HttpEtagBlob]]: conditional writes ride the XML
+ * API's generation headers instead of HTTP preconditions —
+ * `x-goog-if-generation-match: 0` creates-if-absent, `: <generation>`
+ * replaces-if-unchanged, and the object's current generation returns in
+ * `x-goog-generation` (public GCS request-precondition documentation).
+ * Generations are server-assigned monotonic per object — ABA-proof by
+ * construction, the stronger token the [[ConditionalBlob]] contract
+ * permits. Outcome mapping (412 definitive / 5xx Unknown) is inherited —
+ * GCS answers 412 PreconditionFailed on a failed generation match.
+ */
+class HttpGenerationBlob(endpoint: URI,
+    timeout: Duration = Duration.ofSeconds(10))
+    extends HttpEtagBlob(endpoint, timeout) {
+  override protected def tokenHeader: String = "x-goog-generation"
+  override protected def conditionHeaders(
+      ifMatch: Option[String]): Seq[(String, String)] =
+    Seq("x-goog-if-generation-match" -> ifMatch.getOrElse("0"))
 }

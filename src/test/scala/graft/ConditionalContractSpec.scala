@@ -150,6 +150,16 @@ class ConditionalContractSpec extends AnyFunSuite {
 
   blobContract("HttpEtagBlob(fake bucket)", () => httpBlob())
 
+  // the GCS generation dialect, EXECUTED (r12 "What's missing #1"): the
+  // same contract matrix over x-goog-if-generation-match / x-goog-generation
+  // — on its OWN endpoint (the contract's fixed key names must start absent)
+  private lazy val genServer = new FakeEtagServer
+  private lazy val genPort = genServer.start()
+  private def genBlob() = new graft.store.HttpGenerationBlob(
+    java.net.URI.create(s"http://localhost:$genPort"))
+
+  blobContract("HttpGenerationBlob(fake bucket, GCS dialect)", () => genBlob())
+
   test("FileGenerationBlob: an orphaned temp from a crashed writer is harmless") {
     val dir = tmp("fgb-orphan")
     val b = new FileGenerationBlob(dir)
@@ -266,6 +276,9 @@ class ConditionalContractSpec extends AnyFunSuite {
     // unique control-file path per test = unique key on the shared endpoint
     (new EtagStore(httpBlob()), tmp("csh").resolve("kv.tsv"))
   })
+  storeContract("EtagStore(HttpGenerationBlob, GCS dialect)", () => {
+    (new EtagStore(genBlob()), tmp("csg").resolve("kv.tsv"))
+  })
 
   // ---- unknown-outcome (ambiguous CAS) contract ------------------------------
   /** The fault-injection matrix the real-bucket adapter earns its
@@ -372,6 +385,11 @@ class ConditionalContractSpec extends AnyFunSuite {
     // fresh endpoint per test: the fault matrix reuses one key name
     val srv = new FakeEtagServer
     new graft.store.HttpEtagBlob(
+      java.net.URI.create(s"http://localhost:${srv.start()}"))
+  })
+  faultContract("HttpGenerationBlob (GCS dialect)", () => {
+    val srv = new FakeEtagServer
+    new graft.store.HttpGenerationBlob(
       java.net.URI.create(s"http://localhost:${srv.start()}"))
   })
 

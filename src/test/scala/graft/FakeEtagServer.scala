@@ -39,8 +39,10 @@ class FakeEtagServer {
 
   private def respond(ex: HttpExchange, status: Int,
       body: Array[Byte] = Array.emptyByteArray,
-      etag: Option[String] = None): Unit = {
+      etag: Option[String] = None, generation: Option[Long] = None): Unit = {
     etag.foreach(e => ex.getResponseHeaders.add("ETag", e))
+    generation.foreach(g =>
+      ex.getResponseHeaders.add("x-goog-generation", g.toString))
     if (body.isEmpty) ex.sendResponseHeaders(status, -1)
     else {
       ex.sendResponseHeaders(status, body.length.toLong)
@@ -53,21 +55,30 @@ class FakeEtagServer {
     val key = ex.getRequestURI.getRawPath.stripPrefix("/")
     ex.getRequestMethod match {
       case "GET" => lock.synchronized(Option(store.get(key))) match {
-        case Some((bytes, g)) => respond(ex, 200, bytes, Some(etagOf(g)))
+        case Some((bytes, g)) =>
+          respond(ex, 200, bytes, Some(etagOf(g)), Some(g))
         case None             => respond(ex, 404)
       }
       case "PUT" =>
         val body = ex.getRequestBody.readAllBytes()
         val ifMatch = Option(ex.getRequestHeaders.getFirst("If-Match"))
         val ifNoneMatch = Option(ex.getRequestHeaders.getFirst("If-None-Match"))
+        // the GCS XML-API generation dialect: "0" creates-if-absent, a
+        // concrete generation replaces-if-unchanged (same atomic section)
+        val ifGen = Option(ex.getRequestHeaders
+          .getFirst("x-goog-if-generation-match"))
         val applied: Option[Long] = lock.synchronized {
           val cur = Option(store.get(key))
-          val ok = (ifNoneMatch, ifMatch, cur) match {
-            case (Some("*"), _, None)                        => true
-            case (Some("*"), _, Some(_))                     => false
-            case (_, Some(e), Some((_, g))) if e == etagOf(g) => true
-            case (_, Some(_), _)                             => false
-            case (None, None, _) => true // unconditional put (not used here)
+          val ok = (ifGen, ifNoneMatch, ifMatch, cur) match {
+            case (Some("0"), _, _, None)                     => true
+            case (Some("0"), _, _, Some(_))                  => false
+            case (Some(g0), _, _, Some((_, g))) if g0 == g.toString => true
+            case (Some(_), _, _, _)                          => false
+            case (_, Some("*"), _, None)                     => true
+            case (_, Some("*"), _, Some(_))                  => false
+            case (_, _, Some(e), Some((_, g))) if e == etagOf(g) => true
+            case (_, _, Some(_), _)                          => false
+            case (None, None, None, _) => true // unconditional (not used here)
           }
           if (ok) {
             val g = gen.incrementAndGet()
@@ -80,7 +91,7 @@ class FakeEtagServer {
             // the injected ambiguity: durably applied, answer lost
             if (failPutsAfterApply.getAndUpdate(n => math.max(0, n - 1)) > 0)
               respond(ex, 500)
-            else respond(ex, 200, etag = Some(etagOf(g)))
+            else respond(ex, 200, etag = Some(etagOf(g)), generation = Some(g))
           case None => respond(ex, 412)
         }
       case _ => respond(ex, 405)
