@@ -167,7 +167,7 @@ object Bench {
     // SigV4-signed wire bytes). commit_http / snapshot_write_http vs their
     // local metrics IS the block-adapter latency delta of the reference's
     // production split (sstables in a bucket, refs in KV).
-    val httpTwin: Option[(String, graft.store.Engine)] = try {
+    val httpTwin: Option[(String, graft.store.Engine, graft.store.GatewayHttp, String)] = try {
       val innerDir = s"target/bench_gw_${java.util.UUID.randomUUID()}"
       val inner = new graft.store.Engine(spark, innerDir, raggedness = 50000L)
       inner.init("main")
@@ -191,7 +191,7 @@ object Bench {
       hconf.set("graft.gws.endpoint", s"localhost:$port")
       hconf.set("graft.gws.access", c.accessKeyId)
       hconf.set("graft.gws.secret", c.secretAccessKey)
-      Some(("gws://benchbucket/main", inner))
+      Some(("gws://benchbucket/main", inner, http, innerDir))
     } catch { case e: Throwable =>
       System.err.println(s"[bench] http twin setup failed (continuing): ${e.getMessage}")
       None
@@ -244,7 +244,7 @@ object Bench {
         // data behind the S3 gateway — every range byte travels signed
         // HTTP PUT/GET instead of local file I/O. Compare with
         // snapshot_write / commit for the wire-latency delta.
-        httpTwin.foreach { case (root, inner) =>
+        httpTwin.foreach { case (root, inner, _, _) =>
           try {
             val hs = new SnapshotStore(spark,
               s"$root/p${java.util.UUID.randomUUID().toString.take(8)}",
@@ -777,6 +777,12 @@ object Bench {
       } finally deleteDir(cdOut)
     }
 
+    // teardown the http twin like every per-pass repo: stop the server,
+    // reclaim the inner engine's objects + staged epochs
+    httpTwin.foreach { case (_, _, http, innerDir) =>
+      try http.stop() catch { case _: Throwable => () }
+      deleteDir(innerDir)
+    }
     emit(samples, stepSamples, sfDir)
     spark.stop()
   }

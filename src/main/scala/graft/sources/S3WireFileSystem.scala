@@ -151,7 +151,7 @@ class S3WireFileSystem extends FileSystem {
   /** One ListObjectsV2 page: (files as (key, size), dir prefixes, next token). */
   private def listPage(prefix: String, delimiter: String,
       token: Option[String], maxKeys: Int = 1000)
-      : (Seq[(String, Long)], Seq[String], Option[String]) = {
+      : (Seq[(String, Long, Long)], Seq[String], Option[String]) = {
     val q = Seq("list-type" -> "2", "prefix" -> prefix,
       "max-keys" -> maxKeys.toString) ++
       (if (delimiter.nonEmpty) Seq("delimiter" -> delimiter) else Nil) ++
@@ -164,7 +164,10 @@ class S3WireFileSystem extends FileSystem {
       .findAllMatchIn(xml).map(_.group(1)).map { c =>
         val k = xmlUnescape(xmlValues(c, "Key").headOption.getOrElse(""))
         val sz = xmlValues(c, "Size").headOption.map(_.toLong).getOrElse(0L)
-        (k, sz)
+        val lm = xmlValues(c, "LastModified").headOption.flatMap(v =>
+          scala.util.Try(java.time.Instant.parse(v).toEpochMilli).toOption)
+          .getOrElse(0L)
+        (k, sz, lm)
       }.toSeq
     val prefixes = "<CommonPrefixes>(.*?)</CommonPrefixes>".r
       .findAllMatchIn(xml).map(_.group(1))
@@ -223,7 +226,7 @@ class S3WireFileSystem extends FileSystem {
     while (go) {
       val (files, prefixes, next) = listPage(prefix, "/", token)
       sawAny |= files.nonEmpty || prefixes.nonEmpty
-      files.foreach { case (k, sz) => out += fileStatusOf(k, sz, 0L) }
+      files.foreach { case (k, sz, lm) => out += fileStatusOf(k, sz, lm) }
       prefixes.foreach(p => out += dirStatusOf(p))
       token = next
       go = next.isDefined
@@ -383,7 +386,7 @@ class S3WireFileSystem extends FileSystem {
       val (files, _, next) = listPage(key + "/", "", token)
       if (files.nonEmpty && !recursive)
         throw new IOException(s"directory not empty: $f")
-      files.foreach { case (k, _) =>
+      files.foreach { case (k, _, _) =>
         evictStatus(k); send("DELETE", k); any = true }
       token = next
       go = next.isDefined
@@ -413,7 +416,7 @@ class S3WireFileSystem extends FileSystem {
     var go = true
     while (go) {
       val (files, _, next) = listPage(srcKey + "/", "", token)
-      files.foreach { case (k, _) =>
+      files.foreach { case (k, _, _) =>
         any = true
         ok &= copyDelete(k, dstKey + "/" + k.stripPrefix(srcKey + "/"))
       }

@@ -191,7 +191,8 @@ class Engine(val spark: SparkSession, val repoDir: String,
     * append-only epochs, so the residual race window is the same one the
     * reference has between its catalog pre-check and the KV write. */
   def setEntryIfAbsent(branch: String, key: String, identity: String,
-      sizeBytes: Long, address: Option[String] = None): Boolean =
+      sizeBytes: Long, address: Option[String] = None,
+      mtime: Long = 0L): Boolean =
     branchLock.withLock(branch) {
       // the precondition read is the JOB-FREE point resolve (EntryIO):
       // the reference's condition closure is a KV read, and a Spark job
@@ -202,7 +203,7 @@ class Engine(val spark: SparkSession, val repoDir: String,
       else {
         val (dir, e) = allocateStagingDir(branch)
         EntryIO.writeStaged(spark.sparkContext.hadoopConfiguration, dir, e,
-          Seq(EntryIO.Entry(key, Some(identity), address, sizeBytes, 0L)))
+          Seq(EntryIO.Entry(key, Some(identity), address, sizeBytes, mtime)))
         true
       }
     }
@@ -1426,12 +1427,7 @@ class Engine(val spark: SparkSession, val repoDir: String,
   /** GC mark (J9): all range ids on disk not referenced by any manifest
     * reachable from a branch head (addresses compared by content id — the
     * directory name — so path qualification differences don't matter). */
-  def gcMark(): DataFrame = {
-    import spark.implicits._
-    val allDf = rangeDirCandidates().toDF("address")
-    val liveDf = liveRangeInfos().map(Engine.dirBasename).distinct.toDF("address")
-    graft.operators.Gc.mark(allDf, liveDf, liveDf.limit(0))
-  }
+  def gcMark(): DataFrame = markDeadRanges(liveRangeInfos())
 
   /** Metaranges reachable from any branch head, tag, or uncommitted
     * compacted base — the live manifest set. */
@@ -1466,13 +1462,17 @@ class Engine(val spark: SparkSession, val repoDir: String,
     * probe validates file existence; with the marker gone first there is
     * no window where a valid-looking marker points at vanishing data).
     * Metadata-scale: one dir listing + pooled deletes. */
-  private def sweepDeadMarkers(liveRids: Set[String]): Long = {
+  private def sweepDeadMarkers(liveRids: Set[String], cutoffMs: Long): Long = {
     val idx = new org.apache.hadoop.fs.Path(s"$dataDir/ranges/_idx")
     if (!dataFs.exists(idx)) return 0L
-    val dead = dataFs.listStatus(idx).map(_.getPath.getName).toSeq
-      .filterNot(liveRids)
-    SnapshotStore.inParallel(dead)(n =>
-      dataFs.delete(new org.apache.hadoop.fs.Path(idx, n), false))
+    // the same mtime guard as the range/manifest sweeps: a marker just
+    // published by an in-flight write (its commit CAS still pending) is
+    // not yet reachable but must not be collected
+    val dead = dataFs.listStatus(idx).toSeq
+      .filter(st => !liveRids(st.getPath.getName) &&
+        st.getModificationTime <= cutoffMs)
+      .map(_.getPath)
+    SnapshotStore.inParallel(dead)(p => dataFs.delete(p, false))
     dead.length.toLong
   }
 
@@ -1507,13 +1507,19 @@ class Engine(val spark: SparkSession, val repoDir: String,
     val cutoffMs = System.currentTimeMillis()
     val liveMetas = liveMetaRangeIds()
     val live = liveMetas.flatMap(m => snapshots.readManifest(m))
-    sweepDeadMarkers(live.map(_.rangeId).toSet)
+    sweepDeadMarkers(live.map(_.rangeId).toSet, cutoffMs)
     sweepDeadManifests(liveMetas.toSet, cutoffMs)
+    distributedSweep(markDeadRanges(live), runId, Some(cutoffMs))
+  }
+
+  /** The range mark over an explicit live set — ONE definition shared by
+    * gcMark/gcSweep/gcRun so mark and sweep can never disagree on what
+    * counts as live. */
+  private def markDeadRanges(live: Seq[graft.core.Model.RangeInfo]): DataFrame = {
     import spark.implicits._
     val allDf = rangeDirCandidates().toDF("address")
     val liveDf = live.map(Engine.dirBasename).distinct.toDF("address")
-    val marked = graft.operators.Gc.mark(allDf, liveDf, liveDf.limit(0))
-    distributedSweep(marked, runId, Some(cutoffMs))
+    graft.operators.Gc.mark(allDf, liveDf, liveDf.limit(0))
   }
 
   /** Executor-side bulk delete of marked addresses + S9 report. The dead set
@@ -1533,12 +1539,8 @@ class Engine(val spark: SparkSession, val repoDir: String,
     // ship the driver's effective Hadoop conf as plain entries (Configuration
     // itself isn't closure-serializable) - executors must see the same
     // credentials/endpoints/fs.* settings the driver resolved
-    val confEntries: Array[(String, String)] = {
-      val it = spark.sparkContext.hadoopConfiguration.iterator()
-      val buf = scala.collection.mutable.ArrayBuffer[(String, String)]()
-      while (it.hasNext) { val e = it.next(); buf += ((e.getKey, e.getValue)) }
-      buf.toArray
-    }
+    val confEntries: Array[(String, String)] =
+      SnapshotStore.confAsEntries(spark.sparkContext.hadoopConfiguration)
     // cap delete tasks BELOW the executor slot count: bulk deletes are
     // IO-bound metadata calls that must not monopolize the app — and when
     // the backing store is itself Spark-served (the embedded S3 gateway),
@@ -1555,7 +1557,20 @@ class Engine(val spark: SparkSession, val repoDir: String,
         val st =
           try Some(pfs.getFileStatus(p))
           catch { case _: java.io.FileNotFoundException => None }
-        st.exists(s => s.getModificationTime <= guardMs && pfs.delete(p, true))
+        // effective mtime of a DIRECTORY candidate = max over its files:
+        // object stores have no real directories (an implied prefix's
+        // mtime reads 0), and a 0 would void the newer-than-cutoff guard
+        // exactly where it protects in-flight commits
+        def mtimeOf(stat: org.apache.hadoop.fs.FileStatus): Long =
+          if (!stat.isDirectory) stat.getModificationTime
+          else {
+            val kids =
+              try pfs.listStatus(p).map(_.getModificationTime)
+              catch { case _: java.io.FileNotFoundException => Array.empty[Long] }
+            math.max(stat.getModificationTime,
+              if (kids.isEmpty) 0L else kids.max)
+          }
+        st.exists(s => mtimeOf(s) <= guardMs && pfs.delete(p, true))
       }
     }.toDF("address").persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = deleted.count() // runs the distributed delete exactly once
@@ -1597,9 +1612,9 @@ class Engine(val spark: SparkSession, val repoDir: String,
     val liveMetas = (activeMetas ++ tagMetas ++ compactedMetas).toSet
     val liveInfos = liveMetas.toSeq
       .flatMap((m: String) => snapshots.readManifest(m))
-    sweepDeadMarkers(liveInfos.map(_.rangeId).toSet)
-    sweepDeadManifests(liveMetas,
-      cutoffs.values.minOption.getOrElse(nowSecs) * 1000L)
+    val gcRunCutoffMs = cutoffs.values.minOption.getOrElse(nowSecs) * 1000L
+    sweepDeadMarkers(liveInfos.map(_.rangeId).toSet, gcRunCutoffMs)
+    sweepDeadManifests(liveMetas, gcRunCutoffMs)
     val live = liveInfos.map(Engine.dirBasename).toSet
 
     // S8: uncommitted inventory — staging epoch files with their mtimes
@@ -1768,12 +1783,8 @@ class Engine(val spark: SparkSession, val repoDir: String,
     val written = spark.sparkContext.longAccumulator("symlinks_written")
     // ship the driver's effective Hadoop conf as plain entries, same idiom
     // as distributedSweep (Configuration isn't closure-serializable)
-    val confEntries: Array[(String, String)] = {
-      val it = spark.sparkContext.hadoopConfiguration.iterator()
-      val buf = scala.collection.mutable.ArrayBuffer[(String, String)]()
-      while (it.hasNext) { val e = it.next(); buf += ((e.getKey, e.getValue)) }
-      buf.toArray
-    }
+    val confEntries: Array[(String, String)] =
+      SnapshotStore.confAsEntries(spark.sparkContext.hadoopConfiguration)
     plan.select("symlink_path", "content").foreachPartition {
       (it: Iterator[Row]) =>
         val conf = new org.apache.hadoop.conf.Configuration()

@@ -34,7 +34,7 @@ object FsCaps {
     * the suite can prove the data path triggers none. */
   private val renameFreeSchemes =
     Set("s3a", "s3", "s3n", "gs", "oss", "cos", "swift", "wasbs", "abfs",
-      "abfss", "gws", "norename")
+      "abfss", "wasb", "gws", "norename")
 
   /** True iff `fs.rename` is atomic (and cheap) on this FileSystem. */
   def atomicRename(fs: FileSystem): Boolean = {

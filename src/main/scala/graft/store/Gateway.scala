@@ -69,7 +69,8 @@ object HttpRange {
   }
 }
 
-class Gateway(val engine: Engine) {
+class Gateway(val engine: Engine,
+    clock: () => Long = () => System.currentTimeMillis() / 1000) {
 
   private val spark = engine.spark
 
@@ -316,7 +317,7 @@ class Gateway(val engine: Engine) {
     * payload column when the repo schema carries one (gateway-staged
     * entries always do), 0 otherwise. */
   final case class ObjectStat(path: String, etag: String, sizeBytes: Long,
-      address: String)
+      address: String, mtimeEpochSec: Long = 0L)
 
   private def statOf(ref: String, path: String): Option[ObjectStat] =
     // the JOB-FREE point resolve (manifest seek + pushed-filter parquet
@@ -329,7 +330,7 @@ class Gateway(val engine: Engine) {
     // size_bytes, address.
     EntryIO.pointGet(engine, ref, path).map(e =>
       ObjectStat(path, e.identity.getOrElse(""), e.sizeBytes,
-        e.address.getOrElse("")))
+        e.address.getOrElse(""), e.mtime))
 
   /** HeadObject (headobject.go): metadata through the full ref grammar;
     * a missing key is the S3 NoSuchKey error. */
@@ -402,8 +403,12 @@ class Gateway(val engine: Engine) {
     // job-free single-entry stage — a gateway PUT must not cost a
     // scheduler round-trip (the reference's PUT is a KV write)
     val (dir, e) = engine.allocateStagingDir(branch)
+    // real LastModified: the reference serves entry CreationDate as the
+    // object's Last-Modified; a zero mtime would void every downstream
+    // freshness guard (GC mtime cutoffs on an S3-wire-backed store)
     EntryIO.writeStaged(spark.sparkContext.hadoopConfiguration, dir, e,
-      Seq(EntryIO.Entry(path, Some(checksum), Some(addr), sizeBytes, 0L)))
+      Seq(EntryIO.Entry(path, Some(checksum), Some(addr), sizeBytes,
+        clock())))
     checksum
   }
 
@@ -416,7 +421,7 @@ class Gateway(val engine: Engine) {
       checksum: String): Boolean = {
     requireWritable("putObject")
     engine.setEntryIfAbsent(branch, path, checksum, sizeBytes,
-      Some(s"data/gw-${java.util.UUID.randomUUID()}"))
+      Some(s"data/gw-${java.util.UUID.randomUUID()}"), mtime = clock())
   }
 
   /** PutObject with `x-amz-copy-source` (putobject.go:41-86 → CopyObject):
@@ -494,7 +499,8 @@ class Gateway(val engine: Engine) {
   final case class ObjectResult(status: Int, etag: String,
       contentLength: Long, start: Long, end: Long, address: String) extends S3Result
   /** HeadObject / HeadBucket. */
-  final case class StatResult(etag: String, sizeBytes: Long) extends S3Result
+  final case class StatResult(etag: String, sizeBytes: Long,
+      mtimeEpochSec: Long = 0L) extends S3Result
   /** PutObject / CopyObject / CompleteMultipartUpload: the new ETag. */
   final case class EtagResult(etag: String) extends S3Result
   /** CreateMultipartUpload: the upload id. */
@@ -542,7 +548,7 @@ class Gateway(val engine: Engine) {
         ObjectResult(r.status, r.etag, r.contentLength, r.start, r.end, r.address)
       case HeadObject =>
         val st = headObject(routed.ref, routed.path)
-        StatResult(st.etag, st.sizeBytes)
+        StatResult(st.etag, st.sizeBytes, st.mtimeEpochSec)
       case PutObject =>
         // precondition grammar, conditions.go:16-36 verbatim: both headers
         // or If-Match alone or a non-"*" If-None-Match → NotImplemented;
@@ -658,9 +664,11 @@ class Gateway(val engine: Engine) {
             if (listed.columns.contains("identity") &&
                 listed.columns.contains("size_bytes"))
               page.join(
-                listed.select(
+                listed.select(Seq(
                   concat(lit(ref + "/"), col("key")).as("name"),
-                  col("identity").as("etag"), col("size_bytes")),
+                  col("identity").as("etag"), col("size_bytes")) ++
+                  (if (listed.columns.contains("mtime"))
+                     Seq(col("mtime")) else Nil): _*),
                 Seq("name"), "left")
             else page
           PageResult(withStats)

@@ -16,6 +16,13 @@ import graft.store.GatewaySig.SignedRequest
  * order, values escaped.
  */
 object GatewayXml {
+  /** S3 listing timestamp form (serde marshals time.Time as RFC3339 with
+    * milliseconds). */
+  def iso8601(epochSec: Long): String =
+    java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")
+      .withZone(java.time.ZoneOffset.UTC)
+      .format(java.time.Instant.ofEpochSecond(epochSec))
   private[store] def esc(s: String): String = {
     val b = new StringBuilder(s.length)
     s.foreach {
@@ -41,7 +48,8 @@ object GatewayXml {
     * the snapshot schema carries them (the gateway rejoins the page to
     * the pruned listing); common prefixes have neither. */
   final case class Entry(key: String, isPrefix: Boolean,
-      etag: Option[String] = None, size: Option[Long] = None)
+      etag: Option[String] = None, size: Option[Long] = None,
+      lastModifiedEpochSec: Option[Long] = None)
 
   /** serde.ListObjectsV2Output / ListBucketResult (xml.go:52-91) — `v2`
     * picks the continuation dialect, V1 the marker dialect. */
@@ -67,6 +75,11 @@ object GatewayXml {
     }
     keys.foreach { e =>
       b.append("<Contents>").append(el("Key", e.key))
+      // serde.Contents carries LastModified (xml.go:41) — an SDK's listing
+      // exposes it, and freshness guards (GC cutoffs behind the S3-wire
+      // FileSystem) depend on it
+      e.lastModifiedEpochSec.foreach(t =>
+        b.append(el("LastModified", GatewayXml.iso8601(t))))
       e.etag.foreach(t => b.append(el("ETag", "\"" + t + "\"")))
       e.size.foreach(s => b.append(el("Size", s.toString)))
       b.append(el("StorageClass", "STANDARD")).append("</Contents>")
@@ -454,9 +467,15 @@ class GatewayHttp(hub: GatewayHub, auth: GatewayAuth, authSvc: AuthService,
         else base
         respond(ex, r.status, bytes, hdrs)
       case r: gw.StatResult =>
+        val lm =
+          if (r.mtimeEpochSec > 0)
+            Seq("Last-Modified" -> java.time.format.DateTimeFormatter
+              .RFC_1123_DATE_TIME.withZone(java.time.ZoneOffset.UTC)
+              .format(java.time.Instant.ofEpochSecond(r.mtimeEpochSec)))
+          else Nil
         respond(ex, 200, Array.emptyByteArray, Seq("ETag" -> quote(r.etag),
           "Content-Length" -> r.sizeBytes.toString,
-          "Accept-Ranges" -> "bytes"))
+          "Accept-Ranges" -> "bytes") ++ lm)
       case r: gw.EtagResult =>
         // the block-adapter write: land the verified payload (or the
         // assembled multipart) at the entry's physical address
@@ -557,9 +576,14 @@ class GatewayHttp(hub: GatewayHub, auth: GatewayAuth, authSvc: AuthService,
           if (df.columns.contains("rn")) df.orderBy("rn").collect()
           else df.orderBy("name").collect() // the branches-as-prefixes page
         val hasStats = df.columns.contains("etag")
+        val hasMtime = df.columns.contains("mtime")
         val entries = rows.map { row =>
           val isPrefix = row.getAs[String]("entry_type") == "common_prefix"
           GatewayXml.Entry(row.getAs[String]("name"), isPrefix,
+            lastModifiedEpochSec =
+              if (hasMtime && !isPrefix && !row.isNullAt(row.fieldIndex("mtime")))
+                Some(row.getAs[Number]("mtime").longValue()).filter(_ > 0L)
+              else None,
             etag = if (hasStats && !isPrefix)
               Option(row.getAs[String]("etag")) else None,
             size = if (hasStats && !isPrefix && !row.isNullAt(

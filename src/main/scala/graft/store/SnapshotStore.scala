@@ -1185,7 +1185,14 @@ class SnapshotStore(val spark: SparkSession, val repoDir: String,
   /** Read and validate `rid`'s content marker. A torn marker (crashed
     * publisher on a posix store) or one whose target a sweep already
     * removed reads as ABSENT — the caller then writes fresh data, never
-    * adopting a dangle. */
+    * adopting a dangle.
+    *
+    * Residual TOCTOU vs a CONCURRENT sweep: between this validation and
+    * the adopting manifest's write, a sweep that marked `rid` dead could
+    * still collect it — the same fundamental GC-vs-writer window the
+    * reference closes with retention grace (production sweeps run with a
+    * cutoff days in the past, never "now"; fresh markers are additionally
+    * protected by the sweep's mtime guard). */
   private def readMarker(rid: String): Option[(String, Seq[String])] =
     try {
       val p = markerPath(rid)
@@ -1415,30 +1422,39 @@ object SnapshotStore {
         new Path(p.getParent, p.getName + s".tmp_${java.util.UUID.randomUUID()}")
       else p
     fs.mkdirs(p.getParent)
-    val out =
-      try fs.create(target, atomicRename)
-      catch {
-        // direct mode, already created by a racing identical writer: done
-        case _: java.io.IOException if !atomicRename && fs.exists(p) => return
-      }
-    try {
-      val w = new java.io.BufferedWriter(
-        new java.io.OutputStreamWriter(out, java.nio.charset.StandardCharsets.UTF_8))
-      infos.foreach { ri =>
-        val n = mapper.createObjectNode()
-        n.put("rangeId", ri.rangeId); n.put("minKey", ri.minKey)
-        n.put("maxKey", ri.maxKey); n.put("estimatedSize", ri.estimatedSize)
-        n.put("count", ri.count); n.put("path", ri.path)
-        if (ri.files.nonEmpty) {
-          val arr = n.putArray("files")
-          ri.files.foreach(arr.add)
+    def writeTo(): Unit = {
+      val out = fs.create(target, atomicRename)
+      try {
+        val w = new java.io.BufferedWriter(
+          new java.io.OutputStreamWriter(out, java.nio.charset.StandardCharsets.UTF_8))
+        infos.foreach { ri =>
+          val n = mapper.createObjectNode()
+          n.put("rangeId", ri.rangeId); n.put("minKey", ri.minKey)
+          n.put("maxKey", ri.maxKey); n.put("estimatedSize", ri.estimatedSize)
+          n.put("count", ri.count); n.put("path", ri.path)
+          if (ri.files.nonEmpty) {
+            val arr = n.putArray("files")
+            ri.files.foreach(arr.add)
+          }
+          w.write(mapper.writeValueAsString(n)); w.write('\n')
         }
-        w.write(mapper.writeValueAsString(n)); w.write('\n')
+        w.flush()
+      } finally out.close()
+    }
+    if (atomicRename) {
+      writeTo()
+      if (!fs.rename(target, p) && !fs.exists(p))
+        sys.error(s"manifest rename failed: $p")
+    } else {
+      // the lost create-if-absent race can surface at CREATE (posix-style
+      // stores) or at CLOSE (buffer-and-PUT stores: the conditional PUT
+      // fires when the stream closes) — either way, manifests are
+      // content-addressed, so an existing `p` means identical bytes landed
+      try writeTo()
+      catch {
+        case _: java.io.IOException if fs.exists(p) => ()
       }
-      w.flush()
-    } finally out.close()
-    if (atomicRename && !fs.rename(target, p) && !fs.exists(p))
-      sys.error(s"manifest rename failed: $p")
+    }
   }
 
   private[store] def readManifestFile(fs: FileSystem, p: Path): Seq[RangeInfo] = {
