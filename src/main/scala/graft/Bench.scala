@@ -59,11 +59,9 @@ object Bench {
       .appName("graft-bench")
       .config("spark.sql.shuffle.partitions", math.min(cpus.toInt, 16))
       .config("spark.sql.adaptive.enabled", "true")
-      // manifests hand scans EXPLICIT file lists (the rename-free layout);
-      // the default 32-path threshold would launch a listing JOB for any
-      // snapshot over ~8 ranges — driver-side stats are cheaper up to
-      // thousands of files, and truly huge scans still fan out past this
-      .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "4096")
+      // no discovery-threshold override: engine scans build their file
+      // index from manifest (path, size) metadata (ManifestFileIndex), so
+      // they never run a listing job on ANY session at ANY path count
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -778,13 +776,28 @@ object Bench {
     }
 
     // teardown the http twin like every per-pass repo: stop the server,
-    // reclaim the inner engine's objects + staged epochs
-    httpTwin.foreach { case (_, _, http, innerDir) =>
+    // restore the shared Hadoop conf it mutated (and drop the cached gws
+    // FileSystem instance, which would otherwise point at the dead
+    // endpoint), reclaim the inner engine's objects + staged epochs
+    httpTwin.foreach { case (root, _, http, innerDir) =>
       try http.stop() catch { case _: Throwable => () }
+      val hconf = spark.sparkContext.hadoopConfiguration
+      // evict the cached gws FileSystem BEFORE unsetting its impl — a
+      // retained instance would silently point at the stopped endpoint
+      try org.apache.hadoop.fs.FileSystem.get(new java.net.URI(root), hconf)
+        .close()
+      catch { case _: Throwable => () }
+      Seq("fs.gws.impl", "graft.gws.endpoint", "graft.gws.access",
+        "graft.gws.secret").foreach(hconf.unset)
       deleteDir(innerDir)
     }
     emit(samples, stepSamples, sfDir)
     spark.stop()
+    // rc must be 0: stray non-daemon threads (HTTP server workers, pool
+    // threads a twin leaked) must not hold the JVM open past the budget —
+    // r13's run was killed by the harness timeout (rc=124) after the
+    // summary had already been emitted
+    System.exit(0)
   }
 
   private def median(v: Vector[Double]): Double =

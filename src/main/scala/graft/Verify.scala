@@ -14,9 +14,6 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // explicit-file-list scans (see Bench): stat small file sets on the
-      // driver instead of launching a listing job per manifest read
-      .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "4096")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

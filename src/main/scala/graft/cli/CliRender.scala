@@ -235,6 +235,33 @@ object CliRender {
   def renderUserListLine(id: String, createdAtEpochSec: Long): String =
     s"$id    ${fmtDate(createdAtEpochSec)}\n"
 
+  /** `lakectl auth groups create` block (cmd/auth_groups.go — the same
+    * created-entity block shape as user create). */
+  def renderGroupCreated(name: String, createdAtEpochSec: Long): String =
+    "Group created successfully.\n" +
+      s"ID: $name\n" +
+      s"Creation Date: ${fmtDate(createdAtEpochSec)}\n"
+
+  /** One `lakectl auth groups list` row — id, gutter, creation date, like
+    * the user list rows. */
+  def renderGroupListLine(name: String, createdAtEpochSec: Long): String =
+    s"$name    ${fmtDate(createdAtEpochSec)}\n"
+
+  /** One `lakectl auth groups members list` row — the bare username
+    * (cmd/auth_groups.go members list prints the id column only). */
+  def renderGroupMemberLine(username: String): String = s"$username\n"
+
+  /** One `lakectl auth policies list` row — id, creation date, statement
+    * count (cmd/auth_policies.go list columns). */
+  def renderPolicyListLine(id: String, createdAtEpochSec: Long,
+      nStatements: Int): String =
+    s"$id    ${fmtDate(createdAtEpochSec)}    $nStatements statement" +
+      (if (nStatements == 1) "" else "s") + "\n"
+
+  /** `lakectl bisect reset` with no session
+    * (lakectl_bisect_reset_not_started.golden). */
+  val bisectResetNotStarted: String = "Warning: No active bisect session\n\n"
+
   /** `lakectl tag show` (lakectl_tag_show.golden: name SPACE commit id —
     * unlike the TAB-joined tag LIST rows). */
   def renderTagShow(tag: String, commitId: String): String =

@@ -140,7 +140,17 @@ object Model {
     * final name and the manifest (not a directory listing) defines
     * membership, so a speculative duplicate or crashed writer's file is
     * simply never referenced. Empty `files` marks a legacy range whose
-    * `path` directory is listed instead. */
+    * `path` directory is listed instead.
+    *
+    * `sizes` carries the byte length of each entry of `files` (parallel
+    * arrays — `sizes(i)` is the length of `files(i)`), captured by the
+    * writer at stream close. A manifest that knows every (path, size) pair
+    * lets scans build their file index entirely from metadata: no
+    * partition-discovery job, no listing, no per-file HEAD on object
+    * stores, at any path count (the reference's diff walks manifests the
+    * same way — `pkg/graveler/committed/diff.go:238-240` never lists).
+    * Empty or length-mismatched `sizes` (legacy manifests) fall back to
+    * Spark's own discovery. */
   case class RangeInfo(
       rangeId: String,
       minKey: String,
@@ -148,5 +158,6 @@ object Model {
       estimatedSize: Long,
       count: Long,
       path: String,
-      files: Seq[String] = Seq.empty)
+      files: Seq[String] = Seq.empty,
+      sizes: Seq[Long] = Seq.empty)
 }

@@ -1,0 +1,59 @@
+package graft.plans
+
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, PartitionDirectory}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.types.StructType
+
+/** A [[FileIndex]] seeded entirely from manifest metadata — the engine's
+  * manifests record every range data file's exact `(path, size)`
+  * ([[graft.core.Model.RangeInfo]] `files`/`sizes`), so a scan never needs
+  * Spark's partition discovery: no driver listing, no parallel-discovery
+  * JOB past the 32-path threshold, no per-file HEAD storm on object
+  * stores — on ANY session, at ANY path count. This is the Spark shape of
+  * the reference's manifest-driven reads (`pkg/graveler/committed/
+  * diff.go:238-240` — iterators walk range metadata; nothing ever lists a
+  * directory).
+  *
+  * Split planning, filter pushdown, and whole-stage codegen are untouched:
+  * the index feeds the stock `HadoopFsRelation`/`FileSourceScanExec`
+  * pipeline, so `PushedFilters`/`ReadSchema` behave exactly as a
+  * `spark.read.parquet` scan's would.
+  */
+final class ManifestFileIndex(files: Seq[(String, Long)]) extends FileIndex {
+  private val statuses: Array[FileStatus] = files.map { case (p, len) =>
+    // mtime/blocksize are irrelevant to planning; length must be exact
+    // (the parquet reader locates the footer from it)
+    new FileStatus(len, false, 1, 128L << 20, 0L, new Path(p))
+  }.toArray
+
+  override def rootPaths: Seq[Path] = statuses.map(_.getPath).toSeq
+  override def listFiles(partitionFilters: Seq[Expression],
+      dataFilters: Seq[Expression]): Seq[PartitionDirectory] =
+    Seq(PartitionDirectory(InternalRow.empty, statuses))
+  override def inputFiles: Array[String] = files.map(_._1).toArray
+  override def refresh(): Unit = ()
+  override val sizeInBytes: Long = files.map(_._2).sum
+  override def partitionSchema: StructType = StructType(Nil)
+}
+
+object ManifestScan {
+  /** Parquet scan over an explicit `(path, size)` file list with a known
+    * schema — zero discovery I/O by construction. The relation binds to
+    * `sess`, so per-scan conf (e.g. the aligned write's split size) rides
+    * a cloned session exactly as with a `DataFrameReader` scan. */
+  def dataFrame(sess: SparkSession, files: Seq[(String, Long)],
+      schema: StructType): DataFrame = {
+    val relation = HadoopFsRelation(
+      location = new ManifestFileIndex(files),
+      partitionSchema = StructType(Nil),
+      dataSchema = schema,
+      bucketSpec = None,
+      fileFormat = new ParquetFileFormat(),
+      options = Map.empty[String, String])(sess)
+    sess.baseRelationToDataFrame(relation)
+  }
+}

@@ -192,13 +192,7 @@ class S3WireFileSystem extends FileSystem {
     val (st, hd, _) = send("HEAD", key)
     if (st == 200) {
       val len = hd.firstValue("Content-Length").map[Long](_.toLong).orElse(0L)
-      val mtime = hd.firstValue("Last-Modified")
-        .map[Long](v => scala.util.Try(
-          java.time.ZonedDateTime.parse(v,
-            java.time.format.DateTimeFormatter.RFC_1123_DATE_TIME)
-            .toInstant.toEpochMilli).getOrElse(0L))
-        .orElse(0L)
-      val fst = fileStatusOf(key, len, mtime)
+      val fst = fileStatusOf(key, len, mtimeOf(hd))
       cacheStatus(key, fst)
       fst
     } else {
@@ -209,14 +203,25 @@ class S3WireFileSystem extends FileSystem {
     }
   }
 
+  private def mtimeOf(hd: java.net.http.HttpHeaders): Long =
+    hd.firstValue("Last-Modified")
+      .map[Long](v => scala.util.Try(
+        java.time.ZonedDateTime.parse(v,
+          java.time.format.DateTimeFormatter.RFC_1123_DATE_TIME)
+          .toInstant.toEpochMilli).getOrElse(0L))
+      .orElse(0L)
+
   override def listStatus(f: Path): Array[FileStatus] = {
     val key = keyOf(f)
-    // a plain object lists as itself
+    // a plain object lists as itself — with its REAL mtime: an mtime-guarded
+    // consumer (the GC sweep's newer-than-cutoff check) resolving a file
+    // through listStatus must not see it as infinitely old
     if (key.nonEmpty) {
       val (st, hd, _) = send("HEAD", key)
       if (st == 200)
         return Array(fileStatusOf(key,
-          hd.firstValue("Content-Length").map[Long](_.toLong).orElse(0L), 0L))
+          hd.firstValue("Content-Length").map[Long](_.toLong).orElse(0L),
+          mtimeOf(hd)))
     }
     val prefix = if (key.isEmpty) "" else key + "/"
     val out = scala.collection.mutable.ArrayBuffer[FileStatus]()
@@ -331,39 +336,168 @@ class S3WireFileSystem extends FileSystem {
     override def close(): Unit = dropStream()
   }
 
+  /** Multipart kicks in past this many buffered bytes (conditional creates
+    * never use it — `If-None-Match` has no multipart form). */
+  private def mpuThreshold: Long =
+    getConf.getLong("graft.gws.mpu.threshold", 16L << 20)
+  /** Part size once multipart engages (S3's real minimum is 5 MiB). */
+  private def mpuPartSize: Int =
+    math.max(5 << 20, getConf.getLong("graft.gws.mpu.part.size", 8L << 20).toInt)
+  /** In-flight part uploads per stream — bounds memory to
+    * `concurrency × partSize` and overlaps encode with network (the
+    * reference's committed writer runs ≤10 concurrent uploaders,
+    * `committed/batch_write_closer.go:23-32`, `pkg/config/defaults.go:91`). */
+  private def uploadConcurrency: Int =
+    math.max(1, getConf.getInt("graft.gws.upload.concurrency", 4))
+
+  /** Shared daemon pool for part uploads — one per FS instance (Hadoop
+    * caches FS instances per scheme+authority, so this is per-bucket). */
+  private lazy val uploadPool: java.util.concurrent.ExecutorService =
+    java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(uploadConcurrency, 10),
+      new java.util.concurrent.ThreadFactory {
+        private val n = new java.util.concurrent.atomic.AtomicInteger()
+        def newThread(r: Runnable): Thread = {
+          val t = new Thread(r, s"gws-upload-${n.incrementAndGet()}")
+          t.setDaemon(true); t
+        }
+      })
+
   override def create(f: Path, permission: FsPermission, overwrite: Boolean,
       bufferSize: Int, replication: Short, blockSize: Long,
       progress: Progressable): FSDataOutputStream = {
     val key = keyOf(f)
-    val buf = new ByteArrayOutputStream(64 * 1024)
-    val wrapped = new java.io.OutputStream {
-      private var closed = false
-      override def write(b: Int): Unit = buf.write(b)
-      override def write(b: Array[Byte], off: Int, l: Int): Unit =
-        buf.write(b, off, l)
-      override def close(): Unit = {
-        if (closed) return
-        closed = true
-        val headers =
-          if (overwrite) Nil
-          // create-if-absent IS the S3 conditional PUT — one atomic wire
-          // op, the primitive the rename-free metadata writers assume
-          else Seq("If-None-Match" -> "*")
-        val (st, _, body) = send("PUT", key, body = buf.toByteArray,
-          extraHeaders = headers)
-        st match {
-          case 200 | 201 =>
-            cacheStatus(key, fileStatusOf(key, buf.size.toLong,
-              System.currentTimeMillis()))
-          case 412 | 409 =>
-            throw new org.apache.hadoop.fs.FileAlreadyExistsException(
-              s"gws://$bucket/$key")
-          case s => throw new IOException(
-            s"PUT $bucket/$key: HTTP $s ${new String(body, StandardCharsets.UTF_8).take(200)}")
+    new FSDataOutputStream(new MpuOutputStream(key, overwrite), statistics)
+  }
+
+  /** Write stream with a bounded-memory escape from buffer-and-PUT:
+    * objects under [[mpuThreshold]] go out as ONE PUT on close (the common
+    * case — range files are chunker-bounded); past it the stream initiates
+    * the gateway's multipart lifecycle and uploads each filled
+    * [[mpuPartSize]] part ASYNCHRONOUSLY while the producer keeps
+    * encoding — at most [[uploadConcurrency]] parts buffered+in flight, so
+    * an import of any size streams in O(concurrency × partSize) memory.
+    * Close uploads the tail part, awaits every part, and completes the
+    * upload; any failure aborts the MPU server-side (no orphaned stash).
+    * Reference: `pkg/block/s3/adapter.go` multipart upload path. */
+  private final class MpuOutputStream(key: String, overwrite: Boolean)
+      extends java.io.OutputStream {
+    private var closed = false
+    private var buf = new ByteArrayOutputStream(64 * 1024)
+    private var total = 0L
+    private var uploadId: Option[String] = None
+    private var nextPart = 1
+    private val pending = scala.collection.mutable.ArrayBuffer[
+      (Int, java.util.concurrent.Future[String])]()
+
+    override def write(b: Int): Unit = { buf.write(b); total += 1; maybeSpill() }
+    override def write(b: Array[Byte], off: Int, l: Int): Unit = {
+      buf.write(b, off, l); total += l; maybeSpill()
+    }
+
+    /** Start MPU / ship filled parts. Conditional creates (`!overwrite`)
+      * never spill: create-if-absent is a single-PUT primitive. */
+    private def maybeSpill(): Unit = {
+      if (!overwrite) return
+      if (uploadId.isEmpty && total >= mpuThreshold) uploadId = Some(initiate())
+      if (uploadId.isDefined) {
+        while (buf.size >= mpuPartSize) {
+          val bytes = buf.toByteArray
+          val part = java.util.Arrays.copyOfRange(bytes, 0, mpuPartSize)
+          buf = new ByteArrayOutputStream(64 * 1024)
+          buf.write(bytes, mpuPartSize, bytes.length - mpuPartSize)
+          shipPart(part)
         }
       }
     }
-    new FSDataOutputStream(wrapped, statistics)
+
+    private def initiate(): String = {
+      val (st, _, body) = send("POST", key, query = Seq("uploads" -> ""))
+      if (st != 200) throw new IOException(
+        s"initiate MPU $bucket/$key: HTTP $st")
+      "<UploadId>([^<]*)</UploadId>".r
+        .findFirstMatchIn(new String(body, StandardCharsets.UTF_8))
+        .map(_.group(1))
+        .getOrElse(throw new IOException(s"initiate MPU $bucket/$key: no id"))
+    }
+
+    private def shipPart(bytes: Array[Byte]): Unit = {
+      // backpressure: at most `uploadConcurrency` parts buffered+in flight
+      while (pending.count(!_._2.isDone) >= uploadConcurrency)
+        pending.find(!_._2.isDone).foreach(p =>
+          try { p._2.get(); () } catch { case _: Exception => () })
+      val pn = nextPart
+      nextPart += 1
+      val id = uploadId.get
+      pending += pn -> uploadPool.submit(
+        new java.util.concurrent.Callable[String] {
+          def call(): String = {
+            val (st, hd, body) = send("PUT", key,
+              query = Seq("partNumber" -> pn.toString, "uploadId" -> id),
+              body = bytes)
+            if (st != 200) throw new IOException(
+              s"part $pn of $bucket/$key: HTTP $st " +
+                new String(body, StandardCharsets.UTF_8).take(200))
+            hd.firstValue("ETag").orElse("")
+              .stripPrefix("\"").stripSuffix("\"")
+          }
+        })
+    }
+
+    private def abort(): Unit = uploadId.foreach { id =>
+      try send("DELETE", key, query = Seq("uploadId" -> id))
+      catch { case _: Exception => () }
+    }
+
+    override def close(): Unit = {
+      if (closed) return
+      closed = true
+      uploadId match {
+        case None =>
+          val headers =
+            if (overwrite) Nil
+            // create-if-absent IS the S3 conditional PUT — one atomic wire
+            // op, the primitive the rename-free metadata writers assume
+            else Seq("If-None-Match" -> "*")
+          val (st, _, body) = send("PUT", key, body = buf.toByteArray,
+            extraHeaders = headers)
+          st match {
+            case 200 | 201 =>
+              cacheStatus(key, fileStatusOf(key, total,
+                System.currentTimeMillis()))
+            case 412 | 409 =>
+              throw new org.apache.hadoop.fs.FileAlreadyExistsException(
+                s"gws://$bucket/$key")
+            case s => throw new IOException(
+              s"PUT $bucket/$key: HTTP $s ${new String(body, StandardCharsets.UTF_8).take(200)}")
+          }
+        case Some(id) =>
+          try {
+            if (buf.size > 0) shipPart(buf.toByteArray)
+            buf = new ByteArrayOutputStream(0)
+            val etags = pending.sortBy(_._1).map { case (pn, fut) =>
+              pn -> fut.get() }
+            val doc = new StringBuilder("<CompleteMultipartUpload>")
+            etags.foreach { case (pn, et) =>
+              doc.append("<Part><PartNumber>").append(pn)
+                .append("</PartNumber><ETag>").append(et)
+                .append("</ETag></Part>")
+            }
+            doc.append("</CompleteMultipartUpload>")
+            val (st, _, body) = send("POST", key,
+              query = Seq("uploadId" -> id),
+              body = doc.toString.getBytes(StandardCharsets.UTF_8))
+            if (st != 200) throw new IOException(
+              s"complete MPU $bucket/$key: HTTP $st " +
+                new String(body, StandardCharsets.UTF_8).take(200))
+            cacheStatus(key, fileStatusOf(key, total, System.currentTimeMillis()))
+          } catch {
+            case e: Exception =>
+              abort()
+              throw new IOException(s"multipart write $bucket/$key failed", e)
+          }
+      }
+    }
   }
 
   override def append(f: Path, bufferSize: Int,

@@ -357,6 +357,17 @@ class AuthService(rootDir: String,
     (names.map(n => decPolicy(n, kv(n))._2), tok)
   }
 
+  /** [[listPolicies]] with each policy's creation date — the lakectl
+    * policies-list table renders both columns. */
+  def listPoliciesWithDates(prefix: String = "", after: String = "",
+      amount: Int = -1): (Seq[(Policy, Long)], String) = {
+    val kv = readKv(policiesFile)
+    val (names, tok) = page(kv.keys, prefix, after, amount)
+    (names.map { n =>
+      val (ts, p) = decPolicy(n, kv(n)); (p, ts)
+    }, tok)
+  }
+
   /** Cascade per `service.go:681-723`: every user and group attachment. */
   def deletePolicy(name: String): Unit = {
     getPolicy(name)

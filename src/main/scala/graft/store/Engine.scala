@@ -1208,7 +1208,7 @@ class Engine(val spark: SparkSession, val repoDir: String,
           snapshots.storeDataFiles(infoOf(rid))
             .map(f => (SnapshotStore.pathTail2(f), f, rid)) }
         val tailDf = tailRid.map(t => (t._1, t._3)).toDF("__tail", "rid")
-        spark.read.parquet(tailRid.map(_._2).distinct: _*)
+        snapshots.scanRangesRaw(needed.toSeq.map(infoOf))
           .withColumn("__tail",
             regexp_extract(input_file_name(), "([^/]+/[^/]+)$", 1))
           .join(broadcast(tailDf), Seq("__tail"))
@@ -1467,7 +1467,10 @@ class Engine(val spark: SparkSession, val repoDir: String,
     if (!dataFs.exists(idx)) return 0L
     // the same mtime guard as the range/manifest sweeps: a marker just
     // published by an in-flight write (its commit CAS still pending) is
-    // not yet reachable but must not be collected
+    // not yet reachable but must not be collected. The guard is only as
+    // strong as the cutoff's margin — gcSweep subtracts its grace window,
+    // gcRun uses the retention cutoff (days in the past); with cutoff=now
+    // it would protect nothing
     val dead = dataFs.listStatus(idx).toSeq
       .filter(st => !liveRids(st.getPath.getName) &&
         st.getModificationTime <= cutoffMs)
@@ -1490,7 +1493,11 @@ class Engine(val spark: SparkSession, val repoDir: String,
     val dead = dataFs.listStatus(dir).toSeq
       .filter(st => !liveMetas(st.getPath.getName) &&
         st.getModificationTime <= cutoffMs &&
-        !st.getPath.getName.startsWith("."))
+        !st.getPath.getName.startsWith(".") &&
+        // writeManifestFile's posix/HDFS temps are SUFFIX-named
+        // `<meta>.tmp_<uuid>`: an in-flight commit's temp manifest must
+        // not be swept between write and rename
+        !st.getPath.getName.contains(".tmp_"))
       .map(_.getPath)
     SnapshotStore.inParallel(dead)(p => dataFs.delete(p, true))
     dead.length.toLong
@@ -1499,12 +1506,21 @@ class Engine(val spark: SparkSession, val repoDir: String,
   /** GC sweep: delete every unreferenced range and write the S9 report
     * (mark via [[gcMark]]; the delete is distributed — mirrors the
     * reference's executor-side bulk remover, `GarbageCollection.scala:253-276`).
-    * The delete guard is the mark time: a range dir that lands after this
-    * instant (a commit racing the sweep) has a newer mtime and is skipped.
     * Dead markers go first (see [[sweepDeadMarkers]]), dead manifests with
-    * the same cutoff guard ([[sweepDeadManifests]]). */
-  def gcSweep(runId: String): (Long, String) = {
-    val cutoffMs = System.currentTimeMillis()
+    * the same cutoff guard ([[sweepDeadManifests]]).
+    *
+    * `graceMs` is the concurrent-writer guard and it is load-bearing: the
+    * mtime checks alone do NOT protect an in-flight commit when the cutoff
+    * is "now" — a manifest/marker/range written milliseconds before the
+    * sweep by a commit whose CAS lands after [[liveMetaRangeIds]] was read
+    * has mtime <= now, is not yet reachable, and would be collected,
+    * leaving the ref pointing at missing metadata. The default keeps
+    * anything younger than the grace window (reference production sweeps
+    * run with cutoffs days in the past). Pass `graceMs = 0` ONLY when no
+    * concurrent commit can exist (tests, single-writer maintenance). */
+  def gcSweep(runId: String,
+      graceMs: Long = Engine.sweepGraceMs): (Long, String) = {
+    val cutoffMs = System.currentTimeMillis() - math.max(0L, graceMs)
     val liveMetas = liveMetaRangeIds()
     val live = liveMetas.flatMap(m => snapshots.readManifest(m))
     sweepDeadMarkers(live.map(_.rangeId).toSet, cutoffMs)
@@ -1981,6 +1997,12 @@ class Engine(val spark: SparkSession, val repoDir: String,
 }
 
 object Engine {
+  /** Default [[Engine#gcSweep]] concurrent-writer grace: metadata younger
+    * than this survives the sweep even when unreachable, covering the
+    * write→CAS window of any in-flight commit (commits complete in
+    * seconds; the reference's production cutoffs are DAYS in the past). */
+  val sweepGraceMs: Long = 2L * 60 * 1000
+
   /** Basename of a RangeInfo's data directory — the GC address unit (dir
     * names are job-scoped since the write path went rename-free, so the
     * manifest's `path`, not the content id, locates the bytes). */

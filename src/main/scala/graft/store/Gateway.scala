@@ -609,8 +609,11 @@ class Gateway(val engine: Engine,
         }
       case CompleteMultipartUpload =>
         // <Part><PartNumber>n</PartNumber><ETag>e</ETag></Part>…
+        // real S3 accepts quoted ETags in the completion document (SDKs
+        // echo the part response header, which is quoted) — strip quotes
+        // before matching the tracker's unquoted record
         val parts = xmlTagValues(body, "PartNumber").map(_.toInt)
-          .zip(xmlTagValues(body, "ETag"))
+          .zip(xmlTagValues(body, "ETag").map(_.stripPrefix("\"").stripSuffix("\"")))
         if (parts.isEmpty) ErrorResult("MalformedXML")
         else EtagResult(completeMultipartUpload(q("uploadId"), parts)._1)
       case AbortMultipartUpload =>

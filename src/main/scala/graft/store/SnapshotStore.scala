@@ -145,7 +145,7 @@ class SnapshotStore(val spark: SparkSession, val repoDir: String,
     val tailToRange = present.flatMap(ri => storeDataFiles(ri)
         .map(f => SnapshotStore.pathTail2(f) -> ri.rangeId))
       .toDF("__tail", "range_id")
-    val act = readRangesIn(spark, present, storeDataFiles) // audit the STORE, not the tier
+    val act = readRangesIn(spark, present, storeScanFilesStat) // audit the STORE, not the tier
       .withColumn("__tail",
         regexp_extract(input_file_name(), "([^/]+/[^/]+)$", 1))
       .join(broadcast(tailToRange), Seq("__tail"))
@@ -177,7 +177,7 @@ class SnapshotStore(val spark: SparkSession, val repoDir: String,
     val infos = readManifest(metaRangeId)
     require(infos.nonEmpty, s"empty manifest: $metaRangeId")
     val schemas = SnapshotStore.inParallel(infos)(ri =>
-      ri.path -> spark.read.parquet(storeScanPaths(ri): _*).schema)
+      ri.path -> spark.read.parquet(storeDataFiles(ri): _*).schema)
     val (p0, s0) = schemas.head
     schemas.foreach { case (p, s) =>
       require(s == s0,
@@ -650,10 +650,33 @@ class SnapshotStore(val spark: SparkSession, val repoDir: String,
     if (ri.files.nonEmpty) ri.files
     else EntryIO.rangeDataFiles(spark.sparkContext.hadoopConfiguration, ri.path)
 
-  /** Store-side paths for a DATAFRAME scan: the explicit file list, or the
-    * legacy range dir (Spark lists it). */
-  private def storeScanPaths(ri: RangeInfo): Seq[String] =
-    if (ri.files.nonEmpty) ri.files else Seq(ri.path)
+  /** Store-side `(path, size)` pairs for a DATAFRAME scan. Size `-1` marks
+    * unknown (legacy range dir, or a pre-sizes manifest) — a scan holding
+    * any unknown falls back to Spark's own discovery; fully-sized lists
+    * feed the listing-free [[graft.plans.ManifestFileIndex]]. */
+  private def storeScanFiles(ri: RangeInfo): Seq[(String, Long)] =
+    if (ri.files.isEmpty) Seq((ri.path, -1L))
+    else if (ri.sizes.length == ri.files.length) ri.files.zip(ri.sizes)
+    else ri.files.map((_, -1L))
+
+  /** [[storeScanFiles]] for RAW-store consumers (fsck, log-with-paths):
+    * manifest sizes when present; legacy/unsized entries resolved with
+    * driver-side `getFileStatus` calls (bounded by file count) so the scan
+    * itself stays listing-free either way. */
+  private def storeScanFilesStat(ri: RangeInfo): Seq[(String, Long)] =
+    if (ri.files.nonEmpty && ri.sizes.length == ri.files.length)
+      ri.files.zip(ri.sizes)
+    else storeDataFiles(ri).map { f =>
+      (f, try fs.getFileStatus(new Path(f)).getLen
+          catch { case _: Exception => -1L })
+    }
+
+  /** Listing-free scan over explicit manifest ranges against the RAW store
+    * (no tier) — engine-side analytics that join on `input_file_name`
+    * (log-with-paths) read the same files a manifest declares without ever
+    * paying a discovery job. */
+  private[graft] def scanRangesRaw(infos: Seq[RangeInfo]): DataFrame =
+    readRangesIn(spark, infos, storeScanFilesStat)
 
   /** Data files of `ri` for DRIVER-side readers (point gets, walkers),
     * through the local tier with admission accounting: a tier hit lists the
@@ -670,17 +693,31 @@ class SnapshotStore(val spark: SparkSession, val repoDir: String,
     * instead, scans read through the `gtier://` read-through-cache
     * FileSystem ([[graft.sources.TierCacheFileSystem]]): each JVM that
     * opens a range file caches it on ITS OWN disk, which is the
-    * executor-local pyramid tier on any cluster shape. */
-  private def scanPathsTiered(ri: RangeInfo): Seq[String] =
-    if (tier.isEmpty) storeScanPaths(ri)
-    else storeScanPaths(ri).map(p => graft.sources.TierCacheFileSystem.encode(
-      new Path(p), spark.sparkContext.hadoopConfiguration).toString)
+    * executor-local pyramid tier on any cluster shape. The tier is a
+    * byte-for-byte copy, so the manifest's sizes stay exact under the
+    * `gtier://` encoding. */
+  private def scanPathsTiered(ri: RangeInfo): Seq[(String, Long)] =
+    if (tier.isEmpty) storeScanFiles(ri)
+    else storeScanFiles(ri).map { case (p, len) =>
+      (graft.sources.TierCacheFileSystem.encode(
+        new Path(p), spark.sparkContext.hadoopConfiguration).toString, len)
+    }
   /** Scan paths without admission accounting — write-path reads (commit,
     * import rewrites) touch each range once by construction, so counting
-    * them would admit one-shot rewrites into the tier. */
-  private[store] def tierPeek(ri: RangeInfo): Seq[String] = {
+    * them would admit one-shot rewrites into the tier. A tier hit resolves
+    * to a machine-local dir; its files are enumerated driver-side (local
+    * metadata, no Spark job) so the scan stays listing-free. */
+  private[store] def tierPeek(ri: RangeInfo): Seq[(String, Long)] = {
     val r = tier.map(_.peek(ri)).getOrElse(ri.path)
-    if (r != ri.path) Seq(r) else storeScanPaths(ri)
+    if (r != ri.path) {
+      val p = new Path(r)
+      val lfs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      lfs.listStatus(p).toSeq
+        .filter(s => s.isFile && !s.getPath.getName.startsWith("_")
+          && !s.getPath.getName.startsWith("."))
+        .sortBy(_.getPath.getName)
+        .map(s => (s.getPath.toString, s.getLen))
+    } else storeScanFiles(ri)
   }
 
   private def readRanges(infos: Seq[RangeInfo]): DataFrame =
@@ -690,21 +727,43 @@ class SnapshotStore(val spark: SparkSession, val repoDir: String,
     * builds its touched-range scan in a cloned session whose SQLConf
     * carries a per-write split size — see [[writeAligned]]) and an explicit
     * path resolver: read paths ride the tier with admission accounting,
-    * write paths peek, fsck audits the raw store paths. */
+    * write paths peek, fsck audits the raw store paths.
+    *
+    * When every resolved file carries its manifest size, the scan is built
+    * from a [[graft.plans.ManifestFileIndex]] — NO partition-discovery job,
+    * NO listing, NO per-file HEAD, on any session at any path count (the
+    * explicit-file-list layout put every multi-range scan past Spark's
+    * default 32-path parallel-discovery threshold; this removes the
+    * threshold from the picture entirely). Legacy ranges (unknown sizes)
+    * fall back to `DataFrameReader.parquet`. */
   private def readRangesIn(sess: SparkSession, infos: Seq[RangeInfo],
-      resolve: RangeInfo => Seq[String] = scanPathsTiered): DataFrame =
+      resolve: RangeInfo => Seq[(String, Long)] = scanPathsTiered): DataFrame =
     if (infos.isEmpty) {
       import sess.implicits._
       Seq.empty[(String, String)].toDF("key", "identity")
     } else {
-      val paths = infos.flatMap(resolve)
+      val files = infos.flatMap(resolve)
       val cached = schemaCache.get(infos.head.rangeId)
-      if (cached != null) sess.read.schema(cached).parquet(paths: _*)
-      else {
-        val df = sess.read.parquet(paths: _*)
-        val sch = allNullable(df.schema)
-        infos.foreach(ri => schemaCache.putIfAbsent(ri.rangeId, sch))
-        df
+      if (files.nonEmpty && files.forall(_._2 >= 0L)) {
+        val sch =
+          if (cached != null) cached
+          else {
+            // one driver-side footer read of the first file (single root
+            // path — below any discovery threshold, still no job)
+            val s0 = allNullable(sess.read.parquet(files.head._1).schema)
+            infos.foreach(ri => schemaCache.putIfAbsent(ri.rangeId, s0))
+            s0
+          }
+        graft.plans.ManifestScan.dataFrame(sess, files, sch)
+      } else {
+        val paths = files.map(_._1)
+        if (cached != null) sess.read.schema(cached).parquet(paths: _*)
+        else {
+          val df = sess.read.parquet(paths: _*)
+          val sch = allNullable(df.schema)
+          infos.foreach(ri => schemaCache.putIfAbsent(ri.rangeId, sch))
+          df
+        }
       }
     }
 
@@ -1029,8 +1088,8 @@ class SnapshotStore(val spark: SparkSession, val repoDir: String,
     val probed = tr("marker_probe")(SnapshotStore.inParallel(manifest.toSeq) {
       case (ri, chunk) => (readMarker(ri.rangeId), ri, chunk)
     })
-    val reused = probed.collect { case (Some((path, files)), ri, _) =>
-      ri.copy(path = path, files = files) }
+    val reused = probed.collect { case (Some((path, files, sizes)), ri, _) =>
+      ri.copy(path = path, files = files, sizes = sizes) }
     val missing = probed.collect { case (None, _, chunk) => chunk }
     val written =
       if (missing.isEmpty) Seq.empty[RangeInfo]
@@ -1124,9 +1183,11 @@ class SnapshotStore(val spark: SparkSession, val repoDir: String,
       val h2 = fls.foldLeft(0L)(_ + _.h2)
       val rid = String.format("%016x", java.lang.Long.valueOf(h1)) +
         String.format("%016x", java.lang.Long.valueOf(h2))
+      val byFile = fls.sortBy(_.file)
       RangeInfo(rid, fls.map(_.minKey).min, fls.map(_.maxKey).max,
         fls.map(_.est).sum, fls.map(_.cnt).sum,
-        s"$rangesRoot/u$jobTag-$chunk", fls.map(_.file).sorted.toSeq)
+        s"$rangesRoot/u$jobTag-$chunk",
+        byFile.map(_.file).toSeq, byFile.map(_.len).toSeq)
     }.toSeq
   }
 
@@ -1193,7 +1254,7 @@ class SnapshotStore(val spark: SparkSession, val repoDir: String,
     * reference closes with retention grace (production sweeps run with a
     * cutoff days in the past, never "now"; fresh markers are additionally
     * protected by the sweep's mtime guard). */
-  private def readMarker(rid: String): Option[(String, Seq[String])] =
+  private def readMarker(rid: String): Option[(String, Seq[String], Seq[Long])] =
     try {
       val p = markerPath(rid)
       if (!fs.exists(p)) None
@@ -1205,8 +1266,18 @@ class SnapshotStore(val spark: SparkSession, val repoDir: String,
         val n = SnapshotStore.mapper.readTree(txt)
         val fn = n.get("files")
         val files = (0 until fn.size).map(i => fn.get(i).asText())
-        if (files.isEmpty || !fs.exists(new Path(files.head))) None
-        else Some((n.get("path").asText(), files))
+        val sizes =
+          if (n.has("sizes") && n.get("sizes").size == files.size)
+            (0 until n.get("sizes").size).map(i => n.get("sizes").get(i).asLong())
+          else Seq.empty[Long]
+        // validate EVERY member file, as fsck does — a partially swept
+        // range (failed marker delete + per-key data deletes on gws) must
+        // read as absent or a lazy write would adopt a range with missing
+        // members into a new manifest. Sequential on purpose: this runs
+        // inside an ioPool task (marker_probe), so a nested inParallel on
+        // the same bounded pool could deadlock.
+        if (files.isEmpty || !files.forall(f => fs.exists(new Path(f)))) None
+        else Some((n.get("path").asText(), files, sizes))
       }
     } catch { case _: Exception => None }
 
@@ -1223,12 +1294,12 @@ class SnapshotStore(val spark: SparkSession, val repoDir: String,
     tr("marker_put")(SnapshotStore.inParallel(infos) { ri =>
       if (writeMarkerIfAbsent(ri)) ri
       else readMarker(ri.rangeId) match {
-        case Some((path, files)) if files != ri.files =>
+        case Some((path, files, sizes)) if files != ri.files =>
           // duplicate bytes: nothing references ours yet (the caller writes
           // the manifest AFTER this returns), so drop them and adopt
           try fs.delete(new Path(ri.path), true)
           catch { case _: Exception => () }
-          ri.copy(path = path, files = files)
+          ri.copy(path = path, files = files, sizes = sizes)
         case _ => ri // unreadable marker: keep our own copy, never dangle
       }
     })
@@ -1245,6 +1316,10 @@ class SnapshotStore(val spark: SparkSession, val repoDir: String,
         n.put("path", ri.path)
         val arr = n.putArray("files")
         ri.files.foreach(arr.add)
+        if (ri.sizes.length == ri.files.length) {
+          val sz = n.putArray("sizes")
+          ri.sizes.foreach(sz.add)
+        }
         out.write(SnapshotStore.mapper.writeValueAsString(n)
           .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       } finally out.close()
@@ -1275,9 +1350,12 @@ object SnapshotStore {
 
   /** Per-file write stats a direct-write task returns: the job result IS
     * the manifest input (exactly-once per partition by Spark's result
-    * semantics — a speculative loser's file is never referenced). */
+    * semantics — a speculative loser's file is never referenced). `len` is
+    * the file's exact byte length, captured by the counting stream at
+    * close — the manifest size that makes later scans listing-free. */
   private[store] case class FileStat(chunk: Int, file: String, h1: Long,
-      h2: Long, minKey: String, maxKey: String, cnt: Long, est: Long)
+      h2: Long, minKey: String, maxKey: String, cnt: Long, est: Long,
+      len: Long)
 
   /** Ship the driver's effective Hadoop conf as plain entries —
     * Configuration itself isn't closure-serializable, and executors must
@@ -1290,12 +1368,36 @@ object SnapshotStore {
     buf.toArray
   }
 
+  /** [[org.apache.parquet.io.OutputFile]] wrapper recording the stream's
+    * final byte position at close — the file's exact length, captured for
+    * free (no post-write HEAD round-trip on object stores). Valid after
+    * the writer closes; `-1` until then (and forever on a failed write,
+    * which the caller never references). */
+  private[store] final class CountingOutputFile(
+      inner: org.apache.parquet.io.OutputFile)
+      extends org.apache.parquet.io.OutputFile {
+    @volatile private[store] var length: Long = -1L
+    private def wrap(s: org.apache.parquet.io.PositionOutputStream) =
+      new org.apache.parquet.io.DelegatingPositionOutputStream(s) {
+        override def getPos: Long = s.getPos
+        override def close(): Unit = { length = s.getPos; super.close() }
+      }
+    override def create(blockSize: Long): org.apache.parquet.io.PositionOutputStream =
+      wrap(inner.create(blockSize))
+    override def createOrOverwrite(blockSize: Long): org.apache.parquet.io.PositionOutputStream =
+      wrap(inner.createOrOverwrite(blockSize))
+    override def supportsBlockSize(): Boolean = inner.supportsBlockSize()
+    override def defaultBlockSize(): Long = inner.defaultBlockSize()
+    override def getPath: String = inner.getPath
+  }
+
   /** parquet-mr writer builder over Spark's own InternalRow WriteSupport —
     * the identical encoder a DataFrameWriter uses, minus the
     * FileOutputCommitter: files stream to their FINAL names, one PUT each. */
-  private[store] final class InternalRowParquetBuilder(path: Path)
+  private[store] final class InternalRowParquetBuilder(
+      out: org.apache.parquet.io.OutputFile)
       extends org.apache.parquet.hadoop.ParquetWriter.Builder[
-        org.apache.spark.sql.catalyst.InternalRow, InternalRowParquetBuilder](path) {
+        org.apache.spark.sql.catalyst.InternalRow, InternalRowParquetBuilder](out) {
     override protected def self(): InternalRowParquetBuilder = this
     override protected def getWriteSupport(
         conf: org.apache.hadoop.conf.Configuration)
@@ -1331,6 +1433,7 @@ object SnapshotStore {
     val out = scala.collection.mutable.ArrayBuffer[FileStat]()
     var writer: org.apache.parquet.hadoop.ParquetWriter[
       org.apache.spark.sql.catalyst.InternalRow] = null
+    var counting: CountingOutputFile = null
     var cur = Int.MinValue
     var file: String = null
     var h1 = 0L; var h2 = 0L; var cnt = 0L; var est = 0L
@@ -1338,7 +1441,8 @@ object SnapshotStore {
     var lastKey: org.apache.spark.unsafe.types.UTF8String = null
     def closeCurrent(): Unit = if (writer != null) {
       writer.close()
-      out += FileStat(cur, file, h1, h2, minKey, lastKey.toString, cnt, est)
+      out += FileStat(cur, file, h1, h2, minKey, lastKey.toString, cnt, est,
+        counting.length)
       writer = null
     }
     try {
@@ -1349,7 +1453,10 @@ object SnapshotStore {
           closeCurrent()
           cur = c
           file = s"$rangesRoot/u$jobTag-$c/p$pid-a$attempt.parquet"
-          writer = new InternalRowParquetBuilder(new Path(file))
+          counting = new CountingOutputFile(
+            org.apache.parquet.hadoop.util.HadoopOutputFile.fromPath(
+              new Path(file), conf))
+          writer = new InternalRowParquetBuilder(counting)
             .withConf(conf)
             .withCompressionCodec(
               org.apache.parquet.hadoop.metadata.CompressionCodecName.SNAPPY)
@@ -1435,6 +1542,10 @@ object SnapshotStore {
           if (ri.files.nonEmpty) {
             val arr = n.putArray("files")
             ri.files.foreach(arr.add)
+            if (ri.sizes.length == ri.files.length) {
+              val sz = n.putArray("sizes")
+              ri.sizes.foreach(sz.add)
+            }
           }
           w.write(mapper.writeValueAsString(n)); w.write('\n')
         }
@@ -1469,9 +1580,13 @@ object SnapshotStore {
             if (n.has("files"))
               (0 until n.get("files").size).map(i => n.get("files").get(i).asText())
             else Seq.empty[String]
+          val sizes =
+            if (n.has("sizes") && n.get("sizes").size == files.size)
+              (0 until n.get("sizes").size).map(i => n.get("sizes").get(i).asLong())
+            else Seq.empty[Long]
           RangeInfo(n.get("rangeId").asText(), n.get("minKey").asText(),
             n.get("maxKey").asText(), n.get("estimatedSize").asLong(),
-            n.get("count").asLong(), n.get("path").asText(), files)
+            n.get("count").asLong(), n.get("path").asText(), files, sizes)
         }.toVector
     } finally in.close()
   }

@@ -158,7 +158,7 @@ class ExtendedSpec extends SparkSpec {
       .writeSnapshot(Seq(("zz1", "junk1"), ("zz2", "junk2")).toDF("key", "identity"))
     val before = eng.gcMark().count()
     assert(before > 0)
-    val (n, report) = eng.gcSweep("run42")
+    val (n, report) = eng.gcSweep("run42", graceMs = 0)
     assert(n === before)
     assert(eng.gcMark().count() === 0)
     assert(spark.read.parquet(s"$report/deleted").count() === n)

@@ -112,4 +112,45 @@ class GatewayStoreSpec extends SparkSpec {
     assert(eng.list("main").count() === 1201) // 1200 − removed + NEW + merged
     assert(eng.get("main", "k999999").isDefined)
   }
+
+  test("multipart upload: an object past the MPU threshold streams through " +
+      "the wire FS in bounded parts, completes, and round-trips") {
+    val (_, _, inner, bucket) = fixture
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.setLong("graft.gws.mpu.threshold", 1L << 20)
+    try {
+      val p = new org.apache.hadoop.fs.Path(
+        s"gws://$bucket/main/store/big/blob.bin")
+      val fs = p.getFileSystem(conf)
+      val rnd = new scala.util.Random(7)
+      val chunk = new Array[Byte](1 << 20)
+      val dw = java.security.MessageDigest.getInstance("SHA-256")
+      val out = fs.create(p, true)
+      var written = 0L
+      while (written < (12L << 20)) {
+        rnd.nextBytes(chunk); dw.update(chunk); out.write(chunk)
+        written += chunk.length
+      }
+      out.close()
+      assert(fs.getFileStatus(p).getLen === (12L << 20))
+      // proof the MPU lifecycle ran: a completed multipart entry's physical
+      // address is the gateway-allocated mpu_<id> target, and the tracker
+      // drained (complete removed the in-flight record)
+      val gw2 = new Gateway(inner)
+      assert(gw2.headObject("main", "store/big/blob.bin").address.contains("mpu_"),
+        "object must have landed via the multipart lifecycle")
+      assert(gw2.listMultipartUploads().count() === 0,
+        "complete must drain the multipart tracker")
+      val in = fs.open(p)
+      val dr = java.security.MessageDigest.getInstance("SHA-256")
+      val buf = new Array[Byte](1 << 16)
+      var tot = 0L
+      var n = in.read(buf)
+      while (n > 0) { dr.update(buf, 0, n); tot += n; n = in.read(buf) }
+      in.close()
+      assert(tot === (12L << 20))
+      assert(dr.digest().toSeq === dw.digest().toSeq,
+        "multipart-assembled bytes must equal what was written")
+    } finally conf.unset("graft.gws.mpu.threshold")
+  }
 }

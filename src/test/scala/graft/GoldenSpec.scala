@@ -366,4 +366,110 @@ class GoldenSpec extends SparkSpec {
       physicalAddress = s"local://repo1/data/$checksum",
       checksum = checksum))
   }
+
+  /** The esti bisect-session fixture: five single-parent commits
+    * commit0..commit4 on one branch, the regression ("mmm" appears)
+    * introduced by commit3 — the session goldens mirror
+    * `esti/golden/lakectl_bisect_*.golden` shapes over OUR real chain. */
+  private lazy val bisectRepo: Engine = {
+    import spark.implicits._
+    val eng = new Engine(spark,
+      Files.createTempDirectory("golden-bisect").toString, raggedness = 100)
+    eng.init("main")
+    (0 to 4).foreach { i =>
+      eng.stage("main",
+        (Seq(s"f$i" -> s"v$i") ++ (if (i >= 3) Seq("mmm" -> "m1") else Nil))
+          .toDF("key", "identity"))
+      nextSecond()
+      eng.commit("main", "tester", s"commit$i")
+    }
+    eng
+  }
+
+  test("lakectl_bisect session files: start/good/log/view/found/reset " +
+      "shapes over the real search window") {
+    import org.apache.spark.sql.functions.col
+    val eng = bisectRepo
+    def hasMmm(c: graft.core.Model.CommitInfo): Boolean =
+      eng.snapshots.scan(c.metaRangeId)
+        .where(col("key") === "mmm").limit(1).collect().nonEmpty
+    val chain = eng.log("main", firstParent = true) // newest first
+    val good = chain.find(_.message == "commit0").get
+    // candidates: (good, bad], newest first — the lakectl session window
+    var window = chain.takeWhile(_.commitId != good.commitId)
+    def steps(n: Int) = math.max(1,
+      (math.log(n.toDouble) / math.log(2)).ceil.toInt)
+    def mid = window(window.size / 2)
+    def status = CliRender.renderBisectStatus("repo1",
+      (window.size - 1) / 2, steps(window.size), mid)
+    check("lakectl_bisect_start", status)
+    check("lakectl_bisect_view1", CliRender.renderBisectView(chain))
+    // mark the probe GOOD (it predates commit3): window shrinks to the
+    // newer half — the real predicate drives the mark
+    assert(!hasMmm(mid), "the first probe must be good in this fixture")
+    window = window.takeWhile(_.commitId != mid.commitId)
+    check("lakectl_bisect_good1", status)
+    check("lakectl_bisect_log1", status)
+    check("lakectl_bisect_view2", CliRender.renderBisectView(window))
+    // the real operator lands on commit3 — the session's Found document
+    val (firstBad, _) = eng.bisect("main", good.commitId)(hasMmm)
+    assert(firstBad.message === "commit3")
+    check("lakectl_bisect_bad1", CliRender.renderBisectFound("repo1", firstBad))
+    check("lakectl_bisect_reset", CliRender.bisectReset)
+    check("lakectl_bisect_reset_not_started", CliRender.bisectResetNotStarted)
+    check("lakectl_bisect_bad_invalid", CliRender.bisectNotStarted)
+  }
+
+  test("lakectl_auth_groups: create block, list rows, members, attached " +
+      "policies over the real auth store") {
+    val a = new graft.store.AuthService(
+      Files.createTempDirectory("golden-auth-groups").toString)
+    val devs = a.createGroup("developers")
+    a.createGroup("admins")
+    a.createGroup("qa-readers")
+    a.createUser("alice-analyst"); a.createUser("bob-builder")
+    a.addUserToGroup("alice-analyst", "developers")
+    a.addUserToGroup("bob-builder", "developers")
+    a.writePolicy(graft.store.Rbac.Policy("fs-read", Seq(
+      graft.store.Rbac.Statement("allow",
+        Seq("fs:ReadObject", "fs:ListObjects"), "arn:lakefs:fs:::repository/*"))))
+    a.writePolicy(graft.store.Rbac.Policy("fs-full", Seq(
+      graft.store.Rbac.Statement("allow", Seq("fs:ReadObject"), "*"),
+      graft.store.Rbac.Statement("allow", Seq("fs:WriteObject"), "*"))))
+    a.attachPolicyToGroup("fs-read", "developers")
+    a.attachPolicyToGroup("fs-full", "admins")
+    check("lakectl_auth_groups_create",
+      CliRender.renderGroupCreated(devs.name, devs.createdAt))
+    val (groups, _) = a.listGroups()
+    check("lakectl_auth_groups_list",
+      groups.map(g => CliRender.renderGroupListLine(g.name, g.createdAt))
+        .mkString)
+    val (members, _) = a.listGroupUsers("developers")
+    check("lakectl_auth_group_members",
+      members.map(CliRender.renderGroupMemberLine).mkString)
+    val (gp, _) = a.listGroupPolicies("developers")
+    val dates = a.listPoliciesWithDates()._1.map { case (p, ts) => p.id -> ts }.toMap
+    check("lakectl_auth_group_policies",
+      gp.map(p => CliRender.renderPolicyListLine(p.id, dates(p.id),
+        p.statements.size)).mkString)
+    val (all, _) = a.listPoliciesWithDates()
+    check("lakectl_auth_policies_list",
+      all.map { case (p, ts) =>
+        CliRender.renderPolicyListLine(p.id, ts, p.statements.size)
+      }.mkString)
+  }
+
+  test("lakectl_log_amount and lakectl_log_no_merges: bounded and " +
+      "merge-free log documents") {
+    val eng = repo
+    check("lakectl_log_amount", CliRender.log(eng, "main", amount = 2))
+    val noMerges = eng.log("main").filter(_.parents.size < 2)
+    check("lakectl_log_no_merges", CliRender.renderLog(noMerges))
+  }
+
+  test("lakectl_branch_list_prefix: the prefixed subset") {
+    val eng = repo
+    check("lakectl_branch_list_prefix", CliRender.renderBranchList(
+      eng.refs.branches.toSeq.filter(_._1.startsWith("l")).sortBy(_._1)))
+  }
 }

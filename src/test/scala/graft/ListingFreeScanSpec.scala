@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+import org.apache.spark.sql.functions._
+import graft.store.{Engine, SnapshotStore}
+
+/**
+ * The listing-free-scan contract (round-14 verdict item #1): engine scans
+ * build their file index from manifest `(path, size)` metadata
+ * ([[graft.plans.ManifestFileIndex]]), so NO partition-discovery/listing
+ * job ever runs — on a STOCK session (default 32-path
+ * parallelPartitionDiscovery threshold), at any file count. The reference
+ * walks manifests the same way (`pkg/graveler/committed/diff.go:238-240`):
+ * nothing ever lists a directory on the read path.
+ *
+ * These specs run against the shared test session, which deliberately sets
+ * NO discovery conf — the engine must own its scan behavior.
+ */
+class ListingFreeScanSpec extends SparkSpec {
+
+  /** Count Spark listing jobs started while `body` runs. Spark's parallel
+    * file discovery tags its jobs with a "Listing leaf files and
+    * directories" description (HadoopFSUtils) — the exact job class the
+    * explicit-file-list layout used to trigger past 32 paths. A marker job
+    * flushes the async listener bus deterministically. */
+  private def listingJobsDuring(body: => Unit): Int = {
+    val marker = s"__listing_probe_${java.util.UUID.randomUUID()}__"
+    val listing = new java.util.concurrent.atomic.AtomicInteger(0)
+    @volatile var sawMarker = false
+    val l = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit = {
+        val d = Option(js.properties)
+          .map(_.getProperty("spark.job.description")).orNull
+        if (d != null) {
+          if (d.toLowerCase.contains("listing leaf files")) listing.incrementAndGet()
+          if (d == marker) sawMarker = true
+        }
+      }
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      body
+      spark.sparkContext.setJobDescription(marker)
+      try spark.sparkContext.parallelize(1 to 1, 1).count()
+      finally spark.sparkContext.setJobDescription(null)
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      while (!sawMarker && System.nanoTime() < deadline) Thread.sleep(10)
+      assert(sawMarker, "listener bus never delivered the marker job")
+      listing.get()
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
+
+  private def rows(n: Int, salt: String = "") = {
+    import spark.implicits._
+    (1 to n).map(i => (f"k$i%06d", s"id$i$salt")).toDF("key", "identity")
+  }
+
+  test("the test session is stock: no discovery-threshold override " +
+      "(the engine, not the session, must own listing-free scans)") {
+    assert(spark.conf.get(
+      "spark.sql.sources.parallelPartitionDiscovery.threshold") === "32")
+  }
+
+  test("snapshot scan over >32 manifest files: zero listing jobs, exact " +
+      "manifest sizes, correct rows") {
+    val dir = tmpDir("lfscan")
+    val store = new SnapshotStore(spark, dir, raggedness = 20)
+    val (meta, infos) = store.writeSnapshot(rows(3000))
+    val files = infos.flatMap(_.files)
+    assert(files.size > 32, s"need >32 files to make the test mean " +
+      s"anything, got ${files.size}")
+    // every range carries exact per-file sizes, matching the store
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    infos.foreach { ri =>
+      assert(ri.sizes.length === ri.files.length, s"unsized range ${ri.rangeId}")
+      ri.files.zip(ri.sizes).take(2).foreach { case (f, len) =>
+        assert(fs.getFileStatus(new org.apache.hadoop.fs.Path(f)).getLen === len,
+          s"manifest size mismatch for $f")
+      }
+    }
+    var n = -1L
+    val listings = listingJobsDuring { n = store.scan(meta).count() }
+    assert(n === 3000)
+    assert(listings === 0,
+      s"snapshot scan ran $listings listing job(s) — must be metadata-only")
+  }
+
+  test("diff / commit / point get / list on a stock session: zero listing " +
+      "jobs end to end") {
+    val dir = tmpDir("lfeng")
+    val eng = new Engine(spark, dir, raggedness = 20)
+    eng.init("main")
+    val base = rows(2500)
+    eng.stage("main", base)
+    eng.commit("main", "t", "base")
+    eng.createBranch("dev", "main")
+    eng.stage("dev", rows(2500, salt = "-v2").where(col("key") > "k002400"))
+    eng.commit("dev", "t", "delta")
+    var diffN = -1L; var listN = -1L; var got = false
+    val listings = listingJobsDuring {
+      diffN = eng.diff("main", "dev").count()
+      listN = eng.list("dev", prefix = "k0024").count()
+      got = eng.get("dev", "k002442").isDefined
+    }
+    assert(diffN > 0 && listN > 0 && got)
+    assert(listings === 0,
+      s"engine read path ran $listings listing job(s) on a stock session")
+  }
+
+  test("legacy manifest without sizes still scans correctly (discovery " +
+      "fallback, same rows)") {
+    val dir = tmpDir("lflegacy")
+    val store = new SnapshotStore(spark, dir, raggedness = 50)
+    val (_, infos) = store.writeSnapshot(rows(800))
+    // strip the sizes, reseal: simulates a manifest written before the
+    // (path, size) layout
+    val stripped = infos.map(_.copy(sizes = Seq.empty))
+    val legacyMeta = store.writeMetaRange(stripped)
+    val back = store.scan(legacyMeta).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(back.size === 800 && back("k000042") === "id42")
+  }
+}

@@ -133,7 +133,7 @@ class ObjectStoreHonestySpec extends SparkSpec {
       System.currentTimeMillis() - 3600 * 1000, -1)
     fs.setTimes(orphanDir, System.currentTimeMillis() - 3600 * 1000, -1)
 
-    val (n, _) = eng.gcSweep("crash-orphans")
+    val (n, _) = eng.gcSweep("crash-orphans", graceMs = 0)
     assert(n === 1, s"exactly the orphan dir must sweep, got $n")
     assert(!fs.exists(orphanDir), "crashed writer's data files must be collected")
     assert(!fs.exists(deadMarker), "dead marker must be collected")

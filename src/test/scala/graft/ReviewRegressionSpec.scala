@@ -25,7 +25,7 @@ class ReviewRegressionSpec extends SparkSpec {
     eng.stage("main", Seq(("zzz-new", "COMPACTED-ONLY")).toDF("key", "identity"))
     eng.compact("main")
     assert(eng.gcMark().count() === 0) // nothing live may be marked
-    val (n, _) = eng.gcSweep("r1")
+    val (n, _) = eng.gcSweep("r1", graceMs = 0)
     assert(n === 0)
     // both the tagged snapshot and the compacted changes still readable
     assert(eng.list("v1").count() === 50)
@@ -154,13 +154,13 @@ class ReviewRegressionSpec extends SparkSpec {
     val fresh = new org.apache.hadoop.fs.Path(s"$dir/ranges/deadbeef-fresh")
     fs.mkdirs(fresh)
     fs.setTimes(fresh, System.currentTimeMillis() + 3600 * 1000, -1)
-    val (n, _) = eng.gcSweep("guard")
+    val (n, _) = eng.gcSweep("guard", graceMs = 0)
     assert(n === 0)
     assert(fs.exists(inflight), "in-flight staging dir must survive the sweep")
     assert(fs.exists(fresh), "range newer than the cutoff must survive the sweep")
     // once old enough (and still unreferenced) it sweeps; staging never does
     fs.setTimes(fresh, System.currentTimeMillis() - 3600 * 1000, -1)
-    val (n2, _) = eng.gcSweep("guard2")
+    val (n2, _) = eng.gcSweep("guard2", graceMs = 0)
     assert(n2 === 1)
     assert(!fs.exists(fresh) && fs.exists(inflight))
   }
