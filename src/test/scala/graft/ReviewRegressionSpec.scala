@@ -165,6 +165,44 @@ class ReviewRegressionSpec extends SparkSpec {
     assert(!fs.exists(fresh) && fs.exists(inflight))
   }
 
+  test("gc sweep's grace window protects everything an in-flight commit " +
+      "just wrote: unreachable-but-fresh range, manifest, temp, and marker " +
+      "survive a default-grace sweep and fall to a zero-grace one") {
+    import spark.implicits._
+    val dir = tmpDir("gcgrace")
+    val eng = new Engine(spark, dir, raggedness = 100)
+    eng.init("main", Some(rows(50)))
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    // the write→CAS window: a racing commit has landed its range dir,
+    // marker, and manifest seconds ago, but its ref CAS has not executed —
+    // nothing references them yet
+    val freshRange = new org.apache.hadoop.fs.Path(s"$dir/ranges/uaaaa-7")
+    fs.mkdirs(freshRange)
+    val freshMarker = new org.apache.hadoop.fs.Path(s"$dir/ranges/_idx/feedface")
+    val mo = fs.create(freshMarker, true)
+    mo.write("{\"path\":\"x\",\"files\":[]}".getBytes("UTF-8")); mo.close()
+    val freshManifest = new org.apache.hadoop.fs.Path(s"$dir/manifests/cafe01")
+    val fo = fs.create(freshManifest, true); fo.write('x'); fo.close()
+    // a posix writer's manifest temp (suffix-named) — never a candidate,
+    // at ANY grace
+    val tmpManifest = new org.apache.hadoop.fs.Path(
+      s"$dir/manifests/cafe02.tmp_123")
+    val to = fs.create(tmpManifest, true); to.write('x'); to.close()
+    val (n, _) = eng.gcSweep("graced")
+    assert(n === 0, "a graced sweep must not collect second-old metadata")
+    assert(fs.exists(freshRange) && fs.exists(freshMarker) &&
+      fs.exists(freshManifest) && fs.exists(tmpManifest))
+    // zero grace (explicitly unsafe, single-writer maintenance): the
+    // unreachable trio goes, the .tmp_ temp still survives
+    val (n2, _) = eng.gcSweep("ungraced", graceMs = 0)
+    assert(n2 === 1, "the unreachable range dir must sweep at zero grace")
+    assert(!fs.exists(freshRange) && !fs.exists(freshMarker) &&
+      !fs.exists(freshManifest))
+    assert(fs.exists(tmpManifest),
+      "a writer's .tmp_ manifest temp must never be a sweep candidate")
+  }
+
   test("racing writers of the same snapshot both land on one content address") {
     import spark.implicits._
     // two threads write identical content to one FRESH store: both take the
