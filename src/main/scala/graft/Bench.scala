@@ -98,9 +98,25 @@ object Bench {
       Thread.sleep(250)
       val t0 = System.nanoTime()
       try {
-        val r = f
+        val dump = sys.env.contains("SPARK_GRAFT_STAGEDUMP")
+        val listener =
+          if (!dump) null
+          else new org.apache.spark.scheduler.SparkListener {
+            override def onStageCompleted(
+                sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+              val i = sc.stageInfo
+              val ms = i.completionTime.getOrElse(0L) - i.submissionTime.getOrElse(0L)
+              System.err.println(s"[stage] $name id=${i.stageId} " +
+                s"tasks=${i.numTasks} ms=$ms name=${i.name.takeWhile(_ != '\n').take(60)}")
+            }
+          }
+        if (listener != null) spark.sparkContext.addSparkListener(listener)
+        val r = try f finally if (listener != null) {
+          Thread.sleep(300); spark.sparkContext.removeSparkListener(listener)
+        }
         val sec = (System.nanoTime() - t0) / 1e9
         samples(name) = samples.getOrElse(name, Vector.empty) :+ sec
+        if (trace) System.err.println(f"[trace] pass $name%-22s $sec%7.3f s")
         Some(r)
       } catch {
         case e: Throwable =>
@@ -166,6 +182,12 @@ object Bench {
     // local metrics IS the block-adapter latency delta of the reference's
     // production split (sstables in a bucket, refs in KV).
     val httpTwin: Option[(String, graft.store.Engine, graft.store.GatewayHttp, String)] = try {
+      // SPARK_GRAFT_HTTP=0 skips the wire twins — a diagnostic isolation
+      // knob (like SPARK_GRAFT_SALT): the twins churn ~200 MB of HTTP
+      // byte buffers mid-pass, and attributing a local-metric drift needs
+      // a run without that noise source
+      if (sys.env.get("SPARK_GRAFT_HTTP").contains("0"))
+        throw new RuntimeException("disabled by SPARK_GRAFT_HTTP=0")
       val innerDir = s"target/bench_gw_${java.util.UUID.randomUUID()}"
       val inner = new graft.store.Engine(spark, innerDir, raggedness = 50000L)
       inner.init("main")
@@ -235,38 +257,6 @@ object Bench {
             Merge.applyChanges(bareSnap, changes)
               .repartitionByRange(col("key")).sortWithinPartitions("key")
               .write.parquet(s"$bareOut/snap2")
-          }
-        }
-
-        // 2c. HTTP twins: the SAME snapshot write and 1% commit with range
-        // data behind the S3 gateway — every range byte travels signed
-        // HTTP PUT/GET instead of local file I/O. Compare with
-        // snapshot_write / commit for the wire-latency delta.
-        httpTwin.foreach { case (root, inner, _, _) =>
-          try {
-            val hs = new SnapshotStore(spark,
-              s"$root/p${java.util.UUID.randomUUID().toString.take(8)}",
-              raggedness = 50000L)
-            hs.drainTrace() // scope the http twins' step attribution
-            val hm1 = timed("snapshot_write_http") { hs.writeSnapshot(base)._1 }
-            drainSteps("snapshot_write_http", hs)
-            // collapse the snapshot write's staged epochs BEFORE timing the
-            // commit: each PUT staged one epoch in the inner engine, and a
-            // compacted gateway (the T6 sensor-compaction steady state) is
-            // the deployment shape — without this the commit metric mostly
-            // re-measures the previous metric's staging backlog
-            inner.commit("main", "bench", "collapse pre-commit")
-            hm1.foreach { m =>
-              timed("commit_http") { hs.commitChanges(m, changes)._1 }
-              drainSteps("commit_http", hs)
-            }
-            // collapse the inner engine's staged epochs between passes:
-            // the gateway stages one entry per PUT object, and an
-            // uncompacted epoch pile would tax LATER passes' HEAD/GET
-            // resolution — a non-stationarity the metric must not carry
-            inner.commit("main", "bench", s"collapse pass $pass")
-          } catch { case e: Throwable =>
-            System.err.println(s"[bench] http twin pass failed (continuing): ${e.getMessage}")
           }
         }
 
@@ -500,10 +490,52 @@ object Bench {
             graft.sources.TierCacheFileSystem.reset()
           }
         }
+
       } finally { deleteDir(bareOut); deleteDir(repoDir) }
     }
 
+    // HTTP-twin pass: the SAME snapshot write and 1% commit with range
+    // data behind the S3 gateway — every range byte travels signed HTTP
+    // PUT/GET instead of local file I/O. Compare with snapshot_write /
+    // commit for the wire-latency delta. Runs in its OWN loop AFTER every
+    // local pass: the twins churn ~200 MB of HTTP byte buffers across 16
+    // server threads, and that disturbance measurably inflated whichever
+    // LOCAL metric ran next — first the engine diff scheduled right after
+    // (r13's diff regression carried ~+0.4 s of twin decay its bare pair
+    // never saw), then, moved to pass end, the NEXT pass's leading
+    // metrics. Isolating the twins after the local loop removes the
+    // cross-contamination entirely; the wire ratios compare against the
+    // local medians gathered above, which is unchanged.
+    def httpPass(pass: Int): Unit = httpTwin.foreach { case (root, inner, _, _) =>
+      try {
+        val hs = new SnapshotStore(spark,
+          s"$root/p${java.util.UUID.randomUUID().toString.take(8)}",
+          raggedness = 50000L)
+        hs.drainTrace() // scope the http twins' step attribution
+        val hm1 = timed("snapshot_write_http") { hs.writeSnapshot(base)._1 }
+        drainSteps("snapshot_write_http", hs)
+        // collapse the snapshot write's staged epochs BEFORE timing the
+        // commit: each PUT staged one epoch in the inner engine, and a
+        // compacted gateway (the T6 sensor-compaction steady state) is
+        // the deployment shape — without this the commit metric mostly
+        // re-measures the previous metric's staging backlog
+        inner.commit("main", "bench", "collapse pre-commit")
+        hm1.foreach { m =>
+          timed("commit_http") { hs.commitChanges(m, changes)._1 }
+          drainSteps("commit_http", hs)
+        }
+        // collapse the inner engine's staged epochs between passes:
+        // the gateway stages one entry per PUT object, and an
+        // uncompacted epoch pile would tax LATER passes' HEAD/GET
+        // resolution — a non-stationarity the metric must not carry
+        inner.commit("main", "bench", s"collapse pass $pass")
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] http twin pass failed (continuing): ${e.getMessage}")
+      }
+    }
+
     (1 to passes).foreach(runPass)
+    (1 to passes).foreach(httpPass)
 
     // O(changed) growth guard (§C complexity contract — the reference
     // commits in time proportional to the CHANGED ranges,

@@ -188,6 +188,7 @@ class S3WireFileSystem extends FileSystem {
   override def getFileStatus(f: Path): FileStatus = {
     val key = keyOf(f)
     if (key.isEmpty) return dirStatusOf("")
+    awaitPending(key)
     cachedStatus(key).foreach(return _)
     val (st, hd, _) = send("HEAD", key)
     if (st == 200) {
@@ -217,6 +218,7 @@ class S3WireFileSystem extends FileSystem {
     // consumer (the GC sweep's newer-than-cutoff check) resolving a file
     // through listStatus must not see it as infinitely old
     if (key.nonEmpty) {
+      awaitPending(key)
       val (st, hd, _) = send("HEAD", key)
       if (st == 200)
         return Array(fileStatusOf(key,
@@ -363,6 +365,68 @@ class S3WireFileSystem extends FileSystem {
         }
       })
 
+  /** PUTs in flight from async close ([[MpuOutputStream]]): key → upload
+    * future. Same-JVM reads of a pending key await its upload first, so
+    * the deferred PUT is invisible to consistency. */
+  private val pendingPuts = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.Future[Unit]]()
+
+  /** Block until `key`'s async PUT (if any) is durable; surfaces its
+    * failure to the reader rather than a phantom 404. */
+  private def awaitPending(key: String): Unit = {
+    val f = pendingPuts.get(key)
+    if (f != null) {
+      try f.get()
+      catch { case e: java.util.concurrent.ExecutionException =>
+        throw new IOException(s"async PUT failed for $bucket/$key", e.getCause) }
+      finally pendingPuts.remove(key, f)
+    }
+  }
+
+  /** Overlap PUT-on-close with the producer's next file: inside a Spark
+    * task (and unless `graft.gws.put.async=false`), an overwrite-create's
+    * close ENQUEUES the PUT and returns; a task-completion barrier awaits
+    * every PUT this task started and fails the task on any upload error —
+    * Spark's retry then re-runs the write under a fresh attempt-unique
+    * name, so a half-uploaded loser is never referenced (the manifest is
+    * built from the SUCCEEDING attempt's returned stats). This is the
+    * client-side half of the reference's ≤10 concurrent range uploaders
+    * (`committed/batch_write_closer.go:23-32`). */
+  private def asyncPutAllowed: Boolean =
+    org.apache.spark.TaskContext.get() != null &&
+      getConf.getBoolean("graft.gws.put.async", true)
+
+  /** Per-task pending uploads; the completion listener drains them. */
+  private val taskBarrierArmed = new java.util.concurrent.ConcurrentHashMap[
+    Long, java.util.concurrent.ConcurrentLinkedQueue[
+      (String, java.util.concurrent.Future[Unit])]]()
+
+  private def registerTaskPut(key: String,
+      fut: java.util.concurrent.Future[Unit]): Unit = {
+    val ctx = org.apache.spark.TaskContext.get()
+    pendingPuts.put(key, fut)
+    val q = taskBarrierArmed.computeIfAbsent(ctx.taskAttemptId(), id => {
+      val queue = new java.util.concurrent.ConcurrentLinkedQueue[
+        (String, java.util.concurrent.Future[Unit])]()
+      ctx.addTaskCompletionListener[Unit] { _ =>
+        val mine = taskBarrierArmed.remove(id)
+        if (mine != null) {
+          var firstFailure: Throwable = null
+          mine.forEach { case (k, f) =>
+            try f.get()
+            catch { case e: java.util.concurrent.ExecutionException =>
+              if (firstFailure == null) firstFailure = e.getCause }
+            finally pendingPuts.remove(k, f)
+          }
+          if (firstFailure != null)
+            throw new IOException("async PUT barrier failed", firstFailure)
+        }
+      }
+      queue
+    })
+    q.add((key, fut))
+  }
+
   override def create(f: Path, permission: FsPermission, overwrite: Boolean,
       bufferSize: Int, replication: Short, blockSize: Long,
       progress: Progressable): FSDataOutputStream = {
@@ -453,6 +517,24 @@ class S3WireFileSystem extends FileSystem {
       if (closed) return
       closed = true
       uploadId match {
+        case None if overwrite && asyncPutAllowed =>
+          // async close: enqueue the PUT and return — the task-completion
+          // barrier (registerTaskPut) awaits it before the task can
+          // succeed, and same-JVM readers of this key block on it
+          val bytes = buf.toByteArray
+          buf = new ByteArrayOutputStream(0)
+          val tot = total
+          registerTaskPut(key, uploadPool.submit(
+            new java.util.concurrent.Callable[Unit] {
+              def call(): Unit = {
+                val (st, _, body) = send("PUT", key, body = bytes)
+                if (st != 200 && st != 201) throw new IOException(
+                  s"PUT $bucket/$key: HTTP $st " +
+                    new String(body, StandardCharsets.UTF_8).take(200))
+                cacheStatus(key, fileStatusOf(key, tot,
+                  System.currentTimeMillis()))
+              }
+            }))
         case None =>
           val headers =
             if (overwrite) Nil
@@ -506,6 +588,7 @@ class S3WireFileSystem extends FileSystem {
 
   override def delete(f: Path, recursive: Boolean): Boolean = {
     val key = keyOf(f)
+    awaitPending(key)
     evictStatus(key)
     val (st, _, _) = send("HEAD", key)
     if (st == 200) {

@@ -82,6 +82,60 @@ class Gateway(val engine: Engine,
   private def uploadsFile = Paths.get(s"${engine.repoDir}/refs/multiparts.tsv")
   private def partsFile = Paths.get(s"${engine.repoDir}/refs/multipart_parts.tsv")
 
+  // ---- group-commit staging (the reference's staging batch window,
+  // `pkg/graveler/staging/manager.go:33-36` batches KV writes over 3 ms) --
+  //
+  // A gateway PUT stages one entry; under concurrent writers (a commit's
+  // range uploads land 10+ wide) a per-PUT staged-epoch write is pure
+  // amplification: one parquet file + one O(epochs) allocation probe per
+  // object. Arrival coalescing instead: callers enqueue their entry, one
+  // of them becomes the flusher and writes EVERY queued entry as ONE
+  // staged epoch; each caller returns only when ITS entry is durable
+  // (the future, not the flush it happened to ride, is the barrier).
+  private val stageQueues = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.ConcurrentLinkedQueue[
+      (EntryIO.Entry, java.util.concurrent.CompletableFuture[Unit])]]()
+  private val stageFlushing = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.atomic.AtomicBoolean]()
+
+  private def stageBatched(branch: String, entry: EntryIO.Entry): Unit = {
+    val q = stageQueues.computeIfAbsent(branch,
+      _ => new java.util.concurrent.ConcurrentLinkedQueue())
+    val flushing = stageFlushing.computeIfAbsent(branch,
+      _ => new java.util.concurrent.atomic.AtomicBoolean(false))
+    val done = new java.util.concurrent.CompletableFuture[Unit]()
+    q.add((entry, done))
+    while (!done.isDone) {
+      if (flushing.compareAndSet(false, true)) {
+        try {
+          val batch = scala.collection.mutable.ArrayBuffer[
+            (EntryIO.Entry, java.util.concurrent.CompletableFuture[Unit])]()
+          var next = q.poll()
+          while (next != null) { batch += next; next = q.poll() }
+          if (batch.nonEmpty) {
+            try {
+              val (dir, e) = engine.allocateStagingDir(branch)
+              EntryIO.writeStaged(spark.sparkContext.hadoopConfiguration,
+                dir, e, batch.map(_._1).toSeq)
+              batch.foreach(_._2.complete(()))
+            } catch { case t: Throwable =>
+              batch.foreach(_._2.completeExceptionally(t))
+            }
+          }
+        } finally flushing.set(false)
+      } else {
+        // another caller is flushing (it may or may not carry this entry)
+        try done.get(20, java.util.concurrent.TimeUnit.MILLISECONDS)
+        catch {
+          case _: java.util.concurrent.TimeoutException => ()
+          case e: java.util.concurrent.ExecutionException => throw e.getCause
+        }
+      }
+    }
+    try done.get()
+    catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
+  }
+
   /** CreateMultipartUpload (postobject.go:33-100): allocate a physical
     * address for the final object, record the upload. `uploadId` may be
     * supplied for deterministic flows; defaults to a fresh UUID. */
@@ -205,11 +259,10 @@ class Gateway(val engine: Engine,
     }
     val totalSize = chosen.map(_._2).sum
     // job-free: completing a multipart upload is a metadata link, not a
-    // cluster operation (postobject.go:174 stages one entry)
-    val (dir, e) = engine.allocateStagingDir(branch)
-    graft.store.EntryIO.writeStaged(
-      spark.sparkContext.hadoopConfiguration, dir, e,
-      Seq(EntryIO.Entry(path, Some(checksum), Some(address), totalSize, 0L)))
+    // cluster operation (postobject.go:174 stages one entry); rides the
+    // same group-commit window as plain PUTs
+    stageBatched(branch,
+      EntryIO.Entry(path, Some(checksum), Some(address), totalSize, 0L))
     dropUpload(uploadId)
     (s"$checksum-${chosen.length}", totalSize)
   }
@@ -400,15 +453,15 @@ class Gateway(val engine: Engine,
     requireWritable("putObject")
     val addr = if (address.nonEmpty) address
       else s"data/gw-${java.util.UUID.randomUUID()}"
-    // job-free single-entry stage — a gateway PUT must not cost a
-    // scheduler round-trip (the reference's PUT is a KV write)
-    val (dir, e) = engine.allocateStagingDir(branch)
-    // real LastModified: the reference serves entry CreationDate as the
+    // job-free group-committed stage — a gateway PUT must not cost a
+    // scheduler round-trip (the reference's PUT is a KV write behind the
+    // staging manager's batch window), and concurrent PUTs share ONE
+    // staged epoch instead of paying a parquet write each.
+    // Real LastModified: the reference serves entry CreationDate as the
     // object's Last-Modified; a zero mtime would void every downstream
-    // freshness guard (GC mtime cutoffs on an S3-wire-backed store)
-    EntryIO.writeStaged(spark.sparkContext.hadoopConfiguration, dir, e,
-      Seq(EntryIO.Entry(path, Some(checksum), Some(addr), sizeBytes,
-        clock())))
+    // freshness guard (GC mtime cutoffs on an S3-wire-backed store).
+    stageBatched(branch, EntryIO.Entry(path, Some(checksum), Some(addr),
+      sizeBytes, clock()))
     checksum
   }
 

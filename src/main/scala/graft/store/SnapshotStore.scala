@@ -929,7 +929,20 @@ class SnapshotStore(val spark: SparkSession, val repoDir: String,
     try {
       val touchedDf =
         if (touched.lengthCompare(parts * 4) >= 0) touchedDf0
-        else {
+        else if (!FsCaps.atomicRename(fs)) {
+          // Object stores: target ~one write task per touched range — the
+          // small-split re-plan below would turn each extra task into an
+          // extra object PUT (per-request service work, staged entry per
+          // object on a versioned gateway); upload bandwidth inside a
+          // large file comes from MPU part streaming instead. Real file
+          // bytes from the manifest size the splits exactly.
+          val fileBytes = math.max(1L, touched.map(ri =>
+            if (ri.sizes.nonEmpty) ri.sizes.sum else ri.estimatedSize).sum)
+          val split = math.max(4L << 20, fileBytes / math.max(1, touched.size))
+          val s2 = spark.newSession()
+          s2.conf.set("spark.sql.files.maxPartitionBytes", split.toString)
+          readRangesIn(s2, touched, tierPeek)
+        } else {
           // estimatedSize tracks key+identity bytes only — an undercount of
           // the file bytes, which only errs toward MORE tasks, never fewer
           val totalBytes = math.max(1L, touched.map(_.estimatedSize).sum)
@@ -1129,8 +1142,22 @@ class SnapshotStore(val spark: SparkSession, val repoDir: String,
         val n = scala.util.Try(v.trim.toInt).getOrElse(
           sys.error(s"SPARK_GRAFT_SALT must be an integer, got '$v'"))
         math.min(16, math.max(1, n))
+      case None if !FsCaps.atomicRename(fs) =>
+        // Object stores: UNSALTED — every extra file is a PUT the service
+        // pays per-request work for (a versioned gateway stages one entry
+        // per object), and in-file upload parallelism comes from the MPU
+        // streaming path instead. One object per range is the reference's
+        // own shape (20 MiB max range, one sstable object each,
+        // `committed/batch_write_closer.go`'s 10 concurrent uploaders).
+        1
       case None =>
-        math.min(16, math.max(1, parts * 4 / math.max(1, approxChunks)))
+        // target ~parts*2 write tasks (was parts*4): r13's salt sweep put
+        // salt 2-4 within noise of each other on the write (2.0× vs 1.87×,
+        // budget 2.3×), but every extra file is a per-file reader init +
+        // open that EVERY later scan pays — diff reads the files 5-10×
+        // more often than the write creates them, so the file count leans
+        // toward the read side (the reference writes ONE file per range)
+        math.min(16, math.max(1, parts * 2 / math.max(1, approxChunks)))
     }
     // noShuffle (aligned commit): scan splits already hold single-chunk
     // near-sorted runs — skip the exchange and sort LOCALLY only. The
