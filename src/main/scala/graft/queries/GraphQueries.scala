@@ -72,6 +72,29 @@ object GraphQueries {
                row_number() OVER (ORDER BY i DESC) AS ord
         FROM anc ORDER BY ord""")),
 
+    // G1 no-merges: the full walk, merge commits filtered from the OUTPUT
+    // (lakectl log --no-merges, cmd/log.go — traversal still passes
+    // THROUGH merges, matching git's semantics).
+    "vc_log_no_merges" -> (((s: SparkSession, d: String) => {
+      val w = Window.orderBy(col("creation_date").desc, col("commit_id").desc)
+      Dag.log(s, commitsDf(s), id(N))
+        .where(size(col("parents")) < 2)
+        .select(col("commit_id"), col("creation_date"))
+        .withColumn("ord", row_number().over(w).cast("long"))
+        .orderBy(col("ord"))
+    }),
+      Some(s"""
+        WITH RECURSIVE $edgesSql,
+        anc AS (
+          SELECT 200 AS i
+          UNION
+          SELECT e.p FROM anc a JOIN edges e ON e.i = a.i
+        )
+        SELECT lpad(CAST(i AS VARCHAR),4,'0') AS commit_id,
+               1700000000 + i*60 AS creation_date,
+               row_number() OVER (ORDER BY i DESC) AS ord
+        FROM anc WHERE NOT (i % 25 = 0 AND i - 13 >= 1) ORDER BY ord""")),
+
     // G1 first-parent: linear history from head 0200.
     "vc_log_first_parent" -> (((s: SparkSession, d: String) => {
       val w = Window.orderBy(col("creation_date").desc, col("commit_id").desc)

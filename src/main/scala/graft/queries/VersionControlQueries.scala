@@ -1937,6 +1937,95 @@ object VersionControlQueries {
                     ELSE '' END AS final_identity
         FROM c ORDER BY k""")),
 
+    // §2.11 multipart lifecycle metadata semantics (postobject.go:102-216):
+    // create → 8 recorded parts → complete. The combined ETag is
+    // sha256(concat of part etags in part order) + "-<n>" and the staged
+    // entry carries the SUMMED size — both recomputable by the oracle from
+    // the same nation-derived part table.
+    "vc_mpu_complete" -> (((s: SparkSession, d: String) => {
+      val dir = s"target/vc_mpu_repo_${math.abs(d.hashCode)}"
+      val hfs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(dir), s.sparkContext.hadoopConfiguration)
+      hfs.delete(new org.apache.hadoop.fs.Path(dir), true)
+      val eng = new graft.store.Engine(s, dir, raggedness = 5000)
+      eng.init("main")
+      val gw = new graft.store.Gateway(eng)
+      val parts = s.read.parquet(s"$d/nation.parquet")
+        .where(col("n_nationkey") < 8)
+        .select("n_nationkey", "n_name").collect()
+        .map(r => (r.getInt(0), r.getString(1).toLowerCase.replace(' ', '_')))
+        .sortBy(_._1)
+      val id = gw.createMultipartUpload("main", "big/obj.bin",
+        uploadId = Some("vc-mpu-fixed"))
+      parts.zipWithIndex.foreach { case ((k, name), i) =>
+        gw.uploadPart(id, i + 1, (k + 1) * 1000L + name.length, name)
+      }
+      val (etag, total) = gw.completeMultipartUpload(id,
+        parts.zipWithIndex.map { case ((_, name), i) => (i + 1, name) }.toSeq)
+      val st = eng.get("main", "big/obj.bin").get
+      import s.implicits._
+      Seq((etag, total, parts.length.toLong,
+        st.getLong(st.fieldIndex("size_bytes"))))
+        .toDF("etag", "total_size", "n_parts", "staged_size")
+    }),
+      Some("""
+        WITH p AS (
+          SELECT row_number() OVER (ORDER BY n_nationkey) AS part,
+                 CAST((n_nationkey+1)*1000
+                   + length(lower(replace(n_name,' ','_'))) AS BIGINT) AS sz,
+                 lower(replace(n_name,' ','_')) AS etag
+          FROM nation WHERE n_nationkey < 8)
+        SELECT sha256(string_agg(etag, '' ORDER BY part)) || '-8' AS etag,
+               CAST(SUM(sz) AS BIGINT) AS total_size,
+               CAST(8 AS BIGINT) AS n_parts,
+               CAST(SUM(sz) AS BIGINT) AS staged_size
+        FROM p""")),
+
+    // §2.11 group-commit staging under real concurrency: 12 threads PUT
+    // through the gateway's arrival-coalescing stage writer; the effective
+    // listing must carry EVERY entry exactly once with its checksum
+    // identity and size — a lost or double-staged entry under the shared
+    // epoch write would hash-mismatch.
+    "vc_staging_batch" -> (((s: SparkSession, d: String) => {
+      val dir = s"target/vc_stbatch_repo_${math.abs(d.hashCode)}"
+      val hfs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(dir), s.sparkContext.hadoopConfiguration)
+      hfs.delete(new org.apache.hadoop.fs.Path(dir), true)
+      val eng = new graft.store.Engine(s, dir, raggedness = 5000)
+      eng.init("main")
+      val gw = new graft.store.Gateway(eng)
+      val objs = s.read.parquet(s"$d/nation.parquet")
+        .select("n_nationkey", "n_name").collect()
+        .map(r => (r.getInt(0), r.getString(1).toLowerCase.replace(' ', '_')))
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(12)
+      try {
+        import scala.jdk.CollectionConverters._
+        pool.invokeAll(objs.map { case (k, name) =>
+          new java.util.concurrent.Callable[String] {
+            def call(): String =
+              gw.putObject("main", s"docs/$name", (k + 1) * 10L, s"c$k")
+          }
+        }.toSeq.asJava).asScala.foreach(_.get())
+      } finally pool.shutdown()
+      val listed = eng.list("main", prefix = "docs/")
+        .select("key").collect().map(_.getString(0)).sorted
+      // per-key stat through the gateway: checksum identity AND the staged
+      // size survive the shared-epoch write (the listing schema narrows to
+      // key/identity, so sizes are read back via HeadObject, as an SDK
+      // would)
+      val rows = listed.map { k =>
+        val st = gw.headObject("main", k)
+        (k, st.etag, st.sizeBytes)
+      }
+      import s.implicits._
+      rows.toSeq.toDF("key", "identity", "size_bytes").orderBy("key")
+    }),
+      Some("""
+        SELECT 'docs/' || lower(replace(n_name,' ','_')) AS key,
+               'c' || CAST(n_nationkey AS VARCHAR) AS identity,
+               CAST((n_nationkey+1)*10 AS BIGINT) AS size_bytes
+        FROM nation ORDER BY key""")),
+
     "vc_s3_object_ops" -> (((s: SparkSession, d: String) => {
       val dir = s"target/vc_s3obj_repo_${math.abs(d.hashCode)}"
       val hfs = org.apache.hadoop.fs.FileSystem.get(
