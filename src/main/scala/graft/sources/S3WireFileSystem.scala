@@ -226,6 +226,9 @@ class S3WireFileSystem extends FileSystem {
           mtimeOf(hd)))
     }
     val prefix = if (key.isEmpty) "" else key + "/"
+    // a directory listing must also see async PUTs still in flight under
+    // the prefix (same-JVM read-your-writes, like the exact-key paths)
+    pendingPuts.keySet().forEach(k => if (k.startsWith(prefix)) awaitPending(k))
     val out = scala.collection.mutable.ArrayBuffer[FileStatus]()
     var token: Option[String] = None
     var sawAny = false
@@ -595,7 +598,10 @@ class S3WireFileSystem extends FileSystem {
       val (ds, _, _) = send("DELETE", key)
       return ds == 200 || ds == 204
     }
-    // directory: delete every key under the prefix
+    // directory: delete every key under the prefix — in-flight async PUTs
+    // under it must land first or they would survive the delete
+    pendingPuts.keySet().forEach(k =>
+      if (k.startsWith(key + "/")) awaitPending(k))
     var any = false
     var token: Option[String] = None
     var go = true
@@ -617,6 +623,11 @@ class S3WireFileSystem extends FileSystem {
   override def rename(src: Path, dst: Path): Boolean = {
     val srcKey = keyOf(src)
     val dstKey = keyOf(dst)
+    // a committer renames what its own task just closed — async PUTs
+    // under the source (exact key or directory) must be durable first
+    awaitPending(srcKey)
+    pendingPuts.keySet().forEach(k =>
+      if (k.startsWith(srcKey + "/")) awaitPending(k))
     def copyDelete(from: String, to: String): Boolean = {
       evictStatus(from); evictStatus(to)
       val (cs, _, _) = send("PUT", to,

@@ -738,18 +738,38 @@ class Engine(val spark: SparkSession, val repoDir: String,
       val head = refs.getCommit(headId).get
       val (c, onSuccess) = attempt(headId, head)
       beforeCas()
+      // Budget-exhaustion must NOT throw past an ambiguous attempt that
+      // actually landed: the loop's next iteration would have recognized
+      // it (landedAtOrBelow over `pending`), but the throw skips that
+      // check — and a caller that retries the whole commit would then
+      // apply the SAME logical change twice (two commits, one message).
+      // So the last act before giving up is one more recognition pass.
+      def pendingLanded(): Option[CommitInfo] = {
+        val nowHead = refs.getBranch(branch)
+        pending.collectFirst {
+          case (_, (pc, onOk)) if nowHead.exists(h => landedAtOrBelow(h, pc)) =>
+            casUnknownWins.increment(); onOk(); pc
+        }
+      }
       refs.casBranchOutcome(branch, Some(headId), c.commitId) match {
         case RefStore.CasWon => onSuccess(); return c
         case RefStore.CasLost =>
           casRetries.increment()
           if (tries >= branchUpdateMaxTries)
-            sys.error(s"$op: branch $branch moved concurrently ($tries tries)")
+            pendingLanded() match {
+              case Some(pc) => return pc
+              case None =>
+                sys.error(s"$op: branch $branch moved concurrently ($tries tries)")
+            }
         case RefStore.CasUnknown(cause) =>
           pending += (c.commitId -> ((c, onSuccess)))
           casRetries.increment()
           if (tries >= branchUpdateMaxTries)
-            throw new IllegalStateException(
-              s"$op: branch $branch CAS outcome unknown after $tries tries", cause)
+            pendingLanded() match {
+              case Some(pc) => return pc
+              case None => throw new IllegalStateException(
+                s"$op: branch $branch CAS outcome unknown after $tries tries", cause)
+            }
       }
     }
     throw new IllegalStateException("unreachable")

@@ -563,6 +563,76 @@ object EntryIO {
     out.toSeq
   }
 
+  /** One S3 list page over `ref`'s visible view, JOB-FREE — the output
+    * semantics of [[graft.operators.Listing.s3ListPage]] (roll-up at
+    * `delimiter` on names qualified `ref/<key>`, names strictly after
+    * `startAfter`, `maxKeys` + truncation) built by the seek-skip walker
+    * instead of a Spark job. Load-bearing, not an optimization: the
+    * gateway must never SCHEDULE cluster work while serving an FS call —
+    * on a saturated application every task slot can be blocked on the
+    * gateway (a committer's exists/listStatus during a write to the
+    * gateway-backed store), and a listing job would deadlock the whole
+    * app. The reference's gateway likewise answers listings from KV
+    * iterators, never compute (`listobjects.go:191`).
+    *
+    * Returns (page rows as (name, entryType, etag, size, mtime),
+    * isTruncated). Rolled common prefixes carry no stats, like the S3
+    * wire. */
+  def s3PageWalk(engine: Engine, ref: String, keyPrefix: String,
+      delimiter: String, startAfter: Option[String], maxKeys: Int)
+      : (Seq[(String, String, Option[String], Option[Long], Option[Long])], Boolean) = {
+    val conf = engine.spark.sparkContext.hadoopConfiguration
+    val refSlash = ref + "/"
+    val full = refSlash + keyPrefix
+    val hi = graft.operators.Listing.upperBound(keyPrefix)
+    val v = viewOf(engine, ref, Some(keyPrefix).filter(_.nonEmpty), hi)
+    var from = keyPrefix
+    var going = true
+    // resume position from the marker/token (a NAME — key or rolled
+    // prefix): after a rolled prefix the walk seeks past its whole
+    // subtree; after a key it resumes at the next key; a marker outside
+    // the ref's name space either constrains nothing or ends the page
+    startAfter.filter(_ > full).foreach { a =>
+      if (a.startsWith(refSlash)) {
+        val aKey = a.substring(refSlash.length)
+        from =
+          if (delimiter.nonEmpty && aKey.endsWith(delimiter))
+            graft.operators.Listing.upperBound(aKey)
+              .getOrElse { going = false; aKey }
+          else aKey + "\u0000"
+        if (from < keyPrefix) from = keyPrefix
+      } else if (a > refSlash) going = false // beyond every ref/-name
+    }
+    val out = scala.collection.mutable.ArrayBuffer[
+      (String, String, Option[String], Option[Long], Option[Long])]()
+    while (going && out.size <= maxKeys) {
+      nextVisible(conf, v, from, hi) match {
+        case None => going = false
+        case Some(e) =>
+          val rest = e.key.substring(keyPrefix.length)
+          val pos = if (delimiter.isEmpty) -1 else rest.indexOf(delimiter)
+          if (pos < 0) {
+            val name = refSlash + e.key
+            if (startAfter.forall(name > _))
+              out += ((name, "key", e.identity,
+                Some(e.sizeBytes), Some(e.mtime).filter(_ > 0L)))
+            from = e.key + "\u0000"
+          } else {
+            val subKey = keyPrefix + rest.substring(0, pos) + delimiter
+            val name = refSlash + subKey
+            if (startAfter.forall(name > _))
+              out += ((name, "common_prefix", None, None, None))
+            // seek past the subtree (the reference's nextWithDelimiter)
+            graft.operators.Listing.upperBound(subKey) match {
+              case Some(ub) => from = ub
+              case None     => going = false
+            }
+          }
+      }
+    }
+    (out.take(maxKeys).toSeq, out.size > maxKeys)
+  }
+
   /** First VISIBLE key with prefix `p` under (ref) — staged overlay masks
     * committed rows (tombstones hide them); used for implicit-directory
     * checks. Early-exits on the first hit. */

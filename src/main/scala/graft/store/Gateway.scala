@@ -484,8 +484,17 @@ class Gateway(val engine: Engine,
   def putObjectCopy(destBranch: String, destPath: String,
       srcRef: String, srcPath: String): String = {
     requireWritable("putObjectCopy")
-    engine.copyEntry(srcRef, srcPath, destBranch, destPath)
-    headObject(destBranch + "$", destPath).etag
+    // JOB-FREE, like statOf: resolve the source via the point reader and
+    // stage a destination entry sharing the source's physical address —
+    // CopyEntry moves no bytes and the identity (ETag) carries over. The
+    // engine's DataFrame-shaped copyEntry stays the catalog-level API;
+    // the gateway must never schedule cluster work while serving an FS
+    // call (a committer's rename = CopyObject+DELETE from a task thread
+    // would deadlock a saturated app).
+    val st = headObject(srcRef, srcPath)
+    stageBatched(destBranch, EntryIO.Entry(destPath, Some(st.etag),
+      Some(st.address).filter(_.nonEmpty), st.sizeBytes, clock()))
+    st.etag
   }
 
   // ---- presign (block/adapter.go:195-201 GetPreSignedURL + the
@@ -699,35 +708,35 @@ class Gateway(val engine: Engine,
           PageResult(branches.toDF("name", "entry_type"))
         } else {
           val ref = prefix.take(i)
-          // the key prefix pushes down to manifest pruning (Engine.list →
-          // scanInterval): the page reads only ranges under the prefix.
-          // Staged entries ARE listed — the reference's gateway lists the
-          // branch's working tree (`listobjects.go:191` → catalog
-          // ListEntries → graveler List over staged+committed), so an SDK
-          // sees its own uploads; `ref@` still lists committed-only.
-          val listed = engine.list(ref, prefix = prefix.drop(i + 1))
-          val keys = listed.select(concat(lit(ref + "/"), col("key")).as("key"))
-          val page =
-            if (routed.op == ListObjectsV2)
-              Listing.s3ListPage(keys, prefix, delim,
-                Some(after).filter(_.nonEmpty), maxKeys)
-            else Listing.s3ListPageV1(keys, prefix, delim,
-              Some(after).filter(_.nonEmpty), maxKeys)
-          // S3 listings carry per-key ETag/Size (an SDK reads them): when
-          // the snapshot schema has them, rejoin the ≤ maxKeys page (tiny,
-          // broadcast side) to the pruned listing — prefixes keep nulls
-          val withStats =
-            if (listed.columns.contains("identity") &&
-                listed.columns.contains("size_bytes"))
-              page.join(
-                listed.select(Seq(
-                  concat(lit(ref + "/"), col("key")).as("name"),
-                  col("identity").as("etag"), col("size_bytes")) ++
-                  (if (listed.columns.contains("mtime"))
-                     Seq(col("mtime")) else Nil): _*),
-                Seq("name"), "left")
-            else page
-          PageResult(withStats)
+          // JOB-FREE page via the seek-skip walker (EntryIO.s3PageWalk):
+          // the gateway must never schedule cluster work while serving an
+          // FS call — on a saturated app every task slot can be blocked
+          // on the gateway (a committer's listStatus during a write to
+          // the gateway-backed store) and a listing job would deadlock.
+          // Manifest pruning still applies (the walker's view is
+          // interval-pruned); staged entries ARE listed — the reference's
+          // gateway lists the branch's working tree (`listobjects.go:191`
+          // → catalog ListEntries over staged+committed), so an SDK sees
+          // its own uploads; `ref@` still lists committed-only. Per-key
+          // ETag/Size/mtime ride the walker's entries (what an SDK's
+          // listing exposes).
+          val (rows, truncated) = EntryIO.s3PageWalk(engine, ref,
+            prefix.drop(i + 1), delim, Some(after).filter(_.nonEmpty),
+            maxKeys)
+          val tf = if (truncated) 1L else 0L
+          // V1 NextMarker: last name on a truncated page, only with a
+          // delimiter (Listing.s3ListPageV1's dialect)
+          val nextMarker: String =
+            if (routed.op == ListObjects && truncated && delim.nonEmpty)
+              rows.lastOption.map(_._1).orNull
+            else null
+          import spark.implicits._
+          val page = rows.zipWithIndex.map { case ((name, t, et, sz, mt), idx) =>
+            (idx + 1L, name, t, et.orNull, sz.map(Long.box).orNull,
+              mt.map(Long.box).orNull, tf, nextMarker)
+          }.toDF("rn", "name", "entry_type", "etag", "size_bytes", "mtime",
+            "is_truncated", "next_marker")
+          PageResult(page)
         }
       case HeadBucket => StatResult(routed.repository, 0L)
       case GetBucketLocation => ConfigResult("")       // defaultBucketLocation

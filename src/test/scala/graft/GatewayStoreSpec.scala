@@ -113,6 +113,19 @@ class GatewayStoreSpec extends SparkSpec {
     assert(eng.get("main", "k999999").isDefined)
   }
 
+  test("a stock DataFrame write to gws:// round-trips — the committer's " +
+      "listStatus/rename run over async-closed PUTs") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.sum
+    val (_, _, _, bucket) = fixture
+    val out = s"gws://$bucket/main/store/dfout"
+    (1 to 5000).map(i => (i.toLong, s"v$i")).toDF("id", "v").repartition(4)
+      .write.mode("overwrite").parquet(out)
+    val back = spark.read.parquet(out)
+    assert(back.count() === 5000)
+    assert(back.agg(sum("id")).head.getLong(0) === 5000L * 5001 / 2)
+  }
+
   test("multipart upload: an object past the MPU threshold streams through " +
       "the wire FS in bounded parts, completes, and round-trips") {
     val (_, _, inner, bucket) = fixture

@@ -108,6 +108,21 @@ class ListingFreeScanSpec extends SparkSpec {
       s"engine read path ran $listings listing job(s) on a stock session")
   }
 
+  test("manifest-scan plans keep parquet filter pushdown and column-pruned " +
+      "ReadSchema (the stock FileSourceScan pipeline, fed by metadata)") {
+    val dir = tmpDir("lfpush")
+    val store = new SnapshotStore(spark, dir, raggedness = 50)
+    val (meta, _) = store.writeSnapshot(rows(1000))
+    val df = store.scan(meta).where(col("key") > "k000500").select("key")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("GreaterThan(key,k000500)"),
+      s"key predicate must reach the parquet scan:\n${plan.take(1500)}")
+    assert(plan.contains("ReadSchema: struct<key:string>"),
+      s"projection must prune to the key column:\n${plan.take(1500)}")
+    assert(df.count() === 500)
+  }
+
   test("legacy manifest without sizes still scans correctly (discovery " +
       "fallback, same rows)") {
     val dir = tmpDir("lflegacy")
