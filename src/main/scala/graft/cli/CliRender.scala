@@ -262,6 +262,57 @@ object CliRender {
     * (lakectl_bisect_reset_not_started.golden). */
   val bisectResetNotStarted: String = "Warning: No active bisect session\n\n"
 
+  /** `lakectl repo create` (cmd/repo_create.go +
+    * lakectl_repo_create.golden). */
+  def renderRepoCreated(repo: String, namespace: String,
+      defaultBranch: String, epochSec: Long): String =
+    s"Repository: lakefs://$repo\n" +
+      s"Repository '$repo' created:\n" +
+      s"storage namespace: $namespace\n" +
+      s"default branch: $defaultBranch\n" +
+      s"timestamp: $epochSec\n"
+
+  /** `lakectl repo create` on an existing id
+    * (lakectl_repo_create_not_unique.golden). */
+  def renderRepoCreateNotUnique(repo: String): String =
+    s"Repository: lakefs://$repo\n" +
+      "error creating repository: not unique\n409 Conflict\n"
+
+  /** `lakectl repo delete` (lakectl_repo_delete.golden). */
+  def renderRepoDeleted(repo: String): String =
+    s"Repository: lakefs://$repo\nRepository '$repo' deleted\n"
+
+  /** The repo-scoped 404 shape, with (`repo delete`) and without
+    * (`log` on a missing repo) the Repository header
+    * (lakectl_repo_delete_not_found.golden / lakectl_log_404.golden). */
+  def renderRepoNotFound(repo: Option[String]): String =
+    repo.map(r => s"Repository: lakefs://$r\n").getOrElse("") +
+      "repository not found\n404 Not Found\n"
+
+  /** `lakectl identity` (cmd/identity.go + lakectl_identity.golden). */
+  def renderIdentity(userId: String, email: String,
+      createdAtEpochSec: Long): String =
+    s"User ID:          $userId\n" +
+      s"Email:            $email\n" +
+      s"Creation Date:    ${fmtDate(createdAtEpochSec)}\n"
+
+  /** `lakectl commit` without a message and without
+    * `--allow-empty-message` (lakectl_commit_no_msg.golden). */
+  val commitNoMessage: String =
+    "commit with no message without specifying the " +
+      "\"--allow-empty-message\" flag\nError executing command.\n"
+
+  /** `lakectl branch create` with a malformed URI
+    * (lakectl_branch_create_invalid.golden). */
+  val branchCreateInvalid: String =
+    "branch URI contains invalid branch name: not a valid branch URI\n" +
+      "Error executing command.\n"
+
+  /** `lakectl usage summary` when the report store is disabled
+    * (lakectl_usage_summary.golden). */
+  val usageSummaryDisabled: String =
+    "usage report is not enabled\nError executing command.\n"
+
   /** `lakectl tag show` (lakectl_tag_show.golden: name SPACE commit id —
     * unlike the TAB-joined tag LIST rows). */
   def renderTagShow(tag: String, commitId: String): String =

@@ -23,6 +23,8 @@ class GoldenSpec extends SparkSpec {
     .replaceAll("[0-9a-f]{16}", "<COMMIT_ID_16>")
     .replaceAll("""\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2} \+0000 UTC""",
       "<DATE> <TIME> <TZ>")
+    .replaceAll("""timestamp: \d+""", "timestamp: <TIMESTAMP>")
+    .replaceAll("""cherry-pick [0-9a-f]{8}""", "cherry-pick <COMMIT_ID_8>")
 
   private def check(name: String, rendered: String): Unit = {
     val p = Paths.get(s"$goldenDir/$name.golden")
@@ -471,5 +473,85 @@ class GoldenSpec extends SparkSpec {
     val eng = repo
     check("lakectl_branch_list_prefix", CliRender.renderBranchList(
       eng.refs.branches.toSeq.filter(_._1.startsWith("l")).sortBy(_._1)))
+  }
+
+  test("lakectl_cherry_pick: the commit block of a real picked change") {
+    val eng = bisectRepo
+    val chain = eng.log("main", firstParent = true)
+    val c1 = chain.find(_.message == "commit1").get
+    val c3 = chain.find(_.message == "commit3").get
+    eng.createBranch("golden-cp", c1.commitId)
+    nextSecond()
+    val picked = eng.cherryPick("golden-cp", c3.commitId, "tester")
+    // the picked branch carries commit3's introduction ("mmm") without
+    // commit2's — the real operator, not a rendering fixture
+    assert(eng.get("golden-cp", "mmm").isDefined)
+    assert(eng.get("golden-cp", "f2").isEmpty)
+    check("lakectl_cherry_pick",
+      CliRender.renderCommit("repo1", "golden-cp", picked))
+  }
+
+  test("lakectl_commit_no_msg and empty-msg flag: the error shape and the " +
+      "blank-message commit block") {
+    import spark.implicits._
+    val eng = bisectRepo
+    check("lakectl_commit_no_msg", CliRender.commitNoMessage)
+    eng.createBranch("golden-emptymsg", "main")
+    eng.stage("golden-emptymsg", Seq("em" -> "e1").toDF("key", "identity"))
+    nextSecond()
+    val c = eng.commit("golden-emptymsg", "tester", " ")
+    check("lakectl_commit_with_empty_msg_flag",
+      CliRender.renderCommit("repo1", "golden-emptymsg", c))
+  }
+
+  test("lakectl_branch_create_invalid: the malformed-URI error, backed by " +
+      "the real validator") {
+    val eng = bisectRepo
+    val thrown = intercept[IllegalArgumentException] {
+      eng.createBranch("not a valid name!", "main")
+    }
+    assert(thrown.getMessage.toLowerCase.contains("branch"))
+    check("lakectl_branch_create_invalid", CliRender.branchCreateInvalid)
+  }
+
+  test("lakectl_repo_create/delete family over the real catalog") {
+    val root = Files.createTempDirectory("golden-cat").toString
+    val cat = new graft.store.Catalog(spark, root)
+    val info = cat.createRepository("repo-one",
+      namespace = s"$root/repo-one-ns")
+    check("lakectl_repo_create", CliRender.renderRepoCreated("repo-one",
+      "local://repo-one", info.defaultBranchId, info.creationDate))
+    val dup = intercept[IllegalArgumentException] {
+      cat.createRepository("repo-one")
+    }
+    assert(dup.getMessage.contains("already exists"))
+    check("lakectl_repo_create_not_unique",
+      CliRender.renderRepoCreateNotUnique("repo-one"))
+    cat.deleteRepository("repo-one")
+    check("lakectl_repo_delete", CliRender.renderRepoDeleted("repo-one"))
+    assert(intercept[Exception](cat.getRepository("repo-one")) != null)
+    check("lakectl_repo_delete_not_found",
+      CliRender.renderRepoNotFound(Some("repo-one")))
+    check("lakectl_log_404", CliRender.renderRepoNotFound(None))
+  }
+
+  test("lakectl_identity: the caller's user block over the real auth store") {
+    val a = new graft.store.AuthService(
+      Files.createTempDirectory("golden-ident").toString)
+    a.createUser("esti-user", email = "esti-user@example.com")
+    val u = a.getUser("esti-user")
+    check("lakectl_identity",
+      CliRender.renderIdentity(u.username, u.email, u.createdAt))
+  }
+
+  test("lakectl_usage_summary: the disabled-report error shape") {
+    check("lakectl_usage_summary", CliRender.usageSummaryDisabled)
+  }
+
+  test("lakectl_log_initial: a fresh repository's single-commit log") {
+    val eng = new Engine(spark,
+      Files.createTempDirectory("golden-init").toString, raggedness = 100)
+    eng.init("main")
+    check("lakectl_log_initial", CliRender.log(eng, "main"))
   }
 }
