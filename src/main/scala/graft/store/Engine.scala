@@ -192,7 +192,8 @@ class Engine(val spark: SparkSession, val repoDir: String,
     * reference has between its catalog pre-check and the KV write. */
   def setEntryIfAbsent(branch: String, key: String, identity: String,
       sizeBytes: Long, address: Option[String] = None,
-      mtime: Long = 0L): Boolean =
+      mtime: Long = 0L, contentType: Option[String] = None,
+      meta: Map[String, String] = Map.empty): Boolean =
     branchLock.withLock(branch) {
       // the precondition read is the JOB-FREE point resolve (EntryIO):
       // the reference's condition closure is a KV read, and a Spark job
@@ -203,7 +204,8 @@ class Engine(val spark: SparkSession, val repoDir: String,
       else {
         val (dir, e) = allocateStagingDir(branch)
         EntryIO.writeStaged(spark.sparkContext.hadoopConfiguration, dir, e,
-          Seq(EntryIO.Entry(key, Some(identity), address, sizeBytes, mtime)))
+          Seq(EntryIO.Entry(key, Some(identity), address, sizeBytes, mtime,
+            contentType, meta)))
         true
       }
     }

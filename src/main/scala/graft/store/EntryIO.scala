@@ -39,9 +39,15 @@ import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType, PrimitiveT
  */
 object EntryIO {
 
-  /** One resolved entry. `identity == None` is a staged tombstone. */
+  /** One resolved entry. `identity == None` is a staged tombstone.
+    * `contentType`/`meta` mirror the reference catalog entry's
+    * ContentType + user Metadata (`pkg/catalog/catalog.proto:10-26` —
+    * what `x-amz-meta-*` headers and `Content-Type` persist per object);
+    * absent on entries staged before round 14 and on non-FS repos. */
   case class Entry(key: String, identity: Option[String], address: Option[String],
-      sizeBytes: Long, mtime: Long)
+      sizeBytes: Long, mtime: Long,
+      contentType: Option[String] = None,
+      meta: Map[String, String] = Map.empty)
 
   /** The FS entry payload convention (the catalog-Entry subset a filesystem
     * needs, `pkg/catalog/catalog.proto:10-26`): address + size + mtime. */
@@ -59,9 +65,31 @@ object EntryIO {
       org.apache.parquet.schema.Type.Repetition.OPTIONAL).named("size_bytes"))
     .addField(Types.primitive(PrimitiveType.PrimitiveTypeName.INT64,
       org.apache.parquet.schema.Type.Repetition.OPTIONAL).named("mtime"))
+    .addField(Types.primitive(PrimitiveType.PrimitiveTypeName.BINARY,
+      org.apache.parquet.schema.Type.Repetition.OPTIONAL)
+      .as(LogicalTypeAnnotation.stringType()).named("content_type"))
+    .addField(Types.primitive(PrimitiveType.PrimitiveTypeName.BINARY,
+      org.apache.parquet.schema.Type.Repetition.OPTIONAL)
+      .as(LogicalTypeAnnotation.stringType()).named("meta_json"))
     .addField(Types.primitive(PrimitiveType.PrimitiveTypeName.INT64,
       org.apache.parquet.schema.Type.Repetition.REQUIRED).named("__epoch"))
     .named("graft_fs_staged")
+
+  /** User-metadata JSON codec for the `meta_json` column (jackson is on
+    * the Spark classpath; keys/values are arbitrary client strings). */
+  private[store] def metaToJson(m: Map[String, String]): String = {
+    val n = SnapshotStore.mapper.createObjectNode()
+    m.toSeq.sortBy(_._1).foreach { case (k, v) => n.put(k, v) }
+    SnapshotStore.mapper.writeValueAsString(n)
+  }
+  private[store] def metaFromJson(s: String): Map[String, String] =
+    try {
+      val n = SnapshotStore.mapper.readTree(s)
+      val it = n.fieldNames()
+      val b = Map.newBuilder[String, String]
+      while (it.hasNext) { val k = it.next(); b += k -> n.get(k).asText() }
+      b.result()
+    } catch { case _: Exception => Map.empty }
 
   private def optStr(g: Group, f: String): Option[String] = {
     val t = g.getType
@@ -81,11 +109,14 @@ object EntryIO {
     optStr(g, "identity"),
     optStr(g, "address"),
     optLong(g, "size_bytes").getOrElse(0L),
-    optLong(g, "mtime").getOrElse(0L))
+    optLong(g, "mtime").getOrElse(0L),
+    optStr(g, "content_type"),
+    optStr(g, "meta_json").map(metaFromJson).getOrElse(Map.empty))
 
   /** The entry columns the readers materialize. */
   private val wantedFields =
-    Set("key", "identity", "address", "size_bytes", "mtime")
+    Set("key", "identity", "address", "size_bytes", "mtime",
+      "content_type", "meta_json")
 
   /** GroupReadSupport restricted to the entry columns present in the file:
     * a point get must not decode a wide payload's every column — projection
@@ -226,6 +257,8 @@ object EntryIO {
         e.address.foreach(g.append("address", _))
         g.append("size_bytes", e.sizeBytes)
         g.append("mtime", e.mtime)
+        e.contentType.foreach(g.append("content_type", _))
+        if (e.meta.nonEmpty) g.append("meta_json", metaToJson(e.meta))
         g.append("__epoch", epoch)
         writer.write(g)
       } finally writer.close()

@@ -370,7 +370,9 @@ class Gateway(val engine: Engine,
     * payload column when the repo schema carries one (gateway-staged
     * entries always do), 0 otherwise. */
   final case class ObjectStat(path: String, etag: String, sizeBytes: Long,
-      address: String, mtimeEpochSec: Long = 0L)
+      address: String, mtimeEpochSec: Long = 0L,
+      contentType: Option[String] = None,
+      meta: Map[String, String] = Map.empty)
 
   private def statOf(ref: String, path: String): Option[ObjectStat] =
     // the JOB-FREE point resolve (manifest seek + pushed-filter parquet
@@ -383,7 +385,7 @@ class Gateway(val engine: Engine,
     // size_bytes, address.
     EntryIO.pointGet(engine, ref, path).map(e =>
       ObjectStat(path, e.identity.getOrElse(""), e.sizeBytes,
-        e.address.getOrElse(""), e.mtime))
+        e.address.getOrElse(""), e.mtime, e.contentType, e.meta))
 
   /** HeadObject (headobject.go): metadata through the full ref grammar;
     * a missing key is the S3 NoSuchKey error. */
@@ -449,7 +451,9 @@ class Gateway(val engine: Engine,
     * for bytes already written to the physical address — identical shape to
     * completeMultipartUpload's final stage. Returns the ETag. */
   def putObject(branch: String, path: String, sizeBytes: Long,
-      checksum: String, address: String = ""): String = {
+      checksum: String, address: String = "",
+      contentType: Option[String] = None,
+      meta: Map[String, String] = Map.empty): String = {
     requireWritable("putObject")
     val addr = if (address.nonEmpty) address
       else s"data/gw-${java.util.UUID.randomUUID()}"
@@ -461,7 +465,7 @@ class Gateway(val engine: Engine,
     // object's Last-Modified; a zero mtime would void every downstream
     // freshness guard (GC mtime cutoffs on an S3-wire-backed store).
     stageBatched(branch, EntryIO.Entry(path, Some(checksum), Some(addr),
-      sizeBytes, clock()))
+      sizeBytes, clock(), contentType, meta))
     checksum
   }
 
@@ -471,10 +475,12 @@ class Gateway(val engine: Engine,
     * every ingest pipeline wants through a stock S3 client. True = staged;
     * false = the object exists and nothing was written (412 at the wire). */
   def putObjectIfAbsent(branch: String, path: String, sizeBytes: Long,
-      checksum: String): Boolean = {
+      checksum: String, contentType: Option[String] = None,
+      meta: Map[String, String] = Map.empty): Boolean = {
     requireWritable("putObject")
     engine.setEntryIfAbsent(branch, path, checksum, sizeBytes,
-      Some(s"data/gw-${java.util.UUID.randomUUID()}"), mtime = clock())
+      Some(s"data/gw-${java.util.UUID.randomUUID()}"), mtime = clock(),
+      contentType = contentType, meta = meta)
   }
 
   /** PutObject with `x-amz-copy-source` (putobject.go:41-86 → CopyObject):
@@ -560,9 +566,13 @@ class Gateway(val engine: Engine,
   /** GetObject: response geometry (bytes stream from `address` outside). */
   final case class ObjectResult(status: Int, etag: String,
       contentLength: Long, start: Long, end: Long, address: String) extends S3Result
-  /** HeadObject / HeadBucket. */
+  /** HeadObject / HeadBucket. `contentType`/`meta` round-trip what the
+    * PUT's `Content-Type` and `x-amz-meta-*` headers persisted
+    * (headobject.go serves entry ContentType + Metadata). */
   final case class StatResult(etag: String, sizeBytes: Long,
-      mtimeEpochSec: Long = 0L) extends S3Result
+      mtimeEpochSec: Long = 0L,
+      contentType: Option[String] = None,
+      meta: Map[String, String] = Map.empty) extends S3Result
   /** PutObject / CopyObject / CompleteMultipartUpload: the new ETag. */
   final case class EtagResult(etag: String) extends S3Result
   /** CreateMultipartUpload: the upload id. */
@@ -610,12 +620,22 @@ class Gateway(val engine: Engine,
         ObjectResult(r.status, r.etag, r.contentLength, r.start, r.end, r.address)
       case HeadObject =>
         val st = headObject(routed.ref, routed.path)
-        StatResult(st.etag, st.sizeBytes, st.mtimeEpochSec)
+        StatResult(st.etag, st.sizeBytes, st.mtimeEpochSec,
+          st.contentType, st.meta)
       case PutObject =>
         // precondition grammar, conditions.go:16-36 verbatim: both headers
         // or If-Match alone or a non-"*" If-None-Match → NotImplemented;
         // If-None-Match:* → write-if-absent, 412 when the object exists
         val checksum = GatewaySig.payloadSha256Hex(payload)
+        // entry metadata from the wire (putobject.go → catalog entry):
+        // the client's Content-Type plus every x-amz-meta-* header, both
+        // persisted on the staged entry and served back by HEAD/GET
+        val ct = req.header("Content-Type")
+          .filter(v => v.nonEmpty && v != "application/octet-stream")
+        val userMeta: Map[String, String] = req.headers.collect {
+          case (k, v) if k.toLowerCase.startsWith("x-amz-meta-") =>
+            k.toLowerCase.stripPrefix("x-amz-meta-") -> v
+        }.toMap
         (req.header("If-Match"), req.header("If-None-Match")) match {
           case (Some(_), Some(_)) => ErrorResult("NotImplemented")
           case (Some(_), None) => ErrorResult("NotImplemented")
@@ -624,11 +644,13 @@ class Gateway(val engine: Engine,
           case (None, Some(v)) if v != "*" => ErrorResult("NotImplemented")
           case (None, Some(_)) =>
             if (putObjectIfAbsent(routed.ref, routed.path,
-                payload.length.toLong, checksum)) EtagResult(checksum)
+                payload.length.toLong, checksum, ct, userMeta))
+              EtagResult(checksum)
             else ErrorResult("PreconditionFailed")
           case (None, None) =>
             EtagResult(putObject(routed.ref, routed.path,
-              payload.length.toLong, checksum))
+              payload.length.toLong, checksum,
+              contentType = ct, meta = userMeta))
         }
       case CopyObject =>
         // putobject.go:50-64: source is "/repo/ref/path" (same-repo here,

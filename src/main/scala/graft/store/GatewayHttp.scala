@@ -457,11 +457,15 @@ class GatewayHttp(hub: GatewayHub, auth: GatewayAuth, authSvc: AuthService,
 
     gw.handle(routed, req, nowSec) match {
       case r: gw.ObjectResult =>
-        val total = gw.headObject(routed.ref, routed.path).sizeBytes
+        val st = gw.headObject(routed.ref, routed.path)
+        val total = st.sizeBytes
         val bytes = readPhysical(r.address, r.start, r.end)
         val base = Seq("ETag" -> quote(r.etag),
           "Accept-Ranges" -> "bytes",
-          "Content-Type" -> "application/octet-stream")
+          // the entry's persisted Content-Type (getobject.go serves
+          // entry.ContentType); octet-stream only when none was stored
+          "Content-Type" -> st.contentType.getOrElse("application/octet-stream")) ++
+          st.meta.toSeq.sortBy(_._1).map { case (k, v) => s"x-amz-meta-$k" -> v }
         val hdrs = if (r.status == 206)
           base :+ ("Content-Range" -> s"bytes ${r.start}-${r.end}/$total")
         else base
@@ -475,7 +479,10 @@ class GatewayHttp(hub: GatewayHub, auth: GatewayAuth, authSvc: AuthService,
           else Nil
         respond(ex, 200, Array.emptyByteArray, Seq("ETag" -> quote(r.etag),
           "Content-Length" -> r.sizeBytes.toString,
-          "Accept-Ranges" -> "bytes") ++ lm)
+          "Content-Type" -> r.contentType.getOrElse("application/octet-stream"),
+          "Accept-Ranges" -> "bytes") ++
+          r.meta.toSeq.sortBy(_._1).map { case (k, v) => s"x-amz-meta-$k" -> v } ++
+          lm)
       case r: gw.EtagResult =>
         // the block-adapter write: land the verified payload (or the
         // assembled multipart) at the entry's physical address

@@ -255,6 +255,31 @@ class GatewayHttpSpec extends SparkSpec {
       s"listing must carry the key's etag: $xml")
   }
 
+  test("PUT persists Content-Type and x-amz-meta-*; HEAD and GET serve " +
+      "them back (keys normalized lowercase, like S3)") {
+    val payload = "a,b\n1,2\n".getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val (st1, _, _) = send("PUT", "/repo1/main/data/typed.csv", body = payload,
+      extraHeaders = Seq("Content-Type" -> "text/csv",
+        "x-amz-meta-owner" -> "alice", "x-amz-meta-Stage" -> "raw"))
+    assert(st1 === 200)
+    val (st2, hd, _) = send("HEAD", "/repo1/main/data/typed.csv")
+    assert(st2 === 200)
+    assert(hd.firstValue("Content-Type").orElse("") === "text/csv")
+    assert(hd.firstValue("x-amz-meta-owner").orElse("") === "alice")
+    assert(hd.firstValue("x-amz-meta-stage").orElse("") === "raw")
+    val (st3, hd3, body3) = send("GET", "/repo1/main/data/typed.csv")
+    assert(st3 === 200 && java.util.Arrays.equals(body3, payload))
+    assert(hd3.firstValue("Content-Type").orElse("") === "text/csv")
+    assert(hd3.firstValue("x-amz-meta-owner").orElse("") === "alice")
+    // an object PUT without a type keeps the S3 default
+    send("PUT", "/repo1/main/data/untyped.bin", body = "x".getBytes)
+    val (_, hd4, _) = send("HEAD", "/repo1/main/data/untyped.bin")
+    assert(hd4.firstValue("Content-Type").orElse("") ===
+      "application/octet-stream")
+    assert(!hd4.map().keySet().stream()
+      .anyMatch(k => k.toLowerCase.startsWith("x-amz-meta-")))
+  }
+
   test("batch delete over HTTP: DeleteResult XML with per-key outcomes") {
     send("PUT", "/repo1/main/data/del1.txt", body = "a".getBytes)
     send("PUT", "/repo1/main/data/del2.txt", body = "b".getBytes)

@@ -249,6 +249,37 @@ class GatewaySpec extends SparkSpec {
     assert(v2b.map(_.getString(1)).toSeq === Seq("R/root1", "R/root2"))
   }
 
+  test("entry Content-Type and user metadata survive a COMMIT on a " +
+      "gateway-born repo (the staged columns fix the snapshot schema)") {
+    val eng = new Engine(spark, tmpDir("gwmeta"), raggedness = 100)
+    eng.init("main") // empty: the FIRST commit takes the staged schema
+    val gw = new graft.store.Gateway(eng)
+    gw.putObject("main", "docs/a.md", 5L, "ck1",
+      contentType = Some("text/markdown"),
+      meta = Map("owner" -> "alice", "lang" -> "en"))
+    gw.putObject("main", "docs/b.bin", 3L, "ck2")
+    val s0 = gw.headObject("main", "docs/a.md")
+    assert(s0.contentType === Some("text/markdown"))
+    assert(s0.meta === Map("owner" -> "alice", "lang" -> "en"))
+    eng.commit("main", "t", "land metadata")
+    // committed-only view: the metadata rode the commit into the snapshot
+    val s1 = gw.headObject("main@", "docs/a.md")
+    assert(s1.contentType === Some("text/markdown"),
+      "Content-Type must survive the staged→committed transition")
+    assert(s1.meta === Map("owner" -> "alice", "lang" -> "en"))
+    val s2 = gw.headObject("main@", "docs/b.bin")
+    assert(s2.contentType === None && s2.meta === Map.empty)
+    // and through a second commit cycle (now via range rewrite, not the
+    // empty-base fast path)
+    gw.putObject("main", "docs/c.txt", 1L, "ck3",
+      contentType = Some("text/plain"), meta = Map("v" -> "2"))
+    eng.commit("main", "t", "second")
+    val s3 = gw.headObject("main@", "docs/c.txt")
+    assert(s3.contentType === Some("text/plain") && s3.meta === Map("v" -> "2"))
+    assert(gw.headObject("main@", "docs/a.md").contentType ===
+      Some("text/markdown"), "carried ranges keep their metadata")
+  }
+
   test("ListMultipartUploads page: prefix, (key,id) markers, truncation") {
     import spark.implicits._
     val eng = new Engine(spark, tmpDir("gwmplist"), raggedness = 100)
