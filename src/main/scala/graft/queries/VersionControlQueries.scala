@@ -2026,6 +2026,52 @@ object VersionControlQueries {
                CAST((n_nationkey+1)*10 AS BIGINT) AS size_bytes
         FROM nation ORDER BY key""")),
 
+    // §2.11 per-object Content-Type + user metadata, THROUGH a commit: the
+    // gateway persists what the PUT's headers carried, the first commit
+    // takes the staged schema, and the committed-only view still serves
+    // both — all recomputable by the oracle from the same nation rows.
+    "vc_object_meta" -> (((s: SparkSession, d: String) => {
+      val dir = s"target/vc_objmeta_repo_${math.abs(d.hashCode)}"
+      val hfs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(dir), s.sparkContext.hadoopConfiguration)
+      hfs.delete(new org.apache.hadoop.fs.Path(dir), true)
+      val eng = new graft.store.Engine(s, dir, raggedness = 5000)
+      eng.init("main")
+      val gw = new graft.store.Gateway(eng)
+      val objs = s.read.parquet(s"$d/nation.parquet")
+        .select("n_nationkey", "n_name").collect()
+        .map(r => (r.getInt(0), r.getString(1).toLowerCase.replace(' ', '_')))
+        .sortBy(_._1)
+      objs.foreach { case (k, name) =>
+        val ct = if (k % 3 == 0) Some("text/plain")
+          else if (k % 3 == 1) Some("application/json") else None
+        val meta = if (k % 2 == 0) Map("owner" -> name, "idx" -> k.toString)
+          else Map.empty[String, String]
+        gw.putObject("main", s"m/$name", (k + 1).toLong, s"ck$k",
+          contentType = ct, meta = meta)
+      }
+      eng.commit("main", "t", "land metadata")
+      import s.implicits._
+      objs.map { case (k, name) =>
+        val st = gw.headObject("main@", s"m/$name") // committed-only view
+        (st.path, st.contentType.getOrElse("application/octet-stream"),
+          st.meta.toSeq.sorted.map { case (a, b) => s"$a=$b" }.mkString(","),
+          st.sizeBytes)
+      }.toSeq.toDF("key", "content_type", "meta", "size_bytes")
+        .orderBy("key")
+    }),
+      Some("""
+        SELECT 'm/' || lower(replace(n_name,' ','_')) AS key,
+               CASE n_nationkey % 3 WHEN 0 THEN 'text/plain'
+                    WHEN 1 THEN 'application/json'
+                    ELSE 'application/octet-stream' END AS content_type,
+               CASE WHEN n_nationkey % 2 = 0
+                    THEN 'idx=' || CAST(n_nationkey AS VARCHAR)
+                         || ',owner=' || lower(replace(n_name,' ','_'))
+                    ELSE '' END AS meta,
+               CAST(n_nationkey + 1 AS BIGINT) AS size_bytes
+        FROM nation ORDER BY key""")),
+
     "vc_s3_object_ops" -> (((s: SparkSession, d: String) => {
       val dir = s"target/vc_s3obj_repo_${math.abs(d.hashCode)}"
       val hfs = org.apache.hadoop.fs.FileSystem.get(
