@@ -638,32 +638,84 @@ object EntryIO {
     }
     val out = scala.collection.mutable.ArrayBuffer[
       (String, String, Option[String], Option[Long], Option[Long])]()
+    // Windowed pulls, not per-key probes: one [from, hi) batch serves a
+    // whole run of plain keys with ONE scan pass per range file — a flat
+    // 1000-key page costs O(files touched), not O(page) reader opens. A
+    // delimiter skip that jumps past the window just re-windows from the
+    // seek target (one window per emitted CHILD — the nextWithDelimiter
+    // cost shape).
+    var window: Seq[Entry] = Seq.empty
+    var wi = 0
     while (going && out.size <= maxKeys) {
-      nextVisible(conf, v, from, hi) match {
-        case None => going = false
-        case Some(e) =>
-          val rest = e.key.substring(keyPrefix.length)
-          val pos = if (delimiter.isEmpty) -1 else rest.indexOf(delimiter)
-          if (pos < 0) {
-            val name = refSlash + e.key
-            if (startAfter.forall(name > _))
-              out += ((name, "key", e.identity,
-                Some(e.sizeBytes), Some(e.mtime).filter(_ > 0L)))
-            from = e.key + "\u0000"
-          } else {
-            val subKey = keyPrefix + rest.substring(0, pos) + delimiter
-            val name = refSlash + subKey
-            if (startAfter.forall(name > _))
-              out += ((name, "common_prefix", None, None, None))
-            // seek past the subtree (the reference's nextWithDelimiter)
-            graft.operators.Listing.upperBound(subKey) match {
-              case Some(ub) => from = ub
-              case None     => going = false
-            }
+      if (wi >= window.length) {
+        window = visibleWindow(conf, v, from, hi, maxKeys + 2 - out.size)
+        wi = 0
+        if (window.isEmpty) going = false
+      }
+      if (going) {
+        val e = window(wi)
+        val rest = e.key.substring(keyPrefix.length)
+        val pos = if (delimiter.isEmpty) -1 else rest.indexOf(delimiter)
+        if (pos < 0) {
+          val name = refSlash + e.key
+          if (startAfter.forall(name > _))
+            out += ((name, "key", e.identity,
+              Some(e.sizeBytes), Some(e.mtime).filter(_ > 0L)))
+          from = e.key + "\u0000"
+          wi += 1
+        } else {
+          val subKey = keyPrefix + rest.substring(0, pos) + delimiter
+          val name = refSlash + subKey
+          if (startAfter.forall(name > _))
+            out += ((name, "common_prefix", None, None, None))
+          // seek past the subtree (the reference's nextWithDelimiter)
+          graft.operators.Listing.upperBound(subKey) match {
+            case Some(ub) =>
+              from = ub
+              // consume the window up to the seek target; past it the
+              // next iteration re-windows
+              while (wi < window.length && window(wi).key < ub) wi += 1
+            case None => going = false
           }
+        }
       }
     }
     (out.take(maxKeys).toSeq, out.size > maxKeys)
+  }
+
+  /** Up to `limit` VISIBLE entries with key in [from, hi), key order —
+    * staged overlay merged over committed, tombstones dropped. One scan
+    * pass per touched range file, each capped at `limit` rows (safe: the
+    * global limit-smallest keys are necessarily among each file's first
+    * `limit`); ranges are ordered and disjoint, so collection stops at
+    // the first range boundary past `limit` gathered entries. */
+  private def visibleWindow(conf: Configuration, v: View, from: String,
+      hi: Option[String], limit: Int): Seq[Entry] = {
+    val out = scala.collection.mutable.ArrayBuffer[Entry]()
+    val it = v.infos.iterator.filter(ri => ri.maxKey >= from)
+    var enough = false
+    while (!enough && it.hasNext) {
+      val ri = it.next()
+      v.files(ri).foreach { f =>
+        var n = 0
+        scanFile(conf, f, Some(from), hi) { e =>
+          if (!v.staged.contains(e.key)) { out += e; n += 1 }
+          n < limit
+        }
+      }
+      if (out.size >= limit) enough = true
+    }
+    var i = java.util.Arrays.binarySearch(
+      v.stagedKeys.asInstanceOf[Array[AnyRef]], from, null)
+    if (i < 0) i = -i - 1
+    var taken = 0
+    while (taken < limit && i < v.stagedKeys.length &&
+        hi.forall(v.stagedKeys(i) < _)) {
+      val e = v.staged(v.stagedKeys(i))
+      if (e.identity.isDefined) { out += e; taken += 1 }
+      i += 1
+    }
+    out.sortBy(_.key).take(limit).toSeq
   }
 
   /** First VISIBLE key with prefix `p` under (ref) — staged overlay masks

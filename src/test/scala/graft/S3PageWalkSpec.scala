@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.store.{Engine, EntryIO}
+import graft.operators.Listing
+
+/**
+ * Equivalence of the gateway's JOB-FREE listing walker
+ * ([[EntryIO.s3PageWalk]] — windowed seek-skip over the manifest-pruned
+ * view) with the DataFrame operator ([[Listing.s3ListPage]]) it replaced:
+ * same names, same roll-up, same marker resume, same truncation — page by
+ * page across prefixes, delimiters, markers, and page sizes, over a repo
+ * carrying a staged overlay (adds, changes, tombstones) on top of multiple
+ * committed ranges.
+ */
+class S3PageWalkSpec extends SparkSpec {
+
+  private lazy val fixture: (Engine, Seq[String]) = {
+    import spark.implicits._
+    val eng = new Engine(spark, tmpDir("pagewalk"), raggedness = 40)
+    eng.init("main")
+    // committed: three top-level families with nested dirs + root keys,
+    // enough rows for several ranges at raggedness 40
+    val committed = (
+      (1 to 120).map(i => f"R/F/a$i%03d") ++
+      (1 to 80).map(i => f"R/G/sub/b$i%03d") ++
+      (1 to 40).map(i => f"R/root$i%03d") ++
+      (1 to 60).map(i => f"S/x$i%03d") ++
+      Seq("R/F0after-delim-sibling", "R/G0sibling")
+    ).map(k => (k, s"id-$k"))
+    eng.stage("main", committed.toDF("key", "identity"))
+    eng.commit("main", "t", "base")
+    // staged overlay: new keys, a changed key, tombstones (one hiding a
+    // whole committed key, one dangling)
+    eng.set("main", "R/F/a005", "CHANGED")
+    eng.set("main", "R/H/new1", "N1")
+    eng.set("main", "R/zz-new-root", "N2")
+    eng.delete("main", "R/root002")
+    eng.delete("main", "R/G/sub/b010")
+    val allVisible = (committed.map(_._1).toSet
+      -- Set("R/root002", "R/G/sub/b010")
+      ++ Set("R/H/new1", "R/zz-new-root")).toSeq.sorted
+    (eng, allVisible)
+  }
+
+  private def dfPage(eng: Engine, ref: String, prefix: String, delim: String,
+      after: Option[String], maxKeys: Int): Seq[(String, String, Long)] = {
+    val listed = eng.list(ref, prefix = prefix.stripPrefix(ref + "/"))
+    val keys = listed.select(concat(lit(ref + "/"), col("key")).as("key"))
+    Listing.s3ListPage(keys, prefix, delim, after, maxKeys).collect()
+      .map(r => (r.getAs[String]("name"), r.getAs[String]("entry_type"),
+        r.getAs[Long]("is_truncated"))).toSeq
+  }
+
+  private def walkPage(eng: Engine, ref: String, prefix: String, delim: String,
+      after: Option[String], maxKeys: Int): Seq[(String, String, Long)] = {
+    val (rows, truncated) = EntryIO.s3PageWalk(eng, ref,
+      prefix.stripPrefix(ref + "/"), delim, after, maxKeys)
+    val tf = if (truncated) 1L else 0L
+    rows.map { case (name, t, _, _, _) => (name, t, tf) }
+  }
+
+  test("walker pages equal the DataFrame operator across prefixes, " +
+      "delimiters, markers, and page sizes") {
+    val (eng, _) = fixture
+    val cases = Seq(
+      ("main/", "/", 5), ("main/", "/", 3), ("main/", "", 7),
+      ("main/R/", "/", 4), ("main/R/", "/", 1), ("main/R/", "", 10),
+      ("main/R/F/", "/", 6), ("main/R/G/", "/", 2),
+      ("main/R/root", "/", 5), ("main/S/", "", 25),
+      ("main/R/F", "/", 3) // prefix mid-name: F/ rolls, F0… stays a key
+    )
+    cases.foreach { case (prefix, delim, maxKeys) =>
+      var after: Option[String] = None
+      var pages = 0
+      var go = true
+      while (go && pages < 200) {
+        pages += 1
+        val expect = dfPage(eng, "main", prefix, delim, after, maxKeys)
+        val got = walkPage(eng, "main", prefix, delim, after, maxKeys)
+        assert(got === expect,
+          s"page $pages of (prefix=$prefix, delim=$delim, max=$maxKeys, after=$after)")
+        go = expect.nonEmpty && expect.last._3 == 1L
+        after = expect.lastOption.map(_._1)
+      }
+      assert(pages < 200, "runaway pagination")
+    }
+  }
+
+  test("walker serves the committed-only view for ref@ and carries entry " +
+      "stats on plain keys") {
+    val (eng, _) = fixture
+    // committed-only: the staged change/new keys/tombstones are invisible
+    val (rows, _) = EntryIO.s3PageWalk(eng, "main@", "R/root", "", None, 1000)
+    val names = rows.map(_._1)
+    assert(names.contains("main@/R/root002"),
+      "a staged tombstone must not hide committed keys on the @ view")
+    assert(!names.exists(_.endsWith("zz-new-root")))
+    // stats ride the entries (identity etag present on keys)
+    assert(rows.forall { case (_, t, etag, size, _) =>
+      t == "common_prefix" || (etag.exists(_.nonEmpty) && size.isDefined) })
+    // staged view: tombstone hides, new key appears, changed etag serves
+    val (rows2, _) = EntryIO.s3PageWalk(eng, "main", "R/", "", None, 1000)
+    val byName = rows2.map(r => r._1 -> r._3).toMap
+    assert(!byName.contains("main/R/root002"))
+    assert(byName.contains("main/R/zz-new-root"))
+    assert(byName("main/R/F/a005") === Some("CHANGED"))
+  }
+}
