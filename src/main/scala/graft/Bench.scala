@@ -572,6 +572,23 @@ object Bench {
           val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
         }
         var m2T: String = null; var m2S: String = null; var m2B: String = null
+        // warm the commit/diff/point code paths untimed on a THROWAWAY
+        // twin of the tiny repo before any 1x cell runs: the first growth
+        // cell otherwise eats JIT/classload and the 1x column reads as a
+        // warm-up artifact, voiding the flatness ratio (r14 What's-wrong
+        // #2 — import_1x 1.85 s vs import_10x 0.19 s). A separate store
+        // keeps marker-reuse discounts away from the measured repos; the
+        // warm delta differs in content so rewritten chunks never match.
+        locally {
+          val storeW = new SnapshotStore(spark, s"$gsOut/warm", raggedness = 500L)
+          val mW = storeW.writeSnapshot(tiny)._1
+          val warmDelta = delta.withColumn("price_c", col("price_c") + 777)
+            .withColumn("identity", identExpr)
+          val m2W = storeW.commitChanges(mW, warmDelta)._1
+          storeW.diff(mW, m2W).count()
+          delta.select("key").limit(2).collect().foreach(r =>
+            graft.store.EntryIO.committedPoint(storeW, mW, r.getString(0)))
+        }
         addStep("growth", "commit_1x", clock { m2T = storeT.commitChanges(mT, delta)._1 })
         addStep("growth", "commit_10x", clock { m2S = storeS.commitChanges(mS, delta)._1 })
         addStep("growth", "commit_100x", clock { m2B = storeB.commitChanges(mB, delta)._1 })
@@ -704,13 +721,16 @@ object Bench {
           st.readManifest(meta).map(_.count).sum
           ()
         }
-        // warm the plan shape untimed under a DIFFERENT prefix — a same-
+        // warm the plan shape untimed under DIFFERENT prefixes — a same-
         // prefix warm run would leave content-addressed chunks behind and
-        // hand import_1x a reuse discount the other two scales don't get
-        locally {
-          val warmImp = delta.withColumn("key", concat(lit("W/"), col("key")))
+        // hand import_1x a reuse discount the other two scales don't get.
+        // Twice (W/ then W2/): one pass leaves C2-tier JIT half-done and
+        // r14's import_1x still read 10× its 10x cell despite a single
+        // warm call (What's-wrong #2)
+        Seq("W/", "W2/").foreach { wp =>
+          val warmImp = delta.withColumn("key", concat(lit(wp), col("key")))
             .withColumn("identity", identExpr)
-          storeT.importOverlay(mT, warmImp, Seq("W/"))
+          storeT.importOverlay(mT, warmImp, Seq(wp))
         }
         addStep("growth", "import_1x", clock { importAt(storeT, mT) })
         addStep("growth", "import_10x", clock { importAt(storeS, mS) })
@@ -873,5 +893,19 @@ object Bench {
       }.mkString("{", ",", "}")
     println(s"""{"metric":"summary","value":${sig(total)},"unit":"sec",""" +
       s""""medmin":$medmin,"passes":$passes,"sf":"$sfDir"}""")
+    // Budget-relevant stage attributions, printed AFTER the summary so the
+    // driver's bounded tail capture always carries them (r14 What's-wrong
+    // #1: the 2 KB tail started mid-`list` trace and cut exactly the
+    // diff/snapshot_write decompositions BASELINE §D.1 adjudicates ratios
+    // with). The full trace stays on the first line; this line holds only
+    // the metrics the budget rules read, values sig-rounded to stay small.
+    val keyMetrics = Seq("snapshot_write", "commit", "diff",
+      "growth", "contention")
+    val traceTail = keyMetrics.flatMap(m => stepSamples.get(m).map(steps =>
+      "\"" + m + "\":" + steps.map { case (s, v) =>
+        "\"" + s + "\":" + sig(if (v.isEmpty) -1.0 else median(v))
+      }.mkString("{", ",", "}"))).mkString("{", ",", "}")
+    println(s"""{"metric":"trace_tail","value":0,"unit":"sec",""" +
+      s""""trace":$traceTail}""")
   }
 }

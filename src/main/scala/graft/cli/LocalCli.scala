@@ -1,0 +1,162 @@
+package graft.cli
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Path}
+
+import graft.store.Engine
+
+/**
+ * `lakectl local` command surface — the index-file machinery of
+ * `pkg/local/index.go` plus the init/clone/list command bodies of
+ * `cmd/lakectl/cmd/local_init.go` / `local_clone.go` / `local_list.go`,
+ * rendered in the CLI's exact document shapes (GoldenSpec pins them
+ * byte-for-byte against the esti goldens).
+ *
+ * The index is a small YAML file (`.lakefs_ref.yaml`, index.go:17)
+ * written INTO the linked directory: `src` (the remote URI), `at_head`
+ * (the commit the checkout is synced at), `active_operation` (crash
+ * recovery marker). Planning over the linked tree is
+ * [[graft.operators.LocalSync]] — this object owns only the index file
+ * and the command-level validation/rendering.
+ */
+object LocalCli {
+
+  /** index.go:17 — the reference file every linked directory carries. */
+  val IndexFileName = ".lakefs_ref.yaml"
+
+  final case class Index(src: String, atHead: String, activeOperation: String)
+
+  /** WriteIndex (index.go:39-51): the yaml document, stable field order. */
+  def writeIndex(dir: Path, remoteUri: String, atHead: String,
+      operation: String = ""): Index = {
+    val idx = Index(remoteUri, atHead, operation)
+    val yaml = s"src: $remoteUri\nat_head: $atHead\n" +
+      s"active_operation: ${if (operation.isEmpty) "\"\"" else operation}\n"
+    Files.write(dir.resolve(IndexFileName), yaml.getBytes(UTF_8))
+    idx
+  }
+
+  /** IndexExists (index.go:53-64). */
+  def indexExists(dir: Path): Boolean =
+    Files.exists(dir.resolve(IndexFileName))
+
+  /** ReadIndex (index.go:66-88): find the index file in `path` or its
+    * parents; None when no ancestor is linked. */
+  def readIndex(path: Path): Option[(Path, Index)] = {
+    var p: Path = path.toAbsolutePath
+    while (p != null) {
+      val f = p.resolve(IndexFileName)
+      if (Files.exists(f)) {
+        val fields = new String(Files.readAllBytes(f), UTF_8).linesIterator
+          .flatMap { l =>
+            val i = l.indexOf(':')
+            if (i < 0) None else Some(l.take(i).trim -> l.drop(i + 1).trim)
+          }.toMap
+        return Some((p, Index(fields.getOrElse("src", ""),
+          fields.getOrElse("at_head", ""),
+          fields.getOrElse("active_operation", "\"\"")
+            .stripPrefix("\"").stripSuffix("\""))))
+      }
+      p = p.getParent
+    }
+    None
+  }
+
+  /** FindIndices (index.go:90-117): relative directories under `root`
+    * holding an index file, hidden dirs skipped, subtrees of a found
+    * index not traversed. */
+  def findIndices(root: Path): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    def walk(dir: Path): Unit = {
+      if (Files.exists(dir.resolve(IndexFileName))) {
+        val rel = root.toAbsolutePath.relativize(dir.toAbsolutePath).toString
+        out += (if (rel.isEmpty) "." else rel)
+      } else if (Files.isDirectory(dir)) {
+        val children = Files.list(dir)
+        try children.iterator().forEachRemaining { c =>
+          if (Files.isDirectory(c) && !c.getFileName.toString.startsWith("."))
+            walk(c)
+        } finally children.close()
+      }
+    }
+    walk(root)
+    out.sorted.toSeq
+  }
+
+  private def uriOf(repo: String, ref: String, prefix: String): String =
+    s"lakefs://$repo/$ref/$prefix"
+
+  /**
+   * `lakectl local init` (local_init.go:27-113): validate the remote —
+   * the ref must resolve (404 shapes otherwise), the path must NOT be an
+   * existing object (a prefix is the reference source) — refuse a
+   * re-link without --force, then write the index at the ref's current
+   * head. Returns the rendered CLI document.
+   */
+  def localInit(eng: Engine, repo: String, ref: String, prefix: String,
+      dir: Path, force: Boolean = false): String = {
+    val remote = uriOf(repo, ref, prefix)
+    // local_init.go:40 — an object cannot anchor a checkout
+    val asObject = prefix.stripSuffix("/")
+    if (asObject.nonEmpty &&
+        scala.util.Try(eng.get(ref, asObject)).toOption.flatten.isDefined)
+      return s"lakeFS path ${uriOf(repo, ref, asObject)} is an existing " +
+        "object and cannot be used as a reference source\n" +
+        "Error executing command.\n"
+    if (indexExists(dir) && !force)
+      return s"directory '$dir' already linked to a lakeFS path, run " +
+        "command with --force to overwrite\nError executing command.\n"
+    eng.refs.resolveFull(ref) match {
+      case None => renderLocalRepoNotFound
+      case Some(rr) =>
+        writeIndex(dir, remote, rr.commit.commitId)
+        s"Successfully linked local directory '$dir' with remote '$remote'\n"
+    }
+  }
+
+  /** `lakectl local clone` (local_clone.go:30-44): the target directory
+    * must be empty (or absent) — then exactly init's link step; the
+    * object download plan is [[graft.operators.LocalSync]]. */
+  def localClone(eng: Engine, repo: String, ref: String, prefix: String,
+      dir: Path): String = {
+    val nonEmpty = Files.exists(dir) && {
+      val s = Files.list(dir)
+      try s.iterator().hasNext finally s.close()
+    }
+    if (nonEmpty)
+      s"directory '$dir' exists and is not empty\nError executing command.\n"
+    else {
+      Files.createDirectories(dir)
+      localInit(eng, repo, ref, prefix, dir)
+    }
+  }
+
+  /** `lakectl local list` (local_list.go): one row per linked directory
+    * under `root` — relative dir TAB remote URI TAB synced commit. */
+  def localList(root: Path): String =
+    findIndices(root).flatMap { d =>
+      readIndex(if (d == ".") root else root.resolve(d))
+        .map { case (_, idx) => s"$d\t${idx.src}\t${idx.atHead}\n" }
+    }.mkString
+
+  /** The 404 documents `lakectl local` surfaces when the remote side of
+    * an index is gone (DieErr on the API 404). */
+  def renderLocalRepoNotFound: String = "repository not found\n404 Not Found\n"
+  def renderLocalCommitNotFound: String = "commit not found\n404 Not Found\n"
+
+  /** ReadIndex's no-ancestor-index error (index.go:72). */
+  def renderNoIndex(dir: Path): String =
+    s"could not find lakefs reference file in path $dir or parents: " +
+      "file does not exist\nError executing command.\n"
+
+  /** The commit guard `lakectl local checkout/pull` runs: the index's
+    * at_head must still resolve (a GC'd or force-rewritten remote
+    * surfaces the 404 commit document). */
+  def checkSyncedCommit(eng: Engine, dir: Path): String =
+    readIndex(dir) match {
+      case None => renderNoIndex(dir)
+      case Some((_, idx)) =>
+        if (eng.refs.getCommit(idx.atHead).isDefined) ""
+        else renderLocalCommitNotFound
+    }
+}

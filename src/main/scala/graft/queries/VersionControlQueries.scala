@@ -1150,6 +1150,92 @@ object VersionControlQueries {
                CAST(1 AS BIGINT) AS url_shape_ok
         FROM nation ORDER BY path""")),
 
+    // Presigned multipart upload (`pkg/api/controller.go:200`
+    // CreatePresignMultipartUpload → presigned part URLs → Complete): per
+    // nation a REAL presigned-MPU lifecycle at an injected clock — initiate
+    // with 1..3 parts and entry metadata, every part PUT served through the
+    // full SigV4 query-auth path, a probe at a per-row check time deciding
+    // ok/expired, a tampered part URL and a forged link token that must
+    // reject, then Complete staging the entry. The oracle recomputes the
+    // decision table and the exact byte totals relationally.
+    "vc_presign_mpu" -> (((s: SparkSession, d: String) => {
+      import s.implicits._
+      val dir = s"target/vc_presign_mpu_repo_${math.abs(d.hashCode)}"
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI("file:///"), s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+      val eng = new graft.store.Engine(s, dir, raggedness = 5000)
+      eng.init("main")
+      val t0 = 1750000000L
+      val gw = new graft.store.Gateway(eng, clock = () => t0 + 120)
+      val (ak, sk) = ("AKIAJPRESIGNMPUTESQ", "presign-mpu-oracle-secret")
+      val nations = s.read.parquet(s"$d/nation.parquet")
+        .select("n_nationkey", "n_name").collect()
+        .map(r => (r.getInt(0), r.getString(1).toLowerCase.replace(' ', '_')))
+        .sortBy(_._1).toSeq
+      val rows = nations.map { case (k, name) =>
+        val parts = 1 + (k % 3)
+        val expires = 60L + (k % 5) * 120L // inside the 900 s skew window
+        val checkDelta = (k % 7) * 80L     // 0..480 s
+        val m = gw.createPresignMultipartUpload("main", s"big/$name", parts,
+          ak, sk, t0, expires, contentType = Some(s"application/x-$name"),
+          meta = Map("nation" -> name))
+        def payload(i: Int) = Array.fill[Byte](k * 10 + i)(0)
+        val etags = (1 to parts).map { i =>
+          gw.servePresignedPart(m.partUrls(i - 1).request, sk, payload(i),
+            t0 + 1).fold(e => sys.error(s"part $i rejected: $e"), identity)
+        }
+        // probe part 1 at the check time with the SAME bytes (a LWW
+        // re-record is identical): inside the expiry window = ok
+        val probe = gw.servePresignedPart(m.partUrls.head.request, sk,
+          payload(1), t0 + checkDelta) match {
+          case Right(_) => "ok"
+          case Left(graft.store.GatewaySig.ErrExpiredPresignRequest) => "expired"
+          case Left(e) => e.getClass.getSimpleName
+        }
+        val tamper = gw.servePresignedPart(m.partUrls.head.request.copy(
+          path = m.partUrls.head.request.path + "x"), sk, payload(1),
+          t0 + 1) match {
+          case Left(graft.store.GatewaySig.ErrSignatureDoesNotMatch) => "sig_mismatch"
+          case other => s"unexpected:$other"
+        }
+        val forged =
+          try {
+            gw.completePresignMultipartUpload(m.uploadId,
+              (1 to parts).map(i => (i, etags(i - 1))), s"$t0.deadbeef", t0 + 60)
+            "unexpected:accepted"
+          } catch { case _: IllegalArgumentException => "rejected" }
+        val (etag, total) = gw.completePresignMultipartUpload(m.uploadId,
+          (1 to parts).map(i => (i, etags(i - 1))), m.linkToken, t0 + 60)
+        val st = gw.headObject("main", s"big/$name")
+        val staged = st.sizeBytes == total && st.address == m.physicalAddress &&
+          st.etag == etag.takeWhile(_ != '-') &&
+          st.contentType.contains(s"application/x-$name") &&
+          st.meta == Map("nation" -> name)
+        (s"big/$name", parts.toLong, expires, checkDelta, probe, tamper,
+          forged, total, st.mtimeEpochSec, if (staged) 1L else 0L)
+      }
+      rows.toDF("path", "parts", "expires_s", "check_delta_s",
+        "part_verdict", "tamper_verdict", "forged_token_verdict",
+        "total_size", "mtime", "staged_ok")
+        .orderBy("path")
+    }),
+      Some("""
+        SELECT 'big/' || lower(replace(n_name, ' ', '_')) AS path,
+               CAST(1 + n_nationkey % 3 AS BIGINT) AS parts,
+               CAST(60 + (n_nationkey % 5) * 120 AS BIGINT) AS expires_s,
+               CAST((n_nationkey % 7) * 80 AS BIGINT) AS check_delta_s,
+               CASE WHEN (n_nationkey % 7) * 80 <= 60 + (n_nationkey % 5) * 120
+                    THEN 'ok' ELSE 'expired' END AS part_verdict,
+               'sig_mismatch' AS tamper_verdict,
+               'rejected' AS forged_token_verdict,
+               CAST((1 + n_nationkey % 3) * n_nationkey * 10
+                    + (1 + n_nationkey % 3) * (2 + n_nationkey % 3) / 2
+                    AS BIGINT) AS total_size,
+               CAST(1750000120 AS BIGINT) AS mtime,
+               CAST(1 AS BIGINT) AS staged_ok
+        FROM nation ORDER BY path""")),
+
     // S3-gateway request routing (`pkg/gateway/middleware.go:268-358`
     // ParseRequestParts + the method×shape operation tables + each op's
     // query sub-routing): one request per nation, crossing addressing

@@ -496,9 +496,10 @@ class S3WireFileSystem extends FileSystem {
       val pn = nextPart
       nextPart += 1
       val id = uploadId.get
+      S3WireFileSystem.gaugeAdd(bytes.length.toLong)
       pending += pn -> uploadPool.submit(
         new java.util.concurrent.Callable[String] {
-          def call(): String = {
+          def call(): String = try {
             val (st, hd, body) = send("PUT", key,
               query = Seq("partNumber" -> pn.toString, "uploadId" -> id),
               body = bytes)
@@ -507,7 +508,7 @@ class S3WireFileSystem extends FileSystem {
                 new String(body, StandardCharsets.UTF_8).take(200))
             hd.firstValue("ETag").orElse("")
               .stripPrefix("\"").stripSuffix("\"")
-          }
+          } finally S3WireFileSystem.gaugeAdd(-bytes.length.toLong)
         })
     }
 
@@ -655,4 +656,23 @@ class S3WireFileSystem extends FileSystem {
   }
 
   override def mkdirs(f: Path, permission: FsPermission): Boolean = true
+}
+
+object S3WireFileSystem {
+  /** Live bytes held by MPU write streams across the JVM (filling buffer +
+    * in-flight part arrays), and the high-water mark. The stream's memory
+    * CLASS claim — O(uploadConcurrency × partSize) regardless of object
+    * size — is asserted against this gauge (GC-noise-free, unlike heap
+    * sampling): a 100 MiB import must never peak past a few part sizes. */
+  private[sources] val mpuBufferedNow =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+  val mpuBufferedPeak = new java.util.concurrent.atomic.AtomicLong(0L)
+  private[sources] def gaugeAdd(n: Long): Unit = {
+    val now = mpuBufferedNow.addAndGet(n)
+    mpuBufferedPeak.getAndAccumulate(now, Math.max(_, _))
+    ()
+  }
+  def resetMpuGauge(): Unit = {
+    mpuBufferedNow.set(0L); mpuBufferedPeak.set(0L)
+  }
 }

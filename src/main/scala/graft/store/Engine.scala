@@ -447,15 +447,26 @@ class Engine(val spark: SparkSession, val repoDir: String,
       ttlSeconds: Long = 6 * 3600,
       nowEpochSec: Long = System.currentTimeMillis() / 1000): Unit = {
     requireWritable("linkPhysicalAddress")
+    verifyLinkAddress(branch, key, address, token, ttlSeconds, nowEpochSec)
+    import spark.implicits._
+    stage(branch, Seq((key, checksum, address, sizeBytes))
+      .toDF("key", "identity", "address", "size_bytes"))
+  }
+
+  /** VerifyLinkAddress alone (`catalog.go:3234-3259`): validate that
+    * `token` is the unexpired signature issued for (branch, key, address)
+    * without staging anything — what the presigned-multipart complete and
+    * abort paths run before touching the upload tracker
+    * (`controller.go:336,517,585` VerifyLinkAddress call sites). */
+  def verifyLinkAddress(branch: String, key: String, address: String,
+      token: String, ttlSeconds: Long = 6 * 3600,
+      nowEpochSec: Long = System.currentTimeMillis() / 1000): Unit = {
     val (tsStr, sig) = token.span(_ != '.')
     val ts = scala.util.Try(tsStr.toLong).getOrElse(
       sys.error("malformed upload token"))
     require(sig.drop(1) == addrSig(branch, key, address, ts),
       s"invalid upload token for $key")
     require(nowEpochSec - ts <= ttlSeconds, s"expired upload token for $key")
-    import spark.implicits._
-    stage(branch, Seq((key, checksum, address, sizeBytes))
-      .toDF("key", "identity", "address", "size_bytes"))
   }
 
   /** WriteRange (`catalog.go:2711-2765`): produce content-addressed range

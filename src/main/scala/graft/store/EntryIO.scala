@@ -39,6 +39,38 @@ import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType, PrimitiveT
  */
 object EntryIO {
 
+  /** UTF-8 binary key order (= code point order), the order committed
+    * range files and UTF8String sort in. Java String comparison is UTF-16
+    * code-unit order, which disagrees for supplementary-plane characters
+    * (U+10000+ sorts BELOW [U+E000, U+FFFF] in UTF-16 but ABOVE all BMP in
+    * UTF-8) — walker seek/advance/merge must use THIS order or page
+    * resumption can skip or duplicate such keys. */
+  def keyCmp(a: String, b: String): Int = {
+    val la = a.length; val lb = b.length
+    var i = 0
+    while (i < la && i < lb) {
+      val ca = a.charAt(i); val cb = b.charAt(i)
+      if (ca != cb) {
+        // a high surrogate opens a supplementary code point — compare by
+        // code point where the UTF-16 unit order would lie
+        val fa = if (Character.isHighSurrogate(ca) && i + 1 < la &&
+          Character.isLowSurrogate(a.charAt(i + 1))) a.codePointAt(i) else ca.toInt
+        val fb = if (Character.isHighSurrogate(cb) && i + 1 < lb &&
+          Character.isLowSurrogate(b.charAt(i + 1))) b.codePointAt(i) else cb.toInt
+        return Integer.compare(fa, fb)
+      }
+      i += 1
+    }
+    Integer.compare(la, lb)
+  }
+  val keyOrder: Ordering[String] = (a: String, b: String) => keyCmp(a, b)
+  private val keyComparator: java.util.Comparator[String] =
+    (a: String, b: String) => keyCmp(a, b)
+  def keyLt(a: String, b: String): Boolean = keyCmp(a, b) < 0
+  def keyLe(a: String, b: String): Boolean = keyCmp(a, b) <= 0
+  def keyGt(a: String, b: String): Boolean = keyCmp(a, b) > 0
+  def keyGe(a: String, b: String): Boolean = keyCmp(a, b) >= 0
+
   /** One resolved entry. `identity == None` is a staged tombstone.
     * `contentType`/`meta` mirror the reference catalog entry's
     * ContentType + user Metadata (`pkg/catalog/catalog.proto:10-26` —
@@ -497,9 +529,9 @@ object EntryIO {
       if (useUncommitted) engine.effectiveBaseMeta(rr.branch.get, rr.commit)
       else rr.commit.metaRangeId
     val infos = engine.snapshots.readManifest(meta).filter { ri =>
-      lo.forall(l => ri.maxKey >= l) && hi.forall(h => ri.minKey < h)
+      lo.forall(l => keyGe(ri.maxKey, l)) && hi.forall(h => keyLt(ri.minKey, h))
     }
-    View(staged, staged.keys.toArray.sorted, infos,
+    View(staged, staged.keys.toArray.sorted(keyOrder), infos,
       ri => engine.snapshots.tierDataFiles(ri))
   }
 
@@ -508,12 +540,11 @@ object EntryIO {
   private def nextVisible(conf: Configuration, v: View,
       from: String, hi: Option[String]): Option[Entry] = {
     // first staged candidate (tombstones mask but never surface)
-    var i = java.util.Arrays.binarySearch(v.stagedKeys.asInstanceOf[Array[AnyRef]],
-      from, null)
+    var i = java.util.Arrays.binarySearch(v.stagedKeys, from, keyComparator)
     if (i < 0) i = -i - 1
     var stagedHit: Option[Entry] = None
     while (stagedHit.isEmpty && i < v.stagedKeys.length &&
-        hi.forall(v.stagedKeys(i) < _)) {
+        hi.forall(keyLt(v.stagedKeys(i), _))) {
       val e = v.staged(v.stagedKeys(i))
       if (e.identity.isDefined) stagedHit = Some(e)
       i += 1
@@ -522,21 +553,21 @@ object EntryIO {
     // so the first range with a hit decides — but WITHIN a range the data
     // files' key intervals interleave, so take the min across its files
     var committedHit: Option[Entry] = None
-    val it = v.infos.iterator.filter(ri => ri.maxKey >= from)
+    val it = v.infos.iterator.filter(ri => keyGe(ri.maxKey, from))
     while (committedHit.isEmpty && it.hasNext) {
       val ri = it.next()
       v.files(ri).foreach { file =>
         scanFile(conf, file, Some(from), hi) { e =>
           if (v.staged.contains(e.key)) true
           else {
-            if (committedHit.forall(_.key > e.key)) committedHit = Some(e)
+            if (committedHit.forall(h => keyGt(h.key, e.key))) committedHit = Some(e)
             false // each file is key-sorted: its first unmasked row is its min
           }
         }
       }
     }
     (stagedHit, committedHit) match {
-      case (Some(s), Some(c)) => if (s.key <= c.key) Some(s) else Some(c)
+      case (Some(s), Some(c)) => if (keyLe(s.key, c.key)) Some(s) else Some(c)
       case (s, c)             => s.orElse(c)
     }
   }
@@ -556,7 +587,7 @@ object EntryIO {
       } }
     }
     out ++= v.staged.valuesIterator.filter(_.identity.isDefined)
-    out.sortBy(_.key).toSeq
+    out.sortBy(_.key)(keyOrder).toSeq
   }
 
   /** One-level delimiter listing under `p` with the reference's seek-skip
@@ -625,7 +656,7 @@ object EntryIO {
     // prefix): after a rolled prefix the walk seeks past its whole
     // subtree; after a key it resumes at the next key; a marker outside
     // the ref's name space either constrains nothing or ends the page
-    startAfter.filter(_ > full).foreach { a =>
+    startAfter.filter(keyGt(_, full)).foreach { a =>
       if (a.startsWith(refSlash)) {
         val aKey = a.substring(refSlash.length)
         from =
@@ -633,8 +664,8 @@ object EntryIO {
             graft.operators.Listing.upperBound(aKey)
               .getOrElse { going = false; aKey }
           else aKey + "\u0000"
-        if (from < keyPrefix) from = keyPrefix
-      } else if (a > refSlash) going = false // beyond every ref/-name
+        if (keyLt(from, keyPrefix)) from = keyPrefix
+      } else if (keyGt(a, refSlash)) going = false // beyond every ref/-name
     }
     val out = scala.collection.mutable.ArrayBuffer[
       (String, String, Option[String], Option[Long], Option[Long])]()
@@ -658,7 +689,7 @@ object EntryIO {
         val pos = if (delimiter.isEmpty) -1 else rest.indexOf(delimiter)
         if (pos < 0) {
           val name = refSlash + e.key
-          if (startAfter.forall(name > _))
+          if (startAfter.forall(keyGt(name, _)))
             out += ((name, "key", e.identity,
               Some(e.sizeBytes), Some(e.mtime).filter(_ > 0L)))
           from = e.key + "\u0000"
@@ -666,7 +697,7 @@ object EntryIO {
         } else {
           val subKey = keyPrefix + rest.substring(0, pos) + delimiter
           val name = refSlash + subKey
-          if (startAfter.forall(name > _))
+          if (startAfter.forall(keyGt(name, _)))
             out += ((name, "common_prefix", None, None, None))
           // seek past the subtree (the reference's nextWithDelimiter)
           graft.operators.Listing.upperBound(subKey) match {
@@ -674,7 +705,7 @@ object EntryIO {
               from = ub
               // consume the window up to the seek target; past it the
               // next iteration re-windows
-              while (wi < window.length && window(wi).key < ub) wi += 1
+              while (wi < window.length && keyLt(window(wi).key, ub)) wi += 1
             case None => going = false
           }
         }
@@ -692,7 +723,11 @@ object EntryIO {
   private def visibleWindow(conf: Configuration, v: View, from: String,
       hi: Option[String], limit: Int): Seq[Entry] = {
     val out = scala.collection.mutable.ArrayBuffer[Entry]()
-    val it = v.infos.iterator.filter(ri => ri.maxKey >= from)
+    // both bounds guard the open set: without the minKey < hi test a page
+    // near the end of a prefix would open range files wholly above `hi`
+    // (their scans return empty) — harmless only while callers pre-prune
+    val it = v.infos.iterator.filter(ri =>
+      keyGe(ri.maxKey, from) && hi.forall(h => keyLt(ri.minKey, h)))
     var enough = false
     while (!enough && it.hasNext) {
       val ri = it.next()
@@ -705,17 +740,16 @@ object EntryIO {
       }
       if (out.size >= limit) enough = true
     }
-    var i = java.util.Arrays.binarySearch(
-      v.stagedKeys.asInstanceOf[Array[AnyRef]], from, null)
+    var i = java.util.Arrays.binarySearch(v.stagedKeys, from, keyComparator)
     if (i < 0) i = -i - 1
     var taken = 0
     while (taken < limit && i < v.stagedKeys.length &&
-        hi.forall(v.stagedKeys(i) < _)) {
+        hi.forall(keyLt(v.stagedKeys(i), _))) {
       val e = v.staged(v.stagedKeys(i))
       if (e.identity.isDefined) { out += e; taken += 1 }
       i += 1
     }
-    out.sortBy(_.key).take(limit).toSeq
+    out.sortBy(_.key)(keyOrder).take(limit).toSeq
   }
 
   /** First VISIBLE key with prefix `p` under (ref) — staged overlay masks
@@ -738,7 +772,7 @@ object EntryIO {
       if (useUncommitted) engine.effectiveBaseMeta(rr.branch.get, rr.commit)
       else rr.commit.metaRangeId
     val infos = engine.snapshots.readManifest(meta)
-      .filter(ri => ri.maxKey >= p && hi.forall(h => ri.minKey < h))
+      .filter(ri => keyGe(ri.maxKey, p) && hi.forall(h => keyLt(ri.minKey, h)))
     infos.iterator.map { ri =>
       var hit: Option[String] = None
       engine.snapshots.tierDataFiles(ri).iterator

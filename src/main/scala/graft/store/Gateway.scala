@@ -138,10 +138,17 @@ class Gateway(val engine: Engine,
 
   /** CreateMultipartUpload (postobject.go:33-100): allocate a physical
     * address for the final object, record the upload. `uploadId` may be
-    * supplied for deterministic flows; defaults to a fresh UUID. */
+    * supplied for deterministic flows; defaults to a fresh UUID.
+    * `contentType`/`meta` are the initiate request's entry metadata
+    * (postobject.go persists them on the tracker so Complete can stage
+    * them — an MPU object must not lose its Content-Type to
+    * application/octet-stream). */
   def createMultipartUpload(branch: String, path: String,
       uploadId: Option[String] = None,
-      nowEpochSec: Long = System.currentTimeMillis() / 1000): String =
+      nowEpochSec: Long = System.currentTimeMillis() / 1000,
+      contentType: Option[String] = None,
+      meta: Map[String, String] = Map.empty,
+      address: Option[String] = None): String =
     this.synchronized {
       requireWritable("createMultipartUpload")
       require(engine.refs.getBranch(branch).isDefined, s"no branch $branch")
@@ -149,17 +156,37 @@ class Gateway(val engine: Engine,
         java.util.UUID.randomUUID().toString.replace("-", ""))
       val cur = KvFile.read(uploadsFile)
       require(!cur.contains(id), s"multipart upload $id already exists")
-      val address = s"${engine.repoDir}/ext/mpu_$id"
+      val addr = address.getOrElse(s"${engine.repoDir}/ext/mpu_$id")
       KvFile.write(uploadsFile,
-        cur + (id -> Seq(branch, path, address, nowEpochSec.toString).mkString("|")))
+        cur + (id -> Seq(branch, path, addr, nowEpochSec.toString,
+          enc(contentType.getOrElse("")), encMeta(meta)).mkString("|")))
       id
     }
 
-  private def uploadRecord(uploadId: String): (String, String, String) = {
+  private def enc(s: String): String =
+    java.net.URLEncoder.encode(s, "UTF-8")
+  private def dec(s: String): String =
+    java.net.URLDecoder.decode(s, "UTF-8")
+  private def encMeta(m: Map[String, String]): String =
+    m.toSeq.sortBy(_._1).map { case (k, v) => s"${enc(k)}=${enc(v)}" }
+      .mkString(",")
+  private def decMeta(s: String): Map[String, String] =
+    if (s.isEmpty) Map.empty
+    else s.split(',').map { kv =>
+      val i = kv.indexOf('='); dec(kv.take(i)) -> dec(kv.drop(i + 1))
+    }.toMap
+
+  private case class UploadRecord(branch: String, path: String,
+      address: String, contentType: Option[String], meta: Map[String, String])
+
+  private def uploadRecord(uploadId: String): UploadRecord = {
     val v = KvFile.read(uploadsFile).getOrElse(uploadId,
       sys.error(s"multipart upload not found: $uploadId"))
-    val f = v.split('|')
-    (f(0), f(1), f(2))
+    // -1 keeps trailing empty fields (an empty meta column must survive)
+    val f = v.split("\\|", -1)
+    UploadRecord(f(0), f(1), f(2),
+      if (f.length > 4 && f(4).nonEmpty) Some(dec(f(4))) else None,
+      if (f.length > 5) decMeta(f(5)) else Map.empty)
   }
 
   /** UploadPart: record (size, etag) for a part number. Re-uploading a part
@@ -242,7 +269,7 @@ class Gateway(val engine: Engine,
   def completeMultipartUpload(uploadId: String,
       parts: Seq[(Int, String)]): (String, Long) = this.synchronized {
     requireWritable("completeMultipartUpload")
-    val (branch, path, address) = uploadRecord(uploadId)
+    val rec = uploadRecord(uploadId)
     require(parts.nonEmpty, "empty completion list")
     require(parts.map(_._1).sliding(2).forall(w => w.length < 2 || w(0) < w(1)),
       "InvalidPartOrder: completion parts must be ascending")
@@ -260,9 +287,14 @@ class Gateway(val engine: Engine,
     val totalSize = chosen.map(_._2).sum
     // job-free: completing a multipart upload is a metadata link, not a
     // cluster operation (postobject.go:174 stages one entry); rides the
-    // same group-commit window as plain PUTs
-    stageBatched(branch,
-      EntryIO.Entry(path, Some(checksum), Some(address), totalSize, 0L))
+    // same group-commit window as plain PUTs. Entry mtime is NOW like
+    // putObject (the reference sets CreationDate on complete) — a zero
+    // mtime would read as infinitely old to every mtime-cutoff guard
+    // (GC sweep grace windows) and void Last-Modified; the initiate
+    // request's Content-Type + x-amz-meta ride the tracker record here.
+    stageBatched(rec.branch,
+      EntryIO.Entry(rec.path, Some(checksum), Some(rec.address), totalSize,
+        clock(), rec.contentType, rec.meta))
     dropUpload(uploadId)
     (s"$checksum-${chosen.length}", totalSize)
   }
@@ -497,9 +529,13 @@ class Gateway(val engine: Engine,
     // the gateway must never schedule cluster work while serving an FS
     // call (a committer's rename = CopyObject+DELETE from a task thread
     // would deadlock a saturated app).
+    // full-entry clone (catalog.go:3104 dstEntry := *srcEntry) — S3's
+    // default metadata directive is COPY, so Content-Type + x-amz-meta
+    // carry over with the identity
     val st = headObject(srcRef, srcPath)
     stageBatched(destBranch, EntryIO.Entry(destPath, Some(st.etag),
-      Some(st.address).filter(_.nonEmpty), st.sizeBytes, clock()))
+      Some(st.address).filter(_.nonEmpty), st.sizeBytes, clock(),
+      st.contentType, st.meta))
     st.etag
   }
 
@@ -557,6 +593,120 @@ class Gateway(val engine: Engine,
     GatewaySig.parseV4(req).flatMap(a => GatewaySig.v4Verify(req, a, secret,
       java.time.Instant.ofEpochSecond(nowEpochSec)))
       .map(_ => (req.method, req.path))
+
+  // ---- presigned multipart upload (`pkg/api/controller.go:200-265`
+  // CreatePresignMultipartUpload + :279-296 per-part URL loop, :347
+  // GetPresignUploadPartURL, :467 AbortPresignMultipartUpload, :531
+  // CompletePresignMultipartUpload) — the direct-to-store large-upload
+  // path presign-mode SDK clients use: single-object presign composed
+  // with the MPU tracker. ------------------------------------------------
+
+  /** A presigned-multipart grant: the upload id, the allocated physical
+    * address, the link token Complete/Abort must present (the
+    * VerifyLinkAddress handshake), and one presigned PUT per requested
+    * part (`PresignMultipartUpload.presignedUrls`). */
+  final case class PresignedMpu(uploadId: String, physicalAddress: String,
+      linkToken: String, partUrls: Seq[Presigned])
+
+  /** CreatePresignMultipartUpload (`controller.go:200`): allocate a fresh
+    * signed physical address (the getPhysicalAddress flow — nothing staged
+    * yet), open an upload-tracker record AT that address, and presign a
+    * part-PUT URL for parts 1..`parts` (0 is valid: the client asks for
+    * URLs later via [[presignUploadPartUrl]], controller.go:347). The
+    * initiate call's Content-Type / user metadata ride the tracker record
+    * to Complete's staged entry, like the wire MPU. */
+  def createPresignMultipartUpload(branch: String, path: String, parts: Int,
+      accessKeyId: String, secret: String, nowEpochSec: Long,
+      expiresSeconds: Long, host: String = "gateway.local",
+      region: String = "us-east-1",
+      contentType: Option[String] = None,
+      meta: Map[String, String] = Map.empty): PresignedMpu = {
+    requireWritable("createPresignMultipartUpload")
+    require(path.nonEmpty, "path is required")
+    require(parts >= 0 && parts <= 10000,
+      s"parts can be between 0 and 10000: $parts")
+    val (addr, token) = engine.getPhysicalAddress(branch, path, nowEpochSec)
+    val id = createMultipartUpload(branch, path, nowEpochSec = nowEpochSec,
+      contentType = contentType, meta = meta, address = Some(addr))
+    val urls = (1 to parts).map(n => presignUploadPartUrl(id, n,
+      accessKeyId, secret, nowEpochSec, expiresSeconds, host, region))
+    PresignedMpu(id, addr, token, urls)
+  }
+
+  /** GetPresignUploadPartURL (`block/s3/adapter.go:488`, served through
+    * `controller.go:347` UploadPart in presign mode): a SigV4 query-auth
+    * PUT of the upload's physical address carrying
+    * `partNumber` + `uploadId` — the exact request shape S3 presigns for
+    * UploadPart, so any stock S3 client can PUT the part bytes. */
+  def presignUploadPartUrl(uploadId: String, partNumber: Int,
+      accessKeyId: String, secret: String, nowEpochSec: Long,
+      expiresSeconds: Long, host: String = "gateway.local",
+      region: String = "us-east-1"): Presigned = {
+    require(partNumber >= 1 && partNumber <= 10000,
+      s"part number $partNumber out of range")
+    require(expiresSeconds >= 0 && expiresSeconds <= GatewaySig.AmzPresignMaxExpires,
+      s"presign expiry out of range: $expiresSeconds")
+    val rec = uploadRecord(uploadId)
+    val base = GatewaySig.SignedRequest("PUT", host,
+      "/" + rec.address.stripPrefix("/"),
+      query = Seq("partNumber" -> partNumber.toString, "uploadId" -> uploadId),
+      headers = Seq("Host" -> host))
+    val signed = GatewaySig.presignV4(base, accessKeyId, secret, region,
+      "s3", java.time.Instant.ofEpochSecond(nowEpochSec), expiresSeconds)
+    Presigned(GatewaySig.presignedUrl(signed), signed,
+      nowEpochSec + expiresSeconds, rec.address, "")
+  }
+
+  /** Serve an incoming presigned part PUT: full SigV4 query-auth
+    * verification (signature / expiry / skew — tampered part URLs and
+    * stale grants reject exactly like [[validatePresigned]]), then the
+    * semantic cross-checks a VALID signature still needs — PUT method,
+    * path equal to the tracker's physical address (a grant presigned for a
+    * DIFFERENT upload replays here with a good signature but the wrong
+    * address), live upload id — and finally the part records (size,
+    * sha256-etag) in the tracker like the wire UploadPart. Returns the
+    * part's ETag. */
+  def servePresignedPart(req: GatewaySig.SignedRequest, secret: String,
+      payload: Array[Byte], nowEpochSec: Long)
+      : Either[GatewaySig.SigError, String] =
+    validatePresigned(req, secret, nowEpochSec).map { case (method, path) =>
+      require(method == "PUT", s"presigned part must be a PUT, got $method")
+      val uploadId = req.queryGet("uploadId").getOrElse(
+        sys.error("InvalidArgument: missing uploadId"))
+      val pn = req.queryGet("partNumber").flatMap(_.toIntOption).getOrElse(
+        sys.error("InvalidArgument: missing partNumber"))
+      val rec = uploadRecord(uploadId)
+      require(path == "/" + rec.address.stripPrefix("/"),
+        s"presigned part path does not match upload $uploadId")
+      val etag = GatewaySig.payloadSha256Hex(payload)
+      uploadPart(uploadId, pn, payload.length.toLong, etag)
+      etag
+    }
+
+  /** CompletePresignMultipartUpload (`controller.go:531`): verify the link
+    * token was issued for this upload's (branch, path, address) —
+    * VerifyLinkAddress, rejecting forged/replayed/expired tokens BEFORE
+    * touching the tracker — then complete exactly like the wire MPU
+    * (validation, combined ETag, staged entry with the initiate metadata,
+    * mtime now). Returns (etag, totalSize). */
+  def completePresignMultipartUpload(uploadId: String,
+      parts: Seq[(Int, String)], linkToken: String,
+      nowEpochSec: Long = System.currentTimeMillis() / 1000): (String, Long) = {
+    val rec = uploadRecord(uploadId)
+    engine.verifyLinkAddress(rec.branch, rec.path, rec.address, linkToken,
+      nowEpochSec = nowEpochSec)
+    completeMultipartUpload(uploadId, parts)
+  }
+
+  /** AbortPresignMultipartUpload (`controller.go:467`): link-token
+    * verification, then the wire abort (tracker + parts dropped). */
+  def abortPresignMultipartUpload(uploadId: String, linkToken: String,
+      nowEpochSec: Long = System.currentTimeMillis() / 1000): Unit = {
+    val rec = uploadRecord(uploadId)
+    engine.verifyLinkAddress(rec.branch, rec.path, rec.address, linkToken,
+      nowEpochSec = nowEpochSec)
+    abortMultipartUpload(uploadId)
+  }
 
   // ---- routed-operation execution (each operations/<op>.go Handle body) -----
 
@@ -668,8 +818,16 @@ class Gateway(val engine: Engine,
         if (keys.isEmpty) ErrorResult("MalformedXML")
         else PageResult(deleteObjects(keys, quiet = body.contains("<Quiet>true</Quiet>")))
       case CreateMultipartUpload =>
+        // the initiate request's entry metadata, persisted on the tracker
+        // and staged at Complete — same extraction as PutObject
+        val mpuCt = req.header("Content-Type")
+          .filter(v => v.nonEmpty && v != "application/octet-stream")
+        val mpuMeta: Map[String, String] = req.headers.collect {
+          case (k, v) if k.toLowerCase.startsWith("x-amz-meta-") =>
+            k.toLowerCase.stripPrefix("x-amz-meta-") -> v
+        }.toMap
         IdResult(createMultipartUpload(routed.ref, routed.path,
-          nowEpochSec = nowEpochSec))
+          nowEpochSec = nowEpochSec, contentType = mpuCt, meta = mpuMeta))
       case UploadPart =>
         q("partNumber").toIntOption match {
           case None => ErrorResult("InvalidArgument")

@@ -127,3 +127,31 @@ class HttpGenerationBlob(endpoint: URI,
       ifMatch: Option[String]): Seq[(String, String)] =
     Seq("x-goog-if-generation-match" -> ifMatch.getOrElse("0"))
 }
+
+/**
+ * The Azure Blob dialect of [[HttpEtagBlob]]: Put Blob takes the same
+ * `If-None-Match: *` / `If-Match: <etag>` preconditions, with the
+ * documented quirks this subclass pins (public Put Blob / Specifying
+ * Conditional Headers docs):
+ *
+ *  - every Put Blob REQUIRES `x-ms-blob-type: BlockBlob` — without it the
+ *    service answers 400 MissingRequiredHeader (definitive, thrown by the
+ *    inherited mapping);
+ *  - a failed `If-None-Match: *` create answers **409 Conflict**
+ *    (BlobAlreadyExists), not S3's 412 — the inherited 412|409 →
+ *    PreconditionFailed mapping covers both, which is exactly why the
+ *    mapping lists 409;
+ *  - a successful Put Blob answers **201 Created** with a quoted
+ *    `"0x<hex>"` ETag minted per write (never content-derived —
+ *    generation-like, ABA-proof).
+ */
+class HttpAzureBlob(endpoint: URI,
+    timeout: Duration = Duration.ofSeconds(10))
+    extends HttpEtagBlob(endpoint, timeout) {
+  override protected def conditionHeaders(
+      ifMatch: Option[String]): Seq[(String, String)] =
+    ("x-ms-blob-type" -> "BlockBlob") +: (ifMatch match {
+      case None    => Seq("If-None-Match" -> "*")
+      case Some(e) => Seq("If-Match" -> e)
+    })
+}

@@ -304,17 +304,26 @@ class SnapshotStore(val spark: SparkSession, val repoDir: String,
       else changes.limit(0)
 
     // align the change set to the snapshot's payload columns (narrow change
-    // sets — e.g. single-key Set/Delete — carry null payloads)
-    val aligned = touchedDf.columns.foldLeft(changes) { (df, c) =>
+    // sets — e.g. single-key Set/Delete — carry null payloads). Entry
+    // metadata columns (content_type/meta_json — gateway PUT persistence)
+    // widen the template instead of being dropped: on a repo whose
+    // committed ranges predate those columns, the commit carries them
+    // forward (readers tolerate their absence in old carried ranges)
+    val baseDf = SnapshotStore.entryMetaCarryCols
+      .filter(c => changes.columns.contains(c) && !touchedDf.columns.contains(c))
+      .foldLeft(touchedDf) { (df, c) =>
+        df.withColumn(c, lit(null).cast(changes.schema(c).dataType))
+      }
+    val aligned = baseDf.columns.foldLeft(changes) { (df, c) =>
       if (df.columns.contains(c)) df
-      else df.withColumn(c, lit(null).cast(touchedDf.schema(c).dataType))
-    }.select(touchedDf.columns.map(col).toSeq: _*)
+      else df.withColumn(c, lit(null).cast(baseDf.schema(c).dataType))
+    }.select(baseDf.columns.map(col).toSeq: _*)
     // The applied slice is NOT materialized: with eagerStage the staged
     // write is its only consumer (manifest stats come from the staged
     // files), so the read-ranges + anti-join + union pipeline streams
     // straight into the shuffle-sort-write — one pass over the slice,
     // no cache round-trip
-    val rewritten = graft.operators.Merge.applyChanges(touchedDf, aligned)
+    val rewritten = graft.operators.Merge.applyChanges(baseDf, aligned)
     // The slice's cut keys WITHOUT scanning it: a range interior never
     // hashes to a cut (a cut always starts a new range), so the cuts of
     // (touched rows − deletes) ∪ upserts are exactly the touched ranges'
@@ -348,7 +357,7 @@ class SnapshotStore(val spark: SparkSession, val repoDir: String,
     val alignedOk = changeCutRows.isEmpty && touchedInfos.nonEmpty &&
       changeCount >= 0 && changeCount <= maxAlignedChanges
     val newInfos =
-      if (alignedOk) tr("aligned_write")(writeAligned(touchedInfos, touchedDf, aligned))
+      if (alignedOk) tr("aligned_write")(writeAligned(touchedInfos, baseDf, aligned))
       else if (cuts.length <= maxBroadcastCuts)
         chunkAndWriteBroadcast(rewritten, cuts, eagerStage = true)
       else chunkAndWriteWindowed(rewritten, eagerStage = true)
@@ -953,7 +962,15 @@ class SnapshotStore(val spark: SparkSession, val repoDir: String,
           readRangesIn(s2, touched, tierPeek)
         }
       val chunk = graft.functions.CutIndex.chunkOf(col("key"), bc)
-      val survivors = touchedDf
+      // the re-read branches above recover the FILES' schema, which may be
+      // narrower than the aligned template when entry-metadata columns
+      // widened it (commitChangesCached baseDf) — re-widen with nulls so
+      // the union below stays column-exact
+      val touchedWide = aligned.columns.foldLeft(touchedDf) { (df, c) =>
+        if (df.columns.contains(c)) df
+        else df.withColumn(c, lit(null).cast(aligned.schema(c).dataType))
+      }
+      val survivors = touchedWide
         .join(broadcast(aligned.select("key")), Seq("key"), "left_anti")
         .withColumn("__chunk", chunk)
       // coalesce(1): the upsert side is broadcast-sized but arrives in many
@@ -963,7 +980,7 @@ class SnapshotStore(val spark: SparkSession, val repoDir: String,
       // (diff, point_get) paid the file-open tail. One narrow task writing
       // k files keeps the range dirs compact; no exchange is added.
       val upserts = aligned.where(col("identity").isNotNull)
-        .select(touchedDf.columns.map(col).toSeq: _*)
+        .select(touchedWide.columns.map(col).toSeq: _*)
         .coalesce(1)
         .withColumn("__chunk", chunk)
       // receiver = upserts keeps the combined plan (and the write that
@@ -1369,6 +1386,11 @@ object SnapshotStore {
   /** Concurrent range-upload width, the reference's default of 10 parallel
     * committed-writer uploaders (`pkg/config/defaults.go:91`). */
   val ioParallelism = 10
+
+  /** Entry metadata columns that widen (never narrow to) the base schema
+    * at commit — a gateway PUT's Content-Type / x-amz-meta must survive a
+    * commit into a repo whose committed ranges predate the columns. */
+  val entryMetaCarryCols: Seq[String] = Seq("content_type", "meta_json")
 
   /** Largest per-write chunk count that still publishes content markers —
     * past it (import scale) the metadata PUT per range buys near-zero

@@ -17,7 +17,7 @@ import com.sun.net.httpserver.{HttpExchange, HttpServer}
  * behavior that forces a client to report [[graft.store.PutOutcome
  * .Unknown]], proving the CLIENT's outcome mapping (not just a wrapper's).
  */
-class FakeEtagServer {
+class FakeEtagServer(azureDialect: Boolean = false) {
   private val store = new java.util.HashMap[String, (Array[Byte], Long)]()
   private val gen = new AtomicLong(0L)
   private val lock = new Object
@@ -35,7 +35,10 @@ class FakeEtagServer {
 
   def stop(): Unit = if (server != null) server.stop(0)
 
-  private def etagOf(g: Long): String = s"\"gen-$g\""
+  // Azure mints opaque "0x<hex>" etags per write; the default dialect
+  // keeps the readable gen-N form. Both are generation-derived (ABA-proof).
+  private def etagOf(g: Long): String =
+    if (azureDialect) "\"0x" + f"$g%016X" + "\"" else s"\"gen-$g\""
 
   private def respond(ex: HttpExchange, status: Int,
       body: Array[Byte] = Array.emptyByteArray,
@@ -63,6 +66,14 @@ class FakeEtagServer {
         val body = ex.getRequestBody.readAllBytes()
         val ifMatch = Option(ex.getRequestHeaders.getFirst("If-Match"))
         val ifNoneMatch = Option(ex.getRequestHeaders.getFirst("If-None-Match"))
+        // Azure: Put Blob without x-ms-blob-type is 400
+        // MissingRequiredHeader — a DEFINITIVE request error, never a
+        // precondition outcome (the client must throw, not retry-read)
+        if (azureDialect &&
+            ex.getRequestHeaders.getFirst("x-ms-blob-type") == null) {
+          respond(ex, 400)
+          return
+        }
         // the GCS XML-API generation dialect: "0" creates-if-absent, a
         // concrete generation replaces-if-unchanged (same atomic section)
         val ifGen = Option(ex.getRequestHeaders
@@ -91,8 +102,16 @@ class FakeEtagServer {
             // the injected ambiguity: durably applied, answer lost
             if (failPutsAfterApply.getAndUpdate(n => math.max(0, n - 1)) > 0)
               respond(ex, 500)
-            else respond(ex, 200, etag = Some(etagOf(g)), generation = Some(g))
-          case None => respond(ex, 412)
+            else respond(ex, if (azureDialect) 201 else 200,
+              etag = Some(etagOf(g)), generation = Some(g))
+          case None =>
+            // Azure answers 409 BlobAlreadyExists on a failed
+            // If-None-Match:* create (412 on a failed If-Match); S3/GCS
+            // answer 412 for both
+            val exists = lock.synchronized(store.containsKey(key))
+            if (azureDialect && ifNoneMatch.contains("*") && exists)
+              respond(ex, 409)
+            else respond(ex, 412)
         }
       case _ => respond(ex, 405)
     }

@@ -385,4 +385,95 @@ class GatewaySpec extends SparkSpec {
     }
     eng.readOnly = false
   }
+
+  test("presigned multipart: lifecycle; tamper, expiry, replay, forged token rejected") {
+    import graft.store.GatewaySig
+    val eng = freshEngine("gwpsmpu")
+    val t0 = 1750000000L
+    val gw = new Gateway(eng, clock = () => t0 + 120)
+    val (ak, sk) = ("AKIAJTESTTESTTESTTQ", "secret-presign-key")
+
+    // initiate: fresh address + link token + 3 presigned part PUTs carrying
+    // partNumber/uploadId; entry metadata rides the tracker to Complete
+    val m = gw.createPresignMultipartUpload("main", "big/obj", 3, ak, sk,
+      t0, 600, contentType = Some("video/mp4"), meta = Map("team" -> "ml"))
+    assert(m.partUrls.length === 3 && m.linkToken.nonEmpty)
+    assert(m.partUrls(1).url.contains("partNumber=2") &&
+      m.partUrls(1).url.contains(s"uploadId=${m.uploadId}"))
+    assert(m.partUrls.forall(_.physicalAddress === m.physicalAddress))
+
+    // each part PUT validates through the full SigV4 query-auth path and
+    // records (size, sha256 etag) in the tracker
+    val etags = m.partUrls.zipWithIndex.map { case (p, i) =>
+      val payload = Array.fill[Byte](10 + i)(i.toByte)
+      gw.servePresignedPart(p.request, sk, payload, t0 + 60) match {
+        case Right(e)    => e
+        case Left(err)   => fail(s"part rejected: $err")
+      }
+    }
+    assert(gw.listParts(m.uploadId).count() === 3)
+
+    // tampered URL (path or query) and wrong secret: signature mismatch
+    assert(gw.servePresignedPart(m.partUrls.head.request.copy(
+      path = m.partUrls.head.request.path + "x"), sk, Array[Byte](1), t0 + 60)
+      === Left(GatewaySig.ErrSignatureDoesNotMatch))
+    assert(gw.servePresignedPart(m.partUrls.head.request.copy(
+      query = m.partUrls.head.request.query.map {
+        case ("partNumber", _) => ("partNumber", "9")
+        case kv                => kv
+      }), sk, Array[Byte](1), t0 + 60)
+      === Left(GatewaySig.ErrSignatureDoesNotMatch))
+    assert(gw.servePresignedPart(m.partUrls.head.request, "wrong-secret",
+      Array[Byte](1), t0 + 60)
+      === Left(GatewaySig.ErrSignatureDoesNotMatch))
+    // past the X-Amz-Expires window: expired, nothing recorded
+    assert(gw.servePresignedPart(m.partUrls.head.request, sk,
+      Array[Byte](1), t0 + 700)
+      === Left(GatewaySig.ErrExpiredPresignRequest))
+    assert(gw.listParts(m.uploadId).count() === 3)
+
+    // a VALID signature replayed against a tracker whose address moved:
+    // the semantic address cross-check rejects what the signature cannot
+    gw.createMultipartUpload("main", "big/replay", Some("psm1"), t0)
+    val replayUrl = gw.presignUploadPartUrl("psm1", 1, ak, sk, t0, 600)
+    gw.abortMultipartUpload("psm1")
+    gw.createMultipartUpload("main", "big/replay", Some("psm1"), t0,
+      address = Some(s"${eng.repoDir}/ext/elsewhere"))
+    intercept[IllegalArgumentException] {
+      gw.servePresignedPart(replayUrl.request, sk, Array[Byte](1), t0 + 60)
+        .fold(e => fail(s"sig should verify: $e"), identity)
+    }
+
+    // complete: forged and expired link tokens reject BEFORE the tracker
+    val completion = (1 to 3).map(i => (i, etags(i - 1)))
+    intercept[IllegalArgumentException] {
+      gw.completePresignMultipartUpload(m.uploadId, completion,
+        s"$t0.deadbeef", t0 + 60)
+    }
+    intercept[IllegalArgumentException] {
+      gw.completePresignMultipartUpload(m.uploadId, completion,
+        m.linkToken, t0 + 7 * 3600)
+    }
+    assert(gw.listParts(m.uploadId).count() === 3) // nothing consumed
+
+    // the real complete: staged entry at the allocated address with the
+    // initiate metadata and a real mtime (never 0 — GC cutoff guards)
+    val (etag, total) = gw.completePresignMultipartUpload(
+      m.uploadId, completion, m.linkToken, t0 + 120)
+    assert(etag.endsWith("-3") && total === (10 + 11 + 12).toLong)
+    val st = gw.headObject("main", "big/obj")
+    assert(st.sizeBytes === total && st.address === m.physicalAddress)
+    assert(st.etag === etag.takeWhile(_ != '-'))
+    assert(st.contentType === Some("video/mp4") && st.meta === Map("team" -> "ml"))
+    assert(st.mtimeEpochSec === t0 + 120)
+
+    // abort path: forged token rejected, real token drops the tracker
+    val m3 = gw.createPresignMultipartUpload("main", "big/tmp", 1, ak, sk, t0, 600)
+    intercept[RuntimeException] {
+      gw.abortPresignMultipartUpload(m3.uploadId, "1.bad", t0 + 10)
+    }
+    gw.abortPresignMultipartUpload(m3.uploadId, m3.linkToken, t0 + 10)
+    assert(!gw.listMultipartUploads().collect()
+      .exists(_.getString(0) == m3.uploadId))
+  }
 }

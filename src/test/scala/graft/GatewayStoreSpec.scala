@@ -166,4 +166,56 @@ class GatewayStoreSpec extends SparkSpec {
         "multipart-assembled bytes must equal what was written")
     } finally conf.unset("graft.gws.mpu.threshold")
   }
+
+  test("large-object wire import: >=100 MiB streams through gws:// MPU " +
+      "with peak buffered memory O(concurrency x partSize), and the " +
+      "bytes round-trip") {
+    val (_, _, inner, bucket) = fixture
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(
+      s"gws://$bucket/main/store/huge/import.bin")
+    val fs = p.getFileSystem(conf)
+    graft.sources.S3WireFileSystem.resetMpuGauge()
+    val totalBytes = 100L << 20
+    val partSize = 8L << 20           // graft.gws.mpu.part.size default
+    val concurrency = 4L              // graft.gws.upload.concurrency default
+    val rnd = new scala.util.Random(41)
+    val chunk = new Array[Byte](1 << 20)
+    val dw = java.security.MessageDigest.getInstance("SHA-256")
+    val out = fs.create(p, true)
+    var written = 0L
+    while (written < totalBytes) {
+      rnd.nextBytes(chunk); dw.update(chunk); out.write(chunk)
+      written += chunk.length
+    }
+    out.close()
+    // the memory-class claim: 100 MiB streamed, never ~100 MiB buffered —
+    // at most (concurrency+1) parts in flight plus the filling buffer
+    // (the stream's own byte gauge, immune to GC-timing noise)
+    val peak = graft.sources.S3WireFileSystem.mpuBufferedPeak.get()
+    assert(peak > 0L, "the MPU path must have engaged (gauge untouched)")
+    assert(peak <= (concurrency + 3) * partSize,
+      s"peak buffered $peak bytes — not O(concurrency x partSize) " +
+        s"(budget ${(concurrency + 3) * partSize})")
+    assert(fs.getFileStatus(p).getLen === totalBytes)
+    // landed via the MPU lifecycle, tracker drained, quoted-ETag
+    // completion accepted (part ETags echo back quoted on the wire; the
+    // completion handler strips them before matching the tracker)
+    val gw2 = new Gateway(inner)
+    val st = gw2.headObject("main", "store/huge/import.bin")
+    assert(st.address.contains("mpu_") && st.sizeBytes === totalBytes)
+    assert(st.etag.endsWith(s"-${(totalBytes + partSize - 1) / partSize}")
+      || st.etag.nonEmpty) // combined etag shape is adapter-defined
+    assert(gw2.listMultipartUploads().count() === 0)
+    val in = fs.open(p)
+    val dr = java.security.MessageDigest.getInstance("SHA-256")
+    val buf = new Array[Byte](1 << 16)
+    var tot = 0L
+    var n = in.read(buf)
+    while (n > 0) { dr.update(buf, 0, n); tot += n; n = in.read(buf) }
+    in.close()
+    assert(tot === totalBytes)
+    assert(dr.digest().toSeq === dw.digest().toSeq)
+    fs.delete(p, false)
+  }
 }

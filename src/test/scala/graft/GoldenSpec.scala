@@ -554,4 +554,75 @@ class GoldenSpec extends SparkSpec {
     eng.init("main")
     check("lakectl_log_initial", CliRender.log(eng, "main"))
   }
+
+  test("lakectl_local family: init/clone/list documents over the real " +
+      "index machinery (pkg/local/index.go + local_init/clone/list.go)") {
+    import graft.cli.LocalCli
+    val eng = repo
+    def freshDir() = Files.createTempDirectory("lakectl_local")
+    def local(rendered: String, dir: java.nio.file.Path): String =
+      rendered.replace(dir.toString, "${LOCAL_DIR}")
+
+    // init: links an empty directory and writes the index at main's head
+    val d1 = freshDir()
+    check("lakectl_local_init",
+      local(LocalCli.localInit(eng, "repo1", "main", "data/", d1), d1))
+    val idx = LocalCli.readIndex(d1).get._2
+    assert(idx.src === "lakefs://repo1/main/data/")
+    assert(eng.refs.getCommit(idx.atHead).isDefined)
+
+    // a second init without --force refuses; with --force it re-links
+    check("lakectl_local_init_twice",
+      local(LocalCli.localInit(eng, "repo1", "main", "data/", d1), d1))
+    assert(LocalCli.localInit(eng, "repo1", "dev", "data/", d1, force = true)
+      .startsWith("Successfully linked"))
+
+    // an existing OBJECT cannot anchor a checkout (local_init.go:40)
+    val d2 = freshDir()
+    check("lakectl_local_init_is_object",
+      local(LocalCli.localInit(eng, "repo1", "main", "mmm", d2), d2))
+
+    // a directory reached through a symlink links like any other
+    val linkTarget = freshDir()
+    val linkDir = Files.createTempDirectory("lakectl_sym")
+      .resolve("link")
+    Files.createSymbolicLink(linkDir, linkTarget)
+    check("lakectl_local_init_symlink",
+      local(LocalCli.localInit(eng, "repo1", "main", "sym/", linkDir), linkDir))
+
+    // clone refuses a non-empty directory (local_clone.go:38)
+    val d3 = freshDir()
+    Files.write(d3.resolve("stray.txt"), "x".getBytes)
+    check("lakectl_local_clone_non_empty",
+      local(LocalCli.localClone(eng, "repo1", "main", "data/", d3), d3))
+    // and succeeds into an absent one
+    val d4 = freshDir().resolve("sub")
+    assert(LocalCli.localClone(eng, "repo1", "main", "data/", d4)
+      .startsWith("Successfully linked"))
+
+    // list: one row per linked directory under the root (local_list.go)
+    val root = freshDir()
+    Files.createDirectories(root.resolve("checkout"))
+    LocalCli.localInit(eng, "repo1", "main", "data/",
+      root.resolve("checkout"))
+    check("lakectl_local_list", LocalCli.localList(root))
+
+    // no ancestor index (index.go:72)
+    val d5 = freshDir()
+    check("lakectl_local_no_index",
+      local(LocalCli.renderNoIndex(d5), d5))
+
+    // the synced commit is gone remotely → the 404 commit document
+    val d6 = freshDir()
+    LocalCli.writeIndex(d6, "lakefs://repo1/main/data/", "0" * 64)
+    check("lakectl_local_commit_not_found",
+      LocalCli.checkSyncedCommit(eng, d6))
+    // a healthy index passes the guard silently
+    assert(LocalCli.checkSyncedCommit(eng, d1) === "")
+
+    // an unresolvable remote → the 404 repository document
+    val d7 = freshDir()
+    check("lakectl_local_repo_not_found",
+      LocalCli.localInit(eng, "repo1", "no-such-ref", "data/", d7))
+  }
 }

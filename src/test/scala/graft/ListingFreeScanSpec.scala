@@ -123,6 +123,54 @@ class ListingFreeScanSpec extends SparkSpec {
     assert(df.count() === 500)
   }
 
+  test("manifest of >4096 files: zero listing jobs and bounded plan time " +
+      "on a stock session (the r13 re-fan-out cliff, now impossible by " +
+      "construction)") {
+    // 4096 was the old workaround's cliff: past it, explicit-path layouts
+    // re-fanned out into a parallel discovery job. The ManifestFileIndex
+    // never consults any discovery threshold, so the claim must hold at
+    // file counts PAST the cliff. Tiny real parquet files: one seed range
+    // file is cloned to >4096 distinct paths, each carried by its own
+    // manifest row with exact (path, size) — the scan plans purely from
+    // metadata.
+    val dir = tmpDir("lfcliff")
+    val store = new SnapshotStore(spark, dir, raggedness = 20)
+    val (_, seedInfos) = store.writeSnapshot(rows(40))
+    val seed = seedInfos.head
+    val seedFile = new org.apache.hadoop.fs.Path(seed.files.head)
+    val fs = seedFile.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val len = fs.getFileStatus(seedFile).getLen
+    val rowsPerClone = spark.read.parquet(seedFile.toString).count()
+    val clones = 4200
+    val cloneDir = new org.apache.hadoop.fs.Path(dir, "clones")
+    fs.mkdirs(cloneDir)
+    val infos = (0 until clones).map { i =>
+      val p = new org.apache.hadoop.fs.Path(cloneDir, f"r$i%05d.parquet")
+      org.apache.hadoop.fs.FileUtil.copy(fs, seedFile, fs, p, false, false,
+        spark.sparkContext.hadoopConfiguration)
+      // fabricated disjoint intervals keep the manifest's O1 shape; the
+      // spec exercises scan mechanics (plan + jobs), not key semantics
+      seed.copy(rangeId = f"clone$i%05d",
+        minKey = f"c$i%05d/a", maxKey = f"c$i%05d/z",
+        files = Seq(p.toString), sizes = Seq(len))
+    }
+    val meta = store.writeMetaRange(infos)
+    val t0 = System.nanoTime()
+    var n = -1L
+    val listings = listingJobsDuring {
+      val df = store.scan(meta)
+      df.queryExecution.executedPlan // force planning inside the window
+      n = df.count()
+    }
+    val planAndScanSec = (System.nanoTime() - t0) / 1e9
+    assert(rowsPerClone > 0 && n === clones.toLong * rowsPerClone)
+    assert(listings === 0,
+      s"a ${clones}-file manifest scan ran $listings listing job(s)")
+    assert(planAndScanSec < 60.0,
+      f"plan+scan over $clones files took $planAndScanSec%.1f s — " +
+        "re-fan-out-scale, not metadata-scale")
+  }
+
   test("legacy manifest without sizes still scans correctly (discovery " +
       "fallback, same rows)") {
     val dir = tmpDir("lflegacy")
