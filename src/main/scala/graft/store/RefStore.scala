@@ -123,12 +123,35 @@ class RefStore(rootDir: String,
     val c = commitsCache
     if (c != null && c._1 == mt && c._2 == sz) (c._3, c._4)
     else this.synchronized {
+      // TOLERANT parse: a reader racing ANOTHER process's O_APPEND commit
+      // write can observe a torn final line (regular-file reads are not
+      // atomic vs writes) — drop what doesn't decode instead of failing
+      // the whole load. The torn tail caches under the partial (mtime,
+      // size), so the completed append invalidates it on the next stat.
       val parsed = scala.jdk.CollectionConverters.ListHasAsScala(
-        Files.readAllLines(commitsFile)).asScala.toSeq.filter(_.nonEmpty).map(dec)
+        Files.readAllLines(commitsFile)).asScala.toSeq.filter(_.nonEmpty)
+        .flatMap(l => scala.util.Try(dec(l)).toOption)
       val byId = parsed.map(x => x.commitId -> x).toMap
       commitsCache = (mt, sz, parsed, byId)
       (parsed, byId)
     }
+  }
+
+  /** Bust the commits cache and re-read — the recovery for a torn
+    * cross-process read ([[loaded]]): commit records are durably appended
+    * BEFORE the branch head CAS references them, so a head whose commit
+    * is missing can only be a read raced mid-append; a short re-read
+    * converges. */
+  private def commitAfterReload(id: String): Option[CommitInfo] = {
+    var tries = 0
+    var hit: Option[CommitInfo] = None
+    while (hit.isEmpty && tries < 10) {
+      if (tries > 0) Thread.sleep(5)
+      this.synchronized { commitsCache = null }
+      hit = getCommit(id)
+      tries += 1
+    }
+    hit
   }
 
   def commits: Seq[CommitInfo] = loaded._1
@@ -508,7 +531,11 @@ class RefStore(rootDir: String,
         val isBranch = fullHash.isEmpty && getBranch(base).isDefined
         if (tail.nonEmpty && (!isBranch || mods.nonEmpty)) return None
         val start = fullHash
-          .orElse(getBranch(base).flatMap(getCommit))
+          .orElse(getBranch(base).flatMap(id => getCommit(id)
+            // a branch head ALWAYS references a durably-appended commit
+            // (write ordering) — a miss here is a commits read torn by a
+            // concurrent cross-process append; re-read until it converges
+            .orElse(commitAfterReload(id))))
           .orElse(tags.get(base).flatMap(getCommit))
           .orElse(getCommit(base))
         // the modifier walk is the SHARED G4 grammar (`~N`/`^N`/`^0`,

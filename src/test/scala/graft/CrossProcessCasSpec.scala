@@ -138,6 +138,40 @@ class CrossProcessCasSpec extends SparkSpec {
       .select("identity").as[String].head() === "CHANGED")
   }
 
+  test("a commits file torn mid-append by another process neither fails " +
+      "the reader nor hides the head; the completed append converges") {
+    import spark.implicits._
+    val dir = tmpDir("tornread")
+    val a = new Engine(spark, dir, raggedness = 100)
+    a.init("main",
+      Some((1 to 10).map(i => (f"t$i%03d", s"v$i")).toDF("key", "identity")))
+    a.set("main", "t001", "v1b"); a.commit("main", "a", "second")
+    val commitsPath = java.nio.file.Paths.get(s"$dir/refs/commits.jsonl")
+    val intact = java.nio.file.Files.readAllBytes(commitsPath)
+    // simulate another process mid-append: the last line duplicated and
+    // cut mid-way (an un-referenced partial record — what a racing reader
+    // can observe from O_APPEND)
+    val lines = new String(intact, "UTF-8").split("\n")
+    val torn = intact ++ lines.last.take(lines.last.length / 2).getBytes("UTF-8")
+    java.nio.file.Files.write(commitsPath, torn)
+    val b = new Engine(spark, dir, raggedness = 100) // fresh cache
+    // the torn tail is dropped, everything intact resolves
+    assert(b.refs.commits.length === lines.length)
+    assert(b.refs.resolveFull("main@").isDefined,
+      "a torn unreferenced tail must not break resolution")
+    assert(b.list("main@").count() === 10)
+    // the append completes (new commit line + head CAS, writer order):
+    // a reader that cached the torn state converges on the next stat
+    java.nio.file.Files.write(commitsPath, intact)
+    val head = b.refs.getBranch("main").get
+    val c = b.refs.addCommit("b", "after heal",
+      b.resolveCommit("main").metaRangeId, Seq(head))
+    assert(b.refs.casBranch("main", Some(head), c.commitId))
+    val fresh = new Engine(spark, dir, raggedness = 100)
+    assert(fresh.refs.resolveFull("main@").map(_.commit.commitId)
+      === Some(c.commitId))
+  }
+
   test("UNKNOWN-outcome CAS, landed: a commit whose conditional put times " +
       "out AFTER applying is recognized, not re-committed") {
     import spark.implicits._
