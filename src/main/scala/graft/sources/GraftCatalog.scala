@@ -809,7 +809,8 @@ class GraftScan(repoDir: String, ref: String,
       .getOrElse(throw new graft.store.UnresolvableRefException(ref))
     val store = new SnapshotStore(spark, repoDir)
     store.readManifest(resolved.commit.metaRangeId)
-      .filter(ri => lo.forall(ri.maxKey >= _) && hi.forall(ri.minKey < _))
+      .filter(ri => lo.forall(graft.store.EntryIO.keyGe(ri.maxKey, _)) &&
+        hi.forall(graft.store.EntryIO.keyLt(ri.minKey, _)))
   }
 
   override def planInputPartitions(): Array[InputPartition] =

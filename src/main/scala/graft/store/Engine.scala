@@ -194,20 +194,39 @@ class Engine(val spark: SparkSession, val repoDir: String,
       sizeBytes: Long, address: Option[String] = None,
       mtime: Long = 0L, contentType: Option[String] = None,
       meta: Map[String, String] = Map.empty): Boolean =
+    setEntriesIfAbsent(branch, Seq(EntryIO.Entry(key, Some(identity),
+      address, sizeBytes, mtime, contentType, meta))).head
+
+  /** Batched conditional creates — one branch-lock window, the
+    * precondition read per entry, ONE staged epoch for every accepted
+    * entry. Per-result booleans preserve exact If-None-Match semantics:
+    * a key already visible (or accepted earlier IN this batch — the
+    * serialized order two racing creates would have had) reports false.
+    *
+    * The precondition read is the JOB-FREE point resolve (EntryIO): the
+    * reference's condition closure is a KV read, and a Spark job under
+    * the branch lock would put a scheduler round-trip in front of every
+    * conditional PUT (and deadlock a gateway serving an engine whose
+    * executors are blocked on that same gateway). Batching exists for
+    * the same reason as the gateway's group-commit window: N concurrent
+    * marker/conditional PUTs otherwise pay N serialized epoch parquet
+    * writes. */
+  def setEntriesIfAbsent(branch: String,
+      entries: Seq[EntryIO.Entry]): Seq[Boolean] =
     branchLock.withLock(branch) {
-      // the precondition read is the JOB-FREE point resolve (EntryIO):
-      // the reference's condition closure is a KV read, and a Spark job
-      // under the branch lock would put a scheduler round-trip in front
-      // of every conditional PUT (and deadlock a gateway serving an
-      // engine whose executors are blocked on that same gateway)
-      if (EntryIO.pointGet(this, branch, key).isDefined) false
-      else {
-        val (dir, e) = allocateStagingDir(branch)
-        EntryIO.writeStaged(spark.sparkContext.hadoopConfiguration, dir, e,
-          Seq(EntryIO.Entry(key, Some(identity), address, sizeBytes, mtime,
-            contentType, meta)))
-        true
+      val acceptedKeys = scala.collection.mutable.Set[String]()
+      val accepted = scala.collection.mutable.ArrayBuffer[EntryIO.Entry]()
+      val out = entries.map { e =>
+        if (acceptedKeys.contains(e.key) ||
+            EntryIO.pointGet(this, branch, e.key).isDefined) false
+        else { acceptedKeys += e.key; accepted += e; true }
       }
+      if (accepted.nonEmpty) {
+        val (dir, ep) = allocateStagingDir(branch)
+        EntryIO.writeStaged(spark.sparkContext.hadoopConfiguration, dir, ep,
+          accepted.toSeq)
+      }
+      out
     }
 
   /** Read-modify-stage a single entry — the reference's `ValueUpdateFunc`
@@ -1210,7 +1229,7 @@ class Engine(val spark: SparkSession, val repoDir: String,
       m <- metas
       ri <- snapshots.readManifest(m)
       (qpath, lo, hi) <- intervals
-      if ri.maxKey >= lo && (hi == null || ri.minKey < hi)
+      if EntryIO.keyGe(ri.maxKey, lo) && (hi == null || EntryIO.keyLt(ri.minKey, hi))
     } yield (m, qpath, ri.rangeId, ri)
 
     val coverSets: Map[(String, String), Set[String]] = cover

@@ -503,9 +503,9 @@ object EntryIO {
     var lo = 0; var hi = infos.length - 1; var at = -1
     while (lo <= hi) {
       val mid = (lo + hi) >>> 1
-      if (infos(mid).minKey <= key) { at = mid; lo = mid + 1 } else hi = mid - 1
+      if (keyLe(infos(mid).minKey, key)) { at = mid; lo = mid + 1 } else hi = mid - 1
     }
-    if (at < 0 || infos(at).maxKey < key) None
+    if (at < 0 || keyLt(infos(at).maxKey, key)) None
     // read through the store's local tier when enabled — a hot range's
     // repeated point gets then never touch the object store
     else pointInFiles(conf, store.tierDataFiles(infos(at)), key)

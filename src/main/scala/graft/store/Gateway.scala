@@ -136,6 +136,56 @@ class Gateway(val engine: Engine,
     catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
   }
 
+  // conditional-create twin of the group-commit window above: concurrent
+  // If-None-Match PUTs (content markers land 10+ wide during a commit's
+  // publish step) coalesce into ONE branch-lock window + ONE staged epoch
+  // (Engine.setEntriesIfAbsent) instead of a serialized epoch write each;
+  // per-entry booleans keep exact write-if-absent semantics
+  private val condQueues = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.ConcurrentLinkedQueue[
+      (EntryIO.Entry, java.util.concurrent.CompletableFuture[java.lang.Boolean])]]()
+  private val condFlushing = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.atomic.AtomicBoolean]()
+
+  private def stageBatchedIfAbsent(branch: String,
+      entry: EntryIO.Entry): Boolean = {
+    val q = condQueues.computeIfAbsent(branch,
+      _ => new java.util.concurrent.ConcurrentLinkedQueue())
+    val flushing = condFlushing.computeIfAbsent(branch,
+      _ => new java.util.concurrent.atomic.AtomicBoolean(false))
+    val done =
+      new java.util.concurrent.CompletableFuture[java.lang.Boolean]()
+    q.add((entry, done))
+    while (!done.isDone) {
+      if (flushing.compareAndSet(false, true)) {
+        try {
+          val batch = scala.collection.mutable.ArrayBuffer[(EntryIO.Entry,
+            java.util.concurrent.CompletableFuture[java.lang.Boolean])]()
+          var next = q.poll()
+          while (next != null) { batch += next; next = q.poll() }
+          if (batch.nonEmpty) {
+            try {
+              val results =
+                engine.setEntriesIfAbsent(branch, batch.map(_._1).toSeq)
+              batch.zip(results).foreach { case ((_, f), r) =>
+                f.complete(java.lang.Boolean.valueOf(r)) }
+            } catch { case t: Throwable =>
+              batch.foreach(_._2.completeExceptionally(t))
+            }
+          }
+        } finally flushing.set(false)
+      } else {
+        try done.get(20, java.util.concurrent.TimeUnit.MILLISECONDS)
+        catch {
+          case _: java.util.concurrent.TimeoutException => ()
+          case e: java.util.concurrent.ExecutionException => throw e.getCause
+        }
+      }
+    }
+    try done.get().booleanValue()
+    catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
+  }
+
   /** CreateMultipartUpload (postobject.go:33-100): allocate a physical
     * address for the final object, record the upload. `uploadId` may be
     * supplied for deterministic flows; defaults to a fresh UUID.
@@ -510,9 +560,9 @@ class Gateway(val engine: Engine,
       checksum: String, contentType: Option[String] = None,
       meta: Map[String, String] = Map.empty): Boolean = {
     requireWritable("putObject")
-    engine.setEntryIfAbsent(branch, path, checksum, sizeBytes,
-      Some(s"data/gw-${java.util.UUID.randomUUID()}"), mtime = clock(),
-      contentType = contentType, meta = meta)
+    stageBatchedIfAbsent(branch, EntryIO.Entry(path, Some(checksum),
+      Some(s"data/gw-${java.util.UUID.randomUUID()}"), sizeBytes,
+      clock(), contentType, meta))
   }
 
   /** PutObject with `x-amz-copy-source` (putobject.go:41-86 → CopyObject):
@@ -682,6 +732,12 @@ class Gateway(val engine: Engine,
       uploadPart(uploadId, pn, payload.length.toLong, etag)
       etag
     }
+
+  /** The physical address an in-flight upload targets — the wire layer's
+    * cross-check for an incoming presigned part PUT (the signed path must
+    * be THIS upload's address). None when the id is unknown/consumed. */
+  private[store] def uploadAddress(uploadId: String): Option[String] =
+    KvFile.read(uploadsFile).get(uploadId).map(v => v.split("\\|", -1)(2))
 
   /** CompletePresignMultipartUpload (`controller.go:531`): verify the link
     * token was issued for this upload's (branch, path, address) —

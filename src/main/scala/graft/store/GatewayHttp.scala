@@ -400,9 +400,33 @@ class GatewayHttp(hub: GatewayHub, auth: GatewayAuth, authSvc: AuthService,
               respond(ex, 200, bytes,
                 Seq("Content-Type" -> "application/octet-stream"))
             case "PUT" =>
-              writePhysical(physical, req.body)
-              respond(ex, 200, Array.emptyByteArray, Seq("ETag" ->
-                quote(GatewaySig.payloadSha256Hex(req.body))))
+              val etag = GatewaySig.payloadSha256Hex(req.body)
+              (req.queryGet("uploadId"),
+                req.queryGet("partNumber").flatMap(_.toIntOption)) match {
+                case (Some(uploadId), Some(pn)) =>
+                  // a presigned PART PUT (GetPresignUploadPartURL's
+                  // request shape): record the part against the tracker
+                  // whose upload owns this address — never overwrite the
+                  // final object with one part's bytes
+                  hub.list.flatMap { case (name, _) => hub.get(name) }
+                    .flatMap(gw => gw.uploadAddress(uploadId)
+                      .map(a => (gw, a))).headOption match {
+                    case Some((gw, addr))
+                        if physical == "/" + addr.stripPrefix("/") =>
+                      gw.uploadPart(uploadId, pn, req.body.length.toLong, etag)
+                      val pp = mpuPartPath(uploadId, pn)
+                      Files.createDirectories(pp.getParent)
+                      Files.write(pp, req.body)
+                      respond(ex, 200, Array.emptyByteArray,
+                        Seq("ETag" -> quote(etag)))
+                    case Some(_) => respondError(ex, "InvalidRequest")
+                    case None    => respondError(ex, "NoSuchUpload")
+                  }
+                case _ =>
+                  writePhysical(physical, req.body)
+                  respond(ex, 200, Array.emptyByteArray,
+                    Seq("ETag" -> quote(etag)))
+              }
             case _ => respondError(ex, "MethodNotAllowed")
           }
         }

@@ -99,10 +99,10 @@ class SnapshotStore(val spark: SparkSession, val repoDir: String,
     * and the manifest write skips when present). */
   def writeMetaRange(infos: Seq[RangeInfo]): String = {
     require(infos.nonEmpty, "writeMetaRange: empty range list")
-    val sorted = infos.sortBy(_.minKey)
+    val sorted = infos.sortBy(_.minKey)(EntryIO.keyOrder)
     sorted.sliding(2).foreach {
       case scala.collection.Seq(a, b) =>
-        require(a.maxKey < b.minKey, "writeMetaRange: overlapping ranges " +
+        require(EntryIO.keyLt(a.maxKey, b.minKey), "writeMetaRange: overlapping ranges " +
           s"[${a.minKey},${a.maxKey}] and [${b.minKey},${b.maxKey}]")
       case _ => ()
     }
@@ -363,7 +363,7 @@ class SnapshotStore(val spark: SparkSession, val repoDir: String,
       else chunkAndWriteWindowed(rewritten, eagerStage = true)
     val newSch = allNullable(rewritten.schema)
     newInfos.foreach(ri => schemaCache.putIfAbsent(ri.rangeId, newSch))
-    val all = (untouched ++ newInfos).sortBy(_.minKey)
+    val all = (untouched ++ newInfos).sortBy(_.minKey)(EntryIO.keyOrder)
     val metaRangeId = metaRangeIdOf(all)
     writeManifest(metaRangeId, all)
     (metaRangeId, all)
@@ -396,7 +396,7 @@ class SnapshotStore(val spark: SparkSession, val repoDir: String,
       if (c2 != null) c2
       else {
         val m = SnapshotStore.readManifestFile(fs, new Path(manifestDir(metaRangeId)))
-          .sortBy(_.minKey)
+          .sortBy(_.minKey)(EntryIO.keyOrder)
         manifestCache.put(metaRangeId, m)
         m
       }
@@ -413,7 +413,8 @@ class SnapshotStore(val spark: SparkSession, val repoDir: String,
   def scanInterval(metaRangeId: String, lo: Option[String], hi: Option[String]): DataFrame = {
     val all = readManifest(metaRangeId)
     val keep = all.filter { ri =>
-      lo.forall(l => ri.maxKey >= l) && hi.forall(h => ri.minKey < h)
+      lo.forall(l => EntryIO.keyGe(ri.maxKey, l)) &&
+        hi.forall(h => EntryIO.keyLt(ri.minKey, h))
     }
     // a fully-pruned interval keeps the snapshot's schema (empty slice of
     // one range), like prunedForDiff — downstream unions/selects still see
@@ -454,7 +455,8 @@ class SnapshotStore(val spark: SparkSession, val repoDir: String,
   def prunedForDiffInterval(leftMeta: String, rightMeta: String,
       lo: Option[String], hi: Option[String]): (DataFrame, DataFrame) = {
     def win(all: Seq[RangeInfo]) = all.filter { ri =>
-      lo.forall(l => ri.maxKey >= l) && hi.forall(h => ri.minKey < h)
+      lo.forall(l => EntryIO.keyGe(ri.maxKey, l)) &&
+        hi.forall(h => EntryIO.keyLt(ri.minKey, h))
     }
     val l = readManifest(leftMeta)
     val r = readManifest(rightMeta)
@@ -552,9 +554,9 @@ class SnapshotStore(val spark: SparkSession, val repoDir: String,
     val base = readManifest(baseMeta)
     val intervals = prefixes.map(p => (p, graft.operators.Listing.upperBound(p)))
     def intersects(ri: RangeInfo) = intervals.exists { case (lo, hi) =>
-      ri.maxKey >= lo && hi.forall(h => ri.minKey < h) }
+      EntryIO.keyGe(ri.maxKey, lo) && hi.forall(h => EntryIO.keyLt(ri.minKey, h)) }
     def inside(ri: RangeInfo) = intervals.exists { case (lo, hi) =>
-      ri.minKey >= lo && hi.forall(h => ri.maxKey < h) }
+      EntryIO.keyGe(ri.minKey, lo) && hi.forall(h => EntryIO.keyLt(ri.maxKey, h)) }
     val carried = base.filterNot(intersects)
     val straddle = base.filter(ri => intersects(ri) && !inside(ri))
 
@@ -589,7 +591,7 @@ class SnapshotStore(val spark: SparkSession, val repoDir: String,
     val newInfos = chunkAndWriteBroadcast(slice, cuts, eagerStage = true)
     val newSch = allNullable(slice.schema)
     newInfos.foreach(ri => schemaCache.putIfAbsent(ri.rangeId, newSch))
-    val all = (carried ++ newInfos).sortBy(_.minKey)
+    val all = (carried ++ newInfos).sortBy(_.minKey)(EntryIO.keyOrder)
     val metaRangeId = metaRangeIdOf(all)
     writeManifest(metaRangeId, all)
     (metaRangeId, all)
@@ -1110,7 +1112,7 @@ class SnapshotStore(val spark: SparkSession, val repoDir: String,
     val freshStore = !fs.exists(new Path(rangesDir))
     if (eagerStage || freshStore) {
       val infos = directWrite(withChunk, approxChunks, noShuffle)
-      return publishMarkers(infos).sortBy(_.minKey)
+      return publishMarkers(infos).sortBy(_.minKey)(EntryIO.keyOrder)
     }
     // lazy shape: stats first, then write only unmarked content
     val manifest = tr("stats_agg")(statsOf(withChunk))
@@ -1131,7 +1133,7 @@ class SnapshotStore(val spark: SparkSession, val repoDir: String,
           else withChunk.where(col("__chunk").isInCollection(missing))
         publishMarkers(directWrite(toWrite, missing.length, noShuffle = false))
       }
-    (reused ++ written).sortBy(_.minKey).toSeq
+    (reused ++ written).sortBy(_.minKey)(EntryIO.keyOrder).toSeq
   }
 
   /** One shuffle → sort → write job over a chunk-assigned frame: tasks
@@ -1228,7 +1230,8 @@ class SnapshotStore(val spark: SparkSession, val repoDir: String,
       val rid = String.format("%016x", java.lang.Long.valueOf(h1)) +
         String.format("%016x", java.lang.Long.valueOf(h2))
       val byFile = fls.sortBy(_.file)
-      RangeInfo(rid, fls.map(_.minKey).min, fls.map(_.maxKey).max,
+      RangeInfo(rid, fls.map(_.minKey).min(EntryIO.keyOrder),
+        fls.map(_.maxKey).max(EntryIO.keyOrder),
         fls.map(_.est).sum, fls.map(_.cnt).sum,
         s"$rangesRoot/u$jobTag-$chunk",
         byFile.map(_.file).toSeq, byFile.map(_.len).toSeq)
@@ -1373,7 +1376,7 @@ class SnapshotStore(val spark: SparkSession, val repoDir: String,
   private def writeManifest(metaRangeId: String, infos: Seq[RangeInfo]): Unit = {
     val p = new Path(manifestDir(metaRangeId))
     if (!fs.exists(p)) SnapshotStore.writeManifestFile(fs, p, infos)
-    manifestCache.put(metaRangeId, infos.sortBy(_.minKey))
+    manifestCache.put(metaRangeId, infos.sortBy(_.minKey)(EntryIO.keyOrder))
   }
 
   private def metaRangeIdOf(infos: Seq[RangeInfo]): String =

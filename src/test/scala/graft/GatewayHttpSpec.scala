@@ -338,6 +338,61 @@ class GatewayHttpSpec extends SparkSpec {
     assert(bodyStr(badResp.body()).contains("<Code>SignatureDoesNotMatch</Code>"))
   }
 
+  test("presigned multipart over HTTP: part PUTs record against the " +
+      "tracker (never overwrite the object), wire complete assembles the " +
+      "bytes with the initiate metadata") {
+    val (_, gw, c, _, port, _) = fixture
+    val host = s"localhost:$port"
+    val m = gw.createPresignMultipartUpload("main", "data/psmpu.bin", 2,
+      c.accessKeyId, c.secretAccessKey, now.getEpochSecond, 300, host = host,
+      contentType = Some("video/mp4"))
+    val partBytes = Seq("part-one-".getBytes(StandardCharsets.UTF_8),
+      "part-two!!".getBytes(StandardCharsets.UTF_8))
+    val etags = m.partUrls.zip(partBytes).map { case (p, bytes) =>
+      val qs = p.request.query.map { case (k, v) =>
+        s"${enc(k)}=${enc(v)}" }.mkString("&")
+      val resp = client.send(
+        HttpRequest.newBuilder(
+          URI.create(s"http://$host${p.request.path}?$qs"))
+          .PUT(HttpRequest.BodyPublishers.ofByteArray(bytes)).build(),
+        HttpResponse.BodyHandlers.ofByteArray())
+      assert(resp.statusCode() === 200,
+        s"presigned part PUT: HTTP ${resp.statusCode()} ${bodyStr(resp.body())}")
+      resp.headers().firstValue("ETag").orElse("")
+        .stripPrefix("\"").stripSuffix("\"")
+    }
+    // parts landed in the TRACKER; the object does not exist yet
+    assert(gw.listParts(m.uploadId).count() === 2)
+    val (preSt, _, _) = send("HEAD", "/repo1/main/data/psmpu.bin")
+    assert(preSt === 404, "no object before complete")
+    // a presigned part URL against an unknown upload id: NoSuchUpload
+    val ghost = m.partUrls.head.request
+    val ghostQ = ghost.query.map { case ("uploadId", _) =>
+      ("uploadId", "nope"); case kv => kv }
+    // (tampering the query breaks the signature first — expected 403)
+    val gq = ghostQ.map { case (k, v) => s"${enc(k)}=${enc(v)}" }.mkString("&")
+    val ghostResp = client.send(
+      HttpRequest.newBuilder(URI.create(s"http://$host${ghost.path}?$gq"))
+        .PUT(HttpRequest.BodyPublishers.ofByteArray(Array[Byte](1))).build(),
+      HttpResponse.BodyHandlers.ofByteArray())
+    assert(ghostResp.statusCode() === 403)
+    // complete over the WIRE with SDK-shaped QUOTED etags
+    val doc = ("<CompleteMultipartUpload>" + etags.zipWithIndex.map {
+      case (e, i) =>
+        s"<Part><PartNumber>${i + 1}</PartNumber><ETag>\"$e\"</ETag></Part>"
+    }.mkString + "</CompleteMultipartUpload>")
+      .getBytes(StandardCharsets.UTF_8)
+    val (st2, _, body2) = send("POST", "/repo1/main/data/psmpu.bin",
+      query = Seq("uploadId" -> m.uploadId), body = doc)
+    assert(st2 === 200 &&
+      bodyStr(body2).contains("CompleteMultipartUploadResult"))
+    // GET round-trips the assembled bytes; Content-Type from the initiate
+    val (st3, hd3, body3) = send("GET", "/repo1/main/data/psmpu.bin")
+    assert(st3 === 200)
+    assert(body3.toSeq === (partBytes(0) ++ partBytes(1)).toSeq)
+    assert(hd3.firstValue("Content-Type").orElse("") === "video/mp4")
+  }
+
   test("ListBuckets at root: repositories as buckets, filtered to what " +
       "the caller may read; unknown repository answers NoSuchBucket") {
     val (st, _, body) = send("GET", "/")

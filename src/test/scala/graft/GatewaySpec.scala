@@ -386,6 +386,48 @@ class GatewaySpec extends SparkSpec {
     eng.readOnly = false
   }
 
+  test("conditional PUTs coalesce like plain ones: 12 concurrent " +
+      "If-None-Match creates share staged epochs, exact per-key semantics") {
+    val eng = freshEngine("gwcondbatch")
+    val gw = new Gateway(eng)
+    val epochRoot = new org.apache.hadoop.fs.Path(s"${eng.repoDir}/staging/main")
+    val fs = epochRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def epochCount(): Int =
+      if (!fs.exists(epochRoot)) 0 else fs.listStatus(epochRoot).length
+    val before = epochCount()
+    // 12 distinct keys racing through the conditional window: all must
+    // win, and the group-commit coalescing must spend far fewer epoch
+    // writes than one-per-PUT (the serialized shape this replaces)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(12)
+    try {
+      val wins = (1 to 12).map { i =>
+        pool.submit(new java.util.concurrent.Callable[Boolean] {
+          def call(): Boolean =
+            gw.putObjectIfAbsent("main", f"cond/k$i%02d", i.toLong, s"c$i")
+        })
+      }.map(_.get())
+      assert(wins.forall(identity), "distinct keys must all win")
+      val spent = epochCount() - before
+      assert(spent < 12, s"12 conditional PUTs spent $spent epochs — not batched")
+      (1 to 12).foreach { i =>
+        val st = gw.headObject("main", f"cond/k$i%02d")
+        assert(st.etag === s"c$i" && st.sizeBytes === i.toLong)
+      }
+      // same-key race: exactly one winner, whether the losers land in the
+      // same batch window or a later one
+      val sameKey = (1 to 12).map { i =>
+        pool.submit(new java.util.concurrent.Callable[Boolean] {
+          def call(): Boolean =
+            gw.putObjectIfAbsent("main", "cond/shared", 100L + i, s"s$i")
+        })
+      }.map(_.get())
+      assert(sameKey.count(identity) === 1,
+        s"write-if-absent admitted ${sameKey.count(identity)} writers")
+      // and a PUT of an already-visible key loses immediately
+      assert(!gw.putObjectIfAbsent("main", "cond/k01", 99L, "late"))
+    } finally pool.shutdown()
+  }
+
   test("presigned multipart: lifecycle; tamper, expiry, replay, forged token rejected") {
     import graft.store.GatewaySig
     val eng = freshEngine("gwpsmpu")

@@ -87,6 +87,57 @@ class S3PageWalkSpec extends SparkSpec {
     }
   }
 
+  test("supplementary-plane keys page identically to the DataFrame " +
+      "operator (UTF-8 binary order, not UTF-16 - keys past U+FFFF sort " +
+      "ABOVE [U+E000, U+FFFF] in both engines)") {
+    import spark.implicits._
+    val eng = new Engine(spark, tmpDir("pagewalk-astral"), raggedness = 3)
+    eng.init("main")
+    // interleave code-point ranges where UTF-16 and UTF-8 orders DISAGREE:
+    // private-use/high-BMP chars (U+E000, U+F8FF, U+FFFD) vs supplementary
+    // pairs (U+1D11E musical clef, U+1F600 emoji) - plus ASCII anchors
+    val kPua1 = "U/\uE000pua"
+    val kPua2 = "U/\uF8FFpua2"
+    val kRepl = "U/\uFFFDrepl"
+    val kClef = "U/\uD834\uDD1Eclef"
+    val kEmoji = "U/\uD83D\uDE00emoji"
+    val kRobot = "U/\uD83E\uDD16robot"
+    val astral = Seq(
+      "U/a-plain", kPua1, kPua2, kRepl, kClef, kEmoji,
+      kEmoji + "/child1", kEmoji + "/child2",
+      "U/z-tail").map(k => (k, s"id-$k"))
+    eng.stage("main", astral.toDF("key", "identity"))
+    eng.commit("main", "t", "astral")
+    // one staged supplementary add + a tombstone on a BMP key
+    eng.set("main", kRobot, "R1")
+    eng.delete("main", kRepl)
+    for (delim <- Seq("", "/"); maxKeys <- Seq(1, 2, 100)) {
+      var after: Option[String] = None
+      var pages = 0
+      var go = true
+      while (go && pages < 50) {
+        pages += 1
+        val expect = dfPage(eng, "main", "main/U/", delim, after, maxKeys)
+        val got = walkPage(eng, "main", "main/U/", delim, after, maxKeys)
+        assert(got === expect,
+          s"astral page $pages (delim='$delim', max=$maxKeys, after=$after)")
+        go = expect.nonEmpty && expect.last._3 == 1L
+        after = expect.lastOption.map(_._1)
+      }
+      assert(pages < 50, "runaway pagination")
+    }
+    // the walker's own order claim: supplementary keys AFTER every BMP key
+    // (Java String order would put the clef/emoji BELOW the PUA keys)
+    val (rows, _) = EntryIO.s3PageWalk(eng, "main", "U/", "", None, 1000)
+    val names = rows.map(_._1.stripPrefix("main/"))
+    assert(!names.contains(kRepl), "tombstone must hide the committed key")
+    assert(names.indexOf(kClef) > names.indexOf(kPua2),
+      "supplementary-plane keys must sort above private-use BMP keys")
+    assert(names.indexOf(kRobot) > names.indexOf(kEmoji),
+      "staged supplementary adds merge in code-point order")
+    assert(names.last === kRobot)
+  }
+
   test("walker serves the committed-only view for ref@ and carries entry " +
       "stats on plain keys") {
     val (eng, _) = fixture
