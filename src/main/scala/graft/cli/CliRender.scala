@@ -151,6 +151,54 @@ object CliRender {
     }
   }
 
+  /** `lakectl merge` with --commit / --squash (the merge commit template +
+    * lakectl_merge_with_commit/with_squashed_commit.golden): the commit
+    * block carrying the merge-strategy key and the caller's --meta pairs,
+    * each metadata entry preceded by a bare-tab line and a bare-tab
+    * trailer (the template's literal shape). A squashed merge has a
+    * single parent, so the Merge: line disappears — that absence IS the
+    * squash record. */
+  def renderMergeCommitBlock(c: CommitInfo): String = {
+    val b = new StringBuilder
+    b.append('\n')
+    b.append("ID:            ").append(c.commitId).append('\n')
+    b.append("Author:        ").append(c.committer).append('\n')
+    b.append("Date:          ").append(fmtDate(c.creationDate)).append('\n')
+    if (c.parents.size > 1)
+      b.append("Merge:         ").append(c.parents.mkString(", ")).append('\n')
+    b.append('\n').append('\t').append(c.message).append('\n')
+    if (c.metadata.nonEmpty) {
+      b.append("\nMetadata:\n")
+      c.metadata.toSeq.sortBy(_._1).foreach { case (k, v) =>
+        b.append("\t\n")
+        b.append('\t').append(ljust(k, 18)).append(" = ").append(v).append('\n')
+      }
+      b.append("\t\n")
+    }
+    b.toString
+  }
+
+  /** `lakectl fs stat --pre-sign` with an expiring URL
+    * (lakectl_stat_pre_sign_with_expiry.golden): the stat block plus the
+    * Physical Address Expires line after the presigned address. */
+  def renderStatPresignExpiry(path: String, mtimeEpochSec: Long,
+      sizeBytes: Long, presignedUrl: String, expiresAtEpochSec: Long,
+      checksum: String,
+      contentType: String = "application/octet-stream"): String =
+    s"Path: $path\n" +
+      s"Modified Time: ${fmtDate(mtimeEpochSec)}\n" +
+      s"Size: $sizeBytes bytes\n" +
+      s"Human Size: ${humanBytes(sizeBytes)}\n" +
+      s"Physical Address: $presignedUrl\n" +
+      s"Physical Address Expires: ${fmtDate(expiresAtEpochSec)}\n" +
+      s"Checksum: $checksum\n" +
+      s"Content-Type: $contentType\n"
+
+  /** `lakectl repo delete` on a malformed URI
+    * (lakectl_repo_delete_malformed_uri.golden). */
+  def renderRepoUriMalformed: String =
+    "repository URI malformed lakefs URI\nError executing command.\n"
+
   /** `lakectl branch list` (lakectl_branch_list.golden): name TAB head. */
   def renderBranchList(branches: Seq[(String, String)]): String =
     branches.sortBy(_._1).map { case (n, id) => s"$n\t$id\n" }.mkString

@@ -1026,7 +1026,8 @@ class Engine(val spark: SparkSession, val repoDir: String,
   def merge(sourceRef: String, destBranch: String, committer: String,
       message: String, strategy: MergeStrategy = StrategyNone,
       squash: Boolean = false,
-      resolver: Option[org.apache.spark.sql.Column] = None): CommitInfo = {
+      resolver: Option[org.apache.spark.sql.Column] = None,
+      metadata: Map[String, String] = Map.empty): CommitInfo = {
     requireWritable("merge")
     hooks.fire(Hooks.HookEvent(Hooks.PreMerge, repoDir, destBranch, Some(sourceRef), committer, message))
     // dirty-dest guard (:3149-3155): staged epochs AND an uncommitted
@@ -1048,8 +1049,17 @@ class Engine(val spark: SparkSession, val repoDir: String,
       if (meta.isEmpty)
         sys.error(s"merge conflict between $sourceRef and $destBranch")
       val parents = if (squash) Seq(destId) else Seq(destId, src.commitId)
-      val meta0 = Map("strategy" -> strategy.toString) ++
-        (if (squash) Map("squash" -> "true") else Map.empty)
+      // the reference's exact commit-metadata key/values
+      // (graveler.go:157-161 MergeStrategyMetadataKey + strategy strings),
+      // merged OVER the caller's --meta pairs like graveler.go:3199
+      val strategyStr = strategy match {
+        case StrategyNone       => "default"
+        case StrategyDestWins   => "dest-wins"
+        case StrategySourceWins => "source-wins"
+      }
+      // squash leaves NO metadata marker (the single parent is the
+      // record, graveler.go:3194-3198 keeps only the generation)
+      val meta0 = metadata ++ Map(".lakefs.merge.strategy" -> strategyStr)
       (refs.addCommit(committer, message, meta, parents, meta0,
         generation = Some(math.max(dest.generation, src.generation) + 1)),
         () => ())

@@ -40,4 +40,18 @@ object Validate {
 
   def requireRepositoryId(id: String): Unit =
     require(isValidRepositoryId(id), s"invalid repository id: $id")
+
+  /** Parse `lakefs://repo[/ref[/path]]` (reference `pkg/uri/parser.go`
+    * uri.Parse): scheme must be `lakefs`, the repository segment must be
+    * present and valid. None = malformed (the CLI's "malformed lakefs
+    * URI" document). */
+  def parseLakefsUri(u: String)
+      : Option[(String, Option[String], Option[String])] =
+    if (!u.startsWith("lakefs://")) None
+    else u.stripPrefix("lakefs://").split("/", 3) match {
+      case Array(repo, _*) if !isValidRepositoryId(repo) => None
+      case Array(repo)            => Some((repo, None, None))
+      case Array(repo, ref)       => Some((repo, Some(ref).filter(_.nonEmpty), None))
+      case Array(repo, ref, path) => Some((repo, Some(ref), Some(path)))
+    }
 }

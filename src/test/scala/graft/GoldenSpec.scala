@@ -109,6 +109,55 @@ class GoldenSpec extends SparkSpec {
         CliRender.annotate(repo, "main", "aaa/", recursive = true)))
   }
 
+  test("lakectl_annotate variants: top-level, mid-name prefix, recursive, " +
+      "and the deep iii/kkk/l prefix (esti's annotate battery)") {
+    val eng = repo
+    def doc(prefix: String, recursive: Boolean = false) =
+      CliRender.renderAnnotate(
+        CliRender.annotate(eng, "main", prefix, recursive = recursive))
+    check("lakectl_annotate_top", doc(""))
+    check("lakectl_annotate_top_recursive", doc("", recursive = true))
+    check("lakectl_annotate_a", doc("a"))
+    // esti drives "a", "aa" and "aaa" at the SAME golden: first-level
+    // roll-up is prefix-position-independent within a name
+    assert(doc("aa") === doc("a") && doc("aaa") === doc("a"))
+    check("lakectl_annotate_a_recursive", doc("a", recursive = true))
+    assert(doc("aaa/", recursive = true) === doc("a", recursive = true))
+    // a mid-name prefix deep in the tree resolves to the single object,
+    // recursive or not (lakectl_test.go:598-599)
+    check("lakectl_annotate_iiikkklll", doc("iii/kkk/l"))
+    assert(doc("iii/kkk/l", recursive = true) === doc("iii/kkk/l"))
+  }
+
+  test("lakectl_merge_with_commit and with_squashed_commit: the commit " +
+      "block with the strategy key + user metadata; squash drops the " +
+      "Merge line") {
+    val eng = repo
+    eng.createBranch("mw-dst", "main")
+    eng.createBranch("mw-src", "mw-dst")
+    eng.set("mw-src", "mw/one", "v1")
+    nextSecond()
+    eng.commit("mw-src", "tester", "feature work")
+    nextSecond()
+    val mc = eng.merge("mw-src", "mw-dst", "tester", "Merge feature",
+      metadata = Map("key1" -> "value1", "key2" -> "value2"))
+    assert(mc.parents.size === 2)
+    check("lakectl_merge_with_commit", CliRender.renderMergeCommitBlock(mc))
+    eng.createBranch("mw-dst2", "main")
+    eng.createBranch("mw-src2", "mw-dst2")
+    eng.set("mw-src2", "mw/two", "v2")
+    nextSecond()
+    eng.commit("mw-src2", "tester", "feature work 2")
+    nextSecond()
+    val sq = eng.merge("mw-src2", "mw-dst2", "tester",
+      "Merge feature squashed", squash = true,
+      metadata = Map("key1" -> "value1", "key2" -> "value2"))
+    assert(sq.parents.size === 1)
+    assert(!sq.metadata.contains("squash"))
+    check("lakectl_merge_with_squashed_commit",
+      CliRender.renderMergeCommitBlock(sq))
+  }
+
   test("lakectl_merge: the success and conflict documents") {
     val eng = repo
     val conflict =
@@ -179,6 +228,7 @@ class GoldenSpec extends SparkSpec {
     assert(noChange.nonEmpty, "a clean worktree must refuse to commit")
     check("lakectl_commit",
       CliRender.renderCommit("repo1", "golden-commit", c) + noChange)
+    check("lakectl_commit_no_change", noChange)
   }
 
   test("lakectl_branch_tag: branch create, tag create, tag list") {
@@ -303,6 +353,20 @@ class GoldenSpec extends SparkSpec {
     check("lakectl_stat_pre_sign", CliRender.renderStat(
       "files/spre.bin", 1700000000L, 1024L,
       physicalAddress = up.url, checksum = "ids"))
+    check("lakectl_stat_pre_sign_with_expiry",
+      CliRender.renderStatPresignExpiry("files/spre.bin", 1700000000L,
+        1024L, up.url, up.expiresAtEpochSec, "ids"))
+  }
+
+  test("lakectl_repo_delete_malformed_uri: the URI-parse error document, " +
+      "backed by the real parser") {
+    import graft.store.Validate
+    assert(Validate.parseLakefsUri("mem://foo/main").isEmpty)
+    assert(Validate.parseLakefsUri("lakefs://UPPER/main").isEmpty)
+    assert(Validate.parseLakefsUri("lakefs://repo1/main/a/b")
+      === Some(("repo1", Some("main"), Some("a/b"))))
+    check("lakectl_repo_delete_malformed_uri",
+      CliRender.renderRepoUriMalformed)
   }
 
   test("lakectl_tag_list_prefix: the prefixed subset of the tag table") {
@@ -467,6 +531,8 @@ class GoldenSpec extends SparkSpec {
     check("lakectl_log_amount", CliRender.log(eng, "main", amount = 2))
     val noMerges = eng.log("main").filter(_.parents.size < 2)
     check("lakectl_log_no_merges", CliRender.renderLog(noMerges))
+    check("lakectl_log_no_merges_amount",
+      CliRender.renderLog(noMerges.take(2)))
   }
 
   test("lakectl_branch_list_prefix: the prefixed subset") {

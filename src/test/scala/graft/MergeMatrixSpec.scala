@@ -137,7 +137,10 @@ class MergeMatrixSpec extends SparkSpec {
     val full = eng.merge("src", "d5", "t", "full", StrategySourceWins)
     assert(sq.parents === Seq(destHead))
     assert(full.parents.size === 2)
-    assert(sq.metadata.get("squash") === Some("true"))
+    // no squash metadata marker — the single parent IS the record, and
+    // the strategy rides the reference's exact key (graveler.go:157-161)
+    assert(!sq.metadata.contains("squash"))
+    assert(sq.metadata.get(".lakefs.merge.strategy") === Some("source-wins"))
     // lost parent still counts toward generation (graveler.go:3194-3198)
     assert(sq.generation === math.max(
       eng.refs.getCommit(destHead).get.generation, srcHead.generation) + 1)
