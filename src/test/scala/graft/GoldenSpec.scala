@@ -481,9 +481,14 @@ class GoldenSpec extends SparkSpec {
     val (firstBad, _) = eng.bisect("main", good.commitId)(hasMmm)
     assert(firstBad.message === "commit3")
     check("lakectl_bisect_bad1", CliRender.renderBisectFound("repo1", firstBad))
+    // `bisect log` after the verdict repeats the Found document
+    // (lakectl_test.go:1055 -> lakectl_bisect_log2)
+    check("lakectl_bisect_log2", CliRender.renderBisectFound("repo1", firstBad))
     check("lakectl_bisect_reset", CliRender.bisectReset)
     check("lakectl_bisect_reset_not_started", CliRender.bisectResetNotStarted)
     check("lakectl_bisect_bad_invalid", CliRender.bisectNotStarted)
+    // `bisect good` with no session: the same not-started document
+    check("lakectl_bisect_good_invalid", CliRender.bisectNotStarted)
   }
 
   test("lakectl_auth_groups: create block, list rows, members, attached " +
