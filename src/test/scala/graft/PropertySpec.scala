@@ -55,6 +55,43 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("keyCmp equals unsigned UTF-8 byte order for arbitrary unicode " +
+      "strings (the store's one canonical key order)") {
+    import graft.store.EntryIO
+    def utf8Cmp(a: String, b: String): Int = {
+      val x = a.getBytes("UTF-8"); val y = b.getBytes("UTF-8")
+      var i = 0
+      while (i < x.length && i < y.length) {
+        val c = java.lang.Integer.compare(x(i) & 0xFF, y(i) & 0xFF)
+        if (c != 0) return c
+        i += 1
+      }
+      Integer.compare(x.length, y.length)
+    }
+    // code points across every regime the orders can disagree on: ASCII,
+    // Latin-1, CJK, the private-use/high-BMP block, supplementary planes
+    val cpGen = Gen.oneOf(
+      Gen.chooseNum('a'.toInt, 'z'.toInt),
+      Gen.chooseNum(0xC0, 0xFF),
+      Gen.chooseNum(0x4E00, 0x4E40),
+      Gen.chooseNum(0xE000, 0xE020),
+      Gen.chooseNum(0xF8F0, 0xFFFD),
+      Gen.chooseNum(0x10000, 0x10040),
+      Gen.chooseNum(0x1F600, 0x1F640))
+    val strGen = Gen.listOfN(6, cpGen).map(cps =>
+      new String(cps.toArray.flatMap(Character.toChars), 0,
+        cps.map(Character.charCount).sum))
+    samples(Gen.zip(strGen, strGen), 400).foreach { case (a, b) =>
+      assert(Integer.signum(EntryIO.keyCmp(a, b))
+        === Integer.signum(utf8Cmp(a, b)),
+        s"keyCmp disagrees with UTF-8 byte order on ${a.codePoints.toArray.toSeq} vs ${b.codePoints.toArray.toSeq}")
+      // and totality sanity: antisymmetry + equality
+      assert(Integer.signum(EntryIO.keyCmp(b, a))
+        === -Integer.signum(EntryIO.keyCmp(a, b)))
+      assert(EntryIO.keyCmp(a, a) === 0)
+    }
+  }
+
   test("diff(a, a) is empty") {
     samples(snapGen, N).foreach { a =>
       assert(Diff.twoWay(df(a), df(a)).count() === 0, s"case: $a")
