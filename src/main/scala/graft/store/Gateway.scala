@@ -92,99 +92,75 @@ class Gateway(val engine: Engine,
   // of them becomes the flusher and writes EVERY queued entry as ONE
   // staged epoch; each caller returns only when ITS entry is durable
   // (the future, not the flush it happened to ride, is the barrier).
-  private val stageQueues = new java.util.concurrent.ConcurrentHashMap[
-    String, java.util.concurrent.ConcurrentLinkedQueue[
-      (EntryIO.Entry, java.util.concurrent.CompletableFuture[Unit])]]()
-  private val stageFlushing = new java.util.concurrent.ConcurrentHashMap[
-    String, java.util.concurrent.atomic.AtomicBoolean]()
+  private final class BatchWindow[R] {
+    private val queues = new java.util.concurrent.ConcurrentHashMap[
+      String, java.util.concurrent.ConcurrentLinkedQueue[
+        (EntryIO.Entry, java.util.concurrent.CompletableFuture[R])]]()
+    private val flushing = new java.util.concurrent.ConcurrentHashMap[
+      String, java.util.concurrent.atomic.AtomicBoolean]()
 
-  private def stageBatched(branch: String, entry: EntryIO.Entry): Unit = {
-    val q = stageQueues.computeIfAbsent(branch,
-      _ => new java.util.concurrent.ConcurrentLinkedQueue())
-    val flushing = stageFlushing.computeIfAbsent(branch,
-      _ => new java.util.concurrent.atomic.AtomicBoolean(false))
-    val done = new java.util.concurrent.CompletableFuture[Unit]()
-    q.add((entry, done))
-    while (!done.isDone) {
-      if (flushing.compareAndSet(false, true)) {
-        try {
-          val batch = scala.collection.mutable.ArrayBuffer[
-            (EntryIO.Entry, java.util.concurrent.CompletableFuture[Unit])]()
-          var next = q.poll()
-          while (next != null) { batch += next; next = q.poll() }
-          if (batch.nonEmpty) {
-            try {
-              val (dir, e) = engine.allocateStagingDir(branch)
-              EntryIO.writeStaged(spark.sparkContext.hadoopConfiguration,
-                dir, e, batch.map(_._1).toSeq)
-              batch.foreach(_._2.complete(()))
-            } catch { case t: Throwable =>
-              batch.foreach(_._2.completeExceptionally(t))
+    /** Enqueue, coalesce, return THIS entry's result once durable.
+      * `flush` lands a whole batch and returns per-entry results in
+      * order; its failure fails every rider. */
+    def submit(branch: String, entry: EntryIO.Entry)
+        (flush: Seq[EntryIO.Entry] => Seq[R]): R = {
+      val q = queues.computeIfAbsent(branch,
+        _ => new java.util.concurrent.ConcurrentLinkedQueue())
+      val busy = flushing.computeIfAbsent(branch,
+        _ => new java.util.concurrent.atomic.AtomicBoolean(false))
+      val done = new java.util.concurrent.CompletableFuture[R]()
+      q.add((entry, done))
+      while (!done.isDone) {
+        if (busy.compareAndSet(false, true)) {
+          try {
+            val batch = scala.collection.mutable.ArrayBuffer[
+              (EntryIO.Entry, java.util.concurrent.CompletableFuture[R])]()
+            var next = q.poll()
+            while (next != null) { batch += next; next = q.poll() }
+            if (batch.nonEmpty) {
+              try {
+                val results = flush(batch.map(_._1).toSeq)
+                batch.zip(results).foreach { case ((_, f), r) => f.complete(r) }
+              } catch { case t: Throwable =>
+                batch.foreach(_._2.completeExceptionally(t))
+              }
             }
+          } finally busy.set(false)
+        } else {
+          // another caller is flushing (it may or may not carry this entry)
+          try done.get(20, java.util.concurrent.TimeUnit.MILLISECONDS)
+          catch {
+            case _: java.util.concurrent.TimeoutException => ()
+            case e: java.util.concurrent.ExecutionException => throw e.getCause
           }
-        } finally flushing.set(false)
-      } else {
-        // another caller is flushing (it may or may not carry this entry)
-        try done.get(20, java.util.concurrent.TimeUnit.MILLISECONDS)
-        catch {
-          case _: java.util.concurrent.TimeoutException => ()
-          case e: java.util.concurrent.ExecutionException => throw e.getCause
         }
       }
+      try done.get()
+      catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
     }
-    try done.get()
-    catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
   }
+
+  private val stageWindow = new BatchWindow[Unit]
+
+  private def stageBatched(branch: String, entry: EntryIO.Entry): Unit =
+    stageWindow.submit(branch, entry) { batch =>
+      val (dir, e) = engine.allocateStagingDir(branch)
+      EntryIO.writeStaged(spark.sparkContext.hadoopConfiguration,
+        dir, e, batch)
+      batch.map(_ => ())
+    }
 
   // conditional-create twin of the group-commit window above: concurrent
   // If-None-Match PUTs (content markers land 10+ wide during a commit's
   // publish step) coalesce into ONE branch-lock window + ONE staged epoch
   // (Engine.setEntriesIfAbsent) instead of a serialized epoch write each;
   // per-entry booleans keep exact write-if-absent semantics
-  private val condQueues = new java.util.concurrent.ConcurrentHashMap[
-    String, java.util.concurrent.ConcurrentLinkedQueue[
-      (EntryIO.Entry, java.util.concurrent.CompletableFuture[java.lang.Boolean])]]()
-  private val condFlushing = new java.util.concurrent.ConcurrentHashMap[
-    String, java.util.concurrent.atomic.AtomicBoolean]()
+  private val condWindow = new BatchWindow[Boolean]
 
   private def stageBatchedIfAbsent(branch: String,
-      entry: EntryIO.Entry): Boolean = {
-    val q = condQueues.computeIfAbsent(branch,
-      _ => new java.util.concurrent.ConcurrentLinkedQueue())
-    val flushing = condFlushing.computeIfAbsent(branch,
-      _ => new java.util.concurrent.atomic.AtomicBoolean(false))
-    val done =
-      new java.util.concurrent.CompletableFuture[java.lang.Boolean]()
-    q.add((entry, done))
-    while (!done.isDone) {
-      if (flushing.compareAndSet(false, true)) {
-        try {
-          val batch = scala.collection.mutable.ArrayBuffer[(EntryIO.Entry,
-            java.util.concurrent.CompletableFuture[java.lang.Boolean])]()
-          var next = q.poll()
-          while (next != null) { batch += next; next = q.poll() }
-          if (batch.nonEmpty) {
-            try {
-              val results =
-                engine.setEntriesIfAbsent(branch, batch.map(_._1).toSeq)
-              batch.zip(results).foreach { case ((_, f), r) =>
-                f.complete(java.lang.Boolean.valueOf(r)) }
-            } catch { case t: Throwable =>
-              batch.foreach(_._2.completeExceptionally(t))
-            }
-          }
-        } finally flushing.set(false)
-      } else {
-        try done.get(20, java.util.concurrent.TimeUnit.MILLISECONDS)
-        catch {
-          case _: java.util.concurrent.TimeoutException => ()
-          case e: java.util.concurrent.ExecutionException => throw e.getCause
-        }
-      }
-    }
-    try done.get().booleanValue()
-    catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
-  }
+      entry: EntryIO.Entry): Boolean =
+    condWindow.submit(branch, entry)(
+      batch => engine.setEntriesIfAbsent(branch, batch))
 
   /** CreateMultipartUpload (postobject.go:33-100): allocate a physical
     * address for the final object, record the upload. `uploadId` may be
