@@ -19,26 +19,26 @@ import org.apache.spark.sql.functions._
 object Listing {
 
   /** Smallest string strictly greater than every string with this prefix —
-    * reference `pkg/graveler/prefix.go:1-21` (increment last byte). Empty
-    * result means "no upper bound". */
+    * reference `pkg/graveler/prefix.go:1-21` (increment last byte). The Go
+    * reference increments BYTES; keys here are Strings, so the unit of
+    * increment must be the CODE POINT, not the UTF-16 char: incrementing
+    * the last char of a surrogate PAIR (any prefix ending in a
+    * supplementary-plane character) would leave an unpaired high surrogate
+    * that UTF8String/parquet Binary mangle to '?' (0x3F) — an upper bound
+    * BELOW the prefix that silently empties the listing. Code points that
+    * would land in the surrogate gap (U+D800..U+DFFF — never present in
+    * well-formed keys) jump to U+E000; U+10FFFF borrows leftward. None
+    * means "no upper bound" (prefix empty or all-U+10FFFF). */
   def upperBound(prefix: String): Option[String] = {
-    val b = prefix.toCharArray
-    var i = b.length - 1
-    while (i >= 0) {
-      // increment the last incrementable UTF-16 unit (Char.MaxValue, not the
-      // byte-algorithm's 0xFF — keys here are Strings, not raw bytes).
-      // Incrementing INTO the surrogate block (U+D800..U+DFFF) would build
-      // a lone high surrogate that UTF8String/parquet Binary mangle to '?'
-      // (0x3F) — an upper bound BELOW the prefix that silently drops every
-      // match — so jump those units to U+E000, the next valid char: all
-      // prefix matches keep a smaller unit at position i (both in UTF-16
-      // and UTF-8 binary order), so the bound stays sound.
-      if (b(i) != Char.MaxValue) {
-        val next = b(i) + 1
-        b(i) = if (next >= 0xD800 && next <= 0xDFFF) 0xE000.toChar else next.toChar
-        return Some(new String(b, 0, i + 1))
+    var end = prefix.length
+    while (end > 0) {
+      val cp = prefix.codePointBefore(end)
+      val start = end - Character.charCount(cp)
+      if (cp != Character.MAX_CODE_POINT) {
+        val next = if (cp + 1 >= 0xD800 && cp + 1 <= 0xDFFF) 0xE000 else cp + 1
+        return Some(prefix.substring(0, start) + new String(Character.toChars(next)))
       }
-      i -= 1
+      end = start
     }
     None
   }

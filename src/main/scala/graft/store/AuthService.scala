@@ -96,7 +96,10 @@ class AuthService(rootDir: String,
     // return an empty page with an empty token (false exhaustion signal)
     val amt = if (amount <= 0 || amount > AuthService.MaxPage)
       AuthService.MaxPage else amount
-    val rest = keys.filter(k => k.startsWith(prefix) && k > after).toSeq.sorted
+    // the KV store's ONE key order is UTF-8 binary (EntryIO.keyCmp) — raw
+    // String `>`/sorted would disagree for supplementary-plane names
+    val rest = keys.filter(k => k.startsWith(prefix) && EntryIO.keyGt(k, after))
+      .toSeq.sorted(EntryIO.keyOrder)
     val p = rest.take(amt)
     (p, if (rest.lengthCompare(amt) > 0) p.lastOption.getOrElse("") else "")
   }

@@ -827,7 +827,7 @@ class Engine(val spark: SparkSession, val repoDir: String,
     // contract and filters post-union.
     val meta = if (useUncommitted) effectiveBase(branch, commit)
       else commit.metaRangeId
-    val lo = Seq(prefix, after).filter(_.nonEmpty).maxOption
+    val lo = Seq(prefix, after).filter(_.nonEmpty).maxOption(EntryIO.keyOrder)
     val hi = if (prefix.isEmpty) None else Listing.upperBound(prefix)
     val committed = if (lo.isEmpty && hi.isEmpty) snapshots.scan(meta)
       else snapshots.scanInterval(meta, lo, hi)

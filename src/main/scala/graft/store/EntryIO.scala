@@ -212,16 +212,21 @@ object EntryIO {
   // with them only the (usually one) file whose [min, max] covers the key.
   // Bounded FIFO, entries ~100 B.
   private val fileBoundsCache = java.util.Collections.synchronizedMap(
-    new java.util.LinkedHashMap[String, (String, String)](64, 0.75f, false) {
+    new java.util.LinkedHashMap[String, (String, Option[String])](64, 0.75f, false) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[String, (String, String)]): Boolean =
+          e: java.util.Map.Entry[String, (String, Option[String])]): Boolean =
         size() > 4096
     })
 
   /** [minKey, maxKey] of one Parquet file's `key` column (footer stats;
-    * cached). Falls back to an all-covering interval when stats are
-    * absent, so pruning is only ever conservative. */
-  def fileKeyBounds(conf: Configuration, file: String): (String, String) = {
+    * cached). The footer stats are unsigned-byte (UTF-8) order, so the
+    * cross-block fold MUST use [[keyOrder]] \u2014 raw String min/max disagrees
+    * for supplementary-plane keys and can pick a "max" that is byte-order
+    * smaller, silently un-covering a real key. `hi = None` means unbounded
+    * (stats absent \u2014 there is no maximal String under UTF-8 order, a
+    * "\uffff..." sentinel sorts BELOW every astral key), so pruning is only
+    * ever conservative. */
+  def fileKeyBounds(conf: Configuration, file: String): (String, Option[String]) = {
     val cached = fileBoundsCache.get(file)
     if (cached != null) return cached
     val in = org.apache.parquet.hadoop.util.HadoopInputFile
@@ -233,10 +238,12 @@ object EntryIO {
         b.getColumns.asScala.find(_.getPath.toDotString == "key")
           .map(_.getStatistics)
       }.filter(s => s != null && s.hasNonNullValue)
-      if (stats.isEmpty) ("", "\uffff\uffff")
+      if (stats.isEmpty) ("", None)
       else (
-        stats.map(_.genericGetMin.asInstanceOf[Binary].toStringUsingUTF8).min,
-        stats.map(_.genericGetMax.asInstanceOf[Binary].toStringUsingUTF8).max)
+        stats.map(_.genericGetMin.asInstanceOf[Binary].toStringUsingUTF8)
+          .min(keyOrder),
+        Some(stats.map(_.genericGetMax.asInstanceOf[Binary].toStringUsingUTF8)
+          .max(keyOrder)))
     } finally reader.close()
     fileBoundsCache.put(file, bounds)
     bounds
@@ -244,11 +251,15 @@ object EntryIO {
 
   /** Point lookup within a RANGE's data files: consult each file's cached
     * key bounds and open only covering files (a key exists in at most one
-    * file of a disjoint-keyed snapshot, so first hit wins). */
+    * file of a disjoint-keyed snapshot, so first hit wins). Coverage is
+    * tested in [[keyCmp]] order \u2014 the order the bounds are stored in. */
   def pointInFiles(conf: Configuration, files: Seq[String], k: String): Option[Entry] = {
     if (files.lengthCompare(1) == 0) return pointInFile(conf, files.head, k)
     files.iterator
-      .filter { f => val (lo, hi) = fileKeyBounds(conf, f); lo <= k && k <= hi }
+      .filter { f =>
+        val (lo, hi) = fileKeyBounds(conf, f)
+        keyLe(lo, k) && hi.forall(h => keyLe(k, h))
+      }
       .map(f => pointInFile(conf, f, k))
       .collectFirst { case Some(e) => e }
   }
@@ -455,7 +466,8 @@ object EntryIO {
         // immutable once revealed, so the cached bounds never invalidate;
         // windowless resolves (lo/hi empty) read everything as before.
         val (fLo, fHi) = fileKeyBounds(conf, f)
-        val covers = lo.forall(l => fHi >= l) && hi.forall(h => fLo < h)
+        val covers = lo.forall(l => fHi.forall(fh => keyGe(fh, l))) &&
+          hi.forall(h => keyLt(fLo, h))
         if (covers) scanFile(conf, f, lo, hi) { e =>
           byKey.get(e.key) match {
             case Some((prev, _)) if prev >= epoch => ()

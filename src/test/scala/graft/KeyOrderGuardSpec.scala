@@ -1,0 +1,107 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
+
+/**
+ * Self-enforcing canonical-key-order invariant (review rounds 14-16).
+ *
+ * The store has ONE key order: UTF-8 binary = code-point order
+ * (`EntryIO.keyCmp`). Raw Java String comparison is UTF-16 code-unit
+ * order, which disagrees for supplementary-plane keys (U+10000+ sorts
+ * BELOW [U+E000, U+FFFF] in UTF-16 but ABOVE all BMP in UTF-8). The bug
+ * class recurred twice — r14 (walker seek) and r15 (manifest fold) — so
+ * this spec greps `src/main` and fails the build on any new raw-order
+ * site touching key-path identifiers:
+ *
+ *  - `minKey`/`maxKey`/`prefix`/`after` compared with bare `<` `>` `<=` `>=`
+ *  - `.sortBy(_.minKey|_.maxKey|_.key)` without an explicit Ordering
+ *  - `.sorted` / `.max` / `.min` / `.maxOption` / `.minOption` (no
+ *    Ordering argument) on a line that also touches one of those
+ *    identifiers or a field access `.key`
+ *
+ * Exemptions: `EntryIO.scala` (it DEFINES the order); lines carrying
+ * `keyOrder`/`keyCmp`/`keyLt`/`keyLe`/`keyGt`/`keyGe` (they are the fix);
+ * lines carrying `col(` (Spark Column comparisons run on UTF8String —
+ * already byte order); comments.
+ */
+class KeyOrderGuardSpec extends AnyFunSuite {
+
+  // bare comparison operator: not part of =>, ->, <=, >=, !=, <<, >> etc.
+  private val cmpOps = """(?<![-<>=!])(<=|>=|<|>)(?![<>=])"""
+  private val keyIdents = """(minKey|maxKey|prefix|after)"""
+  private val rawCmpL = (s"""\\b$keyIdents\\b\\s*$cmpOps""").r
+  private val rawCmpR = (s"""$cmpOps\\s*[\\w.]*\\b$keyIdents\\b""").r
+  // sortBy on key fields without an Ordering argument
+  private val rawSortBy =
+    """\.sortBy\(_\.(minKey|maxKey|key)\)(?!\s*\()""".r
+  // bare fold/sort combinators (no Ordering argument) on key-ident lines
+  private val rawFold =
+    """\.(sorted|max|min|maxOption|minOption)\b(?!\s*\()""".r
+  private val keyField = (s"""\\b$keyIdents\\b|\\.key\\b""").r
+
+  private def stripComments(line: String): String = {
+    val noLine = line.indexOf("//") match {
+      case -1 => line
+      case i  => line.substring(0, i)
+    }
+    if (noLine.trim.startsWith("*") || noLine.trim.startsWith("/*")) ""
+    else noLine
+  }
+
+  private[graft] def findings(line: String): Seq[String] = {
+    val l = stripComments(line)
+    if (l.isEmpty) return Nil
+    // the canonical-order helpers ARE the fix — their presence clears a
+    // line; Column comparisons (col(...)) are UTF8String = byte order
+    if (l.contains("keyOrder") || l.contains("keyCmp") ||
+        l.contains("keyLt") || l.contains("keyLe") ||
+        l.contains("keyGt") || l.contains("keyGe") ||
+        l.contains("col(")) return Nil
+    val out = Seq.newBuilder[String]
+    if (rawCmpL.findFirstIn(l).isDefined || rawCmpR.findFirstIn(l).isDefined)
+      out += "raw <,> on a key-path identifier"
+    if (rawSortBy.findFirstIn(l).isDefined)
+      out += "sortBy(_.key-ish) without Ordering"
+    if (keyField.findFirstIn(l).isDefined && rawFold.findFirstIn(l).isDefined)
+      out += "bare sorted/max/min on a key-ident line"
+    out.result()
+  }
+
+  private def scalaSources(root: Path): Seq[Path] =
+    Files.walk(root).iterator().asScala
+      .filter(p => p.toString.endsWith(".scala"))
+      .filterNot(p => p.getFileName.toString == "EntryIO.scala")
+      .toSeq
+
+  test("src/main has no raw UTF-16 comparisons on key-path identifiers") {
+    val root = Paths.get("src/main/scala/graft")
+    assert(Files.isDirectory(root), s"run from the repo root: $root missing")
+    val hits = for {
+      f         <- scalaSources(root)
+      (line, i) <- Files.readAllLines(f).asScala.zipWithIndex
+      why       <- findings(line)
+    } yield s"$f:${i + 1}: $why\n    $line"
+    assert(hits.isEmpty,
+      s"""canonical-order violations (use EntryIO.keyOrder/keyCmp/keyLe...):
+         |${hits.mkString("\n")}""".stripMargin)
+  }
+
+  test("the guard actually catches the bug class (seeded violations)") {
+    // each seeded line reproduces a PAST real bug's shape
+    assert(findings("""    assert(x.maxKey < y.minKey)""").nonEmpty) // r15 PropertySpec
+    assert(findings("""      if (lo <= k && k <= hi) doIt()""").isEmpty) // no key ident — out of scope
+    assert(findings("""      files.filter(f => f.minKey <= k)""").nonEmpty)
+    assert(findings("""    val s = infos.sortBy(_.minKey)""").nonEmpty) // r15 manifest fold
+    assert(findings("""    val s = infos.sortBy(_.minKey)(EntryIO.keyOrder)""").isEmpty)
+    assert(findings("""    val lo = Seq(prefix, after).filter(_.nonEmpty).maxOption""").nonEmpty) // r15 Engine.list
+    assert(findings("""    val lo = Seq(prefix, after).filter(_.nonEmpty).maxOption(EntryIO.keyOrder)""").isEmpty)
+    assert(findings("""    keys.filter(k => k.startsWith(prefix) && k > after)""").nonEmpty) // r16 AuthService
+    assert(findings("""    df.where(col(keyCol) >= prefix)""").isEmpty) // Column cmp = byte order
+    assert(findings("""    // a comment about maxKey < minKey""").isEmpty)
+    assert(findings("""    case x if x.maxKey >= lo => x""").nonEmpty)
+    assert(findings("""    val done = (a: Int) => b""").isEmpty) // `=>` is not `>=`
+    assert(findings("""    val q = Seq("list-type" -> "2", "prefix" -> prefix)""").isEmpty) // `->` is not `>`
+  }
+}

@@ -149,18 +149,34 @@ class OperatorSpec extends SparkSpec {
     assert(nested === Set(("a/x/", true, 2L), ("a/y", false, 1L)))
   }
 
-  test("P1 prefix upper bound increments UTF-16 units, rolls over at \\uffff") {
+  test("P1 prefix upper bound increments CODE POINTS, borrows at U+10FFFF") {
     assert(Listing.upperBound("ab") === Some("ac"))
-    assert(Listing.upperBound("aÿ") === Some("aĀ")) // NOT "b" — ÿ is incrementable
-    assert(Listing.upperBound("a￿") === Some("b"))
-    assert(Listing.upperBound("￿") === None)
+    assert(Listing.upperBound("a\u00ff") === Some("a\u0100")) // NOT "b" — ÿ is incrementable
+    // U+FFFF increments to U+10000 — code points, not UTF-16 units
+    assert(Listing.upperBound("a\uffff") === Some("a\ud800\udc00"))
+    assert(Listing.upperBound("\uffff") === Some("\ud800\udc00"))
     // surrogate block skipped: incrementing U+D7FF must land on U+E000 —
     // a lone high surrogate bound would be mangled to '?' by UTF-8
     // encoders and sort BELOW the prefix (review round 8)
     assert(Listing.upperBound("a\ud7ff") === Some("a\ue000"))
+    // astral-FINAL prefix: the surrogate pair is ONE code point —
+    // incrementing just the low surrogate would leave an unpaired high
+    // surrogate that UTF8String mangles to '?', a bound BELOW the prefix
+    // that silently empties the listing (review round 15)
+    assert(Listing.upperBound("a\ud800\udc00") === Some("a\ud800\udc01"))
+    assert(Listing.upperBound("\ud800\udc00") === Some("\ud800\udc01"))
+    // U+10FFFF has no successor: borrow leftward; all-max → unbounded
+    assert(Listing.upperBound("a\udbff\udfff") === Some("b"))
+    assert(Listing.upperBound("\udbff\udfff") === None)
+    assert(Listing.upperBound("\udbff\udfff\udbff\udfff") === None)
     // the bound actually covers prefixed keys and excludes the next sibling
-    assert("aÿz" >= "aÿ" && "aÿz" < "aĀ")
-    assert(!("aĀx" < "aĀ"))
+    assert("a\u00ffz" >= "a\u00ff" && "a\u00ffz" < "a\u0100")
+    assert(!("a\u0100x" < "a\u0100"))
+    // astral bound soundness in UTF-8 binary order (the store's ONE order)
+    import graft.store.EntryIO.{keyGe, keyLt}
+    val p = "a\ud800\udc00"; val ub = Listing.upperBound(p).get
+    assert(keyGe(p + "z", p) && keyLt(p + "z", ub))
+    assert(!keyLt(ub + "x", ub))
   }
 
   test("O2 pagination returns limit+1 for has_more detection") {

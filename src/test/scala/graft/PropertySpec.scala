@@ -196,15 +196,16 @@ class PropertySpec extends SparkSpec {
         .map(r => r.getString(0) -> r.getString(1)).toMap
       assert(got === want, s"case $i: prefixes=$prefixes")
       // invariants: disjoint-sorted, outside ranges carried by reference
-      infos2.sortBy(_.minKey).sliding(2).foreach {
+      import graft.store.EntryIO.{keyLt, keyGe, keyOrder}
+      infos2.sortBy(_.minKey)(keyOrder).sliding(2).foreach {
         case scala.collection.Seq(x, y) =>
-          assert(x.maxKey < y.minKey, s"case $i overlap")
+          assert(keyLt(x.maxKey, y.minKey), s"case $i overlap")
         case _ => ()
       }
       def outside(ri: RangeInfo) = prefixes.forall { p =>
         graft.operators.Listing.upperBound(p) match {
-          case Some(ub) => ri.maxKey < p || ri.minKey >= ub
-          case None     => ri.maxKey < p
+          case Some(ub) => keyLt(ri.maxKey, p) || keyGe(ri.minKey, ub)
+          case None     => keyLt(ri.maxKey, p)
         }
       }
       val carried = infos1.filter(outside).map(_.rangeId).toSet

@@ -136,6 +136,35 @@ class S3PageWalkSpec extends SparkSpec {
     assert(names.indexOf(kRobot) > names.indexOf(kEmoji),
       "staged supplementary adds merge in code-point order")
     assert(names.last === kRobot)
+
+    // astral-FINAL prefixes (review round 15): the prefix's LAST code point
+    // is supplementary, so upperBound must increment the PAIR as one code
+    // point — a per-UTF-16-unit increment builds an unpaired high surrogate
+    // that lit()/UTF8String mangle to '?' (0x3F), a bound BELOW the prefix
+    // under which the DataFrame path silently returns EMPTY while the
+    // walker (driver-side keyCmp) still answers. Drive BOTH paths.
+    for {
+      prefix <- Seq("main/U/😀", // matches emoji + its children
+                    "main/U/𝄞", // matches the clef key
+                    "main/U/🤖") // staged-only astral key
+      delim <- Seq("", "/"); maxKeys <- Seq(1, 100)
+    } {
+      var after: Option[String] = None
+      var pages = 0
+      var go = true
+      var total = 0
+      while (go && pages < 50) {
+        pages += 1
+        val expect = dfPage(eng, "main", prefix, delim, after, maxKeys)
+        val got = walkPage(eng, "main", prefix, delim, after, maxKeys)
+        assert(got === expect,
+          s"astral-final page $pages (prefix=$prefix, delim='$delim', max=$maxKeys, after=$after)")
+        total += expect.size
+        go = expect.nonEmpty && expect.last._3 == 1L
+        after = expect.lastOption.map(_._1)
+      }
+      assert(total > 0, s"astral-final prefix $prefix must NOT list empty")
+    }
   }
 
   test("walker serves the committed-only view for ref@ and carries entry " +
