@@ -69,6 +69,74 @@ object HttpRange {
   }
 }
 
+// ---- group-commit staging (the reference's staging batch window,
+// `pkg/graveler/staging/manager.go:33-36` batches KV writes over 3 ms) --
+//
+// A gateway PUT stages one entry; under concurrent writers (a commit's
+// range uploads land 10+ wide) a per-PUT staged-epoch write is pure
+// amplification: one parquet file + one O(epochs) allocation probe per
+// object. Arrival coalescing instead: callers enqueue their entry, one
+// of them becomes the flusher and writes EVERY queued entry as ONE
+// staged epoch; each caller returns only when ITS entry is durable
+// (the future, not the flush it happened to ride, is the barrier).
+private[graft] final class BatchWindow[R] {
+  private val queues = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.ConcurrentLinkedQueue[
+      (EntryIO.Entry, java.util.concurrent.CompletableFuture[R])]]()
+  private val flushing = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.atomic.AtomicBoolean]()
+
+  /** Enqueue, coalesce, return THIS entry's result once durable.
+    * `flush` lands a whole batch and returns per-entry results in
+    * order; its failure fails every rider. */
+  def submit(branch: String, entry: EntryIO.Entry)
+      (flush: Seq[EntryIO.Entry] => Seq[R]): R = {
+    val q = queues.computeIfAbsent(branch,
+      _ => new java.util.concurrent.ConcurrentLinkedQueue())
+    val busy = flushing.computeIfAbsent(branch,
+      _ => new java.util.concurrent.atomic.AtomicBoolean(false))
+    val done = new java.util.concurrent.CompletableFuture[R]()
+    q.add((entry, done))
+    while (!done.isDone) {
+      if (busy.compareAndSet(false, true)) {
+        try {
+          val batch = scala.collection.mutable.ArrayBuffer[
+            (EntryIO.Entry, java.util.concurrent.CompletableFuture[R])]()
+          var next = q.poll()
+          while (next != null) { batch += next; next = q.poll() }
+          if (batch.nonEmpty) {
+            try {
+              val results = flush(batch.map(_._1).toSeq)
+              batch.zip(results).foreach { case ((_, f), r) => f.complete(r) }
+            } catch { case t: Throwable =>
+              batch.foreach(_._2.completeExceptionally(t))
+            }
+          }
+        } finally busy.synchronized {
+          // release + WAKE: a caller whose entry missed this flush's drain
+          // is parked below — signal it to re-contend immediately instead
+          // of a timed-poll quantum (the reference's window is 3 ms,
+          // staging/manager.go:34; a 20 ms park would dominate PUT latency
+          // under contention — review round 15)
+          busy.set(false)
+          busy.notifyAll()
+        }
+      } else {
+        // another caller is flushing (it may or may not carry this entry):
+        // park until the flusher's release signal, then re-check. The
+        // busy.get re-check and the flusher's set(false) share the monitor,
+        // so no wakeup is lost; the bounded wait is belt-and-braces only.
+        busy.synchronized {
+          if (busy.get && !done.isDone)
+            busy.wait(20)
+        }
+      }
+    }
+    try done.get()
+    catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
+  }
+}
+
 class Gateway(val engine: Engine,
     clock: () => Long = () => System.currentTimeMillis() / 1000) {
 
@@ -81,64 +149,6 @@ class Gateway(val engine: Engine,
 
   private def uploadsFile = Paths.get(s"${engine.repoDir}/refs/multiparts.tsv")
   private def partsFile = Paths.get(s"${engine.repoDir}/refs/multipart_parts.tsv")
-
-  // ---- group-commit staging (the reference's staging batch window,
-  // `pkg/graveler/staging/manager.go:33-36` batches KV writes over 3 ms) --
-  //
-  // A gateway PUT stages one entry; under concurrent writers (a commit's
-  // range uploads land 10+ wide) a per-PUT staged-epoch write is pure
-  // amplification: one parquet file + one O(epochs) allocation probe per
-  // object. Arrival coalescing instead: callers enqueue their entry, one
-  // of them becomes the flusher and writes EVERY queued entry as ONE
-  // staged epoch; each caller returns only when ITS entry is durable
-  // (the future, not the flush it happened to ride, is the barrier).
-  private final class BatchWindow[R] {
-    private val queues = new java.util.concurrent.ConcurrentHashMap[
-      String, java.util.concurrent.ConcurrentLinkedQueue[
-        (EntryIO.Entry, java.util.concurrent.CompletableFuture[R])]]()
-    private val flushing = new java.util.concurrent.ConcurrentHashMap[
-      String, java.util.concurrent.atomic.AtomicBoolean]()
-
-    /** Enqueue, coalesce, return THIS entry's result once durable.
-      * `flush` lands a whole batch and returns per-entry results in
-      * order; its failure fails every rider. */
-    def submit(branch: String, entry: EntryIO.Entry)
-        (flush: Seq[EntryIO.Entry] => Seq[R]): R = {
-      val q = queues.computeIfAbsent(branch,
-        _ => new java.util.concurrent.ConcurrentLinkedQueue())
-      val busy = flushing.computeIfAbsent(branch,
-        _ => new java.util.concurrent.atomic.AtomicBoolean(false))
-      val done = new java.util.concurrent.CompletableFuture[R]()
-      q.add((entry, done))
-      while (!done.isDone) {
-        if (busy.compareAndSet(false, true)) {
-          try {
-            val batch = scala.collection.mutable.ArrayBuffer[
-              (EntryIO.Entry, java.util.concurrent.CompletableFuture[R])]()
-            var next = q.poll()
-            while (next != null) { batch += next; next = q.poll() }
-            if (batch.nonEmpty) {
-              try {
-                val results = flush(batch.map(_._1).toSeq)
-                batch.zip(results).foreach { case ((_, f), r) => f.complete(r) }
-              } catch { case t: Throwable =>
-                batch.foreach(_._2.completeExceptionally(t))
-              }
-            }
-          } finally busy.set(false)
-        } else {
-          // another caller is flushing (it may or may not carry this entry)
-          try done.get(20, java.util.concurrent.TimeUnit.MILLISECONDS)
-          catch {
-            case _: java.util.concurrent.TimeoutException => ()
-            case e: java.util.concurrent.ExecutionException => throw e.getCause
-          }
-        }
-      }
-      try done.get()
-      catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
-    }
-  }
 
   private val stageWindow = new BatchWindow[Unit]
 

@@ -416,7 +416,16 @@ class GatewayHttp(hub: GatewayHub, auth: GatewayAuth, authSvc: AuthService,
                       gw.uploadPart(uploadId, pn, req.body.length.toLong, etag)
                       val pp = mpuPartPath(uploadId, pn)
                       Files.createDirectories(pp.getParent)
-                      Files.write(pp, req.body)
+                      // tmp + ATOMIC_MOVE like writePhysical: two racing
+                      // re-uploads of the SAME part number must each land
+                      // whole — interleaved plain writes could leave a torn
+                      // stash that assembleParts concatenates into the
+                      // final object
+                      val tmp = pp.resolveSibling(
+                        s".tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+                      Files.write(tmp, req.body)
+                      Files.move(tmp, pp, StandardCopyOption.ATOMIC_MOVE,
+                        StandardCopyOption.REPLACE_EXISTING)
                       respond(ex, 200, Array.emptyByteArray,
                         Seq("ETag" -> quote(etag)))
                     case Some(_) => respondError(ex, "InvalidRequest")

@@ -123,14 +123,24 @@ class RefStore(rootDir: String,
     val c = commitsCache
     if (c != null && c._1 == mt && c._2 == sz) (c._3, c._4)
     else this.synchronized {
-      // TOLERANT parse: a reader racing ANOTHER process's O_APPEND commit
-      // write can observe a torn final line (regular-file reads are not
-      // atomic vs writes) — drop what doesn't decode instead of failing
-      // the whole load. The torn tail caches under the partial (mtime,
-      // size), so the completed append invalidates it on the next stat.
-      val parsed = scala.jdk.CollectionConverters.ListHasAsScala(
+      // TOLERANT parse of the TAIL only: a reader racing ANOTHER process's
+      // O_APPEND commit write can observe a torn FINAL line (regular-file
+      // reads are not atomic vs writes) — drop it instead of failing the
+      // whole load; the completed append invalidates the cache on the next
+      // (mtime, size) stat. A decode failure anywhere EARLIER cannot be a
+      // race (appends only grow the tail) — that is real corruption, and
+      // silently dropping it would convert a detectable bad store into
+      // missing-commit behavior downstream, so fail loudly.
+      val lines = scala.jdk.CollectionConverters.ListHasAsScala(
         Files.readAllLines(commitsFile)).asScala.toSeq.filter(_.nonEmpty)
-        .flatMap(l => scala.util.Try(dec(l)).toOption)
+      val parsed = lines.zipWithIndex.flatMap { case (l, i) =>
+        scala.util.Try(dec(l)).toOption match {
+          case some @ Some(_) => some
+          case None if i == lines.size - 1 => None // racing append's torn tail
+          case None => throw new IllegalStateException(
+            s"corrupt commit record at $commitsFile:${i + 1}: $l")
+        }
+      }
       val byId = parsed.map(x => x.commitId -> x).toMap
       commitsCache = (mt, sz, parsed, byId)
       (parsed, byId)

@@ -52,6 +52,9 @@ object Validate {
       case Array(repo, _*) if !isValidRepositoryId(repo) => None
       case Array(repo)            => Some((repo, None, None))
       case Array(repo, ref)       => Some((repo, Some(ref).filter(_.nonEmpty), None))
+      // `lakefs://repo//path` is malformed (empty ref segment), matching
+      // uri.Parse — NOT a well-formed URI with an empty ref
+      case Array(_, ref, _) if ref.isEmpty => None
       case Array(repo, ref, path) => Some((repo, Some(ref), Some(path)))
     }
 }

@@ -1,0 +1,94 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+import java.util.concurrent.atomic.AtomicInteger
+import graft.store.{BatchWindow, EntryIO}
+
+/**
+ * The gateway's arrival-coalescing window (reference
+ * `pkg/graveler/staging/manager.go:33-36`, a 3 ms batch window). A caller
+ * whose entry misses the in-flight flush's drain must wake on the
+ * flusher's RELEASE signal, not on a timed-poll quantum — a 20 ms park
+ * would dominate gateway PUT latency under contention (review round 15).
+ */
+class BatchWindowSpec extends AnyFunSuite {
+
+  private def entry(k: String) =
+    EntryIO.Entry(k, Some(s"id-$k"), None, 0L, 0L)
+
+  test("a caller that missed the in-flight drain wakes on release, not on a poll quantum") {
+    val win = new BatchWindow[Unit]
+    val pool = Executors.newCachedThreadPool()
+    try {
+      val cycles = 20
+      var wakeTotalNanos = 0L
+      for (_ <- 1 to cycles) {
+        val drained = new CountDownLatch(1)
+        val release = new CountDownLatch(1)
+        val calls = new AtomicInteger(0)
+        def flush(batch: Seq[EntryIO.Entry]): Seq[Unit] = {
+          if (calls.incrementAndGet() == 1) {
+            drained.countDown() // queue already drained; hold the window open
+            release.await(10, TimeUnit.SECONDS)
+          }
+          batch.map(_ => ())
+        }
+        val a = pool.submit(new Runnable {
+          def run(): Unit = win.submit("b", entry("a"))(flush)
+        })
+        assert(drained.await(10, TimeUnit.SECONDS), "flusher never started")
+        // B enqueues AFTER the drain: its entry missed the in-flight flush,
+        // so B parks until the flusher releases the window
+        val b = pool.submit(new Runnable {
+          def run(): Unit = win.submit("b", entry("b"))(flush)
+        })
+        Thread.sleep(30) // let B reach the parked state mid-flush
+        val t0 = System.nanoTime()
+        release.countDown()
+        a.get(10, TimeUnit.SECONDS)
+        b.get(10, TimeUnit.SECONDS)
+        wakeTotalNanos += System.nanoTime() - t0
+      }
+      val avgMs = wakeTotalNanos / cycles / 1e6
+      // timed 20 ms polling averages ~10 ms residual park per cycle; the
+      // release signal makes the wake effectively immediate. 5 ms average
+      // leaves room for scheduler jitter while still failing a poll-quantum
+      // implementation.
+      assert(avgMs < 5.0,
+        f"loser wake latency $avgMs%.2f ms/cycle — poll-quantum parking?")
+    } finally pool.shutdownNow()
+  }
+
+  test("every concurrent caller gets ITS OWN result; batches coalesce") {
+    val win = new BatchWindow[String]
+    val pool = Executors.newCachedThreadPool()
+    try {
+      val flushes = new AtomicInteger(0)
+      val n = 64
+      val futures = (1 to n).map { i =>
+        pool.submit(new java.util.concurrent.Callable[String] {
+          def call(): String = win.submit("b", entry(s"k$i")) { batch =>
+            flushes.incrementAndGet()
+            Thread.sleep(2) // widen the window so arrivals coalesce
+            batch.map(e => s"r-${e.key}")
+          }
+        })
+      }
+      futures.zipWithIndex.foreach { case (f, i) =>
+        assert(f.get(30, TimeUnit.SECONDS) === s"r-k${i + 1}")
+      }
+      assert(flushes.get() < n,
+        s"no coalescing: ${flushes.get()} flushes for $n submits")
+    } finally pool.shutdownNow()
+  }
+
+  test("a failed flush fails exactly its riders; the window recovers") {
+    val win = new BatchWindow[Unit]
+    intercept[IllegalStateException] {
+      win.submit("b", entry("boom"))(_ => throw new IllegalStateException("x"))
+    }
+    // the window is not wedged: a subsequent submit flushes normally
+    win.submit("b", entry("ok"))(batch => batch.map(_ => ()))
+  }
+}

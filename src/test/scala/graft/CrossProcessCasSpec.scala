@@ -172,6 +172,29 @@ class CrossProcessCasSpec extends SparkSpec {
       === Some(c.commitId))
   }
 
+  test("a corrupt MID-FILE commit record fails loudly — only the racing " +
+      "tail is torn-read-tolerated") {
+    import spark.implicits._
+    val dir = tmpDir("tornmid")
+    val a = new Engine(spark, dir, raggedness = 100)
+    a.init("main", Some(Seq(("k1", "v1")).toDF("key", "identity")))
+    a.set("main", "k1", "v2"); a.commit("main", "a", "second")
+    a.set("main", "k1", "v3"); a.commit("main", "a", "third")
+    val commitsPath = java.nio.file.Paths.get(s"$dir/refs/commits.jsonl")
+    val lines = new String(java.nio.file.Files.readAllBytes(commitsPath),
+      "UTF-8").split("\n").toSeq
+    assert(lines.size >= 3)
+    // corrupt a line that is NOT the tail: an O_APPEND race can only tear
+    // the final line, so this is real corruption — dropping it silently
+    // would surface later as missing-commit behavior (review round 16)
+    val mangled = lines.updated(1, lines(1).take(lines(1).length / 2))
+    java.nio.file.Files.write(commitsPath,
+      mangled.mkString("\n").getBytes("UTF-8"))
+    val b = new Engine(spark, dir, raggedness = 100) // fresh cache
+    val e = intercept[IllegalStateException](b.refs.commits)
+    assert(e.getMessage.contains("corrupt commit record"))
+  }
+
   test("UNKNOWN-outcome CAS, landed: a commit whose conditional put times " +
       "out AFTER applying is recognized, not re-committed") {
     import spark.implicits._

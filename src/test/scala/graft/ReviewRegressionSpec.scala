@@ -239,4 +239,18 @@ class ReviewRegressionSpec extends SparkSpec {
       }
     } finally { pool.shutdownNow(); df.unpersist() }
   }
+
+  test("parseLakefsUri rejects an empty ref segment (lakefs://repo//path)") {
+    import graft.store.Validate.parseLakefsUri
+    assert(parseLakefsUri("lakefs://repo") === Some(("repo", None, None)))
+    assert(parseLakefsUri("lakefs://repo/") === Some(("repo", None, None)))
+    assert(parseLakefsUri("lakefs://repo/main") ===
+      Some(("repo", Some("main"), None)))
+    assert(parseLakefsUri("lakefs://repo/main/a/b") ===
+      Some(("repo", Some("main"), Some("a/b"))))
+    // a double slash is MALFORMED, not a well-formed URI with an empty ref
+    // (uri.Parse; review round 16)
+    assert(parseLakefsUri("lakefs://repo//path") === None)
+    assert(parseLakefsUri("nope://repo/main") === None)
+  }
 }
