@@ -820,11 +820,116 @@ object Bench {
         addStep("contention", "contended_wall", tContended)
         addStep("contention", "cas_retries",
           (engA.casRetries.sum + engB.casRetries.sum).toDouble)
+        // per-attempt CAUSE split (r15 verdict task 4): a retry count drift
+        // attributes to definitive CAS loss vs ambiguous outcome vs time
+        // parked on the in-process keyed lock
+        addStep("contention", "cas_lost",
+          (engA.casLostRetries.sum + engB.casLostRetries.sum).toDouble)
+        addStep("contention", "cas_unknown",
+          (engA.casUnknownRetries.sum + engB.casUnknownRetries.sum).toDouble)
+        addStep("contention", "lock_wait_ms",
+          (engA.lockWaitNanos.sum + engB.lockWaitNanos.sum) / 1e6)
+        addStep("contention", "lock_waits",
+          (engA.lockWaits.sum + engB.lockWaits.sum).toDouble)
         addStep("contention", "extra_attempts", (attempts - 12).toDouble)
         seed.unpersist()
       } catch { case e: Throwable =>
         System.err.println(s"[bench] contention metric failed (continuing): ${e.getMessage}")
       } finally deleteDir(cdOut)
+    }
+
+    // Contended commits THROUGH the wire path (r15 verdict task 5): the
+    // block above contends on the default file-backed CAS; the production
+    // analogue is two processes racing CONDITIONAL PUTs against a bucket's
+    // etag endpoint (S3 If-Match / If-None-Match). Same 12-commit race,
+    // branch-head CAS through HttpEtagBlob against an in-process etag
+    // server (single atomic precondition check, like the stores document);
+    // a serial twin on the SAME backend isolates contention cost from the
+    // per-CAS http hop. Counters must show 0 extra attempts (no
+    // double-applied commit) — lost CAS is fine, duplicated work is not.
+    {
+      val chOut = s"target/bench_chttp_${java.util.UUID.randomUUID()}"
+      val etagSrv = new EtagBenchServer
+      def clock(f: => Unit): Double = {
+        System.gc(); Thread.sleep(250)
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      def landAll(eng: graft.store.Engine, tag: String,
+          keys: Seq[String]): Int = {
+        var attempts = 0
+        for (key <- keys) {
+          var landed = false
+          var tries = 0
+          while (!landed && tries < 20) {
+            tries += 1; attempts += 1
+            try {
+              eng.set("main", key, s"v-$key")
+              eng.commit("main", tag, s"land $key")
+              landed = true
+            } catch {
+              case _: Exception =>
+                Thread.sleep(10)
+                landed = eng.list("main@").where(col("key") === key)
+                  .limit(1).collect().nonEmpty
+            }
+          }
+        }
+        attempts
+      }
+      try {
+        val uri = java.net.URI.create(s"http://127.0.0.1:${etagSrv.port}/")
+        def httpEng(dir: String) = new graft.store.Engine(spark, dir,
+          raggedness = 50000L, conditional = new graft.store.EtagStore(
+            new graft.store.HttpEtagBlob(uri)))
+        val seed = base.where(col("k") % 10 === 0)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        seed.count()
+        val serKeys = (1 to 12).map(i => f"zz-chttp-ser-$i%03d")
+        val engS = httpEng(s"$chOut/serial")
+        engS.init("main", Some(seed))
+        val tSerial = clock { landAll(engS, "s", serKeys); () }
+        engS.awaitStagingCleanup()
+
+        val engA = httpEng(s"$chOut/shared")
+        engA.init("main", Some(seed))
+        val engB = httpEng(s"$chOut/shared")
+        val keysA = (1 to 6).map(i => f"zz-chttp-a-$i%03d")
+        val keysB = (1 to 6).map(i => f"zz-chttp-b-$i%03d")
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+        var attempts = 0
+        val tContended = clock {
+          val fa = pool.submit(new java.util.concurrent.Callable[Int] {
+            override def call(): Int = landAll(engA, "a", keysA)
+          })
+          val fb = pool.submit(new java.util.concurrent.Callable[Int] {
+            override def call(): Int = landAll(engB, "b", keysB)
+          })
+          attempts = fa.get() + fb.get()
+        }
+        pool.shutdown()
+        engA.awaitStagingCleanup(); engB.awaitStagingCleanup()
+        val committed = engA.list("main@")
+          .where(col("key").startsWith("zz-chttp-"))
+          .select("key").collect().map(_.getString(0)).toSet
+        (keysA ++ keysB).foreach(k =>
+          require(committed.contains(k), s"contended http commit lost $k"))
+        samples("commit_contended_http") =
+          samples.getOrElse("commit_contended_http", Vector.empty) :+ tContended
+        addStep("contention_http", "serial_wall", tSerial)
+        addStep("contention_http", "contended_wall", tContended)
+        addStep("contention_http", "cas_retries",
+          (engA.casRetries.sum + engB.casRetries.sum).toDouble)
+        addStep("contention_http", "cas_lost",
+          (engA.casLostRetries.sum + engB.casLostRetries.sum).toDouble)
+        addStep("contention_http", "cas_unknown",
+          (engA.casUnknownRetries.sum + engB.casUnknownRetries.sum).toDouble)
+        addStep("contention_http", "lock_wait_ms",
+          (engA.lockWaitNanos.sum + engB.lockWaitNanos.sum) / 1e6)
+        addStep("contention_http", "extra_attempts", (attempts - 12).toDouble)
+        seed.unpersist()
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] contention_http metric failed (continuing): ${e.getMessage}")
+      } finally { etagSrv.stop(); deleteDir(chOut) }
     }
 
     // teardown the http twin like every per-pass repo: stop the server,
@@ -876,7 +981,7 @@ object Bench {
     // whose wall belongs in queries/trace, not a round-over-round total
     val total = samples.collect {
       case (k, v) if v.nonEmpty && !k.startsWith("bare_") &&
-        k != "commit_contended" => median(v)
+        k != "commit_contended" && k != "commit_contended_http" => median(v)
     }.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""queries_min":$qsMin,"trace":$trace,"passes":$passes,"sf":"$sfDir"}""")
@@ -900,12 +1005,83 @@ object Bench {
     // with). The full trace stays on the first line; this line holds only
     // the metrics the budget rules read, values sig-rounded to stay small.
     val keyMetrics = Seq("snapshot_write", "commit", "diff",
-      "growth", "contention")
+      "growth", "contention", "contention_http")
     val traceTail = keyMetrics.flatMap(m => stepSamples.get(m).map(steps =>
       "\"" + m + "\":" + steps.map { case (s, v) =>
         "\"" + s + "\":" + sig(if (v.isEmpty) -1.0 else median(v))
       }.mkString("{", ",", "}"))).mkString("{", ",", "}")
     println(s"""{"metric":"trace_tail","value":0,"unit":"sec",""" +
       s""""trace":$traceTail}""")
+  }
+}
+
+/**
+ * Minimal in-process HTTP endpoint speaking the S3 etag conditional-PUT
+ * dialect [[graft.store.HttpEtagBlob]] expects — the bench-scale stand-in
+ * for a real bucket's conditional writes (the full contract fakes live in
+ * the test tree; the bench runs on the main classpath). One global lock:
+ * precondition evaluation and apply are ATOMIC, as S3/GCS/Azure document
+ * for conditional writes; etags are minted per write (never
+ * content-derived), so the CAS is ABA-proof.
+ */
+private final class EtagBenchServer {
+  private val lock = new Object
+  private val store = new java.util.HashMap[String, (Array[Byte], String)]()
+  private var gen = 0L
+  private val server = com.sun.net.httpserver.HttpServer.create(
+    new java.net.InetSocketAddress("127.0.0.1", 0), 64)
+
+  server.createContext("/", (ex: com.sun.net.httpserver.HttpExchange) => {
+    try {
+      val key = java.net.URLDecoder.decode(
+        ex.getRequestURI.getRawPath.stripPrefix("/"), "UTF-8")
+      val reqBody = ex.getRequestBody.readAllBytes()
+      ex.getRequestMethod match {
+        case "GET" =>
+          lock.synchronized(Option(store.get(key))) match {
+            case Some((b, e)) =>
+              ex.getResponseHeaders.set("ETag", e)
+              if (b.length == 0) ex.sendResponseHeaders(200, -1)
+              else {
+                ex.sendResponseHeaders(200, b.length.toLong)
+                ex.getResponseBody.write(b)
+              }
+            case None => ex.sendResponseHeaders(404, -1)
+          }
+        case "PUT" =>
+          val inm = Option(ex.getRequestHeaders.getFirst("If-None-Match"))
+          val im = Option(ex.getRequestHeaders.getFirst("If-Match"))
+          val outcome = lock.synchronized {
+            val cur = Option(store.get(key))
+            (inm, im) match {
+              case (Some("*"), _) if cur.isDefined => None // create lost
+              case (_, Some(e)) if !cur.exists(_._2 == e) => None // replace lost
+              case _ =>
+                gen += 1
+                val etag = s"\"bench-$gen\""
+                store.put(key, (reqBody, etag))
+                Some(etag)
+            }
+          }
+          outcome match {
+            case Some(e) =>
+              ex.getResponseHeaders.set("ETag", e)
+              ex.sendResponseHeaders(200, -1)
+            case None => ex.sendResponseHeaders(412, -1)
+          }
+        case _ => ex.sendResponseHeaders(405, -1)
+      }
+    } finally ex.close()
+  })
+  server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8))
+  server.start()
+
+  def port: Int = server.getAddress.getPort
+  def stop(): Unit = {
+    try server.stop(0) catch { case _: Throwable => () }
+    server.getExecutor match {
+      case e: java.util.concurrent.ExecutorService => e.shutdownNow()
+      case _ => ()
+    }
   }
 }

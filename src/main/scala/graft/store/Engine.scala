@@ -684,8 +684,17 @@ class Engine(val spark: SparkSession, val repoDir: String,
   private[graft] var beforeCas: () => Unit = () => ()
 
   /** Lost branch-head CAS attempts (each one cost a recompute) — the
-    * contention meter the bench's `commit_contended` metric reads. */
+    * contention meter the bench's `commit_contended` metric reads.
+    * [[casLostRetries]]/[[casUnknownRetries]] split the total by CAUSE
+    * (definitive loss to another writer vs ambiguous outcome), and
+    * [[lockWaitNanos]]/[[lockWaits]] meter time blocked on the in-process
+    * keyed lock BEFORE the CAS loop — together they attribute a contended
+    * wall-time delta to lock-wait vs CAS-loss vs ambiguity (review r15). */
   private[graft] val casRetries = new java.util.concurrent.atomic.LongAdder
+  private[graft] val casLostRetries = new java.util.concurrent.atomic.LongAdder
+  private[graft] val casUnknownRetries = new java.util.concurrent.atomic.LongAdder
+  private[graft] val lockWaitNanos = new java.util.concurrent.atomic.LongAdder
+  private[graft] val lockWaits = new java.util.concurrent.atomic.LongAdder
 
   /** In-process writers to the same branch line up FIFO here before the
     * CAS loop (the reference's keyed lock, `pkg/distributed/
@@ -699,8 +708,15 @@ class Engine(val spark: SparkSession, val repoDir: String,
     * and recompute, up to [[branchUpdateMaxTries]] tries. `attempt` returns
     * the commit to install plus an on-success action. */
   private def retryingCas(branch: String, op: String)(
-      attempt: (String, CommitInfo) => (CommitInfo, () => Unit)): CommitInfo =
-    branchLock.withLock(branch) { retryingCasUnlocked(branch, op)(attempt) }
+      attempt: (String, CommitInfo) => (CommitInfo, () => Unit)): CommitInfo = {
+    val t0 = System.nanoTime()
+    branchLock.withLock(branch) {
+      val waited = System.nanoTime() - t0
+      lockWaitNanos.add(waited)
+      if (waited > 1000000L) lockWaits.increment() // blocked >1 ms = contended
+      retryingCasUnlocked(branch, op)(attempt)
+    }
+  }
 
   /** Ambiguous branch-head CAS attempts resolved as wins — the meter
     * FaultingBlob-style backends exercise. */
@@ -786,7 +802,7 @@ class Engine(val spark: SparkSession, val repoDir: String,
       refs.casBranchOutcome(branch, Some(headId), c.commitId) match {
         case RefStore.CasWon => onSuccess(); return c
         case RefStore.CasLost =>
-          casRetries.increment()
+          casRetries.increment(); casLostRetries.increment()
           if (tries >= branchUpdateMaxTries)
             pendingLanded() match {
               case Some(pc) => return pc
@@ -795,7 +811,7 @@ class Engine(val spark: SparkSession, val repoDir: String,
             }
         case RefStore.CasUnknown(cause) =>
           pending += (c.commitId -> ((c, onSuccess)))
-          casRetries.increment()
+          casRetries.increment(); casUnknownRetries.increment()
           if (tries >= branchUpdateMaxTries)
             pendingLanded() match {
               case Some(pc) => return pc
