@@ -197,6 +197,82 @@ class ConditionalContractSpec extends AnyFunSuite {
       === PutOutcome.PreconditionFailed)
   }
 
+  test("Azure UPDATE on an existing blob through the wire: If-Match " +
+      "current → 201 + fresh etag; stale → 412; both definitive") {
+    import graft.store.PutOutcome
+    val b = azureBlob()
+    val e1 = b.putIfOutcome("az-upd", "v1".getBytes, None) match {
+      case PutOutcome.Put(e) => e
+      case other             => fail(s"create must win: $other")
+    }
+    // the branch-head UPDATE shape: replace-if-unchanged on the CURRENT etag
+    val e2 = b.putIfOutcome("az-upd", "v2".getBytes, Some(e1)) match {
+      case PutOutcome.Put(e) => e
+      case other             => fail(s"current-etag update must win: $other")
+    }
+    assert(e2 != e1 && e2.startsWith("\"0x"),
+      "Azure mints a fresh 0x etag per successful Put Blob")
+    // the loser of a CAS race holds e1 — definitive 412, nothing written
+    assert(b.putIfOutcome("az-upd", "v3".getBytes, Some(e1))
+      === PutOutcome.PreconditionFailed)
+    assert(new String(b.get("az-upd").get._1) === "v2")
+    assert(b.get("az-upd").get._2 === e2)
+  }
+
+  test("Azure lease conflict: a leased blob answers 412 (LeaseIdMissing " +
+      "class) to writers without the lease id — definitive, no write; " +
+      "release restores the normal conditional matrix") {
+    import graft.store.PutOutcome
+    val b = azureBlob()
+    val e1 = b.putIfOutcome("az-lease", "v1".getBytes, None) match {
+      case PutOutcome.Put(e) => e
+      case other             => fail(s"create must win: $other")
+    }
+    azureServer.lease("az-lease", "lease-1")
+    // engine writers never hold leases: a leased branch-head blob makes
+    // the CAS definitively lose (412) — never ambiguous, never applied
+    assert(b.putIfOutcome("az-lease", "v2".getBytes, Some(e1))
+      === PutOutcome.PreconditionFailed)
+    assert(new String(b.get("az-lease").get._1) === "v1",
+      "a lease conflict must write NOTHING")
+    assert(b.get("az-lease").get._2 === e1)
+    // create-if-absent against a leased (existing) blob: still definitive
+    assert(b.putIfOutcome("az-lease", "v2".getBytes, None)
+      === PutOutcome.PreconditionFailed)
+    // the lease HOLDER's id passes the gate AND the conditional matrix
+    // still applies (raw client carrying x-ms-lease-id + If-Match)
+    val holder = java.net.http.HttpClient.newHttpClient()
+    val req = java.net.http.HttpRequest.newBuilder(
+        java.net.URI.create(s"http://localhost:$azurePort/az-lease"))
+      .PUT(java.net.http.HttpRequest.BodyPublishers.ofByteArray("v-h".getBytes))
+      .header("x-ms-blob-type", "BlockBlob")
+      .header("x-ms-lease-id", "lease-1")
+      .header("If-Match", e1)
+      .build()
+    val resp = holder.send(req,
+      java.net.http.HttpResponse.BodyHandlers.ofByteArray())
+    assert(resp.statusCode() === 201, "the holder's conditional write lands")
+    val eHolder = resp.headers().firstValue("ETag").orElse("")
+    assert(eHolder.nonEmpty && eHolder != e1)
+    // stale If-Match with the right lease id STILL 412s — lease does not
+    // bypass preconditions
+    val stale = java.net.http.HttpRequest.newBuilder(
+        java.net.URI.create(s"http://localhost:$azurePort/az-lease"))
+      .PUT(java.net.http.HttpRequest.BodyPublishers.ofByteArray("v-s".getBytes))
+      .header("x-ms-blob-type", "BlockBlob")
+      .header("x-ms-lease-id", "lease-1")
+      .header("If-Match", e1)
+      .build()
+    assert(holder.send(stale,
+      java.net.http.HttpResponse.BodyHandlers.ofByteArray()).statusCode() === 412)
+    // release: the normal matrix is back for lease-less engine writers
+    azureServer.releaseLease("az-lease")
+    assert(b.putIfOutcome("az-lease", "v4".getBytes, Some(eHolder)) match {
+      case PutOutcome.Put(_) => true
+      case _                 => false
+    }, "after release, a current-etag update wins again")
+  }
+
   test("FileGenerationBlob: an orphaned temp from a crashed writer is harmless") {
     val dir = tmp("fgb-orphan")
     val b = new FileGenerationBlob(dir)

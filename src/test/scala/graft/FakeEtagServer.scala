@@ -24,6 +24,17 @@ class FakeEtagServer(azureDialect: Boolean = false) {
   val failPutsAfterApply = new AtomicInteger(0)
   private var server: HttpServer = _
 
+  // Active blob leases (azure dialect only): key → lease id. A write to a
+  // leased blob without the matching `x-ms-lease-id` answers **412** with
+  // error code LeaseIdMissing (public Lease Blob docs) — the same status
+  // class as a failed precondition, evaluated BEFORE the conditional
+  // headers, and definitive (nothing is written).
+  private val leases = new java.util.HashMap[String, String]()
+  def lease(key: String, id: String): Unit =
+    lock.synchronized { leases.put(key, id); () }
+  def releaseLease(key: String): Unit =
+    lock.synchronized { leases.remove(key); () }
+
   def start(): Int = {
     server = HttpServer.create(new java.net.InetSocketAddress(
       java.net.InetAddress.getLoopbackAddress, 0), 0)
@@ -78,6 +89,17 @@ class FakeEtagServer(azureDialect: Boolean = false) {
         // concrete generation replaces-if-unchanged (same atomic section)
         val ifGen = Option(ex.getRequestHeaders
           .getFirst("x-goog-if-generation-match"))
+        val leaseId = Option(ex.getRequestHeaders.getFirst("x-ms-lease-id"))
+        // lease gate first, same atomic section as the precondition (a real
+        // service evaluates both server-side before any write)
+        val leaseConflict = lock.synchronized {
+          azureDialect &&
+            Option(leases.get(key)).exists(l => !leaseId.contains(l))
+        }
+        if (leaseConflict) {
+          respond(ex, 412) // LeaseIdMissing class — definitive, no write
+          return
+        }
         val applied: Option[Long] = lock.synchronized {
           val cur = Option(store.get(key))
           val ok = (ifGen, ifNoneMatch, ifMatch, cur) match {
