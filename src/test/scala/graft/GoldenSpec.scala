@@ -119,8 +119,10 @@ class GoldenSpec extends SparkSpec {
     check("lakectl_annotate_top_recursive", doc("", recursive = true))
     check("lakectl_annotate_a", doc("a"))
     // esti drives "a", "aa" and "aaa" at the SAME golden: first-level
-    // roll-up is prefix-position-independent within a name
+    // roll-up is prefix-position-independent within a name — asserted as
+    // an invariant AND pinned byte-for-byte (esti's own aaa fixture file)
     assert(doc("aa") === doc("a") && doc("aaa") === doc("a"))
+    check("lakectl_annotate_aaa", doc("aaa"))
     check("lakectl_annotate_a_recursive", doc("a", recursive = true))
     assert(doc("aaa/", recursive = true) === doc("a", recursive = true))
     // a mid-name prefix deep in the tree resolves to the single object,
@@ -399,6 +401,27 @@ class GoldenSpec extends SparkSpec {
     check("lakectl_repo_list", CliRender.renderRepoTable(Seq(
       ("repo1", 1700000000L, "main", "local://repo1"),
       ("analytics-lake", 1700000100L, "main", "s3://bucket/prefix"))))
+  }
+
+  test("lakectl_repo_list_prefix: the prefix-filtered single-row table " +
+      "resizes columns to the surviving content") {
+    val rows = Seq(
+      ("repo1", 1700000000L, "main", "local://repo1"),
+      ("analytics-lake", 1700000100L, "main", "s3://bucket/prefix"))
+    // esti filters by name prefix (repo_list_prefix fixture); column
+    // widths are content-sized, so a 1-row table is NOT a sub-rectangle
+    // of the 2-row one — that is the template behavior this pins
+    check("lakectl_repo_list_prefix",
+      CliRender.renderRepoTable(rows.filter(_._1.startsWith("repo"))))
+  }
+
+  test("lakectl_tag_list_single: a one-tag listing keeps the per-line form") {
+    val eng = repo
+    val head = eng.resolveCommit("main").commitId
+    eng.createTag("golden-single", head)
+    check("lakectl_tag_list_single",
+      CliRender.renderTagList(eng.refs.tags.toSeq
+        .filter(_._1 == "golden-single")))
   }
 
   test("lakectl_fs_presign: the bare presigned URL line over the real signer") {
