@@ -31,7 +31,9 @@ object CatalogExport {
     * `pkg/actions/lua/path/path.go:13,104`). */
   def descriptorEntries(listing: DataFrame,
       base: String = "_lakefs_tables/"): DataFrame = {
-    val rel = expr(s"substring(key, ${base.length + 1})")
+    // substring counts code points, String#length counts UTF-16 units
+    val rel = expr(
+      s"substring(key, ${base.codePointCount(0, base.length) + 1})")
     listing
       .where(col("key").startsWith(base))
       .where(col("key").endsWith(".yaml"))

@@ -33,7 +33,9 @@ object Gc {
     val ns = if (namespace.endsWith("/")) namespace else namespace + "/"
     df.where(!col(addrCol).contains("://") || col(addrCol).startsWith(ns))
       .withColumn(addrCol,
-        when(col(addrCol).startsWith(ns), expr(s"substring($addrCol, ${ns.length + 1})"))
+        // substring counts code points, String#length counts UTF-16 units
+        when(col(addrCol).startsWith(ns),
+          expr(s"substring($addrCol, ${ns.codePointCount(0, ns.length) + 1})"))
           .otherwise(col(addrCol)))
       .select(addrCol).distinct()
   }

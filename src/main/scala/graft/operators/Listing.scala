@@ -72,7 +72,11 @@ object Listing {
       delimiter: String,
       keyCol: String = "key"): DataFrame = {
     val in = prefixFilter(df, prefix, keyCol)
-    val rest = expr(s"substring($keyCol, ${prefix.length + 1})")
+    // Spark's substring counts CODE POINTS; String#length counts UTF-16
+    // units — they differ when the prefix carries supplementary-plane
+    // characters, shifting the cut one unit per astral char
+    val rest = expr(
+      s"substring($keyCol, ${prefix.codePointCount(0, prefix.length) + 1})")
     val pos = instr(rest, delimiter)
     val path = when(pos > 0,
       concat(lit(prefix), substring_index(rest, delimiter, 1), lit(delimiter)))

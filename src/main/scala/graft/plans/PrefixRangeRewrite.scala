@@ -32,8 +32,11 @@ import org.apache.spark.unsafe.types.UTF8String
  */
 object PrefixRangeRewrite extends Rule[LogicalPlan] {
 
-  /** Smallest string greater than every string with this prefix, in UTF-16
-    * unit order (mirrors `operators/Listing.upperBound`). */
+  /** Smallest string greater than every string with this prefix, in
+    * CODE-POINT (= UTF-8 binary) order — delegates to
+    * `operators/Listing.upperBound`, which increments the final code
+    * point so astral-final prefixes never produce an unpaired surrogate
+    * (UTF8String would mangle it to '?', a bound BELOW the prefix). */
   private def upperBound(p: UTF8String): Option[UTF8String] =
     graft.operators.Listing.upperBound(p.toString).map(UTF8String.fromString)
 

@@ -179,6 +179,18 @@ class OperatorSpec extends SparkSpec {
     assert(!keyLt(ub + "x", ub))
   }
 
+  test("P4 delimiter rollup under an astral-final prefix: code-point " +
+      "substring arithmetic (String#length counts UTF-16 units)") {
+    import spark.implicits._
+    // prefix "a𐀀/" is 4 UTF-16 units but 3 code points — a unit-based
+    // substring would cut one char deep into every child name
+    val p = "a𐀀/"
+    val keys = Seq(p + "x/1", p + "x/2", p + "y", "a/other").toDF("key")
+    val out = Listing.delimiterRollup(keys, p, "/")
+      .collect().map(r => (r.getString(0), r.getBoolean(1), r.getLong(2))).toSet
+    assert(out === Set((p + "x/", true, 2L), (p + "y", false, 1L)))
+  }
+
   test("O2 pagination returns limit+1 for has_more detection") {
     import spark.implicits._
     val df = (1 to 10).map(i => f"k$i%02d").toDF("key")
