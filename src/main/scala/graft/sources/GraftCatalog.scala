@@ -755,9 +755,14 @@ class GraftScanBuilder(repoDir: String, ref: String)
   override def isPartiallyPushed(): Boolean = true
 
   private def tighten(lo: Option[String], hi: Option[String]): Unit = {
+    // intersect in the store's canonical UTF-8 binary order (EntryIO.keyCmp)
+    // — raw String compares pick the canonically-wider bound for
+    // supplementary-plane keys (harmless only because Spark re-evaluates
+    // every filter, but it forfeits the pruning)
+    import graft.store.EntryIO.{keyGe, keyLe}
     val (l0, h0) = bounds
-    val l = (l0 ++ lo).reduceOption((a, b) => if (a >= b) a else b)
-    val h = (h0 ++ hi).reduceOption((a, b) => if (a <= b) a else b)
+    val l = (l0 ++ lo).reduceOption((a, b) => if (keyGe(a, b)) a else b)
+    val h = (h0 ++ hi).reduceOption((a, b) => if (keyLe(a, b)) a else b)
     bounds = (l, h)
   }
 
@@ -859,9 +864,15 @@ class GraftScan(repoDir: String, ref: String,
     }
     predicates.foreach { p =>
       keyLiterals(p).filter(_.nonEmpty).foreach { vs =>
-        val l = vs.min; val h = vs.max + "\u0000"
-        lo = Some(lo.fold(l)(x => if (x >= l) x else l))
-        hi = Some(hi.fold(h)(x => if (x <= h) x else h))
+        // envelope in the CANONICAL UTF-8 binary order the scan interval
+        // is interpreted in: a UTF-16 min/max here is NOT conservative --
+        // an astral literal canonically ABOVE the mis-ordered max would be
+        // pruned at the SCAN, and the join's re-evaluation cannot restore
+        // rows the reader never produced (wrong results, not just perf)
+        import graft.store.EntryIO.{keyOrder, keyGe, keyLe}
+        val l = vs.min(keyOrder); val h = vs.max(keyOrder) + "\u0000"
+        lo = Some(lo.fold(l)(x => if (keyGe(x, l)) x else l))
+        hi = Some(hi.fold(h)(x => if (keyLe(x, h)) x else h))
       }
     }
   }

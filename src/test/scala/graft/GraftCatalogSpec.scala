@@ -99,6 +99,35 @@ class GraftCatalogSpec extends SparkSpec {
     assert(after >= 1)
   }
 
+  test("runtime IN filter over supplementary-plane keys keeps every " +
+      "literal's row — the envelope is canonical UTF-8 order, not UTF-16") {
+    import spark.implicits._
+    val root = tmpDir("cat_astral_root")
+    val eng = new graft.store.Engine(spark, s"$root/repos", raggedness = 3)
+    // UTF-16 order puts the emoji (surrogate pair, 0xD83D lead) BELOW the
+    // private-use key (0xE000); canonical UTF-8 order puts it ABOVE. A
+    // UTF-16 min/max envelope would exclude one of them, and the SCAN
+    // clips rows by the envelope — the dropped row never reaches the join
+    val kPua = "u/-pua"
+    val kAstral = "u/😀-emoji"
+    val keys = Seq("u/a-low", kPua, "u/�-r", kAstral, kAstral + "x", "u/b")
+    eng.init("main", Some(keys.map(k => (k, s"v-$k", s"b/$k", 1L, 0L))
+      .toDF("key", "identity", "address", "size_bytes", "mtime")))
+    val rt = new graft.sources.GraftScan(s"$root/repos", "main", None, None)
+    import org.apache.spark.sql.connector.expressions.{Expressions => E}
+    rt.filter(Array(new org.apache.spark.sql.connector.expressions.filter.Predicate(
+      "IN", Array(E.column("key"), E.literal(kPua), E.literal(kAstral)))))
+    val factory = rt.createReaderFactory()
+    val got = rt.planInputPartitions().flatMap { p =>
+      val r = factory.createReader(p)
+      val buf = scala.collection.mutable.ArrayBuffer[String]()
+      while (r.next()) buf += r.get().getUTF8String(0).toString
+      buf
+    }.toSet
+    assert(got.contains(kPua), s"PUA literal clipped by the envelope: $got")
+    assert(got.contains(kAstral), s"astral literal clipped by the envelope: $got")
+  }
+
   test("SQL DML: INSERT, INSERT OVERWRITE, DELETE, TRUNCATE commit through the engine") {
     import spark.implicits._
     val root = tmpDir("cat_dml_root")
