@@ -18,7 +18,11 @@ import graft.store.Engine
 object CliRender {
 
   /** `ljust` template filter (common_helpers.go:161-163): left-align pad,
-    * longer strings pass through. */
+    * longer strings pass through. The reference delegates to go-pretty's
+    * `text.AlignLeft`, which pads by TERMINAL CELL width (wcwidth: CJK=2,
+    * most astral=1-2); this pads by UTF-16 units — identical for the
+    * ASCII names every pinned golden carries, deliberately not emulating
+    * the wcwidth table for exotic names (cosmetic alignment only). */
   def ljust(s: String, n: Int): String =
     if (s.length >= n) s else s + (" " * (n - s.length))
 
