@@ -66,14 +66,27 @@ class KeyOrderGuardSpec extends AnyFunSuite {
       out += "sortBy(_.key-ish) without Ordering"
     if (keyField.findFirstIn(l).isDefined && rawFold.findFirstIn(l).isDefined)
       out += "bare sorted/max/min on a key-ident line"
+    if (rawLenOffset.findFirstIn(l).isDefined &&
+        !l.contains("codePointCount"))
+      out += "String#length offset in a Column substring (use codePointCount)"
     out.result()
   }
 
-  private def scalaSources(root: Path): Seq[Path] =
-    Files.walk(root).iterator().asScala
+  // String#length interpolated into a Column substring/instr offset:
+  // Spark counts CODE POINTS, String#length counts UTF-16 units — the cut
+  // shifts one unit per supplementary-plane char (r16 bug class; derive
+  // offsets from codePointCount instead)
+  private val rawLenOffset =
+    """substring\([^)]*\$\{[^}]*\.length\b""".r
+
+  private def scalaSources(root: Path): Seq[Path] = {
+    val stream = Files.walk(root)
+    try stream.iterator().asScala
       .filter(p => p.toString.endsWith(".scala"))
       .filterNot(p => p.getFileName.toString == "EntryIO.scala")
       .toSeq
+    finally stream.close()
+  }
 
   test("src/main has no raw UTF-16 comparisons on key-path identifiers") {
     val root = Paths.get("src/main/scala/graft")
@@ -103,5 +116,9 @@ class KeyOrderGuardSpec extends AnyFunSuite {
     assert(findings("""    case x if x.maxKey >= lo => x""").nonEmpty)
     assert(findings("""    val done = (a: Int) => b""").isEmpty) // `=>` is not `>=`
     assert(findings("""    val q = Seq("list-type" -> "2", "prefix" -> prefix)""").isEmpty) // `->` is not `>`
+    // r16 Column-offset class: String#length in a substring offset
+    assert(findings("""    val rest = expr(s"substring($keyCol, ${prefix.length + 1})")""").nonEmpty)
+    assert(findings(
+      """    val rest = expr(s"substring($keyCol, ${prefix.codePointCount(0, prefix.length) + 1})")""").isEmpty)
   }
 }
