@@ -92,6 +92,44 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("upperBound is a sound, EXACT prefix interval bound in canonical " +
+      "order across unicode regimes (incl. astral-final prefixes)") {
+    import graft.store.EntryIO.{keyGe, keyLt}
+    import graft.operators.Listing.upperBound
+    val cpGen = Gen.oneOf(
+      Gen.chooseNum('a'.toInt, 'z'.toInt),
+      Gen.chooseNum(0xC0, 0xFF),
+      Gen.chooseNum(0x4E00, 0x4E40),
+      Gen.chooseNum(0xD7F0, 0xD7FF), // pre-surrogate edge
+      Gen.chooseNum(0xE000, 0xE020),
+      Gen.chooseNum(0xF8F0, 0xFFFF), // incl. the old UTF-16 rollover edge
+      Gen.chooseNum(0x10000, 0x10040),
+      Gen.chooseNum(0x1F600, 0x1F640),
+      Gen.const(0x10FFFF)) // the borrow edge
+    def str(cps: Seq[Int]) =
+      new String(cps.toArray.flatMap(Character.toChars), 0,
+        cps.map(Character.charCount).sum)
+    val prefixGen = Gen.chooseNum(1, 4).flatMap(n =>
+      Gen.listOfN(n, cpGen)).map(str)
+    val suffixGen = Gen.chooseNum(0, 3).flatMap(n =>
+      Gen.listOfN(n, cpGen)).map(str)
+    samples(Gen.zip(prefixGen, suffixGen), 400).foreach { case (p, sfx) =>
+      upperBound(p) match {
+        case Some(ub) =>
+          // SOUND: every extension of p sits inside [p, ub)
+          assert(keyGe(p + sfx, p) && keyLt(p + sfx, ub),
+            s"extension escapes interval: p=${p.codePoints.toArray.toSeq} sfx=${sfx.codePoints.toArray.toSeq} ub=${ub.codePoints.toArray.toSeq}")
+          // EXACT: the bound itself (and its extensions) lack the prefix
+          assert(!ub.startsWith(p), s"ub carries the prefix: $p")
+          assert(!keyLt(ub + sfx, ub))
+        case None =>
+          // only when no string above every p-extension exists: all-U+10FFFF
+          assert(p.codePoints.toArray.forall(_ == 0x10FFFF),
+            s"unbounded for a boundable prefix ${p.codePoints.toArray.toSeq}")
+      }
+    }
+  }
+
   test("diff(a, a) is empty") {
     samples(snapGen, N).foreach { a =>
       assert(Diff.twoWay(df(a), df(a)).count() === 0, s"case: $a")
