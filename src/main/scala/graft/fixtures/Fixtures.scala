@@ -139,6 +139,20 @@ object Fixtures {
     keyedBase(spark, sfDir)
       .withColumn("key", concat_ws("/", col("rf"), col("ls"), col("key")))
 
+  /** Path keys mixing unicode ORDER REGIMES: separator U+E000 (private-use,
+    * 3-byte UTF-8) on ls='F' rows and U+10000 (supplementary plane, 4-byte,
+    * a surrogate PAIR in the JVM) on ls='O' — raw UTF-16 comparison and
+    * canonical UTF-8 byte order INVERT between the two, so manifest range
+    * cuts, parquet footer bounds, prefix upper bounds and sorted writes are
+    * only correct under the canonical order (`EntryIO.keyCmp`). Identity is
+    * recomputed over the new key. DuckDB twin: chr(57344) / chr(65536). */
+  def astralKeyed(spark: SparkSession, sfDir: String): DataFrame =
+    keyedBase(spark, sfDir)
+      .withColumn("key", concat(col("rf"),
+        when(col("ls") === "F", lit("\uE000")).otherwise(lit("\uD800\uDC00")),
+        lit("/"), col("ls"), lit("/"), col("key")))
+      .withColumn("identity", ident)
+
   /**
    * Staging changes log over the base snapshot (uncommitted layer):
    *  - k%100==5 → staged update (+555), two writes for k%200==5 (the later

@@ -106,6 +106,21 @@ object VersionControlQueries {
       ) WHERE rn = 1
     )"""
 
+  /** Astral fixture twin ([[Fixtures.astralKeyed]]): path keys whose
+    * separator is U+E000 (chr 57344, 3-byte UTF-8) on ls='F' rows and
+    * U+10000 (chr 65536, 4-byte) on ls='O' — the two regimes where raw
+    * UTF-16 and canonical UTF-8 byte order invert. */
+  private val astralSql = s""", ak AS (
+      SELECT rf || CASE WHEN ls = 'F' THEN chr(57344) ELSE chr(65536) END
+               || '/' || ls || '/' || key AS key,
+             qty, price_c, rf, ls
+      FROM base
+    ), akv AS (
+      SELECT key, ${identSql("key", "qty", "price_c", "rf", "ls")} AS identity,
+             qty, price_c, rf, ls
+      FROM ak
+    )"""
+
   // ---- queries ------------------------------------------------------------
 
   val defs: Map[String, (QueryFn, Option[String])] = Map(
@@ -131,6 +146,68 @@ object VersionControlQueries {
       Some(s"""$prelude
         SELECT concat_ws('/', rf, ls, key) AS key, price_c FROM base
         WHERE rf = 'R' AND ls = 'F' ORDER BY key""")),
+
+    // P1, astral-final edge (round-16 fix): the prefix ENDS on a
+    // supplementary-plane character, so the upper bound must increment the
+    // final CODE POINT ("R𐀀" + 1 = "R𐀁"); incrementing
+    // the trailing UTF-16 unit instead leaves an unpaired high surrogate
+    // that lit()/UTF8String mangle to '?' — a bound BELOW the prefix that
+    // silently empties the listing. Old code returns ZERO rows here.
+    "vc_prefix_astral" -> (((s: SparkSession, d: String) =>
+      Listing.prefixFilter(Fixtures.astralKeyed(s, d), "R\uD800\uDC00")
+        .select("key", "identity", "price_c").orderBy("key")),
+      Some(s"""$prelude $astralSql
+        SELECT key, identity, price_c FROM akv
+        WHERE rf = 'R' AND ls = 'O' ORDER BY key""")),
+
+    // S1/P1 through the ENGINE on mixed-regime keys: sorted snapshot write,
+    // manifest range cuts, parquet footer bounds and the scan-interval
+    // hi/lo all run over keys where raw UTF-16 order inverts against the
+    // canonical UTF-8 byte order — any non-canonical comparison on the
+    // write or prune path loses rows here.
+    "vc_astral_list" -> (((s: SparkSession, d: String) => {
+      val dir = s"target/vc_astral_repo_${math.abs(d.hashCode)}"
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(dir), s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+      val eng = new graft.store.Engine(s, dir, raggedness = 5000)
+      eng.init("main", Some(Fixtures.astralKeyed(s, d)))
+      eng.list("main", prefix = "R\uD800\uDC00")
+        .select("key", "identity").orderBy("key")
+    }),
+      Some(s"""$prelude $astralSql
+        SELECT key, identity FROM akv
+        WHERE rf = 'R' AND ls = 'O' ORDER BY key""")),
+
+    // S3 through the job-free point path on BOTH regimes: committedPoint's
+    // manifest binary search + fileKeyBounds coverage test must compare in
+    // canonical order or the covering range file is skipped and an existing
+    // key reads as absent (the ADVICE-medium fileKeyBounds bug class).
+    "vc_astral_point" -> (((s: SparkSession, d: String) => {
+      val dir = s"target/vc_astralpt_repo_${math.abs(d.hashCode)}"
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(dir), s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+      val eng = new graft.store.Engine(s, dir, raggedness = 5000)
+      val ak = Fixtures.astralKeyed(s, d)
+      eng.init("main", Some(ak))
+      // max() on UTF8String is unsigned-byte order == DuckDB's memcmp max
+      val puaMax = ak.where(col("ls") === "F").agg(max("key")).head.getString(0)
+      val astMax = ak.where(col("ls") === "O").agg(max("key")).head.getString(0)
+      val hits = Seq("astral" -> astMax, "pua" -> puaMax).flatMap {
+        case (regime, k) => graft.store.EntryIO.pointGet(eng, "main", k)
+          .map(e => (regime, e.key, e.identity.getOrElse("")))
+      }
+      import s.implicits._
+      hits.toDF("regime", "key", "identity").orderBy("regime")
+    }),
+      Some(s"""$prelude $astralSql
+        SELECT 'astral' AS regime, key, identity FROM akv
+        WHERE ls = 'O' AND key = (SELECT max(key) FROM akv WHERE ls = 'O')
+        UNION ALL
+        SELECT 'pua', key, identity FROM akv
+        WHERE ls = 'F' AND key = (SELECT max(key) FROM akv WHERE ls = 'F')
+        ORDER BY regime""")),
 
     // P2/O2: after-key page of 1000 (+1 for has_more). The cursor sits
     // INSIDE the keyspace at every sf (max key at sf0.001 is ~14996), so

@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/**
+ * End-to-end pins for the mixed-unicode-regime oracle rows
+ * (vc_prefix_astral / vc_astral_list / vc_astral_point): the sf0.001
+ * fixture driven through the SAME SparkEntry query functions the driver
+ * runs. The fixture's keys mix U+E000 (3-byte UTF-8) and U+10000 (4-byte,
+ * surrogate pair) separators — the two regimes where raw UTF-16 order
+ * inverts against canonical UTF-8 byte order — so any non-canonical
+ * comparison on the prefix-bound, manifest-prune, sorted-write or
+ * footer-bounds path silently loses the rows these tests count.
+ */
+class AstralQuerySpec extends SparkSpec {
+  private val d = "/root/testdata/sf0.001"
+
+  private def expectRows: Long =
+    graft.fixtures.Fixtures.astralKeyed(spark, d)
+      .where(col("rf") === "R" && col("ls") === "O").count()
+
+  test("vc_prefix_astral: astral-FINAL prefix filter keeps every rf=R/ls=O key") {
+    val expect = expectRows
+    assert(expect > 0, "fixture must produce astral-regime rows")
+    assert(SparkEntry.queries("vc_prefix_astral")(spark, d).count() === expect)
+  }
+
+  test("vc_astral_list: engine listing over real manifests matches the inventory") {
+    assert(SparkEntry.queries("vc_astral_list")(spark, d).count() === expectRows)
+  }
+
+  test("vc_astral_point: job-free point gets hit BOTH regime maxima") {
+    val out = SparkEntry.queries("vc_astral_point")(spark, d)
+      .orderBy("regime").collect()
+    assert(out.map(_.getString(0)).toSeq === Seq("astral", "pua"))
+    // identities present (point get returned full entries, not tombstones)
+    assert(out.forall(r => r.getString(2).nonEmpty))
+  }
+}
