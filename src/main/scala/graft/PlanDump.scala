@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Model.StrategySourceWins
+import graft.fixtures.Fixtures
+import graft.operators.{Diff, Gc, Listing, Merge}
+import graft.store.SnapshotStore
+
+/** Ad-hoc plan dumper for the optimization rounds: writes
+  * `.explain("formatted")` of each bench-shaped query to
+  * `plans/<tag>/<name>_<suffix>.txt` so plan-shape claims in
+  * OPTIMIZATION_rNN.md are checkable offline. Not part of the driver
+  * contract. Usage: runMain graft.PlanDump <tag> <suffix>
+  * (e.g. `r16 before`). */
+object PlanDump {
+  def main(args: Array[String]): Unit = {
+    val tag = args.lift(0).getOrElse("r16")
+    val suffix = args.lift(1).getOrElse("before")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .appName("graft-plandump")
+      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val outDir = java.nio.file.Paths.get(s"plans/$tag")
+    java.nio.file.Files.createDirectories(outDir)
+    def dump(name: String)(df: => DataFrame): Unit =
+      try {
+        val plan = df.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)
+        java.nio.file.Files.writeString(
+          outDir.resolve(s"${name}_$suffix.txt"), plan)
+        println(s"[plandump] wrote $name ($suffix)")
+      } catch { case e: Throwable =>
+        System.err.println(s"[plandump] $name failed: ${e.getMessage}")
+      }
+
+    val base = Fixtures.keyedBase(spark, sfDir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    base.count()
+
+    // operator-level merge3 (the bench metric's exact expression)
+    dump("merge3") {
+      Merge.threeWay(base, Fixtures.keyedSourceClean(spark, sfDir),
+        Fixtures.keyedDestClean(spark, sfDir), StrategySourceWins)._1
+    }
+    // operator-level diff (bare shape)
+    dump("diff_bare") {
+      Diff.twoWay(base, Fixtures.keyedRight(spark, sfDir))
+    }
+    // list_delim: engine roll-up page + bare twin
+    dump("list_delim") {
+      Listing.delimiterRollup(Fixtures.pathKeyed(spark, sfDir), "R/F/", "/")
+        .orderBy("path").limit(1000)
+    }
+    dump("s3_list_page") {
+      Listing.s3ListPage(Fixtures.pathKeyed(spark, sfDir), "R/F/", "/",
+        Some("R/F/0000"), 1000)
+    }
+    // gc_mark (bench inputs)
+    dump("gc_mark") {
+      val gcAll = Fixtures.orders(spark, sfDir)
+        .select(concat(lit("data/"),
+          lpad(col("o_orderkey").cast("string"), 10, "0")).as("address"))
+      val gcCommitted = gcAll.where(
+        expr("CAST(substring(address, 6) AS BIGINT) % 3 <> 0"))
+      val gcUncommitted = gcAll.where(
+        expr("CAST(substring(address, 6) AS BIGINT) % 7 = 0"))
+      Gc.mark(gcAll, gcCommitted, gcUncommitted)
+    }
+    // store-level pruned diff + merge3_store change-set shape
+    locally {
+      val repoDir = s"target/plandump_${java.util.UUID.randomUUID()}"
+      val store = new SnapshotStore(spark, repoDir, raggedness = 5000L)
+      val identExpr = sha2(concat_ws("|",
+        col("key"), col("qty"), col("price_c"), col("rf"), col("ls")), 256)
+      val m1 = store.writeSnapshot(base)._1
+      val changes = base.where(col("k") % 100 === 21)
+        .withColumn("price_c", col("price_c") + 777)
+        .withColumn("identity", identExpr)
+      val m2 = store.commitChanges(m1, changes)._1
+      dump("diff_store") { store.diff(m1, m2) }
+      try {
+        val ffs = org.apache.hadoop.fs.FileSystem.get(
+          new java.net.URI(repoDir), spark.sparkContext.hadoopConfiguration)
+        ffs.delete(new org.apache.hadoop.fs.Path(repoDir), true)
+      } catch { case _: Throwable => }
+    }
+    spark.stop()
+  }
+}

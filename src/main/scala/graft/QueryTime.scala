@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Ad-hoc per-query timing sweep over every declared SparkEntry query:
+  * each query materializes through the noop sink (guide §1.4 — every column
+  * of every row computed, no output cost), labelled for the UI, and the
+  * sorted wall-times print at the end. Not part of the driver contract.
+  *
+  * Usage: SPARK_GRAFT_SF_DIR=... runMain graft.QueryTime [nameFilter...]
+  */
+object QueryTime {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "2").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-querytime")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val only: Option[Set[String]] = if (args.isEmpty) None else Some(args.toSet)
+    val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
+    val times = scala.collection.mutable.Map[String, Vector[Double]]()
+    // pass 0 is warmup (JIT/classload); later passes are recorded
+    (0 until passes + 1).foreach { pass =>
+      names.foreach { name =>
+        val fn = SparkEntry.queries(name)
+        spark.sparkContext.setJobDescription(s"q:$name")
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          val sec = (System.nanoTime() - t0) / 1e9
+          if (pass > 0) times(name) = times.getOrElse(name, Vector.empty) :+ sec
+        } catch { case e: Throwable =>
+          System.err.println(s"[querytime] $name failed: ${e.getMessage}")
+        }
+        spark.sparkContext.setJobDescription(null)
+      }
+    }
+    val meds = times.toSeq.map { case (n, v) =>
+      val s = v.sorted; (n, s((s.size - 1) / 2), v.min)
+    }.sortBy(-_._2)
+    println(f"[querytime] ${"query"}%-28s ${"median"}%8s ${"min"}%8s  (passes=$passes sf=$sfDir cpus=$cpus)")
+    meds.foreach { case (n, med, mn) =>
+      println(f"[querytime] $n%-28s $med%8.3f $mn%8.3f")
+    }
+    println(f"[querytime] TOTAL median sum ${meds.map(_._2).sum}%.1f s over ${meds.size} queries")
+    spark.stop()
+  }
+}
