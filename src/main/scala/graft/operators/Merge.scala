@@ -11,10 +11,12 @@ import graft.core.Model._
  * onto a base snapshot) and `pkg/graveler/committed/merge.go:224-534`
  * (three-way merge with whole-range fast paths and a conflict matrix).
  *
- * Spark shape: merge = two deltas vs base + one full-outer join of the
- * deltas + conditional apply. Unchanged data never rewrites — at the store
- * layer untouched files are carried by manifest reference
- * ([[graft.store.SnapshotStore]]), so these joins only see changed ranges.
+ * Spark shape: merge = ONE union+cogroup-by-key exchange over the three
+ * sides, then a per-key apply of the conflict matrix (see [[cogrouped]];
+ * each input's bytes cross the network exactly once — optimization guide
+ * §2.4/§8). Unchanged data never rewrites — at the store layer untouched
+ * files are carried by manifest reference ([[graft.store.SnapshotStore]]),
+ * so the cogroup only sees changed ranges.
  */
 object Merge {
 
@@ -45,20 +47,45 @@ object Merge {
     kept.unionByName(added)
   }
 
-  /** Per-side delta vs base: keys the side added, removed (payload becomes
-    * all-null = tombstone) or changed. Columns: key, __in_<tag>,
-    * <tag>_<payload...>. */
-  private def delta(base: DataFrame, side: DataFrame, tag: String): DataFrame = {
+  /** Three-sided cogroup for the merge matrix (optimization guide §2.4/§8):
+    * base, source and dest union with pre-projected per-side columns
+    * (`__b_<c>` / `s_<c>` / `d_<c>`; absent sides contribute nulls) and
+    * aggregate by key in ONE exchange — the previous shape (per-side
+    * full-outer delta joins, then a full-outer join of the deltas, then an
+    * anti-join apply whose key-only branch re-computed the whole delta
+    * subtree) planned SEVEN sort-merge joins and ~12 exchanges for the same
+    * result. The explicit `repartition(key)` pins the single shuffle and
+    * skips the useless map-side partial pass (keys are unique per side, so
+    * partial aggregation can never reduce a row). first(ignoreNulls) is
+    * exact here: at most one non-null candidate per (key, side).
+    * Precondition (unchanged from the join shape): per side, keys are
+    * unique and non-null — snapshot invariant O1. */
+  private def cogrouped(base: DataFrame, source: DataFrame, dest: DataFrame): DataFrame = {
     val payload = base.columns.filterNot(_ == "key").toSeq
-    val b = base.select(col("key"), col("identity").as("__base_id"))
-    val s = side.select(col("key") +: payload.map(c => col(c).as(s"${tag}_$c")): _*)
-      .withColumn(s"__side_present", lit(true))
-    b.join(s, Seq("key"), "full_outer")
-      // one null-safe inequality covers added (null vs x), removed (x vs
-      // null) and changed (x vs y) alike; identical rows are x <=> x
-      .where(!(col(s"${tag}_identity") <=> col("__base_id")))
-      .withColumn(s"__in_$tag", lit(true))
-      .drop("__base_id", "__side_present")
+    def side(df: DataFrame, tag: String) = {
+      val cols = Seq("__b_", "s_", "d_").flatMap { p =>
+        payload.map { c =>
+          (if (p == tag) col(c) else lit(null).cast(base.schema(c).dataType))
+            .as(s"$p$c")
+        }
+      }
+      df.select(col("key") +: cols: _*)
+    }
+    side(base, "__b_")
+      .unionByName(side(source, "s_"))
+      .unionByName(side(dest, "d_"))
+      .repartition(col("key"))
+      .groupBy("key")
+      .agg(
+        first("__b_identity", ignoreNulls = true).as("__b_identity"),
+        (Seq("__b_", "s_", "d_").flatMap(p => payload.map(c => (p, c)))
+          .collect { case (p, c) if s"$p$c" != "__b_identity" =>
+            first(s"$p$c", ignoreNulls = true).as(s"$p$c")
+          }): _*)
+      .withColumn("__in_s",
+        when(!(col("s_identity") <=> col("__b_identity")), lit(true)))
+      .withColumn("__in_d",
+        when(!(col("d_identity") <=> col("__b_identity")), lit(true)))
   }
 
   /**
@@ -79,11 +106,11 @@ object Merge {
       dest: DataFrame,
       strategy: MergeStrategy = StrategyNone): (DataFrame, DataFrame) = {
     val payload = base.columns.filterNot(_ == "key").toSeq
-    val j = delta(base, source, "s").join(delta(base, dest, "d"), Seq("key"), "full_outer")
+    val g = cogrouped(base, source, dest)
 
     val bothChanged = col("__in_s").isNotNull && col("__in_d").isNotNull
     val conflictRow = bothChanged && !(col("s_identity") <=> col("d_identity"))
-    val conflicts = j.where(if (strategy == StrategyNone) conflictRow else lit(false))
+    val conflicts = g.where(if (strategy == StrategyNone) conflictRow else lit(false))
       .select(col("key"), col("s_identity").as("source_identity"),
         col("d_identity").as("dest_identity"))
 
@@ -91,10 +118,19 @@ object Merge {
       case StrategyDestWins => col("__in_s").isNotNull && col("__in_d").isNull
       case _                => col("__in_s").isNotNull // source wins on both-changed
     }
-    val winning = j.select(col("key") +: payload.map { p =>
-      when(pickSource, col(s"s_$p")).otherwise(col(s"d_$p")).as(p)
+    // per-key apply straight off the cogroup: changed keys take the winning
+    // side's payload (an absent/tombstone winner has a null identity and is
+    // dropped — the apply rule), untouched keys keep the base row. Same
+    // per-key results as applyChanges(base, winning) but the plan reads
+    // every input exactly once instead of re-deriving the change-key set
+    // through a second copy of the delta subtree.
+    val changed = col("__in_s").isNotNull || col("__in_d").isNotNull
+    val merged = g.select(col("key") +: payload.map { p =>
+      when(changed, when(pickSource, col(s"s_$p")).otherwise(col(s"d_$p")))
+        .otherwise(col(s"__b_$p")).as(p)
     }: _*)
-    (applyChanges(base, winning), conflicts)
+      .where(col("identity").isNotNull)
+    (merged, conflicts)
   }
 
   /**
@@ -156,15 +192,17 @@ object Merge {
       dest: DataFrame,
       pickSourceOnConflict: org.apache.spark.sql.Column): DataFrame = {
     val payload = base.columns.filterNot(_ == "key").toSeq
-    val j = delta(base, source, "s").join(delta(base, dest, "d"), Seq("key"), "full_outer")
+    val g = cogrouped(base, source, dest)
     val bothChanged = col("__in_s").isNotNull && col("__in_d").isNotNull
     val conflictRow = bothChanged && !(col("s_identity") <=> col("d_identity"))
     val pickSource =
       when(conflictRow, pickSourceOnConflict)
         .otherwise(col("__in_s").isNotNull)
-    val winning = j.select(col("key") +: payload.map { p =>
-      when(pickSource, col(s"s_$p")).otherwise(col(s"d_$p")).as(p)
+    val changed = col("__in_s").isNotNull || col("__in_d").isNotNull
+    g.select(col("key") +: payload.map { p =>
+      when(changed, when(pickSource, col(s"s_$p")).otherwise(col(s"d_$p")))
+        .otherwise(col(s"__b_$p")).as(p)
     }: _*)
-    applyChanges(base, winning)
+      .where(col("identity").isNotNull)
   }
 }

@@ -52,14 +52,19 @@ object Staging {
    *  - staged value, identity differs       → changed;
    *  - staged value, identity identical     → no-op (skip).
    *
-   * The committed side is typically huge and the staging side small: the join
-   * broadcasts staging when it fits (left_outer from staging keeps Catalyst
-   * free to broadcast the committed *lookup* — in practice AQE picks a
-   * broadcast of the small staged side of the join).
+   * The committed side is typically huge and the staging side small.
+   * A plain `staging LEFT OUTER committed` cannot broadcast: the build side
+   * of a left-outer BroadcastHashJoin is the RIGHT (committed) side, so the
+   * whole snapshot would shuffle to answer a handful of staged keys.
+   * Instead the committed side is first restricted to the staged keys with
+   * a LEFT SEMI join (build side = the small staged key set — broadcastable,
+   * optimization guide §3.2), which never shuffles the snapshot; the outer
+   * join then runs over two staging-sized frames.
    */
   def uncommittedDiff(staging: DataFrame, committed: DataFrame): DataFrame = {
     val s = staging.select(col("key"), col("identity").as("staged_identity"))
     val c = committed.select(col("key"), col("identity").as("committed_identity"))
+      .join(staging.select(col("key")), Seq("key"), "left_semi")
     s.join(c, Seq("key"), "left_outer")
       .withColumn("diff_type",
         when(col("staged_identity").isNull && col("committed_identity").isNotNull, DiffType.Removed)
