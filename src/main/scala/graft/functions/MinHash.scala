@@ -40,13 +40,16 @@ object MinHash {
     * groupBy(doc, j).min aggregation. Null slots when the text has no
     * shingles (such docs have no signature; callers drop them, matching
     * the batch explode semantics). */
-  def sigArray(text: Column): Column = {
-    val hs = shingleHashes(text)
-    array((0 until NumPerms).map { j =>
-      when(size(hs) > 0, array_min(transform(hs, h => perm(h, lit(j)))))
-        .otherwise(lit(null).cast("long"))
-    }: _*)
-  }
+  def sigArray(text: Column): Column =
+    // the shingle-hash array is bind-bound: it is referenced 32× below
+    // (16 slots × guard + min), and each reference would otherwise
+    // re-shingle and re-SHA-256 the whole document per row
+    TextFunctions.bind(shingleHashes(text)) { hs =>
+      array((0 until NumPerms).map { j =>
+        when(size(hs) > 0, array_min(transform(hs, h => perm(h, lit(j)))))
+          .otherwise(lit(null).cast("long"))
+      }: _*)
+    }
 
   /** Band b's key over a [[sigArray]] signature: the band's 4 slots in
     * j order, '|'-joined — byte-identical to the batch band build. */

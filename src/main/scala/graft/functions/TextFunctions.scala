@@ -14,13 +14,26 @@ import org.apache.spark.sql.functions._
  */
 object TextFunctions {
 
+  /** Let-binding for column expressions: evaluates `value` ONCE per row and
+    * hands the body a lambda-variable reference to it. Catalyst's runtime
+    * subexpression elimination skips subtrees under lambda functions, so an
+    * expression like `transform(seq, i => element_at(tokens(text), i))`
+    * re-evaluates `tokens(text)` on EVERY lambda invocation — measured 25-30 s
+    * per minhash-family query at sf0.01 before this (optimization guide §1/
+    * §4: eliminate repeated per-row work before anything else). The binding
+    * is `element_at(transform(array(v), f), 1)`: one single-element array
+    * allocation per row buys body-wide reuse of the bound value. */
+  def bind(value: Column)(body: Column => Column): Column =
+    element_at(transform(array(value), body), 1)
+
   /** Whitespace tokens. */
   def tokens(text: Column): Column = split(trim(text), "\\s+")
 
   /** n-word shingles (empty array when fewer than n tokens — note Spark's
-    * sequence() would go descending on a negative span, hence the guard). */
-  def shingles(text: Column, n: Int): Column = {
-    val t = tokens(text)
+    * sequence() would go descending on a negative span, hence the guard).
+    * The token array is [[bind]]-bound: the lambda body references it per
+    * shingle, which would otherwise re-tokenize per element. */
+  def shingles(text: Column, n: Int): Column = bind(tokens(text)) { t =>
     when(size(t) >= n,
       transform(sequence(lit(1), size(t) - (n - 1)),
         i => concat_ws(" ", (0 until n).map(o => element_at(t, i + o)): _*)))
@@ -39,12 +52,12 @@ object TextFunctions {
   /** Total occurrences of the given stopwords, counted over whitespace
     * tokens — boundary-correct for punctuation-adjacent, consecutive, and
     * newline-separated words (the padded-replace trick was not). */
-  def stopCount(text: Column, words: Seq[String]): Column = {
-    val toks = tokens(text)
-    words.map { w =>
-      size(filter(toks, t => lower(t) === w)).cast("long")
-    }.reduce(_ + _)
-  }
+  def stopCount(text: Column, words: Seq[String]): Column =
+    bind(tokens(text)) { toks =>
+      words.map { w =>
+        size(filter(toks, t => lower(t) === w)).cast("long")
+      }.reduce(_ + _)
+    }
 
   /** DuckDB twin of [[stopCount]] (token-based, same semantics). */
   def stopCountSql(textCol: String, words: Seq[String]): String =

@@ -25,4 +25,16 @@ object VectorFunctions {
   def cosine(qa: Column, qb: Column): Column =
     intDot(qa, qb).cast("double") /
       (sqrt(intDot(qa, qa).cast("double")) * sqrt(intDot(qb, qb).cast("double")))
+
+  /** Exact squared norm of a quantized vector — precompute it per SIDE of a
+    * pair join so [[cosineNorm]] evaluates ONE dot product per pair instead
+    * of three (optimization guide §1.2 step 2: per-task work; the norms are
+    * O(n) while the pair space is O(candidates)). */
+  def norm2(q: Column): Column = intDot(q, q)
+
+  /** [[cosine]] over pre-computed squared norms. Bit-identical doubles: the
+    * same long dot products feed the same cast/sqrt/multiply/divide order. */
+  def cosineNorm(qa: Column, qb: Column, n2a: Column, n2b: Column): Column =
+    intDot(qa, qb).cast("double") /
+      (sqrt(n2a.cast("double")) * sqrt(n2b.cast("double")))
 }

@@ -297,10 +297,13 @@ object VectorQueries {
     "emb_neardup" -> (((s: SparkSession, d: String) => {
       val emb = withPlanted(Fixtures.embeddings(s, d)
         .select(col("vec_id"), quantize(col("embedding")).as("q")))
-      val a = emb.select(col("vec_id").as("id_a"), col("q").as("qa"))
-      val b = emb.select(col("vec_id").as("id_b"), col("q").as("qb"))
+      // norms precomputed per side: one dot product per PAIR, not three
+      val a = emb.select(col("vec_id").as("id_a"), col("q").as("qa"),
+        norm2(col("q")).as("na"))
+      val b = emb.select(col("vec_id").as("id_b"), col("q").as("qb"),
+        norm2(col("q")).as("nb"))
       a.join(b, col("id_a") < col("id_b"))
-        .withColumn("sim", cosine(col("qa"), col("qb")))
+        .withColumn("sim", cosineNorm(col("qa"), col("qb"), col("na"), col("nb")))
         .where(col("sim") >= 0.99)
         .select("id_a", "id_b", "sim")
         .orderBy("id_a", "id_b")
@@ -333,10 +336,12 @@ object VectorQueries {
         .agg(min_by(struct(col("cid"), col("q")),
           struct(col("dist"), col("cid"))).as("a"))
         .select(col("vec_id"), col("a.cid").as("cid"), col("a.q").as("q"))
-      val a = assigned.select(col("cid"), col("vec_id").as("id_a"), col("q").as("qa"))
-      val b = assigned.select(col("cid"), col("vec_id").as("id_b"), col("q").as("qb"))
+      val a = assigned.select(col("cid"), col("vec_id").as("id_a"),
+        col("q").as("qa"), norm2(col("q")).as("na"))
+      val b = assigned.select(col("cid"), col("vec_id").as("id_b"),
+        col("q").as("qb"), norm2(col("q")).as("nb"))
       a.join(b, Seq("cid")).where(col("id_a") < col("id_b"))
-        .withColumn("sim", cosine(col("qa"), col("qb")))
+        .withColumn("sim", cosineNorm(col("qa"), col("qb"), col("na"), col("nb")))
         .where(col("sim") >= 0.99)
         .select("cid", "id_a", "id_b", "sim")
         .orderBy("cid", "id_a", "id_b")
@@ -381,9 +386,11 @@ object VectorQueries {
       val cands = a.join(b, Seq("bk")).where(col("src") =!= col("dst"))
         .select("src", "dst").distinct()
       val scored = cands
-        .join(emb.select(col("vec_id").as("src"), col("q").as("qa")), Seq("src"))
-        .join(emb.select(col("vec_id").as("dst"), col("q").as("qb")), Seq("dst"))
-        .withColumn("sim", cosine(col("qa"), col("qb")))
+        .join(emb.select(col("vec_id").as("src"), col("q").as("qa"),
+          norm2(col("q")).as("na")), Seq("src"))
+        .join(emb.select(col("vec_id").as("dst"), col("q").as("qb"),
+          norm2(col("q")).as("nb")), Seq("dst"))
+        .withColumn("sim", cosineNorm(col("qa"), col("qb"), col("na"), col("nb")))
       scored
         .withColumn("rnk", row_number().over(
           Window.partitionBy("src").orderBy(desc("sim"), asc("dst"))))
@@ -430,9 +437,11 @@ object VectorQueries {
       val cands = a.join(b, Seq("bk")).where(col("src") =!= col("dst"))
         .select("src", "dst").distinct()
       val knn = cands
-        .join(emb.select(col("vec_id").as("src"), col("q").as("qa")), Seq("src"))
-        .join(emb.select(col("vec_id").as("dst"), col("q").as("qb")), Seq("dst"))
-        .withColumn("sim", cosine(col("qa"), col("qb")))
+        .join(emb.select(col("vec_id").as("src"), col("q").as("qa"),
+          norm2(col("q")).as("na")), Seq("src"))
+        .join(emb.select(col("vec_id").as("dst"), col("q").as("qb"),
+          norm2(col("q")).as("nb")), Seq("dst"))
+        .withColumn("sim", cosineNorm(col("qa"), col("qb"), col("na"), col("nb")))
         .withColumn("rnk", row_number().over(
           Window.partitionBy("src").orderBy(desc("sim"), asc("dst"))))
         .where(col("rnk") <= 3)
@@ -499,9 +508,11 @@ object VectorQueries {
       val cands = a.join(b, Seq("bk")).where(col("id_a") < col("id_b"))
         .select("id_a", "id_b").distinct()
       cands
-        .join(emb.select(col("vec_id").as("id_a"), col("q").as("qa")), Seq("id_a"))
-        .join(emb.select(col("vec_id").as("id_b"), col("q").as("qb")), Seq("id_b"))
-        .withColumn("sim", cosine(col("qa"), col("qb")))
+        .join(emb.select(col("vec_id").as("id_a"), col("q").as("qa"),
+          norm2(col("q")).as("na")), Seq("id_a"))
+        .join(emb.select(col("vec_id").as("id_b"), col("q").as("qb"),
+          norm2(col("q")).as("nb")), Seq("id_b"))
+        .withColumn("sim", cosineNorm(col("qa"), col("qb"), col("na"), col("nb")))
         .where(col("sim") >= 0.9)
         .select("id_a", "id_b", "sim")
         .orderBy("id_a", "id_b")
@@ -541,9 +552,11 @@ object VectorQueries {
       val cands = a.join(b, Seq("bk")).where(col("id_a") < col("id_b"))
         .select("id_a", "id_b").distinct()
       val pairs = cands
-        .join(emb.select(col("vec_id").as("id_a"), col("q").as("qa")), Seq("id_a"))
-        .join(emb.select(col("vec_id").as("id_b"), col("q").as("qb")), Seq("id_b"))
-        .where(cosine(col("qa"), col("qb")) >= 0.9)
+        .join(emb.select(col("vec_id").as("id_a"), col("q").as("qa"),
+          norm2(col("q")).as("na")), Seq("id_a"))
+        .join(emb.select(col("vec_id").as("id_b"), col("q").as("qb"),
+          norm2(col("q")).as("nb")), Seq("id_b"))
+        .where(cosineNorm(col("qa"), col("qb"), col("na"), col("nb")) >= 0.9)
         .select("id_a", "id_b")
       val edges = pairs
         .unionByName(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
@@ -620,10 +633,12 @@ object VectorQueries {
     "emb_lsh_recall" -> (((s: SparkSession, d: String) => {
       val emb = withPlanted(Fixtures.embeddings(s, d)
         .select(col("vec_id"), quantize(col("embedding")).as("q")))
-      val a = emb.select(col("vec_id").as("id_a"), col("q").as("qa"))
-      val b = emb.select(col("vec_id").as("id_b"), col("q").as("qb"))
+      val a = emb.select(col("vec_id").as("id_a"), col("q").as("qa"),
+        norm2(col("q")).as("na"))
+      val b = emb.select(col("vec_id").as("id_b"), col("q").as("qb"),
+        norm2(col("q")).as("nb"))
       val truth = a.join(b, col("id_a") < col("id_b"))
-        .where(cosine(col("qa"), col("qb")) >= 0.99)
+        .where(cosineNorm(col("qa"), col("qb"), col("na"), col("nb")) >= 0.99)
         .select("id_a", "id_b")
       val banded = bandKeys(emb.select(col("vec_id"), sig16(col("q")).as("sig")))
       val cands = banded.select(col("bk"), col("vec_id").as("id_a"))
@@ -631,9 +646,11 @@ object VectorQueries {
         .where(col("id_a") < col("id_b"))
         .select("id_a", "id_b").distinct()
       val found = cands
-        .join(emb.select(col("vec_id").as("id_a"), col("q").as("qa")), Seq("id_a"))
-        .join(emb.select(col("vec_id").as("id_b"), col("q").as("qb")), Seq("id_b"))
-        .where(cosine(col("qa"), col("qb")) >= 0.99)
+        .join(emb.select(col("vec_id").as("id_a"), col("q").as("qa"),
+          norm2(col("q")).as("na")), Seq("id_a"))
+        .join(emb.select(col("vec_id").as("id_b"), col("q").as("qb"),
+          norm2(col("q")).as("nb")), Seq("id_b"))
+        .where(cosineNorm(col("qa"), col("qb"), col("na"), col("nb")) >= 0.99)
         .select("id_a", "id_b")
       val nTrue = truth.agg(count(lit(1)).cast("long").as("n_true"))
       val nFound = truth.join(found, Seq("id_a", "id_b"), "left_semi")
@@ -685,11 +702,13 @@ object VectorQueries {
         .where(substring(sha2(col("vec_id").cast("string"), 256), 1, 1)
           .isin("0", "1", "2", "3"))
         .select(col("vec_id").as("id_a"))
-      val a = emb.select(col("vec_id").as("id_a"), col("q").as("qa"))
+      val a = emb.select(col("vec_id").as("id_a"), col("q").as("qa"),
+          norm2(col("q")).as("na"))
         .join(sample, Seq("id_a"), "left_semi")
-      val b = emb.select(col("vec_id").as("id_b"), col("q").as("qb"))
+      val b = emb.select(col("vec_id").as("id_b"), col("q").as("qb"),
+        norm2(col("q")).as("nb"))
       val truth = a.join(b, col("id_a") < col("id_b"))
-        .where(cosine(col("qa"), col("qb")) >= 0.99)
+        .where(cosineNorm(col("qa"), col("qb"), col("na"), col("nb")) >= 0.99)
         .select("id_a", "id_b")
       val banded = bandKeys(emb.select(col("vec_id"), sig16(col("q")).as("sig")))
       val cands = banded.select(col("bk"), col("vec_id").as("id_a"))
@@ -697,9 +716,11 @@ object VectorQueries {
         .where(col("id_a") < col("id_b"))
         .select("id_a", "id_b").distinct()
       val found = cands
-        .join(emb.select(col("vec_id").as("id_a"), col("q").as("qa")), Seq("id_a"))
-        .join(emb.select(col("vec_id").as("id_b"), col("q").as("qb")), Seq("id_b"))
-        .where(cosine(col("qa"), col("qb")) >= 0.99)
+        .join(emb.select(col("vec_id").as("id_a"), col("q").as("qa"),
+          norm2(col("q")).as("na")), Seq("id_a"))
+        .join(emb.select(col("vec_id").as("id_b"), col("q").as("qb"),
+          norm2(col("q")).as("nb")), Seq("id_b"))
+        .where(cosineNorm(col("qa"), col("qb"), col("na"), col("nb")) >= 0.99)
         .select("id_a", "id_b")
       val nDocs = sample.agg(count(lit(1)).cast("long").as("n_docs_sampled"))
       val nTrue = truth.agg(count(lit(1)).cast("long").as("n_true"))
