@@ -214,11 +214,24 @@ class Engine(val spark: SparkSession, val repoDir: String,
   def setEntriesIfAbsent(branch: String,
       entries: Seq[EntryIO.Entry]): Seq[Boolean] =
     branchLock.withLock(branch) {
+      // Probe all distinct keys in parallel first: each point get may open
+      // a cold range file (~tens of ms), and a commit's marker publish
+      // lands 10+ wide — serial probes made the batched conditional create
+      // O(batch × probe latency) under the branch lock (measured as the
+      // commit_http marker_put 0.5 s stage). Probes are read-only and
+      // nothing mutates inside this lock window before the staged write
+      // below, so the parallel results equal the serial ones.
+      // DEDICATED pool, never SnapshotStore.ioPool: a writer's marker
+      // publish occupies ioPool threads that BLOCK on this very method
+      // through the gateway (publishMarkers → HTTP PUT → setEntriesIfAbsent),
+      // so sharing that pool deadlocks by thread starvation.
+      val exists: Map[String, Boolean] =
+        Engine.probeParallel(entries.map(_.key).distinct)(k =>
+          k -> EntryIO.pointGet(this, branch, k).isDefined).toMap
       val acceptedKeys = scala.collection.mutable.Set[String]()
       val accepted = scala.collection.mutable.ArrayBuffer[EntryIO.Entry]()
       val out = entries.map { e =>
-        if (acceptedKeys.contains(e.key) ||
-            EntryIO.pointGet(this, branch, e.key).isDefined) false
+        if (acceptedKeys.contains(e.key) || exists(e.key)) false
         else { acceptedKeys += e.key; accepted += e; true }
       }
       if (accepted.nonEmpty) {
@@ -2075,6 +2088,30 @@ class Engine(val spark: SparkSession, val repoDir: String,
 }
 
 object Engine {
+  // Bounded pool for setEntriesIfAbsent's read-only existence probes.
+  // Deliberately SEPARATE from SnapshotStore.ioPool: ioPool threads block
+  // on gateway round-trips that land back in setEntriesIfAbsent, and a
+  // shared pool deadlocks by starvation (marker publish ↔ conditional
+  // create). Daemon threads; sized like the reference's 10 uploaders.
+  private val probePool = java.util.concurrent.Executors.newFixedThreadPool(
+    8,
+    (r: Runnable) => {
+      val t = new Thread(r, "graft-probe")
+      t.setDaemon(true)
+      t
+    })
+
+  private[store] def probeParallel[A, B](items: Seq[A])(f: A => B): Seq[B] = {
+    if (items.isEmpty) return Seq.empty
+    if (items.lengthCompare(2) < 0) return items.map(f)
+    import scala.jdk.CollectionConverters._
+    val tasks: java.util.List[java.util.concurrent.Callable[B]] =
+      items.map(a => new java.util.concurrent.Callable[B] {
+        def call(): B = f(a)
+      }).asJava
+    probePool.invokeAll(tasks).asScala.map(_.get()).toSeq
+  }
+
   /** Default [[Engine#gcSweep]] concurrent-writer grace: metadata younger
     * than this survives the sweep even when unreachable, covering the
     * write→CAS window of any in-flight commit (commits complete in
