@@ -1012,6 +1012,24 @@ object Bench {
       }.mkString("{", ",", "}"))).mkString("{", ",", "}")
     println(s"""{"metric":"trace_tail","value":0,"unit":"sec",""" +
       s""""trace":$traceTail}""")
+    // The stdout lines above travel through sbt's [info]-prefixed log and
+    // the driver failed to parse them out of it two rounds running
+    // (BENCH_r15/r16 `parsed: null`). Mirror the same summary object to a
+    // stable file so the comparison can be machine-read. Additive only —
+    // stdout is unchanged.
+    val fileJson =
+      s"""{"metric":"summary","value":${sig(total)},"unit":"sec",""" +
+        s""""queries":$qs,"queries_min":$qsMin,"medmin":$medmin,""" +
+        s""""trace":$trace,"passes":$passes,"sf":"$sfDir"}"""
+    try {
+      val out = new java.io.File("target/bench_summary.json")
+      Option(out.getParentFile).foreach(_.mkdirs())
+      val w = new java.io.PrintWriter(out, "UTF-8")
+      try w.println(fileJson) finally w.close()
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] summary file write failed: ${e.getMessage}")
+    }
   }
 }
 

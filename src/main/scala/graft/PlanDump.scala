@@ -85,6 +85,49 @@ object PlanDump {
         .withColumn("identity", identExpr)
       val m2 = store.commitChanges(m1, changes)._1
       dump("diff_store") { store.diff(m1, m2) }
+      // merge3_store: the applied change-set expression SnapshotStore.merge3
+      // feeds commitChanges (the plan-shaped part of the metric; the commit
+      // apply itself is the same machinery the commit metric times)
+      locally {
+        val srcChanges = base.where(col("k") % 50 === 3)
+          .withColumn("price_c", col("price_c") + 111)
+          .withColumn("identity", identExpr)
+          .unionByName(base.where(col("k") % 50 === 17)
+            .withColumn("identity", lit(null).cast("string")))
+        val dstChanges = base.where(col("k") % 50 === 4)
+          .withColumn("price_c", col("price_c") + 222)
+          .withColumn("identity", identExpr)
+          .unionByName(base.where(col("k") % 50 === 33)
+            .withColumn("identity", lit(null).cast("string")))
+        val mSrc = store.commitChanges(m1, srcChanges)._1
+        val mDst = store.commitChanges(m1, dstChanges)._1
+        // exactly SnapshotStore.merge3's applied-change-set expression,
+        // including the persisted+materialized source delta (that is what
+        // lets the planner broadcast the dest-side semi joins)
+        val (bs3, ss3) = store.prunedForDiff(m1, mSrc)
+        val (bd3, ds3) = store.prunedForDiff(m1, mDst)
+        val srcDelta3 = Diff.twoWayFull(bs3, ss3)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        srcDelta3.count()
+        dump("merge3_store") {
+          val srcKeys = srcDelta3.select("key")
+          val dstDelta = Diff.twoWayFull(
+            bd3.join(srcKeys, Seq("key"), "left_semi"),
+            ds3.join(srcKeys, Seq("key"), "left_semi"))
+          Merge.threeWayFromDeltas(srcDelta3, dstDelta, StrategySourceWins)._1
+        }
+        srcDelta3.unpersist()
+      }
+      // J6 uncommitted diff: the committed snapshot scan must sit under a
+      // broadcast LEFT SEMI on the staged keys (never a full-snapshot
+      // shuffle) — the r16 scale claim, pinned with a plan
+      dump("uncommitted") {
+        val staged = base.where(col("k") % 500 === 3)
+          .select(col("key"),
+            when(col("k") % 5 === 0, lit(null).cast("string"))
+              .otherwise(concat(col("identity"), lit(":staged"))).as("identity"))
+        graft.operators.Staging.uncommittedDiff(staged, store.scan(m1))
+      }
       try {
         val ffs = org.apache.hadoop.fs.FileSystem.get(
           new java.net.URI(repoDir), spark.sparkContext.hadoopConfiguration)

@@ -19,6 +19,35 @@ object PointProbe {
     keys.foreach(k => require(graft.store.EntryIO.committedPoint(store, m1, k).isDefined))
     val dt = (System.nanoTime() - t0) / 1e6
     println(f"200 lookups: ${dt}%.1f ms total, ${dt/200}%.3f ms each")
+
+    // ---- decomposition: where does one cold get spend? --------------------
+    val conf = spark.sparkContext.hadoopConfiguration
+    val manifest = store.readManifest(m1)
+    def fileOf(k: String): String = {
+      val at = manifest.lastIndexWhere(ri => graft.store.EntryIO.keyLe(ri.minKey, k))
+      graft.store.EntryIO.rangeDataFiles(conf, manifest(at).path).head
+    }
+    val pairs = keys.map(k => (k, fileOf(k)))
+    println(s"distinct files probed = ${pairs.map(_._2).distinct.size}")
+    def phase(name: String)(f: (String, String) => Unit): Unit = {
+      val t = System.nanoTime()
+      pairs.foreach { case (k, file) => f(k, file) }
+      println(f"$name%-28s ${(System.nanoTime() - t) / 1e6 / pairs.size}%8.3f ms/get")
+    }
+    phase("footer_open_close") { (_, file) =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromPath(new org.apache.hadoop.fs.Path(file), conf)
+      org.apache.parquet.hadoop.ParquetFileReader.open(in).close()
+    }
+    phase("point_in_file") { (k, file) =>
+      require(graft.store.EntryIO.pointInFile(conf, file, k).isDefined)
+    }
+    phase("point_in_file_again") { (k, file) =>
+      require(graft.store.EntryIO.pointInFile(conf, file, k).isDefined)
+    }
+    phase("committed_point") { (k, _) =>
+      require(graft.store.EntryIO.committedPoint(store, m1, k).isDefined)
+    }
     spark.stop()
   }
 }

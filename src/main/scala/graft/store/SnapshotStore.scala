@@ -487,30 +487,54 @@ class SnapshotStore(val spark: SparkSession, val repoDir: String,
       : (String, DataFrame) = {
     val (bs, ss) = prunedForDiff(baseMeta, srcMeta)
     val (bd, ds) = prunedForDiff(baseMeta, dstMeta)
-    // deltas are bounded by changed data — materialize once, they feed the
-    // conflict check, the winning-set join, and the commit apply
+    // Only SOURCE-side changes can enter the applied set (dest-only changes
+    // are in dest already), and a conflict needs the source side changed
+    // too — so the dest pair is only ever consulted AT source-changed keys.
+    // Shape (guide §3.2 semi-join pre-filter): one full-outer SMJ computes
+    // the source delta (the only full-side exchange pair left); the dest
+    // pair is then restricted per side with a semi join on the delta's keys
+    // — bounded by changed data, so AQE broadcasts the build side and the
+    // dest snapshot never shuffles. The previous shape paid a second
+    // full-outer SMJ over the whole dest pair (4 full-side exchanges,
+    // plans/r17/merge3_store_before.txt) and a semi join afterwards to
+    // throw the dest-only keys away again. (A single 4-leg union+aggregate
+    // cogroup was measured SLOWER here — 3.79 s vs 2.76 s median — the
+    // per-group first() buffers over wide string payloads cost more than
+    // the exchanges they remove, the r16 twoWay-cogroup lesson.)
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val srcDelta = graft.operators.Diff.twoWayFull(bs, ss).persist(lvl)
-    val dstDelta = graft.operators.Diff.twoWayFull(bd, ds).persist(lvl)
     try {
+      // materialize the delta NOW (one job, bounded by changed data): the
+      // cached relation then carries real size stats, so the planner
+      // broadcasts the semi-join build side below when it fits (and falls
+      // back to SMJ gracefully for a giant delta) — unmaterialized, the
+      // semi joins planned as full SortMergeJoins of the dest pair, which
+      // is exactly the exchange this shape exists to remove.
+      srcDelta.count()
+      val srcKeys = srcDelta.select("key")
+      val dstDelta = graft.operators.Diff.twoWayFull(
+        bd.join(srcKeys, Seq("key"), "left_semi"),
+        ds.join(srcKeys, Seq("key"), "left_semi"))
+      // dest-delta membership at the surviving keys is unchanged by the
+      // restriction (per key it only depends on that key's bd/ds rows), and
+      // every dropped key was dest-only — absent from the applied set and
+      // the conflict matrix by definition.
       val (changes, conflicts) =
         graft.operators.Merge.threeWayFromDeltas(srcDelta, dstDelta, strategy, resolver)
       if (strategy == graft.core.Model.StrategyNone && resolver.isEmpty &&
           conflicts.limit(1).count() > 0)
         return ("", conflicts)
-      // merge result = dest + source-side changes (overlaps already resolved
-      // per strategy); dest-only changes are in dest already, so restrict the
-      // applied delta to source-changed keys
+      // changes' keys ⊆ srcDelta keys by construction — the old trailing
+      // `changes ⋉ srcDelta.keys` semi join is a no-op now and is gone.
       // persisted lazily: commitChanges' first action (touched-range
-      // detection) materializes it into cache for the apply join - an
+      // detection) materializes it into cache for the apply join — an
       // eager count here would just be one extra job over the delta
-      val applied = changes.join(srcDelta.select("key"), Seq("key"), "left_semi")
-        .persist(lvl)
+      val applied = changes.persist(lvl)
       try {
         val (meta, _) = commitChanges(dstMeta, applied)
         (meta, conflicts)
       } finally applied.unpersist()
-    } finally { srcDelta.unpersist(); dstDelta.unpersist() }
+    } finally srcDelta.unpersist()
   }
 
   // ---- internals ----------------------------------------------------------
