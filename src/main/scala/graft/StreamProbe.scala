@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.MinHash
+
+/** Streaming spot-check (measurement main, not part of the driver
+  * contract): per-batch wall time of [[graft.streaming.StreamDedupIndex]]
+  * on a canned 3-batch stream, plus the banded projection alone under the
+  * shipped bind-bound signature vs the pre-bind control — proving the
+  * TextFunctions.bind win applies MID-STREAM (the micro-batch planner
+  * re-plans per batch, so nothing batch-specific is load-bearing).
+  * Usage: runMain graft.StreamProbe [docsPerBatch] */
+object StreamProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val nPerBatch = args.lift(0).map(_.toInt).getOrElse(3000)
+    def docs(batch: Int): Seq[(Long, String)] = (0 until nPerBatch).map { i =>
+      val id = batch * 1000000L + i
+      // 30-word docs over a 499-word vocab: real shingle mass, some
+      // cross-batch band collisions so the stateful op has matches to emit
+      val words = (0 until 30).map(w => s"w${(i * 31 + w * 7 + batch * 13) % 499}")
+      (id, words.mkString(" "))
+    }
+
+    // control: sigArray exactly as it read BEFORE the bind fix — the
+    // shingle-hash subtree referenced once per slot, re-evaluated per
+    // reference (Catalyst skips subexpression elimination under lambdas)
+    def sigUnbound(text: Column): Column = {
+      val hs = MinHash.shingleHashes(text)
+      array((0 until MinHash.NumPerms).map { j =>
+        when(size(hs) > 0, array_min(transform(hs, h => MinHash.perm(h, lit(j)))))
+          .otherwise(lit(null).cast("long"))
+      }: _*)
+    }
+
+    def ckpt() = java.nio.file.Files
+      .createTempDirectory("streamprobe_ckpt").toString
+
+    def timeBatches(name: String,
+        start: org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+          => org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String)]
+      val q = start(mem)
+      try (0 until 3).foreach { b =>
+        mem.addData(docs(b): _*)
+        val t0 = System.nanoTime()
+        q.processAllAvailable()
+        println(f"[streamprobe] $name%-24s batch $b wall ${(System.nanoTime() - t0) / 1e9}%7.3f s")
+      } finally q.stop()
+    }
+
+    def banded(in: org.apache.spark.sql.DataFrame, sig: Column => Column) = in
+      .withColumn("sig", sig(col("text")))
+      .where(element_at(col("sig"), 1).isNotNull)
+      .select(col("doc_id").cast("long").as("doc_id"), col("sig"),
+        explode(array((0 until MinHash.NumBands).map(b =>
+          concat(lit(s"$b:"), MinHash.bandSig(col("sig"), b))): _*)).as("bucket"))
+
+    timeBatches("banded bind (shipped)", mem =>
+      banded(mem.toDS().toDF("doc_id", "text"), MinHash.sigArray)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt()).format("noop").start())
+    timeBatches("banded unbound (ctrl)", mem =>
+      banded(mem.toDS().toDF("doc_id", "text"), sigUnbound)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt()).format("noop").start())
+    timeBatches("matches (full op)", mem =>
+      graft.streaming.StreamDedupIndex.matches(mem.toDS().toDF("doc_id", "text"))
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt()).format("noop").start())
+    spark.stop()
+  }
+}

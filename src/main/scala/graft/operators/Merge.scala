@@ -65,7 +65,11 @@ object Merge {
     def side(df: DataFrame, tag: String) = {
       val cols = Seq("__b_", "s_", "d_").flatMap { p =>
         payload.map { c =>
-          (if (p == tag) col(c) else lit(null).cast(base.schema(c).dataType))
+          // the side's own column is cast to base's type too: the old join
+          // shape tolerated minor type drift (nullability/decimal precision)
+          // via join coercion, and unionByName must not be stricter
+          (if (p == tag) col(c).cast(base.schema(c).dataType)
+           else lit(null).cast(base.schema(c).dataType))
             .as(s"$p$c")
         }
       }

@@ -60,6 +60,14 @@ object Staging {
    * a LEFT SEMI join (build side = the small staged key set — broadcastable,
    * optimization guide §3.2), which never shuffles the snapshot; the outer
    * join then runs over two staging-sized frames.
+   *
+   * Assumptions this shape makes: the staging plan is referenced twice
+   * (outer-join side and semi-join key set) — callers passing a DERIVED
+   * staging frame (e.g. a latestWriteWins window) should persist it or the
+   * subtree computes twice; and when the staged key set exceeds the
+   * broadcast threshold the semi join degrades to a shuffle of BOTH sides —
+   * no worse than the old always-shuffle shape, and AQE re-picks broadcast
+   * whenever the key set's runtime size fits.
    */
   def uncommittedDiff(staging: DataFrame, committed: DataFrame): DataFrame = {
     val s = staging.select(col("key"), col("identity").as("staged_identity"))

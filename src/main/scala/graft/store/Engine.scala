@@ -2101,6 +2101,10 @@ object Engine {
       t
     })
 
+  /** Run read-only probes in parallel on [[probePool]]. INVARIANT: `f`
+    * must never re-enter probeParallel (the fixed pool would self-deadlock)
+    * and must not block on SnapshotStore.ioPool work that can land back in
+    * the caller's lock — pointGet satisfies both. */
   private[store] def probeParallel[A, B](items: Seq[A])(f: A => B): Seq[B] = {
     if (items.isEmpty) return Seq.empty
     if (items.lengthCompare(2) < 0) return items.map(f)
@@ -2109,7 +2113,13 @@ object Engine {
       items.map(a => new java.util.concurrent.Callable[B] {
         def call(): B = f(a)
       }).asJava
-    probePool.invokeAll(tasks).asScala.map(_.get()).toSeq
+    probePool.invokeAll(tasks).asScala.map { fut =>
+      // rethrow the probe's OWN exception (IO error, UnresolvableRef...):
+      // callers of setEntriesIfAbsent must see the same error types the
+      // serial probes threw, not an ExecutionException wrapper
+      try fut.get()
+      catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
+    }.toSeq
   }
 
   /** Default [[Engine#gcSweep]] concurrent-writer grace: metadata younger

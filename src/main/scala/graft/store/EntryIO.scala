@@ -150,26 +150,61 @@ object EntryIO {
     Set("key", "identity", "address", "size_bytes", "mtime",
       "content_type", "meta_json")
 
-  /** GroupReadSupport restricted to the entry columns present in the file:
-    * a point get must not decode a wide payload's every column — projection
-    * cuts the row-group decode to the 2-5 narrow fields the Entry needs. */
-  private class EntryReadSupport extends GroupReadSupport {
-    override def init(context: org.apache.parquet.hadoop.api.InitContext)
-        : org.apache.parquet.hadoop.api.ReadSupport.ReadContext = {
-      import scala.jdk.CollectionConverters._
-      val fileSchema = context.getFileSchema
-      val kept = fileSchema.getFields.asScala
-        .filter(f => wantedFields.contains(f.getName)).asJava
-      val projected = new MessageType(fileSchema.getName, kept)
-      new org.apache.parquet.hadoop.api.ReadSupport.ReadContext(projected)
-    }
+  // Parsed-footer cache (guide §6: never re-read immutable metadata).
+  // Every file this reads is write-once — committed range files are
+  // content-addressed, staged epoch files are written hidden then revealed
+  // — so a parsed footer never invalidates. Re-reading + re-thrift-parsing
+  // the footer was HALF of a cold point get (measured 7.2 of 14.0 ms);
+  // every driver-side walker funnels through [[scanFile]], so they all
+  // share this cache. Bounded FIFO, entries a few KB.
+  private val footerCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[
+      String, org.apache.parquet.hadoop.metadata.ParquetMetadata](64, 0.75f, false) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[
+            String, org.apache.parquet.hadoop.metadata.ParquetMetadata]): Boolean =
+        size() > 1024
+    })
+
+  /** Complete (unfiltered) footer of one immutable Parquet file, cached. */
+  def footerOf(conf: Configuration, file: String)
+      : org.apache.parquet.hadoop.metadata.ParquetMetadata = {
+    val cached = footerCache.get(file)
+    if (cached != null) return cached
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile
+      .fromPath(new Path(file), conf)
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    val footer = try r.getFooter finally r.close()
+    footerCache.put(file, footer)
+    footer
   }
 
   /** Visit entries of one Parquet file whose key lies in [lo, hi); stop when
     * `f` returns false (the file is key-sorted only for committed ranges —
     * staged files are NOT, so no early exit on key order here). Row groups
-    * outside the window are pruned via the pushed filter. */
+    * outside the window are pruned via the pushed filter (stats, then
+    * column-index page selection, then record-level), exactly the chain the
+    * high-level ParquetReader ran — this low-level form exists so the
+    * [[footerOf]] cache can skip the per-call footer read+parse. */
   def scanFile(conf: Configuration, file: String,
+      lo: Option[String], hi: Option[String])(f: Entry => Boolean): Unit =
+    try scanOneFile(conf, file, lo, hi)(f)
+    catch {
+      // the high-level ParquetReader this replaced accepted a DIRECTORY
+      // and read every visible file inside (GraftCatalog partitions can
+      // carry a legacy range-dir path) — keep that contract, detected on
+      // the failure path so real files pay no extra status call
+      case e: java.io.IOException
+          if { val p = new Path(file)
+               try p.getFileSystem(conf).getFileStatus(p).isDirectory
+               catch { case _: java.io.IOException => false } } =>
+        var go = true
+        epochFiles(conf, file).foreach { df =>
+          if (go) scanOneFile(conf, df, lo, hi) { e => go = f(e); go }
+        }
+    }
+
+  private def scanOneFile(conf: Configuration, file: String,
       lo: Option[String], hi: Option[String])(f: Entry => Boolean): Unit = {
     val keyCol = FilterApi.binaryColumn("key")
     // typed explicitly: the inferred LUB of GtEq/Lt is a package-private
@@ -177,21 +212,49 @@ object EntryIO {
     val preds: Seq[org.apache.parquet.filter2.predicate.FilterPredicate] = Seq(
       lo.map(l => FilterApi.gtEq(keyCol, Binary.fromString(l))),
       hi.map(h => FilterApi.lt(keyCol, Binary.fromString(h)))).flatten
-    val builder = ParquetReader
-      .builder(new EntryReadSupport, new Path(file))
-      .withConf(conf)
-    val withFilter = preds match {
-      case Seq(a)    => builder.withFilter(FilterCompat.get(a))
-      case Seq(a, b) => builder.withFilter(FilterCompat.get(FilterApi.and(a, b)))
-      case _         => builder
+    val filter = preds match {
+      case Seq(a)    => FilterCompat.get(a)
+      case Seq(a, b) => FilterCompat.get(FilterApi.and(a, b))
+      case _         => FilterCompat.NOOP
     }
-    val reader = withFilter.build()
+    val footer = footerOf(conf, file)
+    val fileSchema = footer.getFileMetaData.getSchema
+    // projection to the entry columns present in the file: a point get must
+    // not decode a wide payload's every column
+    import scala.jdk.CollectionConverters._
+    val kept = fileSchema.getFields.asScala
+      .filter(fd => wantedFields.contains(fd.getName)).asJava
+    val projected = new MessageType(fileSchema.getName, kept)
+    val opts = org.apache.parquet.HadoopReadOptions
+      .builder(conf, new Path(file))
+      .withRecordFilter(filter)
+      .build()
+    val reader = new org.apache.parquet.hadoop.ParquetFileReader(
+      conf, new Path(file), footer, opts)
     try {
-      var g = reader.read()
+      reader.setRequestedSchema(projected)
+      val columnIO = new org.apache.parquet.io.ColumnIOFactory(
+        footer.getFileMetaData.getCreatedBy)
+        .getColumnIO(projected, fileSchema, true)
+      val materializer = new org.apache.parquet.example.data.simple.convert
+        .GroupRecordConverter(projected)
       var go = true
-      while (g != null && go) {
-        go = f(toEntry(g))
-        if (go) g = reader.read()
+      var pages = reader.readNextFilteredRowGroup()
+      while (pages != null && go) {
+        val rr = columnIO.getRecordReader(pages, materializer, filter)
+        val n = pages.getRowCount
+        var i = 0L
+        while (i < n && go) {
+          val g = rr.read()
+          i += 1
+          // ORDER MATTERS (InternalParquetRecordReader's loop): a record the
+          // filter dropped reads as null WITH shouldSkipCurrentRecord set —
+          // only a null WITHOUT the skip flag is end-of-block
+          if (rr.shouldSkipCurrentRecord) ()
+          else if (g == null) i = n
+          else go = f(toEntry(g))
+        }
+        pages = if (go) reader.readNextFilteredRowGroup() else null
       }
     } finally reader.close()
   }
@@ -229,12 +292,9 @@ object EntryIO {
   def fileKeyBounds(conf: Configuration, file: String): (String, Option[String]) = {
     val cached = fileBoundsCache.get(file)
     if (cached != null) return cached
-    val in = org.apache.parquet.hadoop.util.HadoopInputFile
-      .fromPath(new Path(file), conf)
-    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-    val bounds = try {
+    val bounds = {
       import scala.jdk.CollectionConverters._
-      val stats = reader.getFooter.getBlocks.asScala.flatMap { b =>
+      val stats = footerOf(conf, file).getBlocks.asScala.flatMap { b =>
         b.getColumns.asScala.find(_.getPath.toDotString == "key")
           .map(_.getStatistics)
       }.filter(s => s != null && s.hasNonNullValue)
@@ -244,7 +304,7 @@ object EntryIO {
           .min(keyOrder),
         Some(stats.map(_.genericGetMax.asInstanceOf[Binary].toStringUsingUTF8)
           .max(keyOrder)))
-    } finally reader.close()
+    }
     fileBoundsCache.put(file, bounds)
     bounds
   }

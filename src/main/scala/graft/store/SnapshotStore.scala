@@ -1536,6 +1536,12 @@ object SnapshotStore {
             .withConf(conf)
             .withCompressionCodec(
               org.apache.parquet.hadoop.metadata.CompressionCodecName.SNAPPY)
+            // 128 KB pages (default 1 MB): the page is the unit a POINT GET
+            // must decompress+decode, and the column-index path prunes at
+            // page granularity — smaller pages cut the per-get decode ~8×
+            // for a few more page headers (range files are scanned
+            // sequentially by Spark either way, where page size is neutral)
+            .withPageSize(128 * 1024)
             // OVERWRITE, not CREATE: file names are attempt-unique, so a
             // conditional create buys nothing and costs a precondition
             // round-trip per file on conditional-PUT object stores
