@@ -948,6 +948,18 @@ object Bench {
         "graft.gws.secret").foreach(hconf.unset)
       deleteDir(innerDir)
     }
+    // Driver-visible sweep probes (ADDED r17): the two headline
+    // declared-query metrics from the per-query sweep, timed ONCE per bench
+    // run through the noop sink — a full 5-pass treatment would add minutes
+    // at 8 cores for numbers that only need to be driver-parseable.
+    // `sweep_`-prefixed metrics are EXCLUDED from the headline total like
+    // the bare_* twins, so the round-over-round total stays comparable.
+    Seq("td_minhash_lsh", "emb_neardup").foreach { q =>
+      timed(s"sweep_$q") {
+        SparkEntry.queries(q)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+      }
+    }
     emit(samples, stepSamples, sfDir)
     spark.stop()
     // rc must be 0: stray non-daemon threads (HTTP server workers, pool
@@ -977,10 +989,13 @@ object Bench {
         .mkString("{", ",", "}")
     }.mkString("{", ",", "}")
     // headline total = engine metrics only; bare_* twins are the
-    // comparison, and commit_contended is a DELIBERATE two-writer stress
-    // whose wall belongs in queries/trace, not a round-over-round total
+    // comparison, commit_contended is a DELIBERATE two-writer stress whose
+    // wall belongs in queries/trace, and sweep_* probes are 1-sample
+    // declared-query observations added in r17 — none of them may move the
+    // round-over-round total
     val total = samples.collect {
       case (k, v) if v.nonEmpty && !k.startsWith("bare_") &&
+        !k.startsWith("sweep_") &&
         k != "commit_contended" && k != "commit_contended_http" => median(v)
     }.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +

@@ -17,7 +17,19 @@ object VectorFunctions {
   def quantize(vec: Column): Column =
     transform(vec, x => floor(x.cast("double") * 1000).cast("long"))
 
-  /** Exact integer dot product of two array<bigint> columns. */
+  /** The repo's embedding dimensionality (the `embeddings` table schema —
+    * fixed-width 64 everywhere; asserted by the oracle on every emb_*
+    * query). */
+  val Dims = 64
+
+  /** Exact integer dot product of two array<bigint> columns. HOFs are
+    * CodegenFallback (interpreted, per-element boxing), but this compact
+    * fold is still the right pair-join form: an unrolled element_at sum
+    * lands in the JOIN CONDITION (the sim threshold pushes into the join),
+    * where codegen cannot split methods — the generated method exceeds the
+    * JIT size cap and runs BYTECODE-interpreted, measured 4× slower than
+    * this fold (emb_neardup 3.5 → 14.9 s, sf0.01). Parallelism of the pair
+    * loop is the structural lever instead (see VectorQueries.spread). */
   def intDot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
 

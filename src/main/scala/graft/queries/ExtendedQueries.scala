@@ -554,7 +554,8 @@ object ExtendedQueries {
         .select(col("vec_id"), quantize(col("embedding")).as("q"))
       val cent = emb.where(col("vec_id") % 125 === 0)
         .select(col("vec_id").as("cid"), col("q").as("cq"))
-      val dist = emb.crossJoin(broadcast(cent))
+      val dist = emb.repartition(s.sparkContext.defaultParallelism)
+        .crossJoin(broadcast(cent))
         .withColumn("dist",
           aggregate(zip_with(col("q"), col("cq"), (x, y) => (x - y) * (x - y)),
             lit(0L), (acc, v) => acc + v))

@@ -107,6 +107,19 @@ object VectorQueries {
       explode(array((0 until 4).map(t =>
         concat(lit(s"$t:"), substring(col("sig"), 4 * t + 1, 4))): _*)).as("bk"))
 
+
+  /** Spread a tiny single-split frame across the cluster before a PAIR
+    * join: the embeddings table is one small file — one scan split — and
+    * the stream side of a broadcast cross/nested-loop join inherits the
+    * scan's partitioning, so the O(n·m) pair loop would otherwise run on
+    * ONE core no matter the cluster. Scale-adaptive (defaultParallelism),
+    * never a local-mode constant; the exchange moves O(n) tiny rows and is
+    * also a projection boundary, so per-side derived columns (quantize,
+    * norms) are computed once per ROW, never re-inlined per PAIR. Results
+    * are partitioning-independent (the oracle hash sorts rows). */
+  private def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   val defs: Map[String, (QueryFn, Option[String])] = Map(
 
     // Brute-force cosine top-5 neighbors for probe vectors (vec_id%100==0).
@@ -115,7 +128,7 @@ object VectorQueries {
         .select(col("vec_id"), quantize(col("embedding")).as("q"))
       val probes = emb.where(col("vec_id") % 100 === 0)
         .select(col("vec_id").as("probe_id"), col("q").as("pq"))
-      val sims = emb.crossJoin(broadcast(probes))
+      val sims = spread(emb).crossJoin(broadcast(probes))
         .where(col("vec_id") =!= col("probe_id"))
         .withColumn("dot", intDot(col("pq"), col("q")))
         .withColumn("sim",
@@ -158,7 +171,7 @@ object VectorQueries {
         .select(col("vec_id"), quantize(col("embedding")).as("q"))
       val probe = emb.where(col("vec_id") === 0)
         .select(col("q").as("pq"))
-      val cand = emb.crossJoin(broadcast(probe))
+      val cand = spread(emb).crossJoin(broadcast(probe))
         .where(col("vec_id") =!= 0)
         .withColumn("rel",
           intDot(col("pq"), col("q")).cast("double") /
@@ -298,8 +311,8 @@ object VectorQueries {
       val emb = withPlanted(Fixtures.embeddings(s, d)
         .select(col("vec_id"), quantize(col("embedding")).as("q")))
       // norms precomputed per side: one dot product per PAIR, not three
-      val a = emb.select(col("vec_id").as("id_a"), col("q").as("qa"),
-        norm2(col("q")).as("na"))
+      val a = spread(emb.select(col("vec_id").as("id_a"), col("q").as("qa"),
+        norm2(col("q")).as("na")))
       val b = emb.select(col("vec_id").as("id_b"), col("q").as("qb"),
         norm2(col("q")).as("nb"))
       a.join(b, col("id_a") < col("id_b"))
@@ -328,7 +341,7 @@ object VectorQueries {
       val emb = withPlanted(raw)
       val cent = raw.where(col("vec_id") % 50 === 0)
         .select(col("vec_id").as("cid"), col("q").as("cv"))
-      val assigned = emb.crossJoin(broadcast(cent))
+      val assigned = spread(emb).crossJoin(broadcast(cent))
         .withColumn("dist",
           aggregate(zip_with(col("q"), col("cv"), (x, y) => (x - y) * (x - y)),
             lit(0L), (acc, v) => acc + v))
@@ -633,8 +646,8 @@ object VectorQueries {
     "emb_lsh_recall" -> (((s: SparkSession, d: String) => {
       val emb = withPlanted(Fixtures.embeddings(s, d)
         .select(col("vec_id"), quantize(col("embedding")).as("q")))
-      val a = emb.select(col("vec_id").as("id_a"), col("q").as("qa"),
-        norm2(col("q")).as("na"))
+      val a = spread(emb.select(col("vec_id").as("id_a"), col("q").as("qa"),
+        norm2(col("q")).as("na")))
       val b = emb.select(col("vec_id").as("id_b"), col("q").as("qb"),
         norm2(col("q")).as("nb"))
       val truth = a.join(b, col("id_a") < col("id_b"))
@@ -702,9 +715,9 @@ object VectorQueries {
         .where(substring(sha2(col("vec_id").cast("string"), 256), 1, 1)
           .isin("0", "1", "2", "3"))
         .select(col("vec_id").as("id_a"))
-      val a = emb.select(col("vec_id").as("id_a"), col("q").as("qa"),
+      val a = spread(emb.select(col("vec_id").as("id_a"), col("q").as("qa"),
           norm2(col("q")).as("na"))
-        .join(sample, Seq("id_a"), "left_semi")
+        .join(sample, Seq("id_a"), "left_semi"))
       val b = emb.select(col("vec_id").as("id_b"), col("q").as("qb"),
         norm2(col("q")).as("nb"))
       val truth = a.join(b, col("id_a") < col("id_b"))
@@ -776,7 +789,7 @@ object VectorQueries {
         .select(col("vec_id"), quantize(col("embedding")).as("q"))
       val cent = emb.where(col("vec_id") % 125 === 0)
         .select(col("vec_id").as("cid"), col("q").as("cq"))
-      val dist = emb.crossJoin(broadcast(cent))
+      val dist = spread(emb).crossJoin(broadcast(cent))
         .withColumn("dist",
           aggregate(zip_with(col("q"), col("cq"), (x, y) => (x - y) * (x - y)),
             lit(0L), (acc, v) => acc + v))
@@ -841,7 +854,7 @@ object VectorQueries {
       def top3(simCol: Column) = {
         val w = Window.partitionBy("probe_id")
           .orderBy(col("sim").desc, col("vec_id").asc)
-        emb.crossJoin(broadcast(probes))
+        spread(emb).crossJoin(broadcast(probes))
           .where(col("vec_id") =!= col("probe_id"))
           .withColumn("sim", simCol)
           .withColumn("rank", row_number().over(w)).where(col("rank") <= 3)
@@ -897,7 +910,7 @@ object VectorQueries {
         .select(col("vec_id"), quantize(col("embedding")).as("q"))
       val cent = emb.where(col("vec_id") % 250 === 0)
         .select(col("vec_id").as("cid"), col("q").as("cq"))
-      val dist = emb.crossJoin(broadcast(cent))
+      val dist = spread(emb).crossJoin(broadcast(cent))
         .withColumn("dist",
           aggregate(zip_with(col("q"), col("cq"), (x, y) => (x - y) * (x - y)),
             lit(0L), (acc, v) => acc + v))
@@ -950,7 +963,7 @@ object VectorQueries {
       val probesT = emb.where(col("vec_id") % 100 === 0)
         .select(col("vec_id").as("probe_id"), col("q").as("pq"))
       val wT = Window.partitionBy("probe_id").orderBy(col("sim").desc, col("vec_id").asc)
-      val truth = emb.crossJoin(broadcast(probesT))
+      val truth = spread(emb).crossJoin(broadcast(probesT))
         .where(col("vec_id") =!= col("probe_id"))
         .withColumn("sim", cosine(col("pq"), col("q")))
         .withColumn("rank", row_number().over(wT)).where(col("rank") <= 3)
@@ -958,7 +971,7 @@ object VectorQueries {
       val cent = emb.where(col("vec_id") % 125 === 0)
         .select(col("vec_id").as("cid"), col("q").as("cq"))
       val wA = Window.partitionBy("vec_id").orderBy(col("dist").asc, col("cid").asc)
-      val assigned = emb.crossJoin(broadcast(cent))
+      val assigned = spread(emb).crossJoin(broadcast(cent))
         .withColumn("dist",
           aggregate(zip_with(col("q"), col("cq"), (x, y) => (x - y) * (x - y)),
             lit(0L), (acc, v) => acc + v))
@@ -1028,7 +1041,7 @@ object VectorQueries {
       val probesT = emb.where(col("vec_id") % 100 === 0)
         .select(col("vec_id").as("probe_id"), col("q").as("pq"))
       val wT = Window.partitionBy("probe_id").orderBy(col("sim").desc, col("vec_id").asc)
-      val truth = emb.crossJoin(broadcast(probesT))
+      val truth = spread(emb).crossJoin(broadcast(probesT))
         .where(col("vec_id") =!= col("probe_id"))
         .withColumn("sim", cosine(col("pq"), col("q")))
         .withColumn("rank", row_number().over(wT)).where(col("rank") <= 3)
@@ -1038,7 +1051,7 @@ object VectorQueries {
       val l2 = (a: Column, b: Column) =>
         aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (acc, v) => acc + v)
       val wA = Window.partitionBy("vec_id").orderBy(col("dist").asc, col("cid").asc)
-      val assigned = emb.crossJoin(broadcast(cent))
+      val assigned = spread(emb).crossJoin(broadcast(cent))
         .withColumn("dist", l2(col("q"), col("cq")))
         .withColumn("rn", row_number().over(wA)).where(col("rn") === 1)
         .select(col("vec_id"), col("cid"), col("q"))
@@ -1160,7 +1173,7 @@ object VectorQueries {
         .groupBy("probe_id")
         .agg(map_from_entries(collect_list(
           struct(concat_ws(":", col("m"), col("cid")), col("d")))).as("dtab"))
-      val scored = encWide.crossJoin(broadcast(lut))
+      val scored = spread(encWide).crossJoin(broadcast(lut))
         .where(col("vec_id") =!= col("probe_id"))
         .withColumn("adist", expr(
           "aggregate(transform(sequence(0,3), m -> element_at(dtab, " +
@@ -1235,7 +1248,7 @@ object VectorQueries {
       val probes = emb.where(col("vec_id") % 100 === 0)
         .select(col("vec_id").as("probe_id"), col("q").as("pq"))
       val wT = Window.partitionBy("probe_id").orderBy(col("dist").asc, col("vec_id").asc)
-      val truth = emb.crossJoin(broadcast(probes))
+      val truth = spread(emb).crossJoin(broadcast(probes))
         .where(col("vec_id") =!= col("probe_id"))
         .withColumn("dist", l2(col("pq"), col("q")))
         .withColumn("rank", row_number().over(wT)).where(col("rank") <= 3)
@@ -1259,7 +1272,7 @@ object VectorQueries {
         .agg(map_from_entries(collect_list(
           struct(concat_ws(":", col("m"), col("cid")), col("d")))).as("dtab"))
       val wF = Window.partitionBy("probe_id").orderBy(col("adist").asc, col("vec_id").asc)
-      val found = encWide.crossJoin(broadcast(lut))
+      val found = spread(encWide).crossJoin(broadcast(lut))
         .where(col("vec_id") =!= col("probe_id"))
         .withColumn("adist", expr(
           "aggregate(transform(sequence(0,3), m -> element_at(dtab, " +
@@ -1345,7 +1358,7 @@ object VectorQueries {
         .select(col("vec_id").as("cid"), col("sv").as("cv"))
       var sizes: DataFrame = null
       for (_ <- 1 to 2) {
-        val dist = emb.crossJoin(broadcast(cent))
+        val dist = spread(emb).crossJoin(broadcast(cent))
           .withColumn("dist",
             aggregate(zip_with(col("sv"), col("cv"), (x, y) => (x - y) * (x - y)),
               lit(0L), (acc, v) => acc + v))
@@ -1568,7 +1581,7 @@ object VectorQueries {
         .select(col("vec_id").as("probe_id"), col("q").as("pq"),
           col("codes").as("pcodes"))
       val wT = Window.partitionBy("probe_id").orderBy(col("dist").asc, col("vec_id").asc)
-      val truth = emb.crossJoin(broadcast(probes.select("probe_id", "pq")))
+      val truth = spread(emb).crossJoin(broadcast(probes.select("probe_id", "pq")))
         .where(col("vec_id") =!= col("probe_id"))
         .withColumn("dist", l2(col("pq"), col("q")))
         .withColumn("rank", row_number().over(wT)).where(col("rank") <= 3)
@@ -1650,7 +1663,7 @@ object VectorQueries {
         .select(col("vec_id").as("probe_id"), col("q").as("pq"),
           col("h1").as("p1"), col("h2").as("p2"))
       val wT = Window.partitionBy("probe_id").orderBy(col("sim").desc, col("vec_id").asc)
-      val truth = coded.crossJoin(broadcast(probes.select("probe_id", "pq")))
+      val truth = spread(coded).crossJoin(broadcast(probes.select("probe_id", "pq")))
         .where(col("vec_id") =!= col("probe_id"))
         .withColumn("sim", cosine(col("pq"), col("q")))
         .withColumn("rank", row_number().over(wT)).where(col("rank") <= 3)
@@ -1727,7 +1740,7 @@ object VectorQueries {
       val cent = emb.where(col("vec_id") % 125 === 0)
         .select(col("vec_id").as("cid"), col("q").as("cq"))
       val wA = Window.partitionBy("vec_id").orderBy(col("dist").asc, col("cid").asc)
-      val assigned = emb.crossJoin(broadcast(cent))
+      val assigned = spread(emb).crossJoin(broadcast(cent))
         .withColumn("dist", l2(col("q"), col("cq")))
         .withColumn("rn", row_number().over(wA)).where(col("rn") === 1)
         .select(col("vec_id"), col("cid"), col("q"))
@@ -2039,7 +2052,7 @@ object VectorQueries {
           col("label").cast("long").as("label"))
       val cent = emb.where(col("vec_id") % 125 === 0)
         .select(col("vec_id").as("cid"), col("q").as("cq"))
-      val dist = emb.crossJoin(broadcast(cent))
+      val dist = spread(emb).crossJoin(broadcast(cent))
         .withColumn("dist",
           aggregate(zip_with(col("q"), col("cq"), (x, y) => (x - y) * (x - y)),
             lit(0L), (acc, v) => acc + v))
@@ -2051,7 +2064,7 @@ object VectorQueries {
       val pred = col("label") % 3 === 1
       val wt = Window.partitionBy("probe_id")
         .orderBy(col("sim").desc, col("vec_id").asc)
-      val truth = emb.where(pred)
+      val truth = spread(emb.where(pred))
         .crossJoin(broadcast(probes.select("probe_id", "pq")))
         .where(col("vec_id") =!= col("probe_id"))
         .withColumn("sim", cosine(col("pq"), col("q")))
@@ -2127,7 +2140,7 @@ object VectorQueries {
           col("label").cast("long").as("label"))
       val cent = emb.where(col("vec_id") % 125 === 0)
         .select(col("vec_id").as("cid"), col("q").as("cq"))
-      val dist = emb.crossJoin(broadcast(cent))
+      val dist = spread(emb).crossJoin(broadcast(cent))
         .withColumn("dist",
           aggregate(zip_with(col("q"), col("cq"), (x, y) => (x - y) * (x - y)),
             lit(0L), (acc, v) => acc + v))
