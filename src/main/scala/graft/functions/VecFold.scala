@@ -1,0 +1,116 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, LongType}
+
+/**
+ * Native pairwise fold of two `array<bigint>` columns — the integer dot
+ * product (`squaredDiff = false`) or squared L2 distance (`true`) — as a
+ * whole-stage-codegen'd Catalyst expression.
+ *
+ * Why it exists (optimization guide §4, r17 ledger §7): the
+ * higher-order-function form `aggregate(zip_with(a, b, f), 0L, _+_)` is
+ * CodegenFallback — interpreted per row with per-element boxing — which
+ * costs 20-40 µs per PAIR on the similarity pair joins; and the "unroll to
+ * 64 element_at terms" alternative blows the JIT method-size cap when the
+ * expression fuses into a join condition, running bytecode-interpreted
+ * (measured 4× slower still). This expression generates ONE small loop
+ * (constant code size, any array width), so it compiles into the stage and
+ * JITs like normal code.
+ *
+ * Semantics are EXACTLY the HOF fold's, null for null:
+ *  - either input array null → null;
+ *  - lengths differ → null (zip_with pads the shorter side with nulls, the
+ *    null product nulls the whole fold);
+ *  - any element null → null (same propagation);
+ *  - empty arrays → 0 (the fold's zero element);
+ *  - ascending-index left-associated long accumulation — identical values,
+ *    including (never reached on quantized inputs) overflow wrap.
+ */
+case class VecFold(left: Expression, right: Expression, squaredDiff: Boolean)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  // can be null even for non-null inputs (length mismatch / null element)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(LongType, _) => true
+      case _                      => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs two array<bigint> inputs, got " +
+          s"${left.dataType.sql} and ${right.dataType.sql}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VecFold.fold(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], squaredDiff)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val xa = ctx.freshName("xa")
+      val yb = ctx.freshName("yb")
+      val term =
+        if (squaredDiff) s"($xa - $yb) * ($xa - $yb)" else s"$xa * $yb"
+      s"""
+        int $n = $x.numElements();
+        if ($n != $y.numElements()) {
+          ${ev.isNull} = true;
+        } else {
+          long $acc = 0L;
+          for (int $i = 0; $i < $n; $i++) {
+            if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }
+            long $xa = $x.getLong($i);
+            long $yb = $y.getLong($i);
+            $acc += $term;
+          }
+          if (!${ev.isNull}) { ${ev.value} = $acc; }
+        }
+      """
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VecFold =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = if (squaredDiff) "vec_l2sq" else "vec_dot"
+}
+
+object VecFold {
+
+  /** Interpreted twin of the generated loop (also the eval path). */
+  def fold(x: ArrayData, y: ArrayData, squaredDiff: Boolean): Any = {
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      val a = x.getLong(i)
+      val b = y.getLong(i)
+      acc += (if (squaredDiff) { val d = a - b; d * d } else a * b)
+      i += 1
+    }
+    java.lang.Long.valueOf(acc)
+  }
+
+  import org.apache.spark.sql.GraftBridge.{column, expression}
+
+  /** Exact integer dot product of two array<bigint> columns. */
+  def dot(a: Column, b: Column): Column =
+    column(VecFold(expression(a), expression(b), squaredDiff = false))
+
+  /** Exact squared L2 distance of two array<bigint> columns. */
+  def l2sq(a: Column, b: Column): Column =
+    column(VecFold(expression(a), expression(b), squaredDiff = true))
+}

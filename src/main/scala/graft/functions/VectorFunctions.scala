@@ -22,16 +22,17 @@ object VectorFunctions {
     * query). */
   val Dims = 64
 
-  /** Exact integer dot product of two array<bigint> columns. HOFs are
-    * CodegenFallback (interpreted, per-element boxing), but this compact
-    * fold is still the right pair-join form: an unrolled element_at sum
-    * lands in the JOIN CONDITION (the sim threshold pushes into the join),
-    * where codegen cannot split methods — the generated method exceeds the
-    * JIT size cap and runs BYTECODE-interpreted, measured 4× slower than
-    * this fold (emb_neardup 3.5 → 14.9 s, sf0.01). Parallelism of the pair
-    * loop is the structural lever instead (see VectorQueries.spread). */
-  def intDot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+  /** Exact integer dot product of two array<bigint> columns —
+    * [[VecFold]], a native codegen'd loop: the HOF fold
+    * (`aggregate(zip_with(...))`) is CodegenFallback (interpreted,
+    * per-element boxing, 20-40 µs per pair), and an unrolled element_at
+    * sum blows the JIT method cap inside join conditions. Identical
+    * values and null semantics to both (see [[VecFold]]). */
+  def intDot(a: Column, b: Column): Column = VecFold.dot(a, b)
+
+  /** Exact squared L2 distance of two array<bigint> columns ([[VecFold]],
+    * same rationale). */
+  def l2sq(a: Column, b: Column): Column = VecFold.l2sq(a, b)
 
   /** Cosine similarity on quantized vectors (deterministic double math). */
   def cosine(qa: Column, qb: Column): Column =

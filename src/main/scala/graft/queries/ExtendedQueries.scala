@@ -549,16 +549,14 @@ object ExtendedQueries {
     // global.
     "td_cluster_topics" -> (((s: SparkSession, d: String) => {
       import org.apache.spark.sql.expressions.Window
-      import graft.functions.VectorFunctions.quantize
+      import graft.functions.VectorFunctions.{l2sq, quantize}
       val emb = Fixtures.embeddings(s, d)
         .select(col("vec_id"), quantize(col("embedding")).as("q"))
       val cent = emb.where(col("vec_id") % 125 === 0)
         .select(col("vec_id").as("cid"), col("q").as("cq"))
       val dist = emb.repartition(s.sparkContext.defaultParallelism)
         .crossJoin(broadcast(cent))
-        .withColumn("dist",
-          aggregate(zip_with(col("q"), col("cq"), (x, y) => (x - y) * (x - y)),
-            lit(0L), (acc, v) => acc + v))
+        .withColumn("dist", l2sq(col("q"), col("cq")))
       val wa = Window.partitionBy("vec_id").orderBy(col("dist").asc, col("cid").asc)
       val assigned = dist.withColumn("rn", row_number().over(wa))
         .where(col("rn") === 1).select("vec_id", "cid")

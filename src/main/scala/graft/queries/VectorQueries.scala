@@ -342,9 +342,7 @@ object VectorQueries {
       val cent = raw.where(col("vec_id") % 50 === 0)
         .select(col("vec_id").as("cid"), col("q").as("cv"))
       val assigned = spread(emb).crossJoin(broadcast(cent))
-        .withColumn("dist",
-          aggregate(zip_with(col("q"), col("cv"), (x, y) => (x - y) * (x - y)),
-            lit(0L), (acc, v) => acc + v))
+        .withColumn("dist", l2sq(col("q"), col("cv")))
         .groupBy("vec_id")
         .agg(min_by(struct(col("cid"), col("q")),
           struct(col("dist"), col("cid"))).as("a"))
@@ -790,9 +788,7 @@ object VectorQueries {
       val cent = emb.where(col("vec_id") % 125 === 0)
         .select(col("vec_id").as("cid"), col("q").as("cq"))
       val dist = spread(emb).crossJoin(broadcast(cent))
-        .withColumn("dist",
-          aggregate(zip_with(col("q"), col("cq"), (x, y) => (x - y) * (x - y)),
-            lit(0L), (acc, v) => acc + v))
+        .withColumn("dist", l2sq(col("q"), col("cq")))
       val w = Window.partitionBy("vec_id").orderBy(col("dist").asc, col("cid").asc)
       val assigned = dist.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
         .select(col("vec_id"), col("cid"), col("q"))
@@ -911,9 +907,7 @@ object VectorQueries {
       val cent = emb.where(col("vec_id") % 250 === 0)
         .select(col("vec_id").as("cid"), col("q").as("cq"))
       val dist = spread(emb).crossJoin(broadcast(cent))
-        .withColumn("dist",
-          aggregate(zip_with(col("q"), col("cq"), (x, y) => (x - y) * (x - y)),
-            lit(0L), (acc, v) => acc + v))
+        .withColumn("dist", l2sq(col("q"), col("cq")))
       val w = Window.partitionBy("vec_id").orderBy(col("dist").asc, col("cid").asc)
       val assigned = dist.withColumn("rn", row_number().over(w))
         .where(col("rn") === 1).select(col("vec_id"), col("cid"))
@@ -972,9 +966,7 @@ object VectorQueries {
         .select(col("vec_id").as("cid"), col("q").as("cq"))
       val wA = Window.partitionBy("vec_id").orderBy(col("dist").asc, col("cid").asc)
       val assigned = spread(emb).crossJoin(broadcast(cent))
-        .withColumn("dist",
-          aggregate(zip_with(col("q"), col("cq"), (x, y) => (x - y) * (x - y)),
-            lit(0L), (acc, v) => acc + v))
+        .withColumn("dist", l2sq(col("q"), col("cq")))
         .withColumn("rn", row_number().over(wA)).where(col("rn") === 1)
         .select(col("vec_id"), col("cid"), col("q"))
       val probesI = assigned.where(col("vec_id") % 100 === 0)
@@ -1048,8 +1040,7 @@ object VectorQueries {
         .select("probe_id", "vec_id")
       val cent = emb.where(col("vec_id") % 125 === 0)
         .select(col("vec_id").as("cid"), col("q").as("cq"))
-      val l2 = (a: Column, b: Column) =>
-        aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (acc, v) => acc + v)
+      val l2 = (a: Column, b: Column) => l2sq(a, b)
       val wA = Window.partitionBy("vec_id").orderBy(col("dist").asc, col("cid").asc)
       val assigned = spread(emb).crossJoin(broadcast(cent))
         .withColumn("dist", l2(col("q"), col("cq")))
@@ -1155,8 +1146,7 @@ object VectorQueries {
       def subspaces(df: DataFrame, vcol: String) = df
         .select(col("*"), explode(sequence(lit(0), lit(3))).as("m"))
         .withColumn("sub", expr(s"slice($vcol, m*16+1, 16)"))
-      val l2 = (a: Column, b: Column) =>
-        aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (acc, v) => acc + v)
+      val l2 = (a: Column, b: Column) => l2sq(a, b)
       val cb = subspaces(emb.where(col("vec_id") % 125 === 0), "q")
         .select(col("vec_id").as("cid"), col("m"), col("sub").as("csub"))
       val enc = subspaces(emb, "q").join(broadcast(cb), Seq("m"))
@@ -1243,8 +1233,7 @@ object VectorQueries {
     "emb_pq_recall" -> (((s: SparkSession, d: String) => {
       val emb = Fixtures.embeddings(s, d)
         .select(col("vec_id"), quantize(col("embedding")).as("q"))
-      val l2 = (a: Column, b: Column) =>
-        aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (acc, v) => acc + v)
+      val l2 = (a: Column, b: Column) => l2sq(a, b)
       val probes = emb.where(col("vec_id") % 100 === 0)
         .select(col("vec_id").as("probe_id"), col("q").as("pq"))
       val wT = Window.partitionBy("probe_id").orderBy(col("dist").asc, col("vec_id").asc)
@@ -1359,9 +1348,7 @@ object VectorQueries {
       var sizes: DataFrame = null
       for (_ <- 1 to 2) {
         val dist = spread(emb).crossJoin(broadcast(cent))
-          .withColumn("dist",
-            aggregate(zip_with(col("sv"), col("cv"), (x, y) => (x - y) * (x - y)),
-              lit(0L), (acc, v) => acc + v))
+          .withColumn("dist", l2sq(col("sv"), col("cv")))
         val assigned = dist.groupBy("vec_id")
           .agg(min_by(struct(col("cid"), col("sv")),
             struct(col("dist"), col("cid"))).as("a"))
@@ -1567,8 +1554,7 @@ object VectorQueries {
     "emb_sq8_recall" -> (((s: SparkSession, d: String) => {
       val emb = Fixtures.embeddings(s, d)
         .select(col("vec_id"), quantize(col("embedding")).as("q"))
-      val l2 = (a: Column, b: Column) =>
-        aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (acc, v) => acc + v)
+      val l2 = (a: Column, b: Column) => l2sq(a, b)
       val ms: Seq[Long] = emb
         .select(posexplode(col("q")).as(Seq("dim", "v")))
         .groupBy("dim").agg(greatest(max(abs(col("v"))), lit(1L)).as("m"))
@@ -1734,8 +1720,7 @@ object VectorQueries {
     "emb_ivfpq_ann" -> (((s: SparkSession, d: String) => {
       val emb = Fixtures.embeddings(s, d)
         .select(col("vec_id"), quantize(col("embedding")).as("q"))
-      val l2 = (a: Column, b: Column) =>
-        aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (acc, v) => acc + v)
+      val l2 = (a: Column, b: Column) => l2sq(a, b)
       // coarse quantizer (emb_ivf_ann's): nearest vec_id%125 centroid
       val cent = emb.where(col("vec_id") % 125 === 0)
         .select(col("vec_id").as("cid"), col("q").as("cq"))
@@ -2053,9 +2038,7 @@ object VectorQueries {
       val cent = emb.where(col("vec_id") % 125 === 0)
         .select(col("vec_id").as("cid"), col("q").as("cq"))
       val dist = spread(emb).crossJoin(broadcast(cent))
-        .withColumn("dist",
-          aggregate(zip_with(col("q"), col("cq"), (x, y) => (x - y) * (x - y)),
-            lit(0L), (acc, v) => acc + v))
+        .withColumn("dist", l2sq(col("q"), col("cq")))
       val w = Window.partitionBy("vec_id").orderBy(col("dist").asc, col("cid").asc)
       val assigned = dist.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
         .select(col("vec_id"), col("cid"), col("q"), col("label"))
@@ -2141,9 +2124,7 @@ object VectorQueries {
       val cent = emb.where(col("vec_id") % 125 === 0)
         .select(col("vec_id").as("cid"), col("q").as("cq"))
       val dist = spread(emb).crossJoin(broadcast(cent))
-        .withColumn("dist",
-          aggregate(zip_with(col("q"), col("cq"), (x, y) => (x - y) * (x - y)),
-            lit(0L), (acc, v) => acc + v))
+        .withColumn("dist", l2sq(col("q"), col("cq")))
       val w = Window.partitionBy("vec_id").orderBy(col("dist").asc, col("cid").asc)
       val ranked = dist.withColumn("rn", row_number().over(w))
       val assigned = ranked.where(col("rn") === 1)
@@ -2242,9 +2223,7 @@ object VectorQueries {
         .select(col("vec_id").as("cid"), col("q").as("cq"))
       val w = Window.partitionBy("vec_id").orderBy(col("dist").asc, col("cid").asc)
       def assign(df: DataFrame): DataFrame = df.crossJoin(broadcast(cent))
-        .withColumn("dist",
-          aggregate(zip_with(col("q"), col("cq"), (x, y) => (x - y) * (x - y)),
-            lit(0L), (acc, v) => acc + v))
+        .withColumn("dist", l2sq(col("q"), col("cq")))
         .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
         .select(col("vec_id"), col("cid"), col("q"))
       val assigned = assign(filtered)
