@@ -78,12 +78,16 @@ object VectorQueries {
     * +1 iff ((p*37 + i*101 + p*i*13) % 97) % 2 == 0 — pure integer
     * arithmetic, identical on both engines; period 97 > 64 dims so every
     * plane sees a distinct pattern. */
-  private def planeSum(q: Column, p: Int): Column =
-    aggregate(
-      transform(sequence(lit(1), lit(64)), i =>
-        when((((lit(p * 37) + i * 101 + i * lit(p * 13)) % 97) % 2) === 0, lit(1L))
-          .otherwise(lit(-1L)) * element_at(q, i)),
-      lit(0L), (acc, x) => acc + x)
+  private def planeSum(q: Column, p: Int): Column = {
+    // the ±1 weights are plan-time integer constants — fold them into a
+    // literal weight vector and let the codegen'd VecFold loop do the
+    // signed sum (the interpreted HOF fold ran per ROW × 16 planes).
+    // Identical arithmetic: same ±1 factors, same ascending
+    // left-associated long sum.
+    val w: Seq[Long] = (1 to 64).map(i =>
+      if (((p * 37 + i * 101 + p * i * 13) % 97) % 2 == 0) 1L else -1L)
+    graft.functions.VecFold.dot(q, typedLit(w))
+  }
 
   /** 16-bit sign signature string over a quantized vector column (shared by
     * the LSH bucket report and the LSH-ANN candidate join — one definition,
